@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scan / filter / join / aggregate operators from SURVEY.md §2.1–§2.4,
+  * expressed over the driver's TPC-H-ish testdata.
+  *
+  * Reference semantics covered here:
+  *  - P2/P3 numeric range (`BETWEEN`, query_secure.py:127–133, 154–157)
+  *  - P4 categorical `IN` (query_secure.py:174–177)
+  *  - P6 whole-word token match in a multi-valued cell (query_secure.py:104–117)
+  *  - P8 predicate conjunction (query_secure.py:94–184)
+  *  - J1 N-way star left join from a hub table (query_secure.py:66–92)
+  *  - J2 filter-after-left-join => inner semantics (query_secure.py:135–177)
+  *  - A1 count-distinct cohort count (query_secure.py:289–325)
+  *  - A2 grouped distinct count (analysis/demographics.py:89–98)
+  *  - A3 min/max aggregate (analysis/demographics.py:78–87)
+  *  - A4 DISTINCT + ORDER BY (analysis/demographics.py:100–122)
+  *  - A6 value-counts top-k (analysis/statistics.py:168–180)
+  */
+object CoreQueries extends QueryModule {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** TPC-H Q1-shaped pricing summary: the reference's grouped-aggregate
+    * pattern (A2/A3) at scale. Decimal-exact sums; avg derived from the
+    * decimal sum so Spark and DuckDB produce bit-identical doubles. */
+  val q1PricingAgg: Q = Q(
+    "q1_pricing_agg",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      val cnt = count(lit(1))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / cnt).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / cnt).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / cnt).as("avg_disc"),
+          cnt.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  /** P2/P3/P4/P8 + P1 projection: range + categorical predicates ANDed on
+    * the hub table, projecting an explicit column list. */
+  val pFilterProject: Q = Q(
+    "p_filter_project",
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_acctbal BETWEEN 1000.0 AND 5000.0
+        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      ORDER BY c_custkey"""),
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal").between(1000.0, 5000.0)
+          && col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey"))
+
+  /** P6 substudy whole-word token predicate: the reference pads the
+    * multi-valued cell with spaces and does a `LIKE '% tok %'` whole-word
+    * match (query_secure.py:112). p_type is the multi-token column here. */
+  val pTokenMatch: Q = Q(
+    "p_token_match",
+    Some("""
+      SELECT p_partkey, p_type
+      FROM part
+      WHERE (' ' || p_type || ' ') LIKE '% ECONOMY %'
+         OR (' ' || p_type || ' ') LIKE '% SMALL %'
+      ORDER BY p_partkey"""),
+    (s, dir) => {
+      val padded = concat(lit(" "), col("p_type"), lit(" "))
+      Tables.load(s, dir, "part")
+        .filter(padded.like("% ECONOMY %") || padded.like("% SMALL %"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")
+    })
+
+  /** J1: hub star left-join (customer = demographics analog; nation and
+    * orders = behavioral tables), dimension side broadcast. Left-join
+    * preserves customers with no orders => null order columns; oracle
+    * spells NULLS FIRST to match Spark's ASC default. */
+  val j1StarLeftJoin: Q = Q(
+    "j1_star_left_join",
+    Some("""
+      SELECT c.c_custkey, c.c_name, n.n_name, o.o_orderkey, o.o_totalprice
+      FROM customer c
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE c.c_acctbal < 0
+      ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST"""),
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal") < 0)
+      val n = Tables.load(s, dir, "nation")
+      val o = Tables.load(s, dir, "orders")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), c("c_name"), n("n_name"),
+          o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc)
+    })
+
+  /** J2 + A1: behavioral-table predicate after the left join (=> inner
+    * semantics, Catalyst rewrites LEFT->INNER) feeding the cohort
+    * COUNT(DISTINCT hub key) — the reference's live-count query shape. */
+  val a1CountDistinct: Q = Q(
+    "a1_count_distinct",
+    Some("""
+      SELECT COUNT(DISTINCT c.c_custkey) AS n_participants
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE o.o_totalprice > 200000.0 AND c.c_mktsegment = 'BUILDING'"""),
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .filter(col("o_totalprice") > 200000.0 && col("c_mktsegment") === "BUILDING")
+        .agg(countDistinct(col("c_custkey")).as("n_participants"))
+    })
+
+  /** A2/A3: grouped distinct count + min/max — the sex-breakdown /
+    * age-range demographics pattern over a filtered cohort. */
+  val a2GroupedBreakdown: Q = Q(
+    "a2_grouped_breakdown",
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(DISTINCT c_custkey) AS n_customers,
+             CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+             CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      FROM customer
+      WHERE c_acctbal >= 0
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") >= 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          min(dec(col("c_acctbal"))).cast("double").as("min_bal"),
+          max(dec(col("c_acctbal"))).cast("double").as("max_bal"))
+        .orderBy("c_mktsegment"))
+
+  /** A4: DISTINCT + ORDER BY (available sessions / sites pattern). */
+  val a4DistinctSorted: Q = Q(
+    "a4_distinct_sorted",
+    Some("""
+      SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"""),
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select("o_orderpriority").distinct().orderBy("o_orderpriority"))
+
+  /** A6: value-counts top-k (most common categories). Count ties broken by
+    * the category value so both engines pick the same rows. */
+  val a6TopK: Q = Q(
+    "a6_topk_values",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY n DESC, o_orderpriority
+      LIMIT 3"""),
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+        .limit(3))
+
+  override def queries: Seq[Q] = Seq(
+    q1PricingAgg, pFilterProject, pTokenMatch, j1StarLeftJoin,
+    a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a6TopK)
+}
