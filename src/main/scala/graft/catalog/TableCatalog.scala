@@ -1,0 +1,207 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{EngineConfig, MergeKeys}
+
+/** Per-table metadata derived from one schema read + one aggregate pass
+  * (reference: data_handling/metadata.py:87–178, but single-pass instead of
+  * 100-row samples + 10k-row chunks — Spark's scan is the sample). */
+final case class TableMeta(
+    name: String,
+    columns: Seq[String],
+    /** column -> Spark DataType simple name; the engine's effective type
+      * lattice is numeric vs categorical vs boolean (SURVEY.md §1.2). */
+    dtypes: Map[String, String],
+    numericColumns: Seq[String],
+    /** column -> (min, max) over try-cast-to-double values (coerce-to-null
+      * semantics, metadata.py:160). */
+    numericRanges: Map[String, (Double, Double)])
+
+/** The "directory of files is the database" catalog
+  * (reference: data_handling/metadata.py + merge_strategy.py).
+  *
+  * - Scans `config.dataDir` for `*.csv` / `*.parquet`; table name = file stem
+  *   (metadata.py:32–50).
+  * - Loads each table once and caches the DataFrame; invalidated when the
+  *   directory's max mtime changes (metadata.py:269–304 — theirs is a FIFO(4)
+  *   keyed on (config md5, dir mtime); ours is per-directory).
+  * - Detects cross-sectional vs longitudinal structure from the hub
+  *   (demographics) schema via the reference's fallback ladder
+  *   (merge_strategy.py:79–115).
+  * - Derives the composite ID (`primary + "_" + session`) as a **computed
+  *   column at load** — the reference rewrites user CSVs in place
+  *   (merge_strategy.py:117–192); we deliberately do not mutate inputs
+  *   (SURVEY.md §7.4 #8).
+  *
+  * Scale: storage format is pluggable (CSV for reference parity, Parquet for
+  * the 100 TB path); all metadata comes from `df.schema` (free) plus one
+  * column-pruned aggregate per table for ranges.
+  */
+final class TableCatalog(spark: SparkSession, val config: EngineConfig) {
+
+  private val dir: Path = Paths.get(config.dataDir)
+
+  @volatile private var snapshot: Option[(Long, Map[String, DataFrame], MergeKeys)] = None
+
+  private def dirVersion(): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else listFiles().map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(
+      listFiles().size.toLong)(_ max _)
+
+  private def listFiles(): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => { val n = p.getFileName.toString
+        n.endsWith(".csv") || n.endsWith(".parquet") })
+      .toSeq.sortBy(_.getFileName.toString)
+
+  private def stem(p: Path): String = {
+    val n = p.getFileName.toString
+    n.substring(0, n.lastIndexOf('.'))
+  }
+
+  private def loadRaw(p: Path): DataFrame =
+    if (p.getFileName.toString.endsWith(".parquet"))
+      spark.read.parquet(p.toString)
+    else
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(p.toString)
+
+  /** Structure-detection ladder (merge_strategy.py:85–110): longitudinal iff
+    * hub has primary+session; else primary alone; else an existing composite
+    * column; else the first `*id*`/`*ursi*` column; else fail. */
+  private[catalog] def detectStructure(hubColumns: Seq[String]): MergeKeys = {
+    val hasPrimary = hubColumns.contains(config.primaryIdColumn)
+    val hasSession = hubColumns.contains(config.sessionColumn)
+    val hasComposite = hubColumns.contains(config.compositeIdColumn)
+    if (hasPrimary && hasSession)
+      MergeKeys(config.primaryIdColumn, Some(config.sessionColumn),
+        Some(config.compositeIdColumn), isLongitudinal = true)
+    else if (hasPrimary) MergeKeys(config.primaryIdColumn)
+    else if (hasComposite) MergeKeys(config.compositeIdColumn)
+    else hubColumns.find(c =>
+      c.toLowerCase.contains("id") || c.toLowerCase.contains("ursi")) match {
+      case Some(c) => MergeKeys(c)
+      case None => throw new IllegalStateException(
+        s"No suitable ID column found in ${config.demographicsTable}")
+    }
+  }
+
+  /** Composite-ID derivation as a computed column: `concat(primary, '_',
+    * session)` over string casts — matches pandas `astype(str)` + `'_'`-join
+    * (merge_strategy.py:147–150) for string and integer IDs. */
+  private def withCompositeId(df: DataFrame, keys: MergeKeys): DataFrame =
+    (keys.compositeId, keys.sessionId) match {
+      case (Some(comp), Some(sess))
+          if keys.isLongitudinal
+            && df.columns.contains(keys.primaryId)
+            && df.columns.contains(sess)
+            && !df.columns.contains(comp) =>
+        df.withColumn(comp,
+          concat(col(keys.primaryId).cast(StringType), lit("_"), col(sess).cast(StringType)))
+      case _ => df
+    }
+
+  private def build(): (Long, Map[String, DataFrame], MergeKeys) = {
+    val version = dirVersion()
+    val files = listFiles()
+    val raw = files.map(p => stem(p) -> loadRaw(p)).toMap
+    val hub = raw.getOrElse(config.demographicsTable,
+      throw new IllegalStateException(
+        s"Hub table '${config.demographicsTable}' not found in ${config.dataDir}"))
+    val keys = detectStructure(hub.columns.toSeq)
+    val tables = raw.map { case (n, df) => n -> withCompositeId(df, keys) }
+    (version, tables, keys)
+  }
+
+  private def current(): (Long, Map[String, DataFrame], MergeKeys) = {
+    val v = dirVersion()
+    snapshot match {
+      case Some(s @ (ver, _, _)) if ver == v => s
+      case _ =>
+        synchronized {
+          snapshot match {
+            case Some(s @ (ver, _, _)) if ver == v => s
+            case _ =>
+              val s = build(); snapshot = Some(s); s
+          }
+        }
+    }
+  }
+
+  def mergeKeys: MergeKeys = current()._3
+
+  def tableNames: Seq[String] = current()._2.keys.toSeq.sorted
+
+  def behavioralTableNames: Seq[String] =
+    tableNames.filterNot(_ == config.demographicsTable)
+
+  def table(name: String): DataFrame =
+    current()._2.getOrElse(name,
+      throw new IllegalArgumentException(s"Unknown table '$name'"))
+
+  def demographics: DataFrame = table(config.demographicsTable)
+
+  /** Catalog validation replaces the reference's SQL-identifier sanitization
+    * (security_utils.py): user-supplied names must exist in the catalog. */
+  def validateColumn(tableName: String, column: String): Unit = {
+    val df = table(tableName)
+    if (!df.columns.contains(column))
+      throw new IllegalArgumentException(
+        s"Unknown column '$column' in table '$tableName'")
+  }
+
+  /** Distinct session values of the hub, sorted as strings
+    * (metadata.py:435–467). Deviation: on empty/missing we report none
+    * instead of the reference's hardcoded ['1','2','3','4'] fallback
+    * (SURVEY.md §7.4 #12). */
+  def sessionValues: Seq[String] = {
+    val keys = mergeKeys
+    keys.sessionId match {
+      case Some(s) if demographics.columns.contains(s) =>
+        demographics.select(col(s).cast(StringType).as(s))
+          .na.drop().distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      case _ => Seq.empty
+    }
+  }
+
+  /** One-pass metadata for a table: schema-derived columns/dtypes plus a
+    * single aggregate for all numeric ranges (vs the reference's chunked
+    * 10k-row loop, metadata.py:131–178). ID columns are excluded from the
+    * numeric set (metadata.py:96–101). */
+  def meta(name: String): TableMeta = {
+    val df = table(name)
+    val keys = mergeKeys
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] && !keys.idColumns(f.name) => f.name
+    }.toSeq
+    val ranges: Map[String, (Double, Double)] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val aggs = numericCols.flatMap(c => Seq(
+          min(col(c).cast(DoubleType)).as(s"min__$c"),
+          max(col(c).cast(DoubleType)).as(s"max__$c")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        numericCols.flatMap { c =>
+          val lo = row.getAs[Any](s"min__$c")
+          val hi = row.getAs[Any](s"max__$c")
+          if (lo == null || hi == null) None
+          else Some(c -> (
+            lo.asInstanceOf[Number].doubleValue(),
+            hi.asInstanceOf[Number].doubleValue()))
+        }.toMap
+      }
+    TableMeta(name, df.columns.toSeq, dtypes, numericCols, ranges)
+  }
+}

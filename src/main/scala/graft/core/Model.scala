@@ -1,0 +1,96 @@
+package graft.core
+
+/** Core data model of the engine — the reference's fundamental abstractions
+  * (SURVEY.md §1.1) as Scala case classes.
+  */
+
+/** Merge-key structure of a dataset (reference: data_handling/merge_strategy.py:23–54).
+  *
+  * @param primaryId      participant ID column (e.g. "ursi")
+  * @param sessionId      session column for longitudinal data (e.g. "session_num")
+  * @param compositeId    derived `primary + "_" + session` column (e.g. "customID")
+  * @param isLongitudinal true iff hub table has both primary and session columns
+  */
+final case class MergeKeys(
+    primaryId: String,
+    sessionId: Option[String] = None,
+    compositeId: Option[String] = None,
+    isLongitudinal: Boolean = false) {
+
+  /** Column used for joins and distinct-participant counts
+    * (merge_strategy.py:31–35): composite when longitudinal, else primary. */
+  def mergeColumn: String =
+    if (isLongitudinal) compositeId.getOrElse(primaryId) else primaryId
+
+  /** All ID-ish columns, excluded from selectable/statistics columns. */
+  def idColumns: Set[String] =
+    Set(primaryId) ++ sessionId ++ compositeId
+}
+
+/** Engine configuration (reference: core/config.py:19–69 `DataConfig`). */
+final case class EngineConfig(
+    dataDir: String,
+    demographicsTable: String = "demographics",
+    primaryIdColumn: String = "ursi",
+    sessionColumn: String = "session_num",
+    compositeIdColumn: String = "customID",
+    ageColumn: String = "age",
+    sexColumn: String = "sex",
+    studySiteColumn: Option[String] = None,
+    /** Preferred storage: "csv" matches the reference's data model; "parquet"
+      * is the at-scale path (partitioned/bucketed). Catalog auto-detects. */
+    format: String = "csv")
+
+/** Filter algebra (reference: query/state/models.py:14–35 + the normalized
+  * "behavioral filter" dicts of query/helpers/data_formatters.py:11–53).
+  *
+  * Canonical application order (query_secure.py:94–184):
+  * substudies → sessions → age → phenotypic (in user order).
+  */
+sealed trait Filter
+object Filter {
+  /** Hub-table age range, inclusive both ends (query_secure.py:127–133). */
+  final case class AgeRange(lo: Double, hi: Double) extends Filter
+
+  /** Session membership on the hub table, longitudinal only
+    * (query_secure.py:119–125). */
+  final case class Sessions(values: Seq[String]) extends Filter
+
+  /** Whole-word token match against the multi-valued study-site cell,
+    * OR-ed across tokens (query_secure.py:104–117). */
+  final case class Substudies(tokens: Seq[String]) extends Filter
+
+  /** Numeric BETWEEN on any table (query_secure.py:154–157). */
+  final case class NumericRange(table: String, column: String, lo: Double, hi: Double)
+      extends Filter
+
+  /** Categorical IN on any table (query_secure.py:174–177). */
+  final case class Categorical(table: String, column: String, values: Seq[String])
+      extends Filter
+
+  /** Boolean equality (single value) or OR-chain (several) after Yes/No/1/0
+    * normalization (query_secure.py:160–172; data_formatters.py:40–47). */
+  final case class BooleanFilter(table: String, column: String, values: Seq[Boolean])
+      extends Filter
+
+  /** Reference boolean-token normalization (data_formatters.py:40–47):
+    * a categorical value set drawn entirely from Yes/No/True/False/1/0 is
+    * treated as boolean. Returns None when the values are not boolean-like. */
+  def normalizeBoolean(values: Seq[String]): Option[Seq[Boolean]] = {
+    val truthy = Set("yes", "true", "1")
+    val falsy = Set("no", "false", "0")
+    val lower = values.map(_.trim.toLowerCase)
+    if (lower.nonEmpty && lower.forall(v => truthy(v) || falsy(v)))
+      Some(lower.map(truthy))
+    else None
+  }
+
+  /** Tables referenced by a phenotypic (table-scoped) filter — drives
+    * join-set minimization (query/callbacks/export.py:73–87). */
+  def referencedTable(f: Filter): Option[String] = f match {
+    case NumericRange(t, _, _, _) => Some(t)
+    case Categorical(t, _, _)     => Some(t)
+    case BooleanFilter(t, _, _)   => Some(t)
+    case _                        => None
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import graft.catalog.TableCatalog
+import graft.core.{EngineConfig, Filter}
+import graft.core.Filter._
+import graft.query.CohortQuery
+
+/** Cohort semantics on the three canonical fixture layouts (FIXTURES.md),
+  * with data authored here (not copied from the reference). */
+class CohortQuerySpec extends SparkSpec {
+
+  private def crossSectionalDir(): String = fixtureDir(
+    "demographics.csv" ->
+      """ursi,age,sex,height,weight
+        |S001,25,1.0,165.5,60.2
+        |S002,31,2.0,180.1,82.0
+        |S003,44,1.0,158.9,55.4
+        |S004,19,2.0,175.0,70.3
+        |S005,67,1.0,162.2,64.8""",
+    "cognitive.csv" ->
+      """ursi,working_memory,processing_speed,attention_score
+        |S001,105,45,78
+        |S002,98,52,64
+        |S003,112,39,91
+        |S005,101,47,70""",
+    "unrelated.csv" ->
+      """ursi,bogus_metric
+        |S001,1
+        |S002,2""")
+
+  private def longitudinalDir(): String = fixtureDir(
+    "demographics.csv" ->
+      """ursi,session_num,age,sex
+        |S001,BAS1,25,1.0
+        |S001,BAS2,26,1.0
+        |S002,BAS1,31,2.0
+        |S002,BAS2,32,2.0
+        |S003,BAS1,44,1.0""",
+    "cognitive.csv" ->
+      """ursi,session_num,working_memory
+        |S001,BAS1,105
+        |S001,BAS2,107
+        |S002,BAS1,98
+        |S002,BAS2,96
+        |S003,BAS1,112""")
+
+  test("cross-sectional structure detection") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val k = cat.mergeKeys
+    assert(!k.isLongitudinal && k.primaryId == "ursi" && k.mergeColumn == "ursi")
+    assert(cat.behavioralTableNames == Seq("cognitive", "unrelated"))
+  }
+
+  test("longitudinal detection derives composite ID") {
+    val cat = new TableCatalog(spark, EngineConfig(longitudinalDir()))
+    val k = cat.mergeKeys
+    assert(k.isLongitudinal && k.mergeColumn == "customID")
+    val ids = cat.demographics.select("customID").collect().map(_.getString(0)).sorted
+    assert(ids.head == "S001_BAS1" && ids.length == 5)
+    assert(cat.sessionValues == Seq("BAS1", "BAS2"))
+  }
+
+  test("fallback ladder: *id* column when no configured primary") {
+    val dir = fixtureDir("demographics.csv" ->
+      """subject_id,age
+        |X1,30
+        |X2,40""")
+    val cat = new TableCatalog(spark, EngineConfig(dir))
+    assert(cat.mergeKeys.primaryId == "subject_id")
+  }
+
+  test("count + filters, cross-sectional") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val q = CohortQuery(cat,
+      filters = Seq(
+        AgeRange(20, 50),
+        NumericRange("cognitive", "working_memory", 100, 120)))
+    // S001 (25, 105) and S003 (44, 112); S005 is 67; S002 wm=98; S004 absent.
+    assert(q.count() == 2)
+  }
+
+  test("join-set minimization leaves unreferenced tables out of the plan") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val q = CohortQuery(cat, filters = Seq(AgeRange(20, 50)))
+    assert(q.joinTables.isEmpty)
+    val withFilter = q.copy(filters = q.filters :+
+      NumericRange("cognitive", "working_memory", 0, 200))
+    assert(withFilter.joinTables == Seq("cognitive"))
+    assert(!withFilter.basePlan.queryExecution.analyzed.toString.contains("bogus_metric"))
+  }
+
+  test("left join preserves hub rows; filter on behavioral table tightens") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val all = CohortQuery(cat, selectedTables = Seq("cognitive"))
+    assert(all.count() == 5) // S004 kept with null cognitive columns
+    val filtered = CohortQuery(cat,
+      filters = Seq(NumericRange("cognitive", "working_memory", 0, 200)))
+    assert(filtered.count() == 4) // S004 drops: null fails the predicate
+  }
+
+  test("longitudinal count counts participant-sessions (reference behavior)") {
+    val cat = new TableCatalog(spark, EngineConfig(longitudinalDir()))
+    val q = CohortQuery(cat)
+    assert(q.count() == 5) // 2+2+1 sessions, not 3 participants
+    val bas1 = CohortQuery(cat, filters = Seq(Sessions(Seq("BAS1"))))
+    assert(bas1.count() == 3)
+  }
+
+  test("data query selects keys + demographics + selected behavioral columns") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val q = CohortQuery(cat,
+      filters = Seq(AgeRange(20, 50)),
+      selections = Seq(("cognitive", "working_memory")))
+    val df = q.data
+    assert(df.columns.toSeq == Seq("ursi", "age", "sex", "height", "weight", "working_memory"))
+    assert(df.count() == 3)
+  }
+
+  test("boolean normalization") {
+    assert(Filter.normalizeBoolean(Seq("Yes", "No")) == Some(Seq(true, false)))
+    assert(Filter.normalizeBoolean(Seq("1", "0", "True")) == Some(Seq(true, false, true)))
+    assert(Filter.normalizeBoolean(Seq("Maybe")).isEmpty)
+  }
+
+  test("substudy token match is whole-word") {
+    val dir = fixtureDir("demographics.csv" ->
+      """ursi,age,all_studies
+        |S001,25,Discovery Longitudinal_Adult
+        |S002,30,Longitudinal_Child
+        |S003,35,Discovery""")
+    val cat = new TableCatalog(spark, EngineConfig(dir))
+    val q = CohortQuery(cat, filters = Seq(Substudies(Seq("Discovery"))))
+    assert(q.count() == 2) // not Longitudinal_Child; substring would not match either, whole-word does match S003
+  }
+
+  test("unknown table/column rejected by catalog validation") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    intercept[IllegalArgumentException](cat.table("nope"))
+    intercept[IllegalArgumentException](cat.validateColumn("cognitive", "nope"))
+  }
+
+  test("numeric ranges metadata in one pass") {
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val m = cat.meta("demographics")
+    assert(m.numericRanges("age") == (19.0, 67.0))
+    assert(!m.numericColumns.contains("ursi"))
+  }
+}
