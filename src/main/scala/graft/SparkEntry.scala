@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    graft.queries.CoreQueries)
+    graft.queries.CoreQueries,
+    graft.queries.PivotQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 
