@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.CoreQueries,
-    graft.queries.PivotQueries)
+    graft.queries.PivotQueries,
+    graft.queries.StatsQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 

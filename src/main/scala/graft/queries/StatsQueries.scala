@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.core.MergeKeys
+import graft.stats._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistics operators T1–T15 (SURVEY.md §2.5) exercised through the
+  * graft.stats library with DuckDB oracles.
+  *
+  * Floating-point statistics are rounded on BOTH sides (see [[graft.Q]]):
+  * the two engines traverse data in different orders, so raw doubles agree
+  * only to ~1e-11 relative; rounding decimals are chosen per statistic so
+  * the rounding boundary is ≥100× the expected FP jitter.
+  */
+object StatsQueries extends QueryModule {
+
+  /** T1 column statistics on lineitem's numeric measures. */
+  private val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  private def t1OracleFor(c: String): String =
+    s"""SELECT '$c' AS col_name, s.n, s.n_null, s.n_distinct, s.mean, s.std,
+        s.min_v, s.max_v, s.q25, s.median, s.q75, s.skew, s.kurt, o.iqr_outliers
+      FROM (
+        SELECT count($c) AS n, count(*) - count($c) AS n_null,
+          count(DISTINCT $c) AS n_distinct,
+          ROUND(avg($c), 6) AS mean, ROUND(stddev($c), 4) AS std,
+          CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 4) AS q25,
+          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS median,
+          ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 4) AS q75,
+          ROUND(skewness($c), 6) AS skew, ROUND(kurtosis($c), 6) AS kurt
+        FROM lineitem) s
+      CROSS JOIN (
+        SELECT count(*) AS iqr_outliers
+        FROM lineitem, (
+          SELECT quantile_cont(CAST($c AS DOUBLE), 0.25) AS q1,
+                 quantile_cont(CAST($c AS DOUBLE), 0.75) AS q3
+          FROM lineitem) q
+        WHERE $c < q.q1 - 1.5 * (q.q3 - q.q1)
+           OR $c > q.q3 + 1.5 * (q.q3 - q.q1)) o"""
+
+  val t1ColumnStats: Q = Q(
+    "t1_column_stats",
+    Some(t1Cols.map(t1OracleFor).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val stats = ColumnStats.describe(li, t1Cols)
+      stats.map(st => (st.column, st.n, st.nulls, st.distinct, st.mean.get,
+          st.std.get, st.min.get, st.max.get, st.q25.get, st.median.get,
+          st.q75.get, st.skew.get, st.kurt.get, st.iqrOutliers.get))
+        .toDF("col_name", "n", "n_null", "n_distinct", "mean", "std",
+          "min_v", "max_v", "q25", "median", "q75", "skew", "kurt", "iqr_outliers")
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 4).as("std"),
+          col("min_v"), col("max_v"),
+          round(col("q25"), 4).as("q25"), round(col("median"), 4).as("median"),
+          round(col("q75"), 4).as("q75"),
+          round(col("skew"), 6).as("skew"), round(col("kurt"), 6).as("kurt"),
+          col("iqr_outliers"))
+        .orderBy("col_name")
+    })
+
+  /** T2 pearson correlation pairs in one aggregate pass. */
+  private val t2Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val t2Pearson: Q = Q(
+    "t2_corr_pearson",
+    Some {
+      val pairs = for { i <- t2Cols.indices; j <- (i + 1) until t2Cols.length }
+        yield (t2Cols(i), t2Cols(j))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col1, '$b' AS col2, ROUND(corr($a, $b), 6) AS r,
+            count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS n
+          FROM lineitem"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col1, col2")
+    },
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pairs = Correlation.pearson(li, t2Cols, minPeriods = 10)
+      Correlation.toDF(s, pairs)
+        .select(col("col1"), col("col2"), round(col("r"), 6).as("r"), col("n"))
+        .orderBy("col1", "col2")
+    })
+
+  /** T2 spearman via average-rank transform + pearson on ranks. */
+  val t2Spearman: Q = Q(
+    "t2_corr_spearman",
+    Some("""
+      WITH nn AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      r AS (
+        SELECT rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+               rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+        FROM nn)
+      SELECT ROUND(corr(rx, ry), 6) AS rho, count(*) AS n FROM r"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Correlation.spearmanPair(li, "l_quantity", "l_extendedprice")
+      import s.implicits._
+      Seq((p.r.get, p.n)).toDF("rho", "n")
+        .select(round(col("rho"), 6).as("rho"), col("n"))
+    })
+
+  /** T6 demographics breakdown (long metric/value format) of a filtered
+    * cohort — customer as the hub, acctbal as the age analog, mktsegment as
+    * the sex analog. */
+  val t6Breakdown: Q = Q(
+    "t6_breakdown",
+    Some("""
+      WITH cohort AS (SELECT * FROM customer WHERE c_acctbal >= 0)
+      SELECT 'age_max' AS metric, CAST(max(c_acctbal) AS DOUBLE) AS value FROM cohort
+      UNION ALL
+      SELECT 'age_min', CAST(min(c_acctbal) AS DOUBLE) FROM cohort
+      UNION ALL
+      SELECT 'n_participants', CAST(count(DISTINCT c_custkey) AS DOUBLE) FROM cohort
+      UNION ALL
+      SELECT 'c_mktsegment_' || c_mktsegment, CAST(count(DISTINCT c_custkey) AS DOUBLE)
+      FROM cohort GROUP BY c_mktsegment
+      ORDER BY metric"""),
+    (s, dir) => {
+      val cohort = Tables.load(s, dir, "customer").filter(col("c_acctbal") >= 0)
+      val metrics = CohortReports.breakdown(
+        cohort, MergeKeys("c_custkey"), ageCol = Some("c_acctbal"),
+        categoryCol = Some("c_mktsegment"))
+      CohortReports.breakdownDF(s, metrics).orderBy("metric")
+    })
+
+  /** T7 cumulative filter funnel: one conditional-count-distinct aggregate
+    * instead of the reference's K full re-queries. */
+  private val funnelBaseSql =
+    """SELECT c.c_custkey AS k, c.c_acctbal, c.c_mktsegment, o.o_totalprice
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"""
+
+  val t7Funnel: Q = Q(
+    "t7_filter_funnel",
+    Some(s"""
+      WITH base AS ($funnelBaseSql),
+      c0 AS (SELECT count(DISTINCT k) AS n FROM base),
+      c1 AS (SELECT count(DISTINCT CASE WHEN c_acctbal >= 0 THEN k END) AS n FROM base),
+      c2 AS (SELECT count(DISTINCT CASE WHEN c_acctbal >= 0
+                AND c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN k END) AS n FROM base),
+      c3 AS (SELECT count(DISTINCT CASE WHEN c_acctbal >= 0
+                AND c_mktsegment IN ('BUILDING','AUTOMOBILE')
+                AND o_totalprice > 150000.0 THEN k END) AS n FROM base)
+      SELECT 0 AS step, 'baseline' AS label, c0.n AS n, 0 AS removed, 0.0 AS removal_pct FROM c0
+      UNION ALL
+      SELECT 1, 'acctbal_range', c1.n, c0.n - c1.n,
+        ROUND((c0.n - c1.n) * 1.0 / c0.n * 100.0, 4) FROM c0, c1
+      UNION ALL
+      SELECT 2, 'segment_in', c2.n, c1.n - c2.n,
+        ROUND((c1.n - c2.n) * 1.0 / c1.n * 100.0, 4) FROM c1, c2
+      UNION ALL
+      SELECT 3, 'order_value', c3.n, c2.n - c3.n,
+        ROUND((c2.n - c3.n) * 1.0 / c2.n * 100.0, 4) FROM c2, c3
+      ORDER BY step"""),
+    (s, dir) => {
+      val base = funnelBase(s, dir)
+      val steps = FilterFunnel.funnel(base, "k", Seq(
+        "acctbal_range" -> (col("c_acctbal") >= 0),
+        "segment_in" -> col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+        "order_value" -> (col("o_totalprice") > 150000.0)))
+      FilterFunnel.toDF(s, steps)
+        .select(col("step"), col("label"), col("n"), col("removed"),
+          round(col("removalPct"), 4).as("removal_pct"))
+        .orderBy("step")
+    })
+
+  /** T8 per-filter impact vs baseline (each alone + combined). */
+  val t8Impact: Q = Q(
+    "t8_filter_impact",
+    Some(s"""
+      WITH base AS ($funnelBaseSql),
+      c AS (SELECT count(DISTINCT k) AS n0,
+        count(DISTINCT CASE WHEN c_acctbal >= 0 THEN k END) AS n1,
+        count(DISTINCT CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN k END) AS n2,
+        count(DISTINCT CASE WHEN o_totalprice > 150000.0 THEN k END) AS n3,
+        count(DISTINCT CASE WHEN c_acctbal >= 0
+          AND c_mktsegment IN ('BUILDING','AUTOMOBILE')
+          AND o_totalprice > 150000.0 THEN k END) AS n4
+        FROM base)
+      SELECT 0 AS step, 'baseline' AS label, n0 AS n, 0 AS removed, 0.0 AS removal_pct FROM c
+      UNION ALL SELECT 1, 'acctbal_range', n1, n0 - n1,
+        ROUND((n0 - n1) * 1.0 / n0 * 100.0, 4) FROM c
+      UNION ALL SELECT 2, 'segment_in', n2, n0 - n2,
+        ROUND((n0 - n2) * 1.0 / n0 * 100.0, 4) FROM c
+      UNION ALL SELECT 3, 'order_value', n3, n0 - n3,
+        ROUND((n0 - n3) * 1.0 / n0 * 100.0, 4) FROM c
+      UNION ALL SELECT 4, 'all_filters', n4, n0 - n4,
+        ROUND((n0 - n4) * 1.0 / n0 * 100.0, 4) FROM c
+      ORDER BY step"""),
+    (s, dir) => {
+      val base = funnelBase(s, dir)
+      val steps = FilterFunnel.impact(base, "k", Seq(
+        "acctbal_range" -> (col("c_acctbal") >= 0),
+        "segment_in" -> col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+        "order_value" -> (col("o_totalprice") > 150000.0)))
+      FilterFunnel.toDF(s, steps)
+        .select(col("step"), col("label"), col("n"), col("removed"),
+          round(col("removalPct"), 4).as("removal_pct"))
+        .orderBy("step")
+    })
+
+  private def funnelBase(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(c("c_custkey").as("k"), c("c_acctbal"), c("c_mktsegment"), o("o_totalprice"))
+  }
+
+  /** T9 OLS of extendedprice on quantity (p-value is library-only — DuckDB
+    * has no t CDF; it is asserted in the ScalaTest spec instead). */
+  val t9Ols: Q = Q(
+    "t9_ols_regression",
+    Some("""
+      SELECT
+        ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        ROUND(regr_intercept(l_extendedprice, l_quantity), 5) AS intercept,
+        ROUND(corr(l_extendedprice, l_quantity), 6) AS r,
+        ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+        CAST(min(l_quantity) AS DOUBLE) AS x_min,
+        CAST(max(l_quantity) AS DOUBLE) AS x_max
+      FROM lineitem"""),
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val r = Regression.ols(li, "l_quantity", "l_extendedprice").get
+      Seq((r.slope, r.intercept, r.r, r.r2, r.n, r.xMin, r.xMax))
+        .toDF("slope", "intercept", "r", "r2", "n", "x_min", "x_max")
+        .select(round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 5).as("intercept"),
+          round(col("r"), 6).as("r"), round(col("r2"), 6).as("r2"),
+          col("n"), col("x_min"), col("x_max"))
+    })
+
+  /** T12 one-way ANOVA of acctbal across market segments (p library-only;
+    * SS reported in millions so the rounding boundary dwarfs FP jitter). */
+  val t12Anova: Q = Q(
+    "t12_anova",
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment AS grp, count(*) AS n, avg(c_acctbal) AS m,
+          var_samp(c_acctbal) AS v
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        GROUP BY c_mktsegment),
+      tot AS (
+        SELECT sum(n) AS n_total, count(*) AS k,
+          sum(m * n) / sum(n) AS grand_mean FROM g),
+      ss AS (
+        SELECT
+          (SELECT sum(n * (m - grand_mean) * (m - grand_mean)) FROM g, tot) AS ssb,
+          (SELECT sum((n - 1) * v) FROM g) AS ssw,
+          (SELECT k - 1 FROM tot) AS dfb,
+          (SELECT n_total - k FROM tot) AS dfw)
+      SELECT
+        ROUND((ssb / dfb) / (ssw / dfw), 6) AS f_stat,
+        dfb AS df_between, dfw AS df_within,
+        ROUND(ssb / 1000000.0, 5) AS ssb_millions,
+        ROUND(ssw / 1000000.0, 5) AS ssw_millions,
+        ROUND(ssb / (ssb + ssw), 8) AS eta_squared
+      FROM ss"""),
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val a = Anova.oneWay(cust, "c_mktsegment", "c_acctbal").get
+      Seq((a.fStat, a.dfBetween, a.dfWithin,
+          a.ssBetween / 1000000.0, a.ssWithin / 1000000.0, a.etaSquared))
+        .toDF("f_stat", "df_between", "df_within", "ssb_millions",
+          "ssw_millions", "eta_squared")
+        .select(round(col("f_stat"), 6).as("f_stat"),
+          col("df_between"), col("df_within"),
+          round(col("ssb_millions"), 5).as("ssb_millions"),
+          round(col("ssw_millions"), 5).as("ssw_millions"),
+          round(col("eta_squared"), 8).as("eta_squared"))
+    })
+
+  /** T13 pairwise t-tests across market segments (p/Bonferroni library-only). */
+  val t13TTests: Q = Q(
+    "t13_pairwise_ttests",
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment AS grp, count(*) AS n, avg(c_acctbal) AS m,
+          var_samp(c_acctbal) AS v
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        GROUP BY c_mktsegment)
+      SELECT a.grp AS group1, b.grp AS group2, a.n AS n1, b.n AS n2,
+        ROUND(a.m - b.m, 4) AS mean_diff,
+        ROUND((a.m - b.m) / sqrt((((a.n - 1) * a.v + (b.n - 1) * b.v)
+          / (a.n + b.n - 2)) * (1.0 / a.n + 1.0 / b.n)), 6) AS t_stat,
+        ROUND((a.m - b.m) / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+          / (a.n + b.n - 2)), 6) AS cohens_d
+      FROM g a JOIN g b ON a.grp < b.grp
+      ORDER BY group1, group2"""),
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val ts = Anova.pairwiseTTests(cust, "c_mktsegment", "c_acctbal")
+      ts.map(t => (t.group1, t.group2, t.n1, t.n2, t.meanDiff, t.tStat, t.cohensD))
+        .toDF("group1", "group2", "n1", "n2", "mean_diff", "t_stat", "cohens_d")
+        .select(col("group1"), col("group2"), col("n1"), col("n2"),
+          round(col("mean_diff"), 4).as("mean_diff"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("cohens_d"), 6).as("cohens_d"))
+        .orderBy("group1", "group2")
+    })
+
+  /** T15 multi-valued cell token extraction (p_name as the packed cell). */
+  val t15Sites: Q = Q(
+    "t15_site_values",
+    Some("""
+      SELECT site FROM (
+        SELECT DISTINCT trim(unnest(regexp_split_to_array(
+          replace(replace(p_name, '{', ''), '}', ''), '[,;\s]+'))) AS site
+        FROM part) t
+      WHERE length(site) > 0
+      ORDER BY site"""),
+    (s, dir) => {
+      import s.implicits._
+      val part = Tables.load(s, dir, "part")
+      SiteValues.distinctValues(part, "p_name").toDF("site").orderBy("site")
+    })
+
+  override def queries: Seq[Q] = Seq(
+    t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
+    t9Ols, t12Anova, t13TTests, t15Sites)
+}

@@ -1,0 +1,88 @@
+package graft.stats
+
+import org.apache.commons.math3.distribution.{FDistribution, TDistribution}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** T12 one-way ANOVA + T13 pairwise t-tests
+  * (reference: pages/plotting.py:1356–1466, i.e. scipy `f_oneway` + per-pair
+  * independent t-tests with Bonferroni correction and Cohen's d).
+  *
+  * Everything derives from ONE `groupBy(cat)` aggregate (n, mean, variance
+  * per group); F/p/η² and all pairwise statistics are closed-form driver
+  * arithmetic over those group moments — no extra scans per pair.
+  */
+object Anova {
+
+  final case class GroupStats(group: String, n: Long, mean: Double, std: Double,
+      min: Double, max: Double)
+
+  final case class AnovaResult(
+      fStat: Double, pValue: Double,
+      dfBetween: Long, dfWithin: Long, dfTotal: Long,
+      ssBetween: Double, ssWithin: Double, ssTotal: Double,
+      msBetween: Double, msWithin: Double, etaSquared: Double,
+      groups: Seq[GroupStats])
+
+  final case class TTestResult(
+      group1: String, group2: String, n1: Long, n2: Long,
+      meanDiff: Double, tStat: Double, pValue: Double, pBonferroni: Double,
+      cohensD: Double)
+
+  def groupStats(df: DataFrame, catCol: String, yCol: String): Seq[GroupStats] = {
+    val y = col(yCol).cast(DoubleType)
+    df.filter(col(catCol).isNotNull && y.isNotNull)
+      .groupBy(col(catCol).cast(StringType).as("g"))
+      .agg(
+        count(lit(1)).as("n"), avg(y).as("mean"), stddev_samp(y).as("std"),
+        min(y).as("min"), max(y).as("max"))
+      .orderBy("g")
+      .collect()
+      .map(r => GroupStats(r.getAs[String]("g"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean"),
+        Option(r.getAs[Any]("std")).fold(0.0)(_.asInstanceOf[Double]),
+        r.getAs[Double]("min"), r.getAs[Double]("max")))
+      .toSeq
+  }
+
+  def oneWay(df: DataFrame, catCol: String, yCol: String): Option[AnovaResult] = {
+    val gs = groupStats(df, catCol, yCol)
+    if (gs.size < 2 || gs.exists(_.n < 2)) return None
+    val nTotal = gs.map(_.n).sum
+    val grandMean = gs.map(g => g.mean * g.n).sum / nTotal
+    val ssBetween = gs.map(g => g.n * math.pow(g.mean - grandMean, 2)).sum
+    val ssWithin = gs.map(g => (g.n - 1) * g.std * g.std).sum
+    val ssTotal = ssBetween + ssWithin
+    val dfB = gs.size - 1L
+    val dfW = nTotal - gs.size
+    val msB = ssBetween / dfB
+    val msW = ssWithin / dfW
+    val f = if (msW == 0.0) Double.PositiveInfinity else msB / msW
+    val p =
+      if (f.isInfinite) 0.0
+      else 1.0 - new FDistribution(dfB.toDouble, dfW.toDouble).cumulativeProbability(f)
+    val eta2 = if (ssTotal == 0.0) 0.0 else ssBetween / ssTotal
+    Some(AnovaResult(f, p, dfB, dfW, nTotal - 1, ssBetween, ssWithin, ssTotal,
+      msB, msW, eta2, gs))
+  }
+
+  /** Independent two-sample t-tests for every group pair, Bonferroni-
+    * corrected (×#comparisons, capped at 1.0), pooled-std Cohen's d. */
+  def pairwiseTTests(df: DataFrame, catCol: String, yCol: String): Seq[TTestResult] = {
+    val gs = groupStats(df, catCol, yCol).filter(_.n >= 2)
+    val pairs = for { i <- gs.indices; j <- (i + 1) until gs.size } yield (gs(i), gs(j))
+    val nComparisons = pairs.size
+    pairs.map { case (a, b) =>
+      val va = a.std * a.std; val vb = b.std * b.std
+      val pooledVar = ((a.n - 1) * va + (b.n - 1) * vb) / (a.n + b.n - 2).toDouble
+      val se = math.sqrt(pooledVar * (1.0 / a.n + 1.0 / b.n))
+      val t = if (se == 0.0) 0.0 else (a.mean - b.mean) / se
+      val dof = (a.n + b.n - 2).toDouble
+      val p = 2.0 * (1.0 - new TDistribution(dof).cumulativeProbability(math.abs(t)))
+      val d = if (pooledVar == 0.0) 0.0 else (a.mean - b.mean) / math.sqrt(pooledVar)
+      TTestResult(a.group, b.group, a.n, b.n, a.mean - b.mean, t, p,
+        math.min(1.0, p * nComparisons), d)
+    }
+  }
+}

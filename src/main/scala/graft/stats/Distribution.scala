@@ -1,0 +1,201 @@
+package graft.stats
+
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** T10 distribution analysis (reference: pages/plotting.py:1257–1346):
+  * moments (bias-corrected, see [[Moments]]), quantiles/IQR, plus
+  * Shapiro–Wilk (3 ≤ n ≤ 5000) and Anderson–Darling (n ≥ 8) normality
+  * tests. The moments come from one Spark aggregate; the normality tests
+  * run driver-side on the collected column — the reference itself caps
+  * Shapiro at n=5000, so bounded collection is the *same* contract, and a
+  * seeded sample keeps it bounded on big data.
+  */
+object Distribution {
+
+  final case class NormalityTest(statistic: Double, pValue: Option[Double],
+      criticalValue: Option[Double], isNormal: Boolean)
+
+  /** `skew`/`kurt` here are POPULATION moments (g1, excess g2): the
+    * reference's T10 path calls `scipy.stats.skew/kurtosis` with the default
+    * bias=True (plotting.py:1282–1283), unlike T1's pandas bias-corrected
+    * versions. */
+  final case class Analysis(
+      n: Long, mean: Double, median: Double, std: Double, variance: Double,
+      skew: Option[Double], kurt: Option[Double],
+      min: Double, max: Double, range: Double,
+      q25: Double, q75: Double, iqr: Double,
+      shapiroWilk: Option[NormalityTest], andersonDarling: Option[NormalityTest])
+
+  val ShapiroMaxN = 5000
+  val AndersonMinN = 8
+
+  def analyze(df: DataFrame, column: String, seed: Long = 42): Option[Analysis] = {
+    val stats = ColumnStats.describe(df, Seq(column)).head
+    if (stats.n == 0) return None
+    val n = stats.n
+    // Population moments for T10 parity (see Analysis scaladoc).
+    val popRow = df.agg(
+      skewness(col(column)).as("g1"), kurtosis(col(column)).as("g2")).head()
+    def opt(name: String): Option[Double] =
+      Option(popRow.getAs[Any](name)).map(_.asInstanceOf[Double])
+
+    // Bounded collection for the order-statistic tests (reference cap).
+    val values: Array[Double] = {
+      val base = df.select(col(column).cast(DoubleType).as("v")).na.drop()
+      val capped =
+        if (n > ShapiroMaxN)
+          base.sample(withReplacement = false, ShapiroMaxN.toDouble / n * 1.1, seed)
+            .limit(ShapiroMaxN)
+        else base
+      capped.collect().map(_.getDouble(0))
+    }
+    java.util.Arrays.sort(values)
+
+    val sw =
+      if (values.length >= 3 && values.length <= ShapiroMaxN)
+        Some(Normality.shapiroWilk(values))
+      else None
+    val ad =
+      if (values.length >= AndersonMinN) Some(Normality.andersonDarling(values))
+      else None
+
+    Some(Analysis(
+      n = n, mean = stats.mean.get, median = stats.median.get,
+      std = stats.std.getOrElse(0.0),
+      variance = stats.std.map(s => s * s).getOrElse(0.0),
+      skew = opt("g1"), kurt = opt("g2"),
+      min = stats.min.get, max = stats.max.get,
+      range = stats.max.get - stats.min.get,
+      q25 = stats.q25.get, q75 = stats.q75.get,
+      iqr = stats.q75.get - stats.q25.get,
+      shapiroWilk = sw, andersonDarling = ad))
+  }
+}
+
+/** Normality tests on sorted samples — public-algorithm implementations
+  * (no Spark/commons-math builtin exists for either; SURVEY.md §2.5 T10).
+  */
+object Normality {
+  private val stdNormal = new NormalDistribution(0.0, 1.0)
+
+  /** Shapiro–Wilk W and approximate p-value via Royston's AS R94 algorithm
+    * (Royston 1995, "Remark AS R94", Applied Statistics 44(4) — the same
+    * algorithm scipy wraps). Valid for 3 ≤ n ≤ 5000. */
+  def shapiroWilk(sorted: Array[Double]): Distribution.NormalityTest = {
+    val n = sorted.length
+    require(n >= 3, "Shapiro-Wilk needs n >= 3")
+
+    // Expected values of normal order statistics (Blom approximation) and
+    // the Royston-corrected weight vector.
+    val m = Array.tabulate(n)(i => stdNormal.inverseCumulativeProbability((i + 1 - 0.375) / (n + 0.25)))
+    val mSum2 = m.map(x => x * x).sum
+    val c = m.map(_ / math.sqrt(mSum2))
+    val u = 1.0 / math.sqrt(n.toDouble)
+
+    val w = new Array[Double](n)
+    if (n == 3) { w(0) = math.sqrt(0.5); w(2) = -w(0); w(1) = 0.0 }
+    else {
+      // Royston polynomial corrections for the two largest weights.
+      val p1 = Array(-2.706056, 4.434685, -2.071190, -0.147981, 0.221157, c(n - 1))
+      val p2 = Array(-3.582633, 5.682633, -1.752461, -0.293762, 0.042981, c(n - 2))
+      val wn = poly(p1, u); val wn1 = poly(p2, u)
+      w(n - 1) = wn; w(0) = -wn
+      val (ct, phi) =
+        if (n > 5) {
+          w(n - 2) = wn1; w(1) = -wn1
+          (3, (mSum2 - 2 * m(n - 1) * m(n - 1) - 2 * m(n - 2) * m(n - 2)) /
+            (1.0 - 2 * wn * wn - 2 * wn1 * wn1))
+        } else
+          (2, (mSum2 - 2 * m(n - 1) * m(n - 1)) / (1.0 - 2 * wn * wn))
+      var i = ct - 1
+      while (i < n - ct + 1) { w(i) = m(i) / math.sqrt(phi); i += 1 }
+    }
+
+    val mean = sorted.sum / n
+    var num = 0.0; var den = 0.0
+    var i = 0
+    while (i < n) {
+      num += w(i) * sorted(i)
+      den += (sorted(i) - mean) * (sorted(i) - mean)
+      i += 1
+    }
+    val W = if (den == 0.0) 1.0 else num * num / den
+
+    // Royston's normalizing transformation → p-value.
+    val pValue: Double =
+      if (n == 3) {
+        val pi6 = 1.90985931710274 // 6/pi
+        val stqr = 1.04719755119660 // asin(sqrt(3/4))... per AS R94
+        math.max(0.0, math.min(1.0, pi6 * (math.asin(math.sqrt(W)) - stqr)))
+      } else {
+        val lnN = math.log(n.toDouble)
+        if (n <= 11) {
+          val g = poly(Array(-2.273, 0.459), n.toDouble)
+          val mu = poly(Array(0.5440, -0.39978, 0.025054, -6.714e-4), n.toDouble)
+          val sigma = math.exp(poly(Array(1.3822, -0.77857, 0.062767, -0.0020322), n.toDouble))
+          val z = (-math.log(g - math.log1p(-W)) - mu) / sigma
+          1.0 - stdNormal.cumulativeProbability(z)
+        } else {
+          val mu = poly(Array(-1.5861, -0.31082, -0.083751, 0.0038915), lnN)
+          val sigma = math.exp(poly(Array(-0.4803, -0.082676, 0.0030302), lnN))
+          val z = (math.log1p(-W) - mu) / sigma
+          1.0 - stdNormal.cumulativeProbability(z)
+        }
+      }
+    Distribution.NormalityTest(W, Some(pValue), None, isNormal = pValue > 0.05)
+  }
+
+  /** Anderson–Darling A² against the normal with estimated parameters,
+    * compared to the 5% critical value with the small-sample adjustment
+    * (Stephens 1974 — what scipy's `anderson` implements; the reference
+    * uses the 5% significance level, plotting.py:1304–1317). */
+  def andersonDarling(sorted: Array[Double]): Distribution.NormalityTest = {
+    val n = sorted.length
+    require(n >= 2, "Anderson-Darling needs n >= 2")
+    val mean = sorted.sum / n
+    val variance = sorted.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    val sd = math.sqrt(variance)
+    if (sd == 0.0)
+      return Distribution.NormalityTest(0.0, None, Some(0.787), isNormal = true)
+
+    val eps = 1e-300
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val zi = stdNormal.cumulativeProbability((sorted(i) - mean) / sd)
+      val zni = stdNormal.cumulativeProbability((sorted(n - 1 - i) - mean) / sd)
+      s += (2 * i + 1) * (math.log(math.max(zi, eps)) + math.log(math.max(1 - zni, eps)))
+      i += 1
+    }
+    val a2 = -n - s / n
+    // scipy's `anderson(dist='norm')` convention (what the reference
+    // compares against, plotting.py:1306–1308): the RAW A² vs the 5%
+    // critical value 0.787 scaled for sample size.
+    val critical5pct = 0.787 / (1.0 + 4.0 / n - 25.0 / (n.toDouble * n))
+    Distribution.NormalityTest(a2, None, Some(critical5pct),
+      isNormal = a2 < critical5pct)
+  }
+
+  /** Horner evaluation with coefficients ordered c0 + c1·x + c2·x² + …
+    * except that `coefs.last` may carry an additive base term (Royston's
+    * convention for the weight polynomials, where the base is c(n-1)). */
+  private def poly(coefs: Array[Double], x: Double): Double = {
+    // For the weight polynomials the last element is the base value and the
+    // preceding are ascending powers applied to u; for the mu/sigma/g
+    // polynomials all elements are ascending powers. Disambiguate by length-6
+    // (weights) vs others.
+    if (coefs.length == 6) {
+      val base = coefs(5)
+      base + coefs(4) * x + coefs(3) * x * x + coefs(2) * x * x * x +
+        coefs(1) * x * x * x * x + coefs(0) * x * x * x * x * x
+    } else {
+      var acc = 0.0
+      var i = coefs.length - 1
+      while (i >= 0) { acc = acc * x + coefs(i); i -= 1 }
+      acc
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.stats
+
+import org.apache.commons.math3.distribution.TDistribution
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** T9 simple OLS regression (reference: pages/plotting.py:1195–1247, i.e.
+  * scipy.stats.linregress): slope, intercept, r, r², two-sided p, stderr,
+  * n, x-range and trendline endpoints — all from ONE aggregate (moment
+  * sums), with the p-value from commons-math3's TDistribution (already on
+  * Spark's classpath). No MLlib iteration for a closed-form problem.
+  */
+object Regression {
+
+  final case class OlsResult(
+      slope: Double, intercept: Double, r: Double, r2: Double,
+      pValue: Double, stderr: Double, n: Long,
+      xMin: Double, xMax: Double) {
+    /** Trendline endpoints over the observed x-range (plotting.py:1240–1244). */
+    def trendline: ((Double, Double), (Double, Double)) =
+      ((xMin, slope * xMin + intercept), (xMax, slope * xMax + intercept))
+  }
+
+  /** Pairwise-complete OLS of y on x. Returns None when n < 3 or x has no
+    * variance (linregress would produce NaNs). */
+  def ols(df: DataFrame, xCol: String, yCol: String): Option[OlsResult] = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val nn = df.filter(x.isNotNull && y.isNotNull)
+    val row = nn.agg(
+      count(lit(1)).as("n"),
+      avg(x).as("mx"), avg(y).as("my"),
+      covar_samp(x, y).as("sxy"),
+      var_samp(x).as("sxx"), var_samp(y).as("syy"),
+      min(x).as("xmin"), max(x).as("xmax")).head()
+    val n = row.getAs[Long]("n")
+    if (n < 3) return None
+    val sxx = row.getAs[Double]("sxx")
+    if (sxx == 0.0 || sxx.isNaN) return None
+    val sxy = row.getAs[Double]("sxy")
+    val syy = row.getAs[Double]("syy")
+    val mx = row.getAs[Double]("mx")
+    val my = row.getAs[Double]("my")
+
+    val slope = sxy / sxx
+    val intercept = my - slope * mx
+    val r = if (syy == 0.0) 0.0 else sxy / math.sqrt(sxx * syy)
+    val df2 = (n - 2).toDouble
+    // Residual variance via the moment identity: SSE/(n-2) = (n-1)(syy - slope*sxy)/(n-2)
+    val se2 = math.max(0.0, (n - 1) * (syy - slope * sxy) / df2)
+    val stderr = math.sqrt(se2 / ((n - 1) * sxx))
+    val t = if (stderr == 0.0) Double.PositiveInfinity else slope / stderr
+    val p =
+      if (t.isInfinite) 0.0
+      else 2.0 * (1.0 - new TDistribution(df2).cumulativeProbability(math.abs(t)))
+    Some(OlsResult(slope, intercept, r, r * r, p, stderr, n,
+      row.getAs[Double]("xmin"), row.getAs[Double]("xmax")))
+  }
+}

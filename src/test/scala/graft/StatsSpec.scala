@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.commons.math3.random.Well19937c
+
+import graft.core.MergeKeys
+import graft.stats._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def normalSample(n: Int, seed: Int = 7): Array[Double] = {
+    val d = new NormalDistribution(new Well19937c(seed), 0.0, 1.0)
+    Array.fill(n)(d.sample())
+  }
+
+  test("Shapiro-Wilk accepts normal, rejects exponential-ish data") {
+    val normal = normalSample(200).sorted
+    val swN = Normality.shapiroWilk(normal)
+    assert(swN.statistic > 0.97 && swN.pValue.get > 0.05, s"normal: $swN")
+
+    val skewed = normal.map(x => math.exp(x)).sorted // lognormal
+    val swS = Normality.shapiroWilk(skewed)
+    assert(swS.statistic < 0.9 && swS.pValue.get < 0.01, s"skewed: $swS")
+  }
+
+  test("Shapiro-Wilk W is scale/location invariant") {
+    val x = normalSample(50).sorted
+    val y = x.map(v => v * 37.5 + 1000.0)
+    val a = Normality.shapiroWilk(x).statistic
+    val b = Normality.shapiroWilk(y).statistic
+    assert(math.abs(a - b) < 1e-10)
+  }
+
+  test("Anderson-Darling accepts normal, rejects uniform tails") {
+    val normal = normalSample(500, seed = 11).sorted
+    val adN = Normality.andersonDarling(normal)
+    assert(adN.isNormal, s"normal should pass: $adN")
+
+    val uniform = Array.tabulate(500)(i => i / 499.0).sorted
+    val adU = Normality.andersonDarling(uniform)
+    assert(!adU.isNormal, s"uniform should fail: $adU")
+  }
+
+  test("Kendall tau on a hand-computed example") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0), (5.0, 4.0))
+      .toDF("x", "y")
+    val p = Correlation.kendallPair(df, "x", "y")
+    // 10 pairs: 9 concordant, 1 discordant -> tau = 0.8
+    assert(math.abs(p.r.get - 0.8) < 1e-12)
+  }
+
+  test("OLS recovers a perfect line with p ~ 0") {
+    val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val r = Regression.ols(df, "x", "y").get
+    assert(math.abs(r.slope - 3.0) < 1e-9)
+    assert(math.abs(r.intercept - 7.0) < 1e-7)
+    assert(math.abs(r.r2 - 1.0) < 1e-12)
+    assert(r.pValue < 1e-10)
+    val ((x0, y0), (x1, y1)) = r.trendline
+    assert(x0 == 1.0 && math.abs(y0 - 10.0) < 1e-7 && x1 == 50.0 && math.abs(y1 - 157.0) < 1e-7)
+  }
+
+  test("OLS p-value is large for pure noise") {
+    val noise = normalSample(400, seed = 23)
+    val df = noise.grouped(2).collect { case Array(a, b) => (a, b) }.toSeq.toDF("x", "y")
+    val r = Regression.ols(df, "x", "y").get
+    assert(r.pValue > 0.01, s"noise p=${r.pValue} r=${r.r}")
+  }
+
+  test("ANOVA detects separated groups; p from F distribution") {
+    val rows = Seq.tabulate(90) { i =>
+      val g = i % 3
+      (s"g$g", g * 10.0 + normalSample(1, seed = 100 + i)(0))
+    }
+    val df = rows.toDF("grp", "y")
+    val a = Anova.oneWay(df, "grp", "y").get
+    assert(a.fStat > 100 && a.pValue < 1e-10)
+    assert(a.dfBetween == 2 && a.dfWithin == 87)
+    assert(a.etaSquared > 0.8)
+    val ts = Anova.pairwiseTTests(df, "grp", "y")
+    assert(ts.size == 3 && ts.forall(_.pBonferroni < 0.001))
+  }
+
+  test("KDE curve integrates to ~1 and peaks near the mode") {
+    val data = normalSample(1000, seed = 5).toSeq.toDF("v")
+    val c = KDE.curve(data, "v").get
+    assert(c.x.length == 300)
+    val dx = c.x(1) - c.x(0)
+    val integral = c.density.sum * dx
+    assert(math.abs(integral - 1.0) < 0.05, s"integral=$integral")
+    val peakX = c.x(c.density.indexOf(c.density.max))
+    assert(math.abs(peakX) < 0.5)
+  }
+
+  test("DataQuality flags missing, duplicate IDs, and mixed types") {
+    val df = Seq(
+      ("S1", Some(1.0), "12.5"),
+      ("S1", Some(2.0), "oops"),
+      ("S2", None, "13"),
+      ("S3", Some(4.0), "14")
+    ).toDF("ursi", "x", "stringy")
+    val r = DataQuality.report(df, MergeKeys("ursi"))
+    assert(r.missing.exists(m => m.column == "x" && m.missingCount == 1))
+    assert(r.primaryIdDuplicates == 1)
+    assert(r.mixedTypes.exists(m => m.column == "stringy" && m.failedConversions == 1))
+  }
+
+  test("column stats: pandas-parity moments on a known sample") {
+    // Same sample as the DuckDB cross-check in the build log: pandas
+    // skew=1.1125587, kurt=1.4169356 (bias-corrected).
+    val df = Seq(1.0, 2.5, 3.7, 4.2, 8.9, 2.2, 5.5).toDF("x")
+    val s = ColumnStats.describe(df, Seq("x")).head
+    assert(math.abs(s.skew.get - 1.1125587136788) < 1e-9)
+    assert(math.abs(s.kurt.get - 1.4169356352036) < 1e-9)
+    assert(math.abs(s.median.get - 3.7) < 1e-12)
+    assert(math.abs(s.q25.get - 2.35) < 1e-12)
+    assert(math.abs(s.q75.get - 4.85) < 1e-12)
+  }
+
+  test("distribution analysis composes moments + normality") {
+    val df = normalSample(300, seed = 9).toSeq.toDF("v")
+    val a = Distribution.analyze(df, "v").get
+    assert(a.n == 300 && a.shapiroWilk.get.pValue.get > 0.01)
+    assert(a.andersonDarling.get.isNormal)
+    assert(math.abs(a.skew.get) < 0.4) // population skew of normal sample
+  }
+
+  test("site values parse braces, commas, semicolons, spaces") {
+    val df = Seq("{Discovery, Longitudinal_Adult}", "A;B", "C D", " ", "A")
+      .toDF("all_studies")
+    val v = SiteValues.distinctValues(df, "all_studies")
+    assert(v == Seq("A", "B", "C", "D", "Discovery", "Longitudinal_Adult"))
+    assert(SiteValues.detectSiteColumn(Seq("ursi", "all_studies"), None).contains("all_studies"))
+    assert(SiteValues.isRocklandLike(Seq("all_studies")))
+  }
+}
