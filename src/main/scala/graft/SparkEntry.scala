@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.CoreQueries,
     graft.queries.PivotQueries,
-    graft.queries.StatsQueries)
+    graft.queries.StatsQueries,
+    graft.queries.TextQueries,
+    graft.queries.SimQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its scale path:
+  *
+  *  - exact: hash-groupBy on a canonical fingerprint — one shuffle on the
+  *    fingerprint key, map-side combinable.
+  *  - n-gram Jaccard: exact set similarity via a shingle-postings self-join
+  *    — the common-shingle join prunes the O(n²) pair space to pairs that
+  *    share ≥1 shingle.
+  *  - MinHash+LSH: k minhashes → b bands → bucket join. Only documents
+  *    sharing a band bucket are paired, so the candidate set stays near-
+  *    linear; estimated similarity then filters. The k hash functions are
+  *    affine transforms of one xxhash64, evaluated as array expressions
+  *    (codegen'd, no UDFs).
+  *  - SimHash: 64-bit signature (custom Catalyst expression) + banded
+  *    hamming join.
+  *  - embedding cosine: see [[Similarity]]; `embeddingNearDups` wraps it.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by fingerprint: keeper (min id) + copy count +
+    * fingerprint. Use `dropDuplicatesByFingerprint` for the pruned data. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The dataset with only the first (min-id) row of each duplicate group. */
+  def dropDuplicatesByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact word-n-gram Jaccard pairs with similarity ≥ `threshold`.
+    * Returns (id1, id2, n1, n2, intersection, jaccard). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), n)).as("sg"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+      .withColumn("jaccard",
+        col("intersection").cast("double") / (col("n1") + col("n2") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "n1", "n2", "intersection", "jaccard")
+  }
+
+  /** MinHash signatures: (id, sig array<long>[k]) from word-n-gram
+    * shingles. The i-th hash function is xxhash64 seeded with (seed, i) —
+    * overflow-free under ANSI mode and fully codegen'd. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 64, seed: Long = 42): DataFrame = {
+    val base = TextOps.shingles(col(textCol), n)
+    val hs = transform(base, s => xxhash64(s))
+    val sig = array((0 until k).map { i =>
+      array_min(transform(hs, h => xxhash64(lit(seed), lit(i), h)))
+    }: _*)
+    df.select(col(idCol).as("id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+  }
+
+  /** MinHash+LSH candidate pairs with estimated Jaccard ≥ `threshold`.
+    * bands·rows must equal k; pairs sharing ≥1 band bucket are candidates.
+    * Returns (id1, id2, est_jaccard). */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5, seed: Long = 42): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, k, seed).cache()
+    val bandCols = (0 until bands).map(bnd =>
+      xxhash64(concat_ws("_", slice(col("sig"), bnd * r + 1, r))))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: signature via the custom Catalyst expression,
+    * banded join on 16-bit chunks (a pair within hamming distance d < chunks
+    * must agree on ≥1 chunk), exact hamming filter with built-in bit_count. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val sig = GraftFunctions.simhash64(spark, TextOps.tokens(col(textCol)))
+    val sigs = df.select(col(idCol).as("id"), sig.as("sig"))
+    val chunks = 4 // 4 x 16-bit chunks: catches all pairs with hamming <= 3
+    val chunkCols = (0 until chunks).map(i =>
+      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(chunkCols: _*)))
+      .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("piece"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (see [[Similarity.cosine]]):
+    * brute pair join below `maxRows`, LSH-bucketed above. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, lsh: Boolean = false, seed: Long = 42): DataFrame = {
+    if (!lsh) {
+      val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      val a = v.as("a"); val b = v.as("b")
+      a.join(b, col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      Similarity.hyperplaneBuckets(df, idCol, vecCol, bits = 8, seed = seed)
+        .as("a").join(Similarity.hyperplaneBuckets(df, idCol, vecCol, bits = 8, seed = seed).as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
+  }
+}

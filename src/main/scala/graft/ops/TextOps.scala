@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * shingling, language ID, quality scoring, fingerprinting. All pure
+  * `Column` expressions (codegen'd, no UDFs) so they run inside whole-stage
+  * codegen at any scale.
+  *
+  * Every function here has a DuckDB-SQL mirror in
+  * [[graft.queries.TextQueries]] — arithmetic is ordered identically so
+  * results hash-match bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text; empty/blank → empty array (the
+    * split-of-empty-string quirk returns [""] in both engines, guarded
+    * identically here and in the oracle). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word n-gram shingles joined with single spaces (distinct set). */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    array_distinct(
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+  }
+
+  /** Stopword marker sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"))
+
+  /** Occurrences of any marker from `set` among the tokens. */
+  def markerCount(c: Column, set: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(set.map(lit): _*)))
+
+  /** Predicted language: argmax of marker counts with deterministic
+    * priority en > de > es > fr on ties. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, set) => lang -> markerCount(c, set) }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Ratio of distinct tokens to tokens (0 for empty docs). */
+  def distinctRatio(c: Column): Column = {
+    val w = tokens(c)
+    when(size(w) === 0, 0.0)
+      .otherwise(size(array_distinct(w)).cast("double") / size(w))
+  }
+
+  /** English-stopword ratio (0 for empty docs). */
+  def stopwordRatio(c: Column): Column = {
+    val w = tokens(c)
+    when(size(w) === 0, 0.0)
+      .otherwise(markerCount(c, LangMarkers.head._2).cast("double") / size(w))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(c: Column): Column = {
+    val w = tokens(c)
+    when(size(w) === 0, 0.0)
+      .otherwise(
+        aggregate(transform(w, t => length(t).cast("long")), lit(0L), _ + _)
+          .cast("double") / size(w))
+  }
+
+  /** Composite quality score in [0,1]: length prior + lexical diversity +
+    * stopword naturalness. Deterministic double arithmetic, mirrored
+    * op-for-op in the oracle. */
+  def qualityScore(c: Column): Column = {
+    val lengthTerm = least(lit(1.0), tokenCount(c).cast("double") / 100.0)
+    lit(0.3) * lengthTerm + lit(0.4) * distinctRatio(c) + lit(0.3) * stopwordRatio(c)
+  }
+
+  /** Canonical document fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text. */
+  def fingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c.cast(StringType), "\\s+", " "))).cast("binary"))
+
+  /** 64-bit rolling content signature: min of xxhash64 over word shingles —
+    * cheap near-identity fingerprint for winnowing-style dedup (no DuckDB
+    * xxhash, so this one is spec-tested rather than oracle-checked). */
+  def minShingleHash(c: Column, n: Int = 3): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) === 0, lit(null).cast("long"))
+      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table + multimodal plumbing.
+  *
+  * The cosine arithmetic (indexed products, sequential left-fold sums,
+  * dot/(sqrt·sqrt)) is mirrored op-for-op in the DuckDB oracle so the
+  * doubles are bit-identical and top-k selection agrees.
+  */
+object SimQueries extends QueryModule {
+
+  /** Exact brute-force cosine top-3 for the first 10 vectors. */
+  val simTopK: Q = Q(
+    "sim_topk_bruteforce",
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, v.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      r AS (SELECT qid, nid, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, rank, nid, ROUND(cos, 6) AS cosine
+      FROM r WHERE rank <= 3
+      ORDER BY qid, rank"""),
+    (s, dir) =>
+      Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank"))
+
+  /** ANN via random-hyperplane LSH buckets (rows-only; recall asserted in
+    * the spec against brute force). */
+  val simAnn: Q = Q(
+    "sim_ann_lsh",
+    None,
+    (s, dir) =>
+      Similarity.annTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 3, bits = 4)
+        .orderBy("qid", "rank"))
+
+  /** Embedding-cosine near-duplicate pairs (threshold tuned to the data's
+    * cosine distribution: max pairwise cosine is ~0.51). */
+  val simNearDups: Q = Q(
+    "dd_embedding_cosine",
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+            / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, ROUND(cos, 6) AS cosine
+      FROM p WHERE cos >= 0.35
+      ORDER BY id1, id2"""),
+    (s, dir) =>
+      graft.ops.Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.35)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2"))
+
+  /** Multimodal feature extraction over synthetic binary media (the decode
+    * step is a documented stub; plumbing is real — rows-only check). */
+  val mmFeatures: Q = Q(
+    "mm_features",
+    None,
+    (s, _) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+        .orderBy("media_id"))
+
+  override def queries: Seq[Q] = Seq(simTopK, simAnn, simNearDups, mmFeatures)
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over the `documents` table, with DuckDB
+  * oracles where the computation is SQL-expressible (everything except the
+  * xxhash64-based MinHash/SimHash paths, which get rows-only entries).
+  *
+  * The token guard (blank text → empty array) and every arithmetic step is
+  * mirrored op-for-op between the Spark expressions in [[graft.ops.TextOps]]
+  * and the oracle SQL. NB DuckDB `regexp_replace` needs the 'g' flag to
+  * match Spark's replace-all semantics.
+  */
+object TextQueries extends QueryModule {
+
+  /** DuckDB mirror of TextOps.tokens. */
+  private val wSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []
+       ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
+  val txtTokenStats: Q = Q(
+    "txt_token_stats",
+    Some(s"""
+      SELECT doc_id, length(text) AS n_chars, len(w) AS n_tokens,
+        len(list_distinct(w)) AS n_distinct_tokens
+      FROM (SELECT doc_id, text, $wSql AS w FROM documents)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), length(col("text")).as("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(TextOps.tokens(col("text")))).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    })
+
+  val txtLangId: Q = Q(
+    "txt_lang_id",
+    Some {
+      val scoreSql = TextOps.LangMarkers.map { case (lang, set) =>
+        val inList = set.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(w, t -> t IN ($inList))) AS s_$lang"
+      }.mkString(",\n        ")
+      s"""
+      SELECT doc_id, s_en, s_de, s_es, s_fr,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM (SELECT doc_id, $scoreSql
+            FROM (SELECT doc_id, $wSql AS w FROM documents))
+      ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val scores = TextOps.LangMarkers.map { case (lang, set) =>
+        TextOps.markerCount(col("text"), set).as(s"s_$lang")
+      }
+      d.select(col("doc_id") +: scores :+ TextOps.langId(col("text")).as("pred_lang"): _*)
+        .orderBy("doc_id")
+    })
+
+  val txtQuality: Q = Q(
+    "txt_quality",
+    Some {
+      val enList = TextOps.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""
+      SELECT doc_id,
+        ROUND(CASE WHEN len(w) = 0 THEN 0.0
+          ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) AS distinct_ratio,
+        ROUND(CASE WHEN len(w) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(w, t -> t IN ($enList))) AS DOUBLE) / len(w) END, 6) AS stop_ratio,
+        ROUND(CASE WHEN len(w) = 0 THEN 0.0
+          ELSE CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(w) END, 6) AS mean_token_len,
+        ROUND(0.3 * least(1.0, len(w) / 100.0)
+          + 0.4 * (CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END)
+          + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(w, t -> t IN ($enList))) AS DOUBLE) / len(w) END), 6) AS quality
+      FROM (SELECT doc_id, $wSql AS w FROM documents)
+      ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = col("text")
+      d.select(col("doc_id"),
+          round(TextOps.distinctRatio(t), 6).as("distinct_ratio"),
+          round(TextOps.stopwordRatio(t), 6).as("stop_ratio"),
+          round(TextOps.meanTokenLength(t), 6).as("mean_token_len"),
+          round(TextOps.qualityScore(t), 6).as("quality"))
+        .orderBy("doc_id")
+    })
+
+  val ddExact: Q = Q(
+    "dd_exact_dedup",
+    Some("""
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keep_id"""),
+    (s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select("fp", "keep_id", "n_copies")
+        .orderBy("keep_id"))
+
+  val ddJaccard: Q = Q(
+    "dd_jaccard_pairs",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END) AS s
+        FROM t),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS intersection
+        FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, sa.n AS n1, sb.n AS n2, intersection,
+        ROUND(CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON inter.id1 = sa.doc_id
+      JOIN sz sb ON inter.id2 = sb.doc_id
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.3
+      ORDER BY id1, id2"""),
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 2, threshold = 0.3)
+        .select(col("id1"), col("id2"), col("n1"), col("n2"), col("intersection"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"))
+
+  /** MinHash-LSH near-dup candidates — xxhash64-based, not SQL-expressible
+    * in DuckDB; driver records a rows-only check, the ScalaTest spec holds
+    * the recall assertion against exact Jaccard. */
+  val ddMinhash: Q = Q(
+    "dd_minhash_lsh",
+    None,
+    (s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.45)
+        .orderBy("id1", "id2"))
+
+  /** SimHash near-dups via the custom Catalyst expression (rows-only). */
+  val ddSimhash: Q = Q(
+    "dd_simhash",
+    None,
+    (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 8)
+        .orderBy("id1", "id2"))
+
+  override def queries: Seq[Q] = Seq(
+    txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash, ddSimhash)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("tokens guard blank text; shingles are distinct n-grams") {
+    val df = Seq(("a b c b c", 1), ("   ", 2), ("", 3), ("solo", 4)).toDF("text", "id")
+    val r = df.select(col("id"), TextOps.tokenCount(col("text")).as("n"),
+        TextOps.shingles(col("text"), 2).as("sh"))
+      .orderBy("id").collect()
+    assert(r(0).getInt(1) == 5)
+    assert(r(0).getSeq[String](2).toSet == Set("a b", "b c", "c b"))
+    assert(r(1).getInt(1) == 0 && r(2).getInt(1) == 0)
+    assert(r(3).getInt(1) == 1 && r(3).getSeq[String](2).isEmpty)
+  }
+
+  test("exact dedup keeps min id per identical normalized text") {
+    val df = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropDuplicatesByFingerprint(df, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash-LSH finds the high-Jaccard pairs exact Jaccard finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash: identical texts collide, near-dups are close in hamming") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "spark table join merge batch query value fast row scan"),
+      (2L, "spark table join merge batch query value fast row scan"),
+      (3L, "spark table join merge batch query value fast row hash"),
+      (4L, "completely unrelated words entirely other vocabulary here now")
+    ).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+        GraftFunctions.simhash64(spark, TextOps.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ANN recall vs brute force on real embeddings") {
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(embs, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, bits = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    // 2 hyperplanes -> 4 buckets: candidates ~ n/4 per query; recall is
+    // probabilistic but should beat random chance by a wide margin.
+    assert(recall > 0.3, s"ANN recall $recall")
+    assert(ann.forall { case (q, n) => q != n })
+  }
+
+  test("multimodal: batched stub extraction is deterministic and shaped right") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 60)
+    assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == Multimodal.EmbeddingDim))
+    // determinism: second run produces identical hashes
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(rows.map(_.getAs[Long]("content_hash")).toSeq ==
+      again.map(_.getAs[Long]("content_hash")).toSeq)
+  }
+
+  test("simhash codegen matches an independent Scala majority-vote") {
+    GraftFunctions.register(spark)
+    val df = docs.limit(50)
+    val rows = df.select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("hs"),
+        GraftFunctions.simhash64(spark, TextOps.tokens(col("text"))).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](1)
+      val counts = new Array[Int](64)
+      hs.foreach { h =>
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+      }
+      val expected = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (counts(b) > 0) acc | (1L << b) else acc)
+      assert(r.getLong(2) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+}
