@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.PivotQueries,
     graft.queries.StatsQueries,
     graft.queries.TextQueries,
-    graft.queries.SimQueries)
+    graft.queries.SimQueries,
+    graft.queries.EventQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 

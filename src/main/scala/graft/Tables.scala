@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver testdata (TESTDATA.md): TPC-H-ish star schema +
   * `events`/`documents`/`embeddings`, one parquet per table under a sf dir.
@@ -17,6 +19,18 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  /** The events table is written as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright; the legacy escape hatch reads nanos as Long,
+    * and we convert to a microsecond TimestampType column (the data is
+    * µs-aligned; DuckDB's ns→µs cast truncates identically). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, name))
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        // integer division — a double divide here loses 1µs on some values
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
 }
