@@ -189,7 +189,38 @@ object CoreQueries extends QueryModule {
         .orderBy(col("n").desc, col("o_orderpriority"))
         .limit(3))
 
+  /** A5: distinct values as strings, capped and sorted (filter options). */
+  val a5UniqueCapped: Q = Q(
+    "a5_unique_capped",
+    Some("""
+      SELECT CAST(o_orderpriority AS VARCHAR) AS v
+      FROM orders WHERE o_orderpriority IS NOT NULL
+      GROUP BY 1 ORDER BY v LIMIT 1000"""),
+    (s, dir) => {
+      import s.implicits._
+      graft.stats.CrossFilter.uniqueValues(
+        Tables.load(s, dir, "orders"), "o_orderpriority", cap = 1000).toDF("v")
+    })
+
+  /** T14: cross-filter selection — 0-based positions in a deterministic
+    * ordering → row subset (the plot-click lasso). */
+  val t14CrossFilter: Q = Q(
+    "t14_crossfilter_select",
+    Some("""
+      SELECT c_custkey, c_name FROM (
+        SELECT c_custkey, c_name,
+          row_number() OVER (ORDER BY c_custkey) - 1 AS idx
+        FROM customer)
+      WHERE idx IN (0, 5, 10, 99)
+      ORDER BY c_custkey"""),
+    (s, dir) =>
+      graft.stats.CrossFilter.selectByIndex(
+          Tables.load(s, dir, "customer").select("c_custkey", "c_name"),
+          Seq("c_custkey"), Seq(0L, 5L, 10L, 99L))
+        .orderBy("c_custkey"))
+
   override def queries: Seq[Q] = Seq(
     q1PricingAgg, pFilterProject, pTokenMatch, j1StarLeftJoin,
-    a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a6TopK)
+    a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a5UniqueCapped,
+    a6TopK, t14CrossFilter)
 }

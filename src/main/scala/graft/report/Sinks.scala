@@ -1,0 +1,161 @@
+package graft.report
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.MergeKeys
+import graft.stats.{ColumnStats, Correlation, DataQuality, FilterFunnel}
+
+/** Report sinks (SURVEY.md §2.1 S8/S9/S11):
+  *  - S8 CSV export with secure filenames;
+  *  - S9 ZIP bundle of filtering report + final summary;
+  *  - S11 data-profile JSON (T4 composition) — rendered with a tiny
+  *    dependency-free JSON writer.
+  */
+object Sinks {
+
+  /** Filename sanitization (reference file_handling/security.py:36–49):
+    * path components stripped, non [A-Za-z0-9._-] replaced, length-capped. */
+  def secureFilename(name: String): String = {
+    val base = name.replaceAll("^.*[/\\\\]", "")
+    val cleaned = base.replaceAll("[^A-Za-z0-9._-]", "_")
+      .replaceAll("_{2,}", "_").replaceAll("^[._]+", "")
+    val capped = if (cleaned.length > 120) cleaned.substring(0, 120) else cleaned
+    if (capped.isEmpty) "export.csv" else capped
+  }
+
+  /** S8: write a DataFrame as ONE headered CSV file at `outFile`.
+    * `coalesce(1)` is a deliberate single-file download semantic (the
+    * reference serves a browser download); large exports should use
+    * `df.write.csv` with natural partitioning instead. */
+  def csvExport(df: DataFrame, outFile: String): Path = {
+    val target = Paths.get(outFile).toAbsolutePath
+    val tmp = Files.createTempDirectory("graft-csv-export")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException("no csv part written"))
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
+  /** Render a small (driver-side) DataFrame to CSV text — for the report
+    * bundle's summary tables, which are inherently small. */
+  def toCsvString(df: DataFrame): String = {
+    val sb = new StringBuilder
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s: String if s.contains(",") || s.contains("\"") || s.contains("\n") =>
+        "\"" + s.replace("\"", "\"\"") + "\""
+      case other => other.toString
+    }
+    sb.append(df.columns.mkString(",")).append('\n')
+    df.collect().foreach { row =>
+      sb.append((0 until row.length).map(i => cell(row.get(i))).mkString(",")).append('\n')
+    }
+    sb.toString
+  }
+
+  /** S9: bundle named CSV texts into a ZIP at `outFile`. */
+  def zipReport(outFile: String, entries: Seq[(String, String)]): Path = {
+    val target = Paths.get(outFile).toAbsolutePath
+    Files.createDirectories(target.getParent)
+    val zos = new ZipOutputStream(new FileOutputStream(target.toFile))
+    try entries.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(secureFilename(name)))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    } finally zos.close()
+    target
+  }
+
+  // ---------- tiny JSON writer ----------
+
+  sealed trait Json
+  object Json {
+    final case class JStr(v: String) extends Json
+    final case class JNum(v: Double) extends Json
+    final case class JBool(v: Boolean) extends Json
+    case object JNull extends Json
+    final case class JArr(v: Seq[Json]) extends Json
+    final case class JObj(v: Seq[(String, Json)]) extends Json
+
+    def render(j: Json): String = j match {
+      case JStr(s) => "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString } + "\""
+      case JNum(d) =>
+        if (d.isNaN || d.isInfinite) "null"
+        else if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      case JBool(b) => b.toString
+      case JNull => "null"
+      case JArr(xs) => xs.map(render).mkString("[", ",", "]")
+      case JObj(fields) => fields.map { case (k, v) =>
+        render(JStr(k)) + ":" + render(v) }.mkString("{", ",", "}")
+    }
+
+    def num(v: Option[Double]): Json = v.fold[Json](JNull)(JNum)
+    def lng(v: Option[Long]): Json = v.fold[Json](JNull)(x => JNum(x.toDouble))
+  }
+
+  /** S11/T4: composed data profile (column stats + correlations + quality)
+    * as a JSON document. */
+  def profileJson(df: DataFrame, keys: MergeKeys, numericCols: Seq[String]): String = {
+    import Json._
+    val stats = if (numericCols.isEmpty) Seq.empty
+      else ColumnStats.describe(df, numericCols)
+    val corr = if (numericCols.size < 2) Seq.empty
+      else Correlation.pearson(df, numericCols)
+    val quality = DataQuality.report(df, keys)
+
+    val doc = JObj(Seq(
+      "row_count" -> JNum(df.count().toDouble),
+      "column_count" -> JNum(df.columns.length.toDouble),
+      "columns" -> JArr(stats.map(s => JObj(Seq(
+        "column" -> JStr(s.column), "n" -> JNum(s.n.toDouble),
+        "nulls" -> JNum(s.nulls.toDouble), "distinct" -> JNum(s.distinct.toDouble),
+        "mean" -> num(s.mean), "std" -> num(s.std),
+        "min" -> num(s.min), "max" -> num(s.max),
+        "q25" -> num(s.q25), "median" -> num(s.median), "q75" -> num(s.q75),
+        "skew" -> num(s.skew), "kurt" -> num(s.kurt),
+        "iqr_outliers" -> lng(s.iqrOutliers))))),
+      "correlations" -> JArr(corr.map(p => JObj(Seq(
+        "col1" -> JStr(p.col1), "col2" -> JStr(p.col2),
+        "r" -> num(p.r), "n" -> JNum(p.n.toDouble))))),
+      "quality" -> JObj(Seq(
+        "missing" -> JArr(quality.missing.map(m => JObj(Seq(
+          "column" -> JStr(m.column), "count" -> JNum(m.missingCount.toDouble),
+          "pct" -> JNum(m.missingPct), "severity" -> JStr(m.severity))))),
+        "primary_id_duplicates" -> JNum(quality.primaryIdDuplicates.toDouble),
+        "duplicate_rows" -> JNum(quality.duplicateRows.toDouble),
+        "outlier_columns" -> JArr(quality.outliers.map(o => JObj(Seq(
+          "column" -> JStr(o.column), "count" -> JNum(o.outlierCount.toDouble),
+          "pct" -> JNum(o.outlierPct), "severity" -> JStr(o.severity))))),
+        "total_issues" -> JNum(quality.totalIssues.toDouble)))))
+    render(doc)
+  }
+
+  /** S9 composition: the reference's summary-report ZIP = filter funnel +
+    * per-step CSVs (query/callbacks/export.py:449–476). */
+  def summaryReportZip(
+      outFile: String,
+      funnel: Seq[FilterFunnel.Step],
+      finalSummary: DataFrame): Path = {
+    val funnelCsv = {
+      val sb = new StringBuilder("step,label,n,removed,removal_pct\n")
+      funnel.foreach(s => sb.append(
+        s"${s.step},${s.label},${s.n},${s.removed},${s.removalPct}\n"))
+      sb.toString
+    }
+    zipReport(outFile, Seq(
+      "filtering_report.csv" -> funnelCsv,
+      "final_summary.csv" -> toCsvString(finalSummary)))
+  }
+}

@@ -37,14 +37,38 @@ object ColumnStats {
       kurt: Option[Double],
       iqrOutliers: Option[Long])
 
+  /** Exact linear-interpolated quantiles via distributed sort +
+    * zipWithIndex — Spark's built-in exact `percentile` aggregate merges
+    * per-partition count maps on ONE thread (16s on 600k×3 columns);
+    * sorting stays parallel and only the bracketing elements come back to
+    * the driver. Matches numpy/DuckDB `quantile_cont` interpolation:
+    * v = a + (idx_frac)·(b − a) at position (n−1)·p. */
+  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] = {
+    val sorted = df.select(col(c).cast(DoubleType)).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex()
+      .map { case (v, i) => (i, v) }
+    sorted.cache()
+    try {
+      val n = sorted.count()
+      if (n == 0) return ps.map(_ => None)
+      val positions = ps.map(p => (n - 1) * p)
+      val needed = positions.flatMap(pos =>
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.toSet
+      val picked = sorted.filter { case (i, _) => needed.contains(i) }
+        .collect().toMap
+      positions.map { pos =>
+        val lo = picked(math.floor(pos).toLong)
+        val hi = picked(math.ceil(pos).toLong)
+        Some(lo + (pos - math.floor(pos)) * (hi - lo))
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+
   def describe(
       df: DataFrame,
       cols: Seq[String],
       approxQuantiles: Boolean = false): Seq[Stats] = {
     require(cols.nonEmpty, "describe needs at least one column")
-    val quant: String => Column =
-      if (approxQuantiles) c => percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-      else c => expr(s"percentile($c, array(0.25d, 0.5d, 0.75d))")
 
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
@@ -55,8 +79,11 @@ object ColumnStats {
         min(col(c)).cast(DoubleType).as(s"min__$c"),
         max(col(c)).cast(DoubleType).as(s"max__$c"),
         skewness(col(c)).as(s"skew__$c"),
-        kurtosis(col(c)).as(s"kurt__$c"),
-        quant(c).as(s"q__$c"))
+        kurtosis(col(c)).as(s"kurt__$c")) ++
+        (if (approxQuantiles)
+          Seq(percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+            .as(s"q__$c"))
+        else Seq.empty)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getAs[Long]("__rows")
@@ -64,10 +91,25 @@ object ColumnStats {
     def optD(r: Row, name: String): Option[Double] =
       Option(r.getAs[Any](name)).map(_.asInstanceOf[Number].doubleValue())
 
+    val exactQ: Map[String, Seq[Option[Double]]] =
+      if (approxQuantiles) Map.empty
+      else {
+        // Per-column sort jobs are independent — submit them concurrently
+        // so the cluster overlaps the sorts instead of running them serially.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val futures = cols.map(c => Future(c -> exactQuantiles(df, c, Seq(0.25, 0.5, 0.75))))
+        Await.result(Future.sequence(futures), Duration.Inf).toMap
+      }
+
     val base = cols.map { c =>
       val n = row.getAs[Long](s"n__$c")
-      val qs = Option(row.getAs[scala.collection.Seq[Any]](s"q__$c"))
-        .map(_.map(v => Option(v).map(_.asInstanceOf[Number].doubleValue())))
+      val qs =
+        if (approxQuantiles)
+          Option(row.getAs[scala.collection.Seq[Any]](s"q__$c"))
+            .map(_.map(v => Option(v).map(_.asInstanceOf[Number].doubleValue())).toSeq)
+        else Some(exactQ(c))
       val q25 = qs.flatMap(_.lift(0).flatten)
       val med = qs.flatMap(_.lift(1).flatten)
       val q75 = qs.flatMap(_.lift(2).flatten)

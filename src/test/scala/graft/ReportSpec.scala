@@ -1,0 +1,143 @@
+package graft
+
+import graft.core.MergeKeys
+import graft.ingest.Ingest
+import graft.report.{PhenotypicFilterState, QueryState, Sinks, Toml}
+import graft.catalog.TableCatalog
+import graft.core.EngineConfig
+import graft.stats.FilterFunnel
+
+class ReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleState = QueryState(
+    ageRange = Some((18.0, 65.0)),
+    substudies = Seq("Discovery", "Longitudinal_Adult"),
+    sessions = Seq("BAS1", "BAS2"),
+    phenotypic = Seq(
+      PhenotypicFilterState("cognitive", "working_memory", "range",
+        rangeMin = Some(90), rangeMax = Some(120)),
+      PhenotypicFilterState("cognitive", "handedness", "categorical",
+        values = Seq("left", "right")),
+      PhenotypicFilterState("survey", "consented", "categorical",
+        values = Seq("Yes"))),
+    selectedTables = Seq("cognitive"),
+    selectedColumns = Map("cognitive" -> Seq("working_memory", "attention_score")),
+    enwidenLongitudinal = true,
+    consolidateBaseline = true,
+    userNotes = "round-trip \"test\" with, punctuation\nand a newline",
+    exportTimestamp = "2026-08-12T00:00:00")
+
+  test("TOML query-state round-trip preserves everything") {
+    val text = QueryState.toToml(sampleState)
+    val (back, errors) = QueryState.fromToml(text)
+    assert(errors.isEmpty)
+    assert(back == sampleState)
+  }
+
+  test("TOML parser handles comments, escapes, arrays of tables") {
+    val doc = Toml.parse(
+      """# header comment
+        |title = "has # hash and \"quotes\"" # trailing
+        |n = 42
+        |flag = true
+        |xs = [1, 2, 3]
+        |
+        |[[item]]
+        |name = "a"
+        |
+        |[[item]]
+        |name = "b"
+        |""".stripMargin)
+    assert(doc("title") == Toml.Str("has # hash and \"quotes\""))
+    assert(doc("n") == Toml.Num(42))
+    assert(doc("xs") == Toml.Arr(Seq(Toml.Num(1), Toml.Num(2), Toml.Num(3))))
+    assert(doc("item") == Toml.TblArr(Seq(
+      Map("name" -> Toml.Str("a")), Map("name" -> Toml.Str("b")))))
+  }
+
+  test("state lowers to the filter algebra with boolean normalization") {
+    val filters = QueryState.toFilters(sampleState)
+    import graft.core.Filter._
+    assert(filters.collect { case f: BooleanFilter => f }
+      .exists(f => f.column == "consented" && f.values == Seq(true)))
+    assert(filters.collect { case f: Categorical => f }
+      .exists(_.values == Seq("left", "right")))
+    assert(filters.head.isInstanceOf[Substudies]) // canonical order by construction
+  }
+
+  test("validation reports unknown tables/columns against the catalog") {
+    val dir = fixtureDir(
+      "demographics.csv" -> "ursi,age\nS1,30",
+      "cognitive.csv" -> "ursi,working_memory\nS1,100")
+    val cat = new TableCatalog(spark, EngineConfig(dir))
+    val errors = QueryState.validate(sampleState, cat)
+    assert(errors.exists(_.contains("Unknown table 'survey'")))
+    assert(errors.exists(_.contains("Unknown column 'handedness'")))
+    assert(!errors.exists(_.contains("working_memory")))
+  }
+
+  test("secure filenames strip paths and bad characters") {
+    assert(Sinks.secureFilename("../../etc/passwd") == "passwd")
+    assert(Sinks.secureFilename("my data (v2).csv") == "my_data_v2_.csv")
+    assert(Sinks.secureFilename("..hidden") == "hidden")
+  }
+
+  test("csv export writes one headered file; zip bundles report") {
+    val df = Seq(("S1", 1), ("S2", 2)).toDF("ursi", "x")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink")
+    val csv = Sinks.csvExport(df.orderBy("ursi"), s"$tmp/out.csv")
+    val lines = java.nio.file.Files.readAllLines(csv)
+    assert(lines.get(0) == "ursi,x" && lines.size == 3)
+
+    val zip = Sinks.summaryReportZip(s"$tmp/report.zip",
+      Seq(FilterFunnel.Step(0, "baseline", 10, 0, 0.0)),
+      df)
+    val zf = new java.util.zip.ZipFile(zip.toFile)
+    val names = zf.entries().asIterator().asScala.map(_.getName).toSet
+    assert(names == Set("filtering_report.csv", "final_summary.csv"))
+    zf.close()
+  }
+
+  test("profile JSON renders valid structure") {
+    val df = Seq(("S1", 1.0, 10.0), ("S2", 2.0, 20.0), ("S3", 3.0, 31.0))
+      .toDF("ursi", "x", "y")
+    val json = Sinks.profileJson(df, MergeKeys("ursi"), Seq("x", "y"))
+    assert(json.contains("\"row_count\":3"))
+    assert(json.contains("\"column\":\"x\""))
+    assert(json.contains("\"correlations\""))
+    // parses as JSON (driver-side python reads these)
+    assert(json.startsWith("{") && json.endsWith("}"))
+  }
+
+  test("ingest: sanitizes headers, validates, derives composite, lands CSV") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ingest")
+    java.nio.file.Files.writeString(src.resolve("My Upload (1).csv"),
+      "ursi,session_num,Weird Col!,2nd\nS1,BAS1,=cmd(),5\n")
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-data")
+    val keys = MergeKeys("ursi", Some("session_num"), Some("customID"), isLongitudinal = true)
+    val (v, path) = Ingest.ingestCsv(spark, s"$src/My Upload (1).csv", dataDir.toString, keys)
+    assert(v.ok, v.errors.mkString("; "))
+    assert(v.warnings.exists(_.contains("formula-injection")))
+    val landed = spark.read.option("header", "true").csv(path.get)
+    assert(landed.columns.toSeq == Seq("ursi", "session_num", "Weird_Col", "c_2nd", "customID"))
+    assert(landed.head().getAs[String]("customID") == "S1_BAS1")
+  }
+
+  test("ingest rejects oversized claims and wrong extensions") {
+    val src = java.nio.file.Files.createTempDirectory("graft-bad")
+    java.nio.file.Files.writeString(src.resolve("data.txt"), "a,b\n1,2\n")
+    val v = Ingest.validateFile(src.resolve("data.txt"))
+    assert(!v.ok && v.errors.exists(_.contains("Not a .csv")))
+    assert(Ingest.sanitizeColumnNames(Seq("a", "a", "A")) == Seq("a", "a_1", "A_2"))
+  }
+
+  private implicit class IterConv[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = {
+      new Iterator[A] {
+        def hasNext = it.hasNext
+        def next() = it.next()
+      }
+    }
+  }
+}
