@@ -47,6 +47,17 @@ object SimQueries extends QueryModule {
           "vec_id", "embedding", col("vec_id") < 10, k = 3, bits = 4)
         .orderBy("qid", "rank"))
 
+  /** ANN via IVF (k-means coarse quantizer, rows-only; recall in spec). */
+  val simIvf: Q = Q(
+    "sim_ann_ivf",
+    None,
+    (s, dir) => {
+      val index = graft.ops.Ivf.build(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", nLists = 16)
+      graft.ops.Ivf.search(index, col("id") < 10, k = 3, nProbe = 4)
+        .orderBy("qid", "rank")
+    })
+
   /** Embedding-cosine near-duplicate pairs (threshold tuned to the data's
     * cosine distribution: max pairwise cosine is ~0.51). */
   val simNearDups: Q = Q(
@@ -77,5 +88,5 @@ object SimQueries extends QueryModule {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
         .orderBy("media_id"))
 
-  override def queries: Seq[Q] = Seq(simTopK, simAnn, simNearDups, mmFeatures)
+  override def queries: Seq[Q] = Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures)
 }

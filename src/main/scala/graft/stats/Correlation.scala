@@ -43,17 +43,41 @@ object Correlation {
     }
   }
 
-  /** Average-rank transform of `c` (ties share the mean rank), matching
-    * pandas `rank(method='average')`: minRank + (ties − 1)/2. */
+  /** Average-rank transform of a numeric column (ties share the mean rank,
+    * pandas `rank(method='average')`), computed WITHOUT a global Window —
+    * `Window.orderBy` with no partitioning funnels the whole dataset
+    * through one task, which dies at scale. Instead: per-value counts →
+    * distributed sort → per-partition prefix sums with broadcast partition
+    * offsets (the classic parallel scan) → join ranks back on the value.
+    * avg rank of a tie group = (#smaller values) + (ties + 1)/2. */
   private def avgRank(df: DataFrame, c: String): DataFrame = {
-    val w = Window.orderBy(col(c))
-    val tie = Window.partitionBy(col(c))
-    df.withColumn(s"__rk_$c",
-      (rank().over(w) + (count(lit(1)).over(tie) - 1) / 2.0).cast(DoubleType))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(c).cast(DoubleType).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .as[(Double, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(_._2).sum))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val ranks = counts.mapPartitionsWithIndex { (i, it) =>
+        var below = offsets(i)
+        it.map { case (v, cnt) =>
+          val rank = below + (cnt + 1) / 2.0
+          below += cnt
+          (v, rank)
+        }
+      }.toDF(c + "__rkkey", s"__rk_$c")
+      df.join(ranks, df(c).cast(DoubleType) === ranks(c + "__rkkey"))
+        .drop(c + "__rkkey")
+    } finally counts.unpersist(blocking = false)
   }
 
   def spearmanPair(df: DataFrame, a: String, b: String, minPeriods: Int = 10): Pair = {
-    val nn = df.filter(col(a).isNotNull && col(b).isNotNull)
+    val nn = df.filter(col(a).isNotNull && col(b).isNotNull).select(col(a), col(b))
     val ranked = avgRank(avgRank(nn, a), b)
     val row = ranked.agg(
       corr(col(s"__rk_$a"), col(s"__rk_$b")).as("r"),

@@ -81,16 +81,20 @@ object Enwiden {
 
     // Pass 1 — static-vs-dynamic classification, one aggregate for all
     // columns: max over participants of per-participant distinct count.
+    // size(collect_set(c)) instead of countDistinct(c): multiple distinct
+    // aggregates make Spark insert an Expand that multiplies the input
+    // ×(columns+1); collect_set stays a single-pass hash aggregate (set
+    // cardinality is bounded by the session count per participant).
     val perParticipant = df.groupBy(col(keys.primaryId))
-      .agg(countDistinct(col(valueCols.head)).as(valueCols.head),
-        valueCols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+      .agg(size(collect_set(col(valueCols.head))).as(valueCols.head),
+        valueCols.tail.map(c => size(collect_set(col(c))).as(c)): _*)
     val maxRow = perParticipant
       .agg(max(col(valueCols.head)).as(valueCols.head),
         valueCols.tail.map(c => max(col(c)).as(c)): _*)
       .head()
     val dynamic: Set[String] = valueCols.filter { c =>
       val m = maxRow.getAs[Any](c)
-      m != null && m.asInstanceOf[Long] > 1L
+      m != null && m.asInstanceOf[Int] > 1
     }.toSet
 
     // Pass 2 — single conditional-aggregation pivot. Static columns take the

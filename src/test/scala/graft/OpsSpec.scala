@@ -107,4 +107,19 @@ class OpsSpec extends SparkSpec {
       assert(r.getLong(2) == expected, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("IVF ANN recall vs brute force; extensions register SQL functions") {
+    val index = graft.ops.Ivf.build(embs, "vec_id", "embedding", nLists = 8)
+    val ivf = graft.ops.Ivf.search(index, col("id") < 20, k = 5, nProbe = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall") // 3/8 cells probed
+
+    // extensions entry point registers without error
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
