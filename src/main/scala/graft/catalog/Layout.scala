@@ -1,0 +1,52 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.core.MergeKeys
+
+/** Storage layout for the 100 TB path (SURVEY.md §7.4 #13): the CSV
+  * directory model is the reference-parity format; this converts a catalog
+  * to parquet bucketed by the merge key so that:
+  *
+  *  - hub ⟕ behavioral joins are co-located (no shuffle on either side when
+  *    both sides are bucketed by the same key into the same bucket count —
+  *    Catalyst plans a zero-exchange SortMergeJoin);
+  *  - `COUNT(DISTINCT key)` partially aggregates within buckets;
+  *  - scans prune columns and push filters (columnar + min/max row groups).
+  *
+  * Bucket count should be sized so a bucket of the largest table fits an
+  * executor's memory comfortably (~128–512 MB of parquet per bucket).
+  */
+object Layout {
+
+  /** Write every catalog table as a bucketed, sorted parquet table
+    * registered in the session catalog under `namePrefix`. Tables lacking
+    * the merge column (rare: non-joinable lookup tables) are written
+    * unbucketed. */
+  def writeBucketed(
+      catalog: TableCatalog,
+      warehouseDir: String,
+      buckets: Int,
+      namePrefix: String = "graft"): Seq[String] = {
+    val key = catalog.mergeKeys.mergeColumn
+    catalog.tableNames.map { t =>
+      val df = catalog.table(t)
+      val tableName = s"${namePrefix}_$t"
+      // external table at an explicit path (spark.sql.warehouse.dir is a
+      // static conf — can't be set per-call)
+      val writer = df.write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", s"$warehouseDir/$tableName")
+      if (df.columns.contains(key))
+        writer.bucketBy(buckets, key).sortBy(key).saveAsTable(tableName)
+      else
+        writer.saveAsTable(tableName)
+      tableName
+    }
+  }
+
+  /** Read back a bucketed table (bucket metadata comes from the session
+    * catalog, so joins between tables written by [[writeBucketed]] with the
+    * same bucket count need no exchange). */
+  def bucketedTable(spark: SparkSession, namePrefix: String, table: String): DataFrame =
+    spark.table(s"${namePrefix}_$table")
+}

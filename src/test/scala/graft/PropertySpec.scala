@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{Filter, MergeKeys}
+import graft.transform.Enwiden
+
+/** Property tests for the semantic traps (SURVEY.md §5 plan) using raw
+  * ScalaCheck generators (the scalatest bridge isn't in the offline cache):
+  * enwiden invariants over generated longitudinal frames, session-label
+  * totality, boolean-normalization algebra.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val keys = MergeKeys("ursi", Some("session_num"), None, isLongitudinal = true)
+
+  private val sessionGen = Gen.oneOf("BAS1", "BAS2", "BAS3", "visit1", "FLU2", "1", "2")
+  private val rowsGen: Gen[List[(String, String, Option[Int], Option[Int])]] =
+    Gen.listOfN(40, for {
+      p <- Gen.choose(1, 8).map(i => f"S$i%03d")
+      s <- sessionGen
+      static <- Gen.option(Gen.const(7)) // per-participant constant when present
+      dyn <- Gen.option(Gen.choose(0, 100))
+    } yield (p, s, static, dyn))
+
+  test("enwiden property: one row per participant, static column unsuffixed") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("ursi", "session_num", "stat", "dyn")
+      val wide = Enwiden.enwiden(df, keys, cellAgg = Enwiden.MinNonNull)
+      val nParticipants = rows.map(_._1).distinct.size
+      val nSessions = rows.map(_._2).distinct.size
+      if (nSessions <= 1) assert(wide eq df)
+      else {
+        assert(wide.count() == nParticipants)
+        assert(wide.select("ursi").distinct().count() == nParticipants)
+        // 'stat' is 7-or-null per participant => always static
+        assert(wide.columns.contains("stat"))
+        assert(!wide.columns.exists(_.startsWith("stat_")))
+        // 'dyn' survives in some form (static if degenerate, else pivoted)
+        assert(wide.columns.exists(_.startsWith("dyn")))
+        // spot-check a participant's static value
+        val expect = rows.filter(r => r._3.nonEmpty).groupBy(_._1)
+        expect.headOption.foreach { case (p, rs) =>
+          val got = wide.filter($"ursi" === p).head().getAs[Any]("stat")
+          assert(got == 7, s"participant $p stat=$got")
+        }
+      }
+    }
+  }
+
+  test("session labels: total, normalized shape") {
+    samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 200).foreach { s =>
+      val label = Enwiden.sessionLabel(s)
+      assert(label.nonEmpty, s"for '$s'")
+      assert(label == label.toUpperCase || label.startsWith("SES"), s"for '$s' -> '$label'")
+    }
+    // the canonical collapses
+    assert(Seq("1", "1.0", "visit1", "V1", "bas1", "BASELINE1")
+      .map(Enwiden.sessionLabel).forall(_ == "BAS1"))
+  }
+
+  test("boolean normalization algebra") {
+    val boolTok = Gen.oneOf("Yes", "No", "True", "False", "1", "0", "yes", "no")
+    samples(Gen.nonEmptyListOf(boolTok), 50).foreach { toks =>
+      val r = Filter.normalizeBoolean(toks)
+      assert(r.nonEmpty && r.get.length == toks.length)
+      val truthy = Set("yes", "true", "1")
+      assert(r.get == toks.map(t => truthy(t.trim.toLowerCase)))
+    }
+    samples(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty)), 50).foreach { toks =>
+      val allBool = toks.forall(t =>
+        Set("yes", "no", "true", "false")(t.trim.toLowerCase))
+      assert(Filter.normalizeBoolean(toks).nonEmpty == allBool)
+    }
+  }
+
+  test("minhash estimate tracks exact jaccard on synthetic pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.0, maxBucketSize = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.3)
+  }
+
+  test("bucketed layout: co-located hub join plans without a shuffle exchange") {
+    val dir = fixtureDir(
+      "demographics.csv" -> "ursi,age\nS1,30\nS2,40\nS3,50",
+      "cognitive.csv" -> "ursi,wm\nS1,100\nS2,90\nS3,80")
+    val cat = new graft.catalog.TableCatalog(spark, graft.core.EngineConfig(dir))
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    graft.catalog.Layout.writeBucketed(cat, wh, buckets = 2, namePrefix = "pbt")
+    val a = graft.catalog.Layout.bucketedTable(spark, "pbt", "demographics")
+    val b = graft.catalog.Layout.bucketedTable(spark, "pbt", "cognitive")
+    val joined = a.join(b, Seq("ursi"))
+    assert(joined.count() == 3)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+}
