@@ -18,6 +18,8 @@ object Bench {
     * MinHash dedup, similarity top-k, windowed/sessionized/as-of events. */
   val headline: Seq[String] = Seq(
     "q1_pricing_agg",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
     "j1_star_left_join",
     "a1_count_distinct",
     "a7_enwiden_pivot",

@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.CoreQueries,
+    graft.queries.JoinQueries,
     graft.queries.PivotQueries,
     graft.queries.StatsQueries,
     graft.queries.TextQueries,

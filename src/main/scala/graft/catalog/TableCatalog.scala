@@ -67,9 +67,16 @@ final class TableCatalog(spark: SparkSession, val config: EngineConfig) {
   }
 
   private def loadRaw(p: Path): DataFrame =
-    if (p.getFileName.toString.endsWith(".parquet"))
-      spark.read.parquet(p.toString)
-    else
+    if (p.getFileName.toString.endsWith(".parquet")) {
+      // TIMESTAMP(NANOS) parquet is rejected by Spark's reader; read nanos
+      // as Long and convert µs-aligned values back (see graft.Tables.load).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(p.toString)
+      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case None => df
+      }
+    } else
       spark.read
         .option("header", "true")
         .option("inferSchema", "true")

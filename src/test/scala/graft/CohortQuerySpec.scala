@@ -145,4 +145,20 @@ class CohortQuerySpec extends SparkSpec {
     assert(m.numericRanges("age") == (19.0, 67.0))
     assert(!m.numericColumns.contains("ursi"))
   }
+
+  test("catalog is format-pluggable: parquet directory with configured hub") {
+    val cat = new TableCatalog(spark, EngineConfig(
+      dataDir = "/root/testdata/sf0.001",
+      demographicsTable = "customer",
+      primaryIdColumn = "c_custkey"))
+    assert(cat.mergeKeys == graft.core.MergeKeys("c_custkey"))
+    assert(cat.tableNames.contains("lineitem"))
+    val q = CohortQuery(cat,
+      filters = Seq(NumericRange("orders", "o_totalprice", 0, 1e9)))
+    // orders joins on c_custkey? it lacks that column -> clear error
+    val err = intercept[IllegalArgumentException](q.count())
+    assert(err.getMessage.contains("merge column"))
+    // hub-only count works over parquet
+    assert(CohortQuery(cat).count() == cat.demographics.count())
+  }
 }
