@@ -43,24 +43,41 @@ object ColumnStats {
     * sorting stays parallel and only the bracketing elements come back to
     * the driver. Matches numpy/DuckDB `quantile_cont` interpolation:
     * v = a + (idx_frac)·(b − a) at position (n−1)·p. */
-  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] = {
+  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] =
+    quantilesAndOutliers(df, c, ps)._1
+
+  /** Quantiles plus the 1.5·IQR outlier count from the SAME cached sorted
+    * RDD (assumes ps = Seq(q25, median, q75) ordering when outliers are
+    * consumed) — one distributed sort serves both, no second table scan. */
+  def quantilesAndOutliers(
+      df: DataFrame, c: String, ps: Seq[Double]): (Seq[Option[Double]], Option[Long]) = {
     val sorted = df.select(col(c).cast(DoubleType)).na.drop()
       .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex()
       .map { case (v, i) => (i, v) }
     sorted.cache()
     try {
       val n = sorted.count()
-      if (n == 0) return ps.map(_ => None)
+      if (n == 0) return (ps.map(_ => None), None)
       val positions = ps.map(p => (n - 1) * p)
       val needed = positions.flatMap(pos =>
         Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.toSet
       val picked = sorted.filter { case (i, _) => needed.contains(i) }
         .collect().toMap
-      positions.map { pos =>
+      val quantiles = positions.map { pos =>
         val lo = picked(math.floor(pos).toLong)
         val hi = picked(math.ceil(pos).toLong)
         Some(lo + (pos - math.floor(pos)) * (hi - lo))
       }
+      val outliers = for {
+        q25 <- quantiles.headOption.flatten
+        q75 <- quantiles.lastOption.flatten
+      } yield {
+        val iqr = q75 - q25
+        val lo = q25 - 1.5 * iqr
+        val hi = q75 + 1.5 * iqr
+        sorted.filter { case (_, v) => v < lo || v > hi }.count()
+      }
+      (quantiles, outliers)
     } finally sorted.unpersist(blocking = false)
   }
 
@@ -91,7 +108,7 @@ object ColumnStats {
     def optD(r: Row, name: String): Option[Double] =
       Option(r.getAs[Any](name)).map(_.asInstanceOf[Number].doubleValue())
 
-    val exactQ: Map[String, Seq[Option[Double]]] =
+    val exactQ: Map[String, (Seq[Option[Double]], Option[Long])] =
       if (approxQuantiles) Map.empty
       else {
         // Per-column sort jobs are independent — submit them concurrently
@@ -99,7 +116,8 @@ object ColumnStats {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val futures = cols.map(c => Future(c -> exactQuantiles(df, c, Seq(0.25, 0.5, 0.75))))
+        val futures = cols.map(c =>
+          Future(c -> quantilesAndOutliers(df, c, Seq(0.25, 0.5, 0.75))))
         Await.result(Future.sequence(futures), Duration.Inf).toMap
       }
 
@@ -109,7 +127,7 @@ object ColumnStats {
         if (approxQuantiles)
           Option(row.getAs[scala.collection.Seq[Any]](s"q__$c"))
             .map(_.map(v => Option(v).map(_.asInstanceOf[Number].doubleValue())).toSeq)
-        else Some(exactQ(c))
+        else Some(exactQ(c)._1)
       val q25 = qs.flatMap(_.lift(0).flatten)
       val med = qs.flatMap(_.lift(1).flatten)
       val q75 = qs.flatMap(_.lift(2).flatten)
@@ -123,10 +141,11 @@ object ColumnStats {
         q25 = q25, median = med, q75 = q75,
         skew = optD(row, s"skew__$c").flatMap(Moments.g1ToG1(_, n)),
         kurt = optD(row, s"kurt__$c").flatMap(Moments.g2ToG2(_, n)),
-        iqrOutliers = None)
+        iqrOutliers = if (approxQuantiles) None else exactQ(c)._2)
     }
+    if (!approxQuantiles) return base
 
-    // Pass 2: outlier counts against 1.5*IQR fences, one aggregate.
+    // Approx path pass 2: outlier counts against 1.5*IQR fences, one aggregate.
     val withFences = base.filter(s => s.q25.nonEmpty && s.q75.nonEmpty)
     if (withFences.isEmpty) base
     else {

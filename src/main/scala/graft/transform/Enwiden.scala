@@ -79,39 +79,44 @@ object Enwiden {
     val excluded = Set(keys.primaryId, sessCol) ++ keys.compositeId.filter(df.columns.contains)
     val valueCols = df.columns.filterNot(excluded).toSeq
 
-    // Pass 1 — static-vs-dynamic classification, one aggregate for all
-    // columns: max over participants of per-participant distinct count.
-    // size(collect_set(c)) instead of countDistinct(c): multiple distinct
-    // aggregates make Spark insert an Expand that multiplies the input
-    // ×(columns+1); collect_set stays a single-pass hash aggregate (set
-    // cardinality is bounded by the session count per participant).
+    // ONE shuffle over the data: a single groupBy(participant) computes,
+    // per column, (a) the per-session pivot cells, (b) the whole-row cell
+    // (for the static case), and (c) the per-participant distinct count for
+    // classification — size(collect_set(c)), not countDistinct(c), because
+    // multiple distinct aggregates make Spark insert an Expand that
+    // multiplies input rows ×(columns+1) while collect_set stays a single
+    // hash aggregate (set cardinality is bounded by the session count).
+    // Classification then reduces the small wide frame, and a projection
+    // picks pivoted or static columns — no second pass over the input.
+    def cell(c: Column): Column = cellAgg match {
+      case FirstNonNull => first(c, ignoreNulls = true)
+      case MinNonNull   => min(c)
+    }
+    val aggs: Seq[Column] = valueCols.flatMap { c =>
+      sessions.map(s => cell(when(sess === s, col(c))).as(s"__p__${c}__$s")) ++
+        Seq(cell(col(c)).as(s"__w__$c"),
+          size(collect_set(col(c))).as(s"__n__$c"))
+    }
     val perParticipant = df.groupBy(col(keys.primaryId))
-      .agg(size(collect_set(col(valueCols.head))).as(valueCols.head),
-        valueCols.tail.map(c => size(collect_set(col(c))).as(c)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .cache()
+
     val maxRow = perParticipant
-      .agg(max(col(valueCols.head)).as(valueCols.head),
-        valueCols.tail.map(c => max(col(c)).as(c)): _*)
+      .agg(max(col(s"__n__${valueCols.head}")).as(valueCols.head),
+        valueCols.tail.map(c => max(col(s"__n__$c")).as(c)): _*)
       .head()
     val dynamic: Set[String] = valueCols.filter { c =>
       val m = maxRow.getAs[Any](c)
       m != null && m.asInstanceOf[Int] > 1
     }.toSet
 
-    // Pass 2 — single conditional-aggregation pivot. Static columns take the
-    // first non-null anywhere (all equal); dynamic columns one agg per
-    // (column, session).
-    def cell(c: Column): Column = cellAgg match {
-      case FirstNonNull => first(c, ignoreNulls = true)
-      case MinNonNull   => min(c)
-    }
-    val aggs: Seq[Column] = valueCols.flatMap { c =>
+    val outCols: Seq[Column] = col(keys.primaryId) +: valueCols.flatMap { c =>
       if (dynamic(c))
-        sessions.map(s =>
-          cell(when(sess === s, col(c))).as(s"${c}_${sessionLabel(s)}"))
+        sessions.map(s => col(s"__p__${c}__$s").as(s"${c}_${sessionLabel(s)}"))
       else
-        Seq(cell(col(c)).as(c))
+        Seq(col(s"__w__$c").as(c))
     }
-    val wide = df.groupBy(col(keys.primaryId)).agg(aggs.head, aggs.tail: _*)
+    val wide = perParticipant.select(outCols: _*)
     if (consolidateBaselines) consolidateBaseline(wide) else wide
   }
 
