@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.JoinQueries,
     graft.queries.PivotQueries,
     graft.queries.StatsQueries,
+    graft.queries.QualityQueries,
     graft.queries.TextQueries,
     graft.queries.SimQueries,
     graft.queries.EventQueries)

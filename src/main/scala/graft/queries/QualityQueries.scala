@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.core.MergeKeys
+import graft.stats.{CohortReports, DataQuality}
+import org.apache.spark.sql.functions._
+
+/** T3 data-quality and T5 final-summary operators with DuckDB oracles.
+  * The T3 input is the hub⟕orders join so left-join nulls exercise the
+  * missing-data detection on data that is otherwise null-free.
+  */
+object QualityQueries extends QueryModule {
+
+  /** Hub ⟕ high-value orders: the filtered right side leaves ~13% of
+    * customers unmatched, so the left join manufactures real nulls. */
+  private val baseSql =
+    """SELECT c.c_custkey AS k, c.c_acctbal, c.c_mktsegment, o.o_totalprice
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        ON c.c_custkey = o.o_custkey"""
+
+  /** T3: per-column missing severities + duplicate-key rows of the joined
+    * cohort frame (reference tiers: >50 high, >20 medium, else low). */
+  val t3Quality: Q = Q(
+    "t3_missing_and_dups",
+    Some(s"""
+      WITH base AS ($baseSql),
+      m AS (
+        SELECT 'o_totalprice' AS col_name,
+          count(*) - count(o_totalprice) AS n_missing,
+          ROUND((count(*) - count(o_totalprice)) * 1.0 / count(*) * 100.0, 4) AS pct
+        FROM base),
+      d AS (
+        SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS dup_key_rows
+        FROM (SELECT count(*) AS cnt FROM base GROUP BY k))
+      SELECT m.col_name, m.n_missing, m.pct,
+        CASE WHEN m.pct > 50 THEN 'high' WHEN m.pct > 20 THEN 'medium'
+             ELSE 'low' END AS severity,
+        d.dup_key_rows
+      FROM m, d"""),
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      val base = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey").as("k"), c("c_acctbal"), c("c_mktsegment"), o("o_totalprice"))
+      val report = DataQuality.report(base, MergeKeys("k"))
+      val missing = report.missing.filter(_.column == "o_totalprice")
+      missing.map(m => (m.column, m.missingCount,
+          BigDecimal(m.missingPct).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          m.severity, report.primaryIdDuplicates))
+        .toDF("col_name", "n_missing", "pct", "severity", "dup_key_rows")
+    })
+
+  /** T5: one-row-per-column final summary of the customer table. */
+  val t5Summary: Q = Q(
+    "t5_final_summary",
+    Some("""
+      SELECT 'c_acctbal' AS col_name, 'numeric' AS dtype,
+        count(c_acctbal) AS n,
+        ROUND(avg(c_acctbal), 6) AS mean,
+        ROUND(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 4) AS median,
+        ROUND(stddev(c_acctbal), 4) AS std,
+        CAST(min(c_acctbal) AS DOUBLE) AS min_v,
+        CAST(max(c_acctbal) AS DOUBLE) AS max_v,
+        count(DISTINCT c_acctbal) AS n_distinct,
+        CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_count
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', 'categorical', count(c_mktsegment),
+        NULL, NULL, NULL, NULL, NULL,
+        count(DISTINCT c_mktsegment),
+        (SELECT c_mktsegment FROM customer
+         WHERE c_mktsegment IS NOT NULL
+         GROUP BY c_mktsegment ORDER BY count(*) DESC, c_mktsegment LIMIT 1),
+        (SELECT count(*) FROM customer
+         WHERE c_mktsegment IS NOT NULL
+         GROUP BY c_mktsegment ORDER BY count(*) DESC, c_mktsegment LIMIT 1)
+      FROM customer
+      ORDER BY col_name"""),
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val summaries = CohortReports.finalSummary(cust, MergeKeys("c_custkey"))
+      def r(v: Option[Double], scale: Int): Option[Double] =
+        v.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      summaries.map(cs => (cs.column, cs.dtype, cs.n,
+          r(cs.mean, 6), r(cs.median, 4), r(cs.std, 4), cs.min, cs.max,
+          cs.distinct, cs.topValue, cs.topCount))
+        .toDF("col_name", "dtype", "n", "mean", "median", "std",
+          "min_v", "max_v", "n_distinct", "top_value", "top_count")
+        .orderBy("col_name")
+    })
+
+  override def queries: Seq[Q] = Seq(t3Quality, t5Summary)
+}
