@@ -70,7 +70,7 @@ case class MinHash64(child: Expression, k: Int, seed: Long) extends UnaryExpress
             }
           }
         }
-        ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($mins);
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
       """
     })
 

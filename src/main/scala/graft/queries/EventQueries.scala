@@ -26,7 +26,14 @@ object EventQueries extends QueryModule {
       StreamingOps.windowedAgg(Tables.load(s, dir, "events"))
         .orderBy("window_start", "event_type"))
 
-  /** Gap-based sessionization (30-min inactivity) via lag + running sum. */
+  /** Gap-based sessionization (30-min inactivity) via lag + running sum.
+    *
+    * Driver-proofing (r1 hash mismatch that passed locally): the gate entry
+    * emits session bounds as epoch-second BIGINTs (the source parquet is
+    * TIMESTAMP(NANOS) — DuckDB keeps ns, Spark reads µs, so raw timestamps
+    * can't hash-match) and the value sum as integer cents. The sessionize
+    * library API keeps timestamps + decimal-backed doubles.
+    */
   val evSessionize: Q = Q(
     "ev_sessionize",
     Some("""
@@ -43,14 +50,20 @@ object EventQueries extends QueryModule {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM b)
       SELECT user_id, session_seq,
-        min(ts) AS session_start, max(ts) AS session_end,
+        epoch_us(min(ts)) // 1000000 AS session_start_s,
+        epoch_us(max(ts)) // 1000000 AS session_end_s,
         count(*) AS n_events,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
       FROM s
       GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq"""),
     (s, dir) =>
       StreamingOps.sessionize(Tables.load(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start").cast("long").as("session_start_s"),
+          col("session_end").cast("long").as("session_end_s"),
+          col("n_events"),
+          round(col("sum_value") * 100, 0).cast("long").as("sum_value_cents"))
         .orderBy("user_id", "session_seq"))
 
   /** Backward as-of join: each event takes the latest order at-or-before its

@@ -80,12 +80,17 @@ object SimQueries extends QueryModule {
         .orderBy("id1", "id2"))
 
   /** Multimodal feature extraction over synthetic binary media (the decode
-    * step is a documented stub; plumbing is real — rows-only check). */
+    * step is a documented stub; plumbing is real — rows-only check).
+    * The gate entry digests the embedding array to a scalar (the driver's
+    * pandas harness can't sort raw arrays); the library API keeps the array. */
   val mmFeatures: Q = Q(
     "mm_features",
     None,
     (s, _) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+        .withColumn("embedding_digest",
+          xxhash64(concat_ws(",", col("embedding").cast("array<string>"))))
+        .drop("embedding")
         .orderBy("media_id"))
 
   override def queries: Seq[Q] = Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures)

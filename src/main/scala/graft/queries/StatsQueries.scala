@@ -237,46 +237,67 @@ object StatsQueries extends QueryModule {
           col("n"), col("x_min"), col("x_max"))
     })
 
-  /** T12 one-way ANOVA of acctbal across market segments (p library-only;
-    * SS reported in millions so the rounding boundary dwarfs FP jitter). */
+  /** T12 one-way ANOVA of acctbal across market segments (p library-only).
+    *
+    * Driver-proofing (r1 shipped a hash mismatch that passed locally): both
+    * engines now derive F/eta²/SS from EXACT decimal group sums (sum x,
+    * sum x² as DECIMAL, cast to double after) instead of var_samp doubles,
+    * and the rounding tiers are coarse (f 4, eta² 6, SS-millions 3) so the
+    * residual ~ulp summation-order jitter sits ≥1e8× below the boundary.
+    * The Anova library API (used by specs / library users) is unchanged.
+    */
   val t12Anova: Q = Q(
     "t12_anova",
     Some("""
       WITH g AS (
-        SELECT c_mktsegment AS grp, count(*) AS n, avg(c_acctbal) AS m,
-          var_samp(c_acctbal) AS v
+        SELECT c_mktsegment AS grp, count(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                   * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
         FROM customer
         WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
         GROUP BY c_mktsegment),
       tot AS (
-        SELECT sum(n) AS n_total, count(*) AS k,
-          sum(m * n) / sum(n) AS grand_mean FROM g),
+        SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS k,
+          sum(s1) / sum(n) AS gm FROM g),
       ss AS (
         SELECT
-          (SELECT sum(n * (m - grand_mean) * (m - grand_mean)) FROM g, tot) AS ssb,
-          (SELECT sum((n - 1) * v) FROM g) AS ssw,
+          (SELECT sum(n * (s1 / n - gm) * (s1 / n - gm)) FROM g, tot) AS ssb,
+          (SELECT sum(s2 - s1 * s1 / n) FROM g) AS ssw,
           (SELECT k - 1 FROM tot) AS dfb,
           (SELECT n_total - k FROM tot) AS dfw)
       SELECT
-        ROUND((ssb / dfb) / (ssw / dfw), 6) AS f_stat,
+        ROUND((ssb / dfb) / (ssw / dfw), 4) AS f_stat,
         dfb AS df_between, dfw AS df_within,
-        ROUND(ssb / 1000000.0, 5) AS ssb_millions,
-        ROUND(ssw / 1000000.0, 5) AS ssw_millions,
-        ROUND(ssb / (ssb + ssw), 8) AS eta_squared
+        ROUND(ssb / 1000000.0, 3) AS ssb_millions,
+        ROUND(ssw / 1000000.0, 3) AS ssw_millions,
+        ROUND(ssb / (ssb + ssw), 6) AS eta_squared
       FROM ss"""),
     (s, dir) => {
-      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
       val cust = Tables.load(s, dir, "customer")
-      val a = Anova.oneWay(cust, "c_mktsegment", "c_acctbal").get
-      Seq((a.fStat, a.dfBetween, a.dfWithin,
-          a.ssBetween / 1000000.0, a.ssWithin / 1000000.0, a.etaSquared))
-        .toDF("f_stat", "df_between", "df_within", "ssb_millions",
-          "ssw_millions", "eta_squared")
-        .select(round(col("f_stat"), 6).as("f_stat"),
-          col("df_between"), col("df_within"),
-          round(col("ssb_millions"), 5).as("ssb_millions"),
-          round(col("ssw_millions"), 5).as("ssw_millions"),
-          round(col("eta_squared"), 8).as("eta_squared"))
+      val dec = col("c_acctbal").cast(DecimalType(18, 2))
+      val g = cust
+        .filter(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .groupBy(col("c_mktsegment").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s1"),
+          sum(dec * dec).cast("double").as("s2"))
+      val tot = g.agg(sum(col("n")).as("n_total"), count(lit(1)).as("k"),
+        (sum(col("s1")) / sum(col("n"))).as("gm"))
+      val m = col("s1") / col("n")
+      val ss = g.crossJoin(tot).agg(
+        sum(col("n") * (m - col("gm")) * (m - col("gm"))).as("ssb"),
+        sum(col("s2") - col("s1") * col("s1") / col("n")).as("ssw"),
+        first(col("k")).as("k"), first(col("n_total")).as("n_total"))
+      ss.select(
+        round((col("ssb") / (col("k") - 1))
+          / (col("ssw") / (col("n_total") - col("k"))), 4).as("f_stat"),
+        (col("k") - 1).as("df_between"),
+        (col("n_total") - col("k")).as("df_within"),
+        round(col("ssb") / 1000000.0, 3).as("ssb_millions"),
+        round(col("ssw") / 1000000.0, 3).as("ssw_millions"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_squared"))
     })
 
   /** T13 pairwise t-tests across market segments (p/Bonferroni library-only). */
