@@ -39,7 +39,62 @@ final case class EngineConfig(
     studySiteColumn: Option[String] = None,
     /** Preferred storage: "csv" matches the reference's data model; "parquet"
       * is the at-scale path (partitioned/bucketed). Catalog auto-detects. */
-    format: String = "csv")
+    format: String = "csv") {
+
+  /** Reference `DataConfig.validate` (core/config.py:57–69). */
+  def validate: Seq[String] = Seq(
+    if (dataDir.isEmpty) Some("data_dir cannot be empty") else None,
+    if (demographicsTable.isEmpty) Some("demographics_file cannot be empty") else None,
+    if (primaryIdColumn.isEmpty) Some("primary_id_column cannot be empty") else None
+  ).flatten
+}
+
+object EngineConfig {
+  import graft.report.Toml
+
+  /** Loads the reference's `config.toml` shape (core/config.py:132–233
+    * `Config.load_config`): a `[data]` section with data_dir,
+    * demographics_file, primary_id_column, session_column,
+    * composite_id_column, age_column, sex_column, study_site_column —
+    * absent keys keep the dataclass defaults, the demographics table name
+    * is the file stem (config.py:47–49), and `[ui]`/`[state]` sections are
+    * UI-runtime concerns a query engine ignores. */
+  def fromToml(text: String): EngineConfig = {
+    val doc = Toml.parse(text)
+    val data: Map[String, Toml.Value] = doc.get("data") match {
+      case Some(Toml.Tbl(m)) => m
+      case _                 => Map.empty
+    }
+    def str(key: String, default: String): String = data.get(key) match {
+      case Some(Toml.Str(s)) => s
+      case _                 => default
+    }
+    val demographicsFile = str("demographics_file", "demographics.csv")
+    val stem = demographicsFile.replaceAll("\\.[^.\\\\/]+$", "")
+    EngineConfig(
+      dataDir = str("data_dir", "data"),
+      demographicsTable = stem,
+      primaryIdColumn = str("primary_id_column", "ursi"),
+      sessionColumn = str("session_column", "session_num"),
+      compositeIdColumn = str("composite_id_column", "customID"),
+      ageColumn = str("age_column", "age"),
+      sexColumn = str("sex_column", "sex"),
+      studySiteColumn = data.get("study_site_column") match {
+        case Some(Toml.Str(s)) if s.nonEmpty => Some(s)
+        case _                               => None
+      },
+      format = if (demographicsFile.endsWith(".parquet")) "parquet" else "csv")
+  }
+
+  /** [[fromToml]] over a file path; missing file → all defaults (the
+    * reference creates a default config.toml in that case). */
+  def fromTomlFile(path: String): EngineConfig = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      fromToml(java.nio.file.Files.readString(p))
+    else EngineConfig(dataDir = "data")
+  }
+}
 
 /** Filter algebra (reference: query/state/models.py:14–35 + the normalized
   * "behavioral filter" dicts of query/helpers/data_formatters.py:11–53).

@@ -38,15 +38,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Exact word-n-gram Jaccard pairs with similarity ≥ `threshold`.
-    * Returns (id1, id2, n1, n2, intersection, jaccard). */
+  /** Word-n-gram Jaccard pairs with similarity ≥ `threshold`.
+    * Returns (id1, id2, n1, n2, intersection, jaccard).
+    *
+    * `maxPostings` drops stop-shingles (posting lists longer than the cap)
+    * before the self-join — one ubiquitous bigram otherwise contributes
+    * O(df²) candidate pairs, a quadratic blow-up on natural corpora. Set
+    * sizes (n1/n2) are computed BEFORE the cap so jaccard denominators stay
+    * exact; intersections through dropped shingles can undercount, so the
+    * result is exact below the cap and a recall-documented approximation
+    * above it (spec asserts recall on a stop-shingled corpus). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, threshold: Double = 0.3): DataFrame = {
+      n: Int = 2, threshold: Double = 0.3,
+      maxPostings: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TextOps.shingles(col(textCol), n)).as("sg"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.as("a"); val b = sh.as("b")
+    val postings = sh.groupBy(col("sg")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxPostings && col("__df") > 1)
+    val pruned = sh.join(postings, Seq("sg")).drop("__df")
+    val a = pruned.as("a"); val b = pruned.as("b")
     val inter = a.join(b, col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("intersection"))
@@ -150,11 +162,15 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (see [[Similarity.cosine]]):
-    * brute pair join below `maxRows`, LSH-bucketed above. */
+    * exact all-pairs join below `maxBruteRows`, LSH-bucketed above —
+    * the O(n²) join is only ever the small-corpus path, never the default
+    * at scale. Pass `lsh = Some(...)` to force either path. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, lsh: Boolean = false, seed: Long = 42): DataFrame = {
-    if (!lsh) {
+      threshold: Double = 0.95, lsh: Option[Boolean] = None, seed: Long = 42,
+      maxBruteRows: Long = 65536): DataFrame = {
+    val useLsh = lsh.getOrElse(df.count() > maxBruteRows)
+    if (!useLsh) {
       val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       val a = v.as("a"); val b = v.as("b")
       a.join(b, col("a.id") < col("b.id"))

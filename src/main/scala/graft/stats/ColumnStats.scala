@@ -1,13 +1,17 @@
 package graft.stats
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** T1 column statistics (reference: analysis/statistics.py:105–187) as TWO
-  * aggregate passes over ALL requested columns at once (never per-column
-  * jobs): pass 1 computes counts/moments/exact quantiles, pass 2 counts
-  * IQR outliers against the pass-1 fences.
+  * full-data passes over ALL requested columns at once (never per-column
+  * jobs): pass 1 is a plain aggregate for counts/moments (no countDistinct,
+  * so no Expand blow-up), pass 2 builds ONE value histogram for all columns
+  * (`groupBy(col_name, value)`, map-side combined) from which exact
+  * quantiles, distinct counts and IQR outlier counts are all derived —
+  * histogram-sized work instead of data-sized sorts.
   *
   * Estimator parity (SURVEY.md §7.4 #4): Spark's `skewness`/`kurtosis` are
   * population moments (g1, excess g2); pandas — and DuckDB — report the
@@ -15,9 +19,14 @@ import org.apache.spark.sql.types._
   * [[Moments.g2ToG2]] convert, so our outputs hash-match both pandas and a
   * DuckDB oracle.
   *
-  * Scale: quantiles default to exact `percentile` for oracle parity; pass
-  * `approxQuantiles = true` to use `percentile_approx` (mergeable sketch,
-  * no global sort buffer) — the right call at 100 TB.
+  * Scale: the histogram shuffle carries at most one row per distinct value
+  * per column (map-side combine collapses repeats), and the per-column
+  * quantile extraction runs a distributed prefix-sum over the sorted
+  * histogram — nothing data-sized ever funnels through one task, and a
+  * near-unique column degrades to exactly the cost of the sort it needs.
+  * Pass `approxQuantiles = true` for the sketch path (`percentile_approx` +
+  * `approx_count_distinct`, both mergeable) when estimator error is
+  * acceptable — the cheapest call at 100 TB.
   */
 object ColumnStats {
 
@@ -37,32 +46,78 @@ object ColumnStats {
       kurt: Option[Double],
       iqrOutliers: Option[Long])
 
-  /** Exact linear-interpolated quantiles via distributed sort +
-    * zipWithIndex — Spark's built-in exact `percentile` aggregate merges
-    * per-partition count maps on ONE thread (16s on 600k×3 columns);
-    * sorting stays parallel and only the bracketing elements come back to
-    * the driver. Matches numpy/DuckDB `quantile_cont` interpolation:
-    * v = a + (idx_frac)·(b − a) at position (n−1)·p. */
+  /** Exact quantiles / distinct / outlier count per column, all computed
+    * from one cached (value, count) histogram. */
+  private final case class HistStats(
+      quantiles: Seq[Option[Double]],
+      distinct: Long,
+      outliers: Option[Long])
+
+  /** Exact linear-interpolated quantiles. Matches numpy/DuckDB
+    * `quantile_cont` interpolation: v = a + idx_frac·(b − a) at position
+    * (n−1)·p. */
   def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] =
     quantilesAndOutliers(df, c, ps)._1
 
-  /** Quantiles plus the 1.5·IQR outlier count from the SAME cached sorted
-    * RDD (assumes ps = Seq(q25, median, q75) ordering when outliers are
-    * consumed) — one distributed sort serves both, no second table scan. */
+  /** Quantiles plus the 1.5·IQR outlier count (assumes ps = Seq(q25, median,
+    * q75) ordering when outliers are consumed). */
   def quantilesAndOutliers(
       df: DataFrame, c: String, ps: Seq[Double]): (Seq[Option[Double]], Option[Long]) = {
-    val sorted = df.select(col(c).cast(DoubleType)).na.drop()
-      .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex()
-      .map { case (v, i) => (i, v) }
+    val h = histogramStats(df, Seq(c), ps)(c)
+    (h.quantiles, h.outliers)
+  }
+
+  /** ONE histogram pass for all columns: explode to (col, value) pairs,
+    * `groupBy(col, value).count()` (map-side combined), then per-column
+    * histogram-sized jobs over the cached result. */
+  private def histogramStats(
+      df: DataFrame, cols: Seq[String], ps: Seq[Double]): Map[String, HistStats] = {
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+    val hist = pairs.groupBy("c", "v").agg(count(lit(1)).as("n")).cache()
+    try {
+      hist.count() // materialize once; per-column jobs below reuse the cache
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = cols.map { c =>
+        Future(c -> colFromHist(
+          hist.filter(col("c") === c).select("v", "n")
+            .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps))
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally hist.unpersist(blocking = false)
+  }
+
+  /** Exact quantiles from a per-column (value, count) histogram via the
+    * classic parallel prefix-scan: sort the histogram, per-partition count
+    * totals → broadcast offsets, each entry then knows its global index
+    * range [below, below+count). Only the bracketing values come back. */
+  private def colFromHist(h: RDD[(Double, Long)], ps: Seq[Double]): HistStats = {
+    val sorted = h.sortBy(_._1)
     sorted.cache()
     try {
-      val n = sorted.count()
-      if (n == 0) return (ps.map(_ => None), None)
-      val positions = ps.map(p => (n - 1) * p)
+      val partTotals = sorted.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(_._2).sum))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val nTotal = offsets.last
+      if (nTotal == 0) return HistStats(ps.map(_ => None), 0L, None)
+      val distinct = sorted.count()
+      val positions = ps.map(p => (nTotal - 1) * p)
       val needed = positions.flatMap(pos =>
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.toSet
-      val picked = sorted.filter { case (i, _) => needed.contains(i) }
-        .collect().toMap
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+      val picked = sorted.mapPartitionsWithIndex { (i, it) =>
+        var below = offsets(i)
+        it.flatMap { case (v, cnt) =>
+          val lo = below
+          below += cnt
+          val hi = below
+          needed.iterator.filter(idx => idx >= lo && idx < hi).map(idx => (idx, v))
+        }
+      }.collect().toMap
       val quantiles = positions.map { pos =>
         val lo = picked(math.floor(pos).toLong)
         val hi = picked(math.ceil(pos).toLong)
@@ -75,9 +130,10 @@ object ColumnStats {
         val iqr = q75 - q25
         val lo = q25 - 1.5 * iqr
         val hi = q75 + 1.5 * iqr
-        sorted.filter { case (_, v) => v < lo || v > hi }.count()
+        sorted.filter { case (v, _) => v < lo || v > hi }
+          .map(_._2).fold(0L)(_ + _)
       }
-      (quantiles, outliers)
+      HistStats(quantiles, distinct, outliers)
     } finally sorted.unpersist(blocking = false)
   }
 
@@ -87,10 +143,12 @@ object ColumnStats {
       approxQuantiles: Boolean = false): Seq[Stats] = {
     require(cols.nonEmpty, "describe needs at least one column")
 
+    // Pass 1: plain aggregate — exact distinct comes from the histogram
+    // (exact path) or approx_count_distinct (sketch path), so no
+    // countDistinct and therefore no Expand multiplying the scan.
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n__$c"),
-        countDistinct(col(c)).as(s"d__$c"),
         avg(col(c)).as(s"mean__$c"),
         stddev_samp(col(c)).as(s"std__$c"),
         min(col(c)).cast(DoubleType).as(s"min__$c"),
@@ -98,8 +156,10 @@ object ColumnStats {
         skewness(col(c)).as(s"skew__$c"),
         kurtosis(col(c)).as(s"kurt__$c")) ++
         (if (approxQuantiles)
-          Seq(percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-            .as(s"q__$c"))
+          Seq(
+            approx_count_distinct(col(c)).as(s"d__$c"),
+            percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+              .as(s"q__$c"))
         else Seq.empty)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -108,18 +168,9 @@ object ColumnStats {
     def optD(r: Row, name: String): Option[Double] =
       Option(r.getAs[Any](name)).map(_.asInstanceOf[Number].doubleValue())
 
-    val exactQ: Map[String, (Seq[Option[Double]], Option[Long])] =
+    val exactH: Map[String, HistStats] =
       if (approxQuantiles) Map.empty
-      else {
-        // Per-column sort jobs are independent — submit them concurrently
-        // so the cluster overlaps the sorts instead of running them serially.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val futures = cols.map(c =>
-          Future(c -> quantilesAndOutliers(df, c, Seq(0.25, 0.5, 0.75))))
-        Await.result(Future.sequence(futures), Duration.Inf).toMap
-      }
+      else histogramStats(df, cols, Seq(0.25, 0.5, 0.75))
 
     val base = cols.map { c =>
       val n = row.getAs[Long](s"n__$c")
@@ -127,13 +178,14 @@ object ColumnStats {
         if (approxQuantiles)
           Option(row.getAs[scala.collection.Seq[Any]](s"q__$c"))
             .map(_.map(v => Option(v).map(_.asInstanceOf[Number].doubleValue())).toSeq)
-        else Some(exactQ(c)._1)
+        else Some(exactH(c).quantiles)
       val q25 = qs.flatMap(_.lift(0).flatten)
       val med = qs.flatMap(_.lift(1).flatten)
       val q75 = qs.flatMap(_.lift(2).flatten)
       Stats(
         column = c, n = n, nulls = rows - n,
-        distinct = row.getAs[Long](s"d__$c"),
+        distinct =
+          if (approxQuantiles) row.getAs[Long](s"d__$c") else exactH(c).distinct,
         mean = optD(row, s"mean__$c"),
         std = optD(row, s"std__$c"),
         min = optD(row, s"min__$c"),
@@ -141,7 +193,7 @@ object ColumnStats {
         q25 = q25, median = med, q75 = q75,
         skew = optD(row, s"skew__$c").flatMap(Moments.g1ToG1(_, n)),
         kurt = optD(row, s"kurt__$c").flatMap(Moments.g2ToG2(_, n)),
-        iqrOutliers = if (approxQuantiles) None else exactQ(c)._2)
+        iqrOutliers = if (approxQuantiles) None else exactH(c).outliers)
     }
     if (!approxQuantiles) return base
 

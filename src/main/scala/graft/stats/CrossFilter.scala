@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -10,12 +9,19 @@ object CrossFilter {
 
   /** T14 (reference: pages/plotting.py:1916–2000): plot-point indices →
     * row subset of the plotted (null-filtered, deterministically ordered)
-    * frame. Index = 0-based position in `orderBy(orderCols)`. */
+    * frame. Index = 0-based position in `orderBy(orderCols)`.
+    *
+    * No-partition `Window.orderBy` would funnel the whole dataset through
+    * ONE task; instead: distributed range-partitioned sort + zipWithIndex
+    * (partition order is the sort order, so indices match row_number − 1). */
   def selectByIndex(df: DataFrame, orderCols: Seq[String], indices: Seq[Long]): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    df.withColumn("__idx", row_number().over(w) - 1)
-      .filter(col("__idx").isin(indices: _*))
-      .drop("__idx")
+    val spark = df.sparkSession
+    val idxSet = indices.toSet
+    val picked = df.sort(orderCols.map(col): _*).rdd
+      .zipWithIndex()
+      .filter { case (_, i) => idxSet.contains(i) }
+      .map(_._1)
+    spark.createDataFrame(picked, df.schema)
   }
 
   /** A5 (reference: analysis/statistics.py:26–102): distinct values of a

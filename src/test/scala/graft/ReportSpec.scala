@@ -132,6 +132,48 @@ class ReportSpec extends SparkSpec {
     assert(Ingest.sanitizeColumnNames(Seq("a", "a", "A")) == Seq("a", "a_1", "A_2"))
   }
 
+  test("EngineConfig.fromToml loads the reference config.toml shape") {
+    // exact shape of the reference's own config.toml (core/config.py:154–177)
+    val toml = """
+      |[data]
+      |data_dir = "data"
+      |demographics_file = "demographics.csv"
+      |primary_id_column = "ursi"
+      |session_column = "session_num"
+      |composite_id_column = "customID"
+      |age_column = "age"
+      |sex_column = "sex"
+      |study_site_column = "all_sites"
+      |
+      |[ui]
+      |default_age_min = 18
+      |default_age_max = 80
+      |max_display_rows = 50
+      |
+      |[state]
+      |backend = "client"
+      |ttl_default = 3600
+      |enable_user_isolation = true
+      |""".stripMargin
+    val cfg = graft.core.EngineConfig.fromToml(toml)
+    assert(cfg.dataDir == "data")
+    assert(cfg.demographicsTable == "demographics") // file stem
+    assert(cfg.primaryIdColumn == "ursi")
+    assert(cfg.sessionColumn == "session_num")
+    assert(cfg.compositeIdColumn == "customID")
+    assert(cfg.ageColumn == "age" && cfg.sexColumn == "sex")
+    assert(cfg.studySiteColumn.contains("all_sites"))
+    assert(cfg.validate.isEmpty)
+
+    // absent keys keep defaults; missing [data] section keeps all defaults
+    val sparse = graft.core.EngineConfig.fromToml("[data]\ndata_dir = \"/x\"\n")
+    assert(sparse.dataDir == "/x" && sparse.primaryIdColumn == "ursi"
+      && sparse.studySiteColumn.isEmpty)
+    val empty = graft.core.EngineConfig.fromToml("")
+    assert(empty.dataDir == "data" && empty.demographicsTable == "demographics")
+    assert(graft.core.EngineConfig(dataDir = "").validate.nonEmpty)
+  }
+
   private implicit class IterConv[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = {
       new Iterator[A] {
