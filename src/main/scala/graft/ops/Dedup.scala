@@ -41,17 +41,20 @@ object Dedup {
   /** Word-n-gram Jaccard pairs with similarity ≥ `threshold`.
     * Returns (id1, id2, n1, n2, intersection, jaccard).
     *
-    * `maxPostings` drops stop-shingles (posting lists longer than the cap)
-    * before the self-join — one ubiquitous bigram otherwise contributes
-    * O(df²) candidate pairs, a quadratic blow-up on natural corpora. Set
-    * sizes (n1/n2) are computed BEFORE the cap so jaccard denominators stay
-    * exact; intersections through dropped shingles can undercount, so the
-    * result is exact below the cap and a recall-documented approximation
-    * above it (spec asserts recall on a stop-shingled corpus). */
+    * `maxPostings` (OPT-IN; default = no cap, exact result) drops
+    * stop-shingles (posting lists longer than the cap) before the self-join
+    * — one ubiquitous bigram otherwise contributes O(df²) candidate pairs,
+    * a quadratic blow-up on natural corpora, so large-corpus callers should
+    * set it (~1000). Set sizes (n1/n2) are computed BEFORE the cap so
+    * jaccard denominators stay exact; intersections through dropped
+    * shingles can undercount, so a capped run is a recall-documented
+    * approximation (spec asserts recall on a stop-shingled corpus). The
+    * default stays exact so the operator silently matches its SQL
+    * definition at any scale. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, threshold: Double = 0.3,
-      maxPostings: Int = 1000): DataFrame = {
+      maxPostings: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TextOps.shingles(col(textCol), n)).as("sg"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
@@ -162,27 +165,63 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (see [[Similarity.cosine]]):
-    * exact all-pairs join below `maxBruteRows`, LSH-bucketed above —
-    * the O(n²) join is only ever the small-corpus path, never the default
-    * at scale. Pass `lsh = Some(...)` to force either path. */
+    * exact all-pairs join below `maxBruteRows`, hyperplane-LSH bucketed
+    * above — the O(n²) join is only ever the small-corpus path, never the
+    * default at scale. Pass `lsh = Some(...)` to force either path; when
+    * unset the choice reads Catalyst's row-count estimate (one `count()`
+    * fallback only when stats are absent — prefer the explicit hint).
+    *
+    * The LSH path is an OR-construction: `tables` independent hyperplane
+    * signatures (one vector pass, see
+    * [[Similarity.hyperplaneBucketTables]]), a pair is a candidate when ANY
+    * table's buckets match, then exact cosine verifies. Bits per table are
+    * tuned from the threshold so collision probability at cos == threshold
+    * reaches `recallTarget`: p = 1-acos(t)/π, bits = ⌊log(1-(1-R)^{1/L}) /
+    * log p⌋ — a loose threshold gets few wide tables, a 0.95 near-dup
+    * threshold gets ~13-bit tables whose buckets stay tiny. Candidates are
+    * id-only through the shuffle (vectors re-attached after dedup), and
+    * mega-buckets (> `maxBucketSize`) are dropped as carrying no near-dup
+    * signal — both mirroring [[minhashLshPairs]]. Output is always a subset
+    * of the brute-force pairs at the same threshold. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, lsh: Option[Boolean] = None, seed: Long = 42,
-      maxBruteRows: Long = 65536): DataFrame = {
-    val useLsh = lsh.getOrElse(df.count() > maxBruteRows)
+      maxBruteRows: Long = 65536, tables: Int = 8, recallTarget: Double = 0.9,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val useLsh = lsh.getOrElse {
+      df.queryExecution.optimizedPlan.stats.rowCount
+        .map(_ > maxBruteRows).getOrElse(df.count() > maxBruteRows)
+    }
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (!useLsh) {
-      val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       val a = v.as("a"); val b = v.as("b")
       a.join(b, col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"),
           Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
         .filter(col("cosine") >= threshold)
     } else {
-      Similarity.hyperplaneBuckets(df, idCol, vecCol, bits = 8, seed = seed)
-        .as("a").join(Similarity.hyperplaneBuckets(df, idCol, vecCol, bits = 8, seed = seed).as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"),
-          Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+      val bits = math.max(1, math.min(24,
+        (math.log(1.0 - math.pow(1.0 - recallTarget, 1.0 / tables)) / math.log(p)).toInt))
+      val sigged = Similarity
+        .hyperplaneBucketTables(df, idCol, vecCol, bits, tables, seed)
+        .select(col("id"), posexplode(col("buckets")))
+        .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+      val bucketSizes = sigged.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      val banded = sigged.join(bucketSizes, Seq("table", "bucket")).drop("__bsz")
+      val a = banded.as("a"); val b = banded.as("b")
+      val candidates = a.join(b,
+          col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .dropDuplicates("id1", "id2")
+      candidates
+        .join(v.select(col("id").as("id1"), col("v").as("v1")), "id1")
+        .join(v.select(col("id").as("id2"), col("v").as("v2")), "id2")
+        .select(col("id1"), col("id2"),
+          Similarity.cosine(col("v1"), col("v2")).as("cosine"))
         .filter(col("cosine") >= threshold)
     }
   }

@@ -55,38 +55,52 @@ object Similarity {
     * (cast) vector for downstream scoring. */
   def hyperplaneBuckets(
       df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 8, seed: Long = 42): DataFrame = {
+      bits: Int = 8, seed: Long = 42): DataFrame =
+    hyperplaneBucketTables(df, idCol, vecCol, bits, tables = 1, seed)
+      .withColumn("bucket", col("buckets").getItem(0)).drop("buckets")
+
+  /** OR-construction signatures: `tables` independent `bits`-bit hyperplane
+    * signatures per row, as one `buckets` array column — all tables computed
+    * in a single pass over the vectors. A near pair collides when ANY table
+    * agrees (P = 1-(1-p^bits)^tables, p = 1-θ/π), the same AND/OR structure
+    * as MinHash banding. */
+  def hyperplaneBucketTables(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int, seed: Long = 42): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dim = v.select(size(col("v"))).head().getInt(0)
     val rnd = new java.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    v.withColumn("bucket", bucket)
+    val bucketCols = (0 until tables).map { _ =>
+      val planes: Seq[Array[Double]] =
+        Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+      planes.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.map(lit): _*)
+        when(dot(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    v.withColumn("buckets", array(bucketCols: _*))
   }
 
-  /** ANN top-k via hyperplane LSH with hamming-1 multiprobe: each query
-    * probes its own bucket plus (when `multiprobe ≥ 1`) every bucket one
-    * sign-flip away — near neighbors that straddle a single hyperplane are
-    * recovered, lifting recall from ~0.3-0.5 to ≳0.8 while the candidate
-    * set stays ~(bits+1)/2^bits of the corpus. Probing explodes only the
-    * (broadcast) query side; each corpus row still has ONE bucket, so no
-    * candidate dedup is needed. */
+  /** ANN top-k via hyperplane LSH with hamming-`multiprobe` probing: each
+    * query probes its own bucket plus every bucket within `multiprobe` sign
+    * flips — near neighbors that straddle a few hyperplanes are recovered.
+    * At bits=4/multiprobe=2 that is 11/16 of the bucket space per query and
+    * ≳0.8 expected recall on cos≥0.3 neighbors; candidate growth is
+    * Σ_{j≤r} C(bits,j) probes, all on the (broadcast) query side. Each
+    * corpus row still has ONE bucket, so no candidate dedup is needed. */
   def annTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryFilter: Column, k: Int = 10, bits: Int = 6, seed: Long = 42,
-      multiprobe: Int = 1): DataFrame = {
+      multiprobe: Int = 2): DataFrame = {
     val bucketed = hyperplaneBuckets(df, idCol, vecCol, bits, seed)
     val qids = df.filter(queryFilter).select(col(idCol).as("qid0"))
     val queries = bucketed.join(broadcast(qids), col("id") === col("qid0"))
       .select(col("id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
-    val probeCols: Seq[Column] = col("qbucket") +:
-      (if (multiprobe >= 1) (0 until bits).map(i =>
-        col("qbucket").bitwiseXOR(lit(1L << i)))
-      else Seq.empty)
+    // all XOR masks over `bits` positions with popcount ≤ multiprobe
+    val masks = (0 until (1 << bits)).filter(m =>
+      java.lang.Integer.bitCount(m) <= multiprobe)
+    val probeCols: Seq[Column] =
+      masks.map(m => col("qbucket").bitwiseXOR(lit(m.toLong)))
     val probed = queries.select(col("qid"), col("qv"),
       explode(array(probeCols: _*)).as("qbucket"))
     val scored = bucketed.join(broadcast(probed),

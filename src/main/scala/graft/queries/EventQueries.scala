@@ -49,7 +49,7 @@ object EventQueries extends QueryModule {
           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM b)
-      SELECT user_id, session_seq,
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         epoch_us(min(ts)) // 1000000 AS session_start_s,
         epoch_us(max(ts)) // 1000000 AS session_end_s,
         count(*) AS n_events,
@@ -63,7 +63,7 @@ object EventQueries extends QueryModule {
           col("session_start").cast("long").as("session_start_s"),
           col("session_end").cast("long").as("session_end_s"),
           col("n_events"),
-          round(col("sum_value") * 100, 0).cast("long").as("sum_value_cents"))
+          (col("sum_value_exact") * 100).cast("long").as("sum_value_cents"))
         .orderBy("user_id", "session_seq"))
 
   /** Backward as-of join: each event takes the latest order at-or-before its

@@ -74,8 +74,11 @@ object SimQueries extends QueryModule {
       FROM p WHERE cos >= 0.35
       ORDER BY id1, id2"""),
     (s, dir) =>
+      // lsh = Some(false): the oracle documents the exact all-pairs
+      // semantics, so the gate pins the brute path (the explicit hint the
+      // operator prefers over a row-count probe)
       graft.ops.Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.35)
+          "vec_id", "embedding", threshold = 0.35, lsh = Some(false))
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2"))
 

@@ -131,8 +131,12 @@ object TextQueries extends QueryModule {
       WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.3
       ORDER BY id1, id2"""),
     (s, dir) =>
+      // maxPostings = MaxValue: the oracle SQL above is the EXACT pairwise
+      // Jaccard (no posting cap), so the gate must run the exact
+      // configuration — the cap is an opt-in scale control, not the
+      // documented semantics of this query
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", n = 2, threshold = 0.3)
+          "doc_id", "text", n = 2, threshold = 0.3, maxPostings = Int.MaxValue)
         .select(col("id1"), col("id2"), col("n1"), col("n2"), col("intersection"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"))

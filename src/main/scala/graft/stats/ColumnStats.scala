@@ -75,7 +75,9 @@ object ColumnStats {
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("p"))
       .select(col("p.c").as("c"), col("p.v").as("v"))
-      .filter(col("v").isNotNull)
+      // NaN must be excluded like null (pandas/DuckDB quantile semantics) —
+      // a NaN entering the histogram sorts last and poisons quantiles
+      .filter(col("v").isNotNull && !isnan(col("v")))
     val hist = pairs.groupBy("c", "v").agg(count(lit(1)).as("n")).cache()
     try {
       hist.count() // materialize once; per-column jobs below reuse the cache

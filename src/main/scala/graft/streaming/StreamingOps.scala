@@ -55,7 +55,10 @@ object StreamingOps {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+        // exact decimal twin of sum_value — consumers needing bit-exact cents
+        // (the driver gate) use this instead of re-deriving from the double
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value_exact"))
   }
 
   /** Streaming sessionization with session_window (native state eviction
