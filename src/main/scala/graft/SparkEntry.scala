@@ -13,9 +13,13 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.CoreQueries,
+    graft.queries.FilterQueries,
     graft.queries.JoinQueries,
     graft.queries.PivotQueries,
+    graft.queries.ExportQueries,
+    graft.queries.CatalogQueries,
     graft.queries.StatsQueries,
+    graft.queries.ProfileQueries,
     graft.queries.QualityQueries,
     graft.queries.TextQueries,
     graft.queries.SimQueries,

@@ -23,6 +23,33 @@ object Ingest {
   val MaxFileBytes: Long = 50L * 1024 * 1024 // 50 MB (csv_utils.py:27)
   val MaxColumns: Int = 1000 // csv_utils.py:72
 
+  /** Duplicate-file conflict (reference upload.py:20–27): an upload whose
+    * secure filename already exists in the data dir. */
+  final case class DuplicateFile(originalName: String, safeName: String, existingPath: String)
+
+  /** Resolution for a duplicate upload (upload.py:29–33). */
+  sealed trait DuplicateAction
+  case object Replace extends DuplicateAction
+  final case class Rename(newName: String) extends DuplicateAction
+  case object Cancel extends DuplicateAction
+
+  /** Duplicate-upload detection (reference upload.py:47–110): partitions
+    * candidate uploads into conflicts (secure filename already present in
+    * `dataDir`) and the indices of conflict-free ones. */
+  def checkDuplicates(
+      filenames: Seq[String], dataDir: String): (Seq[DuplicateFile], Seq[Int]) = {
+    val dir = java.nio.file.Paths.get(dataDir)
+    java.nio.file.Files.createDirectories(dir)
+    val results = filenames.zipWithIndex.map { case (name, i) =>
+      val safe = graft.report.Sinks.secureFilename(name)
+      val target = dir.resolve(safe)
+      if (java.nio.file.Files.exists(target))
+        Left(DuplicateFile(name, safe, target.toString))
+      else Right(i)
+    }
+    (results.collect { case Left(d) => d }, results.collect { case Right(i) => i })
+  }
+
   /** File-level validation: extension, size cap, basic content security
     * scan for formula-injection prefixes (security.py:18–152). */
   def validateFile(path: java.nio.file.Path): Validation = {
@@ -91,10 +118,23 @@ object Ingest {
       spark: SparkSession,
       sourcePath: String,
       dataDir: String,
-      keys: MergeKeys): (Validation, Option[String]) = {
+      keys: MergeKeys,
+      /** Conflict policy when the secure filename already exists in
+        * `dataDir` (upload.py:29–33, 47–110): Replace overwrites, Rename
+        * lands under the given name, Cancel rejects the upload. */
+      onDuplicate: DuplicateAction = Replace): (Validation, Option[String]) = {
     val src = java.nio.file.Paths.get(sourcePath)
     val fileCheck = validateFile(src)
     if (!fileCheck.ok) return (fileCheck, None)
+
+    val (dups, _) = checkDuplicates(Seq(src.getFileName.toString), dataDir)
+    val renamedTo: Option[String] = if (dups.nonEmpty) onDuplicate match {
+      case Cancel => return (Validation(
+        Seq(s"Duplicate file: ${dups.head.safeName} already exists in $dataDir"),
+        fileCheck.warnings), None)
+      case Rename(newName) => Some(newName)
+      case Replace => None
+    } else None
 
     val raw = spark.read.option("header", "true").option("inferSchema", "true")
       .option("mode", "PERMISSIVE").csv(sourcePath)
@@ -113,7 +153,8 @@ object Ingest {
       case _ => renamed
     }
 
-    val stem = graft.report.Sinks.secureFilename(src.getFileName.toString)
+    val stem = graft.report.Sinks
+      .secureFilename(renamedTo.getOrElse(src.getFileName.toString))
       .stripSuffix(".csv")
     val target = s"$dataDir/$stem.csv"
     graft.report.Sinks.csvExport(withComposite, target)

@@ -66,10 +66,36 @@ final case class CohortQuery(
   /** The hub with behavioral tables folded in via LEFT equi-joins on the
     * shared merge column (query_secure.py:66–92). Equi-join on the common
     * column name keeps a single key column (no demo.k vs t.k duplication). */
-  def basePlan: DataFrame = {
+  def basePlan: DataFrame = planOver(joinTables)
+
+  private def predicate(f: Filter): Column =
+    CohortQuery.predicateFor(f, catalog.config.ageColumn, keys,
+      catalog.config.studySiteColumn)
+
+  /** Join set for the COUNT path only (reference filters.py:289–291): same
+    * as [[joinTables]], except the reference's quirk — longitudinal data +
+    * a session filter + a demographics-only join set force-adds the FIRST
+    * available behavioral table. COUNT(DISTINCT key) over a LEFT join is
+    * unchanged by the extra join, so this is bug-for-bug plan parity
+    * (SURVEY.md §7.4 #11), reproduced on the count path and nowhere else;
+    * `countPathQuirk = false` opts out. */
+  def countJoinTables(countPathQuirk: Boolean = true): Seq[String] = {
+    val base = joinTables
+    val hasSessionFilter = filters.exists {
+      case _: Sessions => true
+      case _ => false
+    }
+    val behavioral = catalog.behavioralTableNames
+    if (countPathQuirk && keys.isLongitudinal && hasSessionFilter
+        && base.isEmpty && behavioral.nonEmpty)
+      Seq(behavioral.head)
+    else base
+  }
+
+  private def planOver(tables: Seq[String]): DataFrame = {
     val mergeCol = keys.mergeColumn
     val hub = catalog.demographics
-    val joined = joinTables.foldLeft(hub) { (acc, t) =>
+    val joined = tables.foldLeft(hub) { (acc, t) =>
       val other = catalog.table(t)
       require(other.columns.contains(mergeCol),
         s"Table '$t' lacks merge column '$mergeCol'")
@@ -82,31 +108,13 @@ final case class CohortQuery(
     orderedFilters.foldLeft(joined)((df, f) => df.filter(predicate(f)))
   }
 
-  private def predicate(f: Filter): Column = f match {
-    case AgeRange(lo, hi) =>
-      col(catalog.config.ageColumn).between(lo, hi)
-    case Sessions(values) =>
-      if (keys.isLongitudinal && keys.sessionId.nonEmpty)
-        col(keys.sessionId.get).cast("string").isin(values: _*)
-      else lit(true)
-    case Substudies(tokens) =>
-      val siteCol = catalog.config.studySiteColumn.getOrElse("all_studies")
-      tokens.map(t => tokenMatch(col(siteCol), t)).reduceOption(_ || _).getOrElse(lit(true))
-    case NumericRange(_, c, lo, hi) => col(c).between(lo, hi)
-    case Categorical(_, c, values) => col(c).isin(values: _*)
-    case BooleanFilter(_, c, values) =>
-      values.distinct match {
-        case Seq(v) => col(c) === lit(v)
-        case vs     => vs.map(v => col(c) === lit(v)).reduce(_ || _)
-      }
-  }
-
   /** Live participant count: COUNT(DISTINCT mergeColumn) over the filtered
     * join (query_secure.py:289–325). For longitudinal data this counts
     * participant-sessions, not participants — reference behavior, preserved
-    * (SURVEY.md §7.4 #9). */
-  def count(): Long =
-    basePlan.agg(countDistinct(col(keys.mergeColumn))).head().getLong(0)
+    * (SURVEY.md §7.4 #9). The join set includes the count-path quirk above. */
+  def count(countPathQuirk: Boolean = true): Long =
+    planOver(countJoinTables(countPathQuirk))
+      .agg(countDistinct(col(keys.mergeColumn))).head().getLong(0)
 
   /** Approximate fast path for the interactive counter at scale (opt-in;
     * default rsd 5%). */
@@ -143,4 +151,33 @@ object CohortQuery {
     * and is what [[graft.stats.SiteValues]] uses. */
   def tokenMatch(c: Column, token: String): Column =
     concat(lit(" "), c, lit(" ")).like(s"% $token %")
+
+  /** Filter → Column lowering (query_secure.py:94–184), independent of a
+    * catalog so any DataFrame-shaped source can apply the engine's filter
+    * algebra. P2 age BETWEEN; P7 session IN (string-cast, longitudinal
+    * only); P6 substudy token OR-chain; P3 numeric BETWEEN; P4 categorical
+    * IN; P5 boolean `= v` for one value, OR-chain for several
+    * (query_secure.py:160–172). */
+  def predicateFor(
+      f: Filter,
+      ageColumn: String,
+      keys: MergeKeys,
+      siteColumn: Option[String]): Column = f match {
+    case AgeRange(lo, hi) =>
+      col(ageColumn).between(lo, hi)
+    case Sessions(values) =>
+      if (keys.isLongitudinal && keys.sessionId.nonEmpty)
+        col(keys.sessionId.get).cast("string").isin(values: _*)
+      else lit(true)
+    case Substudies(tokens) =>
+      val siteCol = siteColumn.getOrElse("all_studies")
+      tokens.map(t => tokenMatch(col(siteCol), t)).reduceOption(_ || _).getOrElse(lit(true))
+    case NumericRange(_, c, lo, hi) => col(c).between(lo, hi)
+    case Categorical(_, c, values) => col(c).isin(values: _*)
+    case BooleanFilter(_, c, values) =>
+      values.distinct match {
+        case Seq(v) => col(c) === lit(v)
+        case vs     => vs.map(v => col(c) === lit(v)).reduce(_ || _)
+      }
+  }
 }

@@ -105,19 +105,52 @@ object Sinks {
     def lng(v: Option[Long]): Json = v.fold[Json](JNull)(x => JNum(x.toDouble))
   }
 
+  /** T4 composed data profile: T1 column stats + T2 pearson correlations +
+    * T3 quality report over one frame (reference analysis/statistics.py:
+    * 409–492), with the reference's optional seeded n-row sample
+    * (pages/profiling.py:291–293 — `random_state=42`). */
+  final case class Profile(
+      rowCount: Long,
+      columnCount: Int,
+      columns: Seq[ColumnStats.Stats],
+      correlations: Seq[Correlation.Pair],
+      quality: DataQuality.Report)
+
+  def profile(
+      df: DataFrame,
+      keys: MergeKeys,
+      numericCols: Seq[String],
+      sampleN: Option[Int] = None,
+      seed: Long = 42): Profile = {
+    val base = sampleN match {
+      case Some(n) =>
+        val total = df.count()
+        if (total <= n) df
+        else df.sample(withReplacement = false, n.toDouble / total * 1.1, seed).limit(n)
+      case None => df
+    }
+    val stats = if (numericCols.isEmpty) Seq.empty
+      else ColumnStats.describe(base, numericCols)
+    val corr = if (numericCols.size < 2) Seq.empty
+      else Correlation.pearson(base, numericCols)
+    val quality = DataQuality.report(base, keys)
+    Profile(base.count(), base.columns.length, stats, corr, quality)
+  }
+
   /** S11/T4: composed data profile (column stats + correlations + quality)
     * as a JSON document. */
-  def profileJson(df: DataFrame, keys: MergeKeys, numericCols: Seq[String]): String = {
+  def profileJson(df: DataFrame, keys: MergeKeys, numericCols: Seq[String]): String =
+    renderProfileJson(profile(df, keys, numericCols))
+
+  def renderProfileJson(p: Profile): String = {
     import Json._
-    val stats = if (numericCols.isEmpty) Seq.empty
-      else ColumnStats.describe(df, numericCols)
-    val corr = if (numericCols.size < 2) Seq.empty
-      else Correlation.pearson(df, numericCols)
-    val quality = DataQuality.report(df, keys)
+    val stats = p.columns
+    val corr = p.correlations
+    val quality = p.quality
 
     val doc = JObj(Seq(
-      "row_count" -> JNum(df.count().toDouble),
-      "column_count" -> JNum(df.columns.length.toDouble),
+      "row_count" -> JNum(p.rowCount.toDouble),
+      "column_count" -> JNum(p.columnCount.toDouble),
       "columns" -> JArr(stats.map(s => JObj(Seq(
         "column" -> JStr(s.column), "n" -> JNum(s.n.toDouble),
         "nulls" -> JNum(s.nulls.toDouble), "distinct" -> JNum(s.distinct.toDouble),
@@ -141,6 +174,62 @@ object Sinks {
         "total_issues" -> JNum(quality.totalIssues.toDouble)))))
     render(doc)
   }
+
+  /** S11 HTML render (reference pages/profiling.py:279–345 serves an HTML
+    * report alongside the JSON; theirs is ydata-profiling's, ours renders
+    * OUR profile doc): a self-contained page with overview, per-column
+    * statistics, correlation and quality tables. */
+  def renderProfileHtml(p: Profile, title: String = "Data profile"): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def fmt(v: Option[Double]): String =
+      v.fold("")(d => if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+                      else f"$d%.6g")
+    def table(headers: Seq[String], rows: Seq[Seq[String]]): String =
+      s"""<table><thead><tr>${headers.map(h => s"<th>${esc(h)}</th>").mkString}</tr></thead>
+         |<tbody>${rows.map(r => s"<tr>${r.map(c => s"<td>${esc(c)}</td>").mkString}</tr>").mkString("\n")}</tbody></table>""".stripMargin
+
+    val colRows = p.columns.map(s => Seq(
+      s.column, s.n.toString, s.nulls.toString, s.distinct.toString,
+      fmt(s.mean), fmt(s.std), fmt(s.min), fmt(s.q25), fmt(s.median),
+      fmt(s.q75), fmt(s.max), fmt(s.skew), fmt(s.kurt),
+      s.iqrOutliers.fold("")(_.toString)))
+    val corrRows = p.correlations.map(c => Seq(
+      c.col1, c.col2, fmt(c.r), c.n.toString))
+    val missRows = p.quality.missing.map(m => Seq(
+      m.column, m.missingCount.toString, f"${m.missingPct}%.2f%%", m.severity))
+    val outRows = p.quality.outliers.map(o => Seq(
+      o.column, o.outlierCount.toString, f"${o.outlierPct}%.2f%%", o.severity))
+
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em;color:#222}
+       |table{border-collapse:collapse;margin:1em 0}
+       |th,td{border:1px solid #ccc;padding:4px 10px;text-align:right}
+       |th{background:#f0f0f0}td:first-child,th:first-child{text-align:left}
+       |h2{border-bottom:1px solid #ddd;padding-bottom:4px}
+       |</style></head><body>
+       |<h1>${esc(title)}</h1>
+       |<h2>Overview</h2>
+       |<p>Rows: ${p.rowCount} &middot; Columns: ${p.columnCount} &middot;
+       |Quality issues: ${p.quality.totalIssues}</p>
+       |<h2>Columns</h2>
+       |${table(Seq("column", "n", "nulls", "distinct", "mean", "std", "min",
+          "q25", "median", "q75", "max", "skew", "kurt", "iqr_outliers"), colRows)}
+       |<h2>Correlations (pearson)</h2>
+       |${table(Seq("col1", "col2", "r", "n"), corrRows)}
+       |<h2>Missing data</h2>
+       |${table(Seq("column", "missing", "pct", "severity"), missRows)}
+       |<h2>IQR outlier columns</h2>
+       |${table(Seq("column", "outliers", "pct", "severity"), outRows)}
+       |<p>Duplicate primary IDs: ${p.quality.primaryIdDuplicates} &middot;
+       |Duplicate rows: ${p.quality.duplicateRows}</p>
+       |</body></html>""".stripMargin
+  }
+
+  def profileHtml(df: DataFrame, keys: MergeKeys, numericCols: Seq[String]): String =
+    renderProfileHtml(profile(df, keys, numericCols))
 
   /** S9 composition: the reference's summary-report ZIP = filter funnel +
     * per-step CSVs (query/callbacks/export.py:449–476). */

@@ -90,4 +90,30 @@ object CohortReports {
     }
     numSummaries ++ catSummaries
   }
+
+  /** A13 per-session sub-summaries (reference query/callbacks/export.py:
+    * 426–446): longitudinal final summary repeated per session value. The
+    * reference loops `filter(session == s)` per session; here ONE
+    * groupBy(session) computes every session's summary in a single
+    * shuffle — same numbers, K fewer scans. Decimal-exact means so the
+    * result is oracle-hashable. */
+  def perSessionSummary(
+      df: DataFrame,
+      keys: MergeKeys,
+      numericCols: Seq[String]): DataFrame = {
+    val sess = keys.sessionId.getOrElse(
+      throw new IllegalArgumentException("perSessionSummary needs longitudinal keys"))
+    val aggs = Seq(
+      countDistinct(col(keys.primaryId)).as("n_participants"),
+      count(lit(1)).as("n_rows")) ++
+      numericCols.flatMap(c => Seq(
+        (sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double") / count(col(c))).as(s"mean_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+    df.filter(col(sess).isNotNull)
+      .groupBy(col(sess).cast(StringType).as("session"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("session")
+  }
 }

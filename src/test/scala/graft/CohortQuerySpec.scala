@@ -69,6 +69,24 @@ class CohortQuerySpec extends SparkSpec {
     assert(cat.mergeKeys.primaryId == "subject_id")
   }
 
+  test("count-path quirk: session filter + demographics-only join set force-adds first behavioral table") {
+    // Reference filters.py:289–291: longitudinal + a session filter + a
+    // demographics-only join set => the FIRST available behavioral table is
+    // added to the count query's join set (and only there).
+    val cat = new TableCatalog(spark, EngineConfig(longitudinalDir()))
+    val q = CohortQuery(cat, filters = Seq(Sessions(Seq("BAS1"))))
+    assert(q.joinTables.isEmpty, "data-path join set stays demographics-only")
+    assert(q.countJoinTables() == Seq("cognitive"), "count path adds cognitive")
+    assert(q.countJoinTables(countPathQuirk = false).isEmpty)
+    // The left join never changes COUNT(DISTINCT key): literal parity.
+    assert(q.count() == 3L)
+    assert(q.count(countPathQuirk = false) == 3L)
+    // No session filter, or a non-empty join set => no force-add.
+    assert(CohortQuery(cat).countJoinTables().isEmpty)
+    assert(CohortQuery(cat, filters = Seq(Sessions(Seq("BAS1"))),
+      selectedTables = Seq("cognitive")).countJoinTables() == Seq("cognitive"))
+  }
+
   test("count + filters, cross-sectional") {
     val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
     val q = CohortQuery(cat,

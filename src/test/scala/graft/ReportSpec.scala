@@ -124,6 +124,48 @@ class ReportSpec extends SparkSpec {
     assert(landed.head().getAs[String]("customID") == "S1_BAS1")
   }
 
+  test("ingest detects duplicate re-uploads: cancel rejects, rename lands anew") {
+    val src = java.nio.file.Files.createTempDirectory("graft-dup")
+    java.nio.file.Files.writeString(src.resolve("scores.csv"), "ursi,x\nS1,1\n")
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-dup-data").toString
+    val keys = MergeKeys("ursi")
+
+    val (v1, p1) = Ingest.ingestCsv(spark, s"$src/scores.csv", dataDir, keys)
+    assert(v1.ok && p1.exists(_.endsWith("scores.csv")))
+
+    val (dups, fresh) = Ingest.checkDuplicates(Seq("scores.csv", "other.csv"), dataDir)
+    assert(dups.map(_.safeName) == Seq("scores.csv") && fresh == Seq(1))
+
+    val (v2, p2) = Ingest.ingestCsv(spark, s"$src/scores.csv", dataDir, keys, Ingest.Cancel)
+    assert(!v2.ok && p2.isEmpty && v2.errors.exists(_.contains("Duplicate file")))
+
+    val (v3, p3) = Ingest.ingestCsv(spark, s"$src/scores.csv", dataDir, keys,
+      Ingest.Rename("scores_v2.csv"))
+    assert(v3.ok && p3.exists(_.endsWith("scores_v2.csv")))
+
+    val (v4, p4) = Ingest.ingestCsv(spark, s"$src/scores.csv", dataDir, keys, Ingest.Replace)
+    assert(v4.ok && p4.exists(_.endsWith("scores.csv")))
+  }
+
+  test("profile HTML renders overview, column, correlation and quality tables") {
+    val df = Seq(("S1", 1.0, 10.0), ("S2", 2.0, 20.0), ("S3", 3.0, 31.0),
+        ("S3", 3.0, 31.0))
+      .toDF("ursi", "x", "y")
+    val p = Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"))
+    val html = Sinks.renderProfileHtml(p, title = "t <&> t")
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("t &lt;&amp;&gt; t")) // title escaped
+    assert(html.contains("Rows: 4"))
+    assert(html.contains("<td>x</td>") && html.contains("<td>y</td>"))
+    assert(html.contains("Duplicate primary IDs: 1"))
+    // sampled profile stays bounded and seeded-deterministic
+    val sampled = Sinks.profile(df, MergeKeys("ursi"), Seq("x"), sampleN = Some(2))
+    assert(sampled.rowCount <= 2)
+    val again = Sinks.profile(df, MergeKeys("ursi"), Seq("x"), sampleN = Some(2))
+    assert(again.rowCount == sampled.rowCount
+      && again.columns.map(_.mean) == sampled.columns.map(_.mean))
+  }
+
   test("ingest rejects oversized claims and wrong extensions") {
     val src = java.nio.file.Files.createTempDirectory("graft-bad")
     java.nio.file.Files.writeString(src.resolve("data.txt"), "a,b\n1,2\n")

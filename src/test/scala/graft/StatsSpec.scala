@@ -126,6 +126,35 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(a.skew.get) < 0.4) // population skew of normal sample
   }
 
+  test("filter funnel: correct counts, and the plan has no Expand") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("S1", 25, 1), ("S1", 26, 2), ("S2", 31, 1), ("S2", 32, 2),
+      ("S3", 44, 1), ("S4", 19, 1), (null.asInstanceOf[String], 99, 1))
+      .toDF("ursi", "age", "session")
+    val steps = Seq(
+      "adults" -> (col("age") >= 20),
+      "session1" -> (col("session") === 1))
+    val funnel = graft.stats.FilterFunnel.funnel(df, "ursi", steps)
+    // baseline 4 distinct non-null ursi; adults drops S4; session1 keeps S2,S3...
+    assert(funnel.map(f => (f.label, f.n)) ==
+      Seq(("baseline", 4L), ("adults", 3L), ("session1", 3L)))
+    val impact = graft.stats.FilterFunnel.impact(df, "ursi", steps)
+    assert(impact.map(f => (f.label, f.n)) ==
+      Seq(("baseline", 4L), ("adults", 3L), ("session1", 4L), ("all_filters", 3L)))
+
+    // Plan shape: the multi-condition distinct count must NOT use Expand
+    // (K+1 countDistinct would multiply the scan x(K+1) at 100 TB).
+    val flags = steps.scanLeft(org.apache.spark.sql.functions.lit(true))(
+      (acc, s) => acc && s._2).zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.when(c, 1L).otherwise(0L)).as(s"m__$i") }
+    val perKey = df.filter(col("ursi").isNotNull)
+      .groupBy(col("ursi")).agg(flags.head, flags.tail: _*)
+    val physical = perKey.queryExecution.executedPlan.toString
+    assert(!physical.contains("Expand"), s"funnel plan contains Expand:\n$physical")
+  }
+
   test("site values parse braces, commas, semicolons, spaces") {
     val df = Seq("{Discovery, Longitudinal_Adult}", "A;B", "C D", " ", "A")
       .toDF("all_studies")
