@@ -24,14 +24,18 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Word n-gram shingles joined with single spaces (distinct set). */
+  /** Word n-gram shingles joined with single spaces (distinct set), via the
+    * native [[graft.functions.ShingleNGrams]] expression. The compositional
+    * `transform(sequence(...), i -> concat_ws(slice(w, ...)))` form embeds
+    * the split pipeline inside the lambda so interpreted eval re-splits the
+    * document per shingle — O(words²) and never codegen'd; the native
+    * expression is one pass (same output, bit-for-bit). */
   def shingles(c: Column, n: Int): Column = {
-    val w = tokens(c)
-    array_distinct(
-      when(size(w) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fname = s"graft_shingles_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.ShingleNGrams(exprs.head, n), "built-in")
+    call_function(fname, c.cast(StringType))
   }
 
   /** Stopword marker sets for the n-gram/stopword language-ID heuristic. */
