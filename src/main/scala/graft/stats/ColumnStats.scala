@@ -67,9 +67,18 @@ object ColumnStats {
     (h.quantiles, h.outliers)
   }
 
+  /** Histograms at or below this entry count are collected and finished on
+    * the driver (one job, ~1 MB); above it the distributed prefix-scan path
+    * runs. Most real columns are low-cardinality, so at scale this turns
+    * T1 into [one agg + one groupBy + one tiny collect per column]; only
+    * near-unique columns pay a distributed sort — which for them is the
+    * histogram ≈ the data, i.e. the sort they fundamentally need. */
+  val SmallHistEntries: Long = 65536
+
   /** ONE histogram pass for all columns: explode to (col, value) pairs,
     * `groupBy(col, value).count()` (map-side combined), then per-column
-    * histogram-sized jobs over the cached result. */
+    * finishing — driver-side for small histograms, distributed prefix-scan
+    * for near-unique ones (identical arithmetic either way). */
   private def histogramStats(
       df: DataFrame, cols: Seq[String], ps: Seq[Double]): Map[String, HistStats] = {
     val pairs = df.select(explode(array(cols.map(c =>
@@ -80,17 +89,60 @@ object ColumnStats {
       .filter(col("v").isNotNull && !isnan(col("v")))
     val hist = pairs.groupBy("c", "v").agg(count(lit(1)).as("n")).cache()
     try {
-      hist.count() // materialize once; per-column jobs below reuse the cache
+      // Materializes the cache AND sizes each column's histogram (one job).
+      val sizes: Map[String, Long] = hist.groupBy("c").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val futures = cols.map { c =>
-        Future(c -> colFromHist(
-          hist.filter(col("c") === c).select("v", "n")
-            .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps))
+        Future(c ->
+          (if (sizes.getOrElse(c, 0L) <= SmallHistEntries)
+            colFromLocalHist(
+              hist.filter(col("c") === c).select("v", "n")
+                .collect().map(r => (r.getDouble(0), r.getLong(1))), ps)
+          else
+            colFromHist(
+              hist.filter(col("c") === c).select("v", "n")
+                .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps)))
       }
       Await.result(Future.sequence(futures), Duration.Inf).toMap
     } finally hist.unpersist(blocking = false)
+  }
+
+  /** Driver-side twin of [[colFromHist]] for bounded histograms — the SAME
+    * interpolation and outlier arithmetic, zero extra Spark jobs. */
+  private def colFromLocalHist(
+      entries: Array[(Double, Long)], ps: Seq[Double]): HistStats = {
+    if (entries.isEmpty) return HistStats(ps.map(_ => None), 0L, None)
+    val sorted = entries.sortBy(_._1)
+    val nTotal = sorted.iterator.map(_._2).sum
+    val positions = ps.map(p => (nTotal - 1) * p)
+    def valueAt(idx: Long): Double = {
+      var below = 0L
+      var i = 0
+      while (i < sorted.length) {
+        below += sorted(i)._2
+        if (idx < below) return sorted(i)._1
+        i += 1
+      }
+      sorted.last._1
+    }
+    val quantiles = positions.map { pos =>
+      val lo = valueAt(math.floor(pos).toLong)
+      val hi = valueAt(math.ceil(pos).toLong)
+      Some(lo + (pos - math.floor(pos)) * (hi - lo))
+    }
+    val outliers = for {
+      q25 <- quantiles.headOption.flatten
+      q75 <- quantiles.lastOption.flatten
+    } yield {
+      val iqr = q75 - q25
+      val lo = q25 - 1.5 * iqr
+      val hi = q75 + 1.5 * iqr
+      sorted.iterator.filter { case (v, _) => v < lo || v > hi }.map(_._2).sum
+    }
+    HistStats(quantiles, sorted.length.toLong, outliers)
   }
 
   /** Exact quantiles from a per-column (value, count) histogram via the
@@ -101,13 +153,17 @@ object ColumnStats {
     val sorted = h.sortBy(_._1)
     sorted.cache()
     try {
-      val partTotals = sorted.mapPartitionsWithIndex { (i, it) =>
-        Iterator((i, it.map(_._2).sum))
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = partTotals.scanLeft(0L)(_ + _)
+      // One pass collects per-partition row totals AND entry counts (the
+      // entry count sum is the distinct count — no separate count() job).
+      val partStats = sorted.mapPartitionsWithIndex { (i, it) =>
+        var rows = 0L; var entries = 0L
+        it.foreach { e => rows += e._2; entries += 1 }
+        Iterator((i, rows, entries))
+      }.collect().sortBy(_._1)
+      val offsets = partStats.map(_._2).scanLeft(0L)(_ + _)
       val nTotal = offsets.last
       if (nTotal == 0) return HistStats(ps.map(_ => None), 0L, None)
-      val distinct = sorted.count()
+      val distinct = partStats.map(_._3).sum
       val positions = ps.map(p => (nTotal - 1) * p)
       val needed = positions.flatMap(pos =>
         Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
