@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * Methodology: every headline plan is executed once untimed (warm-up:
-  * codegen compilation, JIT, parquet footer cache), then once timed.
-  * Results are materialized through the noop sink so projections are
-  * actually computed — a bare .count() lets Catalyst prune the work.
+  * codegen compilation, JIT, parquet footer cache), then N timed
+  * iterations (SPARK_GRAFT_BENCH_ITERS, default 3) with the per-query
+  * MEDIAN reported — single-iteration timings on a 32-thread local JVM
+  * proved too noisy to trust (the r2/r3 q5/j1/a1 swings). Results are
+  * materialized through the noop sink so projections are actually
+  * computed — a bare .count() lets Catalyst prune the work.
   */
 object Bench {
 
@@ -59,11 +62,22 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
 
-    val results = selected.map { name =>
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
+    // Per-query median over `iters` runs; a query interleaves its own
+    // iterations (not round-robin) so each median sees the same cache state.
+    val results = selected.map { name =>
+      val samples = (1 to iters).map(_ => timeOnce(name)).filter(_ >= 0).sorted
+      val median =
+        if (samples.isEmpty) -1.0
+        else samples(samples.size / 2)
+      name -> median
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -71,9 +85,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Land the JSON everywhere the driver might look: stdout (contract),
+    // stderr (in case sbt garbles stdout with [info] prefixes — BENCH_r1..r3
+    // all came back "parsed": null), and a file.
     println(json)
-    // Also land the JSON in a file: the driver's stdout recovery has been
-    // lossy (BENCH_r1/r2 "parsed": null), and sbt interleaves log lines.
+    System.out.flush()
+    System.err.println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -40,11 +40,25 @@ object ShingleNGrams {
   private val emptyArray = new GenericArrayData(Array.empty[Any])
 
   /** Single pass: trim → whitespace-split → n-gram join(" ") → distinct
-    * (first-occurrence order, matching `array_distinct`). */
+    * (first-occurrence order, matching `array_distinct`).
+    *
+    * Whitespace semantics replicate Spark/DuckDB exactly, NOT Java's:
+    * `trim` strips only ' ' (Java String.trim strips every char ≤ 0x20,
+    * which would eat tabs/newlines at the edges), and the split keeps
+    * leading/trailing empty tokens (Java's default limit-0 split drops
+    * trailing empties; Spark's `split` and Postgres-style
+    * `regexp_split_to_array` use limit -1). So `"a b\n"` tokenizes to
+    * `["a","b",""]` and its 2-shingles are `["a b", "b "]` — byte-identical
+    * to `TextOps.tokens` and the DuckDB oracles on any corpus, including
+    * tab/newline edge whitespace. */
   def shingle(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.trim
-    if (s.isEmpty) return emptyArray
-    val words = s.split("\\s+")
+    val s0 = text.toString
+    var b = 0
+    var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    if (b == e) return emptyArray
+    val words = s0.substring(b, e).split("\\s+", -1)
     if (words.length < n) return emptyArray
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     var i = 0

@@ -157,6 +157,17 @@ object Ingest {
       .secureFilename(renamedTo.getOrElse(src.getFileName.toString))
       .stripSuffix(".csv")
     val target = s"$dataDir/$stem.csv"
+    // Re-validate the FINAL landing name at write time (the reference
+    // re-validates the resolved name; this also narrows the check→write
+    // TOCTOU window): without it, Rename('existing.csv') silently overwrites
+    // that file — Replace semantics under a Rename policy. Only an explicit
+    // Replace may overwrite.
+    if (onDuplicate != Replace
+        && java.nio.file.Files.exists(java.nio.file.Paths.get(target)))
+      return (Validation(
+        Seq(s"Duplicate file: $stem.csv already exists in $dataDir" +
+          renamedTo.fold("")(n => s" (rename target '$n' conflicts)")),
+        fileCheck.warnings ++ dfCheck.warnings), None)
     graft.report.Sinks.csvExport(withComposite, target)
     (Validation(Seq.empty, fileCheck.warnings ++ dfCheck.warnings), Some(target))
   }

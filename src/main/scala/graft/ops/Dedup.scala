@@ -25,6 +25,8 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact duplicate groups by fingerprint: keeper (min id) + copy count +
     * fingerprint. Use `dropDuplicatesByFingerprint` for the pruned data. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -58,8 +60,32 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(TextOps.shingles(col(textCol), n)).as("sg"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val postings = sh.groupBy(col("sg")).agg(count(lit(1)).as("__df"))
+    val postings0 = sh.groupBy(col("sg")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxPostings && col("__df") > 1)
+    // Uncapped runs get a runtime signal for the quadratic cliff: observe the
+    // max posting-list df (CollectMetrics — no extra job) and warn once the
+    // caller's action completes. Large-corpus callers should set maxPostings.
+    val postings =
+      if (maxPostings != Int.MaxValue) postings0
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val observed = postings0.observe(obs, max(col("__df")).as("max_df"))
+        val watcher = new Thread(() => {
+          val maxDf = obs.get.get("max_df") match {
+            case Some(l: java.lang.Long) => l.longValue()
+            case Some(i: java.lang.Integer) => i.longValue()
+            case _ => 0L
+          }
+          if (maxDf > 1000)
+            log.warn(
+              s"ngramJaccardPairs running uncapped with a posting list of df=$maxDf " +
+                s"(> 1000): the common-shingle self-join generates O(df²) candidate " +
+                s"pairs per stop-shingle. Set maxPostings (~1000) on large corpora.")
+        }, "graft-ngram-postings-watcher")
+        watcher.setDaemon(true)
+        watcher.start()
+        observed
+      }
     val pruned = sh.join(postings, Seq("sg")).drop("__df")
     val a = pruned.as("a"); val b = pruned.as("b")
     val inter = a.join(b, col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
@@ -155,11 +181,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: signature via the custom Catalyst expression,
-    * banded join on 16-bit chunks (a pair within hamming distance d < chunks
-    * must agree on ≥1 chunk), exact hamming filter with built-in bit_count. */
+    * banded on 16-bit chunks (a pair within hamming distance d < chunks must
+    * agree on ≥1 chunk), exact hamming filter with built-in bit_count.
+    *
+    * Candidate generation is ONE groupBy(chunk, piece) with map-side pair
+    * expansion from each bucket's member array — same shape as
+    * [[minhashLshPairs]], no self-join shuffle. `maxBucketSize` drops
+    * mega-buckets: on skewed corpora (many empty/near-constant documents
+    * sharing a chunk value) an uncapped bucket is O(bucket²) pairs — the one
+    * remaining quadratic cliff this operator had. Signatures are 8 bytes so
+    * members carry (id, sig) through the shuffle, saving the two re-attach
+    * joins the minhash path needs for its k-long arrays. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     val sig = GraftFunctions.simhash64(spark, TextOps.tokens(col(textCol)))
     val sigs = df.select(col(idCol).as("id"), sig.as("sig"))
@@ -168,11 +203,16 @@ object Dedup {
       shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = sigs.select(col("id"), col("sig"), posexplode(array(chunkCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("piece"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+    val buckets = banded.groupBy(col("chunk"), col("piece"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms0"))
+      .filter(size(col("ms0")).between(2, maxBucketSize))
+      .select(array_sort(col("ms0")).as("ms")) // struct sort = by id first
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+            x.getField("sig").as("sig1"), y.getField("sig").as("sig2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.sig1"), col("p.sig2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
       .filter(col("hamming") <= maxHamming)
@@ -203,10 +243,12 @@ object Dedup {
       threshold: Double = 0.95, lsh: Option[Boolean] = None, seed: Long = 42,
       maxBruteRows: Long = 65536, tables: Int = 8, recallTarget: Double = 0.9,
       maxBucketSize: Int = 4096): DataFrame = {
-    val useLsh = lsh.getOrElse {
-      df.queryExecution.optimizedPlan.stats.rowCount
-        .map(_ > maxBruteRows).getOrElse(df.count() > maxBruteRows)
-    }
+    // Row-count estimate drives both the brute/LSH choice and the bits
+    // floor: Catalyst stats first, count() only as fallback (and only when
+    // actually needed — an explicit lsh=Some(false) hint never pays it).
+    lazy val nEst: Long = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
+    val useLsh = lsh.getOrElse(nEst > maxBruteRows)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (!useLsh) {
       val a = v.as("a"); val b = v.as("b")
@@ -216,21 +258,37 @@ object Dedup {
         .filter(col("cosine") >= threshold)
     } else {
       val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
-      val bits = math.max(1, math.min(24,
-        (math.log(1.0 - math.pow(1.0 - recallTarget, 1.0 / tables)) / math.log(p)).toInt))
+      val tunedBits =
+        (math.log(1.0 - math.pow(1.0 - recallTarget, 1.0 / tables)) / math.log(p)).toInt
+      // Floor bits by corpus size: with b bits the expected bucket holds
+      // n/2^b rows, so b < log2(n/maxBucketSize) means EVERY bucket trips
+      // the mega-bucket cap and the operator silently returns ~zero pairs
+      // (the round-2 zero-recall failure, reintroduced for loose thresholds
+      // on big corpora). The floor trades precision (more verify pairs per
+      // true dup), never recall — extra candidates still pass exact cosine.
+      val floorBits =
+        if (nEst > maxBucketSize)
+          math.ceil(math.log(nEst.toDouble / maxBucketSize) / math.log(2.0)).toInt
+        else 1
+      val bits = math.max(1, math.min(24, math.max(tunedBits, floorBits)))
       val sigged = Similarity
         .hyperplaneBucketTables(df, idCol, vecCol, bits, tables, seed)
         .select(col("id"), posexplode(col("buckets")))
         .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
-      val bucketSizes = sigged.groupBy(col("table"), col("bucket"))
-        .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
-      val banded = sigged.join(bucketSizes, Seq("table", "bucket")).drop("__bsz")
-      val a = banded.as("a"); val b = banded.as("b")
-      val candidates = a.join(b,
-          col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
-            && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      // ONE groupBy(table, bucket): size filter = mega-bucket cap +
+      // singleton drop, pairs expanded map-side from the sorted member array
+      // (the minhashLshPairs shape) — replaces the bucket-size join + banded
+      // self-join, two fewer exchanges. Ids only through the shuffle;
+      // vectors re-attach after dedup.
+      val buckets = sigged.groupBy(col("table"), col("bucket"))
+        .agg(collect_list(col("id")).as("ids0"))
+        .filter(size(col("ids0")).between(2, maxBucketSize))
+        .select(sort_array(col("ids0")).as("ids"))
+      val candidates = buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.as("id1"), y.as("id2")))))).as("p"))
+        .select(col("p.id1"), col("p.id2"))
         .dropDuplicates("id1", "id2")
       candidates
         .join(v.select(col("id").as("id1"), col("v").as("v1")), "id1")

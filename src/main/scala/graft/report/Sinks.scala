@@ -116,24 +116,51 @@ object Sinks {
       correlations: Seq[Correlation.Pair],
       quality: DataQuality.Report)
 
+  /** Profiling modes (reference pages/profiling.py:74–77): `Minimal` skips
+    * the expensive passes (correlations, quality report) and keeps per-column
+    * statistics only; `Full` is the complete profile; `Explorative` is the
+    * reference's deep mode — for us identical to Full (our full profile
+    * already computes everything we support; the reference's explorative
+    * extras are ydata-profiling internals like text/url analysis). */
+  sealed trait ProfileMode
+  object ProfileMode {
+    case object Minimal extends ProfileMode
+    case object Full extends ProfileMode
+    case object Explorative extends ProfileMode
+  }
+
+  /** The reference's sample-size slider bounds (pages/profiling.py:279–345:
+    * user-chosen 1,000–20,000 rows). UI layers should offer this range; the
+    * library honors whatever `sampleN` the caller passes. */
+  val MinSampleN = 1000
+  val MaxSampleN = 20000
+
   def profile(
       df: DataFrame,
       keys: MergeKeys,
       numericCols: Seq[String],
       sampleN: Option[Int] = None,
-      seed: Long = 42): Profile = {
+      seed: Long = 42,
+      mode: ProfileMode = ProfileMode.Full): Profile = {
     val base = sampleN match {
       case Some(n) =>
         val total = df.count()
         if (total <= n) df
-        else df.sample(withReplacement = false, n.toDouble / total * 1.1, seed).limit(n)
+        // Fraction clamped to 1.0: with n < total < 1.1·n the 1.1 oversample
+        // factor (which keeps limit(n) honest) would exceed 1.0 and Spark's
+        // Sample node rejects fractions > 1 without replacement.
+        else df.sample(withReplacement = false,
+          math.min(1.0, n.toDouble / total * 1.1), seed).limit(n)
       case None => df
     }
+    val minimal = mode == ProfileMode.Minimal
     val stats = if (numericCols.isEmpty) Seq.empty
       else ColumnStats.describe(base, numericCols)
-    val corr = if (numericCols.size < 2) Seq.empty
+    val corr = if (minimal || numericCols.size < 2) Seq.empty
       else Correlation.pearson(base, numericCols)
-    val quality = DataQuality.report(base, keys)
+    val quality =
+      if (minimal) DataQuality.Report(Seq.empty, 0L, 0L, Seq.empty, Seq.empty)
+      else DataQuality.report(base, keys)
     Profile(base.count(), base.columns.length, stats, corr, quality)
   }
 

@@ -78,16 +78,24 @@ object ColumnStats {
   /** ONE histogram pass for all columns: explode to (col, value) pairs,
     * `groupBy(col, value).count()` (map-side combined), then per-column
     * finishing — driver-side for small histograms, distributed prefix-scan
-    * for near-unique ones (identical arithmetic either way). */
+    * for near-unique ones (identical arithmetic either way).
+    *
+    * The histogram is keyed on the NATIVE value (its exact string rendering,
+    * injective per column — two longs beyond 2^53 that collapse to one
+    * double stay two entries, so `distinct` matches pandas `nunique` on
+    * native values, analysis/statistics.py:121); the double cast is used
+    * only for ordering and quantile interpolation, where double precision is
+    * inherent to the arithmetic anyway. */
   private def histogramStats(
       df: DataFrame, cols: Seq[String], ps: Seq[Double]): Map[String, HistStats] = {
     val pairs = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"))): _*)).as("p"))
-      .select(col("p.c").as("c"), col("p.v").as("v"))
+        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"),
+          col(c).cast(StringType).as("vs"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"), col("p.vs").as("vs"))
       // NaN must be excluded like null (pandas/DuckDB quantile semantics) —
       // a NaN entering the histogram sorts last and poisons quantiles
       .filter(col("v").isNotNull && !isnan(col("v")))
-    val hist = pairs.groupBy("c", "v").agg(count(lit(1)).as("n")).cache()
+    val hist = pairs.groupBy("c", "v", "vs").agg(count(lit(1)).as("n")).cache()
     try {
       // Materializes the cache AND sizes each column's histogram (one job).
       val sizes: Map[String, Long] = hist.groupBy("c").count().collect()

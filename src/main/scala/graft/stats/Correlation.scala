@@ -87,9 +87,46 @@ object Correlation {
     Pair(a, b, if (n < minPeriods) None else r, n)
   }
 
-  def spearman(df: DataFrame, cols: Seq[String], minPeriods: Int = 10): Seq[Pair] =
-    for { i <- cols.indices; j <- (i + 1) until cols.length }
-      yield spearmanPair(df, cols(i), cols(j), minPeriods)
+  /** All-pairs spearman. Columns with NO nulls are ranked ONCE (k ranking
+    * passes total) and their pairs come from a single all-pairs `corr`
+    * aggregate over the rank columns — the naive per-pair path costs
+    * k(k−1) rank-sorts for a k-column matrix, the dominant plan cost at
+    * scale. Pairs touching a null-bearing column keep the exact per-pair
+    * re-rank (pandas pairwise-complete semantics: ranks are computed within
+    * the pairwise non-null subset, so a shared ranking would be wrong
+    * wherever null patterns differ). */
+  def spearman(df: DataFrame, cols: Seq[String], minPeriods: Int = 10): Seq[Pair] = {
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    if (pairs.isEmpty) return Seq.empty
+    // One aggregate: total rows + per-column non-null counts.
+    val countAggs = count(lit(1)).as("__rows") +:
+      cols.map(c => count(col(c)).as(s"n__$c"))
+    val crow = df.agg(countAggs.head, countAggs.tail: _*).head()
+    val rows = crow.getAs[Long]("__rows")
+    val complete = cols.filter(c => crow.getAs[Long](s"n__$c") == rows).toSet
+    val (aligned, pairwise) = pairs.partition { case (a, b) =>
+      complete.contains(a) && complete.contains(b)
+    }
+    val fast: Map[(String, String), Pair] =
+      if (aligned.isEmpty) Map.empty
+      else {
+        val fastCols = complete.toSeq.sorted
+        val ranked = fastCols.foldLeft(df.select(fastCols.map(col): _*))(
+          (d, c) => avgRank(d, c))
+        val aggs = aligned.map { case (a, b) =>
+          corr(col(s"__rk_$a"), col(s"__rk_$b")).as(s"r__${a}__$b")
+        }
+        val row = ranked.agg(aggs.head, aggs.tail: _*).head()
+        aligned.map { case (a, b) =>
+          val r = Option(row.getAs[Any](s"r__${a}__$b")).map(_.asInstanceOf[Double])
+          (a, b) -> Pair(a, b, if (rows < minPeriods) None else r, rows)
+        }.toMap
+      }
+    pairs.map { case (a, b) =>
+      fast.getOrElse((a, b), spearmanPair(df, a, b, minPeriods))
+    }
+  }
 
   /** Kendall's τ-b on a driver-side sample (cap matches the reference's own
     * practical scale; sampling is seeded for reproducibility). */

@@ -22,6 +22,35 @@ class OpsSpec extends SparkSpec {
     assert(r(3).getInt(1) == 1 && r(3).getSeq[String](2).isEmpty)
   }
 
+  test("native shingles match compositional/oracle semantics on tab/newline edges") {
+    // Java trim/split semantics differ from Spark/DuckDB (String.trim strips
+    // every char <= 0x20; limit-0 split drops trailing empties). The native
+    // expression must match SPARK's: trim ' ' only, keep edge empty tokens.
+    val texts = Seq("a b\n", "\ta b", "a\tb\nc", " a b ", "a  b", "\n", "x", "",
+      "word\ttab", "trail \n", "a b\r\n")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val w = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val comp = array_distinct(
+      when(size(w) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - 2), i =>
+          concat_ws(" ", slice(w, i + 1, lit(2))))))
+    val rows = df.select(col("id"), col("text"),
+        TextOps.shingles(col("text"), 2).as("native"), comp.as("comp"),
+        TextOps.shingles(col("text"), 1).as("native1"),
+        array_distinct(TextOps.tokens(col("text"))).as("tok1"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"2-shingle mismatch on ${r.getString(1).replace("\n", "\\n").replace("\t", "\\t")}")
+      assert(r.getSeq[String](4) == r.getSeq[String](5),
+        s"1-shingle/tokens mismatch on ${r.getString(1).replace("\n", "\\n")}")
+    }
+    // the specific case from the review: 'a b\n' keeps the trailing empty token
+    val ab = rows.find(_.getInt(0) == 0).get
+    assert(ab.getSeq[String](2) == Seq("a b", "b "))
+  }
+
   test("exact dedup keeps min id per identical normalized text") {
     val df = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")
@@ -93,6 +122,39 @@ class OpsSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash skew: mega-buckets are capped, discriminative pairs survive") {
+    GraftFunctions.register(spark)
+    // 5k near-constant docs share every chunk bucket -> an uncapped banded
+    // join is O(bucket²) = 12.5M pairs; the cap drops those buckets while the
+    // planted distinct-vocabulary dup pair (its own tiny bucket) survives.
+    val skew = (100L to 5099L).map(i => (i, "lorem ipsum dolor sit amet constant filler"))
+    val planted = Seq(
+      (1L, "zebra quartz vivid jump fox glyph band quick"),
+      (2L, "zebra quartz vivid jump fox glyph band quick"))
+    val df = (planted ++ skew).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text",
+        maxHamming = 0, maxBucketSize = 100)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embedding LSH bits floor keeps recall when buckets would all trip the cap") {
+    // threshold 0.4 tunes ~3 bits = 8 buckets/table; on 300 rows with
+    // maxBucketSize=16 every bucket would exceed the cap and the operator
+    // silently returned zero pairs. The corpus-size floor widens the tables.
+    val brute = Dedup.embeddingNearDups(embs.limit(300), "vec_id", "embedding",
+        threshold = 0.4, lsh = Some(false))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.embeddingNearDups(embs.limit(300), "vec_id", "embedding",
+        threshold = 0.4, lsh = Some(true), maxBucketSize = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(brute))
+    if (brute.nonEmpty) {
+      val recall = brute.count(viaLsh.contains).toDouble / brute.size
+      assert(recall >= 0.3, s"floored-bits recall $recall over ${brute.size} pairs")
+    }
   }
 
   test("ANN recall vs brute force on real embeddings") {

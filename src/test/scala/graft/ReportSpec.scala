@@ -145,6 +145,12 @@ class ReportSpec extends SparkSpec {
 
     val (v4, p4) = Ingest.ingestCsv(spark, s"$src/scores.csv", dataDir, keys, Ingest.Replace)
     assert(v4.ok && p4.exists(_.endsWith("scores.csv")))
+
+    // A rename whose TARGET already exists must be rejected, not silently
+    // given Replace semantics (scores_v2.csv landed in the v3 step above).
+    val (v5, p5) = Ingest.ingestCsv(spark, s"$src/scores.csv", dataDir, keys,
+      Ingest.Rename("scores_v2.csv"))
+    assert(!v5.ok && p5.isEmpty && v5.errors.exists(_.contains("scores_v2")))
   }
 
   test("profile HTML renders overview, column, correlation and quality tables") {
@@ -164,6 +170,26 @@ class ReportSpec extends SparkSpec {
     val again = Sinks.profile(df, MergeKeys("ursi"), Seq("x"), sampleN = Some(2))
     assert(again.rowCount == sampled.rowCount
       && again.columns.map(_.mean) == sampled.columns.map(_.mean))
+  }
+
+  test("profile sample fraction is clamped when n is just under the row count") {
+    // n < total < 1.1*n: the 1.1 oversample factor would exceed 1.0 and
+    // Spark's Sample node rejects fractions > 1 without replacement.
+    val df = (1 to 21).map(i => (s"S$i", i.toDouble)).toDF("ursi", "x")
+    val p = Sinks.profile(df, MergeKeys("ursi"), Seq("x"), sampleN = Some(20))
+    assert(p.rowCount <= 20)
+  }
+
+  test("profile minimal mode skips correlations and quality, keeps column stats") {
+    val df = Seq(("S1", 1.0, 10.0), ("S2", 2.0, 20.0), ("S3", 3.0, 31.0))
+      .toDF("ursi", "x", "y")
+    val p = Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"),
+      mode = Sinks.ProfileMode.Minimal)
+    assert(p.columns.map(_.column) == Seq("x", "y"))
+    assert(p.correlations.isEmpty && p.quality.totalIssues == 0)
+    val full = Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"),
+      mode = Sinks.ProfileMode.Explorative)
+    assert(full.correlations.nonEmpty)
   }
 
   test("ingest rejects oversized claims and wrong extensions") {

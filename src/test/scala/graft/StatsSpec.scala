@@ -118,6 +118,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(s.q75.get - 4.85) < 1e-12)
   }
 
+  test("column stats: distinct counts native values beyond double precision") {
+    // 2^53 = 9007199254740992: consecutive longs above it collapse to the
+    // same double, so a double-keyed histogram undercounts distinct. The
+    // native-keyed histogram must match countDistinct.
+    val base = 9007199254740992L
+    val vals = (0L until 6L).map(base + _) ++ Seq(base, base + 3L) // 6 distinct, 8 rows
+    val df = vals.toDF("big")
+    val s = ColumnStats.describe(df, Seq("big")).head
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val expected = df.select(countDistinct(col("big"))).head().getLong(0)
+    assert(expected == 6L)
+    assert(s.distinct == expected, s"native distinct ${s.distinct} != $expected")
+    assert(s.n == 8L)
+  }
+
   test("distribution analysis composes moments + normality") {
     val df = normalSample(300, seed = 9).toSeq.toDF("v")
     val a = Distribution.analyze(df, "v").get
