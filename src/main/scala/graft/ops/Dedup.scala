@@ -67,24 +67,15 @@ object Dedup {
     // caller's action completes. Large-corpus callers should set maxPostings.
     val postings =
       if (maxPostings != Int.MaxValue) postings0
-      else {
-        val obs = org.apache.spark.sql.Observation()
-        val observed = postings0.observe(obs, max(col("__df")).as("max_df"))
-        val watcher = new Thread(() => {
-          val maxDf = obs.get.get("max_df") match {
-            case Some(l: java.lang.Long) => l.longValue()
-            case Some(i: java.lang.Integer) => i.longValue()
-            case _ => 0L
-          }
-          if (maxDf > 1000)
-            log.warn(
-              s"ngramJaccardPairs running uncapped with a posting list of df=$maxDf " +
-                s"(> 1000): the common-shingle self-join generates O(df²) candidate " +
-                s"pairs per stop-shingle. Set maxPostings (~1000) on large corpora.")
-        }, "graft-ngram-postings-watcher")
-        watcher.setDaemon(true)
-        watcher.start()
-        observed
+      else PlanWarnings.observe(postings0, "ngram_postings",
+          Seq(max(col("__df")).as("max_df"))) { row =>
+        val maxDf = Option(row.getAs[Any]("max_df"))
+          .fold(0L)(v => v.asInstanceOf[Number].longValue())
+        if (maxDf > 1000)
+          log.warn(
+            s"ngramJaccardPairs running uncapped with a posting list of df=$maxDf " +
+              s"(> 1000): the common-shingle self-join generates O(df²) candidate " +
+              s"pairs per stop-shingle. Set maxPostings (~1000) on large corpora.")
       }
     val pruned = sh.join(postings, Seq("sg")).drop("__df")
     val a = pruned.as("a"); val b = pruned.as("b")
@@ -191,7 +182,16 @@ object Dedup {
     * sharing a chunk value) an uncapped bucket is O(bucket²) pairs — the one
     * remaining quadratic cliff this operator had. Signatures are 8 bytes so
     * members carry (id, sig) through the shuffle, saving the two re-attach
-    * joins the minhash path needs for its k-long arrays. */
+    * joins the minhash path needs for its k-long arrays.
+    *
+    * CAVEAT — the cap is lossy on mass-duplicate groups: a duplicate group
+    * larger than `maxBucketSize` agrees on ALL four chunks, so every bucket
+    * it occupies trips the cap and the group yields zero pairs. Run
+    * [[exactGroups]]/[[dropDuplicatesByFingerprint]] first (exact duplicates
+    * don't need a similarity join), raise the cap, or pass
+    * `maxBucketSize = Int.MaxValue` for the exact banded join. A runtime
+    * warning (observed metric, no extra job) fires whenever buckets are
+    * dropped so the loss is never silent. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
@@ -203,8 +203,31 @@ object Dedup {
       shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = sigs.select(col("id"), col("sig"), posexplode(array(chunkCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("piece"))
-    val buckets = banded.groupBy(col("chunk"), col("piece"))
+    val grouped0 = banded.groupBy(col("chunk"), col("piece"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("ms0"))
+    // Dropped-bucket visibility: count the buckets the cap discards and the
+    // largest one. maxHamming < chunks means a duplicate GROUP of more than
+    // maxBucketSize identical signatures trips the cap in all 4 bands at
+    // once and silently loses its pairs — exactly the case the warning names.
+    val grouped =
+      if (maxBucketSize == Int.MaxValue) grouped0
+      else PlanWarnings.observe(grouped0, "simhash_buckets",
+          Seq(sum(when(size(col("ms0")) > maxBucketSize, 1).otherwise(0)).as("dropped"),
+            max(size(col("ms0"))).as("max_bucket"))) { row =>
+        val dropped = Option(row.getAs[Any]("dropped"))
+          .fold(0L)(v => v.asInstanceOf[Number].longValue())
+        if (dropped > 0) {
+          val maxB = Option(row.getAs[Any]("max_bucket"))
+            .fold(0L)(v => v.asInstanceOf[Number].longValue())
+          log.warn(
+            s"simhashPairs dropped $dropped (chunk, piece) buckets larger than " +
+              s"maxBucketSize=$maxBucketSize (largest: $maxB). Duplicate groups " +
+              s"beyond the cap yield NO pairs — run exactGroups/" +
+              s"dropDuplicatesByFingerprint first, raise maxBucketSize, or pass " +
+              s"Int.MaxValue for the exact banded join.")
+        }
+      }
+    val buckets = grouped
       .filter(size(col("ms0")).between(2, maxBucketSize))
       .select(array_sort(col("ms0")).as("ms")) // struct sort = by id first
     buckets
