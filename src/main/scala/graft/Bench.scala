@@ -24,6 +24,7 @@ object Bench {
     "q3_shipping_priority",
     "q5_nation_revenue",
     "j1_star_left_join",
+    "j1_star_left_join_bucketed",
     "a1_count_distinct",
     "a7_enwiden_pivot",
     "t1_column_stats",
@@ -51,7 +52,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=q1_pricing_agg,t1_column_stats narrows the set
+    // for local iteration; unset = full headline (the driver contract).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = headline.filter(queries.contains)
+      .filter(n => only.forall(_.contains(n)))
 
     def run(name: String): Unit =
       queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -64,27 +70,42 @@ object Bench {
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
 
-    def timeOnce(name: String): Double = {
+    def timeOnce(name: String, iter: Int): Double = {
       val t0 = System.nanoTime()
-      val ok = try { run(name); true } catch { case _: Throwable => false }
+      val ok = try { run(name); true } catch { case e: Throwable =>
+        // A failed iteration must be loud: a query flaking 2-of-3 otherwise
+        // reports the lone success as its median with rc=0 (r4/r5 ADVICE).
+        System.err.println(s"[bench] FAILED $name iter $iter: ${e.getClass.getName}: ${e.getMessage}")
+        false
+      }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
     // Per-query median over `iters` runs; a query interleaves its own
     // iterations (not round-robin) so each median sees the same cache state.
+    // All raw samples ship in the artifact so an environment-contention
+    // episode (the BENCH_r05 57.5 s phantom) is self-diagnosing: wildly
+    // spread samples on untouched queries = noisy machine, not a regression.
     val results = selected.map { name =>
-      val samples = (1 to iters).map(_ => timeOnce(name)).filter(_ >= 0).sorted
+      val samples = (1 to iters).map(i => timeOnce(name, i)).filter(_ >= 0).sorted
       val median =
         if (samples.isEmpty) -1.0
         else samples(samples.size / 2)
-      name -> median
+      (name, median, samples)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // "queries" stays name -> median (driver contract); min/samples are
+    // additive keys the driver ignores.
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, s) =>
+        "\"" + k + "\":" + (if (s.isEmpty) -1.0 else s.head) }
+      .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"iters":$iters,"sf":"$sfDir"}"""
     // Land the JSON everywhere the driver might look: stdout (contract),
     // stderr (in case sbt garbles stdout with [info] prefixes — BENCH_r1..r3
     // all came back "parsed": null), and a file.

@@ -49,4 +49,29 @@ object Layout {
     * same bucket count need no exchange). */
   def bucketedTable(spark: SparkSession, namePrefix: String, table: String): DataFrame =
     spark.table(s"${namePrefix}_$table")
+
+  /** Write one DataFrame as a bucketed+sorted parquet table and return the
+    * catalog-backed read. Idempotent per (session, tableName): the write
+    * happens only when the table is absent from the session catalog, so a
+    * bench loop pays the layout cost once (its warm-up pass) and every
+    * timed read after that exercises the zero-exchange join path — the
+    * maintain-once/join-daily economics of the 100 TB layout. `df` is
+    * by-name so the skip path never builds the source plan. */
+  def ensureBucketed(
+      spark: SparkSession, df: => DataFrame, key: String, buckets: Int,
+      warehouseDir: String, tableName: String): DataFrame = {
+    if (!spark.catalog.tableExists(tableName)) {
+      // Pre-partition on the bucket key so every bucket lands in EXACTLY one
+      // file: FileSourceScan then exposes the sortBy order as outputOrdering
+      // and the co-located sort-merge join skips its Sort, not just its
+      // Exchange. Without this, each of the writer's input partitions emits
+      // its own file per bucket (up to tasks x buckets files) and the sorted
+      // metadata is unusable on read.
+      df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", s"$warehouseDir/$tableName")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(tableName)
+    }
+    spark.table(tableName)
+  }
 }

@@ -256,11 +256,54 @@ object Dedup {
     * tuned from the threshold so collision probability at cos == threshold
     * reaches `recallTarget`: p = 1-acos(t)/π, bits = ⌊log(1-(1-R)^{1/L}) /
     * log p⌋ — a loose threshold gets few wide tables, a 0.95 near-dup
-    * threshold gets ~13-bit tables whose buckets stay tiny. Candidates are
+    * threshold gets ~13-bit tables whose buckets stay tiny. When the
+    * corpus-size floor widens tables past that tuned width, the table count
+    * is re-tuned upward (t ≥ log(1-R)/log(1-p^bits), capped at 64 with a
+    * runtime warning via [[PlanWarnings]]) so `recallTarget` still holds —
+    * wider tables alone would silently cut recall. Candidates are
     * id-only through the shuffle (vectors re-attached after dedup), and
     * mega-buckets (> `maxBucketSize`) are dropped as carrying no near-dup
     * signal — both mirroring [[minhashLshPairs]]. Output is always a subset
     * of the brute-force pairs at the same threshold. */
+  /** Resolved LSH shape for [[embeddingNearDups]]: signature width, OR-table
+    * count, whether the table count hit its cap short of `recallTarget`, and
+    * the recall the construction actually achieves for pairs AT the
+    * threshold (pairs above it collide more often). */
+  private[graft] final case class LshTuning(
+      bits: Int, tables: Int, capped: Boolean, achievableRecall: Double)
+
+  /** Tune (bits, tables) for hyperplane LSH so that expected recall at
+    * `cos == threshold` meets `recallTarget`.
+    *
+    * Bits per table come from the OR-construction identity
+    * 1-(1-p^bits)^tables >= R with p = 1-acos(threshold)/π. A corpus-size
+    * FLOOR then widens tables so the expected bucket n/2^bits stays under
+    * `maxBucketSize` — without it every bucket trips the mega-bucket cap and
+    * the operator returns ~zero pairs. Widening COSTS recall (each table's
+    * true-pair collision probability is p^bits), so whenever the floor wins
+    * the table count is re-tuned upward to the smallest t restoring the
+    * contract, capped at `maxTables`; past the cap `capped = true` and the
+    * caller warns at run time instead of silently under-delivering. */
+  private[graft] def tuneEmbeddingLsh(
+      nEst: Long, threshold: Double, tables: Int, recallTarget: Double,
+      maxBucketSize: Int, maxTables: Int = 64): LshTuning = {
+    val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+    val tunedBits =
+      (math.log(1.0 - math.pow(1.0 - recallTarget, 1.0 / tables)) / math.log(p)).toInt
+    val floorBits =
+      if (nEst > maxBucketSize)
+        math.ceil(math.log(nEst.toDouble / maxBucketSize) / math.log(2.0)).toInt
+      else 1
+    val bits = math.max(1, math.min(24, math.max(tunedBits, floorBits)))
+    val pBits = math.pow(p, bits)
+    val neededTables =
+      if (pBits >= 1.0) 1L
+      else math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - pBits)).toLong
+    val effTables = math.max(tables.toLong, math.min(maxTables.toLong, neededTables)).toInt
+    val achievable = 1.0 - math.pow(1.0 - pBits, effTables.toDouble)
+    LshTuning(bits, effTables, capped = neededTables > maxTables, achievable)
+  }
+
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, lsh: Option[Boolean] = None, seed: Long = 42,
@@ -280,22 +323,20 @@ object Dedup {
           Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
         .filter(col("cosine") >= threshold)
     } else {
-      val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
-      val tunedBits =
-        (math.log(1.0 - math.pow(1.0 - recallTarget, 1.0 / tables)) / math.log(p)).toInt
-      // Floor bits by corpus size: with b bits the expected bucket holds
-      // n/2^b rows, so b < log2(n/maxBucketSize) means EVERY bucket trips
-      // the mega-bucket cap and the operator silently returns ~zero pairs
-      // (the round-2 zero-recall failure, reintroduced for loose thresholds
-      // on big corpora). The floor trades precision (more verify pairs per
-      // true dup), never recall — extra candidates still pass exact cosine.
-      val floorBits =
-        if (nEst > maxBucketSize)
-          math.ceil(math.log(nEst.toDouble / maxBucketSize) / math.log(2.0)).toInt
-        else 1
-      val bits = math.max(1, math.min(24, math.max(tunedBits, floorBits)))
-      val sigged = Similarity
-        .hyperplaneBucketTables(df, idCol, vecCol, bits, tables, seed)
+      val t = tuneEmbeddingLsh(nEst, threshold, tables, recallTarget, maxBucketSize)
+      val sigged0 = Similarity
+        .hyperplaneBucketTables(df, idCol, vecCol, t.bits, t.tables, seed)
+      val sigged1 = if (!t.capped) sigged0 else {
+        PlanWarnings.observe(sigged0, "emb_lsh_recall",
+          Seq(count(lit(1)).as("rows"))) { row =>
+          log.warn(
+            f"embeddingNearDups: corpus-size floor forced ${t.bits}-bit tables; " +
+            f"even ${t.tables} tables (cap) reach ~${t.achievableRecall}%.3f recall < " +
+            f"recallTarget=$recallTarget%.2f over ${row.getLong(0)} rows. " +
+            "Raise maxBucketSize or lower recallTarget.")
+        }
+      }
+      val sigged = sigged1
         .select(col("id"), posexplode(col("buckets")))
         .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
       // ONE groupBy(table, bucket): size filter = mega-bucket cap +

@@ -123,6 +123,32 @@ object CoreQueries extends QueryModule {
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc)
     })
 
+  /** J1 over [[graft.catalog.Layout]]'s bucketed parquet (SURVEY §7.4 #13):
+    * customer and orders are written ONCE per (session, sf dir) bucketed by
+    * their custkey into the same bucket count, so the hub ⟕ behavioral join
+    * plans with no hash exchange on either big side — the maintain-once
+    * layout a daily cohort workflow (query_secure.py:66–92) would keep at
+    * 100 TB. Identical results and oracle to j1; the bench line times the
+    * join minus its shuffle. */
+  val j1StarLeftJoinBucketed: Q = Q(
+    "j1_star_left_join_bucketed",
+    j1StarLeftJoin.oracle,
+    (s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      def bucketed(t: String, key: String): DataFrame =
+        graft.catalog.Layout.ensureBucketed(
+          s, Tables.load(s, dir, t), key, buckets = 32, wh, s"graft_bkt${tag}_$t")
+      val c = bucketed("customer", "c_custkey").filter(col("c_acctbal") < 0)
+      val n = Tables.load(s, dir, "nation")
+      val o = bucketed("orders", "o_custkey")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), c("c_name"), n("n_name"),
+          o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc)
+    })
+
   /** J2 + A1: behavioral-table predicate after the left join (=> inner
     * semantics, Catalyst rewrites LEFT->INNER) feeding the cohort
     * COUNT(DISTINCT hub key) — the reference's live-count query shape. */
@@ -221,6 +247,7 @@ object CoreQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     q1PricingAgg, pFilterProject, pTokenMatch, j1StarLeftJoin,
+    j1StarLeftJoinBucketed,
     a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a5UniqueCapped,
     a6TopK, t14CrossFilter)
 }

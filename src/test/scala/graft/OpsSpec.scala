@@ -140,10 +140,13 @@ class OpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
-  test("embedding LSH bits floor keeps recall when buckets would all trip the cap") {
+  test("embedding LSH bits floor keeps the recallTarget contract (tables re-tuned)") {
     // threshold 0.4 tunes ~3 bits = 8 buckets/table; on 300 rows with
     // maxBucketSize=16 every bucket would exceed the cap and the operator
-    // silently returned zero pairs. The corpus-size floor widens the tables.
+    // silently returned zero pairs. The corpus-size floor widens the tables
+    // to 5 bits, and the table count re-tunes 8 -> ~22 so recall still
+    // reaches recallTarget — before the r6 fix this shape silently delivered
+    // p^5-per-table recall with the original 8 tables.
     val brute = Dedup.embeddingNearDups(embs.limit(300), "vec_id", "embedding",
         threshold = 0.4, lsh = Some(false))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -151,10 +154,41 @@ class OpsSpec extends SparkSpec {
         threshold = 0.4, lsh = Some(true), maxBucketSize = 16)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLsh.subsetOf(brute))
-    if (brute.nonEmpty) {
-      val recall = brute.count(viaLsh.contains).toDouble / brute.size
-      assert(recall >= 0.3, s"floored-bits recall $recall over ${brute.size} pairs")
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs at cos >= 0.4")
+    val recall = brute.count(viaLsh.contains).toDouble / brute.size
+    // recallTarget default 0.9 holds at cos == threshold; observed pairs sit
+    // above it, so allow only a small ε for hyperplane-draw variance.
+    assert(recall >= 0.8, s"floored-bits recall $recall over ${brute.size} pairs")
+  }
+
+  test("embedding LSH tuning: floor scales tables up; unreachable targets are flagged") {
+    // No floor pressure: small corpus keeps the caller's table count.
+    val base = Dedup.tuneEmbeddingLsh(nEst = 1000, threshold = 0.4,
+      tables = 8, recallTarget = 0.9, maxBucketSize = 4096)
+    assert(base.tables == 8 && !base.capped)
+    assert(base.achievableRecall >= 0.9)
+    // Floor wins (300/16 -> 5 bits > 3 tuned): tables scale up, contract holds.
+    val floored = Dedup.tuneEmbeddingLsh(nEst = 300, threshold = 0.4,
+      tables = 8, recallTarget = 0.9, maxBucketSize = 16)
+    assert(floored.bits > base.bits)
+    assert(floored.tables > 8, s"expected re-tuned tables, got ${floored.tables}")
+    assert(!floored.capped)
+    assert(floored.achievableRecall >= 0.9)
+    // Monotone sanity: the re-tuned construction never under-delivers the
+    // uncapped contract anywhere in the floor regime.
+    for (mbs <- Seq(8, 32, 128)) {
+      val tn = Dedup.tuneEmbeddingLsh(nEst = 100000, threshold = 0.3,
+        tables = 4, recallTarget = 0.85, maxBucketSize = mbs)
+      assert(tn.capped || tn.achievableRecall >= 0.85,
+        s"maxBucketSize=$mbs gave uncapped recall ${tn.achievableRecall}")
     }
+    // Genuinely unreachable: huge corpus + tiny buckets + loose threshold
+    // needs more than 64 tables -> capped flag set (run-time warning path).
+    val capped = Dedup.tuneEmbeddingLsh(nEst = 100000000L, threshold = 0.2,
+      tables = 8, recallTarget = 0.95, maxBucketSize = 16)
+    assert(capped.capped, s"expected capped, got $capped")
+    assert(capped.tables == 64)
+    assert(capped.achievableRecall < 0.95)
   }
 
   test("ANN recall vs brute force on real embeddings") {

@@ -106,4 +106,24 @@ class PropertySpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
   }
+
+  test("j1_star_left_join_bucketed: same rows as j1, no hash exchange in the join") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = graft.queries.CoreQueries.j1StarLeftJoin.run(spark, dir)
+    val bucketed = graft.queries.CoreQueries.j1StarLeftJoinBucketed.run(spark, dir)
+    assert(plain.collect().toSeq == bucketed.collect().toSeq,
+      "bucketed layout must not change results")
+    // The big-side join must be co-located: the only exchange allowed is the
+    // final ORDER BY's range partitioning. Force the sort-merge path (small
+    // sf would auto-broadcast orders, hiding a layout regression).
+    val noBhj = spark.sessionState.conf.getConfString(
+      "spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+    try {
+      val plan = graft.queries.CoreQueries.j1StarLeftJoinBucketed
+        .run(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed j1 still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBhj)
+  }
 }
