@@ -76,6 +76,9 @@ object Dedup {
             s"ngramJaccardPairs running uncapped with a posting list of df=$maxDf " +
               s"(> 1000): the common-shingle self-join generates O(df²) candidate " +
               s"pairs per stop-shingle. Set maxPostings (~1000) on large corpora.")
+        // Stay armed until the warning actually fires: a partial action
+        // (take/isEmpty) can see an unalarming max_df that a full run exceeds.
+        maxDf > 1000
       }
     val pruned = sh.join(postings, Seq("sg")).drop("__df")
     val a = pruned.as("a"); val b = pruned.as("b")
@@ -226,6 +229,7 @@ object Dedup {
               s"dropDuplicatesByFingerprint first, raise maxBucketSize, or pass " +
               s"Int.MaxValue for the exact banded join.")
         }
+        dropped > 0 // fired -> unregister; else stay armed past partial actions
       }
     val buckets = grouped
       .filter(size(col("ms0")).between(2, maxBucketSize))
@@ -334,6 +338,7 @@ object Dedup {
             f"even ${t.tables} tables (cap) reach ~${t.achievableRecall}%.3f recall < " +
             f"recallTarget=$recallTarget%.2f over ${row.getLong(0)} rows. " +
             "Raise maxBucketSize or lower recallTarget.")
+          true // the cap is a plan-time fact; one warning is complete
         }
       }
       val sigged = sigged1

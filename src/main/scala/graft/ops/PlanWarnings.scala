@@ -17,33 +17,49 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * blocked forever in `Observation.get` when the caller never ran an action
   * on the returned plan (one leaked daemon thread per plan built).
   *
-  * Handlers are warn-once: each `observe` call gets a unique metrics name and
-  * the handler is dropped after its first firing, so re-running the same
-  * returned DataFrame doesn't repeat the warning and the handler map cannot
-  * grow with repeated actions (an un-executed plan leaks only a map entry,
-  * not a thread).
+  * A handler returns whether it is DONE: `true` unregisters it, `false`
+  * keeps it armed for the next action. A partial action (`take(1)`,
+  * `isEmpty` — limit pushdown) streams only some rows through
+  * CollectMetrics, so a shape-triggered warning can legitimately see
+  * nothing and must stay armed for the later full action; returning `true`
+  * only after actually warning is what makes that work. An un-executed plan
+  * leaks only its map entry, never a thread.
+  *
+  * Batch-only: `QueryExecutionListener` is not invoked for streaming
+  * micro-batches (streaming `observe` metrics are delivered via
+  * `StreamingQueryListener`), so observe-wrapped operators used on a
+  * streaming DataFrame never fire these warnings. All current callers are
+  * batch operators; a streaming caller would need to register a
+  * `StreamingQueryListener` consulting the same handler map.
+  *
+  * Sessions are tracked weakly: a stopped-and-dropped SparkSession is
+  * GC-able together with its listener (the listener is reachable only from
+  * that session's `listenerManager`), so long-lived drivers creating many
+  * short-lived sessions do not accumulate them here.
   */
 private[graft] object PlanWarnings {
 
   private val counter = new AtomicLong()
-  private val handlers = new ConcurrentHashMap[String, Row => Unit]()
+  private val handlers = new ConcurrentHashMap[String, Row => Boolean]()
   private val sessions =
     java.util.Collections.newSetFromMap(
-      new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private final class Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
-        val h = handlers.remove(name)
-        if (h != null) h(row)
+        val h = handlers.get(name)
+        if (h != null && h(row)) handlers.remove(name)
       }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }
 
-  /** Attach `metrics` to `df` and run `handler` on the observed row after the
-    * first completed action on the returned DataFrame. */
+  /** Attach `metrics` to `df`; `handler` runs on the observed row after each
+    * completed action on the returned DataFrame until it returns `true`
+    * (= fired / no longer needed), which unregisters it. */
   def observe(df: DataFrame, tag: String, metrics: Seq[Column])(
-      handler: Row => Unit): DataFrame = {
+      handler: Row => Boolean): DataFrame = {
     val spark = df.sparkSession
     if (sessions.add(spark)) spark.listenerManager.register(new Listener)
     val name = s"graft_warn_${tag}_${counter.incrementAndGet()}"

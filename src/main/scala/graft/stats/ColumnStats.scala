@@ -80,17 +80,25 @@ object ColumnStats {
     * finishing — driver-side for small histograms, distributed prefix-scan
     * for near-unique ones (identical arithmetic either way).
     *
-    * The histogram is keyed on the NATIVE value (its exact string rendering,
-    * injective per column — two longs beyond 2^53 that collapse to one
-    * double stay two entries, so `distinct` matches pandas `nunique` on
-    * native values, analysis/statistics.py:121); the double cast is used
-    * only for ordering and quantile interpolation, where double precision is
-    * inherent to the arithmetic anyway. */
+    * For non-floating-point columns the histogram is keyed on the NATIVE value
+    * (its exact string rendering, injective per column — two longs beyond
+    * 2^53 that collapse to one double stay two entries, so `distinct`
+    * matches pandas `nunique` on native values, analysis/statistics.py:121);
+    * the double cast is used only for ordering and quantile interpolation,
+    * where double precision is inherent to the arithmetic anyway. Float and
+    * double columns key on the double ALONE: their string renders are not a
+    * finer partition of the value space but a different one — "0.0" vs
+    * "-0.0" — and grouping's float normalization must be what merges ±0.0
+    * into one distinct value, as pandas `nunique` does. */
   private def histogramStats(
       df: DataFrame, cols: Seq[String], ps: Seq[Double]): Map[String, HistStats] = {
+    def exactKey(c: String): Column = df.schema(c).dataType match {
+      case FloatType | DoubleType => lit(null).cast(StringType)
+      case _ => col(c).cast(StringType)
+    }
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"),
-          col(c).cast(StringType).as("vs"))): _*)).as("p"))
+          exactKey(c).as("vs"))): _*)).as("p"))
       .select(col("p.c").as("c"), col("p.v").as("v"), col("p.vs").as("vs"))
       // NaN must be excluded like null (pandas/DuckDB quantile semantics) —
       // a NaN entering the histogram sorts last and poisons quantiles

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.DoubleType
   *   pair costs a sort — fine at the reference's scale; at 100 TB
   *   pre-rank the few columns you care about once.
   * - kendall: O(n²) pairwise concordance, driver-side on a bounded sample
-  *   (the reference runs pandas' O(n²) on the full frame; we cap).
+  *   (the reference runs pandas' O(n²) on the full frame; we cap) — the
+  *   parity default. [[kendallPairExact]] is the opt-in full-data scale
+  *   path: one contingency groupBy + O(D log D) Fenwick concordance count.
   */
 object Correlation {
 
@@ -50,7 +52,14 @@ object Correlation {
     * distributed sort → per-partition prefix sums with broadcast partition
     * offsets (the classic parallel scan) → join ranks back on the value.
     * avg rank of a tie group = (#smaller values) + (ties + 1)/2. */
+  /** Rank-pass odometer: [[avgRank]] is the expensive unit of spearman work
+    * (a distributed sort per call), so specs pin the pass COUNT — k for an
+    * all-complete k-column matrix — against silent reversion to the
+    * per-pair k(k−1) shape. Monotone counter; tests read before/after. */
+  private[graft] val rankPasses = new java.util.concurrent.atomic.AtomicLong()
+
   private def avgRank(df: DataFrame, c: String): DataFrame = {
+    rankPasses.incrementAndGet()
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.groupBy(col(c).cast(DoubleType).as("__v"))
@@ -158,6 +167,81 @@ object Correlation {
     val n0 = n.toLong * (n - 1) / 2
     val denom = math.sqrt((n0 - tiesA).toDouble * (n0 - tiesB))
     val tau = if (denom == 0) Double.NaN else (concordant - discordant) / denom
+    Pair(a, b, if (tau.isNaN) None else Some(tau), n)
+  }
+
+  /** EXACT Kendall τ-b over the FULL data — the opt-in scale path next to
+    * the sampled parity default of [[kendallPair]].
+    *
+    * One distributed `groupBy(x, y).count()` (map-side combined — the T1
+    * histogram trick) reduces the data to its 2-D contingency table; the
+    * driver then counts concordant/discordant pairs over the CELLS with a
+    * Fenwick tree in O(D log D), D = distinct (x, y) cells — Knight's
+    * merge-count collapsed onto tie groups, so heavy ties make it cheaper,
+    * not slower. Exact for any row count while D ≤ `maxCells` (the realistic
+    * shape for cohort variables at 100 TB: bounded domains, huge n); a
+    * near-unique continuous pair (D ≈ n) is refused with a clear error
+    * rather than silently OOMing the driver — use the sampled path there.
+    *
+    * τ-b = (nc − nd) / √((n0 − n1)(n0 − n2)), n0 = n(n−1)/2, n1/n2 = tie
+    * pairs in x/y (scipy.stats.kendalltau's default variant, which the
+    * reference's pandas `corr(method='kendall')` computes). */
+  def kendallPairExact(
+      df: DataFrame, a: String, b: String, maxCells: Int = 1 << 22): Pair = {
+    val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).cast(DoubleType).as("x"), col(b).cast(DoubleType).as("y"))
+      .agg(count(lit(1)).as("m"))
+      .limit(maxCells + 1) // bounds the collect; overflow detected below
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"kendallPairExact($a, $b): more than $maxCells distinct (x, y) cells — " +
+        "near-unique continuous pair; raise maxCells or use the sampled kendallPair")
+    val n = cells.iterator.map(_._3).sum
+    if (n < 2) return Pair(a, b, None, n)
+    // y-rank index for the Fenwick tree.
+    val ys = cells.map(_._2).distinct.sorted
+    val yRank = ys.zipWithIndex.toMap
+    val tree = new Array[Long](ys.length + 1)
+    def add(i0: Int, v: Long): Unit = {
+      var i = i0 + 1
+      while (i <= ys.length) { tree(i) += v; i += i & (-i) }
+    }
+    def sumTo(i0: Int): Long = { // cells with yRank <= i0
+      var i = i0 + 1; var s = 0L
+      while (i > 0) { s += tree(i); i -= i & (-i) }
+      s
+    }
+    // Process cells in x order; all cells of one x group are scored against
+    // the tree (rows with strictly smaller x) before the group is inserted,
+    // so x ties never count as concordant or discordant.
+    val sorted = cells.sortBy(c => (c._1, c._2))
+    var nc = 0L; var nd = 0L; var inserted = 0L
+    var gi = 0
+    while (gi < sorted.length) {
+      var ge = gi
+      while (ge < sorted.length && sorted(ge)._1 == sorted(gi)._1) ge += 1
+      var i = gi
+      while (i < ge) {
+        val (_, y, m) = sorted(i)
+        val r = yRank(y)
+        val below = if (r == 0) 0L else sumTo(r - 1)
+        val aboveOrEq = sumTo(ys.length - 1) - below
+        val eq = sumTo(r) - below
+        nc += m * below
+        nd += m * (aboveOrEq - eq)
+        i += 1
+      }
+      i = gi
+      while (i < ge) { add(yRank(sorted(i)._2), sorted(i)._3); inserted += sorted(i)._3; i += 1 }
+      gi = ge
+    }
+    def tiePairs(marginal: Iterator[Long]): Long =
+      marginal.map(t => t * (t - 1) / 2).sum
+    val n1 = tiePairs(cells.groupBy(_._1).valuesIterator.map(_.map(_._3).sum))
+    val n2 = tiePairs(cells.groupBy(_._2).valuesIterator.map(_.map(_._3).sum))
+    val n0 = n * (n - 1) / 2
+    val denom = math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble)
+    val tau = if (denom == 0) Double.NaN else (nc - nd) / denom
     Pair(a, b, if (tau.isNaN) None else Some(tau), n)
   }
 

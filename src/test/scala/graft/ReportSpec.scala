@@ -190,6 +190,18 @@ class ReportSpec extends SparkSpec {
     val full = Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"),
       mode = Sinks.ProfileMode.Explorative)
     assert(full.correlations.nonEmpty)
+    // Minimal must not merely return empty sections — it must not RUN the
+    // correlation/quality jobs at all (the mode exists to skip that work).
+    val minimalJobs = countJobs {
+      Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"),
+        mode = Sinks.ProfileMode.Minimal)
+    }
+    val fullJobs = countJobs {
+      Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"),
+        mode = Sinks.ProfileMode.Full)
+    }
+    assert(minimalJobs < fullJobs,
+      s"Minimal ran $minimalJobs jobs, Full ran $fullJobs — skip not effective")
   }
 
   test("ingest rejects oversized claims and wrong extensions") {

@@ -48,6 +48,62 @@ class StatsSpec extends SparkSpec {
     val p = Correlation.kendallPair(df, "x", "y")
     // 10 pairs: 9 concordant, 1 discordant -> tau = 0.8
     assert(math.abs(p.r.get - 0.8) < 1e-12)
+    val e = Correlation.kendallPairExact(df, "x", "y")
+    assert(math.abs(e.r.get - 0.8) < 1e-12)
+  }
+
+  test("exact Kendall (contingency+Fenwick) matches the O(n^2) impl under heavy ties") {
+    // Seeded data with ties in x, y, and jointly — every tie-correction term
+    // (n1, n2) must agree with the quadratic concordance count. maxN above n
+    // makes kendallPair the full unsampled O(n^2) reference.
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(800) { _ =>
+      val x = rnd.nextInt(12).toDouble
+      val y = (x + rnd.nextInt(8) - rnd.nextInt(8)).toDouble
+      (x, y)
+    }
+    val df = rows.toDF("x", "y")
+    val brute = Correlation.kendallPair(df, "x", "y", maxN = 10000)
+    val exact = Correlation.kendallPairExact(df, "x", "y")
+    assert(exact.n == brute.n)
+    assert(math.abs(exact.r.get - brute.r.get) < 1e-12,
+      s"exact ${exact.r} vs brute ${brute.r}")
+    // Anti-correlated shape exercises the discordant side dominating.
+    val df2 = rows.map { case (x, y) => (x, -y) }.toDF("x", "y")
+    val b2 = Correlation.kendallPair(df2, "x", "y", maxN = 10000)
+    val e2 = Correlation.kendallPairExact(df2, "x", "y")
+    assert(math.abs(e2.r.get - b2.r.get) < 1e-12)
+    // The cell cap refuses near-unique pairs instead of OOMing the driver.
+    intercept[IllegalArgumentException] {
+      Correlation.kendallPairExact(df, "x", "y", maxCells = 10)
+    }
+  }
+
+  test("spearman matrix ranks all-complete columns exactly once each") {
+    // 4 complete columns -> the aligned fast path ranks each column ONCE
+    // (4 passes) and correlates ranks in a single aggregate; the naive
+    // per-pair shape would pay 6 pairs x 2 ranks = 12 passes. A null in one
+    // column demotes only ITS pairs to the exact pairwise re-rank.
+    val rnd = new scala.util.Random(3)
+    val complete = Seq.tabulate(200)(i =>
+      (i.toDouble, rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble()))
+      .toDF("a", "b", "c", "d")
+    val before = Correlation.rankPasses.get()
+    val ps = Correlation.spearman(complete, Seq("a", "b", "c", "d"))
+    assert(ps.size == 6 && ps.forall(_.r.isDefined))
+    assert(Correlation.rankPasses.get() - before == 4L,
+      s"expected 4 rank passes, got ${Correlation.rankPasses.get() - before}")
+
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val withNull = complete.withColumn("d",
+      when(col("a") < 1.0, lit(null)).otherwise(col("d")))
+    val before2 = Correlation.rankPasses.get()
+    val ps2 = Correlation.spearman(withNull, Seq("a", "b", "c", "d"))
+    assert(ps2.size == 6)
+    // 3 complete columns ranked once (3) + 3 pairs touching d re-ranked
+    // pairwise (3 x 2) = 9.
+    assert(Correlation.rankPasses.get() - before2 == 9L,
+      s"expected 9 rank passes, got ${Correlation.rankPasses.get() - before2}")
   }
 
   test("OLS recovers a perfect line with p ~ 0") {
@@ -131,6 +187,20 @@ class StatsSpec extends SparkSpec {
     assert(expected == 6L)
     assert(s.distinct == expected, s"native distinct ${s.distinct} != $expected")
     assert(s.n == 8L)
+  }
+
+  test("column stats: 0.0 and -0.0 are ONE distinct value on float columns") {
+    // The native string key that preserves >2^53 long identity must NOT
+    // apply to floating-point columns: "0.0" and "-0.0" render differently
+    // but are the same value (pandas nunique gives 1). Float/double columns
+    // key the histogram on the normalized double alone.
+    val df = Seq(0.0d, -0.0d, 1.5d, 0.0d).toDF("x")
+    val s = ColumnStats.describe(df, Seq("x")).head
+    assert(s.distinct == 2L, s"expected {0.0, 1.5} = 2 distinct, got ${s.distinct}")
+    assert(s.n == 4L)
+    val f = Seq(0.0f, -0.0f, 2.5f).toDF("y")
+    val sf = ColumnStats.describe(f, Seq("y")).head
+    assert(sf.distinct == 2L, s"float column gave ${sf.distinct}")
   }
 
   test("distribution analysis composes moments + normality") {
