@@ -255,6 +255,25 @@ object ProfileQueries extends QueryModule {
           round(col("tau"), 6).as("tau"), col("n"))
     })
 
+  /** T2 kendall EXACT leg: same τ-b and same O(n²) self-join oracle, but
+    * computed by [[Correlation.kendallPairExact]] — the contingency-table +
+    * Fenwick concordance count that stays exact at any row count (one
+    * distributed groupBy, cell-sized driver finish). Gate-proves the scale
+    * path agrees with the quadratic pair definition. */
+  val t2KendallExact: Q = Q(
+    "t2_corr_kendall_exact",
+    t2Kendall.oracle,
+    (s, dir) => {
+      import s.implicits._
+      val p = Correlation.kendallPairExact(
+        Tables.load(s, dir, "customer"), "c_acctbal", "c_nationkey")
+      Seq((p.col1, p.col2, p.r.get, p.n))
+        .toDF("col1", "col2", "tau", "n")
+        .select(col("col1"), col("col2"),
+          round(col("tau"), 6).as("tau"), col("n"))
+    })
+
   override def queries: Seq[Q] = Seq(
-    t4Profile, t10Distribution, t10Normality, t11Kde, t16Multisite, t2Kendall)
+    t4Profile, t10Distribution, t10Normality, t11Kde, t16Multisite, t2Kendall,
+    t2KendallExact)
 }
