@@ -245,6 +245,22 @@ object Correlation {
     Pair(a, b, if (tau.isNaN) None else Some(tau), n)
   }
 
+  /** All-pairs kendall matrix — API parity with [[pearson]]/[[spearman]]
+    * (pandas `corr(method='kendall')`, statistics.py:190–260). `exact =
+    * false` (default) is the sampled parity path; `true` routes every pair
+    * through [[kendallPairExact]]. Pairwise-complete semantics come free:
+    * both underlying paths filter nulls per pair. */
+  def kendall(
+      df: DataFrame, cols: Seq[String], minPeriods: Int = 10,
+      exact: Boolean = false): Seq[Pair] = {
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val p = if (exact) kendallPairExact(df, a, b) else kendallPair(df, a, b)
+      if (p.n < minPeriods) p.copy(r = None) else p
+    }
+  }
+
   /** Pairs with |r| above `threshold` (statistics.py:465–482). */
   def highCorrelations(pairs: Seq[Pair], threshold: Double = 0.7): Seq[Pair] =
     pairs.filter(_.r.exists(r => math.abs(r) > threshold))
