@@ -107,5 +107,49 @@ object EventQueries extends QueryModule {
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id"))
 
-  override def queries: Seq[Q] = Seq(evWindowed, evSessionize, evAsOf, evJson)
+  /** Sliding-window live distinct-user count (1 h window / 30 min slide):
+    * the reference's live participant counter over event time. Each event
+    * lands in exactly length/slide = 2 epoch-aligned windows, which the
+    * oracle reproduces with an explicit 2-row offset cross join. The
+    * streaming twin ([[StreamingOps.liveCountStream]], StreamingSpec) swaps
+    * `countDistinct` for HLL so window state stays constant-size. */
+  val evLiveCount: Q = Q(
+    "ev_live_count",
+    Some("""
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * i.i) AS window_start,
+        count(DISTINCT user_id) AS live_users, count(*) AS n_events
+      FROM events CROSS JOIN (VALUES (0), (1)) AS i(i)
+      GROUP BY 1
+      ORDER BY window_start"""),
+    (s, dir) =>
+      StreamingOps.liveCount(Tables.load(s, dir, "events"),
+          windowLength = "1 hour", slide = "30 minutes")
+        .orderBy("window_start"))
+
+  /** Windowed per-event-type profile of `value` (count/nulls/mean/stddev/
+    * min/max — all algebraic, so the watermarked streaming twin computes the
+    * identical aggregate incrementally). Mean/stddev rounded on both sides
+    * per the [[graft.Q]] exactness rules. */
+  val evProfile: Q = Q(
+    "ev_profile_windowed",
+    Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        count(*) AS n, count(value) AS n_value,
+        ROUND(avg(value), 6) AS mean_value,
+        ROUND(stddev_pop(value), 4) AS std_value,
+        CAST(min(value) AS DOUBLE) AS min_value,
+        CAST(max(value) AS DOUBLE) AS max_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+    (s, dir) =>
+      StreamingOps.windowedProfile(Tables.load(s, dir, "events"))
+        .select(col("window_start"), col("event_type"), col("n"), col("n_value"),
+          round(col("mean_value"), 6).as("mean_value"),
+          round(col("std_value"), 4).as("std_value"),
+          col("min_value"), col("max_value"))
+        .orderBy("window_start", "event_type"))
+
+  override def queries: Seq[Q] =
+    Seq(evWindowed, evSessionize, evAsOf, evJson, evLiveCount, evProfile)
 }

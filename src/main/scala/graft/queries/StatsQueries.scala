@@ -347,7 +347,46 @@ object StatsQueries extends QueryModule {
       SiteValues.distinctValues(part, "p_name").toDF("site").orderBy("site")
     })
 
+  /** Incremental stats (SURVEY §7.4 #13): sketch lineitem per l_returnflag
+    * partition, then MERGE the partition sketches — the oracle aggregates
+    * the whole table in one pass, so a hash match proves the
+    * partition-sketch→merge path loses nothing vs a full rescan. Derived
+    * mean/var are double arithmetic over the exact decimal sums, written
+    * identically on both sides (bit-equal; rounding is belt-and-braces).
+    * The HLL distinct leg has no DuckDB twin — its union-exactness and
+    * accuracy are pinned in StatsSpec. */
+  private val incCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  val incStatsMerge: Q = Q(
+    "inc_stats_merge",
+    Some {
+      val legs = incCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n, count($c) AS n_value,
+          CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+          CAST(SUM(CAST($c AS DECIMAL(18,3)) * CAST($c AS DECIMAL(18,3))) AS DOUBLE) AS sum_sq,
+          CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+        FROM lineitem"""
+      }
+      s"""WITH s AS (${legs.mkString(" UNION ALL ")})
+      SELECT col_name, n, n_value, sum_v, min_v, max_v,
+        ROUND(sum_v / n_value, 6) AS mean_v,
+        ROUND(sum_sq / n_value - (sum_v / n_value) * (sum_v / n_value), 4) AS var_pop
+      FROM s
+      ORDER BY col_name"""
+    },
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sketches = IncrementalStats.sketch(li, incCols, col("l_returnflag"))
+      IncrementalStats.merge(sketches)
+        .select(col("col_name"), col("n"), col("n_value"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"),
+          round(col("mean_v"), 6).as("mean_v"),
+          round(col("var_pop"), 4).as("var_pop"))
+        .orderBy("col_name")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
-    t9Ols, t12Anova, t13TTests, t15Sites)
+    t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge)
 }

@@ -71,4 +71,85 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window live distinct-user count — the reference's live
+    * participant counter (query_secure.py:313–318) over event time. Exact
+    * `countDistinct` per window: correct in batch, where a window's rows are
+    * all present when it is computed.
+    *
+    * `windowLength` must be a multiple of `slide` (Spark's sliding `window`
+    * assigns each row to length/slide epoch-aligned windows). */
+  def liveCount(events: DataFrame, windowLength: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"))
+      .agg(countDistinct(col("user_id")).as("live_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("live_users"), col("n_events"))
+
+  /** Streaming twin of [[liveCount]]: exact distinct over an unbounded
+    * stream needs per-window state proportional to the number of distinct
+    * users, so the streaming path counts with `approx_count_distinct` (HLL,
+    * constant state per window, mergeable across micro-batches) — the same
+    * exact-vs-approx trade [[graft.query.CohortQuery]] offers the batch live
+    * counter (SURVEY §7.4 #13). Watermark bounds window state. */
+  def liveCountStream(events: DataFrame, windowLength: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours",
+      rsd: Double = 0.02): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide).as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("live_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("live_users"), col("n_events"))
+
+  /** Windowed per-event-type profile of `value` — the reference's column
+    * statistics (analysis/statistics.py) re-expressed over event-time
+    * windows. Every statistic here is algebraic (count/sum/min/max and the
+    * moments behind mean/stddev), so the SAME aggregate is incrementally
+    * computable per micro-batch with partial-merge state — no sort, no
+    * global pass, no holding raw rows. */
+  def windowedProfile(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_value"),
+        avg(col("value")).as("mean_value"),
+        stddev_pop(col("value")).as("std_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("n_value"), col("mean_value"), col("std_value"),
+        col("min_value"), col("max_value"))
+
+  /** Streaming twin of [[windowedProfile]] — watermarked so closed windows'
+    * state is evicted; append-mode capable. */
+  def windowedProfileStream(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_value"),
+        avg(col("value")).as("mean_value"),
+        stddev_pop(col("value")).as("std_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("n_value"), col("mean_value"), col("std_value"),
+        col("min_value"), col("max_value"))
+
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.ops.Dedup.exactGroups]]'s keep-one semantics for an ingestion
+    * stream. `dropDuplicatesWithinWatermark` keeps first-arrival per key and
+    * evicts key state once the watermark passes, so state is bounded by the
+    * key cardinality of one watermark span (exact streaming dedup with
+    * UNBOUNDED state otherwise — the same state-vs-exactness trade as
+    * [[liveCountStream]]). Duplicates separated by more than `watermark` in
+    * event time may both survive; at 100 TB/day that horizon is the dedup
+    * window you provision state for. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -24,14 +24,26 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
-  private def streamEvents = {
+  private def streamFrom(d: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(streamDir)
+      .parquet(d)
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  private def streamEvents = streamFrom(streamDir)
+
+  /** The events parquet staged TWICE: every event arrives as an exact
+    * duplicate, the shape dedupStream exists for. */
+  private lazy val dupStreamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.copy(src, d.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(src, d.resolve("events_b.parquet"))
+    d.toString
   }
 
   test("streaming windowed agg (complete mode) matches batch") {
@@ -66,5 +78,67 @@ class StreamingSpec extends SparkSpec {
     val sEvents = streamed.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
     val bEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
     assert(sEvents == bEvents)
+  }
+
+  test("streaming live count matches batch windows; HLL within 5% of exact") {
+    val q = StreamingOps.liveCountStream(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("live_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("live_out").orderBy("window_start").collect()
+    val batch = StreamingOps.liveCount(batchEvents).orderBy("window_start").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("window_start") == b.getAs[java.sql.Timestamp]("window_start"))
+      assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      val approx = s.getAs[Long]("live_users").toDouble
+      val exact = b.getAs[Long]("live_users").toDouble
+      assert(math.abs(approx - exact) <= math.max(1.0, 0.05 * exact),
+        s"HLL live_users $approx vs exact $exact")
+    }
+  }
+
+  test("streaming windowed profile matches batch (algebraic aggs, fp tolerance)") {
+    val q = StreamingOps.windowedProfileStream(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("prof_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("prof_out").orderBy("window_start", "event_type").collect()
+    val batch = StreamingOps.windowedProfile(batchEvents)
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    def close(a: Double, b: Double) =
+      (a.isNaN && b.isNaN) || math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(s.getAs[Long]("n_value") == b.getAs[Long]("n_value"))
+      // counts/min/max are exact; mean/std incremental merge order may
+      // differ from the batch plan's -> fp tolerance
+      assert(s.getAs[Double]("min_value") == b.getAs[Double]("min_value"))
+      assert(s.getAs[Double]("max_value") == b.getAs[Double]("max_value"))
+      assert(close(s.getAs[Double]("mean_value"), b.getAs[Double]("mean_value")))
+      assert(close(s.getAs[Double]("std_value"), b.getAs[Double]("std_value")))
+    }
+  }
+
+  test("streaming dedup keeps one row per key from a fully-duplicated stream") {
+    val q = StreamingOps.dedupStream(streamFrom(dupStreamDir), Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_out")
+    val distinctIds = batchEvents.select("event_id").distinct().count()
+    // every event arrived twice; exactly one survivor per key
+    assert(streamed.count() == distinctIds)
+    assert(streamed.select("event_id").distinct().count() == distinctIds)
   }
 }
