@@ -1,0 +1,63 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.stats.IncrementalStats
+
+/** Persistent incremental column statistics for a catalog table — the
+  * storage half of [[graft.stats.IncrementalStats]] (SURVEY §7.4 #13).
+  *
+  * The store is an append-only parquet log of sketch rows. When a new data
+  * partition lands (an ingest batch, a day of events), `append` scans ONLY
+  * the new rows and adds their sketch; `read` folds the whole log into
+  * current table stats. History is never rescanned — at 100 TB the stats
+  * cost is proportional to the new data, and the log itself stays tiny
+  * (one row per column per appended partition, ~KBs).
+  *
+  * `compact` folds the log down to one row per column when the append count
+  * grows; because [[IncrementalStats.fold]] preserves the HLL binary, a
+  * compacted store keeps accepting appends with no loss. The reference
+  * recomputes its catalog metadata by rescanning every CSV on demand
+  * (metadata.py chunked scans); this replaces that with an
+  * incrementally-maintained equivalent.
+  */
+object StatsStore {
+
+  /** Sketch `newData` (one scan of the new rows only) and append to the
+    * store at `statsDir`, tagged `partId` for provenance/debugging. */
+  def append(statsDir: String, newData: DataFrame, cols: Seq[String],
+      partId: String): Unit =
+    IncrementalStats
+      .sketch(newData, cols, org.apache.spark.sql.functions.lit(partId))
+      .coalesce(1) // a handful of KB-sized rows; one file per append
+      .write.mode(SaveMode.Append).parquet(statsDir)
+
+  /** Current table stats: the whole log folded. Exact count/sum/min/max/
+    * mean/var; HLL-estimated distinct. */
+  def read(spark: SparkSession, statsDir: String): DataFrame =
+    IncrementalStats.merge(spark.read.parquet(statsDir))
+
+  /** Raw sketch rows (for inspection / cross-store folding). */
+  def sketches(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(statsDir)
+
+  /** Rewrite the log as one folded row per column. The fold is computed
+    * and materialized on the driver first (the log is per-column-per-append
+    * tiny by construction) so the rewrite never reads and overwrites the
+    * same files in one job. */
+  def compact(spark: SparkSession, statsDir: String): Unit = {
+    val log = spark.read.parquet(statsDir)
+    val folded = IncrementalStats.fold(log)
+    val rows = folded.collect().toSeq
+    val schema = folded.schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+  }
+
+  /** Partition ids currently in the log (compaction collapses them). */
+  def partIds(spark: SparkSession, statsDir: String): Seq[String] =
+    spark.read.parquet(statsDir).select(col("part")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+}

@@ -78,11 +78,11 @@ object IncrementalStats {
       .select(col("part"), col("s.*"))
   }
 
-  /** Fold sketch rows (any number of partitions, any number of `sketch`
-    * invocations appended together) into one stats row per column, with
-    * derived mean/variance and the HLL distinct estimate. Exact for
-    * everything except `distinct_est` (HLL, ~0.8% rse at lgK=12). */
-  def merge(sketches: DataFrame): DataFrame =
+  /** Fold sketch rows down to ONE sketch row per column, preserving the
+    * HLL binary — the output is itself a valid `sketch` result (part =
+    * `foldedPart`), so stores can compact an append-log of sketches
+    * without losing the ability to keep merging later. */
+  def fold(sketches: DataFrame, foldedPart: String = "__folded__"): DataFrame =
     sketches.groupBy(col("col_name"))
       .agg(
         sum(col("n")).as("n"),
@@ -92,6 +92,16 @@ object IncrementalStats {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
         hll_union_agg(col("hll")).as("hll"))
+      .select(lit(foldedPart).as("part"), col("col_name"), col("n"),
+        col("n_value"), col("sum_v"), col("sum_sq"), col("min_v"),
+        col("max_v"), col("hll"))
+
+  /** Fold sketch rows (any number of partitions, any number of `sketch`
+    * invocations appended together) into one stats row per column, with
+    * derived mean/variance and the HLL distinct estimate. Exact for
+    * everything except `distinct_est` (HLL, ~0.8% rse at lgK=12). */
+  def merge(sketches: DataFrame): DataFrame =
+    fold(sketches).drop("part")
       // Derived statistics as DOUBLE arithmetic over the exact decimal
       // sums: the sums are identical regardless of merge order, so these
       // doubles are bit-deterministic (and bit-equal to an oracle that

@@ -303,4 +303,56 @@ class StatsSpec extends SparkSpec {
         s"$c: hll ${est(c)} vs exact $e")
     }
   }
+
+  test("stats store: append-only log, fold-compaction, append-after-compact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.catalog.StatsStore
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-store")
+      .resolve("log").toString
+
+    // three ingest batches, each sketched alone — history never rescanned
+    (0 to 2).foreach { b =>
+      StatsStore.append(dir, li.filter(col("l_orderkey") % 3 === b), cols, s"b$b")
+    }
+    assert(StatsStore.partIds(spark, dir) == Seq("b0", "b1", "b2"))
+
+    def statsMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_value"),
+          r.getAs[java.math.BigDecimal]("sum_v").doubleValue(),
+          r.getAs[Double]("min_v"), r.getAs[Double]("max_v"),
+          r.getAs[Double]("mean_v"), r.getAs[Double]("var_pop"),
+          r.getAs[Long]("distinct_est"))).toMap
+
+    val fromStore = statsMap(StatsStore.read(spark, dir).collect())
+    val whole = statsMap(IncrementalStats.merge(
+      IncrementalStats.sketch(li, cols, lit("all"))).collect())
+    cols.foreach { c =>
+      val (s, w) = (fromStore(c), whole(c))
+      assert(s._1 == w._1 && s._2 == w._2 && s._3 == w._3
+        && s._4 == w._4 && s._5 == w._5 && s._6 == w._6 && s._7 == w._7,
+        s"$c: store $s vs whole $w")
+      assert(math.abs(s._8 - w._8) <= math.max(1.0, 0.01 * w._8))
+    }
+
+    // compaction folds the log to one row per column, losing nothing
+    StatsStore.compact(spark, dir)
+    assert(StatsStore.partIds(spark, dir) == Seq("__folded__"))
+    assert(StatsStore.sketches(spark, dir).count() == cols.size)
+    val afterCompact = statsMap(StatsStore.read(spark, dir).collect())
+    cols.foreach { c =>
+      assert(afterCompact(c) == fromStore(c), s"$c changed across compaction")
+    }
+
+    // a compacted store keeps accepting appends (fold preserved the HLL)
+    val extra = li.limit(100)
+    val extraN = extra.count()
+    StatsStore.append(dir, extra, cols, "b3")
+    val afterAppend = statsMap(StatsStore.read(spark, dir).collect())
+    cols.foreach { c =>
+      assert(afterAppend(c)._1 == fromStore(c)._1 + extraN)
+    }
+  }
 }
