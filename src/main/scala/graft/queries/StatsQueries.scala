@@ -386,7 +386,23 @@ object StatsQueries extends QueryModule {
         .orderBy("col_name")
     })
 
+  /** Salted exact distinct ([[graft.ops.Skew]]): value-hash salting splits
+    * a hot grouping key over many reducers; summing the disjoint per-bucket
+    * distinct counts must equal the direct COUNT(DISTINCT). */
+  val skwSaltedDistinct: Q = Q(
+    "skw_salted_distinct",
+    Some("""
+      SELECT l_returnflag AS k, count(DISTINCT l_partkey) AS n_distinct
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY k"""),
+    (s, dir) =>
+      graft.ops.Skew.saltedCountDistinct(
+          Tables.load(s, dir, "lineitem").withColumnRenamed("l_returnflag", "k"),
+          Seq("k"), "l_partkey", buckets = 64)
+        .orderBy("k"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
-    t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge)
+    t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct)
 }

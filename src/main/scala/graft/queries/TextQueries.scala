@@ -161,6 +161,46 @@ object TextQueries extends QueryModule {
           "doc_id", "text", maxHamming = 8)
         .orderBy("id1", "id2"))
 
+  /** Duplicate-cluster resolution ([[graft.ops.Clusters]]): generic
+    * connected components over pairwise edges, oracle-checked by building
+    * edges between CONSECUTIVE same-user events ≤30 min apart — so the
+    * components are exactly the gap-sessions, which DuckDB computes by the
+    * completely different lag/cumsum method. A hash match means the
+    * iterative hash-min+shortcut propagation reproduces ground truth it
+    * never saw. */
+  val ddClusterResolve: Q = Q(
+    "dd_cluster_resolve",
+    Some("""
+      WITH b AS (
+        SELECT event_id, user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR (epoch_us(ts) // 1000000)
+                    - (epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) > 1800
+               THEN 1 ELSE 0 END AS brk
+        FROM events),
+      s AS (
+        SELECT event_id, user_id,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM b)
+      SELECT event_id AS id, min(event_id) OVER (PARTITION BY user_id, seq) AS cluster_id
+      FROM s
+      ORDER BY id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("prev_id", lag(col("event_id"), 1).over(byUser))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .filter(col("prev_id").isNotNull &&
+          col("ts").cast("long") - col("prev_ts").cast("long") <= 1800L)
+        .select(col("prev_id").as("a"), col("event_id").as("b"))
+      graft.ops.Clusters.assignClusters(ev, "event_id", pairs)
+        .orderBy("id")
+    })
+
   override def queries: Seq[Q] = Seq(
-    txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash, ddSimhash)
+    txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
+    ddSimhash, ddClusterResolve)
 }

@@ -252,4 +252,55 @@ class OpsSpec extends SparkSpec {
     new graft.functions.GraftExtensions()(
       new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("cluster resolution: chain, cliques, singletons; log-round convergence") {
+    import graft.ops.Clusters
+    // a 200-node chain (diameter 199 — hash-min without shortcuts would
+    // need 199 rounds; path halving must finish inside maxRounds=25),
+    // a 5-clique, a 2-cycle, and an isolated edge pair
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val clique = for (i <- 300L to 304L; j <- 300L to 304L if i < j) yield (i, j)
+    val extra = Seq((400L, 401L), (401L, 400L), (500L, 501L))
+    val pairs = (chain ++ clique ++ extra).toDF("a", "b")
+
+    val resolved = Clusters.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 199L).foreach(i => assert(resolved(i) == 0L, s"chain node $i"))
+    (300L to 304L).foreach(i => assert(resolved(i) == 300L))
+    assert(resolved(400L) == 400L && resolved(401L) == 400L)
+    assert(resolved(500L) == 500L && resolved(501L) == 500L)
+
+    // assignClusters unions in ids that never appeared in an edge
+    val ids = ((0L to 199L) ++ Seq(300L, 999L, 1000L)).toDF("doc_id")
+    val assigned = Clusters.assignClusters(ids, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(999L) == 999L && assigned(1000L) == 1000L)
+    assert(assigned(5L) == 0L && assigned(300L) == 300L)
+  }
+
+  test("salted collect_set/count_distinct match direct aggs; salt spreads the hot key") {
+    import graft.ops.Skew
+    // one hot key (80% of rows) + two normal keys, values with repeats
+    val rows = (0 until 4000).map(i => ("hot", s"v${i % 977}")) ++
+      (0 until 500).map(i => ("a", s"v${i % 13}")) ++
+      (0 until 500).map(i => ("b", s"v${i % 7}"))
+    val df = rows.toDF("k", "v")
+
+    val salted = Skew.saltedCollectSet(df, Seq("k"), "v", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val direct = df.groupBy("k").agg(
+        array_sort(collect_set(col("v"))).as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, vs) => assert(vs == direct(k), s"key $k") }
+
+    val counts = Skew.saltedCountDistinct(df, Seq("k"), "v", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("hot" -> 977L, "a" -> 13L, "b" -> 7L))
+
+    // phase 1 really splits the hot key: its values spread over >1 salt bucket
+    val hotBuckets = df.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("v")), lit(8)).as("s")).distinct().count()
+    assert(hotBuckets > 1, "hot key not spread across salt buckets")
+  }
 }
