@@ -211,4 +211,28 @@ final class TableCatalog(spark: SparkSession, val config: EngineConfig) {
       }
     TableMeta(name, df.columns.toSeq, dtypes, numericCols, ranges)
   }
+
+  /** [[meta]] with the numeric ranges served from a [[StatsStore]] sketch
+    * log instead of a full-table scan — the 100 TB form of the reference's
+    * chunked min/max metadata pass (metadata.py): each ingest batch
+    * appended its own sketch, so current ranges cost a read of the
+    * KB-sized log. Columns the store has never sketched simply have no
+    * range (same contract as all-null columns in [[meta]]). Schema-derived
+    * fields still come from the (free) header read. */
+  def metaFromStore(name: String, statsDir: String): TableMeta = {
+    val df = table(name)
+    val keys = mergeKeys
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] && !keys.idColumns(f.name) => f.name
+    }.toSeq
+    val stats = StatsStore.read(spark, statsDir)
+      .select(col("col_name"), col("min_v"), col("max_v")).collect()
+    val ranges = stats.flatMap { r =>
+      val c = r.getAs[String]("col_name")
+      if (!numericCols.contains(c) || r.isNullAt(1) || r.isNullAt(2)) None
+      else Some(c -> (r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
+    }.toMap
+    TableMeta(name, df.columns.toSeq, dtypes, numericCols, ranges)
+  }
 }

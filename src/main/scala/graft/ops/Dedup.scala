@@ -40,6 +40,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** End-to-end near-dup corpus deduplication: [[minhashLshPairs]]
+    * candidate+confirm → [[Clusters.assignClusters]] connected components →
+    * keep ONE canonical row per cluster (the min id — deterministic; to
+    * prefer e.g. the highest-quality doc instead, renumber ids by that
+    * ordering upstream). Returns the kept rows with `cluster_id` (== their
+    * id) and `n_cluster` (how many documents the keeper represents —
+    * singleton rows carry 1).
+    *
+    * Scale shape: pairs and clusters are id-only; the full-width document
+    * rows are touched exactly twice (once for signatures, once for the
+    * final keep-join), so document payload never rides a shuffle it
+    * doesn't need. */
+  def deduplicateCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 144, bands: Int = 48,
+      threshold: Double = 0.5, seed: Long = 42,
+      maxBucketSize: Int = 100): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold,
+      seed, maxBucketSize)
+    val assigned = Clusters.assignClusters(df.select(col(idCol)), idCol,
+      pairs, a = "id1", b = "id2")
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"))
+    df.join(
+        assigned.filter(col("id") === col("cluster_id"))
+          .join(sizes, "cluster_id")
+          .select(col("id").as(idCol), col("cluster_id"), col("n_cluster")),
+        idCol)
+  }
+
   /** Word-n-gram Jaccard pairs with similarity ≥ `threshold`.
     * Returns (id1, id2, n1, n2, intersection, jaccard).
     *

@@ -200,7 +200,25 @@ object TextQueries extends QueryModule {
         .orderBy("id")
     })
 
+  /** End-to-end corpus dedup (rows-only: MinHash-LSH has no SQL oracle;
+    * cluster math is oracle-checked via dd_cluster_resolve and the LSH leg
+    * via its recall spec). Self-asserts the partition invariant: cluster
+    * sizes must account for every document exactly once. */
+  val ddDedupCorpus: Q = Q(
+    "dd_dedup_corpus",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val out = Dedup.deduplicateCorpus(docs, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("cluster_id"), col("n_cluster"))
+      val covered = out.agg(sum(col("n_cluster"))).head().getLong(0)
+      val total = docs.count()
+      require(covered == total,
+        s"dedup clusters cover $covered of $total documents")
+      out.orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
-    ddSimhash, ddClusterResolve)
+    ddSimhash, ddClusterResolve, ddDedupCorpus)
 }

@@ -179,4 +179,27 @@ class CohortQuerySpec extends SparkSpec {
     // hub-only count works over parquet
     assert(CohortQuery(cat).count() == cat.demographics.count())
   }
+
+  test("metaFromStore serves the same numeric ranges as the full-scan meta") {
+    import graft.catalog.StatsStore
+    val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
+    val full = cat.meta("cognitive")
+    assert(full.numericRanges.nonEmpty)
+
+    // each "ingest batch" appends its own sketch; no full rescan ever
+    val statsDir = java.nio.file.Files.createTempDirectory("graft-meta-store")
+      .resolve("cognitive").toString
+    val df = cat.table("cognitive")
+    val batches = Seq(
+      df.limit(2),
+      df.exceptAll(df.limit(2)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StatsStore.append(statsDir, b, full.numericColumns, s"batch$i")
+    }
+
+    val incremental = cat.metaFromStore("cognitive", statsDir)
+    assert(incremental.numericColumns == full.numericColumns)
+    assert(incremental.numericRanges == full.numericRanges,
+      s"store ${incremental.numericRanges} vs scan ${full.numericRanges}")
+  }
 }

@@ -303,4 +303,26 @@ class OpsSpec extends SparkSpec {
       .select(pmod(xxhash64(col("v")), lit(8)).as("s")).distinct().count()
     assert(hotBuckets > 1, "hot key not spread across salt buckets")
   }
+
+  test("deduplicateCorpus keeps exactly one canonical doc per near-dup cluster") {
+    import graft.ops.Clusters
+    val dedup = Dedup.deduplicateCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .cache()
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+    val assigned = Clusters.assignClusters(
+      docs.select("doc_id"), "doc_id", pairs, "id1", "id2")
+
+    // one keeper per cluster; keepers are their own cluster id; sizes
+    // account for the whole corpus
+    assert(dedup.count() == assigned.select("cluster_id").distinct().count())
+    assert(dedup.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+    assert(dedup.agg(sum("n_cluster")).head().getLong(0) == docs.count())
+    assert(dedup.columns.contains("text"), "payload columns survive")
+
+    // no confirmed near-dup pair survives intact
+    val kept = dedup.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = pairs.collect()
+      .count(r => kept(r.getLong(0)) && kept(r.getLong(1)))
+    assert(survivors == 0, s"$survivors confirmed pairs fully kept")
+  }
 }
