@@ -52,12 +52,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries
-    // SPARK_GRAFT_BENCH_ONLY=q1_pricing_agg,t1_column_stats narrows the set
-    // for local iteration; unset = full headline (the driver contract).
+    // SPARK_GRAFT_BENCH_ONLY=q1_pricing_agg,dd_cluster_resolve selects ANY
+    // gate entries (not just headline) for local iteration; unset = full
+    // headline (the driver contract).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = headline.filter(queries.contains)
-      .filter(n => only.forall(_.contains(n)))
+    val selected = only match {
+      case Some(set) => queries.keys.filter(set.contains).toSeq.sorted
+      case None => headline.filter(queries.contains)
+    }
 
     def run(name: String): Unit =
       queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

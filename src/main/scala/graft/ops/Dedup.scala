@@ -70,6 +70,36 @@ object Dedup {
         idCol)
   }
 
+  /** [[deduplicateCorpus]] with quality-aware keeper selection: within each
+    * near-dup cluster, keep the row with the HIGHEST `scoreCol` (ties →
+    * lowest id, so the choice is deterministic). Scores ride the id-only
+    * cluster shuffle as one extra column; payload rows are still touched
+    * exactly twice. `scoreCol` is typically
+    * [[TextOps.qualityScore]]-derived. */
+  def deduplicateCorpusBy(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      n: Int = 2, k: Int = 144, bands: Int = 48,
+      threshold: Double = 0.5, seed: Long = 42,
+      maxBucketSize: Int = 100): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold,
+      seed, maxBucketSize)
+    val assigned = Clusters.assignClusters(df.select(col(idCol)), idCol,
+      pairs, a = "id1", b = "id2")
+    val keepers = assigned
+      .join(df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("__score")), "id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        // struct compare is lexicographic: best score wins, then (via the
+        // negated id) the smallest id among equal scores
+        max_by(col("id"), struct(col("__score"), -col("id"))).as("keep_id"),
+        count(lit(1)).as("n_cluster"))
+    df.join(
+      keepers.select(col("keep_id").as(idCol), col("cluster_id"),
+        col("n_cluster")),
+      idCol)
+  }
+
   /** Word-n-gram Jaccard pairs with similarity ≥ `threshold`.
     * Returns (id1, id2, n1, n2, intersection, jaccard).
     *

@@ -324,5 +324,22 @@ class OpsSpec extends SparkSpec {
     val survivors = pairs.collect()
       .count(r => kept(r.getLong(0)) && kept(r.getLong(1)))
     assert(survivors == 0, s"$survivors confirmed pairs fully kept")
+
+    // quality-aware variant keeps the best-scoring doc of each cluster;
+    // same cluster partition, possibly different keepers
+    val scored = docs.withColumn("q", col("n_chars").cast("double"))
+    val byQuality = Dedup.deduplicateCorpusBy(scored, "doc_id", "text", "q",
+      threshold = 0.5).cache()
+    assert(byQuality.count() == dedup.count())
+    assert(byQuality.agg(sum("n_cluster")).head().getLong(0) == docs.count())
+    // every keeper's score is the max of its cluster
+    val assignedAll = Clusters.assignClusters(
+      docs.select("doc_id"), "doc_id", pairs, "id1", "id2")
+    val best = assignedAll
+      .join(scored.select(col("doc_id").as("id"), col("q")), "id")
+      .groupBy("cluster_id").agg(max("q").as("best_q"))
+    val mismatched = byQuality.join(best, "cluster_id")
+      .filter(col("q") =!= col("best_q")).count()
+    assert(mismatched == 0, "a keeper is not its cluster's best-quality doc")
   }
 }
