@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.QualityQueries,
     graft.queries.TextQueries,
     graft.queries.SimQueries,
-    graft.queries.EventQueries)
+    graft.queries.EventQueries,
+    graft.queries.SamplingQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting, and mixing — the selection operators
+  * a training-data pipeline runs daily over the deduplicated corpus.
+  *
+  * Everything here keys on an ENGINE-PORTABLE hash: the first 8 hex chars
+  * of md5 over the '|'-joined string renders of user-chosen key columns
+  * (plus a seed string), scaled to [0,1). Unlike `rand(seed)` — whose
+  * values depend on row-to-partition placement and thus change under
+  * repartitioning, retries, or AQE — this fraction is a pure function of
+  * the row's identity: the same row lands in the same split on every
+  * engine, every run, every cluster size. That is what makes a train/test
+  * split an auditable artifact instead of a run-time accident (and what
+  * lets DuckDB reproduce these operators bit-for-bit in the oracle gate).
+  *
+  * md5 here is a partitioner, not cryptography; it is builtin, codegen'd,
+  * and stateless, so every operator below is a narrow map or a single
+  * per-stratum sort — nothing materializes on the driver.
+  */
+object Sampling {
+
+  /** Deterministic [0,1) fraction of a row's identity. 2^32 buckets: split
+    * boundaries are exact doubles, so threshold comparisons agree across
+    * engines. */
+  def hashFraction(seed: String, keys: Seq[Column]): Column =
+    conv(substring(hashHex(seed, keys), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+
+  /** Full 32-hex-char identity hash (for collision-free orderings). */
+  def hashHex(seed: String, keys: Seq[Column]): Column =
+    md5(concat_ws("|", (lit(seed) +: keys).map(_.cast("string")): _*)
+      .cast("binary"))
+
+  /** Assign each row to a named split by hash fraction: `splits` are
+    * (name, fraction) with fractions summing to ≤ 1 (rows beyond the sum
+    * get `null` — an explicit holdout). Adds a `split` column; stateless
+    * narrow map, no shuffle. */
+  def hashSplit(df: DataFrame, keys: Seq[String],
+      splits: Seq[(String, Double)], seed: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val f = hashFraction(seed, keys.map(col))
+    // round the running sums to 12 decimals so 0.8+0.1 thresholds at the
+    // double nearest 0.9 — i.e. exactly the literal a SQL mirror of this
+    // split would write — not at 0.9000000000000001
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.rint(c * 1e12) / 1e12)
+    // CASE WHEN f < c1 THEN n1 WHEN f < c2 THEN n2 ... ELSE null: built
+    // from the last branch inward so the FIRST matching threshold wins
+    val caseExpr = splits.zip(cum).reverse
+      .foldLeft(lit(null).cast("string")) {
+        case (els, ((name, _), hi)) => when(f < hi, name).otherwise(els)
+      }
+    df.withColumn("split", caseExpr)
+  }
+
+  /** Exactly `k` rows per stratum (fewer iff the stratum is smaller),
+    * chosen as the k smallest identity hashes — a deterministic reservoir:
+    * stable under reruns, repartitioning, and engine choice, and growing
+    * the corpus only swaps individual rows in/out rather than reshuffling
+    * the whole sample. One sort-shuffle partitioned by stratum; ties are
+    * impossible because the full 128-bit hex plus the key columns order
+    * totally. */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], k: Int,
+      keys: Seq[String], seed: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ordering = (hashHex(seed, keys.map(col)) +: keys.map(col)).map(_.asc)
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Weighted corpus mixture: each source is thinned to its weight (a
+    * deterministic per-row keep decision, NOT an approximate `sample()`)
+    * and tagged with its name. Weights are independent keep-probabilities
+    * per source, so a 0.5/0.25 mix of equal-sized corpora yields a 2:1
+    * blend. Schemas must union by name. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+      keys: Seq[String], seed: String = "graft"): DataFrame = {
+    require(sources.nonEmpty, "no sources")
+    sources.map { case (name, df, weight) =>
+      require(weight > 0.0 && weight <= 1.0, s"$name: weight must be in (0,1]")
+      // fold the source name into the seed: the same document kept in one
+      // source is an independent draw in another
+      df.filter(hashFraction(s"$seed/$name", keys.map(col)) < weight)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+}

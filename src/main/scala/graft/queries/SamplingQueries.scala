@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic selection operators ([[graft.ops.Sampling]]). These are
+  * oracle-checkable PRECISELY because the hash is engine-portable (md5 of
+  * the row identity): DuckDB reproduces every keep/order decision
+  * bit-for-bit, which is also the property that makes the splits
+  * reproducible artifacts at 100 TB. */
+object SamplingQueries extends QueryModule {
+
+  /** 80/10/10 train/val/test split of lineitem keyed on the line identity;
+    * the gate compares per-split row counts. */
+  val smpHashSplit: Q = Q(
+    "smp_hash_split",
+    Some("""
+      WITH h AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'graft',
+            CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT)
+          / 4294967296.0 AS f
+        FROM lineitem)
+      SELECT CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n
+      FROM h
+      GROUP BY 1
+      ORDER BY split"""),
+    (s, dir) =>
+      Sampling.hashSplit(Tables.load(s, dir, "lineitem"),
+          keys = Seq("l_orderkey", "l_linenumber"),
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"))
+
+  /** Exact-100-per-stratum deterministic sample (k smallest identity
+    * hashes per l_returnflag); the gate compares the SELECTED ROWS, so
+    * both engines must make identical per-row choices. */
+  val smpStratified: Q = Q(
+    "smp_stratified",
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY md5(concat_ws('|', 'graft',
+                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+              l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+      SELECT l_returnflag, l_orderkey, l_linenumber
+      FROM r
+      WHERE rn <= 100
+      ORDER BY l_returnflag, l_orderkey, l_linenumber"""),
+    (s, dir) =>
+      Sampling.stratifiedSample(
+          Tables.load(s, dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber"),
+          strata = Seq("l_returnflag"), k = 100,
+          keys = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber"))
+
+  override def queries: Seq[Q] = Seq(smpHashSplit, smpStratified)
+}

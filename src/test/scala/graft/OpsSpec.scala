@@ -342,4 +342,44 @@ class OpsSpec extends SparkSpec {
       .filter(col("q") =!= col("best_q")).count()
     assert(mismatched == 0, "a keeper is not its cluster's best-quality doc")
   }
+
+  test("hash split/stratified sample/mix are deterministic and well-proportioned") {
+    import graft.ops.Sampling
+    val keys = Seq("doc_id")
+
+    // split: partition of the corpus, fractions within ~2% at n=500
+    val split = Sampling.hashSplit(docs, keys,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.values.sum == n.toLong, "split must partition the corpus")
+    assert(math.abs(counts("train") / n - 0.8) < 0.06, s"train ${counts("train")}")
+    assert(counts.keySet == Set("train", "val", "test"))
+
+    // determinism: same assignment after a repartition (rand() would fail)
+    val again = Sampling.hashSplit(docs.repartition(13), keys,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+    assert(split.select("doc_id", "split").exceptAll(again).count() == 0)
+
+    // stratified: exactly k per stratum (or the whole stratum when smaller)
+    val k = 40
+    val strat = Sampling.stratifiedSample(docs, Seq("lang"), k, keys)
+    val perStratum = strat.groupBy("lang").count().collect()
+    val stratumSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { r =>
+      val want = math.min(k.toLong, stratumSizes(r.getString(0)))
+      assert(r.getLong(1) == want, s"${r.getString(0)}: ${r.getLong(1)} != $want")
+    }
+
+    // mix: weights thin each source independently; tags identify origin
+    val mixed = Sampling.mixCorpora(
+      Seq(("full", docs, 1.0), ("half", docs, 0.5)), keys).cache()
+    val bySource = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("full") == n.toLong)
+    assert(math.abs(bySource("half") / n - 0.5) < 0.07, s"half ${bySource("half")}")
+  }
 }
