@@ -3,18 +3,22 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Sampling, TextOps}
 
 /** End-to-end training-data pipeline demo over the documents table:
   *
   *   read → language ID → quality score → quality gate → exact dedup →
-  *   MinHash near-dup removal → fingerprint + stats → write parquet
+  *   near-dup CLUSTER dedup (keep best quality per cluster) →
+  *   deterministic train/val/test split → write parquet + stats sketch
   *
   *   sbt "runMain graft.tools.PipelineDemo [sfDir] [outDir]"
   *
-  * Every stage is a DataFrame transform (one job at the end), so Catalyst
-  * fuses the scalar stages into the scan and the only shuffles are the two
-  * dedup aggregations — the shape this pipeline keeps at 100 TB.
+  * Every stage is a DataFrame transform, so Catalyst fuses the scalar
+  * stages into the scan; the shuffles are the dedup aggregations and the
+  * cluster propagation — the shape this pipeline keeps at 100 TB. Cluster
+  * dedup (not pair-drop): dropping `id2` of each confirmed pair keeps two
+  * documents whose only link was a third, already-dropped one — clusters
+  * close that hole.
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -42,20 +46,38 @@ object PipelineDemo {
     // Exact dedup: keep min doc_id per fingerprint.
     val exactDeduped = Dedup.dropDuplicatesByFingerprint(gated, "doc_id", "text")
 
-    // Near-dup removal: drop the higher id of each MinHash-confirmed pair.
-    val nearPairs = Dedup.minhashLshPairs(exactDeduped, "doc_id", "text", threshold = 0.6)
-    val losers = nearPairs.select(col("id2").as("doc_id")).distinct()
-    val finalDocs = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    // Near-dup cluster dedup: one keeper per connected component — the
+    // HIGHEST-quality member, not just the lowest id.
+    val nearDeduped = Dedup.deduplicateCorpusBy(
+      exactDeduped, "doc_id", "text", "quality", threshold = 0.6)
 
-    finalDocs.write.mode("overwrite").parquet(s"$outDir/clean_documents")
+    // Deterministic split: the same doc lands in the same file on every
+    // rerun, engine, and cluster size.
+    val splitDocs = Sampling.hashSplit(nearDeduped, Seq("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    splitDocs.write.partitionBy("split")
+      .mode("overwrite").parquet(s"$outDir/clean_documents")
+
+    // Incremental stats: this run's sketch appends to the corpus log.
+    graft.catalog.StatsStore.append(s"$outDir/stats",
+      splitDocs, Seq("n_tokens", "quality"), partId = s"demo-$sfDir")
 
     val nIn = docs.count(); val nGated = gated.count()
-    val nExact = exactDeduped.count(); val nOut = finalDocs.count()
+    val nExact = exactDeduped.count(); val nOut = nearDeduped.count()
     println(s"[pipeline] in=$nIn qualityGated=$nGated exactDeduped=$nExact " +
-      s"nearDeduped=$nOut -> $outDir/clean_documents")
-    val langs = finalDocs.groupBy("pred_lang").count().orderBy("pred_lang")
+      s"clusterDeduped=$nOut -> $outDir/clean_documents")
+    val splits = splitDocs.groupBy("split").count().orderBy("split")
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
+    println(s"[pipeline] splits: $splits")
+    val langs = nearDeduped.groupBy("pred_lang").count().orderBy("pred_lang")
       .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
     println(s"[pipeline] predicted languages: $langs")
+    val stats = graft.catalog.StatsStore.read(spark, s"$outDir/stats")
+      .select("col_name", "n_value", "mean_v", "distinct_est")
+      .orderBy("col_name").collect()
+      .map(r => s"${r.getString(0)}(n=${r.getLong(1)}, mean=${"%.3f".format(r.getDouble(2))}, ~distinct=${r.getLong(3)})")
+      .mkString("; ")
+    println(s"[pipeline] corpus stats: $stats")
     spark.stop()
   }
 }
