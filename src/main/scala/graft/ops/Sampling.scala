@@ -75,6 +75,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Assign rows to fixed-budget bins (training batches bounded by a
+    * token/char budget): rows are ordered deterministically (identity
+    * hash) inside `groups` independent hash groups, and a row's bin is
+    * `floor(exclusive-prefix-sum(weight) / budget)` — the standard
+    * scalable greedy packing. Adds `pack_group` and `pack_seq`; a bin is
+    * identified by the pair. One bounded-width sort per group (no global
+    * sort), so packing 100 TB is `groups`-way parallel; bins can overshoot
+    * the budget by at most one row's weight (oversize rows get a spanning
+    * bin of their own — filter or truncate upstream if that matters). */
+  def packByBudget(df: DataFrame, weightCol: String, budget: Long,
+      keys: Seq[String], groups: Int = 1024,
+      seed: String = "graft"): DataFrame = {
+    require(budget > 0 && groups > 0, "budget and groups must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = hashHex(seed, keys.map(col))
+    val grp = (conv(substring(h, 1, 8), 16, 10).cast("long") % groups)
+      .as("pack_group")
+    val w = Window.partitionBy(col("pack_group"))
+      .orderBy((h +: keys.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_group", grp)
+      .withColumn("pack_seq",
+        floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) /
+          lit(budget.toDouble)).cast("long"))
+  }
+
   /** Weighted corpus mixture: each source is thinned to its weight (a
     * deterministic per-row keep decision, NOT an approximate `sample()`)
     * and tagged with its name. Weights are independent keep-probabilities

@@ -59,5 +59,33 @@ object SamplingQueries extends QueryModule {
           keys = Seq("l_orderkey", "l_linenumber"))
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber"))
 
-  override def queries: Seq[Q] = Seq(smpHashSplit, smpStratified)
+  /** Greedy budget packing of documents into ~4096-char bins inside 8
+    * hash groups; the gate compares every row's (group, bin) assignment. */
+  val smpPack: Q = Q(
+    "smp_pack_budget",
+    Some("""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+          md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS hx
+        FROM documents),
+      g AS (
+        SELECT doc_id, n_chars, hx,
+          CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 8 AS pack_group
+        FROM h)
+      SELECT doc_id, pack_group,
+        CAST(floor(COALESCE(SUM(n_chars) OVER (PARTITION BY pack_group
+          ORDER BY hx, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT)
+          AS pack_seq
+      FROM g
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Sampling.packByBudget(
+          Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+          weightCol = "n_chars", budget = 4096L,
+          keys = Seq("doc_id"), groups = 8)
+        .select("doc_id", "pack_group", "pack_seq")
+        .orderBy("doc_id"))
+
+  override def queries: Seq[Q] = Seq(smpHashSplit, smpStratified, smpPack)
 }

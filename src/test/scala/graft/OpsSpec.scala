@@ -381,5 +381,21 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySource("full") == n.toLong)
     assert(math.abs(bySource("half") / n - 0.5) < 0.07, s"half ${bySource("half")}")
+
+    // packing: every row binned; bins respect budget + one-row overshoot;
+    // assignment survives repartition
+    val budget = 2000L
+    val packed = Sampling.packByBudget(docs, "n_chars", budget, keys, groups = 4)
+      .cache()
+    assert(packed.count() == n.toLong)
+    val maxChars = docs.agg(max("n_chars")).head().getLong(0)
+    val overfull = packed.groupBy("pack_group", "pack_seq")
+      .agg(sum("n_chars").as("w"))
+      .filter(col("w") > budget + maxChars).count()
+    assert(overfull == 0, "a bin exceeds budget + one row's weight")
+    val packedAgain = Sampling.packByBudget(docs.repartition(7), "n_chars",
+      budget, keys, groups = 4).select("doc_id", "pack_group", "pack_seq")
+    assert(packed.select("doc_id", "pack_group", "pack_seq")
+      .exceptAll(packedAgain).count() == 0)
   }
 }
