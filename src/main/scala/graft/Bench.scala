@@ -25,6 +25,7 @@ object Bench {
     "q5_nation_revenue",
     "j1_star_left_join",
     "j1_star_left_join_bucketed",
+    "j1_star_left_join_merge",
     "a1_count_distinct",
     "a7_enwiden_pivot",
     "t1_column_stats",

@@ -126,10 +126,16 @@ object CoreQueries extends QueryModule {
   /** J1 over [[graft.catalog.Layout]]'s bucketed parquet (SURVEY §7.4 #13):
     * customer and orders are written ONCE per (session, sf dir) bucketed by
     * their custkey into the same bucket count, so the hub ⟕ behavioral join
-    * plans with no hash exchange on either big side — the maintain-once
-    * layout a daily cohort workflow (query_secure.py:66–92) would keep at
-    * 100 TB. Identical results and oracle to j1; the bench line times the
-    * join minus its shuffle. */
+    * plans with no hash exchange and no sort on either big side — the
+    * maintain-once layout a daily cohort workflow (query_secure.py:66–92)
+    * would keep at 100 TB. The orders join carries a MERGE hint: at bench
+    * scale the filtered hub fits under the AQE broadcast threshold and
+    * Catalyst would broadcast it, silently bypassing the layout being
+    * measured; at 100 TB neither side broadcasts and SortMergeJoin is the
+    * only option, so the hint pins the timed plan to the regime the layout
+    * serves. Compare with `j1_star_left_join_merge` (same hint, unbucketed
+    * — pays the shuffle+sort) and `j1_star_left_join` (broadcast regime).
+    * Identical results and oracle to j1. */
   val j1StarLeftJoinBucketed: Q = Q(
     "j1_star_left_join_bucketed",
     j1StarLeftJoin.oracle,
@@ -141,7 +147,25 @@ object CoreQueries extends QueryModule {
           s, Tables.load(s, dir, t), key, buckets = 32, wh, s"graft_bkt${tag}_$t")
       val c = bucketed("customer", "c_custkey").filter(col("c_acctbal") < 0)
       val n = Tables.load(s, dir, "nation")
-      val o = bucketed("orders", "o_custkey")
+      val o = bucketed("orders", "o_custkey").hint("merge")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), c("c_name"), n("n_name"),
+          o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc)
+    })
+
+  /** The un-bucketed control for `j1_star_left_join_bucketed`: same MERGE
+    * hint over plain parquet, so the timed plan pays the hash exchange +
+    * sort on both join sides that the bucketed layout eliminates. The
+    * bucketed-vs-merge delta is the shuffle cost the layout saves. */
+  val j1StarLeftJoinMerge: Q = Q(
+    "j1_star_left_join_merge",
+    j1StarLeftJoin.oracle,
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer").filter(col("c_acctbal") < 0)
+      val n = Tables.load(s, dir, "nation")
+      val o = Tables.load(s, dir, "orders").hint("merge")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
         .join(o, c("c_custkey") === o("o_custkey"), "left")
         .select(c("c_custkey"), c("c_name"), n("n_name"),
@@ -247,7 +271,7 @@ object CoreQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     q1PricingAgg, pFilterProject, pTokenMatch, j1StarLeftJoin,
-    j1StarLeftJoinBucketed,
+    j1StarLeftJoinBucketed, j1StarLeftJoinMerge,
     a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a5UniqueCapped,
     a6TopK, t14CrossFilter)
 }
