@@ -38,8 +38,10 @@ object Skew {
       buckets: Int = 64): DataFrame = {
     require(buckets > 1, "buckets must be > 1")
     val keyCols = keys.map(col)
-    df.filter(col(valueCol).isNotNull)
-      .groupBy(keyCols :+ pmod(xxhash64(col(valueCol)), lit(buckets)).as("__salt"): _*)
+    // no null pre-filter: collect_set already skips nulls, and dropping
+    // null-valued ROWS would drop a KEY whose values are all null — the
+    // direct agg keeps that key with an empty set
+    df.groupBy(keyCols :+ pmod(xxhash64(col(valueCol)), lit(buckets)).as("__salt"): _*)
       .agg(collect_set(col(valueCol)).as("__frag"))
       .groupBy(keyCols: _*)
       .agg(array_sort(flatten(collect_list(col("__frag")))).as("values"))
@@ -54,8 +56,7 @@ object Skew {
       buckets: Int = 64): DataFrame = {
     require(buckets > 1, "buckets must be > 1")
     val keyCols = keys.map(col)
-    df.filter(col(valueCol).isNotNull)
-      .groupBy(keyCols :+ pmod(xxhash64(col(valueCol)), lit(buckets)).as("__salt"): _*)
+    df.groupBy(keyCols :+ pmod(xxhash64(col(valueCol)), lit(buckets)).as("__salt"): _*)
       .agg(countDistinct(col(valueCol)).as("__frag_n"))
       .groupBy(keyCols: _*)
       .agg(sum(col("__frag_n")).as("n_distinct"))

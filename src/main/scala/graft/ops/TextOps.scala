@@ -24,6 +24,24 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Overlapping character chunks for embedding/context windows: starts
+    * step by `size - overlap`, the last chunk begins at or before
+    * `length - overlap - 1` so text is covered exactly once with no
+    * redundant trailing chunk; chunks may run short at the end. Empty/null
+    * text → empty array. A pure array expression (sequence + transform +
+    * substr): codegen'd, no UDF, explodes map-side — chunking 100 TB is a
+    * narrow stage fused into the scan. */
+  def chunks(c: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    when(c.isNotNull && length(c) > 0,
+      transform(
+        sequence(lit(0), greatest(length(c) - overlap - 1, lit(0)), lit(stride)),
+        start => c.substr(start + 1, lit(size))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word n-gram shingles joined with single spaces (distinct set), via the
     * native [[graft.functions.ShingleNGrams]] expression. The compositional
     * `transform(sequence(...), i -> concat_ws(slice(w, ...)))` form embeds

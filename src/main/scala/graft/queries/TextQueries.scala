@@ -218,7 +218,27 @@ object TextQueries extends QueryModule {
       out.orderBy("doc_id")
     })
 
+  /** Character chunking (200-char windows, 50 overlap) for embedding
+    * pipelines; the oracle reproduces every chunk boundary with
+    * generate_series + substr. */
+  val txtChunks: Q = Q(
+    "txt_chunks",
+    Some("""
+      SELECT d.doc_id, CAST(t.s / 150 AS BIGINT) AS chunk_idx,
+        substr(d.text, CAST(t.s + 1 AS BIGINT), 200) AS chunk
+      FROM documents d,
+        unnest(range(0, greatest(length(d.text) - 51, 0) + 1, 150)) t(s)
+      WHERE length(d.text) > 0
+      ORDER BY d.doc_id, chunk_idx"""),
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), size = 200, overlap = 50)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_idx"))
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
-    ddSimhash, ddClusterResolve, ddDedupCorpus)
+    ddSimhash, ddClusterResolve, ddDedupCorpus, txtChunks)
 }

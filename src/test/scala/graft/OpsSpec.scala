@@ -398,4 +398,57 @@ class OpsSpec extends SparkSpec {
     assert(packed.select("doc_id", "pack_group", "pack_seq")
       .exceptAll(packedAgain).count() == 0)
   }
+
+  test("chunking covers text exactly once; empty-safe") {
+    val df = Seq(
+      (1L, "a" * 500), (2L, "abc"), (3L, ""), (4L, null: String), (5L, "x" * 200))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        TextOps.chunks(col("text"), size = 200, overlap = 50).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).length == 3)                      // starts 0,150,300
+    assert(out(1L).forall(_.length <= 200))
+    assert(out(2L) == Seq("abc"))                    // shorter than one chunk
+    assert(out(3L).isEmpty && out(4L).isEmpty)       // empty / null text
+    assert(out(5L) == Seq("x" * 200))                // exactly one window
+    // reconstruction: first chunk + overlap-stripped tails == original
+    val rebuilt = out(1L).head + out(1L).tail.map(_.drop(50)).mkString
+    assert(rebuilt == "a" * 500, "chunks must tile the text exactly")
+  }
+
+  test("empty and degenerate inputs do not throw across the ops surface") {
+    import graft.ops.{Clusters, Sampling, Skew}
+    import graft.stats.IncrementalStats
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val ids = Seq(10L, 11L).toDF("doc_id")
+
+    // cluster resolution: no edges -> no resolved rows; all ids singleton
+    assert(Clusters.resolveClusters(emptyPairs).count() == 0)
+    val singletons = Clusters.assignClusters(ids, "doc_id", emptyPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(singletons == Map(10L -> 10L, 11L -> 11L))
+
+    // incremental stats: empty input -> empty sketch -> empty merge
+    val emptyDocs = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(IncrementalStats.merge(
+      IncrementalStats.sketch(emptyDocs, Seq("v"), lit("p"))).count() == 0)
+
+    // salted aggs keep a key whose values are ALL null (direct-agg parity)
+    val withNullKey = Seq(("k1", "v1"), ("k2", null: String), ("k2", null: String))
+      .toDF("k", "v")
+    val sets = Skew.saltedCollectSet(withNullKey, Seq("k"), "v", buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(sets("k2").isEmpty && sets("k1") == Seq("v1"))
+    val nd = Skew.saltedCountDistinct(withNullKey, Seq("k"), "v", buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nd == Map("k1" -> 1L, "k2" -> 0L))
+
+    // invalid split fractions refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, Seq("doc_id"), Seq("a" -> 0.8, "b" -> 0.4))
+    }
+    // packing an empty frame is a no-op
+    assert(Sampling.packByBudget(emptyDocs.withColumnRenamed("v", "w"),
+      "w", 100L, Seq("id")).count() == 0)
+  }
 }
