@@ -402,7 +402,31 @@ object StatsQueries extends QueryModule {
           Seq("k"), "l_partkey", buckets = 64)
         .orderBy("k"))
 
+  /** Mergeable log-bucket quantile sketch ([[QuantileSketch]]): rows-only
+    * (a DuckDB oracle can't replicate JVM `log` bucket boundaries
+    * bit-for-bit), self-asserting the relative-error contract against
+    * Spark's exact quantiles at gate scale. */
+  val incQuantileSketch: Q = Q(
+    "inc_quantile_sketch",
+    None,
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val merged = QuantileSketch.merge(
+        QuantileSketch.sketch(li, Seq("l_extendedprice"), col("l_returnflag")))
+      val qs = Seq(0.25, 0.5, 0.75)
+      val est = QuantileSketch.quantiles(merged, "l_extendedprice", qs)
+      val exact = li.stat.approxQuantile("l_extendedprice", qs.toArray, 0.0)
+      qs.zip(exact).foreach { case (q, ex) =>
+        val rel = math.abs(est(q) - ex) / math.max(math.abs(ex), 1e-12)
+        require(rel <= 0.021,
+          s"quantile sketch q=$q drifted: est ${est(q)} vs exact $ex")
+      }
+      import s.implicits._
+      qs.map(q => (q, est(q))).toDF("q", "estimate").orderBy("q")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
-    t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct)
+    t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
+    incQuantileSketch)
 }

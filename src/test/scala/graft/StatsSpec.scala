@@ -355,4 +355,42 @@ class StatsSpec extends SparkSpec {
       assert(afterAppend(c)._1 == fromStore(c)._1 + extraN)
     }
   }
+
+  test("quantile sketch: merge == whole; relative-error bound; full domain") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_extendedprice", "l_discount")
+
+    val whole = QuantileSketch.merge(
+      QuantileSketch.sketch(li, cols, lit("all")))
+    val parts = QuantileSketch.merge(
+      QuantileSketch.sketch(li.filter(col("l_linenumber") <= 2), cols,
+          col("l_returnflag"))
+        .unionByName(QuantileSketch.sketch(
+          li.filter(col("l_linenumber") > 2), cols, col("l_returnflag"))))
+    // bucket counts are additive -> identical tables regardless of split
+    assert(whole.exceptAll(parts).count() == 0 &&
+      parts.exceptAll(whole).count() == 0)
+
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    cols.foreach { c =>
+      val est = QuantileSketch.quantiles(whole, c, qs)
+      val exact = li.stat.approxQuantile(c, qs.toArray, 0.0)
+      qs.zip(exact).foreach { case (q, ex) =>
+        val rel = math.abs(est(q) - ex) / math.max(math.abs(ex), 1e-12)
+        assert(rel <= 0.021, s"$c q=$q: est ${est(q)} vs exact $ex (rel $rel)")
+      }
+    }
+
+    // negatives and zeros: median of a symmetric set is the zero bucket
+    val sym = spark.createDataFrame(
+      Seq(-1000.0, -10.0, -0.5, 0.0, 0.0, 0.5, 10.0, 1000.0).map(Tuple1(_)))
+      .toDF("v")
+    val symSketch = QuantileSketch.merge(
+      QuantileSketch.sketch(sym, Seq("v"), lit("p")))
+    val symQ = QuantileSketch.quantiles(symSketch, "v", Seq(0.0, 0.5, 1.0))
+    assert(symQ(0.5) == 0.0, s"median of symmetric set: ${symQ(0.5)}")
+    assert(math.abs(symQ(0.0) + 1000.0) <= 10.5, s"min-ish: ${symQ(0.0)}")
+    assert(math.abs(symQ(1.0) - 1000.0) <= 10.5, s"max-ish: ${symQ(1.0)}")
+  }
 }
