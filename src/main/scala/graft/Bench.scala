@@ -59,7 +59,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(set) => queries.keys.filter(set.contains).toSeq.sorted
+      case Some(set) =>
+        val unknown = set -- queries.keySet
+        require(unknown.isEmpty,
+          // a typo would otherwise time zero queries and write a
+          // near-empty artifact that passes for a measurement
+          s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+        queries.keys.filter(set.contains).toSeq.sorted
       case None => headline.filter(queries.contains)
     }
 

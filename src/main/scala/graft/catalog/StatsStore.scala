@@ -44,16 +44,28 @@ object StatsStore {
 
   /** Rewrite the log as one folded row per column. The fold is computed
     * and materialized on the driver first (the log is per-column-per-append
-    * tiny by construction) so the rewrite never reads and overwrites the
-    * same files in one job. */
+    * tiny by construction), written to a sibling temp dir, and swapped in
+    * with delete+rename — a direct Overwrite of `statsDir` would delete
+    * the only copy of the (unrecoverable) HLL sketches before the new
+    * files commit, so a crash mid-compaction would destroy the log. With
+    * the swap, a crash leaves either the old log or the complete folded
+    * copy under `<statsDir>.compacting` to recover from. */
   def compact(spark: SparkSession, statsDir: String): Unit = {
     val log = spark.read.parquet(statsDir)
     val folded = IncrementalStats.fold(log)
     val rows = folded.collect().toSeq
     val schema = folded.schema
+    val tmpDir = statsDir.stripSuffix("/") + ".compacting"
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
-      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(statsDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = path.getFileSystem(conf)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path),
+      s"compact: rename $tmpDir -> $statsDir failed; folded log preserved at $tmpDir")
   }
 
   /** Partition ids currently in the log (compaction collapses them). */

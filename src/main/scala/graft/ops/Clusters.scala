@@ -31,14 +31,17 @@ object Clusters {
 
   /** Resolve undirected edges (columns `a`, `b`) to components.
     * Returns (id, cluster_id) for every id that appears in an edge;
-    * cluster_id = the minimum id in the component. Ids absent from the
-    * edge list are singletons — union them in with id as their own
-    * cluster, as [[assignClusters]] does. */
+    * cluster_id = the minimum id in the component (by the id type's own
+    * ordering — numeric or lexicographic; any orderable id type works,
+    * string ids included). Ids absent from the edge list are singletons —
+    * union them in with id as their own cluster, as [[assignClusters]]
+    * does. */
   def resolveClusters(pairs: DataFrame, a: String = "a", b: String = "b",
       maxRounds: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-      .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+    require(pairs.schema(a).dataType == pairs.schema(b).dataType,
+      s"edge endpoint types differ: ${pairs.schema(a).dataType} vs ${pairs.schema(b).dataType}")
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .localCheckpoint()
 
@@ -62,6 +65,9 @@ object Clusters {
 
       val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).limit(1).count()
+      // the superseded round's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last reference —
+      // at any moment at most two rounds of labels are materialized
       labels = next
       done = changed == 0L
       round += 1
@@ -72,11 +78,13 @@ object Clusters {
   }
 
   /** [[resolveClusters]] plus singleton handling: every id in `ids` gets a
-    * cluster (its own id when it has no duplicate edge). */
+    * cluster (its own id when it has no duplicate edge). Id types are
+    * preserved end to end — string/UUID ids resolve as readily as
+    * numeric. */
   def assignClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       a: String = "a", b: String = "b"): DataFrame = {
     val resolved = resolveClusters(pairs, a, b)
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+    ids.select(col(idCol).as("id")).distinct()
       .join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }

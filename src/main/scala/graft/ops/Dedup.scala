@@ -86,7 +86,7 @@ object Dedup {
     val assigned = Clusters.assignClusters(df.select(col(idCol)), idCol,
       pairs, a = "id1", b = "id2")
     val keepers = assigned
-      .join(df.select(col(idCol).cast("long").as("id"),
+      .join(df.select(col(idCol).as("id"),
         col(scoreCol).cast("double").as("__score")), "id")
       .groupBy(col("cluster_id"))
       .agg(

@@ -42,6 +42,10 @@ object Sampling {
       splits: Seq[(String, Double)], seed: String = "graft"): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
       "split fractions must sum to <= 1")
+    require(splits.forall(_._2 > 0.0),
+      // a negative fraction makes the cumulative thresholds non-monotonic
+      // and its split (or a neighbor) silently receives zero rows
+      "every split fraction must be positive")
     val f = hashFraction(seed, keys.map(col))
     // round the running sums to 12 decimals so 0.8+0.1 thresholds at the
     // double nearest 0.9 — i.e. exactly the literal a SQL mirror of this

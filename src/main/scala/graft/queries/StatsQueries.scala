@@ -353,8 +353,11 @@ object StatsQueries extends QueryModule {
     * partition-sketch→merge path loses nothing vs a full rescan. Derived
     * mean/var are double arithmetic over the exact decimal sums, written
     * identically on both sides (bit-equal; rounding is belt-and-braces).
-    * The HLL distinct leg has no DuckDB twin — its union-exactness and
-    * accuracy are pinned in StatsSpec. */
+    * The oracle widens ONE square operand to DECIMAL(19,6): DuckDB runs
+    * (18,6)×(18,6) in int64 and overflows on large measures, while ≥19
+    * digits forces int128 — the value is identical. The HLL distinct leg
+    * has no DuckDB twin — its union-exactness and accuracy are pinned in
+    * StatsSpec. */
   private val incCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   val incStatsMerge: Q = Q(
@@ -363,7 +366,7 @@ object StatsQueries extends QueryModule {
       val legs = incCols.map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n, count($c) AS n_value,
           CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
-          CAST(SUM(CAST($c AS DECIMAL(18,3)) * CAST($c AS DECIMAL(18,3))) AS DOUBLE) AS sum_sq,
+          CAST(SUM(CAST($c AS DECIMAL(18,6)) * CAST($c AS DECIMAL(19,6))) AS DOUBLE) AS sum_sq,
           CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
         FROM lineitem"""
       }

@@ -49,17 +49,19 @@ object IncrementalStats {
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
       val dec = col(c).cast(DecimalType(38, 6))
-      // The square goes through DECIMAL(18,3): its product is DECIMAL(37,6),
-      // which Spark keeps at full scale (38,6 after the +1 would force a
-      // scale cut) — exact for values with <=3 fractional digits, which the
-      // money/measure columns this serves all satisfy. DECIMAL(38,6)^2 would
-      // silently truncate scale to 6 via adjustPrecisionScale instead.
-      val dec3 = col(c).cast(DecimalType(18, 3))
+      // The square goes through DECIMAL(18,6): its product is DECIMAL(37,12),
+      // which Spark keeps at full scale (the +1 of a (38,x) operand would
+      // force adjustPrecisionScale to cut the scale instead). Exact domain:
+      // |v| < 1e12 with <= 6 fractional digits — money/measure/score
+      // columns. Values outside cast to null under non-ANSI semantics and
+      // silently leave the sums (n_value still counts them); keep inputs
+      // inside the domain or pre-scale.
+      val dec6 = col(c).cast(DecimalType(18, 6))
       Seq(
         count(lit(1)).as(s"__n_$c"),
         count(col(c)).as(s"__nv_$c"),
         sum(dec).as(s"__sum_$c"),
-        sum(dec3 * dec3).as(s"__sq_$c"),
+        sum(dec6 * dec6).as(s"__sq_$c"),
         min(v).as(s"__min_$c"),
         max(v).as(s"__max_$c"),
         // hll_sketch_agg takes int/long/string/binary — key on the string

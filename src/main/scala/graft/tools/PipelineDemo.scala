@@ -47,9 +47,13 @@ object PipelineDemo {
     val exactDeduped = Dedup.dropDuplicatesByFingerprint(gated, "doc_id", "text")
 
     // Near-dup cluster dedup: one keeper per connected component — the
-    // HIGHEST-quality member, not just the lowest id.
+    // HIGHEST-quality member, not just the lowest id. Cached: the write,
+    // the stats append, and the three report aggregations below all
+    // consume it, and without the cache each would re-run the scan ->
+    // annotate -> gate -> dedup chain.
     val nearDeduped = Dedup.deduplicateCorpusBy(
-      exactDeduped, "doc_id", "text", "quality", threshold = 0.6)
+        exactDeduped, "doc_id", "text", "quality", threshold = 0.6)
+      .cache()
 
     // Deterministic split: the same doc lands in the same file on every
     // rerun, engine, and cluster size.
@@ -58,8 +62,14 @@ object PipelineDemo {
     splitDocs.write.partitionBy("split")
       .mode("overwrite").parquet(s"$outDir/clean_documents")
 
-    // Incremental stats: this run's sketch appends to the corpus log.
-    graft.catalog.StatsStore.append(s"$outDir/stats",
+    // Incremental stats: this run's sketch appends to the corpus log. The
+    // demo REBUILDS clean_documents on rerun, so the old log must go too —
+    // appending under the same partId would double-count the corpus.
+    val statsDir = s"$outDir/stats"
+    val fs = new org.apache.hadoop.fs.Path(statsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir), true)
+    graft.catalog.StatsStore.append(statsDir,
       splitDocs, Seq("n_tokens", "quality"), partId = s"demo-$sfDir")
 
     val nIn = docs.count(); val nGated = gated.count()

@@ -276,6 +276,15 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(assigned(999L) == 999L && assigned(1000L) == 1000L)
     assert(assigned(5L) == 0L && assigned(300L) == 300L)
+
+    // id types are preserved: string/UUID-style ids resolve too (a silent
+    // cast-to-long would null these out and return an empty result)
+    val strPairs = Seq(("doc-b", "doc-c"), ("doc-a", "doc-b")).toDF("a", "b")
+    val strIds = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("doc_id")
+    val strAssigned = Clusters.assignClusters(strIds, "doc_id", strPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strAssigned == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
   }
 
   test("salted collect_set/count_distinct match direct aggs; salt spreads the hot key") {

@@ -356,6 +356,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("incremental stats are exact for 6-fractional-digit values (score columns)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // quality-score-shaped data: 6 decimals in (0,1) — the shape
+    // PipelineDemo sketches; a coarser square cast would bias var_pop
+    val vals = (1 to 1000).map(i => math.rint(i / 1000.0 * 1e6) / 1e6)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("q")
+    val whole = IncrementalStats.merge(
+      IncrementalStats.sketch(df, Seq("q"), lit("all"))).head()
+    val parts = IncrementalStats.merge(
+      IncrementalStats.sketch(df.filter(col("q") <= 0.5), Seq("q"), lit("lo"))
+        .unionByName(IncrementalStats.sketch(
+          df.filter(col("q") > 0.5), Seq("q"), lit("hi")))).head()
+    assert(whole.getAs[java.math.BigDecimal]("sum_sq")
+      .compareTo(parts.getAs[java.math.BigDecimal]("sum_sq")) == 0)
+    // against independently computed exact moments
+    val exactMean = vals.sum / vals.size
+    val exactVar = vals.map(v => v * v).sum / vals.size - exactMean * exactMean
+    assert(math.abs(whole.getAs[Double]("mean_v") - exactMean) < 1e-12)
+    assert(math.abs(whole.getAs[Double]("var_pop") - exactVar) < 1e-9,
+      s"var ${whole.getAs[Double]("var_pop")} vs $exactVar")
+  }
+
   test("quantile sketch: merge == whole; relative-error bound; full domain") {
     import org.apache.spark.sql.functions.{col, lit}
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
