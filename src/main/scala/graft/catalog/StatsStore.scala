@@ -72,4 +72,19 @@ object StatsStore {
   def partIds(spark: SparkSession, statsDir: String): Seq[String] =
     spark.read.parquet(statsDir).select(col("part")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+
+  /** `foreachBatch` function for streaming ingestion: every micro-batch's
+    * sketch appends under its batch id, so table stats stay current AS the
+    * stream lands — the streaming face of the incremental-stats contract
+    * (each batch scanned once, history never rescanned).
+    *
+    *   stream.writeStream.foreachBatch(StatsStore.appendBatchSink(dir, cols))
+    *
+    * Batch-id part tags make replayed micro-batches (failure recovery
+    * re-runs the last uncommitted batch) overwrite-equivalent ONLY if the
+    * caller dedups; for exactly-once stats, compact+audit on recovery or
+    * tolerate the one-batch double-count. */
+  def appendBatchSink(statsDir: String, cols: Seq[String]):
+      (DataFrame, Long) => Unit =
+    (batch, batchId) => append(statsDir, batch, cols, s"batch-$batchId")
 }

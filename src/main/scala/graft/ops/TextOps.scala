@@ -24,6 +24,18 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Duplicate-line fraction — the within-document repetition signal of
+    * the Gopher/C4 quality filters: 1 − distinct/total over non-blank
+    * trimmed lines; 0 for texts with no non-blank line. Pure array
+    * expression (split/transform/filter/array_distinct), codegen'd. */
+  def duplicateLineFraction(c: Column): Column = {
+    val lines = filter(
+      transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(lines) > 0,
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+      .otherwise(lit(0.0))
+  }
+
   /** Overlapping character chunks for embedding/context windows: starts
     * step by `size - overlap`, the last chunk begins at or before
     * `length - overlap - 1` so text is covered exactly once with no

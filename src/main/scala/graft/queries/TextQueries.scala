@@ -238,7 +238,55 @@ object TextQueries extends QueryModule {
           col("col").as("chunk"))
         .orderBy("doc_id", "chunk_idx"))
 
+  /** Within-document repetition (duplicate-line fraction, the Gopher/C4
+    * repetition filter) — DuckDB mirrors the line pipeline with list
+    * functions. */
+  val txtRepetition: Q = Q(
+    "txt_repetition",
+    Some("""
+      WITH l AS (
+        SELECT doc_id,
+          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+            x -> length(x) > 0) AS lines
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN len(lines) > 0
+          THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+          ELSE 0.0 END AS dup_line_frac
+      FROM l
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.duplicateLineFraction(col("text")), 6).as("dup_line_frac"))
+        .orderBy("doc_id"))
+
+  /** Corpus vocabulary: whitespace-token counts, top 100 by frequency
+    * (ties broken by token so the cut is total-ordered) — the map-side-
+    * combined wordcount every tokenizer-training pipeline starts from. */
+  val txtVocab: Q = Q(
+    "txt_vocab",
+    Some("""
+      WITH t AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+        WHERE length(trim(text)) > 0)
+      SELECT token, count(*) AS n
+      FROM t
+      WHERE token <> ''
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 100"""),
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100))
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
-    ddSimhash, ddClusterResolve, ddDedupCorpus, txtChunks)
+    ddSimhash, ddClusterResolve, ddDedupCorpus, txtChunks, txtRepetition,
+    txtVocab)
 }

@@ -53,9 +53,9 @@ object IncrementalStats {
       // which Spark keeps at full scale (the +1 of a (38,x) operand would
       // force adjustPrecisionScale to cut the scale instead). Exact domain:
       // |v| < 1e12 with <= 6 fractional digits — money/measure/score
-      // columns. Values outside cast to null under non-ANSI semantics and
-      // silently leave the sums (n_value still counts them); keep inputs
-      // inside the domain or pre-scale.
+      // columns. Values outside the domain fail LOUDLY under ANSI mode
+      // (Spark 4 default: overflow cast throws) rather than biasing the
+      // stored stats; pre-scale such columns before sketching.
       val dec6 = col(c).cast(DecimalType(18, 6))
       Seq(
         count(lit(1)).as(s"__n_$c"),

@@ -127,6 +127,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion keeps the stats store current per micro-batch") {
+    import graft.catalog.StatsStore
+    import graft.stats.IncrementalStats
+    val statsDir = java.nio.file.Files.createTempDirectory("graft-stream-stats")
+      .resolve("log").toString
+    val q = streamEvents
+      .writeStream
+      .foreachBatch(StatsStore.appendBatchSink(statsDir, Seq("value")))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = StatsStore.read(spark, statsDir)
+      .filter(org.apache.spark.sql.functions.col("col_name") === "value").head()
+    val batch = IncrementalStats.merge(
+      IncrementalStats.sketch(batchEvents, Seq("value"),
+        org.apache.spark.sql.functions.lit("all"))).head()
+    assert(streamed.getAs[Long]("n") == batch.getAs[Long]("n"))
+    assert(streamed.getAs[Long]("n_value") == batch.getAs[Long]("n_value"))
+    assert(streamed.getAs[java.math.BigDecimal]("sum_v")
+      .compareTo(batch.getAs[java.math.BigDecimal]("sum_v")) == 0)
+    assert(streamed.getAs[Double]("min_v") == batch.getAs[Double]("min_v"))
+    assert(streamed.getAs[Double]("max_v") == batch.getAs[Double]("max_v"))
+  }
+
   test("streaming dedup keeps one row per key from a fully-duplicated stream") {
     val q = StreamingOps.dedupStream(streamFrom(dupStreamDir), Seq("event_id"))
       .writeStream.outputMode("append")
