@@ -24,6 +24,22 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Conservative PII redaction for training corpora: emails, IPv4
+    * addresses, then long digit runs (7+: phone/account shapes) replaced
+    * with typed placeholders, in that order — emails first because they
+    * contain digits and dots the later patterns would mangle. A pure
+    * `regexp_replace` chain (codegen'd, no shuffle); patterns avoid
+    * Java-only regex features so an RE2 engine (DuckDB, Go tooling)
+    * produces byte-identical output. Idempotent: placeholders match none
+    * of the patterns. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{7,}\\b", "<NUM>")
+
   /** Duplicate-line fraction — the within-document repetition signal of
     * the Gopher/C4 quality filters: 1 − distinct/total over non-blank
     * trimmed lines; 0 for texts with no non-blank line. Pure array

@@ -285,8 +285,30 @@ object TextQueries extends QueryModule {
         .orderBy(col("n").desc, col("token").asc)
         .limit(100))
 
+  /** PII redaction parity: both engines apply the same RE2-safe pattern
+    * chain (DuckDB needs the 'g' flag — its regexp_replace defaults to
+    * first-match-only where Spark replaces all). The corpus is mostly
+    * clean, so the oracle's value is proving the no-op is EXACTLY a no-op
+    * and any match redacts identically. */
+  val txtRedact: Q = Q(
+    "txt_redact_pii",
+    Some("""
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{7,}\b', '<NUM>', 'g') AS clean_text
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.redactPii(col("text")).as("clean_text"))
+        .orderBy("doc_id"))
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
     ddSimhash, ddClusterResolve, ddDedupCorpus, txtChunks, txtRepetition,
-    txtVocab)
+    txtVocab, txtRedact)
 }

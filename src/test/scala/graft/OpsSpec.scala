@@ -408,6 +408,25 @@ class OpsSpec extends SparkSpec {
       .exceptAll(packedAgain).count() == 0)
   }
 
+  test("PII redaction: emails, IPs, digit runs; idempotent; clean text untouched") {
+    val df = Seq(
+      (1L, "contact john.doe+spam@example.co.uk or 10.0.0.1 ref 12345678"),
+      (2L, "short digits 123456 stay; v1.2.3.4 keeps its prefix guard"),
+      (3L, "perfectly clean text with no identifiers at all"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextOps.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or <IP> ref <NUM>")
+    // 6-digit run is below the 7+ threshold; "v1.2.3.4" survives because
+    // \b requires the quad to start at a word boundary ("v1" has none)
+    assert(out(2L) == "short digits 123456 stay; v1.2.3.4 keeps its prefix guard")
+    assert(out(3L) == "perfectly clean text with no identifiers at all")
+    // idempotence: placeholders survive a second pass unchanged
+    val twice = df.select(TextOps.redactPii(TextOps.redactPii(col("text"))).as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.toSet)
+  }
+
   test("chunking covers text exactly once; empty-safe") {
     val df = Seq(
       (1L, "a" * 500), (2L, "abc"), (3L, ""), (4L, null: String), (5L, "x" * 200))
