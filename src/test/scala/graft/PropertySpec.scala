@@ -126,4 +126,63 @@ class PropertySpec extends SparkSpec {
         s"bucketed j1 still shuffles:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBhj)
   }
+
+  test("cluster resolution property: matches driver union-find on random graphs") {
+    import graft.ops.Clusters
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 60)
+      m <- Gen.choose(0, 120)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+    } yield edges
+    samples(graphGen, 6, seed = 99).filter(_.nonEmpty).foreach { edges =>
+      // driver-side union-find ground truth
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = nodes.map(x => x -> find(x)).toMap
+      // min-compression: union-find roots are the component minimum here
+      // because unions always hang the larger root under the smaller
+      val resolved = Clusters.resolveClusters(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(resolved == truth,
+        s"edges $edges:\n spark $resolved\n truth $truth")
+    }
+  }
+
+  test("sampling properties: split partitions; packing preserves multiset") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.functions.col
+    val weightsGen: Gen[List[Long]] =
+      Gen.listOfN(80, Gen.choose(1L, 500L))
+    samples(weightsGen, 5, seed = 7).foreach { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      // split: every row lands in exactly one named split (fractions sum to 1)
+      val split = Sampling.hashSplit(df, Seq("id"),
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      assert(split.filter(col("split").isNull).count() == 0)
+      assert(split.count() == ws.size)
+      // packing: the binned rows are exactly the input multiset
+      val packed = Sampling.packByBudget(df, "w", 700L, Seq("id"), groups = 3)
+      assert(packed.count() == ws.size)
+      assert(packed.select("id").distinct().count() == ws.size)
+      val binned = packed.groupBy("pack_group", "pack_seq")
+        .agg(org.apache.spark.sql.functions.sum("w").as("tot")).collect()
+      val maxW = ws.max
+      binned.foreach(r =>
+        assert(r.getAs[Long]("tot") <= 700L + maxW,
+          s"bin ${r.get(0)}/${r.get(1)} holds ${r.get(2)}"))
+    }
+  }
 }
