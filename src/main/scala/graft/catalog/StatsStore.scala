@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.stats.IncrementalStats
+import graft.stats.{IncrementalStats, QuantileSketch}
 
 /** Persistent incremental column statistics for a catalog table — the
   * storage half of [[graft.stats.IncrementalStats]] (SURVEY §7.4 #13).
@@ -24,6 +24,14 @@ import graft.stats.IncrementalStats
   */
 object StatsStore {
 
+  /** The moments log lives under `moments/` and the quantile log under
+    * `quantiles/` so each parquet read sees a single-schema directory and
+    * compaction of one log can never touch the other. */
+  private def momentsDir(statsDir: String): String =
+    s"${statsDir.stripSuffix("/")}/moments"
+  private def quantilesDir(statsDir: String): String =
+    s"${statsDir.stripSuffix("/")}/quantiles"
+
   /** Sketch `newData` (one scan of the new rows only) and append to the
     * store at `statsDir`, tagged `partId` for provenance/debugging. */
   def append(statsDir: String, newData: DataFrame, cols: Seq[String],
@@ -31,16 +39,16 @@ object StatsStore {
     IncrementalStats
       .sketch(newData, cols, org.apache.spark.sql.functions.lit(partId))
       .coalesce(1) // a handful of KB-sized rows; one file per append
-      .write.mode(SaveMode.Append).parquet(statsDir)
+      .write.mode(SaveMode.Append).parquet(momentsDir(statsDir))
 
   /** Current table stats: the whole log folded. Exact count/sum/min/max/
     * mean/var; HLL-estimated distinct. */
   def read(spark: SparkSession, statsDir: String): DataFrame =
-    IncrementalStats.merge(spark.read.parquet(statsDir))
+    IncrementalStats.merge(spark.read.parquet(momentsDir(statsDir)))
 
   /** Raw sketch rows (for inspection / cross-store folding). */
   def sketches(spark: SparkSession, statsDir: String): DataFrame =
-    spark.read.parquet(statsDir)
+    spark.read.parquet(momentsDir(statsDir))
 
   /** Rewrite the log as one folded row per column. The fold is computed
     * and materialized on the driver first (the log is per-column-per-append
@@ -51,27 +59,47 @@ object StatsStore {
     * the swap, a crash leaves either the old log or the complete folded
     * copy under `<statsDir>.compacting` to recover from. */
   def compact(spark: SparkSession, statsDir: String): Unit = {
-    val log = spark.read.parquet(statsDir)
+    val mDir = momentsDir(statsDir)
+    val log = spark.read.parquet(mDir)
     val folded = IncrementalStats.fold(log)
     val rows = folded.collect().toSeq
     val schema = folded.schema
-    val tmpDir = statsDir.stripSuffix("/") + ".compacting"
+    val tmpDir = mDir + ".compacting"
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(statsDir)
+    val path = new org.apache.hadoop.fs.Path(mDir)
     val tmp = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = path.getFileSystem(conf)
     fs.delete(path, true)
     require(fs.rename(tmp, path),
-      s"compact: rename $tmpDir -> $statsDir failed; folded log preserved at $tmpDir")
+      s"compact: rename $tmpDir -> $mDir failed; folded log preserved at $tmpDir")
   }
 
   /** Partition ids currently in the log (compaction collapses them). */
   def partIds(spark: SparkSession, statsDir: String): Seq[String] =
-    spark.read.parquet(statsDir).select(col("part")).distinct()
+    spark.read.parquet(momentsDir(statsDir)).select(col("part")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Quantile twin of [[append]]: sketch the new partition's log-bucket
+    * histogram ([[QuantileSketch]]) into the `quantiles/` sub-log. Kept
+    * separate from the moments log because the schemas differ; the same
+    * append-per-batch / merge-at-read lifecycle applies. */
+  def appendQuantiles(statsDir: String, newData: DataFrame, cols: Seq[String],
+      partId: String, alpha: Double = QuantileSketch.DefaultAlpha): Unit =
+    QuantileSketch
+      .sketch(newData, cols, org.apache.spark.sql.functions.lit(partId), alpha)
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(quantilesDir(statsDir))
+
+  /** Current quantile estimates for one column from the quantile sub-log. */
+  def readQuantiles(spark: SparkSession, statsDir: String, colName: String,
+      qs: Seq[Double],
+      alpha: Double = QuantileSketch.DefaultAlpha): Map[Double, Double] =
+    QuantileSketch.quantiles(
+      QuantileSketch.merge(spark.read.parquet(quantilesDir(statsDir))),
+      colName, qs, alpha)
 
   /** `foreachBatch` function for streaming ingestion: every micro-batch's
     * sketch appends under its batch id, so table stats stay current AS the

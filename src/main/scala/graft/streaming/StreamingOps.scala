@@ -149,7 +149,7 @@ object StreamingOps {
     * event time may both survive; at 100 TB/day that horizon is the dedup
     * window you provision state for. */
   def dedupStream(events: DataFrame, keys: Seq[String],
-      watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
+      watermark: String = "2 hours", tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 }

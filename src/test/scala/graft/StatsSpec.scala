@@ -354,6 +354,19 @@ class StatsSpec extends SparkSpec {
     cols.foreach { c =>
       assert(afterAppend(c)._1 == fromStore(c)._1 + extraN)
     }
+
+    // the quantile sub-log shares the store and the lifecycle: batch-wise
+    // appends, merged estimate within the sketch's error of exact, and
+    // moments compaction must not disturb it
+    (0 to 2).foreach { b =>
+      StatsStore.appendQuantiles(dir, li.filter(col("l_orderkey") % 3 === b),
+        cols, s"b$b")
+    }
+    StatsStore.compact(spark, dir)
+    val med = StatsStore.readQuantiles(spark, dir, "l_quantity", Seq(0.5))(0.5)
+    val exactMed = li.stat.approxQuantile("l_quantity", Array(0.5), 0.0).head
+    assert(math.abs(med - exactMed) <= 0.021 * math.max(math.abs(exactMed), 1.0),
+      s"store median $med vs exact $exactMed")
   }
 
   test("incremental stats are exact for 6-fractional-digit values (score columns)") {
