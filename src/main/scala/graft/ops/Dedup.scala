@@ -40,6 +40,63 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Rows of `incoming` whose content fingerprint does NOT appear in
+    * `history` — the exact incremental-dedup baseline (left_anti on the
+    * fingerprint; shuffles both sides on the fingerprint key). Oracle-
+    * checkable; [[novelAgainstBloom]] is the shuffle-free scale path. */
+  def novelAgainstExact(incoming: DataFrame, history: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol))
+    incoming.join(history.select(fp.as("__hfp")).distinct(),
+      fp === col("__hfp"), "left_anti")
+  }
+
+  /** Rows of `incoming` whose content fingerprint is (probably) new vs
+    * `history`, via a Bloom filter of the history's 64-bit fingerprints.
+    *
+    * Shape: history collapses to a byte-array sketch on the driver
+    * (`stat.bloomFilter` treeAggregates partial filters — one pass, no
+    * shuffle), incoming is filtered map-side by a codegen'd probe
+    * ([[graft.functions.BloomContainsLong]]) — ZERO shuffles total, and
+    * the incoming side never moves. That is the shape incremental crawl
+    * dedup needs at 100 TB: the history is petabytes but its sketch is
+    * `-1.44·n·log2(fpp)` bits (1B docs @ 1% fpp ≈ 1.2 GB — broadcast-
+    * sized; beyond that, shard history by fingerprint range and AND the
+    * per-shard verdicts, or fall back to [[novelAgainstExact]]).
+    *
+    * Error contract (direction matters for training data): NO false
+    * negatives — every true duplicate is dropped; ~`fpp` of genuinely
+    * novel rows are falsely dropped. Losing ~1% of novel docs is
+    * acceptable; keeping duplicates would not be.
+    *
+    * `expectedItems` sizes the filter; pass the known history cardinality
+    * at scale. `expectedItems <= 0` triggers a count job first (fine
+    * interactively, an extra pass at scale). */
+  def novelAgainstBloom(incoming: DataFrame, history: DataFrame,
+      textCol: String, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val n = if (expectedItems > 0) expectedItems else history.count()
+    val bloom = history
+      .select(TextOps.fingerprint64(col(textCol)).as("__fp64"))
+      .stat.bloomFilter("__fp64", math.max(n, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val spark = incoming.sparkSession
+    val fname = s"graft_bloom_${bloomSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.functions.BloomContainsLong(exprs.head, bytes),
+      "built-in")
+    incoming.filter(
+      !call_function(fname, TextOps.fingerprint64(col(textCol))))
+  }
+
+  private val bloomSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** End-to-end near-dup corpus deduplication: [[minhashLshPairs]]
     * candidate+confirm → [[Clusters.assignClusters]] connected components →
     * keep ONE canonical row per cluster (the min id — deterministic; to

@@ -142,6 +142,13 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(lower(trim(regexp_replace(c.cast(StringType), "\\s+", " "))).cast("binary"))
 
+  /** 64-bit canonical fingerprint: xxhash64 of the same normalization as
+    * [[fingerprint]]. Collision-safe enough for sketch membership (the
+    * Bloom novelty path layers its own fpp on top); 4× cheaper to probe
+    * and store than the md5 hex form. */
+  def fingerprint64(c: Column): Column =
+    xxhash64(lower(trim(regexp_replace(c.cast(StringType), "\\s+", " "))))
+
   /** 64-bit rolling content signature: min of xxhash64 over word shingles —
     * cheap near-identity fingerprint for winnowing-style dedup (no DuckDB
     * xxhash, so this one is spec-tested rather than oracle-checked). */

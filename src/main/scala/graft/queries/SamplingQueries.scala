@@ -87,5 +87,36 @@ object SamplingQueries extends QueryModule {
         .select("doc_id", "pack_group", "pack_seq")
         .orderBy("doc_id"))
 
-  override def queries: Seq[Q] = Seq(smpHashSplit, smpStratified, smpPack)
+  /** Weighted two-corpus mixture (en-heavy blend): each source thins by an
+    * independent per-row hash draw, so the gate compares the exact kept
+    * (mix_source, doc_id) set — both engines must agree on every draw. */
+  val smpMix: Q = Q(
+    "smp_mix",
+    Some("""
+      WITH en AS (
+        SELECT 'en' AS mix_source, doc_id FROM documents
+        WHERE lang = 'en'
+          AND CAST(concat('0x', substr(md5(concat_ws('|', 'graft/en',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.8),
+      multi AS (
+        SELECT 'multi' AS mix_source, doc_id FROM documents
+        WHERE lang <> 'en'
+          AND CAST(concat('0x', substr(md5(concat_ws('|', 'graft/multi',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.4)
+      SELECT mix_source, doc_id FROM en
+      UNION ALL SELECT mix_source, doc_id FROM multi
+      ORDER BY mix_source, doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.mixCorpora(
+          Seq(
+            ("en", docs.filter(col("lang") === "en"), 0.8),
+            ("multi", docs.filter(col("lang") =!= "en"), 0.4)),
+          keys = Seq("doc_id"))
+        .select("mix_source", "doc_id")
+        .orderBy("mix_source", "doc_id")
+    })
+
+  override def queries: Seq[Q] =
+    Seq(smpHashSplit, smpStratified, smpPack, smpMix)
 }

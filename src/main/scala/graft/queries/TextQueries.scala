@@ -141,6 +141,59 @@ object TextQueries extends QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"))
 
+  /** Incremental dedup, exact baseline: incoming batch (2 fresh docs in 10
+    * plus a re-crawl of 1 in 10) anti-joined against the historical corpus
+    * on the canonical fingerprint. NOT EXISTS (not NOT IN) in the oracle:
+    * anti-join keeps null-fingerprint rows, NOT IN would not. */
+  val ddNoveltyExact: Q = Q(
+    "dd_novelty_exact",
+    Some("""
+      WITH hist AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+      inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id FROM inc
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hist
+        WHERE md5(lower(trim(regexp_replace(hist.text, '\s+', ' ', 'g'))))
+            = md5(lower(trim(regexp_replace(inc.text, '\s+', ' ', 'g')))))
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      val inc = docs.filter(col("doc_id") % 10 >= 8)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0))
+      Dedup.novelAgainstExact(inc, hist, "text")
+        .select("doc_id").orderBy("doc_id")
+    })
+
+  /** Incremental dedup, Bloom scale path (rows-only: the filter's bit
+    * layout is not SQL-expressible). Self-asserts the error contract the
+    * scaladoc promises: no false negatives (every historical duplicate
+    * dropped — bloom-novel ⊆ exact-novel) and false-drop rate within
+    * slack of the configured fpp. */
+  val ddNoveltyBloom: Q = Q(
+    "dd_novelty_bloom",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      val inc = docs.filter(col("doc_id") % 10 >= 8)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0))
+      val exact = Dedup.novelAgainstExact(inc, hist, "text").select("doc_id")
+      val novel = Dedup.novelAgainstBloom(inc, hist, "text", fpp = 0.01)
+        .select("doc_id")
+      require(novel.join(exact, Seq("doc_id"), "left_anti").isEmpty,
+        "bloom novelty returned a row the exact anti-join calls duplicate " +
+          "(false negative — violates the Bloom contract)")
+      val nExact = exact.count()
+      val nNovel = novel.count()
+      require(nNovel >= nExact - math.max(5L, (0.05 * nExact).toLong),
+        s"bloom false-drop rate out of contract: $nNovel of $nExact novel kept")
+      novel.orderBy("doc_id")
+    })
+
   /** MinHash-LSH near-dup candidates — xxhash64-based, not SQL-expressible
     * in DuckDB; driver records a rows-only check, the ScalaTest spec holds
     * the recall assertion against exact Jaccard. */
@@ -309,6 +362,6 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
-    ddSimhash, ddClusterResolve, ddDedupCorpus, txtChunks, txtRepetition,
-    txtVocab, txtRedact)
+    ddSimhash, ddClusterResolve, ddDedupCorpus, ddNoveltyExact,
+    ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact)
 }

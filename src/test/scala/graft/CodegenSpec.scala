@@ -41,6 +41,29 @@ class CodegenSpec extends SparkSpec {
     assert(fromCodegen == fromInterp)
   }
 
+  test("BloomContainsLong codegen compiles and matches interpreted eval") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 42L, 9999L).foreach(bloom.putLong)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val expr = graft.functions.BloomContainsLong(
+      BoundReference(0, LongType, nullable = true), bytes)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    for (v <- Seq(1L, 42L, 9999L, 7L, 123456L)) {
+      val input = InternalRow(v)
+      val fromCodegen = proj(input).getBoolean(0)
+      val fromInterp = expr.eval(input).asInstanceOf[Boolean]
+      assert(fromCodegen == fromInterp, s"codegen/interp disagree on $v")
+    }
+    // inserted keys always probe true (no false negatives)
+    assert(expr.eval(InternalRow(1L)).asInstanceOf[Boolean])
+    assert(expr.eval(InternalRow(42L)).asInstanceOf[Boolean])
+    assert(expr.eval(InternalRow(9999L)).asInstanceOf[Boolean])
+  }
+
   test("minhash pipeline runs end-to-end with codegen forced (no interpreter fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

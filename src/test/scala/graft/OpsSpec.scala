@@ -61,6 +61,29 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.dropDuplicatesByFingerprint(df, "doc_id", "text").count() == 2)
   }
 
+  test("novelty: bloom path drops every historical dup, keeps ~all novel") {
+    // history = docs 0..399; incoming = docs 400..499 plus a re-crawl of
+    // 0..49 (exact dups that MUST be dropped — bloom has no false negatives)
+    val hist = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+      .unionByName(docs.filter(col("doc_id") < 50))
+    val exact = Dedup.novelAgainstExact(inc, hist, "text")
+    val exactIds = exact.select("doc_id").as[Long].collect().toSet
+    // exact: the re-crawl is gone, fresh docs survive (none dup by fixture)
+    assert(exactIds.forall(_ >= 400), "a re-crawled (historical) doc survived")
+    val novel = Dedup.novelAgainstBloom(inc, hist, "text", fpp = 0.01)
+    val novelIds = novel.select("doc_id").as[Long].collect().toSet
+    assert(novelIds.subsetOf(exactIds),
+      s"bloom kept non-novel ids: ${novelIds.diff(exactIds).take(5)}")
+    val dropped = exactIds.size - novelIds.size
+    assert(dropped <= math.max(5, exactIds.size / 20),
+      s"bloom false-dropped $dropped of ${exactIds.size} novel docs at fpp=0.01")
+    // presized path (no count job) produces the same verdicts
+    val presized = Dedup.novelAgainstBloom(inc, hist, "text",
+      expectedItems = 400L, fpp = 0.01)
+    assert(presized.select("doc_id").as[Long].collect().toSet == novelIds)
+  }
+
   test("minhash-LSH finds the high-Jaccard pairs exact Jaccard finds") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.6)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
