@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination: flag (or drop) training documents whose
+  * word-n-gram overlap with a benchmark/evaluation corpus exceeds a
+  * threshold — the standard leakage control run before every large
+  * training-data build (reference pipelines describe it as n-gram collision
+  * against held-out sets; the operator here is corpus-generic).
+  *
+  * Two paths, mirroring [[Dedup.novelAgainstExact]]/[[Dedup.novelAgainstBloom]]:
+  *
+  *  - [[overlapExact]]: benchmark's distinct shingles are broadcast and the
+  *    corpus side is one scan → map-side broadcast join → one map-side-
+  *    combinable count per doc. The only shuffle carries (doc_id, partial
+  *    count) pairs — bytes ∝ documents, not shingles. This is the
+  *    oracle-checkable semantics.
+  *  - [[overlapBloom]]: the benchmark shingle set collapses to a Bloom
+  *    filter probed by a codegen'd expression
+  *    ([[graft.functions.BloomContainsLong]]) inside an array `filter` —
+  *    ZERO shuffles, the corpus never moves. Error direction is the safe
+  *    one for decontamination: no false negatives (a benchmark shingle
+  *    always probes true, so truly contaminated docs can never under-count)
+  *    while ~fpp of clean shingles over-count, slightly over-flagging.
+  *
+  * At 100 TB the benchmark side is small by construction (eval sets are
+  * MB-scale), so both shapes keep the big side narrow; prefer the Bloom
+  * path when even the (doc_id, count) shuffle matters or when the corpus
+  * is a stream.
+  */
+object Decontaminate {
+
+  /** Per-document overlap with the benchmark shingle set:
+    * `(id, n_shingles, overlap, frac)` where `overlap` counts the doc's
+    * DISTINCT n-grams that appear anywhere in `benchmark`, and
+    * `frac = overlap / n_shingles` (0.0 for docs with < n words). */
+  def overlapExact(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val bench = benchmark
+      .select(explode(TextOps.shingles(col(benchTextCol), n)).as("sg"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+      // explode_outer keeps short docs (< n words → empty shingle array) as
+      // an overlap-0 row instead of silently dropping them from the report
+      .select(col("id"), size(col("sh")).as("n_shingles"), explode_outer(col("sh")).as("sg"))
+      .join(broadcast(bench), Seq("sg"), "left")
+      .groupBy(col("id"))
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("overlap"))
+      .withColumn("frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("overlap").cast("double") / col("n_shingles")))
+  }
+
+  /** Corpus rows whose benchmark overlap stays below `maxOverlap` distinct
+    * n-grams — the kept (clean) training set. */
+  def cleanExact(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3, maxOverlap: Long = 1L): DataFrame = {
+    val contaminated = overlapExact(corpus, idCol, textCol, benchmark, benchTextCol, n)
+      .filter(col("overlap") >= maxOverlap)
+      .select(col("id"))
+    corpus.join(contaminated, corpus(idCol) === contaminated("id"), "left_anti")
+  }
+
+  /** [[overlapExact]]'s shape with the benchmark set as a Bloom filter:
+    * same output columns, zero shuffles, `overlap` may over-count by ~fpp
+    * of each doc's clean shingles (never under-counts).
+    *
+    * `expectedItems` sizes the filter (pass the known benchmark shingle
+    * cardinality at scale; <= 0 runs a count job first — fine for MB-scale
+    * benchmark sets). */
+  def overlapBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      expectedItems: Long = 0L, fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val benchSh = benchmark
+      .select(explode(TextOps.shingles(col(benchTextCol), n)).as("sg"))
+      .select(xxhash64(col("sg")).as("__h"))
+    val items = if (expectedItems > 0) expectedItems else benchSh.distinct().count()
+    val bloom = benchSh.stat.bloomFilter("__h", math.max(items, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val spark = corpus.sparkSession
+    val fname = s"graft_decon_bloom_${bloomSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.functions.BloomContainsLong(exprs.head, bytes),
+      "built-in")
+    corpus
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        size(filter(col("sh"), s => call_function(fname, xxhash64(s)))).as("overlap"))
+      .withColumn("frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("overlap").cast("double") / col("n_shingles")))
+  }
+
+  /** Zero-shuffle clean-set filter via [[overlapBloom]]. Contract: every
+    * doc [[cleanExact]] would flag is flagged here too (no contaminated doc
+    * survives); ~fpp-level over-flagging drops a few clean docs. */
+  def cleanBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3, maxOverlap: Long = 1L,
+      expectedItems: Long = 0L, fpp: Double = 0.001): DataFrame = {
+    val flagged = overlapBloom(corpus, idCol, textCol, benchmark, benchTextCol,
+      n, expectedItems, fpp)
+      .filter(col("overlap") >= maxOverlap)
+      .select(col("id"))
+    corpus.join(flagged, corpus(idCol) === flagged("id"), "left_anti")
+  }
+
+  private val bloomSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+}

@@ -484,4 +484,70 @@ object Dedup {
         .filter(col("cosine") >= threshold)
     }
   }
+
+  /** Semantic deduplication over an embedding column, SemDeDup-style
+    * (Abbas et al. 2023, arXiv:2303.09540): a k-means coarse quantizer
+    * ([[Ivf.build]], spherical) partitions the corpus into `nLists` cells;
+    * cosine comparisons happen ONLY within a cell (the clusters bound the
+    * candidate set — O(Σ cell²) instead of O(n²)); pairs at
+    * `cosine >= threshold` become edges, connected components resolve
+    * transitive duplicate groups, and one canonical row per component is
+    * kept (min id — to prefer quality keepers, renumber upstream or adapt
+    * [[deduplicateCorpusBy]]). Returns kept rows + `cluster_id`/`n_cluster`
+    * exactly like [[deduplicateCorpus]].
+    *
+    * Approximation contract: duplicates that k-means separates into
+    * different cells are NOT detected (the published trade-off — raise
+    * `nLists` quality via more iterations, or run [[embeddingNearDups]]
+    * for cell-blind recall). The error direction is safe: a missed pair
+    * keeps an extra document, never drops a unique one.
+    *
+    * Scale shape: cells are self-joined on the cell id, so size `nLists`
+    * ∝ corpus / targetCellSize to bound the per-cell quadratic work; a
+    * `maxCellSize` guard excludes degenerate mega-cells (k-means collapse)
+    * from pairing — their documents are all KEPT, and a runtime
+    * observed-metric warning ([[PlanWarnings]], zero extra jobs) reports
+    * the exclusion so the loss of dedup coverage is never silent. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nLists: Int = 16, seed: Long = 42,
+      maxCellSize: Int = 65536): DataFrame = {
+    val index = Ivf.build(df, idCol, vecCol, nLists, seed)
+    val cellSizes0 = index.assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+    val cellSizes = PlanWarnings.observe(cellSizes0, "semantic_cells",
+      Seq(sum(when(col("__n") > maxCellSize, 1).otherwise(0)).as("dropped"),
+        max(col("__n")).as("max_cell"))) { row =>
+      val dropped = Option(row.getAs[Any]("dropped"))
+        .fold(0L)(v => v.asInstanceOf[Number].longValue())
+      if (dropped > 0) {
+        val maxC = Option(row.getAs[Any]("max_cell"))
+          .fold(0L)(v => v.asInstanceOf[Number].longValue())
+        log.warn(
+          s"semanticDedup excluded $dropped cells larger than " +
+            s"maxCellSize=$maxCellSize (largest: $maxC) from pairing — their " +
+            "documents are all kept undeduplicated. Raise nLists (smaller " +
+            "cells) or maxCellSize.")
+      }
+      dropped > 0
+    }
+    // vectors are L2-normalized by Ivf.build, so dot == cosine
+    val bounded = index.assigned
+      .join(broadcast(cellSizes.filter(col("__n") <= maxCellSize)), "cell")
+    val a = bounded.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val b = bounded.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(Similarity.dot(col("v1"), col("v2")) >= threshold)
+      .select(col("id1"), col("id2"))
+    val assigned = Clusters.assignClusters(df.select(col(idCol)), idCol,
+      edges, a = "id1", b = "id2")
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"))
+    df.join(
+      assigned.filter(col("id") === col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(col("id").as(idCol), col("cluster_id"), col("n_cluster")),
+      idCol)
+  }
 }

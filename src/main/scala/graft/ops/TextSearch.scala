@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over a document corpus: BM25 top-k for an
+  * ad-hoc query string (Robertson et al.'s Okapi weighting, the Lucene
+  * variant: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), never negative).
+  *
+  * Scale shape — two narrow passes and NO per-term explode/join:
+  *
+  *  1. a stats pass aggregates N, avgdl, and one `df` per query term
+  *     (map-side-combined sums over `array_contains`) into a single driver
+  *     row — query terms are few by construction, so this is one scan
+  *     producing a handful of scalars;
+  *  2. a scoring pass evaluates the full BM25 sum as a pure `Column`
+  *     expression per document (term stats inlined as literals), then
+  *     `orderBy(...).limit(k)` — Catalyst plans TakeOrderedAndProject, a
+  *     per-partition heap + driver merge, not a global sort shuffle.
+  *
+  * Both passes are codegen-friendly (array_contains / filter on the token
+  * array) and the corpus never rides a shuffle. At 100 TB the cost is two
+  * scans; to amortize across many queries, materialize the token arrays
+  * (or an inverted postings table) once and reuse.
+  */
+object TextSearch {
+
+  /** (doc_id ordered by BM25 desc, score) for `query`'s whitespace terms.
+    * Tokenization lowercases then splits like [[TextOps.tokens]]; duplicate
+    * query terms count once. Rounds the score to `roundTo` decimals and
+    * breaks ties by id so the ranking is total and engine-portable. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String, query: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    val terms: Seq[String] =
+      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+
+    val w = TextOps.tokens(lower(col(textCol)))
+    val docs = df.select(col(idCol).as("id"), w.as("w"))
+
+    // Pass 1: corpus stats. One aggregate row: N, avgdl, df per term.
+    val statAggs =
+      count(lit(1)).as("n") +: avg(size(col("w"))).as("avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("w"), t), 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val dfs = terms.indices.map(i => stats.getLong(2 + i))
+
+    // Pass 2: score expression — arithmetic ordered exactly as the DuckDB
+    // oracle writes it so doubles agree bit-for-bit (before rounding).
+    val dl = size(col("w")).cast("double")
+    val score: Column = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = dfs(i)
+      val idf = log(lit(1.0) +
+        (lit((n - dfT).toDouble) + lit(0.5)) / (lit(dfT.toDouble) + lit(0.5)))
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      idf * ((tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl))))
+    }.reduce(_ + _)
+
+    docs.select(col("id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -96,5 +96,25 @@ object SimQueries extends QueryModule {
         .drop("embedding")
         .orderBy("media_id"))
 
-  override def queries: Seq[Q] = Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures)
+  /** SemDeDup-style semantic dedup (rows-only: k-means cell assignment is
+    * not SQL-expressible). Self-asserts the partition invariant (cluster
+    * sizes account for every vector exactly once); the within-cell
+    * no-kept-near-dups guarantee is pinned brute-force in OpsSpec. */
+  val ddSemantic: Q = Q(
+    "dd_semantic",
+    None,
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val out = graft.ops.Dedup.semanticDedup(embs, "vec_id", "embedding",
+          threshold = 0.35, nLists = 8)
+        .select(col("vec_id"), col("cluster_id"), col("n_cluster"))
+      val covered = out.agg(sum(col("n_cluster"))).head().getLong(0)
+      val total = embs.count()
+      require(covered == total,
+        s"semantic clusters cover $covered of $total vectors")
+      out.orderBy("vec_id")
+    })
+
+  override def queries: Seq[Q] =
+    Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures, ddSemantic)
 }

@@ -360,8 +360,111 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("clean_text"))
         .orderBy("doc_id"))
 
+  /** Train/test decontamination, exact semantics: 3-gram overlap of every
+    * corpus doc (doc_id % 17 <> 3) against the benchmark slice
+    * (doc_id % 17 = 3). The oracle rebuilds the shingle sets with DuckDB
+    * list functions and reproduces overlap counts + fractions. */
+  val txtDecontaminate: Q = Q(
+    "txt_decontaminate",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END) AS s
+        FROM t),
+      bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 17 = 3),
+      corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 3),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM corp),
+      ov AS (SELECT e.doc_id, count(*) AS overlap
+             FROM e JOIN bench USING (sg) GROUP BY 1)
+      SELECT c.doc_id, len(c.s) AS n_shingles,
+        COALESCE(ov.overlap, 0) AS overlap,
+        ROUND(CASE WHEN len(c.s) = 0 THEN 0.0
+          ELSE CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / len(c.s) END, 6) AS frac
+      FROM corp c LEFT JOIN ov USING (doc_id)
+      ORDER BY c.doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 3)
+      val corpus = docs.filter(col("doc_id") % 17 =!= 3)
+      graft.ops.Decontaminate.overlapExact(corpus, "doc_id", "text", bench, "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("overlap"),
+          round(col("frac"), 6).as("frac"))
+        .orderBy("doc_id")
+    })
+
+  /** Decontamination, Bloom scale path (rows-only: the filter bit layout is
+    * not SQL-expressible). Self-asserts the error contract: no false
+    * negatives (every doc the exact path flags is flagged here — the bloom
+    * clean set is a SUBSET of the exact clean set) and over-flagging within
+    * slack of the configured fpp. */
+  val txtDecontaminateBloom: Q = Q(
+    "txt_decontaminate_bloom",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 3)
+      val corpus = docs.filter(col("doc_id") % 17 =!= 3)
+      val exact = graft.ops.Decontaminate.cleanExact(
+        corpus, "doc_id", "text", bench, "text", n = 3, maxOverlap = 3L)
+      val bloom = graft.ops.Decontaminate.cleanBloom(
+        corpus, "doc_id", "text", bench, "text", n = 3, maxOverlap = 3L, fpp = 0.001)
+      require(bloom.select("doc_id")
+          .join(exact.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty,
+        "bloom decontamination kept a doc the exact path flags " +
+          "(false negative — violates the Bloom contract)")
+      val nExact = exact.count()
+      val nBloom = bloom.count()
+      require(nBloom >= nExact - math.max(5L, (0.05 * nExact).toLong),
+        s"bloom over-flagging out of contract: kept $nBloom of $nExact clean docs")
+      bloom.select("doc_id").orderBy("doc_id")
+    })
+
+  /** BM25 top-10 for the query "spark hash join" — the oracle recomputes
+    * N/avgdl/df from the corpus and the identical Lucene-variant scoring
+    * arithmetic (term order and operator shape mirrored, both engines
+    * order by the ROUNDED score so the cut is stable). */
+  val txtBm25: Q = Q(
+    "txt_bm25_topk",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        FROM documents),
+      s AS (
+        SELECT count(*) AS n, avg(len(w)) AS avgdl,
+          sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END) AS df0,
+          sum(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS df1,
+          sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS df2
+        FROM d)
+      SELECT doc_id AS id, ROUND(
+          ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+            * ((CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(w) AS DOUBLE) / avgdl)))
+        + ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+            * ((CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(len(list_filter(w, x -> x = 'hash')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(w) AS DOUBLE) / avgdl)))
+        + ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+            * ((CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(w) AS DOUBLE) / avgdl)))
+        , 6) AS score
+      FROM d, s
+      ORDER BY score DESC, id
+      LIMIT 10"""),
+    (s, dir) =>
+      graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "spark hash join", k = 10))
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
     ddSimhash, ddClusterResolve, ddDedupCorpus, ddNoveltyExact,
-    ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact)
+    ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact,
+    txtDecontaminate, txtDecontaminateBloom, txtBm25)
 }

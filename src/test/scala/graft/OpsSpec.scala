@@ -431,6 +431,127 @@ class OpsSpec extends SparkSpec {
       .exceptAll(packedAgain).count() == 0)
   }
 
+  test("semantic dedup: identical vectors collapse; kept set has no within-cell near-dups") {
+    import graft.ops.{Dedup, Similarity}
+    // three exact-duplicate groups + two unique vectors, in 2 cells
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.01f, 0.0f)), // near-dup of group {1,2}
+      (4L, Seq(0.0f, 1.0f, 0.0f)), (5L, Seq(0.0f, 1.0f, 0.0f)),
+      (6L, Seq(0.0f, 0.0f, 1.0f)), // unique
+      (7L, Seq(-1.0f, 0.0f, 0.0f)) // unique (cosine -1 vs group 1)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, nLists = 2, seed = 7)
+    val kept = out.select("vec_id", "n_cluster").as[(Long, Long)].collect().toMap
+    assert(out.agg(sum(col("n_cluster"))).head().getLong(0) == 7L,
+      "cluster sizes must partition the corpus")
+    // {1,2,3} collapse (if co-located — identical vectors ALWAYS share a
+    // cell, so at minimum {1,2} and {4,5} collapse)
+    assert(!kept.contains(2L) && !kept.contains(5L),
+      s"identical duplicates must not both be kept: $kept")
+    assert(kept.contains(6L) && kept.contains(7L), s"unique vectors kept: $kept")
+
+    // real embeddings: within-cell guarantee, checked brute-force
+    val out2 = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      threshold = 0.35, nLists = 4, seed = 42)
+    val keptIds = out2.select(col("vec_id"))
+    val index = graft.ops.Ivf.build(embs, "vec_id", "embedding", nLists = 4, seed = 42)
+    val keptCells = index.assigned
+      .join(keptIds, index.assigned("id") === keptIds("vec_id"))
+      .select(col("cell"), col("id"), col("v"))
+    val a = keptCells.select(col("cell"), col("id").as("i1"), col("v").as("u1"))
+    val b = keptCells.select(col("cell"), col("id").as("i2"), col("v").as("u2"))
+    val offenders = a.join(b, Seq("cell")).filter(col("i1") < col("i2"))
+      .filter(Similarity.dot(col("u1"), col("u2")) >= 0.35)
+    assert(offenders.isEmpty,
+      "two kept vectors in one cell exceed the threshold — within-cell dedup failed")
+  }
+
+  test("bm25: matches an independent scalar implementation; ranking is total") {
+    import graft.ops.TextSearch
+    val fixture = Seq(
+      (1, "spark join join filter"), (2, "spark"), (3, "filter scan scan"),
+      (4, ""), (5, "join spark join spark join")).toDF("doc_id", "text")
+    val out = TextSearch.bm25TopK(fixture, "doc_id", "text", "spark join", k = 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+
+    // independent scalar BM25 (same Lucene idf variant)
+    val toks = Map(1 -> Seq("spark", "join", "join", "filter"), 2 -> Seq("spark"),
+      3 -> Seq("filter", "scan", "scan"), 4 -> Seq.empty[String],
+      5 -> Seq("join", "spark", "join", "spark", "join"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(id: Int): Double = Seq("spark", "join").map { t =>
+      val df = toks.values.count(_.contains(t)).toDouble
+      val tf = toks(id).count(_ == t).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val expected = toks.keys.toSeq
+      .map(id => (id, BigDecimal(score(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(out.toSeq == expected, s"got ${out.toSeq}, want $expected")
+    assert(out.head._1 == 5, "doc 5 (max tf both terms) must rank first")
+  }
+
+  test("decontamination: exact overlap counts; bloom never under-counts") {
+    import graft.ops.Decontaminate
+    // bench doc: "the quick brown fox jumps" → 3-grams {the quick brown,
+    // quick brown fox, brown fox jumps}
+    val bench = Seq((100, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1, "the quick brown fox jumps"), // full copy: all 3 shingles hit
+      (2, "a quick brown fox runs away"), // shares only "quick brown fox"
+      (3, "completely unrelated words here now"), // 0 overlap
+      (4, "xy zz") // < 3 words → no shingles
+    ).toDF("doc_id", "text")
+    val exact = Decontaminate.overlapExact(corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("id").collect()
+    assert(exact.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
+      Seq((1, 3L), (2, 1L), (3, 0L), (4, 0L)))
+    assert(exact(0).getDouble(3) == 1.0) // doc 1: 3/3 shingles contaminated
+    assert(exact(3).getInt(1) == 0) // short doc reported with n_shingles=0
+
+    val bloomOv = Decontaminate
+      .overlapBloom(corpus, "doc_id", "text", bench, "text", n = 3, fpp = 0.001)
+      .orderBy("id").collect()
+    // no false negatives: bloom overlap >= exact overlap, per doc
+    exact.zip(bloomOv).foreach { case (e, b) =>
+      assert(b.getInt(2) >= e.getLong(2),
+        s"bloom under-counted doc ${e.getInt(0)}: ${b.getInt(2)} < ${e.getLong(2)}")
+    }
+
+    val cleanE = Decontaminate
+      .cleanExact(corpus, "doc_id", "text", bench, "text", n = 3, maxOverlap = 1L)
+      .select("doc_id").as[Int].collect().toSet
+    assert(cleanE == Set(3, 4)) // docs 1 and 2 flagged at maxOverlap=1
+    val cleanB = Decontaminate
+      .cleanBloom(corpus, "doc_id", "text", bench, "text", n = 3,
+        maxOverlap = 1L, fpp = 0.001)
+      .select("doc_id").as[Int].collect().toSet
+    assert(cleanB.subsetOf(cleanE), "bloom clean set must be ⊆ exact clean set")
+  }
+
+  test("decontamination on the documents table: bloom clean ⊆ exact clean") {
+    import graft.ops.Decontaminate
+    val bench = docs.filter(col("doc_id") % 17 === 3)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 3)
+    val exact = Decontaminate
+      .cleanExact(corpus, "doc_id", "text", bench, "text", n = 3, maxOverlap = 3L)
+      .select("doc_id")
+    val bloom = Decontaminate
+      .cleanBloom(corpus, "doc_id", "text", bench, "text", n = 3,
+        maxOverlap = 3L, fpp = 0.001)
+      .select("doc_id")
+    assert(bloom.join(exact, Seq("doc_id"), "left_anti").isEmpty,
+      "bloom kept a doc the exact path flags")
+    val (nE, nB) = (exact.count(), bloom.count())
+    assert(nB >= nE - math.max(5L, (nE * 0.05).toLong),
+      s"bloom over-flagged: kept $nB of $nE")
+    assert(nE > 0, "fixture degenerate: exact clean set empty")
+  }
+
   test("PII redaction: emails, IPs, digit runs; idempotent; clean text untouched") {
     val df = Seq(
       (1L, "contact john.doe+spam@example.co.uk or 10.0.0.1 ref 12345678"),
