@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Train/test decontamination: flag (or drop) training documents whose
@@ -68,17 +68,16 @@ object Decontaminate {
     corpus.join(contaminated, corpus(idCol) === contaminated("id"), "left_anti")
   }
 
-  /** [[overlapExact]]'s shape with the benchmark set as a Bloom filter:
-    * same output columns, zero shuffles, `overlap` may over-count by ~fpp
-    * of each doc's clean shingles (never under-counts).
-    *
-    * `expectedItems` sizes the filter (pass the known benchmark shingle
-    * cardinality at scale; <= 0 runs a count job first — fine for MB-scale
-    * benchmark sets). */
-  def overlapBloom(
-      corpus: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
-      expectedItems: Long = 0L, fpp: Double = 0.001): DataFrame = {
+  /** Benchmark-overlap COUNT as a pure `Column` over `textCol`, probing a
+    * Bloom filter of the benchmark's shingle hashes — a stateless map-side
+    * expression, so it composes into BATCH and STREAMING plans alike
+    * (`stream.filter(overlapBloomColumn(...) < k)` decontaminates a live
+    * ingest feed with zero state). The filter is built eagerly from
+    * `benchmark` (a batch DataFrame) when this is called. */
+  def overlapBloomColumn(
+      spark: SparkSession,
+      benchmark: DataFrame, benchTextCol: String, textCol: String,
+      n: Int = 3, expectedItems: Long = 0L, fpp: Double = 0.001): Column = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
     val benchSh = benchmark
       .select(explode(TextOps.shingles(col(benchTextCol), n)).as("sg"))
@@ -90,16 +89,32 @@ object Decontaminate {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val spark = corpus.sparkSession
     val fname = s"graft_decon_bloom_${bloomSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname,
       exprs => graft.functions.BloomContainsLong(exprs.head, bytes),
       "built-in")
+    size(filter(TextOps.shingles(col(textCol), n),
+      s => call_function(fname, xxhash64(s))))
+  }
+
+  /** [[overlapExact]]'s shape with the benchmark set as a Bloom filter:
+    * same output columns, zero shuffles, `overlap` may over-count by ~fpp
+    * of each doc's clean shingles (never under-counts).
+    *
+    * `expectedItems` sizes the filter (pass the known benchmark shingle
+    * cardinality at scale; <= 0 runs a count job first — fine for MB-scale
+    * benchmark sets). */
+  def overlapBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      expectedItems: Long = 0L, fpp: Double = 0.001): DataFrame = {
+    val ov = overlapBloomColumn(corpus.sparkSession, benchmark, benchTextCol,
+      textCol, n, expectedItems, fpp)
     corpus
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_shingles"),
-        size(filter(col("sh"), s => call_function(fname, xxhash64(s)))).as("overlap"))
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"),
+        ov.as("overlap"))
+      .select(col("id"), size(col("sh")).as("n_shingles"), col("overlap"))
       .withColumn("frac",
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(col("overlap").cast("double") / col("n_shingles")))

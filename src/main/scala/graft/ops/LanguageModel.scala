@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative language-model quality scoring: train a unigram model on
+  * a reference corpus, score documents by their mean token log-probability
+  * — the cheap stand-in for perplexity-based quality filtering (CCNet/
+  * Gopher-style pipelines use a KenLM n-gram model; the unigram variant
+  * keeps the same decision shape with pure engine arithmetic and no model
+  * artifact). Low scores flag documents whose vocabulary is unusual
+  * relative to the reference — boilerplate, wrong-language, or garbage.
+  *
+  * Scale shape: training is one map-side-combined wordcount (vocab-sized
+  * output, shuffled by token) + one tiny stats aggregate; scoring explodes
+  * tokens once, joins the vocab on the token key (AQE broadcasts when the
+  * vocab fits — millions of rows is typical and broadcastable; beyond
+  * that, the join degrades gracefully to shuffle), and aggregates one mean
+  * per document. Nothing touches the driver except two scalars.
+  */
+object LanguageModel {
+
+  /** Trained unigram model: per-token counts plus the two scalars the
+    * add-one-smoothed probability needs. */
+  final case class Unigram(vocab: DataFrame, totalTokens: Long, vocabSize: Long)
+
+  /** One wordcount pass over `textCol` (whitespace tokens, lowercased). */
+  def train(corpus: DataFrame, textCol: String): Unigram = {
+    val vocab = corpus
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val stats = vocab.agg(
+      coalesce(sum(col("c")), lit(0L)).as("tt"), count(lit(1)).as("vs")).head()
+    Unigram(vocab, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** `(id, n_tokens, logprob)` where `logprob` is the mean over the doc's
+    * tokens of ln((c + 1)/(T + V)) — add-one smoothing, so out-of-vocabulary
+    * tokens in NEW documents score ln(1/(T+V)) instead of −∞. Documents
+    * with no tokens score 0.0 (no evidence). Rounded to 6 decimals: the
+    * mean is a cross-row double aggregate whose addition order is not
+    * deterministic; same-sign ln terms keep the reordering error at
+    * machine-epsilon scale, absorbed by the rounding. */
+  def scoreBy(lm: Unigram, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val denom = lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble)
+    val tok = docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t") =!= "")
+    val perDoc = tok.join(lm.vocab, Seq("t"), "left")
+      .groupBy(col("id"))
+      .agg(avg(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / denom)).as("lp"))
+    docs.select(col(idCol).as("id"),
+        size(filter(TextOps.tokens(lower(col(textCol))), t => t =!= ""))
+          .as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        round(coalesce(col("lp"), lit(0.0)), 6).as("logprob"))
+  }
+
+  /** Self-scoring convenience: train on `df` and score `df` with it. */
+  def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreBy(train(df, textCol), df, idCol, textCol)
+}

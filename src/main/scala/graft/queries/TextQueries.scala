@@ -462,9 +462,37 @@ object TextQueries extends QueryModule {
       graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
         "doc_id", "text", "spark hash join", k = 10))
 
+  /** Unigram LM self-scoring (mean token log-probability, add-one
+    * smoothing) — the perplexity-style quality signal. The oracle retrains
+    * the same model in SQL; ROUND(…,6) absorbs the cross-row double
+    * aggregation's order noise (same-sign terms, machine-epsilon scale). */
+  val txtUnigramLogprob: Q = Q(
+    "txt_unigram_logprob",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END, x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+      v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      s AS (SELECT (SELECT count(*) FROM tok) AS tt, (SELECT count(*) FROM v) AS vs),
+      sc AS (
+        SELECT tok.doc_id, avg(ln((COALESCE(v.c, 0) + 1.0) / (tt + vs))) AS lp
+        FROM tok LEFT JOIN v USING (t), s
+        GROUP BY tok.doc_id)
+      SELECT d.doc_id, len(d.w) AS n_tokens,
+        ROUND(COALESCE(sc.lp, 0.0), 6) AS logprob
+      FROM d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""),
+    (s, dir) =>
+      graft.ops.LanguageModel
+        .selfScore(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
     ddSimhash, ddClusterResolve, ddDedupCorpus, ddNoveltyExact,
     ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact,
-    txtDecontaminate, txtDecontaminateBloom, txtBm25)
+    txtDecontaminate, txtDecontaminateBloom, txtBm25, txtUnigramLogprob)
 }

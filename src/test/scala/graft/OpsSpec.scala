@@ -495,6 +495,30 @@ class OpsSpec extends SparkSpec {
     assert(out.head._1 == 5, "doc 5 (max tf both terms) must rank first")
   }
 
+  test("unigram LM: hand-computed logprobs, OOV smoothing, empty docs") {
+    import graft.ops.LanguageModel
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = Seq((1, "a a b"), (2, "b c"), (3, "")).toDF("doc_id", "text")
+    val lm = LanguageModel.train(corpus, "text")
+    assert(lm.totalTokens == 5L && lm.vocabSize == 3L) // a:2 b:2 c:1
+    val scored = LanguageModel.scoreBy(lm, corpus, "doc_id", "text")
+      .orderBy("id").collect()
+    // denom = T + V = 8; a,b -> (2+1)/8, c -> (1+1)/8
+    assert(scored(0).getInt(1) == 3 &&
+      scored(0).getDouble(2) == r6(math.log(3.0 / 8)))
+    assert(scored(1).getDouble(2) ==
+      r6((math.log(3.0 / 8) + math.log(2.0 / 8)) / 2))
+    assert(scored(2).getInt(1) == 0 && scored(2).getDouble(2) == 0.0,
+      "empty doc scores 0.0 with n_tokens 0")
+    // out-of-vocabulary tokens in a NEW doc get the smoothed floor, not -inf
+    val novel = Seq((9, "zz zz")).toDF("doc_id", "text")
+    val s = LanguageModel.scoreBy(lm, novel, "doc_id", "text").head()
+    assert(s.getDouble(2) == r6(math.log(1.0 / 8)))
+    // the quality-signal direction: common-vocab docs outscore rare-vocab
+    assert(scored(0).getDouble(2) > scored(1).getDouble(2))
+  }
+
   test("decontamination: exact overlap counts; bloom never under-counts") {
     import graft.ops.Decontaminate
     // bench doc: "the quick brown fox jumps" → 3-grams {the quick brown,

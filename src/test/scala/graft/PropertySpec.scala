@@ -189,6 +189,18 @@ class PropertySpec extends SparkSpec {
       s"z-order pruning ineffective: read $zRead of $plainRead baseline records")
   }
 
+  test("top-k per group plans WindowGroupLimit (per-partition heap, not full sort)") {
+    // rank <= k above a window must trigger InferWindowGroupLimit: each map
+    // task keeps a k-heap per group instead of sorting every row — the
+    // difference between O(n log k) and O(n log n) per partition at 100 TB.
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = graft.ops.Similarity.bruteForceTopK(
+      embs, "vec_id", "embedding", col("vec_id") < 10, k = 3)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k filter did not lower to WindowGroupLimit:\n$plan")
+  }
+
   test("runtime bloom-filter join: selective dim filter injects a probe on the fact side") {
     // At 100 TB the fact-side scan of a selectively-filtered dim join should
     // be pre-filtered by Spark's runtime bloom filter (InjectRuntimeFilter).

@@ -152,6 +152,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.getAs[Double]("max_v") == batch.getAs[Double]("max_v"))
   }
 
+  test("streaming decontamination: stateless bloom probe filters the feed like batch") {
+    import org.apache.spark.sql.functions._
+    val docsBatch = Tables.load(spark, dir, "documents")
+    val bench = docsBatch.filter(col("doc_id") % 17 === 3)
+    // the probe column is a pure map-side expression (built once from the
+    // batch benchmark), so the SAME column decontaminates batch and stream
+    val ov = graft.ops.Decontaminate.overlapBloomColumn(
+      spark, bench, "text", "text", n = 3, fpp = 0.001)
+
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val docStream = spark.readStream
+      .schema(docsBatch.schema)
+      .parquet(d.toString)
+
+    val q = docStream
+      .filter(col("doc_id") % 17 =!= 3)
+      .filter(ov < 3)
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("decon_out")
+      .collect().map(_.getLong(0)).toSet
+    val batch = docsBatch
+      .filter(col("doc_id") % 17 =!= 3)
+      .filter(ov < 3)
+      .select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}")
+  }
+
   test("streaming dedup keeps one row per key from a fully-duplicated stream") {
     val q = StreamingOps.dedupStream(streamFrom(dupStreamDir), Seq("event_id"))
       .writeStream.outputMode("append")
