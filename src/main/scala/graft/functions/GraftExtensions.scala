@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
       (exprs: Seq[Expression]) => MinHash64(exprs.head, 64, 42L)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

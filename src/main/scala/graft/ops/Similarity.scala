@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
   * the pair space is ~n²/2^bits instead of n²; recall is tunable via bits
   * and multiprobe).
   *
-  * Cosine is a pure `Column` expression — `zip_with` product + sequential
-  * `aggregate` sum in double — mirrored exactly by the DuckDB oracle's
-  * list arithmetic so results hash-match.
+  * Cosine rides the native [[graft.functions.DotProduct]] expression
+  * (whole-stage codegen; the compositional `zip_with` + `aggregate` form is
+  * interpreted and was the hot path's bottleneck) — bit-compatible with the
+  * sequential left-fold the DuckDB oracle's list arithmetic performs, so
+  * results still hash-match.
   */
 object Similarity {
 
-  /** Sequential left-fold sum of an array<double> column. */
-  private def asum(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, v) => acc + v)
+  /** Native sequential-left-fold dot product (see
+    * [[graft.functions.DotProduct]] for the exact null/length algebra). */
+  def dot(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    call_function("graft_dot", a, b)
+  }
 
-  def dot(a: Column, b: Column): Column = asum(zip_with(a, b, (x, y) => x * y))
-
-  def norm2(a: Column): Column = asum(transform(a, x => x * x))
+  def norm2(a: Column): Column = dot(a, a)
 
   /** cosine = dot / (sqrt(||a||²) * sqrt(||b||²)); null-safe on zero norms. */
   def cosine(a: Column, b: Column): Column = {

@@ -41,6 +41,39 @@ class CodegenSpec extends SparkSpec {
     assert(fromCodegen == fromInterp)
   }
 
+  test("DotProduct codegen matches interpreted eval and the compositional HOF form") {
+    import org.apache.spark.sql.types.DoubleType
+    val expr = graft.functions.DotProduct(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    def arr(xs: Any*) = new GenericArrayData(xs.toArray[Any])
+    val cases = Seq(
+      (arr(1.0, 2.0, 3.0), arr(4.0, 5.0, 6.0)),
+      (arr(0.1, -0.2), arr(-0.3, 0.7)),
+      (arr(), arr()))
+    for ((a, b) <- cases) {
+      val input = InternalRow(a, b)
+      assert(proj(input).getDouble(0) == expr.eval(input).asInstanceOf[Double])
+    }
+    // null algebra: length mismatch and null elements null the sum (the
+    // zip_with-pads-with-null / aggregate-propagates semantics)
+    assert(expr.eval(InternalRow(arr(1.0), arr(1.0, 2.0))) == null)
+    assert(expr.eval(InternalRow(arr(1.0, null), arr(1.0, 2.0))) == null)
+    assert(proj(InternalRow(arr(1.0), arr(1.0, 2.0))).isNullAt(0))
+
+    // bit-compatibility with the compositional form on real embeddings
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hof = aggregate(zip_with(col("v"), reverse(col("v")), (x, y) => x * y),
+      lit(0.0), (acc, p) => acc + p)
+    val native = graft.ops.Similarity.dot(col("v"), reverse(col("v")))
+    val diff = embs.select((hof =!= native).as("ne"))
+      .filter(col("ne")).count()
+    assert(diff == 0, s"native dot differs from HOF form on $diff rows")
+  }
+
   test("BloomContainsLong codegen compiles and matches interpreted eval") {
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     Seq(1L, 42L, 9999L).foreach(bloom.putLong)
