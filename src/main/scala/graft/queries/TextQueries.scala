@@ -490,9 +490,42 @@ object TextQueries extends QueryModule {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"))
 
+  /** Keyed upsert/delete corpus maintenance ([[graft.ops.Upsert]]): lay out
+    * the historical corpus bucket-partitioned, apply one batch of
+    * replacements (doc_id%10=0), inserts (doc_id%10=8) and deletes
+    * (doc_id%20=4), read the corpus back. The oracle computes the same
+    * merge relationally — a hash match proves the copy-on-write bucket
+    * rewrite preserves exactly the rows a full relational merge keeps. */
+  val mntUpsert: Q = Q(
+    "mnt_upsert_merge",
+    Some("""
+      WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+      upd AS (SELECT doc_id, 'v2 ' || text AS text FROM documents
+              WHERE doc_id % 10 = 0 OR doc_id % 10 = 8)
+      SELECT doc_id, text FROM hist
+      WHERE doc_id % 10 <> 0 AND doc_id % 20 <> 4
+      UNION ALL
+      SELECT doc_id, text FROM upd
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      val upd = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 8)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+      val dels = docs.filter(col("doc_id") % 20 === 4).select("doc_id")
+      val path = java.nio.file.Files.createTempDirectory("graft-upsert")
+        .toString + "/corpus"
+      graft.ops.Upsert.writeKeyed(hist, "doc_id", path, nBuckets = 16)
+      graft.ops.Upsert.upsert(s, path, upd, "doc_id", nBuckets = 16,
+        deletes = Some(dels))
+      graft.ops.Upsert.readKeyed(s, path)
+        .select("doc_id", "text").orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
     ddSimhash, ddClusterResolve, ddDedupCorpus, ddNoveltyExact,
     ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact,
-    txtDecontaminate, txtDecontaminateBloom, txtBm25, txtUnigramLogprob)
+    txtDecontaminate, txtDecontaminateBloom, txtBm25, txtUnigramLogprob,
+    mntUpsert)
 }

@@ -576,6 +576,59 @@ class OpsSpec extends SparkSpec {
     assert(nE > 0, "fixture degenerate: exact clean set empty")
   }
 
+  test("keyed upsert rewrites only affected buckets; deletes can empty one") {
+    import graft.ops.Upsert
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-spec")
+    val dir = root.resolve("c").toString
+    val corpus = (1L to 400L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    Upsert.writeKeyed(corpus, "doc_id", dir, nBuckets = 8)
+
+    def bucketOf(k: Long): Int = Seq(Tuple1(k)).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8)).cast("int")).head().getInt(0)
+    def files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally s.close()
+    }
+
+    val before = files()
+    val upd = Seq((1L, "updated 1"), (401L, "new 401")).toDF("doc_id", "text")
+    val st = Upsert.upsertWithKeys(spark, dir, upd, "doc_id", 8, Seq(2L))
+    assert(st.bucketsTouched <= 3 && st.upserts == 2 && st.deletes == 1)
+
+    val out = Upsert.readKeyed(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 400) // 400 - 1 delete + 1 insert
+    assert(out(1L) == "updated 1" && out(401L) == "new 401")
+    assert(!out.contains(2L) && out(3L) == "text 3")
+
+    // files under untouched bucket dirs are byte-for-byte the same objects
+    val touchedDirs = Seq(1L, 2L, 401L).map(k => s"bucket=${bucketOf(k)}").toSet
+    val after = files()
+    before.foreach { case (f, mtime) =>
+      if (!touchedDirs.contains(f.split("/").head))
+        assert(after.get(f).contains(mtime), s"untouched-bucket file rewritten: $f")
+    }
+
+    // delete EVERY key of one bucket: its directory must disappear
+    val b0 = bucketOf(3L)
+    val doomed = Upsert.readKeyed(spark, dir)
+      .filter(col("bucket") === b0).select("doc_id")
+    val nDoomed = doomed.count()
+    val st2 = Upsert.upsert(spark, dir, corpus.limit(0), "doc_id", 8,
+      deletes = Some(doomed))
+    assert(st2.affectedRowsAfter == 0 && st2.deletes == nDoomed)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/bucket=$b0")), "emptied bucket dir remains")
+    assert(Upsert.readKeyed(spark, dir).count() == 400 - nDoomed)
+  }
+
   test("PII redaction: emails, IPs, digit runs; idempotent; clean text untouched") {
     val df = Seq(
       (1L, "contact john.doe+spam@example.co.uk or 10.0.0.1 ref 12345678"),
