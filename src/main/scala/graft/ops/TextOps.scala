@@ -24,6 +24,24 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** GPT-style pre-tokenizer pieces — the "BPE-ish" unit whose count tracks
+    * real tokenizer costs far better than whitespace words (punctuation,
+    * digit runs, and contractions split off; a BPE vocab then only
+    * subdivides these further). The pattern is the classic byte-pair
+    * pre-split reduced to RE2-safe syntax (no lookahead, so DuckDB/Go
+    * mirrors are byte-identical): contractions | optional-space letters |
+    * optional-space digits | optional-space other-punct runs. Whitespace
+    * itself is not a piece. */
+  val BpePiecePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** All pre-tokenizer pieces of the text, in order (regexp extraction —
+    * codegen'd, no UDF). */
+  def bpePieces(c: Column): Column =
+    regexp_extract_all(c.cast(StringType), lit(BpePiecePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpePieces(c))
+
   /** Conservative PII redaction for training corpora: emails, IPv4
     * addresses, then long digit runs (7+: phone/account shapes) replaced
     * with typed placeholders, in that order — emails first because they

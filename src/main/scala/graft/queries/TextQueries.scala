@@ -490,6 +490,32 @@ object TextQueries extends QueryModule {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"))
 
+  /** BPE-ish piece counts next to whitespace counts: both engines extract
+    * the same RE2-safe pre-tokenizer pattern, so the piece lists (first 5
+    * shown) and counts are byte-identical. */
+  val txtBpeTokens: Q = Q(
+    "txt_bpe_tokens",
+    Some {
+      // DuckDB string literals are not backslash-escaped; only the
+      // pattern's own single quotes (contractions) need doubling
+      val pat = TextOps.BpePiecePattern.replace("'", "''")
+      s"""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$pat')) AS n_pieces,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+        array_to_string(regexp_extract_all(text, '$pat')[1:5], '|') AS head_pieces
+      FROM documents
+      ORDER BY doc_id"""
+    },
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).as("n_pieces"),
+          TextOps.tokenCount(col("text")).as("n_words"),
+          concat_ws("|", slice(TextOps.bpePieces(col("text")), 1, 5)).as("head_pieces"))
+        .orderBy("doc_id"))
+
   /** Keyed upsert/delete corpus maintenance ([[graft.ops.Upsert]]): lay out
     * the historical corpus bucket-partitioned, apply one batch of
     * replacements (doc_id%10=0), inserts (doc_id%10=8) and deletes
@@ -527,5 +553,5 @@ object TextQueries extends QueryModule {
     ddSimhash, ddClusterResolve, ddDedupCorpus, ddNoveltyExact,
     ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact,
     txtDecontaminate, txtDecontaminateBloom, txtBm25, txtUnigramLogprob,
-    mntUpsert)
+    txtBpeTokens, mntUpsert)
 }

@@ -495,6 +495,28 @@ class OpsSpec extends SparkSpec {
     assert(out.head._1 == 5, "doc 5 (max tf both terms) must rank first")
   }
 
+  test("bpe pre-tokenizer pieces: contractions, digit runs, punctuation split off") {
+    val cases = Seq(
+      (1, "it's 42 words-ish, okay?"),
+      (2, "hello world"),
+      (3, ""),
+      (4, "a1b2"))
+    val df = cases.toDF("id", "text")
+    val r = df.select(col("id"), TextOps.bpePieces(col("text")).as("p"),
+        TextOps.bpeTokenCount(col("text")).as("n"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[String](1) ==
+      Seq("it", "'s", " 42", " words", "-", "ish", ",", " okay", "?"))
+    assert(r(1).getSeq[String](1) == Seq("hello", " world"))
+    assert(r(2).getInt(2) == 0)
+    assert(r(3).getSeq[String](1) == Seq("a", "1", "b", "2"))
+    // the piece count upper-bounds the word count on non-degenerate text
+    val docsCheck = docs.select(
+      (TextOps.bpeTokenCount(col("text")) >= TextOps.tokenCount(col("text"))).as("ok"))
+      .filter(!col("ok")).count()
+    assert(docsCheck == 0, "piece count must dominate whitespace word count")
+  }
+
   test("unigram LM: hand-computed logprobs, OOV smoothing, empty docs") {
     import graft.ops.LanguageModel
     def r6(x: Double): Double =
