@@ -35,11 +35,25 @@ object Clusters {
     * ordering — numeric or lexicographic; any orderable id type works,
     * string ids included). Ids absent from the edge list are singletons —
     * union them in with id as their own cluster, as [[assignClusters]]
-    * does. */
+    * does.
+    *
+    * Scale-adaptive: an edge list at or below `maxDriverEdges` (with an
+    * integral/string/floating id type) resolves by driver-side union-find
+    * — microseconds and ZERO iterative Spark rounds, the right shape for
+    * the common case where candidate pairs are thousands, not billions
+    * (each distributed round costs several jobs regardless of data size,
+    * ~10+ s of fixed overhead for a small graph). Larger edge lists run
+    * the distributed hash-min propagation unchanged. Both paths produce
+    * the identical (id, min-id) labeling; `maxDriverEdges = 0` forces the
+    * distributed path. The driver path collects id PAIRS only — at the
+    * default cap that is tens of MB, far below any payload. */
   def resolveClusters(pairs: DataFrame, a: String = "a", b: String = "b",
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, maxDriverEdges: Long = 2000000L): DataFrame = {
     require(pairs.schema(a).dataType == pairs.schema(b).dataType,
       s"edge endpoint types differ: ${pairs.schema(a).dataType} vs ${pairs.schema(b).dataType}")
+    if (maxDriverEdges > 0 && comparatorFor(pairs.schema(a).dataType).isDefined &&
+        pairs.limit((maxDriverEdges + 1).toInt).count() <= maxDriverEdges)
+      return driverResolve(pairs, a, b)
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
@@ -82,10 +96,69 @@ object Clusters {
     * preserved end to end — string/UUID ids resolve as readily as
     * numeric. */
   def assignClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      a: String = "a", b: String = "b"): DataFrame = {
-    val resolved = resolveClusters(pairs, a, b)
+      a: String = "a", b: String = "b",
+      maxDriverEdges: Long = 2000000L): DataFrame = {
+    val resolved = resolveClusters(pairs, a, b, maxDriverEdges = maxDriverEdges)
     ids.select(col(idCol).as("id")).distinct()
       .join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Ordering for the driver fast path, per id DataType; None = type not
+    * supported, use the distributed path. Matches Spark's own ordering for
+    * these types, so both paths pick the same min id. */
+  private def comparatorFor(dt: org.apache.spark.sql.types.DataType)
+      : Option[(Any, Any) => Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((x, y) => x.asInstanceOf[Number].longValue() < y.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        Some((x, y) => x.asInstanceOf[Number].doubleValue() < y.asInstanceOf[Number].doubleValue())
+      case StringType =>
+        Some((x, y) => x.asInstanceOf[String] < y.asInstanceOf[String])
+      case _ => None
+    }
+  }
+
+  /** Driver union-find with path halving and union-by-min (the smaller
+    * root becomes parent, so every root IS its component's minimum). */
+  private def driverResolve(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val lt = comparatorFor(pairs.schema(a).dataType).get
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    pairs.select(col(a), col(b)).collect().foreach { r =>
+      val (x, y) = (r.get(0), r.get(1))
+      if (x != null && y != null) {
+        if (!parent.containsKey(x)) parent.put(x, x)
+        if (!parent.containsKey(y)) parent.put(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) {
+          if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry)
+        }
+      }
+    }
+    val spark = pairs.sparkSession
+    val dt = pairs.schema(a).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("cluster_id", dt)))
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      rows += org.apache.spark.sql.Row(id, find(id))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
   }
 }

@@ -511,9 +511,16 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nLists: Int = 16, seed: Long = 42,
-      maxCellSize: Int = 65536): DataFrame = {
-    val index = Ivf.build(df, idCol, vecCol, nLists, seed)
-    val cellSizes0 = index.assigned.groupBy(col("cell"))
+      maxCellSize: Int = 65536, maxIter: Int = 8): DataFrame = {
+    // dedup needs STABLE cells, not optimal ones — fewer quantizer
+    // iterations than a search-quality IVF index (maxIter 8 vs 20) and
+    // seeded random init instead of the multi-pass k-means|| sweep
+    val index = Ivf.build(df, idCol, vecCol, nLists, seed, maxIter,
+      initMode = "random")
+    // cached: consumed by the size scan and BOTH sides of the cell
+    // self-join (same precedent as minhashLshPairs' signature cache)
+    val cells = index.assigned.cache()
+    val cellSizes0 = cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("__n"))
     val cellSizes = PlanWarnings.observe(cellSizes0, "semantic_cells",
       Seq(sum(when(col("__n") > maxCellSize, 1).otherwise(0)).as("dropped"),
@@ -532,7 +539,7 @@ object Dedup {
       dropped > 0
     }
     // vectors are L2-normalized by Ivf.build, so dot == cosine
-    val bounded = index.assigned
+    val bounded = cells
       .join(broadcast(cellSizes.filter(col("__n") <= maxCellSize)), "cell")
     val a = bounded.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
     val b = bounded.select(col("cell"), col("id").as("id2"), col("v").as("v2"))

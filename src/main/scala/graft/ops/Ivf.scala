@@ -31,12 +31,13 @@ object Ivf {
 
   def build(
       df: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16, seed: Long = 42, maxIter: Int = 20): Index = {
+      nLists: Int = 16, seed: Long = 42, maxIter: Int = 20,
+      initMode: String = "k-means||"): Index = {
     val base = df.select(col(idCol).as("id"),
         l2normalize(col(vecCol).cast("array<double>")).as("v"))
       .withColumn("__features", array_to_vector(col("v")))
     val model = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setK(nLists).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(base)
     val assigned = model.transform(base)

@@ -456,7 +456,10 @@ class OpsSpec extends SparkSpec {
     val out2 = Dedup.semanticDedup(embs, "vec_id", "embedding",
       threshold = 0.35, nLists = 4, seed = 42)
     val keptIds = out2.select(col("vec_id"))
-    val index = graft.ops.Ivf.build(embs, "vec_id", "embedding", nLists = 4, seed = 42)
+    // same quantizer configuration semanticDedup uses internally, so the
+    // independently-built index reproduces its cells
+    val index = graft.ops.Ivf.build(embs, "vec_id", "embedding", nLists = 4,
+      seed = 42, maxIter = 8, initMode = "random")
     val keptCells = index.assigned
       .join(keptIds, index.assigned("id") === keptIds("vec_id"))
       .select(col("cell"), col("id"), col("v"))

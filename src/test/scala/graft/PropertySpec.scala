@@ -262,11 +262,18 @@ class PropertySpec extends SparkSpec {
       }
       val truth = nodes.map(x => x -> find(x)).toMap
       // min-compression: union-find roots are the component minimum here
-      // because unions always hang the larger root under the smaller
-      val resolved = Clusters.resolveClusters(edges.toDF("a", "b"))
+      // because unions always hang the larger root under the smaller.
+      // Exercise BOTH implementations: the driver fast path (default) and
+      // the distributed hash-min propagation (forced via maxDriverEdges=0).
+      val fast = Clusters.resolveClusters(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(resolved == truth,
-        s"edges $edges:\n spark $resolved\n truth $truth")
+      assert(fast == truth,
+        s"driver path, edges $edges:\n spark $fast\n truth $truth")
+      val dist = Clusters.resolveClusters(edges.toDF("a", "b"),
+          maxDriverEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == truth,
+        s"distributed path, edges $edges:\n spark $dist\n truth $truth")
     }
   }
 
