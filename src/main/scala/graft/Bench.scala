@@ -96,8 +96,12 @@ object Bench {
     // All raw samples ship in the artifact so an environment-contention
     // episode (the BENCH_r05 57.5 s phantom) is self-diagnosing: wildly
     // spread samples on untouched queries = noisy machine, not a regression.
+    // Cached blocks some operators pin internally (minhash signatures,
+    // semantic-dedup cells) are dropped after each query so they cannot
+    // pressure the heap of everything benched after them.
     val results = selected.map { name =>
       val samples = (1 to iters).map(i => timeOnce(name, i)).filter(_ >= 0).sorted
+      spark.catalog.clearCache()
       val median =
         if (samples.isEmpty) -1.0
         else samples(samples.size / 2)
