@@ -190,6 +190,47 @@ class StreamingSpec extends SparkSpec {
       s"stream kept ${streamed.size}, batch kept ${batch.size}")
   }
 
+  test("streaming upsert: foreachBatch maintains the keyed corpus per micro-batch") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Upsert
+    val docsBatch = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+      .resolve("corpus").toString
+    // initial corpus: even doc ids
+    Upsert.writeKeyed(docsBatch.filter(col("doc_id") % 2 === 0),
+      "doc_id", corpusDir, nBuckets = 8)
+
+    // odd ids arrive as a stream, staged as TWO files so AvailableNow +
+    // maxFilesPerTrigger=1 forces two separate upsert applications
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-upd")
+    docsBatch.filter(col("doc_id") % 4 === 1)
+      .write.parquet(stage.resolve("f1").toString)
+    docsBatch.filter(col("doc_id") % 4 === 3)
+      .write.parquet(stage.resolve("f2").toString)
+    val updStream = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString + "/f*")
+
+    var batches = 0
+    val q = updStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Upsert.upsert(spark, corpusDir, batch, "doc_id", nBuckets = 8)
+          batches += 1
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    assert(batches >= 2, s"expected >=2 micro-batch applications, got $batches")
+    val got = Upsert.readKeyed(spark, corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = docsBatch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "streamed upserts must reconstruct the full corpus")
+  }
+
   test("streaming dedup keeps one row per key from a fully-duplicated stream") {
     val q = StreamingOps.dedupStream(streamFrom(dupStreamDir), Seq("event_id"))
       .writeStream.outputMode("append")
