@@ -25,6 +25,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can produce null from NON-null inputs (length mismatch, null element);
+  // without this override nullSafeCodeGen would emit `false = true;` for
+  // non-nullable children and fail Janino compilation
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess

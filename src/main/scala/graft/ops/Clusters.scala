@@ -51,8 +51,9 @@ object Clusters {
       maxRounds: Int = 25, maxDriverEdges: Long = 2000000L): DataFrame = {
     require(pairs.schema(a).dataType == pairs.schema(b).dataType,
       s"edge endpoint types differ: ${pairs.schema(a).dataType} vs ${pairs.schema(b).dataType}")
-    if (maxDriverEdges > 0 && comparatorFor(pairs.schema(a).dataType).isDefined &&
-        pairs.limit((maxDriverEdges + 1).toInt).count() <= maxDriverEdges)
+    val driverCap = math.min(maxDriverEdges, Int.MaxValue - 1L)
+    if (driverCap > 0 && comparatorFor(pairs.schema(a).dataType).isDefined &&
+        pairs.limit(driverCap.toInt + 1).count() <= driverCap)
       return driverResolve(pairs, a, b)
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
@@ -116,7 +117,14 @@ object Clusters {
       case FloatType | DoubleType =>
         Some((x, y) => x.asInstanceOf[Number].doubleValue() < y.asInstanceOf[Number].doubleValue())
       case StringType =>
-        Some((x, y) => x.asInstanceOf[String] < y.asInstanceOf[String])
+        // UTF-8 binary order (what Spark's min() on StringType uses), NOT
+        // Java's UTF-16 compareTo — they disagree between [U+E000,U+FFFF]
+        // and supplementary characters, and both paths must pick the same
+        // min-id label
+        Some((x, y) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
+              y.asInstanceOf[String])) < 0)
       case _ => None
     }
   }

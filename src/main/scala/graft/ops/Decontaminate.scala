@@ -89,13 +89,19 @@ object Decontaminate {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val fname = s"graft_decon_bloom_${bloomSeq.incrementAndGet()}"
+    // keyed by filter content: re-building the probe for the same benchmark
+    // REUSES its registry entry instead of leaking one per call (a daily
+    // benchmark refresh in a long-lived session stays bounded by distinct
+    // filters, not call count)
+    val fname = "graft_decon_bloom_" +
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .take(8).map("%02x".format(_)).mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname,
       exprs => graft.functions.BloomContainsLong(exprs.head, bytes),
       "built-in")
     size(filter(TextOps.shingles(col(textCol), n),
-      s => call_function(fname, xxhash64(s))))
+      s => call_function(fname, xxhash64(s)))).cast("long")
   }
 
   /** [[overlapExact]]'s shape with the benchmark set as a Bloom filter:
@@ -134,6 +140,4 @@ object Decontaminate {
       .select(col("id"))
     corpus.join(flagged, corpus(idCol) === flagged("id"), "left_anti")
   }
-
-  private val bloomSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -549,6 +549,10 @@ object Dedup {
       .select(col("id1"), col("id2"))
     val assigned = Clusters.assignClusters(df.select(col(idCol)), idCol,
       edges, a = "id1", b = "id2")
+    // assignClusters materializes eagerly (driver collect or per-round
+    // checkpoints), so the cell cache has served its three consumers —
+    // release it instead of pinning vectors for the session lifetime
+    cells.unpersist(blocking = false)
     val sizes = assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_cluster"))
     df.join(

@@ -47,14 +47,15 @@ object LanguageModel {
     val tok = docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("t"))
       .filter(col("t") =!= "")
+    // n_tokens rides the same aggregate — the text is tokenized ONCE
     val perDoc = tok.join(lm.vocab, Seq("t"), "left")
       .groupBy(col("id"))
-      .agg(avg(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / denom)).as("lp"))
-    docs.select(col(idCol).as("id"),
-        size(filter(TextOps.tokens(lower(col(textCol))), t => t =!= ""))
-          .as("n_tokens"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / denom)).as("lp"))
+    docs.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"),
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(coalesce(col("lp"), lit(0.0)), 6).as("logprob"))
   }
 

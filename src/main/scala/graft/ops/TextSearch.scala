@@ -48,6 +48,10 @@ object TextSearch {
         }
     val stats = docs.agg(statAggs.head, statAggs.tail: _*).head()
     val n = stats.getLong(0)
+    // empty corpus: avgdl is null and every score is vacuous — top-k of
+    // nothing is the empty result, not an NPE
+    if (n == 0L)
+      return docs.select(col("id"), lit(0.0).as("score")).limit(0)
     val avgdl = stats.getDouble(1)
     val dfs = terms.indices.map(i => stats.getLong(2 + i))
 

@@ -129,8 +129,10 @@ object Upsert {
       .collect().map(_.getInt(0)).toSet
     val emptied = touched.filterNot(remaining)
     if (emptied.nonEmpty) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // the filesystem OF THE CORPUS PATH, not fs.defaultFS — they differ
+      // on clusters (corpus on s3a://, default hdfs://)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=$b"), true); ()
       }

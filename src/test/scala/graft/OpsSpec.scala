@@ -530,11 +530,11 @@ class OpsSpec extends SparkSpec {
     val scored = LanguageModel.scoreBy(lm, corpus, "doc_id", "text")
       .orderBy("id").collect()
     // denom = T + V = 8; a,b -> (2+1)/8, c -> (1+1)/8
-    assert(scored(0).getInt(1) == 3 &&
+    assert(scored(0).getLong(1) == 3L &&
       scored(0).getDouble(2) == r6(math.log(3.0 / 8)))
     assert(scored(1).getDouble(2) ==
       r6((math.log(3.0 / 8) + math.log(2.0 / 8)) / 2))
-    assert(scored(2).getInt(1) == 0 && scored(2).getDouble(2) == 0.0,
+    assert(scored(2).getLong(1) == 0L && scored(2).getDouble(2) == 0.0,
       "empty doc scores 0.0 with n_tokens 0")
     // out-of-vocabulary tokens in a NEW doc get the smoothed floor, not -inf
     val novel = Seq((9, "zz zz")).toDF("doc_id", "text")
@@ -566,9 +566,10 @@ class OpsSpec extends SparkSpec {
       .overlapBloom(corpus, "doc_id", "text", bench, "text", n = 3, fpp = 0.001)
       .orderBy("id").collect()
     // no false negatives: bloom overlap >= exact overlap, per doc
+    // (and the bloom path's schema matches the exact path's — long counts)
     exact.zip(bloomOv).foreach { case (e, b) =>
-      assert(b.getInt(2) >= e.getLong(2),
-        s"bloom under-counted doc ${e.getInt(0)}: ${b.getInt(2)} < ${e.getLong(2)}")
+      assert(b.getLong(2) >= e.getLong(2),
+        s"bloom under-counted doc ${e.getInt(0)}: ${b.getLong(2)} < ${e.getLong(2)}")
     }
 
     val cleanE = Decontaminate
