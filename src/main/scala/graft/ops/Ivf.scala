@@ -29,17 +29,35 @@ object Ivf {
     when(n === 0.0, v).otherwise(transform(v, x => x / n))
   }
 
+  /** `fitSampleRows > 0` fits the quantizer on a deterministic hash-based
+    * sample of ~that many rows and then assigns the FULL corpus — the
+    * 100 TB shape (every k-means iteration is otherwise a full corpus
+    * pass; centroids converge the same on a uniform sample orders of
+    * magnitude smaller). The sample is keyed on `xxhash64(id)` so it is
+    * reproducible across runs, partitionings, and engines; sizing costs
+    * one metadata-cheap `count()`. `0` fits on everything (exact parity
+    * with prior behavior, right for small/medium corpora). */
   def build(
       df: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, seed: Long = 42, maxIter: Int = 20,
-      initMode: String = "k-means||"): Index = {
+      initMode: String = "k-means||", fitSampleRows: Long = 0L): Index = {
     val base = df.select(col(idCol).as("id"),
         l2normalize(col(vecCol).cast("array<double>")).as("v"))
       .withColumn("__features", array_to_vector(col("v")))
+    val fitSet =
+      if (fitSampleRows <= 0) base
+      else {
+        val n = df.count()
+        if (n <= fitSampleRows) base
+        else {
+          val threshold = (fitSampleRows.toDouble / n * (1L << 20)).toLong
+          base.filter(pmod(xxhash64(col("id")), lit(1L << 20)) < threshold)
+        }
+      }
     val model = new KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
       .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(base)
+      .fit(fitSet)
     val assigned = model.transform(base)
       .select(col("id"), col("v"), col("cell"))
     Index(assigned, model.clusterCenters.map(_.toArray))

@@ -229,6 +229,24 @@ class OpsSpec extends SparkSpec {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("IVF sampled fit: deterministic, assigns every row, search still works") {
+    import graft.ops.Ivf
+    val a = Ivf.build(embs, "vec_id", "embedding", nLists = 4, seed = 11,
+      fitSampleRows = 40)
+    val b = Ivf.build(embs, "vec_id", "embedding", nLists = 4, seed = 11,
+      fitSampleRows = 40)
+    val total = embs.count()
+    assert(a.assigned.count() == total, "every row must get a cell")
+    assert(a.assigned.select("cell").distinct().count() <= 4)
+    // reproducible: identical hash-keyed sample + seed => identical cells
+    val am = a.assigned.select("id", "cell").as[(Long, Int)].collect().toMap
+    val bm = b.assigned.select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(am == bm, "sampled fit must be deterministic")
+    val hits = Ivf.search(a, col("id") < 5, k = 3, nProbe = 2)
+    assert(hits.groupBy("qid").count().filter(col("count") =!= 3).isEmpty,
+      "each query must still get k neighbors")
+  }
+
   test("multimodal: batched stub extraction is deterministic and shaped right") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val feats = Multimodal.extractFeatures(media)
