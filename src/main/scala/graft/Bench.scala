@@ -77,6 +77,11 @@ object Bench {
       try run(n) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
+    // The warm-up executed EVERY query, so all their internally-pinned
+    // caches (minhash signatures, semantic-dedup cells) are alive here —
+    // drop them so the first timed query starts from the same cache state
+    // as every later one (per-query clearCache below only covers timed runs).
+    spark.catalog.clearCache()
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
 
@@ -118,8 +123,19 @@ object Bench {
     val raw = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Contention self-diagnosis: on a quiet host, iterations of the same
+    // query land within ~1.5× of each other; a max/min spread beyond 3×
+    // on any query means an external load burst polluted the run, and the
+    // artifact says so about itself instead of passing for a measurement.
+    val spreads = results.collect { case (k, _, s) if s.nonEmpty && s.head > 0 =>
+      (k, s.last / s.head) }
+    val worst = spreads.sortBy(-_._2).take(3)
+    val contended = worst.exists(_._2 > 3.0)
+    if (contended) System.err.println(
+      s"[bench] WARNING sample spread >3x on ${worst.filter(_._2 > 3.0).map(_._1).mkString(", ")}" +
+        " — host contention suspected; re-run on a quiet machine before trusting medians")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"iters":$iters,"contended":$contended,"sf":"$sfDir"}"""
     // Land the JSON everywhere the driver might look: stdout (contract),
     // stderr (in case sbt garbles stdout with [info] prefixes — BENCH_r1..r3
     // all came back "parsed": null), and a file.

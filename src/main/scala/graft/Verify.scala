@@ -1,19 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The 93 entries are submitted CONCURRENTLY from a small thread pool —
+  * Spark's scheduler multiplexes jobs from many threads over one session,
+  * so at sf0.01 (where every query is dominated by job-scheduling overhead,
+  * not data) the dump's wall time is ~pool-width shorter, and a noisy host
+  * stalls one slot instead of the whole serial chain. Query functions are
+  * pure plan builders over a thread-safe SparkSession; each entry writes
+  * its own directory, so there is no shared mutable state between slots.
+  * FAIR scheduling keeps a slow entry (k-means fits) from starving the
+  * cheap ones behind it. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default 16 task slots (not 4): the dump multiplexes ~8 concurrent
+    // queries over ONE local executor pool, so the slot count — not the
+    // data — is the throughput limit at sf0.01.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(16, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.enableSharedCache() // decode each table once across the 93 entries
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=a,b restricts the dump for local iteration
     // (same contract as Bench's BENCH_ONLY); unset = full dump (driver mode).
@@ -27,13 +46,10 @@ object Verify {
         SparkEntry.queries.view.filterKeys(set).toMap
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // oracle_sql.json is written BEFORE the dump, not after: if a
+    // driver-side timeout kills this process mid-run, the completed query
+    // directories plus the SQL map still let the oracle compare grade every
+    // entry that landed — previously a timeout zeroed the whole round.
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -49,6 +65,28 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val width = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    val pool = Executors.newFixedThreadPool(width)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val t0 = System.nanoTime()
+    val dumps = selected.toSeq.map { case (name, fn) =>
+      Future {
+        val q0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - q0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    Await.result(Future.sequence(dumps), Duration.Inf)
+    pool.shutdown()
+    System.err.println(
+      f"[verify] total ${selected.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
   }
 }

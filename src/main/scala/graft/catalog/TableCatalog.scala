@@ -29,8 +29,20 @@ final case class TableMeta(
   * - Scans `config.dataDir` for `*.csv` / `*.parquet`; table name = file stem
   *   (metadata.py:32–50).
   * - Loads each table once and caches the DataFrame; invalidated when the
-  *   directory's max mtime changes (metadata.py:269–304 — theirs is a FIFO(4)
-  *   keyed on (config md5, dir mtime); ours is per-directory).
+  *   directory's max mtime changes.
+  *
+  *   '''Cache-keying deviation (documented):''' the reference keeps a
+  *   process-global FIFO(4) of metadata snapshots keyed on
+  *   `(config md5, dir mtime)` (metadata.py:269–304), so ONE process can
+  *   interleave several configs over the same directory and hit cache for
+  *   each. Here the snapshot lives per `TableCatalog` INSTANCE (keyed on
+  *   dir mtime only) and each instance binds exactly one `EngineConfig` —
+  *   config-keying is therefore structural rather than hashed: running two
+  *   configs over one directory means holding two catalog instances, each
+  *   with its own snapshot. Same hit behavior as the reference for any
+  *   fixed set of configs, without a global cache to size or invalidate;
+  *   the difference is only that snapshots are not shared across instances
+  *   built with an identical config.
   * - Detects cross-sectional vs longitudinal structure from the hub
   *   (demographics) schema via the reference's fallback ladder
   *   (merge_strategy.py:79–115).

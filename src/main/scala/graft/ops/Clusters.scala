@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: turn pairwise duplicate edges (the output
@@ -52,13 +52,37 @@ object Clusters {
     require(pairs.schema(a).dataType == pairs.schema(b).dataType,
       s"edge endpoint types differ: ${pairs.schema(a).dataType} vs ${pairs.schema(b).dataType}")
     val driverCap = math.min(maxDriverEdges, Int.MaxValue - 1L)
-    if (driverCap > 0 && comparatorFor(pairs.schema(a).dataType).isDefined &&
-        pairs.limit(driverCap.toInt + 1).count() <= driverCap)
-      return driverResolve(pairs, a, b)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // Null-endpoint contract (identical on both paths): a both-null edge is
+    // dropped; a half-null edge contributes its non-null endpoint as a node
+    // (so it labels itself unless other edges connect it); null is never an
+    // id in the output.
+    val proj = pairs.select(col(a), col(b))
+      .filter(col(a).isNotNull || col(b).isNotNull)
+    // The size probe and the resolve share ONE evaluation of the pairs plan
+    // (in semanticDedup that plan is the O(Σ cell²) cosine self-join): the
+    // probe is a take(cap+1) over the persisted projection — partitions it
+    // computes stay cached, so the distributed fall-through reuses instead
+    // of recomputing, and the driver path resolves directly from the rows
+    // the probe already collected.
+    var probeCache: Option[DataFrame] = None
+    var src = proj
+    if (driverCap > 0 && comparatorFor(pairs.schema(a).dataType).isDefined) {
+      val cached = proj.persist()
+      val probe = cached.take(driverCap.toInt + 1)
+      if (probe.length <= driverCap) {
+        val out = driverResolve(pairs.sparkSession, pairs.schema(a).dataType, probe)
+        cached.unpersist(blocking = false)
+        return out
+      }
+      probeCache = Some(cached)
+      src = cached
+    }
+    val edges = src.select(col(a).as("src"), col(b).as("dst"))
+      .union(src.select(col(b).as("src"), col(a).as("dst")))
+      .filter(col("src").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // eager — the probe cache has served its purpose after this
+    probeCache.foreach(_.unpersist(blocking = false))
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -115,7 +139,14 @@ object Clusters {
       case ByteType | ShortType | IntegerType | LongType =>
         Some((x, y) => x.asInstanceOf[Number].longValue() < y.asInstanceOf[Number].longValue())
       case FloatType | DoubleType =>
-        Some((x, y) => x.asInstanceOf[Number].doubleValue() < y.asInstanceOf[Number].doubleValue())
+        // java.lang.Double.compare, not `<`: primitive `<` is false for any
+        // NaN operand, which would make NaN-labeled unions order-dependent;
+        // compare() sorts NaN last — exactly where Spark's min() puts it,
+        // so both paths pick the same min-id label. (±0.0 is normalized to
+        // +0.0 at ingest, matching Spark's grouping normalization.)
+        Some((x, y) => java.lang.Double.compare(
+          x.asInstanceOf[Number].doubleValue(),
+          y.asInstanceOf[Number].doubleValue()) < 0)
       case StringType =>
         // UTF-8 binary order (what Spark's min() on StringType uses), NOT
         // Java's UTF-16 compareTo — they disagree between [U+E000,U+FFFF]
@@ -130,9 +161,26 @@ object Clusters {
   }
 
   /** Driver union-find with path halving and union-by-min (the smaller
-    * root becomes parent, so every root IS its component's minimum). */
-  private def driverResolve(pairs: DataFrame, a: String, b: String): DataFrame = {
-    val lt = comparatorFor(pairs.schema(a).dataType).get
+    * root becomes parent, so every root IS its component's minimum).
+    * Operates on the edge rows the size probe already collected — the
+    * expensive pairs plan is never evaluated a second time.
+    *
+    * Boxed-key normalization: Spark's grouping treats -0.0 and 0.0 as one
+    * key, but `java.lang.Double.equals` does not — without normalization a
+    * HashMap would split one node in two and the two paths would disagree.
+    * Half-null edges register the non-null endpoint as a node (the same
+    * singleton the distributed path emits); fully-null rows were filtered
+    * upstream. */
+  private def driverResolve(
+      spark: org.apache.spark.sql.SparkSession,
+      dt: org.apache.spark.sql.types.DataType,
+      edgeRows: Array[Row]): DataFrame = {
+    val lt = comparatorFor(dt).get
+    def norm(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
     val parent = new java.util.HashMap[Any, Any]()
     def find(x0: Any): Any = {
       var x = x0
@@ -145,19 +193,17 @@ object Clusters {
       }
       x
     }
-    pairs.select(col(a), col(b)).collect().foreach { r =>
-      val (x, y) = (r.get(0), r.get(1))
+    edgeRows.foreach { r =>
+      val (x, y) = (norm(r.get(0)), norm(r.get(1)))
+      if (x != null && !parent.containsKey(x)) parent.put(x, x)
+      if (y != null && !parent.containsKey(y)) parent.put(y, y)
       if (x != null && y != null) {
-        if (!parent.containsKey(x)) parent.put(x, x)
-        if (!parent.containsKey(y)) parent.put(y, y)
         val (rx, ry) = (find(x), find(y))
         if (rx != ry) {
           if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry)
         }
       }
     }
-    val spark = pairs.sparkSession
-    val dt = pairs.schema(a).dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", dt),
       org.apache.spark.sql.types.StructField("cluster_id", dt)))

@@ -511,12 +511,17 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nLists: Int = 16, seed: Long = 42,
-      maxCellSize: Int = 65536, maxIter: Int = 8): DataFrame = {
+      maxCellSize: Int = 65536, maxIter: Int = 8,
+      fitSampleRows: Long = 0L): DataFrame = {
     // dedup needs STABLE cells, not optimal ones — fewer quantizer
     // iterations than a search-quality IVF index (maxIter 8 vs 20) and
-    // seeded random init instead of the multi-pass k-means|| sweep
+    // seeded random init instead of the multi-pass k-means|| sweep.
+    // fitSampleRows > 0 fits the quantizer on Ivf.build's deterministic
+    // hash sample — the 100 TB shape (and the gate's: a full-corpus fit
+    // is the dump's slowest stage for zero correctness benefit, since the
+    // within-cell guarantee holds for whatever cells the quantizer picks).
     val index = Ivf.build(df, idCol, vecCol, nLists, seed, maxIter,
-      initMode = "random")
+      initMode = "random", fitSampleRows = fitSampleRows)
     // cached: consumed by the size scan and BOTH sides of the cell
     // self-join (same precedent as minhashLshPairs' signature cache)
     val cells = index.assigned.cache()

@@ -50,8 +50,22 @@ object Ivf {
         val n = df.count()
         if (n <= fitSampleRows) base
         else {
-          val threshold = (fitSampleRows.toDouble / n * (1L << 20)).toLong
-          base.filter(pmod(xxhash64(col("id")), lit(1L << 20)) < threshold)
+          // 2^40 modulus keeps resolution at extreme ratios (a ~500k sample
+          // of a trillion rows needs thresholds ~5e5, far below a 2^20
+          // modulus's truncation floor); the max(1, _) clamp guarantees a
+          // non-empty selectivity even when the ratio rounds to zero. The
+          // sample is then verified ≥ nLists before the fit — an empty or
+          // sub-k fit set would crash (or degrade) KMeans.fit silently.
+          val mod = 1L << 40
+          val want = math.max(fitSampleRows, nLists * 16L)
+          val threshold = math.max(1L, (want.toDouble / n * mod).toLong)
+          val sampled =
+            base.filter(pmod(xxhash64(col("id")), lit(mod)) < threshold)
+          val m = sampled.count()
+          require(m >= nLists,
+            s"IVF sampled fit selected $m rows (< nLists=$nLists) from n=$n " +
+              s"at fitSampleRows=$fitSampleRows — raise fitSampleRows")
+          sampled
         }
       }
     val model = new KMeans()

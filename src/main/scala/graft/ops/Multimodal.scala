@@ -10,13 +10,22 @@ import org.apache.spark.sql.types._
   * feature-extraction runs batched per partition so a real decoder (JNI,
   * subprocess, native lib) amortizes setup per partition, not per row.
   *
-  * ==STUB NOTICE==
-  * This container has no image/audio codecs, so [[stubDecode]] is a
-  * clearly-marked DETERMINISTIC FAKE: it derives pseudo-features from the
-  * raw bytes (length, a rolling byte hash, fixed-dim pseudo-embedding).
-  * The Spark-side plumbing — schema, partition-batched `mapPartitions`,
-  * feature struct shape — is real and tested; swap `decodeBytes` for a
-  * real codec to productionize.
+  * ==Decoders==
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG/JPEG/BMP/
+  * GIF, no native codecs needed), so [[decodeImage]] reads actual pixels —
+  * width/height come from the decoded raster and the embedding is a 4×4
+  * grid of mean luminance (a classic thumbnail-pool feature). Bytes that
+  * fail to decode (corrupt, unsupported container) fall back to the byte
+  * stub below, with null width/height — the pipeline keeps the row either
+  * way (auditability at scale).
+  *
+  * ==STUB NOTICE (audio/video)==
+  * The container has no audio/video codecs, so those modalities use
+  * [[stubDecode]], a clearly-marked DETERMINISTIC FAKE deriving
+  * pseudo-features from raw bytes (length, rolling byte hash, fixed-dim
+  * pseudo-embedding). The Spark-side plumbing — schema, partition-batched
+  * `mapPartitions`, feature struct shape — is identical to the image
+  * path's; swap `stubDecode` for a real codec to productionize.
   */
 object Multimodal {
 
@@ -36,61 +45,155 @@ object Multimodal {
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("content_hash", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),   // decoded, not metadata
+    StructField("height", IntegerType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false), // real decode vs stub
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   val EmbeddingDim = 16
 
-  /** STUB decoder: deterministic pseudo-features from raw bytes. A real
-    * implementation would decode the media and run a feature extractor —
-    * same signature, same batching. */
-  private[ops] def decodeBytes(bytes: Array[Byte]): (Long, Array[Float]) = {
-    // ---- STUB: replace with real codec + model inference ----
-    var h = 1125899906842597L // rolling polynomial hash (deterministic)
+  /** Rolling polynomial hash over raw bytes — content identity for exact
+    * dedup of media payloads, independent of the decode path. */
+  private[ops] def contentHash(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** STUB decoder (audio/video + undecodable images): deterministic
+    * pseudo-features from raw bytes. A real implementation would decode the
+    * media and run a feature extractor — same signature, same batching. */
+  private[ops] def stubDecode(bytes: Array[Byte]): Array[Float] = {
+    // ---- STUB: replace with real codec + model inference ----
     val emb = new Array[Float](EmbeddingDim)
     var d = 0
-    var s = h
+    var s = contentHash(bytes)
     while (d < EmbeddingDim) {
       s = s * 6364136223846793005L + 1442695040888963407L
       emb(d) = (s >>> 40).toFloat / (1 << 24).toFloat // [0,1) deterministic
       d += 1
     }
-    (h, emb)
+    emb
+  }
+
+  /** REAL image decode (pure-JDK javax.imageio): returns decoded
+    * (width, height, 4×4 mean-luminance grid as [[EmbeddingDim]] floats in
+    * [0,1], row-major), or None when the bytes aren't a decodable image.
+    * Per-pixel getRGB is fine for thumbnail-scale features; a production
+    * extractor over large rasters would read the Raster in bulk — the
+    * partition-batched call shape stays the same. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](EmbeddingDim)
+      val counts = new Array[Long](EmbeddingDim)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(3, y * 4 / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(3, x * 4 / w)
+          val rgb = img.getRGB(x, y)
+          // ITU-R BT.601 integer luma weights
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0 / 255.0
+          val g = gy * 4 + gx
+          sums(g) += lum
+          counts(g) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val emb = new Array[Float](EmbeddingDim)
+      var g = 0
+      while (g < EmbeddingDim) {
+        emb(g) = if (counts(g) == 0) 0f else (sums(g) / counts(g)).toFloat
+        g += 1
+      }
+      Some((w, h, emb))
+    }
   }
 
   /** Batched feature extraction: one decoder context per partition
     * (mapPartitions), rows stream through it. Null/empty content yields a
-    * null embedding but keeps the row (auditability at scale). */
+    * null embedding but keeps the row (auditability at scale). Images get
+    * the real pixel decode; audio/video (and undecodable image bytes) get
+    * the stub with `decoded = false`. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
-      // Real decoders initialize here, once per partition.
+      // Per-partition decoder init: keep ImageIO off its tmp-file stream
+      // cache — these are in-memory byte arrays.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (bytes == null || bytes.isEmpty)
-          Row(id, modality, 0L, 0L, null)
+          Row(id, modality, 0L, 0L, null, null, false, null)
         else {
-          val (h, emb) = decodeBytes(bytes)
-          Row(id, modality, bytes.length.toLong, h, emb.toSeq)
+          val h = contentHash(bytes)
+          val real =
+            if (modality == "image") decodeImage(bytes) else None
+          real match {
+            case Some((w, ht, emb)) =>
+              Row(id, modality, bytes.length.toLong, h, w, ht, true, emb.toSeq)
+            case None =>
+              Row(id, modality, bytes.length.toLong, h, null, null, false,
+                stubDecode(bytes).toSeq)
+          }
         }
       }
     }
   }
 
-  /** Synthetic media table for tests/demos (deterministic, seeded). */
+  /** Deterministic tiny PNG: seeded per-pixel RGB noise encoded through
+    * the real ImageIO writer, so synthetic "image" rows are genuine
+    * decodable PNGs (and the decode path is exercised end to end). */
+  private[ops] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new java.util.Random(seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, rnd.nextInt(0x1000000))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthetic media table for tests/demos (deterministic, seeded): image
+    * rows carry REAL PNG bytes (varied small dimensions), audio/video rows
+    * carry opaque random bytes for the stub path. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42): DataFrame = {
     val rnd = new java.util.Random(seed)
     val rows = (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
-      val len = 64 + rnd.nextInt(192)
-      val bytes = new Array[Byte](len)
-      rnd.nextBytes(bytes)
-      Row(i.toLong, modality, bytes,
-        Row(s"synthetic://$i", 640, 480, if (modality == "image") null else 1000L * (i + 1)))
+      if (modality == "image") {
+        val w = 8 + i % 17
+        val h = 6 + i % 13
+        val bytes = syntheticPng(w, h, seed ^ i)
+        rnd.nextInt() // keep the rng stream aligned across modalities
+        Row(i.toLong, modality, bytes, Row(s"synthetic://$i", w, h, null))
+      } else {
+        val len = 64 + rnd.nextInt(192)
+        val bytes = new Array[Byte](len)
+        rnd.nextBytes(bytes)
+        Row(i.toLong, modality, bytes,
+          Row(s"synthetic://$i", null, null, 1000L * (i + 1)))
+      }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), mediaSchema)

@@ -36,11 +36,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * GC-able together with its listener (the listener is reachable only from
   * that session's `listenerManager`), so long-lived drivers creating many
   * short-lived sessions do not accumulate them here.
+  *
+  * The handler map is FIFO-bounded at [[MaxPending]]: plans that are built
+  * but never executed would otherwise grow it without limit in a long-lived
+  * driver. Evicting the oldest entry can only drop a warning for a plan
+  * that sat un-executed behind 4096 newer observed plans — a diagnostics
+  * trade-off, never a correctness one (warnings are advisory).
   */
 private[graft] object PlanWarnings {
 
+  private[graft] val MaxPending = 4096
   private val counter = new AtomicLong()
   private val handlers = new ConcurrentHashMap[String, Row => Boolean]()
+  private val insertionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val sessions =
     java.util.Collections.newSetFromMap(
       java.util.Collections.synchronizedMap(
@@ -64,6 +73,14 @@ private[graft] object PlanWarnings {
     if (sessions.add(spark)) spark.listenerManager.register(new Listener)
     val name = s"graft_warn_${tag}_${counter.incrementAndGet()}"
     handlers.put(name, handler)
+    insertionOrder.add(name)
+    // Names of already-fired handlers linger in the queue until polled here;
+    // their remove() is a no-op and the loop simply skips past them.
+    while (handlers.size() > MaxPending) {
+      val oldest = insertionOrder.poll()
+      if (oldest == null) return df.observe(name, metrics.head, metrics.tail: _*)
+      handlers.remove(oldest)
+    }
     df.observe(name, metrics.head, metrics.tail: _*)
   }
 

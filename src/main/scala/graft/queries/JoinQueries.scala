@@ -48,7 +48,11 @@ object JoinQueries extends QueryModule {
     })
 
   /** Q5 shape: revenue by nation through a 6-table chain; broadcastable
-    * dims (region, nation, supplier) + the lineitem fact. */
+    * dims (region, nation, supplier) + the lineitem fact. The customer
+    * join carries TPC-H's `c_nationkey = s_nationkey` predicate — the
+    * "local supplier" condition that makes the join load-bearing (without
+    * it the customer table contributes nothing but a wasted fact-stream
+    * join, basic_data_fusion.py's Q5 shape notwithstanding). */
   val q5Nation: Q = Q(
     "q5_nation_revenue",
     Some("""
@@ -61,6 +65,7 @@ object JoinQueries extends QueryModule {
       JOIN lineitem l ON l.l_suppkey = s.s_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
+        AND c.c_nationkey = s.s_nationkey
       WHERE r.r_name = 'ASIA'
         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -80,7 +85,8 @@ object JoinQueries extends QueryModule {
         .join(sup, sup("s_nationkey") === n("n_nationkey"))
         .join(l, l("l_suppkey") === sup("s_suppkey"))
         .join(o, o("o_orderkey") === l("l_orderkey"))
-        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(c, c("c_custkey") === o("o_custkey")
+          && c("c_nationkey") === sup("s_nationkey"))
         .groupBy(n("n_name"))
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))

@@ -47,13 +47,15 @@ object SimQueries extends QueryModule {
           "vec_id", "embedding", col("vec_id") < 10, k = 3, bits = 4)
         .orderBy("qid", "rank"))
 
-  /** ANN via IVF (k-means coarse quantizer, rows-only; recall in spec). */
+  /** ANN via IVF (k-means coarse quantizer, rows-only; recall in spec).
+    * The gate pins the deterministic sampled fit (the 100 TB path): the
+    * quantizer trains on ~2048 hash-sampled rows, then assigns everything. */
   val simIvf: Q = Q(
     "sim_ann_ivf",
     None,
     (s, dir) => {
       val index = graft.ops.Ivf.build(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", nLists = 16)
+        "vec_id", "embedding", nLists = 16, fitSampleRows = 2048)
       graft.ops.Ivf.search(index, col("id") < 10, k = 3, nProbe = 4)
         .orderBy("qid", "rank")
     })
@@ -82,10 +84,12 @@ object SimQueries extends QueryModule {
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2"))
 
-  /** Multimodal feature extraction over synthetic binary media (the decode
-    * step is a documented stub; plumbing is real — rows-only check).
-    * The gate entry digests the embedding array to a scalar (the driver's
-    * pandas harness can't sort raw arrays); the library API keeps the array. */
+  /** Multimodal feature extraction over synthetic binary media: image rows
+    * are REAL PNGs decoded by javax.imageio (width/height/luminance grid
+    * from actual pixels); audio/video rows run the documented stub (no
+    * codecs in this container) — rows-only check. The gate entry digests
+    * the embedding array to a scalar (the driver's pandas harness can't
+    * sort raw arrays); the library API keeps the array. */
   val mmFeatures: Q = Q(
     "mm_features",
     None,
@@ -106,7 +110,7 @@ object SimQueries extends QueryModule {
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val out = graft.ops.Dedup.semanticDedup(embs, "vec_id", "embedding",
-          threshold = 0.35, nLists = 8)
+          threshold = 0.35, nLists = 8, fitSampleRows = 2048)
         .select(col("vec_id"), col("cluster_id"), col("n_cluster"))
       val covered = out.agg(sum(col("n_cluster"))).head().getLong(0)
       val total = embs.count()

@@ -114,7 +114,8 @@ object Sinks {
       columnCount: Int,
       columns: Seq[ColumnStats.Stats],
       correlations: Seq[Correlation.Pair],
-      quality: DataQuality.Report)
+      quality: DataQuality.Report,
+      histograms: Map[String, Seq[Long]] = Map.empty)
 
   /** Profiling modes (reference pages/profiling.py:74–77): `Minimal` skips
     * the expensive passes (correlations, quality report) and keeps per-column
@@ -161,7 +162,12 @@ object Sinks {
     val quality =
       if (minimal) DataQuality.Report(Seq.empty, 0L, 0L, Seq.empty, Seq.empty)
       else DataQuality.report(base, keys)
-    Profile(base.count(), base.columns.length, stats, corr, quality)
+    // Per-column bars for the HTML report (ydata-profiling shows these in
+    // its per-variable panes); minimal mode keeps the cheap passes only.
+    val hists =
+      if (minimal || stats.isEmpty) Map.empty[String, Seq[Long]]
+      else ColumnStats.equiWidthHistograms(base, stats)
+    Profile(base.count(), base.columns.length, stats, corr, quality, hists)
   }
 
   /** S11/T4: composed data profile (column stats + correlations + quality)
@@ -228,6 +234,25 @@ object Sinks {
     val outRows = p.quality.outliers.map(o => Seq(
       o.column, o.outlierCount.toString, f"${o.outlierPct}%.2f%%", o.severity))
 
+    // Per-column histogram bars (CSS only, no scripts): bar height scales
+    // to the column's max bin; hover shows the bin range and count.
+    val histBlocks = p.columns.flatMap { s =>
+      p.histograms.get(s.column).filter(_.exists(_ > 0)).map { bins =>
+        val peak = bins.max.toDouble
+        val (mn, mx) = (s.min.getOrElse(0.0), s.max.getOrElse(0.0))
+        val width = if (bins.size > 0) (mx - mn) / bins.size else 0.0
+        val bars = bins.zipWithIndex.map { case (n, i) =>
+          val hPx = math.max(1, math.round(n / peak * 60).toInt)
+          val lo = mn + i * width
+          s"""<span class="bar" style="height:${hPx}px" title="[${fmt(Some(lo))}, ${fmt(Some(lo + width))}): $n"></span>"""
+        }.mkString
+        s"""<div class="hist"><h3>${esc(s.column)}</h3><div class="bars">$bars</div></div>"""
+      }
+    }
+    val histSection =
+      if (histBlocks.isEmpty) ""
+      else s"""<h2>Distributions</h2>\n${histBlocks.mkString("\n")}"""
+
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
        |<style>
@@ -236,6 +261,10 @@ object Sinks {
        |th,td{border:1px solid #ccc;padding:4px 10px;text-align:right}
        |th{background:#f0f0f0}td:first-child,th:first-child{text-align:left}
        |h2{border-bottom:1px solid #ddd;padding-bottom:4px}
+       |.hist{display:inline-block;margin:0 2em 1em 0;vertical-align:top}
+       |.hist h3{margin:0 0 4px;font-size:0.9em;font-weight:normal}
+       |.bars{display:flex;align-items:flex-end;height:64px;gap:1px}
+       |.bar{display:inline-block;width:10px;background:#4878a8}
        |</style></head><body>
        |<h1>${esc(title)}</h1>
        |<h2>Overview</h2>
@@ -244,6 +273,7 @@ object Sinks {
        |<h2>Columns</h2>
        |${table(Seq("column", "n", "nulls", "distinct", "mean", "std", "min",
           "q25", "median", "q75", "max", "skew", "kurt", "iqr_outliers"), colRows)}
+       |$histSection
        |<h2>Correlations (pearson)</h2>
        |${table(Seq("col1", "col2", "r", "n"), corrRows)}
        |<h2>Missing data</h2>

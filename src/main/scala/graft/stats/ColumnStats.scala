@@ -80,6 +80,17 @@ object ColumnStats {
     * finishing — driver-side for small histograms, distributed prefix-scan
     * for near-unique ones (identical arithmetic either way).
     *
+    * Columns in `highCard` (routed by the caller's cheap
+    * `approx_count_distinct` probe from pass 1) SKIP the combined
+    * histogram entirely: a near-unique column's histogram ≈ the data, so
+    * folding it into the shared explode+groupBy makes every other column's
+    * shuffle data-sized and caches a data-sized histogram for nothing.
+    * Instead each high-cardinality column runs its own narrow
+    * groupBy(value) → prefix-scan sort — exactly the sort it fundamentally
+    * needs, nothing more. Routing is purely a performance decision: the
+    * arithmetic is identical on every path, and a mis-estimated column
+    * still lands on a correct (just less optimal) path.
+    *
     * For non-floating-point columns the histogram is keyed on the NATIVE value
     * (its exact string rendering, injective per column — two longs beyond
     * 2^53 that collapse to one double stay two entries, so `distinct`
@@ -91,39 +102,57 @@ object ColumnStats {
     * "-0.0" — and grouping's float normalization must be what merges ±0.0
     * into one distinct value, as pandas `nunique` does. */
   private def histogramStats(
-      df: DataFrame, cols: Seq[String], ps: Seq[Double]): Map[String, HistStats] = {
+      df: DataFrame, cols: Seq[String], ps: Seq[Double],
+      highCard: Set[String] = Set.empty): Map[String, HistStats] = {
     def exactKey(c: String): Column = df.schema(c).dataType match {
       case FloatType | DoubleType => lit(null).cast(StringType)
       case _ => col(c).cast(StringType)
     }
-    val pairs = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"),
-          exactKey(c).as("vs"))): _*)).as("p"))
-      .select(col("p.c").as("c"), col("p.v").as("v"), col("p.vs").as("vs"))
-      // NaN must be excluded like null (pandas/DuckDB quantile semantics) —
-      // a NaN entering the histogram sorts last and poisons quantiles
-      .filter(col("v").isNotNull && !isnan(col("v")))
-    val hist = pairs.groupBy("c", "v", "vs").agg(count(lit(1)).as("n")).cache()
-    try {
-      // Materializes the cache AND sizes each column's histogram (one job).
-      val sizes: Map[String, Long] = hist.groupBy("c").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val futures = cols.map { c =>
-        Future(c ->
-          (if (sizes.getOrElse(c, 0L) <= SmallHistEntries)
-            colFromLocalHist(
-              hist.filter(col("c") === c).select("v", "n")
-                .collect().map(r => (r.getDouble(0), r.getLong(1))), ps)
-          else
-            colFromHist(
-              hist.filter(col("c") === c).select("v", "n")
-                .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps)))
-      }
-      Await.result(Future.sequence(futures), Duration.Inf).toMap
-    } finally hist.unpersist(blocking = false)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (big, small) = cols.partition(highCard)
+
+    // Near-unique columns: per-column narrow histogram straight to the
+    // distributed prefix-scan (no shared explode, no cache).
+    val bigFutures = big.map { c =>
+      Future(c -> colFromHist(
+        df.select(col(c).cast(DoubleType).as("v"), exactKey(c).as("vs"))
+          .filter(col("v").isNotNull && !isnan(col("v")))
+          .groupBy("v", "vs").agg(count(lit(1)).as("n"))
+          .select("v", "n")
+          .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps))
+    }
+
+    val smallResults: Seq[(String, HistStats)] = if (small.isEmpty) Seq.empty else {
+      val pairs = df.select(explode(array(small.map(c =>
+          struct(lit(c).as("c"), col(c).cast(DoubleType).as("v"),
+            exactKey(c).as("vs"))): _*)).as("p"))
+        .select(col("p.c").as("c"), col("p.v").as("v"), col("p.vs").as("vs"))
+        // NaN must be excluded like null (pandas/DuckDB quantile semantics) —
+        // a NaN entering the histogram sorts last and poisons quantiles
+        .filter(col("v").isNotNull && !isnan(col("v")))
+      val hist = pairs.groupBy("c", "v", "vs").agg(count(lit(1)).as("n")).cache()
+      try {
+        // Materializes the cache AND sizes each column's histogram (one job).
+        val sizes: Map[String, Long] = hist.groupBy("c").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val futures = small.map { c =>
+          Future(c ->
+            (if (sizes.getOrElse(c, 0L) <= SmallHistEntries)
+              colFromLocalHist(
+                hist.filter(col("c") === c).select("v", "n")
+                  .collect().map(r => (r.getDouble(0), r.getLong(1))), ps)
+            else
+              colFromHist(
+                hist.filter(col("c") === c).select("v", "n")
+                  .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps)))
+        }
+        // Await inside the try: the cache must outlive the small-column jobs
+        Await.result(Future.sequence(futures), Duration.Inf)
+      } finally hist.unpersist(blocking = false)
+    }
+    (Await.result(Future.sequence(bigFutures), Duration.Inf) ++ smallResults).toMap
   }
 
   /** Driver-side twin of [[colFromHist]] for bounded histograms — the SAME
@@ -220,6 +249,10 @@ object ColumnStats {
     // Pass 1: plain aggregate — exact distinct comes from the histogram
     // (exact path) or approx_count_distinct (sketch path), so no
     // countDistinct and therefore no Expand multiplying the scan.
+    // The exact path ALSO carries approx_count_distinct — not as output,
+    // but as the cardinality probe that routes near-unique columns past
+    // the combined histogram (an HLL sketch per column is mergeable,
+    // codegen'd, and ~free inside an aggregate that scans anyway).
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n__$c"),
@@ -228,10 +261,10 @@ object ColumnStats {
         min(col(c)).cast(DoubleType).as(s"min__$c"),
         max(col(c)).cast(DoubleType).as(s"max__$c"),
         skewness(col(c)).as(s"skew__$c"),
-        kurtosis(col(c)).as(s"kurt__$c")) ++
+        kurtosis(col(c)).as(s"kurt__$c"),
+        approx_count_distinct(col(c)).as(s"d__$c")) ++
         (if (approxQuantiles)
           Seq(
-            approx_count_distinct(col(c)).as(s"d__$c"),
             percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
               .as(s"q__$c"))
         else Seq.empty)
@@ -242,9 +275,17 @@ object ColumnStats {
     def optD(r: Row, name: String): Option[Double] =
       Option(r.getAs[Any](name)).map(_.asInstanceOf[Number].doubleValue())
 
+    // Route columns whose estimated cardinality exceeds the driver-finish
+    // bound to their own sort path. The HLL estimate (±~2.5% rsd) only
+    // steers performance: an under-estimate keeps today's combined-path
+    // behavior (sized by TRUE entry count), an over-estimate just runs a
+    // narrow per-column sort that is also exact.
+    val highCard: Set[String] =
+      if (approxQuantiles) Set.empty
+      else cols.filter(c => row.getAs[Long](s"d__$c") > SmallHistEntries).toSet
     val exactH: Map[String, HistStats] =
       if (approxQuantiles) Map.empty
-      else histogramStats(df, cols, Seq(0.25, 0.5, 0.75))
+      else histogramStats(df, cols, Seq(0.25, 0.5, 0.75), highCard)
 
     val base = cols.map { c =>
       val n = row.getAs[Long](s"n__$c")
@@ -295,6 +336,38 @@ object ColumnStats {
   def describeDF(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
     import spark.implicits._
     describe(df, cols).toDF()
+  }
+
+  /** Equal-width binned histogram for report rendering: `nBins` counts per
+    * column over its [min, max] (from already-computed [[Stats]]), ONE
+    * explode + map-side-combined groupBy pass for all columns — the shuffle
+    * carries at most nBins rows per column regardless of data size. Columns
+    * without a numeric range (all-null) are omitted; a single-valued column
+    * (min == max) lands entirely in bin 0. */
+  def equiWidthHistograms(
+      df: DataFrame, stats: Seq[Stats], nBins: Int = 20): Map[String, Seq[Long]] = {
+    val ranged = stats.flatMap(s => for { mn <- s.min; mx <- s.max } yield (s.column, mn, mx))
+    if (ranged.isEmpty) return Map.empty
+    def binExpr(c: String, mn: Double, mx: Double): Column = {
+      val v = col(c).cast(DoubleType)
+      val bin =
+        if (mx == mn) lit(0)
+        else least(lit(nBins - 1), greatest(lit(0),
+          floor((v - lit(mn)) / lit((mx - mn) / nBins)).cast("int")))
+      when(v.isNotNull && !isnan(v), bin)
+    }
+    val counts = df.select(explode(array(ranged.map { case (c, mn, mx) =>
+        struct(lit(c).as("c"), binExpr(c, mn, mx).as("bin"))
+      }: _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.bin").as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy("c", "bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    ranged.map { case (c, _, _) =>
+      val bins = new Array[Long](nBins)
+      counts.iterator.filter(_._1 == c).foreach { case (_, b, n) => bins(b) = n }
+      c -> bins.toSeq
+    }.toMap
   }
 
   /** Categorical column summary: top-k most common values with counts

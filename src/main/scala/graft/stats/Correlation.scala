@@ -246,17 +246,47 @@ object Correlation {
   }
 
   /** All-pairs kendall matrix — API parity with [[pearson]]/[[spearman]]
-    * (pandas `corr(method='kendall')`, statistics.py:190–260). `exact =
-    * false` (default) is the sampled parity path; `true` routes every pair
-    * through [[kendallPairExact]]. Pairwise-complete semantics come free:
-    * both underlying paths filter nulls per pair. */
+    * (pandas `corr(method='kendall')`, statistics.py:190–260).
+    *
+    * Routing (`exact = None`, the default): ONE aggregate estimates each
+    * pair's contingency-table size (`approx_count_distinct` over the
+    * non-null (x, y) struct), and every pair whose estimated cell count
+    * fits comfortably (≤ maxCells/2 — the margin absorbs HLL error) runs
+    * the EXACT full-data Fenwick path; only near-unique continuous pairs
+    * fall back to the bounded-sample estimate. Bounded domains + huge n —
+    * the realistic cohort shape — therefore get the exact answer by
+    * default, at the cost of one groupBy per routed pair. `Some(true)`
+    * forces exact everywhere (errors past maxCells), `Some(false)` forces
+    * the sampled parity path. An exact run that still overflows its cell
+    * cap (HLL under-estimate) degrades to the sample rather than failing.
+    * Pairwise-complete semantics come free: both underlying paths filter
+    * nulls per pair. */
   def kendall(
       df: DataFrame, cols: Seq[String], minPeriods: Int = 10,
-      exact: Boolean = false): Seq[Pair] = {
+      exact: Option[Boolean] = None, maxCells: Int = 1 << 22): Seq[Pair] = {
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
       yield (cols(i), cols(j))
+    if (pairs.isEmpty) return Seq.empty
+    val routeExact: ((String, String)) => Boolean = exact match {
+      case Some(e) => _ => e
+      case None =>
+        val aggs = pairs.map { case (a, b) =>
+          approx_count_distinct(
+            when(col(a).isNotNull && col(b).isNotNull, struct(col(a), col(b))))
+            .as(s"d__${a}__$b")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val fits = pairs.map { case (a, b) =>
+          (a, b) -> (row.getAs[Long](s"d__${a}__$b") <= maxCells / 2)
+        }.toMap
+        fits
+    }
     pairs.map { case (a, b) =>
-      val p = if (exact) kendallPairExact(df, a, b) else kendallPair(df, a, b)
+      val p =
+        if (routeExact((a, b)))
+          try kendallPairExact(df, a, b, maxCells)
+          catch { case _: IllegalArgumentException => kendallPair(df, a, b) }
+        else kendallPair(df, a, b)
       if (p.n < minPeriods) p.copy(r = None) else p
     }
   }

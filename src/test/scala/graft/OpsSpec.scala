@@ -247,17 +247,47 @@ class OpsSpec extends SparkSpec {
       "each query must still get k neighbors")
   }
 
-  test("multimodal: batched stub extraction is deterministic and shaped right") {
+  test("multimodal: batched extraction is deterministic and shaped right") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val feats = Multimodal.extractFeatures(media)
     assert(feats.schema == Multimodal.featureSchema)
     val rows = feats.orderBy("media_id").collect()
     assert(rows.length == 60)
     assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == Multimodal.EmbeddingDim))
+    // image rows decode for real (synthetic PNGs): width/height from pixels
+    val images = rows.filter(_.getAs[String]("modality") == "image")
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      assert(r.getAs[Boolean]("decoded"), s"image $i should real-decode")
+      assert(r.getAs[Int]("width") == 8 + i % 17)
+      assert(r.getAs[Int]("height") == 6 + i % 13)
+    }
+    // audio/video stay on the stub: no decoded dimensions
+    rows.filter(_.getAs[String]("modality") != "image").foreach { r =>
+      assert(!r.getAs[Boolean]("decoded"))
+      assert(r.isNullAt(r.fieldIndex("width")))
+    }
     // determinism: second run produces identical hashes
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(rows.map(_.getAs[Long]("content_hash")).toSeq ==
       again.map(_.getAs[Long]("content_hash")).toSeq)
+  }
+
+  test("multimodal: image decode reads actual pixels, not metadata") {
+    // A known 4x4 image with one white grid cell: the 4x4 mean-luminance
+    // embedding must put ~1.0 in exactly that cell and 0.0 elsewhere.
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xffffff) // grid cell (gy=1, gx=2) -> index 6
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, emb)) = Multimodal.decodeImage(out.toByteArray)
+    assert(w == 4 && h == 4)
+    assert(math.abs(emb(6) - 1.0f) < 1e-3, s"white cell: ${emb.toSeq}")
+    assert(emb.zipWithIndex.filter(_._2 != 6).forall(_._1 == 0f))
+    // corrupt bytes refuse to decode instead of throwing
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
   test("simhash codegen matches an independent Scala majority-vote") {

@@ -164,6 +164,12 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("Rows: 4"))
     assert(html.contains("<td>x</td>") && html.contains("<td>y</td>"))
     assert(html.contains("Duplicate primary IDs: 1"))
+    // per-column histogram bars render for numeric columns
+    assert(html.contains("<h2>Distributions</h2>"))
+    assert(html.contains("""<div class="hist"><h3>x</h3>"""))
+    assert(html.contains("""class="bar""""))
+    // x = {1,2,3,3}: the peak bin (two 3.0s) renders at full 60px height
+    assert(html.contains("height:60px"))
     // sampled profile stays bounded and seeded-deterministic
     val sampled = Sinks.profile(df, MergeKeys("ursi"), Seq("x"), sampleN = Some(2))
     assert(sampled.rowCount <= 2)

@@ -79,6 +79,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("kendall() auto-routes: exact when the contingency table fits, sampled past the cap") {
+    // Bounded-domain pair (12x~27 cells, n=800): the probe routes it to the
+    // exact path, so the matrix answer equals kendallPairExact bit-for-bit
+    // even though n is far beyond the sampled path's default 5000 cap logic.
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(800) { _ =>
+      val x = rnd.nextInt(12).toDouble
+      val y = (x + rnd.nextInt(8) - rnd.nextInt(8)).toDouble
+      (x, y)
+    }
+    val df = rows.toDF("x", "y")
+    val auto = Correlation.kendall(df, Seq("x", "y")).head
+    val exact = Correlation.kendallPairExact(df, "x", "y")
+    assert(auto.r.get == exact.r.get, s"auto ${auto.r} != exact ${exact.r}")
+
+    // Near-unique pair under a tiny cap: the probe (~800 estimated cells
+    // > maxCells/2 = 25) must route to the sampled path, whose seeded
+    // result differs from none — it equals kendallPair's.
+    val unique = Seq.tabulate(800)(i => (i.toDouble, (i * 37 % 800).toDouble))
+      .toDF("x", "y")
+    val routed = Correlation.kendall(unique, Seq("x", "y"), maxCells = 50).head
+    val sampled = Correlation.kendallPair(unique, "x", "y")
+    assert(routed.r.get == sampled.r.get, s"routed ${routed.r} != sampled ${sampled.r}")
+    // Forced modes still honored.
+    val forcedExact = Correlation.kendall(unique, Seq("x", "y"), exact = Some(true)).head
+    assert(forcedExact.r.get == Correlation.kendallPairExact(unique, "x", "y").r.get)
+  }
+
   test("spearman matrix ranks all-complete columns exactly once each") {
     // 4 complete columns -> the aligned fast path ranks each column ONCE
     // (4 passes) and correlates ranks in a single aggregate; the naive
