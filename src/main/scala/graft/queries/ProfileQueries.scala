@@ -86,6 +86,74 @@ object ProfileQueries extends QueryModule {
         .toDF("metric", "value").orderBy("metric")
     })
 
+  /** T4 explorative leg: the interactions pane — a 2-D equal-width
+    * histogram between two numeric columns (reference pages/profiling.py:
+    * 74–77, `explorative=True` → ydata interaction plots). Fully
+    * distributed: the shuffle carries ≤ nBins² rows; the oracle reproduces
+    * the bin arithmetic bit-for-bit (floor of the same IEEE division). */
+  val t4Interactions: Q = Q(
+    "t4_interactions",
+    Some("""
+      WITH r AS (
+        SELECT CAST(min(c_acctbal) AS DOUBLE) AS xmn,
+               CAST(max(c_acctbal) AS DOUBLE) AS xmx,
+               CAST(min(c_nationkey) AS DOUBLE) AS ymn,
+               CAST(max(c_nationkey) AS DOUBLE) AS ymx
+        FROM customer)
+      SELECT
+        LEAST(11, GREATEST(0, CAST(FLOOR(
+          (CAST(c_acctbal AS DOUBLE) - xmn) / ((xmx - xmn) / 12)) AS INT))) AS bin_x,
+        LEAST(11, GREATEST(0, CAST(FLOOR(
+          (CAST(c_nationkey AS DOUBLE) - ymn) / ((ymx - ymn) / 12)) AS INT))) AS bin_y,
+        count(*) AS n
+      FROM customer, r
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val r = base.agg(
+        min(col("c_acctbal").cast("double")).as("xmn"),
+        max(col("c_acctbal").cast("double")).as("xmx"),
+        min(col("c_nationkey").cast("double")).as("ymn"),
+        max(col("c_nationkey").cast("double")).as("ymx")).head()
+      graft.stats.ColumnStats.interactionBins(
+          base, "c_acctbal", "c_nationkey",
+          r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        .orderBy("bin_x", "bin_y")
+    })
+
+  /** T4 categorical leg: the profile's per-variable value tables
+    * (ydata-profiling's categorical panes) through the ONE-pass multi-column
+    * [[graft.stats.ColumnStats.categoricalFrequencies]] — both columns read
+    * in a single explode+groupBy; ties break by value ascending, matching
+    * the oracle's ORDER BY n DESC, value. */
+  val t4Categories: Q = Q(
+    "t4_categories",
+    Some("""
+      WITH u AS (
+        SELECT 'c_mktsegment' AS col, CAST(c_mktsegment AS VARCHAR) AS value,
+               count(*) AS n
+        FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 2
+        UNION ALL
+        SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR), count(*)
+        FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 2),
+      r AS (
+        SELECT col, value, n,
+               row_number() OVER (PARTITION BY col ORDER BY n DESC, value) AS rk
+        FROM u)
+      SELECT col, value, n FROM r WHERE rk <= 10
+      ORDER BY col, n DESC, value"""),
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "customer")
+      val (tables, _) = graft.stats.ColumnStats.categoricalFrequencies(
+        base, Seq("c_mktsegment", "c_nationkey"))
+      tables.toSeq.flatMap { case (c, vs) => vs.map(v => (c, v._1, v._2)) }
+        .toDF("col", "value", "n")
+        .orderBy(col("col"), col("n").desc, col("value"))
+    })
+
   /** T10: distribution analysis (plotting.py:1257–1346) — population
     * moments (scipy bias=True), exact quantiles, range/IQR. DuckDB's
     * skewness/kurtosis are bias-corrected G1/G2, so the oracle converts
@@ -274,6 +342,6 @@ object ProfileQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    t4Profile, t10Distribution, t10Normality, t11Kde, t16Multisite, t2Kendall,
-    t2KendallExact)
+    t4Profile, t4Interactions, t4Categories, t10Distribution, t10Normality,
+    t11Kde, t16Multisite, t2Kendall, t2KendallExact)
 }

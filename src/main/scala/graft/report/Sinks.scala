@@ -109,20 +109,32 @@ object Sinks {
     * T3 quality report over one frame (reference analysis/statistics.py:
     * 409–492), with the reference's optional seeded n-row sample
     * (pages/profiling.py:291–293 — `random_state=42`). */
+  /** One interaction pane: a 2-D equal-width histogram between two numeric
+    * columns, `grid(binX)(binY)` = row count. */
+  final case class Interaction(col1: String, col2: String, grid: Seq[Seq[Long]])
+
+  /** One categorical pane: the column's top-k values with counts, or
+    * `highCardinality = true` (and no table) when the column exceeded the
+    * distinct-value guard. */
+  final case class CategoryTable(
+      column: String, values: Seq[(String, Long)], highCardinality: Boolean)
+
   final case class Profile(
       rowCount: Long,
       columnCount: Int,
       columns: Seq[ColumnStats.Stats],
       correlations: Seq[Correlation.Pair],
       quality: DataQuality.Report,
-      histograms: Map[String, Seq[Long]] = Map.empty)
+      histograms: Map[String, Seq[Long]] = Map.empty,
+      interactions: Seq[Interaction] = Seq.empty,
+      categories: Seq[CategoryTable] = Seq.empty)
 
   /** Profiling modes (reference pages/profiling.py:74–77): `Minimal` skips
     * the expensive passes (correlations, quality report) and keeps per-column
     * statistics only; `Full` is the complete profile; `Explorative` is the
-    * reference's deep mode — for us identical to Full (our full profile
-    * already computes everything we support; the reference's explorative
-    * extras are ydata-profiling internals like text/url analysis). */
+    * reference's deep mode — it additionally computes pairwise interaction
+    * histograms (ydata-profiling's interaction plots) over the numeric
+    * columns, capped at the first [[MaxInteractionCols]] columns. */
   sealed trait ProfileMode
   object ProfileMode {
     case object Minimal extends ProfileMode
@@ -136,13 +148,20 @@ object Sinks {
   val MinSampleN = 1000
   val MaxSampleN = 20000
 
+  /** Explorative interactions cover at most this many numeric columns
+    * (C(8,2)=28 panes; ydata-profiling applies a similar practical cap) —
+    * the single interaction pass shuffles ≤ pairs·nBins² rows, so the cap
+    * bounds the pane count, not a scale risk. */
+  val MaxInteractionCols = 8
+
   def profile(
       df: DataFrame,
       keys: MergeKeys,
       numericCols: Seq[String],
       sampleN: Option[Int] = None,
       seed: Long = 42,
-      mode: ProfileMode = ProfileMode.Full): Profile = {
+      mode: ProfileMode = ProfileMode.Full,
+      categoricalCols: Seq[String] = Seq.empty): Profile = {
     val base = sampleN match {
       case Some(n) =>
         val total = df.count()
@@ -167,7 +186,24 @@ object Sinks {
     val hists =
       if (minimal || stats.isEmpty) Map.empty[String, Seq[Long]]
       else ColumnStats.equiWidthHistograms(base, stats)
-    Profile(base.count(), base.columns.length, stats, corr, quality, hists)
+    val interactions =
+      if (mode != ProfileMode.Explorative || stats.size < 2) Seq.empty
+      else {
+        val cols = stats.map(_.column).take(MaxInteractionCols)
+        ColumnStats.interactionHistograms(
+            base, stats, cols.combinations(2).map(p => (p(0), p(1))).toSeq)
+          .map { case (x, y, grid) => Interaction(x, y, grid) }
+      }
+    val categories =
+      if (minimal || categoricalCols.isEmpty) Seq.empty
+      else {
+        val (tables, high) =
+          ColumnStats.categoricalFrequencies(base, categoricalCols)
+        categoricalCols.map(c =>
+          CategoryTable(c, tables.getOrElse(c, Seq.empty), high.contains(c)))
+      }
+    Profile(base.count(), base.columns.length, stats, corr, quality, hists,
+      interactions, categories)
   }
 
   /** S11/T4: composed data profile (column stats + correlations + quality)
@@ -195,6 +231,19 @@ object Sinks {
       "correlations" -> JArr(corr.map(p => JObj(Seq(
         "col1" -> JStr(p.col1), "col2" -> JStr(p.col2),
         "r" -> num(p.r), "n" -> JNum(p.n.toDouble))))),
+      "interactions" -> JArr(p.interactions.map(ix => JObj(Seq(
+        "col1" -> JStr(ix.col1), "col2" -> JStr(ix.col2),
+        "n_bins" -> JNum(ix.grid.size.toDouble),
+        // Sparse (bin_x, bin_y, n) triples: empty cells dominate the grid.
+        "cells" -> JArr(for {
+          (row, bx) <- ix.grid.zipWithIndex if row.exists(_ > 0)
+          (n, by) <- row.zipWithIndex if n > 0
+        } yield JArr(Seq(JNum(bx.toDouble), JNum(by.toDouble), JNum(n.toDouble)))))))),
+      "categories" -> JArr(p.categories.map(ct => JObj(Seq(
+        "column" -> JStr(ct.column),
+        "high_cardinality" -> JBool(ct.highCardinality),
+        "values" -> JArr(ct.values.map { case (v, n) =>
+          JObj(Seq("value" -> JStr(v), "n" -> JNum(n.toDouble))) }))))),
       "quality" -> JObj(Seq(
         "missing" -> JArr(quality.missing.map(m => JObj(Seq(
           "column" -> JStr(m.column), "count" -> JNum(m.missingCount.toDouble),
@@ -253,6 +302,42 @@ object Sinks {
       if (histBlocks.isEmpty) ""
       else s"""<h2>Distributions</h2>\n${histBlocks.mkString("\n")}"""
 
+    // Interaction heatmaps (explorative mode): one CSS grid per column
+    // pair, cell opacity ∝ count / pane max. Rendered row-major with bin_y
+    // descending so the y axis points up like a scatter plot.
+    val interBlocks = p.interactions.flatMap { ix =>
+      val peak = ix.grid.iterator.flatten.max.toDouble
+      if (peak <= 0) None else Some {
+        val nb = ix.grid.size
+        val cells = (nb - 1 to 0 by -1).flatMap { by =>
+          (0 until nb).map { bx =>
+            val n = ix.grid(bx)(by)
+            val op = if (n == 0) 0.0 else 0.15 + 0.85 * n / peak
+            s"""<span class="cell" style="opacity:${f"$op%.3f"}" title="x=$bx y=$by: $n"></span>"""
+          }
+        }.mkString
+        s"""<div class="inter"><h3>${esc(ix.col1)} &times; ${esc(ix.col2)}</h3>
+           |<div class="grid" style="grid-template-columns:repeat($nb,10px)">$cells</div></div>""".stripMargin
+      }
+    }
+    val interSection =
+      if (interBlocks.isEmpty) ""
+      else s"""<h2>Interactions</h2>\n${interBlocks.mkString("\n")}"""
+
+    // Categorical value tables; high-cardinality columns get a notice
+    // instead of a table (the distinct-value guard fired).
+    val catBlocks = p.categories.map { ct =>
+      val body =
+        if (ct.highCardinality)
+          "<p><em>high cardinality — value table suppressed</em></p>"
+        else table(Seq("value", "n"),
+          ct.values.map { case (v, n) => Seq(v, n.toString) })
+      s"""<div class="cat"><h3>${esc(ct.column)}</h3>$body</div>"""
+    }
+    val catSection =
+      if (catBlocks.isEmpty) ""
+      else s"""<h2>Categorical columns</h2>\n${catBlocks.mkString("\n")}"""
+
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
        |<style>
@@ -265,6 +350,10 @@ object Sinks {
        |.hist h3{margin:0 0 4px;font-size:0.9em;font-weight:normal}
        |.bars{display:flex;align-items:flex-end;height:64px;gap:1px}
        |.bar{display:inline-block;width:10px;background:#4878a8}
+       |.inter,.cat{display:inline-block;margin:0 2em 1em 0;vertical-align:top}
+       |.inter h3,.cat h3{margin:0 0 4px;font-size:0.9em;font-weight:normal}
+       |.grid{display:grid;gap:1px}
+       |.cell{width:10px;height:10px;background:#4878a8;display:block}
        |</style></head><body>
        |<h1>${esc(title)}</h1>
        |<h2>Overview</h2>
@@ -274,6 +363,8 @@ object Sinks {
        |${table(Seq("column", "n", "nulls", "distinct", "mean", "std", "min",
           "q25", "median", "q75", "max", "skew", "kurt", "iqr_outliers"), colRows)}
        |$histSection
+       |$interSection
+       |$catSection
        |<h2>Correlations (pearson)</h2>
        |${table(Seq("col1", "col2", "r", "n"), corrRows)}
        |<h2>Missing data</h2>

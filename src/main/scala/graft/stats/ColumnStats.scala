@@ -370,6 +370,67 @@ object ColumnStats {
     }.toMap
   }
 
+  /** 2-D equal-width histogram for one numeric column pair — the
+    * "interactions" pane of an explorative profile (ydata-profiling's
+    * interaction plots; reference pages/profiling.py:74–77 exposes them via
+    * `explorative=True`). Returns (bin_x, bin_y, n) rows, distributed all
+    * the way: the shuffle carries at most nBins² rows regardless of data
+    * size. Bin arithmetic is identical to [[equiWidthHistograms]] so an SQL
+    * oracle reproduces it bit-for-bit. */
+  def interactionBins(
+      df: DataFrame, x: String, y: String,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      nBins: Int = 12): DataFrame = {
+    def bin(c: String, mn: Double, mx: Double): Column = {
+      val v = col(c).cast(DoubleType)
+      if (mx == mn) lit(0)
+      else least(lit(nBins - 1), greatest(lit(0),
+        floor((v - lit(mn)) / lit((mx - mn) / nBins)).cast("int")))
+    }
+    df.filter(col(x).isNotNull && !isnan(col(x).cast(DoubleType)) &&
+              col(y).isNotNull && !isnan(col(y).cast(DoubleType)))
+      .select(bin(x, xMin, xMax).as("bin_x"), bin(y, yMin, yMax).as("bin_y"))
+      .groupBy("bin_x", "bin_y").agg(count(lit(1)).as("n"))
+  }
+
+  /** All-pairs 2-D histograms in ONE explode + map-side-combined groupBy
+    * pass (same shape as [[equiWidthHistograms]]): the shuffle carries at
+    * most nBins² rows per pair. Ranges come from already-computed [[Stats]];
+    * pairs whose either column lacks a range are omitted. Returned grids are
+    * indexed `grid(binX)(binY)`. */
+  def interactionHistograms(
+      df: DataFrame, stats: Seq[Stats], pairs: Seq[(String, String)],
+      nBins: Int = 12): Seq[(String, String, Seq[Seq[Long]])] = {
+    val range = stats.flatMap(s =>
+      for { mn <- s.min; mx <- s.max } yield s.column -> (mn, mx)).toMap
+    val usable = pairs.filter(p => range.contains(p._1) && range.contains(p._2))
+    if (usable.isEmpty) return Seq.empty
+    def binExpr(c: String, mn: Double, mx: Double): Column = {
+      val v = col(c).cast(DoubleType)
+      val b =
+        if (mx == mn) lit(0)
+        else least(lit(nBins - 1), greatest(lit(0),
+          floor((v - lit(mn)) / lit((mx - mn) / nBins)).cast("int")))
+      when(v.isNotNull && !isnan(v), b)
+    }
+    val counts = df.select(explode(array(usable.zipWithIndex.map {
+        case ((x, y), i) =>
+          val (xmn, xmx) = range(x); val (ymn, ymx) = range(y)
+          struct(lit(i).as("p"),
+            binExpr(x, xmn, xmx).as("bx"), binExpr(y, ymn, ymx).as("by"))
+      }: _*)).as("e"))
+      .select(col("e.p").as("p"), col("e.bx").as("bx"), col("e.by").as("by"))
+      .filter(col("bx").isNotNull && col("by").isNotNull)
+      .groupBy("p", "bx", "by").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    usable.zipWithIndex.map { case ((x, y), i) =>
+      val grid = Array.fill(nBins)(new Array[Long](nBins))
+      counts.iterator.filter(_._1 == i)
+        .foreach { case (_, bx, by, n) => grid(bx)(by) = n }
+      (x, y, grid.map(_.toSeq).toSeq)
+    }
+  }
+
   /** Categorical column summary: top-k most common values with counts
     * (statistics.py:168–180 / A6). */
   def topValues(df: DataFrame, c: String, k: Int = 10): DataFrame =
@@ -378,6 +439,44 @@ object ColumnStats {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value"))
       .limit(k)
+
+  /** Frequency tables for MANY categorical columns in one data pass — the
+    * categorical panes of a profile (ydata-profiling's per-variable value
+    * tables). ONE explode + map-side-combined groupBy reads the data once
+    * for all columns; per-column distinct counts then split the columns:
+    * those with ≤ `maxDistinct` values get a driver-finished top-k table
+    * (bounded collect: ≤ maxDistinct·|cols| rows), the rest are reported
+    * high-cardinality with no table — the same guard the reference applies
+    * at 1000 uniques (A5, generic_data/displays.py) — so no unbounded value
+    * set is ever collected or windowed. Ties break by value ascending. */
+  def categoricalFrequencies(
+      df: DataFrame, cols: Seq[String], k: Int = 10, maxDistinct: Int = 1000)
+      : (Map[String, Seq[(String, Long)]], Set[String]) = {
+    if (cols.isEmpty) return (Map.empty, Set.empty)
+    val counts = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("e"))
+      .select(col("e.c").as("c"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("c", "v").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val sizes = counts.groupBy("c").agg(count(lit(1)).as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val high = cols.filter(c => sizes.getOrElse(c, 0L) > maxDistinct).toSet
+      val low = cols.filterNot(high)
+      val tables =
+        if (low.isEmpty) Map.empty[String, Seq[(String, Long)]]
+        else {
+          val rows = counts.filter(col("c").isin(low: _*))
+            .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          low.map { c =>
+            c -> rows.iterator.filter(_._1 == c).map(t => (t._2, t._3)).toSeq
+              .sortBy { case (v, n) => (-n, v) }.take(k)
+          }.toMap
+        }
+      (tables, high)
+    } finally { counts.unpersist(); () }
+  }
 }
 
 /** Moment-estimator conversions between population (Spark) and

@@ -210,6 +210,60 @@ class ReportSpec extends SparkSpec {
       s"Minimal ran $minimalJobs jobs, Full ran $fullJobs — skip not effective")
   }
 
+  test("explorative profile computes interaction grids; Full does not") {
+    // x = {0,1,2,3}, y = {0,10,20,30}: 12 bins, width 0.25 / 2.5 — each row
+    // lands on the diagonal (bins 0,4,8,11); value==max clamps into bin 11.
+    val df = Seq(("S1", 0.0, 0.0), ("S2", 1.0, 10.0), ("S3", 2.0, 20.0),
+        ("S4", 3.0, 30.0))
+      .toDF("ursi", "x", "y")
+    val full = Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"))
+    assert(full.interactions.isEmpty)
+    val p = Sinks.profile(df, MergeKeys("ursi"), Seq("x", "y"),
+      mode = Sinks.ProfileMode.Explorative)
+    assert(p.interactions.map(i => (i.col1, i.col2)) == Seq(("x", "y")))
+    val grid = p.interactions.head.grid
+    assert(grid.size == 12 && grid.forall(_.size == 12))
+    assert(grid.iterator.flatten.sum == 4)
+    // x=0→bin 0, x=1→floor(1/0.25)=4, x=2→8, x=3→clamped 11; y identical.
+    for (b <- Seq(0, 4, 8, 11)) assert(grid(b)(b) == 1L, s"diagonal bin $b")
+    // JSON carries the sparse cells; HTML renders the heatmap pane.
+    val json = Sinks.renderProfileJson(p)
+    assert(json.contains(""""interactions":[{"col1":"x","col2":"y","n_bins":12"""))
+    assert(json.contains("[0,0,1]") && json.contains("[11,11,1]"))
+    val html = Sinks.renderProfileHtml(p)
+    assert(html.contains("<h2>Interactions</h2>"))
+    assert(html.contains("""<div class="inter"><h3>x &times; y</h3>"""))
+    assert(html.contains("""title="x=11 y=11: 1""""))
+    // full-opacity cell for the peak, zero for an empty cell
+    assert(html.contains("opacity:1.000") && html.contains("opacity:0.000"))
+  }
+
+  test("profile categorical panes: top-k tables and the high-cardinality guard") {
+    val df = (1 to 30).map(i =>
+        (s"S$i", if (i <= 20) "a" else if (i <= 29) "b" else "c", s"id$i"))
+      .toDF("ursi", "seg", "uid")
+    val p = Sinks.profile(df, MergeKeys("ursi"), Seq.empty,
+      categoricalCols = Seq("seg", "uid"))
+    assert(p.categories.map(_.column) == Seq("seg", "uid"))
+    val seg = p.categories.find(_.column == "seg").get
+    assert(!seg.highCardinality)
+    assert(seg.values == Seq(("a", 20L), ("b", 9L), ("c", 1L)))
+    // uid has 30 distinct values; with the guard lowered it must suppress
+    val (tables, high) = graft.stats.ColumnStats.categoricalFrequencies(
+      df, Seq("seg", "uid"), maxDistinct = 10)
+    assert(high == Set("uid") && tables.keySet == Set("seg"))
+    val json = Sinks.renderProfileJson(p)
+    assert(json.contains(""""column":"seg","high_cardinality":false"""))
+    assert(json.contains(""""value":"a","n":20"""))
+    val html = Sinks.renderProfileHtml(p)
+    assert(html.contains("<h2>Categorical columns</h2>"))
+    assert(html.contains("""<div class="cat"><h3>seg</h3>"""))
+    // minimal mode skips the categorical pass entirely
+    val min = Sinks.profile(df, MergeKeys("ursi"), Seq.empty,
+      mode = Sinks.ProfileMode.Minimal, categoricalCols = Seq("seg"))
+    assert(min.categories.isEmpty)
+  }
+
   test("ingest rejects oversized claims and wrong extensions") {
     val src = java.nio.file.Files.createTempDirectory("graft-bad")
     java.nio.file.Files.writeString(src.resolve("data.txt"), "a,b\n1,2\n")
