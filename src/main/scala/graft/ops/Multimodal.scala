@@ -153,6 +153,118 @@ object Multimodal {
     }
   }
 
+  /** Schema of [[resizeImages]]: content holds the (possibly re-encoded)
+    * bytes; width/height are the DECODED dimensions of `content` when it is
+    * a decodable image, null otherwise; `resized` marks rows whose pixels
+    * were actually rescaled. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("resized", BooleanType, nullable = false)))
+
+  /** REAL image resize (pure-JDK `Graphics2D`, bilinear): images whose
+    * longest side exceeds `maxDim` are scaled down preserving aspect ratio
+    * (shortest side floors at 1 px) and re-encoded as PNG; images already
+    * within bounds, non-image modalities, and undecodable bytes pass
+    * through unchanged. Batched per partition like [[extractFeatures]] —
+    * the decoder/encoder context amortizes across the partition's rows. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    implicit val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select("media_id", "modality", "content").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val img =
+          if (modality != "image" || bytes == null || bytes.isEmpty) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+          Row(id, modality, bytes, null, null, false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          if (math.max(w, h) <= maxDim) Row(id, modality, bytes, w, h, false)
+          else {
+            val scale = maxDim.toDouble / math.max(w, h)
+            val nw = math.max(1, math.round(w * scale).toInt)
+            val nh = math.max(1, math.round(h * scale).toInt)
+            val dst = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null); ()
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            Row(id, modality, out.toByteArray, nw, nh, true)
+          }
+        }
+      }
+    }
+  }
+
+  /** Schema of [[sampleFrames]]: one row per sampled frame. `frame_ms` is
+    * the deterministic timestamp the frame was sampled at; `real` is false
+    * while frame extraction runs the stub (see the STUB NOTICE above). */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("frame_ms", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("real", BooleanType, nullable = false)))
+
+  /** Video frame sampling: emits `k` evenly-spaced frames per video row
+    * (timestamps i·duration/k from `meta.duration_ms`, else a length-derived
+    * pseudo-duration so sampling stays deterministic without metadata).
+    * The PLUMBING is real — fan-out batched per partition, one row in →
+    * k rows out, exactly how a production sampler feeds a frame decoder at
+    * scale. The frame PAYLOAD is the documented deterministic STUB (no
+    * video codecs in this container): pseudo-frame bytes derived from
+    * (content hash, frame index). Swap the payload lambda for a real
+    * demuxer to productionize; the schema and fan-out shape don't change. */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    implicit val enc = RowEncoder.encoderFor(frameSchema)
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), col("content"), col("meta.duration_ms"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else {
+            val duration =
+              if (r.isNullAt(2)) 40L * bytes.length // pseudo 25 fps, 1 B/frame
+              else r.getLong(2)
+            val h = contentHash(bytes)
+            (0 until k).iterator.map { i =>
+              val ts = duration * i / k
+              // ---- STUB frame payload: replace with a real demuxer ----
+              val frame = new Array[Byte](32)
+              var s = h ^ (0x9e3779b97f4a7c15L * (i + 1))
+              var j = 0
+              while (j < frame.length) {
+                s = s * 6364136223846793005L + 1442695040888963407L
+                frame(j) = (s >>> 56).toByte
+                j += 1
+              }
+              Row(id, i, ts, frame, false)
+            }
+          }
+        }
+      }
+  }
+
   /** Deterministic tiny PNG: seeded per-pixel RGB noise encoded through
     * the real ImageIO writer, so synthetic "image" rows are genuine
     * decodable PNGs (and the decode path is exercised end to end). */

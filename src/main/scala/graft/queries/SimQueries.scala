@@ -100,6 +100,41 @@ object SimQueries extends QueryModule {
         .drop("embedding")
         .orderBy("media_id"))
 
+  /** Multimodal image resize (rows-only: pixel rescaling is not
+    * SQL-expressible). Self-asserts the bound: every resized image decodes
+    * to max(width, height) == maxDim with aspect preserved; non-images pass
+    * through untouched. Content bytes ship as a digest (arrays don't sort
+    * in the driver harness). */
+  val mmResize: Q = Q(
+    "mm_resize",
+    None,
+    (s, _) => {
+      val out = Multimodal.resizeImages(Multimodal.syntheticMedia(s, 200), 12)
+      val bad = out.filter(col("resized") &&
+        greatest(col("width"), col("height")) =!= 12).count()
+      require(bad == 0, s"$bad resized rows violate the maxDim=12 bound")
+      out.withColumn("content_digest", xxhash64(col("content")))
+        .drop("content")
+        .orderBy("media_id")
+    })
+
+  /** Multimodal frame sampling (rows-only; STUB payload, real fan-out
+    * plumbing — see Multimodal scaladoc). Self-asserts the fan-out: exactly
+    * k frames per video row, indices 0..k-1. */
+  val mmFrames: Q = Q(
+    "mm_frames",
+    None,
+    (s, _) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      val out = Multimodal.sampleFrames(media, 3)
+      val videos = media.filter(col("modality") === "video").count()
+      val n = out.count()
+      require(n == videos * 3, s"expected ${videos * 3} frames, got $n")
+      out.withColumn("content_digest", xxhash64(col("content")))
+        .drop("content")
+        .orderBy("media_id", "frame_index")
+    })
+
   /** SemDeDup-style semantic dedup (rows-only: k-means cell assignment is
     * not SQL-expressible). Self-asserts the partition invariant (cluster
     * sizes account for every vector exactly once); the within-cell
@@ -120,5 +155,6 @@ object SimQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures, ddSemantic)
+    Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures, mmResize, mmFrames,
+      ddSemantic)
 }

@@ -290,6 +290,65 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
+  test("multimodal: resize downscales oversized images and passes the rest through") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val out = Multimodal.resizeImages(media, maxDim = 10)
+    assert(out.schema == Multimodal.resizedSchema)
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.length == 30)
+    val byId = rows.map(r => r.getAs[Long]("media_id") -> r).toMap
+    rows.filter(_.getAs[String]("modality") == "image").foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      val (w0, h0) = (8 + i % 17, 6 + i % 13)
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      if (math.max(w0, h0) <= 10) {
+        assert(!r.getAs[Boolean]("resized") && w == w0 && h == h0)
+      } else {
+        assert(r.getAs[Boolean]("resized"))
+        assert(math.max(w, h) == 10, s"image $i: ($w0,$h0) -> ($w,$h)")
+        // aspect preserved to rounding; re-encoded bytes decode to (w, h)
+        val Some((dw, dh, _)) =
+          Multimodal.decodeImage(r.getAs[Array[Byte]]("content"))
+        assert(dw == w && dh == h)
+      }
+    }
+    // audio/video pass through byte-identical, never resized
+    val original = media.collect().map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content")).toMap
+    rows.filter(_.getAs[String]("modality") != "image").foreach { r =>
+      assert(!r.getAs[Boolean]("resized"))
+      assert(r.isNullAt(r.fieldIndex("width")))
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("content"), original(r.getAs[Long]("media_id"))))
+    }
+    assert(byId.nonEmpty)
+  }
+
+  test("multimodal: frame sampling fans out k deterministic stub frames per video") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, k = 4)
+    assert(frames.schema == Multimodal.frameSchema)
+    val rows = frames.orderBy("media_id", "frame_index").collect()
+    val videos = media.filter(col("modality") === "video").count()
+    assert(rows.length == videos * 4)
+    // synthetic video i has duration_ms = 1000*(i+1): timestamps i*dur/4
+    rows.groupBy(_.getAs[Long]("media_id")).foreach { case (id, fs) =>
+      assert(fs.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 1, 2, 3))
+      val dur = 1000L * (id + 1)
+      assert(fs.map(_.getAs[Long]("frame_ms")).toSeq ==
+        Seq(0L, dur / 4, dur * 2 / 4, dur * 3 / 4))
+      fs.foreach { f =>
+        assert(!f.getAs[Boolean]("real")) // stub payload, loudly marked
+        assert(f.getAs[Array[Byte]]("content").length == 32)
+      }
+    }
+    // determinism across runs
+    val again = Multimodal.sampleFrames(media, k = 4)
+      .orderBy("media_id", "frame_index").collect()
+    assert(rows.map(_.getAs[Array[Byte]]("content").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
+  }
+
   test("simhash codegen matches an independent Scala majority-vote") {
     GraftFunctions.register(spark)
     val df = docs.limit(50)

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Watch host load and run the sf0.1 bench only inside a quiet window.
+# The host has bursty external contention (see README bench methodology):
+# artifacts captured during a burst self-flag "contended":true and are
+# useless for regression tracking. This loop waits for load1 AND load5
+# below the threshold, runs Bench, keeps the artifact only if it came out
+# uncontended, and retries otherwise (bounded attempts).
+set -u
+cd /root/repo
+THRESH=${THRESH:-1.2}
+MAX_ATTEMPTS=${MAX_ATTEMPTS:-5}
+attempt=0
+while [ $attempt -lt $MAX_ATTEMPTS ]; do
+  read l1 l5 _ < /proc/loadavg
+  ok=$(awk -v a="$l1" -v b="$l5" -v t="$THRESH" 'BEGIN{print (a<t && b<t) ? 1 : 0}')
+  if [ "$ok" != "1" ]; then
+    echo "$(date +%H:%M:%S) load $l1/$l5 >= $THRESH — waiting"
+    sleep 120
+    continue
+  fi
+  attempt=$((attempt+1))
+  echo "$(date +%H:%M:%S) quiet (load $l1/$l5) — bench attempt $attempt"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    timeout 2400 sbt -batch "runMain graft.Bench" > /tmp/bench_quiet_$attempt.log 2>&1
+  if python3 -c 'import json,sys; d=json.load(open("bench_out.json")); sys.exit(0 if not d["contended"] else 1)'; then
+    echo "$(date +%H:%M:%S) SUCCESS: uncontended artifact (attempt $attempt)"
+    exit 0
+  fi
+  echo "$(date +%H:%M:%S) attempt $attempt came out contended — retrying"
+  sleep 60
+done
+echo "giving up after $MAX_ATTEMPTS attempts; best artifact is whatever bench_out.json holds"
+exit 1
