@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata (TESTDATA.md): TPC-H-ish star schema +
   * `events`/`documents`/`embeddings`, one parquet per table under a sf dir.
@@ -32,24 +32,44 @@ object Tables {
   /** Enable the single-session shared table cache (gate/Verify mode). */
   def enableSharedCache(): Unit = cacheOn.set(true)
 
-  /** The events table is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright; the legacy escape hatch reads nanos as Long,
-    * and we convert to a microsecond TimestampType column (the data is
-    * µs-aligned; DuckDB's ns→µs cast truncates identically). */
+  /** The events table's `ts` column has shipped under three parquet
+    * encodings across testdata generations, and the engine canonicalizes
+    * every one of them to a microsecond-precision `TimestampType` column:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright; the legacy
+    *    escape hatch reads nanos as Long and we integer-divide to µs
+    *    (DuckDB's ns→µs cast truncates identically).
+    *  - timestamp[us] with no UTC flag → Spark reads TIMESTAMP_NTZ; the
+    *    session TZ is pinned UTC, so a cast to TimestampType is a pure
+    *    type-tag change — identical instants, DuckDB hash-parity preserved.
+    *  - timestamp[us] adjusted-to-UTC → already TimestampType; untouched.
+    *
+    * TestdataCanarySpec pins this contract against the live testdata. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (!cacheOn.get) loadRaw(spark, sfDir, name)
     else memo.computeIfAbsent((sfDir, name),
       _ => loadRaw(spark, sfDir, name).persist())
 
+  /** Canonicalizing expression for one `ts` encoding (see [[load]]);
+    * `None` = the column is already canonical (or absent). Shared with
+    * StreamingSpec so batch and stream readers normalize identically. */
+  def tsNormalizer(dt: DataType): Option[Column] = dt match {
+    // integer division — a double divide here loses 1µs on some values
+    case LongType         => Some(timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => Some(col("ts").cast(TimestampType))
+    case _                => None
+  }
+
+  /** Apply [[tsNormalizer]] to a frame's `ts` column if one is present. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts")
+      .flatMap(f => tsNormalizer(f.dataType))
+      .map(e => df.withColumn("ts", e))
+      .getOrElse(df)
+
   private def loadRaw(
       spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(sfDir, name))
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        // integer division — a double divide here loses 1µs on some values
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+    normalizeTs(spark.read.parquet(path(sfDir, name)))
   }
 }

@@ -80,14 +80,12 @@ final class TableCatalog(spark: SparkSession, val config: EngineConfig) {
 
   private def loadRaw(p: Path): DataFrame =
     if (p.getFileName.toString.endsWith(".parquet")) {
-      // TIMESTAMP(NANOS) parquet is rejected by Spark's reader; read nanos
-      // as Long and convert µs-aligned values back (see graft.Tables.load).
+      // TIMESTAMP(NANOS) parquet is rejected by Spark's reader (read nanos
+      // as Long), and bare timestamp[us] arrives as TIMESTAMP_NTZ; both are
+      // canonicalized to TimestampType by the shared normalizer
+      // (see graft.Tables.load).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(p.toString)
-      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None => df
-      }
+      graft.Tables.normalizeTs(spark.read.parquet(p.toString))
     } else
       spark.read
         .option("header", "true")

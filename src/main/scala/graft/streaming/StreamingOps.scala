@@ -41,11 +41,15 @@ object StreamingOps {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // unix_seconds on an explicit TimestampType cast works for both
+    // TIMESTAMP and TIMESTAMP_NTZ inputs (a raw cast("long") fails analysis
+    // on NTZ) — robust to the ts-encoding drift Tables.load normalizes away.
+    def secs(c: Column): Column = unix_seconds(c.cast("timestamp"))
     val withBreak = events
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          col("ts").cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          secs(col("ts")) - secs(col("__prev")) > gapMinutes * 60L, 1L)
           .otherwise(0L))
       .withColumn("session_seq",
         sum(col("__new_session")).over(

@@ -29,9 +29,9 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(d)
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // Same ts canonicalization as the batch loader — schema-conditional, so
+    // it is correct for all three testdata ts encodings (see Tables.load).
+    Tables.normalizeTs(raw)
   }
 
   private def streamEvents = streamFrom(streamDir)
