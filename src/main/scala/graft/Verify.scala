@@ -70,6 +70,14 @@ object Verify {
     val pool = Executors.newFixedThreadPool(width)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
+    // A failed entry must be LOUD in the artifact, not silently absent
+    // (round 7: ev_sessionize threw, wrote nothing, and the driver's gate
+    // dropped it without a red row). On failure we (a) leave an _ERROR.txt
+    // marker inside the entry's output directory — a downstream parquet
+    // reader then errors visibly instead of "file not found" being
+    // conflated with "not declared" — and (b) record every failure in
+    // failed.json next to oracle_sql.json.
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val dumps = selected.toSeq.map { case (name, fn) =>
       Future {
         val q0 = System.nanoTime()
@@ -79,14 +87,30 @@ object Verify {
           System.err.println(
             f"[verify] $name ok ${(System.nanoTime() - q0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+          failures.put(name, msg)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          try {
+            val d = Paths.get(s"$outDir/$name")
+            Files.createDirectories(d)
+            Files.writeString(d.resolve("_ERROR.txt"), msg + "\n")
+          } catch { case _: Throwable => () }
         }
       }
     }
     Await.result(Future.sequence(dumps), Duration.Inf)
     pool.shutdown()
+    locally {
+      import scala.jdk.CollectionConverters._
+      val failedJson = failures.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    }
     System.err.println(
-      f"[verify] total ${selected.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      f"[verify] total ${selected.size} queries, ${failures.size} failed, " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    // Exit 0 even with failures: the driver must still grade the entries
+    // that DID land — the loud markers above carry the failure signal.
     spark.stop()
   }
 }

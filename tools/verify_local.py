@@ -61,6 +61,30 @@ def frame_diff(got: pd.DataFrame, exp: pd.DataFrame, label: str):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+    # Declare-vs-dump reconciliation: every declared query (oracle_sql.json
+    # covers the SQL-checkable set; rows-only entries have dump dirs too)
+    # must have landed a dump directory. A missing dir is a loud failure —
+    # round 7's ev_sessionize vanished from the gate exactly this way.
+    import os
+    dumped = {d for d in os.listdir(outdir)
+              if os.path.isdir(os.path.join(outdir, d))}
+    missing = sorted(set(oracle) - dumped)
+    if missing:
+        print(f"MISSING dumps for {len(missing)} declared queries: "
+              f"{', '.join(missing)}")
+    errored = sorted(d for d in dumped
+                     if os.path.exists(os.path.join(outdir, d, "_ERROR.txt")))
+    for d in errored:
+        msg = open(os.path.join(outdir, d, "_ERROR.txt")).read().strip()
+        print(f"ERROR marker in {d}: {msg[:200]}")
+    try:
+        failed = json.load(open(f"{outdir}/failed.json"))
+        for k, v in sorted(failed.items()):
+            print(f"FAILED (verify-side) {k}: {v[:200]}")
+    except FileNotFoundError:
+        pass
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -101,8 +125,10 @@ def main():
                 print(f"FAIL {name}: {bad} cells differ; first at col={c} "
                       f"row={ri}: got={g!r} exp={e!r}")
                 n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail / {len(oracle)} oracle queries")
-    sys.exit(1 if n_fail else 0)
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(oracle)} oracle queries"
+          + (f"; {len(missing)} declared-but-missing" if missing else "")
+          + (f"; {len(errored)} error-marked" if errored else ""))
+    sys.exit(1 if (n_fail or missing or errored) else 0)
 
 
 if __name__ == "__main__":
