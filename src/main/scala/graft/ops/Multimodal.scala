@@ -14,18 +14,25 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG/JPEG/BMP/
   * GIF, no native codecs needed), so [[decodeImage]] reads actual pixels —
   * width/height come from the decoded raster and the embedding is a 4×4
-  * grid of mean luminance (a classic thumbnail-pool feature). Bytes that
-  * fail to decode (corrupt, unsupported container) fall back to the byte
-  * stub below, with null width/height — the pipeline keeps the row either
-  * way (auditability at scale).
+  * grid of mean luminance (a classic thumbnail-pool feature).
   *
-  * ==STUB NOTICE (audio/video)==
-  * The container has no audio/video codecs, so those modalities use
-  * [[stubDecode]], a clearly-marked DETERMINISTIC FAKE deriving
-  * pseudo-features from raw bytes (length, rolling byte hash, fixed-dim
-  * pseudo-embedding). The Spark-side plumbing — schema, partition-batched
-  * `mapPartitions`, feature struct shape — is identical to the image
-  * path's; swap `stubDecode` for a real codec to productionize.
+  * AUDIO decode is REAL: `javax.sound.sampled` also ships in the JDK
+  * (WAV/AIFF/AU, PCM and a-law/µ-law via the built-in converters), so
+  * [[decodeAudio]] reads actual samples — sample rate and duration come
+  * from the decoded stream, RMS energy and zero-crossing rate from the
+  * waveform, and the embedding is a 16-segment temporal energy profile.
+  *
+  * Bytes that fail to decode (corrupt, unsupported container) fall back to
+  * the byte stub below, with null decoded fields — the pipeline keeps the
+  * row either way (auditability at scale).
+  *
+  * ==STUB NOTICE (video only)==
+  * The container has no video codecs, so that modality uses [[stubDecode]],
+  * a clearly-marked DETERMINISTIC FAKE deriving pseudo-features from raw
+  * bytes (length, rolling byte hash, fixed-dim pseudo-embedding). The
+  * Spark-side plumbing — schema, partition-batched `mapPartitions`,
+  * feature struct shape — is identical to the image/audio paths'; swap
+  * `stubDecode` for a real codec to productionize.
   */
 object Multimodal {
 
@@ -47,6 +54,10 @@ object Multimodal {
     StructField("content_hash", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),   // decoded, not metadata
     StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true), // audio, decoded
+    StructField("duration_ms", LongType, nullable = true),    // audio, decoded
+    StructField("rms", FloatType, nullable = true),           // audio [0,1]
+    StructField("zcr", FloatType, nullable = true),           // audio [0,1]
     StructField("decoded", BooleanType, nullable = false), // real decode vs stub
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
 
@@ -120,11 +131,114 @@ object Multimodal {
     }
   }
 
+  /** Decoded-audio feature bundle (all derived from real PCM samples). */
+  private[graft] final case class AudioFeatures(
+      sampleRate: Int, durationMs: Long, rms: Float, zcr: Float,
+      embedding: Array[Float])
+
+  /** REAL audio decode (pure-JDK `javax.sound.sampled`): WAV/AIFF/AU
+    * containers, converted to signed 16-bit PCM by the JDK's built-in
+    * codecs. Returns sample rate, duration, RMS energy and zero-crossing
+    * rate (both over channel-averaged samples normalized to [-1,1]; zcr is
+    * the fraction of consecutive sample pairs that change sign — a pure
+    * sine at frequency f gives ≈ 2f/sampleRate), plus a 16-segment temporal
+    * mean-|amplitude| profile as the [[EmbeddingDim]] embedding. `None`
+    * when the bytes aren't decodable audio. */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[AudioFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val chans = math.max(1, src.getChannels)
+        val pcmFmt = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16, chans,
+          chans * 2, src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+        val raw = pcm.readAllBytes()
+        val n = raw.length / (2 * chans) // frames
+        if (n == 0) None
+        else {
+          val sr = math.round(src.getSampleRate)
+          var sumSq = 0.0
+          var crossings = 0L
+          var prevSign = 0
+          val segSum = new Array[Double](EmbeddingDim)
+          val segCnt = new Array[Long](EmbeddingDim)
+          var i = 0
+          while (i < n) {
+            // channel-averaged frame, little-endian 16-bit
+            var acc = 0.0
+            var c = 0
+            while (c < chans) {
+              val off = (i * chans + c) * 2
+              val s = ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            val v = acc / chans
+            sumSq += v * v
+            val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+            if (i > 0 && sign != 0 && prevSign != 0 && sign != prevSign)
+              crossings += 1
+            if (sign != 0) prevSign = sign
+            val seg = math.min(EmbeddingDim - 1, i * EmbeddingDim / n)
+            segSum(seg) += math.abs(v)
+            segCnt(seg) += 1
+            i += 1
+          }
+          val emb = new Array[Float](EmbeddingDim)
+          var g = 0
+          while (g < EmbeddingDim) {
+            emb(g) = if (segCnt(g) == 0) 0f else (segSum(g) / segCnt(g)).toFloat
+            g += 1
+          }
+          Some(AudioFeatures(
+            sampleRate = sr,
+            durationMs = n.toLong * 1000L / sr,
+            rms = math.sqrt(sumSq / n).toFloat,
+            zcr = if (n > 1) crossings.toFloat / (n - 1) else 0f,
+            embedding = emb))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV of a pure sine tone, written through
+    * the real `javax.sound.sampled` encoder — synthetic "audio" rows are
+    * genuine decodable WAVs, so the audio decode path is exercised end to
+    * end (the audio twin of [[syntheticPng]]). */
+  private[graft] def syntheticWav(
+      freqHz: Double, seconds: Double, sampleRate: Int = 8000,
+      amplitude: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = math.max(1, math.round(seconds * sampleRate).toInt)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = math.round(
+        amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, sampleRate.toFloat, 16, 1, 2,
+      sampleRate.toFloat, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Batched feature extraction: one decoder context per partition
     * (mapPartitions), rows stream through it. Null/empty content yields a
     * null embedding but keeps the row (auditability at scale). Images get
-    * the real pixel decode; audio/video (and undecodable image bytes) get
-    * the stub with `decoded = false`. */
+    * the real pixel decode, audio the real PCM decode; video (and
+    * undecodable image/audio bytes) get the stub with `decoded = false`. */
   def extractFeatures(media: DataFrame): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
@@ -136,17 +250,32 @@ object Multimodal {
         val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (bytes == null || bytes.isEmpty)
-          Row(id, modality, 0L, 0L, null, null, false, null)
+          Row(id, modality, 0L, 0L, null, null, null, null, null, null, false, null)
         else {
           val h = contentHash(bytes)
-          val real =
-            if (modality == "image") decodeImage(bytes) else None
-          real match {
-            case Some((w, ht, emb)) =>
-              Row(id, modality, bytes.length.toLong, h, w, ht, true, emb.toSeq)
-            case None =>
-              Row(id, modality, bytes.length.toLong, h, null, null, false,
-                stubDecode(bytes).toSeq)
+          val n = bytes.length.toLong
+          modality match {
+            case "image" =>
+              decodeImage(bytes) match {
+                case Some((w, ht, emb)) =>
+                  Row(id, modality, n, h, w, ht, null, null, null, null, true,
+                    emb.toSeq)
+                case None =>
+                  Row(id, modality, n, h, null, null, null, null, null, null,
+                    false, stubDecode(bytes).toSeq)
+              }
+            case "audio" =>
+              decodeAudio(bytes) match {
+                case Some(a) =>
+                  Row(id, modality, n, h, null, null, a.sampleRate,
+                    a.durationMs, a.rms, a.zcr, true, a.embedding.toSeq)
+                case None =>
+                  Row(id, modality, n, h, null, null, null, null, null, null,
+                    false, stubDecode(bytes).toSeq)
+              }
+            case _ =>
+              Row(id, modality, n, h, null, null, null, null, null, null,
+                false, stubDecode(bytes).toSeq)
           }
         }
       }
@@ -287,24 +416,32 @@ object Multimodal {
   }
 
   /** Synthetic media table for tests/demos (deterministic, seeded): image
-    * rows carry REAL PNG bytes (varied small dimensions), audio/video rows
-    * carry opaque random bytes for the stub path. */
+    * rows carry REAL PNG bytes (varied small dimensions), audio rows carry
+    * REAL WAV sine tones (varied frequency/duration), video rows carry
+    * opaque random bytes for the stub path. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42): DataFrame = {
     val rnd = new java.util.Random(seed)
     val rows = (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
-      if (modality == "image") {
-        val w = 8 + i % 17
-        val h = 6 + i % 13
-        val bytes = syntheticPng(w, h, seed ^ i)
-        rnd.nextInt() // keep the rng stream aligned across modalities
-        Row(i.toLong, modality, bytes, Row(s"synthetic://$i", w, h, null))
-      } else {
-        val len = 64 + rnd.nextInt(192)
-        val bytes = new Array[Byte](len)
-        rnd.nextBytes(bytes)
-        Row(i.toLong, modality, bytes,
-          Row(s"synthetic://$i", null, null, 1000L * (i + 1)))
+      modality match {
+        case "image" =>
+          val w = 8 + i % 17
+          val h = 6 + i % 13
+          val bytes = syntheticPng(w, h, seed ^ i)
+          rnd.nextInt() // keep the rng stream aligned across modalities
+          Row(i.toLong, modality, bytes, Row(s"synthetic://$i", w, h, null))
+        case "audio" =>
+          val secs = 0.05 + (i % 10) * 0.01
+          val bytes = syntheticWav(200.0 + 10.0 * (i % 40), secs)
+          rnd.nextInt() // keep the rng stream aligned across modalities
+          Row(i.toLong, modality, bytes,
+            Row(s"synthetic://$i", null, null, math.round(secs * 1000)))
+        case _ =>
+          val len = 64 + rnd.nextInt(192)
+          val bytes = new Array[Byte](len)
+          rnd.nextBytes(bytes)
+          Row(i.toLong, modality, bytes,
+            Row(s"synthetic://$i", null, null, 1000L * (i + 1)))
       }
     }
     spark.createDataFrame(

@@ -86,19 +86,29 @@ object SimQueries extends QueryModule {
 
   /** Multimodal feature extraction over synthetic binary media: image rows
     * are REAL PNGs decoded by javax.imageio (width/height/luminance grid
-    * from actual pixels); audio/video rows run the documented stub (no
-    * codecs in this container) — rows-only check. The gate entry digests
-    * the embedding array to a scalar (the driver's pandas harness can't
-    * sort raw arrays); the library API keeps the array. */
+    * from actual pixels); audio rows are REAL WAVs decoded by
+    * javax.sound.sampled (sample rate/duration/RMS/zero-crossing from
+    * actual PCM); video rows run the documented stub (no video codecs in
+    * this container) — rows-only check. The gate entry digests the
+    * embedding array to a scalar (the driver's pandas harness can't sort
+    * raw arrays); the library API keeps the array. */
   val mmFeatures: Q = Q(
     "mm_features",
     None,
-    (s, _) =>
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+    (s, _) => {
+      val out = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+      // self-assert the real decode paths: every image AND audio row must
+      // come back decoded=true (video is the documented stub)
+      val undecoded = out
+        .filter(col("modality").isin("image", "audio") && !col("decoded"))
+        .count()
+      require(undecoded == 0, s"$undecoded image/audio rows failed to decode")
+      out
         .withColumn("embedding_digest",
           xxhash64(concat_ws(",", col("embedding").cast("array<string>"))))
         .drop("embedding")
-        .orderBy("media_id"))
+        .orderBy("media_id")
+    })
 
   /** Multimodal image resize (rows-only: pixel rescaling is not
     * SQL-expressible). Self-asserts the bound: every resized image decodes

@@ -263,10 +263,24 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Int]("width") == 8 + i % 17)
       assert(r.getAs[Int]("height") == 6 + i % 13)
     }
-    // audio/video stay on the stub: no decoded dimensions
-    rows.filter(_.getAs[String]("modality") != "image").foreach { r =>
+    // audio rows real-decode (synthetic WAV sine tones): sample rate and
+    // duration from the decoded stream, no image dimensions
+    val audio = rows.filter(_.getAs[String]("modality") == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      assert(r.getAs[Boolean]("decoded"), s"audio $i should real-decode")
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      val expectMs = math.round((0.05 + (i % 10) * 0.01) * 1000)
+      assert(math.abs(r.getAs[Long]("duration_ms") - expectMs) <= 1,
+        s"audio $i duration ${r.getAs[Long]("duration_ms")} != ~$expectMs")
+      assert(r.isNullAt(r.fieldIndex("width")))
+    }
+    // video stays on the stub: no decoded fields
+    rows.filter(_.getAs[String]("modality") == "video").foreach { r =>
       assert(!r.getAs[Boolean]("decoded"))
       assert(r.isNullAt(r.fieldIndex("width")))
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
     }
     // determinism: second run produces identical hashes
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
@@ -288,6 +302,28 @@ class OpsSpec extends SparkSpec {
     assert(emb.zipWithIndex.filter(_._2 != 6).forall(_._1 == 0f))
     // corrupt bytes refuse to decode instead of throwing
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("multimodal: audio decode reads actual PCM from a checked-in WAV") {
+    // 440 Hz sine, 0.25 s, 8 kHz mono 16-bit, amplitude 0.5 — committed at
+    // src/test/resources/tone_440hz_8k.wav. Every assertion below is a
+    // physical property of that waveform, so a stub decoder cannot pass.
+    val bytes = getClass.getResourceAsStream("/tone_440hz_8k.wav").readAllBytes()
+    val Some(a) = Multimodal.decodeAudio(bytes)
+    assert(a.sampleRate == 8000)
+    assert(a.durationMs == 250)
+    // RMS of A·sin = A/√2 = 0.3536
+    assert(math.abs(a.rms - 0.3536f) < 0.005, s"rms=${a.rms}")
+    // zero-crossing fraction of a pure sine ≈ 2f/sr = 0.11
+    assert(math.abs(a.zcr - 0.11f) < 0.005, s"zcr=${a.zcr}")
+    // constant-amplitude tone → flat 16-segment energy profile at mean |sin|
+    // = 2A/π = 0.3183
+    assert(a.embedding.length == Multimodal.EmbeddingDim)
+    a.embedding.foreach(e => assert(math.abs(e - 0.3183f) < 0.01, s"profile: $e"))
+    // corrupt bytes refuse to decode instead of throwing
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // decode is deterministic
+    assert(Multimodal.decodeAudio(bytes).get.embedding.toSeq == a.embedding.toSeq)
   }
 
   test("multimodal: resize downscales oversized images and passes the rest through") {
