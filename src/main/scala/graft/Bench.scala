@@ -134,8 +134,18 @@ object Bench {
     if (contended) System.err.println(
       s"[bench] WARNING sample spread >3x on ${worst.filter(_._2 > 3.0).map(_._1).mkString(", ")}" +
         " — host contention suspected; re-run on a quiet machine before trusting medians")
+    // A total that silently sums only the SURVIVING queries reads as a
+    // phantom speed-up next to a full artifact (r7 ADVICE): when any query
+    // has no successful iteration, publish value:-1 plus the failed set
+    // instead of a misleading partial sum.
+    val failed = results.collect { case (k, m, _) if m < 0 => k }
+    val value = if (failed.isEmpty) total.toString else "-1"
+    if (failed.nonEmpty) System.err.println(
+      s"[bench] ${failed.size} queries produced no successful iteration " +
+        s"(${failed.mkString(", ")}); total suppressed")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"iters":$iters,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"iters":$iters,"contended":$contended,""" +
+      s""""failed_count":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // Land the JSON everywhere the driver might look: stdout (contract),
     // stderr (in case sbt garbles stdout with [info] prefixes — BENCH_r1..r3
     // all came back "parsed": null), and a file.

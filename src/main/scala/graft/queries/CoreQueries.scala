@@ -157,8 +157,12 @@ object CoreQueries extends QueryModule {
 
   /** The un-bucketed control for `j1_star_left_join_bucketed`: same MERGE
     * hint over plain parquet, so the timed plan pays the hash exchange +
-    * sort on both join sides that the bucketed layout eliminates. The
-    * bucketed-vs-merge delta is the shuffle cost the layout saves. */
+    * sort on both join sides that the bucketed layout eliminates. NOTE: at
+    * sf0.1 the FULL queries time within noise (the trailing global ORDER BY
+    * dominates, and AQE coalesces the merge control's tiny join output into
+    * few partitions before that sort); the isolated join regimes are
+    * measured in [[graft.tools.LayoutBench]], where the bucketed plan wins
+    * 2.3–5.5× at 1×–100× of sf0.1 (README §bucketed-layout crossover). */
   val j1StarLeftJoinMerge: Q = Q(
     "j1_star_left_join_merge",
     j1StarLeftJoin.oracle,
