@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.PivotQueries,
     graft.queries.ExportQueries,
     graft.queries.CatalogQueries,
+    graft.queries.LayoutQueries,
     graft.queries.StatsQueries,
     graft.queries.ProfileQueries,
     graft.queries.QualityQueries,

@@ -24,14 +24,8 @@ object Verify {
     // data — is the throughput limit at sf0.01.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(16, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus.toInt, "graft-verify",
+      Map("spark.scheduler.mode" -> "FAIR"))
     Tables.enableSharedCache() // decode each table once across the 93 entries
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=a,b restricts the dump for local iteration

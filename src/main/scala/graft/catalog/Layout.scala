@@ -18,6 +18,18 @@ import graft.core.MergeKeys
   * Bucket count should be sized so a bucket of the largest table fits an
   * executor's memory comfortably (~128–512 MB of parquet per bucket).
   */
+/** Opt-in layout spec for a [[TableCatalog]]: when present, the catalog
+  * serves every merge-keyed table from a bucketed+sorted parquet copy
+  * maintained under `warehouseDir` (written once per source version via
+  * [[Layout.ensureBucketed]]), so the hub star join — the engine's core API
+  * (reference query_secure.py:66–92) — plans with zero exchange and zero
+  * sort on every big side. Size `buckets` so one bucket of the largest
+  * table fits an executor comfortably (~128–512 MB parquet at 100 TB). */
+final case class BucketedLayout(
+    warehouseDir: String,
+    buckets: Int,
+    namePrefix: String = "graft")
+
 object Layout {
 
   /** Write every catalog table as a bucketed, sorted parquet table
@@ -63,11 +75,14 @@ object Layout {
       warehouseDir: String, tableName: String): DataFrame = {
     if (!spark.catalog.tableExists(tableName)) {
       // Pre-partition on the bucket key so every bucket lands in EXACTLY one
-      // file: FileSourceScan then exposes the sortBy order as outputOrdering
-      // and the co-located sort-merge join skips its Sort, not just its
-      // Exchange. Without this, each of the writer's input partitions emits
-      // its own file per bucket (up to tasks x buckets files) and the sorted
-      // metadata is unusable on read.
+      // file. The zero-EXCHANGE join needs only the bucketing; eliminating
+      // the per-bucket Sort as well additionally requires
+      // spark.sql.legacy.bucketedTableScan.outputOrdering=true (off by
+      // default since Spark 3.0 — reading the sortBy order lists files at
+      // planning time) AND one file per bucket, which this guarantees.
+      // Without the pre-partition, each writer input partition emits its own
+      // file per bucket (up to tasks x buckets files) and the sorted
+      // metadata is unusable on read. LayoutCohortSpec pins both regimes.
       df.repartition(buckets, col(key))
         .write.mode(SaveMode.Overwrite).format("parquet")
         .option("path", s"$warehouseDir/$tableName")

@@ -55,7 +55,20 @@ final case class TableMeta(
   * the 100 TB path); all metadata comes from `df.schema` (free) plus one
   * column-pruned aggregate per table for ranges.
   */
-final class TableCatalog(spark: SparkSession, val config: EngineConfig) {
+final class TableCatalog(
+    spark: SparkSession,
+    val config: EngineConfig,
+    /** Opt-in bucketed layout (SURVEY.md §7.4 #13): when set, [[table]]
+      * serves merge-keyed tables from bucketed+sorted parquet so
+      * [[graft.query.CohortQuery.basePlan]] runs the star join with zero
+      * exchange (measured 2.3–5.5× at 1×–100× of sf0.1 — README
+      * §bucketed-layout crossover). Tables without the merge column are
+      * served raw. */
+    val layout: Option[BucketedLayout] = None) {
+
+  /** The same catalog with a bucketed layout attached (fresh snapshot). */
+  def withLayout(l: BucketedLayout): TableCatalog =
+    new TableCatalog(spark, config, Some(l))
 
   private val dir: Path = Paths.get(config.dataDir)
 
@@ -162,9 +175,31 @@ final class TableCatalog(spark: SparkSession, val config: EngineConfig) {
   def behavioralTableNames: Seq[String] =
     tableNames.filterNot(_ == config.demographicsTable)
 
-  def table(name: String): DataFrame =
-    current()._2.getOrElse(name,
+  private val bucketedMemo =
+    scala.collection.concurrent.TrieMap[(Long, String), DataFrame]()
+
+  def table(name: String): DataFrame = {
+    val (version, tables, keys) = current()
+    val raw = tables.getOrElse(name,
       throw new IllegalArgumentException(s"Unknown table '$name'"))
+    layout match {
+      case Some(l) if raw.columns.contains(keys.mergeColumn) =>
+        // coarse lock: concurrent gate entries sharing one catalog must not
+        // race the one-time bucketed write (ensureBucketed's exists-check is
+        // check-then-act); reads after materialization stay on the fast map
+        bucketedMemo.get((version, name)).getOrElse(synchronized {
+          bucketedMemo.getOrElseUpdate((version, name), {
+            // Session-catalog table name keyed on the DIRECTORY VERSION: a
+            // regenerated data dir can never serve stale buckets (the old
+            // bucketed table is simply orphaned in the scratch warehouse).
+            val safe = name.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+            Layout.ensureBucketed(spark, raw, keys.mergeColumn, l.buckets,
+              l.warehouseDir, s"${l.namePrefix}_${safe}_v$version")
+          })
+        })
+      case _ => raw
+    }
+  }
 
   def demographics: DataFrame = table(config.demographicsTable)
 

@@ -29,8 +29,10 @@ object CatalogQueries extends QueryModule {
   private val cohortDirs =
     scala.collection.concurrent.TrieMap[String, (String, EngineConfig)]()
 
-  /** The synthesized cohort data dir for a testdata sf dir (built once). */
-  private def cohort(s: SparkSession, sfDir: String): (String, EngineConfig) =
+  /** The synthesized cohort data dir for a testdata sf dir (built once).
+    * Shared with [[LayoutQueries]], which drives the same cohort derivation
+    * through a bucketed-layout catalog. */
+  private[queries] def cohort(s: SparkSession, sfDir: String): (String, EngineConfig) =
     cohortDirs.getOrElseUpdate(sfDir, {
       val tmp = Files.createTempDirectory("graft-cohort-").toString
       // Longitudinal demographics: every customer visits sessions 1 and 2.

@@ -18,13 +18,7 @@ import graft.query.CohortQuery
 object CohortDemo {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse(writeFixture())
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-cohort-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(4, "graft-cohort-demo")
 
     val catalog = new TableCatalog(spark, EngineConfig(dataDir))
     println(s"tables: ${catalog.tableNames.mkString(", ")}")

@@ -15,10 +15,7 @@ object ExplainAudit {
     val names = args.headOption.filter(_.nonEmpty).map(Seq(_))
       .getOrElse(graft.Bench.headline)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local(4, "graft-explain-audit", logLevel = "ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

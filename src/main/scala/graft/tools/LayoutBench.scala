@@ -25,6 +25,23 @@ import graft.catalog.Layout
   */
 object LayoutBench {
 
+  /** Cheap content fingerprint of the tables this bench scales: every
+    * parquet part's relative path, size, and mtime under customer/orders.
+    * Hex-truncated MD5 — collision-irrelevant (cache key, not security). */
+  private def sourceFingerprint(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val sig = Seq("customer.parquet", "orders.parquet").flatMap { t =>
+      val p = Paths.get(sfDir, t)
+      if (!Files.exists(p)) Seq(s"$t:absent")
+      else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+    }.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 20, 100))
@@ -32,17 +49,15 @@ object LayoutBench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-layout-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(cpus.toInt, "graft-layout-bench",
+      Map("spark.sql.adaptive.enabled" -> "true"))
 
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_layout_bench"
+    // Scratch copies and bucketed tables are keyed on a fingerprint of the
+    // SOURCE parquet (paths + sizes + mtimes), so a testdata regeneration —
+    // the exact hazard that corrupted the r8 bench snapshot — invalidates
+    // them by construction instead of silently reusing stale data.
+    val fp = sourceFingerprint(sfDir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_layout_bench/$fp"
     val wh = s"$base/warehouse"
 
     for (k <- scales) {
@@ -81,9 +96,9 @@ object LayoutBench {
 
       val tL0 = System.nanoTime()
       val bc = Layout.ensureBucketed(
-        spark, customers, "c_custkey", 32, wh, s"lb_customer_x$k")
+        spark, customers, "c_custkey", 32, wh, s"lb_${fp}_customer_x$k")
       val bo = Layout.ensureBucketed(
-        spark, orders, "o_custkey", 32, wh, s"lb_orders_x$k")
+        spark, orders, "o_custkey", 32, wh, s"lb_${fp}_orders_x$k")
       val layoutSec = (System.nanoTime() - tL0) / 1e9
 
       def bucketedPlan: DataFrame = {

@@ -9,10 +9,7 @@ import graft.ops.Dedup
 object MinhashProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(32, "graft-minhash-profile")
     val docs = graft.Tables.load(spark, dir, "documents")
 
     def time[A](label: String)(f: => A): A = {

@@ -25,10 +25,7 @@ object PipelineDemo {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(8, "graft-pipeline-demo")
 
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val t = col("text")

@@ -10,10 +10,7 @@ import graft.stats.ColumnStats
 object StatsProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(32, "graft-stats-profile")
     val li = graft.Tables.load(spark, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
