@@ -22,17 +22,25 @@ import org.apache.spark.sql.types._
   * from the decoded stream, RMS energy and zero-crossing rate from the
   * waveform, and the embedding is a 16-segment temporal energy profile.
   *
+  * VIDEO container decode is REAL: [[parseMp4]] walks the ISO-BMFF box tree
+  * (pure JDK, no codec needed) — duration from `moov/mvhd`
+  * (timescale-corrected), width/height from the visual track's `tkhd`,
+  * track count and major brand from the structure. Synthetic video rows are
+  * genuine parseable MP4s ([[syntheticMp4]]).
+  *
   * Bytes that fail to decode (corrupt, unsupported container) fall back to
   * the byte stub below, with null decoded fields — the pipeline keeps the
   * row either way (auditability at scale).
   *
-  * ==STUB NOTICE (video only)==
-  * The container has no video codecs, so that modality uses [[stubDecode]],
-  * a clearly-marked DETERMINISTIC FAKE deriving pseudo-features from raw
-  * bytes (length, rolling byte hash, fixed-dim pseudo-embedding). The
-  * Spark-side plumbing — schema, partition-batched `mapPartitions`,
-  * feature struct shape — is identical to the image/audio paths'; swap
-  * `stubDecode` for a real codec to productionize.
+  * ==STUB NOTICE (video PIXELS only)==
+  * The container has no video codecs, so anything requiring decoded video
+  * SAMPLES — the feature embedding in [[extractFeatures]]'s video rows and
+  * the frame payload in [[sampleFrames]] — uses [[stubDecode]], a
+  * clearly-marked DETERMINISTIC FAKE derived from raw bytes. The container
+  * metadata on those same rows is real ([[parseMp4]]); the Spark-side
+  * plumbing — schema, partition-batched `mapPartitions`, fan-out shape —
+  * is identical to the fully-real image/audio paths'; swap `stubDecode`
+  * for a codec-backed extractor to productionize.
   */
 object Multimodal {
 
@@ -156,8 +164,16 @@ object Multimodal {
           AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16, chans,
           chans * 2, src.getSampleRate, false)
         val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
-        val raw = pcm.readAllBytes()
-        val n = raw.length / (2 * chans) // frames
+        val frameBytes = 2 * chans
+        // Fixed-size chunked read (r8 ADVICE): a minutes-long clip must not
+        // materialize its whole PCM stream per row. The 16-segment profile
+        // needs the total frame count up front — WAV/AIFF/AU headers carry
+        // it (getFrameLength); only a length-less stream falls back to
+        // buffering.
+        val declared = pcm.getFrameLength
+        val streamable = declared > 0 && declared * frameBytes <= Int.MaxValue
+        val raw = if (streamable) null else pcm.readAllBytes()
+        val n = if (streamable) declared.toInt else raw.length / frameBytes
         if (n == 0) None
         else {
           val sr = math.round(src.getSampleRate)
@@ -166,28 +182,53 @@ object Multimodal {
           var prevSign = 0
           val segSum = new Array[Double](EmbeddingDim)
           val segCnt = new Array[Long](EmbeddingDim)
-          var i = 0
-          while (i < n) {
-            // channel-averaged frame, little-endian 16-bit
-            var acc = 0.0
-            var c = 0
-            while (c < chans) {
-              val off = (i * chans + c) * 2
-              val s = ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort
-              acc += s / 32768.0
-              c += 1
+          var i = 0 // frame index across chunks
+
+          def processFrames(buf: Array[Byte], nBytes: Int): Unit = {
+            var off = 0
+            while (off + frameBytes <= nBytes && i < n) {
+              // channel-averaged frame, little-endian 16-bit
+              var acc = 0.0
+              var c = 0
+              while (c < chans) {
+                val o = off + c * 2
+                val s = ((buf(o) & 0xff) | (buf(o + 1) << 8)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              val v = acc / chans
+              sumSq += v * v
+              val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+              if (i > 0 && sign != 0 && prevSign != 0 && sign != prevSign)
+                crossings += 1
+              if (sign != 0) prevSign = sign
+              val seg = math.min(EmbeddingDim - 1, i * EmbeddingDim / n)
+              segSum(seg) += math.abs(v)
+              segCnt(seg) += 1
+              i += 1
+              off += frameBytes
             }
-            val v = acc / chans
-            sumSq += v * v
-            val sign = if (v > 0) 1 else if (v < 0) -1 else 0
-            if (i > 0 && sign != 0 && prevSign != 0 && sign != prevSign)
-              crossings += 1
-            if (sign != 0) prevSign = sign
-            val seg = math.min(EmbeddingDim - 1, i * EmbeddingDim / n)
-            segSum(seg) += math.abs(v)
-            segCnt(seg) += 1
-            i += 1
           }
+
+          if (streamable) {
+            val buf = new Array[Byte](frameBytes * 4096)
+            var filled = 0 // carry-over bytes of an incomplete trailing frame
+            var eof = false
+            while (!eof && i < n) {
+              val read = pcm.read(buf, filled, buf.length - filled)
+              if (read < 0) eof = true
+              else {
+                val avail = filled + read
+                val whole = (avail / frameBytes) * frameBytes
+                processFrames(buf, whole)
+                System.arraycopy(buf, whole, buf, 0, avail - whole)
+                filled = avail - whole
+              }
+            }
+          } else processFrames(raw, raw.length)
+          // i = frames actually decoded (a stream shorter than its declared
+          // header length divides by what was read, not what was promised)
+          if (i == 0) return None
           val emb = new Array[Float](EmbeddingDim)
           var g = 0
           while (g < EmbeddingDim) {
@@ -196,9 +237,9 @@ object Multimodal {
           }
           Some(AudioFeatures(
             sampleRate = sr,
-            durationMs = n.toLong * 1000L / sr,
-            rms = math.sqrt(sumSq / n).toFloat,
-            zcr = if (n > 1) crossings.toFloat / (n - 1) else 0f,
+            durationMs = i.toLong * 1000L / sr,
+            rms = math.sqrt(sumSq / i).toFloat,
+            zcr = if (i > 1) crossings.toFloat / (i - 1) else 0f,
             embedding = emb))
         }
       } finally in.close()
@@ -269,6 +310,20 @@ object Multimodal {
                 case Some(a) =>
                   Row(id, modality, n, h, null, null, a.sampleRate,
                     a.durationMs, a.rms, a.zcr, true, a.embedding.toSeq)
+                case None =>
+                  Row(id, modality, n, h, null, null, null, null, null, null,
+                    false, stubDecode(bytes).toSeq)
+              }
+            case "video" =>
+              parseMp4(bytes) match {
+                case Some(v) =>
+                  // container metadata REAL (box walk); embedding stays the
+                  // documented stub (sample decode is codec-blocked)
+                  Row(id, modality, n, h,
+                    if (v.width > 0) v.width else null,
+                    if (v.height > 0) v.height else null,
+                    null, v.durationMs, null, null, true,
+                    stubDecode(bytes).toSeq)
                 case None =>
                   Row(id, modality, n, h, null, null, null, null, null, null,
                     false, stubDecode(bytes).toSeq)
@@ -353,7 +408,8 @@ object Multimodal {
     StructField("real", BooleanType, nullable = false)))
 
   /** Video frame sampling: emits `k` evenly-spaced frames per video row
-    * (timestamps i·duration/k from `meta.duration_ms`, else a length-derived
+    * (timestamps i·duration/k from `meta.duration_ms`, else the REAL
+    * container duration via [[parseMp4]], else a length-derived
     * pseudo-duration so sampling stays deterministic without metadata).
     * The PLUMBING is real — fan-out batched per partition, one row in →
     * k rows out, exactly how a production sampler feeds a frame decoder at
@@ -373,8 +429,9 @@ object Multimodal {
           if (bytes == null || bytes.isEmpty) Iterator.empty
           else {
             val duration =
-              if (r.isNullAt(2)) 40L * bytes.length // pseudo 25 fps, 1 B/frame
-              else r.getLong(2)
+              if (!r.isNullAt(2)) r.getLong(2)
+              else parseMp4(bytes).map(_.durationMs).filter(_ > 0)
+                .getOrElse(40L * bytes.length) // pseudo 25 fps, 1 B/frame
             val h = contentHash(bytes)
             (0 until k).iterator.map { i =>
               val ts = duration * i / k
@@ -392,6 +449,138 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Container-level video metadata decoded from an ISO-BMFF (MP4/MOV) box
+    * walk — everything here comes from real bytes, no codec needed. */
+  private[graft] final case class VideoMeta(
+      durationMs: Long, width: Int, height: Int, trackCount: Int,
+      majorBrand: String)
+
+  /** REAL video container decode (pure JDK, no codecs): walks the ISO-BMFF
+    * box tree — `moov/mvhd` for timescale+duration, each `moov/trak/tkhd`
+    * for the 16.16 fixed-point width/height (first visual track wins) and
+    * the track count, `ftyp` for the major brand. Handles version-0 (32-bit)
+    * and version-1 (64-bit) mvhd/tkhd layouts and 64-bit `largesize` boxes.
+    * Returns None for anything that isn't a parseable MP4 — pixel-level
+    * frame decode remains env-blocked (no codecs in this container) and is
+    * NOT claimed by this path. */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+
+    /** Child boxes of [start, end): (type, payloadStart, payloadEnd). */
+    def children(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        val (size, hdr) =
+          if (size0 == 1L && off + 16 <= end) (bb.getLong(off + 8), 16)
+          else if (size0 == 0L) ((end - off).toLong, 8) // box extends to EOF
+          else (size0, 8)
+        if (size < hdr || off + size > end) return out.toSeq // corrupt: stop
+        out += ((typ, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      out.toSeq
+    }
+
+    try {
+      val top = children(0, bytes.length)
+      val brand = top.find(_._1 == "ftyp")
+        .filter(b => b._3 - b._2 >= 4)
+        .map(b => new String(bytes, b._2, 4, "ISO-8859-1")).getOrElse("")
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val inMoov = children(moov._2, moov._3)
+
+      val mvhd = inMoov.find(_._1 == "mvhd").getOrElse(return None)
+      val v = bytes(mvhd._2) & 0xff
+      // v0: ver/flags(4) + creation(4) + modification(4) + timescale(4) + duration(4)
+      // v1: ver/flags(4) + creation(8) + modification(8) + timescale(4) + duration(8)
+      val (timescale, duration) =
+        if (v == 1) (u32(mvhd._2 + 20), bb.getLong(mvhd._2 + 24))
+        else (u32(mvhd._2 + 12), u32(mvhd._2 + 16))
+      if (timescale == 0) return None
+
+      val traks = inMoov.filter(_._1 == "trak")
+      // first track with a non-zero tkhd width/height = the visual track
+      val dims = traks.iterator.flatMap { t =>
+        children(t._2, t._3).find(_._1 == "tkhd").flatMap { k =>
+          val kv = bytes(k._2) & 0xff
+          // width/height are the LAST 8 payload bytes (after the matrix)
+          // in both versions — anchor from the end, not version offsets
+          val wOff = k._3 - 8
+          if (wOff < k._2) None
+          else {
+            val w = (u32(wOff) >> 16).toInt  // 16.16 fixed point
+            val h = (u32(wOff + 4) >> 16).toInt
+            if (kv > 1 || w <= 0 || h <= 0) None else Some((w, h))
+          }
+        }
+      }.take(1).toSeq.headOption
+      Some(VideoMeta(
+        durationMs = duration * 1000L / timescale,
+        width = dims.map(_._1).getOrElse(0),
+        height = dims.map(_._2).getOrElse(0),
+        trackCount = traks.size,
+        majorBrand = brand))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal-but-valid MP4 (ISO-BMFF) bytes: `ftyp` + `moov`
+    * (`mvhd` with the given timescale/duration, one `trak/tkhd` with the
+    * given 16.16 dimensions) + an `mdat` of seeded noise standing in for
+    * the (codec-blocked) sample data. The video twin of [[syntheticPng]] /
+    * [[syntheticWav]]: synthetic video rows are genuinely parseable
+    * containers, so the box-walk decode path is exercised end to end. */
+  private[graft] def syntheticMp4(
+      width: Int, height: Int, durationMs: Long, timescale: Long = 1000,
+      mdatLen: Int = 64, seed: Long = 42): Array[Byte] = {
+    // ftyp(24) + moov(8 + mvhd 108 + trak 8 + tkhd 92) + mdat(8 + payload)
+    val out = java.nio.ByteBuffer.allocate(24 + 8 + 108 + 100 + 8 + mdatLen)
+    def fourcc(s: String): Unit = { out.put(s.getBytes("ISO-8859-1")); () }
+    // ftyp
+    out.putInt(24); fourcc("ftyp"); fourcc("isom"); out.putInt(0)
+    fourcc("isom"); fourcc("mp41")
+    // moov = mvhd(108) + trak(8 + tkhd 92)
+    out.putInt(8 + 108 + 100); fourcc("moov")
+    val duration = durationMs * timescale / 1000L
+    out.putInt(108); fourcc("mvhd")
+    out.putInt(0)                       // version 0 + flags
+    out.putInt(0); out.putInt(0)        // creation, modification
+    out.putInt(timescale.toInt)
+    out.putInt(duration.toInt)
+    out.putInt(0x00010000)              // rate 1.0
+    out.putShort(0x0100.toShort)        // volume 1.0
+    out.putShort(0); out.putLong(0L)    // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(out.putInt)              // identity matrix
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(2)                       // next_track_ID
+    out.putInt(100); fourcc("trak")
+    out.putInt(92); fourcc("tkhd")
+    out.putInt(0x00000007)              // version 0, flags: enabled+in-movie+preview
+    out.putInt(0); out.putInt(0)        // creation, modification
+    out.putInt(1)                       // track_ID
+    out.putInt(0)                       // reserved
+    out.putInt(duration.toInt)
+    out.putLong(0L)                     // reserved
+    out.putShort(0); out.putShort(0)    // layer, alternate_group
+    out.putShort(0); out.putShort(0)    // volume (0 for video), reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(out.putInt)              // identity matrix
+    out.putInt(width << 16)             // 16.16 fixed
+    out.putInt(height << 16)
+    // mdat: seeded noise payload (real sample data needs a codec)
+    out.putInt(8 + mdatLen); fourcc("mdat")
+    val rnd = new java.util.Random(seed)
+    val payload = new Array[Byte](mdatLen)
+    rnd.nextBytes(payload)
+    out.put(payload)
+    out.array()
   }
 
   /** Deterministic tiny PNG: seeded per-pixel RGB noise encoded through
@@ -418,7 +607,8 @@ object Multimodal {
   /** Synthetic media table for tests/demos (deterministic, seeded): image
     * rows carry REAL PNG bytes (varied small dimensions), audio rows carry
     * REAL WAV sine tones (varied frequency/duration), video rows carry
-    * opaque random bytes for the stub path. */
+    * REAL MP4 containers (varied dimensions/durations; mdat payload is
+    * seeded noise — sample data needs a codec). */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42): DataFrame = {
     val rnd = new java.util.Random(seed)
     val rows = (0 until n).map { i =>
@@ -437,11 +627,14 @@ object Multimodal {
           Row(i.toLong, modality, bytes,
             Row(s"synthetic://$i", null, null, math.round(secs * 1000)))
         case _ =>
-          val len = 64 + rnd.nextInt(192)
-          val bytes = new Array[Byte](len)
-          rnd.nextBytes(bytes)
-          Row(i.toLong, modality, bytes,
-            Row(s"synthetic://$i", null, null, 1000L * (i + 1)))
+          // real parseable MP4 container; mdat payload is seeded noise
+          val w = 128 + (i % 5) * 32
+          val h = 96 + (i % 4) * 24
+          val durMs = 1000L * (i + 1)
+          val bytes = syntheticMp4(w, h, durMs,
+            mdatLen = 64 + i % 192, seed = seed ^ i)
+          rnd.nextInt() // keep the rng stream aligned across modalities
+          Row(i.toLong, modality, bytes, Row(s"synthetic://$i", w, h, durMs))
       }
     }
     spark.createDataFrame(

@@ -88,21 +88,24 @@ object SimQueries extends QueryModule {
     * are REAL PNGs decoded by javax.imageio (width/height/luminance grid
     * from actual pixels); audio rows are REAL WAVs decoded by
     * javax.sound.sampled (sample rate/duration/RMS/zero-crossing from
-    * actual PCM); video rows run the documented stub (no video codecs in
-    * this container) — rows-only check. The gate entry digests the
-    * embedding array to a scalar (the driver's pandas harness can't sort
-    * raw arrays); the library API keeps the array. */
+    * actual PCM); video rows are REAL MP4 containers decoded by the
+    * pure-JDK ISO-BMFF box walk (duration/width/height — sample-level
+    * decode stays the documented codec-blocked stub) — rows-only check.
+    * The gate entry digests the embedding array to a scalar (the driver's
+    * pandas harness can't sort raw arrays); the library API keeps the
+    * array. */
   val mmFeatures: Q = Q(
     "mm_features",
     None,
     (s, _) => {
+      // persisted so the self-assert count and the gate dump share ONE
+      // decode pass (r8 ADVICE: the require used to re-decode all 200 rows)
       val out = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
-      // self-assert the real decode paths: every image AND audio row must
-      // come back decoded=true (video is the documented stub)
-      val undecoded = out
-        .filter(col("modality").isin("image", "audio") && !col("decoded"))
-        .count()
-      require(undecoded == 0, s"$undecoded image/audio rows failed to decode")
+        .persist()
+      // self-assert the real decode paths: EVERY row (image pixels, audio
+      // PCM, video container) must come back decoded=true
+      val undecoded = out.filter(!col("decoded")).count()
+      require(undecoded == 0, s"$undecoded media rows failed to decode")
       out
         .withColumn("embedding_digest",
           xxhash64(concat_ws(",", col("embedding").cast("array<string>"))))

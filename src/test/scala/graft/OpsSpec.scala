@@ -276,10 +276,16 @@ class OpsSpec extends SparkSpec {
         s"audio $i duration ${r.getAs[Long]("duration_ms")} != ~$expectMs")
       assert(r.isNullAt(r.fieldIndex("width")))
     }
-    // video stays on the stub: no decoded fields
-    rows.filter(_.getAs[String]("modality") == "video").foreach { r =>
-      assert(!r.getAs[Boolean]("decoded"))
-      assert(r.isNullAt(r.fieldIndex("width")))
+    // video rows real-decode the CONTAINER (ISO-BMFF box walk): dimensions
+    // and duration from moov boxes; sample_rate stays null (audio-only)
+    val videos = rows.filter(_.getAs[String]("modality") == "video")
+    assert(videos.nonEmpty)
+    videos.foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      assert(r.getAs[Boolean]("decoded"), s"video $i container should parse")
+      assert(r.getAs[Int]("width") == 128 + (i % 5) * 32)
+      assert(r.getAs[Int]("height") == 96 + (i % 4) * 24)
+      assert(r.getAs[Long]("duration_ms") == 1000L * (i + 1))
       assert(r.isNullAt(r.fieldIndex("sample_rate")))
     }
     // determinism: second run produces identical hashes
@@ -383,6 +389,42 @@ class OpsSpec extends SparkSpec {
       .orderBy("media_id", "frame_index").collect()
     assert(rows.map(_.getAs[Array[Byte]]("content").toSeq).toSeq ==
       again.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
+  }
+
+  test("multimodal: MP4 box walk reads the checked-in container's real metadata") {
+    // Fixture provenance: graft.tools.MakeFixtures writes
+    // src/test/resources/clip_640x360_2500ms.mp4 (ftyp + moov/mvhd at
+    // timescale 90000 + trak/tkhd 640x360 + mdat). An independent Python
+    // struct walk confirmed the same values at generation time.
+    val bytes = getClass.getResourceAsStream("/clip_640x360_2500ms.mp4").readAllBytes()
+    val Some(v) = Multimodal.parseMp4(bytes)
+    assert(v.durationMs == 2500L)
+    assert(v.width == 640 && v.height == 360)
+    assert(v.trackCount == 1)
+    assert(v.majorBrand == "isom")
+    // determinism + garbage rejection
+    assert(Multimodal.parseMp4(bytes) == Some(v))
+    assert(Multimodal.parseMp4(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.parseMp4(bytes.take(40)).isEmpty) // truncated moov
+    // a WAV is not an MP4: the walk must not hallucinate boxes
+    val wav = getClass.getResourceAsStream("/tone_440hz_8k.wav").readAllBytes()
+    assert(Multimodal.parseMp4(wav).isEmpty)
+  }
+
+  test("multimodal: synthetic MP4 round-trips arbitrary dims/durations/timescales") {
+    for {
+      (w, h) <- Seq((16, 16), (1920, 1080), (320, 240))
+      durMs <- Seq(40L, 1000L, 3600000L)
+      ts <- Seq(600L, 1000L, 90000L)
+    } {
+      val bytes = Multimodal.syntheticMp4(w, h, durMs, timescale = ts)
+      val Some(v) = Multimodal.parseMp4(bytes)
+      // timescale-quantization error bounded by one tick
+      assert(math.abs(v.durationMs - durMs) <= math.max(1L, 1000L / ts),
+        s"dur $durMs @ ts $ts -> ${v.durationMs}")
+      assert(v.width == w && v.height == h, s"dims ($w,$h) -> (${v.width},${v.height})")
+      assert(v.trackCount == 1)
+    }
   }
 
   test("simhash codegen matches an independent Scala majority-vote") {
