@@ -59,6 +59,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared.json = the FULL declared query list (not just the
+    // SQL-checkable subset), written before the dump: reconciliation can
+    // then catch a rows-only entry that silently vanishes from the dump —
+    // oracle_sql.json alone can't see those (r8 ADVICE).
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
 
     val width = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
     val pool = Executors.newFixedThreadPool(width)

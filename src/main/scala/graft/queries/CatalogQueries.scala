@@ -157,10 +157,21 @@ object CatalogQueries extends QueryModule {
 
   /** S6: upload ingestion — dirty headers sanitized, formula-injection
     * cells flagged, duplicate re-upload detected (upload.py:47–162,
-    * csv_utils.py:23–227, security.py:18–152). */
+    * csv_utils.py:23–227, security.py:18–152). The LANDED artifact is
+    * oracle-checked (rows+schema+hash): the sanitized headers and preserved
+    * cell values read back from the landed CSV must match the literal
+    * expectation — "participant id"→participant_id, "2nd visit!"→
+    * c_2nd_visit, formula cell kept verbatim (flagged, not mutated). The
+    * duplicate/Cancel/Rename flow stays require()-asserted (not
+    * SQL-expressible). */
   val s6UploadIngest: Q = Q(
     "s6_upload_ingest",
-    None,
+    Some("""
+      SELECT * FROM (VALUES
+        (1, 10, '=cmd()'),
+        (2, 20, 'ok'),
+        (3, 30, 'fine')) AS t(participant_id, c_2nd_visit, score)
+      ORDER BY participant_id"""),
     (s, dir) => {
       val srcDir = Files.createTempDirectory("graft-upload-src-")
       val dataDir = Files.createTempDirectory("graft-upload-dst-").toString

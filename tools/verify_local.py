@@ -62,14 +62,20 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-    # Declare-vs-dump reconciliation: every declared query (oracle_sql.json
-    # covers the SQL-checkable set; rows-only entries have dump dirs too)
-    # must have landed a dump directory. A missing dir is a loud failure —
-    # round 7's ev_sessionize vanished from the gate exactly this way.
+    # Declare-vs-dump reconciliation against declared.json — the FULL
+    # declared query list Verify writes before dumping — so a rows-only
+    # entry that silently vanishes is caught too (oracle_sql.json only
+    # covers the SQL-checkable subset; round 7's ev_sessionize vanished
+    # from the gate exactly this way). Fall back to oracle keys when
+    # declared.json is absent (older dump dirs).
     import os
+    try:
+        declared = set(json.load(open(f"{outdir}/declared.json")))
+    except FileNotFoundError:
+        declared = set(oracle)
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d))}
-    missing = sorted(set(oracle) - dumped)
+    missing = sorted(declared - dumped)
     if missing:
         print(f"MISSING dumps for {len(missing)} declared queries: "
               f"{', '.join(missing)}")
