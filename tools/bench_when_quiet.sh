@@ -3,8 +3,10 @@
 # The host has bursty external contention (see README bench methodology):
 # artifacts captured during a burst self-flag "contended":true and are
 # useless for regression tracking. This loop waits for load1 AND load5
-# below the threshold, runs Bench, keeps the artifact only if it came out
-# uncontended, and retries otherwise (bounded attempts).
+# below the threshold, runs Bench INTO A SCRATCH PATH, and promotes the
+# artifact to bench_out.json ONLY if it came out uncontended — a noisy
+# host cannot overwrite the committed artifact by construction (the r8
+# notes/artifact contradiction is impossible now, r8 verdict item 7).
 set -u
 cd /root/repo
 THRESH=${THRESH:-1.2}
@@ -19,15 +21,18 @@ while [ $attempt -lt $MAX_ATTEMPTS ]; do
     continue
   fi
   attempt=$((attempt+1))
+  scratch=/tmp/bench_attempt_$attempt.json
   echo "$(date +%H:%M:%S) quiet (load $l1/$l5) — bench attempt $attempt"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_OUT=$scratch \
     timeout 2400 sbt -batch "runMain graft.Bench" > /tmp/bench_quiet_$attempt.log 2>&1
-  if python3 -c 'import json,sys; d=json.load(open("bench_out.json")); sys.exit(0 if not d["contended"] else 1)'; then
-    echo "$(date +%H:%M:%S) SUCCESS: uncontended artifact (attempt $attempt)"
+  if python3 -c "import json,sys; d=json.load(open('$scratch')); sys.exit(0 if not d['contended'] and d['failed_count']==0 else 1)"; then
+    cp "$scratch" bench_out.json
+    echo "$(date +%H:%M:%S) SUCCESS: uncontended artifact promoted to bench_out.json (attempt $attempt)"
     exit 0
   fi
-  echo "$(date +%H:%M:%S) attempt $attempt came out contended — retrying"
+  echo "$(date +%H:%M:%S) attempt $attempt came out contended or incomplete — kept OLD bench_out.json, retrying"
   sleep 60
 done
-echo "giving up after $MAX_ATTEMPTS attempts; best artifact is whatever bench_out.json holds"
+echo "giving up after $MAX_ATTEMPTS attempts; bench_out.json still holds the last PROMOTED (uncontended) artifact"
 exit 1
