@@ -37,7 +37,13 @@ object StreamingOps {
 
   /** Gap-based sessionization (batch): a session breaks after `gapMinutes`
     * of per-user inactivity. One shuffle+sort per user, then two windows —
-    * the lag/cumsum classic. */
+    * the lag/cumsum classic.
+    *
+    * Boundary semantics match streaming `session_window`, whose merge is
+    * INCLUSIVE at the boundary (measured, not assumed: SessionizePropertySpec
+    * drives both paths with gaps straddling 30:00): an event EXACTLY `gap`
+    * after its predecessor EXTENDS the session; only a strictly larger gap
+    * breaks (`>`). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
