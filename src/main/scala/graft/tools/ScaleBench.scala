@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+import graft.stats.ColumnStats
+
+/** Scale-evidence for the dedup/stats flagships (round-8 verdict item 5):
+  * measures dd_minhash_lsh and t1_column_stats at K× of sf0.1 with the same
+  * key-offset scaling discipline LayoutBench used for the join, so the
+  * "near-linear, bucketed" claims are MEASURED, not asserted from plan
+  * shape. Results land in README §perf (flagship scaling).
+  *
+  * Scaling discipline (what K× must and must not change):
+  *  - documents: K copies with offset doc_ids AND every token suffixed
+  *    `_i` per copy — shingle sets are DISJOINT across copies, so each
+  *    copy keeps exactly the 1× near-dup structure (true pairs = K × the
+  *    1× pairs; candidate buckets grow K×, not K²). A naive text-identical
+  *    copy would make every doc a near-dup of its K−1 siblings — a K²
+  *    adversarial input, not "more data".
+  *  - lineitem: K unioned copies — value distributions (and therefore
+  *    quantile/moment work per row) are unchanged; row volume is K×.
+  *    Distinct counts stay constant (bounded value domains), which is the
+  *    realistic shape for these columns.
+  *
+  *   sbt "runMain graft.tools.ScaleBench 1,20,100"   (SPARK_GRAFT_SF_DIR)
+  * Prints one JSON line per (op, scale).
+  */
+object ScaleBench {
+
+  /** Cheap content fingerprint (paths+sizes+mtimes) — scratch copies are
+    * keyed on it so regenerated testdata invalidates them by construction
+    * (same discipline as LayoutBench). */
+  private def fingerprint(sfDir: String, tables: Seq[String]): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val sig = tables.flatMap { t =>
+      val p = Paths.get(sfDir, t)
+      if (!Files.exists(p)) Seq(s"$t:absent")
+      else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+    }.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 20, 100))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = graft.GraftSession.local(cpus.toInt, "graft-scale-bench",
+      Map("spark.sql.adaptive.enabled" -> "true"))
+
+    val fp = fingerprint(sfDir, Seq("documents.parquet", "lineitem.parquet"))
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_scale_bench/$fp"
+
+    def timeMedian(f: => Unit): (Double, Seq[Double]) = {
+      f // warm-up
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (samples(samples.size / 2), samples)
+    }
+    def emit(op: String, k: Int, rows: Long, med: Double, s: Seq[Double],
+        extra: String = ""): Unit = {
+      val json = f"""{"op":"$op","scale":$k,"rows":$rows,"median_sec":$med%.3f,""" +
+        s""""samples":${s.map(x => f"$x%.3f").mkString("[", ",", "]")}$extra}"""
+      println(json); System.err.println(s"[scale-bench] $json")
+    }
+
+    for (k <- scales) {
+      val dir = s"$base/x$k"
+      val done = new java.io.File(s"$dir/_done")
+      if (!done.exists()) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val stride = docs.agg(max("doc_id")).head.getLong(0) + 1
+        (0 until k).map { i =>
+          val d = docs.withColumn("doc_id", col("doc_id") + lit(i * stride))
+          if (i == 0) d
+          else d.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"_$i"))), " "))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/documents")
+        val li = Tables.load(spark, sfDir, "lineitem")
+        (0 until k).map(_ => li).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem")
+        done.getParentFile.mkdirs()
+        done.createNewFile()
+      }
+
+      def docs = spark.read.parquet(s"$dir/documents")
+      def li = spark.read.parquet(s"$dir/lineitem")
+      val docRows = docs.count()
+      val liRows = li.count()
+
+      var pairs = 0L
+      val (mhMed, mhS) = timeMedian {
+        pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.45)
+          .count()
+      }
+      emit("dd_minhash_lsh", k, docRows, mhMed, mhS, s""","pairs":$pairs""")
+
+      val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val (t1Med, t1S) = timeMedian {
+        ColumnStats.describe(li, t1Cols)
+      }
+      emit("t1_column_stats", k, liRows, t1Med, t1S)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
