@@ -105,6 +105,21 @@ object Sampling {
           lit(budget.toDouble)).cast("long"))
   }
 
+  /** Deterministic global shuffle — training-order randomization as a pure
+    * function of row identity: sort by the seeded identity hash (ties
+    * broken by the keys, so the order is total). Unlike `orderBy(rand)`,
+    * the SAME permutation comes back on every engine, cluster size, rerun,
+    * or retry — the training order is an auditable artifact. Changing
+    * `seed` yields an independent permutation (fresh epoch order). At
+    * scale this is ONE range-partitioned sort — the same cost as any
+    * global sort, no single-partition window, no driver materialization;
+    * `shuffle_key` stays in the output so downstream stages (or the
+    * oracle) can verify the order without recomputing it. */
+  def shuffle(df: DataFrame, keys: Seq[String],
+      seed: String = "graft"): DataFrame =
+    df.withColumn("shuffle_key", hashHex(seed, keys.map(col)))
+      .orderBy(col("shuffle_key") +: keys.map(col): _*)
+
   /** Weighted corpus mixture: each source is thinned to its weight (a
     * deterministic per-row keep decision, NOT an approximate `sample()`)
     * and tagged with its name. Weights are independent keep-probabilities

@@ -117,6 +117,22 @@ object SamplingQueries extends QueryModule {
         .orderBy("mix_source", "doc_id")
     })
 
+  /** Deterministic global shuffle (training-order randomization): the full
+    * permutation is oracle-checked POSITIONALLY — DuckDB derives the same
+    * seeded identity hash and must produce the identical row order, which
+    * is the whole claim (a training order that is a pure function of row
+    * identity, not of cluster layout). */
+  val smpShuffle: Q = Q(
+    "smp_shuffle",
+    Some("""
+      SELECT md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+             doc_id
+      FROM documents
+      ORDER BY shuffle_key, doc_id"""),
+    (s, dir) =>
+      Sampling.shuffle(
+        Tables.load(s, dir, "documents").select("doc_id"), Seq("doc_id")))
+
   override def queries: Seq[Q] =
-    Seq(smpHashSplit, smpStratified, smpPack, smpMix)
+    Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpShuffle)
 }

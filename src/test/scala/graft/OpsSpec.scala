@@ -616,6 +616,24 @@ class OpsSpec extends SparkSpec {
       .exceptAll(packedAgain).count() == 0)
   }
 
+  test("deterministic shuffle: a stable permutation, independent per seed") {
+    import graft.ops.Sampling
+    val ids = docs.select("doc_id")
+    val order = Sampling.shuffle(ids, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // permutation of the corpus, not a sort by id
+    assert(order.sorted == ids.collect().map(_.getLong(0)).toSeq.sorted)
+    assert(order != order.sorted, "seeded order must not be the id order")
+    // identical permutation regardless of input partitioning (rand() fails this)
+    val again = Sampling.shuffle(ids.repartition(13), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order == again, "shuffle must be a pure function of row identity")
+    // a different seed is an independent epoch order
+    val epoch2 = Sampling.shuffle(ids, Seq("doc_id"), seed = "epoch2")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(epoch2 != order && epoch2.sorted == order.sorted)
+  }
+
   test("semantic dedup: identical vectors collapse; kept set has no within-cell near-dups") {
     import graft.ops.{Dedup, Similarity}
     // three exact-duplicate groups + two unique vectors, in 2 cells
