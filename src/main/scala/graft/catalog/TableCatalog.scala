@@ -26,8 +26,9 @@ final case class TableMeta(
 /** The "directory of files is the database" catalog
   * (reference: data_handling/metadata.py + merge_strategy.py).
   *
-  * - Scans `config.dataDir` for `*.csv` / `*.parquet`; table name = file stem
-  *   (metadata.py:32–50).
+  * - Scans `config.dataDir` for `*.csv` / `*.parquet` / `*.jsonl`; table
+  *   name = file stem (metadata.py:32–50; JSONL is our extension — the
+  *   corpus interchange format a training-data pipeline actually receives).
   * - Loads each table once and caches the DataFrame; invalidated when the
   *   directory's max mtime changes.
   *
@@ -83,7 +84,7 @@ final class TableCatalog(
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
       .filter(p => { val n = p.getFileName.toString
-        n.endsWith(".csv") || n.endsWith(".parquet") })
+        n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".jsonl") })
       .toSeq.sortBy(_.getFileName.toString)
 
   private def stem(p: Path): String = {
@@ -91,20 +92,27 @@ final class TableCatalog(
     n.substring(0, n.lastIndexOf('.'))
   }
 
-  private def loadRaw(p: Path): DataFrame =
-    if (p.getFileName.toString.endsWith(".parquet")) {
+  private def loadRaw(p: Path): DataFrame = {
+    val name = p.getFileName.toString
+    if (name.endsWith(".parquet")) {
       // TIMESTAMP(NANOS) parquet is rejected by Spark's reader (read nanos
       // as Long), and bare timestamp[us] arrives as TIMESTAMP_NTZ; both are
       // canonicalized to TimestampType by the shared normalizer
       // (see graft.Tables.load).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.Tables.normalizeTs(spark.read.parquet(p.toString))
-    } else
+    } else if (name.endsWith(".jsonl"))
+      // JSON-Lines corpus format (inferred schema, one object per line);
+      // PERMISSIVE keeps malformed lines as nulls instead of failing the
+      // scan — same forgiving posture as the CSV path
+      spark.read.option("mode", "PERMISSIVE").json(p.toString)
+    else
       spark.read
         .option("header", "true")
         .option("inferSchema", "true")
         .option("mode", "PERMISSIVE")
         .csv(p.toString)
+  }
 
   /** Structure-detection ladder (merge_strategy.py:85–110): longitudinal iff
     * hub has primary+session; else primary alone; else an existing composite

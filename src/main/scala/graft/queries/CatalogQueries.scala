@@ -99,6 +99,47 @@ object CatalogQueries extends QueryModule {
         .limit(500)
     })
 
+  /** JSONL source scan (catalog extension): the same cohort derivation
+    * landed as JSON-Lines — the corpus interchange format — read back
+    * through the directory catalog with inferred schema, value-identical
+    * to the original parquet per the oracle. Separate data dir so the
+    * CSV-catalog entries' table lists stay untouched. */
+  private val jsonlDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val s2JsonlScan: Q = Q(
+    "s2_jsonl_scan",
+    Some("""
+      SELECT o_custkey AS ursi, o_orderkey % 2 + 1 AS session_num,
+             o_totalprice AS score
+      FROM orders
+      ORDER BY ursi, session_num, score
+      LIMIT 500"""),
+    (s, dir) => {
+      val tmp = jsonlDirs.getOrElseUpdate(dir, {
+        val d = Files.createTempDirectory("graft-jsonl-").toString
+        Sinks.csvExport(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").as("ursi"), col("c_acctbal").as("age")),
+          s"$d/demographics.csv")
+        Sinks.jsonlExport(
+          Tables.load(s, dir, "orders").select(
+            col("o_custkey").as("ursi"),
+            (col("o_orderkey") % 2 + 1).as("session_num"),
+            col("o_totalprice").as("score")),
+          s"$d/scores.jsonl")
+        d
+      })
+      val cat = new TableCatalog(s, EngineConfig(
+        dataDir = tmp, demographicsTable = "demographics",
+        primaryIdColumn = "ursi"))
+      require(cat.tableNames == Seq("demographics", "scores"),
+        s"jsonl table not cataloged: ${cat.tableNames}")
+      cat.table("scores")
+        .select(col("ursi").cast("long"), col("session_num").cast("long"),
+          col("score"))
+        .orderBy("ursi", "session_num", "score")
+        .limit(500)
+    })
+
   /** S3: metadata sample scan — column names + dtypes from the schema, ID
     * columns flagged (metadata.py:87–128). */
   val s3MetadataScan: Q = Q(
@@ -337,7 +378,7 @@ object CatalogQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    s1DirectoryScan, s2CsvScan, s3MetadataScan, s4NumericRanges, s5HeaderScan,
-    s6UploadIngest, s7DatasetPrep, s8CsvExport, s9ZipReport, s10TomlRoundtrip,
-    s11ProfileSink)
+    s1DirectoryScan, s2CsvScan, s2JsonlScan, s3MetadataScan, s4NumericRanges,
+    s5HeaderScan, s6UploadIngest, s7DatasetPrep, s8CsvExport, s9ZipReport,
+    s10TomlRoundtrip, s11ProfileSink)
 }

@@ -43,6 +43,21 @@ object Sinks {
     target
   }
 
+  /** Write a DataFrame as ONE JSON-Lines file at `outFile` (the corpus
+    * interchange format every training-data pipeline speaks). Same
+    * single-file download semantic as [[csvExport]]; large exports should
+    * use `df.write.json` with natural partitioning. */
+  def jsonlExport(df: DataFrame, outFile: String): Path = {
+    val target = Paths.get(outFile).toAbsolutePath
+    val tmp = Files.createTempDirectory("graft-jsonl-export")
+    df.coalesce(1).write.mode("overwrite").json(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException("no json part written"))
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
   /** Render a small (driver-side) DataFrame to CSV text — for the report
     * bundle's summary tables, which are inherently small. */
   def toCsvString(df: DataFrame): String = {

@@ -44,6 +44,28 @@ class CohortQuerySpec extends SparkSpec {
         |S002,BAS2,96
         |S003,BAS1,112""")
 
+  test("mixed-format catalog: csv hub + jsonl behavioral table join") {
+    val dir = fixtureDir(
+      "demographics.csv" ->
+        """ursi,age
+          |S001,25
+          |S002,31
+          |S003,44""",
+      "labs.jsonl" ->
+        """{"ursi":"S001","glucose":5.2}
+          |{"ursi":"S003","glucose":6.1}""")
+    val cat = new TableCatalog(spark, EngineConfig(dir))
+    assert(cat.tableNames == Seq("demographics", "labs"))
+    assert(cat.table("labs").count() == 2)
+    val q = CohortQuery(cat,
+      filters = Seq(NumericRange("labs", "glucose", 5.0, 7.0)),
+      selections = Seq(("labs", "glucose")))
+    assert(q.count() == 2)
+    val rows = q.data.orderBy("ursi").collect()
+    assert(rows.map(_.getAs[String]("ursi")).toSeq == Seq("S001", "S003"))
+    assert(rows.map(_.getAs[Double]("glucose")).toSeq == Seq(5.2, 6.1))
+  }
+
   test("cross-sectional structure detection") {
     val cat = new TableCatalog(spark, EngineConfig(crossSectionalDir()))
     val k = cat.mergeKeys
