@@ -81,6 +81,16 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compression_ratio", exprs => CompressionRatio(exprs.head), "built-in")
+  }
+
+  /** Deflate compressed/raw byte ratio of a string column (the Gopher-
+    * style compressibility quality signal). Requires [[register]]. */
+  def compressionRatio(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.call_function
+    call_function("compression_ratio", text)
   }
 
   /** simhash64 over an array<string> token column (hashes each token with

@@ -548,10 +548,44 @@ object TextQueries extends QueryModule {
         .select("doc_id", "text").orderBy("doc_id")
     })
 
+  /** Deflate compressibility quality signal (Gopher/RefinedWeb lineage) as
+    * a native codegen expression — rows-only (DuckDB has no deflate), with
+    * the signal's defining ordering self-asserted on synthetic anchors:
+    * repetitive text must compress far below natural prose, and
+    * high-entropy text must sit near 1.0. CodegenSpec pins eval==codegen
+    * parity and determinism. */
+  val txtCompressionRatio: Q = Q(
+    "txt_compression_ratio",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val anchors = Seq(
+        (-1L, "a" * 4000),                               // degenerate repetition
+        (-2L, Seq.tabulate(500)(i =>                     // high-entropy id soup
+          f"${(i * 2654435761L) % 100000000L}%08x").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = docs.select(col("doc_id"), col("text"))
+        .unionByName(anchors)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.compressionRatio(s, col("text")), 6)
+            .as("compression_ratio"))
+        .orderBy("doc_id")
+      val byId = out.filter(col("doc_id") < 0).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      require(byId(-1L) < 0.05, s"repetition must crush: ${byId(-1L)}")
+      require(byId(-2L) > 0.5, s"entropy must resist: ${byId(-2L)}")
+      val corpus = out.filter(col("doc_id") >= 0)
+        .agg(min("compression_ratio"), max("compression_ratio")).head()
+      require(corpus.getDouble(0) > 0.0 && corpus.getDouble(1) <= 1.1,
+        s"corpus ratios out of range: $corpus")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
-    txtTokenStats, txtLangId, txtQuality, ddExact, ddJaccard, ddMinhash,
-    ddSimhash, ddClusterResolve, ddDedupCorpus, ddNoveltyExact,
-    ddNoveltyBloom, txtChunks, txtRepetition, txtVocab, txtRedact,
-    txtDecontaminate, txtDecontaminateBloom, txtBm25, txtUnigramLogprob,
-    txtBpeTokens, mntUpsert)
+    txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, ddExact,
+    ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus,
+    ddNoveltyExact, ddNoveltyBloom, txtChunks, txtRepetition, txtVocab,
+    txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25,
+    txtUnigramLogprob, txtBpeTokens, mntUpsert)
 }

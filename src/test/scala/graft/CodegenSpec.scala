@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{MinHash64, SimHash64}
+import graft.functions.{CompressionRatio, MinHash64, SimHash64}
 
 /** Hard-fails if any custom expression's doGenCode emits Java that Janino
   * cannot compile. Round 1 shipped a silent interpreted fallback (wrong FQCN
@@ -39,6 +39,35 @@ class CodegenSpec extends SparkSpec {
     val fromCodegen = proj(input).getLong(0)
     val fromInterp = expr.eval(input).asInstanceOf[Long]
     assert(fromCodegen == fromInterp)
+  }
+
+  test("CompressionRatio codegen compiles and matches interpreted eval") {
+    val expr = CompressionRatio(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    // "x" (1 byte -> 9-byte deflate frame -> 9.0) pins that tiny inputs
+    // are passed through raw, not special-cased: filter length upstream
+    for (s <- Seq("a" * 1000, "the quick brown fox jumps over the lazy dog",
+        "x", "", "abc" * 50)) {
+      val input = InternalRow(UTF8String.fromString(s))
+      val fromCodegen = proj(input).getDouble(0)
+      val fromInterp = expr.eval(input).asInstanceOf[Double]
+      assert(fromCodegen == fromInterp, s"codegen/interp drift on '${s.take(20)}'")
+      assert(fromCodegen > 0.0)
+    }
+    // the useful range claim holds at document length
+    def ratio(s: String) = expr.eval(InternalRow(UTF8String.fromString(s)))
+      .asInstanceOf[Double]
+    assert(ratio("the quick brown fox jumps over the lazy dog " * 20) <= 1.03)
+    // the signal's defining property: repetition crushes, entropy resists
+    def r(s: String) = expr.eval(InternalRow(UTF8String.fromString(s)))
+      .asInstanceOf[Double]
+    assert(r("a" * 4000) < 0.05)
+    val noise = Seq.tabulate(400)(i => f"${(i * 2654435761L) % 16777216L}%06x")
+      .mkString(" ")
+    assert(r(noise) > 0.5)
+    assert(r("") == 1.0)
+    // deterministic
+    assert(r("hello world, hello world") == r("hello world, hello world"))
   }
 
   test("DotProduct codegen matches interpreted eval and the compositional HOF form") {
