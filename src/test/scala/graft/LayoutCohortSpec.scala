@@ -94,6 +94,33 @@ class LayoutCohortSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("layout-backed count(): distinct aggregates in-bucket, one final gather") {
+    // Layout's scaladoc claims COUNT(DISTINCT key) partially aggregates
+    // within buckets. Pin it: the only Exchange in the whole plan is the
+    // final SinglePartition gather of per-bucket partials — the join AND
+    // the distinct phase both ride the bucket partitioning.
+    val (_, bucketed) = catalogs()
+    withNoBroadcast {
+      val df = CohortQuery(bucketed,
+        filters = Seq(NumericRange("cognitive", "working_memory", 90, 120)),
+        selectedTables = Seq("cognitive"))
+        .basePlan.agg(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("ursi")))
+      df.collect()
+      // AQE's toString appends an "== Initial Plan ==" section; count
+      // exchanges only in the executed final plan
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly the final gather exchange, got $exchanges:\n$plan")
+      assert(plan.contains("Exchange SinglePartition"),
+        s"the one exchange should be the final gather:\n$plan")
+      assert(plan.contains("partial_count(distinct"),
+        s"distinct phase should partial-aggregate in-bucket:\n$plan")
+    }
+  }
+
   test("unbucketed control: the same plan pays exchanges") {
     val (plain, _) = catalogs()
     withNoBroadcast {
