@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -9,9 +9,10 @@ import org.apache.spark.sql.types.DoubleType
   * pearson / spearman / kendall with pairwise null handling and a
   * `minPeriods` guard, plus high-correlation pair mining (>0.7).
   *
-  * - pearson: ONE aggregate computes all k(k−1)/2 `corr` pairs (Spark's
-  *   `corr` ignores rows with a null on either side — pandas pairwise
-  *   semantics for free).
+  * - pearson: ONE aggregate computes all k(k−1)/2 pairs via the ANSI-safe
+  *   population form (see `safeCorr` — the builtin `corr` throws
+  *   DIVIDE_BY_ZERO on constant columns under Spark 4's ANSI default;
+  *   explicit pairwise null masking keeps pandas semantics).
   * - spearman: per-pair rank transform (average ranks on ties) then
   *   pearson on the ranks. Global ranking needs a total order, so each
   *   pair costs a sort — fine at the reference's scale; at 100 TB
@@ -26,7 +27,28 @@ object Correlation {
   final case class Pair(col1: String, col2: String, r: Option[Double], n: Long)
 
   /** All-pairs pearson in one pass. Pairs with fewer than `minPeriods`
-    * non-null rows report None (statistics.py:194, 229). */
+    * non-null rows report None (statistics.py:194, 229); zero-variance
+    * pairs report NaN (pandas `.corr()` parity).
+    *
+    * NOT `corr(a, b)`: under ANSI mode (Spark 4 default) the builtin
+    * THROWS DIVIDE_BY_ZERO when either column is constant — one constant
+    * column in a user's table would kill the whole matrix (caught by
+    * StatsSpec's edge-case pin). The population form is algebraically
+    * identical (the n−1 factors cancel: cov_pop/(σ_pop·σ_pop) =
+    * ck/√(xMk·yMk), the same co-moments corr uses) and `try_divide` turns
+    * the zero-variance case into NULL, which we surface as NaN. Pairwise
+    * completeness: each side is null-masked to the rows where BOTH are
+    * present, matching pandas pairwise deletion. */
+  /** ANSI-safe pearson aggregate: pairwise null masking + NULL (via
+    * try_divide) instead of DIVIDE_BY_ZERO on zero variance. Algebraically
+    * identical to `corr` — the population n's cancel. */
+  private def safeCorr(a: Column, b: Column): Column = {
+    val both = a.isNotNull && b.isNotNull
+    val av = when(both, a)
+    val bv = when(both, b)
+    try_divide(covar_pop(av, bv), stddev_pop(av) * stddev_pop(bv))
+  }
+
   def pearson(df: DataFrame, cols: Seq[String], minPeriods: Int = 10): Seq[Pair] = {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.length
@@ -34,14 +56,16 @@ object Correlation {
     if (pairs.isEmpty) return Seq.empty
     val aggs = pairs.flatMap { case (a, b) =>
       Seq(
-        corr(col(a), col(b)).as(s"r__${a}__$b"),
+        safeCorr(col(a), col(b)).as(s"r__${a}__$b"),
         count(when(col(a).isNotNull && col(b).isNotNull, 1)).as(s"n__${a}__$b"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     pairs.map { case (a, b) =>
       val n = row.getAs[Long](s"n__${a}__$b")
       val r = Option(row.getAs[Any](s"r__${a}__$b")).map(_.asInstanceOf[Double])
-      Pair(a, b, if (n < minPeriods) None else r, n)
+      Pair(a, b,
+        if (n < minPeriods) None
+        else Some(r.getOrElse(Double.NaN)), n)
     }
   }
 
@@ -89,11 +113,12 @@ object Correlation {
     val nn = df.filter(col(a).isNotNull && col(b).isNotNull).select(col(a), col(b))
     val ranked = avgRank(avgRank(nn, a), b)
     val row = ranked.agg(
-      corr(col(s"__rk_$a"), col(s"__rk_$b")).as("r"),
+      safeCorr(col(s"__rk_$a"), col(s"__rk_$b")).as("r"),
       count(lit(1)).as("n")).head()
     val n = row.getAs[Long]("n")
     val r = Option(row.getAs[Any]("r")).map(_.asInstanceOf[Double])
-    Pair(a, b, if (n < minPeriods) None else r, n)
+    Pair(a, b,
+      if (n < minPeriods) None else Some(r.getOrElse(Double.NaN)), n)
   }
 
   /** All-pairs spearman. Columns with NO nulls are ranked ONCE (k ranking
@@ -124,12 +149,13 @@ object Correlation {
         val ranked = fastCols.foldLeft(df.select(fastCols.map(col): _*))(
           (d, c) => avgRank(d, c))
         val aggs = aligned.map { case (a, b) =>
-          corr(col(s"__rk_$a"), col(s"__rk_$b")).as(s"r__${a}__$b")
+          safeCorr(col(s"__rk_$a"), col(s"__rk_$b")).as(s"r__${a}__$b")
         }
         val row = ranked.agg(aggs.head, aggs.tail: _*).head()
         aligned.map { case (a, b) =>
           val r = Option(row.getAs[Any](s"r__${a}__$b")).map(_.asInstanceOf[Double])
-          (a, b) -> Pair(a, b, if (rows < minPeriods) None else r, rows)
+          (a, b) -> Pair(a, b,
+            if (rows < minPeriods) None else Some(r.getOrElse(Double.NaN)), rows)
         }.toMap
       }
     pairs.map { case (a, b) =>

@@ -80,6 +80,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("filter funnel property: one-scan flags == K naive re-queries") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    import graft.stats.FilterFunnel
+    // Random frames with duplicate and null keys, random thresholds: the
+    // one-scan per-key-flag funnel/impact must equal the reference
+    // semantics (K cumulative / standalone re-queries with countDistinct).
+    val rowGen = Gen.listOfN(120, for {
+      k <- Gen.option(Gen.choose(1, 15).map(i => s"K$i")) // nulls included
+      a <- Gen.choose(0, 100)
+      b <- Gen.choose(0, 100)
+    } yield (k, a, b))
+    samples(rowGen, 6, seed = 99).zipWithIndex.foreach { case (rows, trial) =>
+      val df = rows.map { case (k, a, b) => (k.orNull, a, b) }
+        .toDF("k", "a", "b")
+      val t1 = 20 + trial * 10
+      val t2 = 80 - trial * 5
+      val steps = Seq(
+        "a_hi" -> (col("a") >= t1),
+        "b_lo" -> (col("b") <= t2),
+        "a_even" -> (col("a") % 2 === 0))
+      // naive cumulative re-queries (the reference's K+1 query pattern)
+      val naive = steps.scanLeft(df)((d, s) => d.filter(s._2))
+        .map(_.filter(col("k").isNotNull)
+          .agg(countDistinct(col("k"))).head().getLong(0))
+      val funnel = FilterFunnel.funnel(df, "k", steps)
+      assert(funnel.map(_.n) == naive, s"trial $trial funnel drift")
+      funnel.sliding(2).foreach { case Seq(prev, cur) =>
+        assert(cur.removed == prev.n - cur.n)
+      }
+      // impact: each filter alone + all combined vs naive standalone queries
+      val naiveAlone = steps.map(s => df.filter(s._2)
+        .filter(col("k").isNotNull)
+        .agg(countDistinct(col("k"))).head().getLong(0))
+      val naiveAll = steps.map(_._2).reduce(_ && _) match {
+        case all => df.filter(all).filter(col("k").isNotNull)
+          .agg(countDistinct(col("k"))).head().getLong(0)
+      }
+      val impact = FilterFunnel.impact(df, "k", steps)
+      assert(impact.map(_.n) == (naive.head +: naiveAlone :+ naiveAll),
+        s"trial $trial impact drift")
+    }
+  }
+
   test("minhash estimate tracks exact jaccard on synthetic pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -42,6 +42,34 @@ class StatsSpec extends SparkSpec {
     assert(!adU.isNormal, s"uniform should fail: $adU")
   }
 
+  test("correlation edge cases: zero variance -> NaN (pandas parity), short pairs -> None") {
+    import graft.stats.Correlation
+    // constant column: r is undefined; pandas .corr() reports NaN, so we
+    // must surface NaN (a silent 0.0 or a crash would both be wrong)
+    val const = Seq.tabulate(20)(i => (5.0, i.toDouble)).toDF("x", "y")
+    val cp = Correlation.pearson(const, Seq("x", "y")).head
+    assert(cp.n == 20 && cp.r.exists(_.isNaN), s"constant pearson: $cp")
+    val cs = Correlation.spearmanPair(const, "x", "y")
+    assert(cs.r.forall(_.isNaN), s"constant spearman: $cs")
+    // fewer than minPeriods complete rows: None, not a number
+    val short = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    assert(Correlation.pearson(short, Seq("x", "y")).head.r.isEmpty)
+    assert(Correlation.spearmanPair(short, "x", "y").r.isEmpty)
+    // exact linear relation: r == 1 to double precision
+    val lin = Seq.tabulate(50)(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val lp = Correlation.pearson(lin, Seq("x", "y")).head
+    assert(lp.r.exists(r => math.abs(r - 1.0) < 1e-12), s"linear pearson: $lp")
+    // kendall on a constant: tau-b denominator is 0 -> NaN, not a crash
+    val ck = Correlation.kendallPairExact(const, "x", "y")
+    assert(ck.r.forall(_.isNaN), s"constant kendall: $ck")
+    // describe on a constant column must not throw either (skew/kurt of
+    // zero variance) and must report the degenerate shape faithfully
+    val cs2 = graft.stats.ColumnStats.describe(const, Seq("x")).head
+    assert(cs2.n == 20 && cs2.distinct == 1)
+    assert(cs2.std.contains(0.0) && cs2.min == cs2.max)
+    assert(cs2.skew.forall(v => v.isNaN || v == 0.0), s"skew: ${cs2.skew}")
+  }
+
   test("Kendall tau on a hand-computed example") {
     val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0), (5.0, 4.0))
       .toDF("x", "y")
