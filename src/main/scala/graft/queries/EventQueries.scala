@@ -95,6 +95,79 @@ object EventQueries extends QueryModule {
         .orderBy("event_id")
     })
 
+  /** Forward as-of: the EARLIEST order on/after each event (pandas
+    * merge_asof direction='forward'); ties at the minimal date resolve to
+    * the max order key, mirrored in the oracle. */
+  val evAsOfForward: Q = Q(
+    "ev_asof_forward",
+    Some("""
+      WITH j AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts),
+      m AS (SELECT event_id, min(o_orderdate) AS md FROM j GROUP BY event_id)
+      SELECT j.event_id, j.user_id, j.ts,
+        max(j.o_orderkey) AS o_orderkey, max(j.o_orderdate) AS o_orderdate
+      FROM j JOIN m ON j.event_id = m.event_id
+        AND (j.o_orderdate = m.md OR (j.o_orderdate IS NULL AND m.md IS NULL))
+      GROUP BY j.event_id, j.user_id, j.ts
+      ORDER BY j.event_id"""),
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      val orders = Tables.load(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "user_id")
+      AsOfJoin.forward(events, orders,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderdate"), tiebreak = "o_orderkey")
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    })
+
+  /** Backward as-of with a staleness bound (pandas merge_asof tolerance):
+    * matches staler than the bound are nulled out. The oracle recomputes
+    * the unbounded backward match, then applies the same second-truncated
+    * bound — integer epoch-second division on both engines. The bound sits
+    * at the MEDIAN of the observed staleness distribution (the testdata's
+    * event and order epochs are decades apart), so roughly half the rows
+    * keep their match and half null — an always-null or always-keep
+    * outcome could not pass this oracle. */
+  val evAsOfTolerance: Q = Q(
+    "ev_asof_tolerance",
+    Some("""
+      WITH j AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts),
+      m AS (SELECT event_id, max(o_orderdate) AS md FROM j GROUP BY event_id),
+      b AS (
+        SELECT j.event_id, j.user_id, j.ts,
+          max(j.o_orderkey) AS o_orderkey, max(j.o_orderdate) AS o_orderdate
+        FROM j JOIN m ON j.event_id = m.event_id
+          AND (j.o_orderdate = m.md OR (j.o_orderdate IS NULL AND m.md IS NULL))
+        GROUP BY j.event_id, j.user_id, j.ts)
+      SELECT event_id, user_id, ts,
+        CASE WHEN o_orderdate IS NOT NULL
+              AND epoch_us(ts) // 1000000 - epoch_us(o_orderdate) // 1000000 <= 725000000
+             THEN o_orderkey END AS o_orderkey,
+        CASE WHEN o_orderdate IS NOT NULL
+              AND epoch_us(ts) // 1000000 - epoch_us(o_orderdate) // 1000000 <= 725000000
+             THEN o_orderdate END AS o_orderdate
+      FROM b
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      val orders = Tables.load(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "user_id")
+      AsOfJoin.backward(events, orders,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_orderdate"), tiebreak = "o_orderkey",
+          toleranceSeconds = Some(725000000L))
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    })
+
   /** JSON property extraction from the events `props` column. */
   val evJson: Q = Q(
     "ev_json_extract",
@@ -151,5 +224,6 @@ object EventQueries extends QueryModule {
         .orderBy("window_start", "event_type"))
 
   override def queries: Seq[Q] =
-    Seq(evWindowed, evSessionize, evAsOf, evJson, evLiveCount, evProfile)
+    Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
+      evJson, evLiveCount, evProfile)
 }
