@@ -83,6 +83,16 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "compression_ratio", exprs => CompressionRatio(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+  }
+
+  /** Unicode NFC canonical composition of a string column (pre-dedup text
+    * canonicalization). Requires [[register]]. */
+  def nfcNormalize(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.call_function
+    call_function("nfc_normalize", text)
   }
 
   /** Deflate compressed/raw byte ratio of a string column (the Gopher-
@@ -91,6 +101,16 @@ object GraftFunctions {
     register(spark)
     import org.apache.spark.sql.functions.call_function
     call_function("compression_ratio", text)
+  }
+
+  /** Full text canonicalization before any content hashing: NFC compose →
+    * lowercase → collapse whitespace runs → trim. The explicit character
+    * class `[ \t\n\r\f]` (not `\s`) keeps Java-regex and RE2 engines
+    * byte-identical (Java's `\s` includes vertical tab; RE2's does not),
+    * which is what lets a SQL oracle reproduce this bit-for-bit. */
+  def normalizeText(spark: SparkSession, text: Column): Column = {
+    import org.apache.spark.sql.functions.{lower, regexp_replace, trim}
+    trim(regexp_replace(lower(nfcNormalize(spark, text)), "[ \t\n\r\f]+", " "))
   }
 
   /** simhash64 over an array<string> token column (hashes each token with

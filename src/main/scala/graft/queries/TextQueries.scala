@@ -582,8 +582,26 @@ object TextQueries extends QueryModule {
       out
     })
 
+  /** Unicode-canonical text normalization (NFC → lower → whitespace
+    * collapse → trim) — the cleaning pass that runs BEFORE any content
+    * hashing (byte-different NFC forms dodge exact dedup and shingles).
+    * Oracle-exact: DuckDB's nfc_normalize + the same explicit whitespace
+    * class reproduce every byte. */
+  val txtNormalize: Q = Q(
+    "txt_normalize",
+    Some("""
+      SELECT doc_id,
+        trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS text_norm
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.normalizeText(s, col("text")).as("text_norm"))
+        .orderBy("doc_id"))
+
   override def queries: Seq[Q] = Seq(
-    txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, ddExact,
+    txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus,
     ddNoveltyExact, ddNoveltyBloom, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25,

@@ -70,6 +70,25 @@ class CodegenSpec extends SparkSpec {
     assert(r("hello world, hello world") == r("hello world, hello world"))
   }
 
+  test("NfcNormalize codegen compiles, composes combining marks, idempotent") {
+    import graft.functions.NfcNormalize
+    val expr = NfcNormalize(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val decomposed = "Cafe\u0301 du re\u0301sume\u0301" // e + combining acute (escapes: editor-normalization-proof)
+    val composed = "Caf\u00e9 du r\u00e9sum\u00e9"        // precomposed \u00e9
+    for (s <- Seq(decomposed, composed, "plain ascii", "")) {
+      val input = InternalRow(UTF8String.fromString(s))
+      assert(proj(input).getUTF8String(0) ==
+        expr.eval(input).asInstanceOf[UTF8String], s"drift on '$s'")
+    }
+    def nfc(s: String) = expr.eval(InternalRow(UTF8String.fromString(s)))
+      .asInstanceOf[UTF8String].toString
+    assert(decomposed != composed) // byte-different inputs...
+    assert(nfc(decomposed) == composed) // ...canonically equal after NFC
+    assert(nfc(composed) == composed)   // already-NFC passes through
+    assert(nfc(nfc(decomposed)) == nfc(decomposed)) // idempotent
+  }
+
   test("DotProduct codegen matches interpreted eval and the compositional HOF form") {
     import org.apache.spark.sql.types.DoubleType
     val expr = graft.functions.DotProduct(
