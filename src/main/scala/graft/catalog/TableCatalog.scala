@@ -73,7 +73,21 @@ final class TableCatalog(
 
   private val dir: Path = Paths.get(config.dataDir)
 
-  @volatile private var snapshot: Option[(Long, Map[String, DataFrame], MergeKeys)] = None
+  /** One immutable view of the directory: the DataFrames, the detected
+    * merge keys, and a PER-TABLE content version (mtime+size of that
+    * table's file) — so layout maintenance is per-table, not per-catalog:
+    * a daily ingest touching one table re-buckets ONE table, not all of
+    * them (the maintain-once economics that matter at 100 TB). */
+  private final case class Snapshot(
+      version: Long,
+      tables: Map[String, DataFrame],
+      keys: MergeKeys,
+      tableVersions: Map[String, String])
+
+  @volatile private var snapshot: Option[Snapshot] = None
+
+  private def fileVersion(p: Path): String =
+    s"${Files.getLastModifiedTime(p).toMillis}x${Files.size(p)}"
 
   private def dirVersion(): Long =
     if (!Files.isDirectory(dir)) 0L
@@ -149,7 +163,7 @@ final class TableCatalog(
       case _ => df
     }
 
-  private def build(): (Long, Map[String, DataFrame], MergeKeys) = {
+  private def build(): Snapshot = {
     val version = dirVersion()
     val files = listFiles()
     val raw = files.map(p => stem(p) -> loadRaw(p)).toMap
@@ -158,17 +172,18 @@ final class TableCatalog(
         s"Hub table '${config.demographicsTable}' not found in ${config.dataDir}"))
     val keys = detectStructure(hub.columns.toSeq)
     val tables = raw.map { case (n, df) => n -> withCompositeId(df, keys) }
-    (version, tables, keys)
+    Snapshot(version, tables, keys,
+      files.map(p => stem(p) -> fileVersion(p)).toMap)
   }
 
-  private def current(): (Long, Map[String, DataFrame], MergeKeys) = {
+  private def current(): Snapshot = {
     val v = dirVersion()
     snapshot match {
-      case Some(s @ (ver, _, _)) if ver == v => s
+      case Some(s) if s.version == v => s
       case _ =>
         synchronized {
           snapshot match {
-            case Some(s @ (ver, _, _)) if ver == v => s
+            case Some(s) if s.version == v => s
             case _ =>
               val s = build(); snapshot = Some(s); s
           }
@@ -176,33 +191,36 @@ final class TableCatalog(
     }
   }
 
-  def mergeKeys: MergeKeys = current()._3
+  def mergeKeys: MergeKeys = current().keys
 
-  def tableNames: Seq[String] = current()._2.keys.toSeq.sorted
+  def tableNames: Seq[String] = current().tables.keys.toSeq.sorted
 
   def behavioralTableNames: Seq[String] =
     tableNames.filterNot(_ == config.demographicsTable)
 
   private val bucketedMemo =
-    scala.collection.concurrent.TrieMap[(Long, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
   def table(name: String): DataFrame = {
-    val (version, tables, keys) = current()
-    val raw = tables.getOrElse(name,
+    val snap = current()
+    val raw = snap.tables.getOrElse(name,
       throw new IllegalArgumentException(s"Unknown table '$name'"))
     layout match {
-      case Some(l) if raw.columns.contains(keys.mergeColumn) =>
+      case Some(l) if raw.columns.contains(snap.keys.mergeColumn) =>
         // coarse lock: concurrent gate entries sharing one catalog must not
         // race the one-time bucketed write (ensureBucketed's exists-check is
         // check-then-act); reads after materialization stay on the fast map
-        bucketedMemo.get((version, name)).getOrElse(synchronized {
-          bucketedMemo.getOrElseUpdate((version, name), {
-            // Session-catalog table name keyed on the DIRECTORY VERSION: a
-            // regenerated data dir can never serve stale buckets (the old
-            // bucketed table is simply orphaned in the scratch warehouse).
+        val tv = snap.tableVersions(name)
+        bucketedMemo.get((tv, name)).getOrElse(synchronized {
+          bucketedMemo.getOrElseUpdate((tv, name), {
+            // Session-catalog table name keyed on THIS TABLE's content
+            // version (mtime+size): a regenerated file can never serve
+            // stale buckets (the old bucketed table is orphaned in the
+            // scratch warehouse), and tables that did NOT change keep
+            // their existing buckets — per-table layout maintenance.
             val safe = name.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
-            Layout.ensureBucketed(spark, raw, keys.mergeColumn, l.buckets,
-              l.warehouseDir, s"${l.namePrefix}_${safe}_v$version")
+            Layout.ensureBucketed(spark, raw, snap.keys.mergeColumn, l.buckets,
+              l.warehouseDir, s"${l.namePrefix}_${safe}_v$tv")
           })
         })
       case _ => raw

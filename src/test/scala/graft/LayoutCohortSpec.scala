@@ -153,6 +153,38 @@ class LayoutCohortSpec extends SparkSpec {
     assert(nPlain > 0 && rowsPlain.nonEmpty)
   }
 
+  test("layout maintenance is per-table: changing one file re-buckets only it") {
+    val dir = fixtureDir(
+      "demographics.csv" -> "ursi,age\nS001,25\nS002,31",
+      "labs.csv" -> "ursi,glucose\nS001,5.2\nS002,6.1")
+    val wh = Files.createTempDirectory("graft-layout-wh-").toString
+    val prefix = s"laymnt${System.nanoTime()}"
+    val cat = new TableCatalog(spark, EngineConfig(dir),
+      Some(BucketedLayout(wh, 2, prefix)))
+    cat.table("demographics").count() // materialize both layouts
+    cat.table("labs").count()
+    def bucketedTables: Seq[String] = spark.catalog.listTables()
+      .collect().map(_.name).filter(_.startsWith(prefix)).toSeq.sorted
+    val before = bucketedTables
+    assert(before.count(_.contains("demographics")) == 1 && before.count(_.contains("labs")) == 1)
+
+    // regenerate ONLY labs (new content AND size; bump mtime explicitly in
+    // case the fs clock is coarse)
+    val labsPath = java.nio.file.Paths.get(dir, "labs.csv")
+    java.nio.file.Files.writeString(labsPath,
+      "ursi,glucose\nS001,7.7\nS002,8.8\nS003,9.9\n")
+    java.nio.file.Files.setLastModifiedTime(labsPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+
+    assert(cat.table("labs").count() == 3, "regenerated labs must be re-read")
+    cat.table("demographics").count()
+    val after = bucketedTables
+    assert(after.count(_.contains("labs")) == 2,
+      s"labs should have a NEW bucketed version: $after")
+    assert(after.count(_.contains("demographics")) == 1,
+      s"unchanged demographics must keep its existing buckets: $after")
+  }
+
   test("tables without the merge column are served raw under a layout") {
     val dir = fixtureDir(
       "demographics.csv" -> "ursi,age\nS001,25\nS002,31",
