@@ -52,11 +52,11 @@ object Ingest {
 
   /** File-level validation: extension, size cap, basic content security
     * scan for formula-injection prefixes (security.py:18–152). */
-  def validateFile(path: java.nio.file.Path): Validation = {
+  def validateFile(path: java.nio.file.Path, ext: String = ".csv"): Validation = {
     val errors = Seq.newBuilder[String]
     val warnings = Seq.newBuilder[String]
     val name = path.getFileName.toString
-    if (!name.toLowerCase.endsWith(".csv")) errors += s"Not a .csv file: $name"
+    if (!name.toLowerCase.endsWith(ext)) errors += s"Not a $ext file: $name"
     if (!java.nio.file.Files.exists(path)) errors += s"File not found: $name"
     else {
       val size = java.nio.file.Files.size(path)
@@ -122,9 +122,31 @@ object Ingest {
       /** Conflict policy when the secure filename already exists in
         * `dataDir` (upload.py:29–33, 47–110): Replace overwrites, Rename
         * lands under the given name, Cancel rejects the upload. */
-      onDuplicate: DuplicateAction = Replace): (Validation, Option[String]) = {
+      onDuplicate: DuplicateAction = Replace): (Validation, Option[String]) =
+    ingest(spark, sourcePath, dataDir, keys, onDuplicate, jsonl = false)
+
+  /** JSONL twin of [[ingestCsv]] (catalog extension — the corpus
+    * interchange format [[graft.catalog.TableCatalog]] scans): identical
+    * validate → sanitize-field-names → composite-ID → land flow, reading
+    * JSON-Lines and landing a `.jsonl` the catalog serves directly. */
+  def ingestJsonl(
+      spark: SparkSession,
+      sourcePath: String,
+      dataDir: String,
+      keys: MergeKeys,
+      onDuplicate: DuplicateAction = Replace): (Validation, Option[String]) =
+    ingest(spark, sourcePath, dataDir, keys, onDuplicate, jsonl = true)
+
+  private def ingest(
+      spark: SparkSession,
+      sourcePath: String,
+      dataDir: String,
+      keys: MergeKeys,
+      onDuplicate: DuplicateAction,
+      jsonl: Boolean): (Validation, Option[String]) = {
+    val ext = if (jsonl) ".jsonl" else ".csv"
     val src = java.nio.file.Paths.get(sourcePath)
-    val fileCheck = validateFile(src)
+    val fileCheck = validateFile(src, ext)
     if (!fileCheck.ok) return (fileCheck, None)
 
     val (dups, _) = checkDuplicates(Seq(src.getFileName.toString), dataDir)
@@ -136,8 +158,10 @@ object Ingest {
       case Replace => None
     } else None
 
-    val raw = spark.read.option("header", "true").option("inferSchema", "true")
-      .option("mode", "PERMISSIVE").csv(sourcePath)
+    val raw =
+      if (jsonl) spark.read.option("mode", "PERMISSIVE").json(sourcePath)
+      else spark.read.option("header", "true").option("inferSchema", "true")
+        .option("mode", "PERMISSIVE").csv(sourcePath)
     val renamed = raw.toDF(sanitizeColumnNames(raw.columns.toSeq): _*)
     val dfCheck = validateDataFrame(renamed)
     if (!dfCheck.ok) return (dfCheck, None)
@@ -155,8 +179,8 @@ object Ingest {
 
     val stem = graft.report.Sinks
       .secureFilename(renamedTo.getOrElse(src.getFileName.toString))
-      .stripSuffix(".csv")
-    val target = s"$dataDir/$stem.csv"
+      .stripSuffix(ext)
+    val target = s"$dataDir/$stem$ext"
     // Re-validate the FINAL landing name at write time (the reference
     // re-validates the resolved name; this also narrows the check→write
     // TOCTOU window): without it, Rename('existing.csv') silently overwrites
@@ -165,10 +189,11 @@ object Ingest {
     if (onDuplicate != Replace
         && java.nio.file.Files.exists(java.nio.file.Paths.get(target)))
       return (Validation(
-        Seq(s"Duplicate file: $stem.csv already exists in $dataDir" +
+        Seq(s"Duplicate file: $stem$ext already exists in $dataDir" +
           renamedTo.fold("")(n => s" (rename target '$n' conflicts)")),
         fileCheck.warnings ++ dfCheck.warnings), None)
-    graft.report.Sinks.csvExport(withComposite, target)
+    if (jsonl) graft.report.Sinks.jsonlExport(withComposite, target)
+    else graft.report.Sinks.csvExport(withComposite, target)
     (Validation(Seq.empty, fileCheck.warnings ++ dfCheck.warnings), Some(target))
   }
 }

@@ -238,6 +238,41 @@ object CatalogQueries extends QueryModule {
         .csv(landed.get).orderBy("participant_id")
     })
 
+  /** JSONL upload ingestion (catalog extension): the same validate →
+    * sanitize-field-names → land flow as S6 over JSON-Lines input; the
+    * landed .jsonl artifact is oracle-checked (rows+schema+hash) against
+    * the literal expectation — dirty keys sanitized, formula cell kept
+    * verbatim (flagged, not mutated). */
+  val s6JsonlIngest: Q = Q(
+    "s6_jsonl_ingest",
+    Some("""
+      SELECT CAST(participant_id AS BIGINT) AS participant_id,
+             CAST(c_2nd_visit AS BIGINT) AS c_2nd_visit, score
+      FROM (VALUES
+        (1, 10, '=cmd()'),
+        (2, 20, 'ok'),
+        (3, 30, 'fine')) AS t(participant_id, c_2nd_visit, score)
+      ORDER BY participant_id"""),
+    (s, _) => {
+      val srcDir = Files.createTempDirectory("graft-jsonl-src-")
+      val dataDir = Files.createTempDirectory("graft-jsonl-dst-").toString
+      val src = srcDir.resolve("scores upload.jsonl")
+      Files.writeString(src,
+        """{"participant id": 1, "2nd visit!": 10, "score": "=cmd()"}
+          |{"participant id": 2, "2nd visit!": 20, "score": "ok"}
+          |{"participant id": 3, "2nd visit!": 30, "score": "fine"}
+          |""".stripMargin)
+      val keys = MergeKeys("participant_id")
+      val (v, landed) = Ingest.ingestJsonl(s, src.toString, dataDir, keys)
+      require(v.ok && landed.exists(_.endsWith(".jsonl")),
+        s"jsonl ingest failed: ${v.errors} -> $landed")
+      require(v.warnings.exists(_.contains("formula-injection")),
+        "expected formula-injection warning")
+      s.read.json(landed.get)
+        .select("participant_id", "c_2nd_visit", "score")
+        .orderBy("participant_id")
+    })
+
   /** S7: dataset preparation — the composite ID is DERIVED at load
     * (`concat(primary,'_',session)`), never written back into user files
     * (reference merge_strategy.py:117–192 rewrites CSVs in place; SURVEY.md
@@ -379,6 +414,6 @@ object CatalogQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     s1DirectoryScan, s2CsvScan, s2JsonlScan, s3MetadataScan, s4NumericRanges,
-    s5HeaderScan, s6UploadIngest, s7DatasetPrep, s8CsvExport, s9ZipReport,
-    s10TomlRoundtrip, s11ProfileSink)
+    s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
+    s9ZipReport, s10TomlRoundtrip, s11ProfileSink)
 }
