@@ -566,4 +566,71 @@ object Dedup {
         .select(col("id").as(idCol), col("cluster_id"), col("n_cluster")),
       idCol)
   }
+
+  /** Cross-corpus frequent-span removal — exact-substring deduplication at
+    * word granularity (Lee et al. 2022, arXiv:2107.06499, with word
+    * n-grams standing in for the suffix-array byte spans; the same span
+    * family C4 and RefinedWeb strip as boilerplate). Any word n-gram that
+    * occurs in ≥ `minDocFreq` DISTINCT documents is boilerplate; every
+    * word covered by at least one such span is removed and each document
+    * is reassembled in original word order. Unlike the whole-document
+    * dedup ops above, documents survive — only their repeated spans go.
+    *
+    * Returns the input columns with `textCol` rewritten plus
+    * `words_removed` (count of covered words dropped from this document).
+    * A document whose every word is covered yields the empty string.
+    *
+    * Scale shape (no exploded-word shuffle anywhere):
+    *  1. n-grams are built INSIDE the row as an array expression
+    *     (`transform`/`slice` over the token array — narrow, codegen'd),
+    *     then exploded only for the doc-frequency aggregation: one
+    *     map-side-combinable shuffle keyed by gram.
+    *  2. The surviving frequent set is SMALL by construction (its premise
+    *     is "appears in many documents") → broadcast inner join marks
+    *     covered start offsets; a corpus where it is NOT small is one
+    *     you'd clean with whole-document dedup first.
+    *  3. Covered starts are folded back per document (shuffle of id +
+    *     small int arrays, not text), and the final rewrite is a narrow
+    *     higher-order `filter(words, (w, i) -> no span covers i)` — the
+    *     document text itself never shuffles at all.
+    */
+  def removeFrequentSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocFreq: Int = 2): DataFrame = {
+    require(n >= 1, "span width n must be >= 1")
+    require(minDocFreq >= 2,
+      "minDocFreq must be >= 2 (1 would remove every word of every doc)")
+    val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    // start offsets are 0-based; slice() is 1-based
+    val grams = when(size(col("__words")) >= n,
+        transform(sequence(lit(0), size(col("__words")) - n),
+          i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val withGrams = df
+      .withColumn("__words",
+        when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+          array().cast("array<string>")).otherwise(words))
+      .withColumn("__grams", grams)
+    val exploded = withGrams.select(col(idCol),
+      posexplode(col("__grams")).as(Seq("__start", "__gram")))
+    val frequent = exploded
+      .groupBy(col("__gram"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__gram"))
+    val coveredStarts = exploded
+      .join(broadcast(frequent), "__gram")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__start")).as("__starts"))
+    val covered = (i: Column) =>
+      exists(col("__starts"), s => i >= s && i < s + n)
+    withGrams
+      .join(coveredStarts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("words_removed",
+        size(filter(col("__words"), (_, i) => covered(i))).cast("long"))
+      .withColumn(textCol,
+        concat_ws(" ", filter(col("__words"), (_, i) => !covered(i))))
+      .drop("__words", "__grams", "__starts")
+  }
 }

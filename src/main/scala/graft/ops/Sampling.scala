@@ -120,6 +120,49 @@ object Sampling {
     df.withColumn("shuffle_key", hashHex(seed, keys.map(col)))
       .orderBy(col("shuffle_key") +: keys.map(col): _*)
 
+  /** Temperature-based domain rebalancing (the multinomial mixture rule
+    * of GPT-3 / XLM-R / LLaMA data recipes): target proportions
+    * q_i ∝ n_i^alpha flatten the domain distribution as alpha → 0, and
+    * the corpus is thinned BY DOWNSAMPLING ONLY to the largest total that
+    * realizes them exactly — keep-rate r_i = q_i·T / n_i with
+    * T = min_j n_j/q_j, so the scarcest-relative-to-target domain is kept
+    * whole (rate 1) and every other domain is deterministically thinned
+    * to match. Per-row keeps are [[hashFraction]] decisions: auditable,
+    * rerun-stable, engine-portable.
+    *
+    * Scale shape: one map-side-combinable count per domain (a tiny
+    * aggregate — domains are things like source or language, not keys),
+    * rate arithmetic on that tiny table, then a broadcast join back and a
+    * stateless filter. The full corpus never shuffles; there is no
+    * window over the data itself.
+    *
+    * Cross-engine exactness: rates are floor-rounded to 6 decimals so
+    * pow()'s last-ulp differences between libm implementations cannot
+    * move a threshold; the rate-1 domain is identified by its own
+    * engine's argmin (exact by construction on both sides).
+    *
+    * Returns the kept rows plus `keep_rate` (the applied per-domain
+    * rate). `alpha` = 1 keeps everything; alpha = 0 targets a uniform
+    * mix. */
+  def temperatureSample(df: DataFrame, domainCol: String, alpha: Double,
+      keys: Seq[String], seed: String = "graft"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val q = counts.withColumn("__qi",
+      pow(col("__n"), alpha) / sum(pow(col("__n"), alpha)).over(all))
+    val rates = q.withColumn("__t", min(col("__n") / col("__qi")).over(all))
+      .withColumn("keep_rate",
+        when(col("__n") / col("__qi") <= col("__t"), lit(1.0))
+          .otherwise(least(lit(1.0),
+            floor(col("__qi") * col("__t") / col("__n") * 1e6) / 1e6)))
+      .select(col(domainCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashFraction(seed, keys.map(col)) < col("keep_rate"))
+  }
+
   /** Weighted corpus mixture: each source is thinned to its weight (a
     * deterministic per-row keep decision, NOT an approximate `sample()`)
     * and tagged with its name. Weights are independent keep-probabilities

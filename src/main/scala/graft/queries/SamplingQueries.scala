@@ -117,6 +117,37 @@ object SamplingQueries extends QueryModule {
         .orderBy("mix_source", "doc_id")
     })
 
+  /** Temperature-based domain rebalancing (alpha = 0.5 over `lang`): the
+    * scarcest-relative-to-target language keeps rate 1, the en-heavy head
+    * is thinned toward n^0.5 proportions. The gate compares the exact
+    * kept (doc_id, lang) set, so both engines must agree on every rate
+    * (floor-rounded to 6 decimals against libm pow ulps) and every
+    * per-row hash draw. */
+  val smpTemperature: Q = Q(
+    "smp_temperature_mix",
+    Some("""
+      WITH c AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+      q AS (
+        SELECT lang, n, pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS qi FROM c),
+      t AS (SELECT lang, n, qi, min(n / qi) OVER () AS tt FROM q),
+      r AS (
+        SELECT lang,
+          CASE WHEN n / qi <= tt THEN 1.0
+               ELSE least(1.0, floor(qi * tt / n * 1e6) / 1e6) END AS keep_rate
+        FROM t)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(concat('0x', substr(md5(concat_ws('|', 'graft',
+          CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+        < r.keep_rate
+      ORDER BY d.doc_id"""),
+    (s, dir) =>
+      Sampling.temperatureSample(Tables.load(s, dir, "documents"),
+          domainCol = "lang", alpha = 0.5, keys = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"))
+
   /** Deterministic global shuffle (training-order randomization): the full
     * permutation is oracle-checked POSITIONALLY — DuckDB derives the same
     * seeded identity hash and must produce the identical row order, which
@@ -134,5 +165,6 @@ object SamplingQueries extends QueryModule {
         Tables.load(s, dir, "documents").select("doc_id"), Seq("doc_id")))
 
   override def queries: Seq[Q] =
-    Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpShuffle)
+    Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
+      smpShuffle)
 }

@@ -271,6 +271,46 @@ object TextQueries extends QueryModule {
       out.orderBy("doc_id")
     })
 
+  /** Cross-corpus frequent-span removal (word-5-gram exact-substring
+    * dedup, Lee et al. 2022): spans in ≥2 distinct docs are stripped,
+    * documents reassembled in order. The oracle rebuilds the identical
+    * pipeline with window leads + NOT EXISTS coverage — full per-row,
+    * per-word parity including the rewritten text. */
+  val ddSpanRemoval: Q = Q(
+    "dd_span_removal",
+    Some(s"""
+      WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+      t AS (
+        SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word,
+               len(w) AS nw
+        FROM d),
+      g AS (
+        SELECT doc_id, pos AS start, nw,
+          concat_ws(' ', word, lead(word, 1) OVER wd, lead(word, 2) OVER wd,
+                    lead(word, 3) OVER wd, lead(word, 4) OVER wd) AS gram
+        FROM t WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+      g2 AS (SELECT doc_id, start, gram FROM g WHERE start <= nw - 5),
+      f AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT g2.doc_id, g2.start FROM g2 JOIN f USING (gram)),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.word FROM t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = t.doc_id
+                            AND t.pos >= c.start AND t.pos < c.start + 5)),
+      agg AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+               count(*) AS kept_words
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.text, '') AS text,
+             len(d.w) - coalesce(a.kept_words, 0) AS words_removed
+      FROM d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.removeFrequentSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 5, minDocFreq = 2)
+        .select(col("doc_id"), col("text"), col("words_removed"))
+        .orderBy("doc_id"))
+
   /** Character chunking (200-char windows, 50 overlap) for embedding
     * pipelines; the oracle reproduces every chunk boundary with
     * generate_series + substr. */
@@ -602,7 +642,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
-    ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus,
+    ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25,
     txtUnigramLogprob, txtBpeTokens, mntUpsert)

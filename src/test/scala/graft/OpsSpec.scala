@@ -634,6 +634,62 @@ class OpsSpec extends SparkSpec {
     assert(epoch2 != order && epoch2.sorted == order.sorted)
   }
 
+  test("frequent-span removal strips shared 5-grams, keeps unique text") {
+    import graft.ops.Dedup
+    val boiler = "all rights reserved contact us today" // 6 words, 2 gram starts
+    val df = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "entirely unique words with no repeats here"),
+      (4L, "tiny doc"), // shorter than n: no grams, untouched
+      (5L, boiler) // fully covered → empty string survives as a row
+    ).toDF("doc_id", "text")
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.removeFrequentSpans(d, "doc_id", "text", n = 5, minDocFreq = 2)
+    val out = run(df).collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Long]("words_removed")))).toMap
+    assert(out(1L) == (("alpha beta gamma", 6L)))
+    assert(out(2L) == (("delta epsilon", 6L)))
+    assert(out(3L) == (("entirely unique words with no repeats here", 0L)))
+    assert(out(4L) == (("tiny doc", 0L)))
+    assert(out(5L) == (("", 6L)))
+    // pure function of content: identical output under repartitioning
+    val again = run(df.repartition(7))
+    assert(run(df).exceptAll(again).count() == 0)
+  }
+
+  test("temperature sampling: argmin domain kept whole, head thinned toward n^alpha") {
+    import graft.ops.Sampling
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.temperatureSample(docs, "lang", 0.5, Seq("doc_id")).cache()
+    val rates = out.select("lang", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.size == byLang.size, "one rate per domain")
+    // closed-form check: q_i ∝ sqrt(n_i), T = min n_i/q_i, rate = q_i·T/n_i
+    val n = byLang.map { case (k, v) => k -> v.toDouble }
+    val sumw = n.values.map(math.sqrt).sum
+    val q = n.map { case (k, v) => k -> math.sqrt(v) / sumw }
+    val t = n.map { case (k, v) => v / q(k) }.min
+    n.keys.foreach { k =>
+      val expect =
+        if (n(k) / q(k) <= t * (1 + 1e-12)) 1.0
+        else math.min(1.0, math.floor(q(k) * t / n(k) * 1e6) / 1e6)
+      assert(math.abs(rates(k) - expect) < 2e-6, s"$k: ${rates(k)} vs $expect")
+    }
+    assert(rates.values.max == 1.0, "scarcest-relative-to-target domain keeps rate 1")
+    // kept counts track their rates (loose binomial bound)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.keys.foreach { k =>
+      assert(math.abs(kept.getOrElse(k, 0L) - rates(k) * n(k)) <=
+        4 * math.sqrt(n(k)) + 1, s"$k kept ${kept.getOrElse(k, 0L)}")
+    }
+    // alpha = 1 is the identity: every rate 1, nothing dropped
+    assert(Sampling.temperatureSample(docs, "lang", 1.0, Seq("doc_id")).count() ==
+      docs.count())
+  }
+
   test("semantic dedup: identical vectors collapse; kept set has no within-cell near-dups") {
     import graft.ops.{Dedup, Similarity}
     // three exact-duplicate groups + two unique vectors, in 2 cells
