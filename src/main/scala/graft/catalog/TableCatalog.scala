@@ -26,9 +26,11 @@ final case class TableMeta(
 /** The "directory of files is the database" catalog
   * (reference: data_handling/metadata.py + merge_strategy.py).
   *
-  * - Scans `config.dataDir` for `*.csv` / `*.parquet` / `*.jsonl`; table
-  *   name = file stem (metadata.py:32–50; JSONL is our extension — the
-  *   corpus interchange format a training-data pipeline actually receives).
+  * - Scans `config.dataDir` for `*.csv` / `*.parquet` / `*.jsonl` /
+  *   `*.orc`; table name = file stem (metadata.py:32–50; JSONL and ORC are
+  *   our extensions — the corpus interchange format a training-data
+  *   pipeline actually receives, and the columnar format half the
+  *   warehouse world writes).
   * - Loads each table once and caches the DataFrame; invalidated when the
   *   directory's max mtime changes.
   *
@@ -98,7 +100,8 @@ final class TableCatalog(
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
       .filter(p => { val n = p.getFileName.toString
-        n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".jsonl") })
+        n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".jsonl") ||
+          n.endsWith(".orc") })
       .toSeq.sortBy(_.getFileName.toString)
 
   private def stem(p: Path): String = {
@@ -115,7 +118,12 @@ final class TableCatalog(
       // (see graft.Tables.load).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.Tables.normalizeTs(spark.read.parquet(p.toString))
-    } else if (name.endsWith(".jsonl"))
+    } else if (name.endsWith(".orc"))
+      // ORC columnar scan — schema comes from the file footer like
+      // parquet's; the shared ts normalizer keeps timestamp semantics
+      // identical across all four source formats
+      graft.Tables.normalizeTs(spark.read.orc(p.toString))
+    else if (name.endsWith(".jsonl"))
       // JSON-Lines corpus format (inferred schema, one object per line);
       // PERMISSIVE keeps malformed lines as nulls instead of failing the
       // scan — same forgiving posture as the CSV path

@@ -140,6 +140,48 @@ object CatalogQueries extends QueryModule {
         .limit(500)
     })
 
+  /** ORC source scan (catalog extension): the same derivation landed as a
+    * single ORC file — the Hive-lineage columnar format — read back
+    * through the directory catalog (schema from the ORC footer),
+    * value-identical to the original parquet per the oracle. DuckDB
+    * cannot read ORC, so the oracle reads the SOURCE parquet and the
+    * Spark side must round-trip derive → ORC → scan losslessly. */
+  private val orcDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val s2OrcScan: Q = Q(
+    "s2_orc_scan",
+    Some("""
+      SELECT o_custkey AS ursi, o_orderkey % 3 + 1 AS session_num,
+             o_totalprice AS score
+      FROM orders
+      ORDER BY ursi, session_num, score
+      LIMIT 500"""),
+    (s, dir) => {
+      val tmp = orcDirs.getOrElseUpdate(dir, {
+        val d = Files.createTempDirectory("graft-orc-").toString
+        Sinks.csvExport(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").as("ursi"), col("c_acctbal").as("age")),
+          s"$d/demographics.csv")
+        Sinks.orcExport(
+          Tables.load(s, dir, "orders").select(
+            col("o_custkey").as("ursi"),
+            (col("o_orderkey") % 3 + 1).as("session_num"),
+            col("o_totalprice").as("score")),
+          s"$d/scores.orc")
+        d
+      })
+      val cat = new TableCatalog(s, EngineConfig(
+        dataDir = tmp, demographicsTable = "demographics",
+        primaryIdColumn = "ursi"))
+      require(cat.tableNames == Seq("demographics", "scores"),
+        s"orc table not cataloged: ${cat.tableNames}")
+      cat.table("scores")
+        .select(col("ursi").cast("long"), col("session_num").cast("long"),
+          col("score"))
+        .orderBy("ursi", "session_num", "score")
+        .limit(500)
+    })
+
   /** S3: metadata sample scan — column names + dtypes from the schema, ID
     * columns flagged (metadata.py:87–128). */
   val s3MetadataScan: Q = Q(
@@ -413,7 +455,7 @@ object CatalogQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    s1DirectoryScan, s2CsvScan, s2JsonlScan, s3MetadataScan, s4NumericRanges,
+    s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
     s9ZipReport, s10TomlRoundtrip, s11ProfileSink)
 }

@@ -58,6 +58,21 @@ object Sinks {
     target
   }
 
+  /** Write a DataFrame as ONE ORC file at `outFile` (the columnar
+    * interchange format for Hive-lineage warehouses). Same single-file
+    * download semantic as [[csvExport]]; large exports should use
+    * `df.write.orc` with natural partitioning. */
+  def orcExport(df: DataFrame, outFile: String): Path = {
+    val target = Paths.get(outFile).toAbsolutePath
+    val tmp = Files.createTempDirectory("graft-orc-export")
+    df.coalesce(1).write.mode("overwrite").orc(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException("no orc part written"))
+    Files.createDirectories(target.getParent)
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
   /** Render a small (driver-side) DataFrame to CSV text — for the report
     * bundle's summary tables, which are inherently small. */
   def toCsvString(df: DataFrame): String = {
