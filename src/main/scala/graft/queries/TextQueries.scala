@@ -271,6 +271,41 @@ object TextQueries extends QueryModule {
       out.orderBy("doc_id")
     })
 
+  /** In-engine quality classifier (rows-only: IRLS is iterative, no SQL
+    * oracle; the solver itself is pinned against an independent NumPy fit
+    * in StatsSpec). Trains ridge-logistic "is this English?" on four
+    * surface features — the fastText-style linear filter of CCNet/GPT-3
+    * lineage — then scores every document with the codegen'd sigmoid
+    * expression. Self-asserts convergence and separability (mean English
+    * score must exceed mean non-English score), so a silently useless
+    * model fails the gate. */
+  val txtQualityClassifier: Q = Q(
+    "txt_quality_classifier",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val feats = Seq(
+        "stopword_ratio" -> TextOps.stopwordRatio(col("text")),
+        "mean_token_len" -> TextOps.meanTokenLength(col("text")),
+        "distinct_ratio" -> TextOps.distinctRatio(col("text")),
+        "log_chars" -> log(col("n_chars") + 1))
+      val fit = graft.stats.Logistic.fit(docs, feats,
+          (col("lang") === "en").cast("double"), lambda = 1e-3)
+        .getOrElse(sys.error("logistic fit produced no model"))
+      require(fit.converged,
+        s"IRLS did not converge in ${fit.iterations} iterations")
+      val scored = docs.select(col("doc_id"), col("lang"),
+        round(fit.score(feats.map(_._2)), 6).as("en_score"))
+      val m = scored.groupBy((col("lang") === "en").as("is_en"))
+        .agg(avg(col("en_score")).as("m")).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      require(m(true) > m(false),
+        s"classifier is not discriminative: en ${m(true)} <= other ${m(false)}")
+      scored.select(col("doc_id"), col("en_score"),
+          (col("en_score") >= 0.5).as("pred_en"))
+        .orderBy("doc_id")
+    })
+
   /** Cross-corpus frequent-span removal (word-5-gram exact-substring
     * dedup, Lee et al. 2022): spans in ≥2 distinct docs are stripped,
     * documents reassembled in order. The oracle rebuilds the identical
@@ -645,5 +680,5 @@ object TextQueries extends QueryModule {
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25,
-    txtUnigramLogprob, txtBpeTokens, mntUpsert)
+    txtUnigramLogprob, txtBpeTokens, txtQualityClassifier, mntUpsert)
 }

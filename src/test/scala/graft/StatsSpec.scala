@@ -5,6 +5,7 @@ import org.apache.commons.math3.random.Well19937c
 
 import graft.core.MergeKeys
 import graft.stats._
+import org.apache.spark.sql.functions.col
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -483,5 +484,51 @@ class StatsSpec extends SparkSpec {
     assert(symQ(0.5) == 0.0, s"median of symmetric set: ${symQ(0.5)}")
     assert(math.abs(symQ(0.0) + 1000.0) <= 10.5, s"min-ish: ${symQ(0.0)}")
     assert(math.abs(symQ(1.0) - 1000.0) <= 10.5, s"max-ish: ${symQ(1.0)}")
+  }
+
+  test("logistic IRLS matches an independent NumPy reference fit") {
+    import graft.stats.Logistic
+    // Reference computed offline with NumPy IRLS (lambda 0.1 on features,
+    // intercept unpenalized, 7 iterations to max|step| < 1e-12):
+    //   weights = [3.64511354, -2.67335211], intercept = -0.77415222,
+    //   deviance = 2.81911834
+    val rows = Seq(
+      (0.2, 1.0, 0.0), (0.4, 0.8, 0.0), (0.6, 1.2, 0.0), (0.8, 0.4, 1.0),
+      (1.0, 1.5, 0.0), (1.2, 0.2, 1.0), (1.4, 1.1, 1.0), (1.6, 0.6, 1.0),
+      (1.8, 1.3, 1.0), (2.0, 0.9, 1.0))
+    val df = rows.toDF("x1", "x2", "y")
+    val fit = Logistic.fit(df,
+      Seq("x1" -> col("x1"), "x2" -> col("x2")), col("y"),
+      lambda = 0.1, maxIter = 50, tol = 1e-10).get
+    assert(fit.converged && fit.n == 10)
+    assert(math.abs(fit.weights(0) - 3.64511354) < 1e-5, fit.weights(0).toString)
+    assert(math.abs(fit.weights(1) + 2.67335211) < 1e-5, fit.weights(1).toString)
+    assert(math.abs(fit.intercept + 0.77415222) < 1e-5, fit.intercept.toString)
+    assert(math.abs(fit.deviance - 2.81911834) < 1e-4, fit.deviance.toString)
+    // scoring expression reproduces the fitted probabilities
+    val scores = df.select(col("y"),
+        fit.score(Seq(col("x1"), col("x2"))).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    scores.foreach { case (y, p) => assert(p > 0 && p < 1) }
+    val aucPairs = for {
+      (1.0, p1) <- scores; (0.0, p0) <- scores
+    } yield if (p1 > p0) 1.0 else if (p1 == p0) 0.5 else 0.0
+    assert(aucPairs.sum / aucPairs.length > 0.85, "fit must rank pos over neg")
+  }
+
+  test("logistic degenerate inputs return None, never throw") {
+    import graft.stats.Logistic
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(Logistic.fit(empty, Seq("x" -> col("x")), col("y")).isEmpty)
+    // constant label: no boundary to fit
+    val const = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Logistic.fit(const, Seq("x" -> col("x")), col("y")).isEmpty)
+    // nulls dropped pairwise-complete; survivors still fit
+    val withNulls = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 0.0), (null, 1.0), (3.0, null), (4.0, 1.0), (0.5, 0.0), (5.0, 1.0))
+      .toDF("x", "y")
+    val f = Logistic.fit(withNulls, Seq("x" -> col("x")), col("y"),
+      lambda = 0.1).get
+    assert(f.n == 4 && f.weights(0) > 0, s"n=${f.n} w=${f.weights(0)}")
   }
 }
