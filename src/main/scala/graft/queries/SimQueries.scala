@@ -60,6 +60,33 @@ object SimQueries extends QueryModule {
         .orderBy("qid", "rank")
     })
 
+  /** PQ-compressed ANN with exact re-rank (rows-only: k-means codebooks
+    * have no SQL oracle; recall vs brute force is pinned in OpsSpec).
+    * Fits 16 subspace codebooks, encodes the corpus to 16 nibbles per
+    * vector, ADC-shortlists 100 candidates per query and re-ranks them
+    * with exact cosine. Self-asserts every query got exactly k rows. */
+  val simTopkPq: Q = Q(
+    "sim_topk_pq",
+    None,
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val cb = graft.ops.Pq.fit(embs, "vec_id", "embedding",
+        m = 16, k = 16, maxIter = 10, fitSampleRows = 2048)
+      val encoded = graft.ops.Pq.encode(embs, "vec_id", "embedding", cb)
+      val k = 3
+      val out = graft.ops.Pq.searchAdcRerank(embs, "vec_id", "embedding",
+          encoded, cb,
+          embs.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = k, shortlist = 100)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+      val perQuery = out.groupBy("qid").count().collect()
+      require(perQuery.length == 10 && perQuery.forall(_.getLong(1) == k),
+        s"expected 10 queries x $k rows, got ${perQuery.mkString(", ")}")
+      out
+    })
+
   /** Embedding-cosine near-duplicate pairs (threshold tuned to the data's
     * cosine distribution: max pairwise cosine is ~0.51). */
   val simNearDups: Q = Q(
@@ -168,6 +195,6 @@ object SimQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(simTopK, simAnn, simIvf, simNearDups, mmFeatures, mmResize, mmFrames,
-      ddSemantic)
+    Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
+      mmFrames, ddSemantic)
 }

@@ -634,6 +634,55 @@ class OpsSpec extends SparkSpec {
     assert(epoch2 != order && epoch2.sorted == order.sorted)
   }
 
+  test("PQ: 32x-compressed codes; ADC recall@10 holds vs exact brute force") {
+    import graft.ops.{Pq, Similarity}
+    val cb = Pq.fit(embs, "vec_id", "embedding", m = 8, k = 16, maxIter = 10)
+    assert(cb.centroids.length == 8 && cb.centroids.forall(_.length == 16))
+    assert(cb.dSub == 8)
+    val encoded = Pq.encode(embs, "vec_id", "embedding", cb).cache()
+    val codes = encoded.select("code").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)),
+      "every code must be m=8 indices in [0, k)")
+    // encoding is a pure function of the vector: stable under repartition
+    val again = Pq.encode(embs.repartition(7), "vec_id", "embedding", cb)
+    assert(encoded.exceptAll(again).count() == 0)
+
+    val k = 10
+    val qf = col("vec_id") < 20
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qf, k)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ADC-only on these NEAR-RANDOM synthetic vectors (max pairwise cosine
+    // ~0.5, no cluster structure — the adversarial case for quantization)
+    // ranks weakly; it must still beat noise by a wide margin
+    val adc = Pq.searchAdc(encoded, cb,
+        embs.filter(qf).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = brute.count(adc.contains).toDouble / brute.size
+    assert(adcRecall >= 0.2, s"ADC-only recall@$k $adcRecall (chance ~0.02)")
+
+    // the deployment shape — ADC shortlist + exact re-rank — restores
+    // recall even here (finer m=16 codebooks, 100-candidate shortlist)
+    val cb16 = Pq.fit(embs, "vec_id", "embedding", m = 16, k = 16, maxIter = 10)
+    val enc16 = Pq.encode(embs, "vec_id", "embedding", cb16)
+    val rr = Pq.searchAdcRerank(embs, "vec_id", "embedding", enc16, cb16,
+        embs.filter(qf).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k, shortlist = 100)
+    val rrPairs = rr.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = brute.count(rrPairs.contains).toDouble / brute.size
+    assert(rrRecall >= 0.85, s"reranked recall@$k $rrRecall over ${brute.size}")
+    // re-ranked cosines are EXACT: spot-check against Similarity.cosine
+    val one = rr.head()
+    val qid = one.getAs[Long]("qid"); val nid = one.getAs[Long]("nid")
+    val exact = embs.filter(col("vec_id") === qid).select(col("embedding"))
+      .crossJoin(embs.filter(col("vec_id") === nid)
+        .select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding").cast("array<double>"),
+        col("e2").cast("array<double>"))).head().getDouble(0)
+    assert(math.abs(one.getAs[Double]("cosine") - exact) < 1e-9)
+  }
+
   test("frequent-span removal strips shared 5-grams, keeps unique text") {
     import graft.ops.Dedup
     val boiler = "all rights reserved contact us today" // 6 words, 2 gram starts
