@@ -169,6 +169,49 @@ object EventQueries extends QueryModule {
     })
 
   /** JSON property extraction from the events `props` column. */
+  /** Time-partitioned layout + partition pruning: events land as
+    * Hive-style `event_date=.../` parquet once per source version, and a
+    * one-week query must (a) prune 30 day-partitions to 7 AT PLANNING
+    * TIME — asserted against the scan's selected-partition count, the
+    * 100 TB data-skipping claim itself, not just the row values — and
+    * (b) return rows value-identical to the oracle's ts-range scan of
+    * the source parquet. */
+  private val partDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val evPartitionedPrune: Q = Q(
+    "ev_partitioned_prune",
+    Some("""
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val path = partDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-events-bydate-").toString
+        graft.catalog.Layout.writeTimePartitioned(
+          Tables.load(s, dir, "events"), "ts", d)
+        d
+      })
+      val week = graft.catalog.Layout.readTimePartitioned(s, path)
+        .filter(col("event_date") >= lit("2024-01-08") &&
+          col("event_date") <= lit("2024-01-14"))
+      // prove the prune: the physical scan must have planned only the 7
+      // matching partition directories, not all 30
+      val scans = week.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "expected a FileSourceScanExec")
+      val selected = scans.head.selectedPartitions.partitionCount
+      require(selected == 7,
+        s"partition pruning planned $selected partitions, expected 7 of 30")
+      require(scans.head.partitionFilters.nonEmpty,
+        "scan carries no PartitionFilters — predicate did not reach planning")
+      week.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    })
+
   val evJson: Q = Q(
     "ev_json_extract",
     Some("""
@@ -225,5 +268,5 @@ object EventQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
-      evJson, evLiveCount, evProfile)
+      evJson, evPartitionedPrune, evLiveCount, evProfile)
 }
