@@ -291,6 +291,58 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Near-duplicate NOVELTY: rows of `incoming` with no MinHash near-dup
+    * (est. Jaccard ≥ `threshold`) in `history` — the fuzzy third member
+    * of the novelty family ([[novelAgainstExact]] exact,
+    * [[novelAgainstBloom]] probabilistic-exact, this one NEAR-dup aware:
+    * a lightly reworded copy of yesterday's document is not novel).
+    *
+    * Same banded-LSH shape as [[minhashLshPairs]], but the bucket join is
+    * incoming × history instead of a self-join: history's banded bucket
+    * table is the persistable index (at 100 TB, write it once per corpus
+    * version bucketed by (band, bucket) and each day's incoming batch
+    * joins against it), candidates carry bare ids, and signatures attach
+    * only for the estimate. History mega-buckets above `maxBucketSize`
+    * are dropped with the same contract as pair mining: a missed match
+    * errs toward calling a document novel (keeping it), never toward
+    * dropping a genuinely new one. Incoming docs with no shingles (blank
+    * text) have no signature and are reported novel. */
+  def novelAgainstMinhash(incoming: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, k: Int = 144,
+      bands: Int = 48, threshold: Double = 0.5, seed: Long = 42,
+      maxBucketSize: Int = 100): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def bandCols = (0 until bands).map(bnd =>
+      xxhash64(concat_ws("_", slice(col("sig"), bnd * r + 1, r))))
+    val inSigs = minhashSignatures(incoming, idCol, textCol, n, k, seed)
+    val histSigs = minhashSignatures(history, idCol, textCol, n, k, seed)
+    val inBands = inSigs.select(col("id"), posexplode(array(bandCols: _*)))
+      .select(col("id").as("in_id"), col("pos").as("band"),
+        col("col").as("bucket"))
+    val histBuckets = histSigs
+      .select(col("id"), posexplode(array(bandCols: _*)))
+      .select(col("id").as("hist_id"), col("pos").as("band"),
+        col("col").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("hist_id")).as("hist_ids"))
+      .filter(size(col("hist_ids")) <= maxBucketSize)
+    val candidates = inBands
+      .join(histBuckets, Seq("band", "bucket"))
+      .select(col("in_id"), explode(col("hist_ids")).as("hist_id"))
+      .dropDuplicates("in_id", "hist_id")
+    val matched = candidates
+      .join(inSigs.select(col("id").as("in_id"), col("sig").as("sig1")), "in_id")
+      .join(histSigs.select(col("id").as("hist_id"), col("sig").as("sig2")),
+        "hist_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("in_id").as(idCol)).distinct()
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: signature via the custom Catalyst expression,
     * banded on 16-bit chunks (a pair within hamming distance d < chunks must
     * agree on ≥1 chunk), exact hamming filter with built-in bit_count.

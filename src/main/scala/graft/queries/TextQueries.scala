@@ -194,6 +194,31 @@ object TextQueries extends QueryModule {
       novel.orderBy("doc_id")
     })
 
+  /** Near-dup novelty vs a historical corpus (rows-only: MinHash is not
+    * SQL-expressible). Incoming = the held-out shard plus five PLANTED
+    * exact copies of history under new ids; the entry self-asserts that
+    * every planted copy is caught (non-novel) and that genuinely new
+    * shard docs survive — so a vacuous always-novel or always-dup result
+    * cannot pass. */
+  val ddNoveltyMinhash: Q = Q(
+    "dd_novelty_minhash",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      val planted = hist.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val inc = docs.filter(col("doc_id") % 10 >= 8).unionByName(planted)
+      val novel = Dedup.novelAgainstMinhash(inc, hist, "doc_id", "text",
+        threshold = 0.5)
+      val plantedNovel = novel.filter(col("doc_id") >= 1000000).count()
+      require(plantedNovel == 0,
+        s"$plantedNovel planted history copies escaped as novel")
+      val kept = novel.filter(col("doc_id") < 1000000).count()
+      require(kept > 0, "every genuinely-new doc was (wrongly) matched")
+      novel.select("doc_id").orderBy("doc_id")
+    })
+
   /** MinHash-LSH near-dup candidates — xxhash64-based, not SQL-expressible
     * in DuckDB; driver records a rows-only check, the ScalaTest spec holds
     * the recall assertion against exact Jaccard. */
@@ -678,7 +703,7 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
-    ddNoveltyExact, ddNoveltyBloom, txtChunks, txtRepetition, txtVocab,
+    ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25,
     txtUnigramLogprob, txtBpeTokens, txtQualityClassifier, mntUpsert)
 }

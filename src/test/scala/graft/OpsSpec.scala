@@ -707,6 +707,27 @@ class OpsSpec extends SparkSpec {
     assert(run(df).exceptAll(again).count() == 0)
   }
 
+  test("minhash novelty: exact and near-dup copies of history are not novel") {
+    import graft.ops.Dedup
+    val hist = docs.select("doc_id", "text").filter(col("doc_id") < 40)
+    val exactCopies = hist.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 5000L)
+    // near-dups: one appended token on a ~50-word doc keeps bigram
+    // jaccard ~0.94, far above the 0.5 threshold
+    val nearDups = hist.filter(col("doc_id").between(3, 5))
+      .withColumn("doc_id", col("doc_id") + 6000L)
+      .withColumn("text", concat(col("text"), lit(" zzgarble")))
+    val fresh = Seq(
+      (9001L, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"),
+      (9002L, "")) // blank: no shingles, no signature -> reported novel
+      .toDF("doc_id", "text")
+    val inc = exactCopies.unionByName(nearDups).unionByName(fresh)
+    val novel = Dedup.novelAgainstMinhash(inc, hist, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(9001L, 9002L),
+      s"expected only the fresh docs novel, got $novel")
+  }
+
   test("temperature sampling: argmin domain kept whole, head thinned toward n^alpha") {
     import graft.ops.Sampling
     val byLang = docs.groupBy("lang").count().collect()
