@@ -210,6 +210,81 @@ object Pq {
       .select("qid", "rank", "nid", "approx_cosine")
   }
 
+  /** IVF-PQ (the composed index of Jégou §V / faiss IndexIVFPQ): the
+    * [[Ivf]] coarse quantizer prunes the corpus to each query's `nProbe`
+    * nearest cells, the ADC scan scores only those cells' CODES, and the
+    * shortlist re-ranks with exact cosine. At 100 TB this is the full
+    * memory-and-compute story: cells bound the candidate set
+    * (~nProbe/nLists of the corpus), codes shrink what the candidate
+    * scan touches ~30×, and raw vectors are read only for
+    * |queries| × shortlist re-rank rows. The encoded table joins the
+    * cell assignment by id once — persist `index.assigned` and the codes
+    * bucketed by cell to make that join and the probe filter zero-cost
+    * across query batches.
+    *
+    * Recall contract: misses come from either quantizer (a neighbor in
+    * an unprobed cell, or outside the ADC shortlist) — both tunable
+    * (nProbe, shortlist) and spec-pinned against brute force. */
+  def searchIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      index: Ivf.Index, encoded: DataFrame, cb: Codebooks,
+      queryFilter: Column, k: Int = 10, nProbe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nLists = index.centroids.length
+    val probes = math.min(nProbe, nLists)
+    val centroidDF = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+    // per-query probe set: nearest coarse centroids (tiny broadcast join)
+    val queries = index.assigned.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val probeSets = queries.crossJoin(broadcast(centroidDF))
+      .select(col("qid"), col("qv"), col("cell"),
+        Similarity.dot(col("qv"), col("cv")).as("__sim"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__sim").desc, col("cell"))))
+      .filter(col("__pr") <= probes)
+    // the same unrolled LUT as searchAdc, built once per (query, probe)
+    val lut = array((0 until cb.m).map { j =>
+      val qsub = subvector(col("qv"), j, cb.dSub)
+      array(cb.centroids(j).map(c =>
+        Similarity.dot(qsub, array(c.map(lit): _*))): _*)
+    }: _*)
+    val probesWithLut = probeSets.select(col("qid"), col("cell"),
+      lut.as("__lut"))
+    // candidate scan: only probed cells' codes are scored
+    val celledCodes = encoded
+      .join(index.assigned.select(col("id"), col("cell")), "id")
+    val scored = celledCodes.join(broadcast(probesWithLut), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        aggregate(
+          zip_with(col("code"), col("__lut"),
+            (cd, l) => element_at(l, cd + 1)),
+          lit(0.0), (acc, x) => acc + x).as("approx_cosine"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cosine").desc, col("nid"))
+    val candidates = scored.withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= shortlist)
+      .select(col("qid"), col("nid"))
+    // exact re-rank of the shortlist only
+    val corpus = df.select(col(idCol).as("nid"),
+      l2normalize(col(vecCol).cast("array<double>")).as("nv"))
+    val qv = index.assigned.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val exact = candidates
+      .join(broadcast(qv), "qid")
+      .join(corpus, "nid")
+      .select(col("qid"), col("nid"),
+        Similarity.dot(col("qv"), col("nv")).as("cosine"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    exact.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
   /** ADC shortlist + exact re-rank (the standard PQ deployment, Jégou
     * §VI): the compressed scan picks `shortlist` candidates per query,
     * then ONLY those rows' raw vectors are fetched (a semi-join against

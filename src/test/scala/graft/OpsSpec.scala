@@ -707,6 +707,56 @@ class OpsSpec extends SparkSpec {
     assert(run(df).exceptAll(again).count() == 0)
   }
 
+  test("IVF-PQ: probed-cell candidates only, exact rerank scores, recall floor") {
+    import graft.ops.{Ivf, Pq, Similarity}
+    val index = Ivf.build(embs, "vec_id", "embedding", nLists = 8,
+      maxIter = 10, initMode = "random")
+    val cb = Pq.fit(embs, "vec_id", "embedding", m = 16, k = 16, maxIter = 10)
+    val encoded = Pq.encode(embs, "vec_id", "embedding", cb)
+    val k = 10
+    val qf = col("id") < 20
+    val out = Pq.searchIvfPq(embs, "vec_id", "embedding", index, encoded, cb,
+      qf, k = k, nProbe = 4, shortlist = 100).cache()
+    // exactly k rows per query
+    val perQ = out.groupBy("qid").count().collect()
+    assert(perQ.length == 20 && perQ.forall(_.getLong(1) == k))
+    // every neighbor lies in one of its query's probed cells — candidate
+    // generation respected the IVF prune (4 of 8 cells)
+    val cells = index.assigned.select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val centroidRank = (qv: Array[Double]) => index.centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qv).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(t => (-t._1, t._2)).take(4).map(_._2).toSet
+    val qvecs = index.assigned.filter(qf)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    out.select("qid", "nid").collect().foreach { r =>
+      val probed = centroidRank(qvecs(r.getLong(0)))
+      assert(probed.contains(cells(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} of ${r.getLong(0)} outside probed cells")
+    }
+    // recall floor vs brute force — structureless vectors cap the cell
+    // recall (neighbors spread uniformly over cells: probing 4/8 bounds
+    // expected recall near 0.5), so the floor pins "no silent collapse",
+    // not search quality; sim_ann_ivf/PQ rerank specs pin the quality legs
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        col("vec_id") < 20, k)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall@$k $recall")
+    // returned cosines are exact (not quantized): spot-check one row
+    val one = out.head()
+    val exact = embs.filter(col("vec_id") === one.getAs[Long]("qid"))
+      .select(col("embedding")).crossJoin(
+        embs.filter(col("vec_id") === one.getAs[Long]("nid"))
+          .select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding").cast("array<double>"),
+        col("e2").cast("array<double>"))).head().getDouble(0)
+    assert(math.abs(one.getAs[Double]("cosine") - exact) < 1e-9)
+  }
+
   test("minhash novelty: exact and near-dup copies of history are not novel") {
     import graft.ops.Dedup
     val hist = docs.select("doc_id", "text").filter(col("doc_id") < 40)
