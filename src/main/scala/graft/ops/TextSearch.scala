@@ -71,4 +71,49 @@ object TextSearch {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** TF-IDF top-k for an ad-hoc query: score = Σ_t (tf_t/dl)·idf_t with the
+    * smoothed idf = ln((1+N)/(1+df_t)) + 1 (never zero, so a term present in
+    * every document still contributes) and length-normalized term frequency
+    * (tf/dl), which removes the long-document bias raw counts carry.
+    *
+    * Same two-pass, no-explode shape as [[bm25TopK]]: one stats aggregate
+    * (N + one df per term, map-side combined), then one scoring scan with
+    * term stats inlined as literals, ending in orderBy+limit which Catalyst
+    * plans as TakeOrderedAndProject (per-partition heap, no sort shuffle).
+    * BM25 saturates tf and weights rare terms harder; TF-IDF is the linear
+    * classic — both live here so callers can pick per workload. */
+  def tfidfTopK(
+      df: DataFrame, idCol: String, textCol: String, query: String,
+      k: Int = 10, roundTo: Int = 6): DataFrame = {
+    val terms: Seq[String] =
+      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+
+    val w = TextOps.tokens(lower(col(textCol)))
+    val docs = df.select(col(idCol).as("id"), w.as("w"))
+
+    val statAggs = count(lit(1)).as("n") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("w"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = stats.getLong(0)
+    if (n == 0L)
+      return docs.select(col("id"), lit(0.0).as("score")).limit(0)
+    val dfs = terms.indices.map(i => stats.getLong(1 + i))
+
+    // Arithmetic ordered exactly as the DuckDB oracle writes it; the dl=0
+    // guard keeps blank documents at score 0 instead of NULL (0/0).
+    val dl = size(col("w")).cast("double")
+    val score: Column = terms.zipWithIndex.map { case (t, i) =>
+      val idf = log(lit((1.0 + n) / (1.0 + dfs(i)))) + lit(1.0)
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      when(dl === 0.0, 0.0).otherwise(tf / dl) * idf
+    }.reduce(_ + _)
+
+    docs.select(col("id"), round(score, roundTo).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -562,6 +562,66 @@ object TextQueries extends QueryModule {
       graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
         "doc_id", "text", "spark hash join", k = 10))
 
+  /** TF-IDF top-10 for "data filter stream" — length-normalized tf times
+    * smoothed idf (ln((1+N)/(1+df)) + 1). The oracle recomputes N and the
+    * per-term dfs from the corpus and mirrors the scoring arithmetic
+    * term-for-term; both engines order by the ROUNDED score. */
+  val txtTfidf: Q = Q(
+    "txt_tfidf_topk",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        FROM documents),
+      s AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN list_contains(w, 'data') THEN 1 ELSE 0 END) AS df0,
+          sum(CASE WHEN list_contains(w, 'filter') THEN 1 ELSE 0 END) AS df1,
+          sum(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END) AS df2
+        FROM d)
+      SELECT doc_id AS id, ROUND(
+          (CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) END)
+            * (ln((1.0 + n) / (1.0 + df0)) + 1.0)
+        + (CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(w, x -> x = 'filter')) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) END)
+            * (ln((1.0 + n) / (1.0 + df1)) + 1.0)
+        + (CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) END)
+            * (ln((1.0 + n) / (1.0 + df2)) + 1.0)
+        , 6) AS score
+      FROM d, s
+      ORDER BY score DESC, id
+      LIMIT 10"""),
+    (s, dir) =>
+      graft.ops.TextSearch.tfidfTopK(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "data filter stream", k = 10))
+
+  /** Exact frequent tokens ≥ 3.4% of the token stream via Misra-Gries
+    * candidates + an exact verify pass (graft.ops.HeavyHitters). The output
+    * is EXACT by construction, so the oracle is the brute-force unnest +
+    * HAVING — what the two-pass plan avoids shuffling at scale. */
+  val txtHeavyHitters: Q = Q(
+    "txt_heavy_hitters",
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      e AS (SELECT unnest(w) AS token FROM d),
+      n AS (SELECT count(*) AS total FROM e)
+      SELECT token, count(*) AS cnt
+      FROM e, n
+      GROUP BY token, n.total
+      HAVING count(*) >= CAST(ceil(0.034 * total) AS BIGINT)
+      ORDER BY cnt DESC, token"""),
+    (s, dir) =>
+      graft.ops.HeavyHitters.frequentTokens(
+        Tables.load(s, dir, "documents"), "text", minFraction = 0.034))
+
   /** Unigram LM self-scoring (mean token log-probability, add-one
     * smoothing) — the perplexity-style quality signal. The oracle retrains
     * the same model in SQL; ROUND(…,6) absorbs the cross-row double
@@ -704,6 +764,7 @@ object TextQueries extends QueryModule {
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
-    txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25,
-    txtUnigramLogprob, txtBpeTokens, txtQualityClassifier, mntUpsert)
+    txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtTfidf,
+    txtHeavyHitters, txtUnigramLogprob, txtBpeTokens, txtQualityClassifier,
+    mntUpsert)
 }

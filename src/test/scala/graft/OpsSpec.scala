@@ -877,6 +877,69 @@ class OpsSpec extends SparkSpec {
     assert(out.head._1 == 5, "doc 5 (max tf both terms) must rank first")
   }
 
+  test("tfidf: matches an independent scalar implementation; blank doc scores 0") {
+    import graft.ops.TextSearch
+    val fixture = Seq(
+      (1, "spark join join filter"), (2, "spark"), (3, "filter scan scan"),
+      (4, ""), (5, "join spark join spark join")).toDF("doc_id", "text")
+    val out = TextSearch.tfidfTopK(fixture, "doc_id", "text", "spark join", k = 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+
+    // independent scalar TF-IDF: (tf/dl) * (ln((1+N)/(1+df)) + 1)
+    val toks = Map(1 -> Seq("spark", "join", "join", "filter"), 2 -> Seq("spark"),
+      3 -> Seq("filter", "scan", "scan"), 4 -> Seq.empty[String],
+      5 -> Seq("join", "spark", "join", "spark", "join"))
+    val n = toks.size.toDouble
+    def score(id: Int): Double = Seq("spark", "join").map { t =>
+      val df = toks.values.count(_.contains(t)).toDouble
+      val dl = toks(id).size.toDouble
+      val tf = toks(id).count(_ == t).toDouble
+      val idf = math.log((1.0 + n) / (1.0 + df)) + 1.0
+      if (dl == 0.0) 0.0 else (tf / dl) * idf
+    }.sum
+    val expected = toks.keys.toSeq
+      .map(id => (id, BigDecimal(score(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(out.toSeq == expected, s"got ${out.toSeq}, want $expected")
+    // doc 2 is 100% 'spark'; its normalized tf beats doc 1's mixed bag
+    assert(out.head._1 == 5 || out.head._1 == 2,
+      "a fully-on-topic doc must rank at the top under length-normalized tf")
+  }
+
+  test("heavy hitters: exact vs brute force; MG fallback when guarantee void") {
+    import graft.ops.HeavyHitters
+    // Skewed fixture: 'alpha' dominates, a long tail of unique tokens.
+    val docs = (1 to 50).map { i =>
+      val tail = (1 to 10).map(j => s"tail_${i}_$j").mkString(" ")
+      (i, s"alpha alpha alpha beta $tail")
+    } ++ Seq((51, ""), (52, "alpha beta gamma"))
+    val df = docs.toDF("doc_id", "text")
+
+    def brute(minFraction: Double): Seq[(String, Long)] = {
+      val e = df.select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      val n = e.count()
+      val minCount = math.ceil(minFraction * n).toLong
+      e.groupBy("t").count().filter(col("count") >= minCount)
+        .orderBy(col("count").desc, col("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    def run(minFraction: Double, capacity: Int): Seq[(String, Long)] =
+      HeavyHitters.frequentTokens(df, "text", minFraction, capacity)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // Healthy capacity: the candidate path is live and exact.
+    assert(run(0.05, capacity = 64) == brute(0.05))
+    assert(run(0.001, capacity = 4096) == brute(0.001))
+    // capacity=2 voids the guarantee at minFraction=0.001 (minCount ≤ N/3):
+    // the exact-fallback path must still return the right answer.
+    assert(run(0.001, capacity = 2) == brute(0.001))
+    // The dominant token is found even when capacity is minimal but the
+    // guarantee holds (alpha is > 1/2 of non-tail mass; use frac where
+    // minCount > N/(cap+1)).
+    val top = run(0.2, capacity = 8)
+    assert(top.map(_._1) == Seq("alpha"), s"got $top")
+  }
+
   test("bpe pre-tokenizer pieces: contractions, digit runs, punctuation split off") {
     val cases = Seq(
       (1, "it's 42 words-ish, okay?"),
