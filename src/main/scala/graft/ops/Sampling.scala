@@ -163,6 +163,54 @@ object Sampling {
       .filter(hashFraction(seed, keys.map(col)) < col("keep_rate"))
   }
 
+  /** Per-domain top-fraction selection — keep the best `frac` of each
+    * domain by a score column (the FineWeb/DCLM-style "classifier top-X%"
+    * quality cut, applied per source so a strong domain cannot crowd out
+    * a weak one).
+    *
+    * Exact semantics: rows ranked inside each domain by (score desc,
+    * tie-break id asc); keep ranks ≤ ceil(frac·n_domain). One shuffle on
+    * the domain key; rank and domain size come from two window functions
+    * over the SAME partitioning, so Catalyst plans a single Exchange.
+    *
+    * Scale note: a window sort puts each domain's full row set through one
+    * task's sort — fine for domains ≤ a few hundred million rows, a skew
+    * hazard past that. [[thresholdTopFraction]] is the 100 TB shape: it
+    * replaces the per-domain sort with one aggregate computing an
+    * approximate score threshold per domain and a broadcast-joined filter
+    * (no sort, no skew), at the cost of an approximate cut line. */
+  def topFractionByGroup(
+      df: DataFrame, groupCol: String, scoreCol: String, tieCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = byGroup.orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("__rn", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
+  /** Approximate per-domain top-fraction cut for corpora where a single
+    * domain is too large to sort: one aggregate computes each domain's
+    * (1−frac) score quantile with a mergeable percentile sketch, then a
+    * broadcast join + filter keeps rows at or above their domain's
+    * threshold. Two scans, zero sorts; the kept fraction lands within the
+    * sketch's rank error of `frac` (tighten with `accuracy`). Domains are
+    * few by premise — the threshold table stays broadcast-sized. */
+  def thresholdTopFraction(
+      df: DataFrame, groupCol: String, scoreCol: String, frac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val thresholds = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(scoreCol), lit(1.0 - frac), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Weighted corpus mixture: each source is thinned to its weight (a
     * deterministic per-row keep decision, NOT an approximate `sample()`)
     * and tagged with its name. Weights are independent keep-probabilities

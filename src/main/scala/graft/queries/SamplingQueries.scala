@@ -164,7 +164,48 @@ object SamplingQueries extends QueryModule {
       Sampling.shuffle(
         Tables.load(s, dir, "documents").select("doc_id"), Seq("doc_id")))
 
+  /** Keep the top 20% of each source domain by the surface quality score —
+    * the per-domain classifier cut. Both engines rank by the ROUNDED score
+    * (ties broken by doc_id) and keep ranks ≤ ceil(0.2·n_domain); the
+    * quality arithmetic mirrors txt_quality term-for-term. */
+  val smpQualityTopFrac: Q = Q(
+    "smp_quality_topfrac",
+    Some {
+      val enList = graft.ops.TextOps.LangMarkers.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT source, doc_id,
+          ROUND(0.3 * least(1.0, len(w) / 100.0)
+            + 0.4 * (CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END)
+            + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(w, t -> t IN ($enList))) AS DOUBLE)
+                     / len(w) END), 6) AS q
+        FROM (SELECT source, doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+              FROM documents)),
+      r AS (
+        SELECT source, doc_id, q,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY q DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM d)
+      SELECT source, doc_id, q
+      FROM r
+      WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+      ORDER BY source, doc_id"""
+    },
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("source"),
+        col("doc_id"),
+        round(graft.ops.TextOps.qualityScore(col("text")), 6).as("q"))
+      Sampling.topFractionByGroup(d, "source", "q", "doc_id", frac = 0.2)
+        .orderBy("source", "doc_id")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
-      smpShuffle)
+      smpShuffle, smpQualityTopFrac)
 }

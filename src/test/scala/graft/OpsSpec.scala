@@ -906,6 +906,36 @@ class OpsSpec extends SparkSpec {
       "a fully-on-topic doc must rank at the top under length-normalized tf")
   }
 
+  test("top-fraction by group: exact window cut and approx threshold cut agree") {
+    import graft.ops.Sampling
+    // Two domains of different sizes with distinct scores.
+    val rows = (1 to 40).map(i => ("big", i.toLong, i.toDouble)) ++
+      (1 to 7).map(i => ("small", (100 + i).toLong, i * 10.0))
+    val df = rows.toDF("dom", "id", "score")
+
+    val exact = Sampling.topFractionByGroup(df, "dom", "score", "id", 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // big: ceil(0.25·40)=10 → scores 31..40; small: ceil(0.25·7)=2 → 60,70
+    assert(exact == ((31 to 40).map(i => ("big", i.toLong)) ++
+      Seq(("small", 106L), ("small", 107L))).toSet, s"got $exact")
+
+    val approx = Sampling.thresholdTopFraction(df, "dom", "score", 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the approx cut must keep a per-domain count within ±2 of exact and
+    // never keep a row while dropping a higher-scored one in that domain
+    for (dom <- Seq("big", "small")) {
+      val e = exact.count(_._1 == dom); val a = approx.count(_._1 == dom)
+      assert(math.abs(e - a) <= 2, s"$dom: exact $e vs approx $a")
+    }
+    val keptScores = rows.filter(r => approx.contains((r._1, r._2)))
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val dropScores = rows.filterNot(r => approx.contains((r._1, r._2)))
+      .groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    for (dom <- keptScores.keys if dropScores.contains(dom))
+      assert(keptScores(dom) > dropScores(dom),
+        s"$dom: approx cut is not a clean score threshold")
+  }
+
   test("heavy hitters: exact vs brute force; MG fallback when guarantee void") {
     import graft.ops.HeavyHitters
     // Skewed fixture: 'alpha' dominates, a long tail of unique tokens.
