@@ -266,7 +266,37 @@ object EventQueries extends QueryModule {
           col("min_value"), col("max_value"))
         .orderBy("window_start", "event_type"))
 
+  /** Per-user online z-score anomaly flags ([[graft.streaming.Anomaly]]):
+    * each event judged against the running mean/variance of that user's
+    * PRIOR events. Values are quantized to cents so the running sums are
+    * exact integers — summation order (Spark running frame vs DuckDB
+    * segment tree) cannot shift a flag; the oracle mirrors the squared-form
+    * comparison op-for-op. */
+  val evAnomaly: Q = Q(
+    "ev_anomaly_flags",
+    Some("""
+      WITH c AS (
+        SELECT event_id, user_id, ts, round(value * 100) AS c FROM events),
+      w AS (
+        SELECT event_id, user_id, c,
+          count(c) OVER pw AS n_prior,
+          sum(c) OVER pw AS sm,
+          sum(c * c) OVER pw AS sq
+        FROM c
+        WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, n_prior,
+        CASE WHEN n_prior >= 5
+              AND (sq - sm * sm / n_prior) / (n_prior - 1) > 0
+              AND (c - sm / n_prior) * (c - sm / n_prior)
+                  > 9.0 * ((sq - sm * sm / n_prior) / (n_prior - 1))
+             THEN true ELSE false END AS is_anomaly
+      FROM w
+      ORDER BY event_id"""),
+    (s, dir) =>
+      graft.streaming.Anomaly.flags(Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
-      evJson, evPartitionedPrune, evLiveCount, evProfile)
+      evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly)
 }
