@@ -296,7 +296,42 @@ object EventQueries extends QueryModule {
     (s, dir) =>
       graft.streaming.Anomaly.flags(Tables.load(s, dir, "events")))
 
+  /** Hourly forward-fill resampling per user ([[graft.operators.Resample]]):
+    * irregular events aligned to a 1-hour grid, value carried from the last
+    * prior observation. The carried value is a bit-exact COPY of an
+    * observed double (no arithmetic), so hash parity needs no quantization;
+    * timestamps emit as epoch seconds (grid points are exact hours). */
+  val evResample: Q = Q(
+    "ev_resample_ffill",
+    Some("""
+      WITH b AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS g0, max(ts) AS g1
+        FROM events GROUP BY 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 1 HOUR)) AS ts,
+          0 AS is_obs, NULL::DOUBLE AS v
+        FROM b),
+      obs AS (SELECT user_id, ts, 1 AS is_obs, value AS v FROM events),
+      u AS (SELECT * FROM grid UNION ALL SELECT * FROM obs),
+      f AS (
+        SELECT user_id, ts, is_obs,
+          last_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_obs
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+        FROM u)
+      SELECT user_id, epoch_us(ts) // 1000000 AS grid_ts_s, ff AS value
+      FROM f
+      WHERE is_obs = 0
+      ORDER BY user_id, grid_ts_s"""),
+    (s, dir) =>
+      graft.operators.Resample
+        .ffillGrid(Tables.load(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("user_id"), unix_seconds(col("ts")).as("grid_ts_s"),
+          col("value"))
+        .orderBy("user_id", "grid_ts_s"))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
-      evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly)
+      evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
+      evResample)
 }

@@ -906,6 +906,31 @@ class OpsSpec extends SparkSpec {
       "a fully-on-topic doc must rank at the top under length-normalized tf")
   }
 
+  test("resample ffill: hourly grid carries last prior obs; exact tick reads prior") {
+    import graft.operators.Resample
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 5.0),
+      (1L, ts("2024-01-01 11:45:00"), 7.0),
+      (1L, ts("2024-01-01 12:00:00"), 9.0), // exactly on a grid tick
+      (1L, ts("2024-01-01 14:10:00"), 1.0),
+      (2L, ts("2024-01-01 23:59:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Resample.ffillGrid(events, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, Option(r.get(2))))
+      .sortBy(x => (x._1, x._2))
+    val expected = Seq(
+      (1L, "2024-01-01 10:00:00.0", None),      // before first obs
+      (1L, "2024-01-01 11:00:00.0", Some(5.0)),
+      (1L, "2024-01-01 12:00:00.0", Some(7.0)), // tick == obs reads PRIOR
+      (1L, "2024-01-01 13:00:00.0", Some(9.0)),
+      (1L, "2024-01-01 14:00:00.0", Some(9.0)),
+      (2L, "2024-01-01 23:00:00.0", None))      // single-obs key: one leading tick
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+  }
+
   test("top-fraction by group: exact window cut and approx threshold cut agree") {
     import graft.ops.Sampling
     // Two domains of different sizes with distinct scores.
