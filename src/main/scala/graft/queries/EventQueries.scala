@@ -330,8 +330,41 @@ object EventQueries extends QueryModule {
           col("value"))
         .orderBy("user_id", "grid_ts_s"))
 
+  /** Per-user value-over-time OLS trend ([[graft.stats.Regression
+    * .trendByKey]]): time centered per key, values in cents, so all moment
+    * sums are exact integers and the closed-form slope/intercept mirror
+    * bit-for-bit. The oracle repeats the identical arithmetic. */
+  val evTrend: Q = Q(
+    "ev_trend_slopes",
+    Some("""
+      WITH b AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS t, round(value * 100) AS c
+        FROM events),
+      m AS (
+        SELECT user_id, t, c, min(t) OVER (PARTITION BY user_id) AS t0
+        FROM b),
+      a AS (
+        SELECT user_id, count(*) AS n,
+          sum(CAST(t - t0 AS DOUBLE)) AS sx,
+          sum(CAST(t - t0 AS DOUBLE) * CAST(t - t0 AS DOUBLE)) AS sxx,
+          sum(c) AS sy,
+          sum(CAST(t - t0 AS DOUBLE) * c) AS sxy
+        FROM m GROUP BY 1)
+      SELECT user_id, n,
+        ROUND(CASE WHEN n * sxx - sx * sx > 0
+          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+          AS slope_cents_per_s,
+        ROUND(CASE WHEN n * sxx - sx * sx > 0
+          THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+          END, 6) AS intercept_cents
+      FROM a
+      ORDER BY user_id"""),
+    (s, dir) =>
+      graft.stats.Regression
+        .trendByKey(Tables.load(s, dir, "events"), "user_id", "ts", "value"))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
-      evResample)
+      evResample, evTrend)
 }

@@ -57,4 +57,48 @@ object Regression {
     Some(OlsResult(slope, intercept, r, r * r, p, stderr, n,
       row.getAs[Double]("xmin"), row.getAs[Double]("xmax")))
   }
+
+  /** Per-key OLS trend of a value against time — the drift monitor run
+    * over every entity at once (closed-form slope/intercept from moment
+    * sums; one groupBy, NO per-key driver loop — this is [[ols]] made
+    * group-wise and distributed).
+    *
+    * Engine-parity + exactness design: time is centered at each key's own
+    * first observation (a window min over the SAME key partitioning the
+    * groupBy reuses — Catalyst plans one Exchange total) and values are
+    * quantized to integer cents, so every aggregated moment (Σx, Σx²,
+    * Σy, Σxy) is an exact integer in doubles and summation order cannot
+    * perturb the closed form. Exactness holds while Σx² stays under 2^53 —
+    * seconds-granularity x over a ~month span and ~10³ events/key is
+    * comfortably inside; re-unit x (days) for multi-year histories.
+    *
+    * Keys with fewer than 2 points or zero time variance get null slope/
+    * intercept (guarded — no ANSI divide-by-zero). Slope is cents/second;
+    * intercept is cents at the key's first-observation epoch. */
+  def trendByKey(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol),
+      unix_seconds(col(tsCol)).as("__t"),
+      round(col(valCol).cast(DoubleType) * 100).as("__c"))
+    val t0 = min(col("__t")).over(Window.partitionBy(col(keyCol)))
+    val x = (col("__t") - t0).cast(DoubleType)
+    val agg = base
+      .select(col(keyCol), x.as("__x"), col("__c"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__c")).as("__sy"),
+        sum(col("__x") * col("__c")).as("__sxy"))
+    val denom = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("n") * col("__sxy") - col("__sx") * col("__sy")) / denom
+    agg.select(col(keyCol), col("n"),
+        round(when(denom > 0, slope), roundTo).as("slope_cents_per_s"),
+        round(when(denom > 0,
+          (col("__sy") - slope * col("__sx")) / col("n")), roundTo)
+          .as("intercept_cents"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -931,6 +931,32 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == expected, s"got ${out.toSeq}")
   }
 
+  test("trend by key: hand-computed slopes, degenerate keys null, one hash exchange") {
+    import graft.stats.Regression
+    import java.sql.Timestamp
+    def ts(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000L)
+    val events = Seq(
+      (1L, ts(0), 10.0), (1L, ts(60), 20.0), (1L, ts(120), 30.0),
+      (2L, ts(0), 5.0), // single point: no slope
+      (3L, ts(30), 4.0), (3L, ts(30), 8.0) // zero time variance: no slope
+    ).toDF("user_id", "ts", "value")
+    val out = Regression.trendByKey(events, "user_id", "ts", "value")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)), Option(r.get(3)))).toSeq
+    // key 1: cents rise 1000 per 60 s → slope 16.666667, intercept 1000
+    assert(rows == Seq(
+      (1L, 3L, Some(16.666667), Some(1000.0)),
+      (2L, 1L, None, None),
+      (3L, 2L, None, None)), s"got $rows")
+    // the window min and the groupBy share one hash partitioning
+    // (AQE's toString appends an "== Initial Plan ==" section that would
+    // double-count — look only at the final plan)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"want exactly 1 hash exchange, plan:\n$plan")
+  }
+
   test("top-fraction by group: exact window cut and approx threshold cut agree") {
     import graft.ops.Sampling
     // Two domains of different sizes with distinct scores.
