@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source corpus datasheet — the "dataset card" numbers a training-data
+  * pipeline publishes for every ingested source: volume (docs, tokens),
+  * exact-duplicate pressure (distinct canonical fingerprints), language
+  * composition, and mean surface quality.
+  *
+  * One scan, one groupBy on the source key; every column is either an
+  * integer aggregate or derived from one. The mean quality is aggregated
+  * in micro-units (round(q·1e6) per doc) so the group sum is an exact
+  * integer — summation order across partitions cannot move the reported
+  * mean, which keeps the whole card engine-portable bit-for-bit. The
+  * distinct-fingerprint count is Spark's two-phase distinct aggregate
+  * (partial distinct map-side); at 100 TB swap in approx_count_distinct
+  * if an exact dup census per source stops being worth its shuffle.
+  */
+object CorpusReport {
+
+  /** (source, n_docs, n_tokens, n_unique_fp, n_en, mean_quality) ordered
+    * by source. `mean_quality` = mean of per-doc [[TextOps.qualityScore]]
+    * values, micro-quantized then rounded to 6 decimals. */
+  def bySource(
+      docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(t)).as("n_tokens"),
+        countDistinct(TextOps.fingerprint(t)).as("n_unique_fp"),
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(round(TextOps.qualityScore(t) * 1e6)).as("__qsum"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("n_unique_fp"), col("n_en"),
+        round(col("__qsum") / col("n_docs") / 1e6, 6).as("mean_quality"))
+      .orderBy(col(sourceCol))
+  }
+}

@@ -622,6 +622,40 @@ object TextQueries extends QueryModule {
       graft.ops.HeavyHitters.frequentTokens(
         Tables.load(s, dir, "documents"), "text", minFraction = 0.034))
 
+  /** Per-source corpus datasheet ([[graft.ops.CorpusReport]]): volume,
+    * exact-dup census, language mix, mean quality — one groupBy scan.
+    * Quality is micro-quantized before summing so the mean is exact. */
+  val txtCorpusCard: Q = Q(
+    "txt_corpus_card",
+    Some {
+      val enList = TextOps.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT source, lang, text, $wSql AS w FROM documents),
+      q AS (
+        SELECT source, lang,
+          len(w) AS n_tok,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+          round((0.3 * least(1.0, len(w) / 100.0)
+            + 0.4 * (CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END)
+            + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(w, t -> t IN ($enList))) AS DOUBLE)
+                     / len(w) END)) * 1e6) AS qmicro
+        FROM d)
+      SELECT source,
+        count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        count(DISTINCT fp) AS n_unique_fp,
+        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        ROUND(sum(qmicro) / count(*) / 1e6, 6) AS mean_quality
+      FROM q
+      GROUP BY source
+      ORDER BY source"""
+    },
+    (s, dir) =>
+      graft.ops.CorpusReport.bySource(Tables.load(s, dir, "documents")))
+
   /** Unigram LM self-scoring (mean token log-probability, add-one
     * smoothing) — the perplexity-style quality signal. The oracle retrains
     * the same model in SQL; ROUND(…,6) absorbs the cross-row double
@@ -765,6 +799,6 @@ object TextQueries extends QueryModule {
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtTfidf,
-    txtHeavyHitters, txtUnigramLogprob, txtBpeTokens, txtQualityClassifier,
-    mntUpsert)
+    txtHeavyHitters, txtCorpusCard, txtUnigramLogprob, txtBpeTokens,
+    txtQualityClassifier, mntUpsert)
 }

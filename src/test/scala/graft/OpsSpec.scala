@@ -931,6 +931,21 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == expected, s"got ${out.toSeq}")
   }
 
+  test("corpus card: dup census collapses whitespace variants; mean quality exact") {
+    import graft.ops.CorpusReport
+    val docs = Seq(
+      (1L, "the cat  sat", "en", "a"),
+      (2L, "THE CAT SAT",  "de", "a"), // fingerprint-equal to doc 1
+      (3L, "dog",          "en", "a"),
+      (4L, "bird",         "fr", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusReport.bySource(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("a", 3L, 7L, 2L, 2L), ("b", 1L, 1L, 1L, 0L)),
+      s"got $out")
+  }
+
   test("trend by key: hand-computed slopes, degenerate keys null, one hash exchange") {
     import graft.stats.Regression
     import java.sql.Timestamp
