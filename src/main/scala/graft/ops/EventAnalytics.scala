@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over an event stream —
+  * the two product-analytics queries every event warehouse serves, shaped
+  * for one pass each.
+  *
+  * Funnel semantics (the ClickHouse `windowFunnel`/Amplitude convention):
+  * a user converts through step k when an event of step k's type exists
+  * STRICTLY AFTER their step k−1 conversion time; step 1 is the user's
+  * earliest step-1 event. Computed in ONE groupBy pass: per user, min ts
+  * for step 1 plus a sorted ts array per later step (collect_list skips
+  * the non-matching nulls), then the conversion chain folds left through
+  * `filter(arr, _ > prev)[0]` — a per-user in-memory scan, no self-joins,
+  * no re-shuffle per step. Per-user step arrays are bounded by that user's
+  * own step events; a single pathological user surfaces as one fat row,
+  * not a global blow-up.
+  *
+  * Retention: users bucketed by first-seen day (their cohort); activity
+  * counted as distinct (user, day); reported as distinct active users per
+  * (cohort day, whole weeks since). Window min, distinct, and groupBy all
+  * ride the user-key exchange; output is cohorts × weeks — tiny.
+  */
+object EventAnalytics {
+
+  /** (step, step_idx, n_users) per funnel step, ordered by step_idx.
+    * `steps` are matched against `typeCol` in order; a non-empty `window`
+    * (interval literal, e.g. "48 hours") additionally requires every later
+    * step to land within that span of the user's step-1 time. */
+  def funnel(
+      events: DataFrame, steps: Seq[String], keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      window: String = ""): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val aggs = min(when(col(typeCol) === steps.head, col(tsCol))).as("t1") +:
+      steps.tail.zipWithIndex.map { case (s, i) =>
+        array_sort(collect_list(when(col(typeCol) === s, col(tsCol))))
+          .as(s"l${i + 2}")
+      }
+    val perUser = events.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    // fold: t_k = first step-k ts strictly after t_{k-1} (null propagates),
+    // and within the window of t1 when one is set
+    val inWindow: Column => Column =
+      if (window.isEmpty) _ => lit(true)
+      else x => x <= col("t1") + expr(s"interval $window")
+    val chained = steps.indices.tail.foldLeft(perUser) { (df, i) =>
+      val k = i + 1
+      // try_element_at: empty filter result → null (ANSI element_at throws)
+      df.withColumn(s"t$k",
+        try_element_at(
+          filter(col(s"l$k"), x => x > col(s"t${k - 1}") && inWindow(x)), lit(1)))
+    }
+    val counts: Seq[Column] = steps.indices.map(i =>
+      count(col(s"t${i + 1}")).as(s"n${i + 1}"))
+    val row = chained.agg(counts.head, counts.tail: _*)
+    // unpivot with stack: one execution of the aggregate, not one per step
+    val cells = steps.zipWithIndex
+      .map { case (s, i) => s"'$s', ${i + 1}, n${i + 1}" }.mkString(", ")
+    row.select(expr(
+        s"stack(${steps.size}, $cells) AS (step, step_idx, n_users)"))
+      .orderBy("step_idx")
+  }
+
+  /** (cohort_day, week_offset, n_active) — distinct users of each
+    * first-seen-day cohort active in each whole week since. Days emit as
+    * epoch-day integers for engine-portable hashing. */
+  def retention(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    events
+      .select(col(keyCol), day.as("__day"))
+      .withColumn("__cohort",
+        min(col("__day")).over(Window.partitionBy(col(keyCol))))
+      // `div` = floor integer division, matching an oracle's `//`; offsets
+      // are non-negative by construction (cohort is the per-key min)
+      .select(col(keyCol), col("__cohort").cast("long").as("__cohort"),
+        expr("(__day - __cohort) div 7").as("__week"))
+      .distinct()
+      .groupBy(col("__cohort").as("cohort_day"), col("__week").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+}

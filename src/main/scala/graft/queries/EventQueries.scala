@@ -363,8 +363,64 @@ object EventQueries extends QueryModule {
       graft.stats.Regression
         .trendByKey(Tables.load(s, dir, "events"), "user_id", "ts", "value"))
 
+  /** Ordered funnel view→click→purchase within 48 h of first view
+    * ([[graft.ops.EventAnalytics.funnel]]). One groupBy pass; the oracle
+    * rebuilds the per-user conversion chain with the same sorted-array
+    * fold. 150 → 96 → 41 users at sf0.01 — each stage discriminative. */
+  val evFunnel: Q = Q(
+    "ev_funnel_conversion",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          min(ts) FILTER (event_type = 'view') AS t1,
+          list_sort(list(ts) FILTER (event_type = 'click')) AS l2,
+          list_sort(list(ts) FILTER (event_type = 'purchase')) AS l3
+        FROM events GROUP BY 1),
+      c AS (
+        SELECT user_id, t1, l3,
+          list_filter(l2, x -> x > t1
+            AND x <= t1 + INTERVAL 48 HOUR)[1] AS t2
+        FROM u),
+      c2 AS (
+        SELECT user_id, t1, t2,
+          list_filter(l3, x -> x > t2
+            AND x <= t1 + INTERVAL 48 HOUR)[1] AS t3
+        FROM c),
+      a AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM c2)
+      SELECT 'view' AS step, 1 AS step_idx, n1 AS n_users FROM a
+      UNION ALL SELECT 'click', 2, n2 FROM a
+      UNION ALL SELECT 'purchase', 3, n3 FROM a
+      ORDER BY step_idx"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.funnel(Tables.load(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"), window = "48 hours"))
+
+  /** Weekly cohort retention ([[graft.ops.EventAnalytics.retention]]):
+    * distinct users per (first-seen day, whole weeks since), days as
+    * epoch-day integers. */
+  val evRetention: Q = Q(
+    "ev_retention_cohorts",
+    Some("""
+      WITH d AS (
+        SELECT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events),
+      m AS (
+        SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort
+        FROM d),
+      w AS (
+        SELECT DISTINCT user_id, cohort, (day - cohort) // 7 AS week
+        FROM m)
+      SELECT CAST(cohort AS BIGINT) AS cohort_day,
+        CAST(week AS BIGINT) AS week_offset, count(*) AS n_active
+      FROM w
+      GROUP BY 1, 2
+      ORDER BY cohort_day, week_offset"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.retention(Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
-      evResample, evTrend)
+      evResample, evTrend, evFunnel, evRetention)
 }

@@ -931,6 +931,37 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == expected, s"got ${out.toSeq}")
   }
 
+  test("funnel: ordered conversion with window; retention: weekly cohorts") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(min: Long): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      (2L, ts(3), "click"), (2L, ts(5), "view"), // click precedes view: no step 2
+      (3L, ts(0), "view"), (3L, ts(5), "purchase"), (3L, ts(10), "click"),
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"), // never viewed
+      (5L, ts(0), "view"), (5L, ts(90), "click") // outside a 1-hour window
+    ).toDF("user_id", "ts", "event_type")
+    def counts(window: String): Seq[(String, Int, Long)] =
+      EventAnalytics.funnel(events, Seq("view", "click", "purchase"),
+          window = window)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // unbounded: users 1,3,5 click after view; only user 1 purchases after
+    assert(counts("") == Seq(("view", 1, 4L), ("click", 2, 3L),
+      ("purchase", 3, 1L)))
+    // 1-hour window drops user 5's late click
+    assert(counts("1 hour") == Seq(("view", 1, 4L), ("click", 2, 2L),
+      ("purchase", 3, 1L)))
+
+    // retention: one user active on day 0 and day 8 (week 1), another day 0
+    val ret = EventAnalytics.retention(Seq(
+        (1L, ts(0)), (1L, ts(30)), (1L, ts(8 * 24 * 60)),
+        (2L, ts(60))).toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val day0 = 19723L // 2024-01-01 in epoch days
+    assert(ret == Seq((day0, 0L, 2L), (day0, 1L, 1L)), s"got $ret")
+  }
+
   test("corpus card: dup census collapses whitespace variants; mean quality exact") {
     import graft.ops.CorpusReport
     val docs = Seq(
