@@ -64,6 +64,31 @@ object EventAnalytics {
       .orderBy("step_idx")
   }
 
+  /** Per-event trailing-window statistics: for every event, the count and
+    * value sum of that key's events in the preceding `windowSeconds`
+    * (inclusive of both endpoints) — the moving-aggregate feed for rate
+    * limiting, rolling spend, or feature generation.
+    *
+    * A RANGE window frame over epoch seconds: one exchange on the key,
+    * one ordered frame scan — no self-join of the stream against itself
+    * (the naive events×events-within-24h join is quadratic in the hot
+    * keys). Values aggregate in integer cents so the sums are exact and
+    * engine-portable. */
+  def rollingStats(
+      events: DataFrame, windowSeconds: Long, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rangeBetween(-windowSeconds, Window.currentRow)
+    events
+      .select(col("event_id"), col(keyCol),
+        unix_seconds(col(tsCol)).as("__t"),
+        round(col(valCol) * 100).as("__c"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_cents_window", sum(col("__c")).over(w).cast("long"))
+      .select("event_id", keyCol, "n_window", "sum_cents_window")
+      .orderBy("event_id")
+  }
+
   /** (cohort_day, week_offset, n_active) — distinct users of each
     * first-seen-day cohort active in each whole week since. Days emit as
     * epoch-day integers for engine-portable hashing. */

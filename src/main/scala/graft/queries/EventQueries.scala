@@ -419,8 +419,29 @@ object EventQueries extends QueryModule {
     (s, dir) =>
       graft.ops.EventAnalytics.retention(Tables.load(s, dir, "events")))
 
+  /** Trailing 24 h count/spend per event via a RANGE frame on epoch
+    * seconds ([[graft.ops.EventAnalytics.rollingStats]]) — no quadratic
+    * self-join; cents keep the window sums exact in both engines. */
+  val evRolling: Q = Q(
+    "ev_rolling_24h",
+    Some("""
+      WITH b AS (
+        SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t,
+          round(value * 100) AS c
+        FROM events)
+      SELECT event_id, user_id,
+        count(*) OVER rw AS n_window,
+        CAST(sum(c) OVER rw AS BIGINT) AS sum_cents_window
+      FROM b
+      WINDOW rw AS (PARTITION BY user_id ORDER BY t
+        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics
+        .rollingStats(Tables.load(s, dir, "events"), windowSeconds = 86400L))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
-      evResample, evTrend, evFunnel, evRetention)
+      evResample, evTrend, evFunnel, evRetention, evRolling)
 }

@@ -962,6 +962,22 @@ class OpsSpec extends SparkSpec {
     assert(ret == Seq((day0, 0L, 2L), (day0, 1L, 1L)), s"got $ret")
   }
 
+  test("rolling stats: trailing range frame inclusive at the window edge") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000L)
+    val events = Seq(
+      (10L, 1L, ts(0), 1.0),
+      (11L, 1L, ts(86400), 2.0),      // exactly 24 h later: includes event 10
+      (12L, 1L, ts(86401), 4.0),      // 24 h + 1 s: event 10 aged out
+      (13L, 2L, ts(50), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventAnalytics.rollingStats(events, 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((10L, 1L, 100L), (11L, 2L, 300L),
+      (12L, 2L, 600L), (13L, 1L, 800L)), s"got $out")
+  }
+
   test("corpus card: dup census collapses whitespace variants; mean quality exact") {
     import graft.ops.CorpusReport
     val docs = Seq(
