@@ -428,8 +428,33 @@ object StatsQueries extends QueryModule {
       qs.map(q => (q, est(q))).toDF("q", "estimate").orderBy("q")
     })
 
+  /** Exact grouped percentiles (p50/p95/p99): Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the (n−1)·p linear-interpolation
+    * definition; ROUND(…,6) absorbs last-ulp interpolation differences.
+    * Exact percentile sorts each group in one pass — the right call for
+    * bounded groups; the mergeable-sketch path (inc_quantile_sketch) is
+    * the unbounded-cardinality alternative. */
+  val t17Percentiles: Q = Q(
+    "t17_group_percentiles",
+    Some("""
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
+        .orderBy("l_returnflag"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
-    incQuantileSketch)
+    incQuantileSketch, t17Percentiles)
 }
