@@ -141,4 +141,24 @@ object Upsert {
     val rowsAfter = merged.count() // checkpointed: no extra scan
     UpsertStats(touched.size, nBuckets, rowsBefore, nUpserts, nDeletes, rowsAfter)
   }
+
+  /** Slowly-changing-dimension (type 2) history from a change log: each
+    * key's change events become validity intervals [valid_from, valid_to)
+    * — valid_to is the NEXT change's timestamp, null on the current row
+    * (`is_current`). One `lead` window per key, one exchange; attribute
+    * values are carried bit-for-bit (no arithmetic), so the history table
+    * is engine-portable by construction. Ties within a timestamp break on
+    * `ordCol` (a unique event id) to keep intervals deterministic. */
+  def scd2History(
+      changes: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    changes
+      .select(col(keyCol) +: col(tsCol).as("valid_from") +: col(ordCol) +:
+        attrCols.map(col): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("valid_from"), col(ordCol))))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -440,8 +440,33 @@ object EventQueries extends QueryModule {
       graft.ops.EventAnalytics
         .rollingStats(Tables.load(s, dir, "events"), windowSeconds = 86400L))
 
+  /** SCD-2 dimension history from the event change log
+    * ([[graft.ops.Upsert.scd2History]]): per-key validity intervals via
+    * one lead window; attributes carried bit-for-bit, bounds as epoch
+    * seconds, the open (current) interval flagged. */
+  val evScd2: Q = Q(
+    "mnt_scd2_history",
+    Some("""
+      SELECT user_id, event_id,
+        epoch_us(ts) // 1000000 AS valid_from_s,
+        epoch_us(lead(ts, 1) OVER pw) // 1000000 AS valid_to_s,
+        (lead(ts, 1) OVER pw IS NULL) AS is_current,
+        event_type, value
+      FROM events
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""),
+    (s, dir) =>
+      graft.ops.Upsert
+        .scd2History(Tables.load(s, dir, "events"), "user_id", "ts",
+          "event_id", Seq("event_type", "value"))
+        .select(col("user_id"), col("event_id"),
+          unix_seconds(col("valid_from")).as("valid_from_s"),
+          unix_seconds(col("valid_to")).as("valid_to_s"),
+          col("is_current"), col("event_type"), col("value"))
+        .orderBy("event_id"))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
-      evResample, evTrend, evFunnel, evRetention, evRolling)
+      evResample, evTrend, evFunnel, evRetention, evRolling, evScd2)
 }

@@ -962,6 +962,25 @@ class OpsSpec extends SparkSpec {
     assert(ret == Seq((day0, 0L, 2L), (day0, 1L, 1L)), s"got $ret")
   }
 
+  test("scd2 history: intervals chain gaplessly; exactly one current row per key") {
+    import graft.ops.Upsert
+    val hist = Upsert.scd2History(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"),
+      "user_id", "ts", "event_id", Seq("event_type", "value"))
+    val perKey = hist.groupBy("user_id").agg(
+      sum(when(col("is_current"), 1).otherwise(0)).as("n_current"),
+      count(lit(1)).as("n"))
+    assert(perKey.filter(col("n_current") =!= 1).isEmpty,
+      "every key must have exactly one open interval")
+    // chain: each non-current interval's valid_to equals the next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from", "event_id")
+    val broken = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(!col("is_current") && col("valid_to") =!= col("next_from"))
+    assert(broken.isEmpty, "validity intervals must chain without gaps")
+  }
+
   test("rolling stats: trailing range frame inclusive at the window edge") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp
