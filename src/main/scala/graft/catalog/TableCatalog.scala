@@ -88,30 +88,66 @@ final class TableCatalog(
 
   @volatile private var snapshot: Option[Snapshot] = None
 
+  /** Content version: for a multi-file table directory, fold every child
+    * file's (mtime, size) so an in-place rewrite OR an added/removed slice
+    * invalidates caches — a directory's own mtime only tracks the latter. */
   private def fileVersion(p: Path): String =
-    s"${Files.getLastModifiedTime(p).toMillis}x${Files.size(p)}"
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala
+        .filter(c => c.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(c => s"${Files.getLastModifiedTime(c).toMillis}x${Files.size(c)}")
+        .mkString("d", "_", "")
+    else s"${Files.getLastModifiedTime(p).toMillis}x${Files.size(p)}"
+
+  private def pathMtime(p: Path): Long =
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala
+        .map(c => Files.getLastModifiedTime(c).toMillis)
+        .foldLeft(Files.getLastModifiedTime(p).toMillis)(_ max _)
+    else Files.getLastModifiedTime(p).toMillis
 
   private def dirVersion(): Long =
     if (!Files.isDirectory(dir)) 0L
-    else listFiles().map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(
-      listFiles().size.toLong)(_ max _)
+    else listFiles().map(pathMtime).foldLeft(listFiles().size.toLong)(_ max _)
 
+  /** Table sources: single files by extension, plus SUBDIRECTORIES holding
+    * parquet slices (one table per directory, schema-drift tolerant — see
+    * [[loadRaw]]). Hidden/underscore names are skipped. */
   private def listFiles(): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
-      .filter(p => { val n = p.getFileName.toString
-        n.endsWith(".csv") || n.endsWith(".parquet") || n.endsWith(".jsonl") ||
-          n.endsWith(".orc") })
+      .filter { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".") || n.startsWith("_")) false
+        else if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala
+            .exists(_.getFileName.toString.endsWith(".parquet"))
+        else
+          n.endsWith(".csv") || n.endsWith(".parquet") ||
+            n.endsWith(".jsonl") || n.endsWith(".orc")
+      }
       .toSeq.sortBy(_.getFileName.toString)
 
   private def stem(p: Path): String = {
     val n = p.getFileName.toString
-    n.substring(0, n.lastIndexOf('.'))
+    val dot = n.lastIndexOf('.')
+    if (dot < 0) n else n.substring(0, dot)
   }
 
   private def loadRaw(p: Path): DataFrame = {
     val name = p.getFileName.toString
-    if (name.endsWith(".parquet")) {
+    if (Files.isDirectory(p)) {
+      // A directory of parquet slices is ONE table. mergeSchema=true makes
+      // the scan schema the union-by-name of every footer, so month-over-
+      // month schema drift (a column added to new slices) reads as nulls in
+      // old slices instead of failing the scan or silently dropping the
+      // column (Spark's default takes one footer). Footer merging costs one
+      // metadata pass; data is still pruned/pushed per file as usual.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.Tables.normalizeTs(
+        spark.read.option("mergeSchema", "true").parquet(p.toString))
+    } else if (name.endsWith(".parquet")) {
       // TIMESTAMP(NANOS) parquet is rejected by Spark's reader (read nanos
       // as Long), and bare timestamp[us] arrives as TIMESTAMP_NTZ; both are
       // canonicalized to TimestampType by the shared normalizer

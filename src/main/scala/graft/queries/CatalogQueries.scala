@@ -182,6 +182,65 @@ object CatalogQueries extends QueryModule {
         .limit(500)
     })
 
+  /** Schema-drift directory table (catalog extension): a SUBDIRECTORY of
+    * parquet slices is one table; mergeSchema makes the scan schema the
+    * union-by-name of every footer, so a column added to newer slices
+    * reads as nulls in older ones. The derivation splits orders into an
+    * old slice (3 columns) and a new slice (+priority) — the oracle
+    * reconstructs the drifted view from the source table. */
+  private val driftDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val s2MergeSchemaScan: Q = Q(
+    "s2_mergeschema_scan",
+    Some("""
+      SELECT o_custkey AS ursi, o_orderkey % 2 + 1 AS session_num,
+             o_totalprice AS score,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+      FROM orders
+      ORDER BY ursi, session_num, score, priority NULLS FIRST
+      LIMIT 500"""),
+    (s, dir) => {
+      val tmp = driftDirs.getOrElseUpdate(dir, {
+        val d = Files.createTempDirectory("graft-drift-").toString
+        Sinks.csvExport(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").as("ursi"), col("c_acctbal").as("age")),
+          s"$d/demographics.csv")
+        val orders = Tables.load(s, dir, "orders")
+        def land(df: org.apache.spark.sql.DataFrame, slice: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val t = Files.createTempDirectory("graft-slice-")
+          df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+          val found = Files.list(t).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.createDirectories(java.nio.file.Paths.get(s"$d/scores"))
+          Files.move(found, java.nio.file.Paths.get(s"$d/scores/$slice"))
+        }
+        land(orders.filter(col("o_orderkey") % 2 === 0).select(
+          col("o_custkey").as("ursi"),
+          (col("o_orderkey") % 2 + 1).as("session_num"),
+          col("o_totalprice").as("score")), "old.parquet")
+        land(orders.filter(col("o_orderkey") % 2 === 1).select(
+          col("o_custkey").as("ursi"),
+          (col("o_orderkey") % 2 + 1).as("session_num"),
+          col("o_totalprice").as("score"),
+          col("o_orderpriority").as("priority")), "new.parquet")
+        d
+      })
+      val cat = new TableCatalog(s, EngineConfig(
+        dataDir = tmp, demographicsTable = "demographics",
+        primaryIdColumn = "ursi"))
+      require(cat.tableNames == Seq("demographics", "scores"),
+        s"drift table not cataloged: ${cat.tableNames}")
+      val t = cat.table("scores")
+      require(t.columns.contains("priority"),
+        "mergeSchema must surface the column added in the newer slice")
+      t.select(col("ursi").cast("long"), col("session_num").cast("long"),
+          col("score"), col("priority"))
+        .orderBy(col("ursi"), col("session_num"), col("score"),
+          col("priority").asc_nulls_first)
+        .limit(500)
+    })
+
   /** S3: metadata sample scan — column names + dtypes from the schema, ID
     * columns flagged (metadata.py:87–128). */
   val s3MetadataScan: Q = Q(
@@ -455,7 +514,8 @@ object CatalogQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s3MetadataScan, s4NumericRanges,
+    s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s2MergeSchemaScan,
+    s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
     s9ZipReport, s10TomlRoundtrip, s11ProfileSink)
 }
