@@ -36,7 +36,11 @@ object Bench {
     "sim_topk_bruteforce",
     "ev_windowed_agg",
     "ev_sessionize",
-    "ev_asof_join")
+    "ev_asof_join",
+    // round-9 session-3 flagships (totals not comparable to r8's 17-query set)
+    "txt_heavy_hitters",
+    "smp_quality_topfrac",
+    "ev_anomaly_flags")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
