@@ -453,8 +453,68 @@ object StatsQueries extends QueryModule {
           round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
         .orderBy("l_returnflag"))
 
+  /** Chi-square contingency cells ([[graft.stats.Contingency]]): observed
+    * vs expected counts and per-cell χ² contributions for flag × status.
+    * Expected counts derive from exact integer margins, so the table
+    * mirrors bit-for-bit before the shared ROUND; the χ² statistic/p-value
+    * (their sum + commons-math3 CDF) is spec-pinned against an
+    * independent implementation. */
+  val t18Contingency: Q = Q(
+    "t18_contingency_chi2",
+    Some("""
+      WITH cts AS (
+        SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS observed
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        GROUP BY 1, 2),
+      w AS (
+        SELECT a, b, observed,
+          sum(observed) OVER () AS n,
+          sum(observed) OVER (PARTITION BY a) AS ra,
+          sum(observed) OVER (PARTITION BY b) AS cb
+        FROM cts)
+      SELECT a, b, observed,
+        ROUND(CAST(ra AS DOUBLE) * cb / n, 6) AS expected,
+        ROUND((observed - CAST(ra AS DOUBLE) * cb / n)
+              * (observed - CAST(ra AS DOUBLE) * cb / n)
+              / (CAST(ra AS DOUBLE) * cb / n), 6) AS contrib
+      FROM w
+      ORDER BY a, b"""),
+    (s, dir) =>
+      graft.stats.Contingency
+        .cells(Tables.load(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(col("a"), col("b"), col("observed"),
+          round(col("expected"), 6).as("expected"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy("a", "b"))
+
+  /** Winsorization ([[graft.transform.Winsorize]]): every row's price
+    * clipped to the corpus [p1, p99] — bounds from one exact-percentile
+    * aggregate (rounded so both engines clip at the same line), then a
+    * narrow map. Unclipped values pass through bit-for-bit, so the gate
+    * compares all 60k rows. */
+  val t19Winsorize: Q = Q(
+    "t19_winsorize_clip",
+    Some("""
+      WITH b AS (
+        SELECT ROUND(quantile_cont(l_extendedprice, 0.01), 6) AS lo,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS hi
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+        least(greatest(l_extendedprice, lo), hi) AS price_w
+      FROM lineitem, b
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) =>
+      graft.transform.Winsorize
+        .clip(Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price_w"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
-    incQuantileSketch, t17Percentiles)
+    incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize)
 }

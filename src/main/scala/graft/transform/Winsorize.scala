@@ -1,0 +1,45 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Percentile clipping (winsorization) — the standard tail-taming step
+  * before moment-based statistics or model features: values below the
+  * pLo percentile rise to it, values above pHi drop to it.
+  *
+  * One exact-percentile aggregate computes every column's clip bounds in
+  * a single pass (Spark's `percentile`, the (n−1)·p linear interpolation
+  * — engine-portable at a fixed rounding, proven by the
+  * t17_group_percentiles gate entry), then one narrow map applies
+  * least/greatest — no joins, no second shuffle. Bounds are rounded
+  * before clipping so the SAME clip line is computed by any engine;
+  * unclipped values pass through bit-for-bit.
+  *
+  * Exact percentiles sort per aggregate group — fine into the billions;
+  * for unbounded scale swap the bounds pass to `percentile_approx` or the
+  * mergeable quantile sketch (stats.QuantileSketch) and keep the same
+  * clip map. */
+object Winsorize {
+
+  /** `df` with each named numeric column clipped to its own
+    * [pLo, pHi] percentile bounds (cast to double). */
+  def clip(
+      df: DataFrame, cols: Seq[String], pLo: Double = 0.01,
+      pHi: Double = 0.99, roundTo: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "no columns to clip")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
+    val aggs = cols.flatMap { c =>
+      Seq(round(percentile(col(c).cast("double"), lit(pLo)), roundTo)
+            .as(s"__lo_$c"),
+          round(percentile(col(c).cast("double"), lit(pHi)), roundTo)
+            .as(s"__hi_$c"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val lo = bounds.getDouble(2 * i)
+      val hi = bounds.getDouble(2 * i + 1)
+      d.withColumn(c,
+        least(greatest(col(c).cast("double"), lit(lo)), lit(hi)))
+    }
+  }
+}

@@ -531,4 +531,38 @@ class StatsSpec extends SparkSpec {
       lambda = 0.1).get
     assert(f.n == 4 && f.weights(0) > 0, s"n=${f.n} w=${f.weights(0)}")
   }
+
+  test("chi-square: matches commons-math3 on raw counts; degenerate → None") {
+    import graft.stats.Contingency
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = Contingency.chiSquare(df, "l_returnflag", "l_linestatus").get
+
+    // independent implementation on the same observed counts
+    val obs = df.groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val as = obs.map(_._1).distinct.sorted
+    val bs = obs.map(_._2).distinct.sorted
+    val m = Array.ofDim[Long](as.length, bs.length)
+    obs.foreach { case (a, b, c) => m(as.indexOf(a))(bs.indexOf(b)) = c }
+    val tester = new org.apache.commons.math3.stat.inference.ChiSquareTest()
+    assert(math.abs(r.chi2 - tester.chiSquare(m)) < 1e-9,
+      s"chi2 ${r.chi2} vs ${tester.chiSquare(m)}")
+    assert(math.abs(r.pValue - tester.chiSquareTest(m)) < 1e-9)
+    assert(r.dof == (as.length - 1).toLong * (bs.length - 1))
+    assert(r.n == obs.map(_._3).sum)
+
+    // single-level side → None
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Contingency.chiSquare(one, "a", "b").isEmpty)
+  }
+
+  test("winsorize: tails clip to percentile bounds, interior passes through") {
+    import graft.transform.Winsorize
+    // 1..100: p1 = 1.99, p99 = 99.01 under (n-1)p interpolation
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Winsorize.clip(df, Seq("v"), 0.01, 0.99)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(1L) == 1.99 && out(100L) == 99.01, s"${out(1L)}, ${out(100L)}")
+    assert(out(2L) == 2.0 && out(50L) == 50.0 && out(99L) == 99.0)
+  }
 }
