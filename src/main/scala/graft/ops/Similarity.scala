@@ -117,4 +117,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
   }
+
+  /** Per-label embedding centroids — `Summarizer.mean` over ml vectors is
+    * the distributed per-group vector mean (ONE pass, map-side combined
+    * vector sums; no per-dimension explode/shuffle of n×d rows). Returns
+    * (label, centroid array<double>). */
+  def labelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    df.select(col(labelCol).as("label"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("__f"))
+      .groupBy("label")
+      .agg(Summarizer.mean(col("__f")).as("__m"))
+      .select(col("label"), vector_to_array(col("__m")).as("centroid"))
+  }
+
+  /** Label confusion in embedding space: pairwise cosine between label
+    * centroids — high off-diagonal cosine = labels a linear probe will
+    * confuse. Centroids are rounded BEFORE the cosine so any engine
+    * computes the same similarity from the same inputs; the pair join is
+    * labels² — tiny by premise. */
+  def labelConfusion(
+      df: DataFrame, labelCol: String, vecCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val r = labelCentroids(df, labelCol, vecCol)
+      .select(col("label"),
+        transform(col("centroid"), x => round(x, roundTo)).as("c"))
+    val a = r.select(col("label").as("la"), col("c").as("ca"))
+    val b = r.select(col("label").as("lb"), col("c").as("cb"))
+    a.join(b, col("la") < col("lb"))
+      .select(col("la"), col("lb"),
+        round(cosine(col("ca"), col("cb")), roundTo).as("cosine"))
+      .orderBy("la", "lb")
+  }
 }

@@ -194,7 +194,58 @@ object SimQueries extends QueryModule {
       out.orderBy("vec_id")
     })
 
+  /** Per-label centroids ([[graft.ops.Similarity.labelCentroids]]):
+    * distributed vector mean per label (Summarizer, no n×d explode),
+    * emitted long-form (label, dim, c). ROUND(…,6) absorbs float-sum
+    * order differences between the engines. */
+  val simCentroids: Q = Q(
+    "sim_label_centroids",
+    Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (
+        SELECT label, unnest(generate_series(1, len(v))) AS d,
+               unnest(v) AS val
+        FROM e)
+      SELECT label, CAST(d - 1 AS INT) AS dim, ROUND(avg(val), 6) AS c
+      FROM x
+      GROUP BY label, d
+      ORDER BY label, dim"""),
+    (s, dir) =>
+      Similarity.labelCentroids(Tables.load(s, dir, "embeddings"),
+          "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "cv")))
+        .select(col("label"), col("dim").cast("int").as("dim"),
+          round(col("cv"), 6).as("c"))
+        .orderBy("label", "dim"))
+
+  /** Label confusion ([[graft.ops.Similarity.labelConfusion]]): pairwise
+    * cosine between ROUNDED centroids — identical inputs, identical
+    * arithmetic, so the confusion matrix hash-matches. */
+  val simConfusion: Q = Q(
+    "sim_label_confusion",
+    Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (
+        SELECT label, unnest(generate_series(1, len(v))) AS d,
+               unnest(v) AS val
+        FROM e),
+      c AS (
+        SELECT label, d, ROUND(avg(val), 6) AS cv
+        FROM x GROUP BY label, d),
+      g AS (SELECT label, list(cv ORDER BY d) AS c FROM c GROUP BY label)
+      SELECT a.label AS la, b.label AS lb,
+        ROUND(
+          list_sum(list_transform(generate_series(1, len(a.c)),
+            i -> a.c[i] * b.c[i]))
+          / (sqrt(list_sum(list_transform(a.c, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.c, x -> x * x)))), 6) AS cosine
+      FROM g a JOIN g b ON a.label < b.label
+      ORDER BY la, lb"""),
+    (s, dir) =>
+      Similarity.labelConfusion(Tables.load(s, dir, "embeddings"),
+        "label", "embedding"))
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
-      mmFrames, ddSemantic)
+      mmFrames, ddSemantic, simCentroids, simConfusion)
 }

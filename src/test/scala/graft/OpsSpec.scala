@@ -962,6 +962,20 @@ class OpsSpec extends SparkSpec {
     assert(ret == Seq((day0, 0L, 2L), (day0, 1L, 1L)), s"got $ret")
   }
 
+  test("label centroids: per-label vector mean; orthogonal labels score cosine 0") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 2.0f), 1), (4L, Seq(0.0f, 4.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    assert(cents(0) == Seq(2.0, 0.0) && cents(1) == Seq(0.0, 3.0), s"$cents")
+    val conf = Similarity.labelConfusion(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(conf == Seq((0, 1, 0.0)), s"got $conf")
+  }
+
   test("scd2 history: intervals chain gaplessly; exactly one current row per key") {
     import graft.ops.Upsert
     val hist = Upsert.scd2History(
