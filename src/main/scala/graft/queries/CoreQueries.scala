@@ -310,9 +310,37 @@ object CoreQueries extends QueryModule {
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first))
 
+  /** A15: top-k ROWS per group (highest-value orders per priority). The
+    * rank<=k filter lowers to WindowGroupLimit: each partition keeps a
+    * per-group k-heap BEFORE the exchange, so the shuffle carries ≤
+    * k·groups·partitions rows instead of the whole table — the argmax
+    * pattern at scale. Ties broken by key for a total order. */
+  val a15TopKPerGroup: Q = Q(
+    "a15_topk_rows_per_group",
+    Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, o_orderkey"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    })
+
   override def queries: Seq[Q] = Seq(
     q1PricingAgg, pFilterProject, pTokenMatch, j1StarLeftJoin,
     j1StarLeftJoinBucketed, j1StarLeftJoinMerge,
     a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a5UniqueCapped,
-    a6TopK, a14Rollup, t14CrossFilter)
+    a6TopK, a14Rollup, a15TopKPerGroup, t14CrossFilter)
 }

@@ -57,7 +57,8 @@ object ScaleBench {
     val spark = graft.GraftSession.local(cpus.toInt, "graft-scale-bench",
       Map("spark.sql.adaptive.enabled" -> "true"))
 
-    val fp = fingerprint(sfDir, Seq("documents.parquet", "lineitem.parquet"))
+    val fp = fingerprint(sfDir,
+      Seq("documents.parquet", "lineitem.parquet", "events.parquet"))
     val base =
       s"${System.getProperty("java.io.tmpdir")}/graft_scale_bench/$fp"
 
@@ -92,6 +93,19 @@ object ScaleBench {
         val li = Tables.load(spark, sfDir, "lineitem")
         (0 until k).map(_ => li).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/lineitem")
+        // events: K copies with offset user_id AND event_id — MORE USERS,
+        // constant events-per-user. That is the realistic growth shape for
+        // keyed window/state ops: per-key frame sizes stay fixed, key
+        // cardinality scales. (Duplicating events per user instead would
+        // measure frame growth, a different claim.)
+        val ev = Tables.load(spark, sfDir, "events")
+        val uStride = ev.agg(max("user_id")).head.getLong(0) + 1
+        val eStride = ev.agg(max("event_id")).head.getLong(0) + 1
+        (0 until k).map { i =>
+          ev.withColumn("user_id", col("user_id") + lit(i * uStride))
+            .withColumn("event_id", col("event_id") + lit(i * eStride))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/events")
         done.getParentFile.mkdirs()
         done.createNewFile()
       }
@@ -113,6 +127,41 @@ object ScaleBench {
         ColumnStats.describe(li, t1Cols)
       }
       emit("t1_column_stats", k, liRows, t1Med, t1S)
+
+      def ev = spark.read.parquet(s"$dir/events")
+      val evRows = ev.count()
+
+      // keyed running-frame + flag pipeline: K× users, fixed frame/user
+      var flags = 0L
+      val (anMed, anS) = timeMedian {
+        flags = graft.streaming.Anomaly.flags(ev)
+          .filter(col("is_anomaly")).count()
+      }
+      emit("ev_anomaly_flags", k, evRows, anMed, anS, s""","flags":$flags""")
+
+      // trailing RANGE frame: same shape, heavier per-row frame arithmetic.
+      // Aggregate over the windowed column — a bare count() lets Catalyst
+      // prune the window away and measures only the scan.
+      val (rlMed, rlS) = timeMedian {
+        graft.ops.EventAnalytics.rollingStats(ev, 86400L)
+          .agg(sum(col("sum_cents_window"))).head()
+      }
+      emit("ev_rolling_24h", k, evRows, rlMed, rlS)
+
+      // heavy hitters: suffixed copies give a K×-larger vocab at 1/K the
+      // relative frequency — scale minFraction down so each copy's tokens
+      // still clear the cut and the verify pass carries K× candidates
+      // 0.032: sf0.1's flattest-topped token sits at fraction ≈0.0339 (the
+      // gate's 0.034 would select zero here — measured work would be the
+      // same, but a hitters count that scales exactly K× is the linearity
+      // witness, like minhash's pairs)
+      var hitters = 0L
+      val (hhMed, hhS) = timeMedian {
+        hitters = graft.ops.HeavyHitters
+          .frequentTokens(docs, "text", minFraction = 0.032 / k).count()
+      }
+      emit("txt_heavy_hitters", k, docRows, hhMed, hhS,
+        s""","hitters":$hitters""")
       spark.catalog.clearCache()
     }
     spark.stop()
