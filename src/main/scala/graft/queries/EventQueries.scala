@@ -465,8 +465,54 @@ object EventQueries extends QueryModule {
           col("is_current"), col("event_type"), col("value"))
         .orderBy("event_id"))
 
+  /** Chunked range join ([[graft.operators.RangeJoin]]): every event
+    * equi-joined (user, time-chunk) to the session interval containing it
+    * — the nested-loop-free point-in-interval shape. Sessions partition
+    * each user's events, so exactly one match per event (all 10k rows). */
+  val evRangeJoin: Q = Q(
+    "ev_range_join_sessions",
+    Some("""
+      WITH b AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR (epoch_us(ts) // 1000000)
+                    - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM b),
+      iv AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          epoch_us(min(ts)) // 1000000 AS lo,
+          epoch_us(max(ts)) // 1000000 AS hi
+        FROM s GROUP BY 1, 2)
+      SELECT e.event_id, iv.session_seq
+      FROM events e
+      JOIN iv ON e.user_id = iv.user_id
+        AND epoch_us(e.ts) // 1000000 BETWEEN iv.lo AND iv.hi
+      ORDER BY e.event_id, iv.session_seq"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("user_id"),
+        unix_seconds(col("ts")).as("t"))
+      val iv = StreamingOps.sessionize(ev).select(col("user_id"),
+        col("session_seq"),
+        unix_seconds(col("session_start")).as("lo"),
+        unix_seconds(col("session_end")).as("hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, iv, "t", "lo", "hi", chunk = 1800L,
+          keys = Seq("user_id"))
+        .select(col("event_id"), col("session_seq"))
+        .orderBy("event_id", "session_seq")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
-      evResample, evTrend, evFunnel, evRetention, evRolling, evScd2)
+      evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
+      evRangeJoin)
 }

@@ -976,6 +976,21 @@ class OpsSpec extends SparkSpec {
     assert(conf == Seq((0, 1, 0.0)), s"got $conf")
   }
 
+  test("range join: inclusive bounds, multi-chunk intervals, no nested loop") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 99L), (4L, 100L), (5L, 250L),
+      (6L, 301L)).toDF("pid", "p")
+    val iv = Seq((10L, 10L, 100L), (11L, 200L, 300L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", chunk = 30L)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // p=10 and p=100 land on inclusive bounds; p=5 and p=301 match nothing;
+    // interval 10 spans 4 chunks yet each point matches exactly once
+    assert(got == Set((2L, 10L), (3L, 10L), (4L, 10L), (5L, 11L)), s"$got")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"range join must stay equi-join shaped:\n$plan")
+  }
+
   test("scd2 history: intervals chain gaplessly; exactly one current row per key") {
     import graft.ops.Upsert
     val hist = Upsert.scd2History(
