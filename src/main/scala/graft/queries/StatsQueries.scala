@@ -513,8 +513,64 @@ object StatsQueries extends QueryModule {
           col("l_extendedprice").as("price_w"))
         .orderBy("l_orderkey", "l_linenumber"))
 
+  /** PSI drift between the first and second half-month of events
+    * ([[graft.stats.Drift]]): decile bins from the reference side's exact
+    * quantiles (rounded — the proven percentile-parity class), static
+    * unrolled binning, shares floored at 1e-6. The oracle rebuilds the
+    * whole per-bin table; PSI is the term sum. */
+  val t20PsiDrift: Q = Q(
+    "t20_psi_drift",
+    Some("""
+      WITH refs AS (
+        SELECT value FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      curs AS (
+        SELECT value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+      e AS (
+        SELECT list_transform(
+          quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+          t -> round(t, 6)) AS edges
+        FROM refs),
+      rb AS (
+        SELECT list_sum(list_transform(e.edges,
+          t -> CASE WHEN r.value >= t THEN 1 ELSE 0 END)) AS bin
+        FROM refs r, e),
+      rc AS (SELECT bin, count(*) AS ref_cnt FROM rb GROUP BY 1),
+      cb AS (
+        SELECT list_sum(list_transform(e.edges,
+          t -> CASE WHEN c.value >= t THEN 1 ELSE 0 END)) AS bin
+        FROM curs c, e),
+      cc AS (SELECT bin, count(*) AS cur_cnt FROM cb GROUP BY 1),
+      j AS (
+        SELECT COALESCE(rc.bin, cc.bin) AS bin,
+          COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+        FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+      t AS (
+        SELECT bin, ref_cnt, cur_cnt,
+          greatest(CAST(ref_cnt AS DOUBLE)
+            / CAST((SELECT sum(ref_cnt) FROM j) AS DOUBLE), 1e-6) AS p,
+          greatest(CAST(cur_cnt AS DOUBLE)
+            / CAST((SELECT sum(cur_cnt) FROM j) AS DOUBLE), 1e-6) AS q
+        FROM j)
+      SELECT CAST(bin AS INT) AS bin, ref_cnt, cur_cnt,
+        ROUND((q - p) * ln(q / p), 6) AS term
+      FROM t
+      ORDER BY bin"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      graft.stats.Drift
+        .psiTable(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value")
+        .select(col("bin").cast("int").as("bin"), col("ref_cnt"),
+          col("cur_cnt"), round(col("term"), 6).as("term"))
+        .orderBy("bin")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
-    incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize)
+    incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
+    t20PsiDrift)
 }

@@ -1,0 +1,72 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * population stability index (PSI) over equi-depth bins, the standard
+  * "has this feature's distribution moved since the reference window"
+  * check a data pipeline runs before retraining.
+  *
+  * Bin edges come from the REFERENCE side's exact quantiles (one
+  * aggregate), rounded so any engine bins identically; binning is a
+  * static unrolled comparison chain (codegen'd, no join); the PSI table
+  * is one tiny groupBy per side. PSI = Σ (q_i − p_i)·ln(q_i / p_i) with
+  * the conventional 1e-6 floor on shares so an empty bin contributes a
+  * large-but-finite term instead of ±∞.
+  *
+  * 100 TB: two scans (one per side) + a bins-sized result; swap the exact
+  * quantile pass for percentile_approx/QuantileSketch when the reference
+  * no longer fits a sort.
+  */
+object Drift {
+
+  /** Reference-quantile bin edges (nBins−1 interior edges, rounded). */
+  def binEdges(
+      ref: DataFrame, valueCol: String, nBins: Int,
+      roundTo: Int = 6): Seq[Double] = {
+    require(nBins >= 2, s"need ≥2 bins, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val row = ref.agg(percentile(col(valueCol).cast("double"),
+      array(ps.map(lit): _*)).as("q")).head()
+    row.getSeq[Double](0).map(x =>
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  /** Bin index 0..nBins−1 = number of edges ≤ value (unrolled, static). */
+  def binOf(value: Column, edges: Seq[Double]): Column =
+    edges.map(t => when(value >= lit(t), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Per-bin PSI table: (bin, ref_cnt, cur_cnt, term). PSI = sum(term).
+    * Shares floor at 1e-6 (both engines mirror), so empty bins stay
+    * finite. Bins with zero rows on BOTH sides are absent (no term). */
+  def psiTable(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    val edges = binEdges(ref, valueCol, nBins)
+    def binned(df: DataFrame, side: String) = df
+      .select(binOf(col(valueCol).cast("double"), edges).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(s"${side}_cnt"))
+    val joined = binned(ref, "ref").join(binned(cur, "cur"), Seq("bin"), "full")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+    val refTotal = sum(col("ref_cnt")).over(org.apache.spark.sql.expressions
+      .Window.partitionBy())
+    val curTotal = sum(col("cur_cnt")).over(org.apache.spark.sql.expressions
+      .Window.partitionBy())
+    val p = greatest(col("ref_cnt") / refTotal, lit(1e-6))
+    val q = greatest(col("cur_cnt") / curTotal, lit(1e-6))
+    joined
+      .withColumn("term", (q - p) * log(q / p))
+      .select("bin", "ref_cnt", "cur_cnt", "term")
+      .orderBy("bin")
+  }
+
+  /** The scalar PSI. Conventional reading: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 shifted. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10): Double =
+    psiTable(ref, cur, valueCol, nBins)
+      .agg(sum(col("term"))).head().getDouble(0)
+}

@@ -556,6 +556,20 @@ class StatsSpec extends SparkSpec {
     assert(Contingency.chiSquare(one, "a", "b").isEmpty)
   }
 
+  test("psi drift: identical distributions score ~0; a shift scores large") {
+    import graft.stats.Drift
+    val ref = (1 to 1000).map(i => i.toDouble).toDF("v")
+    // same distribution: PSI ≈ 0 (bin counts match exactly here)
+    assert(math.abs(Drift.psi(ref, ref, "v")) < 1e-12)
+    // shifted by half the range: mass leaves the low bins
+    val cur = (501 to 1500).map(i => i.toDouble).toDF("v")
+    val shifted = Drift.psi(ref, cur, "v")
+    assert(shifted > 0.25, s"shifted distribution must flag, psi=$shifted")
+    // binning: edges from ref deciles; bin of min is 0, of max is nBins-1
+    val edges = Drift.binEdges(ref, "v", 10)
+    assert(edges.length == 9 && edges.head < edges.last)
+  }
+
   test("winsorize: tails clip to percentile bounds, interior passes through") {
     import graft.transform.Winsorize
     // 1..100: p1 = 1.99, p99 = 99.01 under (n-1)p interpolation
