@@ -42,4 +42,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__chunk")
   }
+
+  /** Interval-overlap join: pairs (left, right) whose [lo, hi] ranges
+    * intersect (inclusive), matching on `keys` first. Same chunking idea
+    * as [[pointInInterval]], plus the standard duplicate-free trick: a
+    * candidate pair appears once per shared chunk, so the containment
+    * filter also requires the JOIN chunk to be the chunk of
+    * max(left.lo, right.lo) — the first chunk both intervals inhabit —
+    * which keeps exactly one copy of each true pair with no post-join
+    * distinct (no wide dedup shuffle).
+    *
+    * Left/right column names must be disjoint apart from `keys` (alias
+    * before calling). */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      chunk: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    def chunked(df: DataFrame, lo: String, hi: String) = df.withColumn(
+      "__chunk",
+      explode(sequence(floor(col(lo) / chunk).cast("long"),
+        floor(col(hi) / chunk).cast("long"))))
+    chunked(left, lLo, lHi).join(chunked(right, rLo, rHi),
+        (keys :+ "__chunk").toSeq)
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__chunk") === floor(greatest(col(lLo), col(rLo)) / chunk)
+          .cast("long"))
+      .drop("__chunk")
+  }
 }

@@ -510,9 +510,69 @@ object EventQueries extends QueryModule {
         .orderBy("event_id", "session_seq")
     })
 
+  /** Interval-overlap join ([[graft.operators.RangeJoin.intervalOverlap]]):
+    * which wall-clock hours does each session touch — sessions × per-user
+    * hour windows, chunk-equi-joined with the max-of-starts dedup trick
+    * (each true pair emitted exactly once, no distinct). */
+  val evOverlapJoin: Q = Q(
+    "ev_interval_overlap",
+    Some("""
+      WITH b AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR (epoch_us(ts) // 1000000)
+                    - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM b),
+      iv AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          epoch_us(min(ts)) // 1000000 AS lo,
+          epoch_us(max(ts)) // 1000000 AS hi
+        FROM s GROUP BY 1, 2),
+      sp AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS g0, max(ts) AS g1
+        FROM events GROUP BY 1),
+      h AS (
+        SELECT user_id,
+          epoch_us(unnest(generate_series(g0, g1, INTERVAL 1 HOUR)))
+            // 1000000 AS hlo
+        FROM sp)
+      SELECT iv.user_id, iv.session_seq, h.hlo AS hour_start_s
+      FROM iv
+      JOIN h ON iv.user_id = h.user_id
+        AND iv.lo <= h.hlo + 3599 AND h.hlo <= iv.hi
+      ORDER BY iv.user_id, session_seq, hour_start_s"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val iv = StreamingOps.sessionize(ev).select(col("user_id"),
+        col("session_seq"),
+        unix_seconds(col("session_start")).as("lo"),
+        unix_seconds(col("session_end")).as("hi"))
+      val hours = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("g0"),
+          max(col("ts")).as("g1"))
+        .select(col("user_id"),
+          explode(sequence(col("g0"), col("g1"), expr("interval 1 hour")))
+            .as("gts"))
+        .select(col("user_id"), unix_seconds(col("gts")).as("hlo"),
+          (unix_seconds(col("gts")) + 3599L).as("hhi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(iv, hours, "lo", "hi", "hlo", "hhi",
+          chunk = 3600L, keys = Seq("user_id"))
+        .select(col("user_id"), col("session_seq"),
+          col("hlo").as("hour_start_s"))
+        .orderBy("user_id", "session_seq", "hour_start_s")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
-      evRangeJoin)
+      evRangeJoin, evOverlapJoin)
 }

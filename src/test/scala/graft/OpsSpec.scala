@@ -991,6 +991,27 @@ class OpsSpec extends SparkSpec {
       s"range join must stay equi-join shaped:\n$plan")
   }
 
+  test("interval overlap: exact pair set vs brute force, each pair exactly once") {
+    import graft.operators.RangeJoin
+    val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))
+      .toDF("lid", "llo", "lhi")
+    val right = Seq((10L, 90L, 160L), (11L, 100L, 100L), (12L, 260L, 399L),
+      (13L, 240L, 500L)).toDF("rid", "rlo", "rhi")
+    // brute force on the fixture
+    val want = (for {
+      (l, llo, lhi) <- Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))
+      (r, rlo, rhi) <- Seq((10L, 90L, 160L), (11L, 100L, 100L),
+        (12L, 260L, 399L), (13L, 240L, 500L))
+      if llo <= rhi && rlo <= lhi
+    } yield (l, r)).toSet
+    val got = RangeJoin
+      .intervalOverlap(left, right, "llo", "lhi", "rlo", "rhi", chunk = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got.toSet == want, s"got ${got.toSet}, want $want")
+    assert(got.length == got.distinct.length,
+      "a pair sharing many chunks must still appear exactly once")
+  }
+
   test("scd2 history: intervals chain gaplessly; exactly one current row per key") {
     import graft.ops.Upsert
     val hist = Upsert.scd2History(
