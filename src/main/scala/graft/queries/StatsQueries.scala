@@ -568,9 +568,36 @@ object StatsQueries extends QueryModule {
         .orderBy("bin")
     })
 
+  /** Z-score standardization ([[graft.transform.Standardize]]): every
+    * row's price standardized against decimal-exact corpus moments — the
+    * mean/stddev derivation is the identical double sequence in both
+    * engines because the sums are exact. All 60k rows compared. */
+  val t21Standardize: Q = Q(
+    "t21_standardize_zscore",
+    Some("""
+      WITH s AS (
+        SELECT count(l_extendedprice) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+        ROUND((l_extendedprice - sm / n)
+              / sqrt((sq - sm * sm / n) / (n - 1)), 6) AS price_z
+      FROM lineitem, s
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) =>
+      graft.transform.Standardize
+        .zscore(Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price_z"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
-    t20PsiDrift)
+    t20PsiDrift, t21Standardize)
 }

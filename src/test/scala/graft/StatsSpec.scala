@@ -570,6 +570,22 @@ class StatsSpec extends SparkSpec {
     assert(edges.length == 9 && edges.head < edges.last)
   }
 
+  test("standardize: mean 0 / sd 1 after transform; constant column nulls") {
+    import graft.transform.Standardize
+    val df = Seq((1L, 10.0, 5.0), (2L, 20.0, 5.0), (3L, 30.0, 5.0),
+      (4L, 40.0, 5.0)).toDF("id", "v", "k")
+    val out = Standardize.zscore(df, Seq("v", "k"), roundTo = 9)
+    val vs = out.select("v").collect().map(_.getDouble(0)).sorted
+    // 10,20,30,40: mean 25, sample sd = sqrt(500/3)
+    val sd = math.sqrt(500.0 / 3.0)
+    val want = Seq(-15.0, -5.0, 5.0, 15.0).map(x =>
+      BigDecimal(x / sd).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(vs.toSeq == want, s"got ${vs.toSeq}")
+    assert(out.select("k").collect().forall(_.isNullAt(0)),
+      "zero-variance column must standardize to null, not throw")
+  }
+
   test("winsorize: tails clip to percentile bounds, interior passes through") {
     import graft.transform.Winsorize
     // 1..100: p1 = 1.99, p99 = 99.01 under (n-1)p interpolation
