@@ -88,21 +88,24 @@ final class TableCatalog(
 
   @volatile private var snapshot: Option[Snapshot] = None
 
-  /** Content version: for a multi-file table directory, fold every child
-    * file's (mtime, size) so an in-place rewrite OR an added/removed slice
-    * invalidates caches — a directory's own mtime only tracks the latter. */
+  /** Content version: for a table directory, fold every contained parquet
+    * file's (mtime, size) — recursively, so Hive-partition subdirectories
+    * count — because an in-place rewrite OR an added/removed slice must
+    * invalidate caches and a directory's own mtime only tracks the latter. */
   private def fileVersion(p: Path): String =
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
-        .filter(c => c.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-        .map(c => s"${Files.getLastModifiedTime(c).toMillis}x${Files.size(c)}")
+      Files.walk(p).iterator().asScala
+        .filter(c => Files.isRegularFile(c) &&
+          c.getFileName.toString.endsWith(".parquet"))
+        .map(c => p.relativize(c).toString ->
+          s"${Files.getLastModifiedTime(c).toMillis}x${Files.size(c)}")
+        .toSeq.sortBy(_._1).map(_._2)
         .mkString("d", "_", "")
     else s"${Files.getLastModifiedTime(p).toMillis}x${Files.size(p)}"
 
   private def pathMtime(p: Path): Long =
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
+      Files.walk(p).iterator().asScala
         .map(c => Files.getLastModifiedTime(c).toMillis)
         .foldLeft(Files.getLastModifiedTime(p).toMillis)(_ max _)
     else Files.getLastModifiedTime(p).toMillis
@@ -111,8 +114,23 @@ final class TableCatalog(
     if (!Files.isDirectory(dir)) 0L
     else listFiles().map(pathMtime).foldLeft(listFiles().size.toLong)(_ max _)
 
+  /** True when `p` is a directory serving one table: parquet slices as
+    * direct children, or Hive-style `key=value` partition subdirectories
+    * holding parquet (nested partitioning included — Spark's reader
+    * discovers the full tree). */
+  private def isTableDir(p: Path): Boolean = {
+    val children = Files.list(p).iterator().asScala.toSeq
+    children.exists(_.getFileName.toString.endsWith(".parquet")) ||
+      children.exists { c =>
+        Files.isDirectory(c) && c.getFileName.toString.contains("=") &&
+          Files.walk(c).iterator().asScala.exists(f =>
+            Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet"))
+      }
+  }
+
   /** Table sources: single files by extension, plus SUBDIRECTORIES holding
-    * parquet slices (one table per directory, schema-drift tolerant — see
+    * parquet slices or Hive partitions (one table per directory — see
     * [[loadRaw]]). Hidden/underscore names are skipped. */
   private def listFiles(): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
@@ -120,9 +138,7 @@ final class TableCatalog(
       .filter { p =>
         val n = p.getFileName.toString
         if (n.startsWith(".") || n.startsWith("_")) false
-        else if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala
-            .exists(_.getFileName.toString.endsWith(".parquet"))
+        else if (Files.isDirectory(p)) isTableDir(p)
         else
           n.endsWith(".csv") || n.endsWith(".parquet") ||
             n.endsWith(".jsonl") || n.endsWith(".orc")

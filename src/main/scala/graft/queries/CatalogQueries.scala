@@ -241,6 +241,55 @@ object CatalogQueries extends QueryModule {
         .limit(500)
     })
 
+  /** Hive-partitioned directory table (catalog extension): `scores/part=K/`
+    * subdirectories catalog as ONE table with the partition column
+    * discovered; a partition-key predicate must prune at PLANNING time
+    * (the require pins selectedPartitions == 1 of 3). */
+  private val hiveDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val s2PartitionedScan: Q = Q(
+    "s2_partitioned_scan",
+    Some("""
+      SELECT o_custkey AS ursi, CAST(o_orderkey % 3 AS BIGINT) AS part,
+             o_totalprice AS score
+      FROM orders
+      WHERE o_orderkey % 3 = 1
+      ORDER BY ursi, score
+      LIMIT 500"""),
+    (s, dir) => {
+      val tmp = hiveDirs.getOrElseUpdate(dir, {
+        val d = Files.createTempDirectory("graft-hive-").toString
+        Sinks.csvExport(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").as("ursi"), col("c_acctbal").as("age")),
+          s"$d/demographics.csv")
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("ursi"),
+            (col("o_orderkey") % 3).as("part"),
+            col("o_totalprice").as("score"))
+          .write.partitionBy("part").mode("overwrite")
+          .parquet(s"$d/scores")
+        d
+      })
+      val cat = new TableCatalog(s, EngineConfig(
+        dataDir = tmp, demographicsTable = "demographics",
+        primaryIdColumn = "ursi"))
+      require(cat.tableNames == Seq("demographics", "scores"),
+        s"partitioned table not cataloged: ${cat.tableNames}")
+      val filtered = cat.table("scores").filter(col("part") === 1)
+      val scans = filtered.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "expected a FileSourceScanExec")
+      require(scans.head.selectedPartitions.partitionCount == 1,
+        s"partition predicate must prune to 1 of 3 directories, " +
+          s"got ${scans.head.selectedPartitions.partitionCount}")
+      filtered
+        .select(col("ursi").cast("long"), col("part").cast("long"),
+          col("score"))
+        .orderBy("ursi", "score")
+        .limit(500)
+    })
+
   /** S3: metadata sample scan — column names + dtypes from the schema, ID
     * columns flagged (metadata.py:87–128). */
   val s3MetadataScan: Q = Q(
@@ -515,7 +564,7 @@ object CatalogQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s2MergeSchemaScan,
-    s3MetadataScan, s4NumericRanges,
+    s2PartitionedScan, s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
     s9ZipReport, s10TomlRoundtrip, s11ProfileSink)
 }
