@@ -595,9 +595,36 @@ object StatsQueries extends QueryModule {
           col("l_extendedprice").as("price_z"))
         .orderBy("l_orderkey", "l_linenumber"))
 
+  /** Group-wise z-score ([[graft.transform.Standardize.zscoreByGroup]]):
+    * each row standardized against its return-flag group's decimal-exact
+    * moments via a broadcast moment table (data never shuffles). */
+  val t22GroupZscore: Q = Q(
+    "t22_group_zscore",
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, count(l_extendedprice) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_orderkey, l.l_linenumber,
+        ROUND((l.l_extendedprice - sm / n)
+              / sqrt((sq - sm * sm / n) / (n - 1)), 6) AS price_z
+      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      ORDER BY l.l_orderkey, l.l_linenumber"""),
+    (s, dir) =>
+      graft.transform.Standardize
+        .zscoreByGroup(Tables.load(s, dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber",
+              "l_extendedprice"),
+          "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price_z"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
-    t20PsiDrift, t21Standardize)
+    t20PsiDrift, t21Standardize, t22GroupZscore)
 }

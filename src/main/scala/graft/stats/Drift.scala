@@ -69,4 +69,44 @@ object Drift {
       nBins: Int = 10): Double =
     psiTable(ref, cur, valueCol, nBins)
       .agg(sum(col("term"))).head().getDouble(0)
+
+  /** Scalar PSI from two bin-count maps (the driver-side tail of the
+    * streaming path; identical formula to [[psiTable]]'s term column). */
+  def psiFromCounts(
+      refCounts: Map[Int, Long], curCounts: Map[Int, Long]): Double = {
+    val bins = (refCounts.keySet ++ curCounts.keySet).toSeq.sorted
+    val rt = refCounts.values.sum.toDouble
+    val ct = curCounts.values.sum.toDouble
+    bins.map { b =>
+      val p = math.max(refCounts.getOrElse(b, 0L) / rt, 1e-6)
+      val q = math.max(curCounts.getOrElse(b, 0L) / ct, 1e-6)
+      (q - p) * math.log(q / p)
+    }.sum
+  }
+
+  /** Streaming drift monitor: per micro-batch PSI of the live feed against
+    * a STATIC reference. Edges and reference shares are computed once
+    * batch-side and closed over; each micro-batch pays one tiny binned
+    * groupBy (state-free — the monitor is per-batch by design, matching
+    * how drift alarms are consumed). `onBatch(batchId, psi)` receives each
+    * score. Returns the started query. */
+  def psiStream(
+      ref: DataFrame, stream: DataFrame, valueCol: String, nBins: Int = 10)(
+      onBatch: (Long, Double) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val edges = binEdges(ref, valueCol, nBins)
+    val refCounts = ref
+      .select(binOf(col(valueCol).cast("double"), edges).as("bin"))
+      .groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cur = batch
+          .select(binOf(col(valueCol).cast("double"), edges).as("bin"))
+          .groupBy("bin").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (cur.nonEmpty) onBatch(id, psiFromCounts(refCounts, cur))
+      }
+      .start()
+  }
 }

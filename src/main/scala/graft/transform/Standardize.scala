@@ -42,4 +42,29 @@ object Standardize {
       }
     }
   }
+
+  /** Group-wise z-score: each row standardized against ITS GROUP's
+    * moments — the per-domain feature scaling that stops a high-variance
+    * domain from dominating a mixed corpus. One groupBy computes the
+    * (exact, decimal-summed) per-group moments; the moment table is
+    * groups-sized and broadcast back, so the data never shuffles.
+    * Degenerate groups (n=1 or zero variance) null out: their variance
+    * term evaluates NaN/≤0 in doubles, never an ANSI division error. */
+  def zscoreByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val d = col(valueCol).cast("decimal(18,2)")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(col(valueCol)).as("__n"),
+      sum(d).cast("double").as("__sm"),
+      sum(d * d).cast("double").as("__sq"))
+    val mean = col("__sm") / col("__n")
+    val varS = (col("__sq") - col("__sm") * col("__sm") / col("__n")) /
+      (col("__n") - lit(1))
+    df.join(broadcast(m), Seq(groupCol))
+      .withColumn(valueCol,
+        when(varS > 0.0,
+          round((col(valueCol).cast("double") - mean) / sqrt(varS), roundTo)))
+      .drop("__n", "__sm", "__sq")
+  }
 }

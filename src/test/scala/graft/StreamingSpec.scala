@@ -246,6 +246,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == distinctIds)
   }
 
+  test("streaming drift: per-batch PSI flags a shifted feed, passes a stable one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stats.Drift
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ref = (1 to 1000).map(_.toDouble).toDF("value")
+    val scores = scala.collection.mutable.Map[Long, Double]()
+    val ms = MemoryStream[Double]
+    val q = Drift.psiStream(ref, ms.toDF().toDF("value"), "value") {
+      (id, psi) => scores.synchronized { scores(id) = psi }
+    }
+    try {
+      ms.addData((1 to 1000).map(_.toDouble)) // batch 0: same distribution
+      q.processAllAvailable()
+      ms.addData((1501 to 2500).map(_.toDouble)) // batch 1: fully shifted
+      q.processAllAvailable()
+      val s = scores.synchronized(scores.toMap)
+      assert(math.abs(s(0L)) < 1e-9, s"stable batch must score ~0: ${s(0L)}")
+      assert(s(1L) > 0.25, s"shifted batch must flag: ${s(1L)}")
+      // the streaming tail equals the batch PSI on the same data
+      val batchPsi = Drift.psi(ref, (1501 to 2500).map(_.toDouble).toDF("value"),
+        "value")
+      assert(math.abs(s(1L) - batchPsi) < 1e-9,
+        s"stream ${s(1L)} vs batch $batchPsi")
+    } finally q.stop()
+  }
+
   test("streaming anomaly flags: flatMapGroupsWithState state matches batch windows") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
