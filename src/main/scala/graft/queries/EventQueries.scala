@@ -570,9 +570,40 @@ object EventQueries extends QueryModule {
         .orderBy("user_id", "session_seq", "hour_start_s")
     })
 
+  /** Two-feed correlation ([[StreamingOps.correlate]], the batch twin of
+    * the stream-stream join): every (view, purchase) pair of the same
+    * user with the purchase within 1 h after the view. Equi key + range
+    * residual — sort-merge, not a nested loop. */
+  val evCorrelate: Q = Q(
+    "ev_correlate_pairs",
+    Some("""
+      WITH v AS (
+        SELECT user_id, event_id AS view_id, ts AS vts
+        FROM events WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase')
+      SELECT v.view_id, p.purchase_id
+      FROM v
+      JOIN p ON v.user_id = p.user_id
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR
+      ORDER BY view_id, purchase_id"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      StreamingOps.correlate(v, p, "user_id", "vts", "pts", 3600L)
+        .select("view_id", "purchase_id")
+        .orderBy("view_id", "purchase_id")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
-      evRangeJoin, evOverlapJoin)
+      evRangeJoin, evOverlapJoin, evCorrelate)
 }

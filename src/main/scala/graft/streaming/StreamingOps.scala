@@ -158,6 +158,38 @@ object StreamingOps {
     * [[liveCountStream]]). Duplicates separated by more than `watermark` in
     * event time may both survive; at 100 TB/day that horizon is the dedup
     * window you provision state for. */
+  /** Batch twin of [[correlateStreams]]: pairs of (a, b) events with the
+    * same key where b happens within `withinSeconds` AFTER a (inclusive
+    * ends). The equi key keeps this a sort-merge join with a residual
+    * range filter — not a nested loop. Both inputs must carry disjoint
+    * column names apart from `keyCol` (alias before calling). */
+  def correlate(
+      a: DataFrame, b: DataFrame, keyCol: String,
+      aTsCol: String, bTsCol: String, withinSeconds: Long): DataFrame =
+    a.join(b, Seq(keyCol))
+      .filter(col(bTsCol) >= col(aTsCol) &&
+        col(bTsCol) <= col(aTsCol) + expr(s"interval $withinSeconds seconds"))
+
+  /** Stream-stream inner join — the two-feed correlation (view→purchase,
+    * request→response) as a native Structured Streaming join: both sides
+    * watermarked, and the event-time range condition (`b.ts` within
+    * [a.ts, a.ts + within]) bounds join state so Spark evicts rows that
+    * can no longer match. Same row semantics as [[correlate]] on in-order
+    * feeds (spec-pinned). Append mode; matches emit as they form. */
+  def correlateStreams(
+      a: DataFrame, b: DataFrame, keyCol: String,
+      aTsCol: String, bTsCol: String, withinSeconds: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    val wa = a.withWatermark(aTsCol, watermark)
+    val wb = b.withWatermark(bTsCol, watermark)
+      .withColumnRenamed(keyCol, "__bkey")
+    wa.join(wb,
+      col(keyCol) === col("__bkey") &&
+        col(bTsCol) >= col(aTsCol) &&
+        col(bTsCol) <= col(aTsCol) + expr(s"interval $withinSeconds seconds"))
+      .drop("__bkey")
+  }
+
   def dedupStream(events: DataFrame, keys: Seq[String],
       watermark: String = "2 hours", tsCol: String = "ts"): DataFrame =
     events.withWatermark(tsCol, watermark)

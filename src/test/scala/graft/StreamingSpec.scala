@@ -246,6 +246,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == distinctIds)
   }
 
+  test("stream-stream join: watermarked correlation matches the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = batchEvents
+    def side(t: String, idName: String, tsName: String) = ev
+      .filter(F.col("event_type") === t)
+      .select(F.col("user_id"), F.col("event_id").as(idName),
+        F.col("ts").as(tsName))
+    val expected = StreamingOps.correlate(
+        side("view", "view_id", "vts"), side("purchase", "purchase_id", "pts"),
+        "user_id", "vts", "pts", 3600L)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce correlated pairs")
+
+    def rows(t: String) = ev.filter(F.col("event_type") === t)
+      .select($"user_id", $"event_id", F.unix_micros($"ts"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val mv = MemoryStream[(Long, Long, Long)]
+    val mp = MemoryStream[(Long, Long, Long)]
+    def feed(ms: MemoryStream[(Long, Long, Long)], id: String, ts: String) =
+      ms.toDF().toDF("user_id", id, "tsu")
+        .withColumn(ts, F.timestamp_micros(F.col("tsu"))).drop("tsu")
+    val joined = StreamingOps.correlateStreams(
+      feed(mv, "view_id", "vts"), feed(mp, "purchase_id", "pts"),
+      "user_id", "vts", "pts", 3600L)
+    val q = joined.select("view_id", "purchase_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    try {
+      mv.addData(rows("view")); mp.addData(rows("purchase"))
+      q.processAllAvailable()
+      val got = spark.table("corr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"${got.size} streamed vs ${expected.size} batch")
+    } finally q.stop()
+  }
+
   test("streaming drift: per-batch PSI flags a shifted feed, passes a stable one") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.stats.Drift
