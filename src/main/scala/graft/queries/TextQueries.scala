@@ -656,6 +656,31 @@ object TextQueries extends QueryModule {
     (s, dir) =>
       graft.ops.CorpusReport.bySource(Tables.load(s, dir, "documents")))
 
+  /** Entity-resolution candidates ([[graft.ops.EntityResolution]]):
+    * customer records blocked by nation, paired at name edit distance ≤ 1.
+    * Levenshtein is exact integer arithmetic in both engines; the
+    * length-gap prefilter drops most of the block² comparisons before the
+    * DP runs. */
+  val erFuzzyCandidates: Q = Q(
+    "er_fuzzy_candidates",
+    Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer)
+      SELECT a.c_nationkey, a.c_custkey AS id1, b.c_custkey AS id2,
+        levenshtein(a.c_name, b.c_name) AS edit
+      FROM c a
+      JOIN c b ON a.c_nationkey = b.c_nationkey
+        AND a.c_custkey < b.c_custkey
+      WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id1, id2"""),
+    (s, dir) =>
+      graft.ops.EntityResolution
+        .candidatePairs(Tables.load(s, dir, "customer"),
+          blockCols = Seq("c_nationkey"), idCol = "c_custkey",
+          nameCol = "c_name", maxEdit = 1)
+        .select("c_nationkey", "id1", "id2", "edit")
+        .orderBy("id1", "id2"))
+
   /** Unigram LM self-scoring (mean token log-probability, add-one
     * smoothing) — the perplexity-style quality signal. The oracle retrains
     * the same model in SQL; ROUND(…,6) absorbs the cross-row double
@@ -799,6 +824,6 @@ object TextQueries extends QueryModule {
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtTfidf,
-    txtHeavyHitters, txtCorpusCard, txtUnigramLogprob, txtBpeTokens,
-    txtQualityClassifier, mntUpsert)
+    txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
+    txtBpeTokens, txtQualityClassifier, mntUpsert)
 }

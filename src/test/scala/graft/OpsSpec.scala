@@ -991,6 +991,26 @@ class OpsSpec extends SparkSpec {
       s"range join must stay equi-join shaped:\n$plan")
   }
 
+  test("entity resolution: blocking bounds pairs; mega-blocks excluded by cap") {
+    import graft.ops.EntityResolution
+    val recs = Seq(
+      (1L, "A", "smith john"), (2L, "A", "smith jon"), // edit 1, same block
+      (3L, "B", "smith john"),                         // same name, other block
+      (4L, "A", "walker kate"), (5L, "A", "walker late") // edit 1
+    ).toDF("id", "blk", "name")
+    val pairs = EntityResolution
+      .candidatePairs(recs, Seq("blk"), "id", "name", maxEdit = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // cross-block (1,3) must NOT pair despite identical names
+    assert(pairs == Set((1L, 2L, 1), (4L, 5L, 1)), s"$pairs")
+    // a cap below the block size removes that block's pairs entirely
+    val capped = EntityResolution
+      .candidatePairs(recs, Seq("blk"), "id", "name", maxEdit = 1,
+        maxBlockSize = 3)
+    assert(capped.count() == 0,
+      "block A (4 records) must be excluded by maxBlockSize=3")
+  }
+
   test("interval overlap: exact pair set vs brute force, each pair exactly once") {
     import graft.operators.RangeJoin
     val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))
