@@ -601,9 +601,40 @@ object EventQueries extends QueryModule {
         .orderBy("view_id", "purchase_id")
     })
 
+  /** Group-mean imputation ([[graft.transform.Impute]]): ~10% of values
+    * are deterministically nulled (cents ending in 3 — the same rule in
+    * both engines), then refilled with their event-type mean. Observed
+    * values must survive bit-for-bit; imputed ones are the rounded
+    * exact-sum mean. */
+  val evImpute: Q = Q(
+    "ev_impute_group_mean",
+    Some("""
+      WITH d AS (
+        SELECT event_id, event_type,
+          CASE WHEN CAST(round(value * 100) AS BIGINT) % 10 = 3 THEN NULL
+               ELSE value END AS v
+        FROM events),
+      m AS (
+        SELECT event_type, count(v) AS n,
+          CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sm
+        FROM d GROUP BY 1)
+      SELECT d.event_id, COALESCE(d.v, ROUND(sm / n, 6)) AS v_filled
+      FROM d JOIN m ON d.event_type = m.event_type
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val holed = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(round(col("value") * 100).cast("long") % 10 === 3,
+            lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      graft.transform.Impute.fillWithGroupMean(holed, "event_type", "v")
+        .select(col("event_id"), col("v").as("v_filled"))
+        .orderBy("event_id")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
-      evRangeJoin, evOverlapJoin, evCorrelate)
+      evRangeJoin, evOverlapJoin, evCorrelate, evImpute)
 }

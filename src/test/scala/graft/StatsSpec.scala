@@ -570,6 +570,21 @@ class StatsSpec extends SparkSpec {
     assert(edges.length == 9 && edges.head < edges.last)
   }
 
+  test("impute: nulls fill with group mean; observed values untouched") {
+    import graft.transform.Impute
+    val df = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 10.0), (2L, "a", null), (3L, "a", 20.0),
+      (4L, "b", null), (5L, "b", null) // group with no observed values
+    ).toDF("id", "g", "v")
+    val out = Impute.fillWithGroupMean(df, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("v")))
+      .toMap
+    assert(out(1L) == Some(10.0) && out(3L) == Some(20.0))
+    assert(out(2L) == Some(15.0), s"imputed ${out(2L)}")
+    assert(out(4L).isEmpty && out(5L).isEmpty,
+      "a fully-null group has no mean to impute")
+  }
+
   test("standardize: mean 0 / sd 1 after transform; constant column nulls") {
     import graft.transform.Standardize
     val df = Seq((1L, 10.0, 5.0), (2L, 20.0, 5.0), (3L, 30.0, 5.0),
