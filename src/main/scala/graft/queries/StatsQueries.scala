@@ -622,9 +622,52 @@ object StatsQueries extends QueryModule {
           col("l_extendedprice").as("price_z"))
         .orderBy("l_orderkey", "l_linenumber"))
 
+  /** Frequency-rank category indexing ([[graft.transform.Encode]]): a
+    * deterministic broadcast dictionary (most frequent = 0, value
+    * tie-break) applied per row — no hashing, no drift. */
+  val t23CategoryIndex: Q = Q(
+    "t23_category_index",
+    Some("""
+      WITH d AS (
+        SELECT o_orderpriority AS p, count(*) AS cnt
+        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+      x AS (
+        SELECT p, row_number() OVER (ORDER BY cnt DESC, p) - 1 AS idx
+        FROM d)
+      SELECT o.o_orderkey, CAST(x.idx AS BIGINT) AS idx
+      FROM orders o JOIN x ON o.o_orderpriority = x.p
+      ORDER BY o_orderkey"""),
+    (s, dir) =>
+      graft.transform.Encode
+        .categoryIndex(Tables.load(s, dir, "orders"), "o_orderpriority",
+          "idx")
+        .select(col("o_orderkey"), col("idx").cast("long").as("idx"))
+        .orderBy("o_orderkey"))
+
+  /** Leave-one-out target encoding ([[graft.transform.Encode]]): each
+    * event's type replaced by the mean value of the OTHER events of that
+    * type — decimal-exact sums make the per-row encodings mirror. */
+  val t24TargetEncode: Q = Q(
+    "t24_target_encode_loo",
+    Some("""
+      WITH m AS (
+        SELECT event_type, count(value) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm
+        FROM events GROUP BY 1)
+      SELECT e.event_id, ROUND((sm - e.value) / (n - 1), 6) AS te
+      FROM events e JOIN m ON e.event_type = m.event_type
+      ORDER BY event_id"""),
+    (s, dir) =>
+      graft.transform.Encode
+        .targetEncodeLoo(Tables.load(s, dir, "events"), "event_type",
+          "value", "te")
+        .select(col("event_id"), col("te"))
+        .orderBy("event_id"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
-    t20PsiDrift, t21Standardize, t22GroupZscore)
+    t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
+    t24TargetEncode)
 }

@@ -570,6 +570,25 @@ class StatsSpec extends SparkSpec {
     assert(edges.length == 9 && edges.head < edges.last)
   }
 
+  test("encode: frequency-rank index deterministic; LOO excludes own target") {
+    import graft.transform.Encode
+    val df = Seq(("b", 10.0), ("b", 20.0), ("a", 5.0), ("a", 7.0), ("a", 9.0),
+      ("c", 1.0)).toDF("cat", "y")
+    val idx = Encode.categoryIndex(df, "cat", "idx")
+      .select("cat", "idx").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // a (3 rows) → 0, b (2) → 1, c (1) → 2
+    assert(idx == Map("a" -> 0, "b" -> 1, "c" -> 2), s"$idx")
+
+    val te = Encode.targetEncodeLoo(df, "cat", "y", "te")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.getAs[Any]("te")))).toSet
+    // each row's encoding is the mean of the OTHERS in its category
+    assert(te.contains(("a", 5.0, Some(8.0))))  // (7+9)/2
+    assert(te.contains(("b", 10.0, Some(20.0))))
+    assert(te.contains(("c", 1.0, None)), "singleton category must be null")
+  }
+
   test("impute: nulls fill with group mean; observed values untouched") {
     import graft.transform.Impute
     val df = Seq[(Long, String, java.lang.Double)](
