@@ -62,4 +62,60 @@ object LanguageModel {
   /** Self-scoring convenience: train on `df` and score `df` with it. */
   def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreBy(train(df, textCol), df, idCol, textCol)
+
+  /** Trained bigram model: the unigram base plus per-bigram counts
+    * (keyed on the "w1 w2" string). */
+  final case class Bigram(unigram: Unigram, bigrams: DataFrame)
+
+  /** ALL word bigrams in order, duplicates kept — the LM needs the
+    * multiset, so this is NOT [[TextOps.shingles]] (which dedupes for
+    * Jaccard). The size<2 guard matters: sequence(0, -1) would DESCEND. */
+  private def bigramsOf(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val w = TextOps.tokens(lower(textCol))
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => concat(get(w, i), lit(" "), get(w, i + 1))))
+  }
+
+  /** One additional bigram-count pass on top of [[train]]. */
+  def trainBigram(corpus: DataFrame, textCol: String): Bigram = {
+    val bg = corpus
+      .select(explode(bigramsOf(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    Bigram(train(corpus, textCol), bg)
+  }
+
+  /** `(id, n_bigrams, logprob)`: mean over the doc's word bigrams of
+    * ln((c(w1 w2) + 1)/(c(w1) + V)) — the conditional add-one bigram
+    * probability (V = unigram vocab size), one step closer to the KenLM
+    * perplexity filter than [[scoreBy]]'s unigram. Scoring is two key
+    * joins (bigram count, context unigram count — both vocab-sized,
+    * AQE-broadcast when they fit) and one mean per document; docs with
+    * fewer than two tokens score 0 (no evidence). */
+  def scoreBigram(
+      lm: Bigram, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val v = lit(lm.unigram.vocabSize.toDouble)
+    val ctxVocab = lm.unigram.vocab
+      .select(col("t").as("ctx"), col("c").as("cu"))
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(bigramsOf(col(textCol))).as("bg"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .join(lm.bigrams, Seq("bg"), "left")
+      .join(ctxVocab, Seq("ctx"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + v))).as("lp"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("lp"), lit(0.0)), 6).as("logprob"))
+  }
+
+  /** Bigram self-scoring convenience. */
+  def selfScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreBigram(trainBigram(df, textCol), df, idCol, textCol)
 }

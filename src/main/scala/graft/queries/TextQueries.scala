@@ -600,6 +600,47 @@ object TextQueries extends QueryModule {
       graft.ops.TextSearch.tfidfTopK(Tables.load(s, dir, "documents"),
         "doc_id", "text", "data filter stream", k = 10))
 
+  /** Bigram LM self-scoring (mean conditional add-one log-probability —
+    * one step closer to the KenLM perplexity filter than the unigram
+    * entry). The oracle retrains both count tables in SQL and mirrors
+    * the ln((cb+1)/(cu+V)) arithmetic; ROUND(…,6) absorbs the cross-row
+    * mean's order noise (same-sign terms). */
+  val txtBigramLogprob: Q = Q(
+    "txt_bigram_logprob",
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+        FROM documents),
+      uni AS (SELECT unnest(w) AS t FROM d),
+      uc AS (SELECT t, count(*) AS cu FROM uni GROUP BY 1),
+      vs AS (SELECT count(*) AS v FROM uc),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END AS s
+        FROM d),
+      bc AS (
+        SELECT bg, count(*) AS cb
+        FROM (SELECT unnest(s) AS bg FROM sh) GROUP BY 1),
+      e AS (SELECT doc_id, unnest(s) AS bg FROM sh),
+      j AS (
+        SELECT e.doc_id,
+          ln((COALESCE(bc.cb, 0) + 1.0) / (COALESCE(uc.cu, 0) + v)) AS lp
+        FROM e
+        LEFT JOIN bc ON e.bg = bc.bg
+        LEFT JOIN uc ON split_part(e.bg, ' ', 1) = uc.t, vs),
+      a AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS lp
+            FROM j GROUP BY 1)
+      SELECT d.doc_id AS id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        ROUND(COALESCE(a.lp, 0.0), 6) AS logprob
+      FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY id"""),
+    (s, dir) =>
+      graft.ops.LanguageModel
+        .selfScoreBigram(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"))
+
   /** Exact frequent tokens ≥ 3.4% of the token stream via Misra-Gries
     * candidates + an exact verify pass (graft.ops.HeavyHitters). The output
     * is EXACT by construction, so the oracle is the brute-force unnest +
@@ -825,5 +866,5 @@ object TextQueries extends QueryModule {
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
-    txtBpeTokens, txtQualityClassifier, mntUpsert)
+    txtBigramLogprob, txtBpeTokens, txtQualityClassifier, mntUpsert)
 }

@@ -991,6 +991,21 @@ class OpsSpec extends SparkSpec {
       s"range join must stay equi-join shaped:\n$plan")
   }
 
+  test("bigram LM: hand-computed conditional logprobs; short docs score 0") {
+    import graft.ops.LanguageModel
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // unigrams a:3 b:3 x:1 → V=3; bigram counts "a b":3, "b a":1
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = LanguageModel.selfScoreBigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // P(b|a) = (3+1)/(cu(a)+V) = 4/6; P(a|b) = (1+1)/(cu(b)+V) = 2/6
+    val pab = math.log(4.0 / 6.0); val pba = math.log(2.0 / 6.0)
+    assert(out(1L) == ((3L, r6((pab + pba + pab) / 3.0))), s"${out(1L)}")
+    assert(out(2L) == ((1L, r6(pab))), s"${out(2L)}")
+    assert(out(3L) == ((0L, 0.0)), "single-token doc has no bigram evidence")
+  }
+
   test("entity resolution: blocking bounds pairs; mega-blocks excluded by cap") {
     import graft.ops.EntityResolution
     val recs = Seq(
