@@ -163,6 +163,19 @@ object Sampling {
       .filter(hashFraction(seed, keys.map(col)) < col("keep_rate"))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * floor(identityFraction · k). Same identity-hash discipline as
+    * [[hashSplit]] — a row's fold survives repartitioning, retries, and
+    * engine changes, and keying on an entity id (not the row) keeps all
+    * of an entity's rows in one fold (the group-aware split that stops
+    * leakage across folds). Narrow map, no shuffle. */
+  def kfold(df: DataFrame, keys: Seq[String], k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k >= 2, s"need k ≥ 2 folds, got $k")
+    df.withColumn("fold",
+      floor(hashFraction(seed, keys.map(col)) * k).cast("int"))
+  }
+
   /** Per-domain top-fraction selection — keep the best `frac` of each
     * domain by a score column (the FineWeb/DCLM-style "classifier top-X%"
     * quality cut, applied per source so a strong domain cannot crowd out

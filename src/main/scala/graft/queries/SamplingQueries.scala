@@ -205,7 +205,29 @@ object SamplingQueries extends QueryModule {
         .orderBy("source", "doc_id")
     })
 
+  /** Deterministic 5-fold CV assignment keyed on the ORDER (all lines of
+    * an order share a fold — the group-aware anti-leakage split); the
+    * gate compares per-fold row counts. */
+  val smpKfold: Q = Q(
+    "smp_kfold",
+    Some("""
+      WITH h AS (
+        SELECT CAST(floor(
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft',
+            CAST(l_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)
+          / 4294967296.0 * 5) AS INT) AS fold
+        FROM lineitem)
+      SELECT fold, count(*) AS n
+      FROM h
+      GROUP BY fold
+      ORDER BY fold"""),
+    (s, dir) =>
+      Sampling.kfold(Tables.load(s, dir, "lineitem"),
+          keys = Seq("l_orderkey"), k = 5)
+        .groupBy("fold").agg(count(lit(1)).as("n"))
+        .orderBy("fold"))
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
-      smpShuffle, smpQualityTopFrac)
+      smpShuffle, smpQualityTopFrac, smpKfold)
 }

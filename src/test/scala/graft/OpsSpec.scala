@@ -991,6 +991,25 @@ class OpsSpec extends SparkSpec {
       s"range join must stay equi-join shaped:\n$plan")
   }
 
+  test("kfold: folds partition rows, survive repartition, group keys cohere") {
+    import graft.ops.Sampling
+    val df = (1L to 500L).map(i => (i, i % 50)).toDF("row_id", "entity_id")
+    val folded = Sampling.kfold(df, Seq("entity_id"), k = 5)
+    val byEntity = folded.groupBy("entity_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+    assert(byEntity.filter(col("nf") =!= 1).isEmpty,
+      "all rows of an entity must share one fold")
+    val folds = folded.select("fold").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(folds.forall(f => f >= 0 && f < 5), s"${folds.toSeq}")
+    val again = Sampling.kfold(df.repartition(7), Seq("entity_id"), 5)
+      .select("row_id", "fold").collect().map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val first = folded.select("row_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == first, "fold assignment must not depend on partitioning")
+  }
+
   test("bigram LM: hand-computed conditional logprobs; short docs score 0") {
     import graft.ops.LanguageModel
     def r6(x: Double): Double =
