@@ -664,10 +664,61 @@ object StatsQueries extends QueryModule {
         .select(col("event_id"), col("te"))
         .orderBy("event_id"))
 
+  /** Per-domain PSI ([[graft.stats.Drift.psiByGroup]]): drift between the
+    * half-months scored per event type against that type's OWN reference
+    * deciles, one distributed pass. PSI terms are non-negative, so the
+    * per-group sum is same-sign and ROUND(…,6) absorbs reorder noise. */
+  val t25PsiByDomain: Q = Q(
+    "t25_psi_by_domain",
+    Some("""
+      WITH refs AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      curs AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+      e AS (
+        SELECT g, list_transform(
+          quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+          t -> round(t, 6)) AS edges
+        FROM refs GROUP BY g),
+      rb AS (
+        SELECT refs.g, list_sum(list_transform(e.edges,
+          t -> CASE WHEN refs.v >= t THEN 1 ELSE 0 END)) AS bin
+        FROM refs JOIN e ON refs.g = e.g),
+      rc AS (SELECT g, bin, count(*) AS rn FROM rb GROUP BY 1, 2),
+      cb AS (
+        SELECT curs.g, list_sum(list_transform(e.edges,
+          t -> CASE WHEN curs.v >= t THEN 1 ELSE 0 END)) AS bin
+        FROM curs JOIN e ON curs.g = e.g),
+      cc AS (SELECT g, bin, count(*) AS cn FROM cb GROUP BY 1, 2),
+      j AS (
+        SELECT COALESCE(rc.g, cc.g) AS g, COALESCE(rc.bin, cc.bin) AS bin,
+          COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+        FROM rc FULL JOIN cc ON rc.g = cc.g AND rc.bin = cc.bin),
+      t AS (
+        SELECT g, bin, rn, cn,
+          greatest(CAST(rn AS DOUBLE)
+            / CAST(sum(rn) OVER (PARTITION BY g) AS DOUBLE), 1e-6) AS p,
+          greatest(CAST(cn AS DOUBLE)
+            / CAST(sum(cn) OVER (PARTITION BY g) AS DOUBLE), 1e-6) AS q
+        FROM j)
+      SELECT g AS event_type, ROUND(sum((q - p) * ln(q / p)), 6) AS psi
+      FROM t
+      GROUP BY g
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      graft.stats.Drift
+        .psiByGroup(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "event_type", "value")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
-    t24TargetEncode)
+    t24TargetEncode, t25PsiByDomain)
 }

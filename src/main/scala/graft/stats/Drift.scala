@@ -70,6 +70,45 @@ object Drift {
     psiTable(ref, cur, valueCol, nBins)
       .agg(sum(col("term"))).head().getDouble(0)
 
+  /** Per-group PSI — drift scored independently for every domain in one
+    * distributed pass (no per-domain driver loop): each group's OWN
+    * reference deciles come from one grouped percentile aggregate,
+    * broadcast back as a rounded edge array; binning is a single-level
+    * HOF fold over that 9-element array; counts, shares, and terms ride
+    * (group, bin) aggregates. PSI terms are non-negative (Gibbs), so the
+    * per-group sum is same-sign and ROUND absorbs reorder noise. */
+  def psiByGroup(
+      ref: DataFrame, cur: DataFrame, groupCol: String, valueCol: String,
+      nBins: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(nBins >= 2, s"need ≥2 bins, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edges = ref.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol).cast("double"),
+        array(ps.map(lit): _*)).as("__q"))
+      .select(col(groupCol),
+        transform(col("__q"), x => round(x, roundTo)).as("__e"))
+    def binned(df: DataFrame, side: String) = df
+      .join(broadcast(edges), Seq(groupCol))
+      .select(col(groupCol),
+        aggregate(col("__e"), lit(0), (acc, t) =>
+          acc + when(col(valueCol).cast("double") >= t, 1).otherwise(0))
+          .as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as(s"${side}_cnt"))
+    val joined = binned(ref, "ref")
+      .join(binned(cur, "cur"), Seq(groupCol, "bin"), "full")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val p = greatest(col("ref_cnt") / sum(col("ref_cnt")).over(byG), lit(1e-6))
+    val q = greatest(col("cur_cnt") / sum(col("cur_cnt")).over(byG), lit(1e-6))
+    joined
+      .withColumn("__term", (q - p) * log(q / p))
+      .groupBy(col(groupCol))
+      .agg(round(sum(col("__term")), roundTo).as("psi"))
+      .orderBy(col(groupCol))
+  }
+
   /** Scalar PSI from two bin-count maps (the driver-side tail of the
     * streaming path; identical formula to [[psiTable]]'s term column). */
   def psiFromCounts(

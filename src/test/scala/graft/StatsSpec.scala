@@ -570,6 +570,18 @@ class StatsSpec extends SparkSpec {
     assert(edges.length == 9 && edges.head < edges.last)
   }
 
+  test("psi by group: stable domain ~0 while shifted domain flags, in one pass") {
+    import graft.stats.Drift
+    val ref = ((1 to 500).map(i => ("stable", i.toDouble)) ++
+      (1 to 500).map(i => ("moving", i.toDouble))).toDF("g", "v")
+    val cur = ((1 to 500).map(i => ("stable", i.toDouble)) ++
+      (751 to 1250).map(i => ("moving", i.toDouble))).toDF("g", "v")
+    val out = Drift.psiByGroup(ref, cur, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("stable")) < 1e-9, s"stable: ${out("stable")}")
+    assert(out("moving") > 0.25, s"moving: ${out("moving")}")
+  }
+
   test("encode: frequency-rank index deterministic; LOO excludes own target") {
     import graft.transform.Encode
     val df = Seq(("b", 10.0), ("b", 20.0), ("a", 5.0), ("a", 7.0), ("a", 9.0),
