@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** Banded edit distance as a Column: exact when ≤ k, else k+1 — the
+    * native codegen'd [[graft.functions.BoundedLevenshtein]], O(k·n)
+    * instead of the builtin's O(n·m) full matrix. */
+  def boundedEdit(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fname = s"graft_bounded_lev_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.functions.BoundedLevenshtein(exprs(0), exprs(1), k),
+      "built-in")
+    call_function(fname, a, b)
+  }
+
   /** Candidate pairs (id1 < id2, edit ≤ maxEdit) within blocks. Pairs from
     * blocks larger than `maxBlockSize` are excluded (and should be
     * re-blocked on a finer key); 0 disables the cap. */
@@ -45,7 +59,9 @@ object EntityResolution {
       .filter(col("id1") < col("id2"))
       // cheap reject first: a length gap > maxEdit already exceeds the bound
       .filter(abs(length(col("__n1")) - length(col("__n2"))) <= maxEdit)
-      .withColumn("edit", levenshtein(col("__n1"), col("__n2")))
+      // banded DP: exact within the bound, k+1 past it (filtered out), at
+      // O(maxEdit·n) per pair instead of the builtin's full O(n·m) matrix
+      .withColumn("edit", boundedEdit(col("__n1"), col("__n2"), maxEdit))
       .filter(col("edit") <= maxEdit)
       .select((blockCols.map(col) :+ col("id1") :+ col("id2") :+
         col("edit")): _*)

@@ -70,6 +70,47 @@ class CodegenSpec extends SparkSpec {
     assert(r("hello world, hello world") == r("hello world, hello world"))
   }
 
+  test("BoundedLevenshtein codegen compiles; banded == full DP within bound") {
+    import graft.functions.BoundedLevenshtein
+    val expr = BoundedLevenshtein(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, StringType, nullable = true), bound = 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    def both(a: String, b: String): Int = {
+      val row = InternalRow(UTF8String.fromString(a), UTF8String.fromString(b))
+      val cg = proj(row).getInt(0)
+      val interp = expr.eval(row).asInstanceOf[Int]
+      assert(cg == interp, s"codegen $cg != eval $interp for ($a, $b)")
+      cg
+    }
+    // exact within the bound
+    assert(both("kitten", "kitten") == 0)
+    assert(both("kitten", "mitten") == 1)
+    assert(both("kitten", "sitten") == 1)
+    assert(both("kitten", "sittin") == 2)
+    // past the bound: clamped to bound+1, not the true distance
+    assert(both("kitten", "sitting") == 3)
+    assert(both("abc", "xyz") == 3)
+    assert(both("", "ab") == 2)
+    assert(both("", "abc") == 3) // length gap alone exceeds the bound
+    // randomized parity vs an unbanded reference implementation
+    val rnd = new scala.util.Random(7)
+    def full(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (_ <- 1 to 200) {
+      val a = rnd.alphanumeric.take(3 + rnd.nextInt(10)).mkString
+      val b = rnd.alphanumeric.take(3 + rnd.nextInt(10)).mkString
+      assert(both(a, b) == math.min(full(a, b), 3),
+        s"banded mismatch on ($a, $b)")
+    }
+  }
+
   test("NfcNormalize codegen compiles, composes combining marks, idempotent") {
     import graft.functions.NfcNormalize
     val expr = NfcNormalize(BoundReference(0, StringType, nullable = true))
