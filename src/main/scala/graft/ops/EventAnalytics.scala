@@ -89,6 +89,34 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  /** Most-common k-step event paths — user-journey flow analysis ("what
+    * do users do in sequence"). One groupBy builds each key's ordered
+    * event-type sequence (an in-memory array bounded by that key's own
+    * history — the same per-key shape as [[funnel]]); n-grams are
+    * constructed in-row (static unroll over the n offsets, no
+    * explode-join); one count shuffle of path strings; the final cut is
+    * TakeOrderedAndProject. Ties break on the path string. */
+  def topPaths(
+      events: DataFrame, n: Int = 3, k: Int = 10, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      ordCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"paths need ≥2 steps, got $n")
+    val seqCol = transform(
+      array_sort(collect_list(struct(col(tsCol), col(ordCol), col(typeCol)))),
+      s => s.getField(typeCol))
+    val grams = {
+      val s = col("__seq")
+      when(size(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(s) - n),
+          i => concat_ws(">", (0 until n).map(j => get(s, i + j)): _*)))
+    }
+    events.groupBy(col(keyCol)).agg(seqCol.as("__seq"))
+      .select(explode(grams).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** (cohort_day, week_offset, n_active) — distinct users of each
     * first-seen-day cohort active in each whole week since. Days emit as
     * epoch-day integers for engine-portable hashing. */

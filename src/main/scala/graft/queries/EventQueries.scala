@@ -632,9 +632,31 @@ object EventQueries extends QueryModule {
         .orderBy("event_id")
     })
 
+  /** Top 3-step user-journey paths ([[graft.ops.EventAnalytics
+    * .topPaths]]): per-user ordered event-type trigrams, global top 10
+    * (count desc, path tie-break). */
+  val evPaths: Q = Q(
+    "ev_path_trigrams",
+    Some("""
+      WITH o AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT unnest(CASE WHEN len(seq) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(seq) - 2),
+            i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2]) END) AS path
+        FROM o)
+      SELECT path, count(*) AS n
+      FROM t
+      GROUP BY 1
+      ORDER BY n DESC, path
+      LIMIT 10"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.topPaths(Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
-      evRangeJoin, evOverlapJoin, evCorrelate, evImpute)
+      evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths)
 }

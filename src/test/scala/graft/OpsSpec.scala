@@ -991,6 +991,23 @@ class OpsSpec extends SparkSpec {
       s"range join must stay equi-join shaped:\n$plan")
   }
 
+  test("top paths: ordered per-key n-grams; short histories contribute none") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(10), 2L, "b"), (1L, ts(20), 3L, "c"),
+      (1L, ts(30), 4L, "b"), (1L, ts(40), 5L, "c"),
+      (2L, ts(5), 6L, "a"), (2L, ts(15), 7L, "b"), (2L, ts(25), 8L, "c"),
+      (3L, ts(0), 9L, "a"), (3L, ts(1), 10L, "b") // too short for trigrams
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.topPaths(events, n = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // user1: a>b>c, b>c>b, c>b>c; user2: a>b>c → a>b>c twice, rest once
+    assert(out == Seq(("a>b>c", 2L), ("b>c>b", 1L), ("c>b>c", 1L)),
+      s"got $out")
+  }
+
   test("kfold: folds partition rows, survive repartition, group keys cohere") {
     import graft.ops.Sampling
     val df = (1L to 500L).map(i => (i, i % 50)).toDF("row_id", "entity_id")
