@@ -117,6 +117,32 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Daily and trailing-window active users (DAU/WAU) — the canonical
+    * engagement series. Exact rolling DISTINCT counts are not
+    * decomposable, so instead of a per-day window (quadratic re-count) or
+    * a self-join, each distinct (user, day) pair is exploded to the
+    * `windowDays` trailing buckets it contributes to, de-duplicated, and
+    * counted — explode factor = windowDays, all counts exact, two
+    * distinct shuffles total regardless of the window length. */
+  def activeUsers(
+      events: DataFrame, keyCol: String = "user_id", tsCol: String = "ts",
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be ≥1, got $windowDays")
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val ud = events.select(col(keyCol).as("__u"), day.as("__d")).distinct()
+    val dau = ud.groupBy(col("__d").cast("long").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as(s"active_${windowDays}d"))
+    // inner join: report only days that themselves have activity
+    dau.join(wau, Seq("day")).orderBy("day")
+  }
+
   /** (cohort_day, week_offset, n_active) — distinct users of each
     * first-seen-day cohort active in each whole week since. Days emit as
     * epoch-day integers for engine-portable hashing. */

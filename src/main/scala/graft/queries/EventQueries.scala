@@ -654,9 +654,30 @@ object EventQueries extends QueryModule {
     (s, dir) =>
       graft.ops.EventAnalytics.topPaths(Tables.load(s, dir, "events")))
 
+  /** DAU + trailing 7-day active users ([[graft.ops.EventAnalytics
+    * .activeUsers]]): rolling distinct via contribution explode (factor
+    * 7), never a per-day re-count. Days as epoch-day integers. */
+  val evActive: Q = Q(
+    "ev_dau_wau",
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events),
+      dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+      c AS (
+        SELECT DISTINCT user_id, unnest(generate_series(d, d + 6)) AS day
+        FROM ud),
+      wau AS (SELECT day, count(*) AS active_7d FROM c GROUP BY 1)
+      SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.active_7d
+      FROM dau JOIN wau ON dau.day = wau.day
+      ORDER BY day"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.activeUsers(Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
-      evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths)
+      evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive)
 }

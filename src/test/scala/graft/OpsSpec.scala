@@ -991,6 +991,22 @@ class OpsSpec extends SparkSpec {
       s"range join must stay equi-join shaped:\n$plan")
   }
 
+  test("active users: DAU exact; trailing window counts distinct, not sum") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(d: Long): Timestamp = new Timestamp(1704067200000L + d * 86400000L)
+    // user 1 active days 0,1; user 2 day 0; user 3 day 9
+    val events = Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(1)), (2L, ts(0)),
+      (3L, ts(9))).toDF("user_id", "ts")
+    val out = EventAnalytics.activeUsers(events, windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val d0 = 19723L
+    // day0: dau 2, 7d 2; day1: dau 1, 7d 2 (user1 counted ONCE though
+    // active both days); day9: dau 1, 7d 1 (day-1 activity aged out)
+    assert(out == Seq((d0, 2L, 2L), (d0 + 1, 1L, 2L), (d0 + 9, 1L, 1L)),
+      s"got $out")
+  }
+
   test("top paths: ordered per-key n-grams; short histories contribute none") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp
