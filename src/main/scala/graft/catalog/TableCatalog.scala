@@ -2,6 +2,7 @@ package graft.catalog
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -94,38 +95,48 @@ final class TableCatalog(
     * invalidate caches and a directory's own mtime only tracks the latter. */
   private def fileVersion(p: Path): String =
     if (Files.isDirectory(p))
-      Files.walk(p).iterator().asScala
-        .filter(c => Files.isRegularFile(c) &&
-          c.getFileName.toString.endsWith(".parquet"))
-        .map(c => p.relativize(c).toString ->
-          s"${Files.getLastModifiedTime(c).toMillis}x${Files.size(c)}")
-        .toSeq.sortBy(_._1).map(_._2)
-        .mkString("d", "_", "")
+      // Using closes the walk stream (its directory fds) even on throw —
+      // a long-lived session over partitioned trees must not leak handles
+      // until GC (r9 ADVICE)
+      Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala
+          .filter(c => Files.isRegularFile(c) &&
+            c.getFileName.toString.endsWith(".parquet"))
+          .map(c => p.relativize(c).toString ->
+            s"${Files.getLastModifiedTime(c).toMillis}x${Files.size(c)}")
+          .toSeq.sortBy(_._1).map(_._2)
+          .mkString("d", "_", "")
+      }
     else s"${Files.getLastModifiedTime(p).toMillis}x${Files.size(p)}"
 
   private def pathMtime(p: Path): Long =
     if (Files.isDirectory(p))
-      Files.walk(p).iterator().asScala
-        .map(c => Files.getLastModifiedTime(c).toMillis)
-        .foldLeft(Files.getLastModifiedTime(p).toMillis)(_ max _)
+      Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala
+          .map(c => Files.getLastModifiedTime(c).toMillis)
+          .foldLeft(Files.getLastModifiedTime(p).toMillis)(_ max _)
+      }
     else Files.getLastModifiedTime(p).toMillis
 
   private def dirVersion(): Long =
     if (!Files.isDirectory(dir)) 0L
-    else listFiles().map(pathMtime).foldLeft(listFiles().size.toLong)(_ max _)
+    else {
+      val files = listFiles() // once — each call walks every table dir
+      files.map(pathMtime).foldLeft(files.size.toLong)(_ max _)
+    }
 
   /** True when `p` is a directory serving one table: parquet slices as
     * direct children, or Hive-style `key=value` partition subdirectories
     * holding parquet (nested partitioning included — Spark's reader
     * discovers the full tree). */
   private def isTableDir(p: Path): Boolean = {
-    val children = Files.list(p).iterator().asScala.toSeq
+    val children = Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
     children.exists(_.getFileName.toString.endsWith(".parquet")) ||
       children.exists { c =>
         Files.isDirectory(c) && c.getFileName.toString.contains("=") &&
-          Files.walk(c).iterator().asScala.exists(f =>
+          Using.resource(Files.walk(c))(_.iterator().asScala.exists(f =>
             Files.isRegularFile(f) &&
-              f.getFileName.toString.endsWith(".parquet"))
+              f.getFileName.toString.endsWith(".parquet")))
       }
   }
 
@@ -134,16 +145,18 @@ final class TableCatalog(
     * [[loadRaw]]). Hidden/underscore names are skipped. */
   private def listFiles(): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(".") || n.startsWith("_")) false
-        else if (Files.isDirectory(p)) isTableDir(p)
-        else
-          n.endsWith(".csv") || n.endsWith(".parquet") ||
-            n.endsWith(".jsonl") || n.endsWith(".orc")
-      }
-      .toSeq.sortBy(_.getFileName.toString)
+    else Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(".") || n.startsWith("_")) false
+          else if (Files.isDirectory(p)) isTableDir(p)
+          else
+            n.endsWith(".csv") || n.endsWith(".parquet") ||
+              n.endsWith(".jsonl") || n.endsWith(".orc")
+        }
+        .toSeq.sortBy(_.getFileName.toString)
+    }
 
   private def stem(p: Path): String = {
     val n = p.getFileName.toString

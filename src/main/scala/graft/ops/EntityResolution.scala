@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  /** Banded edit distance as a Column: exact when ≤ k, else k+1 — the
-    * native codegen'd [[graft.functions.BoundedLevenshtein]], O(k·n)
-    * instead of the builtin's O(n·m) full matrix. */
-  def boundedEdit(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  /** Registers the banded edit distance against an EXPLICIT session and
+    * returns the Column: exact when ≤ k, else k+1 — the native codegen'd
+    * [[graft.functions.BoundedLevenshtein]], O(k·n) instead of the
+    * builtin's O(n·m) full matrix. Registration mutates `spark`'s function
+    * registry (idempotent; name is keyed on k). */
+  def boundedEditIn(spark: org.apache.spark.sql.SparkSession,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column = {
     val fname = s"graft_bounded_lev_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname,
@@ -32,6 +34,14 @@ object EntityResolution {
       "built-in")
     call_function(fname, a, b)
   }
+
+  /** [[boundedEditIn]] against `SparkSession.active`. SIDE EFFECT: building
+    * the Column registers a temp function in the active session — in
+    * multi-session apps prefer [[boundedEditIn]] with the session that owns
+    * the DataFrame (r9 ADVICE; [[candidatePairs]] does exactly that). */
+  def boundedEdit(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    boundedEditIn(org.apache.spark.sql.SparkSession.active, a, b, k)
 
   /** Candidate pairs (id1 < id2, edit ≤ maxEdit) within blocks. Pairs from
     * blocks larger than `maxBlockSize` are excluded (and should be
@@ -61,7 +71,8 @@ object EntityResolution {
       .filter(abs(length(col("__n1")) - length(col("__n2"))) <= maxEdit)
       // banded DP: exact within the bound, k+1 past it (filtered out), at
       // O(maxEdit·n) per pair instead of the builtin's full O(n·m) matrix
-      .withColumn("edit", boundedEdit(col("__n1"), col("__n2"), maxEdit))
+      .withColumn("edit",
+        boundedEditIn(df.sparkSession, col("__n1"), col("__n2"), maxEdit))
       .filter(col("edit") <= maxEdit)
       .select((blockCols.map(col) :+ col("id1") :+ col("id2") :+
         col("edit")): _*)

@@ -44,7 +44,7 @@ object EventAnalytics {
     // fold: t_k = first step-k ts strictly after t_{k-1} (null propagates),
     // and within the window of t1 when one is set
     val inWindow: Column => Column =
-      if (window.isEmpty) _ => lit(true)
+      if (window == null || window.isEmpty) _ => lit(true)
       else x => x <= col("t1") + expr(s"interval $window")
     val chained = steps.indices.tail.foldLeft(perUser) { (df, i) =>
       val k = i + 1
@@ -56,11 +56,14 @@ object EventAnalytics {
     val counts: Seq[Column] = steps.indices.map(i =>
       count(col(s"t${i + 1}")).as(s"n${i + 1}"))
     val row = chained.agg(counts.head, counts.tail: _*)
-    // unpivot with stack: one execution of the aggregate, not one per step
-    val cells = steps.zipWithIndex
-      .map { case (s, i) => s"'$s', ${i + 1}, n${i + 1}" }.mkString(", ")
-    row.select(expr(
-        s"stack(${steps.size}, $cells) AS (step, step_idx, n_users)"))
+    // unpivot with stack: one execution of the aggregate, not one per step.
+    // Step names are typed lit() columns, never interpolated into SQL text —
+    // a step value containing a quote must not break the expression.
+    val cells: Seq[Column] = steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i + 1), col(s"n${i + 1}"))
+    }
+    row.select(stack((lit(steps.size) +: cells): _*)
+        .as(Seq("step", "step_idx", "n_users")))
       .orderBy("step_idx")
   }
 
@@ -76,17 +79,18 @@ object EventAnalytics {
     * engine-portable. */
   def rollingStats(
       events: DataFrame, windowSeconds: Long, keyCol: String = "user_id",
-      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+      tsCol: String = "ts", valCol: String = "value",
+      ordCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
       .rangeBetween(-windowSeconds, Window.currentRow)
     events
-      .select(col("event_id"), col(keyCol),
+      .select(col(ordCol), col(keyCol),
         unix_seconds(col(tsCol)).as("__t"),
         round(col(valCol) * 100).as("__c"))
       .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("sum_cents_window", sum(col("__c")).over(w).cast("long"))
-      .select("event_id", keyCol, "n_window", "sum_cents_window")
-      .orderBy("event_id")
+      .select(ordCol, keyCol, "n_window", "sum_cents_window")
+      .orderBy(ordCol)
   }
 
   /** Most-common k-step event paths — user-journey flow analysis ("what

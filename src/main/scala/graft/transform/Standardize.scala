@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * and sample stddev then derive through an identical double sequence,
   * and the per-row z-score is rounded at `roundTo`. A zero-variance
   * column standardizes to null (no ANSI divide error).
+  *
+  * MAGNITUDE BOUND (shared by [[zscoreByGroup]],
+  * [[graft.transform.Encode.targetEncodeLoo]], [[graft.transform.Impute]],
+  * same pattern as `Regression.trendByKey`): the squared sum accumulates
+  * in decimal(38,4), which holds Σv² exactly while it stays below 10^34 —
+  * e.g. 10^12 rows of |v| ≤ 10^10, far beyond any money-typed column.
+  * Past that, decimal overflow yields null (non-ANSI) or a runtime error
+  * (ANSI), never a silently wrong moment; pre-scale or switch the column
+  * to double-with-Welford before that regime.
   */
 object Standardize {
 
