@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.ProfileQueries,
     graft.queries.QualityQueries,
     graft.queries.TextQueries,
+    graft.queries.UrlQueries,
     graft.queries.SimQueries,
     graft.queries.EventQueries,
     graft.queries.SamplingQueries)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlOps
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.zipWithIndex.toDF("u", "i").orderBy("i")
+      .select(UrlOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+
+  test("canonicalUrl: case, default ports, fragments, tracking params") {
+    val out = canon(
+      "HTTP://WWW.Example.COM:80/Path/X?utm_source=a&id=7#frag",
+      "https://News.Site.co.uk:443/a?gclid=X&q=1",
+      "http://h.example.com/p?id=3&utm_a=1&utm_b=2&fbclid=z",
+      "https://example.org/?fbclid=abc",
+      "http://Example.NET:8080/x#y",
+      "http://example.com:800/x",
+      "https://example.com:80/x")
+    assert(out == Seq(
+      // authority lowers, :80 drops, fragment + tracking go, Path case kept
+      "http://www.example.com/Path/X?id=7",
+      "https://news.site.co.uk/a?q=1",
+      // a RUN of tracking params collapses; dangling separator strips
+      "http://h.example.com/p?id=3",
+      // tracking-only query leaves a clean bare path
+      "https://example.org/",
+      // non-default port survives; fragment goes
+      "http://example.net:8080/x",
+      // :800 is not :80 — the port regex must not prefix-match
+      "http://example.com:800/x",
+      // :80 on httpS is not the default — stays
+      "https://example.com:80/x"))
+  }
+
+  test("canonicalUrl: tracking name inside a VALUE survives; scheme-less passes through") {
+    val out = canon(
+      "http://a.com/p?next=utm_source%3Dx&id=1",
+      "relative/path?utm_source=x",
+      "HTTP://UPPER.COM/KEEP?utm_x=1&Keep=V")
+    assert(out(0) == "http://a.com/p?next=utm_source%3Dx&id=1")
+    // no scheme: authority lowering skipped, tracking still stripped
+    assert(out(1) == "relative/path")
+    assert(out(2) == "http://upper.com/KEEP?Keep=V")
+  }
+
+  test("host and registrableDomain: multi-part suffixes, single labels, nulls") {
+    val cases = Seq(
+      "https://a.b.site.co.uk/x" -> ("a.b.site.co.uk", "site.co.uk"),
+      "http://www.example.com/" -> ("www.example.com", "example.com"),
+      "http://data.gov.uk/d" -> ("data.gov.uk", "data.gov.uk"),
+      "http://localhost:9000/x" -> ("localhost", "localhost"),
+      "no-scheme.example.com/x" -> (null, null))
+    val df = cases.map(_._1).zipWithIndex.toDF("u", "i")
+    val got = df.orderBy("i")
+      .select(UrlOps.host(col("u")).as("h"),
+        UrlOps.registrableDomain(UrlOps.host(col("u"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("domainQualityRollup groups by canonical registrable domain") {
+    val df = Seq(
+      ("HTTP://WWW.Shop.COM:80/a?utm_x=1", "the quick fox"),
+      ("http://sub.shop.com/b", "a b c d"),
+      ("https://Other.ORG/c#f", "x y z")).toDF("url", "text")
+    val r = UrlOps.domainQualityRollup(df, "url", "text")
+      .orderBy("domain").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("other.org", "shop.com"))
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(r.forall(x => x.getDouble(2) > 0 && x.getLong(3) > 0))
+  }
+}
