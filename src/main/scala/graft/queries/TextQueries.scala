@@ -776,6 +776,50 @@ object TextQueries extends QueryModule {
           concat_ws("|", slice(TextOps.bpePieces(col("text")), 1, 5)).as("head_pieces"))
         .orderBy("doc_id"))
 
+  /** REAL byte-level BPE over the checked-in merges fixture
+    * ([[graft.functions.Bpe]]) — actual pair merges, not the pre-split
+    * estimate of `txt_bpe_tokens`. No SQL engine can express the merge
+    * loop, so the entry is rows-only with two self-asserts that are
+    * stronger than a hash compare:
+    *  - PINNED literals: encodings of fixed strings (incl. multi-byte
+    *    UTF-8) must byte-match the values recorded when the fixture was
+    *    trained (tools/BpeTrain prints them) — fixture drift dies loudly;
+    *  - BIJECTIVITY, distributed: decode(encode(text)) == text for EVERY
+    *    document in the table (byte-level BPE is lossless by
+    *    construction; one extra count() verifies it end to end). */
+  val txtBpeReal: Q = Q(
+    "txt_bpe_real",
+    None,
+    (s, dir) => {
+      val tok = graft.functions.Bpe.fromResource()
+      val pins: Seq[(String, Array[Int])] = Seq(
+        "the fast table scan" ->
+          Array(116, 104, 101, 270, 266, 116, 271, 97, 98, 108, 101, 290),
+        "spark  join\nmerge" -> Array(115, 263, 107, 32, 32, 301, 10, 303),
+        "a" -> Array(97),
+        "naïve café 🚀" -> Array(110, 97, 195, 175, 118, 101, 267, 97,
+          102, 195, 169, 32, 240, 159, 154, 128),
+        "" -> Array.empty[Int])
+      pins.foreach { case (t, ids) =>
+        require(tok.encode(t).sameElements(ids),
+          s"BPE fixture drift: '$t' -> ${tok.encode(t).mkString(",")}, " +
+            s"pinned ${ids.mkString(",")}")
+        require(tok.decode(ids) == t, s"BPE decode drift on pinned '$t'")
+      }
+      val d = Tables.load(s, dir, "documents")
+      val withIds = d.select(col("doc_id"), col("text"),
+        graft.functions.Bpe.encodeIds(s, col("text"), tok).as("ids"))
+      val bad = withIds.filter(
+        graft.functions.Bpe.decodeIds(s, col("ids"), tok) =!= col("text")).count()
+      require(bad == 0, s"BPE roundtrip failed on $bad documents")
+      withIds.select(col("doc_id"),
+          size(col("ids")).as("n_bpe_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_presplit_pieces"),
+          concat_ws(",", transform(slice(col("ids"), 1, 8),
+            i => i.cast("string"))).as("head_ids"))
+        .orderBy("doc_id")
+    })
+
   /** Keyed upsert/delete corpus maintenance ([[graft.ops.Upsert]]): lay out
     * the historical corpus bucket-partitioned, apply one batch of
     * replacements (doc_id%10=0), inserts (doc_id%10=8) and deletes
@@ -866,5 +910,5 @@ object TextQueries extends QueryModule {
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
-    txtBigramLogprob, txtBpeTokens, txtQualityClassifier, mntUpsert)
+    txtBigramLogprob, txtBpeTokens, txtBpeReal, txtQualityClassifier, mntUpsert)
 }
