@@ -370,20 +370,48 @@ object Dedup {
     val spark = df.sparkSession
     val sig = GraftFunctions.simhash64(spark, TextOps.tokens(col(textCol)))
     val sigs = df.select(col(idCol).as("id"), sig.as("sig"))
-    val chunks = 4 // 4 x 16-bit chunks: catches all pairs with hamming <= 3
-    val chunkCols = (0 until chunks).map(i =>
-      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = sigs.select(col("id"), col("sig"), posexplode(array(chunkCols: _*)))
+    hammingPairs64(sigs, maxHamming, maxBucketSize, warnTag = "simhash_buckets")
+  }
+
+  /** Banded hamming-distance self-join over ANY 64-bit signature column —
+    * the shared engine under [[simhashPairs]] (text) and
+    * [[Multimodal.phashPairs]] (image dHash). Input: columns `id`, `sig`.
+    * Output: (id1, id2, hamming ≤ maxHamming), id1 < id2.
+    *
+    * The 64 bits split into `maxHamming + 1` near-equal bands (pigeonhole:
+    * a pair within the hamming bound must agree EXACTLY on ≥1 band);
+    * candidate generation is ONE groupBy(band, piece) with map-side pair
+    * expansion from each bucket's member array — no self-join shuffle, and
+    * signatures are 8 bytes so members carry (id, sig) through the shuffle
+    * (no re-attach joins). `maxBucketSize` drops mega-buckets (near-
+    * constant signatures sharing a band value are O(bucket²) pairs — the
+    * one quadratic cliff); the same lossy-cap caveat as the minhash path
+    * applies: run exact dedup first, and a runtime observed-metric warning
+    * fires whenever buckets are dropped so the loss is never silent. */
+  def hammingPairs64(
+      sigs: DataFrame, maxHamming: Int, maxBucketSize: Int = 4096,
+      warnTag: String = "hamming_buckets"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    val bandCols = (0 until bands).map { i =>
+      val width = if (i < rem) base + 1 else base
+      val offset = i * base + math.min(i, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(col("sig"), offset).bitwiseAND(lit(mask))
+    }
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("piece"))
     val grouped0 = banded.groupBy(col("chunk"), col("piece"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("ms0"))
     // Dropped-bucket visibility: count the buckets the cap discards and the
-    // largest one. maxHamming < chunks means a duplicate GROUP of more than
-    // maxBucketSize identical signatures trips the cap in all 4 bands at
-    // once and silently loses its pairs — exactly the case the warning names.
+    // largest one. A duplicate GROUP of more than maxBucketSize identical
+    // signatures trips the cap in EVERY band at once and silently loses its
+    // pairs — exactly the case the warning names.
     val grouped =
       if (maxBucketSize == Int.MaxValue) grouped0
-      else PlanWarnings.observe(grouped0, "simhash_buckets",
+      else PlanWarnings.observe(grouped0, warnTag,
           Seq(sum(when(size(col("ms0")) > maxBucketSize, 1).otherwise(0)).as("dropped"),
             max(size(col("ms0"))).as("max_bucket"))) { row =>
         val dropped = Option(row.getAs[Any]("dropped"))
@@ -392,7 +420,7 @@ object Dedup {
           val maxB = Option(row.getAs[Any]("max_bucket"))
             .fold(0L)(v => v.asInstanceOf[Number].longValue())
           log.warn(
-            s"simhashPairs dropped $dropped (chunk, piece) buckets larger than " +
+            s"hammingPairs64[$warnTag] dropped $dropped (band, piece) buckets larger than " +
               s"maxBucketSize=$maxBucketSize (largest: $maxB). Duplicate groups " +
               s"beyond the cap yield NO pairs — run exactGroups/" +
               s"dropDuplicatesByFingerprint first, raise maxBucketSize, or pass " +

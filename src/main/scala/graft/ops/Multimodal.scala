@@ -397,6 +397,121 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) from REAL pixels: the decoded image
+    * average-pools onto a 9×8 luminance grid (BT.601 weights, same as
+    * [[decodeImage]]); bit k = grid(y, x+1) > grid(y, x) over the 8×8
+    * adjacent-column comparisons. Comparisons make it invariant to global
+    * brightness/contrast shifts and stable under resize/re-encode (pooling
+    * averages), which is exactly the perceptual near-identity a crawl
+    * image dedup needs. `None` when the bytes don't decode. Images
+    * narrower than 9 px leave trailing grid cells empty (0) — hash them,
+    * but expect resize-twins below that width to drift. */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val (gw, gh) = (9, 8)
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(gw - 1, x * gw / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+          val g = gy * gw + gx
+          sums(g) += lum
+          counts(g) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def cell(g: Int): Double = if (counts(g) == 0) 0.0 else sums(g) / counts(g)
+      var bits = 0L
+      var k = 0
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          if (cell(gy * gw + gx + 1) > cell(gy * gw + gx)) bits |= (1L << k)
+          k += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** (id, sig) dHash table of a media frame — batched per partition like
+    * [[extractFeatures]]; undecodable/empty content yields a null sig (kept
+    * for auditability, filtered by [[phashPairs]]). */
+  def dhashImages(
+      media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    media.select(col(idCol).cast("long"), col(contentCol)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val sig =
+          if (bytes == null || bytes.isEmpty) None else dHash64(bytes)
+        Row(id, sig.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs — the image twin of
+    * [[Dedup.simhashPairs]]: real-pixel dHash signatures through the SAME
+    * banded hamming join ([[Dedup.hammingPairs64]] — bucketed, never
+    * all-pairs; mega-bucket cap with observed-metric warning). A
+    * resized/re-encoded/brightness-shifted copy hashes within a few bits
+    * of its original; unrelated images sit near hamming 32. One decode
+    * pass, 8-byte signatures through one groupBy shuffle — at 100 TB of
+    * images the join cost is independent of pixel volume. */
+  def phashPairs(
+      media: DataFrame, maxHamming: Int = 6, maxBucketSize: Int = 4096,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame =
+    Dedup.hammingPairs64(
+      dhashImages(media, idCol, contentCol).filter(col("sig").isNotNull),
+      maxHamming, maxBucketSize, warnTag = "phash_buckets")
+
+  /** Deterministic smooth sinusoidal grayscale PNG — the STRUCTURED test
+    * image family for perceptual-hash fixtures (pure noise doesn't survive
+    * pooling; a smooth field does, like real photographs). */
+  private[graft] def sinusoidPng(
+      w: Int, h: Int, fx: Double, fy: Double, phase: Double,
+      brightness: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128 + 90 * math.sin(
+          2 * math.Pi * (fx * x / w + fy * y / h) + phase)
+        val c = math.max(0, math.min(255, v.toInt + brightness))
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Schema of [[sampleFrames]]: one row per sampled frame. `frame_ms` is
     * the deterministic timestamp the frame was sampled at; `real` is false
     * while frame extraction runs the stub (see the STUB NOTICE above). */
@@ -586,7 +701,7 @@ object Multimodal {
   /** Deterministic tiny PNG: seeded per-pixel RGB noise encoded through
     * the real ImageIO writer, so synthetic "image" rows are genuine
     * decodable PNGs (and the decode path is exercised end to end). */
-  private[ops] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  private[graft] def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rnd = new java.util.Random(seed)

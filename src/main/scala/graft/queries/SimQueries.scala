@@ -245,7 +245,44 @@ object SimQueries extends QueryModule {
       Similarity.labelConfusion(Tables.load(s, dir, "embeddings"),
         "label", "embedding"))
 
+  /** Image perceptual-hash near-dup join ([[Multimodal.phashPairs]]):
+    * real-pixel dHash through the banded hamming join. Rows-only (pixel
+    * pooling is not SQL-expressible) with an EXACT-set self-assert, which
+    * is stronger than a hash compare: over 8 smooth-field families (base +
+    * resized twin + brightness-shifted twin) plus 8 unrelated noise
+    * images, the pair set must be precisely the 24 intra-family pairs —
+    * full recall (every twin found) AND full precision (no cross-family or
+    * noise pair). Separations measured by tools/PhashProbe: twins ≤ 8
+    * bits, cross-family ≥ 28, noise ≥ 26 — maxHamming 10 sits in the
+    * gap. */
+  val mmPhashPairs: Q = Q(
+    "mm_phash_pairs",
+    None,
+    (s, _) => {
+      import s.implicits._
+      val fams = (0 until 8).map { k =>
+        (k.toLong, 1.0 + (k % 4), 0.5 + (k / 4) * 1.5, k * 0.9)
+      }
+      val rows: Seq[(Long, Array[Byte])] = fams.flatMap { case (k, fx, fy, ph) =>
+        Seq(
+          (k, Multimodal.sinusoidPng(64, 48, fx, fy, ph)),
+          (100L + k, Multimodal.sinusoidPng(32, 24, fx, fy, ph)),
+          (110L + k, Multimodal.sinusoidPng(64, 48, fx, fy, ph, brightness = 12)))
+      } ++ (0 until 8).map(i =>
+        (200L + i, Multimodal.syntheticPng(24, 18, 977L + i)))
+      val media = rows.toDF("media_id", "content").repartition(4)
+      val pairs = Multimodal.phashPairs(media, maxHamming = 10).persist()
+      val got = pairs.select(col("id1"), col("id2"))
+        .as[(Long, Long)].collect().toSet
+      val expected = fams.map(_._1).flatMap(k =>
+        Seq((k, 100 + k), (k, 110 + k), (100 + k, 110 + k))).toSet
+      require(got == expected,
+        s"phash pair set drift: unexpected=${(got -- expected).toSeq.sorted} " +
+          s"missing=${(expected -- got).toSeq.sorted}")
+      pairs.orderBy("id1", "id2")
+    })
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
-      mmFrames, ddSemantic, simCentroids, simConfusion)
+      mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs)
 }

@@ -29,5 +29,16 @@ object MakeFixtures {
       Multimodal.syntheticMp4(640, 360, 2500L, timescale = 90000,
         mdatLen = 128, seed = 7))
     println(s"wrote $mp4")
+    // Perceptual-hash near-dup fixtures: a smooth sinusoid field, its
+    // resized twin (MUST pair under dHash), and a different field (must
+    // NOT pair). PhashProbe prints the measured hamming separations.
+    for ((name, bytes) <- Seq(
+        "sin_64x48.png" -> Multimodal.sinusoidPng(64, 48, 2.0, 1.0, 0.7),
+        "sin_32x24.png" -> Multimodal.sinusoidPng(32, 24, 2.0, 1.0, 0.7),
+        "sin_alt_64x48.png" -> Multimodal.sinusoidPng(64, 48, 3.0, 2.0, 2.1))) {
+      val p = dir.resolve(name)
+      Files.write(p, bytes)
+      println(s"wrote $p")
+    }
   }
 }

@@ -332,6 +332,51 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(bytes).get.embedding.toSeq == a.embedding.toSeq)
   }
 
+  test("dHash: checked-in resized twin pairs, distinct field does not") {
+    def res(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream("/" + n)
+      try in.readAllBytes() finally in.close()
+    }
+    val a = Multimodal.dHash64(res("sin_64x48.png")).get
+    val b = Multimodal.dHash64(res("sin_32x24.png")).get
+    val c = Multimodal.dHash64(res("sin_alt_64x48.png")).get
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) <= 6, s"resized twin drifted: ${ham(a, b)} bits")
+    assert(ham(a, c) >= 16 && ham(b, c) >= 16,
+      s"distinct fields too close: ${ham(a, c)}/${ham(b, c)}")
+    // the banded join over the three fixtures finds exactly the twin pair
+    val media = Seq(
+      (1L, res("sin_64x48.png")), (2L, res("sin_32x24.png")),
+      (3L, res("sin_alt_64x48.png"))).toDF("media_id", "content")
+    val pairs = Multimodal.phashPairs(media, maxHamming = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") == ham(a, b))
+    // undecodable content rows are skipped, not fatal
+    val withJunk = media.union(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "content"))
+    assert(Multimodal.phashPairs(withJunk, maxHamming = 6).count() == 1)
+  }
+
+  test("hammingPairs64: pigeonhole banding is exact for any maxHamming") {
+    // signatures at controlled distances from a base: d <= maxHamming must
+    // pair, d > maxHamming must not — across several band splits (64 % bands
+    // != 0 exercises the uneven widths)
+    val base = 0x0123456789abcdefL
+    def flip(v: Long, bits: Seq[Int]): Long = bits.foldLeft(v)((x, b) => x ^ (1L << b))
+    for (maxH <- Seq(1, 3, 6, 10)) {
+      val sigs = Seq(
+        (0L, base),
+        (1L, flip(base, 0 until maxH)), // exactly maxH apart -> pair
+        (2L, flip(base, (0 to maxH).map(63 - _)))) // maxH+1 apart (from BOTH) -> no pair
+        .toDF("id", "sig")
+      val got = Dedup.hammingPairs64(sigs, maxH)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((0L, 1L)), s"maxH=$maxH missed the in-bound pair")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+        s"maxH=$maxH paired beyond the bound: $got")
+    }
+  }
+
   test("multimodal: resize downscales oversized images and passes the rest through") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val out = Multimodal.resizeImages(media, maxDim = 10)
