@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Dedup
+
+/** Streaming NEAR-duplicate detection — the MinHash-banded twin of
+  * [[StreamingOps.dedupStream]] (which is exact-fingerprint only): an
+  * incremental crawl ingest can near-dedup in flight instead of waiting
+  * for the nightly batch pass.
+  *
+  * Shape: per-row MinHash signatures (the same native expression and band
+  * hashing as [[Dedup.minhashLshPairs]], so stream and batch bucket
+  * IDENTICALLY), then `flatMapGroupsWithState` keyed on (band, bucket)
+  * with state = the signatures seen in that bucket within the watermark
+  * horizon. An arriving document emits one [[NearDedup.DupEdge]] per
+  * band where some EARLIER document's full signature estimates Jaccard ≥
+  * threshold. "Earlier" = prior micro-batch, or (ts, id) order within a
+  * batch — first arrival wins, the same contract as `dedupStream`; it
+  * equals the batch min-id semantics whenever arrival follows id order.
+  *
+  * State economics at 100 TB/day: per (band, bucket) key the state is at
+  * most `maxBucketSize` (id, k-long signature) entries, evicted when the
+  * event-time watermark passes the bucket's last activity + the horizon —
+  * exactly "one watermark span of signatures". Buckets that fill to
+  * `maxBucketSize` stop ACCUMULATING (arrivals still check against the
+  * retained members): a mega-bucket carries no near-dup signal, the same
+  * lossy-cap contract as the batch path's bucket drop, erring toward
+  * keeping documents.
+  *
+  * Consumers take `edges.dropDuplicates("doc_id")` per micro-batch (or
+  * `foreachBatch` anti-join) for the dup-id set; the edge stream itself
+  * keeps the evidence (which earlier doc matched, at what estimate).
+  */
+object NearDedup {
+
+  /** One banded observation (public: Dataset encoders generate bytecode
+    * outside this object and cannot see private types). `ts` keeps the
+    * original event-time column — the watermark metadata must ride into
+    * the stateful operator for event-time timeouts. */
+  final case class BandObs(
+      doc_id: Long, ts: java.sql.Timestamp, band: Int, bucket: Long,
+      sig: Array[Long])
+
+  /** `doc_id` matched `matched_id` (an earlier arrival) in `band` with
+    * signature-estimated Jaccard `est_jaccard`. */
+  final case class DupEdge(
+      doc_id: Long, matched_id: Long, band: Int, est_jaccard: Double)
+
+  /** Signatures retained for one bucket, in arrival order. */
+  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+
+  private def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  private[streaming] def horizonMs(watermark: String): Long = {
+    val parts = watermark.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"watermark must be '<n> <unit>': '$watermark'")
+    val n = parts(0).toLong
+    parts(1).stripSuffix("s") match {
+      case "second" => n * 1000L
+      case "minute" => n * 60000L
+      case "hour" => n * 3600000L
+      case "day" => n * 86400000L
+      case u => throw new IllegalArgumentException(s"unsupported unit '$u'")
+    }
+  }
+
+  /** Dup-edge stream over a watermarked document feed. `watermark` empty →
+    * state lives forever (bounded corpora / tests); set it in production.
+    * Works identically over a batch DataFrame (state starts empty per
+    * group), which is what the stream==batch spec pins. */
+  def dupEdgesStream(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", n: Int = 2, k: Int = 144, bands: Int = 48,
+      threshold: Double = 0.5, seed: Long = 42,
+      maxBucketSize: Int = 100, watermark: String = ""): Dataset[DupEdge] = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val watermarked =
+      if (watermark.isEmpty) docs else docs.withWatermark(tsCol, watermark)
+    val horizon = if (watermark.isEmpty) 0L else horizonMs(watermark)
+    // same signature expression and band hash as the batch path — a stream
+    // and a batch over the same rows land in the same buckets
+    val fname = s"graft_minhash64_${k}_$seed"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.MinHash64(exprs.head, k, seed), "built-in")
+    val sigged = watermarked
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        graft.ops.TextOps.shingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0) // blank docs: no signature, never a dup
+      .select(col("doc_id"), col("ts"),
+        call_function(fname, col("__sh")).as("sig"))
+    val bandCols = (0 until bands).map(bnd =>
+      xxhash64(concat_ws("_", slice(col("sig"), bnd * r + 1, r))))
+    val banded = sigged
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("ts"), col("pos").as("band"),
+        col("col").as("bucket"), col("sig"))
+      .as[BandObs]
+    val timeout =
+      if (watermark.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
+    banded
+      .groupByKey(o => (o.band, o.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: (Int, Long), it: Iterator[BandObs],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              BucketState(Array.empty, Array.empty))
+            val out = Seq.newBuilder[DupEdge]
+            // group iterator order is not guaranteed — impose arrival order
+            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))) {
+              var i = 0
+              while (i < s.ids.length) {
+                val est = estJaccard(o.sig, s.sigs(i))
+                if (est >= threshold)
+                  out += DupEdge(o.doc_id, s.ids(i), key._1, est)
+                i += 1
+              }
+              if (s.ids.length < maxBucketSize)
+                s = BucketState(s.ids :+ o.doc_id, s.sigs :+ o.sig)
+            }
+            state.update(s)
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + horizon)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** BATCH twin of the dup decision [[dupEdgesStream]] feeds: document ids
+    * that near-match a SMALLER id ([[Dedup.minhashLshPairs]] pairs are
+    * id1 < id2, so the id2 side is the later arrival when ids follow
+    * arrival order). `df minus these` is the kept set. */
+  def nearDupIds(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 2, k: Int = 144, bands: Int = 48, threshold: Double = 0.5,
+      seed: Long = 42, maxBucketSize: Int = 100): DataFrame =
+    Dedup.minhashLshPairs(df, idCol, textCol, n, k, bands, threshold, seed,
+        maxBucketSize)
+      .select(col("id2").as(idCol)).distinct()
+}

@@ -352,4 +352,56 @@ class StreamingSpec extends SparkSpec {
       assert(expected.exists(_._3), "fixture produced zero anomalies")
     } finally q.stop()
   }
+
+  test("streaming near-dedup: MinHash band state matches batch over >=2 micro-batches") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.NearDedup
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    // arrival order = id order (the first-arrival-wins contract equals the
+    // batch min-id semantics under this feed order)
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val splitId = first.last._1
+
+    val expectedDups = NearDedup.nearDupIds(docs, threshold = 0.4)
+      .as[Long].collect().toSet
+    assert(expectedDups.nonEmpty, "fixture has no near-dups — vacuous test")
+    // state must matter: some duplicate's earlier partner arrives in batch 1
+    val pairs = graft.ops.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.exists(p => p._1 <= splitId && p._2 > splitId),
+      "no dup pair straddles the micro-batch split — state not exercised")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val feed = ms.toDF().toDF("doc_id", "text")
+      // event time follows id so in-batch ordering is deterministic. The
+      // +10 offset keeps doc 0 off epoch 0: a stateful operator's late
+      // filter treats an event time EQUAL to the initial watermark (0) as
+      // late and silently drops the row (measured — doc 0's dup partner
+      // vanished without it). Real feeds never carry epoch-0 event times.
+      .withColumn("ts", F.timestamp_micros((F.col("doc_id") + 10) * 1000000L))
+    val q = NearDedup.dupEdgesStream(feed, threshold = 0.4,
+        watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val edges = spark.table("neardup_out")
+        .select("doc_id", "matched_id").as[(Long, Long)].collect()
+      // every edge points BACKWARD (matched an earlier arrival)
+      assert(edges.forall(e => e._2 < e._1), "an edge matched a later doc")
+      val got = edges.map(_._1).toSet
+      assert(got == expectedDups,
+        s"stream dup set != batch: extra=${(got -- expectedDups).toSeq.sorted.take(5)} " +
+          s"missing=${(expectedDups -- got).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
 }
