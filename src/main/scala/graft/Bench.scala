@@ -29,6 +29,9 @@ object Bench {
     "a1_count_distinct",
     "a7_enwiden_pivot",
     "t1_column_stats",
+    // the 100 TB DEFAULT stats path (sketch quantiles + HLL) tracked as its
+    // own regression line, separate from the exact path's variance (r9 #4)
+    "t1_column_stats_approx",
     "t2_corr_pearson",
     "t7_filter_funnel",
     "txt_quality",

@@ -43,7 +43,11 @@ object LanguageModel {
     * deterministic; same-sign ln terms keep the reordering error at
     * machine-epsilon scale, absorbed by the rounding. */
   def scoreBy(lm: Unigram, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val denom = lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble)
+    // empty reference model (T = V = 0): ln((c+1)/0) would be +Inf for
+    // every token; flooring the denominator at 1 makes an evidence-free
+    // model score every token ln(1) = 0 — the same "no evidence" value
+    // empty documents get
+    val denom = lit(math.max(lm.totalTokens + lm.vocabSize, 1L).toDouble)
     val tok = docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("t"))
       .filter(col("t") =!= "")
@@ -96,7 +100,9 @@ object LanguageModel {
   def scoreBigram(
       lm: Bigram, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val v = lit(lm.unigram.vocabSize.toDouble)
+    // same empty-model floor as scoreBy: V = 0 with an unseen context
+    // (cu null→0) would divide by zero
+    val v = lit(math.max(lm.unigram.vocabSize, 1L).toDouble)
     val ctxVocab = lm.unigram.vocab
       .select(col("t").as("ctx"), col("c").as("cu"))
     val perDoc = docs

@@ -52,7 +52,12 @@ object TextSearch {
     // nothing is the empty result, not an NPE
     if (n == 0L)
       return docs.select(col("id"), lit(0.0).as("score")).limit(0)
-    val avgdl = stats.getDouble(1)
+    // all-blank corpus: avgdl = 0 would make the length norm dl/avgdl a
+    // 0/0 = NaN that poisons every score's ordering; with every dl = 0 the
+    // stand-in value cancels out of the norm, so scores stay an honest 0
+    // (tf = 0) instead of NaN
+    val rawAvgdl = stats.getDouble(1)
+    val avgdl = if (rawAvgdl > 0.0) rawAvgdl else 1.0
     val dfs = terms.indices.map(i => stats.getLong(2 + i))
 
     // Pass 2: score expression — arithmetic ordered exactly as the DuckDB

@@ -63,6 +63,44 @@ object StatsQueries extends QueryModule {
         .orderBy("col_name")
     })
 
+  /** The approximate-stats path (`percentile_approx` + HLL distinct) —
+    * the DEFAULT at 100 TB, where exact quantiles would sort the column
+    * ([[ColumnStats]] scaladoc). Rows-only: sketch outputs have no SQL
+    * oracle. The algebraic stats (n, nulls, mean, std, min, max) are exact
+    * in BOTH paths; the self-assert pins the sketch outputs to their exact
+    * invariants — quantiles monotone and inside [min, max], distinct
+    * positive — so a broken sketch cannot dump plausible noise. Benched as
+    * its own headline line so the 100 TB default path gets its own
+    * regression series (the exact path's host-window variance was
+    * polluting round comparisons). */
+  val t1ColumnStatsApprox: Q = Q(
+    "t1_column_stats_approx",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val stats = ColumnStats.describe(li, t1Cols, approxQuantiles = true)
+      stats.foreach { st =>
+        val (mn, q25, med, q75, mx) =
+          (st.min.get, st.q25.get, st.median.get, st.q75.get, st.max.get)
+        require(mn <= q25 && q25 <= med && med <= q75 && q75 <= mx,
+          s"${st.column}: approx quantiles not monotone: $mn $q25 $med $q75 $mx")
+        require(st.distinct > 0 && st.n > 0, s"${st.column}: degenerate sketch")
+      }
+      stats.map(st => (st.column, st.n, st.nulls, st.distinct,
+          st.mean.get, st.std.get, st.min.get, st.max.get,
+          st.q25.get, st.median.get, st.q75.get))
+        .toDF("col_name", "n", "n_null", "n_distinct_approx", "mean", "std",
+          "min_v", "max_v", "q25", "median", "q75")
+        .select(col("col_name"), col("n"), col("n_null"),
+          col("n_distinct_approx"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 4).as("std"),
+          col("min_v"), col("max_v"),
+          round(col("q25"), 4).as("q25"), round(col("median"), 4).as("median"),
+          round(col("q75"), 4).as("q75"))
+        .orderBy("col_name")
+    })
+
   /** T2 pearson correlation pairs in one aggregate pass. */
   private val t2Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -716,7 +754,8 @@ object StatsQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    t1ColumnStats, t2Pearson, t2Spearman, t6Breakdown, t7Funnel, t8Impact,
+    t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
+    t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,

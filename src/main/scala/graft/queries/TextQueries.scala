@@ -287,12 +287,24 @@ object TextQueries extends QueryModule {
     None,
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val out = Dedup.deduplicateCorpus(docs, "doc_id", "text", threshold = 0.5)
-        .select(col("doc_id"), col("cluster_id"), col("n_cluster"))
+      val dedup = Dedup.deduplicateCorpus(docs, "doc_id", "text", threshold = 0.5)
+      val out = dedup.select(col("doc_id"), col("cluster_id"), col("n_cluster"))
+      // partition invariant: every document is accounted for by exactly
+      // one cluster
       val covered = out.agg(sum(col("n_cluster"))).head().getLong(0)
       val total = docs.count()
       require(covered == total,
         s"dedup clusters cover $covered of $total documents")
+      // dedup-completeness invariant: re-mining the KEPT set with the same
+      // deterministic signatures/banding must find ZERO near-dup pairs —
+      // any survivor pair is two same-cluster documents both kept, i.e.
+      // the transitive resolution failed. (Deterministic LSH makes this
+      // sound: a pair found on the subset is found on the superset.)
+      val residual = Dedup.minhashLshPairs(
+        dedup.select(col("doc_id"), col("text")), "doc_id", "text",
+        threshold = 0.5).count()
+      require(residual == 0,
+        s"$residual LSH-confirmed near-dup pairs survived corpus dedup")
       out.orderBy("doc_id")
     })
 

@@ -78,7 +78,9 @@ object ScaleBench {
 
     for (k <- scales) {
       val dir = s"$base/x$k"
-      val done = new java.io.File(s"$dir/_done")
+      // v2: adds lineitem_pivot — version the marker so pre-v2 scratch dirs
+      // (same testdata fingerprint) regenerate instead of missing the table
+      val done = new java.io.File(s"$dir/_done_v2")
       if (!done.exists()) {
         val docs = Tables.load(spark, sfDir, "documents")
         val stride = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -106,6 +108,17 @@ object ScaleBench {
             .withColumn("event_id", col("event_id") + lit(i * eStride))
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/events")
+        // pivot input: K copies with OFFSET group keys — more participants,
+        // constant sessions-per-participant and pivot WIDTH (width is a
+        // schema property; growing it would measure a different risk than
+        // corpus growth). Only the pivot's four columns ride to disk.
+        val liP = Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        val oStride = liP.agg(max("l_orderkey")).head.getLong(0) + 1
+        (0 until k).map(i =>
+            liP.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem_pivot")
         done.getParentFile.mkdirs()
         done.createNewFile()
       }
@@ -162,6 +175,23 @@ object ScaleBench {
       }
       emit("txt_heavy_hitters", k, docRows, hhMed, hhS,
         s""","hitters":$hitters""")
+
+      // long→wide pivot (one classify + one pivot shuffle): K× groups,
+      // fixed width. Aggregated output — a bare count() would let Catalyst
+      // prune the pivoted columns and measure only the groupBy.
+      def liPivot = spark.read.parquet(s"$dir/lineitem_pivot")
+      val pivotRows = liPivot.count()
+      val keys = graft.core.MergeKeys("l_orderkey", Some("l_linenumber"),
+        None, isLongitudinal = true)
+      var wideRows = 0L
+      val (a7Med, a7S) = timeMedian {
+        wideRows = graft.transform.Enwiden
+          .enwiden(liPivot, keys, cellAgg = graft.transform.Enwiden.MinNonNull)
+          .agg(count(lit(1)), sum(col("l_quantity_BAS1")))
+          .head().getLong(0)
+      }
+      emit("a7_enwiden_pivot", k, pivotRows, a7Med, a7S,
+        s""","wide_rows":$wideRows""")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -357,6 +357,63 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.phashPairs(withJunk, maxHamming = 6).count() == 1)
   }
 
+  test("degenerate inputs: scoring ops stay finite and graceful under ANSI") {
+    import graft.ops.{LanguageModel, Sampling, TextSearch}
+    // BM25/TF-IDF with a term in EVERY doc (df == N): idf must stay
+    // positive (Lucene variant) and scores finite
+    val everyDoc = Seq((1L, "common alpha"), (2L, "common beta"),
+      (3L, "common")).toDF("doc_id", "text")
+    val bm = TextSearch.bm25TopK(everyDoc, "doc_id", "text", "common", k = 5)
+      .collect()
+    assert(bm.length == 3 &&
+      bm.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
+    val tf = TextSearch.tfidfTopK(everyDoc, "doc_id", "text", "common", k = 5)
+      .collect()
+    assert(tf.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
+    // all-blank corpus: avgdl = 0 must not NaN the scores (dl/avgdl guard)
+    val blankCorpus = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val bmBlank = TextSearch.bm25TopK(blankCorpus, "doc_id", "text", "q", k = 5)
+      .collect()
+    assert(bmBlank.length == 2 && bmBlank.forall(_.getDouble(1) == 0.0))
+    // empty corpus: empty top-k, not an NPE on the stats row
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextSearch.bm25TopK(empty, "doc_id", "text", "q").count() == 0)
+    assert(TextSearch.tfidfTopK(empty, "doc_id", "text", "q").count() == 0)
+
+    // LM scoring against an EMPTY reference model (T = V = 0): every
+    // token scores ln(1) = 0, never ±Inf/NaN
+    val lmEmpty = LanguageModel.train(blankCorpus, "text")
+    assert(lmEmpty.totalTokens == 0 && lmEmpty.vocabSize == 0)
+    val uni = LanguageModel.scoreBy(lmEmpty, everyDoc, "doc_id", "text").collect()
+    assert(uni.forall(r =>
+      !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    val bg = LanguageModel.scoreBigram(
+      LanguageModel.trainBigram(blankCorpus, "text"), everyDoc,
+      "doc_id", "text").collect()
+    assert(bg.forall(r =>
+      !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+
+    // temperature sampling: a single domain at alpha = 0 keeps everything
+    // at rate exactly 1; an empty corpus passes through empty
+    val single = Seq(("a", 1L), ("a", 2L)).toDF("source", "doc_id")
+    val kept = Sampling.temperatureSample(single, "source", 0.0, Seq("doc_id"))
+      .collect()
+    assert(kept.length == 2 &&
+      kept.forall(_.getAs[Double]("keep_rate") == 1.0))
+    val emptyDom = Seq.empty[(String, Long)].toDF("source", "doc_id")
+    assert(Sampling.temperatureSample(emptyDom, "source", 0.5, Seq("doc_id"))
+      .count() == 0)
+
+    // leave-one-out target encoding: single-row groups carry no LOO
+    // evidence → null, never a divide-by-zero
+    val te = graft.transform.Encode.targetEncodeLoo(
+        Seq(("x", 1.0), ("y", 2.0), ("y", 4.0)).toDF("cat", "v"),
+        "cat", "v", "te")
+      .orderBy("v").collect()
+    assert(te(0).isNullAt(2), "singleton group must encode null")
+    assert(te(1).getDouble(2) == 4.0 && te(2).getDouble(2) == 2.0)
+  }
+
   test("hammingPairs64: pigeonhole banding is exact for any maxHamming") {
     // signatures at controlled distances from a base: d <= maxHamming must
     // pair, d > maxHamming must not — across several band splits (64 % bands
