@@ -388,19 +388,28 @@ object Dedup {
     * one quadratic cliff); the same lossy-cap caveat as the minhash path
     * applies: run exact dedup first, and a runtime observed-metric warning
     * fires whenever buckets are dropped so the loss is never silent. */
-  def hammingPairs64(
-      sigs: DataFrame, maxHamming: Int, maxBucketSize: Int = 4096,
-      warnTag: String = "hamming_buckets"): DataFrame = {
+  /** The `maxHamming + 1` near-equal bit bands of a 64-bit signature
+    * column (pigeonhole: a pair within the hamming bound agrees exactly on
+    * ≥1 band). Shared by [[hammingPairs64]] and the streaming twin
+    * ([[graft.streaming.NearDedup.phashDupEdgesStream]]) so both bucket
+    * identically. */
+  private[graft] def hammingBandCols(sig: Column, maxHamming: Int): Seq[Column] = {
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     val bands = maxHamming + 1
     val base = 64 / bands
     val rem = 64 % bands
-    val bandCols = (0 until bands).map { i =>
+    (0 until bands).map { i =>
       val width = if (i < rem) base + 1 else base
       val offset = i * base + math.min(i, rem)
       val mask = if (width == 64) -1L else (1L << width) - 1
-      shiftright(col("sig"), offset).bitwiseAND(lit(mask))
+      shiftright(sig, offset).bitwiseAND(lit(mask))
     }
+  }
+
+  def hammingPairs64(
+      sigs: DataFrame, maxHamming: Int, maxBucketSize: Int = 4096,
+      warnTag: String = "hamming_buckets"): DataFrame = {
+    val bandCols = hammingBandCols(col("sig"), maxHamming)
     val banded = sigs.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("piece"))
     val grouped0 = banded.groupBy(col("chunk"), col("piece"))

@@ -450,26 +450,19 @@ object Multimodal {
     }
   }
 
-  /** (id, sig) dHash table of a media frame — batched per partition like
-    * [[extractFeatures]]; undecodable/empty content yields a null sig (kept
-    * for auditability, filtered by [[phashPairs]]). */
+  /** (id, sig) dHash table of a media frame, via the native
+    * [[graft.functions.ImageDHash]] expression (codegen'd, streaming-
+    * legal); undecodable/empty content yields a null sig (kept for
+    * auditability, filtered by [[phashPairs]]). */
   def dhashImages(
       media: DataFrame, idCol: String = "media_id",
       contentCol: String = "content"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("sig", LongType, nullable = true)))
-    implicit val enc = RowEncoder.encoderFor(schema)
-    media.select(col(idCol).cast("long"), col(contentCol)).mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        val sig =
-          if (bytes == null || bytes.isEmpty) None else dHash64(bytes)
-        Row(id, sig.map(java.lang.Long.valueOf).orNull)
-      }
-    }
+    val spark = media.sparkSession
+    val fname = "graft_image_dhash"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.ImageDHash(exprs.head), "built-in")
+    media.select(col(idCol).cast("long").as("id"),
+      call_function(fname, col(contentCol)).as("sig"))
   }
 
   /** Image near-duplicate pairs — the image twin of

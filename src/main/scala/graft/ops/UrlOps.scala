@@ -95,6 +95,43 @@ object UrlOps {
       .otherwise(h)
   }
 
+  /** Registrable domain against a PROVIDED suffix table — the full
+    * public-suffix-list path the regex heuristic [[registrableDomain]]
+    * documents (plug the ~10k-rule PSL in as a DataFrame with one
+    * `suffix` column). PSL semantics: the longest listed suffix matching
+    * a host's trailing labels wins, and the registrable domain is that
+    * suffix plus one label; a host that IS a listed suffix has no
+    * registrable domain (null); a host matching NO rule falls to the
+    * implicit `*` default — last two labels (single-label hosts → null).
+    *
+    * Returns the (host, domain) mapping for the DISTINCT hosts of the
+    * input — domain resolution is per-host, not per-row, so the explode
+    * (≤ label-count candidates per host) and the broadcast suffix join
+    * run over host cardinality (~10^8 web-scale), never corpus row count;
+    * callers join the mapping back (broadcast when it fits). */
+  def registrableDomainByTable(
+      hosts: DataFrame, hostCol: String, suffixes: DataFrame,
+      suffixCol: String = "suffix"): DataFrame = {
+    val h = hosts.where(col(hostCol).isNotNull)
+      .select(col(hostCol).as("host")).distinct()
+    def labels = split(col("host"), "\\.")
+    val cand = h.select(col("host"),
+        posexplode(transform(sequence(lit(1), size(labels)),
+          i => concat_ws(".", slice(labels, i, size(labels))))))
+      .select(col("host"), (col("pos") + 1).as("s"), col("col").as("cand"))
+    val matched = cand
+      .join(broadcast(suffixes.select(col(suffixCol).as("cand"))), "cand")
+      .groupBy("host").agg(min(col("s")).as("__suf_start"))
+    h.join(matched, Seq("host"), "left")
+      .withColumn("domain",
+        when(col("__suf_start") > 1,
+          concat_ws(".", slice(labels, col("__suf_start") - 1, size(labels))))
+          .when(col("__suf_start") === 1, lit(null).cast("string"))
+          .otherwise(when(size(labels) >= 2,
+            concat_ws(".", slice(labels, size(labels) - 1, lit(2))))))
+      .drop("__suf_start")
+  }
+
   /** Per-registrable-domain quality rollup — the aggregation feeding the
     * existing per-domain ops ([[graft.stats.Drift.psiByGroup]] drift,
     * [[Sampling.temperatureSample]] mixing): document count, mean

@@ -146,5 +146,59 @@ object UrlQueries extends QueryModule {
         .orderBy("domain")
     })
 
-  override def queries: Seq[Q] = Seq(txtUrlCanonical, txtDomainRollup)
+  /** PSL-table registrable domains ([[UrlOps.registrableDomainByTable]]):
+    * both engines derive the same synthetic hosts, resolve them against
+    * the same 5-rule suffix table (longest-match + suffix-plus-one-label,
+    * bare suffixes null, unlisted TLDs fall to the `*` default of last
+    * two labels) — Spark via candidate-explode + broadcast join over
+    * DISTINCT hosts, DuckDB via an independent UNNEST/MIN CTE chain. */
+  val txtDomainPsl: Q = Q(
+    "txt_domain_psl",
+    Some("""
+      WITH d AS (SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.b.site.co.uk'
+          WHEN 1 THEN 'www.example' || CAST(doc_id AS VARCHAR) || '.com'
+          WHEN 2 THEN 'data.gov.uk'
+          WHEN 3 THEN 'node' || CAST(doc_id AS VARCHAR) || '.cluster.internal'
+          WHEN 4 THEN 'localhost'
+          ELSE 'co.uk' END AS host
+        FROM documents),
+      sfx(suffix) AS (VALUES ('co.uk'), ('gov.uk'), ('com'), ('uk'), ('org')),
+      lab AS (SELECT DISTINCT host FROM d),
+      cand AS (SELECT host, u.i AS s,
+                 array_to_string(string_split(host, '.')[u.i:], '.') AS cand
+               FROM lab, UNNEST(range(1, len(string_split(host, '.')) + 1)) AS u(i)),
+      m AS (SELECT host, MIN(s) AS suf_start
+            FROM cand JOIN sfx ON cand.cand = sfx.suffix GROUP BY host)
+      SELECT d.doc_id, d.host,
+        CASE WHEN m.suf_start > 1
+               THEN array_to_string(string_split(d.host, '.')[m.suf_start - 1:], '.')
+             WHEN m.suf_start = 1 THEN NULL
+             WHEN len(string_split(d.host, '.')) >= 2
+               THEN array_to_string(string_split(d.host, '.')[-2:], '.')
+             ELSE NULL END AS domain
+      FROM d LEFT JOIN m USING (host)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(6))
+      val host = when(m === 0, concat(lit("a"), id, lit(".b.site.co.uk")))
+        .when(m === 1, concat(lit("www.example"), id, lit(".com")))
+        .when(m === 2, lit("data.gov.uk"))
+        .when(m === 3, concat(lit("node"), id, lit(".cluster.internal")))
+        .when(m === 4, lit("localhost"))
+        .otherwise(lit("co.uk"))
+      val hosts = d.select(col("doc_id"), host.as("host"))
+      val sfx = Seq("co.uk", "gov.uk", "com", "uk", "org").toDF("suffix")
+      val mapping = UrlOps.registrableDomainByTable(hosts, "host", sfx)
+      hosts.join(mapping, Seq("host"), "left")
+        .select(col("doc_id"), col("host"), col("domain"))
+        .orderBy("doc_id")
+    })
+
+  override def queries: Seq[Q] =
+    Seq(txtUrlCanonical, txtDomainRollup, txtDomainPsl)
 }

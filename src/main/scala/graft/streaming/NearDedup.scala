@@ -153,4 +153,82 @@ object NearDedup {
     Dedup.minhashLshPairs(df, idCol, textCol, n, k, bands, threshold, seed,
         maxBucketSize)
       .select(col("id2").as(idCol)).distinct()
+
+  /** One banded 64-bit signature observation (see [[BandObs]]). */
+  final case class SigObs(
+      doc_id: Long, ts: java.sql.Timestamp, band: Int, bucket: Long,
+      sig: Long)
+
+  /** `doc_id` is within `hamming` bits of the earlier `matched_id`. */
+  final case class HammingEdge(
+      doc_id: Long, matched_id: Long, band: Int, hamming: Int)
+
+  /** State per hamming-band bucket: 8-byte signatures, arrival order. */
+  final case class SigBucketState(ids: Array[Long], sigs: Array[Long])
+
+  /** Streaming IMAGE near-dedup — the perceptual twin of
+    * [[dupEdgesStream]], completing the matrix (text exact/near ×
+    * batch/stream; image batch [[graft.ops.Multimodal.phashPairs]] /
+    * stream here): dHash via the native [[graft.functions.ImageDHash]]
+    * expression (pure per-row, streaming-legal), banded with the SAME
+    * splits as the batch hamming join ([[Dedup.hammingBandCols]]), then
+    * band-bucket state exactly like the MinHash path — but signatures are
+    * 8 bytes, so a bucket's watermark span of state is ~18× smaller than
+    * the text path's k-long arrays. Emits one [[HammingEdge]] per band
+    * where an EARLIER image sits within `maxHamming` bits. */
+  def phashDupEdgesStream(
+      media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content", tsCol: String = "ts",
+      maxHamming: Int = 6, maxBucketSize: Int = 4096,
+      watermark: String = ""): Dataset[HammingEdge] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val watermarked =
+      if (watermark.isEmpty) media else media.withWatermark(tsCol, watermark)
+    val horizon = if (watermark.isEmpty) 0L else horizonMs(watermark)
+    val fname = "graft_image_dhash"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.ImageDHash(exprs.head), "built-in")
+    val sigged = watermarked
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        call_function(fname, col(contentCol)).as("sig"))
+      .filter(col("sig").isNotNull) // undecodable content: never a dup
+    val banded = sigged
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(array(Dedup.hammingBandCols(col("sig"), maxHamming): _*)))
+      .select(col("doc_id"), col("ts"), col("pos").as("band"),
+        col("col").as("bucket"), col("sig"))
+      .as[SigObs]
+    val timeout =
+      if (watermark.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
+    banded
+      .groupByKey(o => (o.band, o.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: (Int, Long), it: Iterator[SigObs],
+         state: GroupState[SigBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              SigBucketState(Array.empty, Array.empty))
+            val out = Seq.newBuilder[HammingEdge]
+            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))) {
+              var i = 0
+              while (i < s.ids.length) {
+                val d = java.lang.Long.bitCount(o.sig ^ s.sigs(i))
+                if (d <= maxHamming)
+                  out += HammingEdge(o.doc_id, s.ids(i), key._1, d)
+                i += 1
+              }
+              if (s.ids.length < maxBucketSize)
+                s = SigBucketState(s.ids :+ o.doc_id, s.sigs :+ o.sig)
+            }
+            state.update(s)
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + horizon)
+            out.result().iterator
+          }
+      }
+  }
 }

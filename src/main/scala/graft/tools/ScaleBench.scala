@@ -50,6 +50,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val scales = args.headOption
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 20, 100))
+    // optional second arg: comma-set of op names to run (default all) —
+    // re-measuring one op must not re-pay the whole suite
+    val onlyOps = args.lift(1)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(op: String): Boolean = onlyOps.forall(_.contains(op))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -125,73 +130,86 @@ object ScaleBench {
 
       def docs = spark.read.parquet(s"$dir/documents")
       def li = spark.read.parquet(s"$dir/lineitem")
-      val docRows = docs.count()
-      val liRows = li.count()
 
-      var pairs = 0L
-      val (mhMed, mhS) = timeMedian {
-        pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.45)
-          .count()
+      if (wanted("dd_minhash_lsh")) {
+        var pairs = 0L
+        val (mhMed, mhS) = timeMedian {
+          pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.45)
+            .count()
+        }
+        emit("dd_minhash_lsh", k, docs.count(), mhMed, mhS, s""","pairs":$pairs""")
       }
-      emit("dd_minhash_lsh", k, docRows, mhMed, mhS, s""","pairs":$pairs""")
 
-      val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val (t1Med, t1S) = timeMedian {
-        ColumnStats.describe(li, t1Cols)
+      if (wanted("t1_column_stats")) {
+        val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val (t1Med, t1S) = timeMedian {
+          ColumnStats.describe(li, t1Cols)
+        }
+        emit("t1_column_stats", k, li.count(), t1Med, t1S)
       }
-      emit("t1_column_stats", k, liRows, t1Med, t1S)
 
       def ev = spark.read.parquet(s"$dir/events")
-      val evRows = ev.count()
 
-      // keyed running-frame + flag pipeline: K× users, fixed frame/user
-      var flags = 0L
-      val (anMed, anS) = timeMedian {
-        flags = graft.streaming.Anomaly.flags(ev)
-          .filter(col("is_anomaly")).count()
+      if (wanted("ev_anomaly_flags")) {
+        // keyed running-frame + flag pipeline: K× users, fixed frame/user
+        var flags = 0L
+        val (anMed, anS) = timeMedian {
+          flags = graft.streaming.Anomaly.flags(ev)
+            .filter(col("is_anomaly")).count()
+        }
+        emit("ev_anomaly_flags", k, ev.count(), anMed, anS, s""","flags":$flags""")
       }
-      emit("ev_anomaly_flags", k, evRows, anMed, anS, s""","flags":$flags""")
 
-      // trailing RANGE frame: same shape, heavier per-row frame arithmetic.
-      // Aggregate over the windowed column — a bare count() lets Catalyst
-      // prune the window away and measures only the scan.
-      val (rlMed, rlS) = timeMedian {
-        graft.ops.EventAnalytics.rollingStats(ev, 86400L)
-          .agg(sum(col("sum_cents_window"))).head()
+      if (wanted("ev_rolling_24h")) {
+        // trailing RANGE frame: same shape, heavier per-row frame arithmetic.
+        // Aggregate over the windowed column — a bare count() lets Catalyst
+        // prune the window away and measures only the scan.
+        val (rlMed, rlS) = timeMedian {
+          graft.ops.EventAnalytics.rollingStats(ev, 86400L)
+            .agg(sum(col("sum_cents_window"))).head()
+        }
+        emit("ev_rolling_24h", k, ev.count(), rlMed, rlS)
       }
-      emit("ev_rolling_24h", k, evRows, rlMed, rlS)
 
-      // heavy hitters: suffixed copies give a K×-larger vocab at 1/K the
-      // relative frequency — scale minFraction down so each copy's tokens
-      // still clear the cut and the verify pass carries K× candidates
-      // 0.032: sf0.1's flattest-topped token sits at fraction ≈0.0339 (the
-      // gate's 0.034 would select zero here — measured work would be the
-      // same, but a hitters count that scales exactly K× is the linearity
-      // witness, like minhash's pairs)
-      var hitters = 0L
-      val (hhMed, hhS) = timeMedian {
-        hitters = graft.ops.HeavyHitters
-          .frequentTokens(docs, "text", minFraction = 0.032 / k).count()
+      if (wanted("txt_heavy_hitters")) {
+        // heavy hitters: suffixed copies give a K×-larger vocab at 1/K the
+        // relative frequency — scale minFraction down so each copy's tokens
+        // still clear the cut and the verify pass carries K× candidates
+        // 0.032: sf0.1's flattest-topped token sits at fraction ≈0.0339 (the
+        // gate's 0.034 would select zero here — measured work would be the
+        // same, but a hitters count that scales exactly K× is the linearity
+        // witness, like minhash's pairs)
+        var hitters = 0L
+        val (hhMed, hhS) = timeMedian {
+          hitters = graft.ops.HeavyHitters
+            .frequentTokens(docs, "text", minFraction = 0.032 / k).count()
+        }
+        emit("txt_heavy_hitters", k, docs.count(), hhMed, hhS,
+          s""","hitters":$hitters""")
       }
-      emit("txt_heavy_hitters", k, docRows, hhMed, hhS,
-        s""","hitters":$hitters""")
 
-      // long→wide pivot (one classify + one pivot shuffle): K× groups,
-      // fixed width. Aggregated output — a bare count() would let Catalyst
-      // prune the pivoted columns and measure only the groupBy.
-      def liPivot = spark.read.parquet(s"$dir/lineitem_pivot")
-      val pivotRows = liPivot.count()
-      val keys = graft.core.MergeKeys("l_orderkey", Some("l_linenumber"),
-        None, isLongitudinal = true)
-      var wideRows = 0L
-      val (a7Med, a7S) = timeMedian {
-        wideRows = graft.transform.Enwiden
-          .enwiden(liPivot, keys, cellAgg = graft.transform.Enwiden.MinNonNull)
-          .agg(count(lit(1)), sum(col("l_quantity_BAS1")))
-          .head().getLong(0)
+      if (wanted("a7_enwiden_pivot")) {
+        // long→wide pivot (one classify + one pivot shuffle): K× groups,
+        // fixed width. The measurement hashes EVERY output column into the
+        // aggregate — referencing only one pivot column would let Catalyst
+        // prune the other 13 pivot aggregates and measure a 1/14th pivot.
+        def liPivot = spark.read.parquet(s"$dir/lineitem_pivot")
+        val keys = graft.core.MergeKeys("l_orderkey", Some("l_linenumber"),
+          None, isLongitudinal = true)
+        var wideRows = 0L
+        val (a7Med, a7S) = timeMedian {
+          val wide = graft.transform.Enwiden
+            .enwiden(liPivot, keys, cellAgg = graft.transform.Enwiden.MinNonNull)
+          wideRows = wide
+            .agg(count(lit(1)),
+              // bit_xor: consumes every column's hash without ANSI long
+              // overflow (sum() threw at 100×)
+              bit_xor(xxhash64(wide.columns.map(col): _*)))
+            .head().getLong(0)
+        }
+        emit("a7_enwiden_pivot", k, liPivot.count(), a7Med, a7S,
+          s""","wide_rows":$wideRows""")
       }
-      emit("a7_enwiden_pivot", k, pivotRows, a7Med, a7S,
-        s""","wide_rows":$wideRows""")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -355,6 +355,22 @@ class OpsSpec extends SparkSpec {
     val withJunk = media.union(
       Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "content"))
     assert(Multimodal.phashPairs(withJunk, maxHamming = 6).count() == 1)
+    // the native expression (streaming path) computes the same bits as the
+    // driver-side decoder, and stays inside whole-stage codegen
+    val viaExpr = Multimodal.dhashImages(media).orderBy("id")
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(viaExpr.toSeq == Seq(Some(a), Some(b), Some(c)))
+    // codegen pin over a file-scan plan (LocalTableScan leaves execute
+    // without a WholeStageCodegen wrapper regardless of the expression,
+    // and a repartition wraps the plan in AQE — both mask the check)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dhash").toString
+    media.write.mode("overwrite").parquet(tmp)
+    val filePlan = Multimodal.dhashImages(spark.read.parquet(tmp))
+    val wsc = filePlan.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"ImageDHash fell out of codegen:\n" +
+      filePlan.queryExecution.executedPlan)
   }
 
   test("degenerate inputs: scoring ops stay finite and graceful under ANSI") {

@@ -404,4 +404,52 @@ class StreamingSpec extends SparkSpec {
           s"missing=${(expectedDups -- got).toSeq.sorted.take(5)}")
     } finally q.stop()
   }
+
+  test("streaming image near-dedup: hamming band state matches batch phashPairs") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Multimodal
+    import graft.streaming.NearDedup
+    import spark.implicits._
+
+    // twin families (resized + brightness copies pair; noise does not) —
+    // same construction as the mm_phash_pairs gate, smaller
+    val fams = (0 until 4).map { k =>
+      (k.toLong, 1.0 + k, 0.5 + (k % 2), k * 0.9)
+    }
+    val rows: Seq[(Long, Array[Byte])] = fams.flatMap { case (k, fx, fy, ph) =>
+      Seq((k, Multimodal.sinusoidPng(64, 48, fx, fy, ph)),
+        (100L + k, Multimodal.sinusoidPng(32, 24, fx, fy, ph)),
+        (110L + k, Multimodal.sinusoidPng(64, 48, fx, fy, ph, brightness = 12)))
+    } ++ (0 until 4).map(i => (200L + i, Multimodal.syntheticPng(24, 18, 55L + i)))
+
+    // batch truth: later-id side of each pair is the duplicate
+    val batchDups = Multimodal.phashPairs(
+        rows.toDF("media_id", "content"), maxHamming = 10)
+      .select("id2").as[Long].collect().toSet
+    assert(batchDups.nonEmpty)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val feed = ms.toDF().toDF("media_id", "content")
+      .withColumn("ts", F.timestamp_micros((F.col("media_id") + 10) * 1000000L))
+    val q = NearDedup.phashDupEdgesStream(feed, maxHamming = 10,
+        watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("phash_out")
+      .start()
+    try {
+      val ordered = rows.sortBy(_._1)
+      val (first, second) = ordered.splitAt(ordered.length / 2)
+      // a twin pair must straddle the split (state carries across batches)
+      assert(first.exists(_._1 < 100) && second.exists(_._1 >= 100))
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      val edges = spark.table("phash_out")
+        .select("doc_id", "matched_id").as[(Long, Long)].collect()
+      assert(edges.forall(e => e._2 < e._1), "an edge matched a later image")
+      assert(edges.map(_._1).toSet == batchDups,
+        s"stream image dup set != batch phashPairs")
+    } finally q.stop()
+  }
 }

@@ -62,6 +62,26 @@ class UrlOpsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("registrableDomainByTable: longest suffix wins, bare suffixes null, * default") {
+    val sfx = Seq("co.uk", "gov.uk", "com", "uk", "org").toDF("suffix")
+    val cases = Seq(
+      // 'a.b.site.co.uk' matches both 'uk' and 'co.uk' — longest wins
+      "a.b.site.co.uk" -> "site.co.uk",
+      "www.example.com" -> "example.com",
+      // host = suffix + 1 label exactly
+      "data.gov.uk" -> "data.gov.uk",
+      // host IS a listed suffix → no registrable domain
+      "co.uk" -> null,
+      // no rule matches → implicit * default: last two labels
+      "node.cluster.internal" -> "cluster.internal",
+      // single label, no rule → null
+      "localhost" -> null)
+    val hosts = cases.map(_._1).toDF("host")
+    val got = UrlOps.registrableDomainByTable(hosts, "host", sfx)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((h, want) <- cases) assert(got(h) == want, s"$h -> ${got(h)}, want $want")
+  }
+
   test("domainQualityRollup groups by canonical registrable domain") {
     val df = Seq(
       ("HTTP://WWW.Shop.COM:80/a?utm_x=1", "the quick fox"),
