@@ -34,6 +34,42 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-corpus PARAGRAPH dedup (the CCNet shape): each document's
+    * paragraph array dedups against the WHOLE corpus — only the first
+    * occurrence of a normalized paragraph survives (corpus order =
+    * (id, paragraph index)), and documents reassemble from their
+    * surviving paragraphs (a document whose every paragraph already
+    * appeared elsewhere disappears — that's the boilerplate case).
+    *
+    * `paragraphs` is any in-order array<string> Column — split on blank
+    * lines for real prose, [[TextOps.chunks]] for unstructured text.
+    *
+    * Scale shape: paragraphs explode map-side; the first-occurrence
+    * decision is ONE row_number window on the paragraph fingerprint (the
+    * same min-keeper rule as [[exactGroups]]); reassembly is one groupBy
+    * on the document id with an in-row sort of that document's own
+    * surviving paragraphs. Paragraph text rides two shuffles — at corpus
+    * scale, run the fingerprint pass ids-only first and semi-join the
+    * text back if paragraph payloads dominate the wire. */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      paragraphs: Column, joinSep: String = "\n"): DataFrame = {
+    val p = df
+      .select(col(idCol).as("id"), posexplode(paragraphs))
+      .select(col("id"), col("pos").as("idx"), col("col").as("para"))
+      .withColumn("fp", TextOps.fingerprint(col("para")))
+    val firstSeen = Window.partitionBy(col("fp"))
+      .orderBy(col("id"), col("idx"))
+    p.withColumn("__rn", row_number().over(firstSeen))
+      .filter(col("__rn") === 1)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        concat_ws(joinSep,
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            s => s.getField("para"))).as(textCol),
+        count(lit(1)).as("n_paragraphs_kept"))
+  }
+
   /** The dataset with only the first (min-id) row of each duplicate group. */
   def dropDuplicatesByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(idCol))

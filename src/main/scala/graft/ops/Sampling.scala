@@ -105,6 +105,59 @@ object Sampling {
           lit(budget.toDouble)).cast("long"))
   }
 
+  /** Pack BPE-tokenized documents into FIXED-LENGTH training sequences —
+    * the step that turns a deduped corpus into model input: documents are
+    * assigned to budget bins ([[packByBudget]] over REAL token counts,
+    * [[graft.functions.Bpe]]), each bin concatenates its documents' token
+    * ids in the bin's deterministic identity-hash order with `eosId`
+    * after every document, and the concatenation slices into rows of
+    * exactly `seqLen` ids (the final partial row right-pads with
+    * `padId`). Default special ids sit just past the vocab
+    * (`vocabSize`, `vocabSize + 1`) so they can never collide with
+    * content tokens — strip them before [[graft.functions.BpeTokenizer.decode]].
+    *
+    * Scale shape: token ids are computed map-side (codegen'd expression);
+    * the only shuffles are packByBudget's per-group window and one
+    * groupBy per bin; a bin's in-memory array is bounded by
+    * `binBudget` (+ one document's overshoot), and rows explode back out
+    * map-side. Output: (pack_group, pack_seq, seq_index, token_ids,
+    * n_real_tokens) — conservation invariant: Σ n_real_tokens =
+    * Σ_docs (n_tokens + 1). */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      tok: graft.functions.BpeTokenizer, seqLen: Int, binBudget: Long,
+      groups: Int = 1024, seed: String = "graft",
+      eosId: Option[Int] = None, padId: Option[Int] = None): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    val eos = eosId.getOrElse(tok.vocabSize)
+    val pad = padId.getOrElse(tok.vocabSize + 1)
+    val weighted = docs
+      .select(col(idCol),
+        graft.functions.Bpe.encodeIds(spark, col(textCol), tok).as("__ids"))
+      .withColumn("__n", (size(col("__ids")) + 1).cast("long")) // +1: EOS
+    val binned = packByBudget(weighted, "__n", binBudget, Seq(idCol), groups, seed)
+      .withColumn("__h", hashHex(seed, Seq(col(idCol))))
+    val flat = binned
+      .groupBy(col("pack_group"), col("pack_seq"))
+      .agg(flatten(transform(
+        // same (hash, id) order the budget window used — bin content and
+        // order are both deterministic
+        array_sort(collect_list(struct(col("__h"), col(idCol), col("__ids")))),
+        s => concat(s.getField("__ids"), array(lit(eos))))).as("__flat"))
+    val nChunks = ceil(size(col("__flat")).cast("double") / seqLen).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => {
+      val piece = slice(col("__flat"), i * seqLen + 1, lit(seqLen))
+      val padded = concat(piece,
+        transform(sequence(lit(1), lit(seqLen) - size(piece)), _ => lit(pad)))
+      struct(when(size(piece) === seqLen, piece).otherwise(padded).as("ids"),
+        size(piece).as("n_real"))
+    })
+    flat.select(col("pack_group"), col("pack_seq"), posexplode(chunks))
+      .select(col("pack_group"), col("pack_seq"), col("pos").as("seq_index"),
+        col("col.ids").as("token_ids"), col("col.n_real").as("n_real_tokens"))
+  }
+
   /** Deterministic global shuffle — training-order randomization as a pure
     * function of row identity: sort by the seeded identity hash (ties
     * broken by the keys, so the order is total). Unlike `orderBy(rand)`,

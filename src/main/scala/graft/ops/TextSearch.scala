@@ -121,4 +121,70 @@ object TextSearch {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Flat inverted postings — ONE row per (term, doc): in-doc term
+    * frequency plus the doc's token length (denormalized so scoring never
+    * joins a corpus-sized doc-length table). This is the amortization
+    * path the scan-based search documents: build once per corpus version
+    * (one explode + one groupBy), persist BUCKETED BY `term`, and every
+    * query reads k term slices instead of scanning all text —
+    * query-time cost scales with posting-list sizes, not corpus bytes. */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.tokens(lower(col(textCol)))
+    df.select(col(idCol).as("id"), w.as("w"))
+      .select(col("id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus scalars BM25 needs alongside [[buildPostings]]: (N, avgdl) —
+    * computed over ALL documents (including empty ones), exactly like the
+    * scan path's stats pass; store them with the index. */
+  def corpusStats(df: DataFrame, textCol: String): (Long, Double) = {
+    val w = TextOps.tokens(lower(col(textCol)))
+    val row = df.agg(count(lit(1)).as("n"), avg(size(w)).as("avgdl")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
+  /** BM25 top-k answered FROM the postings index: k term slices (the
+    * `term IN (...)` filter prunes buckets/row groups), per-term df from
+    * those same slices, literal-inlined scoring, and a fixed-term-order
+    * pivot sum per doc so the double arithmetic is the scan path's
+    * op-for-op (a commutative groupBy sum would drift in its last ulps).
+    * Returns only documents containing ≥1 query term — identical scores
+    * to [[bm25TopK]] on those documents (spec-pinned); the scan path also
+    * pads with score-0 documents when k exceeds the match count. */
+  def bm25TopKIndexed(
+      postings: DataFrame, n: Long, avgdl: Double, query: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    val terms: Seq[String] =
+      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+    if (n == 0L)
+      return postings.select(col("id"), lit(0.0).as("score")).limit(0)
+    val avgdlSafe = if (avgdl > 0.0) avgdl else 1.0
+    val p = postings.filter(col("term").isin(terms: _*))
+    val dfs: Map[String, Long] = p.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dl = col("dl").cast("double")
+    val tf = col("tf").cast("double")
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = dfs.getOrElse(t, 0L)
+      val idf = log(lit(1.0) +
+        (lit((n - dfT).toDouble) + lit(0.5)) / (lit(dfT.toDouble) + lit(0.5)))
+      max(when(col("term") === t,
+        idf * ((tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdlSafe))))))
+        .as(s"__s$i")
+    }
+    val pivoted = p.groupBy(col("id")).agg(termScores.head, termScores.tail: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    pivoted.select(col("id"), round(total, roundTo).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

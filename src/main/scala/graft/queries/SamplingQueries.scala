@@ -227,7 +227,41 @@ object SamplingQueries extends QueryModule {
         .groupBy("fold").agg(count(lit(1)).as("n"))
         .orderBy("fold"))
 
+  /** Fixed-length training-sequence packing over REAL BPE token ids
+    * ([[Sampling.packSequences]]). Rows-only (no SQL engine can BPE); the
+    * self-asserts are structural invariants a broken packer cannot fake:
+    * every row exactly seqLen ids, and Σ n_real_tokens == Σ_docs
+    * (bpe_tokens + 1) — token CONSERVATION end to end (the spec
+    * additionally decodes the packed stream back to the original corpus
+    * text multiset). Output ids digest to a scalar for the dump (the
+    * driver harness can't sort raw arrays). */
+  val smpPackSequences: Q = Q(
+    "smp_pack_sequences",
+    None,
+    (s, dir) => {
+      val tok = graft.functions.Bpe.fromResource()
+      val docs = Tables.load(s, dir, "documents")
+      val seqLen = 64
+      val packed = Sampling.packSequences(
+        docs, "doc_id", "text", tok, seqLen = seqLen, binBudget = 512,
+        groups = 16).persist()
+      val bad = packed.filter(size(col("token_ids")) =!= seqLen).count()
+      require(bad == 0, s"$bad packed rows are not exactly $seqLen ids")
+      val real = packed.agg(sum(col("n_real_tokens"))).head().getLong(0)
+      val expected = docs.agg(sum(
+        size(graft.functions.Bpe.encodeIds(s, col("text"), tok)) + 1))
+        .head().getLong(0)
+      require(real == expected,
+        s"token conservation broken: packed $real, corpus+eos $expected")
+      packed
+        .withColumn("ids_digest",
+          xxhash64(concat_ws(",", transform(col("token_ids"),
+            i => i.cast("string")))))
+        .drop("token_ids")
+        .orderBy("pack_group", "pack_seq", "seq_index")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
-      smpShuffle, smpQualityTopFrac, smpKfold)
+      smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences)
 }

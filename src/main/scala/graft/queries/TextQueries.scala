@@ -105,6 +105,40 @@ object TextQueries extends QueryModule {
         .select("fp", "keep_id", "n_copies")
         .orderBy("keep_id"))
 
+  /** Cross-corpus paragraph dedup ([[Dedup.dedupParagraphs]]): paragraphs
+    * here are 120-char chunks (the fixture corpus has no blank-line
+    * structure); the fixture's exact-duplicate documents make whole chunk
+    * runs collide across doc_ids, so the first-occurrence rule does real
+    * work. Oracle rebuilds the entire pipeline relationally: chunk →
+    * fingerprint → row_number first-occurrence → ordered string_agg. */
+  val ddParagraphDedup: Q = Q(
+    "dd_paragraph_dedup",
+    Some("""
+      WITH p AS (
+        SELECT d.doc_id, CAST(t.s / 120 AS BIGINT) AS idx,
+          substr(d.text, CAST(t.s + 1 AS BIGINT), 120) AS para
+        FROM documents d,
+          unnest(range(0, greatest(length(d.text) - 1, 0) + 1, 120)) t(s)
+        WHERE length(d.text) > 0),
+      f AS (SELECT doc_id, idx, para,
+              md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS fp
+            FROM p),
+      k AS (SELECT doc_id, idx, para,
+              row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+            FROM f)
+      SELECT doc_id,
+        string_agg(para, chr(10) ORDER BY idx) AS text,
+        count(*) AS n_paragraphs_kept
+      FROM k WHERE rn = 1
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.dedupParagraphs(d, "doc_id", "text",
+          TextOps.chunks(col("text"), size = 120, overlap = 0))
+        .orderBy("doc_id")
+    })
+
   val ddJaccard: Q = Q(
     "dd_jaccard_pairs",
     Some("""
@@ -574,6 +608,60 @@ object TextQueries extends QueryModule {
       graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
         "doc_id", "text", "spark hash join", k = 10))
 
+  /** BM25 answered FROM the inverted postings index
+    * ([[graft.ops.TextSearch.buildPostings]] + `bm25TopKIndexed`): the
+    * oracle REBUILDS the index relationally (unnest → per-(term,doc)
+    * tf+dl rows) and scores from it with the same literal-inlined
+    * arithmetic, fixed term order, COALESCE-0 missing terms — matched
+    * documents only, by construction on both sides. */
+  val txtBm25Indexed: Q = Q(
+    "txt_bm25_indexed",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        FROM documents),
+      s AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+      tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term
+              FROM d WHERE len(w) > 0),
+      p AS (SELECT term, doc_id, dl, count(*) AS tf FROM tok
+            WHERE term IN ('merge', 'batch', 'window')
+            GROUP BY term, doc_id, dl),
+      df AS (SELECT term, count(*) AS dft FROM p GROUP BY term),
+      piv AS (
+        SELECT p.doc_id,
+          MAX(CASE WHEN p.term = 'merge' THEN
+            ln(1.0 + (CAST(s.n - COALESCE((SELECT dft FROM df WHERE term = 'merge'), 0) AS DOUBLE) + 0.5)
+                   / (CAST(COALESCE((SELECT dft FROM df WHERE term = 'merge'), 0) AS DOUBLE) + 0.5))
+            * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(p.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))) END) AS s0,
+          MAX(CASE WHEN p.term = 'batch' THEN
+            ln(1.0 + (CAST(s.n - COALESCE((SELECT dft FROM df WHERE term = 'batch'), 0) AS DOUBLE) + 0.5)
+                   / (CAST(COALESCE((SELECT dft FROM df WHERE term = 'batch'), 0) AS DOUBLE) + 0.5))
+            * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(p.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))) END) AS s1,
+          MAX(CASE WHEN p.term = 'window' THEN
+            ln(1.0 + (CAST(s.n - COALESCE((SELECT dft FROM df WHERE term = 'window'), 0) AS DOUBLE) + 0.5)
+                   / (CAST(COALESCE((SELECT dft FROM df WHERE term = 'window'), 0) AS DOUBLE) + 0.5))
+            * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(p.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))) END) AS s2
+        FROM p, s GROUP BY p.doc_id)
+      SELECT doc_id AS id,
+        ROUND(COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0), 6) AS score
+      FROM piv
+      ORDER BY score DESC, id
+      LIMIT 10"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val postings = graft.ops.TextSearch.buildPostings(docs, "doc_id", "text")
+      val (n, avgdl) = graft.ops.TextSearch.corpusStats(docs, "text")
+      graft.ops.TextSearch.bm25TopKIndexed(
+        postings, n, avgdl, "merge batch window", k = 10)
+    })
+
   /** TF-IDF top-10 for "data filter stream" — length-normalized tf times
     * smoothed idf (ln((1+N)/(1+df)) + 1). The oracle recomputes N and the
     * per-term dfs from the corpus and mirrors the scoring arithmetic
@@ -918,9 +1006,11 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
+    ddParagraphDedup,
     ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
-    txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtTfidf,
+    txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
+    txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtQualityClassifier, mntUpsert)
 }

@@ -61,6 +61,24 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.dropDuplicatesByFingerprint(df, "doc_id", "text").count() == 2)
   }
 
+  test("paragraph dedup: first occurrence wins, all-dup docs vanish, order kept") {
+    val df = Seq(
+      (1L, "alpha one\n\ncommon boilerplate\n\nalpha two"),
+      (2L, "Common  Boilerplate\n\nbeta one"), // normalized dup of doc 1's middle
+      (3L, "common boilerplate")) // nothing but the dup -> doc disappears
+      .toDF("doc_id", "text")
+    // prose-style paragraphs: blank-line split
+    val paras = filter(
+      transform(split(col("text"), "\n\n"), p => trim(p)), p => length(p) > 0)
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text", paras)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "doc 3 must vanish")
+    assert(out(0).getString(1) == "alpha one\ncommon boilerplate\nalpha two")
+    assert(out(0).getLong(2) == 3)
+    assert(out(1).getString(1) == "beta one", "doc 2 keeps only its novel paragraph")
+    assert(out(1).getLong(2) == 1)
+  }
+
   test("novelty: bloom path drops every historical dup, keeps ~all novel") {
     // history = docs 0..399; incoming = docs 400..499 plus a re-crawl of
     // 0..49 (exact dups that MUST be dropped — bloom has no false negatives)
@@ -371,6 +389,28 @@ class OpsSpec extends SparkSpec {
     }
     assert(wsc.nonEmpty, s"ImageDHash fell out of codegen:\n" +
       filePlan.queryExecution.executedPlan)
+  }
+
+  test("indexed BM25 equals the scan path (same query, same top-k)") {
+    import graft.ops.TextSearch
+    val q = "spark hash join"
+    val scan = TextSearch.bm25TopK(docs, "doc_id", "text", q, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val postings = TextSearch.buildPostings(docs, "doc_id", "text")
+    val (n, avgdl) = TextSearch.corpusStats(docs, "text")
+    assert(n == 500)
+    val idx = TextSearch.bm25TopKIndexed(postings, n, avgdl, q, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every scan hit is a matched doc here (fixture matches >> 50), so the
+    // index must reproduce the scan's top-k EXACTLY — ids and doubles
+    assert(scan.values.forall(_ > 0.0), "scan top-50 padded with 0 scores — weak fixture")
+    assert(idx == scan,
+      s"indexed != scan: onlyScan=${(scan.keySet -- idx.keySet).take(5)} " +
+        s"onlyIdx=${(idx.keySet -- scan.keySet).take(5)} " +
+        s"diff=${scan.collect { case (k2, v) if idx.get(k2).exists(_ != v) => k2 }.take(5)}")
+    // a term absent from the corpus must not blow up the indexed path
+    val none = TextSearch.bm25TopKIndexed(postings, n, avgdl, "zzzmissing", k = 5)
+    assert(none.count() == 0)
   }
 
   test("degenerate inputs: scoring ops stay finite and graceful under ANSI") {

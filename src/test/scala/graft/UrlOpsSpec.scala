@@ -82,6 +82,32 @@ class UrlOpsSpec extends SparkSpec {
     for ((h, want) <- cases) assert(got(h) == want, s"$h -> ${got(h)}, want $want")
   }
 
+  test("canonicalUrl is idempotent over a URL-shaped fuzz battery") {
+    val rnd = new scala.util.Random(42) // seeded: failures reproduce
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 300).map { _ =>
+      val scheme = pick(Seq("http://", "HTTPS://", "HtTp://", ""))
+      val host = pick(Seq("Example.COM", "a.b.site.co.uk", "localhost",
+        "x-y.example.org", "WWW.Shop.NET"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", "/A/b", "/p%20q", "/trail/"))
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        pick(Seq("utm_source=a", "utm_a=", "gclid=Z", "id=7", "q=x+y",
+          "next=utm_x%3D1", "fbclid=f")))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#utm_source=x"))
+      s"$scheme$host$port$path$query$frag"
+    }
+    val df = urls.zipWithIndex.toDF("u", "i")
+    val twice = df.orderBy("i").select(
+      UrlOps.canonicalUrl(col("u")).as("once"),
+      UrlOps.canonicalUrl(UrlOps.canonicalUrl(col("u"))).as("twice"))
+      .collect()
+    for (r <- twice)
+      assert(r.getString(0) == r.getString(1),
+        s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'")
+  }
+
   test("domainQualityRollup groups by canonical registrable domain") {
     val df = Seq(
       ("HTTP://WWW.Shop.COM:80/a?utm_x=1", "the quick fox"),
