@@ -46,11 +46,12 @@ object Dedup {
     *
     * Scale shape: paragraphs explode map-side; the first-occurrence
     * decision is ONE row_number window on the paragraph fingerprint (the
-    * same min-keeper rule as [[exactGroups]]); reassembly is one groupBy
-    * on the document id with an in-row sort of that document's own
-    * surviving paragraphs. Paragraph text rides two shuffles — at corpus
-    * scale, run the fingerprint pass ids-only first and semi-join the
-    * text back if paragraph payloads dominate the wire. */
+    * same min-keeper rule as [[exactGroups]]), and Catalyst lowers the
+    * rn==1 filter to a PARTIAL WindowGroupLimit BEFORE the exchange
+    * (plan-audited) — each map task forwards at most one paragraph per
+    * fingerprint, so heavy boilerplate never floods the shuffle;
+    * reassembly is one groupBy on the document id with an in-row sort of
+    * that document's own surviving paragraphs. */
   def dedupParagraphs(
       df: DataFrame, idCol: String, textCol: String,
       paragraphs: Column, joinSep: String = "\n"): DataFrame = {

@@ -171,27 +171,29 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBhj)
   }
 
-  test("z-order layout: multi-dim box filter reads far fewer records") {
+  /** Total records read by the scan tasks of `f` (listener-metered; the
+    * listener bus is async, so poll until the counter stabilizes). */
+  private def recordsRead(f: => Unit): Long = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    def recordsRead(f: => Unit): Long = {
-      val n = new java.util.concurrent.atomic.AtomicLong()
-      val l = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-          if (te.taskMetrics != null)
-            n.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
-        }
+    val n = new java.util.concurrent.atomic.AtomicLong()
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          n.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
       }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        // listener bus is async: poll until stable
-        var prev = -1L; var cur = n.get(); var tries = 0
-        while (cur != prev && tries < 50) {
-          Thread.sleep(100); prev = cur; cur = n.get(); tries += 1
-        }
-        cur
-      } finally spark.sparkContext.removeSparkListener(l)
     }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      var prev = -1L; var cur = n.get(); var tries = 0
+      while (cur != prev && tries < 50) {
+        Thread.sleep(100); prev = cur; cur = n.get(); tries += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("z-order layout: multi-dim box filter reads far fewer records") {
 
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -318,6 +320,33 @@ class PropertySpec extends SparkSpec {
       assert(dist == truth,
         s"distributed path, edges $edges:\n spark $dist\n truth $truth")
     }
+  }
+
+  test("postings bucketed by term: an IN-query reads a fraction of the index") {
+    import graft.ops.TextSearch
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val postings = TextSearch.buildPostings(docs, "doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    val indexed = graft.catalog.Layout.ensureBucketed(
+      spark, postings, "term", 8, wh, "graft_postings_spec")
+    // full-index baseline vs a 3-term query slice: bucket pruning on the
+    // IN filter must keep whole buckets unread — the "query-time cost
+    // scales with posting sizes, not corpus bytes" claim, metered
+    val full = recordsRead { indexed.agg(sum(col("tf"))).head() }
+    val q = Seq("spark", "hash", "join")
+    val sliced = recordsRead {
+      indexed.filter(col("term").isin(q: _*)).agg(sum(col("tf"))).head()
+    }
+    assert(full > 0 && sliced > 0)
+    assert(sliced * 2 <= full,
+      s"term slice read $sliced of $full records — bucket pruning ineffective")
+    // and searching FROM the persisted index returns the fresh-build result
+    val (n, avgdl) = TextSearch.corpusStats(docs, "text")
+    val fresh = TextSearch.bm25TopKIndexed(postings, n, avgdl, q.mkString(" "))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val persisted = TextSearch.bm25TopKIndexed(indexed, n, avgdl, q.mkString(" "))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fresh == persisted)
   }
 
   test("sampling properties: split partitions; packing preserves multiset") {
