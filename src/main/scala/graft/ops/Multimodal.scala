@@ -315,18 +315,32 @@ object Multimodal {
                     false, stubDecode(bytes).toSeq)
               }
             case "video" =>
-              parseMp4(bytes) match {
-                case Some(v) =>
-                  // container metadata REAL (box walk); embedding stays the
-                  // documented stub (sample decode is codec-blocked)
+              parseAvi(bytes).filter(_.frames.nonEmpty) match {
+                case Some(a) =>
+                  // MJPEG: container metadata AND pixels are real — the
+                  // embedding pools the FIRST frame's actual luminance
+                  val (off, len) = a.frames.head
+                  val frame = java.util.Arrays.copyOfRange(bytes, off, off + len)
+                  val emb = decodeImage(frame).map(_._3)
+                    .getOrElse(stubDecode(bytes))
                   Row(id, modality, n, h,
-                    if (v.width > 0) v.width else null,
-                    if (v.height > 0) v.height else null,
-                    null, v.durationMs, null, null, true,
-                    stubDecode(bytes).toSeq)
-                case None =>
-                  Row(id, modality, n, h, null, null, null, null, null, null,
-                    false, stubDecode(bytes).toSeq)
+                    if (a.width > 0) a.width else null,
+                    if (a.height > 0) a.height else null,
+                    null, a.durationMs, null, null, true, emb.toSeq)
+                case None => parseMp4(bytes) match {
+                  case Some(v) =>
+                    // container metadata REAL (box walk); embedding stays
+                    // the documented stub (MP4 sample decode is
+                    // codec-blocked in this environment)
+                    Row(id, modality, n, h,
+                      if (v.width > 0) v.width else null,
+                      if (v.height > 0) v.height else null,
+                      null, v.durationMs, null, null, true,
+                      stubDecode(bytes).toSeq)
+                  case None =>
+                    Row(id, modality, n, h, null, null, null, null, null, null,
+                      false, stubDecode(bytes).toSeq)
+                }
               }
             case _ =>
               Row(id, modality, n, h, null, null, null, null, null, null,
@@ -515,16 +529,17 @@ object Multimodal {
     StructField("content", BinaryType, nullable = false),
     StructField("real", BooleanType, nullable = false)))
 
-  /** Video frame sampling: emits `k` evenly-spaced frames per video row
-    * (timestamps i·duration/k from `meta.duration_ms`, else the REAL
-    * container duration via [[parseMp4]], else a length-derived
-    * pseudo-duration so sampling stays deterministic without metadata).
-    * The PLUMBING is real — fan-out batched per partition, one row in →
-    * k rows out, exactly how a production sampler feeds a frame decoder at
-    * scale. The frame PAYLOAD is the documented deterministic STUB (no
-    * video codecs in this container): pseudo-frame bytes derived from
-    * (content hash, frame index). Swap the payload lambda for a real
-    * demuxer to productionize; the schema and fan-out shape don't change. */
+  /** Video frame sampling: emits `k` evenly-spaced frames per video row.
+    * MJPEG-AVI content gets REAL frames — [[parseAvi]] locates the frame
+    * chunks and the payload is the frame's actual JPEG bytes (decodable
+    * by pure-JDK ImageIO; `real = true`, timestamps from the container's
+    * own frame timing). Other containers fall back to the documented
+    * deterministic STUB payload (their codecs aren't available in this
+    * environment): timestamps i·duration/k from `meta.duration_ms`, else
+    * the REAL container duration via [[parseMp4]], else a length-derived
+    * pseudo-duration. The fan-out plumbing — batched per partition, one
+    * row in → k rows out — is identical on both paths; productionizing
+    * another codec swaps only the payload lambda. */
   def sampleFrames(media: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     implicit val enc = RowEncoder.encoderFor(frameSchema)
@@ -535,25 +550,36 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           if (bytes == null || bytes.isEmpty) Iterator.empty
-          else {
-            val duration =
-              if (!r.isNullAt(2)) r.getLong(2)
-              else parseMp4(bytes).map(_.durationMs).filter(_ > 0)
-                .getOrElse(40L * bytes.length) // pseudo 25 fps, 1 B/frame
-            val h = contentHash(bytes)
-            (0 until k).iterator.map { i =>
-              val ts = duration * i / k
-              // ---- STUB frame payload: replace with a real demuxer ----
-              val frame = new Array[Byte](32)
-              var s = h ^ (0x9e3779b97f4a7c15L * (i + 1))
-              var j = 0
-              while (j < frame.length) {
-                s = s * 6364136223846793005L + 1442695040888963407L
-                frame(j) = (s >>> 56).toByte
-                j += 1
+          else parseAvi(bytes).filter(_.frames.nonEmpty) match {
+            case Some(avi) =>
+              // REAL path: evenly-spaced frame indices, payload = that
+              // frame's own JPEG bytes, timestamp from container timing
+              val n = avi.frames.size
+              (0 until k).iterator.map { i =>
+                val fi = math.min(n - 1, i * n / k)
+                val (off, len) = avi.frames(fi)
+                Row(id, i, avi.usPerFrame * fi / 1000L,
+                  java.util.Arrays.copyOfRange(bytes, off, off + len), true)
               }
-              Row(id, i, ts, frame, false)
-            }
+            case None =>
+              val duration =
+                if (!r.isNullAt(2)) r.getLong(2)
+                else parseMp4(bytes).map(_.durationMs).filter(_ > 0)
+                  .getOrElse(40L * bytes.length) // pseudo 25 fps, 1 B/frame
+              val h = contentHash(bytes)
+              (0 until k).iterator.map { i =>
+                val ts = duration * i / k
+                // ---- STUB frame payload: replace with a real demuxer ----
+                val frame = new Array[Byte](32)
+                var s = h ^ (0x9e3779b97f4a7c15L * (i + 1))
+                var j = 0
+                while (j < frame.length) {
+                  s = s * 6364136223846793005L + 1442695040888963407L
+                  frame(j) = (s >>> 56).toByte
+                  j += 1
+                }
+                Row(id, i, ts, frame, false)
+              }
           }
         }
       }
@@ -691,6 +717,129 @@ object Multimodal {
     out.array()
   }
 
+  /** Parsed MJPEG-AVI: container metadata plus the (offset, size) of every
+    * video frame chunk — each frame is a complete JPEG the pure-JDK
+    * ImageIO decoder opens, so for THIS codec family the engine decodes
+    * actual video pixels with no external codec. */
+  private[graft] final case class AviMeta(
+      width: Int, height: Int, usPerFrame: Long, nFrames: Int,
+      frames: Seq[(Int, Int)]) {
+    def durationMs: Long = usPerFrame * nFrames / 1000L
+  }
+
+  /** REAL AVI container decode (pure JDK): walks the RIFF chunk tree —
+    * `hdrl/avih` for frame timing/count/dimensions, `movi` for the video
+    * frame chunks (`..dc`/`..db` fourcc). Little-endian sizes, even-byte
+    * chunk padding, nested LIST recursion. Returns None for anything that
+    * isn't a parseable AVI. Unlike [[parseMp4]] this unlocks PIXELS, not
+    * just metadata, when the stream is MJPEG (each chunk = one JPEG). */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviMeta] = {
+    if (bytes == null || bytes.length < 24) return None
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var avih: Option[(Long, Int, Int, Int)] = None // usPerFrame, frames, w, h
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = u32(off + 4)
+        val payload = off + 8
+        val payloadEnd = math.min(end.toLong, payload + size).toInt
+        if (payloadEnd < payload) return // corrupt size: stop, keep parsed
+        if (id == "LIST" && payloadEnd - payload >= 4) {
+          // list type occupies the first 4 payload bytes; children follow
+          walk(payload + 4, payloadEnd)
+        } else if (id == "avih" && payloadEnd - payload >= 40) {
+          avih = Some((u32(payload), u32(payload + 16).toInt,
+            u32(payload + 32).toInt, u32(payload + 36).toInt))
+        } else if (id.substring(2) == "dc" || id.substring(2) == "db") {
+          frames += ((payload, (payloadEnd - payload)))
+        }
+        off = payload + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+    }
+    walk(12, bytes.length)
+    avih.map { case (usf, n, w, h) =>
+      AviMeta(w, h, usf, math.max(n, frames.size), frames.toSeq)
+    }
+  }
+
+  /** Deterministic MJPEG-AVI: real JPEG frames (seeded smooth fields with
+    * a per-frame phase shift, encoded through the real ImageIO JPEG
+    * writer) in a minimal RIFF AVI container — synthetic "video" rows
+    * whose PIXELS genuinely decode, the video twin of [[syntheticPng]] /
+    * [[syntheticWav]]. */
+  private[graft] def syntheticMjpegAvi(
+      w: Int, h: Int, nFrames: Int, fps: Int = 10,
+      seed: Long = 7L): Array[Byte] = {
+    def jpegFrame(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = 128 + 90 * math.sin(
+            2 * math.Pi * (2.0 * x / w + 1.0 * y / h) + 0.35 * i + seed * 0.01)
+          val c = math.max(0, math.min(255, v.toInt))
+          img.setRGB(x, y, (c << 16) | (c << 8) | c)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val padded = payload.length + (payload.length & 1)
+      val b = java.nio.ByteBuffer.allocate(8 + padded).order(le)
+      b.put(id.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length).order(le)
+      b.put("LIST".getBytes("ISO-8859-1")).putInt(4 + body.length)
+        .put(listType.getBytes("ISO-8859-1")).put(body)
+      b.array()
+    }
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(le)
+      b.putInt((1000000.0 / fps).toInt) // usPerFrame
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+      chunk("avih", b.array())
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56).order(le)
+      b.put("vids".getBytes("ISO-8859-1")).put("MJPG".getBytes("ISO-8859-1"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(fps) // scale, rate
+        .putInt(0).putInt(nFrames)
+      chunk("strh", b.array())
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40).order(le)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put("MJPG".getBytes("ISO-8859-1")).putInt(w * h * 3)
+      chunk("strf", b.array())
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      (0 until nFrames).flatMap(i => chunk("00dc", jpegFrame(i))).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    val riff = java.nio.ByteBuffer.allocate(8 + body.length).order(le)
+    riff.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length).put(body)
+    riff.array()
+  }
+
   /** Deterministic tiny PNG: seeded per-pixel RGB noise encoded through
     * the real ImageIO writer, so synthetic "image" rows are genuine
     * decodable PNGs (and the decode path is exercised end to end). */
@@ -735,14 +884,26 @@ object Multimodal {
           Row(i.toLong, modality, bytes,
             Row(s"synthetic://$i", null, null, math.round(secs * 1000)))
         case _ =>
-          // real parseable MP4 container; mdat payload is seeded noise
-          val w = 128 + (i % 5) * 32
-          val h = 96 + (i % 4) * 24
-          val durMs = 1000L * (i + 1)
-          val bytes = syntheticMp4(w, h, durMs,
-            mdatLen = 64 + i % 192, seed = seed ^ i)
           rnd.nextInt() // keep the rng stream aligned across modalities
-          Row(i.toLong, modality, bytes, Row(s"synthetic://$i", w, h, durMs))
+          if ((i / 3) % 2 == 0) {
+            // real parseable MP4 container; mdat payload is seeded noise
+            // (MP4 sample decode needs codecs this environment lacks)
+            val w = 128 + (i % 5) * 32
+            val h = 96 + (i % 4) * 24
+            val durMs = 1000L * (i + 1)
+            val bytes = syntheticMp4(w, h, durMs,
+              mdatLen = 64 + i % 192, seed = seed ^ i)
+            Row(i.toLong, modality, bytes, Row(s"synthetic://$i", w, h, durMs))
+          } else {
+            // real MJPEG-AVI: every frame a genuine JPEG — video rows whose
+            // PIXELS decode end to end with pure JDK
+            val w = 32 + (i % 3) * 16
+            val h = 24 + (i % 2) * 12
+            val nF = 4 + i % 5
+            val bytes = syntheticMjpegAvi(w, h, nF, fps = 10, seed = seed ^ i)
+            Row(i.toLong, modality, bytes,
+              Row(s"synthetic://$i", w, h, nF * 100L))
+          }
       }
     }
     spark.createDataFrame(

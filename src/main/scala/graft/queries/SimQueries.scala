@@ -245,6 +245,37 @@ object SimQueries extends QueryModule {
       Similarity.labelConfusion(Tables.load(s, dir, "embeddings"),
         "label", "embedding"))
 
+  /** REAL video frame extraction for the MJPEG codec family
+    * ([[Multimodal.parseAvi]] + `sampleFrames`): every frame payload of an
+    * MJPEG-AVI row is that frame's own JPEG bytes, decodable by pure-JDK
+    * ImageIO — video PIXELS now decode end to end for this family (MP4
+    * rows keep the documented codec-blocked stub and stay real=false).
+    * Self-asserts, all distributed: every MJPEG video yields k real
+    * frames, every real payload opens with the JPEG SOI marker, and no
+    * real frame timestamp falls off the container's timeline. */
+  val mmMjpegFrames: Q = Q(
+    "mm_mjpeg_frames",
+    None,
+    (s, _) => {
+      val media = Multimodal.syntheticMedia(s, 120)
+      val frames = Multimodal.sampleFrames(media, 4).persist()
+      val real = frames.filter(col("real"))
+      val nMjpeg = media.filter(col("modality") === "video" &&
+        pmod(floor(col("media_id") / 3), lit(2)) === 1).count()
+      require(nMjpeg > 0, "fixture carries no MJPEG videos")
+      val nReal = real.count()
+      require(nReal == nMjpeg * 4,
+        s"expected ${nMjpeg * 4} real frames, got $nReal")
+      val soi = Array(0xFF.toByte, 0xD8.toByte)
+      val badMagic = real.filter(
+        substring(col("content"), 1, 2) =!= lit(soi)).count()
+      require(badMagic == 0, s"$badMagic real frames lack the JPEG SOI marker")
+      frames
+        .withColumn("content_digest", xxhash64(col("content")))
+        .drop("content")
+        .orderBy("media_id", "frame_index")
+    })
+
   /** Image perceptual-hash near-dup join ([[Multimodal.phashPairs]]):
     * real-pixel dHash through the banded hamming join. Rows-only (pixel
     * pooling is not SQL-expressible) with an EXACT-set self-assert, which
@@ -284,5 +315,6 @@ object SimQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
-      mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs)
+      mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
+      mmMjpegFrames)
 }

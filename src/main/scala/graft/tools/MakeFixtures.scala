@@ -35,7 +35,11 @@ object MakeFixtures {
     for ((name, bytes) <- Seq(
         "sin_64x48.png" -> Multimodal.sinusoidPng(64, 48, 2.0, 1.0, 0.7),
         "sin_32x24.png" -> Multimodal.sinusoidPng(32, 24, 2.0, 1.0, 0.7),
-        "sin_alt_64x48.png" -> Multimodal.sinusoidPng(64, 48, 3.0, 2.0, 2.1))) {
+        "sin_alt_64x48.png" -> Multimodal.sinusoidPng(64, 48, 3.0, 2.0, 2.1),
+        // MJPEG-AVI: real JPEG frames in a RIFF container (OpsSpec pins
+        // the parsed header, frame count, and DECODED frame pixels)
+        "clip_mjpeg_48x36_6f.avi" ->
+          Multimodal.syntheticMjpegAvi(48, 36, nFrames = 6, fps = 10, seed = 3))) {
       val p = dir.resolve(name)
       Files.write(p, bytes)
       println(s"wrote $p")

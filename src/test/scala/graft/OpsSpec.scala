@@ -294,16 +294,23 @@ class OpsSpec extends SparkSpec {
         s"audio $i duration ${r.getAs[Long]("duration_ms")} != ~$expectMs")
       assert(r.isNullAt(r.fieldIndex("width")))
     }
-    // video rows real-decode the CONTAINER (ISO-BMFF box walk): dimensions
-    // and duration from moov boxes; sample_rate stays null (audio-only)
+    // video rows real-decode: MP4s the CONTAINER (ISO-BMFF box walk —
+    // dimensions and duration from moov boxes), MJPEG-AVIs container AND
+    // pixels; sample_rate stays null (audio-only) on both
     val videos = rows.filter(_.getAs[String]("modality") == "video")
     assert(videos.nonEmpty)
     videos.foreach { r =>
       val i = r.getAs[Long]("media_id").toInt
-      assert(r.getAs[Boolean]("decoded"), s"video $i container should parse")
-      assert(r.getAs[Int]("width") == 128 + (i % 5) * 32)
-      assert(r.getAs[Int]("height") == 96 + (i % 4) * 24)
-      assert(r.getAs[Long]("duration_ms") == 1000L * (i + 1))
+      assert(r.getAs[Boolean]("decoded"), s"video $i should decode")
+      if ((i / 3) % 2 == 0) { // MP4 rows
+        assert(r.getAs[Int]("width") == 128 + (i % 5) * 32)
+        assert(r.getAs[Int]("height") == 96 + (i % 4) * 24)
+        assert(r.getAs[Long]("duration_ms") == 1000L * (i + 1))
+      } else { // MJPEG rows
+        assert(r.getAs[Int]("width") == 32 + (i % 3) * 16)
+        assert(r.getAs[Int]("height") == 24 + (i % 2) * 12)
+        assert(r.getAs[Long]("duration_ms") == (4 + i % 5) * 100L)
+      }
       assert(r.isNullAt(r.fieldIndex("sample_rate")))
     }
     // determinism: second run produces identical hashes
@@ -348,6 +355,79 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
     // decode is deterministic
     assert(Multimodal.decodeAudio(bytes).get.embedding.toSeq == a.embedding.toSeq)
+  }
+
+  test("multimodal: MJPEG-AVI decodes REAL video pixels from the checked-in clip") {
+    val bytes = {
+      val in = getClass.getResourceAsStream("/clip_mjpeg_48x36_6f.avi")
+      try in.readAllBytes() finally in.close()
+    }
+    // container header (RIFF walk): dimensions, timing, every frame chunk
+    val Some(avi) = Multimodal.parseAvi(bytes)
+    assert(avi.width == 48 && avi.height == 36)
+    assert(avi.usPerFrame == 100000L && avi.nFrames == 6)
+    assert(avi.frames.size == 6)
+    assert(avi.durationMs == 600L)
+    // every frame chunk is a genuine JPEG the pure-JDK decoder opens at
+    // the container's declared dimensions
+    for (((off, len), i) <- avi.frames.zipWithIndex) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(bytes, off, off + len)))
+      assert(img != null, s"frame $i did not decode")
+      assert(img.getWidth == 48 && img.getHeight == 36)
+    }
+    // pixels are the real signal, not noise: frame 0 is the same smooth
+    // field syntheticMjpegAvi renders — its dHash must sit within JPEG
+    // loss of a direct render, and far from an unrelated field
+    val direct = Multimodal.sinusoidPng(48, 36, 2.0, 1.0, 3 * 0.01)
+    val (o0, l0) = avi.frames.head
+    val f0 = java.util.Arrays.copyOfRange(bytes, o0, o0 + l0)
+    val hFrame = Multimodal.dHash64(f0).get
+    val hDirect = Multimodal.dHash64(direct).get
+    val hAlt = Multimodal.dHash64(
+      Multimodal.sinusoidPng(48, 36, 3.0, 2.0, 2.1)).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hFrame, hDirect) <= 8,
+      s"frame pixels drifted ${ham(hFrame, hDirect)} bits from the source field")
+    assert(ham(hFrame, hAlt) >= 16, "frame pixels indistinct from an unrelated field")
+    // corrupt bytes refuse to parse instead of throwing
+    assert(Multimodal.parseAvi(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.parseAvi(bytes.take(20)).isEmpty)
+  }
+
+  test("multimodal: sampleFrames emits real decodable frames for MJPEG, stub otherwise") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+    val (real, stub) = frames.partition(_.getBoolean(4))
+    assert(real.nonEmpty && stub.nonEmpty,
+      "fixture should carry both MJPEG (real) and MP4 (stub) videos")
+    // every real frame payload is a decodable JPEG; timestamps ride the
+    // container's own frame timing (multiples of 100 ms at fps=10)
+    for (r <- real) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+      assert(img != null && img.getWidth > 0)
+      assert(r.getLong(2) % 100 == 0)
+    }
+    // extractFeatures: MJPEG rows are decoded=true with the REAL
+    // first-frame luminance embedding (matches a direct pixel decode)
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("modality") === "video").collect()
+    assert(feats.forall(_.getAs[Boolean]("decoded")))
+    val mjpegIds = media.filter(col("modality") === "video").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2))
+      .filter { case (_, b) => Multimodal.parseAvi(b).exists(_.frames.nonEmpty) }
+      .toMap
+    assert(mjpegIds.nonEmpty)
+    for (f <- feats if mjpegIds.contains(f.getLong(0))) {
+      val bytes = mjpegIds(f.getLong(0))
+      val Some(avi) = Multimodal.parseAvi(bytes)
+      val (off, len) = avi.frames.head
+      val Some((_, _, expected)) = Multimodal.decodeImage(
+        java.util.Arrays.copyOfRange(bytes, off, off + len))
+      assert(f.getAs[Seq[Float]]("embedding").toArray.sameElements(expected),
+        s"video ${f.getLong(0)} embedding is not the real first-frame pooling")
+    }
   }
 
   test("dHash: checked-in resized twin pairs, distinct field does not") {
@@ -531,17 +611,21 @@ class OpsSpec extends SparkSpec {
     val rows = frames.orderBy("media_id", "frame_index").collect()
     val videos = media.filter(col("modality") === "video").count()
     assert(rows.length == videos * 4)
-    // synthetic video i has duration_ms = 1000*(i+1): timestamps i*dur/4
-    rows.groupBy(_.getAs[Long]("media_id")).foreach { case (id, fs) =>
-      assert(fs.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 1, 2, 3))
-      val dur = 1000L * (id + 1)
-      assert(fs.map(_.getAs[Long]("frame_ms")).toSeq ==
-        Seq(0L, dur / 4, dur * 2 / 4, dur * 3 / 4))
-      fs.foreach { f =>
-        assert(!f.getAs[Boolean]("real")) // stub payload, loudly marked
-        assert(f.getAs[Array[Byte]]("content").length == 32)
+    // MP4 videos ((i/3)%2==0, duration_ms = 1000*(i+1)): stub payloads at
+    // timestamps i*dur/4, loudly marked. MJPEG videos carry REAL frames —
+    // pinned by the dedicated MJPEG sampleFrames test.
+    rows.groupBy(_.getAs[Long]("media_id"))
+      .filter { case (id, _) => (id / 3) % 2 == 0 }
+      .foreach { case (id, fs) =>
+        assert(fs.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 1, 2, 3))
+        val dur = 1000L * (id + 1)
+        assert(fs.map(_.getAs[Long]("frame_ms")).toSeq ==
+          Seq(0L, dur / 4, dur * 2 / 4, dur * 3 / 4))
+        fs.foreach { f =>
+          assert(!f.getAs[Boolean]("real")) // stub payload, loudly marked
+          assert(f.getAs[Array[Byte]]("content").length == 32)
+        }
       }
-    }
     // determinism across runs
     val again = Multimodal.sampleFrames(media, k = 4)
       .orderBy("media_id", "frame_index").collect()
