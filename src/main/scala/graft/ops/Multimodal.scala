@@ -494,6 +494,65 @@ object Multimodal {
       dhashImages(media, idCol, contentCol).filter(col("sig").isNotNull),
       maxHamming, maxBucketSize, warnTag = "phash_buckets")
 
+  /** VIDEO near-duplicate pairs — the temporal extension of
+    * [[phashPairs]], now that MJPEG frames decode to real pixels: each
+    * video reduces to `k` aligned frame dHashes ([[sampleFrames]] real
+    * path + [[graft.functions.ImageDHash]]), candidates are videos
+    * agreeing exactly on ≥1 hamming band of ≥1 ALIGNED frame (the same
+    * pigeonhole banding as the image join, with the frame index folded
+    * into the bucket key — one groupBy, map-side pair expansion, ids-only
+    * through the shuffle), and a pair verifies when the MEAN per-frame
+    * hamming over aligned frames stays ≤ `maxHamming` (mean, not max:
+    * one JPEG-mangled frame must not break an otherwise identical clip).
+    * A resized/re-encoded copy of a clip pairs; different content does
+    * not. Videos with no decodable frames never pair (kept, like
+    * undecodable images). Frame counts must match — clips of different
+    * sampled length are never near-dups under aligned comparison. */
+  def videoPhashPairs(
+      media: DataFrame, k: Int = 6, maxHamming: Int = 6,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val spark = media.sparkSession
+    val fname = "graft_image_dhash"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.ImageDHash(exprs.head), "built-in")
+    val hashed = sampleFrames(media, k)
+      .filter(col("real"))
+      .select(col("media_id").as("id"), col("frame_index"),
+        call_function(fname, col("content")).as("sig"))
+      .filter(col("sig").isNotNull)
+    // per-video ordered signature vector (for the verify step)
+    val sigVecs = hashed.groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_index"), col("sig")))),
+        s => s.getField("sig")).as("sigs"))
+    // banded candidates: bucket key = (frame index, band index, band bits)
+    val bandCols = Dedup.hammingBandCols(col("sig"), maxHamming)
+    val banded = hashed
+      .select(col("id"), col("frame_index"), posexplode(array(bandCols: _*)))
+      .select(col("id"),
+        xxhash64(col("frame_index"), col("pos"), col("col")).as("bucket"))
+    val candidates = banded.groupBy(col("bucket"))
+      .agg(collect_set(col("id")).as("ids0"))
+      .filter(size(col("ids0")).between(2, maxBucketSize))
+      .select(array_sort(col("ids0")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .dropDuplicates("id1", "id2")
+    candidates
+      .join(sigVecs.select(col("id").as("id1"), col("sigs").as("s1")), "id1")
+      .join(sigVecs.select(col("id").as("id2"), col("sigs").as("s2")), "id2")
+      .filter(size(col("s1")) === size(col("s2")))
+      .withColumn("mean_hamming",
+        aggregate(
+          zip_with(col("s1"), col("s2"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), _ + _).cast("double") / size(col("s1")))
+      .filter(col("mean_hamming") <= maxHamming)
+      .select("id1", "id2", "mean_hamming")
+  }
+
   /** Deterministic smooth sinusoidal grayscale PNG — the STRUCTURED test
     * image family for perceptual-hash fixtures (pure noise doesn't survive
     * pooling; a smooth field does, like real photographs). */
@@ -776,7 +835,7 @@ object Multimodal {
     * [[syntheticWav]]. */
   private[graft] def syntheticMjpegAvi(
       w: Int, h: Int, nFrames: Int, fps: Int = 10,
-      seed: Long = 7L): Array[Byte] = {
+      seed: Long = 7L, fx: Double = 2.0, fy: Double = 1.0): Array[Byte] = {
     def jpegFrame(i: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -785,7 +844,7 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val v = 128 + 90 * math.sin(
-            2 * math.Pi * (2.0 * x / w + 1.0 * y / h) + 0.35 * i + seed * 0.01)
+            2 * math.Pi * (fx * x / w + fy * y / h) + 0.35 * i + seed * 0.01)
           val c = math.max(0, math.min(255, v.toInt))
           img.setRGB(x, y, (c << 16) | (c << 8) | c)
           x += 1

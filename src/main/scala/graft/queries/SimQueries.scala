@@ -276,6 +276,41 @@ object SimQueries extends QueryModule {
         .orderBy("media_id", "frame_index")
     })
 
+  /** VIDEO near-duplicate pairs ([[Multimodal.videoPhashPairs]]): aligned
+    * per-frame dHashes from REAL decoded MJPEG frames, banded candidates
+    * with the frame index in the bucket key, mean-frame-hamming verify.
+    * Rows-only, EXACT pair-set self-assert: 5 clip families (base +
+    * resized/re-encoded twin) — every twin must pair, nothing else may. */
+  val mmVideoPhashPairs: Q = Q(
+    "mm_video_phash_pairs",
+    None,
+    (s, _) => {
+      import s.implicits._
+      val rows: Seq[(Long, String, Array[Byte])] = (0 until 5).flatMap { f =>
+        val (fx, fy) = (1.0 + f, 0.5 + (f % 2) * 1.5)
+        Seq(
+          (f.toLong, "video",
+            Multimodal.syntheticMjpegAvi(48, 36, 6, 10, seed = 100 + f,
+              fx = fx, fy = fy)),
+          (100L + f, "video",
+            Multimodal.syntheticMjpegAvi(32, 24, 6, 10, seed = 100 + f,
+              fx = fx, fy = fy)))
+      }
+      val media = rows.toDF("media_id", "modality", "content")
+        .withColumn("meta", struct(lit("fixture://").as("uri"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("bigint").as("duration_ms")))
+      val pairs = Multimodal.videoPhashPairs(media, k = 6, maxHamming = 8)
+        .persist()
+      val got = pairs.select(col("id1"), col("id2"))
+        .as[(Long, Long)].collect().toSet
+      val expected = (0 until 5).map(f => (f.toLong, 100L + f)).toSet
+      require(got == expected,
+        s"video pair set drift: unexpected=${(got -- expected).toSeq.sorted} " +
+          s"missing=${(expected -- got).toSeq.sorted}")
+      pairs.orderBy("id1", "id2")
+    })
+
   /** Image perceptual-hash near-dup join ([[Multimodal.phashPairs]]):
     * real-pixel dHash through the banded hamming join. Rows-only (pixel
     * pooling is not SQL-expressible) with an EXACT-set self-assert, which
@@ -316,5 +351,5 @@ object SimQueries extends QueryModule {
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
-      mmMjpegFrames)
+      mmMjpegFrames, mmVideoPhashPairs)
 }

@@ -430,6 +430,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("video near-dup: resized MJPEG twins pair on mean frame hamming, strangers do not") {
+    val rows: Seq[(Long, String, Array[Byte], (String, Integer, Integer, java.lang.Long))] =
+      (0 until 4).flatMap { f =>
+        val (fx, fy) = (1.0 + f, 0.5 + (f % 2))
+        Seq(
+          (f.toLong, "video",
+            Multimodal.syntheticMjpegAvi(48, 36, 6, 10, seed = 100 + f, fx = fx, fy = fy),
+            ("fixture://", Integer.valueOf(48), Integer.valueOf(36), java.lang.Long.valueOf(600L))),
+          (100L + f, "video",
+            Multimodal.syntheticMjpegAvi(32, 24, 6, 10, seed = 100 + f, fx = fx, fy = fy),
+            ("fixture://", Integer.valueOf(32), Integer.valueOf(24), java.lang.Long.valueOf(600L))))
+      }
+    val media = rows.toDF("media_id", "modality", "content", "meta")
+      .withColumn("meta", col("meta").cast("struct<uri:string,width:int,height:int,duration_ms:bigint>"))
+    val pairs = Multimodal.videoPhashPairs(media, k = 6, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 4).map(f => (f.toLong, 100L + f)).toSet
+    assert(pairs == expected,
+      s"video pair drift: extra=${pairs -- expected} missing=${expected -- pairs}")
+  }
+
   test("dHash: checked-in resized twin pairs, distinct field does not") {
     def res(n: String): Array[Byte] = {
       val in = getClass.getResourceAsStream("/" + n)
