@@ -246,6 +246,243 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** In-place iterative radix-2 FFT (re/im pairs) — pure Scala, no
+    * dependency; n must be a power of two. Enough DSP for frame-level
+    * spectral fingerprints; not a general signal library. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, "FFT size must be a power of two")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** REAL audio spectral fingerprint — the Haitsma–Kalker robust-hash
+    * shape (Philips, 2002; public): decode PCM (pure JDK), Hann-windowed
+    * 1024-sample frames at 50% hop, FFT power spectrum, 17 log-spaced
+    * energy bands over 300–3000 Hz IN ABSOLUTE HZ (so a resampled copy
+    * lands in the same bands), and one 16-bit word per frame where bit m
+    * = sign of the time-and-frequency energy difference
+    * (E(n,m)−E(n,m+1)) − (E(n−1,m)−E(n−1,m+1)). Re-encoded/resampled
+    * copies agree on most frame words; different content does not.
+    * `None` when the bytes don't decode or are shorter than two frames.
+    * Decoding caps at `maxSeconds` — fingerprints are for identity, not
+    * archival. */
+  private[graft] def audioFingerprint(
+      bytes: Array[Byte], maxSeconds: Double = 60.0): Option[Array[Int]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val Bands = 17
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val chans = math.max(1, src.getChannels)
+        val pcmFmt = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16, chans,
+          chans * 2, src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+        val sr = math.round(src.getSampleRate)
+        // TIME-based framing (128 ms window, 64 ms hop): a RESAMPLED copy
+        // produces the same number of frames over the same moments, so
+        // fingerprints stay aligned across sample rates; the FFT zero-pads
+        // the window to the next power of two
+        val frameLen = math.round(0.128 * sr).toInt
+        val hop = frameLen / 2
+        var fftN = 1
+        while (fftN < frameLen) fftN <<= 1
+        val maxSamples = math.min((maxSeconds * sr).toLong, 1L << 24).toInt
+        val raw = pcm.readNBytes(maxSamples * chans * 2)
+        val n = raw.length / (chans * 2)
+        if (n < 2 * frameLen) return None
+        val mono = new Array[Double](n)
+        var s = 0
+        while (s < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < chans) {
+            val o = (s * chans + c) * 2
+            acc += ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          mono(s) = acc / chans
+          s += 1
+        }
+        // absolute-Hz log-spaced band edges → FFT bin indices
+        val loHz = 300.0
+        val hiHz = math.min(3000.0, sr / 2.0 - 1.0)
+        val edges = (0 to Bands).map(b =>
+          loHz * math.pow(hiHz / loHz, b.toDouble / Bands)).toArray
+        val binOf = edges.map(f =>
+          math.max(1, math.min(fftN / 2 - 1, (f * fftN / sr).toInt)))
+        val hann = Array.tabulate(frameLen)(i =>
+          0.5 - 0.5 * math.cos(2 * math.Pi * i / (frameLen - 1)))
+        val nFrames = (n - frameLen) / hop + 1
+        val energies = Array.ofDim[Double](nFrames, Bands)
+        var f = 0
+        while (f < nFrames) {
+          val re = new Array[Double](fftN)
+          val im = new Array[Double](fftN)
+          var i = 0
+          while (i < frameLen) {
+            re(i) = mono(f * hop + i) * hann(i); i += 1
+          }
+          fft(re, im)
+          var m = 0
+          while (m < Bands) {
+            var e = 0.0
+            var bin = binOf(m)
+            while (bin < binOf(m + 1)) {
+              e += re(bin) * re(bin) + im(bin) * im(bin); bin += 1
+            }
+            energies(f)(m) = e
+            m += 1
+          }
+          f += 1
+        }
+        val words = new Array[Int](nFrames - 1)
+        f = 1
+        while (f < nFrames) {
+          var w = 0
+          var m = 0
+          while (m < Bands - 1) {
+            val d = (energies(f)(m) - energies(f)(m + 1)) -
+              (energies(f - 1)(m) - energies(f - 1)(m + 1))
+            if (d > 0) w |= (1 << m)
+            m += 1
+          }
+          words(f - 1) = w
+          f += 1
+        }
+        Some(words)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** AUDIO near-duplicate pairs — the acoustic member of the perceptual
+    * dedup family (text SimHash/MinHash, image dHash, video frame
+    * hashes, audio HERE): clips reduce to per-frame 16-bit spectral
+    * words ([[audioFingerprint]]), candidates are clips sharing the
+    * EXACT word at ≥1 aligned frame (one groupBy on (frame, word) — the
+    * H-K lookup-table trick as a shuffle key; ids-only through the
+    * shuffle), verified on mean per-frame bit-hamming ≤ `maxMeanBits`
+    * over aligned fingerprints of EQUAL length. Re-encoded/volume-scaled
+    * copies pair (band-energy SIGNS are amplitude-invariant); different
+    * material does not. One decode pass per clip, map-side. */
+  def audioFingerprintPairs(
+      media: DataFrame, maxMeanBits: Double = 4.0,
+      maxBucketSize: Int = 4096, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("words", ArrayType(IntegerType, containsNull = false),
+        nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    val sigs = media.select(col(idCol).cast("long"), col(contentCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val fp =
+            if (bytes == null || bytes.isEmpty) None else audioFingerprint(bytes)
+          Row(r.getLong(0), fp.map(_.toSeq).orNull)
+        }
+      }
+      .filter(col("words").isNotNull)
+    val exploded = sigs.select(col("id"), posexplode(col("words")))
+      .select(col("id"), xxhash64(col("pos"), col("col")).as("bucket"))
+    val candidates = exploded.groupBy(col("bucket"))
+      .agg(collect_set(col("id")).as("ids0"))
+      .filter(size(col("ids0")).between(2, maxBucketSize))
+      .select(array_sort(col("ids0")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .dropDuplicates("id1", "id2")
+    candidates
+      .join(sigs.select(col("id").as("id1"), col("words").as("w1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("words").as("w2")), "id2")
+      .filter(size(col("w1")) === size(col("w2")))
+      .withColumn("mean_bits",
+        aggregate(
+          zip_with(col("w1"), col("w2"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), _ + _).cast("double") / size(col("w1")))
+      .filter(col("mean_bits") <= maxMeanBits)
+      .select("id1", "id2", "mean_bits")
+  }
+
+  /** Deterministic multi-tone WAV (sum of weighted sines with a slow
+    * amplitude envelope) — spectrally RICH synthetic audio for the
+    * fingerprint fixtures (a lone sine excites one band and fingerprints
+    * degenerate; a chord with movement exercises the band-delta bits). */
+  private[graft] def syntheticChordWav(
+      freqs: Seq[(Double, Double)], seconds: Double,
+      sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = math.max(1, math.round(seconds * sampleRate).toInt)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / sampleRate
+      var acc = 0.0
+      for ((f, a) <- freqs)
+        acc += a * math.sin(2 * math.Pi * f * t)
+      // slow envelope: makes consecutive frames differ, exercising the
+      // TIME-delta half of the fingerprint bits
+      val v = math.round(acc * (0.6 + 0.4 * math.sin(2 * math.Pi * 0.7 * t)) *
+        32767 / math.max(1.0, freqs.map(_._2).sum)).toInt
+      val cl = math.max(-32768, math.min(32767, v))
+      pcm(i * 2) = (cl & 0xff).toByte
+      pcm(i * 2 + 1) = ((cl >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, sampleRate.toFloat, 16, 1, 2,
+      sampleRate.toFloat, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic mono 16-bit PCM WAV of a pure sine tone, written through
     * the real `javax.sound.sampled` encoder — synthetic "audio" rows are
     * genuine decodable WAVs, so the audio decode path is exercised end to

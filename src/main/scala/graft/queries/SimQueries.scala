@@ -311,6 +311,46 @@ object SimQueries extends QueryModule {
       pairs.orderBy("id1", "id2")
     })
 
+  /** AUDIO near-duplicate pairs ([[Multimodal.audioFingerprintPairs]]):
+    * Haitsma–Kalker-shape spectral fingerprints from REAL decoded PCM
+    * (pure-Scala FFT, absolute-Hz bands, time-based framing), exact-word
+    * aligned-frame candidates, mean-bit-hamming verify. Rows-only, EXACT
+    * pair-set self-assert over 4 chord families × (base, volume-scaled
+    * twin, resampled-to-16k twin): all 12 intra-family pairs, nothing
+    * else (probed margins: volume 0.0 bits, resample ≤ 2.9, strangers
+    * ≥ 5.7 — tools/AudioFpProbe). */
+  val mmAudioFpPairs: Q = Q(
+    "mm_audio_fp_pairs",
+    None,
+    (s, _) => {
+      import s.implicits._
+      val chords = Seq(
+        Seq(440.0 -> 1.0, 554.4 -> 0.7, 659.3 -> 0.5),
+        Seq(523.3 -> 1.0, 659.3 -> 0.6, 784.0 -> 0.8),
+        Seq(349.2 -> 0.9, 440.0 -> 0.4, 880.0 -> 0.7),
+        Seq(392.0 -> 1.0, 493.9 -> 0.9, 587.3 -> 0.3))
+      val rows: Seq[(Long, Array[Byte])] =
+        chords.zipWithIndex.flatMap { case (c, i) =>
+          Seq(
+            (i.toLong, Multimodal.syntheticChordWav(c, 3.0, 8000)),
+            (100L + i, Multimodal.syntheticChordWav(
+              c.map { case (f, a) => (f, a * 0.55) }, 3.0, 8000)),
+            (200L + i, Multimodal.syntheticChordWav(c, 3.0, 16000)))
+        }
+      val media = rows.toDF("media_id", "content")
+      val pairs = Multimodal.audioFingerprintPairs(media, maxMeanBits = 4.0)
+        .persist()
+      val got = pairs.select(col("id1"), col("id2"))
+        .as[(Long, Long)].collect().toSet
+      val expected = chords.indices.flatMap(i => Seq(
+        (i.toLong, 100L + i), (i.toLong, 200L + i),
+        (100L + i, 200L + i))).toSet
+      require(got == expected,
+        s"audio pair set drift: unexpected=${(got -- expected).toSeq.sorted} " +
+          s"missing=${(expected -- got).toSeq.sorted}")
+      pairs.orderBy("id1", "id2")
+    })
+
   /** Image perceptual-hash near-dup join ([[Multimodal.phashPairs]]):
     * real-pixel dHash through the banded hamming join. Rows-only (pixel
     * pooling is not SQL-expressible) with an EXACT-set self-assert, which
@@ -351,5 +391,5 @@ object SimQueries extends QueryModule {
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
-      mmMjpegFrames, mmVideoPhashPairs)
+      mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs)
 }

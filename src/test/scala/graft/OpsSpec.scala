@@ -430,6 +430,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio near-dup: spectral fingerprint pairs volume/resample twins, not strangers") {
+    val chords = Seq(
+      Seq(440.0 -> 1.0, 554.4 -> 0.7, 659.3 -> 0.5),
+      Seq(523.3 -> 1.0, 659.3 -> 0.6, 784.0 -> 0.8),
+      Seq(349.2 -> 0.9, 440.0 -> 0.4, 880.0 -> 0.7),
+      Seq(392.0 -> 1.0, 493.9 -> 0.9, 587.3 -> 0.3))
+    // fingerprint properties (probed margins: volume twins 0.0 bits,
+    // resample twins <= 2.9, strangers >= 5.7 — tools/AudioFpProbe)
+    def fp(b: Array[Byte]) = Multimodal.audioFingerprint(b).get
+    def meanBits(a: Array[Int], b: Array[Int]): Double =
+      a.zip(b).map { case (x, y) => java.lang.Integer.bitCount(x ^ y) }.sum
+        .toDouble / a.length
+    val f0 = fp(Multimodal.syntheticChordWav(chords.head, 3.0, 8000))
+    val f0vol = fp(Multimodal.syntheticChordWav(
+      chords.head.map { case (f, a) => (f, a * 0.55) }, 3.0, 8000))
+    assert(meanBits(f0, f0vol) == 0.0, "band-delta signs must be amplitude-invariant")
+    val f0rs = fp(Multimodal.syntheticChordWav(chords.head, 3.0, 16000))
+    assert(f0rs.length == f0.length, "time-based framing must align across rates")
+    assert(meanBits(f0, f0rs) <= 4.0, s"resampled twin drifted ${meanBits(f0, f0rs)}")
+    // the distributed join: every intra-family pair, nothing else
+    val rows: Seq[(Long, Array[Byte])] = chords.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        (i.toLong, Multimodal.syntheticChordWav(c, 3.0, 8000)),
+        (100L + i, Multimodal.syntheticChordWav(
+          c.map { case (f, a) => (f, a * 0.55) }, 3.0, 8000)),
+        (200L + i, Multimodal.syntheticChordWav(c, 3.0, 16000)))
+    }
+    val media = rows.toDF("media_id", "content")
+    val pairs = Multimodal.audioFingerprintPairs(media, maxMeanBits = 4.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = chords.indices.flatMap(i => Seq(
+      (i.toLong, 100L + i), (i.toLong, 200L + i), (100L + i, 200L + i))).toSet
+    assert(pairs == expected,
+      s"audio pair drift: extra=${pairs -- expected} missing=${expected -- pairs}")
+    // undecodable and too-short clips fingerprint to None, never throw
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.syntheticWav(440.0, 0.05)).isEmpty)
+  }
+
   test("video near-dup: resized MJPEG twins pair on mean frame hamming, strangers do not") {
     val rows: Seq[(Long, String, Array[Byte], (String, Integer, Integer, java.lang.Long))] =
       (0 until 4).flatMap { f =>
