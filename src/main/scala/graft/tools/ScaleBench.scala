@@ -188,6 +188,23 @@ object ScaleBench {
           s""","hitters":$hitters""")
       }
 
+      if (wanted("dd_paragraph_dedup")) {
+        // paragraph dedup: suffixed copies keep cross-copy paragraphs
+        // DISTINCT (no K² collision inflation). NB the kept-paragraph
+        // count is NOT exactly K× the 1× count: token suffixing
+        // lengthens copy i's texts, so later copies chunk into more
+        // 120-char paragraphs — kept counts grow ~linearly in data
+        // volume, and TIME is the scaling witness here
+        var keptParas = 0L
+        val (pdMed, pdS) = timeMedian {
+          keptParas = Dedup.dedupParagraphs(docs, "doc_id", "text",
+              graft.ops.TextOps.chunks(col("text"), size = 120, overlap = 0))
+            .agg(sum(col("n_paragraphs_kept"))).head().getLong(0)
+        }
+        emit("dd_paragraph_dedup", k, docs.count(), pdMed, pdS,
+          s""","kept_paragraphs":$keptParas""")
+      }
+
       if (wanted("a7_enwiden_pivot")) {
         // long→wide pivot (one classify + one pivot shuffle): K× groups,
         // fixed width. The measurement hashes EVERY output column into the
