@@ -166,6 +166,160 @@ object NearDedup {
   /** State per hamming-band bucket: 8-byte signatures, arrival order. */
   final case class SigBucketState(ids: Array[Long], sigs: Array[Long])
 
+  /** One banded observation of an ALIGNED signature vector (video frame
+    * hashes, audio fingerprint words). */
+  final case class VecObs(
+      doc_id: Long, ts: java.sql.Timestamp, bucket: Long, sigs: Array[Long])
+
+  /** `doc_id` sits within `mean_hamming` mean bits of the earlier
+    * `matched_id` over their aligned signature vectors. */
+  final case class VecEdge(
+      doc_id: Long, matched_id: Long, mean_hamming: Double)
+
+  /** State per aligned-signature bucket: full vectors, arrival order. */
+  final case class VecBucketState(ids: Array[Long], vecs: Array[Array[Long]])
+
+  /** Streaming near-dedup over ALIGNED SIGNATURE VECTORS — the shared
+    * engine for the video twin ([[videoPhashDupEdgesStream]]: one dHash
+    * per sampled frame, `bandsPerWord = maxMeanHamming+1` pigeonhole
+    * splits) and the audio twin ([[audioFpDupEdgesStream]]: one 16-bit
+    * spectral word per frame, `bandsPerWord = 1` = exact-word
+    * candidates). `rows` must carry (doc_id, ts, sigs array<long>);
+    * candidates share a (word index, band) bucket, verification is mean
+    * per-word bit-hamming ≤ `maxMeanHamming` over EQUAL-length vectors —
+    * the same decision as the batch joins, so stream == batch on
+    * in-order feeds (spec-pinned for both modalities). */
+  def alignedVecDupEdgesStream(
+      rows: DataFrame, maxMeanHamming: Double, bandsPerWord: Int,
+      maxBucketSize: Int = 4096, watermark: String = ""): Dataset[VecEdge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val watermarked =
+      if (watermark.isEmpty) rows else rows.withWatermark("ts", watermark)
+    val horizon = if (watermark.isEmpty) 0L else horizonMs(watermark)
+    val bandCols =
+      if (bandsPerWord == 1) Seq(col("word"))
+      else graft.ops.Dedup.hammingBandCols(col("word"), bandsPerWord - 1)
+    val banded = watermarked
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("word_idx", "word")))
+      .select(col("doc_id"), col("ts"), col("sigs"), col("word_idx"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "piece")))
+      .select(col("doc_id"), col("ts"),
+        xxhash64(col("word_idx"), col("band"), col("piece")).as("bucket"),
+        col("sigs"))
+      .as[VecObs]
+    val timeout =
+      if (watermark.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: Long, it: Iterator[VecObs], state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(
+              VecBucketState(Array.empty, Array.empty))
+            val out = Seq.newBuilder[VecEdge]
+            // one bucket sees each (doc, word, band) once — but a doc can
+            // appear in this bucket via several words; dedup doc entries
+            val seenHere = scala.collection.mutable.Set.empty[Long]
+            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))
+                 if !seenHere.contains(o.doc_id)) {
+              seenHere += o.doc_id
+              var i = 0
+              while (i < s.ids.length) {
+                val v = s.vecs(i)
+                if (v.length == o.sigs.length) {
+                  var bits = 0L
+                  var w = 0
+                  while (w < v.length) {
+                    bits += java.lang.Long.bitCount(v(w) ^ o.sigs(w)); w += 1
+                  }
+                  val mean = bits.toDouble / v.length
+                  if (mean <= maxMeanHamming)
+                    out += VecEdge(o.doc_id, s.ids(i), mean)
+                }
+                i += 1
+              }
+              if (s.ids.length < maxBucketSize)
+                s = VecBucketState(s.ids :+ o.doc_id, s.vecs :+ o.sigs)
+            }
+            state.update(s)
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + horizon)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming VIDEO near-dedup: per-row real-frame dHash vectors (the
+    * whole clip's bytes are in the row, so the k-frame signature computes
+    * MAP-SIDE — parseAvi + ImageIO per partition, no pre-aggregation
+    * stateful step), then [[alignedVecDupEdgesStream]]. Emits one edge
+    * per matching (frame, band) bucket; consumers dedup doc_ids per
+    * micro-batch as with the text twin. */
+  def videoPhashDupEdgesStream(
+      media: DataFrame, k: Int = 6, maxMeanHamming: Double = 6.0,
+      idCol: String = "media_id", contentCol: String = "content",
+      tsCol: String = "ts", maxBucketSize: Int = 4096,
+      watermark: String = ""): Dataset[VecEdge] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val prepared = media
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        col(contentCol).as("content"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, ts, bytes) =>
+          val sigs = for {
+            b <- Option(bytes).filter(_.nonEmpty).toSeq
+            avi <- graft.ops.Multimodal.parseAvi(b).filter(_.frames.nonEmpty).toSeq
+          } yield {
+            val n = avi.frames.size
+            (0 until k).flatMap { i =>
+              val (off, len) = avi.frames(math.min(n - 1, i * n / k))
+              graft.ops.Multimodal.dHash64(
+                java.util.Arrays.copyOfRange(b, off, off + len))
+            }.toArray
+          }
+          sigs.filter(_.length == k).map(s => (id, ts, s))
+        }
+      }
+      .toDF("doc_id", "ts", "sigs")
+    alignedVecDupEdgesStream(prepared, maxMeanHamming,
+      bandsPerWord = maxMeanHamming.toInt + 1, maxBucketSize, watermark)
+  }
+
+  /** Streaming AUDIO near-dedup: per-row spectral fingerprints
+    * ([[graft.ops.Multimodal.audioFingerprint]], computed map-side), then
+    * [[alignedVecDupEdgesStream]] with exact-word candidates
+    * (bandsPerWord = 1) — the streaming twin of
+    * [[graft.ops.Multimodal.audioFingerprintPairs]]. */
+  def audioFpDupEdgesStream(
+      media: DataFrame, maxMeanBits: Double = 4.0,
+      idCol: String = "media_id", contentCol: String = "content",
+      tsCol: String = "ts", maxBucketSize: Int = 4096,
+      watermark: String = ""): Dataset[VecEdge] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val prepared = media
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        col(contentCol).as("content"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, ts, bytes) =>
+          Option(bytes).filter(_.nonEmpty)
+            .flatMap(graft.ops.Multimodal.audioFingerprint(_))
+            .map(words => (id, ts, words.map(_.toLong)))
+        }
+      }
+      .toDF("doc_id", "ts", "sigs")
+    alignedVecDupEdgesStream(prepared, maxMeanBits, bandsPerWord = 1,
+      maxBucketSize, watermark)
+  }
+
   /** Streaming IMAGE near-dedup — the perceptual twin of
     * [[dupEdgesStream]], completing the matrix (text exact/near ×
     * batch/stream; image batch [[graft.ops.Multimodal.phashPairs]] /

@@ -405,6 +405,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming video+audio near-dedup: aligned-vector state matches the batch joins") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Multimodal
+    import graft.streaming.NearDedup
+    import spark.implicits._
+
+    // ---- video: 3 clip families (base + resized twin) + 2 strangers ----
+    val vids: Seq[(Long, Array[Byte])] = (0 until 3).flatMap { f =>
+      val (fx, fy) = (1.0 + f, 0.5 + (f % 2) * 1.5)
+      Seq(
+        (f.toLong, Multimodal.syntheticMjpegAvi(48, 36, 6, 10, 100 + f, fx, fy)),
+        (100L + f, Multimodal.syntheticMjpegAvi(32, 24, 6, 10, 100 + f, fx, fy)))
+    } ++ Seq(
+      (200L, Multimodal.syntheticMjpegAvi(48, 36, 6, 10, 7, 3.5, 2.5)),
+      (201L, Multimodal.syntheticMjpegAvi(48, 36, 6, 10, 9, 0.5, 3.0)))
+    val vidMedia = vids.toDF("media_id", "content")
+      .withColumn("meta", F.struct(F.lit("s://").as("uri"),
+        F.lit(null).cast("int").as("width"), F.lit(null).cast("int").as("height"),
+        F.lit(null).cast("bigint").as("duration_ms")))
+      .withColumn("modality", F.lit("video"))
+    val vidBatchDups = Multimodal.videoPhashPairs(vidMedia, k = 6, maxHamming = 8)
+      .select("id2").as[Long].collect().toSet
+    assert(vidBatchDups.nonEmpty)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vms = MemoryStream[(Long, Array[Byte])]
+    val vfeed = vms.toDF().toDF("media_id", "content")
+      .withColumn("ts", F.timestamp_micros((F.col("media_id") + 10) * 1000000L))
+    val vq = NearDedup.videoPhashDupEdgesStream(vfeed, k = 6,
+        maxMeanHamming = 8.0, watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vid_neardup").start()
+    try {
+      val ordered = vids.sortBy(_._1)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      vms.addData(a); vq.processAllAvailable()
+      vms.addData(b); vq.processAllAvailable()
+      val edges = spark.table("vid_neardup")
+        .select("doc_id", "matched_id").as[(Long, Long)].collect()
+      assert(edges.forall(e => e._2 < e._1))
+      assert(edges.map(_._1).toSet == vidBatchDups,
+        s"video stream dup set != batch")
+    } finally vq.stop()
+
+    // ---- audio: 3 chords × (base, resampled twin) + 1 stranger ----
+    val chords = Seq(
+      Seq(440.0 -> 1.0, 554.4 -> 0.7, 659.3 -> 0.5),
+      Seq(523.3 -> 1.0, 659.3 -> 0.6, 784.0 -> 0.8),
+      Seq(349.2 -> 0.9, 440.0 -> 0.4, 880.0 -> 0.7))
+    val auds: Seq[(Long, Array[Byte])] = chords.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        (i.toLong, Multimodal.syntheticChordWav(c, 3.0, 8000)),
+        (100L + i, Multimodal.syntheticChordWav(c, 3.0, 16000)))
+    } :+ ((200L, Multimodal.syntheticChordWav(
+      Seq(392.0 -> 1.0, 493.9 -> 0.9, 587.3 -> 0.3), 3.0, 8000)))
+    val audBatchDups = Multimodal.audioFingerprintPairs(
+        auds.toDF("media_id", "content"), maxMeanBits = 4.0)
+      .select("id2").as[Long].collect().toSet
+    assert(audBatchDups.nonEmpty)
+
+    val ams = MemoryStream[(Long, Array[Byte])]
+    val afeed = ams.toDF().toDF("media_id", "content")
+      .withColumn("ts", F.timestamp_micros((F.col("media_id") + 10) * 1000000L))
+    val aq = NearDedup.audioFpDupEdgesStream(afeed, maxMeanBits = 4.0,
+        watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("aud_neardup").start()
+    try {
+      val ordered = auds.sortBy(_._1)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      ams.addData(a); aq.processAllAvailable()
+      ams.addData(b); aq.processAllAvailable()
+      val edges = spark.table("aud_neardup")
+        .select("doc_id", "matched_id").as[(Long, Long)].collect()
+      assert(edges.forall(e => e._2 < e._1))
+      assert(edges.map(_._1).toSet == audBatchDups,
+        s"audio stream dup set != batch")
+    } finally aq.stop()
+  }
+
   test("streaming image near-dedup: hamming band state matches batch phashPairs") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
