@@ -742,9 +742,12 @@ object Multimodal {
     * hamming over aligned frames stays ≤ `maxHamming` (mean, not max:
     * one JPEG-mangled frame must not break an otherwise identical clip).
     * A resized/re-encoded copy of a clip pairs; different content does
-    * not. Videos with no decodable frames never pair (kept, like
-    * undecodable images). Frame counts must match — clips of different
-    * sampled length are never near-dups under aligned comparison. */
+    * not. A clip pairs only on a COMPLETE k-frame signature: any clip
+    * with no decodable frames OR any undecodable sampled frame is
+    * excluded from mining (kept, like undecodable images) — the same
+    * exactly-k contract as the streaming twin
+    * ([[graft.streaming.NearDedup.videoPhashDupEdgesStream]]), so
+    * stream == batch holds on every input. */
   def videoPhashPairs(
       media: DataFrame, k: Int = 6, maxHamming: Int = 6,
       maxBucketSize: Int = 4096): DataFrame = {
@@ -757,11 +760,14 @@ object Multimodal {
       .select(col("media_id").as("id"), col("frame_index"),
         call_function(fname, col("content")).as("sig"))
       .filter(col("sig").isNotNull)
-    // per-video ordered signature vector (for the verify step)
+    // per-video ordered signature vector (for the verify step); exactly-k
+    // only — a partial vector (some frame failed to decode) drops here and
+    // its candidates die at the inner join below
     val sigVecs = hashed.groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("frame_index"), col("sig")))),
         s => s.getField("sig")).as("sigs"))
+      .filter(size(col("sigs")) === k)
     // banded candidates: bucket key = (frame index, band index, band bits)
     val bandCols = Dedup.hammingBandCols(col("sig"), maxHamming)
     val banded = hashed
@@ -1056,7 +1062,13 @@ object Multimodal {
         } else if (id.substring(2) == "dc" || id.substring(2) == "db") {
           frames += ((payload, (payloadEnd - payload)))
         }
-        off = payload + size.toInt + (size.toInt & 1) // chunks pad to even
+        // Advance in Long: a crafted size >= 2^31 would overflow an Int
+        // advance to negative (infinite loop or negative-index throw from
+        // fourcc). Non-advancing or past-end next = corrupt size: stop and
+        // keep what parsed so far, mirroring the payloadEnd bail above.
+        val next = payload.toLong + size + (size & 1L) // chunks pad to even
+        if (next <= off || next > end) return
+        off = next.toInt
       }
     }
     walk(12, bytes.length)

@@ -134,7 +134,7 @@ object UrlQueries extends QueryModule {
               ELSE CAST(len(list_filter(w, t -> t IN ($enList))) AS DOUBLE)
                 / len(w) END), 6) AS DECIMAL(18,6))) AS DOUBLE)
           / count(*), 6) AS mean_quality,
-        SUM(CAST(len(w) AS BIGINT)) AS n_tokens
+        CAST(SUM(len(w)) AS BIGINT) AS n_tokens
       FROM d
       GROUP BY domain
       ORDER BY domain"""

@@ -121,8 +121,13 @@ object NearDedup {
             var s = state.getOption.getOrElse(
               BucketState(Array.empty, Array.empty))
             val out = Seq.newBuilder[DupEdge]
-            // group iterator order is not guaranteed — impose arrival order
-            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))) {
+            // group iterator order is not guaranteed — impose arrival order.
+            // An id already in state is a RE-DELIVERY (at-least-once
+            // source): skip it entirely — emitting a self-edge would make
+            // the documented consumer recipe (dropDuplicates("doc_id") =
+            // dup set) drop the only copy of that document.
+            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))
+                 if !s.ids.contains(o.doc_id)) {
               var i = 0
               while (i < s.ids.length) {
                 val est = estJaccard(o.sig, s.sigs(i))
@@ -222,10 +227,13 @@ object NearDedup {
               VecBucketState(Array.empty, Array.empty))
             val out = Seq.newBuilder[VecEdge]
             // one bucket sees each (doc, word, band) once — but a doc can
-            // appear in this bucket via several words; dedup doc entries
+            // appear in this bucket via several words; dedup doc entries.
+            // An id already in STATE is a re-delivery (at-least-once
+            // source): skip it — a self-edge would mark the only copy as
+            // a dup (see dupEdgesStream).
             val seenHere = scala.collection.mutable.Set.empty[Long]
             for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))
-                 if !seenHere.contains(o.doc_id)) {
+                 if !seenHere.contains(o.doc_id) && !s.ids.contains(o.doc_id)) {
               seenHere += o.doc_id
               var i = 0
               while (i < s.ids.length) {
@@ -366,7 +374,10 @@ object NearDedup {
             var s = state.getOption.getOrElse(
               SigBucketState(Array.empty, Array.empty))
             val out = Seq.newBuilder[HammingEdge]
-            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))) {
+            // skip re-delivered ids (at-least-once source): a self-edge
+            // would mark the only copy as a dup (see dupEdgesStream)
+            for (o <- it.toArray.sortBy(x => (x.ts.getTime, x.doc_id))
+                 if !s.ids.contains(o.doc_id)) {
               var i = 0
               while (i < s.ids.length) {
                 val d = java.lang.Long.bitCount(o.sig ^ s.sigs(i))

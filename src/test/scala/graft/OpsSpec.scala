@@ -393,6 +393,32 @@ class OpsSpec extends SparkSpec {
     // corrupt bytes refuse to parse instead of throwing
     assert(Multimodal.parseAvi(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Multimodal.parseAvi(bytes.take(20)).isEmpty)
+    // crafted chunk size >= 2^31: the old Int advance went negative
+    // (infinite loop or negative-index throw from fourcc); the Long
+    // advance must terminate and keep what parsed before the bad chunk
+    val crafted = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    crafted.put("RIFF".getBytes("ISO-8859-1")).putInt(8 + 16 + 4)
+      .put("AVI ".getBytes("ISO-8859-1"))
+      .put("JUNK".getBytes("ISO-8859-1")).putInt(0xfffffff0) // 4294967280
+      .put(new Array[Byte](16))
+    assert(Multimodal.parseAvi(crafted.array()).isEmpty) // no hang, no throw
+    // same crafted size on the fixture's first chunk: must terminate
+    // (result value unspecified — corrupt input) without hanging/throwing
+    val craftedFixture = bytes.clone()
+    java.nio.ByteBuffer.wrap(craftedFixture)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(12 + 4, 0xfffffff0)
+    Multimodal.parseAvi(craftedFixture)
+    // zero-size unknown chunks: advance is +8 per iteration (the header),
+    // must still walk to end and terminate
+    val zeros = java.nio.ByteBuffer.allocate(12 + 8 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zeros.put("RIFF".getBytes("ISO-8859-1")).putInt(8 * 4 + 4)
+      .put("AVI ".getBytes("ISO-8859-1"))
+    (0 until 4).foreach { _ =>
+      zeros.put("JUNK".getBytes("ISO-8859-1")).putInt(0)
+    }
+    assert(Multimodal.parseAvi(zeros.array()).isEmpty)
   }
 
   test("multimodal: sampleFrames emits real decodable frames for MJPEG, stub otherwise") {

@@ -394,8 +394,14 @@ class StreamingSpec extends SparkSpec {
     try {
       ms.addData(first.toSeq); q.processAllAvailable()
       ms.addData(second.toSeq); q.processAllAvailable()
+      // at-least-once RE-DELIVERY: the whole second half arrives again; a
+      // re-delivered id already in band state must be skipped — a
+      // self-edge (doc_id == matched_id) would make dropDuplicates-style
+      // consumers drop the only copy
+      ms.addData(second.toSeq); q.processAllAvailable()
       val edges = spark.table("neardup_out")
         .select("doc_id", "matched_id").as[(Long, Long)].collect()
+      assert(edges.forall(e => e._2 != e._1), "re-delivery emitted a self-edge")
       // every edge points BACKWARD (matched an earlier arrival)
       assert(edges.forall(e => e._2 < e._1), "an edge matched a later doc")
       val got = edges.map(_._1).toSet
