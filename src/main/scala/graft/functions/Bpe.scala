@@ -134,6 +134,46 @@ object Bpe {
     (header.linesIterator.map("# " + _) ++
       merges.iterator.map { case (l, r) => s"$l $r" }).mkString("", "\n", "\n")
 
+  /** Distributed piece counting — the ONE corpus pass of BPE training:
+    * lossless pre-split (regexp extraction, codegen'd) → explode →
+    * groupBy(piece). The result is VOCABULARY-sized (distinct pre-split
+    * pieces, heavy-tailed — ~10^5–10^7 rows even for web-scale corpora),
+    * not corpus-sized; this is the table the merge loop actually needs.
+    * `minPieceCount` drops the singleton junk tail (the standard lossy
+    * knob at 100 TB — a dropped piece's pair counts are lost, so the
+    * default keeps everything for exactness). */
+  def pieceCounts(
+      df: DataFrame, textCol: String, minPieceCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counted = df
+      .select(explode(regexp_extract_all(
+        col(textCol).cast("string"),
+        lit(LosslessSplitPattern), lit(0))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n"))
+    if (minPieceCount <= 1L) counted else counted.filter(col("n") >= minPieceCount)
+  }
+
+  /** Train a merges table on a corpus DataFrame: distributed
+    * [[pieceCounts]], then the SAME deterministic merge loop as [[train]]
+    * over the collected (piece, count) table — byte-identical merges to
+    * driver-side counting (spec-pinned), but the corpus is scanned
+    * distributed, once. The collect is vocabulary-sized (PQ-codebook
+    * economics), bounded LOUDLY by `maxPieces`: `limit(maxPieces + 1)`
+    * caps the transfer before it happens, and the `require` names the
+    * knob to turn (`minPieceCount`) instead of OOMing the driver. */
+  def trainOn(
+      df: DataFrame, textCol: String, maxMerges: Int, minCount: Long = 2L,
+      minPieceCount: Long = 1L,
+      maxPieces: Int = 10000000): Array[(String, String)] = {
+    val rows = pieceCounts(df, textCol, minPieceCount)
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"corpus has more than $maxPieces distinct pre-split pieces; raise " +
+        "minPieceCount (drops the singleton tail) or maxPieces")
+    train(rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      maxMerges, minCount)
+  }
+
   @volatile private var resourceCache = Map.empty[String, BpeTokenizer]
 
   /** Tokenizer from a classpath resource (the checked-in fixture rides the

@@ -920,6 +920,67 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Distributed BPE training, part 1 — the piece-count table
+    * ([[graft.functions.Bpe.pieceCounts]]), the ONE corpus pass training
+    * actually needs (the merge loop then runs on this vocabulary-sized
+    * table, never the corpus). ORACLE-checked: both engines pre-split
+    * with the same lossless RE2-safe pattern and count independently;
+    * ties at the top-100 cut break on the piece's UTF-8 byte order (the
+    * sort order both engines share). */
+  val txtBpePieceCounts: Q = Q(
+    "txt_bpe_piece_counts",
+    Some {
+      val pat = graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
+      s"""
+      WITH p AS (
+        SELECT unnest(regexp_extract_all(text, '$pat')) AS piece
+        FROM documents)
+      SELECT piece, count(*) AS n FROM p
+      GROUP BY piece
+      ORDER BY n DESC, piece
+      LIMIT 100"""
+    },
+    (s, dir) =>
+      graft.functions.Bpe
+        .pieceCounts(Tables.load(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("piece"))
+        .limit(100))
+
+  /** Distributed BPE training, part 2 — the merges table itself
+    * ([[graft.functions.Bpe.trainOn]]: distributed piece counting, then
+    * the deterministic driver merge loop over the bounded count table).
+    * No SQL engine can express the merge loop, so the entry is rows-only
+    * with a DIFFERENTIAL self-assert: an independent driver-side recount
+    * (regex loop over collected texts — the tools/BpeTrain path) must
+    * train to byte-identical merges. BpeSpec additionally pins that
+    * trainOn reproduces the checked-in fixture from its recorded
+    * provenance knobs. */
+  val txtBpeTrain: Q = Q(
+    "txt_bpe_train",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.functions.Bpe.trainOn(docs, "text", maxMerges = 48)
+      val splitter = java.util.regex.Pattern
+        .compile(graft.functions.Bpe.LosslessSplitPattern)
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      for (t <- docs.select("text").collect().map(_.getString(0))) {
+        val m = splitter.matcher(t)
+        while (m.find())
+          local.updateWith(m.group())(c => Some(c.getOrElse(0L) + 1L))
+      }
+      val expect = graft.functions.Bpe.train(local.toMap, 48)
+      require(merges.sameElements(expect),
+        s"distributed training diverged from driver-side counting at rank " +
+          merges.zip(expect).indexWhere { case (a, b) => a != b })
+      require(merges.length == 48, s"training stopped at ${merges.length}/48")
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }.toSeq
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    })
+
   /** Keyed upsert/delete corpus maintenance ([[graft.ops.Upsert]]): lay out
     * the historical corpus bucket-partitioned, apply one batch of
     * replacements (doc_id%10=0), inserts (doc_id%10=8) and deletes
@@ -1012,5 +1073,6 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
-    txtBigramLogprob, txtBpeTokens, txtBpeReal, txtQualityClassifier, mntUpsert)
+    txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
+    txtBpeTrain, txtQualityClassifier, mntUpsert)
 }

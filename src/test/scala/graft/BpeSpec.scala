@@ -190,4 +190,39 @@ class BpeSpec extends SparkSpec {
       assert(real >= est, s"real BPE tokens < whitespace words for ${r.getString(0)}")
     }
   }
+
+  test("distributed piece counting matches driver-side counting exactly") {
+    val distributed = Bpe.pieceCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val splitter = java.util.regex.Pattern.compile(Bpe.LosslessSplitPattern)
+    val local = scala.collection.mutable.HashMap.empty[String, Long]
+    for (t <- docs.select("text").as[String].collect()) {
+      val m = splitter.matcher(t)
+      while (m.find())
+        local.updateWith(m.group())(c => Some(c.getOrElse(0L) + 1L))
+    }
+    assert(distributed == local.toMap,
+      s"piece count drift: distributed=${distributed.size} local=${local.size}")
+    // minPieceCount drops exactly the below-threshold tail
+    val floored = Bpe.pieceCounts(docs, "text", minPieceCount = 3L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(floored == local.filter(_._2 >= 3L).toMap)
+  }
+
+  test("distributed training reproduces the checked-in fixture byte-for-byte") {
+    // the fixture header records its provenance: sf0.001 text, 64 merges,
+    // min pair count 2 — trainOn with the same knobs must reproduce it,
+    // closing the loop from distributed corpus scan to the shipped vocab
+    val merges = Bpe.trainOn(docs, "text", maxMerges = 64)
+    assert(merges.length == tok.merges.length,
+      s"merge count drift: ${merges.length} vs fixture ${tok.merges.length}")
+    val firstDiff = merges.zip(tok.merges).indexWhere { case (a, b) => a != b }
+    assert(merges.sameElements(tok.merges),
+      s"first divergent merge at rank $firstDiff")
+    // the loud driver-transfer bound names the knob instead of OOMing
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainOn(docs, "text", maxMerges = 4, maxPieces = 10)
+    }
+    assert(e.getMessage.contains("minPieceCount"))
+  }
 }
