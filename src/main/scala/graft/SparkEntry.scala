@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.QualityQueries,
     graft.queries.TextQueries,
     graft.queries.UrlQueries,
+    graft.queries.GraphQueries,
     graft.queries.SimQueries,
     graft.queries.EventQueries,
     graft.queries.SamplingQueries)

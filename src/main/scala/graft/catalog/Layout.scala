@@ -165,4 +165,69 @@ object Layout {
     * visible alongside the original schema. */
   def readTimePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
+
+  /** Data files under `path` (recursive), skipping `_SUCCESS`/checksum/
+    * hidden metadata — the operational file inventory compaction and
+    * small-file monitoring both need. Uses the Hadoop FileSystem API, so
+    * the same code lists local dirs, HDFS, or object stores. */
+  def dataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += ((f.getPath.toString, f.getLen))
+    }
+    out.result()
+  }
+
+  /** Small-file compaction — the maintenance pass every streaming or
+    * incremental-upsert layout eventually needs: micro-batches and
+    * per-task writers shatter a table into thousands of KB-scale files,
+    * and at 100 TB the NameNode/object-store listing plus per-file footer
+    * opens dominate scan setup long before any byte of data is read.
+    * Rewrites `inPath` to `outPath` as ~`targetBytes` files:
+    *  - unpartitioned: one `repartition(ceil(bytes/target))` round-robin
+    *    shuffle → evenly sized outputs;
+    *  - hive-partitioned (`partitionCols`): repartition ON the partition
+    *    columns (each directory's rows land in one task → one file) with
+    *    `maxRecordsPerFile` derived from the observed bytes/row, so an
+    *    oversized partition still splits at ~targetBytes instead of
+    *    producing one giant file.
+    * Writes a NEW directory (atomic swap is the caller's rename — never
+    * rewrite in place under concurrent readers). Returns a one-row stats
+    * frame (files/bytes before and after, rows) for the maintenance log. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val before = dataFiles(spark, inPath)
+    val bytesIn = before.map(_._2).sum
+    val df =
+      if (partitionCols.isEmpty) spark.read.parquet(inPath)
+      else spark.read.option("basePath", inPath).parquet(inPath)
+    val rows = df.count() // parquet footer counts — metadata-cheap
+    if (partitionCols.isEmpty) {
+      val nFiles = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes)
+      df.repartition(nFiles.toInt).write.mode(SaveMode.Overwrite)
+        .parquet(outPath)
+    } else {
+      val bytesPerRow = math.max(1L, bytesIn / math.max(1L, rows))
+      val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", rowsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(outPath)
+    }
+    val after = dataFiles(spark, outPath)
+    import spark.implicits._
+    Seq((before.size.toLong, after.size.toLong, bytesIn,
+        after.map(_._2).sum, rows))
+      .toDF("files_before", "files_after", "bytes_before", "bytes_after",
+        "n_rows")
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed fact keys — the explicit-control companion
+  * to AQE's runtime skew splitting (`spark.sql.adaptive.skewJoin`): AQE
+  * only rescues SORT-MERGE joins whose skew shows up in map output sizes,
+  * and only after the lopsided shuffle has been written; salting removes
+  * the hot partition from the plan itself, which is what you want when
+  * the hot keys are KNOWN (crawl corpora: the empty-string host, the
+  * null-URL bucket, `en` in a language join — a handful of keys carrying
+  * double-digit percentages of 100 TB).
+  *
+  * Shape: the fact side appends a salt in [0, salt) that round-robins
+  * each key's rows across salt sub-keys (`monotonically_increasing_id`
+  * modulo salt — deterministic under task retry, no RNG state); the dim
+  * side replicates each row salt times. The join key becomes
+  * (keys..., salt), so the hot key's rows land on `salt` reducers
+  * instead of one. Dim-side cost: ×salt rows — use for dims that are
+  * small-ish but too big (or too dynamic) to broadcast outright; for
+  * truly tiny dims `broadcast()` beats salting and for even fact/fact
+  * joins neither applies.
+  *
+  * Join types: inner, left (outer), left_semi, left_anti — the
+  * fact-preserving types, where replication cannot duplicate unmatched
+  * rows (each fact row exists once, under exactly one salt; each dim key
+  * exists at EVERY salt, so match decisions are salt-invariant).
+  * Right/full outer would emit unmatched dim rows once per salt replica
+  * and are rejected loudly.
+  */
+object SkewJoin {
+
+  private val Allowed =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
+  /** `fact ⋈ dim` on `keys`, fact-key skew neutralized over `salt`
+    * sub-keys. Result is row-identical to the plain join (spec-pinned). */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    require(keys.nonEmpty, "at least one join key required")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Allowed.map(_.replace("_", "")).contains(jt),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
+    val saltCol = "__graft_salt"
+    val salted = fact.withColumn(saltCol,
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val replicated = dim.withColumn(saltCol,
+      explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
+  }
+}

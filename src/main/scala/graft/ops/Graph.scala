@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for web-crawl corpora: a crawl's host/URL graph
+  * carries the strongest quality prior a pipeline has before any content
+  * model runs (reference keeps no graph state — this is beyond-reference
+  * pipeline surface, like the rest of ops/).
+  *
+  * Scale shape (100 TB crawl, ~10^10 edges): every structure here is a
+  * DataFrame keyed by node or by src — nothing graph-shaped ever reaches
+  * the driver. [[pageRank]] joins a node-sized rank table against an
+  * edge table pre-partitioned ON src ONCE (`repartition(src)` + persist:
+  * each iteration's sort-merge join reuses that exchange instead of
+  * re-shuffling the edges), so one iteration costs one shuffle of the
+  * rank table plus one `groupBy(dst)` of the contributions. The dangling
+  * mass is a scalar aggregate per iteration (one double to the driver —
+  * the only driver traffic). Lineage is truncated per iteration
+  * (`localCheckpoint`): iterative DataFrame plans otherwise grow Catalyst
+  * analysis superlinearly with the iteration count (on a cluster, point
+  * `spark.sparkContext.setCheckpointDir` at durable storage and swap in
+  * `checkpoint` for failure-tolerant truncation).
+  */
+object Graph {
+
+  /** In/out degree per edge endpoint: one `groupBy` per direction merged
+    * full-outer — two shuffles total, both on node ids (never the edge
+    * payload). Nodes with no edges at all are absent (compose with a node
+    * table via left join when isolated nodes must appear). */
+  def degrees(
+      edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** Standard damped PageRank with uniform dangling-mass redistribution:
+    * rank'(v) = (1-d)/n + d * (Σ_{u→v} rank(u)/outdeg(u) + D/n), where D
+    * is the total rank held by nodes without out-edges. `nodes` fixes the
+    * vertex set (isolated nodes keep the teleport floor). Returns
+    * (node, rank); ranks sum to 1 at every iteration. */
+  def pageRank(
+      edges: DataFrame, nodes: DataFrame, iters: Int = 5,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node"))
+      .distinct().persist()
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // static per-iteration inputs, shuffled ON src once and persisted:
+    // (src, dst, deg) — the degree join happens here, not inside the loop
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val eDeg = e.join(deg, "src").repartition(col("src")).persist()
+    val degOnly = deg.persist()
+    val n = nodeDf.count().toDouble
+    require(n > 0, "empty node set")
+    var ranks = nodeDf.withColumn("rank", lit(1.0 / n)).persist()
+    var i = 0
+    while (i < iters) {
+      // rank trapped in dangling nodes this iteration: anti-join against
+      // the out-degree table, scalar agg — one double crosses to the driver
+      val dangling = ranks
+        .join(degOnly, ranks("node") === degOnly("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contribs = ranks.join(eDeg, ranks("node") === eDeg("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("c"))
+      val next = nodeDf.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .localCheckpoint(true) // truncate lineage per iteration
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    eDeg.unpersist()
+    degOnly.unpersist()
+    nodeDf.unpersist()
+    ranks
+  }
+}

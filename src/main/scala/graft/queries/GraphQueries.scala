@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.Graph
+
+/** Link-graph gate entries ([[graft.ops.Graph]]). The corpus tables carry
+  * no edge list, so both engines derive the SAME deterministic synthetic
+  * link graph from `documents`: every non-dangling document links to three
+  * hash-derived targets in [0, n); documents with `doc_id % 7 == 0` emit
+  * NO out-edges (the dangling set PageRank must redistribute). Spark and
+  * DuckDB then compute independently — Spark through the iterative
+  * DataFrame op, DuckDB through unrolled per-iteration CTEs.
+  */
+object GraphQueries extends QueryModule {
+
+  /** Spark side of the synthetic edge list (src links to 3 targets). */
+  private def edgesDf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val n = d.count()
+    d.select(col("doc_id")).filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 17, lit(n)),
+          pmod(col("doc_id") * 57 + 5, lit(n)),
+          pmod(col("doc_id") * 13 + 29, lit(n)))).as("dst"))
+  }
+
+  /** DuckDB side of the same edge list. */
+  private val edgesSql =
+    """SELECT doc_id AS src,
+         (doc_id * m + a) % (SELECT count(*) FROM documents) AS dst
+       FROM documents, (VALUES (31, 17), (57, 5), (13, 29)) AS f(m, a)
+       WHERE doc_id % 7 <> 0"""
+
+  val grDegrees: Q = Q(
+    "gr_degrees",
+    Some(s"""
+      WITH edges AS ($edgesSql),
+      outd AS (SELECT src AS node, count(*) AS out_degree
+               FROM edges GROUP BY src),
+      ind AS (SELECT dst AS node, count(*) AS in_degree
+              FROM edges GROUP BY dst)
+      SELECT d.doc_id AS node,
+        COALESCE(o.out_degree, 0) AS out_degree,
+        COALESCE(i.in_degree, 0) AS in_degree
+      FROM documents d
+      LEFT JOIN outd o ON d.doc_id = o.node
+      LEFT JOIN ind i ON d.doc_id = i.node
+      ORDER BY node"""),
+    (s, dir) => {
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      nodes.join(Graph.degrees(edgesDf(s, dir)), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .orderBy("node")
+    })
+
+  private val Iters = 5
+  private val Damping = 0.85
+
+  /** Unrolled PageRank oracle: r0 = 1/n, then `Iters` CTE layers, each
+    * computing the dangling mass (rank in nodes with no out-edges) and
+    * the damped contribution sum — the same recurrence the Spark op
+    * iterates. Ranks are genuinely floating-point, so both engines round
+    * to 8 decimals at the very end (Q exactness rules). */
+  private val pagerankSql: String = {
+    val header = s"""
+      WITH edges AS ($edgesSql),
+      outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+               FROM edges GROUP BY src),
+      np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM np) AS rank
+             FROM documents)"""
+    val iters = (1 to Iters).map { i =>
+      val p = i - 1
+      s"""
+      d$i AS (SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+              FROM r$p r LEFT JOIN outd o ON r.node = o.src
+              WHERE o.src IS NULL),
+      c$i AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS c
+              FROM r$p r
+              JOIN outd o ON r.node = o.src
+              JOIN edges e ON e.src = r.node
+              GROUP BY e.dst),
+      r$i AS (SELECT r.node,
+                (1.0 - $Damping) / (SELECT n FROM np)
+                  + $Damping * (COALESCE(c.c, 0.0)
+                    + (SELECT mass FROM d$i) / (SELECT n FROM np)) AS rank
+              FROM r0 r LEFT JOIN c$i c ON r.node = c.node)"""
+    }.mkString(",", ",", "")
+    header + iters + s"""
+      SELECT node, ROUND(rank, 8) AS pagerank
+      FROM r$Iters
+      ORDER BY node"""
+  }
+
+  val grPagerank: Q = Q(
+    "gr_pagerank",
+    Some(pagerankSql),
+    (s, dir) => {
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val ranks = Graph.pageRank(edgesDf(s, dir), nodes,
+        iters = Iters, damping = Damping)
+      // mass conservation: ranks must sum to 1 (within float addition)
+      val total = ranks.agg(sum("rank")).head().getDouble(0)
+      require(math.abs(total - 1.0) < 1e-9,
+        s"PageRank mass not conserved: $total")
+      ranks.select(col("node"), round(col("rank"), 8).as("pagerank"))
+        .orderBy("node")
+    })
+
+  override def queries: Seq[Q] = Seq(grDegrees, grPagerank)
+}

@@ -92,5 +92,40 @@ object JoinQueries extends QueryModule {
         .orderBy(col("revenue").desc, col("n_name"))
     })
 
-  override def queries: Seq[Q] = Seq(q3Shipping, q5Nation)
+  /** Salted skew join ([[graft.operators.SkewJoin]]): a synthetic hot key
+    * carries ~80% of lineitem (the empty-host/`en`-language shape of real
+    * crawl joins), joined to a 97-row dim through 8 salt sub-keys.
+    * ORACLE-checked: DuckDB runs the PLAIN join — a hash match proves
+    * salting is result-invariant (fact rows salted once each, dim rows
+    * replicated per salt), which is the operator's entire contract. */
+  val j4SaltedSkew: Q = Q(
+    "j4_salted_skew_join",
+    Some("""
+      WITH f AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_orderkey % 97 END AS k,
+               l_quantity
+        FROM lineitem),
+      d AS (SELECT range AS k, 'seg_' || CAST(range AS VARCHAR) AS seg
+            FROM range(97))
+      SELECT f.k, d.seg, count(*) AS n,
+        CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM f JOIN d ON f.k = d.k
+      GROUP BY f.k, d.seg
+      ORDER BY f.k"""),
+    (s, dir) => {
+      val f = Tables.load(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 8, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(97L))).as("k"),
+        col("l_quantity"))
+      val d = s.range(97).select(col("id").as("k"),
+        concat(lit("seg_"), col("id").cast("string")).as("seg"))
+      graft.operators.SkewJoin.saltedJoin(f, d, Seq("k"), salt = 8)
+        .groupBy("k", "seg")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy("k")
+    })
+
+  override def queries: Seq[Q] = Seq(q3Shipping, q5Nation, j4SaltedSkew)
 }

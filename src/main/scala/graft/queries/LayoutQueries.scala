@@ -140,6 +140,48 @@ object LayoutQueries extends QueryModule {
         .orderBy("step")
     })
 
+  /** Small-file compaction ([[graft.catalog.Layout.compact]]): shatter
+    * `events` into 64 KB-scale files (the streaming-sink pathology),
+    * compact to ~256 KB targets, and self-assert the three contract
+    * clauses — content preserved (order-invariant xxhash64 fingerprint +
+    * row count over every column), file count collapsed, every output
+    * file within 2× target (parquet encoding variance). Rows-only:
+    * filesystem maintenance has no SQL mirror; the output is the one-row
+    * stats frame a maintenance log would record. */
+  val mntCompact: Q = Q(
+    "mnt_compact",
+    None,
+    (s, dir) => {
+      val events = graft.Tables.load(s, dir, "events")
+      val base = java.nio.file.Files.createTempDirectory("graft-compact")
+        .toString
+      val shattered = s"$base/in"
+      val compacted = s"$base/out"
+      events.repartition(64).write.parquet(shattered)
+      def fingerprint(df: org.apache.spark.sql.DataFrame) = {
+        // decimal sum: exact, order-invariant, ANSI-safe under overflow
+        val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+        df.agg(sum(h.cast("decimal(38,0)")).as("fp"),
+          count(lit(1)).as("n")).head()
+      }
+      val before = fingerprint(s.read.parquet(shattered))
+      val target = 256L * 1024
+      val stats = graft.catalog.Layout.compact(s, shattered, compacted,
+        targetBytes = target)
+      val after = fingerprint(s.read.parquet(compacted))
+      require(before == after,
+        s"compaction changed content: $before -> $after")
+      val row = stats.head()
+      require(row.getAs[Long]("files_after") < row.getAs[Long]("files_before"),
+        s"compaction did not reduce file count: $row")
+      require(row.getAs[Long]("n_rows") == after.getAs[Long]("n"),
+        s"stats row count drift: $row vs $after")
+      val sizes = graft.catalog.Layout.dataFiles(s, compacted).map(_._2)
+      require(sizes.forall(_ <= 2 * target),
+        s"output file exceeds 2x target: ${sizes.max}")
+      stats
+    })
+
   override def queries: Seq[Q] =
-    Seq(layCohortCount, layCohortData, layFilterFunnel)
+    Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("degrees: per-direction counts, full-outer merged, zero-filled") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.degrees(edges).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 0L, 2L), (4L, 1L, 0L)))
+  }
+
+  test("pageRank matches an independent driver-side reference, dangling included") {
+    // 4 nodes: 0->{1,2}, 1->{2}, 2 DANGLING, 3 isolated (never linked)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+
+    // independent reference: dense driver-side recurrence
+    val out = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L))
+    val d = 0.85
+    val n = 4.0
+    var ranks = Seq(0L, 1L, 2L, 3L).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val dangling = ranks.collect {
+        case (v, rk) if !out.contains(v) => rk
+      }.sum
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((u, dsts) <- out; v <- dsts)
+        contrib(v) += ranks(u) / dsts.size
+      ranks = ranks.keys.map(v =>
+        v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
+    }
+
+    val got = Graph.pageRank(edges, nodes, iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(got.keySet == ranks.keySet)
+    for ((v, expect) <- ranks)
+      assert(math.abs(got(v) - expect) < 1e-12,
+        s"node $v: got ${got(v)}, expect $expect")
+    // mass conserved, and link structure ranks as it must: 2 (everyone's
+    // target) > 1 (one inlink) > 0 == 3 (teleport floor only)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    assert(got(2L) > got(1L) && got(1L) > got(0L))
+    assert(math.abs(got(0L) - got(3L)) < 1e-15)
+  }
+
+  test("pageRank on a uniform cycle stays uniform (fixed point)") {
+    val n = 8
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val got = Graph.pageRank(edges, nodes, iters = 3).collect()
+    for (r <- got)
+      assert(math.abs(r.getDouble(1) - 1.0 / n) < 1e-12,
+        s"cycle rank drifted at ${r.getLong(0)}: ${r.getDouble(1)}")
+  }
+}
