@@ -50,6 +50,45 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got(0L) - got(3L)) < 1e-15)
   }
 
+  test("iteration join reuses the persisted src-partitioned edge table") {
+    // the scale claim in Graph.pageRank's scaladoc: edges shuffle ON src
+    // once (repartition + persist); each iteration's rank-edge join then
+    // adds exactly ONE new exchange (the rank table), not two. Broadcast
+    // is disabled to force the sort-merge regime — at 100 TB the rank
+    // table is node-sized and never broadcasts (at test size it would,
+    // which also reuses the cache, but proves nothing about shuffles).
+    val bhj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val edges = (0L until 2000L).map(i => (i % 50, (i * 7) % 50))
+      .toDF("src", "dst")
+    val eDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
+        "src")
+      .repartition(col("src")).persist()
+    try {
+      eDeg.count()
+      val ranks = (0L until 50L).toDF("node").withColumn("rank", lit(0.02))
+      val joined = ranks.join(eDeg, ranks("node") === eDeg("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // look only at the FINAL adaptive plan, and only ABOVE the cache
+      // leaf: the cached relation's stored build plan (which legitimately
+      // holds the one-time repartition exchange) prints below it
+      val finalSection = plan.split("== Initial Plan ==")(0)
+      assert(finalSection.contains("InMemoryTableScan"),
+        s"cached edges not used:\n$finalSection")
+      val aboveCache = finalSection.split("InMemoryRelation")(0)
+      val exchanges =
+        "Exchange hashpartitioning".r.findAllIn(aboveCache).size
+      assert(exchanges == 1,
+        s"expected 1 fresh exchange (rank side only), found $exchanges:\n$aboveCache")
+    } finally {
+      eDeg.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bhj)
+    }
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
