@@ -43,7 +43,11 @@ object Bench {
     // round-9 session-3 flagships (totals not comparable to r8's 17-query set)
     "txt_heavy_hitters",
     "smp_quality_topfrac",
-    "ev_anomaly_flags")
+    "ev_anomaly_flags",
+    // round-11: iterative-join family (PageRank) and the salted skew join
+    // — new plan shapes the headline previously had no regression line for
+    "gr_pagerank",
+    "j4_salted_skew_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -205,6 +205,31 @@ object ScaleBench {
           s""","kept_paragraphs":$keptParas""")
       }
 
+      if (wanted("gr_pagerank")) {
+        // link graph over the scaled corpus: K× nodes, 3 hash-derived
+        // out-edges per non-dangling node (doc_id % 7 == 0 dangles), so
+        // edges scale exactly K×. Iteration count is FIXED (5), so time
+        // must scale ~linearly in edges — the iterative-join claim. The
+        // rank mass is the correctness witness (sums to 1 at any K).
+        var mass = 0.0
+        var nodeCount = 0L
+        val (prMed, prS) = timeMedian {
+          val nodes = docs.select(col("doc_id").as("node"))
+          val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+          val edges = docs.select(col("doc_id"))
+            .filter(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id").as("src"), explode(array(
+              pmod(col("doc_id") * 31 + 17, lit(maxId)),
+              pmod(col("doc_id") * 57 + 5, lit(maxId)),
+              pmod(col("doc_id") * 13 + 29, lit(maxId)))).as("dst"))
+          val ranks = graft.ops.Graph.pageRank(edges, nodes, iters = 5)
+          mass = ranks.agg(sum("rank")).head().getDouble(0)
+          nodeCount = ranks.count()
+        }
+        emit("gr_pagerank", k, nodeCount, prMed, prS,
+          f""","rank_mass":$mass%.9f""")
+      }
+
       if (wanted("a7_enwiden_pivot")) {
         // long→wide pivot (one classify + one pivot shuffle): K× groups,
         // fixed width. The measurement hashes EVERY output column into the
