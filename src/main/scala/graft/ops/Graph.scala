@@ -41,11 +41,34 @@ object Graph {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
 
+  /** Connected components over an undirected edge list, completing the
+    * graph family (degrees, PageRank, components): delegates to the
+    * scale-adaptive resolver ([[graft.ops.Clusters.assignClusters]] —
+    * driver union-find below `maxDriverEdges`, distributed hash-min with
+    * path halving above; both produce the identical min-id labeling).
+    * Returns (node, component) for every node in `nodes`; isolated nodes
+    * label themselves. */
+  def connectedComponents(
+      edges: DataFrame, nodes: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", nodeCol: String = "node",
+      maxDriverEdges: Long = 2000000L): DataFrame =
+    graft.ops.Clusters.assignClusters(
+        nodes.select(col(nodeCol).as("node")), "node",
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b")), "a", "b",
+        maxDriverEdges = maxDriverEdges)
+      .select(col("id").as("node"), col("cluster_id").as("component"))
+
   /** Standard damped PageRank with uniform dangling-mass redistribution:
     * rank'(v) = (1-d)/n + d * (Σ_{u→v} rank(u)/outdeg(u) + D/n), where D
     * is the total rank held by nodes without out-edges. `nodes` fixes the
     * vertex set (isolated nodes keep the teleport floor). Returns
-    * (node, rank); ranks sum to 1 at every iteration. */
+    * (node, rank); ranks sum to 1 at every iteration.
+    *
+    * Contract: edge endpoints must be drawn from `nodes` — a dst outside
+    * the vertex set silently absorbs (drops) its contribution, so ranks
+    * stop summing to 1; a mass-conservation check downstream (as the
+    * gr_pagerank gate runs) catches that loudly. An edgeless graph is
+    * all-dangling and stays exactly uniform at 1/n. */
   def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",

@@ -34,6 +34,35 @@ object Sampling {
     md5(concat_ws("|", (lit(seed) +: keys).map(_.cast("string")): _*)
       .cast("binary"))
 
+  /** Strictly positive deterministic fraction in (0,1): the +0.5 half-step
+    * keeps hash value 0 off the ln() singularity (Spark's ln(0) is null,
+    * DuckDB's is -inf — a cross-engine divergence [[weightedSample]] must
+    * never reach). */
+  def hashFractionOpen(seed: String, keys: Seq[Column]): Column =
+    (conv(substring(hashHex(seed, keys), 1, 8), 16, 10).cast("long") +
+      lit(0.5)) / lit(4294967296.0)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * public): each row draws u = deterministic identity-hash fraction and
+    * scores ln(u)/w (the monotone-log form of the classic u^(1/w) key —
+    * avoids pow underflow for tiny weights); the k LARGEST keys are the
+    * sample, distributionally identical to k sequential weighted draws
+    * without replacement. Fully distributed and stateless: one narrow map
+    * + one top-k (`TakeOrderedAndProject` — per-partition heads, k rows
+    * per partition to the driver, never a full sort), deterministic given
+    * `seed` — reproducible corpus sampling that is also oracle-able.
+    * Rows with weight ≤ 0 or null are excluded (never drawn). */
+  def weightedSample(df: DataFrame, keys: Seq[String], weightCol: String,
+      k: Int, seed: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = hashFractionOpen(seed, keys.map(col))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__graft_wkey", log(u) / col(weightCol))
+      .orderBy(col("__graft_wkey").desc +: keys.map(col): _*)
+      .limit(k)
+      .drop("__graft_wkey")
+  }
+
   /** Assign each row to a named split by hash fraction: `splits` are
     * (name, fraction) with fractions summing to ≤ 1 (rows beyond the sum
     * get `null` — an explicit holdout). Adds a `split` column; stateless

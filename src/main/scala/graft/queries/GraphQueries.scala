@@ -115,5 +115,25 @@ object GraphQueries extends QueryModule {
         .orderBy("node")
     })
 
-  override def queries: Seq[Q] = Seq(grDegrees, grPagerank)
+  /** Connected components ([[Graph.connectedComponents]]) over a chain
+    * graph: doc i links to i+1 except every 10th — components are exactly
+    * the 10-blocks, so the oracle states the answer in CLOSED FORM
+    * (`doc_id - doc_id % 10`) while the Spark side must actually resolve
+    * the chains. (The resolver's two paths are pinned equal in GraphSpec;
+    * the distributed path's own oracle is dd_cluster_resolve.) */
+  val grComponents: Q = Q(
+    "gr_components",
+    Some("""
+      SELECT doc_id AS node, doc_id - doc_id % 10 AS component
+      FROM documents
+      ORDER BY node"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nodes = d.select(col("doc_id").as("node"))
+      val chain = d.select(col("doc_id")).filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      Graph.connectedComponents(chain, nodes).orderBy("node")
+    })
+
+  override def queries: Seq[Q] = Seq(grDegrees, grPagerank, grComponents)
 }

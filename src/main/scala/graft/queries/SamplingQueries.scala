@@ -261,7 +261,33 @@ object SamplingQueries extends QueryModule {
         .orderBy("pack_group", "pack_seq", "seq_index")
     })
 
+  /** Weighted sampling without replacement
+    * ([[Sampling.weightedSample]], Efraimidis–Spirakis keys over the
+    * engine-portable identity hash): both engines draw the same u per
+    * doc, score ln(u)/n_chars, and keep the 50 largest — the gate
+    * compares the SELECTED ROWS, so the per-row keys and the selection
+    * boundary must agree exactly across engines. */
+  val smpWeighted: Q = Q(
+    "smp_weighted_sample",
+    Some("""
+      WITH w AS (
+        SELECT doc_id, n_chars,
+          (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-ws',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0),
+      s AS (SELECT doc_id, n_chars FROM w
+            ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50)
+      SELECT doc_id, n_chars FROM s ORDER BY doc_id"""),
+    (s, dir) =>
+      Sampling.weightedSample(
+          Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+          keys = Seq("doc_id"), weightCol = "n_chars", k = 50,
+          seed = "graft-ws")
+        .orderBy("doc_id"))
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
-      smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences)
+      smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
+      smpWeighted)
 }

@@ -89,6 +89,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank on an edgeless graph stays exactly uniform (all dangling)") {
+    val nodes = (0L until 6L).toDF("node")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Graph.pageRank(edges, nodes, iters = 3).collect()
+    assert(got.length == 6)
+    // (1-d)/n + d*(1/n) = 1/n at every iteration (up to float addition
+    // in the dangling-mass sum)
+    for (r <- got)
+      assert(math.abs(r.getDouble(1) - 1.0 / 6.0) < 1e-14,
+        s"edgeless rank drifted: ${r.getDouble(1)}")
+  }
+
+  test("connectedComponents: chains resolve identically on both resolver paths") {
+    // chains of 4 over 0..15, plus isolated nodes 16..18
+    val edges = (0L until 16L).filter(_ % 4 != 3)
+      .map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L until 19L).toDF("node")
+    val expect = (0L until 19L).map(i =>
+      if (i < 16) i -> (i - i % 4) else i -> i).toMap
+    val driver = Graph.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.connectedComponents(edges, nodes, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == expect, s"driver path drift: $driver")
+    assert(dist == expect, s"distributed path drift: $dist")
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))

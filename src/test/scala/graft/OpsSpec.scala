@@ -1139,6 +1139,42 @@ class OpsSpec extends SparkSpec {
       docs.count())
   }
 
+  test("weightedSample: matches the driver reference; weight contract holds") {
+    val df = (0L until 400L).map(i => (i, (i % 7) + 1L)).toDF("id", "w")
+    val k = 40
+    val got = graft.ops.Sampling.weightedSample(df, Seq("id"), "w", k, "ws-test")
+      .select("id").as[Long].collect().toSet
+    assert(got.size == k)
+    // independent driver-side reference: same hash, same key formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"ws-test|$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    val expect = (0L until 400L)
+      .map(i => i -> math.log(u(i)) / ((i % 7) + 1L)).sortBy(-_._2)
+      .take(k).map(_._1).toSet
+    assert(got == expect,
+      s"selection drift: extra=${got -- expect} missing=${expect -- got}")
+    // zero/negative/null weights are never drawn, even with k > population
+    val mixed = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 3L))
+      .toDF("id", "w")
+      .withColumn("w",
+        when(col("id") === 4L, lit(null).cast("long")).otherwise(col("w")))
+    val kept = graft.ops.Sampling.weightedSample(mixed, Seq("id"), "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"weight contract violated: $kept")
+    // an overwhelming weight is effectively always selected
+    val skewed = (0L until 200L).map(i => (i, if (i == 77L) 1000000L else 1L))
+      .toDF("id", "w")
+    for (seed <- Seq("a", "b", "c", "d", "e")) {
+      val s = graft.ops.Sampling.weightedSample(skewed, Seq("id"), "w", 5, seed)
+        .select("id").as[Long].collect().toSet
+      assert(s.contains(77L), s"heavy row missed under seed $seed: $s")
+    }
+  }
+
   test("semantic dedup: identical vectors collapse; kept set has no within-cell near-dups") {
     import graft.ops.{Dedup, Similarity}
     // three exact-duplicate groups + two unique vectors, in 2 cells
