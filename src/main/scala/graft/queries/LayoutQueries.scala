@@ -182,6 +182,46 @@ object LayoutQueries extends QueryModule {
       stats
     })
 
+  /** Corpus snapshot diff ([[graft.ops.CorpusDiff]]): both engines derive
+    * the same two synthetic corpus versions (drops, edits, and appends
+    * keyed off doc_id) and diff them independently — Spark compares
+    * 8-byte map-side content hashes (the metadata-sized-shuffle design),
+    * DuckDB compares the text itself; statuses agree unless xxhash64
+    * collides (2^-64 per changed doc). */
+  val mntCorpusDiff: Q = Q(
+    "mnt_corpus_diff",
+    Some("""
+      WITH prev AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      cur AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'v2 ' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 5
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text
+        FROM documents WHERE doc_id % 13 = 0)
+      SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        CASE WHEN p.doc_id IS NULL THEN 'added'
+             WHEN c.doc_id IS NULL THEN 'removed'
+             WHEN p.text = c.text THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val prev = docs.filter(col("doc_id") % 7 =!= 3)
+      val cur = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.ops.CorpusDiff.diff(prev, cur, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] =
-    Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact)
+    Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact,
+      mntCorpusDiff)
 }

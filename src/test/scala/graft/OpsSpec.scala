@@ -1139,6 +1139,22 @@ class OpsSpec extends SparkSpec {
       docs.count())
   }
 
+  test("corpus diff: statuses partition ids; null content compares stably") {
+    import graft.ops.CorpusDiff
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("doc_id", "text")
+    val cur = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (5L, Some("e"))).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(prev, cur, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+    val summary = CorpusDiff.diffSummary(prev, cur, "doc_id", Seq("text"))
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("weightedSample: matches the driver reference; weight contract holds") {
     val df = (0L until 400L).map(i => (i, (i % 7) + 1L)).toDF("id", "w")
     val k = 40
