@@ -73,9 +73,46 @@ object Graph {
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
       nodeCol: String = "node"): DataFrame = {
+    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    val n = nodeDf.count().toDouble
+    require(n > 0, "empty node set")
+    propagate(edges, nodeDf.withColumn("t", lit(1.0 / n)),
+      iters, damping, srcCol, dstCol)
+  }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004, public): PageRank
+    * with the teleport vector concentrated on a TRUSTED SEED set instead
+    * of uniform — trust flows outward along links, so pages reachable
+    * from the seeds in few hops score high and link-isolated spam decays
+    * toward zero. The standard link-level quality prior for crawl
+    * corpora, feeding the same per-domain rollups as [[pageRank]].
+    * Dangling mass teleports back to the seeds (random-walk-with-restart
+    * semantics); trust sums to 1; non-seed nodes unreachable from any
+    * seed score exactly 0. */
+  def trustRank(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: Int = 5,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", seedCol: String = "node"): DataFrame = {
+    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    val seedDf = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nSeeds = seedDf.count().toDouble
+    require(nSeeds > 0, "empty seed set")
+    val teleport = nodeDf
+      .join(seedDf.withColumn("t", lit(1.0 / nSeeds)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0.0)).as("t"))
+    propagate(edges, teleport, iters, damping, srcCol, dstCol)
+  }
+
+  /** Shared damped-propagation core: power iteration of
+    * rank'(v) = (1-d)·t(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + D·t(v))
+    * over a teleport vector `t` with Σt = 1 (uniform t = PageRank;
+    * seed-concentrated t = TrustRank); rank0 = t. See the object scaladoc
+    * for the per-iteration cost shape. */
+  private def propagate(
+      edges: DataFrame, nodeT: DataFrame, iters: Int, damping: Double,
+      srcCol: String, dstCol: String): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node"))
-      .distinct().persist()
+    val nodeDf = nodeT.persist()
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // static per-iteration inputs, shuffled ON src once and persisted:
@@ -83,9 +120,7 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     val eDeg = e.join(deg, "src").repartition(col("src")).persist()
     val degOnly = deg.persist()
-    val n = nodeDf.count().toDouble
-    require(n > 0, "empty node set")
-    var ranks = nodeDf.withColumn("rank", lit(1.0 / n)).persist()
+    var ranks = nodeDf.withColumn("rank", col("t")).persist()
     var i = 0
     while (i < iters) {
       // rank trapped in dangling nodes this iteration: anti-join against
@@ -97,9 +132,10 @@ object Graph {
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
       val next = nodeDf.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .select(col("node"), col("t"),
+          (lit(1.0 - damping) * col("t") + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling) * col("t")))
+            .as("rank"))
         .localCheckpoint(true) // truncate lineage per iteration
       ranks.unpersist()
       ranks = next
@@ -108,6 +144,6 @@ object Graph {
     eDeg.unpersist()
     degOnly.unpersist()
     nodeDf.unpersist()
-    ranks
+    ranks.drop("t")
   }
 }

@@ -63,19 +63,21 @@ object GraphQueries extends QueryModule {
   private val Iters = 5
   private val Damping = 0.85
 
-  /** Unrolled PageRank oracle: r0 = 1/n, then `Iters` CTE layers, each
-    * computing the dangling mass (rank in nodes with no out-edges) and
-    * the damped contribution sum — the same recurrence the Spark op
-    * iterates. Ranks are genuinely floating-point, so both engines round
-    * to 8 decimals at the very end (Q exactness rules). */
-  private val pagerankSql: String = {
+  /** Unrolled damped-propagation oracle: a `tele` CTE supplies the
+    * teleport vector t (uniform → PageRank, seed-concentrated →
+    * TrustRank), r0 = t, then `Iters` CTE layers each computing the
+    * dangling mass and the damped contribution sum — the SAME recurrence,
+    * in the SAME arithmetic form ((1-d)·t + d·(c + mass·t)), as the Spark
+    * op iterates, so per-node doubles track to ulps. Ranks are genuinely
+    * floating-point: both engines round to 8 decimals at the very end
+    * (Q exactness rules). */
+  private def propagationSql(teleCte: String, outCol: String): String = {
     val header = s"""
       WITH edges AS ($edgesSql),
       outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
                FROM edges GROUP BY src),
-      np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-      r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM np) AS rank
-             FROM documents)"""
+      $teleCte,
+      r0 AS (SELECT node, t AS rank FROM tele)"""
     val iters = (1 to Iters).map { i =>
       val p = i - 1
       s"""
@@ -87,21 +89,25 @@ object GraphQueries extends QueryModule {
               JOIN outd o ON r.node = o.src
               JOIN edges e ON e.src = r.node
               GROUP BY e.dst),
-      r$i AS (SELECT r.node,
-                (1.0 - $Damping) / (SELECT n FROM np)
+      r$i AS (SELECT tele.node,
+                (1.0 - $Damping) * tele.t
                   + $Damping * (COALESCE(c.c, 0.0)
-                    + (SELECT mass FROM d$i) / (SELECT n FROM np)) AS rank
-              FROM r0 r LEFT JOIN c$i c ON r.node = c.node)"""
+                    + (SELECT mass FROM d$i) * tele.t) AS rank
+              FROM tele LEFT JOIN c$i c ON tele.node = c.node)"""
     }.mkString(",", ",", "")
     header + iters + s"""
-      SELECT node, ROUND(rank, 8) AS pagerank
+      SELECT node, ROUND(rank, 8) AS $outCol
       FROM r$Iters
       ORDER BY node"""
   }
 
   val grPagerank: Q = Q(
     "gr_pagerank",
-    Some(pagerankSql),
+    Some(propagationSql(
+      """tele AS (SELECT doc_id AS node,
+           1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS t
+         FROM documents)""",
+      "pagerank")),
     (s, dir) => {
       val nodes = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("node"))
@@ -112,6 +118,34 @@ object GraphQueries extends QueryModule {
       require(math.abs(total - 1.0) < 1e-9,
         s"PageRank mass not conserved: $total")
       ranks.select(col("node"), round(col("rank"), 8).as("pagerank"))
+        .orderBy("node")
+    })
+
+  /** TrustRank ([[Graph.trustRank]]): teleport concentrated on the seed
+    * set doc_id % 17 == 0 — trust flows outward along the synthetic link
+    * graph, dangling mass restarts at the seeds. Same unrolled oracle
+    * recurrence with the seed-shaped `tele` CTE. */
+  val grTrustrank: Q = Q(
+    "gr_trustrank",
+    Some(propagationSql(
+      """tele AS (SELECT doc_id AS node,
+           CASE WHEN doc_id % 17 = 0
+             THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM documents
+                         WHERE doc_id % 17 = 0)
+             ELSE 0.0 END AS t
+         FROM documents)""",
+      "trust")),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nodes = d.select(col("doc_id").as("node"))
+      val seeds = d.select(col("doc_id").as("node"))
+        .filter(col("node") % 17 === 0)
+      val ranks = Graph.trustRank(edgesDf(s, dir), nodes, seeds,
+        iters = Iters, damping = Damping)
+      val total = ranks.agg(sum("rank")).head().getDouble(0)
+      require(math.abs(total - 1.0) < 1e-9,
+        s"trust mass not conserved: $total")
+      ranks.select(col("node"), round(col("rank"), 8).as("trust"))
         .orderBy("node")
     })
 
@@ -135,5 +169,6 @@ object GraphQueries extends QueryModule {
       Graph.connectedComponents(chain, nodes).orderBy("node")
     })
 
-  override def queries: Seq[Q] = Seq(grDegrees, grPagerank, grComponents)
+  override def queries: Seq[Q] =
+    Seq(grDegrees, grPagerank, grTrustrank, grComponents)
 }

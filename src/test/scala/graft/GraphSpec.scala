@@ -116,6 +116,38 @@ class GraphSpec extends SparkSpec {
     assert(dist == expect, s"distributed path drift: $dist")
   }
 
+  test("trustRank: trust flows from seeds; unreachable non-seeds score exactly 0") {
+    // 0 (seed) -> 1 -> 2; 3 -> 4 (a component no seed can reach)
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val nodes = (0L until 5L).toDF("node")
+    val seeds = Seq(0L).toDF("node")
+    val d = 0.85
+    // independent driver-side reference of the same recurrence
+    val out = Map(0L -> Seq(1L), 1L -> Seq(2L), 3L -> Seq(4L))
+    val t = Map(0L -> 1.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0)
+    var r = t
+    for (_ <- 1 to 5) {
+      val dangling = r.collect { case (v, rv) if !out.contains(v) => rv }.sum
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((u, dsts) <- out; v <- dsts) contrib(v) += r(u) / dsts.size
+      r = t.keys.map(v =>
+        v -> ((1 - d) * t(v) + d * (contrib(v) + dangling * t(v)))).toMap
+    }
+    val got = Graph.trustRank(edges, nodes, seeds, iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    for ((v, expect) <- r)
+      assert(math.abs(got(v) - expect) < 1e-12,
+        s"node $v: got ${got(v)}, expect $expect")
+    // 3 and 4 start at t=0 and never receive seed trust: exactly 0
+    assert(got(3L) == 0.0 && got(4L) == 0.0,
+      s"unreachable nodes gained trust: ${got(3L)}, ${got(4L)}")
+    // every node on the seed's chain holds positive trust (at 5 iters the
+    // chain still sloshes — strict ordering only appears at convergence)
+    assert(got(0L) > 0.0 && got(1L) > 0.0 && got(2L) > 0.0)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
