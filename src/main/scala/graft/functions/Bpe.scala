@@ -224,6 +224,27 @@ object Bpe {
     * ([[graft.ops.Sampling.packByBudget]], corpus cards). */
   def tokenCount(spark: SparkSession, c: Column, tok: BpeTokenizer): Column =
     org.apache.spark.sql.functions.size(encodeIds(spark, c, tok))
+
+  /** Corpus vocabulary-utilization histogram over REAL BPE ids: encode
+    * map-side (codegen'd), explode, ONE groupBy over ids — at most
+    * `vocabSize` groups regardless of corpus size — then the printable
+    * symbol text joins in from a broadcast vocab table, unused ids kept
+    * at n = 0. The view a tokenizer owner reads before retraining: which
+    * merges earn their slots on THIS corpus. */
+  def tokenFrequencies(
+      spark: SparkSession, df: DataFrame, textCol: String,
+      tok: BpeTokenizer): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val counts = df
+      .select(explode(encodeIds(spark, col(textCol), tok)).as("token_id"))
+      .groupBy("token_id").agg(count(lit(1)).as("n"))
+    val vocab = (0 until tok.vocabSize)
+      .map(i => (i, tok.symbolOf(i))).toDF("token_id", "symbol")
+    vocab.join(counts, Seq("token_id"), "left")
+      .select(col("token_id"), col("symbol"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }
 
 /** A trained byte-level BPE tokenizer: merges ranks + derived vocab.
@@ -266,6 +287,11 @@ final class BpeTokenizer(
     }
     m
   }
+
+  /** Printable symbol text of an id (the byte-mapped alphabet — always
+    * renderable, unlike a raw single-id byte decode, which may be a
+    * partial UTF-8 sequence). */
+  def symbolOf(id: Int): String = idSymbol(id)
 
   /** id → symbol string. */
   @transient private lazy val idSymbol: Array[String] = {

@@ -100,6 +100,12 @@ object Graph {
     val teleport = nodeDf
       .join(seedDf.withColumn("t", lit(1.0 / nSeeds)), Seq("node"), "left")
       .select(col("node"), coalesce(col("t"), lit(0.0)).as("t"))
+    // a seed absent from `nodes` would silently shrink the teleport mass
+    // below 1 (trust leaks every iteration) — fail loudly instead
+    val mass = teleport.agg(sum("t")).head().getDouble(0)
+    require(math.abs(mass - 1.0) < 1e-9,
+      f"seed set not contained in nodes: teleport mass $mass%.6f != 1 " +
+        "(some seeds missing from the vertex set)")
     propagate(edges, teleport, iters, damping, srcCol, dstCol)
   }
 

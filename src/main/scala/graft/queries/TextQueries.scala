@@ -981,6 +981,31 @@ object TextQueries extends QueryModule {
         .orderBy("rank")
     })
 
+  /** Vocabulary-utilization histogram over real BPE ids
+    * ([[graft.functions.Bpe.tokenFrequencies]]) — rows-only (no SQL
+    * engine can re-tokenize) with two self-asserts: CONSERVATION (the
+    * histogram total equals the summed encoded length of every document
+    * — no id dropped or double-counted) and full vocab coverage (every
+    * id 0..vocabSize-1 present exactly once, unused ids at n = 0). */
+  val txtBpeTokenFreq: Q = Q(
+    "txt_bpe_token_freq",
+    None,
+    (s, dir) => {
+      val tok = graft.functions.Bpe.fromResource()
+      val docs = Tables.load(s, dir, "documents")
+      val freq = graft.functions.Bpe.tokenFrequencies(s, docs, "text", tok)
+      val total = freq.agg(sum("n")).head().getLong(0)
+      val expect = docs
+        .select(graft.functions.Bpe.tokenCount(s, col("text"), tok)
+          .cast("long").as("n"))
+        .agg(sum("n")).head().getLong(0)
+      require(total == expect,
+        s"token conservation broken: histogram $total vs encoded $expect")
+      require(freq.count() == tok.vocabSize,
+        s"vocab coverage broken: ${freq.count()} rows vs ${tok.vocabSize}")
+      freq.orderBy("token_id")
+    })
+
   /** Keyed upsert/delete corpus maintenance ([[graft.ops.Upsert]]): lay out
     * the historical corpus bucket-partitioned, apply one batch of
     * replacements (doc_id%10=0), inserts (doc_id%10=8) and deletes
@@ -1074,5 +1099,5 @@ object TextQueries extends QueryModule {
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
-    txtBpeTrain, txtQualityClassifier, mntUpsert)
+    txtBpeTrain, txtBpeTokenFreq, txtQualityClassifier, mntUpsert)
 }

@@ -30,6 +30,40 @@ class CompactSpec extends SparkSpec {
       fingerprint(spark.read.parquet(s"$base/out")))
     val sizes = Layout.dataFiles(spark, s"$base/out").map(_._2)
     assert(sizes.forall(_ <= 2 * target), s"oversized file: ${sizes.max}")
+    // a target larger than the whole input collapses to a single file
+    val one = Layout.compact(spark, s"$base/in", s"$base/one",
+      targetBytes = 1L << 30).head()
+    assert(one.getAs[Long]("files_after") == 1L, s"expected one file: $one")
+    assert(fingerprint(spark.read.parquet(s"$base/one")) ==
+      fingerprint(spark.read.parquet(s"$base/in")))
+  }
+
+  test("compaction heals a streaming parquet sink's per-batch small files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-stream")
+      .toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "payload")
+      .writeStream.format("parquet")
+      .option("path", s"$base/in")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // each micro-batch lands its own files — the classic shatter
+      for (b <- 0 until 5) {
+        ms.addData((0L until 50L).map(i => (b * 50L + i, s"row-$b-$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = Layout.dataFiles(spark, s"$base/in").size
+    assert(before >= 5, s"streaming sink produced only $before files — vacuous")
+    val stats = Layout.compact(spark, s"$base/in", s"$base/out",
+      targetBytes = 1L << 20).head()
+    assert(stats.getAs[Long]("files_after") < before)
+    assert(stats.getAs[Long]("n_rows") == 250L)
+    assert(fingerprint(spark.read.parquet(s"$base/in")) ==
+      fingerprint(spark.read.parquet(s"$base/out")))
   }
 
   test("hive-partitioned compaction keeps directories and splits big partitions") {

@@ -146,6 +146,12 @@ class GraphSpec extends SparkSpec {
     // chain still sloshes — strict ordering only appears at convergence)
     assert(got(0L) > 0.0 && got(1L) > 0.0 && got(2L) > 0.0)
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // a seed outside the vertex set would silently leak teleport mass —
+    // must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, nodes, Seq(0L, 99L).toDF("node"), iters = 2)
+    }
+    assert(e.getMessage.contains("teleport mass"))
   }
 
   test("pageRank on a uniform cycle stays uniform (fixed point)") {

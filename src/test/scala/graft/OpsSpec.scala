@@ -1181,6 +1181,10 @@ class OpsSpec extends SparkSpec {
     val kept = graft.ops.Sampling.weightedSample(mixed, Seq("id"), "w", 10)
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L), s"weight contract violated: $kept")
+    // k beyond the eligible population returns every eligible row once
+    val all = graft.ops.Sampling.weightedSample(mixed, Seq("id"), "w", 100)
+      .select("id").as[Long].collect().toSeq
+    assert(all == Seq(1L), s"k > population drifted: $all")
     // an overwhelming weight is effectively always selected
     val skewed = (0L until 200L).map(i => (i, if (i == 77L) 1000000L else 1L))
       .toDF("id", "w")
