@@ -72,12 +72,12 @@ object Graph {
   def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node"): DataFrame = {
+      nodeCol: String = "node", weightCol: Option[String] = None): DataFrame = {
     val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
     val n = nodeDf.count().toDouble
     require(n > 0, "empty node set")
     propagate(edges, nodeDf.withColumn("t", lit(1.0 / n)),
-      iters, damping, srcCol, dstCol)
+      iters, damping, srcCol, dstCol, weightCol)
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004, public): PageRank
@@ -92,7 +92,8 @@ object Graph {
   def trustRank(
       edges: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node", seedCol: String = "node"): DataFrame = {
+      nodeCol: String = "node", seedCol: String = "node",
+      weightCol: Option[String] = None): DataFrame = {
     val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
     val seedDf = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val nSeeds = seedDf.count().toDouble
@@ -106,24 +107,29 @@ object Graph {
     require(math.abs(mass - 1.0) < 1e-9,
       f"seed set not contained in nodes: teleport mass $mass%.6f != 1 " +
         "(some seeds missing from the vertex set)")
-    propagate(edges, teleport, iters, damping, srcCol, dstCol)
+    propagate(edges, teleport, iters, damping, srcCol, dstCol, weightCol)
   }
 
   /** Shared damped-propagation core: power iteration of
-    * rank'(v) = (1-d)·t(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + D·t(v))
+    * rank'(v) = (1-d)·t(v) + d·(Σ_{u→v} rank(u)·w(u,v)/W(u) + D·t(v))
     * over a teleport vector `t` with Σt = 1 (uniform t = PageRank;
-    * seed-concentrated t = TrustRank); rank0 = t. See the object scaladoc
-    * for the per-iteration cost shape. */
+    * seed-concentrated t = TrustRank); rank0 = t. `weightCol` weights
+    * each out-edge (host graphs: link multiplicity); W(u) = Σ out-weights
+    * — unweighted edges use w = 1.0, which reduces bit-exactly to
+    * rank/outdeg. See the object scaladoc for the per-iteration cost
+    * shape. */
   private def propagate(
       edges: DataFrame, nodeT: DataFrame, iters: Int, damping: Double,
-      srcCol: String, dstCol: String): DataFrame = {
+      srcCol: String, dstCol: String,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nodeDf = nodeT.persist()
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst"), w.as("w"))
     // static per-iteration inputs, shuffled ON src once and persisted:
-    // (src, dst, deg) — the degree join happens here, not inside the loop
-    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    // (src, dst, w, deg) — the degree join happens here, not in the loop
+    val deg = e.groupBy("src").agg(sum("w").as("deg"))
     val eDeg = e.join(deg, "src").repartition(col("src")).persist()
     val degOnly = deg.persist()
     var ranks = nodeDf.withColumn("rank", col("t")).persist()
@@ -135,7 +141,8 @@ object Graph {
         .join(degOnly, ranks("node") === degOnly("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contribs = ranks.join(eDeg, ranks("node") === eDeg("src"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
       val next = nodeDf.join(contribs, Seq("node"), "left")
         .select(col("node"), col("t"),

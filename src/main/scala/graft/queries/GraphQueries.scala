@@ -71,11 +71,16 @@ object GraphQueries extends QueryModule {
     * op iterates, so per-node doubles track to ulps. Ranks are genuinely
     * floating-point: both engines round to 8 decimals at the very end
     * (Q exactness rules). */
-  private def propagationSql(teleCte: String, outCol: String): String = {
+  private def propagationSql(
+      teleCte: String, outCol: String, weighted: Boolean = false): String = {
+    // unweighted edges carry w = 1.0 so the contribution term
+    // (rank * w / deg) is the IDENTICAL arithmetic on both paths
+    val wExpr =
+      if (weighted) "CAST((src + dst) % 3 + 1 AS DOUBLE)" else "1.0"
     val header = s"""
-      WITH edges AS ($edgesSql),
-      outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
-               FROM edges GROUP BY src),
+      WITH e0 AS ($edgesSql),
+      edges AS (SELECT src, dst, $wExpr AS w FROM e0),
+      outd AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),
       $teleCte,
       r0 AS (SELECT node, t AS rank FROM tele)"""
     val iters = (1 to Iters).map { i =>
@@ -84,7 +89,7 @@ object GraphQueries extends QueryModule {
       d$i AS (SELECT COALESCE(SUM(r.rank), 0.0) AS mass
               FROM r$p r LEFT JOIN outd o ON r.node = o.src
               WHERE o.src IS NULL),
-      c$i AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS c
+      c$i AS (SELECT e.dst AS node, SUM(r.rank * e.w / o.deg) AS c
               FROM r$p r
               JOIN outd o ON r.node = o.src
               JOIN edges e ON e.src = r.node
@@ -169,6 +174,32 @@ object GraphQueries extends QueryModule {
       Graph.connectedComponents(chain, nodes).orderBy("node")
     })
 
+  /** WEIGHTED PageRank ([[Graph.pageRank]] with `weightCol`): each edge
+    * carries multiplicity w = (src+dst)%3+1 (the host-graph shape — link
+    * counts between hosts), out-degree becomes Σw and contributions
+    * rank·w/W. Same unrolled oracle with the weighted edge CTE. */
+  val grPagerankWeighted: Q = Q(
+    "gr_pagerank_weighted",
+    Some(propagationSql(
+      """tele AS (SELECT doc_id AS node,
+           1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS t
+         FROM documents)""",
+      "pagerank", weighted = true)),
+    (s, dir) => {
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val weighted = edgesDf(s, dir).withColumn("w",
+        ((col("src") + col("dst")) % 3 + 1).cast("double"))
+      val ranks = Graph.pageRank(weighted, nodes, iters = Iters,
+        damping = Damping, weightCol = Some("w"))
+      val total = ranks.agg(sum("rank")).head().getDouble(0)
+      require(math.abs(total - 1.0) < 1e-9,
+        s"weighted PageRank mass not conserved: $total")
+      ranks.select(col("node"), round(col("rank"), 8).as("pagerank"))
+        .orderBy("node")
+    })
+
   override def queries: Seq[Q] =
-    Seq(grDegrees, grPagerank, grTrustrank, grComponents)
+    Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
+      grComponents)
 }

@@ -154,6 +154,27 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("teleport mass"))
   }
 
+  test("weighted pageRank: contributions split by edge weight, not edge count") {
+    // 0 ->(3) 1, 0 ->(1) 2: node 1 draws 3/4 of node 0's rank
+    val edges = Seq((0L, 1L, 3.0), (0L, 2L, 1.0)).toDF("src", "dst", "w")
+    val nodes = (0L until 3L).toDF("node")
+    val d = 0.85
+    val n = 3.0
+    var r = Map(0L -> 1 / n, 1L -> 1 / n, 2L -> 1 / n)
+    for (_ <- 1 to 5) {
+      val dangling = r(1L) + r(2L) // both dangling
+      val c = Map(1L -> r(0L) * 3.0 / 4.0, 2L -> r(0L) * 1.0 / 4.0)
+      r = r.keys.map(v => v ->
+        ((1 - d) / n + d * (c.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    val got = Graph.pageRank(edges, nodes, iters = 5, weightCol = Some("w"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    for ((v, expect) <- r)
+      assert(math.abs(got(v) - expect) < 1e-12,
+        s"node $v: got ${got(v)}, expect $expect")
+    assert(got(1L) > got(2L), "weighted edge must dominate")
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
