@@ -373,4 +373,28 @@ class PropertySpec extends SparkSpec {
           s"bin ${r.get(0)}/${r.get(1)} holds ${r.get(2)}"))
     }
   }
+
+  test("salted join property: row-identical to the plain join on random skews") {
+    import graft.operators.SkewJoin
+    // random fact frames with a planted hot key plus a scattered tail,
+    // random dim coverage (some fact keys unmatched, some dim keys unused)
+    val factGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(300, for {
+        hot <- Gen.prob(0.7) // ~70% of rows on key 0
+        k <- if (hot) Gen.const(0L) else Gen.choose(1L, 25L)
+        v <- Gen.choose(0L, 999L)
+      } yield (k, v))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    samples(factGen, 4, seed = 11).foreach { rows =>
+      val fact = rows.toDF("k", "v")
+      val dim = (0L until 18L).map(k => (k, s"d$k")).toDF("k", "label")
+      for (jt <- Seq("inner", "left", "left_semi", "left_anti");
+           salt <- Seq(2, 7)) {
+        val plain = canon(fact.join(dim, Seq("k"), jt))
+        val salted = canon(SkewJoin.saltedJoin(fact, dim, Seq("k"), salt, jt))
+        assert(salted == plain, s"drift for $jt salt=$salt")
+      }
+    }
+  }
 }
