@@ -205,6 +205,44 @@ object ScaleBench {
           s""","kept_paragraphs":$keptParas""")
       }
 
+      if (wanted("j4_salted_skew_join")) {
+        // hot-key join at scale: ~80% of lineitem rows share one synthetic
+        // key; K× copies grow the hot key's absolute row count K×. Both
+        // variants run with broadcast DISABLED (the regime the operator
+        // exists for — a broadcastable dim needs no salting) and AQE on
+        // (its skew split is the fair baseline). Witness: identical
+        // output checksum between plain and salted at every K.
+        val sparkConf = spark.conf
+        val bhjPrev = sparkConf.get("spark.sql.autoBroadcastJoinThreshold")
+        sparkConf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          def fact = li.select(
+            when(col("l_orderkey") % 10 < 8, lit(0L))
+              .otherwise(pmod(col("l_orderkey"), lit(97L))).as("k"),
+            col("l_quantity"))
+          val dim = spark.range(97).select(col("id").as("k"),
+            concat(lit("seg_"), col("id").cast("string")).as("seg"))
+          def agg(df: org.apache.spark.sql.DataFrame): Long =
+            df.groupBy("k", "seg")
+              .agg(count(lit(1)).as("n"))
+              .agg(bit_xor(xxhash64(col("k"), col("seg"), col("n"))))
+              .head().getLong(0)
+          var plainSum = 0L
+          val (plMed, plS) = timeMedian { plainSum = agg(fact.join(dim, Seq("k"))) }
+          var saltSum = 0L
+          val (slMed, slS) = timeMedian {
+            saltSum = agg(graft.operators.SkewJoin
+              .saltedJoin(fact, dim, Seq("k"), salt = 8))
+          }
+          require(plainSum == saltSum,
+            s"salted output diverged from plain at $k x: $plainSum vs $saltSum")
+          emit("j4_plain_skew_join", k, li.count(), plMed, plS)
+          emit("j4_salted_skew_join", k, li.count(), slMed, slS)
+        } finally {
+          sparkConf.set("spark.sql.autoBroadcastJoinThreshold", bhjPrev)
+        }
+      }
+
       if (wanted("gr_pagerank")) {
         // link graph over the scaled corpus: K× nodes, 3 hash-derived
         // out-edges per non-dangling node (doc_id % 7 == 0 dangles), so
