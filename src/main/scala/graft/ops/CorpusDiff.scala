@@ -23,7 +23,10 @@ object CorpusDiff {
     * `removed` (only in prev), `changed` (both, content hash differs),
     * `unchanged`. Null content hashes equal only each other (Spark's
     * xxhash64 of an all-null row is the seed constant on both sides, so
-    * null-content rows compare stably). */
+    * null-content rows compare stably). Contract: `idCol` is unique
+    * within each snapshot (the standard corpus key contract — dedupe
+    * first if not); duplicate ids would fan out through the join and
+    * repeat their status row per pairing. */
   def diff(prev: DataFrame, cur: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "at least one content column required")
