@@ -80,6 +80,26 @@ object Graph {
       iters, damping, srcCol, dstCol, weightCol)
   }
 
+  /** [[pageRank]] iterated to an L1 fixed point instead of a fixed
+    * iteration count — the production mode at 100 TB, where the mixing
+    * time isn't known in advance: stops when Σ|rank' − rank| < `tol` (or
+    * at `maxIters`, loudly in the returned count). The delta is one
+    * extra node-table join + scalar agg per iteration — the same cost
+    * class as the dangling aggregate, nothing data-sized. Returns
+    * (ranks, iterationsRun). */
+  def pageRankConverged(
+      edges: DataFrame, nodes: DataFrame, tol: Double = 1e-7,
+      maxIters: Int = 50, damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", nodeCol: String = "node",
+      weightCol: Option[String] = None): (DataFrame, Int) = {
+    require(tol > 0, s"tol must be positive, got $tol")
+    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    val n = nodeDf.count().toDouble
+    require(n > 0, "empty node set")
+    propagateCore(edges, nodeDf.withColumn("t", lit(1.0 / n)),
+      maxIters, damping, srcCol, dstCol, weightCol, Some(tol))
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004, public): PageRank
     * with the teleport vector concentrated on a TRUSTED SEED set instead
     * of uniform — trust flows outward along links, so pages reachable
@@ -121,7 +141,14 @@ object Graph {
   private def propagate(
       edges: DataFrame, nodeT: DataFrame, iters: Int, damping: Double,
       srcCol: String, dstCol: String,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None): DataFrame =
+    propagateCore(edges, nodeT, iters, damping, srcCol, dstCol,
+      weightCol, tol = None)._1
+
+  private def propagateCore(
+      edges: DataFrame, nodeT: DataFrame, iters: Int, damping: Double,
+      srcCol: String, dstCol: String, weightCol: Option[String],
+      tol: Option[Double]): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nodeDf = nodeT.persist()
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
@@ -134,7 +161,8 @@ object Graph {
     val degOnly = deg.persist()
     var ranks = nodeDf.withColumn("rank", col("t")).persist()
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       // rank trapped in dangling nodes this iteration: anti-join against
       // the out-degree table, scalar agg — one double crosses to the driver
       val dangling = ranks
@@ -150,6 +178,12 @@ object Graph {
             (coalesce(col("c"), lit(0.0)) + lit(dangling) * col("t")))
             .as("rank"))
         .localCheckpoint(true) // truncate lineage per iteration
+      tol.foreach { eps =>
+        val delta = next
+          .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
+        converged = delta < eps
+      }
       ranks.unpersist()
       ranks = next
       i += 1
@@ -157,6 +191,6 @@ object Graph {
     eDeg.unpersist()
     degOnly.unpersist()
     nodeDf.unpersist()
-    ranks.drop("t")
+    (ranks.drop("t"), i)
   }
 }

@@ -71,14 +71,17 @@ object GraphQueries extends QueryModule {
     * op iterates, so per-node doubles track to ulps. Ranks are genuinely
     * floating-point: both engines round to 8 decimals at the very end
     * (Q exactness rules). */
-  private def propagationSql(
-      teleCte: String, outCol: String, weighted: Boolean = false): String = {
+  /** WITH-clause block of the unrolled recurrence plus the name of the
+    * final rank relation — composable, so integration gates can join the
+    * propagated ranks against other derivations. */
+  private def propagationCtes(
+      teleCte: String, weighted: Boolean): (String, String) = {
     // unweighted edges carry w = 1.0 so the contribution term
     // (rank * w / deg) is the IDENTICAL arithmetic on both paths
     val wExpr =
       if (weighted) "CAST((src + dst) % 3 + 1 AS DOUBLE)" else "1.0"
     val header = s"""
-      WITH e0 AS ($edgesSql),
+      e0 AS ($edgesSql),
       edges AS (SELECT src, dst, $wExpr AS w FROM e0),
       outd AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),
       $teleCte,
@@ -100,11 +103,27 @@ object GraphQueries extends QueryModule {
                     + (SELECT mass FROM d$i) * tele.t) AS rank
               FROM tele LEFT JOIN c$i c ON tele.node = c.node)"""
     }.mkString(",", ",", "")
-    header + iters + s"""
+    (header + iters, s"r$Iters")
+  }
+
+  private def propagationSql(
+      teleCte: String, outCol: String, weighted: Boolean = false): String = {
+    val (ctes, rel) = propagationCtes(teleCte, weighted)
+    s"""
+      WITH $ctes
       SELECT node, ROUND(rank, 8) AS $outCol
-      FROM r$Iters
+      FROM $rel
       ORDER BY node"""
   }
+
+  /** The seed-concentrated teleport CTE shared by the TrustRank gates. */
+  private val trustTeleCte =
+    """tele AS (SELECT doc_id AS node,
+         CASE WHEN doc_id % 17 = 0
+           THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM documents
+                       WHERE doc_id % 17 = 0)
+           ELSE 0.0 END AS t
+       FROM documents)"""
 
   val grPagerank: Q = Q(
     "gr_pagerank",
@@ -132,14 +151,7 @@ object GraphQueries extends QueryModule {
     * recurrence with the seed-shaped `tele` CTE. */
   val grTrustrank: Q = Q(
     "gr_trustrank",
-    Some(propagationSql(
-      """tele AS (SELECT doc_id AS node,
-           CASE WHEN doc_id % 17 = 0
-             THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM documents
-                         WHERE doc_id % 17 = 0)
-             ELSE 0.0 END AS t
-         FROM documents)""",
-      "trust")),
+    Some(propagationSql(trustTeleCte, "trust")),
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val nodes = d.select(col("doc_id").as("node"))
@@ -199,7 +211,68 @@ object GraphQueries extends QueryModule {
         .orderBy("node")
     })
 
+  /** INTEGRATION gate — TrustRank wired into the per-domain rollup, the
+    * actual 100 TB use of a link prior: link-level trust aggregated to
+    * the registrable domain that curation decisions act on. Composes the
+    * two oracle chains end to end (unrolled propagation CTEs joined to
+    * the URL-canonicalization/domain CTEs from [[UrlQueries]]) — a pass
+    * proves graph trust, URL canonicalization, domain extraction, and
+    * the rollup agree across engines SIMULTANEOUSLY. */
+  val grDomainTrust: Q = Q(
+    "gr_domain_trust",
+    Some {
+      val (ctes, rel) = propagationCtes(trustTeleCte, weighted = false)
+      s"""
+      WITH $ctes,
+      u AS (SELECT doc_id, ${UrlQueries.urlSql} AS url FROM documents),
+      nf AS (SELECT doc_id,
+               regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+      cu AS (SELECT doc_id, ${UrlQueries.canonSql} AS canonical_url FROM nf),
+      h AS (SELECT doc_id,
+              lower(regexp_extract(canonical_url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+            FROM cu),
+      dom AS (SELECT doc_id,
+                CASE WHEN regexp_extract(host,
+                       '([^.]+\\.(${UrlQueries.multiSql}))$$', 1) <> ''
+                       THEN regexp_extract(host,
+                         '([^.]+\\.(${UrlQueries.multiSql}))$$', 1)
+                     WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
+                       THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+                     ELSE host END AS domain
+              FROM h)
+      SELECT dom.domain, count(*) AS n_docs,
+        ROUND(SUM(r.rank) / count(*), 8) AS mean_trust,
+        CAST(SUM(CASE WHEN dom.doc_id % 17 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_seeds
+      FROM dom JOIN $rel r ON dom.doc_id = r.node
+      GROUP BY dom.domain
+      ORDER BY dom.domain"""
+    },
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nodes = d.select(col("doc_id").as("node"))
+      val seeds = nodes.filter(col("node") % 17 === 0)
+      val trust = Graph.trustRank(edgesDf(s, dir), nodes, seeds,
+        iters = Iters, damping = Damping)
+      val domains = d
+        .select(col("doc_id"), graft.queries.UrlQueries.urlCol.as("url"))
+        .withColumn("canonical_url",
+          graft.ops.UrlOps.canonicalUrl(col("url")))
+        .withColumn("host", graft.ops.UrlOps.host(col("canonical_url")))
+        .withColumn("domain",
+          graft.ops.UrlOps.registrableDomain(col("host")))
+        .select("doc_id", "domain")
+      domains.join(trust, domains("doc_id") === trust("node"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("rank") / count(lit(1)), 8).as("mean_trust"),
+          sum(when(col("doc_id") % 17 === 0, 1L).otherwise(0L))
+            .as("n_seeds"))
+        .orderBy("domain")
+    })
+
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
-      grComponents)
+      grComponents, grDomainTrust)
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object UrlQueries extends QueryModule {
 
   /** The six synthetic URL shapes, Spark side. */
-  private def urlCol = {
+  private[queries] def urlCol = {
     val id = col("doc_id").cast("string")
     val m = pmod(col("doc_id"), lit(6))
     when(m === 0, concat(lit("HTTP://WWW.Example.COM:80/p/"), id,
@@ -34,7 +34,7 @@ object UrlQueries extends QueryModule {
   }
 
   /** The same six shapes, DuckDB side. */
-  private val urlSql =
+  private[queries] val urlSql =
     """CASE CAST(doc_id % 6 AS INT)
        WHEN 0 THEN 'HTTP://WWW.Example.COM:80/p/' || CAST(doc_id AS VARCHAR)
          || '?utm_source=news&id=' || CAST(doc_id AS VARCHAR) || '#top'
@@ -49,7 +49,7 @@ object UrlQueries extends QueryModule {
          || '?utm_medium=m&utm_term=t' END"""
 
   /** DuckDB mirror of the canonicalization chain over column `url`. */
-  private val canonSql = {
+  private[queries] val canonSql = {
     val track = UrlOps.TrackingParamPattern
     s"""regexp_replace(
          regexp_replace(
@@ -68,7 +68,7 @@ object UrlQueries extends QueryModule {
          '[?&]+$$', '')"""
   }
 
-  private val multiSql =
+  private[queries] val multiSql =
     UrlOps.MultiPartSuffixes.map(_.replace(".", "\\.")).mkString("|")
 
   val txtUrlCanonical: Q = Q(

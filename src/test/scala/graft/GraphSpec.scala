@@ -175,6 +175,31 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) > got(2L), "weighted edge must dominate")
   }
 
+  test("pageRankConverged: stops at the fixed point and matches long fixed-iteration runs") {
+    // chain graph: genuine mixing needed; compare against a LONG
+    // fixed-iteration run as the converged reference. Damping 0.5 so the
+    // L1 delta (~d^k) clears 1e-8 within the default iteration budget —
+    // at d=0.85 that takes ~110 iterations, too slow for a unit test
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L until 10L).toDF("node")
+    val reference = Graph.pageRank(edges, nodes, iters = 45, damping = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (ranksDf, iters) =
+      Graph.pageRankConverged(edges, nodes, tol = 1e-8, damping = 0.5)
+    val got = ranksDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(iters < 50, s"did not converge before maxIters: $iters")
+    assert(iters > 5, s"suspiciously instant convergence: $iters")
+    for ((v, expect) <- reference)
+      assert(math.abs(got(v) - expect) < 1e-7,
+        s"node $v: converged ${got(v)} vs long-run $expect")
+    // a cycle starts AT the fixed point: one iteration detects delta 0
+    val cyc = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong))
+      .toDF("src", "dst")
+    val (_, cycIters) = Graph.pageRankConverged(
+      cyc, (0L until 6L).toDF("node"), tol = 1e-12)
+    assert(cycIters == 1, s"cycle should detect the fixed point: $cycIters")
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
