@@ -83,9 +83,9 @@ object ScaleBench {
 
     for (k <- scales) {
       val dir = s"$base/x$k"
-      // v2: adds lineitem_pivot — version the marker so pre-v2 scratch dirs
-      // (same testdata fingerprint) regenerate instead of missing the table
-      val done = new java.io.File(s"$dir/_done_v2")
+      // v3: adds embeddings — version the marker so older scratch dirs
+      // (same testdata fingerprint) regenerate instead of missing tables
+      val done = new java.io.File(s"$dir/_done_v3")
       if (!done.exists()) {
         val docs = Tables.load(spark, sfDir, "documents")
         val stride = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -124,6 +124,25 @@ object ScaleBench {
             liP.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride)))
           .reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/lineitem_pivot")
+        // embeddings: K copies with offset vec_ids and a per-copy CYCLIC
+        // DIMENSION SHIFT — norms and within-copy neighbor structure are
+        // preserved (each copy is the 1× search problem), while cross-copy
+        // vectors stay distinct (an identical copy would plant K−1 exact
+        // duplicates of every query's neighborhood — K² adversarial, not
+        // "more data"). Dim count stays fixed (schema property).
+        val em = Tables.load(spark, sfDir, "embeddings")
+        val vStride = em.agg(max("vec_id")).head.getLong(0) + 1
+        val dim = em.select(size(col("embedding"))).head.getInt(0)
+        (0 until k).map { i =>
+          val sh = i % dim
+          val shifted =
+            if (sh == 0) em
+            else em.withColumn("embedding",
+              concat(slice(col("embedding"), sh + 1, dim - sh),
+                slice(col("embedding"), 1, sh)))
+          shifted.withColumn("vec_id", col("vec_id") + lit(i * vStride))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings")
         done.getParentFile.mkdirs()
         done.createNewFile()
       }
@@ -203,6 +222,47 @@ object ScaleBench {
         }
         emit("dd_paragraph_dedup", k, docs.count(), pdMed, pdS,
           s""","kept_paragraphs":$keptParas""")
+      }
+
+      if (wanted("sim_topk")) {
+        // ANN at corpus scale: a FIXED 100-query set (first-copy ids, so
+        // query count is constant across K) against a K×-growing corpus.
+        // Brute force is the exact baseline (cost ∝ N·Q — linear in K);
+        // IVF probes nProbe/nLists of the corpus (the scale path). The
+        // index build is one-time/amortized and reported separately, not
+        // inside the search timing. Witness: IVF recall@10 vs brute.
+        def em = spark.read.parquet(s"$dir/embeddings")
+        val isQuery = col("vec_id") < 2000 && col("vec_id") % 20 === 0
+        var bruteRows = 0L
+        val (bfMed, bfS) = timeMedian {
+          bruteRows = graft.ops.Similarity
+            .bruteForceTopK(em, "vec_id", "embedding", isQuery, k = 10)
+            .count()
+        }
+        emit("sim_topk_bruteforce", k, em.count(), bfMed, bfS,
+          s""","result_rows":$bruteRows""")
+        val tb0 = System.nanoTime()
+        val index = graft.ops.Ivf.build(em, "vec_id", "embedding",
+          nLists = 64, fitSampleRows = 20000)
+        index.assigned.persist().count()
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        var ivfRows = 0L
+        val (ivMed, ivS) = timeMedian {
+          ivfRows = graft.ops.Ivf.search(index, isQuery, k = 10, nProbe = 16)
+            .count()
+        }
+        // recall (untimed honesty witness): IVF hits ∩ brute hits
+        val bf = graft.ops.Similarity
+          .bruteForceTopK(em, "vec_id", "embedding", isQuery, k = 10)
+          .select(col("qid"), col("nid"))
+        val iv = graft.ops.Ivf.search(index, isQuery, k = 10, nProbe = 16)
+          .select(col("qid").as("q2"), col("nid").as("n2"))
+        val hits = bf.join(iv,
+          bf("qid") === iv("q2") && bf("nid") === iv("n2")).count()
+        val recall = hits.toDouble / bruteRows
+        index.assigned.unpersist()
+        emit("sim_topk_ivf", k, em.count(), ivMed, ivS,
+          f""","result_rows":$ivfRows,"recall":$recall%.3f,"build_sec":$buildSec%.3f""")
       }
 
       if (wanted("j4_salted_skew_join")) {
