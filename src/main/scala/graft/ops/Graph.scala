@@ -86,10 +86,13 @@ object Graph {
     * at `maxIters`, loudly in the returned count). The delta is one
     * extra node-table join + scalar agg per iteration — the same cost
     * class as the dangling aggregate, nothing data-sized. Returns
-    * (ranks, iterationsRun). */
+    * (ranks, iterationsRun). The L1 delta contracts at ~damping^k, so
+    * pick maxIters ≥ ln(tol)/ln(damping) — the defaults are consistent
+    * (0.85^100 ≈ 9e-8 < 1e-6); a tighter tol needs a larger budget or a
+    * smaller damping. */
   def pageRankConverged(
-      edges: DataFrame, nodes: DataFrame, tol: Double = 1e-7,
-      maxIters: Int = 50, damping: Double = 0.85, srcCol: String = "src",
+      edges: DataFrame, nodes: DataFrame, tol: Double = 1e-6,
+      maxIters: Int = 100, damping: Double = 0.85, srcCol: String = "src",
       dstCol: String = "dst", nodeCol: String = "node",
       weightCol: Option[String] = None): (DataFrame, Int) = {
     require(tol > 0, s"tol must be positive, got $tol")
