@@ -68,12 +68,15 @@ object Graph {
     * the vertex set silently absorbs (drops) its contribution, so ranks
     * stop summing to 1; a mass-conservation check downstream (as the
     * gr_pagerank gate runs) catches that loudly. An edgeless graph is
-    * all-dangling and stays exactly uniform at 1/n. */
+    * all-dangling and stays exactly uniform at 1/n. Ids keep their own
+    * type end to end — string host ids (the crawl use case) work exactly
+    * like numeric ids (spec-pinned); a silent numeric cast here
+    * previously collapsed string vertex sets to one null node. */
   def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
       nodeCol: String = "node", weightCol: Option[String] = None): DataFrame = {
-    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct()
     val n = nodeDf.count().toDouble
     require(n > 0, "empty node set")
     propagate(edges, nodeDf.withColumn("t", lit(1.0 / n)),
@@ -96,7 +99,7 @@ object Graph {
       dstCol: String = "dst", nodeCol: String = "node",
       weightCol: Option[String] = None): (DataFrame, Int) = {
     require(tol > 0, s"tol must be positive, got $tol")
-    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct()
     val n = nodeDf.count().toDouble
     require(n > 0, "empty node set")
     propagateCore(edges, nodeDf.withColumn("t", lit(1.0 / n)),
@@ -117,8 +120,8 @@ object Graph {
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
       nodeCol: String = "node", seedCol: String = "node",
       weightCol: Option[String] = None): DataFrame = {
-    val nodeDf = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
-    val seedDf = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct()
+    val seedDf = seeds.select(col(seedCol).as("node")).distinct()
     val nSeeds = seedDf.count().toDouble
     require(nSeeds > 0, "empty seed set")
     val teleport = nodeDf
@@ -155,8 +158,8 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nodeDf = nodeT.persist()
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), w.as("w"))
+    val e = edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"), w.as("w"))
     // static per-iteration inputs, shuffled ON src once and persisted:
     // (src, dst, w, deg) — the degree join happens here, not in the loop
     val deg = e.groupBy("src").agg(sum("w").as("deg"))

@@ -266,7 +266,13 @@ object SamplingQueries extends QueryModule {
     * engine-portable identity hash): both engines draw the same u per
     * doc, score ln(u)/n_chars, and keep the 50 largest — the gate
     * compares the SELECTED ROWS, so the per-row keys and the selection
-    * boundary must agree exactly across engines. */
+    * boundary must agree exactly across engines. The key uses ln(), a
+    * transcendental with no correctly-rounded guarantee — this gate
+    * leans on the same JVM/libm ln parity the LM-scoring gates
+    * (txt_unigram_logprob, txt_bigram_logprob) already hash bit-exactly;
+    * a 1-ulp divergence could only flip the selection if the rank-50/51
+    * keys landed within that ulp (measure-zero on continuous keys, and
+    * any flip would be deterministic per corpus, not flaky). */
   val smpWeighted: Q = Q(
     "smp_weighted_sample",
     Some("""

@@ -63,7 +63,8 @@ object ScaleBench {
       Map("spark.sql.adaptive.enabled" -> "true"))
 
     val fp = fingerprint(sfDir,
-      Seq("documents.parquet", "lineitem.parquet", "events.parquet"))
+      Seq("documents.parquet", "lineitem.parquet", "events.parquet",
+        "embeddings.parquet"))
     val base =
       s"${System.getProperty("java.io.tmpdir")}/graft_scale_bench/$fp"
 
@@ -83,9 +84,10 @@ object ScaleBench {
 
     for (k <- scales) {
       val dir = s"$base/x$k"
-      // v3: adds embeddings — version the marker so older scratch dirs
+      // v4: fixed embedding copy transform (shift+flip) — version the
+      // marker so older scratch dirs
       // (same testdata fingerprint) regenerate instead of missing tables
-      val done = new java.io.File(s"$dir/_done_v3")
+      val done = new java.io.File(s"$dir/_done_v4")
       if (!done.exists()) {
         val docs = Tables.load(spark, sfDir, "documents")
         val stride = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -124,23 +126,34 @@ object ScaleBench {
             liP.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride)))
           .reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/lineitem_pivot")
-        // embeddings: K copies with offset vec_ids and a per-copy CYCLIC
-        // DIMENSION SHIFT — norms and within-copy neighbor structure are
-        // preserved (each copy is the 1× search problem), while cross-copy
-        // vectors stay distinct (an identical copy would plant K−1 exact
-        // duplicates of every query's neighborhood — K² adversarial, not
-        // "more data"). Dim count stays fixed (schema property).
+        // embeddings: K copies with offset vec_ids and a per-copy
+        // norm-preserving transform — cyclic dimension shift by (i % dim)
+        // PLUS a whole-vector sign flip on every second wrap of the shift
+        // cycle. Within-copy neighbor structure is preserved (shift is a
+        // permutation; negating ALL dims keeps every pairwise cosine),
+        // and copies stay pairwise distinct up to K = 2·dim (128 here) —
+        // a bare shift wraps at K = dim and would plant exact duplicates
+        // of every query's neighborhood, the K² adversarial input, for
+        // copies ≥ dim (caught in review; the first 100× series measured
+        // exactly that for copies 64..99 and was re-run).
         val em = Tables.load(spark, sfDir, "embeddings")
         val vStride = em.agg(max("vec_id")).head.getLong(0) + 1
         val dim = em.select(size(col("embedding"))).head.getInt(0)
+        require(k <= 2 * dim,
+          s"embedding scaling supports K <= ${2 * dim} distinct copies")
         (0 until k).map { i =>
           val sh = i % dim
+          val flip = (i / dim) % 2 == 1
           val shifted =
             if (sh == 0) em
             else em.withColumn("embedding",
               concat(slice(col("embedding"), sh + 1, dim - sh),
                 slice(col("embedding"), 1, sh)))
-          shifted.withColumn("vec_id", col("vec_id") + lit(i * vStride))
+          val signed =
+            if (!flip) shifted
+            else shifted.withColumn("embedding",
+              transform(col("embedding"), x => -x))
+          signed.withColumn("vec_id", col("vec_id") + lit(i * vStride))
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/embeddings")
         done.getParentFile.mkdirs()
@@ -232,6 +245,7 @@ object ScaleBench {
         // index build is one-time/amortized and reported separately, not
         // inside the search timing. Witness: IVF recall@10 vs brute.
         def em = spark.read.parquet(s"$dir/embeddings")
+        val emCount = em.count()
         val isQuery = col("vec_id") < 2000 && col("vec_id") % 20 === 0
         var bruteRows = 0L
         val (bfMed, bfS) = timeMedian {
@@ -239,7 +253,7 @@ object ScaleBench {
             .bruteForceTopK(em, "vec_id", "embedding", isQuery, k = 10)
             .count()
         }
-        emit("sim_topk_bruteforce", k, em.count(), bfMed, bfS,
+        emit("sim_topk_bruteforce", k, emCount, bfMed, bfS,
           s""","result_rows":$bruteRows""")
         val tb0 = System.nanoTime()
         val index = graft.ops.Ivf.build(em, "vec_id", "embedding",
@@ -261,7 +275,7 @@ object ScaleBench {
           bf("qid") === iv("q2") && bf("nid") === iv("n2")).count()
         val recall = hits.toDouble / bruteRows
         index.assigned.unpersist()
-        emit("sim_topk_ivf", k, em.count(), ivMed, ivS,
+        emit("sim_topk_ivf", k, emCount, ivMed, ivS,
           f""","result_rows":$ivfRows,"recall":$recall%.3f,"build_sec":$buildSec%.3f""")
       }
 
@@ -313,13 +327,17 @@ object ScaleBench {
         var nodeCount = 0L
         val (prMed, prS) = timeMedian {
           val nodes = docs.select(col("doc_id").as("node"))
-          val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+          // SAME modulus convention as GraphQueries.edgesDf (count, not
+          // max+1): the two only coincide on contiguous ids — one
+          // convention keeps the bench measuring the graph the gate
+          // verifies on any corpus
+          val nDocs = docs.count()
           val edges = docs.select(col("doc_id"))
             .filter(col("doc_id") % 7 =!= 0)
             .select(col("doc_id").as("src"), explode(array(
-              pmod(col("doc_id") * 31 + 17, lit(maxId)),
-              pmod(col("doc_id") * 57 + 5, lit(maxId)),
-              pmod(col("doc_id") * 13 + 29, lit(maxId)))).as("dst"))
+              pmod(col("doc_id") * 31 + 17, lit(nDocs)),
+              pmod(col("doc_id") * 57 + 5, lit(nDocs)),
+              pmod(col("doc_id") * 13 + 29, lit(nDocs)))).as("dst"))
           val ranks = graft.ops.Graph.pageRank(edges, nodes, iters = 5)
           mass = ranks.agg(sum("rank")).head().getDouble(0)
           nodeCount = ranks.count()

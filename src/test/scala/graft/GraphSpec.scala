@@ -200,6 +200,31 @@ class GraphSpec extends SparkSpec {
     assert(cycIters == 1, s"cycle should detect the fixed point: $cycIters")
   }
 
+  test("string host ids rank identically to numeric ids (the crawl shape)") {
+    // same topology under both id types: 0->1, 0->2, 2 dangling, 3 isolated
+    val numEdges = Seq((0L, 1L), (0L, 2L)).toDF("src", "dst")
+    val numNodes = (0L until 4L).toDF("node")
+    val names = Map(0L -> "a.example", 1L -> "b.example",
+      2L -> "c.example", 3L -> "d.example")
+    val strEdges = Seq(("a.example", "b.example"), ("a.example", "c.example"))
+      .toDF("src", "dst")
+    val strNodes = names.values.toSeq.toDF("node")
+    val num = Graph.pageRank(numEdges, numNodes, iters = 5).collect()
+      .map(r => names(r.getLong(0)) -> r.getDouble(1)).toMap
+    val str = Graph.pageRank(strEdges, strNodes, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(str.keySet == num.keySet)
+    // ulp-tolerant: the dangling-mass sum order differs per id type
+    for ((h, expect) <- num)
+      assert(math.abs(str(h) - expect) < 1e-12,
+        s"string-id rank diverged at $h: ${str(h)} vs $expect")
+    // trustRank too: seed by hostname
+    val trust = Graph.trustRank(strEdges, strNodes,
+      Seq("a.example").toDF("node"), iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(trust("d.example") == 0.0 && trust("b.example") > 0.0)
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
