@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  private val Allowed =
-    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti")
+  /** Normalized (underscores stripped, lowercase) fact-preserving types. */
+  private val Allowed = Set("inner", "left", "leftouter", "leftsemi",
+    "leftanti")
 
   /** `fact ⋈ dim` on `keys`, fact-key skew neutralized over `salt`
     * sub-keys. Result is row-identical to the plain join (spec-pinned). */
@@ -43,7 +43,7 @@ object SkewJoin {
     require(salt >= 2, s"salt must be >= 2, got $salt")
     require(keys.nonEmpty, "at least one join key required")
     val jt = joinType.toLowerCase.replace("_", "")
-    require(Allowed.map(_.replace("_", "")).contains(jt),
+    require(Allowed.contains(jt),
       s"saltedJoin supports fact-preserving join types only, got $joinType")
     val saltCol = "__graft_salt"
     val salted = fact.withColumn(saltCol,

@@ -75,12 +75,16 @@ object Graph {
   def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node", weightCol: Option[String] = None): DataFrame = {
+      nodeCol: String = "node", weightCol: Option[String] = None): DataFrame =
+    propagate(edges, uniformTeleport(nodes, nodeCol),
+      iters, damping, srcCol, dstCol, weightCol)
+
+  /** (node, t = 1/n) — the uniform teleport vector. */
+  private def uniformTeleport(nodes: DataFrame, nodeCol: String): DataFrame = {
     val nodeDf = nodes.select(col(nodeCol).as("node")).distinct()
     val n = nodeDf.count().toDouble
     require(n > 0, "empty node set")
-    propagate(edges, nodeDf.withColumn("t", lit(1.0 / n)),
-      iters, damping, srcCol, dstCol, weightCol)
+    nodeDf.withColumn("t", lit(1.0 / n))
   }
 
   /** [[pageRank]] iterated to an L1 fixed point instead of a fixed
@@ -99,10 +103,7 @@ object Graph {
       dstCol: String = "dst", nodeCol: String = "node",
       weightCol: Option[String] = None): (DataFrame, Int) = {
     require(tol > 0, s"tol must be positive, got $tol")
-    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct()
-    val n = nodeDf.count().toDouble
-    require(n > 0, "empty node set")
-    propagateCore(edges, nodeDf.withColumn("t", lit(1.0 / n)),
+    propagateCore(edges, uniformTeleport(nodes, nodeCol),
       maxIters, damping, srcCol, dstCol, weightCol, Some(tol))
   }
 

@@ -16,16 +16,21 @@ import graft.ops.Graph
   */
 object GraphQueries extends QueryModule {
 
-  /** Spark side of the synthetic edge list (src links to 3 targets). */
-  private def edgesDf(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    val n = d.count()
-    d.select(col("doc_id")).filter(col("doc_id") % 7 =!= 0)
+  /** Spark side of the synthetic edge list (src links to 3 hash-derived
+    * targets in [0, nDocs); doc_id % 7 == 0 dangles). ONE definition —
+    * ScaleBench's gr_pagerank entry reuses it so the bench measures
+    * exactly the graph the gate verifies. */
+  private[graft] def linkEdges(docs: DataFrame, nDocs: Long): DataFrame =
+    docs.select(col("doc_id")).filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id").as("src"),
         explode(array(
-          pmod(col("doc_id") * 31 + 17, lit(n)),
-          pmod(col("doc_id") * 57 + 5, lit(n)),
-          pmod(col("doc_id") * 13 + 29, lit(n)))).as("dst"))
+          pmod(col("doc_id") * 31 + 17, lit(nDocs)),
+          pmod(col("doc_id") * 57 + 5, lit(nDocs)),
+          pmod(col("doc_id") * 13 + 29, lit(nDocs)))).as("dst"))
+
+  private def edgesDf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    linkEdges(d, d.count())
   }
 
   /** DuckDB side of the same edge list. */

@@ -327,17 +327,10 @@ object ScaleBench {
         var nodeCount = 0L
         val (prMed, prS) = timeMedian {
           val nodes = docs.select(col("doc_id").as("node"))
-          // SAME modulus convention as GraphQueries.edgesDf (count, not
-          // max+1): the two only coincide on contiguous ids — one
-          // convention keeps the bench measuring the graph the gate
-          // verifies on any corpus
-          val nDocs = docs.count()
-          val edges = docs.select(col("doc_id"))
-            .filter(col("doc_id") % 7 =!= 0)
-            .select(col("doc_id").as("src"), explode(array(
-              pmod(col("doc_id") * 31 + 17, lit(nDocs)),
-              pmod(col("doc_id") * 57 + 5, lit(nDocs)),
-              pmod(col("doc_id") * 13 + 29, lit(nDocs)))).as("dst"))
+          // the gate's own edge builder: the bench measures exactly the
+          // graph gr_pagerank verifies, on any corpus
+          val edges =
+            graft.queries.GraphQueries.linkEdges(docs, docs.count())
           val ranks = graft.ops.Graph.pageRank(edges, nodes, iters = 5)
           mass = ranks.agg(sum("rank")).head().getDouble(0)
           nodeCount = ranks.count()

@@ -10,6 +10,10 @@ class CompactSpec extends SparkSpec {
   private lazy val events =
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
 
+  /** Partition-dir path of each data file (strips the file name). */
+  private def parentDirs(files: Seq[(String, Long)]): Seq[String] =
+    files.map(_._1.replaceAll("/[^/]+$", ""))
+
   private def fingerprint(df: org.apache.spark.sql.DataFrame) = {
     // decimal sum: exact, order-invariant, and ANSI-safe (a long sum of
     // xxhash64 values overflows)
@@ -73,23 +77,23 @@ class CompactSpec extends SparkSpec {
     events.withColumn("event_date", to_date(date_trunc("day", col("ts"))))
       .repartition(8)
       .write.partitionBy("event_date").parquet(s"$base/in")
-    val dirsBefore = Layout.dataFiles(spark, s"$base/in")
-      .map(_._1.replaceAll("/[^/]+$", "")).distinct.sorted
+    val dirsBefore =
+      parentDirs(Layout.dataFiles(spark, s"$base/in")).distinct.sorted
     assert(dirsBefore.size > 1, "fixture produced a single partition — vacuous")
-    val perDirBefore = Layout.dataFiles(spark, s"$base/in")
-      .groupBy(_._1.replaceAll("/[^/]+$", "")).view.mapValues(_.size).toMap
+    val perDirBefore = parentDirs(Layout.dataFiles(spark, s"$base/in"))
+      .groupBy(identity).view.mapValues(_.size).toMap
     assert(perDirBefore.values.max > 1, "partitions not shattered — vacuous")
 
     val stats = Layout.compact(spark, s"$base/in", s"$base/out",
       targetBytes = 1L * 1024 * 1024, partitionCols = Seq("event_date"))
       .head()
     // same partition directories survive
-    val dirsAfter = Layout.dataFiles(spark, s"$base/out")
-      .map(_._1.replaceAll("/[^/]+$", "")).distinct.sorted
+    val dirsAfter =
+      parentDirs(Layout.dataFiles(spark, s"$base/out")).distinct.sorted
     assert(dirsAfter.map(_.split("/").last) == dirsBefore.map(_.split("/").last))
     // one file per partition at this target (no partition exceeds 1 MiB)
-    val perDirAfter = Layout.dataFiles(spark, s"$base/out")
-      .groupBy(_._1.replaceAll("/[^/]+$", "")).view.mapValues(_.size).toMap
+    val perDirAfter = parentDirs(Layout.dataFiles(spark, s"$base/out"))
+      .groupBy(identity).view.mapValues(_.size).toMap
     assert(perDirAfter.values.forall(_ == 1),
       s"expected one file per partition dir, got $perDirAfter")
     assert(stats.getAs[Long]("files_after") < stats.getAs[Long]("files_before"))
@@ -100,8 +104,8 @@ class CompactSpec extends SparkSpec {
     // an artificially tiny target still splits an oversized partition
     val small = Layout.compact(spark, s"$base/in", s"$base/out2",
       targetBytes = 2048, partitionCols = Seq("event_date"))
-    val perDirSmall = Layout.dataFiles(spark, s"$base/out2")
-      .groupBy(_._1.replaceAll("/[^/]+$", "")).view.mapValues(_.size).toMap
+    val perDirSmall = parentDirs(Layout.dataFiles(spark, s"$base/out2"))
+      .groupBy(identity).view.mapValues(_.size).toMap
     assert(perDirSmall.values.exists(_ > 1),
       s"maxRecordsPerFile did not split an oversized partition: $perDirSmall")
     assert(fingerprint(out) == fingerprint(
