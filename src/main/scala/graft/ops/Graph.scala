@@ -101,10 +101,31 @@ object Graph {
       edges: DataFrame, nodes: DataFrame, tol: Double = 1e-6,
       maxIters: Int = 100, damping: Double = 0.85, srcCol: String = "src",
       dstCol: String = "dst", nodeCol: String = "node",
-      weightCol: Option[String] = None): (DataFrame, Int) = {
+      weightCol: Option[String] = None,
+      warmStart: Option[DataFrame] = None): (DataFrame, Int) = {
     require(tol > 0, s"tol must be positive, got $tol")
-    propagateCore(edges, uniformTeleport(nodes, nodeCol),
-      maxIters, damping, srcCol, dstCol, weightCol, Some(tol))
+    // warm start: yesterday's (node, rank) as rank0 — the incremental
+    // mode for periodic recrawls, where the graph barely moves and the
+    // fixed point is a few iterations from the previous one instead of
+    // ~ln(tol)/ln(damping) from uniform. Nodes absent from the warm
+    // ranks (newly crawled) start at the teleport floor t; the vector is
+    // then renormalized to mass 1 so convergence still contracts toward
+    // THE fixed point (the iteration is linear — any mass error would
+    // persist at (1-d)-scale, not decay).
+    val tele = uniformTeleport(nodes, nodeCol)
+    val init = warmStart.map { prev =>
+      val joined = tele
+        .join(prev.select(col("node"), col("rank").as("__warm")),
+          Seq("node"), "left")
+        .select(col("node"), col("t"),
+          coalesce(col("__warm"), col("t")).as("rank"))
+      val mass = joined.agg(sum("rank")).head().getDouble(0)
+      require(mass > 0, "warm-start ranks sum to 0")
+      joined.select(col("node"), col("t"),
+        (col("rank") / lit(mass)).as("rank"))
+    }
+    propagateCore(edges, tele, maxIters, damping, srcCol, dstCol,
+      weightCol, Some(tol), init)
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004, public): PageRank
@@ -155,7 +176,8 @@ object Graph {
   private def propagateCore(
       edges: DataFrame, nodeT: DataFrame, iters: Int, damping: Double,
       srcCol: String, dstCol: String, weightCol: Option[String],
-      tol: Option[Double]): (DataFrame, Int) = {
+      tol: Option[Double],
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nodeDf = nodeT.persist()
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
@@ -166,7 +188,9 @@ object Graph {
     val deg = e.groupBy("src").agg(sum("w").as("deg"))
     val eDeg = e.join(deg, "src").repartition(col("src")).persist()
     val degOnly = deg.persist()
-    var ranks = nodeDf.withColumn("rank", col("t")).persist()
+    // rank0: the teleport vector, unless a warm start supplies
+    // (node, t, rank) directly
+    var ranks = init.getOrElse(nodeDf.withColumn("rank", col("t"))).persist()
     var i = 0
     var converged = false
     while (i < iters && !converged) {

@@ -200,6 +200,37 @@ class GraphSpec extends SparkSpec {
     assert(cycIters == 1, s"cycle should detect the fixed point: $cycIters")
   }
 
+  test("warm-start convergence: yesterday's ranks cut iterations; new nodes covered") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L until 10L).toDF("node")
+    val (cold, coldIters) =
+      Graph.pageRankConverged(edges, nodes, tol = 1e-8, damping = 0.5)
+    // re-converging the SAME graph from its own fixed point is ~instant
+    val (warm, warmIters) = Graph.pageRankConverged(edges, nodes,
+      tol = 1e-8, damping = 0.5, warmStart = Some(cold))
+    assert(warmIters < coldIters,
+      s"warm start did not cut iterations: $warmIters vs $coldIters")
+    val coldMap = cold.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val warmMap = warm.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((v, expect) <- coldMap)
+      assert(math.abs(warmMap(v) - expect) < 1e-7,
+        s"warm fixed point drifted at $v")
+    // the graph GROWS (the daily-recrawl shape): a new node with no warm
+    // rank starts at the teleport floor; mass renormalizes to 1
+    val edges2 = edges.unionByName(Seq((9L, 10L)).toDF("src", "dst"))
+    val nodes2 = (0L until 11L).toDF("node")
+    val (grown, grownIters) = Graph.pageRankConverged(edges2, nodes2,
+      tol = 1e-8, damping = 0.5, warmStart = Some(cold))
+    val grownMap = grown.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(grownMap.keySet == (0L until 11L).toSet)
+    assert(grownMap(10L) > 0.0)
+    assert(math.abs(grownMap.values.sum - 1.0) < 1e-9,
+      s"mass not conserved after growth: ${grownMap.values.sum}")
+    assert(grownIters <= coldIters,
+      s"warm start on the grown graph took longer than cold: $grownIters")
+  }
+
   test("string host ids rank identically to numeric ids (the crawl shape)") {
     // same topology under both id types: 0->1, 0->2, 2 dangling, 3 isolated
     val numEdges = Seq((0L, 1L), (0L, 2L)).toDF("src", "dst")
