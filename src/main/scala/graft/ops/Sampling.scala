@@ -150,8 +150,13 @@ object Sampling {
     * groupBy per bin; a bin's in-memory array is bounded by
     * `binBudget` (+ one document's overshoot), and rows explode back out
     * map-side. Output: (pack_group, pack_seq, seq_index, token_ids,
-    * n_real_tokens) — conservation invariant: Σ n_real_tokens =
-    * Σ_docs (n_tokens + 1). */
+    * n_real_tokens, doc_ids) — conservation invariant: Σ n_real_tokens =
+    * Σ_docs (n_tokens + 1). `doc_ids` is the per-token provenance array
+    * (length exactly n_real_tokens — padding has no entry; a document's
+    * EOS carries its own id): cross-document attention masks derive from
+    * it (mask attention where doc_ids[i] != doc_ids[j]), the detail that
+    * separates naive concat-packing from packing a trainer can use
+    * without cross-document leakage. */
   def packSequences(
       docs: DataFrame, idCol: String, textCol: String,
       tok: graft.functions.BpeTokenizer, seqLen: Int, binBudget: Long,
@@ -169,22 +174,34 @@ object Sampling {
       .withColumn("__h", hashHex(seed, Seq(col(idCol))))
     val flat = binned
       .groupBy(col("pack_group"), col("pack_seq"))
-      .agg(flatten(transform(
+      .agg(
         // same (hash, id) order the budget window used — bin content and
         // order are both deterministic
-        array_sort(collect_list(struct(col("__h"), col(idCol), col("__ids")))),
-        s => concat(s.getField("__ids"), array(lit(eos))))).as("__flat"))
+        array_sort(collect_list(struct(col("__h"), col(idCol), col("__ids"))))
+          .as("__sorted"))
+      .withColumn("__flat", flatten(transform(col("__sorted"),
+        s => concat(s.getField("__ids"), array(lit(eos))))))
+      // parallel per-token provenance: each token position (incl. the
+      // doc's own EOS) carries its source id — the column cross-document
+      // attention masking is built from (mask where doc_ids[i] !=
+      // doc_ids[j]); padding positions have no entry, so the array length
+      // is exactly n_real_tokens
+      .withColumn("__flatDoc", flatten(transform(col("__sorted"),
+        s => transform(concat(s.getField("__ids"), array(lit(eos))),
+          _ => s.getField(idCol)))))
     val nChunks = ceil(size(col("__flat")).cast("double") / seqLen).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i => {
       val piece = slice(col("__flat"), i * seqLen + 1, lit(seqLen))
       val padded = concat(piece,
         transform(sequence(lit(1), lit(seqLen) - size(piece)), _ => lit(pad)))
       struct(when(size(piece) === seqLen, piece).otherwise(padded).as("ids"),
-        size(piece).as("n_real"))
+        size(piece).as("n_real"),
+        slice(col("__flatDoc"), i * seqLen + 1, lit(seqLen)).as("docs"))
     })
     flat.select(col("pack_group"), col("pack_seq"), posexplode(chunks))
       .select(col("pack_group"), col("pack_seq"), col("pos").as("seq_index"),
-        col("col.ids").as("token_ids"), col("col.n_real").as("n_real_tokens"))
+        col("col.ids").as("token_ids"), col("col.n_real").as("n_real_tokens"),
+        col("col.docs").as("doc_ids"))
   }
 
   /** Deterministic global shuffle — training-order randomization as a pure

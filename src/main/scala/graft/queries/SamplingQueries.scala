@@ -253,11 +253,29 @@ object SamplingQueries extends QueryModule {
         .head().getLong(0)
       require(real == expected,
         s"token conservation broken: packed $real, corpus+eos $expected")
+      // per-token provenance: doc_ids covers exactly the real tokens, and
+      // the total token count per source doc matches its encoded length
+      // + 1 (the doc's own EOS) — alignment proven corpus-wide
+      val misaligned = packed
+        .filter(size(col("doc_ids")) =!= col("n_real_tokens")).count()
+      require(misaligned == 0, s"$misaligned rows with doc_ids length drift")
+      val perDoc = packed
+        .select(explode(col("doc_ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_packed"))
+      val docLens = docs.select(col("doc_id"),
+        (size(graft.functions.Bpe.encodeIds(s, col("text"), tok)) + 1)
+          .cast("long").as("n_enc"))
+      val drift = perDoc.join(docLens, "doc_id")
+        .filter(col("n_packed") =!= col("n_enc")).count()
+      require(drift == 0, s"$drift documents with provenance-count drift")
       packed
         .withColumn("ids_digest",
           xxhash64(concat_ws(",", transform(col("token_ids"),
             i => i.cast("string")))))
-        .drop("token_ids")
+        .withColumn("docs_digest",
+          xxhash64(concat_ws(",", transform(col("doc_ids"),
+            i => i.cast("string")))))
+        .drop("token_ids", "doc_ids")
         .orderBy("pack_group", "pack_seq", "seq_index")
     })
 

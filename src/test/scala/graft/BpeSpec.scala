@@ -191,6 +191,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("doc_ids provenance: per-token ids reassemble every document exactly") {
+    val eos = tok.vocabSize
+    val packed = Sampling.packSequences(docs, "doc_id", "text", tok,
+        seqLen = 48, binBudget = 256, groups = 8)
+      .orderBy("pack_group", "pack_seq", "seq_index")
+      .select("token_ids", "n_real_tokens", "doc_ids")
+      .collect()
+    // rebuild each document from ONLY its provenance-tagged tokens,
+    // in stream order (documents straddle row boundaries)
+    val byDoc = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    for (r <- packed) {
+      val ids = r.getSeq[Int](0)
+      val nReal = r.getInt(1)
+      val dids = r.getSeq[Long](2)
+      assert(dids.length == nReal, "doc_ids must cover exactly real tokens")
+      for (i <- 0 until nReal)
+        byDoc.getOrElseUpdate(dids(i),
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += ids(i)
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(byDoc.keySet == texts.keySet, "provenance must cover every doc")
+    for ((docId, toks) <- byDoc) {
+      assert(toks.last == eos, s"doc $docId's final token must be its EOS")
+      assert(tok.decode(toks.dropRight(1).toArray) == texts(docId),
+        s"doc $docId did not reassemble from provenance-tagged tokens")
+    }
+  }
+
   test("distributed piece counting matches driver-side counting exactly") {
     val distributed = Bpe.pieceCounts(docs, "text").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
