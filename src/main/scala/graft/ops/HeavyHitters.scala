@@ -107,4 +107,103 @@ object HeavyHitters {
     counted.filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** Mergeable Misra-Gries summary of a token stream [Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012]: counters UNDERESTIMATE true
+    * counts by at most [[maxError]] = n/(capacity+1), and any token whose
+    * true count exceeds that bound is guaranteed present. Merging
+    * preserves the bound (errors add exactly as the n's do), which is
+    * what makes the summary a STREAMING structure: per-micro-batch
+    * summaries fold into one without ever revisiting the stream. */
+  final case class TokenSummary(
+      counters: Map[String, Long], n: Long, capacity: Int) {
+    def maxError: Long = n / (capacity + 1)
+    def estimate(token: String): Long = counters.getOrElse(token, 0L)
+    /** Tokens whose TRUE count could meet ceil(minFraction·n): estimate +
+      * maxError ≥ threshold — a guaranteed superset of the true hitters
+      * (no false negatives; false positives bounded by the error). */
+    def hitters(minFraction: Double): Seq[(String, Long)] = {
+      val minCount = math.ceil(minFraction * n).toLong
+      counters.toSeq.filter(_._2 + maxError >= minCount)
+        .sortBy { case (t, c) => (-c, t) }
+    }
+  }
+
+  /** One-pass distributed summary: per-partition Misra-Gries, partials
+    * folded with [[merge]] on the driver (bounded: partitions × capacity
+    * entries cross, never the token stream). */
+  def summarize(
+      df: DataFrame, textCol: String, capacity: Int = 4096): TokenSummary = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(TextOps.tokens(col(textCol)).as("w")).as[Seq[String]]
+    val partials = toks.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](capacity * 2)
+      var np = 0L
+      it.foreach { ws =>
+        if (ws != null) ws.foreach { t =>
+          np += 1L
+          if (counters.containsKey(t)) counters.put(t, counters.get(t) + 1L)
+          else if (counters.size < capacity) counters.put(t, 1L)
+          else {
+            val eit = counters.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+      }
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      counters.forEach((t, c) => m.update(t, c))
+      Iterator.single((m.toMap, np))
+    }.collect()
+    partials.foldLeft(TokenSummary(Map.empty, 0L, capacity)) {
+      case (acc, (m, np)) => merge(acc, TokenSummary(m, np, capacity))
+    }
+  }
+
+  /** Agarwal-style MG merge: counter-wise sum, then — if over capacity —
+    * subtract the (capacity+1)-th largest counter from all and drop the
+    * non-positive. Error bounds add exactly as the stream lengths do, so
+    * the merged summary keeps maxError = (n_a + n_b)/(capacity+1). */
+  def merge(a: TokenSummary, b: TokenSummary): TokenSummary = {
+    require(a.capacity == b.capacity,
+      s"capacity mismatch: ${a.capacity} vs ${b.capacity}")
+    val sum = scala.collection.mutable.Map.empty[String, Long]
+    a.counters.foreach { case (t, c) => sum.update(t, c) }
+    b.counters.foreach { case (t, c) =>
+      sum.update(t, sum.getOrElse(t, 0L) + c)
+    }
+    val pruned =
+      if (sum.size <= a.capacity) sum.toMap
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)
+          .apply(a.capacity) // (capacity+1)-th largest
+        sum.iterator.collect {
+          case (t, c) if c - cut > 0L => t -> (c - cut)
+        }.toMap
+      }
+    TokenSummary(pruned, a.n + b.n, a.capacity)
+  }
+
+  /** foreachBatch sink maintaining a running [[TokenSummary]] over an
+    * unbounded stream — the streaming twin of [[summarize]]: each
+    * micro-batch is summarized (one distributed pass over the batch) and
+    * folded into the accumulator. Read the reference between/after
+    * batches; the bound degrades only with total stream length, exactly
+    * as the batch bound would. */
+  def runningSummarySink(textCol: String, capacity: Int = 4096):
+      (java.util.concurrent.atomic.AtomicReference[TokenSummary],
+        (DataFrame, Long) => Unit) = {
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      TokenSummary(Map.empty, 0L, capacity))
+    val fn = (batch: DataFrame, _: Long) => {
+      val s = summarize(batch, textCol, capacity)
+      ref.updateAndGet(prev => merge(prev, s))
+      ()
+    }
+    (ref, fn)
+  }
 }

@@ -981,6 +981,37 @@ object TextQueries extends QueryModule {
         .orderBy("rank")
     })
 
+  /** Mergeable Misra-Gries summary ([[graft.ops.HeavyHitters.summarize]]
+    * / `merge` — the streaming-capable twin of the exact two-pass
+    * txt_heavy_hitters): rows-only, with the sketch's whole CONTRACT
+    * self-asserted distributed against exact counts — estimates never
+    * exceed truth, undershoot by at most n/(capacity+1), and every token
+    * above the bound is present. Output = the guaranteed-superset
+    * hitters list. */
+  val txtMgSummary: Q = Q(
+    "txt_mg_summary",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val sm = graft.ops.HeavyHitters.summarize(docs, "text", capacity = 128)
+      val exact = docs
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val est = sm.counters.toSeq.toDF("token", "estimate")
+      val joined = exact.join(est, Seq("token"), "left")
+        .select(col("token"), col("cnt"),
+          coalesce(col("estimate"), lit(0L)).as("estimate"))
+      val violations = joined.filter(col("estimate") > col("cnt") ||
+        col("cnt") - col("estimate") > lit(sm.maxError)).count()
+      require(violations == 0, s"$violations tokens break the MG bound")
+      val missed = joined.filter(col("cnt") > lit(sm.maxError) &&
+        col("estimate") === 0).count()
+      require(missed == 0, s"$missed guaranteed hitters absent")
+      sm.hitters(0.005).toDF("token", "estimate")
+        .orderBy(col("estimate").desc, col("token"))
+    })
+
   /** Vocabulary-utilization histogram over real BPE ids
     * ([[graft.functions.Bpe.tokenFrequencies]]) — rows-only (no SQL
     * engine can re-tokenize) with two self-asserts: CONSERVATION (the
@@ -1099,5 +1130,6 @@ object TextQueries extends QueryModule {
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
-    txtBpeTrain, txtBpeTokenFreq, txtQualityClassifier, mntUpsert)
+    txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
+    mntUpsert)
 }

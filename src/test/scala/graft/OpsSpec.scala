@@ -1139,6 +1139,42 @@ class OpsSpec extends SparkSpec {
       docs.count())
   }
 
+  test("mergeable MG summary: error bound holds for every token; hitters superset") {
+    import graft.ops.HeavyHitters
+    val cap = 64
+    val s = HeavyHitters.summarize(docs, "text", cap)
+    val exact = docs
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(s.n == exact.values.sum, "stream length drift")
+    // MG contract: estimates never exceed truth, and undershoot by at
+    // most n/(capacity+1); any token above the bound is present
+    for ((t, c) <- exact) {
+      val est = s.estimate(t)
+      assert(est <= c, s"$t overestimated: $est > $c")
+      assert(c - est <= s.maxError, s"$t undershot past the bound")
+      if (c > s.maxError) assert(est > 0, s"guaranteed hitter $t missing")
+    }
+    // hitters(f) is a superset of the true hitters at that fraction
+    val f = 0.005
+    val minCount = math.ceil(f * s.n).toLong
+    val truth = exact.filter(_._2 >= minCount).keySet
+    val got = s.hitters(f).map(_._1).toSet
+    assert(truth.subsetOf(got),
+      s"missing true hitters: ${truth -- got}")
+    // splitting the corpus and merging matches the contract too
+    val (h1, h2) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val m = HeavyHitters.merge(
+      HeavyHitters.summarize(h1, "text", cap),
+      HeavyHitters.summarize(h2, "text", cap))
+    assert(m.n == s.n)
+    for ((t, c) <- exact) {
+      assert(m.estimate(t) <= c && c - m.estimate(t) <= m.maxError,
+        s"merged summary broke the bound at $t")
+    }
+  }
+
   test("corpus diff: statuses partition ids; null content compares stably") {
     import graft.ops.CorpusDiff
     val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),

@@ -127,6 +127,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters: running MG summary keeps the batch bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{functions => F}
+    import graft.ops.HeavyHitters
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val cap = 64
+    val (ref, sink) = HeavyHitters.runningSummarySink("text", cap)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(sink).start()
+    try {
+      // three micro-batches: the summary accumulates across all of them
+      for (part <- rows.grouped(math.max(1, rows.length / 3 + 1))) {
+        ms.addData(part.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val s = ref.get()
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.explode(graft.ops.TextOps.tokens(F.col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(s.n == exact.values.sum,
+      s"stream summary saw ${s.n} tokens, corpus has ${exact.values.sum}")
+    for ((t, c) <- exact) {
+      assert(s.estimate(t) <= c && c - s.estimate(t) <= s.maxError,
+        s"stream summary broke the MG bound at $t")
+      if (c > s.maxError) assert(s.estimate(t) > 0, s"hitter $t missing")
+    }
+  }
+
   test("streaming ingestion keeps the stats store current per micro-batch") {
     import graft.catalog.StatsStore
     import graft.stats.IncrementalStats
