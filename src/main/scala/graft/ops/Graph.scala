@@ -158,6 +158,72 @@ object Graph {
     propagate(edges, teleport, iters, damping, srcCol, dstCol, weightCol)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, public): mutual
+    * reinforcement over the link graph — a good AUTHORITY is pointed to
+    * by good hubs, a good HUB points at good authorities. The complement
+    * to PageRank for crawl curation: authorities surface canonical
+    * content pages, hubs surface link directories/aggregators (often
+    * exactly what a training pipeline down-weights). Iteration:
+    * a'(v) = Σ_{u→v} h(u), h'(u) = Σ_{u→v} a'(v), each L1-normalized —
+    * normalization choice affects SCALE only, not ranking (Kleinberg's
+    * convergence holds under any norm), and the L1 form keeps the whole
+    * recurrence in +,*,/ so a SQL oracle can track it to ulps (an L2
+    * norm would put sqrt parity on the cross-engine critical path).
+    * Per iteration: two groupBy shuffles over the persisted
+    * src-partitioned edge table plus two scalar normalization aggs.
+    * Isolated nodes score 0 on both axes; returns (node, hub, authority)
+    * over the full vertex set. */
+  def hits(
+      edges: DataFrame, nodes: DataFrame, iters: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct().persist()
+    val n = nodeDf.count().toDouble
+    require(n > 0, "empty node set")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).persist()
+    var scores = nodeDf
+      .withColumn("hub", lit(1.0 / n))
+      .withColumn("auth", lit(1.0 / n))
+      .persist()
+    var i = 0
+    while (i < iters) {
+      // authority update: sum of in-neighbor hub scores, L1-normalized
+      val aRaw = scores.join(e, scores("node") === e("src"))
+        .select(col("dst").as("node"), col("hub").as("c"))
+        .groupBy("node").agg(sum("c").as("a"))
+      val aJoined = nodeDf.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+        .persist()
+      val aSum = aJoined.agg(sum("a")).head().getDouble(0)
+      val aNorm = aJoined.select(col("node"),
+        (if (aSum == 0.0) lit(0.0) else col("a") / lit(aSum)).as("auth"))
+      // hub update: sum of out-neighbor NEW authority scores, normalized
+      val hRaw = aNorm.join(e, aNorm("node") === e("dst"))
+        .select(col("src").as("node"), col("auth").as("c"))
+        .groupBy("node").agg(sum("c").as("h"))
+      val hJoined = nodeDf.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+        .persist()
+      val hSum = hJoined.agg(sum("h")).head().getDouble(0)
+      val next = hJoined
+        .select(col("node"),
+          (if (hSum == 0.0) lit(0.0) else col("h") / lit(hSum)).as("hub"))
+        .join(aNorm, Seq("node"))
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true) // truncate lineage per iteration
+      aJoined.unpersist()
+      hJoined.unpersist()
+      scores.unpersist()
+      scores = next
+      i += 1
+    }
+    e.unpersist()
+    nodeDf.unpersist()
+    scores.withColumnRenamed("auth", "authority")
+  }
+
   /** Shared damped-propagation core: power iteration of
     * rank'(v) = (1-d)·t(v) + d·(Σ_{u→v} rank(u)·w(u,v)/W(u) + D·t(v))
     * over a teleport vector `t` with Σt = 1 (uniform t = PageRank;

@@ -216,6 +216,64 @@ object GraphQueries extends QueryModule {
         .orderBy("node")
     })
 
+  /** HITS ([[Graph.hits]]): the L1-normalized mutual-reinforcement
+    * recurrence unrolled as per-iteration CTEs — authority update,
+    * normalize, hub update, normalize — in the same +,*,/ arithmetic
+    * form as the Spark op (the L1-norm design choice exists exactly so
+    * this oracle avoids sqrt parity). Normalization uses a window
+    * `SUM(...) OVER ()` so every CTE is referenced exactly once:
+    * DuckDB inlines CTEs, and a scalar-subquery form that referenced
+    * each layer 3× expanded 9× PER ITERATION — ~59k parquet opens at 5
+    * iterations, found as an fd exhaustion crash. */
+  val grHits: Q = Q(
+    "gr_hits",
+    Some {
+      val header = s"""
+      WITH e0 AS ($edgesSql),
+      edges AS (SELECT src, dst FROM e0),
+      nodes AS (SELECT doc_id AS node FROM documents),
+      h0 AS (SELECT node,
+               1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS hub
+             FROM nodes)"""
+      val iters = (1 to Iters).map { i =>
+        val p = i - 1
+        s"""
+      ar$i AS (SELECT e.dst AS node, SUM(h.hub) AS a
+               FROM h$p h JOIN edges e ON h.node = e.src
+               GROUP BY e.dst),
+      a$i AS (SELECT n.node,
+                CASE WHEN SUM(COALESCE(ar.a, 0.0)) OVER () = 0 THEN 0.0
+                     ELSE COALESCE(ar.a, 0.0)
+                       / SUM(COALESCE(ar.a, 0.0)) OVER () END AS auth
+              FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node),
+      hr$i AS (SELECT e.src AS node, SUM(a.auth) AS h
+               FROM a$i a JOIN edges e ON a.node = e.dst
+               GROUP BY e.src),
+      h$i AS (SELECT n.node,
+                CASE WHEN SUM(COALESCE(hr.h, 0.0)) OVER () = 0 THEN 0.0
+                     ELSE COALESCE(hr.h, 0.0)
+                       / SUM(COALESCE(hr.h, 0.0)) OVER () END AS hub
+              FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node)"""
+      }.mkString(",", ",", "")
+      header + iters + s"""
+      SELECT h.node, ROUND(h.hub, 8) AS hub, ROUND(a.auth, 8) AS authority
+      FROM h$Iters h JOIN a$Iters a ON h.node = a.node
+      ORDER BY h.node"""
+    },
+    (s, dir) => {
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val scores = Graph.hits(edgesDf(s, dir), nodes, iters = Iters)
+      // both axes L1-normalized: each sums to 1
+      val sums = scores.agg(sum("hub"), sum("authority")).head()
+      require(math.abs(sums.getDouble(0) - 1.0) < 1e-9 &&
+        math.abs(sums.getDouble(1) - 1.0) < 1e-9,
+        s"HITS normalization broken: $sums")
+      scores.select(col("node"), round(col("hub"), 8).as("hub"),
+          round(col("authority"), 8).as("authority"))
+        .orderBy("node")
+    })
+
   /** INTEGRATION gate — TrustRank wired into the per-domain rollup, the
     * actual 100 TB use of a link prior: link-level trust aggregated to
     * the registrable domain that curation decisions act on. Composes the
@@ -279,5 +337,5 @@ object GraphQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
-      grComponents, grDomainTrust)
+      grComponents, grDomainTrust, grHits)
 }

@@ -200,6 +200,40 @@ class GraphSpec extends SparkSpec {
     assert(cycIters == 1, s"cycle should detect the fixed point: $cycIters")
   }
 
+  test("HITS: hubs and authorities separate; matches a driver reference") {
+    // 0 and 3 are hubs pointing at {1,2}; nothing links to 0/3 and 1/2
+    // link nowhere — pure hub/authority separation. 4 is isolated.
+    val edges = Seq((0L, 1L), (0L, 2L), (3L, 1L)).toDF("src", "dst")
+    val nodes = (0L until 5L).toDF("node")
+    // independent driver-side reference of the L1-normalized recurrence
+    val out = Map(0L -> Seq(1L, 2L), 3L -> Seq(1L))
+    val in = Map(1L -> Seq(0L, 3L), 2L -> Seq(0L))
+    val ids = (0L until 5L).toSeq
+    var hub = ids.map(_ -> 0.2).toMap
+    var auth = ids.map(_ -> 0.2).toMap
+    for (_ <- 1 to 5) {
+      val aRaw = ids.map(v => v -> in.getOrElse(v, Nil).map(hub).sum).toMap
+      val aSum = aRaw.values.sum
+      auth = aRaw.map { case (v, a) => v -> (if (aSum == 0) 0.0 else a / aSum) }
+      val hRaw = ids.map(v => v -> out.getOrElse(v, Nil).map(auth).sum).toMap
+      val hSum = hRaw.values.sum
+      hub = hRaw.map { case (v, h) => v -> (if (hSum == 0) 0.0 else h / hSum) }
+    }
+    val got = Graph.hits(edges, nodes, iters = 5).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (v <- ids) {
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-12, s"hub drift at $v")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-12, s"authority drift at $v")
+    }
+    // structure: 0/3 are pure hubs, 1/2 pure authorities, 4 scores zero;
+    // 1 (two in-links) out-ranks 2; 0 (two good targets) out-ranks 3
+    assert(got(0L)._2 == 0.0 && got(3L)._2 == 0.0)
+    assert(got(1L)._1 == 0.0 && got(2L)._1 == 0.0)
+    assert(got(4L) == (0.0, 0.0))
+    assert(got(1L)._2 > got(2L)._2)
+    assert(got(0L)._1 > got(3L)._1)
+  }
+
   test("warm-start convergence: yesterday's ranks cut iterations; new nodes covered") {
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
     val nodes = (0L until 10L).toDF("node")
