@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.GraphQueries,
     graft.queries.SimQueries,
     graft.queries.EventQueries,
-    graft.queries.SamplingQueries)
+    graft.queries.SamplingQueries,
+    graft.queries.PrivacyQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk audits over quasi-identifier combinations —
+  * k-anonymity equivalence classes, l-diversity of a sensitive column, and
+  * suppression to a k floor. The reference's domain (clinical cohort
+  * export — query/query_secure.py's export path releases demographics
+  * slices) is exactly where these audits run before any data leaves the
+  * enclave; for an LLM training corpus the same machinery audits
+  * user/provenance metadata before it ships with a dataset release.
+  *
+  * Scale shape: every audit is one hash aggregation keyed on the
+  * quasi-identifier tuple — the class table is bounded by the number of
+  * DISTINCT quasi tuples (the thing being audited: far below row count
+  * when k-anonymity is even achievable), so the rollups that follow are
+  * cheap. [[suppressToK]] joins the class table back on the same keys the
+  * aggregation hashed on, so AQE plans one shuffle of the data side and
+  * (typically) broadcasts the class table. Nothing here touches the
+  * driver beyond scalar reports.
+  */
+object Privacy {
+
+  /** Equivalence classes of `quasiCols`: one row per distinct
+    * quasi-identifier tuple with its `class_size`. NULL is a value (a
+    * missing birth year still partitions the release), matching SQL
+    * GROUP BY semantics in both engines. */
+  def equivalenceClasses(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+  }
+
+  /** Corpus-level k-anonymity report for threshold `k`: the dataset is
+    * k-anonymous iff `min_class_size >= k`; `rows_below_k` counts the
+    * ROWS at risk (each sits in a class an attacker can narrow below k
+    * candidates), `classes_below_k` the violating classes. One
+    * aggregation + one scalar rollup. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    equivalenceClasses(df, quasiCols)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < k, lit(1L)).otherwise(lit(0L)))
+          .as("classes_below_k"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(lit(0L)))
+          .as("rows_below_k"))
+      .withColumn("k", lit(k))
+      .withColumn("anonymous", col("min_class_size") >= col("k"))
+  }
+
+  /** Distinct-l-diversity of `sensitiveCol` within each quasi class:
+    * classes where every member shares one sensitive value (`l = 1`) leak
+    * the attribute even when the class is large enough for k-anonymity.
+    * NULL sensitive values are their own (countable) value: a class of
+    * all-NULLs still discloses "value unknown", so `l` counts it rather
+    * than reporting a spuriously diverse 0. */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    // count_distinct ignores NULL, so route NULL through a sentinel
+    // struct: (is_null, value) tuples are distinct exactly when the
+    // sensitive values are, with NULL as one extra value.
+    val sentinel = struct(col(sensitiveCol).isNull, col(sensitiveCol))
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(sentinel).as("l"))
+  }
+
+  /** l-diversity rollup mirroring [[kAnonymityReport]]: `min_l` over all
+    * classes plus the classes/rows violating the `l` floor. */
+  def lDiversityReport(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    lDiversity(df, quasiCols, sensitiveCol)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < l, lit(1L)).otherwise(lit(0L)))
+          .as("classes_below_l"),
+        sum(when(col("l") < l, col("class_size")).otherwise(lit(0L)))
+          .as("rows_below_l"))
+      .withColumn("l", lit(l))
+      .withColumn("diverse", col("min_l") >= col("l"))
+  }
+
+  /** Suppression to a k floor: drop every row whose quasi class has fewer
+    * than `k` members — the released remainder is k-anonymous by
+    * construction (suppression can only shrink classes to zero, never
+    * split them). A window over the quasi keys computes class sizes
+    * in the SAME shuffle that would feed the join-back, so the data
+    * moves once. */
+  def suppressToK(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__cs", count(lit(1)).over(w))
+      .filter(col("__cs") >= k)
+      .drop("__cs")
+  }
+
+  /** Fixed-width generalization bin for a numeric quasi-identifier
+    * (age → age band, balance → balance band): the standard first move
+    * when [[kAnonymityReport]] fails. `floor(x / width) * width` labels
+    * the bin by its inclusive lower edge; NULL stays NULL. */
+  def generalizeNumeric(c: Column, width: Double): Column = {
+    require(width > 0, s"width must be positive, got $width")
+    floor(c / lit(width)) * lit(width)
+  }
+}

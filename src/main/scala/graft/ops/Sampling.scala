@@ -90,6 +90,34 @@ object Sampling {
     df.withColumn("split", caseExpr)
   }
 
+  /** Dedup-aware [[hashSplit]]: rows connected by duplicate/near-duplicate
+    * `pairs` always land in the SAME split, because the split decision
+    * hashes the row's duplicate-cluster representative
+    * ([[graft.ops.Clusters.assignClusters]] min-id labeling) instead of
+    * the row itself. This is the split a training pipeline must use after
+    * near-dedup: a plain per-row split lets two near-identical documents
+    * straddle train/test, and the eval set silently measures memorization
+    * (exactly the leakage [[graft.ops.Decontaminate]] exists to catch
+    * after the fact — this prevents it by construction). Rows in no pair
+    * are their own cluster, so with empty `pairs` the assignment equals
+    * `hashSplit(df, Seq(idCol), splits, seed)` row for row.
+    *
+    * Scale shape: cluster resolution is the scale-adaptive hash-min
+    * resolver (edges-only shuffles), then ONE equi-join of df against the
+    * (id, cluster_id) table on the id — the payload moves once. Adds
+    * `cluster_id` and `split` columns. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], a: String = "a", b: String = "b",
+      seed: String = "graft", maxDriverEdges: Long = 2000000L): DataFrame = {
+    require(!df.columns.contains("split") && !df.columns.contains("cluster_id"),
+      "df already has a split/cluster_id column")
+    val clusters = graft.ops.Clusters.assignClusters(
+      df.select(col(idCol)), idCol, pairs, a, b, maxDriverEdges)
+    val assigned = hashSplit(clusters, Seq("cluster_id"), splits, seed)
+      .withColumnRenamed("id", idCol)
+    df.join(assigned, Seq(idCol))
+  }
+
   /** Exactly `k` rows per stratum (fewer iff the stratum is smaller),
     * chosen as the k smallest identity hashes — a deterministic reservoir:
     * stable under reruns, repartitioning, and engine choice, and growing

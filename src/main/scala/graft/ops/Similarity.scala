@@ -56,6 +56,35 @@ object Similarity {
       .select("qid", "rank", "nid", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query row, the `k` most-cosine-similar corpus rows with a DIFFERENT
+    * label — the highest-loss negatives a triplet/InfoNCE batch builder
+    * wants (random negatives are mostly easy; the near-boundary ones are
+    * the gradient signal). Same plan shape as [[bruteForceTopK]]: the
+    * query side broadcasts, the corpus streams in one pass; at 100 TB use
+    * an ANN shortlist ([[annTopK]]/[[graft.ops.Ivf]]) and post-filter
+    * labels when even one corpus pass per query batch is too wide.
+    * A NULL label never pairs (unknown labels can't be asserted
+    * different). Returns (qid, q_label, rank, nid, n_label, cosine). */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryFilter: Column, k: Int = 10): DataFrame = {
+    val corpus = df.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nv"), col(labelCol).as("n_label"))
+    val queries = df.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"),
+        col(labelCol).as("q_label"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("n_label").isNotNull && col("q_label").isNotNull &&
+        col("n_label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+        cosine(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "q_label", "rank", "nid", "n_label", "cosine")
+  }
+
   /** Random-hyperplane signature buckets: `bits` seeded hyperplanes; bucket
     * = integer of sign bits. Deterministic via seed. Output keeps the
     * (cast) vector for downstream scoring. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.Privacy
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk audits ([[graft.ops.Privacy]]) over the
+  * customer demographics table — the k-anonymity / l-diversity gate a
+  * cohort export (reference's CSV/ZIP release path) runs before data
+  * leaves the enclave. Quasi-identifier choices mirror a demographics
+  * release: nation + market segment + a generalized balance band. */
+object PrivacyQueries extends QueryModule {
+
+  /** k-anonymity report at k=5 over (nation, segment, 1000-wide balance
+    * band): the fine-grained release that FAILS the audit (min class
+    * size 1) — the gate pins the full risk rollup. */
+  val privKAnonymity: Q = Q(
+    "priv_k_anonymity",
+    Some("""
+      WITH cls AS (
+        SELECT count(*) AS class_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000) * 1000)
+      SELECT count(*) AS n_classes,
+        CAST(sum(class_size) AS BIGINT) AS n_rows,
+        min(class_size) AS min_class_size,
+        CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+        CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_below_k,
+        5 AS k,
+        min(class_size) >= 5 AS anonymous
+      FROM cls"""),
+    (s, dir) =>
+      Privacy.kAnonymityReport(
+        Tables.load(s, dir, "customer")
+          .withColumn("bal_band", Privacy.generalizeNumeric(col("c_acctbal"), 1000.0)),
+        quasiCols = Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+        .withColumn("k", col("k").cast("int")))
+
+  /** Distinct-l-diversity of the market segment within (nation, 2000-wide
+    * balance band) classes at l=3: some classes collapse to a single
+    * segment (min_l = 1), which k-anonymity alone would miss. */
+  val privLDiversity: Q = Q(
+    "priv_l_diversity",
+    Some("""
+      WITH cls AS (
+        SELECT count(*) AS class_size,
+          count(DISTINCT c_mktsegment) AS l
+        FROM customer
+        GROUP BY c_nationkey, floor(c_acctbal / 2000) * 2000)
+      SELECT count(*) AS n_classes,
+        min(l) AS min_l,
+        CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+        CAST(sum(CASE WHEN l < 3 THEN class_size ELSE 0 END) AS BIGINT) AS rows_below_l,
+        3 AS l,
+        min(l) >= 3 AS diverse
+      FROM cls"""),
+    (s, dir) =>
+      Privacy.lDiversityReport(
+        Tables.load(s, dir, "customer")
+          .withColumn("bal_band", Privacy.generalizeNumeric(col("c_acctbal"), 2000.0)),
+        quasiCols = Seq("c_nationkey", "bal_band"),
+        sensitiveCol = "c_mktsegment", l = 3L)
+        .withColumn("l", col("l").cast("int")))
+
+  /** Suppression to k=12 over (nation, segment): the gate compares the
+    * EXACT released row set (every keep/drop decision), not just counts —
+    * both engines must agree on every class size. */
+  val privSuppress: Q = Q(
+    "priv_suppress_k",
+    Some("""
+      WITH cls AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment)
+      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+      FROM customer c
+      JOIN cls USING (c_nationkey, c_mktsegment)
+      WHERE cls.class_size >= 12
+      ORDER BY c.c_custkey"""),
+    (s, dir) =>
+      Privacy.suppressToK(Tables.load(s, dir, "customer"),
+          quasiCols = Seq("c_nationkey", "c_mktsegment"), k = 12L)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey"))
+
+  override def queries: Seq[Q] = Seq(privKAnonymity, privLDiversity, privSuppress)
+}

@@ -310,8 +310,44 @@ object SamplingQueries extends QueryModule {
           seed = "graft-ws")
         .orderBy("doc_id"))
 
+  /** Dedup-aware split: documents sharing a 60-char prefix (the gate's
+    * duplicate-cluster definition — 22 multi-document clusters at sf0.01)
+    * must land in one split. The gate compares every row's
+    * (cluster_id, split) assignment, so both engines must agree on the
+    * cluster resolution AND the per-cluster hash draw. */
+  val smpLeakageSafe: Q = Q(
+    "smp_leakage_safe_split",
+    Some("""
+      WITH rep AS (
+        SELECT doc_id,
+          MIN(doc_id) OVER (PARTITION BY substr(text, 1, 60)) AS cluster_id
+        FROM documents),
+      s AS (
+        SELECT doc_id, cluster_id,
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft',
+              CAST(cluster_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 AS f
+        FROM rep)
+      SELECT doc_id, cluster_id,
+        CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM s
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 60).as("p"))
+      val reps = keyed.groupBy("p").agg(min("doc_id").as("rep"))
+      val pairs = keyed.join(reps, Seq("p"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"))
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
-      smpWeighted)
+      smpWeighted, smpLeakageSafe)
 }

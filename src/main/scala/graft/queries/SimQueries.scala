@@ -388,8 +388,39 @@ object SimQueries extends QueryModule {
       pairs.orderBy("id1", "id2")
     })
 
+  /** Hard-negative mining: top-5 most-similar vectors with a DIFFERENT
+    * label per query — the cosine arithmetic and tie-break mirror
+    * sim_topk_bruteforce exactly, plus the cross-label filter. */
+  val simHardNegatives: Q = Q(
+    "sim_hard_negatives",
+    Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS q_label, e AS qe
+            FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, q_label, v.vec_id AS nid, v.label AS n_label,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v
+        WHERE v.label IS NOT NULL AND q_label IS NOT NULL
+          AND v.label != q_label),
+      r AS (SELECT qid, q_label, nid, n_label, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, q_label, rank, nid, n_label, ROUND(cos, 6) AS cosine
+      FROM r WHERE rank <= 5
+      ORDER BY qid, rank"""),
+    (s, dir) =>
+      Similarity.hardNegatives(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", col("vec_id") < 10, k = 5)
+        .select(col("qid"), col("q_label"), col("rank"), col("nid"),
+          col("n_label"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank"))
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
-      mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs)
+      mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives)
 }
