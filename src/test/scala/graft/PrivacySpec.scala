@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Privacy, Sampling, Similarity}
+
+/** Wave-5 operators: privacy audits, the dedup-aware split, and
+  * hard-negative mining. */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Seq(
+    // (zip, age_band, diagnosis) — class (z1, 30) has 3 rows / 1 value,
+    // (z1, 40) has 2 rows / 2 values, (z2, 30) is a singleton, and the
+    // NULL-diagnosis class (z2, 40) has 2 rows / 2 values (NULL + "flu").
+    ("z1", 30, "flu"), ("z1", 30, "flu"), ("z1", 30, "flu"),
+    ("z1", 40, "flu"), ("z1", 40, "cold"),
+    ("z2", 30, "cold"),
+    ("z2", 40, null), ("z2", 40, "flu")
+  ).toDF("zip", "age_band", "diagnosis")
+
+  test("k-anonymity report: class census, rows at risk, threshold flag") {
+    val r2 = Privacy.kAnonymityReport(people, Seq("zip", "age_band"), k = 2).head()
+    assert(r2.getAs[Long]("n_classes") == 4)
+    assert(r2.getAs[Long]("n_rows") == 8)
+    assert(r2.getAs[Long]("min_class_size") == 1)
+    assert(r2.getAs[Long]("classes_below_k") == 1) // the (z2, 30) singleton
+    assert(r2.getAs[Long]("rows_below_k") == 1)
+    assert(!r2.getAs[Boolean]("anonymous"))
+
+    val r1 = Privacy.kAnonymityReport(people, Seq("zip", "age_band"), k = 1).head()
+    assert(r1.getAs[Boolean]("anonymous")) // k=1 always holds
+  }
+
+  test("l-diversity: NULL sensitive value counts as one distinct value") {
+    val l = Privacy.lDiversity(people, Seq("zip", "age_band"), "diagnosis")
+      .orderBy("zip", "age_band").collect()
+    assert(l.map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("l"))).toSeq ==
+      Seq(("z1", 30, 1L), ("z1", 40, 2L), ("z2", 30, 1L), ("z2", 40, 2L)))
+    val rep = Privacy.lDiversityReport(people, Seq("zip", "age_band"),
+      "diagnosis", l = 2).head()
+    assert(rep.getAs[Long]("min_l") == 1)
+    assert(rep.getAs[Long]("classes_below_l") == 2)
+    assert(rep.getAs[Long]("rows_below_l") == 4) // 3 + 1
+    assert(!rep.getAs[Boolean]("diverse"))
+  }
+
+  test("suppression to k leaves a k-anonymous remainder and only drops") {
+    val kept = Privacy.suppressToK(people, Seq("zip", "age_band"), k = 2)
+    assert(kept.count() == 7) // the (z2, 30) singleton is gone
+    val audit = Privacy.kAnonymityReport(kept, Seq("zip", "age_band"), k = 2).head()
+    assert(audit.getAs[Boolean]("anonymous"))
+    // suppression never invents rows: kept ⊆ original, classes intact
+    assert(kept.exceptAll(people).count() == 0)
+    // idempotent: suppressing an already-k-anonymous release drops nothing
+    assert(Privacy.suppressToK(kept, Seq("zip", "age_band"), k = 2).count() == 7)
+  }
+
+  test("generalization bins label by inclusive lower edge; NULL stays NULL") {
+    val df = Seq[java.lang.Double](17.0, -0.5, 0.0, 999.9, null).toDF("v")
+    val bins = df.select(Privacy.generalizeNumeric(col("v"), 10.0).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(bins.toSeq == Seq(10.0, -10.0, 0.0, 990.0, null))
+  }
+
+  test("leakage-safe split: pairs never straddle; empty pairs == hashSplit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // near-dup proxy pairs: same (lang, n_chars/100) bucket, star edges
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).as("bkt"))
+    val reps = keyed.groupBy("lang", "bkt").agg(min("doc_id").as("rep"))
+    val pairs = keyed.join(reps, Seq("lang", "bkt"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    assert(pairs.count() > 0)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs, splits)
+
+    // no pair straddles splits: join each edge to both endpoints' splits
+    val s = out.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(s.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), Seq("a"))
+      .join(s.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0)
+
+    // every row assigned, all three splits non-empty at this size
+    assert(out.filter(col("split").isNull).count() == 0)
+    assert(out.select("split").distinct().count() == 3)
+
+    // empty pairs degrade to the plain per-row hashSplit, row for row
+    val empty = pairs.filter(lit(false))
+    val solo = Sampling.leakageSafeSplit(docs, "doc_id", empty, splits)
+      .select(col("doc_id"), col("split"))
+    val plain = Sampling.hashSplit(docs, Seq("doc_id"), splits)
+      .select(col("doc_id"), col("split"))
+    assert(solo.exceptAll(plain).count() == 0 && plain.exceptAll(solo).count() == 0)
+  }
+
+  test("hard negatives: cross-label only, descending cosine, nulls never pair") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+      col("vec_id") < 5, k = 4).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      // strictly cross-label
+      assert(sorted.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+      // non-increasing cosine down the ranks
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+
+    // driver cross-check for one query: best cross-label neighbor matches
+    val rows = embs.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val (qid, qv, ql) = rows.find(_._1 == 0L).get
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expectBest = rows.filter(r => r._3 != ql)
+      .map(r => (r._1, cosine(qv, r._2))).maxBy { case (nid, c) => (c, -nid) }
+    val got = Similarity.hardNegatives(embs.filter(col("vec_id") < 200),
+        "vec_id", "embedding", "label", col("vec_id") === 0, k = 1)
+      .head()
+    assert(got.getAs[Long]("nid") == expectBest._1)
+    assert(math.abs(got.getAs[Double]("cosine") - expectBest._2) < 1e-9)
+
+    // a null label can be neither anchor nor negative
+    val withNull = embs.limit(50)
+      .withColumn("label",
+        when(col("vec_id") % 2 === 0, lit(null).cast("int")).otherwise(col("label")))
+    val nn = Similarity.hardNegatives(withNull, "vec_id", "embedding", "label",
+      lit(true), k = 3)
+    assert(nn.filter(col("qid") % 2 === 0 || col("nid") % 2 === 0).count() == 0)
+  }
+}
