@@ -58,6 +58,60 @@ object Graph {
         maxDriverEdges = maxDriverEdges)
       .select(col("id").as("node"), col("cluster_id").as("component"))
 
+  /** Community detection via synchronous label propagation (Raghavan et
+    * al. 2007, deterministic variant): labels start as node ids; each
+    * iteration every node adopts the most frequent label among its
+    * neighbors PLUS its own current label, ties broken toward the
+    * smallest label. The own-label vote keeps singletons stable and damps
+    * the two-coloring oscillation plain synchronous LPA exhibits on
+    * bipartite structures; the min-label tie-break makes the whole
+    * recurrence a pure function of the graph — reproducible across runs,
+    * partitionings, and engines (the gate unrolls it as SQL CTEs).
+    * Edges are treated as an UNDIRECTED SET: both directions, multi-edges
+    * collapsed, self-loops dropped — community membership is about who
+    * links whom, not how often.
+    *
+    * Scale shape: the symmetrized edge set shuffles ON u once
+    * (repartition + persist — each iteration's join reuses that
+    * exchange); one iteration then costs one label-table join + one
+    * (node, lbl) groupBy, and the argmax window rides the groupBy's
+    * partitioning (no extra exchange). Labels are node-sized, never
+    * edge-sized; lineage truncates per iteration like [[pageRank]].
+    * Returns (node, community). */
+  def labelPropagation(
+      edges: DataFrame, nodes: DataFrame, iters: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val nodeDf = nodes.select(col(nodeCol).as("node")).distinct().persist()
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u")).persist()
+    var labels = nodeDf.withColumn("lbl", col("node")).persist()
+    var i = 0
+    while (i < iters) {
+      val neigh = und.join(labels.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), col("lbl"))
+      val counts = neigh.union(labels.select(col("node"), col("lbl")))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      val next = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true) // truncate lineage per iteration
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    und.unpersist()
+    nodeDf.unpersist()
+    labels.withColumnRenamed("lbl", "community")
+  }
+
   /** Standard damped PageRank with uniform dangling-mass redistribution:
     * rank'(v) = (1-d)/n + d * (Σ_{u→v} rank(u)/outdeg(u) + D/n), where D
     * is the total rank held by nodes without out-edges. `nodes` fixes the

@@ -335,7 +335,60 @@ object GraphQueries extends QueryModule {
         .orderBy("domain")
     })
 
+  /** Deterministic synchronous label propagation
+    * ([[Graph.labelPropagation]], 3 iterations): the oracle unrolls the
+    * recurrence — symmetrized distinct edge set, per-(node, label)
+    * neighbor+self vote counts, argmax with the min-label tie-break — so
+    * both engines must agree on every vote count and every tie. */
+  val grLabelProp: Q = Q(
+    "gr_label_propagation",
+    Some(s"""
+      WITH e0 AS ($edgesSql),
+      und AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT src AS u, dst AS v FROM e0
+          UNION ALL
+          SELECT dst AS u, src AS v FROM e0)
+        WHERE u <> v),
+      l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+      c1 AS (
+        SELECT node, lbl, count(*) AS cnt FROM (
+          SELECT und.v AS node, l.lbl FROM und JOIN l0 l ON und.u = l.node
+          UNION ALL SELECT node, lbl FROM l0)
+        GROUP BY node, lbl),
+      l1 AS (SELECT node, lbl FROM (
+        SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+        FROM c1) WHERE rn = 1),
+      c2 AS (
+        SELECT node, lbl, count(*) AS cnt FROM (
+          SELECT und.v AS node, l.lbl FROM und JOIN l1 l ON und.u = l.node
+          UNION ALL SELECT node, lbl FROM l1)
+        GROUP BY node, lbl),
+      l2 AS (SELECT node, lbl FROM (
+        SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+        FROM c2) WHERE rn = 1),
+      c3 AS (
+        SELECT node, lbl, count(*) AS cnt FROM (
+          SELECT und.v AS node, l.lbl FROM und JOIN l2 l ON und.u = l.node
+          UNION ALL SELECT node, lbl FROM l2)
+        GROUP BY node, lbl),
+      l3 AS (SELECT node, lbl FROM (
+        SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+        FROM c3) WHERE rn = 1)
+      SELECT node, lbl AS community
+      FROM l3
+      ORDER BY node"""),
+    (s, dir) => {
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      Graph.labelPropagation(edgesDf(s, dir), nodes, iters = 3)
+        .orderBy("node")
+    })
+
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
-      grComponents, grDomainTrust, grHits)
+      grComponents, grDomainTrust, grHits, grLabelProp)
 }

@@ -290,6 +290,33 @@ class GraphSpec extends SparkSpec {
     assert(trust("d.example") == 0.0 && trust("b.example") > 0.0)
   }
 
+  test("label propagation: two triangles bridged once resolve to two communities") {
+    // triangles {0,1,2} and {10,11,12} with a single bridge 2–10; the
+    // intra-triangle majority beats the one bridge vote, so each triangle
+    // converges to its min id and the bridge never merges them
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+        (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L).toDF("node") // 99 isolated
+    val got = Graph.labelPropagation(edges, nodes, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L)
+    assert(got(10L) == 0L || got(10L) == 10L) // bridge node may tie toward min
+    assert(got(11L) == got(12L))
+    assert(got(99L) == 99L) // isolated node keeps its own label
+    // deterministic: a second run agrees exactly
+    val again = Graph.labelPropagation(edges, nodes, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // direction/multiplicity invariance: reversed + duplicated edges are
+    // the same undirected set, so communities are identical
+    val noisy = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .unionByName(edges).unionByName(edges)
+    val sym = Graph.labelPropagation(noisy, nodes, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sym == got)
+  }
+
   test("pageRank on a uniform cycle stays uniform (fixed point)") {
     val n = 8
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
