@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level CONTENT overlap between two corpora — "how much of crawl B
+  * is already in A" asked of the text itself, with no shared ids (the
+  * id-keyed complement of [[CorpusDiff]]). Jaccard and containment over
+  * distinct word n-grams are the standard corpus-comparison metrics
+  * (crawl-snapshot redundancy, source-acquisition valuation, benchmark
+  * kinship).
+  *
+  * Two paths:
+  *  - [[exact]]: tag each side's shingles and resolve membership in ONE
+  *    hash aggregation keyed by shingle (map-side combine collapses
+  *    per-partition repeats before the shuffle) followed by a scalar
+  *    rollup. Oracle-checkable; cost is a shuffle of the distinct-shingle
+  *    space.
+  *  - [[kmvSketch]] / [[estimate]]: a bottom-k (KMV) summary per corpus —
+  *    the k smallest unsigned shingle hashes. Sketches are tiny (k
+  *    longs), MERGEABLE (union-then-truncate, so per-partition/per-day
+  *    sketches fold without revisiting data), and estimate both distinct
+  *    cardinalities ((k-1)/u_k) and Jaccard (the share of the union's
+  *    bottom-k present in both sides — Bar-Yossef et al. 2002's min-wise
+  *    coincidence argument). At 100 TB this is the only shape that
+  *    works across snapshots: keep one sketch per snapshot and compare
+  *    any pair later without touching either corpus again.
+  */
+object CorpusOverlap {
+
+  /** One-row exact overlap report: distinct-shingle counts per side,
+    * intersection, union, `jaccard`, and directional containments
+    * (`containment_a` = share of A's shingles also in B). Empty-vs-empty
+    * reports 0.0 everywhere rather than NULL. */
+  def exact(
+      a: DataFrame, aTextCol: String,
+      b: DataFrame, bTextCol: String, n: Int = 3): DataFrame = {
+    val sa = a.select(explode(TextOps.shingles(col(aTextCol), n)).as("sg"))
+      .select(col("sg"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val sb = b.select(explode(TextOps.shingles(col(bTextCol), n)).as("sg"))
+      .select(col("sg"), lit(0).as("in_a"), lit(1).as("in_b"))
+    sa.union(sb)
+      .groupBy("sg")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .agg(
+        sum(col("in_a").cast("long")).as("n_a"),
+        sum(col("in_b").cast("long")).as("n_b"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("n_intersect"),
+        count(lit(1)).as("n_union"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+        col("n_union"),
+        when(col("n_union") === 0, lit(0.0))
+          .otherwise(col("n_intersect").cast("double") / col("n_union"))
+          .as("jaccard"),
+        when(coalesce(col("n_a"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_intersect").cast("double") / col("n_a"))
+          .as("containment_a"),
+        when(coalesce(col("n_b"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_intersect").cast("double") / col("n_b"))
+          .as("containment_b"))
+  }
+
+  /** Bottom-k sketch of a corpus's distinct-shingle hash space: the k
+    * smallest xxhash64 values in UNSIGNED order, stored sign-flipped
+    * (h ^ Long.MinValue) so Scala/Spark's signed sort IS the unsigned
+    * sort. Bounded driver transfer by construction (k longs via
+    * TakeOrderedAndProject — per-partition heads, never a full sort).
+    * A corpus with fewer than k distinct shingles yields them all (the
+    * sketch is then exact). */
+  def kmvSketch(
+      df: DataFrame, textCol: String, n: Int = 3, k: Int = 4096): Array[Long] = {
+    require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
+    df.select(explode(TextOps.shingles(col(textCol), n)).as("sg"))
+      .select((xxhash64(col("sg")).bitwiseXOR(lit(Long.MinValue))).as("h"))
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(k)
+      .collect().map(_.getLong(0))
+  }
+
+  /** Fold two bottom-k sketches into the bottom-k of the union — the
+    * mergeability that makes per-snapshot sketches composable. */
+  def mergeSketches(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** Distinct-cardinality estimate from a bottom-k sketch: exact when the
+    * sketch is unsaturated; else (k-1)/u_k with u_k the k-th smallest
+    * hash as a (0,1) fraction. */
+  def estimateDistinct(sketch: Array[Long], k: Int): Double = {
+    require(sketch.length <= k, s"sketch larger than k: ${sketch.length} > $k")
+    if (sketch.length < k) sketch.length.toDouble
+    else {
+      val uk = (sketch.last.toDouble / 18446744073709551616.0) + 0.5
+      (k - 1).toDouble / uk
+    }
+  }
+
+  /** (jaccard, distinct_a, distinct_b) estimates from two sketches built
+    * with the same `n` and `k`: the union's bottom-k is a uniform sample
+    * of A∪B's hash space, so the fraction of it present in BOTH input
+    * sketches estimates |A∩B|/|A∪B|. */
+  def estimate(a: Array[Long], b: Array[Long], k: Int): (Double, Double, Double) = {
+    val union = mergeSketches(a, b, k)
+    val inBoth =
+      if (union.isEmpty) 0
+      else {
+        val sa = a.toSet; val sb = b.toSet
+        union.count(h => sa.contains(h) && sb.contains(h))
+      }
+    val j = if (union.isEmpty) 0.0 else inBoth.toDouble / union.length
+    (j, estimateDistinct(a, k), estimateDistinct(b, k))
+  }
+}

@@ -221,7 +221,85 @@ object LayoutQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Corpus CONTENT overlap ([[graft.ops.CorpusOverlap.exact]]): distinct
+    * bigram Jaccard/containment between the doc_id % 3 == 0 slice and the
+    * remainder — no shared ids, the text itself is the join key. The
+    * oracle rebuilds both shingle sets with DuckDB list functions and
+    * resolves membership through a full outer join; Spark resolves it in
+    * one tagged aggregation — same one-row report. */
+  val mntCorpusOverlap: Q = Q(
+    "mnt_corpus_overlap",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END) AS s
+        FROM t),
+      ea AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 3 = 0),
+      eb AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 3 <> 0),
+      m AS (
+        SELECT CASE WHEN a.sg IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN b.sg IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM ea a FULL JOIN eb b ON a.sg = b.sg)
+      SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+        CAST(sum(in_b) AS BIGINT) AS n_b,
+        CAST(sum(in_a * in_b) AS BIGINT) AS n_intersect,
+        count(*) AS n_union,
+        ROUND(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard,
+        ROUND(CAST(sum(in_a * in_b) AS DOUBLE) / sum(in_a), 6) AS containment_a,
+        ROUND(CAST(sum(in_a * in_b) AS DOUBLE) / sum(in_b), 6) AS containment_b
+      FROM m"""),
+    (s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      graft.ops.CorpusOverlap.exact(
+          docs.filter(col("doc_id") % 3 === 0), "text",
+          docs.filter(col("doc_id") % 3 =!= 0), "text", n = 2)
+        .select(col("n_a"), col("n_b"), col("n_intersect"), col("n_union"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+    })
+
+  /** KMV-sketch overlap estimate (rows-only: the estimator is
+    * probabilistic, so the GATE self-asserts it against the exact path —
+    * Jaccard within ±0.1 absolute, cardinalities within 15% relative —
+    * and pins sketch mergeability, which is what makes per-snapshot
+    * sketches composable at 100 TB). */
+  val mntCorpusOverlapKmv: Q = Q(
+    "mnt_corpus_overlap_kmv",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 === 0)
+      val b = docs.filter(col("doc_id") % 3 =!= 0)
+      val k = 1024
+      val skA = graft.ops.CorpusOverlap.kmvSketch(a, "text", n = 2, k = k)
+      val skB = graft.ops.CorpusOverlap.kmvSketch(b, "text", n = 2, k = k)
+      val (jEst, daEst, dbEst) = graft.ops.CorpusOverlap.estimate(skA, skB, k)
+      val ex = graft.ops.CorpusOverlap.exact(a, "text", b, "text", n = 2).head()
+      val (nA, nB) = (ex.getAs[Long]("n_a"), ex.getAs[Long]("n_b"))
+      val jExact = ex.getAs[Double]("jaccard")
+      require(math.abs(jEst - jExact) <= 0.1,
+        s"KMV jaccard estimate off: $jEst vs exact $jExact")
+      require(math.abs(daEst - nA) <= 0.15 * nA,
+        s"KMV |A| estimate off: $daEst vs exact $nA")
+      require(math.abs(dbEst - nB) <= 0.15 * nB,
+        s"KMV |B| estimate off: $dbEst vs exact $nB")
+      // mergeability: fold order can't matter
+      val m1 = graft.ops.CorpusOverlap.mergeSketches(skA, skB, k)
+      val m2 = graft.ops.CorpusOverlap.mergeSketches(skB, skA, k)
+      require(m1.sameElements(m2), "KMV merge is order-sensitive")
+      Seq((jEst, jExact, daEst, nA, dbEst, nB))
+        .toDF("jaccard_est", "jaccard_exact", "n_a_est", "n_a_exact",
+          "n_b_est", "n_b_exact")
+    })
+
   override def queries: Seq[Q] =
     Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact,
-      mntCorpusDiff)
+      mntCorpusDiff, mntCorpusOverlap, mntCorpusOverlapKmv)
 }
