@@ -98,6 +98,27 @@ object CorpusOverlap {
     }
   }
 
+  /** foreachBatch accumulator folding per-micro-batch KMV sketches over an
+    * unbounded ingest stream — live snapshot cardinality/overlap with NO
+    * state store: the sketch is k longs, and [[mergeSketches]] is
+    * associative, commutative, and IDEMPOTENT (it dedupes hashes), so an
+    * at-least-once source redelivering a micro-batch cannot bias the
+    * estimate — the property counting accumulators (the MG summary sink)
+    * fundamentally lack. Wire with
+    * `stream.writeStream.foreachBatch(sink)`; read `ref.get()` any time
+    * and compare against another snapshot's sketch via [[estimate]]. */
+  def runningSketchSink(textCol: String, n: Int = 3, k: Int = 4096):
+      (java.util.concurrent.atomic.AtomicReference[Array[Long]],
+        (DataFrame, Long) => Unit) = {
+    val ref = new java.util.concurrent.atomic.AtomicReference(Array.empty[Long])
+    val fn = (batch: DataFrame, _: Long) => {
+      val s = kmvSketch(batch, textCol, n, k)
+      ref.updateAndGet(prev => mergeSketches(prev, s, k))
+      ()
+    }
+    (ref, fn)
+  }
+
   /** (jaccard, distinct_a, distinct_b) estimates from two sketches built
     * with the same `n` and `k`: the union's bottom-k is a uniform sample
     * of A∪B's hash space, so the fraction of it present in BOTH input

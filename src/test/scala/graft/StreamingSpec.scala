@@ -160,6 +160,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV sketch equals batch; redelivery cannot bias it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.CorpusOverlap
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val k = 256
+    val (ref, sink) = CorpusOverlap.runningSketchSink("text", n = 2, k = k)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(sink).start()
+    val parts = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    try {
+      for (part <- parts) { ms.addData(part.toSeq); q.processAllAvailable() }
+      val afterAll = ref.get()
+      val batchSketch = CorpusOverlap.kmvSketch(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", n = 2, k = k)
+      assert(afterAll.sameElements(batchSketch),
+        "stream-folded sketch differs from the one-shot batch sketch")
+      // at-least-once redelivery of the first micro-batch: idempotent
+      ms.addData(parts.head.toSeq); q.processAllAvailable()
+      assert(ref.get().sameElements(afterAll),
+        "redelivered micro-batch changed the sketch")
+    } finally q.stop()
+  }
+
   test("streaming ingestion keeps the stats store current per micro-batch") {
     import graft.catalog.StatsStore
     import graft.stats.IncrementalStats
