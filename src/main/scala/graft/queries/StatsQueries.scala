@@ -660,6 +660,43 @@ object StatsQueries extends QueryModule {
           col("l_extendedprice").as("price_z"))
         .orderBy("l_orderkey", "l_linenumber"))
 
+  /** Robust (median/MAD) group standardization
+    * ([[graft.transform.Standardize.robustZByGroup]]): both engines round
+    * the two quantiles at 6 decimals BEFORE the ratio, so every per-row z
+    * derives from identical doubles — quantile interpolation parity is
+    * the same claim t17_group_percentiles pins. */
+  val t26RobustZ: Q = Q(
+    "t26_robust_zscore",
+    Some("""
+      WITH med AS (
+        SELECT l_returnflag,
+          ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med
+        FROM lineitem GROUP BY 1),
+      mad AS (
+        SELECT l.l_returnflag,
+          ROUND(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 6) AS mad
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        GROUP BY 1)
+      SELECT l.l_orderkey, l.l_linenumber,
+        CASE WHEN d.mad > 0
+          THEN ROUND((l.l_extendedprice - m.med) / (1.4826 * d.mad), 6)
+        END AS robust_z
+      FROM lineitem l
+      JOIN med m ON l.l_returnflag = m.l_returnflag
+      JOIN mad d ON l.l_returnflag = d.l_returnflag
+      ORDER BY l.l_orderkey, l.l_linenumber, robust_z NULLS FIRST"""),
+    (s, dir) =>
+      graft.transform.Standardize
+        .robustZByGroup(Tables.load(s, dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber",
+              "l_extendedprice"),
+          "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("robust_z"))
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+        // the z value itself breaks the tie on both sides
+        .orderBy("l_orderkey", "l_linenumber", "robust_z"))
+
   /** Frequency-rank category indexing ([[graft.transform.Encode]]): a
     * deterministic broadcast dictionary (most frequent = 0, value
     * tie-break) applied per row — no hashing, no drift. */
@@ -759,5 +796,5 @@ object StatsQueries extends QueryModule {
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
-    t24TargetEncode, t25PsiByDomain)
+    t24TargetEncode, t25PsiByDomain, t26RobustZ)
 }

@@ -339,6 +339,26 @@ object ScaleBench {
           f""","rank_mass":$mass%.9f""")
       }
 
+      if (wanted("gr_label_propagation")) {
+        // same K×-scaling link graph, FIXED 3 iterations: one label join
+        // + one (node, lbl) groupBy per iteration, so time must scale
+        // ~linearly in edges like pageRank. Witness: every node gets
+        // exactly one community label at every K.
+        var labeled = 0L
+        var nodeCount = 0L
+        val (lpMed, lpS) = timeMedian {
+          val nodes = docs.select(col("doc_id").as("node"))
+          val edges =
+            graft.queries.GraphQueries.linkEdges(docs, docs.count())
+          val comm = graft.ops.Graph.labelPropagation(edges, nodes, iters = 3)
+          labeled = comm.count()
+          nodeCount = nodes.count()
+        }
+        require(labeled == nodeCount,
+          s"label propagation lost nodes at ${k}x: $labeled of $nodeCount")
+        emit("gr_label_propagation", k, nodeCount, lpMed, lpS)
+      }
+
       if (wanted("a7_enwiden_pivot")) {
         // long→wide pivot (one classify + one pivot shuffle): K× groups,
         // fixed width. The measurement hashes EVERY output column into the

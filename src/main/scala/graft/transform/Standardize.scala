@@ -52,6 +52,37 @@ object Standardize {
     }
   }
 
+  /** Robust group-wise standardization — (v − median)/(1.4826·MAD), the
+    * outlier-resistant twin of [[zscoreByGroup]]: one mislabeled 10^9 in
+    * a money column shifts a mean/stddev z arbitrarily but moves the
+    * median/MAD not at all, which is why quality-score normalization over
+    * crawl domains prefers it. MAD = median(|v − median|); 1.4826 scales
+    * MAD to σ under normality so thresholds transfer.
+    *
+    * Two exact-percentile passes (the group median must exist before the
+    * deviations can be formed), each a single groupBy over the data; the
+    * group-sized quantile tables broadcast back, so the data itself never
+    * shuffles. Both quantiles are ROUNDED at `roundTo` before the ratio —
+    * the z then derives from identical doubles in any engine (the same
+    * determinism-over-last-ulp trade the t17 percentile gate relies on).
+    * MAD = 0 (at least half the group identical) nulls out, as does a
+    * NULL value — never an ANSI divide error. */
+  def robustZByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol)).agg(
+      round(percentile(v, lit(0.5)), roundTo).as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol)).agg(
+      round(percentile(abs(v - col("__med")), lit(0.5)), roundTo).as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn(valueCol,
+        when(col("__mad") > 0.0,
+          round((v - col("__med")) / (lit(1.4826) * col("__mad")), roundTo)))
+      .drop("__med", "__mad")
+  }
+
   /** Group-wise z-score: each row standardized against ITS GROUP's
     * moments — the per-domain feature scaling that stops a high-variance
     * domain from dominating a mixed corpus. One groupBy computes the

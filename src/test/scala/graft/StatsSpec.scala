@@ -632,6 +632,32 @@ class StatsSpec extends SparkSpec {
       "zero-variance column must standardize to null, not throw")
   }
 
+  test("robust z: median/MAD math; outlier-resistant; MAD=0 and nulls null out") {
+    import graft.transform.Standardize
+    // group a: 1,2,3,4,100 — median 3, deviations 2,1,0,1,97 → MAD 1
+    // group b: all 7s — MAD 0 → null; group c has a null value
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),
+      ("a", 4L, Some(4.0)), ("a", 5L, Some(100.0)),
+      ("b", 6L, Some(7.0)), ("b", 7L, Some(7.0)),
+      ("c", 8L, Some(5.0)), ("c", 9L, None), ("c", 10L, Some(9.0))
+    ).toDF("g", "id", "v")
+    val out = Standardize.robustZByGroup(df, "g", "v", roundTo = 6)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2).asInstanceOf[AnyRef])).toMap
+    def rz(v: Double, med: Double, mad: Double): Double =
+      BigDecimal((v - med) / (1.4826 * mad))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L) == rz(3.0, 3.0, 1.0).asInstanceOf[AnyRef]) // exactly 0
+    assert(out(1L) == rz(1.0, 3.0, 1.0).asInstanceOf[AnyRef])
+    // the outlier's z is huge but BOUNDED by the clean median/MAD — a
+    // mean/sd z of the same group would be pulled toward the outlier
+    assert(out(5L) == rz(100.0, 3.0, 1.0).asInstanceOf[AnyRef])
+    assert(out(6L) == null && out(7L) == null, "MAD=0 group must null out")
+    assert(out(9L) == null, "null value stays null")
+    // group c: median 7 (interpolated from 5,9), MAD 2
+    assert(out(8L) == rz(5.0, 7.0, 2.0).asInstanceOf[AnyRef])
+  }
+
   test("winsorize: tails clip to percentile bounds, interior passes through") {
     import graft.transform.Winsorize
     // 1..100: p1 = 1.99, p99 = 99.01 under (n-1)p interpolation
