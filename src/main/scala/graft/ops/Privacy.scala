@@ -106,6 +106,28 @@ object Privacy {
       .drop("__cs")
   }
 
+  /** Deterministic keyed pseudonymization of identifier columns: each
+    * value becomes the hex SHA-256 of `secret || ":" || value` — stable
+    * within a release (joins and group-bys on the pseudonym still work,
+    * which is why a release pipeline prefers this over row numbers) and
+    * unlinkable across releases that rotate the secret. Salted-hash, not
+    * HMAC: SHA-256 length extension lets an attacker EXTEND a message,
+    * not invert or dictionary-skip the secret, so for fixed-format ids
+    * the simpler construction (which the SQL oracle can mirror) is
+    * standard; rotate to a real HMAC if values are attacker-chosen
+    * suffixes of each other. NULL stays NULL (a missing id must not gain
+    * a pseudonym that collides with the hash of the empty string).
+    * Pure codegen'd map — no shuffle, no UDF. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], secret: String): DataFrame = {
+    require(cols.nonEmpty, "no columns to pseudonymize")
+    require(secret.nonEmpty, "empty secret")
+    cols.foldLeft(df) { (out, c) =>
+      out.withColumn(c,
+        when(col(c).isNotNull,
+          sha2(concat(lit(secret), lit(":"), col(c).cast("string")), 256)))
+    }
+  }
+
   /** Fixed-width generalization bin for a numeric quasi-identifier
     * (age → age band, balance → balance band): the standard first move
     * when [[kAnonymityReport]] fails. `floor(x / width) * width` labels

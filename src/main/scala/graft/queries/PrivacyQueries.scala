@@ -83,5 +83,73 @@ object PrivacyQueries extends QueryModule {
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey"))
 
-  override def queries: Seq[Q] = Seq(privKAnonymity, privLDiversity, privSuppress)
+  /** Release-pipeline INTEGRATION gate: generalize the balance to
+    * 2000-wide bands, suppress to k=10 over (nation, band), then audit
+    * the remainder — one hash match proves generalization, suppression,
+    * and the k-anonymity audit compose identically across engines, and
+    * the audit must come back `anonymous = true` BY CONSTRUCTION (the
+    * gate requires it before returning). */
+  val privReleasePipeline: Q = Q(
+    "priv_release_pipeline",
+    Some("""
+      WITH rel AS (
+        SELECT c_nationkey, floor(c_acctbal / 2000) * 2000 AS bal_band
+        FROM customer),
+      cls AS (
+        SELECT c_nationkey, bal_band, count(*) AS class_size
+        FROM rel GROUP BY 1, 2),
+      kept AS (
+        SELECT r.c_nationkey, r.bal_band
+        FROM rel r JOIN cls USING (c_nationkey, bal_band)
+        WHERE cls.class_size >= 10),
+      audit AS (
+        SELECT count(*) AS class_size FROM kept GROUP BY c_nationkey, bal_band)
+      SELECT count(*) AS n_classes,
+        CAST(sum(class_size) AS BIGINT) AS n_rows,
+        min(class_size) AS min_class_size,
+        CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS classes_below_k,
+        CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+          AS BIGINT) AS rows_below_k,
+        10 AS k,
+        min(class_size) >= 10 AS anonymous
+      FROM audit"""),
+    (s, dir) => {
+      val released = Privacy.suppressToK(
+        Tables.load(s, dir, "customer")
+          .withColumn("bal_band",
+            Privacy.generalizeNumeric(col("c_acctbal"), 2000.0)),
+        quasiCols = Seq("c_nationkey", "bal_band"), k = 10L)
+      val audit = Privacy.kAnonymityReport(released,
+          Seq("c_nationkey", "bal_band"), k = 10L)
+        .withColumn("k", col("k").cast("int"))
+      require(audit.head().getAs[Boolean]("anonymous"),
+        "suppressed release failed its own k-anonymity audit")
+      audit
+    })
+
+  /** Keyed pseudonymization ([[Privacy.pseudonymize]]): the gate compares
+    * EVERY pseudonym (row-level), so both engines must agree on the
+    * salted-hash construction byte for byte; the join key property
+    * (same input → same pseudonym) is what makes the released table
+    * still joinable. */
+  val privPseudonymize: Q = Q(
+    "priv_pseudonymize",
+    Some("""
+      SELECT c_custkey,
+        sha256('graft-release-1:' || CAST(c_custkey AS VARCHAR)) AS pseud_id,
+        c_mktsegment
+      FROM customer
+      ORDER BY c_custkey"""),
+    (s, dir) =>
+      Privacy.pseudonymize(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_custkey").as("pseud_id"),
+              col("c_mktsegment")),
+          Seq("pseud_id"), secret = "graft-release-1")
+        .orderBy("c_custkey"))
+
+  override def queries: Seq[Q] =
+    Seq(privKAnonymity, privLDiversity, privSuppress, privReleasePipeline,
+      privPseudonymize)
 }

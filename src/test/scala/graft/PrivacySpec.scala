@@ -63,6 +63,27 @@ class PrivacySpec extends SparkSpec {
     assert(bins.toSeq == Seq(10.0, -10.0, 0.0, 990.0, null))
   }
 
+  test("pseudonymize: stable join key, NULL preserved, secret rotation unlinks") {
+    val df = Seq(Some("u1"), Some("u2"), Some("u1"), None).toDF("uid")
+    val p1 = Privacy.pseudonymize(df, Seq("uid"), "s1")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // same input → same pseudonym (joinable); distinct inputs stay distinct
+    assert(p1(0) == p1(2) && p1(0) != p1(1))
+    assert(p1(3) == null, "NULL id must not gain a pseudonym")
+    assert(p1(0).length == 64 && p1(0).matches("[0-9a-f]+"))
+    // rotating the secret unlinks releases
+    val p2 = Privacy.pseudonymize(df, Seq("uid"), "s2")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(p1(0) != p2(0))
+    // the separator prevents (secret, value) ambiguity: secret "s" +
+    // value "1x" must differ from secret "s1" + value "x"
+    val a = Privacy.pseudonymize(Seq("1x").toDF("uid"), Seq("uid"), "s")
+      .head().getString(0)
+    val b = Privacy.pseudonymize(Seq("x").toDF("uid"), Seq("uid"), "s1")
+      .head().getString(0)
+    assert(a != b)
+  }
+
   test("leakage-safe split: pairs never straddle; empty pairs == hashSplit") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // near-dup proxy pairs: same (lang, n_chars/100) bucket, star edges
