@@ -411,6 +411,58 @@ object Sinks {
 
   /** S9 composition: the reference's summary-report ZIP = filter funnel +
     * per-step CSVs (query/callbacks/export.py:449–476). */
+  /** Deterministic sharded parquet export for training dataloaders: rows
+    * land in `shards` shards by the engine-portable identity hash of
+    * `keys` (a pure function of row identity — re-exports of the same
+    * data give byte-identical shard MEMBERSHIP regardless of cluster
+    * layout, the property a resumable dataloader needs), written as
+    * `outDir/data/shard=N/` parquet plus `outDir/manifest.json` with
+    * per-shard row counts and an order-insensitive content fingerprint
+    * (bit_xor of xxhash64 over every exported column).
+    *
+    * SELF-VERIFYING: counts and fingerprints in the manifest are
+    * computed from the files READ BACK, and required equal to the same
+    * rollup of the input — a lost or doubled row fails the export
+    * instead of poisoning the manifest. One hash-partitioned write plus
+    * two shard-sized aggregations. Returns the manifest as a DataFrame
+    * (shard, rows, fingerprint). */
+  def shardedParquetExport(
+      df: DataFrame, keys: Seq[String], shards: Int,
+      outDir: String): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(keys.nonEmpty, "need identity key columns")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val withShard = df.withColumn("shard",
+      (conv(substring(graft.ops.Sampling.hashHex("graft/shard",
+          keys.map(col)), 1, 8), 16, 10).cast("long") % shards).cast("int"))
+    withShard.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    def rollup(d: DataFrame) = d
+      .groupBy("shard")
+      .agg(count(lit(1)).as("rows"),
+        bit_xor(xxhash64(cols.map(col): _*)).as("fingerprint"))
+    val expect = rollup(withShard).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val manifest = rollup(spark.read.parquet(s"$outDir/data")
+        .withColumn("shard", col("shard").cast("int")))
+      .orderBy("shard")
+    val got = manifest.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(got == expect,
+      s"read-back shards diverge from input: wrote ${expect.size} shards " +
+        s"${expect.values.map(_._1).sum} rows, read ${got.size} shards " +
+        s"${got.values.map(_._1).sum} rows")
+    val body = got.toSeq.sortBy(_._1).map { case (s, (n, fp)) =>
+      s"""{"shard":$s,"rows":$n,"fingerprint":$fp}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(outDir).resolve("manifest.json"),
+      s"""{"shards":${got.size},"total_rows":${got.values.map(_._1).sum},""" +
+        s""""entries":$body}""")
+    manifest
+  }
+
   def summaryReportZip(
       outFile: String,
       funnel: Seq[FilterFunnel.Step],
