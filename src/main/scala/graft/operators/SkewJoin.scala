@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   * null-URL bucket, `en` in a language join — a handful of keys carrying
   * double-digit percentages of 100 TB).
   *
-  * Shape: the fact side appends a salt in [0, salt) that round-robins
-  * each key's rows across salt sub-keys (`monotonically_increasing_id`
-  * modulo salt — deterministic under task retry, no RNG state); the dim
-  * side replicates each row salt times. The join key becomes
+  * Shape: the fact side appends a salt in [0, salt) derived from the
+  * ROW'S OWN CONTENT (`xxhash64` over every fact column, modulo salt) —
+  * a pure function of the row, so a recomputed map task after a fetch
+  * failure reassigns the identical salt and partial stage retry can
+  * never mix old and new map outputs under different sub-keys (the
+  * hazard of positional schemes like `monotonically_increasing_id`,
+  * which Spark marks nondeterministic precisely because it depends on
+  * partition/row order). Exact duplicate rows share a salt bucket; hot
+  * keys in practice carry distinct payloads (URLs, timestamps), and a
+  * caller with degenerate fully-duplicate hot rows should aggregate them
+  * first — replicating identical rows across reducers buys nothing. The
+  * dim side replicates each row salt times. The join key becomes
   * (keys..., salt), so the hot key's rows land on `salt` reducers
   * instead of one. Dim-side cost: ×salt rows — use for dims that are
   * small-ish but too big (or too dynamic) to broadcast outright; for
@@ -47,7 +55,7 @@ object SkewJoin {
       s"saltedJoin supports fact-preserving join types only, got $joinType")
     val saltCol = "__graft_salt"
     val salted = fact.withColumn(saltCol,
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val replicated = dim.withColumn(saltCol,
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)

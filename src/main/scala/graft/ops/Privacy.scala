@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * quasi-identifier tuple — the class table is bounded by the number of
   * DISTINCT quasi tuples (the thing being audited: far below row count
   * when k-anonymity is even achievable), so the rollups that follow are
-  * cheap. [[suppressToK]] joins the class table back on the same keys the
-  * aggregation hashed on, so AQE plans one shuffle of the data side and
-  * (typically) broadcasts the class table. Nothing here touches the
-  * driver beyond scalar reports.
+  * cheap. [[suppressToK]] computes class sizes with a window over the
+  * quasi keys, so the size and the keep/drop filter ride ONE shuffle of
+  * the data — no separate class table or join-back. Nothing here touches
+  * the driver beyond scalar reports.
   */
 object Privacy {
 

@@ -51,7 +51,13 @@ object Sampling {
     * + one top-k (`TakeOrderedAndProject` — per-partition heads, k rows
     * per partition to the driver, never a full sort), deterministic given
     * `seed` — reproducible corpus sampling that is also oracle-able.
-    * Rows with weight ≤ 0 or null are excluded (never drawn). */
+    * Rows with weight ≤ 0 or null are excluded (never drawn).
+    *
+    * `keys` MUST uniquely identify rows (the same contract every
+    * identity-hash op here carries): both the draw u and the tie-break
+    * derive solely from `keys`, so duplicate key tuples share one
+    * ordering key and the limit(k) boundary between them would be
+    * nondeterministic across runs and engines. */
   def weightedSample(df: DataFrame, keys: Seq[String], weightCol: String,
       k: Int, seed: String = "graft"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -153,33 +153,44 @@ object LayoutQueries extends QueryModule {
     None,
     (s, dir) => {
       val events = graft.Tables.load(s, dir, "events")
-      val base = java.nio.file.Files.createTempDirectory("graft-compact")
-        .toString
+      val basePath = java.nio.file.Files.createTempDirectory("graft-compact")
+      val base = basePath.toString
       val shattered = s"$base/in"
       val compacted = s"$base/out"
-      events.repartition(64).write.parquet(shattered)
-      def fingerprint(df: org.apache.spark.sql.DataFrame) = {
-        // decimal sum: exact, order-invariant, ANSI-safe under overflow
-        val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-        df.agg(sum(h.cast("decimal(38,0)")).as("fp"),
-          count(lit(1)).as("n")).head()
+      try {
+        events.repartition(64).write.parquet(shattered)
+        def fingerprint(df: org.apache.spark.sql.DataFrame) = {
+          // decimal sum: exact, order-invariant, ANSI-safe under overflow
+          val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          df.agg(sum(h.cast("decimal(38,0)")).as("fp"),
+            count(lit(1)).as("n")).head()
+        }
+        val before = fingerprint(s.read.parquet(shattered))
+        val target = 256L * 1024
+        val stats = graft.catalog.Layout.compact(s, shattered, compacted,
+          targetBytes = target)
+        val after = fingerprint(s.read.parquet(compacted))
+        require(before == after,
+          s"compaction changed content: $before -> $after")
+        val row = stats.head()
+        require(row.getAs[Long]("files_after") < row.getAs[Long]("files_before"),
+          s"compaction did not reduce file count: $row")
+        require(row.getAs[Long]("n_rows") == after.getAs[Long]("n"),
+          s"stats row count drift: $row vs $after")
+        val sizes = graft.catalog.Layout.dataFiles(s, compacted).map(_._2)
+        require(sizes.forall(_ <= 2 * target),
+          s"output file exceeds 2x target: ${sizes.max}")
+        // safe to return past the finally's delete: compact builds the
+        // stats frame from driver-local values, not from the written dirs
+        stats
+      } finally {
+        // repeated gate/bench runs must not leak the shatter+compact
+        // copies into the system temp dir
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(basePath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
-      val before = fingerprint(s.read.parquet(shattered))
-      val target = 256L * 1024
-      val stats = graft.catalog.Layout.compact(s, shattered, compacted,
-        targetBytes = target)
-      val after = fingerprint(s.read.parquet(compacted))
-      require(before == after,
-        s"compaction changed content: $before -> $after")
-      val row = stats.head()
-      require(row.getAs[Long]("files_after") < row.getAs[Long]("files_before"),
-        s"compaction did not reduce file count: $row")
-      require(row.getAs[Long]("n_rows") == after.getAs[Long]("n"),
-        s"stats row count drift: $row vs $after")
-      val sizes = graft.catalog.Layout.dataFiles(s, compacted).map(_._2)
-      require(sizes.forall(_ <= 2 * target),
-        s"output file exceeds 2x target: ${sizes.max}")
-      stats
     })
 
   /** Corpus snapshot diff ([[graft.ops.CorpusDiff]]): both engines derive

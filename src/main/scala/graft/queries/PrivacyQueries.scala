@@ -38,15 +38,24 @@ object PrivacyQueries extends QueryModule {
 
   /** Distinct-l-diversity of the market segment within (nation, 2000-wide
     * balance band) classes at l=3: some classes collapse to a single
-    * segment (min_l = 1), which k-anonymity alone would miss. */
+    * segment (min_l = 1), which k-anonymity alone would miss. Every 10th
+    * customer's segment is NULLed so the NULL-as-one-extra-value sentinel
+    * semantics ([[Privacy.lDiversity]]) are exercised cross-engine, not
+    * just documented — the oracle mirrors the sentinel as
+    * count(DISTINCT seg) + (1 if the class has any NULL). */
   val privLDiversity: Q = Q(
     "priv_l_diversity",
     Some("""
-      WITH cls AS (
+      WITH base AS (
+        SELECT c_nationkey, floor(c_acctbal / 2000) * 2000 AS bal_band,
+          CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer),
+      cls AS (
         SELECT count(*) AS class_size,
-          count(DISTINCT c_mktsegment) AS l
-        FROM customer
-        GROUP BY c_nationkey, floor(c_acctbal / 2000) * 2000)
+          count(DISTINCT seg)
+            + MAX(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS l
+        FROM base
+        GROUP BY c_nationkey, bal_band)
       SELECT count(*) AS n_classes,
         min(l) AS min_l,
         CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
@@ -57,9 +66,12 @@ object PrivacyQueries extends QueryModule {
     (s, dir) =>
       Privacy.lDiversityReport(
         Tables.load(s, dir, "customer")
-          .withColumn("bal_band", Privacy.generalizeNumeric(col("c_acctbal"), 2000.0)),
+          .withColumn("bal_band", Privacy.generalizeNumeric(col("c_acctbal"), 2000.0))
+          .withColumn("seg",
+            when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+              .otherwise(col("c_mktsegment"))),
         quasiCols = Seq("c_nationkey", "bal_band"),
-        sensitiveCol = "c_mktsegment", l = 3L)
+        sensitiveCol = "seg", l = 3L)
         .withColumn("l", col("l").cast("int")))
 
   /** Suppression to k=12 over (nation, segment): the gate compares the
