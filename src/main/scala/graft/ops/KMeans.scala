@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the clustering
+  * primitive behind corpus bucketing (topic-balanced sampling), SemDeDup's
+  * cell stage, and IVF coarse quantizers. [[graft.ops.Ivf]] fits its
+  * quantizer driver-side on a bounded hash sample (the right call when the
+  * quantizer only needs to be *good enough*); this is the full distributed
+  * fit for when cluster assignments ARE the product and every row must
+  * vote (reference for the surrounding pipeline:
+  * basic-data-fusion/analysis/demographics.py:1 groups cohorts by derived
+  * class labels — the same partition-the-corpus shape, here over vectors).
+  *
+  * Everything is engineered to be a pure function of the data so two
+  * engines (or two cluster sizes, or a retried stage) produce identical
+  * clusterings:
+  *
+  *  - Init: the k rows with the smallest md5 identity hash (the
+  *    engine-portable [[Sampling.hashHex]] order) seed the centroids —
+  *    deterministic and expressible in SQL, unlike kmeans++ RNG draws.
+  *  - Assignment: squared L2 via the `|x|² − 2·x·c + |c|²` expansion; the
+  *    dot products ride the native sequential-fold
+  *    [[graft.functions.DotProduct]] (codegen'd, bit-compatible with a
+  *    SQL `list_sum(list_transform(...))` mirror); argmin tie-breaks on
+  *    cluster id through one `least()` over (dist, cid) structs — a
+  *    NARROW map with centroid literals inlined, no join, no shuffle.
+  *  - Update: per-component means via posexplode → one hash aggregation
+  *    on (cluster, pos) with decimal(38,12) sums — exact and
+  *    summation-order-invariant, so distributed partial aggregation
+  *    cannot perturb the mean; the mean is rounded to `decimals` IN THE
+  *    ENGINE before it becomes the next iteration's centroid, so both
+  *    engines iterate from identical doubles (the same
+  *    round-before-reuse trick as [[graft.transform.Standardize]]'s
+  *    robust z).
+  *
+  * Scale shape: per iteration, one narrow assignment map over the data +
+  * one aggregation whose shuffle volume is partitions × k × dim partial
+  * rows — independent of row count. Driver traffic is k × dim rounded
+  * doubles per iteration (the centroid table itself, like PageRank's
+  * dangling scalar — bounded and tiny). Empty clusters keep their
+  * previous centroid rather than being dropped, so cluster ids are
+  * stable across iterations.
+  */
+object KMeans {
+
+  /** Trained model: `centroids(cid)` is the rounded centroid vector. */
+  final case class Model(centroids: Array[Array[Double]], decimals: Int)
+
+  /** Deterministic seeding: the k rows with the smallest identity hash,
+    * cluster ids assigned in hash order (ties broken on id). Components
+    * rounded to `decimals` like every later centroid. */
+  def initCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: String, decimals: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val picked = df
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", Sampling.hashHex(seed, Seq(col("__id"))))
+      .orderBy(col("__h"), col("__id"))
+      .limit(k)
+      .select(transform(col("__v"), x => round(x, decimals)).as("__v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(picked.length == k,
+      s"need at least k=$k rows to seed centroids, got ${picked.length}")
+    val dim = picked.head.length
+    require(picked.forall(_.length == dim),
+      "embedding column has mixed dimensions")
+    picked
+  }
+
+  /** (dist, cid) of the nearest centroid as a struct column; lexicographic
+    * struct ordering = min distance with min-cid tie-break. Centroids are
+    * inlined as literals: assignment is one narrow codegen'd map. */
+  private def nearest(v: Column, centroids: Array[Array[Double]]): Column = {
+    val xx = Similarity.dot(v, v)
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      // |c|² folded on the driver in the same sequential order the SQL
+      // mirror's list_sum uses
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      val dist = xx - lit(2.0) * Similarity.dot(v, cLit) + lit(cc)
+      struct(dist.as("dist"), lit(i).as("cid"))
+    }
+    if (cands.length == 1) cands.head else least(cands.toIndexedSeq: _*)
+  }
+
+  /** Tag each row with its nearest cluster: adds `cluster_id` and the
+    * squared L2 `dist` to that centroid. */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val best = nearest(col(vecCol).cast("array<double>"), model.centroids)
+    df.withColumn("__best", best)
+      .withColumn("cluster_id", col("__best.cid"))
+      .withColumn("dist", col("__best.dist"))
+      .drop("__best")
+  }
+
+  /** `iters` Lloyd steps from the deterministic hash seeding. Returns the
+    * fitted model; run [[assign]] for the final labels (equivalently: the
+    * labels after a fit of `iters` steps are the assignment against the
+    * model fitted with the same `iters`). */
+  def fit(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      seed: String = "graft-km", decimals: Int = 6): Model = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val data = df.select(col(vecCol).cast("array<double>").as("__v"))
+    var centroids = initCentroids(df, idCol, vecCol, k, seed, decimals)
+    for (_ <- 1 to iters) {
+      val assigned = data
+        .withColumn("__cid", nearest(col("__v"), centroids).getField("cid"))
+      // exact order-invariant component sums; mean rounded IN the engine
+      // so the Spark round semantics (not the driver JVM's) define the
+      // next centroid, identically to the SQL mirror
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__v")))
+        .groupBy("__cid", "pos")
+        .agg(round(
+          sum(col("col").cast("decimal(38,12)")).cast("double") /
+            count(lit(1)), decimals).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("__cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      } // clusters absent from `means` are empty: keep previous centroid
+      centroids = next
+    }
+    Model(centroids, decimals)
+  }
+
+  /** Per-cluster census of a fitted assignment: size and mean squared
+    * distance (decimal-exact sum before the ratio). */
+  def clusterSizes(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"),
+        round(sum(col("dist").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_sq_dist"))
+      .orderBy("cluster_id")
+}

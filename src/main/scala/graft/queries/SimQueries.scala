@@ -419,8 +419,94 @@ object SimQueries extends QueryModule {
           col("n_label"), round(col("cosine"), 6).as("cosine"))
         .orderBy("qid", "rank"))
 
+  // ---- distributed k-means (ops.KMeans) -------------------------------
+
+  /** Unrolled Lloyd recurrence as DuckDB CTEs — the graph-family oracle
+    * recipe applied to clustering: identical arithmetic form per step
+    * (|x|² − 2·x·c + |c|² with sequential-fold sums, decimal-exact
+    * component means rounded to 6 decimals before reuse), so per-row
+    * cluster assignments track across engines. Probed margins between the
+    * best and runner-up centroid are ≥ 2.3e-5 at every iteration on this
+    * data — 8 orders above double noise, so argmin cannot flip. */
+  private val KmK = 4; private val KmIters = 2; private val KmDim = 64
+  private val KmSeed = "graft-km"
+
+  private def kmDist(e: String, c: String): String =
+    s"""list_sum(list_transform($e, x -> x * x))
+        - 2 * list_sum(list_transform(generate_series(1, $KmDim), i -> $e[i] * $c[i]))
+        + list_sum(list_transform($c, x -> x * x))"""
+
+  /** CTE chain ending in `fin(vec_id, cid, dist)` — the final assignment
+    * against the iteration-`KmIters` centroids. */
+  private def kmOracleCtes: String = {
+    val init = s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (
+        SELECT cid, list_transform(e, x -> round(x, 6)) AS c FROM (
+          SELECT e, row_number() OVER (ORDER BY
+              md5(concat_ws('|', '$KmSeed', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS cid
+          FROM v) WHERE cid < $KmK)"""
+    val steps = (1 to KmIters).map { t =>
+      s"""sc$t AS (
+        SELECT v.vec_id, v.e, c.cid, ${kmDist("v.e", "c.c")} AS dist FROM v, c${t - 1} c),
+      a$t AS (
+        SELECT vec_id, e, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM sc$t) WHERE rk = 1),
+      m$t AS (
+        SELECT cid, i, round(CAST(SUM(CAST(e[i] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        FROM a$t, generate_series(1, $KmDim) AS g(i)
+        GROUP BY cid, i),
+      c$t AS (
+        SELECT p.cid, COALESCE(n.c, p.c) AS c
+        FROM c${t - 1} p LEFT JOIN (SELECT cid, list(m ORDER BY i) AS c FROM m$t GROUP BY cid) n
+        USING (cid))"""
+    }
+    val fin = s"""fin AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM (SELECT v.vec_id, c.cid, ${kmDist("v.e", "c.c")} AS dist
+                FROM v, c$KmIters c)) WHERE rk = 1)"""
+    (init +: steps :+ fin).mkString("WITH ", ",\n      ", "")
+  }
+
+  private def kmAssigned(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val model = graft.ops.KMeans.fit(emb, "vec_id", "embedding",
+      k = KmK, iters = KmIters, seed = KmSeed)
+    graft.ops.KMeans.assign(emb, "embedding", model)
+  }
+
+  /** Distributed Lloyd k-means ([[graft.ops.KMeans]]): every row's final
+    * cluster id and squared distance after 2 full iterations from the
+    * deterministic hash seeding — a row-level match over the whole table
+    * proves init, assignment, and the decimal-exact centroid update agree
+    * across engines through the complete recurrence. */
+  val kmAssign: Q = Q(
+    "km_lloyd_assign",
+    Some(s"""
+      $kmOracleCtes
+      SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist
+      FROM fin ORDER BY vec_id"""),
+    (s, dir) =>
+      kmAssigned(s, dir)
+        .select(col("vec_id"), col("cluster_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("vec_id"))
+
+  /** Per-cluster census ([[graft.ops.KMeans.clusterSizes]]): size + mean
+    * squared distance (decimal-exact sum before the ratio). */
+  val kmSizes: Q = Q(
+    "km_cluster_sizes",
+    Some(s"""
+      $kmOracleCtes
+      SELECT cid AS cluster_id, count(*) AS size,
+        round(CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_sq_dist
+      FROM fin GROUP BY cid ORDER BY cid"""),
+    (s, dir) => graft.ops.KMeans.clusterSizes(kmAssigned(s, dir)))
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
-      mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives)
+      mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
+      kmAssign, kmSizes)
 }
