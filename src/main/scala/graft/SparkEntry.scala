@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.SimQueries,
     graft.queries.EventQueries,
     graft.queries.SamplingQueries,
-    graft.queries.PrivacyQueries)
+    graft.queries.PrivacyQueries,
+    graft.queries.SketchQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 
