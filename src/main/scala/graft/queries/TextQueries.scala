@@ -1121,6 +1121,47 @@ object TextQueries extends QueryModule {
           graft.functions.GraftFunctions.normalizeText(s, col("text")).as("text_norm"))
         .orderBy("doc_id"))
 
+  /** End-to-end in-engine text classification with NO vocabulary state:
+    * [[graft.ops.Features.hashedBow]] (hashing-trick bag of words) →
+    * [[graft.stats.Logistic]] IRLS fit → codegen'd scoring — the 100 TB
+    * vectorizer path, since hashing needs no dictionary pass or
+    * broadcast. The synthetic documents' `lang` column is random metadata
+    * (every language draws from the same token pool — verified, ~0.56
+    * ceiling), so the gate builds a label that IS a function of the text:
+    * original documents vs their token-reversed twins. Real words and
+    * reversed words hash to different buckets, so the fit must recover
+    * ≥ 0.9 in-sample accuracy or the gate fails. dim = 8 keeps the IRLS
+    * moment pass at ~60 aggregate terms (d² grows the Hessian — the
+    * documented cost knob). Rows-only: IRLS has no SQL mirror. */
+  val txtHashClassifier: Q = Q(
+    "txt_hash_classifier",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val reversed = docs.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ",
+          transform(TextOps.tokens(col("text")), t => reverse(t))).as("text"))
+      val corpus = docs.withColumn("is_orig", lit(1.0))
+        .unionByName(reversed.withColumn("is_orig", lit(0.0)))
+      val (df, feats) = graft.ops.Features.hashedBow(corpus, "text", dim = 8)
+      val fit = graft.stats.Logistic.fit(df, feats, col("is_orig"),
+          lambda = 1e-3)
+        .getOrElse(sys.error("logistic fit produced no model"))
+      require(fit.converged,
+        s"IRLS did not converge in ${fit.iterations} iterations")
+      val scored = df.select(col("doc_id"), col("is_orig"),
+        round(fit.score(feats.map(_._2)), 6).as("orig_score"))
+      val acc = scored
+        .agg(avg(((col("orig_score") >= 0.5) === (col("is_orig") === 1.0))
+          .cast("double"))).head().getDouble(0)
+      require(acc >= 0.9,
+        s"hashed-BoW classifier separates poorly: accuracy $acc")
+      scored.select(col("doc_id"), col("orig_score"),
+          (col("orig_score") >= 0.5).as("pred_orig"))
+        .orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
@@ -1131,5 +1172,5 @@ object TextQueries extends QueryModule {
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
-    mntUpsert)
+    txtHashClassifier, mntUpsert)
 }
