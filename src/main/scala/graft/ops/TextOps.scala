@@ -175,4 +175,70 @@ object TextOps {
     when(size(sh) === 0, lit(null).cast("long"))
       .otherwise(array_min(transform(sh, s => xxhash64(s))))
   }
+
+  /** Sentence-ish units: maximal runs of non-terminator characters plus
+    * their trailing `.!?` run, each trimmed; empties dropped. RE2-safe
+    * (no lookbehind). A trailing fragment without a terminator is its own
+    * unit, so every WORD of the document survives the split ([[tokens]]
+    * multiset conservation is spec-pinned). */
+  def sentences(c: Column): Column =
+    filter(
+      transform(regexp_extract_all(c.cast(StringType),
+        lit("[^.!?]+[.!?]*|[.!?]+"), lit(0)),
+        // NOT trim(): Spark's trim strips only 0x20, so a sentence after
+        // a blank line would keep its leading newlines
+        s => regexp_replace(s, "^\\s+|\\s+$", "")),
+      s => length(s) > 0)
+
+  /** Greedy sentence packing under a unit budget — the retrieval-chunking
+    * shape (split to sentences, accumulate whole sentences until the next
+    * one would overflow `maxUnits`, then start a new chunk). Runs as ONE
+    * in-row `aggregate` fold over [[sentences]] — a pure narrow expression,
+    * no explode, no shuffle, streaming-safe.
+    *
+    * `unitCount` prices a sentence (whitespace tokens via
+    * [[packSentences]]; REAL BPE ids via `Bpe.tokenCount` for
+    * budget-faithful retrieval windows). Returns
+    * `array<struct<text, n_units, n_sents, first_n>>`: the packed chunk,
+    * its accumulated unit cost, how many sentences it folds, and the
+    * cost of its FIRST sentence — `first_n` exists so a verifier can pin
+    * greedy maximality (chunkᵢ.n_units + chunkᵢ₊₁.first_n > maxUnits for
+    * every consecutive pair) without re-deriving sentence costs. A single
+    * sentence over the budget becomes its own over-budget chunk
+    * (n_sents == 1) rather than being split or dropped. */
+  def packSentencesBy(text: Column, maxUnits: Int,
+      unitCount: Column => Column): Column = {
+    require(maxUnits >= 1, s"maxUnits must be >= 1, got $maxUnits")
+    val chunkType = "array<struct<text:string,n_units:int,n_sents:int,first_n:int>>"
+    def state(chunks: Column, cur: Column, n: Column, sents: Column,
+        first: Column) =
+      struct(chunks.as("chunks"), cur.as("cur"), n.as("n"),
+        sents.as("sents"), first.as("first"))
+    def asChunk(st: Column) = struct(
+      st.getField("cur").as("text"), st.getField("n").as("n_units"),
+      st.getField("sents").as("n_sents"), st.getField("first").as("first_n"))
+    aggregate(
+      sentences(text),
+      state(array().cast(chunkType), lit(""), lit(0), lit(0), lit(0)),
+      (st, s) => {
+        val c = unitCount(s).cast("int")
+        when(st.getField("sents") === 0,
+          state(st.getField("chunks"), s, c, lit(1), c))
+          .when(st.getField("n") + c > maxUnits,
+            state(concat(st.getField("chunks"), array(asChunk(st))),
+              s, c, lit(1), c))
+          .otherwise(
+            state(st.getField("chunks"),
+              concat(st.getField("cur"), lit(" "), s),
+              st.getField("n") + c, st.getField("sents") + 1,
+              st.getField("first")))
+      },
+      st => when(st.getField("sents") > 0,
+        concat(st.getField("chunks"), array(asChunk(st))))
+        .otherwise(st.getField("chunks")))
+  }
+
+  /** [[packSentencesBy]] priced in whitespace tokens. */
+  def packSentences(text: Column, maxTokens: Int): Column =
+    packSentencesBy(text, maxTokens, s => tokenCount(s))
 }

@@ -1162,6 +1162,62 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Shared body of the retrieval-chunking gates: pack, then enforce the
+    * three clauses that fully characterize greedy sentence packing —
+    * (1) conservation: the whitespace-token SEQUENCE of the chunks equals
+    * the document's, (2) budget: only single-sentence chunks may exceed
+    * `maxUnits`, (3) greedy maximality: no chunk could have absorbed the
+    * next chunk's first sentence. Together these pin the semantics as
+    * tightly as a SQL oracle would (the fold itself has no SQL mirror). */
+  private def sentenceChunkGate(
+      s: org.apache.spark.sql.SparkSession, dir: String, maxUnits: Int,
+      unitCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val packed = docs.withColumn("chunks",
+      TextOps.packSentencesBy(col("text"), maxUnits, unitCount))
+    val drift = packed.filter(
+      flatten(transform(col("chunks"), ch => TextOps.tokens(ch.getField("text"))))
+        =!= TextOps.tokens(col("text"))).count()
+    require(drift == 0, s"chunking dropped/reordered words in $drift docs")
+    val ex = packed
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_ix", "ch")))
+    val over = ex.filter(col("ch.n_units") > maxUnits &&
+      col("ch.n_sents") > 1).count()
+    require(over == 0, s"$over multi-sentence chunks exceed the budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_ix")
+    val lazyPacks = ex
+      .withColumn("next_first", lead(col("ch.first_n"), 1).over(w))
+      .filter(col("next_first").isNotNull &&
+        col("ch.n_units") + col("next_first") <= maxUnits).count()
+    require(lazyPacks == 0,
+      s"$lazyPacks chunks are not greedily maximal")
+    ex.select(col("doc_id"), col("chunk_ix"),
+        col("ch.n_units").as("n_units"), col("ch.n_sents").as("n_sents"),
+        col("ch.text").as("chunk"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
+  /** Retrieval chunking priced in whitespace tokens
+    * ([[graft.ops.TextOps.packSentences]]). */
+  val txtSentenceChunks: Q = Q(
+    "txt_sentence_chunks",
+    None,
+    (s, dir) => sentenceChunkGate(s, dir, maxUnits = 48,
+      c => TextOps.tokenCount(c)))
+
+  /** Retrieval chunking priced in REAL BPE tokens (the checked-in
+    * tokenizer fixture) — budget-faithful windows for an embedding model
+    * with a hard context limit; same three-clause contract. */
+  val txtSentenceChunksBpe: Q = Q(
+    "txt_sentence_chunks_bpe",
+    None,
+    (s, dir) => {
+      val tok = graft.functions.Bpe.fromResource()
+      sentenceChunkGate(s, dir, maxUnits = 64,
+        c => graft.functions.Bpe.tokenCount(s, c, tok))
+    })
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
@@ -1172,5 +1228,6 @@ object TextQueries extends QueryModule {
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
+    txtSentenceChunks, txtSentenceChunksBpe,
     txtHashClassifier, mntUpsert)
 }
