@@ -344,4 +344,32 @@ object Graph {
     nodeDf.unpersist()
     (ranks.drop("t"), i)
   }
+
+  /** Inbound anchor-term profile per target page: the top-`k` terms (by
+    * count, ties to the lexicographically first term) across the anchor
+    * text of every link INTO each `dstCol` — what the web's authors call
+    * the page, one of the strongest page-description signals a crawl
+    * carries (and orthogonal to the page's own text). Returns
+    * (dst, rank, term, n).
+    *
+    * ONE exchange: the exploded terms are repartitioned on dst up front,
+    * so the (dst, term) count (clustered by a superset of the partition
+    * key) and the per-dst top-k window both reuse that partitioning, and
+    * the rank ≤ k filter lowers to WindowGroupLimit (per-partition k-heap
+    * before any data moves). */
+  def anchorTerms(edges: DataFrame, dstCol: String, anchorCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val terms = edges
+      .select(col(dstCol).as("dst"),
+        explode(TextOps.tokens(col(anchorCol))).as("term"))
+      .filter(col("term") =!= "")
+      .repartition(col("dst"))
+    val w = Window.partitionBy("dst").orderBy(col("n").desc, col("term"))
+    terms.groupBy("dst", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("dst", "rank", "term", "n")
+  }
 }

@@ -388,7 +388,48 @@ object GraphQueries extends QueryModule {
         .orderBy("node")
     })
 
+  /** Inbound anchor-term profiles ([[Graph.anchorTerms]]): each synthetic
+    * link carries anchor text cut deterministically from its SOURCE
+    * document (4 words starting at dst % 8 — varies per edge, so targets
+    * accumulate anchors from many positions), and both engines roll up
+    * each target's top-3 inbound terms independently. Graph × text in one
+    * oracle: the edge formula, the tokenizer, the slice, and the
+    * count/rank window all have to agree at once. */
+  val grAnchorTerms: Q = Q(
+    "gr_anchor_terms",
+    Some(s"""
+      WITH edges AS ($edgesSql),
+      dw AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\\s+') END AS w
+        FROM documents),
+      anch AS (
+        SELECT e.dst, unnest(list_slice(d.w,
+            e.dst % 8 + 1, e.dst % 8 + 4)) AS term
+        FROM edges e JOIN dw d ON e.src = d.doc_id),
+      cnt AS (
+        SELECT dst, term, count(*) AS n FROM anch
+        WHERE term <> '' GROUP BY 1, 2),
+      r AS (
+        SELECT dst, term, n,
+          row_number() OVER (PARTITION BY dst ORDER BY n DESC, term) AS rank
+        FROM cnt)
+      SELECT dst, rank, term, n FROM r WHERE rank <= 3
+      ORDER BY dst, rank"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val edges = linkEdges(d, d.count())
+      val withAnchor = edges
+        .join(d.select(col("doc_id").as("src"), col("text")), "src")
+        .withColumn("anchor", concat_ws(" ",
+          slice(graft.ops.TextOps.tokens(col("text")),
+            (pmod(col("dst"), lit(8L)) + 1).cast("int"), lit(4))))
+      Graph.anchorTerms(withAnchor, "dst", "anchor", k = 3)
+        .orderBy("dst", "rank")
+    })
+
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
-      grComponents, grDomainTrust, grHits, grLabelProp)
+      grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms)
 }

@@ -279,6 +279,27 @@ object ScaleBench {
           f""","result_rows":$ivfRows,"recall":$recall%.3f,"build_sec":$buildSec%.3f""")
       }
 
+      if (wanted("kmeans")) {
+        // distributed Lloyd at corpus scale: each iteration is one narrow
+        // assignment map over the data plus one aggregation whose shuffle
+        // is bounded by partitions × k × dim (independent of N), so fit
+        // time should track N near-linearly. Witness: assignment mass —
+        // cluster sizes must sum to N at every K (no rows lost or
+        // duplicated by the argmin).
+        def em = spark.read.parquet(s"$dir/embeddings")
+        val emCount = em.count()
+        var model: graft.ops.KMeans.Model = null
+        val (kmMed, kmS) = timeMedian {
+          model = graft.ops.KMeans.fit(em, "vec_id", "embedding",
+            k = 8, iters = 3)
+        }
+        val mass = graft.ops.KMeans.clusterSizes(
+            graft.ops.KMeans.assign(em, "embedding", model))
+          .agg(sum("size")).head.getLong(0)
+        require(mass == emCount, s"k-means lost rows: $mass vs $emCount")
+        emit("kmeans_fit", k, emCount, kmMed, kmS)
+      }
+
       if (wanted("j4_salted_skew_join")) {
         // hot-key join at scale: ~80% of lineitem rows share one synthetic
         // key; K× copies grow the hot key's absolute row count K×. Both

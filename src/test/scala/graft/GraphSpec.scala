@@ -327,4 +327,25 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1) - 1.0 / n) < 1e-12,
         s"cycle rank drifted at ${r.getLong(0)}: ${r.getDouble(1)}")
   }
+
+  test("anchorTerms: per-target counts, count-then-term ordering, k cut") {
+    val edges = Seq(
+      (1L, 10L, "big data engine"),
+      (2L, 10L, "data engine docs"),
+      (3L, 10L, "data  platform"), // double space: still two tokens
+      (4L, 11L, "zzz aaa"),
+      (5L, 11L, ""),               // empty anchor contributes nothing
+      (6L, 12L, "   ")             // blank anchor contributes nothing
+    ).toDF("src", "dst", "anchor")
+    val got = Graph.anchorTerms(edges, "dst", "anchor", k = 2)
+      .orderBy("dst", "rank")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 1, "data", 3L),   // clear winner
+      (10L, 2, "engine", 2L), // beats big/docs/platform (n=1) on count
+      (11L, 1, "aaa", 1L),    // tie at n=1 breaks lexicographically
+      (11L, 2, "zzz", 1L)))
+    // target 12 had only blank anchors: absent entirely
+    assert(!got.exists(_._1 == 12L))
+  }
 }
