@@ -138,4 +138,34 @@ object KMeans {
         round(sum(col("dist").cast("decimal(38,12)")).cast("double") /
           count(lit(1)), 6).as("mean_sq_dist"))
       .orderBy("cluster_id")
+
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", public): within each cluster keep the
+    * `ceil(keepFraction · n)` rows FARTHEST from their centroid — the
+    * least prototypical examples — and drop the redundant core. (With
+    * abundant data, pruning easy/prototypical examples beats random
+    * pruning; the paper's self-supervised metric is exactly this
+    * distance-to-centroid rank.) Every cluster keeps at least one row.
+    *
+    * Expects [[assign]] output (`cluster_id`, `dist`). Ranks on
+    * `round(dist, decimals)` with an id tie-break, NOT raw doubles: the
+    * rounded distances are the values the cross-engine gate proves
+    * identical, so the kept SET is engine-stable even where raw doubles
+    * differ in the last ulp. One exchange: the per-cluster count and the
+    * rank window share the cluster_id partitioning. */
+  def prunePrototypes(assigned: DataFrame, idCol: String,
+      keepFraction: Double, decimals: Int = 6): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+    val ranked = assigned
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(round(col("dist"), decimals).desc, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+    ranked
+      .filter(col("proto_rank") <=
+        greatest(lit(1.0), ceil(lit(keepFraction) * col("__n"))))
+      .drop("__n")
+  }
 }

@@ -504,9 +504,67 @@ object SimQueries extends QueryModule {
       FROM fin GROUP BY cid ORDER BY cid"""),
     (s, dir) => graft.ops.KMeans.clusterSizes(kmAssigned(s, dir)))
 
+  /** Prototype-based data pruning ([[graft.ops.KMeans.prunePrototypes]],
+    * Sorscher et al. 2022 shape): keep the 30% of each cluster farthest
+    * from its centroid. The oracle splices the per-cluster rank window
+    * onto the same unrolled Lloyd CTEs — one hash match proves the
+    * clustering AND the prune agree row-for-row across engines. Ranks are
+    * over the 6-decimal-rounded distance (the value km_lloyd_assign
+    * proves identical), never raw doubles. */
+  val kmPrune: Q = Q(
+    "km_prototype_prune",
+    Some(s"""
+      $kmOracleCtes,
+      ranked AS (
+        SELECT vec_id, cid, round(dist, 6) AS dist,
+          row_number() OVER (PARTITION BY cid
+            ORDER BY round(dist, 6) DESC, vec_id) AS proto_rank,
+          count(*) OVER (PARTITION BY cid) AS n
+        FROM fin)
+      SELECT vec_id, cid AS cluster_id, dist, proto_rank
+      FROM ranked
+      WHERE proto_rank <= greatest(1, ceil(0.3 * n))
+      ORDER BY vec_id"""),
+    (s, dir) =>
+      graft.ops.KMeans.prunePrototypes(kmAssigned(s, dir), "vec_id",
+          keepFraction = 0.3)
+        .select(col("vec_id"), col("cluster_id"),
+          round(col("dist"), 6).as("dist"), col("proto_rank"))
+        .orderBy("vec_id"))
+
+  /** Topic-rebalance INTEGRATION gate: the fitted clusters become the
+    * domains of [[graft.ops.Sampling.temperatureSample]] (α = 0.5) — the
+    * cluster-balanced corpus mix. The oracle splices the temperature
+    * CTEs onto the Lloyd CTEs, so one hash match proves k-means,
+    * the n^α rate table, and the identity-hash keep decisions compose
+    * identically across engines. */
+  val kmRebalance: Q = Q(
+    "km_topic_rebalance",
+    Some(s"""
+      $kmOracleCtes,
+      cc AS (SELECT cid, CAST(count(*) AS DOUBLE) AS n FROM fin GROUP BY cid),
+      qq AS (SELECT cid, n, pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS qi FROM cc),
+      tt AS (SELECT cid, n, qi, min(n / qi) OVER () AS t FROM qq),
+      rr AS (
+        SELECT cid,
+          CASE WHEN n / qi <= t THEN 1.0
+               ELSE least(1.0, floor(qi * t / n * 1e6) / 1e6) END AS keep_rate
+        FROM tt)
+      SELECT f.vec_id, f.cid AS cluster_id
+      FROM fin f JOIN rr USING (cid)
+      WHERE CAST(concat('0x', substr(md5(concat_ws('|', 'graft',
+          CAST(f.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+        < rr.keep_rate
+      ORDER BY f.vec_id"""),
+    (s, dir) =>
+      graft.ops.Sampling.temperatureSample(kmAssigned(s, dir),
+          domainCol = "cluster_id", alpha = 0.5, keys = Seq("vec_id"))
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy("vec_id"))
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
-      kmAssign, kmSizes)
+      kmAssign, kmSizes, kmPrune, kmRebalance)
 }

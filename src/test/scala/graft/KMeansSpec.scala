@@ -148,4 +148,29 @@ class KMeansSpec extends SparkSpec {
     val got = KMeans.assign(df, "vec", model).select("cluster_id").head().getInt(0)
     assert(got == 0)
   }
+
+  test("prototype pruning keeps the farthest ceil-fraction per cluster") {
+    // cluster 0: dists 1..10 (ids 0..9); cluster 1: dists 1..4 (ids 10..13)
+    val assigned = (
+      (0 until 10).map(i => (i.toLong, 0, (i + 1).toDouble)) ++
+      (0 until 4).map(i => (10L + i, 1, (i + 1).toDouble))
+    ).toDF("id", "cluster_id", "dist")
+    val kept = KMeans.prunePrototypes(assigned, "id", keepFraction = 0.3)
+      .select(col("id"), col("cluster_id"), col("proto_rank"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    // ceil(0.3*10)=3 farthest of cluster 0 (dists 10,9,8 → ids 9,8,7);
+    // ceil(0.3*4)=2 of cluster 1 (dists 4,3 → ids 13,12)
+    assert(kept == Seq((7L, 0, 3), (8L, 0, 2), (9L, 0, 1),
+      (12L, 1, 2), (13L, 1, 1)))
+  }
+
+  test("prototype pruning: every cluster keeps at least one row, ties break on id") {
+    val assigned = Seq(
+      (1L, 0, 5.0), (2L, 0, 5.0), // exact tie: rank by id asc
+      (3L, 1, 0.0)                // singleton cluster, tiny fraction
+    ).toDF("id", "cluster_id", "dist")
+    val kept = KMeans.prunePrototypes(assigned, "id", keepFraction = 0.01)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"got $kept") // min-1 per cluster; tie → lower id
+  }
 }
