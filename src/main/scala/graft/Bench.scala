@@ -47,7 +47,10 @@ object Bench {
     // round-11: iterative-join family (PageRank) and the salted skew join
     // — new plan shapes the headline previously had no regression line for
     "gr_pagerank",
-    "j4_salted_skew_join")
+    "j4_salted_skew_join",
+    // round-12: iterative clustering (Lloyd fit + assignment) — the last
+    // iterative family without a regression line
+    "km_lloyd_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

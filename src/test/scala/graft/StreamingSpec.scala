@@ -600,4 +600,62 @@ class StreamingSpec extends SparkSpec {
         s"stream image dup set != batch phashPairs")
     } finally q.stop()
   }
+
+  test("streaming k-means assignment matches batch (stateless scoring map)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.ops.KMeans.fit(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val batch = graft.ops.KMeans.assign(emb, "embedding", model)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = graft.ops.KMeans.assign(
+        ms.toDF().toDF("vec_id", "embedding"), "embedding", model)
+      .select("vec_id", "cluster_id")
+      .writeStream.format("memory").queryName("km_out")
+      .outputMode("append").start()
+    try {
+      val parts = rows.grouped(math.max(1, rows.length / 2 + 1)).toSeq
+      for (p <- parts) { ms.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("km_out")
+        .as[(Long, Int)].collect().toMap
+      assert(streamed == batch,
+        "streaming assignment drifted from the batch labels")
+    } finally q.stop()
+  }
+
+  test("streaming CMS: foreachBatch accumulator over a real feed, redelivery-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.CountMin
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(
+        explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val whole = CountMin.sketch(toks, "token", 4, 128).collect()
+      .map(r => (r.getAs[Int]("depth"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (ref, sink) = CountMin.runningSketchSink("token", 4, 128)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .writeStream.outputMode("append").foreachBatch(sink).start()
+    try {
+      val parts = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      for (p <- parts) { ms.addData(p.toSeq); q.processAllAvailable() }
+      assert(ref.get() == whole,
+        "stream-folded CMS differs from the one-shot batch sketch")
+    } finally q.stop()
+  }
 }
