@@ -241,4 +241,28 @@ object TextOps {
   /** [[packSentencesBy]] priced in whitespace tokens. */
   def packSentences(text: Column, maxTokens: Int): Column =
     packSentencesBy(text, maxTokens, s => tokenCount(s))
+
+  /** Markup strip for crawled HTML-ish text — the first move of every
+    * web-corpus pipeline. Heuristic by design (no DOM; RE2-safe patterns,
+    * so any engine mirrors it byte-for-byte): script/style blocks go
+    * first (their CONTENT is code, not prose — `(?s)` + lazy `.*?`),
+    * then tags become spaces (never empty string: `a<br>b` must not fuse
+    * into one word), then the six entities whose escaping every page
+    * shares are decoded — `&amp;` LAST, so `&amp;lt;` decodes to the
+    * literal `&lt;` the author wrote, not `<` — then whitespace collapses
+    * and trims. A tag split across chunk boundaries survives as text,
+    * the standard accepted failure of regex stripping. */
+  def stripMarkup(c: Column): Column = {
+    val noBlocks = regexp_replace(c.cast(StringType),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        // entity names contain no regex metacharacters — literal patterns
+        regexp_replace(acc, ent, ch)
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -790,11 +790,55 @@ object StatsQueries extends QueryModule {
           "event_type", "value")
     })
 
+  /** Categorical PSI ([[graft.stats.Drift.psiCategoricalTable]]): share
+    * drift over market segments between the full reference population and
+    * a current slice that drops a third of every non-BUILDING segment —
+    * the label/language/cluster-mix monitor (no quantile pass; categories
+    * are their own bins; NULL would be a real category via the sentinel).
+    * Same 1e-6 floor and (q−p)·ln(q/p) terms as t20. */
+  val t27PsiCategorical: Q = Q(
+    "t27_psi_categorical",
+    Some("""
+      WITH r AS (
+        SELECT COALESCE(CAST(c_mktsegment AS VARCHAR), '<null>') AS category,
+          count(*) AS ref_cnt
+        FROM customer GROUP BY 1),
+      c AS (
+        SELECT COALESCE(CAST(c_mktsegment AS VARCHAR), '<null>') AS category,
+          count(*) AS cur_cnt
+        FROM customer
+        WHERE c_custkey % 3 <> 0 OR c_mktsegment = 'BUILDING'
+        GROUP BY 1),
+      j AS (
+        SELECT COALESCE(r.category, c.category) AS category,
+          COALESCE(ref_cnt, 0) AS ref_cnt, COALESCE(cur_cnt, 0) AS cur_cnt
+        FROM r FULL JOIN c ON r.category = c.category),
+      t AS (
+        SELECT category, ref_cnt, cur_cnt,
+          greatest(CAST(ref_cnt AS DOUBLE)
+            / CAST((SELECT sum(ref_cnt) FROM j) AS DOUBLE), 1e-6) AS p,
+          greatest(CAST(cur_cnt AS DOUBLE)
+            / CAST((SELECT sum(cur_cnt) FROM j) AS DOUBLE), 1e-6) AS q
+        FROM j)
+      SELECT category, ref_cnt, cur_cnt,
+        ROUND((q - p) * ln(q / p), 6) AS term
+      FROM t
+      ORDER BY category"""),
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val cur = cust.filter(
+        col("c_custkey") % 3 =!= 0 || col("c_mktsegment") === "BUILDING")
+      graft.stats.Drift.psiCategoricalTable(cust, cur, "c_mktsegment")
+        .select(col("category"), col("ref_cnt"), col("cur_cnt"),
+          round(col("term"), 6).as("term"))
+        .orderBy("category")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
-    t24TargetEncode, t25PsiByDomain, t26RobustZ)
+    t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical)
 }

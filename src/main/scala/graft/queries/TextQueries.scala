@@ -1218,6 +1218,45 @@ object TextQueries extends QueryModule {
         c => graft.functions.Bpe.tokenCount(s, c, tok))
     })
 
+  /** Markup strip ([[graft.ops.TextOps.stripMarkup]]): both engines wrap
+    * each document in the same synthetic HTML (attributes, a script block
+    * with a raw `<` inside, a style block, and all six supported
+    * entities) and strip it independently — byte parity over the full
+    * cleaned corpus proves block removal, tag→space, entity decode order
+    * (&amp; last), and whitespace collapse all agree. */
+  val txtStripMarkup: Q = Q(
+    "txt_strip_markup",
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          '<div id="d' || CAST(doc_id AS VARCHAR) || '" class="x"><p>' || text
+          || '</p><script type="text/javascript">if (1 < 2) { run(); }</script>'
+          || '<style>p { color: red; }</style>&nbsp;<b>tail &amp;gt; &amp; &#39;q&#39; &lt; 2 &quot;z&quot;</b></div>'
+          AS h
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(h,
+        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM m),
+      s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+      s3 AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(x,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+          '&nbsp;', ' '), '&amp;', '&') AS x
+        FROM s2)
+      SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean
+      FROM s3
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val marked = concat(
+        lit("<div id=\"d"), col("doc_id").cast("string"),
+        lit("\" class=\"x\"><p>"), col("text"),
+        lit("</p><script type=\"text/javascript\">if (1 < 2) { run(); }</script>" +
+          "<style>p { color: red; }</style>&nbsp;<b>tail &amp;gt; &amp; " +
+          "&#39;q&#39; &lt; 2 &quot;z&quot;</b></div>"))
+      docs.select(col("doc_id"), TextOps.stripMarkup(marked).as("clean"))
+        .orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
@@ -1228,6 +1267,6 @@ object TextQueries extends QueryModule {
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
-    txtSentenceChunks, txtSentenceChunksBpe,
+    txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup,
     txtHashClassifier, mntUpsert)
 }

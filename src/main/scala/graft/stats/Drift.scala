@@ -148,4 +148,35 @@ object Drift {
       }
       .start()
   }
+
+  /** PSI over a CATEGORICAL column — label shares, language mix, cluster
+    * shares (feed `cluster_id` from [[graft.ops.KMeans.assign]] to watch a
+    * corpus's topic balance move between snapshots). No quantile pass:
+    * categories are their own bins, so each side is one tiny groupBy and
+    * the category axis is the union of both sides. NULL is a real
+    * category (a missing label drifting in IS drift) via a string
+    * sentinel, since join keys would otherwise never pair nulls. Same
+    * 1e-6 share floor and (q−p)·ln(q/p) terms as [[psiTable]]. */
+  def psiCategoricalTable(
+      ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    def binned(df: DataFrame, side: String) = df
+      .select(coalesce(col(catCol).cast("string"), lit("<null>"))
+        .as("category"))
+      .groupBy("category").agg(count(lit(1)).as(s"${side}_cnt"))
+    val joined = binned(ref, "ref")
+      .join(binned(cur, "cur"), Seq("category"), "full")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val p = greatest(col("ref_cnt") / sum(col("ref_cnt")).over(all), lit(1e-6))
+    val q = greatest(col("cur_cnt") / sum(col("cur_cnt")).over(all), lit(1e-6))
+    joined
+      .withColumn("term", (q - p) * log(q / p))
+      .select("category", "ref_cnt", "cur_cnt", "term")
+      .orderBy("category")
+  }
+
+  /** The scalar categorical PSI (same <0.1 / 0.1–0.25 / >0.25 reading). */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, catCol: String): Double =
+    psiCategoricalTable(ref, cur, catCol)
+      .agg(sum(col("term"))).head().getDouble(0)
 }

@@ -1888,4 +1888,24 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.packByBudget(emptyDocs.withColumnRenamed("v", "w"),
       "w", 100L, Seq("id")).count() == 0)
   }
+
+  test("stripMarkup: blocks, tags, entity order, no word fusion") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextOps.stripMarkup(col("h")))
+        .head().getString(0)
+    // script CONTENT goes (even with a raw < inside); tags become spaces
+    assert(strip("<p>a</p><script>if (1 < 2) x();</script><p>b</p>") == "a b")
+    assert(strip("<style>p{color:red}</style>hello") == "hello")
+    // a tag between words must not fuse them
+    assert(strip("one<br>two") == "one two")
+    // entity decode order: &amp; LAST, so &amp;lt; is the literal '&lt;'
+    assert(strip("&amp;lt; &lt; &gt; &quot; &#39; &amp;") ==
+      "&lt; < > \" ' &")
+    assert(strip("a&nbsp;&nbsp;b") == "a b")
+    // attributes with > inside quotes are the accepted regex failure mode;
+    // plain attributes strip cleanly
+    assert(strip("<a href=\"http://x\" rel=\"nofollow\">link</a>") == "link")
+    assert(strip("") == "")
+    assert(strip("plain text stays") == "plain text stays")
+  }
 }

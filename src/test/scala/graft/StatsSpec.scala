@@ -667,4 +667,26 @@ class StatsSpec extends SparkSpec {
     assert(out(1L) == 1.99 && out(100L) == 99.01, s"${out(1L)}, ${out(100L)}")
     assert(out(2L) == 2.0 && out(50L) == 50.0 && out(99L) == 99.0)
   }
+
+  test("categorical psi: identical shares ~0, collapsed mix flags, null is a category") {
+    import graft.stats.Drift
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("lbl")
+    assert(math.abs(Drift.psiCategorical(ref, ref, "lbl")) < 1e-12)
+    // current collapses to one label: textbook severe drift
+    val cur = Seq.fill(100)("a").toDF("lbl")
+    val psi = Drift.psiCategorical(ref, cur, "lbl")
+    assert(psi > 0.25, s"collapsed mix must flag, psi=$psi")
+    // a category present only on one side still contributes (1e-6 floor)
+    val table = Drift.psiCategoricalTable(ref, cur, "lbl")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cur_cnt")).toMap
+    assert(table.keySet == Set("a", "b", "c"))
+    // NULL labels drift in: counted as their own category, not dropped
+    val curNull = (Seq.fill(80)(Some("a")) ++ Seq.fill(20)(Option.empty[String]))
+      .toDF("lbl")
+    val t2 = Drift.psiCategoricalTable(ref, curNull, "lbl")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cur_cnt")).toMap
+    assert(t2("<null>") == 20L, s"null category lost: $t2")
+    assert(Drift.psiCategorical(ref, curNull, "lbl") > 0.1)
+  }
 }
