@@ -168,4 +168,64 @@ object KMeans {
         greatest(lit(1.0), ceil(lit(keepFraction) * col("__n"))))
       .drop("__n")
   }
+
+  /** Sequential (mini-batch) k-means over an unbounded stream (MacQueen
+    * 1967, public) — the streaming twin of [[fit]]: each micro-batch
+    * assigns its rows against the CURRENT centroids (the same one-pass
+    * aggregation as a fit iteration, k × dim rows back to the driver),
+    * folds per-cluster counts and exact decimal component sums into the
+    * running state, and moves each centroid to the mean of every row ever
+    * assigned to it. When the whole corpus arrives in one micro-batch
+    * this IS one Lloyd step from `init` (spec-pinned); across batches the
+    * result is order-dependent by design — the classic sequential
+    * trade-off. Rounding matches the engine's `round` exactly
+    * (BigDecimal.valueOf → HALF_UP, what Spark's round does), so a
+    * single-batch fold is bit-identical to [[fit]]. The fold keys on
+    * Structured Streaming's batchId, so at-least-once redelivery of an
+    * epoch cannot double-count. */
+  def runningFitSink(vecCol: String, init: Array[Array[Double]],
+      decimals: Int = 6):
+      (java.util.concurrent.atomic.AtomicReference[Model],
+        (DataFrame, Long) => Unit) = {
+    require(init.nonEmpty, "need initial centroids")
+    val k = init.length
+    val sums = Array.fill(k)(
+      Array.fill(init.head.length)(java.math.BigDecimal.ZERO))
+    val counts = Array.fill(k)(0L)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Model(init.map(_.clone()), decimals))
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val fn = (batch: DataFrame, batchId: Long) => {
+      if (batchId > seen.get()) {
+        val assigned = batch
+          .select(col(vecCol).cast("array<double>").as("__v"))
+          .withColumn("__cid",
+            nearest(col("__v"), ref.get().centroids).getField("cid"))
+        val parts = assigned
+          .select(col("__cid"), posexplode(col("__v")))
+          .groupBy("__cid", "pos")
+          .agg(sum(col("col").cast(s"decimal(38,$DecimalScale)")).as("s"),
+            count(lit(1)).as("n"))
+          .collect() // ≤ k × dim rows — bounded driver traffic
+        parts.foreach { r =>
+          val (cid, pos) = (r.getAs[Int]("__cid"), r.getAs[Int]("pos"))
+          sums(cid)(pos) = sums(cid)(pos).add(r.getAs[java.math.BigDecimal]("s"))
+          if (pos == 0) counts(cid) += r.getAs[Long]("n")
+        }
+        val next = ref.get().centroids.map(_.clone())
+        for (c <- 0 until k if counts(c) > 0L; j <- next(c).indices)
+          next(c)(j) = java.math.BigDecimal
+            .valueOf(sums(c)(j).doubleValue() / counts(c))
+            .setScale(decimals, java.math.RoundingMode.HALF_UP).doubleValue()
+        ref.set(Model(next, decimals))
+        seen.set(batchId)
+      }
+      ()
+    }
+    (ref, fn)
+  }
+
+  /** Scale of the exact component sums (shared by [[fit]] and the
+    * streaming fold so both accumulate identical decimals). */
+  private val DecimalScale = 12
 }

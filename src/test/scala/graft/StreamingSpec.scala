@@ -630,6 +630,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming k-means: one-batch fold IS one Lloyd step; redelivery-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val init = graft.ops.KMeans.initCentroids(emb, "vec_id", "embedding",
+      k = 4, seed = "graft-km", decimals = 6)
+    val oneStep = graft.ops.KMeans.fit(emb, "vec_id", "embedding",
+      k = 4, iters = 1).centroids
+    val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    // single micro-batch: the sequential fold must equal one Lloyd step
+    val (ref1, sink1) = graft.ops.KMeans.runningFitSink("embedding", init)
+    val ms1 = MemoryStream[(Long, Seq[Double])]
+    val q1 = ms1.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append").foreachBatch(sink1).start()
+    try {
+      ms1.addData(rows.toSeq); q1.processAllAvailable()
+      assert(ref1.get().centroids.map(_.toSeq).toSeq ==
+        oneStep.map(_.toSeq).toSeq,
+        "single-batch sequential fold diverged from one Lloyd step")
+      // redelivery of the same epoch must not move the centroids (a NEW
+      // batchId would legitimately fold again — sequential k-means)
+      val before = ref1.get().centroids.map(_.toSeq).toSeq
+      sink1(rows.toSeq.toDF("vec_id", "embedding"), 0L)
+      assert(ref1.get().centroids.map(_.toSeq).toSeq == before,
+        "replayed batchId 0 moved the centroids")
+    } finally q1.stop()
+    // split feed: order-dependent by design, but mass must be conserved —
+    // every centroid with assigned rows is finite and dimension-complete
+    val (ref2, sink2) = graft.ops.KMeans.runningFitSink("embedding", init)
+    sink2(rows.take(rows.length / 2).toSeq.toDF("vec_id", "embedding"), 0L)
+    sink2(rows.drop(rows.length / 2).toSeq.toDF("vec_id", "embedding"), 1L)
+    val m = ref2.get()
+    assert(m.centroids.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    assert(m.centroids.length == 4 && m.centroids.forall(_.length == 64))
+  }
+
   test("streaming CMS: foreachBatch accumulator over a real feed, redelivery-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.CountMin
