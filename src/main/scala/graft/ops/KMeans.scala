@@ -58,6 +58,7 @@ object KMeans {
     val picked = df
       .select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull) // a null vector must never seed a centroid
       .withColumn("__h", Sampling.hashHex(seed, Seq(col("__id"))))
       .orderBy(col("__h"), col("__id"))
       .limit(k)
@@ -89,9 +90,12 @@ object KMeans {
   }
 
   /** Tag each row with its nearest cluster: adds `cluster_id` and the
-    * squared L2 `dist` to that centroid. */
+    * squared L2 `dist` to that centroid. A null vector gets a null
+    * cluster and distance (it belongs to no cluster; dropping the row
+    * is the caller's policy decision, not the scorer's). */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val best = nearest(col(vecCol).cast("array<double>"), model.centroids)
+    val v = col(vecCol).cast("array<double>")
+    val best = when(v.isNotNull, nearest(v, model.centroids))
     df.withColumn("__best", best)
       .withColumn("cluster_id", col("__best.cid"))
       .withColumn("dist", col("__best.dist"))
@@ -107,6 +111,7 @@ object KMeans {
       seed: String = "graft-km", decimals: Int = 6): Model = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val data = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull) // null vectors vote in no cluster
     var centroids = initCentroids(df, idCol, vecCol, k, seed, decimals)
     for (_ <- 1 to iters) {
       val assigned = data
@@ -228,4 +233,32 @@ object KMeans {
   /** Scale of the exact component sums (shared by [[fit]] and the
     * streaming fold so both accumulate identical decimals). */
   private val DecimalScale = 12
+
+  /** Persist a model as a tiny parquet table (cluster_id, centroid,
+    * decimals) — assignment in a later session (or another engine that
+    * reads parquet) needs only this. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, model.decimals) }.toSeq
+      .toDF("cluster_id", "centroid", "decimals")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveModel]]: cluster ids must be the contiguous range
+    * 0..k−1 (anything else means the table was edited or mixed). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select("cluster_id", "centroid", "decimals")
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      s"cluster ids at $path are not the contiguous range 0..${rows.length - 1}")
+    val decimals = rows.head.getInt(2)
+    Model(rows.map(_.getSeq[Double](1).toArray), decimals)
+  }
 }

@@ -164,6 +164,49 @@ class KMeansSpec extends SparkSpec {
       (12L, 1, 2), (13L, 1, 1)))
   }
 
+  test("null vectors never seed, never vote, and assign to no cluster") {
+    val rows: Seq[(Long, Option[Seq[Double]])] =
+      (0 until 20).map(i => (i.toLong, Some(Seq((i % 2) * 10.0, 1.0)))) :+
+        (99L, Option.empty[Seq[Double]])
+    val df = rows.toDF("id", "vec")
+    val model = KMeans.fit(df, "id", "vec", k = 2, iters = 2)
+    // both centroids derive from real vectors only
+    assert(model.centroids.forall(_.forall(x => !x.isNaN)))
+    assert(model.centroids.map(_.toSeq).toSet ==
+      Set(Seq(0.0, 1.0), Seq(10.0, 1.0)))
+    val got = KMeans.assign(df, "vec", model)
+      .select(col("id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(got(99L).isEmpty, "null vector received a cluster")
+    assert((0 until 20).forall(i => got(i.toLong).isDefined))
+  }
+
+  test("model round-trips through parquet") {
+    val rows = synth(60, 4)
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val model = KMeans.fit(df, "id", "vec", k = 3, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-km-model")
+    try {
+      val path = s"$dir/model"
+      KMeans.saveModel(spark, model, path)
+      val loaded = KMeans.loadModel(spark, path)
+      assert(loaded.decimals == model.decimals)
+      assert(loaded.centroids.map(_.toSeq).toSeq ==
+        model.centroids.map(_.toSeq).toSeq)
+      // loaded model scores identically
+      val a = KMeans.assign(df, "vec", model)
+        .select("id", "cluster_id").as[(Long, Int)].collect().toMap
+      val b = KMeans.assign(df, "vec", loaded)
+        .select("id", "cluster_id").as[(Long, Int)].collect().toMap
+      assert(a == b)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("prototype pruning: every cluster keeps at least one row, ties break on id") {
     val assigned = Seq(
       (1L, 0, 5.0), (2L, 0, 5.0), // exact tie: rank by id asc

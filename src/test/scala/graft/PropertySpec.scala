@@ -397,4 +397,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("k-means assignment plans ZERO exchanges (pure narrow scoring map)") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.KMeans.Model(
+      Array.tabulate(4)(i => Array.tabulate(64)(j => (i * 64 + j) / 256.0)), 6)
+    val plan = graft.ops.KMeans.assign(embs, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment should be a narrow map, found a shuffle:\n$plan")
+  }
+
+  test("anchorTerms: count and top-k window share ONE exchange") {
+    import spark.implicits._
+    val edges = (0 until 2000)
+      .map(i => (i.toLong, (i % 37).toLong, s"w${i % 11} w${i % 5} common"))
+      .toDF("src", "dst", "anchor")
+    val plan = graft.ops.Graph.anchorTerms(edges, "dst", "anchor", k = 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one exchange, found $exchanges:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k did not lower to WindowGroupLimit:\n$plan")
+  }
+
+  test("prunePrototypes: count and rank windows share the cluster exchange") {
+    import spark.implicits._
+    val assigned = (0 until 1000)
+      .map(i => (i.toLong, i % 7, (i * 31 % 997).toDouble))
+      .toDF("id", "cluster_id", "dist")
+    val plan = graft.ops.KMeans.prunePrototypes(assigned, "id", 0.3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one exchange, found $exchanges:\n$plan")
+  }
 }
