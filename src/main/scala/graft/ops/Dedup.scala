@@ -194,6 +194,64 @@ object Dedup {
       idCol)
   }
 
+  /** EXACT Jaccard self-join via prefix filtering (Chaudhuri et al. 2006;
+    * Xiao et al., PPJoin, 2008 — public): the same result set as
+    * [[ngramJaccardPairs]], but each document enters the candidate
+    * self-join only through its `|r| − ⌈t·|r|⌉ + 1` GLOBALLY RAREST
+    * shingles (one total order — ascending document frequency, shingle
+    * tie-break — shared by every document). If J(r,s) ≥ t, the smallest
+    * shared shingle provably sits inside BOTH prefixes (fewer than
+    * |r| − ⌈t·|r|⌉ + 1 non-shared shingles can precede it), so pruning
+    * loses nothing: this is the exact algorithm, not an approximation —
+    * the structural difference from MinHash-LSH, whose recall is
+    * probabilistic. Stop-shingles (huge posting lists) only generate
+    * candidates when they are some document's rarest-prefix tokens,
+    * which at a high threshold removes the O(df²) cliff the naive join's
+    * `maxPostings` cap exists to dodge — WITHOUT giving up exactness.
+    *
+    * Shape: one (id)-partitioned window pass ranks shingles by global
+    * rarity (the frequency table joins in by shingle); the prefix
+    * self-join ships only (id, shingle) pairs; verification joins the
+    * candidate ids back to their full shingle arrays and intersects
+    * in-row. At 100 TB verification can swap the array carry for a
+    * postings-count join; the candidate math is unchanged. */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sg"))
+    val dfreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("__df"))
+    val byId = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, Seq("sg"))
+      .withColumn("__pos",
+        row_number().over(byId.orderBy(col("__df"), col("sg"))))
+      .withColumn("__n", count(lit(1)).over(byId))
+    val prefix = ranked
+      .filter(col("__pos") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select("id", "sg")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val sets = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), n).as("set"))
+    cands
+      .join(sets.select(col("id").as("id1"), col("set").as("s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("set").as("s2")), "id2")
+      .withColumn("n1", size(col("s1")))
+      .withColumn("n2", size(col("s2")))
+      .withColumn("intersection", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n1") + col("n2") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "n1", "n2", "intersection", "jaccard")
+  }
+
   /** Word-n-gram Jaccard pairs with similarity ≥ `threshold`.
     * Returns (id1, id2, n1, n2, intersection, jaccard).
     *

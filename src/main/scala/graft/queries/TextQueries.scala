@@ -175,6 +175,45 @@ object TextQueries extends QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"))
 
+  /** Prefix-filtering EXACT Jaccard join ([[Dedup.prefixJaccardPairs]],
+    * PPJoin shape): the SAME oracle as dd_jaccard_pairs — prefix
+    * filtering is pruning, not approximation, so a different Spark
+    * algorithm must produce the identical pair set, scores included.
+    * Differential testing squared: two independent Spark plans (naive
+    * common-shingle join and rarest-prefix join) against one independent
+    * SQL derivation. */
+  val ddPrefixJaccard: Q = Q(
+    "dd_prefix_jaccard_pairs",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END) AS s
+        FROM t),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS intersection
+        FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, sa.n AS n1, sb.n AS n2, intersection,
+        ROUND(CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON inter.id1 = sa.doc_id
+      JOIN sz sb ON inter.id2 = sb.doc_id
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.3
+      ORDER BY id1, id2"""),
+    (s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 2, threshold = 0.3)
+        .select(col("id1"), col("id2"), col("n1"), col("n2"),
+          col("intersection"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"))
+
   /** Incremental dedup, exact baseline: incoming batch (2 fresh docs in 10
     * plus a re-crawl of 1 in 10) anti-joined against the historical corpus
     * on the canonical fingerprint. NOT EXISTS (not NOT IN) in the oracle:
@@ -1260,7 +1299,7 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
-    ddJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
+    ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,

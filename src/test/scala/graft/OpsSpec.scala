@@ -1889,6 +1889,37 @@ class OpsSpec extends SparkSpec {
       "w", 100L, Seq("id")).count() == 0)
   }
 
+  test("prefix-filtered Jaccard equals the naive exact join at every threshold") {
+    // shared bigram "the end" is a stop-shingle across ALL docs; the pair
+    // (1,2) is a true near-dup; 5 is an unrelated singleton; 6 is empty
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the end"),
+      (2L, "alpha beta gamma epsilon the end"),
+      (3L, "one two three four the end"),
+      (4L, "five six seven eight the end"),
+      (5L, "lone wolf"),
+      (6L, "")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), math.rint(r.getDouble(5) * 1e9))).toSeq
+    for (t <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val naive = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = t)
+        .select(col("id1"), col("id2"), col("n1").cast("int"),
+          col("n2").cast("int"), col("intersection"), col("jaccard")))
+      val prefix = canon(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = t)
+        .select(col("id1"), col("id2"), col("n1"), col("n2"),
+          col("intersection").cast("long"), col("jaccard")))
+      assert(prefix == naive, s"prefix join diverged at threshold $t")
+    }
+    // sanity at t=0.4: exactly the engineered near-dup pair survives (J=3/7)
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 2, 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
   test("stripMarkup: blocks, tags, entity order, no word fusion") {
     def strip(s: String): String =
       Seq(s).toDF("h").select(TextOps.stripMarkup(col("h")))
