@@ -1257,6 +1257,45 @@ object TextQueries extends QueryModule {
         c => graft.functions.Bpe.tokenCount(s, c, tok))
     })
 
+  /** Unigram-LM tokenizer end to end ([[graft.ops.UnigramLm]], Kudo 2018
+    * shape): ONE distributed word-count pass → driver EM → native
+    * codegen'd Viterbi tokenization of the whole corpus. Rows-only (EM
+    * has no SQL mirror), with the contract enforced distributed in-gate:
+    * (1) losslessness — concat(pieces) rebuilds every document minus
+    * whitespace; (2) closure — every multi-char piece is in the trained
+    * vocabulary (single chars may be UNK floor pieces); (3) compression —
+    * the corpus tokenizes to fewer pieces than characters. Output: the
+    * top-50 piece frequencies. */
+  val txtUnigramTokenize: Q = Q(
+    "txt_unigram_tokenize",
+    None,
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val m = graft.ops.UnigramLm.trainOn(docs, "text",
+        vocabSize = 256, maxPieceLen = 6)
+      val tokked = docs.select(col("doc_id"), col("text"),
+        graft.ops.UnigramLm.tokenize(s, col("text"), m).as("pieces"))
+      val lossy = tokked.filter(concat_ws("", col("pieces")) =!=
+        regexp_replace(col("text"), "\\s+", "")).count()
+      require(lossy == 0, s"unigram tokenization lossy on $lossy documents")
+      import s.implicits._
+      val stray = tokked.select(explode(col("pieces")).as("p")).distinct()
+        .filter(length(col("p")) > 1)
+        .join(m.logp.keySet.toSeq.toDF("p"), Seq("p"), "left_anti").count()
+      require(stray == 0, s"$stray multi-char pieces outside the vocabulary")
+      val agg = tokked.agg(
+        sum(size(col("pieces"))).as("n_pieces"),
+        sum(length(regexp_replace(col("text"), "\\s+", ""))).as("n_chars"))
+        .head()
+      require(agg.getAs[Long]("n_pieces") < agg.getAs[Long]("n_chars"),
+        s"no compression: ${agg.getAs[Long]("n_pieces")} pieces for " +
+          s"${agg.getAs[Long]("n_chars")} chars")
+      tokked.select(explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece"))
+        .limit(50)
+    })
+
   /** Markup strip ([[graft.ops.TextOps.stripMarkup]]): both engines wrap
     * each document in the same synthetic HTML (attributes, a script block
     * with a raw `<` inside, a style block, and all six supported
@@ -1306,6 +1345,6 @@ object TextQueries extends QueryModule {
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
-    txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup,
+    txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup, txtUnigramTokenize,
     txtHashClassifier, mntUpsert)
 }
