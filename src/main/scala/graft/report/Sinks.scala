@@ -18,6 +18,16 @@ import graft.stats.{ColumnStats, Correlation, DataQuality, FilterFunnel}
   */
 object Sinks {
 
+  /** Scratch-dir cleanup shared by the single-file exporters: after the
+    * part file moves to its target, the temp dir still holds _SUCCESS and
+    * checksum droppings — repeated exports must not accumulate them. */
+  private def deleteRecursively(dir: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(p => Files.deleteIfExists(p))
+  }
+
   /** Filename sanitization (reference file_handling/security.py:36–49):
     * path components stripped, non [A-Za-z0-9._-] replaced, length-capped. */
   def secureFilename(name: String): String = {
@@ -35,11 +45,13 @@ object Sinks {
   def csvExport(df: DataFrame, outFile: String): Path = {
     val target = Paths.get(outFile).toAbsolutePath
     val tmp = Files.createTempDirectory("graft-csv-export")
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException("no csv part written"))
-    Files.createDirectories(target.getParent)
-    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException("no csv part written"))
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp) // _SUCCESS/.crc droppings + the dir
     target
   }
 
@@ -50,11 +62,13 @@ object Sinks {
   def jsonlExport(df: DataFrame, outFile: String): Path = {
     val target = Paths.get(outFile).toAbsolutePath
     val tmp = Files.createTempDirectory("graft-jsonl-export")
-    df.coalesce(1).write.mode("overwrite").json(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException("no json part written"))
-    Files.createDirectories(target.getParent)
-    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      df.coalesce(1).write.mode("overwrite").json(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException("no json part written"))
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp) // _SUCCESS/.crc droppings + the dir
     target
   }
 
@@ -65,11 +79,13 @@ object Sinks {
   def orcExport(df: DataFrame, outFile: String): Path = {
     val target = Paths.get(outFile).toAbsolutePath
     val tmp = Files.createTempDirectory("graft-orc-export")
-    df.coalesce(1).write.mode("overwrite").orc(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException("no orc part written"))
-    Files.createDirectories(target.getParent)
-    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      df.coalesce(1).write.mode("overwrite").orc(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException("no orc part written"))
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp) // _SUCCESS/.crc droppings + the dir
     target
   }
 
