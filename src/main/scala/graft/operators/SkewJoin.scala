@@ -54,8 +54,23 @@ object SkewJoin {
     require(Allowed.contains(jt),
       s"saltedJoin supports fact-preserving join types only, got $joinType")
     val saltCol = "__graft_salt"
+    // Spark's hash expressions reject MapType (no canonical element
+    // order); salt from the hashable columns only — still a pure function
+    // of row content, and a fact schema of ONLY maps has no usable
+    // identity to salt on, so refuse loudly rather than degenerate
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltSource = fact.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    require(saltSource.nonEmpty,
+      "fact has no hashable (non-MapType) column to derive the salt from")
     val salted = fact.withColumn(saltCol,
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+      pmod(xxhash64(saltSource: _*), lit(salt.toLong)))
     val replicated = dim.withColumn(saltCol,
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)

@@ -60,17 +60,28 @@ object CountMin {
 
   /** Point-query estimates for every row of `keys[keyCol]`: min over the
     * depth counters, with absent counters read as 0. Adds `cms_est`.
-    * The sketch side is broadcast — cost is one narrow pass over keys. */
+    * The sketch side is broadcast — cost is one narrow pass over keys.
+    *
+    * Contract: `keys` rows must be DISTINCT across its columns (the
+    * grouping that reassembles the depth probes collapses duplicates —
+    * dedupe first if the frame can repeat; same shape of contract as
+    * `Sampling.weightedSample`'s key uniqueness). A NULL key estimates
+    * NULL: [[sketch]] defines null keys as non-occurrences, so hashing
+    * one (concat_ws drops nulls) would return a collided bucket's count
+    * for a key that, by definition, never occurred. */
   def estimate(sk: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 512,
       seed: String = "graft-cms"): DataFrame = {
     val depths = explode(array((0 until depth).map(lit): _*)).as("depth")
-    keys
+    val est = keys.filter(col(keyCol).isNotNull)
       .withColumn("depth", depths)
       .withColumn("bucket", bucket(col(keyCol), col("depth"), width, seed))
       .join(broadcast(sk), Seq("depth", "bucket"), "left")
       .groupBy(keys.columns.map(col).toIndexedSeq: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    est.unionByName(
+      keys.filter(col(keyCol).isNull)
+        .withColumn("cms_est", lit(null).cast("long")))
   }
 
   /** foreachBatch accumulator folding per-micro-batch sketches over an

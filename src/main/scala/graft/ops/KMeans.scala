@@ -126,6 +126,16 @@ object KMeans {
           sum(col("col").cast("decimal(38,12)")).cast("double") /
             count(lit(1)), decimals).as("m"))
         .collect()
+      // mixed-dimension data shows up here as a cluster with ≠dim
+      // component rows (a longer vector adds positions, a shorter one
+      // starves the tail) — fail loudly instead of corrupting means;
+      // this check is free, it reads the already-collected k×dim rows
+      val dim = centroids.head.length
+      means.groupBy(_.getAs[Int]("__cid")).foreach { case (cid, rs) =>
+        require(rs.length == dim,
+          s"embedding column has mixed dimensions: cluster $cid saw " +
+            s"${rs.length} component positions, centroids have $dim")
+      }
       val next = centroids.map(_.clone())
       means.foreach { r =>
         next(r.getAs[Int]("__cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
@@ -212,6 +222,12 @@ object KMeans {
           .agg(sum(col("col").cast(s"decimal(38,$DecimalScale)")).as("s"),
             count(lit(1)).as("n"))
           .collect() // ≤ k × dim rows — bounded driver traffic
+        val dim = init.head.length
+        parts.groupBy(_.getAs[Int]("__cid")).foreach { case (cid, rs) =>
+          require(rs.length == dim &&
+            rs.map(_.getAs[Long]("n")).distinct.length == 1,
+            s"micro-batch has mixed embedding dimensions in cluster $cid")
+        }
         parts.foreach { r =>
           val (cid, pos) = (r.getAs[Int]("__cid"), r.getAs[Int]("pos"))
           sums(cid)(pos) = sums(cid)(pos).add(r.getAs[java.math.BigDecimal]("s"))

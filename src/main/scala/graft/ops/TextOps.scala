@@ -176,15 +176,24 @@ object TextOps {
       .otherwise(array_min(transform(sh, s => xxhash64(s))))
   }
 
-  /** Sentence-ish units: maximal runs of non-terminator characters plus
-    * their trailing `.!?` run, each trimmed; empties dropped. RE2-safe
-    * (no lookbehind). A trailing fragment without a terminator is its own
-    * unit, so every WORD of the document survives the split ([[tokens]]
-    * multiset conservation is spec-pinned). */
+  /** Sentence-ish units. A boundary is a `.!?` run FOLLOWED BY
+    * WHITESPACE — a terminator inside a token ("3.14", "v1.2.3", URLs)
+    * is not a boundary, so the word-sequence conservation contract holds
+    * on numeric/URL-bearing text. RE2-safe without lookaround: the
+    * boundary's whitespace is rewritten to a NUL sentinel via a capture
+    * group, then the text splits on the sentinel. Known heuristic limit
+    * (standard for regex sentence splitting): abbreviations before a
+    * space ("e.g. x") split. A trailing fragment without a terminator is
+    * its own unit, so every WORD of the document survives the split
+    * ([[tokens]] multiset conservation is spec-pinned). */
   def sentences(c: Column): Column =
     filter(
-      transform(regexp_extract_all(c.cast(StringType),
-        lit("[^.!?]+[.!?]*|[.!?]+"), lit(0)),
+      transform(
+        split(regexp_replace(
+          // strip any NUL already in the input so it cannot collide with
+          // the boundary sentinel below
+          regexp_replace(c.cast(StringType), "\u0000", " "),
+          "([.!?]+)\\s+", "$1\u0000"), "\u0000"),
         // NOT trim(): Spark's trim strips only 0x20, so a sentence after
         // a blank line would keep its leading newlines
         s => regexp_replace(s, "^\\s+|\\s+$", "")),

@@ -20,12 +20,16 @@ final case class UnigramModel(logp: Map[String, Double], maxPieceLen: Int)
   val unkLogp: Double =
     if (logp.isEmpty) -100.0 else logp.values.min - 10.0
 
-  /** Maximum-likelihood segmentation of one word. DP over end positions;
-    * ties break toward the LONGER final piece (we scan candidate split
-    * points ascending and only improve on a strictly better score), so
-    * the result is a pure function of (word, model). */
+  /** Maximum-likelihood segmentation of one word. The DP runs over CODE
+    * POINTS, not UTF-16 units — a lone-surrogate "piece" is not a valid
+    * string, and UTF8String would mangle it to '?', breaking the lossless
+    * contract on any astral character (emoji, rare CJK). Ties break
+    * toward the LONGER final piece (we scan candidate split points
+    * ascending and only improve on a strictly better score), so the
+    * result is a pure function of (word, model). */
   def viterbi(word: String): Array[String] = {
-    val n = word.length
+    val cps = UnigramModel.codePoints(word)
+    val n = cps.length
     if (n == 0) return Array.empty
     val best = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = Array.fill(n + 1)(-1)
@@ -34,7 +38,7 @@ final case class UnigramModel(logp: Map[String, Double], maxPieceLen: Int)
     while (i <= n) {
       var j = math.max(0, i - math.max(maxPieceLen, 1))
       while (j < i) {
-        val piece = word.substring(j, i)
+        val piece = cps.slice(j, i).mkString
         val lp =
           if (i - j == 1) logp.getOrElse(piece, unkLogp)
           else logp.getOrElse(piece, Double.NegativeInfinity)
@@ -48,7 +52,7 @@ final case class UnigramModel(logp: Map[String, Double], maxPieceLen: Int)
     }
     val out = mutable.ArrayBuffer.empty[String]
     var k = n
-    while (k > 0) { out += word.substring(back(k), k); k = back(k) }
+    while (k > 0) { out += cps.slice(back(k), k).mkString; k = back(k) }
     out.reverseIterator.toArray
   }
 
@@ -62,6 +66,21 @@ final case class UnigramModel(logp: Map[String, Double], maxPieceLen: Int)
   def tokenizeArrayData(s: UTF8String): ArrayData =
     new GenericArrayData(
       tokenizeText(s.toString).map(UTF8String.fromString(_)))
+}
+
+object UnigramModel {
+  /** The word as whole code points (surrogate pairs stay together). */
+  private[ops] def codePoints(word: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
 }
 
 /** Unigram language-model tokenizer (Kudo 2018, SentencePiece's unigram
@@ -111,14 +130,14 @@ object UnigramLm {
     require(vocabSize >= 2 && maxPieceLen >= 1 && emIters >= 1)
     require(words.nonEmpty, "empty word-frequency table")
     val wordSeq = words.toVector.sortBy(_._1)
-    // single characters: the coverage floor keeping every word segmentable
-    val chars: Set[String] =
-      wordSeq.flatMap(_._1.map(String.valueOf(_))).toSet
-    // seed vocabulary: substring occurrence counts, top seedFactor·vocabSize
+    val wordCps = wordSeq.map { case (w, n) => (UnigramModel.codePoints(w), n) }
+    // single CODE POINTS: the coverage floor keeping every word segmentable
+    val chars: Set[String] = wordCps.flatMap(_._1).toSet
+    // seed vocabulary: code-point substring counts, top seedFactor·vocabSize
     val subCounts = mutable.HashMap.empty[String, Long]
-    for ((w, n) <- wordSeq; j <- 0 until w.length;
+    for ((w, n) <- wordCps; j <- 0 until w.length;
          i <- (j + 1) to math.min(w.length, j + maxPieceLen))
-      subCounts.updateWith(w.substring(j, i))(c => Some(c.getOrElse(0L) + n))
+      subCounts.updateWith(w.slice(j, i).mkString)(c => Some(c.getOrElse(0L) + n))
     val seeds: Set[String] = chars ++ subCounts.toSeq
       .filter(_._1.length > 1)
       .sortBy { case (p, c) => (-c, p) }
@@ -163,10 +182,11 @@ object UnigramLm {
   /** Forward–backward expected piece counts for one word, in log space
     * (per-word lattices are tiny; this is driver-side EM). */
   private def expectedCounts(word: String, m: Model): Map[String, Double] = {
-    val n = word.length
+    val cps = UnigramModel.codePoints(word)
+    val n = cps.length
     if (n == 0) return Map.empty
     def lp(j: Int, i: Int): Double = {
-      val piece = word.substring(j, i)
+      val piece = cps.slice(j, i).mkString
       if (i - j == 1) m.logp.getOrElse(piece, m.unkLogp)
       else m.logp.getOrElse(piece, Double.NegativeInfinity)
     }
@@ -193,7 +213,7 @@ object UnigramLm {
       if (l > Double.NegativeInfinity) {
         val post = math.exp(alpha(j) + l + beta(i) - z)
         if (post > 0.0)
-          out.updateWith(word.substring(j, i))(
+          out.updateWith(cps.slice(j, i).mkString)(
             v => Some(v.getOrElse(0.0) + post))
       }
     }
@@ -217,8 +237,14 @@ object UnigramLm {
 
   /** Distributed apply: the model rides the plan as a reference object
     * inside a native codegen'd expression — one narrow map. */
+  private val tokenizeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def tokenize(spark: SparkSession, c: Column, model: Model): Column = {
-    val n = s"graft_unigram_${System.identityHashCode(model)}"
+    // a fresh sequence number per registration: identityHashCode can
+    // collide between live models and would silently rebind the name for
+    // plans that re-resolve; registry growth is one entry per model
+    // actually tokenized with — bounded by models built in the session
+    val n = s"graft_unigram_${tokenizeSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       n, exprs => UnigramTokenize(exprs.head, model), "built-in")
     org.apache.spark.sql.functions.call_function(n, c)

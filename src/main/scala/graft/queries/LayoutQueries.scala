@@ -186,10 +186,7 @@ object LayoutQueries extends QueryModule {
       } finally {
         // repeated gate/bench runs must not leak the shatter+compact
         // copies into the system temp dir
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(basePath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        graft.core.Fs.deleteRecursively(basePath)
       }
     })
 

@@ -469,10 +469,17 @@ object SimQueries extends QueryModule {
     (init +: steps :+ fin).mkString("WITH ", ",\n      ", "")
   }
 
+  /** One fit per sf dir: four gates consume the identical deterministic
+    * model — re-fitting per gate would redo initCentroids' collect plus
+    * two Lloyd iterations four times for bit-identical results. */
+  private val kmModels =
+    scala.collection.concurrent.TrieMap[String, graft.ops.KMeans.Model]()
+
   private def kmAssigned(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = Tables.load(s, dir, "embeddings")
-    val model = graft.ops.KMeans.fit(emb, "vec_id", "embedding",
-      k = KmK, iters = KmIters, seed = KmSeed)
+    val model = kmModels.getOrElseUpdate(dir,
+      graft.ops.KMeans.fit(emb, "vec_id", "embedding",
+        k = KmK, iters = KmIters, seed = KmSeed))
     graft.ops.KMeans.assign(emb, "embedding", model)
   }
 

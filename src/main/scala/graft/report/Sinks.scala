@@ -21,12 +21,8 @@ object Sinks {
   /** Scratch-dir cleanup shared by the single-file exporters: after the
     * part file moves to its target, the temp dir still holds _SUCCESS and
     * checksum droppings — repeated exports must not accumulate them. */
-  private def deleteRecursively(dir: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(p => Files.deleteIfExists(p))
-  }
+  private def deleteRecursively(dir: Path): Unit =
+    graft.core.Fs.deleteRecursively(dir)
 
   /** Filename sanitization (reference file_handling/security.py:36–49):
     * path components stripped, non [A-Za-z0-9._-] replaced, length-capped. */

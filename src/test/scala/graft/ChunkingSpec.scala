@@ -27,6 +27,18 @@ class ChunkingSpec extends SparkSpec {
     assert(splitOne("...") == Seq("..."))
   }
 
+  test("terminators inside tokens are not boundaries (decimals, URLs, versions)") {
+    assert(splitOne("pi is 3.14 ok") == Seq("pi is 3.14 ok"))
+    assert(splitOne("ship v1.2.3 today. see http://x.y/z?q=1 now") ==
+      Seq("ship v1.2.3 today.", "see http://x.y/z?q=1 now"))
+    // conservation through such text: chunk words == document words
+    val text = "val is 3.14 and 2.72. more at a.b/c?d=1 end"
+    val words = Seq(text).toDF("t")
+      .select(TextOps.tokens(col("t"))).as[Seq[String]].head()
+    val chunkWords = packOne(text, 4).flatMap(_._1.split("\\s+").toSeq)
+    assert(chunkWords == words)
+  }
+
   test("greedy packing matches the hand-computed chunks") {
     // sentence token costs: 2, 3, 2, 1 under a budget of 5
     val got = packOne("a b. c d e. f g. h.", 5)

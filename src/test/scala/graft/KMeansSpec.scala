@@ -200,11 +200,7 @@ class KMeansSpec extends SparkSpec {
       val b = KMeans.assign(df, "vec", loaded)
         .select("id", "cluster_id").as[(Long, Int)].collect().toMap
       assert(a == b)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.core.Fs.deleteRecursively(dir)
   }
 
   test("prototype pruning: every cluster keeps at least one row, ties break on id") {

@@ -68,6 +68,28 @@ class UnigramLmSpec extends SparkSpec {
     assert(m.tokenizeText("abc  ab9c\nzz").mkString("") == "abcab9czz")
   }
 
+  test("astral characters (surrogate pairs) never split into lone surrogates") {
+    // 🚀 and 𝕏 are outside the BMP: as UTF-16 they are surrogate PAIRS,
+    // and a code-unit DP would emit lone-surrogate pieces that UTF8String
+    // mangles to '?'
+    val m = UnigramLm.train(Map("ab🚀cd" -> 5L, "𝕏y" -> 3L), vocabSize = 12,
+      maxPieceLen = 3)
+    for (w <- Seq("ab🚀cd", "𝕏y", "🚀🚀", "x🚀z")) {
+      val pieces = m.viterbi(w)
+      assert(pieces.mkString("") == w, s"lossy on '$w': ${pieces.toSeq}")
+      // every piece is a well-formed string: unpaired surrogates do not
+      // survive a UTF-8 round-trip (they become U+FFFD/'?')
+      assert(pieces.forall(p =>
+        new String(p.getBytes("UTF-8"), "UTF-8") == p),
+        s"piece with a lone surrogate in ${pieces.toSeq}")
+    }
+    // and through the distributed expression round-trip
+    val df = Seq((1L, "ab🚀cd x🚀z")).toDF("id", "text")
+    val got = df.select(UnigramLm.tokenize(spark, col("text"), m))
+      .as[Seq[String]].head()
+    assert(got.mkString("") == "ab🚀cdx🚀z", s"expression mangled: $got")
+  }
+
   test("trainOn over the distributed corpus equals train over driver counts") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val driverCounts = docs
