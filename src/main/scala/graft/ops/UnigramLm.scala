@@ -237,6 +237,30 @@ object UnigramLm {
 
   /** Distributed apply: the model rides the plan as a reference object
     * inside a native codegen'd expression — one narrow map. */
+  /** Persist the model as a tiny parquet table (piece, logp,
+    * max_piece_len) — the interchange twin of the BPE merges fixture:
+    * any parquet reader can rebuild the tokenizer. */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.logp.toSeq.sortBy(_._1)
+      .map { case (p, lp) => (p, lp, model.maxPieceLen) }
+      .toDF("piece", "logp", "max_piece_len")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveModel]]. */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select("piece", "logp", "max_piece_len").collect()
+    require(rows.nonEmpty, s"no pieces at $path")
+    val lens = rows.map(_.getInt(2)).distinct
+    require(lens.length == 1,
+      s"inconsistent max_piece_len at $path: ${lens.mkString(",")}")
+    UnigramModel(
+      rows.map(r => r.getString(0) -> r.getDouble(1)).toMap, lens.head)
+  }
+
   private val tokenizeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def tokenize(spark: SparkSession, c: Column, model: Model): Column = {

@@ -90,6 +90,21 @@ class UnigramLmSpec extends SparkSpec {
     assert(got.mkString("") == "ab🚀cdx🚀z", s"expression mangled: $got")
   }
 
+  test("model round-trips through parquet and tokenizes identically") {
+    val m = UnigramLm.train(Map("alpha" -> 10L, "beta" -> 7L, "alphabet" -> 3L),
+      vocabSize = 16, maxPieceLen = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-model")
+    try {
+      val path = s"$dir/model"
+      UnigramLm.saveModel(spark, m, path)
+      val loaded = UnigramLm.loadModel(spark, path)
+      assert(loaded.maxPieceLen == m.maxPieceLen)
+      assert(loaded.logp == m.logp)
+      for (w <- Seq("alpha", "alphabet", "betabet", "zz"))
+        assert(loaded.viterbi(w).toSeq == m.viterbi(w).toSeq)
+    } finally graft.core.Fs.deleteRecursively(dir)
+  }
+
   test("trainOn over the distributed corpus equals train over driver counts") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val driverCounts = docs
