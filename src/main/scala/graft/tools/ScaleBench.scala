@@ -279,6 +279,32 @@ object ScaleBench {
           f""","result_rows":$ivfRows,"recall":$recall%.3f,"build_sec":$buildSec%.3f""")
       }
 
+      // (No exact-Jaccard scaling series: the synthetic corpus draws every
+      // document from ONE tiny vocabulary, so each doc genuinely shares
+      // rarest shingles with hundreds of others and ANY exact join —
+      // prefix-filtered or naive — is inherently candidate-quadratic on
+      // it. That is an adversarial input, not "more data"; the measured
+      // scale path for near-dup at volume remains dd_minhash_lsh above,
+      // and prefixJaccardPairs' win over the naive join is exactness
+      // WITHOUT the maxPostings recall trade, verified by its gate.)
+
+      if (wanted("unigram_train")) {
+        // tokenizer-training scaling: the corpus pass is distributed but
+        // EM is driver-side over DISTINCT words — the suffixed-token
+        // discipline grows the distinct-word table ~K×, which is exactly
+        // the honest cost driver (mitigation knobs: minWordCount /
+        // maxWords). Witness: the trained vocab stays full-size.
+        var vocab = 0
+        val (ugMed, ugS) = timeMedian {
+          vocab = graft.ops.UnigramLm.trainOn(docs, "text",
+            vocabSize = 256, maxPieceLen = 6).logp.size
+        }
+        val distinctWords = graft.ops.UnigramLm.wordCounts(docs, "text").count()
+        require(vocab >= 200, s"vocab collapsed at $k x: $vocab")
+        emit("unigram_train", k, distinctWords, ugMed, ugS,
+          s""","vocab":$vocab""")
+      }
+
       if (wanted("kmeans")) {
         // distributed Lloyd at corpus scale: each iteration is one narrow
         // assignment map over the data plus one aggregation whose shuffle
