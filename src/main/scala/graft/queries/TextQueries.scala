@@ -1296,6 +1296,52 @@ object TextQueries extends QueryModule {
         .limit(50)
     })
 
+  /** Training-shard export ([[graft.report.TokenExport]]): every
+    * document's REAL BPE ids land in int32-LE binary shards + a parquet
+    * index, then the gate seeks every document back out of its shard
+    * file and requires byte-exact ids — the full encode → shard →
+    * mmap-read loop a trainer depends on. Rows-only (a binary sink has
+    * no SQL mirror); output is the per-shard manifest. */
+  val mntTokenExport: Q = Q(
+    "mnt_token_export",
+    None,
+    (s, dir) => {
+      val tok = graft.functions.Bpe.fromResource()
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Bpe.encodeIds(s, col("text"), tok).as("ids"))
+      val out = java.nio.file.Files.createTempDirectory("graft-tokexp")
+      try {
+        val index = graft.report.TokenExport.writeShards(
+          s, docs, "doc_id", "ids", out.toString, nShards = 4)
+        val expected = docs.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+        val idx = index.collect()
+        require(idx.length == expected.size,
+          s"index has ${idx.length} rows for ${expected.size} documents")
+        idx.foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          val got = graft.report.TokenExport.readDoc(out.toString,
+            r.getAs[String]("file"), r.getAs[Long]("offset"),
+            r.getAs[Int]("n_tokens"))
+          require(got.toSeq == expected(id),
+            s"shard bytes drifted for doc $id")
+        }
+        // materialize BEFORE the finally deletes the index files the
+        // summary plan reads from
+        val summary = index.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"),
+            count_distinct(col("file")).as("n_files"))
+          .orderBy("shard")
+          .collect()
+        import s.implicits._
+        summary.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_tokens"), r.getAs[Long]("n_files"))).toSeq
+          .toDF("shard", "n_docs", "n_tokens", "n_files")
+      } finally graft.core.Fs.deleteRecursively(out)
+    })
+
   /** Markup strip ([[graft.ops.TextOps.stripMarkup]]): both engines wrap
     * each document in the same synthetic HTML (attributes, a script block
     * with a raw `<` inside, a style block, and all six supported
@@ -1346,5 +1392,6 @@ object TextQueries extends QueryModule {
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
     txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup, txtUnigramTokenize,
+    mntTokenExport,
     txtHashClassifier, mntUpsert)
 }
