@@ -29,7 +29,9 @@ object SparkEntry {
     graft.queries.EventQueries,
     graft.queries.SamplingQueries,
     graft.queries.PrivacyQueries,
-    graft.queries.SketchQueries)
+    graft.queries.SketchQueries,
+    graft.queries.ProjectionQueries,
+    graft.queries.EvalQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 

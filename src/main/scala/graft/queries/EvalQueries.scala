@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.Sampling
+import graft.stats.{Eval, Logistic}
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation gates ([[graft.stats.Eval]]). The metrics stay
+  * exact longs until one final division, so the oracles hash-match raw
+  * doubles; the deterministic "model scores" are either real TPC-H columns
+  * (heavy ties — exercising the tie-aware AUC identity) or the
+  * engine-portable md5 hash fraction (near-unique scores, and a synthetic
+  * perfectly-calibrated probability for the reliability bins). */
+object EvalQueries extends QueryModule {
+
+  /** Shared md5-fraction SQL mirror ([[Sampling.hashFraction]]). */
+  private def hfSql(seed: String, key: String): String =
+    s"""(CAST(concat('0x', substr(md5(concat_ws('|', '$seed',
+        CAST($key AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)"""
+
+  /** Tie-heavy AUC: order priority digit (5 distinct scores) predicting
+    * finished status — the tie term 0.5·pos_s·neg_s dominates, so both
+    * engines must implement the same tie-aware identity. */
+  val aucTies: Q = Q(
+    "ml_auc_ties",
+    Some("""
+      WITH b AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      g AS (
+        SELECT s,
+          SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+          SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+        FROM b GROUP BY s),
+      c AS (
+        SELECT pos, neg,
+          COALESCE(SUM(neg) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM g)
+      SELECT
+        CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE)
+          / (2.0 * CAST(SUM(pos) AS BIGINT) * CAST(SUM(neg) AS BIGINT)) AS auc,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(neg) AS BIGINT) AS n_neg
+      FROM c"""),
+    (s, dir) =>
+      Eval.auc(Tables.load(s, dir, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("int"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0)))
+
+  /** Near-unique scores with planted separation: score = 0.8·hash + 0.2·y,
+    * so positives shift up by 0.2 and the true AUC is a data-determined
+    * constant both engines must reproduce through thousands of distinct
+    * score groups. */
+  val aucSeparable: Q = Q(
+    "ml_auc_separable",
+    Some(s"""
+      WITH b AS (
+        SELECT
+          0.8 * ${hfSql("graft-eval", "o_orderkey")}
+            + 0.2 * (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      g AS (
+        SELECT s,
+          SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+          SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+        FROM b GROUP BY s),
+      c AS (
+        SELECT pos, neg,
+          COALESCE(SUM(neg) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM g)
+      SELECT
+        CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE)
+          / (2.0 * CAST(SUM(pos) AS BIGINT) * CAST(SUM(neg) AS BIGINT)) AS auc,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(neg) AS BIGINT) AS n_neg
+      FROM c"""),
+    (s, dir) => {
+      val y = when(col("o_orderstatus") === "F", 1).otherwise(0)
+      Eval.auc(Tables.load(s, dir, "orders"),
+        lit(0.8) * Sampling.hashFraction("graft-eval", Seq(col("o_orderkey")))
+          + lit(0.2) * y,
+        y)
+    })
+
+  /** ROC confusion table over the 11 discount levels predicting returns —
+    * every count is an exact conditional sum, every rate an identical
+    * division, nulls where undefined (threshold above every score). */
+  val rocPoints: Q = Q(
+    "ml_roc_points",
+    Some("""
+      WITH t AS (SELECT unnest([0.0, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12]) AS th),
+      b AS (
+        SELECT CAST(l_discount AS DOUBLE) AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      a AS (
+        SELECT CAST(th AS DOUBLE) AS threshold,
+          CAST(SUM(CASE WHEN s >= th AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN s >= th AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM t, b GROUP BY th)
+      SELECT threshold, tp, fp, p - tp AS fn, n - fp AS tn,
+        CASE WHEN tp + fp = 0 THEN NULL
+             ELSE tp / CAST(tp + fp AS DOUBLE) END AS precision,
+        CASE WHEN p = 0 THEN NULL ELSE tp / CAST(p AS DOUBLE) END AS recall,
+        CASE WHEN n = 0 THEN NULL ELSE fp / CAST(n AS DOUBLE) END AS fpr,
+        CASE WHEN tp + fp = 0 OR p = 0
+               OR (tp / CAST(tp + fp AS DOUBLE)) + (tp / CAST(p AS DOUBLE)) = 0
+             THEN NULL
+             ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(p AS DOUBLE))
+                  / ((tp / CAST(tp + fp AS DOUBLE)) + (tp / CAST(p AS DOUBLE)))
+        END AS f1
+      FROM a
+      ORDER BY threshold"""),
+    (s, dir) =>
+      Eval.rocPoints(Tables.load(s, dir, "lineitem"),
+          col("l_discount"), when(col("l_returnflag") === "R", 1).otherwise(0),
+          Seq(0.0, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12))
+        .orderBy("threshold"))
+
+  /** Reliability bins of a synthetic PERFECTLY-calibrated probability:
+    * score = hash1, label = (hash2 < hash1) — P(y=1 | score) = score by
+    * construction, so frac_pos tracks the bin center and both engines
+    * rebuild identical counts from the portable hashes. */
+  val calibration: Q = Q(
+    "ml_calibration",
+    Some(s"""
+      WITH b AS (
+        SELECT ${hfSql("graft-cal", "o_orderkey")} AS s,
+          CASE WHEN ${hfSql("graft-cal2", "o_orderkey")}
+            < ${hfSql("graft-cal", "o_orderkey")} THEN 1 ELSE 0 END AS y
+        FROM orders)
+      SELECT
+        CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          / CAST(count(*) AS DOUBLE) AS frac_pos,
+        round(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+          AS mean_score
+      FROM b
+      GROUP BY 1
+      ORDER BY bin"""),
+    (s, dir) => {
+      val h1 = Sampling.hashFraction("graft-cal", Seq(col("o_orderkey")))
+      val h2 = Sampling.hashFraction("graft-cal2", Seq(col("o_orderkey")))
+      Eval.calibrationBins(Tables.load(s, dir, "orders"),
+          h1, when(h2 < h1, 1).otherwise(0), bins = 10)
+        .select(col("bin"), col("n"),
+          (col("frac_pos")).as("frac_pos"), col("mean_score"))
+        .orderBy("bin")
+    })
+
+  /** Integration (rows-only — IRLS has no SQL mirror): plant a known
+    * logistic generative model on the portable hashes
+    * (x ~ U[0,1], P(y=1|x) = σ(−2 + 4x)), fit the in-engine logistic
+    * regression, and close the loop with [[Eval.auc]] — the fit must
+    * recover the planted weights and the train-score-evaluate pipeline
+    * must discriminate at the level the model implies. */
+  val classifierEval: Q = Q(
+    "ml_classifier_eval",
+    None,
+    (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      val x = Sampling.hashFraction("graft-lgr-x", Seq(col("o_orderkey")))
+      val u = Sampling.hashFraction("graft-lgr-u", Seq(col("o_orderkey")))
+      val pTrue = lit(1.0) / (lit(1.0) + exp(-(lit(-2.0) + lit(4.0) * x)))
+      val y = when(u < pTrue, 1).otherwise(0)
+      val fit = Logistic.fit(base, Seq("x" -> x), y)
+        .getOrElse(sys.error("logistic fit degenerate on planted data"))
+      require(fit.converged, "IRLS failed to converge on planted data")
+      require(math.abs(fit.weights(0) - 4.0) < 0.5 &&
+        math.abs(fit.intercept + 2.0) < 0.3,
+        s"planted (−2, 4) not recovered: " +
+          s"(${fit.intercept}, ${fit.weights(0)})")
+      val scored = base.select(fit.score(Seq(x)).as("score"), y.as("y"))
+      val a = Eval.auc(scored, col("score"), col("y")).collect().head
+      val aucV = a.getAs[Double]("auc")
+      // AUC of a planted σ(−2+4x) model over U[0,1] features sits near
+      // 0.78 (the score is monotone in x, so AUC = P(x⁺ > x⁻) under the
+      // planted conditional — measured 0.781 on this corpus)
+      require(aucV > 0.70 && aucV < 0.85,
+        s"AUC off the planted model's band: $aucV")
+      import s.implicits._
+      Seq((math.rint(aucV * 1e6) / 1e6, fit.converged,
+        a.getAs[Long]("n_pos"), a.getAs[Long]("n_neg")))
+        .toDF("auc", "converged", "n_pos", "n_neg")
+    })
+
+  override def queries: Seq[Q] =
+    Seq(aucTies, aucSeparable, rocPoints, calibration, classifierEval)
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.ops.{Projection, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dimensionality-reduction gates ([[graft.ops.Projection]]).
+  *
+  * The JL sign matrix is a pure function of (seed, i, j) through the
+  * engine-portable md5 parity, and each projected component is the same
+  * sequential-fold dot the DuckDB oracle's list arithmetic performs — so
+  * `prj_sign_project` hash-compares RAW doubles for all 500 × 16
+  * components, no rounding. The PCA eigensolve is driver-side math with no
+  * SQL mirror; its gates oracle-check the distributed covariance pass that
+  * feeds it and self-assert the spectral contracts on the result.
+  */
+object ProjectionQueries extends QueryModule {
+
+  private val InDim = 64
+  private val OutDim = 16 // 1/sqrt(16) = 0.25 is exact in binary
+  private val Seed = "graft-jl"
+
+  /** Full long-form JL projection of every embedding: both engines build
+    * the ±1 matrix from md5 parity and fold components in index order —
+    * bit-identical doubles. */
+  val signProject: Q = Q(
+    "prj_sign_project",
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      oi AS (SELECT unnest(range($OutDim)) AS i)
+      SELECT v.vec_id, CAST(oi.i AS INT) AS i,
+        0.25 * list_sum(list_transform(generate_series(1, $InDim), j ->
+          e[j] * (CASE WHEN CAST(concat('0x', substr(md5(
+              '$Seed|' || CAST(oi.i AS VARCHAR) || '|' || CAST(j - 1 AS VARCHAR)),
+              1, 8)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END))) AS p
+      FROM v, oi
+      ORDER BY vec_id, i"""),
+    (s, dir) =>
+      Projection.signProject(Tables.load(s, dir, "embeddings"),
+          "embedding", InDim, OutDim, Seed)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "p")))
+        .orderBy("vec_id", "i"))
+
+  /** The distributed covariance pass PCA eigensolves from: decimal-sum
+    * moments, round-before-reuse means — DuckDB rebuilds every
+    * upper-triangle cell and must agree to 6 decimals. */
+  val covariance: Q = Q(
+    "prj_covariance",
+    Some(s"""
+      WITH v AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = $InDim),
+      p AS (
+        SELECT ii.i, jj.j
+        FROM (SELECT unnest(range($InDim)) AS i) ii,
+             (SELECT unnest(range($InDim)) AS j) jj
+        WHERE jj.j >= ii.i),
+      m AS (
+        SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+          count(*) AS n,
+          round(CAST(SUM(CAST(e[p.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) AS mean_i,
+          round(CAST(SUM(CAST(e[p.j + 1] AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) AS mean_j,
+          CAST(SUM(CAST(e[p.i + 1] * e[p.j + 1] AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*) AS m2
+        FROM v, p
+        GROUP BY 1, 2)
+      SELECT i, j, n, mean_i, mean_j,
+        round(m2 - mean_i * mean_j, 6) AS cov
+      FROM m
+      ORDER BY i, j"""),
+    (s, dir) =>
+      Projection.covarianceUpper(Tables.load(s, dir, "embeddings"),
+          "embedding", InDim)
+        .orderBy("i", "j"))
+
+  /** PCA spectral contracts, self-asserted distributed-to-driver (no SQL
+    * eigensolver exists): components pairwise orthonormal, eigenvalues
+    * descending and non-negative beyond noise, and the FULL spectrum's
+    * mass equals the covariance trace (the eigensolve conserved variance).
+    * Emits the top-8 eigenvalues with explained-variance ratios. */
+  val pcaTopk: Q = Q(
+    "prj_pca_spectrum",
+    None,
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val model = Projection.pcaFit(embs, "embedding", InDim, k = 8)
+      // orthonormality of the returned components
+      for (a <- model.components.indices; b <- a until model.components.length) {
+        val d = model.components(a).zip(model.components(b))
+          .map { case (x, y) => x * y }.sum
+        val want = if (a == b) 1.0 else 0.0
+        require(math.abs(d - want) < 1e-4,
+          s"components $a,$b not orthonormal: dot=$d")
+      }
+      val ev = model.eigenvalues
+      require(ev.zip(ev.tail).forall { case (a, b) => a >= b },
+        "eigenvalues not descending")
+      require(ev.forall(_ > -1e-9), "negative eigenvalue beyond noise")
+      // variance conservation: sum of all-d eigenvalues == trace(cov)
+      val trace = Projection.covarianceUpper(embs, "embedding", InDim)
+        .filter(col("i") === col("j"))
+        .agg(sum("cov")).collect().head.getDouble(0)
+      require(math.abs(ev.sum - trace) < 1e-6 * math.max(1.0, trace),
+        s"spectrum mass ${ev.sum} != trace $trace")
+      val total = ev.sum
+      import s.implicits._
+      ev.take(8).zipWithIndex
+        .map { case (v, i) =>
+          (i, math.rint(v * 1e6) / 1e6, math.rint(v / total * 1e6) / 1e6)
+        }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
+        .orderBy("component")
+    })
+
+  /** Integration: ANN over reduced vectors. Exact cosine top-10 on the
+    * raw 64-d corpus vs brute-force top-10 over 16-d PCA and 16-d JL
+    * projections; the gate computes recall@10 per query and requires the
+    * variance-optimal PCA to beat the oblivious JL bound. Emits one row
+    * per method with mean recall (rounded) — self-asserting, rows-only
+    * (the eigensolve has no SQL mirror). */
+  val annRecall: Q = Q(
+    "prj_ann_recall",
+    None,
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val qFilter = col("vec_id") < 20
+      val k = 10
+      val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        qFilter, k).select("qid", "nid")
+      def recallOf(proj: org.apache.spark.sql.DataFrame): Double = {
+        val approx = Similarity.bruteForceTopK(proj, "vec_id", "proj",
+          qFilter, k).select(col("qid"), col("nid"))
+        val hits = exact.join(approx, Seq("qid", "nid")).count()
+        hits.toDouble / exact.count()
+      }
+      val jl = recallOf(
+        Projection.signProject(embs, "embedding", InDim, OutDim, Seed)
+          .select("vec_id", "proj"))
+      val model = Projection.pcaFit(embs, "embedding", InDim, k = OutDim)
+      val pca = recallOf(
+        Projection.pcaProject(embs, "embedding", model, outCol = "proj")
+          .select("vec_id", "proj"))
+      // the synthetic embeddings are near-isotropic, so 4× compression
+      // legitimately separates neighbors weakly — the contract is "far
+      // above chance" (chance = k/(n-1) ≈ 0.02), not near-perfect recall
+      require(jl >= 4 * 10.0 / 499.0, s"JL-16 recall@10 at chance: $jl")
+      require(pca >= jl - 0.05,
+        s"PCA-16 recall@10 ($pca) should not trail JL-16 ($jl)")
+      import s.implicits._
+      Seq(("jl16", math.rint(jl * 1000) / 1000),
+          ("pca16", math.rint(pca * 1000) / 1000))
+        .toDF("method", "recall_at_10").orderBy("method")
+    })
+
+  override def queries: Seq[Q] = Seq(signProject, covariance, pcaTopk, annRecall)
+}

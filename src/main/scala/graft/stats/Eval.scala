@@ -1,0 +1,152 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation over scored rows — the acceptance gate of
+  * every model-driven filter in a training-data pipeline (quality
+  * classifiers, langid, contamination scorers): AUC, ROC/PR points at
+  * fixed thresholds, and calibration bins.
+  *
+  * All three are engineered to stay exact until one final division so the
+  * DuckDB oracles hash-match without rounding games:
+  *
+  *  - AUC uses the tie-aware Mann–Whitney identity over score GROUPS:
+  *    AUC = Σ_s pos_s·(2·negBelow_s + neg_s) / (2·P·N). Numerator and
+  *    denominator are exact longs; the single double division is
+  *    bit-identical across engines.
+  *  - ROC points are conditional integer sums per threshold — ONE scan,
+  *    no explode (k thresholds = 4k aggregate columns folded map-side).
+  *  - Calibration bins are integer counts + decimal(38,12) score sums.
+  *
+  * Scale shape: AUC is one groupBy(score) shuffle, then a window over the
+  * DISTINCT-score frame — fine whenever scores are quantized or bounded
+  * (classifier outputs, discretized probabilities). With genuinely unique
+  * scores on 10¹¹ rows, pre-quantize (e.g. `round(score, 6)`) to bound the
+  * window input; the AUC of the quantized score is the trapezoid
+  * approximation with ≤ one-bin error. ROC/calibration never shuffle more
+  * than a constant number of aggregate cells per partition.
+  */
+object Eval {
+
+  /** Tie-aware AUC of `scoreCol` against binary `labelCol` (values must
+    * be 0/1; anything else fails loudly — a silently coerced label would
+    * produce a plausible-but-wrong AUC). Rows with a null score or label
+    * are excluded. Returns one row (auc, n_pos, n_neg); `auc` is null
+    * when either class is empty (undefined, not 0.5-by-fiat). */
+  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val base = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+    val grouped = base.groupBy("__s").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("pos"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("neg"),
+      sum(when(col("__y").isin(0, 1), 0L).otherwise(1L)).as("bad"))
+    // window over DISTINCT scores only (see scaladoc for the contract)
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grouped
+      .withColumn("nb", coalesce(sum(col("neg")).over(w), lit(0L)))
+    val out = cum.agg(
+      sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"),
+      sum(col("bad")).as("n_bad"),
+      // decimal terms: pos·(2·nb+neg) summed over 10¹¹-row classes
+      // overflows a long (ANSI would throw); decimal(38,0) holds ~2e22
+      sum(col("pos").cast("decimal(38,0)") *
+        (lit(2L) * col("nb") + col("neg")).cast("decimal(38,0)"))
+        .as("num2"))
+    out.select(
+        when(col("n_bad") > 0,
+          raise_error(concat(lit("labels outside {0,1}: "),
+            col("n_bad").cast("string"))))
+          .otherwise(
+            when(col("n_pos") > 0 && col("n_neg") > 0,
+              col("num2").cast("double") /
+                (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+  }
+
+  /** Confusion counts and derived rates at each threshold (score ≥ t ⇒
+    * predicted positive): ONE aggregation pass producing 2 conditional
+    * sums per threshold; fn/tn derive from the class totals. Precision is
+    * null when nothing is predicted positive; F1 is null when precision
+    * is null or precision+recall is 0. Returns one row per threshold in
+    * input order. */
+  def rocPoints(df: DataFrame, scoreCol: Column, labelCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "no thresholds")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds")
+    val spark = df.sparkSession
+    val base = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+    val aggs =
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("__s") >= t && col("__y") === 1, 1L).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("__s") >= t && col("__y") === 0, 1L).otherwise(0L))
+          .as(s"fp_$i"))
+      } ++ Seq(
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("n"),
+        sum(when(col("__y").isin(0, 1), 0L).otherwise(1L)).as("bad"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    require(r.getAs[Long]("bad") == 0L,
+      s"labels outside {0,1}: ${r.getAs[Long]("bad")}")
+    val p = r.getAs[Long]("p"); val n = r.getAs[Long]("n")
+    import spark.implicits._
+    thresholds.zipWithIndex.map { case (t, i) =>
+      val tp = r.getAs[Long](s"tp_$i"); val fp = r.getAs[Long](s"fp_$i")
+      val precision =
+        if (tp + fp == 0) None else Some(tp.toDouble / (tp + fp))
+      val recall = if (p == 0) None else Some(tp.toDouble / p)
+      val fpr = if (n == 0) None else Some(fp.toDouble / n)
+      val f1 = (precision, recall) match {
+        case (Some(pr), Some(rc)) if pr + rc > 0 =>
+          Some(2.0 * pr * rc / (pr + rc))
+        case _ => None
+      }
+      (t, tp, fp, p - tp, n - fp, precision, recall, fpr, f1)
+    }.toDF("threshold", "tp", "fp", "fn", "tn",
+      "precision", "recall", "fpr", "f1")
+  }
+
+  /** Reliability diagram data: scores (must be probabilities in [0,1];
+    * out-of-range rows fail loudly) bucketed into `bins` equal-width bins
+    * (1.0 lands in the last bin), each with its count, exact positive
+    * fraction, and decimal-exact mean score. One groupBy over ≤ bins
+    * groups. */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val base = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+      .select(
+        when(col("__s") < 0.0 || col("__s") > 1.0,
+          raise_error(concat(lit("score outside [0,1]: "),
+            col("__s").cast("string"))))
+          .otherwise(least(floor(col("__s") * bins).cast("int"),
+            lit(bins - 1))).as("bin"),
+        col("__s"), col("__y"))
+    base.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("pos"),
+        sum(col("__s").cast("decimal(38,12)")).as("__ssum"),
+        sum(when(col("__y").isin(0, 1), 0L).otherwise(1L)).as("__bad"))
+      .select(
+        when(col("__bad") > 0,
+          raise_error(lit("labels outside {0,1}"))).otherwise(col("bin"))
+          .as("bin"),
+        col("n"),
+        (col("pos").cast("double") / col("n")).as("frac_pos"),
+        round(col("__ssum").cast("double") / col("n"), 6).as("mean_score"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.stats.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force pairwise AUC reference: P(score_pos > score_neg) +
+    * 0.5·P(tie) over all pos×neg pairs. */
+  private def pairwiseAuc(rows: Seq[(Double, Int)]): Double = {
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val s = (for (p <- pos; n <- neg) yield {
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    }).sum
+    s / (pos.size * neg.size)
+  }
+
+  test("auc matches the brute-force pairwise definition, ties included") {
+    val rows = Seq(
+      (0.1, 0), (0.2, 0), (0.2, 1), (0.3, 0), (0.3, 0), (0.3, 1),
+      (0.5, 1), (0.5, 1), (0.7, 0), (0.9, 1))
+    val got = Eval.auc(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert(got.getAs[Double]("auc") == pairwiseAuc(rows))
+    assert(got.getAs[Long]("n_pos") == 5 && got.getAs[Long]("n_neg") == 5)
+  }
+
+  test("auc is null with a single class and skips null rows") {
+    val oneClass = Seq((0.1, 1), (0.9, 1)).toDF("s", "y")
+    assert(Eval.auc(oneClass, col("s"), col("y")).collect().head.isNullAt(0))
+    val withNulls = Seq(
+      (Some(0.2), Some(0)), (Some(0.8), Some(1)),
+      (None, Some(1)), (Some(0.5), None)).toDF("s", "y")
+    val r = Eval.auc(withNulls, col("s"), col("y")).collect().head
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Long]("n_pos") == 1 && r.getAs[Long]("n_neg") == 1)
+  }
+
+  test("auc rejects non-binary labels loudly") {
+    val bad = Seq((0.1, 0), (0.2, 2)).toDF("s", "y")
+    val e = intercept[Exception] {
+      Eval.auc(bad, col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("labels outside"))
+  }
+
+  test("rocPoints confusion counts and undefined-rate nulls") {
+    val rows = Seq((0.1, 0), (0.3, 1), (0.6, 0), (0.8, 1))
+    val out = Eval.rocPoints(rows.toDF("s", "y"), col("s"), col("y"),
+        Seq(0.0, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val at0 = out(0.0)
+    assert(at0.getAs[Long]("tp") == 2 && at0.getAs[Long]("fp") == 2)
+    assert(at0.getAs[Double]("precision") == 0.5 &&
+      at0.getAs[Double]("recall") == 1.0)
+    val at05 = out(0.5)
+    assert(at05.getAs[Long]("tp") == 1 && at05.getAs[Long]("fp") == 1 &&
+      at05.getAs[Long]("fn") == 1 && at05.getAs[Long]("tn") == 1)
+    val at09 = out(0.9)
+    assert(at09.getAs[Long]("tp") == 0 && at09.getAs[Long]("fp") == 0)
+    assert(at09.isNullAt(at09.fieldIndex("precision")),
+      "no predicted positives must give null precision")
+    assert(at09.isNullAt(at09.fieldIndex("f1")))
+    assert(at09.getAs[Double]("recall") == 0.0)
+  }
+
+  test("calibration bins: edges, exact fractions, loud out-of-range") {
+    val rows = Seq((0.0, 0), (0.05, 1), (0.95, 1), (1.0, 1))
+    val out = Eval.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"),
+        bins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Long]("n") == 2, "0.0 and 0.05 share bin 0")
+    assert(out(0).getAs[Double]("frac_pos") == 0.5)
+    assert(out(9).getAs[Long]("n") == 2, "score 1.0 lands in the last bin")
+    assert(out(9).getAs[Double]("frac_pos") == 1.0)
+    val e = intercept[Exception] {
+      Eval.calibrationBins(Seq((1.2, 1)).toDF("s", "y"),
+        col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("score outside"))
+  }
+
+  test("auc is partitioning-invariant") {
+    val rows = (0 until 500).map { i =>
+      (((i * 37) % 101).toDouble / 101.0, i % 3 min 1)
+    }
+    val df = rows.toDF("s", "y")
+    val a = Eval.auc(df, col("s"), col("y")).collect().head.getDouble(0)
+    val b = Eval.auc(df.repartition(13), col("s"), col("y"))
+      .collect().head.getDouble(0)
+    assert(a == b)
+    assert(a == pairwiseAuc(rows.map { case (s, y) => (s, y) }))
+  }
+}
