@@ -84,6 +84,22 @@ object CountMin {
         .withColumn("cms_est", lit(null).cast("long")))
   }
 
+  /** Equi-join cardinality estimate from two sketches built with the SAME
+    * (depth, width, seed): |A ⋈ B| = min over depths of Σ_bucket
+    * cntA·cntB (Cormode & Muthukrishnan's inner-product estimator). Like
+    * point queries it NEVER undercounts — collisions only add mass — so
+    * it is a safe upper bound for join planning (broadcast/skew
+    * decisions) without touching either table again. Terms are decimal:
+    * two 10¹¹-row inputs overflow a long product under ANSI. Returns one
+    * row (cms_join_est). */
+  def joinCardinality(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.alias("a")
+      .join(skB.alias("b"), Seq("depth", "bucket"))
+      .groupBy("depth")
+      .agg(sum(col("a.cnt").cast("decimal(38,0)") *
+        col("b.cnt").cast("decimal(38,0)")).as("dot"))
+      .agg(min(col("dot")).cast("long").as("cms_join_est"))
+
   /** foreachBatch accumulator folding per-micro-batch sketches over an
     * unbounded stream. Counters are additive, so a replayed micro-batch
     * would double-count — the fold therefore keys on Structured

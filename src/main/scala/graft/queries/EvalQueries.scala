@@ -191,6 +191,49 @@ object EvalQueries extends QueryModule {
         .toDF("auc", "converged", "n_pos", "n_neg")
     })
 
+  /** Per-slice AUC (the no-global-window form): the separable synthetic
+    * score evaluated within each order priority — five independent AUCs
+    * whose cumulative windows partition on the slice, shuffled once. */
+  val aucByGroup: Q = Q(
+    "ml_auc_by_group",
+    Some(s"""
+      WITH b AS (
+        SELECT o_orderpriority AS grp,
+          0.8 * ${hfSql("graft-eval", "o_orderkey")}
+            + 0.2 * (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      g AS (
+        SELECT grp, s,
+          SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+          SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+        FROM b GROUP BY grp, s),
+      c AS (
+        SELECT grp, pos, neg,
+          COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM g)
+      SELECT grp,
+        CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE)
+          / (2.0 * CAST(SUM(pos) AS BIGINT) * CAST(SUM(neg) AS BIGINT)) AS auc,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(neg) AS BIGINT) AS n_neg
+      FROM c
+      GROUP BY grp
+      ORDER BY grp"""),
+    (s, dir) => {
+      val y = when(col("o_orderstatus") === "F", 1).otherwise(0)
+      Eval.aucByGroup(
+          Tables.load(s, dir, "orders")
+            .withColumn("grp", col("o_orderpriority")),
+          Seq("grp"),
+          lit(0.8) * Sampling.hashFraction("graft-eval", Seq(col("o_orderkey")))
+            + lit(0.2) * y,
+          y)
+        .orderBy("grp")
+    })
+
   override def queries: Seq[Q] =
-    Seq(aucTies, aucSeparable, rocPoints, calibration, classifierEval)
+    Seq(aucTies, aucSeparable, rocPoints, calibration, classifierEval,
+      aucByGroup)
 }

@@ -85,5 +85,47 @@ object SketchQueries extends QueryModule {
       est.select("token", "n", "cms_est").orderBy("token")
     })
 
-  override def queries: Seq[Q] = Seq(cmsCounters, cmsEstimates)
+  /** Join-size estimation without touching the tables: sketch orders and
+    * customer on custkey, estimate |orders ⋈ customer| as the min
+    * per-depth counter dot product, next to the exact join count. The
+    * oracle rebuilds BOTH grids and the full estimator; the gate
+    * additionally enforces the one-sided contract (never an
+    * undercount). */
+  val cmsJoinCardinality: Q = Q(
+    "cms_join_cardinality",
+    Some(s"""
+      WITH d AS (SELECT unnest([0, 1, 2, 3]) AS d),
+      ga AS (
+        SELECT d.d AS depth, ${bucketSql("o_custkey", "d.d")} AS bucket,
+          count(*) AS cnt
+        FROM orders, d GROUP BY 1, 2),
+      gb AS (
+        SELECT d.d AS depth, ${bucketSql("c_custkey", "d.d")} AS bucket,
+          count(*) AS cnt
+        FROM customer, d GROUP BY 1, 2),
+      dots AS (
+        SELECT ga.depth, SUM(ga.cnt * gb.cnt) AS dot
+        FROM ga JOIN gb USING (depth, bucket)
+        GROUP BY ga.depth)
+      SELECT CAST(MIN(dot) AS BIGINT) AS cms_join_est,
+        (SELECT count(*) FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey) AS exact_rows
+      FROM dots"""),
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val ska = CountMin.sketch(orders, "o_custkey", Depth, Width, Seed)
+      val skb = CountMin.sketch(customer, "c_custkey", Depth, Width, Seed)
+      val exact = orders.join(customer,
+        col("o_custkey") === col("c_custkey")).count()
+      val out = CountMin.joinCardinality(ska, skb)
+        .withColumn("exact_rows", lit(exact))
+      val est = out.collect().head.getAs[Long]("cms_join_est")
+      require(est >= exact,
+        s"CMS join estimate $est undercounts exact $exact")
+      out
+    })
+
+  override def queries: Seq[Q] =
+    Seq(cmsCounters, cmsEstimates, cmsJoinCardinality)
 }

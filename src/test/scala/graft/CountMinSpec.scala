@@ -55,6 +55,23 @@ class CountMinSpec extends SparkSpec {
     assert(n == words.length.toLong)
   }
 
+  test("join-cardinality estimate never undercounts; exact when collision-free") {
+    val a = words.toDF("w")
+    val b = (words.take(80) ++ Seq("delta", "delta")).toDF("w")
+    val exact = a.join(b.withColumnRenamed("w", "w2"),
+      col("w") === col("w2")).count()
+    // tight width forces collisions: estimate must stay one-sided
+    val estTight = CountMin.joinCardinality(
+        CountMin.sketch(a, "w", 4, 16), CountMin.sketch(b, "w", 4, 16))
+      .collect().head.getAs[Long]("cms_join_est")
+    assert(estTight >= exact, s"undercount: $estTight < $exact")
+    // collision-free width: the inner product IS the exact join size
+    val estWide = CountMin.joinCardinality(
+        CountMin.sketch(a, "w", 4, 65536), CountMin.sketch(b, "w", 4, 65536))
+      .collect().head.getAs[Long]("cms_join_est")
+    assert(estWide == exact, s"collision-free estimate $estWide != $exact")
+  }
+
   test("running sink folds micro-batches and skips re-delivered batch ids") {
     val (ref, fn) = CountMin.runningSketchSink("w", depth = 4, width = 64)
     val b0 = words.take(70).toDF("w")

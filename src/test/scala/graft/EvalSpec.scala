@@ -83,6 +83,22 @@ class EvalSpec extends SparkSpec {
     assert(e.getMessage.contains("score outside"))
   }
 
+  test("aucByGroup matches per-group pairwise AUC; single-class group is null") {
+    val rows = Seq(
+      ("a", 0.1, 0), ("a", 0.2, 1), ("a", 0.2, 0), ("a", 0.9, 1),
+      ("b", 0.3, 1), ("b", 0.4, 0), ("b", 0.5, 1),
+      ("c", 0.7, 1), ("c", 0.8, 1)) // single class
+    val out = Eval.aucByGroup(rows.toDF("g", "s", "y"), Seq("g"),
+        col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b")) {
+      val want = pairwiseAuc(rows.filter(_._1 == g).map(t => (t._2, t._3)))
+      assert(out(g).getAs[Double]("auc") == want, s"group $g")
+    }
+    assert(out("c").isNullAt(out("c").fieldIndex("auc")))
+    assert(out("c").getAs[Long]("n_pos") == 2)
+  }
+
   test("auc is partitioning-invariant") {
     val rows = (0 until 500).map { i =>
       (((i * 37) % 101).toDouble / 101.0, i % 3 min 1)
