@@ -82,35 +82,50 @@ object Projection {
       when(v.isNotNull, array(comps.toIndexedSeq: _*)))
   }
 
-  /** The (i, j, n, mean_i, mean_j, cov) upper-triangle (i ≤ j) population
-    * covariance of `vecCol` over non-null vectors, as a DataFrame both
-    * engines can rebuild exactly: decimal(38,12) sums for Σx_i and
-    * Σx_i·x_j, means rounded to `decimals` before the cross term, the
-    * covariance rounded to `decimals`. Shuffle = partitions × d(d+1)/2
+  /** Raw upper-triangle (i ≤ j) second-moment table of `vecCol` over
+    * non-null vectors: (i, j, n, si, sj, sij) with decimal(38,12) sums —
+    * exact, summation-order-invariant, and ADDITIVE, so shard/micro-batch
+    * sketches merge by cell-wise sum into exactly the whole-corpus table
+    * (the mergeable-moment shape of [[graft.stats.IncrementalStats]],
+    * here for the full d×d covariance). Shuffle = partitions × d(d+1)/2
     * partial rows; null vectors are excluded (they vote in no moment). */
-  def covarianceUpper(
-      df: DataFrame, vecCol: String, inDim: Int,
-      decimals: Int = 6): DataFrame = {
+  def momentsUpper(df: DataFrame, vecCol: String, inDim: Int): DataFrame = {
     // upper-triangle (i, j) pairs generated in-row (compact codegen — a
     // 2k-literal array would blow the 64KB method limit at d=64)
     val pairs = flatten(transform(sequence(lit(0), lit(inDim - 1)),
       i => transform(sequence(i, lit(inDim - 1)),
         j => struct(i.as("i"), j.as("j")))))
     val v = col(vecCol).cast("array<double>")
-    val exploded = df
-      .filter(v.isNotNull && size(v) === inDim)
+    df.filter(v.isNotNull && size(v) === inDim)
       .select(v.as("__v"))
       .select(explode(pairs).as("__p"), col("__v"))
       .select(
         col("__p.i").as("i"), col("__p.j").as("j"),
         element_at(col("__v"), col("__p.i") + 1).as("xi"),
         element_at(col("__v"), col("__p.j") + 1).as("xj"))
-    val agg = exploded.groupBy("i", "j").agg(
-      count(lit(1)).as("n"),
-      sum(col("xi").cast("decimal(38,12)")).as("si"),
-      sum(col("xj").cast("decimal(38,12)")).as("sj"),
-      sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("sij"))
-    agg.select(
+      .groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,12)")).as("si"),
+        sum(col("xj").cast("decimal(38,12)")).as("sj"),
+        sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("sij"))
+  }
+
+  /** Cell-wise sum: mergeMoments(momentsUpper(A), momentsUpper(B)) ==
+    * momentsUpper(A ∪ B) EXACTLY (decimal addition is associative —
+    * additive, NOT idempotent; see [[runningMomentsSink]] for the
+    * redelivery-safe streaming fold). */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("i", "j")
+      .agg(sum(col("n")).as("n"), sum(col("si")).as("si"),
+        sum(col("sj")).as("sj"), sum(col("sij")).as("sij"))
+
+  /** Finalize a moment table into the covariance view: means rounded to
+    * `decimals` BEFORE the cross term, covariance rounded to `decimals`
+    * (round-before-reuse — identical doubles regardless of how many
+    * shards the moments arrived in). */
+  def covarianceFromMoments(m: DataFrame, decimals: Int = 6): DataFrame =
+    m.select(
         col("i"), col("j"), col("n"),
         round(col("si").cast("double") / col("n"), decimals).as("mean_i"),
         round(col("sj").cast("double") / col("n"), decimals).as("mean_j"),
@@ -119,6 +134,52 @@ object Projection {
         round(col("sij").cast("double") / col("n") -
           col("mean_i") * col("mean_j"), decimals))
       .drop("sij")
+
+  /** The (i, j, n, mean_i, mean_j, cov) upper-triangle population
+    * covariance of `vecCol`, as a DataFrame both engines rebuild exactly
+    * ([[momentsUpper]] finalized by [[covarianceFromMoments]]). */
+  def covarianceUpper(
+      df: DataFrame, vecCol: String, inDim: Int,
+      decimals: Int = 6): DataFrame =
+    covarianceFromMoments(momentsUpper(df, vecCol, inDim), decimals)
+
+  /** foreachBatch accumulator folding per-micro-batch moment tables —
+    * the streaming path to a periodically-refreshed PCA without ever
+    * rescanning the corpus: fold moments as documents arrive, finalize +
+    * eigensolve on whatever cadence the pipeline refits. Moments are
+    * additive, so a replayed micro-batch would double-count — the fold
+    * keys on the batchId (stable across retries of one epoch) and skips
+    * batches already folded, the same at-least-once discipline as
+    * [[CountMin.runningSketchSink]]. */
+  def runningMomentsSink(vecCol: String, inDim: Int):
+      (java.util.concurrent.atomic.AtomicReference[
+        Map[(Int, Int), (Long, BigDecimal, BigDecimal, BigDecimal)]],
+        (DataFrame, Long) => Unit) = {
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[(Int, Int), (Long, BigDecimal, BigDecimal, BigDecimal)])
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val fn = (batch: DataFrame, batchId: Long) => {
+      if (batchId > seen.get()) {
+        val m = momentsUpper(batch, vecCol, inDim).collect().map { r =>
+          (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+            ((r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("si")),
+              BigDecimal(r.getAs[java.math.BigDecimal]("sj")),
+              BigDecimal(r.getAs[java.math.BigDecimal]("sij"))))
+        }.toMap
+        ref.updateAndGet { prev =>
+          (prev.keySet ++ m.keySet).map { k =>
+            val (an, asi, asj, asij) =
+              prev.getOrElse(k, (0L, BigDecimal(0), BigDecimal(0), BigDecimal(0)))
+            val (bn, bsi, bsj, bsij) =
+              m.getOrElse(k, (0L, BigDecimal(0), BigDecimal(0), BigDecimal(0)))
+            k -> ((an + bn, asi + bsi, asj + bsj, asij + bsij))
+          }.toMap
+        }
+        seen.set(batchId)
+      }
+      ()
+    }
+    (ref, fn)
   }
 
   /** Fit PCA: one distributed covariance pass ([[covarianceUpper]]), then
@@ -162,12 +223,21 @@ object Projection {
     * literals inlined — stream-safe, no shuffle. */
   def pcaProject(
       df: DataFrame, vecCol: String, model: PcaModel,
-      outCol: String = "pc"): DataFrame = {
+      outCol: String = "pc", whiten: Boolean = false): DataFrame = {
+    val scales: Array[Double] =
+      if (!whiten) Array.fill(model.components.length)(1.0)
+      else {
+        val used = model.eigenvalues.take(model.components.length)
+        require(used.forall(_ > 0.0),
+          s"whitening needs strictly positive eigenvalues, got " +
+            s"${used.mkString(", ")} — reduce k below the rank")
+        used.map(l => 1.0 / math.sqrt(l))
+      }
     val meanLit = array(model.mean.map(lit).toIndexedSeq: _*)
     val v = col(vecCol).cast("array<double>")
     val centered = zip_with(v, meanLit, (x, m) => x - m)
-    val comps = model.components.map { c =>
-      Similarity.dot(centered, array(c.map(lit).toIndexedSeq: _*))
+    val comps = model.components.zip(scales).map { case (c, s) =>
+      Similarity.dot(centered, array(c.map(lit).toIndexedSeq: _*)) * lit(s)
     }
     df.withColumn(outCol,
       when(v.isNotNull && size(v) === model.mean.length,

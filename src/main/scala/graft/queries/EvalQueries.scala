@@ -155,6 +155,38 @@ object EvalQueries extends QueryModule {
         .orderBy("bin")
     })
 
+  /** One-number miscalibration summary of the same synthetic probability:
+    * decimal-weighted |frac_pos − mean_score| over the reliability bins —
+    * small but nonzero on a finite sample, and exactly reproducible. */
+  val ece: Q = Q(
+    "ml_ece",
+    Some(s"""
+      WITH b AS (
+        SELECT ${hfSql("graft-cal", "o_orderkey")} AS s,
+          CASE WHEN ${hfSql("graft-cal2", "o_orderkey")}
+            < ${hfSql("graft-cal", "o_orderkey")} THEN 1 ELSE 0 END AS y
+        FROM orders),
+      bins AS (
+        SELECT
+          CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            / CAST(count(*) AS DOUBLE) AS frac_pos,
+          round(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+            AS mean_score
+        FROM b GROUP BY 1)
+      SELECT
+        CAST(SUM(CAST(n * ABS(frac_pos - mean_score) AS DECIMAL(38,12)))
+          AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS ece,
+        CAST(SUM(n) AS BIGINT) AS n
+      FROM bins"""),
+    (s, dir) => {
+      val h1 = Sampling.hashFraction("graft-cal", Seq(col("o_orderkey")))
+      val h2 = Sampling.hashFraction("graft-cal2", Seq(col("o_orderkey")))
+      Eval.expectedCalibrationError(Tables.load(s, dir, "orders"),
+        h1, when(h2 < h1, 1).otherwise(0), bins = 10)
+    })
+
   /** Integration (rows-only — IRLS has no SQL mirror): plant a known
     * logistic generative model on the portable hashes
     * (x ~ U[0,1], P(y=1|x) = σ(−2 + 4x)), fit the in-engine logistic
@@ -234,6 +266,6 @@ object EvalQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(aucTies, aucSeparable, rocPoints, calibration, classifierEval,
+    Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup)
 }

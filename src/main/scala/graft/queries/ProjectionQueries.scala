@@ -42,12 +42,9 @@ object ProjectionQueries extends QueryModule {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "p")))
         .orderBy("vec_id", "i"))
 
-  /** The distributed covariance pass PCA eigensolves from: decimal-sum
-    * moments, round-before-reuse means — DuckDB rebuilds every
-    * upper-triangle cell and must agree to 6 decimals. */
-  val covariance: Q = Q(
-    "prj_covariance",
-    Some(s"""
+  /** Shared covariance oracle SQL — the direct pass and the merged-shard
+    * pass must both land on exactly this table. */
+  private val covSql = s"""
       WITH v AS (
         SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = $InDim),
@@ -70,11 +67,36 @@ object ProjectionQueries extends QueryModule {
       SELECT i, j, n, mean_i, mean_j,
         round(m2 - mean_i * mean_j, 6) AS cov
       FROM m
-      ORDER BY i, j"""),
+      ORDER BY i, j"""
+
+  /** The distributed covariance pass PCA eigensolves from: decimal-sum
+    * moments, round-before-reuse means — DuckDB rebuilds every
+    * upper-triangle cell and must agree to 6 decimals. */
+  val covariance: Q = Q(
+    "prj_covariance",
+    Some(covSql),
     (s, dir) =>
       Projection.covarianceUpper(Tables.load(s, dir, "embeddings"),
           "embedding", InDim)
         .orderBy("i", "j"))
+
+  /** Mergeable-moment path: shard the corpus on the portable hash, sketch
+    * each shard's moments independently, cell-sum them, finalize — the
+    * oracle is the DIRECT covariance SQL verbatim, so one hash match
+    * proves merge(shards) == whole exactly (decimal sums are associative;
+    * this is the incremental/streaming PCA-refresh path). */
+  val covMerge: Q = Q(
+    "inc_cov_merge",
+    Some(covSql),
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val h = graft.ops.Sampling.hashFraction("graft-cov-shard",
+        Seq(col("vec_id")))
+      val a = Projection.momentsUpper(embs.filter(h < 0.5), "embedding", InDim)
+      val b = Projection.momentsUpper(embs.filter(h >= 0.5), "embedding", InDim)
+      Projection.covarianceFromMoments(Projection.mergeMoments(a, b))
+        .orderBy("i", "j")
+    })
 
   /** PCA spectral contracts, self-asserted distributed-to-driver (no SQL
     * eigensolver exists): components pairwise orthonormal, eigenvalues
@@ -154,5 +176,6 @@ object ProjectionQueries extends QueryModule {
         .toDF("method", "recall_at_10").orderBy("method")
     })
 
-  override def queries: Seq[Q] = Seq(signProject, covariance, pcaTopk, annRecall)
+  override def queries: Seq[Q] =
+    Seq(signProject, covariance, covMerge, pcaTopk, annRecall)
 }

@@ -163,6 +163,19 @@ object Eval {
     * (1.0 lands in the last bin), each with its count, exact positive
     * fraction, and decimal-exact mean score. One groupBy over ≤ bins
     * groups. */
+  /** Expected calibration error: Σ_b (n_b/N)·|frac_pos_b − mean_score_b|
+    * over the [[calibrationBins]] — the one-number miscalibration summary.
+    * The weighted sum goes through decimal so bin order cannot perturb
+    * the double; returns one row (ece, n). */
+  def expectedCalibrationError(df: DataFrame, scoreCol: Column,
+      labelCol: Column, bins: Int = 10): DataFrame =
+    calibrationBins(df, scoreCol, labelCol, bins)
+      .agg(
+        (sum((col("n") * abs(col("frac_pos") - col("mean_score")))
+          .cast("decimal(38,12)")).cast("double") /
+          sum(col("n"))).as("ece"),
+        sum(col("n")).as("n"))
+
   def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")

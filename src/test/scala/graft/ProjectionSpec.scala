@@ -176,6 +176,50 @@ class ProjectionSpec extends SparkSpec {
     } finally graft.core.Fs.deleteRecursively(tmp)
   }
 
+  test("moment shards merge into exactly the whole-corpus table") {
+    val dim = 8
+    val rows = (0L until 120L).map(id => id -> fakeVec(id, dim))
+    val df = vecDf(rows)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("i"), r.getAs[Int]("j"))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("si"),
+        r.getAs[java.math.BigDecimal]("sj"), r.getAs[java.math.BigDecimal]("sij"))
+    val whole = Projection.momentsUpper(df, "embedding", dim)
+      .collect().map(r => key(r) -> vals(r)).toMap
+    val a = Projection.momentsUpper(df.filter(col("id") % 3 === 0),
+      "embedding", dim)
+    val b = Projection.momentsUpper(df.filter(col("id") % 3 =!= 0),
+      "embedding", dim)
+    val merged = Projection.mergeMoments(a, b)
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(merged == whole, "decimal moment merge must be EXACT")
+  }
+
+  test("whitened projection has unit variance per component") {
+    val dim = 8
+    val rows = (0L until 400L).map(id => id -> fakeVec(id, dim))
+    val df = vecDf(rows)
+    val model = Projection.pcaFit(df, "embedding", dim, k = 3)
+    val proj = Projection.pcaProject(df, "embedding", model, whiten = true)
+      .select(posexplode(col("pc")).as(Seq("c", "x")))
+    val vars = proj.groupBy("c")
+      .agg((sum(col("x") * col("x")) / count(lit(1)) -
+        pow(sum(col("x")) / count(lit(1)), 2)).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (c <- 0 until 3)
+      assert(math.abs(vars(c) - 1.0) < 1e-2,
+        s"component $c variance ${vars(c)} after whitening")
+    // degenerate eigenvalue guard: whitening past the rank fails loudly
+    val flat = vecDf((0L until 20L).map(id =>
+      id -> Array.fill(4)(1.0))) // zero variance everywhere
+    val m2 = Projection.pcaFit(flat, "embedding", 4, k = 2)
+    val e = intercept[IllegalArgumentException] {
+      Projection.pcaProject(flat, "embedding", m2, whiten = true)
+    }
+    assert(e.getMessage.contains("positive eigenvalues"))
+  }
+
   test("projection is partitioning-invariant") {
     val dim = 16
     val rows = (0L until 100L).map(id => id -> fakeVec(id, dim))

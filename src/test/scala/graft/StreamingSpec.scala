@@ -698,4 +698,58 @@ class StreamingSpec extends SparkSpec {
         "stream-folded CMS differs from the one-shot batch sketch")
     } finally q.stop()
   }
+
+  test("streaming JL projection: stateless map, stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Projection
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val rows = embs.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val batch = Projection.signProject(embs, "embedding", 64, 8)
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Double]]
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = Projection.signProject(
+        ms.toDF().toDF("vec_id", "embedding"), "embedding", 64, 8)
+      .select("vec_id", "proj")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Seq[Double])].collect().foreach { case (k, v) =>
+          got(k) = v
+        }
+        ()
+      }.start()
+    try {
+      for (p <- rows.grouped(math.max(1, rows.length / 2 + 1)))
+        { ms.addData(p.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.toMap == batch,
+      "streamed JL projection differs from the batch map")
+  }
+
+  test("streaming covariance moments: fold over micro-batches, redelivery-safe") {
+    import graft.ops.Projection
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val whole = Projection.momentsUpper(embs, "embedding", 64).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("si")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("sj")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("sij"))))).toMap
+    val rows = embs.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (ref, sink) = Projection.runningMomentsSink("embedding", 64)
+    val half = rows.length / 2
+    val b0 = rows.take(half).toSeq.toDF("vec_id", "embedding")
+    val b1 = rows.drop(half).toSeq.toDF("vec_id", "embedding")
+    sink(b0, 0L)
+    sink(b0, 0L) // at-least-once redelivery of epoch 0 must be skipped
+    sink(b1, 1L)
+    assert(ref.get() == whole,
+      "stream-folded moments differ from the one-shot batch table")
+  }
 }
