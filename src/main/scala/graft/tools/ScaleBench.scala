@@ -326,6 +326,32 @@ object ScaleBench {
         emit("kmeans_fit", k, emCount, kmMed, kmS)
       }
 
+      if (wanted("prj_covariance")) {
+        // the PCA feeder pass: one explode(d(d+1)/2) + hash aggregation
+        // whose shuffle is partitions × d² partial rows regardless of N —
+        // time should track N near-linearly. The JL projection is the
+        // narrow-map counterpart measured in the same block. Witness:
+        // moment count n equals the corpus size at every K.
+        def em = spark.read.parquet(s"$dir/embeddings")
+        val emCount = em.count()
+        val dim = em.select(size(col("embedding"))).head.getInt(0)
+        val (covMed, covS) = timeMedian {
+          val n = graft.ops.Projection
+            .covarianceUpper(em, "embedding", dim)
+            .agg(min("n"), max("n")).head
+          require(n.getLong(0) == emCount && n.getLong(1) == emCount,
+            s"moment count ${n.getLong(0)}..${n.getLong(1)} != $emCount")
+        }
+        emit("prj_covariance", k, emCount, covMed, covS)
+        val (jlMed, jlS) = timeMedian {
+          val c = graft.ops.Projection
+            .signProject(em, "embedding", dim, 16)
+            .filter(col("proj").isNotNull).count()
+          require(c == emCount, s"projection dropped rows: $c vs $emCount")
+        }
+        emit("prj_sign_project", k, emCount, jlMed, jlS)
+      }
+
       if (wanted("j4_salted_skew_join")) {
         // hot-key join at scale: ~80% of lineitem rows share one synthetic
         // key; K× copies grow the hot key's absolute row count K×. Both

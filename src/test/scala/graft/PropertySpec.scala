@@ -433,4 +433,26 @@ class PropertySpec extends SparkSpec {
     assert(exchanges == 1,
       s"expected exactly one exchange, found $exchanges:\n$plan")
   }
+
+  test("projections plan ZERO exchanges; covariance exactly one") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val jl = graft.ops.Projection.signProject(embs, "embedding", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!jl.contains("Exchange"),
+      s"JL projection should be a narrow map:\n$jl")
+    val model = graft.ops.Projection.PcaModel(
+      Array.fill(64)(0.0),
+      Array.tabulate(4)(i => Array.tabulate(64)(j =>
+        if (j == i) 1.0 else 0.0)),
+      Array.fill(64)(1.0), 6)
+    val pc = graft.ops.Projection.pcaProject(embs, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("Exchange"),
+      s"PCA projection should be a narrow map:\n$pc")
+    val cov = graft.ops.Projection.covarianceUpper(embs, "embedding", 64)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(cov).size
+    assert(exchanges == 1,
+      s"covariance should shuffle exactly once, found $exchanges:\n$cov")
+  }
 }
