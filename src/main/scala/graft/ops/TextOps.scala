@@ -102,6 +102,45 @@ object TextOps {
     call_function(fname, c.cast(StringType))
   }
 
+  /** Per-script character counts (array<int> in
+    * [[graft.functions.ScriptCounts.names]] order) — one codegen'd pass
+    * over code points; the script prefilter language ID needs before any
+    * n-gram scoring makes sense. */
+  def scriptCounts(c: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_script_counts",
+      exprs => graft.functions.ScriptCounts(exprs.head), "built-in")
+    call_function("graft_script_counts", c.cast(StringType))
+  }
+
+  /** Writing-system profile of `textCol`: one count column per script
+    * bucket, plus `script_chars` (characters any bucket claimed) and
+    * `dominant_script` — the FIRST bucket in [[graft.functions
+    * .ScriptCounts.names]] order holding the maximum count ('none' when
+    * no bucket matched anything; the digit bucket never dominates —
+    * digits are script-neutral). Null text profiles as null counts. */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val names = graft.functions.ScriptCounts.names
+    val withArr = df.withColumn("__sc", scriptCounts(col(textCol)))
+    val withCounts = names.zipWithIndex.foldLeft(withArr) {
+      case (d, (n, i)) =>
+        d.withColumn(s"sc_$n", element_at(col("__sc"), i + 1))
+    }
+    val scriptNames = names.filterNot(_ == "digit")
+    val m = greatest(scriptNames.map(n => col(s"sc_$n")): _*)
+    val dominant = scriptNames.foldLeft(
+        when(m === 0, lit("none")): Column) {
+      (acc, n) => acc.when(col(s"sc_$n") === m, n)
+    }
+    withCounts
+      .withColumn("script_chars",
+        names.map(n => col(s"sc_$n")).reduce(_ + _))
+      .withColumn("dominant_script", dominant)
+      .drop("__sc")
+  }
+
   /** Stopword marker sets for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),

@@ -1381,7 +1381,58 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Writing-system histogram ([[TextOps.scriptProfile]], the native
+    * one-pass [[graft.functions.ScriptCounts]] expression) vs a DuckDB
+    * mirror built from the SAME range table as per-bucket
+    * regexp_replace strip-and-count — mixed-script text is planted by
+    * suffixing a third of the docs with Cyrillic and a third with
+    * CJK+Greek, so dominance flips and ties are exercised. */
+  val txtScriptHistogram: Q = {
+    import graft.functions.ScriptCounts
+    val names = ScriptCounts.names
+    val scriptNames = names.filterNot(_ == "digit")
+    val countsSql = names.zipWithIndex.map { case (n, i) =>
+      s"""CAST(length(regexp_replace(t2, '${ScriptCounts.negatedClassRegex(i)}',
+          '', 'g')) AS INT) AS sc_$n"""
+    }.mkString(",\n          ")
+    val mSql = s"GREATEST(${scriptNames.map(n => s"sc_$n").mkString(", ")})"
+    val domSql = scriptNames.map(n =>
+      s"WHEN sc_$n = $mSql THEN '$n'").mkString("\n            ")
+    Q(
+      "txt_script_histogram",
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            concat(text, CASE WHEN doc_id % 3 = 0 THEN ' привет мир 123'
+                              WHEN doc_id % 3 = 1 THEN ' 你好世界 γειά'
+                              ELSE '' END) AS t2
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+          $countsSql
+          FROM t)
+        SELECT doc_id, ${names.map(n => s"sc_$n").mkString(", ")},
+          ${names.map(n => s"sc_$n").mkString(" + ")} AS script_chars,
+          CASE WHEN $mSql = 0 THEN 'none'
+            $domSql
+          END AS dominant_script
+        FROM c
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val suffixed = Tables.load(s, dir, "documents")
+          .withColumn("t2", concat(col("text"),
+            when(col("doc_id") % 3 === 0, " привет мир 123")
+              .when(col("doc_id") % 3 === 1, " 你好世界 γειά")
+              .otherwise("")))
+        TextOps.scriptProfile(suffixed, "t2")
+          .select((col("doc_id") +: names.map(n => col(s"sc_$n")) :+
+            col("script_chars") :+ col("dominant_script")): _*)
+          .orderBy("doc_id")
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
+    txtScriptHistogram,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CompressionRatio, MinHash64, SimHash64}
+import graft.functions.{CompressionRatio, MinHash64, ScriptCounts, SimHash64}
 
 /** Hard-fails if any custom expression's doGenCode emits Java that Janino
   * cannot compile. Round 1 shipped a silent interpreted fallback (wrong FQCN
@@ -68,6 +68,24 @@ class CodegenSpec extends SparkSpec {
     assert(r("") == 1.0)
     // deterministic
     assert(r("hello world, hello world") == r("hello world, hello world"))
+  }
+
+  test("ScriptCounts codegen compiles and matches interpreted eval") {
+    val expr = ScriptCounts(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    // latin + digits + cyrillic + cjk + an astral emoji (no bucket, and
+    // the surrogate pair must advance as ONE code point)
+    val s = "Ab3 привет 你好 😀!"
+    val input = InternalRow(UTF8String.fromString(s))
+    val fromCodegen = proj(input).getArray(0).toIntArray().toSeq
+    val fromInterp = expr.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    assert(fromCodegen == fromInterp)
+    val byName = ScriptCounts.names.zip(fromCodegen).toMap
+    assert(byName("latin") == 2 && byName("digit") == 1)
+    assert(byName("cyrillic") == 6 && byName("cjk") == 2)
+    assert(fromCodegen.sum == 11, "emoji/punctuation must count nowhere")
   }
 
   test("BoundedLevenshtein codegen compiles; banded == full DP within bound") {

@@ -1939,4 +1939,30 @@ class OpsSpec extends SparkSpec {
     assert(strip("") == "")
     assert(strip("plain text stays") == "plain text stays")
   }
+
+  test("script profile: dominance order, none bucket, digit neutrality, nulls") {
+    val rows = Seq(
+      (1L, Some("hello world")),            // latin
+      (2L, Some("привет hello")),           // tie 6 cyr vs 5 latin -> latin first? no: 6 > 5
+      (3L, Some("абвгд abcde")),            // exact 5-5 tie -> latin (first in order)
+      (4L, Some("12345 !!!")),              // digits only -> none (digit never dominates)
+      (5L, Some("...")),                    // nothing -> none
+      (6L, None))                           // null text -> null profile
+    val out = TextOps.scriptProfile(rows.toDF("doc_id", "t"), "t")
+      .select("doc_id", "sc_latin", "sc_cyrillic", "sc_digit",
+        "dominant_script")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("dominant_script") == "latin")
+    assert(out(2L).getAs[String]("dominant_script") == "cyrillic")
+    assert(out(2L).getAs[Int]("sc_cyrillic") == 6 &&
+      out(2L).getAs[Int]("sc_latin") == 5)
+    assert(out(3L).getAs[String]("dominant_script") == "latin",
+      "exact ties resolve to the first bucket in declaration order")
+    assert(out(4L).getAs[String]("dominant_script") == "none",
+      "digits are script-neutral and must not dominate")
+    assert(out(4L).getAs[Int]("sc_digit") == 5)
+    assert(out(5L).getAs[String]("dominant_script") == "none")
+    assert(out(6L).isNullAt(out(6L).fieldIndex("dominant_script")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("sc_latin")))
+  }
 }
