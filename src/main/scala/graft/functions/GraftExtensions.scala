@@ -26,5 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("script_counts"),
+      new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
+      (exprs: Seq[Expression]) => ScriptCounts(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName,
+        "compression_ratio"),
+      (exprs: Seq[Expression]) => CompressionRatio(exprs.head)))
   }
 }

@@ -834,11 +834,85 @@ object StatsQueries extends QueryModule {
         .orderBy("category")
     })
 
+  /** Shared CTEs for the MI gates: a dependent categorical pair (b copies
+    * a on low discounts, so I(A;B) > 0 by construction) with marginals. */
+  private val miCte = """
+      src AS (
+        SELECT l_returnflag AS a,
+          CASE WHEN l_discount <= 0.05 THEN l_returnflag
+               ELSE l_linestatus END AS b
+        FROM lineitem),
+      c AS (SELECT a, b, count(*) AS observed FROM src GROUP BY a, b),
+      m AS (
+        SELECT a, b, observed,
+          SUM(observed) OVER () AS n,
+          SUM(observed) OVER (PARTITION BY a) AS ra,
+          SUM(observed) OVER (PARTITION BY b) AS cb
+        FROM c),
+      t AS (
+        SELECT a, b, observed, n, ra, cb,
+          round((CAST(observed AS DOUBLE) / n) *
+            ln((CAST(observed AS DOUBLE) * n) /
+               (CAST(ra AS DOUBLE) * cb)), 9) AS term
+        FROM m)"""
+
+  private def miPair(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.select(col("l_returnflag").as("a"),
+      when(col("l_discount") <= 0.05, col("l_returnflag"))
+        .otherwise(col("l_linestatus")).as("b"))
+  }
+
+  /** Per-cell MI terms ([[graft.stats.Contingency.miTerms]]): every
+    * (o/n)·ln(o·n/(ra·cb)) cell hash-compared at 9 decimals. */
+  val t28MiTerms: Q = Q(
+    "t28_mi_terms",
+    Some(s"""
+      WITH $miCte
+      SELECT a, b, observed, term
+      FROM t
+      ORDER BY a, b"""),
+    (s, dir) =>
+      graft.stats.Contingency.miTerms(miPair(s, dir), "a", "b")
+        .select("a", "b", "observed", "term")
+        .orderBy("a", "b"))
+
+  /** The MI / entropy / NMI scalar row ([[graft.stats.Contingency
+    * .mutualInformation]]): decimal folds of the rounded per-cell terms,
+    * so the scalars are engine-exact. */
+  val t28MutualInformation: Q = Q(
+    "t28_mutual_information",
+    Some(s"""
+      WITH $miCte,
+      s AS (
+        SELECT
+          CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS mi,
+          CAST(MAX(n) AS BIGINT) AS n
+        FROM t),
+      ea AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(ra AS DOUBLE) / n) *
+            ln(CAST(ra AS DOUBLE) / n), 9) AS DECIMAL(38,12))) AS DOUBLE)
+          AS h_a
+        FROM (SELECT DISTINCT a, ra, n FROM m)),
+      eb AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(cb AS DOUBLE) / n) *
+            ln(CAST(cb AS DOUBLE) / n), 9) AS DECIMAL(38,12))) AS DOUBLE)
+          AS h_b
+        FROM (SELECT DISTINCT b, cb, n FROM m))
+      SELECT mi, h_a, h_b,
+        CASE WHEN LEAST(h_a, h_b) > 0 THEN mi / LEAST(h_a, h_b) END AS nmi,
+        n
+      FROM s, ea, eb"""),
+    (s, dir) =>
+      graft.stats.Contingency.mutualInformation(miPair(s, dir), "a", "b"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
-    t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical)
+    t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
+    t28MiTerms, t28MutualInformation)
 }

@@ -52,6 +52,60 @@ object Contingency {
       .orderBy("a", "b")
   }
 
+  /** Per-cell mutual-information terms over the same contingency cells:
+    * (a, b, observed, term) with term = round((o/n)·ln(o·n/(ra·cb)), 9).
+    * Factors go through double BEFORE multiplying (long products of two
+    * 10¹¹-row marginals overflow), and the per-cell round makes the
+    * downstream decimal sum order-invariant and engine-exact. */
+  def miTerms(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val counts = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val all = Window.partitionBy()
+    val byA = Window.partitionBy(col("a"))
+    val byB = Window.partitionBy(col("b"))
+    counts
+      .withColumn("__n", sum(col("observed")).over(all))
+      .withColumn("__ra", sum(col("observed")).over(byA))
+      .withColumn("__cb", sum(col("observed")).over(byB))
+      .withColumn("term",
+        round((col("observed").cast("double") / col("__n")) *
+          log((col("observed").cast("double") * col("__n")) /
+            (col("__ra").cast("double") * col("__cb"))), 9))
+  }
+
+  /** Mutual information I(A;B) in nats, with the marginal entropies and
+    * the min-normalized NMI — the feature-selection / target-leakage
+    * screen next to [[chiSquare]]: MI ≈ 0 says a feature carries nothing
+    * about the label; NMI ≈ 1 says it IS the label (leakage). One cell
+    * aggregation; every sum is a decimal fold of per-term rounded
+    * doubles, so shard order cannot perturb the result. Returns one row
+    * (mi, h_a, h_b, nmi, n); NMI is null when either side is constant
+    * (min entropy 0 — normalization undefined). */
+  def mutualInformation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = miTerms(df, colA, colB)
+    def entropyOf(margin: String, cnt: String) = cells
+      .groupBy(col(margin)).agg(
+        max(col(cnt)).as("c"), max(col("__n")).as("n"))
+      .select(round(-(col("c").cast("double") / col("n")) *
+        log(col("c").cast("double") / col("n")), 9).as("t"))
+      .agg(coalesce(sum(col("t").cast("decimal(38,12)")), lit(0))
+        .cast("double").as("h"))
+    val mi = cells.agg(
+      coalesce(sum(col("term").cast("decimal(38,12)")), lit(0))
+        .cast("double").as("mi"),
+      coalesce(max(col("__n")), lit(0L)).as("n"))
+    val ha = entropyOf("a", "__ra").withColumnRenamed("h", "h_a")
+    val hb = entropyOf("b", "__cb").withColumnRenamed("h", "h_b")
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(col("mi"), col("h_a"), col("h_b"),
+        when(least(col("h_a"), col("h_b")) > 0,
+          col("mi") / least(col("h_a"), col("h_b"))).as("nmi"),
+        col("n"))
+  }
+
   /** χ² statistic, degrees of freedom, p-value. Returns None when the
     * table is degenerate (fewer than 2 observed levels on either side). */
   def chiSquare(

@@ -689,4 +689,37 @@ class StatsSpec extends SparkSpec {
     assert(t2("<null>") == 20L, s"null category lost: $t2")
     assert(Drift.psiCategorical(ref, curNull, "lbl") > 0.1)
   }
+
+  test("mutual information: driver reference, identity and independence limits") {
+    import graft.stats.Contingency
+    val rows = (0 until 600).map { i =>
+      (s"a${i % 4}", s"b${(i * 7) % 3}", i)
+    }
+    // planted dependence for the reference check: c copies a on 1/3 of rows
+    val dep = rows.map { case (a, b, i) => (a, if (i % 3 == 0) a else b) }
+    val df = dep.toDF("a", "b")
+    val got = Contingency.mutualInformation(df, "a", "b").collect().head
+    // independent full reference from exact joint counts
+    val n = dep.size.toDouble
+    val joint = dep.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val pa = dep.groupBy(_._1).view.mapValues(_.size.toDouble / n).toMap
+    val pb = dep.groupBy(_._2).view.mapValues(_.size.toDouble / n).toMap
+    val miRef = joint.map { case ((a, b), c) =>
+      math.rint((c / n) * math.log((c / n) / (pa(a) * pb(b))) * 1e9) / 1e9
+    }.sum
+    assert(math.abs(got.getAs[Double]("mi") - miRef) < 1e-7,
+      s"mi ${got.getAs[Double]("mi")} vs reference $miRef")
+    val hRef = -pa.values.map(p => math.rint(p * math.log(p) * 1e9) / 1e9).sum
+    assert(math.abs(got.getAs[Double]("h_a") - hRef) < 1e-7)
+    // b == a: MI equals H(A), NMI is exactly 1
+    val same = rows.map(t => (t._1, t._1)).toDF("a", "b")
+    val g2 = Contingency.mutualInformation(same, "a", "b").collect().head
+    assert(math.abs(g2.getAs[Double]("mi") - g2.getAs[Double]("h_a")) < 1e-9)
+    assert(math.abs(g2.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // constant b: MI is 0 and NMI undefined (null)
+    val const = rows.map(t => (t._1, "k")).toDF("a", "b")
+    val g3 = Contingency.mutualInformation(const, "a", "b").collect().head
+    assert(g3.getAs[Double]("mi") == 0.0)
+    assert(g3.isNullAt(g3.fieldIndex("nmi")))
+  }
 }
