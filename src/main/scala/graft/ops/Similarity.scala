@@ -180,4 +180,63 @@ object Similarity {
         round(cosine(col("ca"), col("cb")), roundTo).as("cosine"))
       .orderBy("la", "lb")
   }
+
+  /** Farthest-point-sampled coreset (k-center greedy — Gonzalez 1985;
+    * Sener & Savarese 2018 for training-set selection, both public): a
+    * diversity sample where each pick is the row FARTHEST (squared L2)
+    * from everything already selected — the complement of
+    * [[graft.ops.KMeans.prunePrototypes]]' redundancy pruning, and a
+    * 2-approximation of the optimal k-center cover.
+    *
+    * Deterministic and engine-portable end to end: the seed is the
+    * min-identity-hash row ([[Sampling.hashHex]] order — the k-means init
+    * discipline), each iteration's min-distance expression inlines the
+    * selected vectors as literals over the native sequential-fold dot
+    * (|x|² − 2·x·s + |s|², the SQL-mirrorable form), and the argmax
+    * tie-breaks on id — so the DuckDB oracle can replay the whole greedy
+    * recurrence as unrolled CTEs and match raw doubles.
+    *
+    * Scale shape: k scans, each a narrow codegen'd map + a top-1
+    * reduction (TakeOrdered — no shuffle of the data); driver traffic is
+    * one (id, vector) row per iteration. Cache the projected input for
+    * the k passes when it is not already materialized. */
+  final case class FpsPick(rank: Int, id: Long, dist: Option[Double],
+      vec: Array[Double])
+
+  def farthestPointSample(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: String = "graft-fps"): Seq[FpsPick] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val data = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+    val s0 = data
+      .withColumn("__h", Sampling.hashHex(seed, Seq(col("__id"))))
+      .orderBy(col("__h"), col("__id"))
+      .limit(1).collect()
+    require(s0.nonEmpty, "no non-null vectors to sample from")
+    val picks = scala.collection.mutable.ArrayBuffer(
+      FpsPick(0, s0.head.getLong(0), None,
+        s0.head.getSeq[Double](1).toArray))
+    for (r <- 1 until k) {
+      // min squared L2 to the selected set, selected vectors inlined;
+      // |s|² folded on the driver in the SAME sequential order the SQL
+      // mirror's list_sum uses (the k-means discipline)
+      val v = col("__v")
+      val xx = dot(v, v)
+      val minDist = picks.map { p =>
+        val sLit = array(p.vec.map(lit).toIndexedSeq: _*)
+        val ss = p.vec.foldLeft(0.0)((a, x) => a + x * x)
+        xx - lit(2.0) * dot(v, sLit) + lit(ss)
+      }.reduceLeft(least(_, _))
+      val next = data.select(col("__id"), col("__v"), minDist.as("__d"))
+        .filter(col("__d").isNotNull)
+        .orderBy(col("__d").desc, col("__id"))
+        .limit(1).collect()
+      require(next.nonEmpty, s"corpus exhausted after ${picks.size} picks")
+      picks += FpsPick(r, next.head.getLong(0),
+        Some(next.head.getDouble(2)), next.head.getSeq[Double](1).toArray)
+    }
+    picks.toSeq
+  }
 }

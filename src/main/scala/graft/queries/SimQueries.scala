@@ -569,9 +569,75 @@ object SimQueries extends QueryModule {
         .select(col("vec_id"), col("cluster_id"))
         .orderBy("vec_id"))
 
+  /** Farthest-point coreset, FULL greedy recurrence unrolled as oracle
+    * CTEs (the k-means gate discipline): seed = min-identity-hash row,
+    * then two argmax-of-min-distance picks whose raw doubles must match
+    * bit-for-bit through the |x|²−2·x·s+|s|² sequential-fold mirror. */
+  val simFpsCoreset: Q = Q(
+    "sim_fps_coreset",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL),
+      s0 AS (
+        SELECT vec_id, e FROM v
+        ORDER BY md5(concat_ws('|', 'graft-fps', CAST(vec_id AS VARCHAR))),
+          vec_id
+        LIMIT 1),
+      d1 AS (
+        SELECT v.vec_id, v.e,
+          list_sum(list_transform(v.e, x -> x * x))
+          - 2.0 * list_sum(list_transform(generate_series(1, 64),
+              i -> v.e[i] * s0.e[i]))
+          + list_sum(list_transform(s0.e, x -> x * x)) AS d
+        FROM v, s0),
+      s1 AS (SELECT vec_id, e, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+      d2 AS (
+        SELECT d1.vec_id, d1.e,
+          LEAST(d1.d,
+            list_sum(list_transform(d1.e, x -> x * x))
+            - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                i -> d1.e[i] * s1.e[i]))
+            + list_sum(list_transform(s1.e, x -> x * x))) AS d
+        FROM d1, s1),
+      s2 AS (SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1)
+      SELECT 0 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS dist FROM s0
+      UNION ALL SELECT 1 AS sel_rank, vec_id, d AS dist FROM s1
+      UNION ALL SELECT 2 AS sel_rank, vec_id, d AS dist FROM s2
+      ORDER BY sel_rank"""),
+    (s, dir) => {
+      import s.implicits._
+      Similarity.farthestPointSample(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3)
+        .map(p => (p.rank, p.id, p.dist))
+        .toDF("sel_rank", "vec_id", "dist")
+        .orderBy("sel_rank")
+    })
+
+  /** Deeper FPS run (rows-only): the selection-distance sequence must be
+    * non-increasing (the k-center invariant) with all picks distinct —
+    * the structural self-check at a k the unrolled oracle can't reach. */
+  val simFpsDeep: Q = Q(
+    "sim_fps_deep",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      val picks = Similarity.farthestPointSample(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      require(picks.map(_.id).distinct.size == picks.size,
+        "FPS picked a duplicate id")
+      val ds = picks.flatMap(_.dist)
+      require(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+        s"selection distances must be non-increasing: $ds")
+      picks.map(p => (p.rank, p.id,
+          p.dist.map(d => math.rint(d * 1e6) / 1e6)))
+        .toDF("sel_rank", "vec_id", "dist")
+        .orderBy("sel_rank")
+    })
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
-      kmAssign, kmSizes, kmPrune, kmRebalance)
+      kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep)
 }

@@ -1940,6 +1940,36 @@ class OpsSpec extends SparkSpec {
     assert(strip("plain text stays") == "plain text stays")
   }
 
+  test("farthest-point sample: cluster coverage, invariants, repartition-stable") {
+    // three tight, well-separated clusters in 4-d; k=3 must visit all three
+    def mk(center: Array[Double], n: Int, base: Long) =
+      (0 until n).map { i =>
+        (base + i, center.zipWithIndex.map { case (c, j) =>
+          c + ((base + i) * 7 + j) % 5 * 0.01
+        }.toSeq)
+      }
+    val rows = mk(Array(0, 0, 0, 0), 30, 0L) ++
+      mk(Array(10, 0, 0, 0), 30, 100L) ++
+      mk(Array(0, 10, 10, 0), 30, 200L)
+    val df = rows.toDF("id", "v")
+    val picks = Similarity.farthestPointSample(df, "id", "v", k = 3)
+    val clusters = picks.map(_.id / 100).toSet
+    assert(clusters == Set(0L, 1L, 2L),
+      s"k=3 FPS must cover all three clusters, picked ${picks.map(_.id)}")
+    val ds = picks.flatMap(_.dist)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    // deterministic under physical layout
+    val again = Similarity.farthestPointSample(df.repartition(7), "id", "v", 3)
+    assert(again.map(_.id) == picks.map(_.id))
+    assert(again.flatMap(_.dist) == ds)
+    // null vectors never seed or get picked
+    val withNull = rows.map { case (id, v) => (id, Some(v)) } :+
+      (999L, Option.empty[Seq[Double]])
+    val p2 = Similarity.farthestPointSample(
+      withNull.toDF("id", "v"), "id", "v", 3)
+    assert(!p2.map(_.id).contains(999L))
+  }
+
   test("script profile: dominance order, none bucket, digit neutrality, nulls") {
     val rows = Seq(
       (1L, Some("hello world")),            // latin
