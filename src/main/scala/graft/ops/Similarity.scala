@@ -200,6 +200,46 @@ object Similarity {
     * reduction (TakeOrdered — no shuffle of the data); driver traffic is
     * one (id, vector) row per iteration. Cache the projected input for
     * the k passes when it is not already materialized. */
+  private val mmrSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** MMR-diversified retrieval: exact cosine shortlist per query, then
+    * the [[graft.functions.MmrSelect]] greedy inside each query's row —
+    * argmax λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s), k picks. Plan
+    * shape: the [[bruteForceTopK]] scan, one broadcast join of the tiny
+    * (queries × shortlist) id set against the corpus to fetch candidate
+    * vectors, one groupBy(qid) collect, then a narrow map — the greedy
+    * never shuffles and parallelizes across queries. Returns
+    * (qid, sel_rank, nid, score) with sel_rank starting at 0. */
+  def mmrRerank(
+      df: DataFrame, idCol: String, vecCol: String, queryFilter: Column,
+      k: Int, lambda: Double, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val top = bruteForceTopK(df, idCol, vecCol, queryFilter, shortlist)
+      .select("qid", "nid")
+    val corpus = df.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val queries = df.filter(queryFilter)
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+    val cands = corpus.join(broadcast(top), "nid")
+      .groupBy("qid")
+      .agg(collect_list(struct(col("nid"), col("nv"))).as("cands"))
+      .join(broadcast(queries), "qid")
+    val spark = df.sparkSession
+    // fresh sequence per (k, lambda) registration — the UnigramLm naming
+    // discipline (identityHashCode collisions silently rebind)
+    val fname = s"graft_mmr_${mmrSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.functions.MmrSelect(exprs(0), exprs(1), k, lambda),
+      "built-in")
+    cands
+      .select(col("qid"),
+        posexplode(call_function(fname, col("qv"), col("cands"))))
+      .select(col("qid"), col("pos").as("sel_rank"),
+        col("col.nid").as("nid"), col("col.score").as("score"))
+  }
+
   final case class FpsPick(rank: Int, id: Long, dist: Option[Double],
       vec: Array[Double])
 

@@ -635,9 +635,89 @@ object SimQueries extends QueryModule {
         .orderBy("sel_rank")
     })
 
+  /** MMR re-rank at k=2, λ=0.5 — the greedy unrolled as CTEs: first pick
+    * = argmax λ·cos(q,d), second = argmax λ·cos(q,d) − (1−λ)·cos(d,s1),
+    * ties to the smallest id, raw doubles through the same sequential
+    * folds ([[graft.functions.MmrSelect]]). λ=0.5 keeps 1−λ exact in
+    * binary so both engines weight identically. */
+  val simMmrRerank: Q = Q(
+    "sim_mmr_rerank",
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, v.vec_id AS nid, v.e AS ne,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      short AS (
+        SELECT qid, nid, ne, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 20),
+      s1 AS (
+        SELECT qid, nid, ne, 0.5 * cos AS score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY 0.5 * cos DESC, nid) AS r
+          FROM short)
+        WHERE r = 1),
+      s2cand AS (
+        SELECT sh.qid, sh.nid,
+          0.5 * sh.cos - 0.5 *
+            (list_sum(list_transform(generate_series(1, len(sh.ne)),
+                i -> sh.ne[i] * s1.ne[i]))
+              / (sqrt(list_sum(list_transform(sh.ne, x -> x * x)))
+                 * sqrt(list_sum(list_transform(s1.ne, x -> x * x))))) AS score
+        FROM short sh JOIN s1 ON sh.qid = s1.qid AND sh.nid != s1.nid),
+      s2 AS (
+        SELECT qid, nid, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, nid) AS r
+          FROM s2cand)
+        WHERE r = 1)
+      SELECT qid, 0 AS sel_rank, nid, score FROM s1
+      UNION ALL SELECT qid, 1 AS sel_rank, nid, score FROM s2
+      ORDER BY qid, sel_rank"""),
+    (s, dir) =>
+      Similarity.mmrRerank(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10,
+          k = 2, lambda = 0.5, shortlist = 20)
+        .orderBy("qid", "sel_rank"))
+
+  /** Deeper MMR (rows-only): structural self-checks at k=5 — the first
+    * pick must be the plain cosine top-1, picks distinct and drawn from
+    * the shortlist, exactly k per query. */
+  val simMmrDeep: Q = Q(
+    "sim_mmr_deep",
+    None,
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val out = Similarity.mmrRerank(embs, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, lambda = 0.7, shortlist = 25)
+      val top1 = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          col("vec_id") < 10, k = 1)
+        .select(col("qid"), col("nid").as("best"))
+      val firsts = out.filter(col("sel_rank") === 0)
+        .join(top1, "qid").filter(col("nid") =!= col("best")).count()
+      require(firsts == 0, s"$firsts queries' first MMR pick != cosine top-1")
+      val counts = out.groupBy("qid")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("nid")).as("d")).collect()
+      require(counts.length == 10 &&
+        counts.forall(r => r.getAs[Long]("n") == 5 &&
+          r.getAs[Long]("d") == 5),
+        "every query needs exactly 5 distinct picks")
+      out.select(col("qid"), col("sel_rank"), col("nid"),
+          round(col("score"), 6).as("score"))
+        .orderBy("qid", "sel_rank")
+    })
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
-      kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep)
+      kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
+      simMmrRerank, simMmrDeep)
 }

@@ -88,6 +88,36 @@ class CodegenSpec extends SparkSpec {
     assert(fromCodegen.sum == 11, "emoji/punctuation must count nowhere")
   }
 
+  test("MmrSelect codegen compiles and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val candType = ArrayType(StructType(Seq(
+      StructField("nid", LongType), StructField("v", ArrayType(DoubleType)))))
+    val expr = graft.functions.MmrSelect(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, candType, nullable = true), k = 2, lambda = 0.5)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray[Any])
+    val cands = new GenericArrayData(Array[Any](
+      InternalRow(1L, arr(1.0, 0.0)),
+      InternalRow(2L, arr(0.99, 0.01)),
+      InternalRow(3L, arr(0.0, 1.0))))
+    val input = InternalRow(arr(1.0, 0.05), cands)
+    val fromCodegen = proj(input).getArray(0)
+    val fromInterp = expr.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    def decode(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getLong(0), r.getDouble(1))
+      }
+    assert(decode(fromCodegen) == decode(fromInterp))
+    val ids = decode(fromCodegen).map(_._1)
+    // (0.99, 0.01) normalized lies closest to q = (1.0, 0.05), so 2 leads;
+    // diversification then skips its near-duplicate 1 for the orthogonal 3
+    assert(ids == Seq(2L, 3L),
+      s"diversified second pick should skip the near-dup: $ids")
+  }
+
   test("BoundedLevenshtein codegen compiles; banded == full DP within bound") {
     import graft.functions.BoundedLevenshtein
     val expr = BoundedLevenshtein(

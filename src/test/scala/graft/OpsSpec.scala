@@ -1970,6 +1970,55 @@ class OpsSpec extends SparkSpec {
     assert(!p2.map(_.id).contains(999L))
   }
 
+  test("mmr rerank: diversifies duplicates, lambda=1 is cosine order, driver parity") {
+    // q points at a; a2 is a's near-duplicate; b is a different direction
+    val rows = Seq(
+      (100L, Seq(1.0, 0.0, 0.1, 0.0)),      // query
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),        // a
+      (2L, Seq(0.999, 0.001, 0.0, 0.0)),    // a' (near-dup of a)
+      (3L, Seq(0.2, 1.0, 0.0, 0.0)),        // b
+      (4L, Seq(0.1, 0.0, 1.0, 0.0)))        // c
+    val df = rows.toDF("id", "v")
+    def picks(lambda: Double) =
+      Similarity.mmrRerank(df, "id", "v", col("id") === 100L,
+          k = 3, lambda = lambda, shortlist = 4)
+        .orderBy("sel_rank").select("nid").as[Long].collect().toSeq
+    assert(picks(1.0).take(2) == Seq(1L, 2L),
+      "lambda=1 must reduce to plain cosine order (dup right behind)")
+    val diverse = picks(0.5)
+    assert(diverse.head == 1L)
+    assert(diverse(1) != 2L,
+      s"lambda=0.5 must push the near-duplicate down, got $diverse")
+    assert(diverse.toSet.size == 3)
+
+    // independent driver greedy on pseudo-random vectors
+    val rnd = (0L until 30L).map { id =>
+      (id, Seq.tabulate(6)(j => ((id * 31 + j * 17) % 23).toDouble / 23.0))
+    }
+    val q = rnd.head._2.toArray
+    val cands = rnd.tail.map { case (id, v) => (id, v.toArray) }
+    def cosD(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val lambda = 0.7
+    var sel = Vector.empty[Long]
+    var rem = cands.sortBy(_._1)
+    for (step <- 0 until 5) {
+      val best = rem.map { case (id, v) =>
+        val pen = if (step == 0) 0.0
+          else sel.map(s => cosD(v, cands.find(_._1 == s).get._2)).max
+        (id, lambda * cosD(q, v) - (1 - lambda) * pen)
+      }.maxBy { case (id, s) => (s, -id) }
+      sel :+= best._1
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val got = Similarity.mmrRerank(rnd.toDF("id", "v"), "id", "v",
+        col("id") === 0L, k = 5, lambda = lambda, shortlist = 29)
+      .orderBy("sel_rank").select("nid").as[Long].collect().toSeq
+    assert(got == sel, s"engine $got vs driver greedy $sel")
+  }
+
   test("script profile: dominance order, none bucket, digit neutrality, nulls") {
     val rows = Seq(
       (1L, Some("hello world")),            // latin
