@@ -102,6 +102,50 @@ object TextOps {
     call_function(fname, c.cast(StringType))
   }
 
+  /** Flesch–Kincaid readability (Kincaid 1975; Flesch 1948 — public):
+    * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 and
+    * reading ease = 206.835 − 1.015·(w/s) − 84.6·(sy/w) — the classic
+    * complexity screens a quality filter slices corpora by.
+    *
+    * Everything derives from exact integer counts so the oracle mirrors
+    * division-for-division:
+    *  - words = [[tokens]];
+    *  - sentences = terminator runs followed by whitespace or
+    *    end-of-text (`[.!?]+(\s|\z)` — \z, never $, whose before-final-
+    *    newline semantics differ between java.util.regex and RE2),
+    *    floored at 1;
+    *  - syllables = vowel-group runs over the lowercased text (runs
+    *    cannot span whitespace, so the whole-text count equals the
+    *    per-word sum) plus one for each vowel-less word (FK's
+    *    min-1-syllable rule).
+    * Empty documents yield null grades (0/0 is undefined, and ANSI would
+    * throw). Adds n_words, n_sentences, n_syllables, fk_grade, fre —
+    * a pure narrow map. */
+  def readability(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val w = tokens(t)
+    val nWords = size(w).cast("long")
+    val nSentences = greatest(lit(1L),
+      size(regexp_extract_all(t, lit("[.!?]+(\\s|\\z)"), lit(0))).cast("long"))
+    val vowelRuns =
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long")
+    val noVowelWords =
+      size(filter(w, x => !lower(x).rlike("[aeiouy]"))).cast("long")
+    val nSyll = vowelRuns + noVowelWords
+    val wps = nWords.cast("double") / nSentences
+    val spw = nSyll.cast("double") / nWords
+    df.withColumn("n_words", nWords)
+      .withColumn("n_sentences", nSentences)
+      .withColumn("n_syllables", nSyll)
+      .withColumn("fk_grade",
+        when(nWords > 0, round(lit(0.39) * wps + lit(11.8) * spw
+          - lit(15.59), 4)))
+      .withColumn("fre",
+        when(nWords > 0, round(lit(206.835) - lit(1.015) * wps
+          - lit(84.6) * spw, 4)))
+  }
+
   /** Per-script character counts (array<int> in
     * [[graft.functions.ScriptCounts.names]] order) — one codegen'd pass
     * over code points; the script prefilter language ID needs before any

@@ -93,5 +93,67 @@ object QualityQueries extends QueryModule {
         .orderBy("col_name")
     })
 
-  override def queries: Seq[Q] = Seq(t3Quality, t5Summary)
+  /** Benford first-digit table over prices-in-cents: digit extraction is
+    * integer-string substring (never the log10-floor ulp hazard), counts
+    * exact, shares/χ² terms identical divisions. TPC-H prices are range-
+    * bounded, NOT Benford — the screen must measure that deviation the
+    * same way in both engines. */
+  val dqBenfordDigits: Q = Q(
+    "dq_benford_digits",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
+      g AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+          count(*) AS n
+        FROM b WHERE v IS NOT NULL AND v > 0
+        GROUP BY 1),
+      t AS (SELECT digit, n, SUM(n) OVER () AS total FROM g)
+      SELECT digit, n,
+        CAST(n AS DOUBLE) / total AS observed_share,
+        log10(1.0 + 1.0 / digit) AS expected_share,
+        round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+          / (total * log10(1.0 + 1.0 / digit)), 9) AS chi2_term
+      FROM t
+      ORDER BY digit"""),
+    (s, dir) =>
+      DataQuality.benfordTable(Tables.load(s, dir, "lineitem"),
+          col("l_extendedprice") * 100)
+        .orderBy("digit"))
+
+  /** The χ² / MAD / conformity one-row Benford verdict (decimal folds of
+    * rounded per-digit terms; absent digits keep their expected mass). */
+  val dqBenfordSummary: Q = Q(
+    "dq_benford_summary",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
+      g AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+          count(*) AS n
+        FROM b WHERE v IS NOT NULL AND v > 0
+        GROUP BY 1),
+      d AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+      f AS (SELECT d.digit, COALESCE(g.n, 0) AS n
+            FROM d LEFT JOIN g USING (digit)),
+      t AS (SELECT digit, n, SUM(n) OVER () AS total,
+              log10(1.0 + 1.0 / digit) AS e
+            FROM f),
+      terms AS (
+        SELECT n,
+          round(pow(n - total * e, 2) / (total * e), 9) AS t,
+          round(abs(CAST(n AS DOUBLE) / total - e), 9) AS ad
+        FROM t)
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+        CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+        CAST(SUM(CAST(ad AS DECIMAL(38,12))) AS DOUBLE) / 9.0 AS mad,
+        (CAST(SUM(CAST(ad AS DECIMAL(38,12))) AS DOUBLE) / 9.0) <= 0.015
+          AS conforms
+      FROM terms"""),
+    (s, dir) =>
+      DataQuality.benfordSummary(Tables.load(s, dir, "lineitem"),
+        col("l_extendedprice") * 100))
+
+  override def queries: Seq[Q] =
+    Seq(t3Quality, t5Summary, dqBenfordDigits, dqBenfordSummary)
 }

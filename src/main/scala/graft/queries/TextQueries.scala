@@ -1431,8 +1431,44 @@ object TextQueries extends QueryModule {
       })
   }
 
+  /** Flesch–Kincaid readability ([[TextOps.readability]]): word /
+    * sentence / syllable counts are exact integers mirrored
+    * regex-for-regex (\z end anchors — $ differs between engines on
+    * trailing newlines), the grade/ease formulas identical divisions. */
+  val txtReadability: Q = Q(
+    "txt_readability",
+    Some(s"""
+      WITH base AS (SELECT doc_id, text, $wSql AS w FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(len(regexp_extract_all(text, '[.!?]+(\\s|\\z)')) AS BIGINT))
+            AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+            + CAST(len(list_filter(w,
+                t -> NOT regexp_matches(lower(t), '[aeiouy]'))) AS BIGINT)
+            AS n_syllables
+        FROM base)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words > 0 THEN
+          round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+            + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+        END AS fk_grade,
+        CASE WHEN n_words > 0 THEN
+          round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+        END AS fre
+      FROM c
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      TextOps.readability(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "n_sentences", "n_syllables",
+          "fk_grade", "fre")
+        .orderBy("doc_id"))
+
   override def queries: Seq[Q] = Seq(
-    txtScriptHistogram,
+    txtScriptHistogram, txtReadability,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

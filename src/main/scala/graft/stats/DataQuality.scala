@@ -1,6 +1,7 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
 
@@ -31,6 +32,62 @@ object DataQuality {
     if (pct > 50) "high" else if (pct > 20) "medium" else "low"
   private def outlierSeverity(pct: Double): String =
     if (pct > 10) "high" else if (pct > 5) "medium" else "low"
+
+  /** First-significant-digit distribution vs Benford's law (Newcomb 1881 /
+    * Benford 1938; Nigrini's forensic screen — all public): naturally
+    * occurring multiplicative quantities put digit d first with
+    * probability log10(1+1/d), and fabricated/truncated/defaulted data
+    * doesn't — a cheap anomaly screen over any positive integer measure
+    * (prices in cents, byte counts, durations).
+    *
+    * The contract keeps extraction engine-portable: `c` must be a
+    * POSITIVE INTEGER column (convert decimals yourself, e.g. cents);
+    * the first digit is substring 1 of the integer's decimal string —
+    * never floor(x/10^floor(log10 x)), whose log10(1000)=2.999… ulp
+    * hazard flips digits per-libm. Non-positive and null rows are
+    * excluded (compare [[benfordSummary]]'s `n` against your row count
+    * to see how many). One groupBy over ≤ 9 groups. */
+  def benfordTable(df: DataFrame, c: Column): DataFrame = {
+    val digit = substring(col("__v").cast("string"), 1, 1).cast("int")
+    df.select(c.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("observed_share", col("n").cast("double") / col("__total"))
+      .withColumn("expected_share",
+        log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("chi2_term",
+        round(pow(col("n") - col("__total") * col("expected_share"), 2)
+          / (col("__total") * col("expected_share")), 9))
+      .drop("__total")
+  }
+
+  /** One-row Benford summary: χ² over the 9 digit cells (decimal fold of
+    * rounded terms — shard-order-invariant), the mean absolute deviation
+    * of shares, and the conventional Nigrini MAD verdict (>0.015 =
+    * nonconformity for first digits). Digits absent from the data
+    * contribute their full expected mass to both statistics. */
+  def benfordSummary(df: DataFrame, c: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = (1 to 9).toDF("digit")
+    val obs = benfordTable(df, c).select("digit", "n")
+    digits.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        log10(lit(1.0) + lit(1.0) / col("digit")).as("exp"))
+      .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("n"),
+        round(pow(col("n") - col("__total") * col("exp"), 2)
+          / (col("__total") * col("exp")), 9).as("t"),
+        round(abs(col("n").cast("double") / col("__total") - col("exp")), 9)
+          .as("ad"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("t").cast("decimal(38,12)")).cast("double").as("chi2"),
+        (sum(col("ad").cast("decimal(38,12)")).cast("double") / 9.0)
+          .as("mad"))
+      .withColumn("conforms", col("mad") <= 0.015)
+  }
 
   def report(df: DataFrame, keys: MergeKeys): Report = {
     val cols = df.columns.toSeq

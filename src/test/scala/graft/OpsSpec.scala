@@ -1970,6 +1970,32 @@ class OpsSpec extends SparkSpec {
     assert(!p2.map(_.id).contains(999L))
   }
 
+  test("readability: hand-computed FK, vowel-less min-1 rule, empty-doc nulls") {
+    val rows = Seq(
+      (1L, "The cat sat. The dog ran fast!"),
+      (2L, "bcd 123."),
+      (3L, ""),
+      (4L, "No terminator here")).toDF("doc_id", "text")
+    val out = TextOps.readability(rows, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 7)
+    assert(r1.getAs[Long]("n_sentences") == 2,
+      "one mid-text boundary plus the end-of-text bang")
+    assert(r1.getAs[Long]("n_syllables") == 7)
+    assert(r1.getAs[Double]("fk_grade") ==
+      math.rint((0.39 * 3.5 + 11.8 * 1.0 - 15.59) * 1e4) / 1e4)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_syllables") == 2,
+      "vowel-less words still carry one syllable each")
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_words") == 0 &&
+      r3.isNullAt(r3.fieldIndex("fk_grade")),
+      "empty document must not fake a grade")
+    assert(out(4L).getAs[Long]("n_sentences") == 1,
+      "unterminated text floors at one sentence")
+  }
+
   test("mmr rerank: diversifies duplicates, lambda=1 is cosine order, driver parity") {
     // q points at a; a2 is a's near-duplicate; b is a different direction
     val rows = Seq(

@@ -690,6 +690,33 @@ class StatsSpec extends SparkSpec {
     assert(Drift.psiCategorical(ref, curNull, "lbl") > 0.1)
   }
 
+  test("benford screen: multiplicative data conforms, uniform does not") {
+    import graft.stats.DataQuality
+    // geometric growth is the canonical Benford generator
+    val benfordish = (0 until 2000)
+      .map(i => math.floor(math.pow(1.07, i % 500) * 17).toLong + 1)
+    val conf = DataQuality.benfordSummary(benfordish.toDF("v"), col("v"))
+      .collect().head
+    assert(conf.getAs[Boolean]("conforms"),
+      s"geometric data should conform, mad=${conf.getAs[Double]("mad")}")
+    assert(conf.getAs[Long]("n") == 2000)
+    // uniform over [40000, 49999]: every first digit is 4
+    val uniform = (0 until 1000).map(i => 40000L + i * 10)
+    val bad = DataQuality.benfordSummary(uniform.toDF("v"), col("v"))
+      .collect().head
+    assert(!bad.getAs[Boolean]("conforms"))
+    // single-digit data: the 8 absent digits keep their expected mass
+    val table = DataQuality.benfordTable(uniform.toDF("v"), col("v"))
+      .collect()
+    assert(table.length == 1 && table.head.getAs[Int]("digit") == 4)
+    assert(table.head.getAs[Double]("observed_share") == 1.0)
+    // non-positive and null rows are excluded
+    val mixed = Seq(Some(123L), Some(-5L), Some(0L), None)
+      .toDF("v")
+    val m = DataQuality.benfordSummary(mixed, col("v")).collect().head
+    assert(m.getAs[Long]("n") == 1)
+  }
+
   test("mutual information: driver reference, identity and independence limits") {
     import graft.stats.Contingency
     val rows = (0 until 600).map { i =>
