@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.ops.{CountMin, TextOps}
+import graft.ops.{CountMin, Hll, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch gates. The Count-Min bucket hash is the engine-portable
@@ -126,6 +126,94 @@ object SketchQueries extends QueryModule {
       out
     })
 
+  private val M = 256; private val HllSeed = "graft-hll"
+
+  /** register-table CTEs shared by both hll oracles: md5 chars 1–8 pick
+    * the bucket, chars 9–16 feed rho = 33 − bitlength via the exact
+    * integer→binary-string length (DuckDB bin() drops leading zeros
+    * exactly like Spark's conv(x, 10, 2)). */
+  private val hllCte = s"""
+      h AS (
+        SELECT o_orderpriority AS grp,
+          md5(concat_ws('|', '$HllSeed', CAST(o_custkey AS VARCHAR))) AS hx
+        FROM orders WHERE o_custkey IS NOT NULL),
+      rh AS (
+        SELECT grp,
+          CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % $M AS bucket,
+          CASE WHEN CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) = 0
+            THEN 33
+            ELSE 33 - length(bin(
+              CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT)))
+          END AS rho
+        FROM h),
+      reg AS (
+        SELECT grp, bucket, CAST(max(rho) AS INT) AS r
+        FROM rh GROUP BY 1, 2)"""
+
+  /** The full per-group HyperLogLog register table over orders custkeys —
+    * both engines build every (group, bucket, max-rho) cell independently
+    * and must agree exactly ([[graft.ops.Hll.sketchBy]]). */
+  val hllRegisters: Q = Q(
+    "hll_registers",
+    Some(s"""
+      WITH $hllCte
+      SELECT grp AS o_orderpriority, bucket, r
+      FROM reg ORDER BY o_orderpriority, bucket"""),
+    (s, dir) =>
+      Hll.sketchBy(Tables.load(s, dir, "orders"), Seq("o_orderpriority"),
+          "o_custkey", M, HllSeed)
+        .orderBy("o_orderpriority", "bucket"))
+
+  /** Per-group cardinality estimates next to exact distinct counts: the
+    * oracle rebuilds the registers AND the full estimator (harmonic sum
+    * of exact dyadic 2^-r terms, α·m²/S, linear-counting fallback), so a
+    * pass proves the estimator arithmetic cell-for-cell; the gate
+    * additionally enforces the ≈1.04/√m error contract (within 4σ of
+    * exact) before returning ([[graft.ops.Hll.estimateBy]]). */
+  val hllEstimates: Q = Q(
+    "hll_estimate_groups",
+    Some(s"""
+      WITH $hllCte,
+      st AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_registers,
+          SUM(1.0 / power(2.0, r)) + ($M.0 - count(*)) AS s
+        FROM reg GROUP BY 1),
+      e AS (
+        SELECT grp, n_registers,
+          CAST($M - n_registers AS BIGINT) AS v_zero,
+          CAST(${Hll.alpha(M)} AS DOUBLE) * ($M * $M) / s AS raw
+        FROM st),
+      ex AS (
+        SELECT o_orderpriority AS grp,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+      SELECT e.grp AS o_orderpriority, e.n_registers, e.v_zero,
+        round(CASE WHEN raw <= ${2.5 * M} AND v_zero > 0
+          THEN $M.0 * ln($M.0 / v_zero) ELSE raw END, 4) AS hll_est,
+        ex.n_exact
+      FROM e JOIN ex USING (grp)
+      ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val sk = Hll.sketchBy(orders, Seq("o_orderpriority"), "o_custkey",
+        M, HllSeed)
+      val est = Hll.estimateBy(sk, Seq("o_orderpriority"), M)
+      val exact = orders.filter(col("o_custkey").isNotNull)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val out = est.join(exact, Seq("o_orderpriority"))
+      val sigma = 1.04 / math.sqrt(M.toDouble)
+      val offContract = out.filter(
+        abs(col("hll_est") - col("n_exact")) >
+          lit(4.0 * sigma) * col("n_exact")).count()
+      require(offContract == 0L,
+        s"HLL estimate off by >4 sigma on $offContract groups")
+      out.select("o_orderpriority", "n_registers", "v_zero", "hll_est",
+          "n_exact")
+        .orderBy("o_orderpriority")
+    })
+
   override def queries: Seq[Q] =
-    Seq(cmsCounters, cmsEstimates, cmsJoinCardinality)
+    Seq(cmsCounters, cmsEstimates, cmsJoinCardinality,
+      hllRegisters, hllEstimates)
 }
