@@ -907,6 +907,93 @@ object StatsQueries extends QueryModule {
     (s, dir) =>
       graft.stats.Contingency.mutualInformation(miPair(s, dir), "a", "b"))
 
+  private val BootB = 200; private val BootSeed = "graft-boot"
+
+  /** Shared resample-means CTEs: Poisson(1) counts from the identity-hash
+    * fraction of (seed, b, c_custkey) through the inverse-CDF threshold
+    * literals [[graft.stats.Bootstrap.thresholds]] — the SAME Scala
+    * doubles are inlined into both engines, so every draw is
+    * bit-identical. */
+  private val bootCte: String = {
+    val u = s"""CAST(concat('0x', substr(md5(concat_ws('|', '$BootSeed',
+        CAST(bs.b AS VARCHAR), CAST(c_custkey AS VARCHAR))), 1, 8))
+        AS BIGINT) / 4294967296.0"""
+    s"""
+      bs AS (SELECT CAST(unnest(range(0, $BootB)) AS INT) AS b),
+      rws AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS v
+        FROM customer WHERE c_acctbal IS NOT NULL),
+      drawn AS (
+        SELECT bs.b, rws.v, $u AS u
+        FROM rws, bs),
+      cnts AS (
+        SELECT b, v, ${graft.stats.Bootstrap.poissonCountSql("u")} AS cnt
+        FROM drawn),
+      bmeans AS (
+        SELECT b, CAST(SUM(cnt) AS BIGINT) AS n_eff,
+          CASE WHEN SUM(cnt) > 0
+            THEN round(CAST(SUM(cnt * v) AS DOUBLE) / SUM(cnt), 6)
+          END AS boot_mean
+        FROM cnts GROUP BY b)"""
+  }
+
+  /** All 200 Poisson-bootstrap resample means of customer.c_acctbal —
+    * the oracle rebuilds every draw, effective count, and mean
+    * ([[graft.stats.Bootstrap.resampleMeans]]). */
+  val bsResampleMeans: Q = Q(
+    "bs_resample_means",
+    Some(s"""
+      WITH $bootCte
+      SELECT b, n_eff, boot_mean FROM bmeans ORDER BY b"""),
+    (s, dir) =>
+      Bootstrap.resampleMeans(Tables.load(s, dir, "customer"),
+          Seq("c_custkey"), col("c_acctbal"), BootB, BootSeed)
+        .orderBy("b"))
+
+  /** The one-row percentile-bootstrap CI: nearest-rank bounds over the
+    * deterministic (boot_mean, b) order plus the exact-decimal bootstrap
+    * standard error ([[graft.stats.Bootstrap.ci]]); the gate also
+    * asserts the interval actually brackets the full-sample mean. */
+  val bsBootstrapCi: Q = {
+    val (loRank, hiRank) = Bootstrap.ranks(BootB, 0.95)
+    Q(
+      "bs_bootstrap_ci",
+      Some(s"""
+        WITH $bootCte,
+        ranked AS (
+          SELECT boot_mean, b,
+            row_number() OVER (ORDER BY boot_mean ASC NULLS FIRST, b) AS rn
+          FROM bmeans),
+        summ AS (
+          SELECT CAST(count(*) AS BIGINT) AS b,
+            CAST(SUM(CAST(round(boot_mean * 1e6) AS HUGEINT)) AS DOUBLE)
+              AS s,
+            CAST(SUM(CAST(round(boot_mean * 1e6) AS HUGEINT) *
+                CAST(round(boot_mean * 1e6) AS HUGEINT)) AS DOUBLE) AS s2,
+            max(CASE WHEN rn = $loRank THEN boot_mean END) AS ci_lo,
+            max(CASE WHEN rn = $hiRank THEN boot_mean END) AS ci_hi
+          FROM ranked),
+        fullm AS (
+          SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*), 6) AS mean
+          FROM customer WHERE c_acctbal IS NOT NULL)
+        SELECT mean, b,
+          round(sqrt((s2 - s * s / b) / (b - 1)) / 1e6, 6) AS boot_se,
+          ci_lo, ci_hi
+        FROM fullm, summ"""),
+      (s, dir) => {
+        val out = Bootstrap.ci(Tables.load(s, dir, "customer"),
+          Seq("c_custkey"), col("c_acctbal"), BootB, BootSeed)
+        val r = out.collect().head
+        val (mean, lo, hi) = (r.getAs[Double]("mean"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+        require(lo <= mean && mean <= hi,
+          s"bootstrap CI [$lo, $hi] does not bracket the mean $mean")
+        require(r.getAs[Double]("boot_se") > 0, "degenerate bootstrap SE")
+        out
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -914,5 +1001,5 @@ object StatsQueries extends QueryModule {
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
-    t28MiTerms, t28MutualInformation)
+    t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi)
 }

@@ -749,4 +749,49 @@ class StatsSpec extends SparkSpec {
     assert(g3.getAs[Double]("mi") == 0.0)
     assert(g3.isNullAt(g3.fieldIndex("nmi")))
   }
+
+  test("poisson bootstrap: draws match a driver reference and behave like Poisson(1)") {
+    import graft.stats.Bootstrap
+    val n = 400; val b = 50
+    val df = (0 until n).map(i => (i.toLong, 10.0 + (i % 7))).toDF("id", "x")
+    val means = Bootstrap.resampleMeans(df, Seq("id"), col("x"), b, "t")
+      .collect()
+    assert(means.length == b)
+    // driver reference: recompute resample 13 from the same hash scheme
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(bi: Int, id: Long): Double = {
+      val h = md.digest(s"t|$bi|$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    def cnt(uu: Double): Int = Bootstrap.thresholds.count(uu > _)
+    val ref = (0 until n).map { i =>
+      val c = cnt(u(13, i.toLong)); (c.toLong, c * (10.0 + (i % 7)))
+    }
+    val (refN, refSum) = (ref.map(_._1).sum, ref.map(_._2).sum)
+    val got = means.find(_.getAs[Int]("b") == 13).get
+    assert(got.getAs[Long]("n_eff") == refN)
+    assert(got.getAs[Double]("boot_mean") ==
+      math.rint(refSum / refN * 1e6) / 1e6)
+    // poisson(1) behavior: mean n_eff ~ n, and resamples genuinely vary
+    val effs = means.map(_.getAs[Long]("n_eff").toDouble)
+    assert(math.abs(effs.sum / b - n) < 4 * math.sqrt(n.toDouble / b))
+    assert(effs.distinct.length > 1)
+  }
+
+  test("bootstrap ci brackets the mean and narrows with sample size") {
+    import graft.stats.Bootstrap
+    def ciWidth(n: Int): Double = {
+      val df = (0 until n).map(i => (i.toLong, (i % 100).toDouble))
+        .toDF("id", "x")
+      val r = Bootstrap.ci(df, Seq("id"), col("x"), 100, "t").collect().head
+      val (m, lo, hi) = (r.getAs[Double]("mean"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi, s"CI [$lo,$hi] misses mean $m at n=$n")
+      hi - lo
+    }
+    val (wide, narrow) = (ciWidth(200), ciWidth(3200))
+    assert(narrow < wide,
+      s"CI width must shrink with n: $narrow !< $wide")
+  }
 }
