@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, TextOps, Winnow}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over the `documents` table, with DuckDB
@@ -1467,8 +1467,66 @@ object TextQueries extends QueryModule {
           "fk_grade", "fre")
         .orderBy("doc_id"))
 
+  /** Winnowing CTEs shared by both wn_* oracles: k = 8 char grams,
+    * window w = 8, rightmost-min via (hash ASC, pos DESC) row_number —
+    * the SQL mirror of [[graft.ops.Winnow]]'s struct-min on (h, −p). */
+  private val wnCte = """
+      g AS (
+        SELECT doc_id, p,
+          CAST(concat('0x', substr(md5(substr(text, p+1, 8)), 1, 8))
+            AS BIGINT) AS h
+        FROM (SELECT doc_id, text,
+                unnest(range(0, GREATEST(length(text)-8+1, 0))) AS p
+              FROM documents)),
+      wcnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      ws AS (
+        SELECT doc_id, unnest(range(0, GREATEST(n-8, 0)+1)) AS s
+        FROM wcnt),
+      wm AS (
+        SELECT ws.doc_id, ws.s, g.h, g.p,
+          row_number() OVER (PARTITION BY ws.doc_id, ws.s
+            ORDER BY g.h, g.p DESC) AS rn
+        FROM ws JOIN g ON g.doc_id = ws.doc_id
+          AND g.p BETWEEN ws.s AND ws.s + 7),
+      wfp AS (SELECT DISTINCT doc_id, h, p FROM wm WHERE rn = 1)"""
+
+  /** Every selected winnowing fingerprint of every document — both
+    * engines derive the full (doc, hash, offset) set independently
+    * ([[graft.ops.Winnow.fingerprints]]): Spark as one narrow doc-local
+    * array expression, the oracle via an exploded window rank. */
+  val wnFingerprints: Q = Q(
+    "wn_fingerprints",
+    Some(s"""
+      WITH $wnCte
+      SELECT doc_id, h, p FROM wfp ORDER BY doc_id, h, p"""),
+    (s, dir) =>
+      Winnow.fingerprints(Tables.load(s, dir, "documents"), "doc_id",
+          "text", k = 8, w = 8)
+        .orderBy("doc_id", "h", "p"))
+
+  /** Document pairs sharing ≥ 8 winnowing fingerprints under the
+    * 64-document posting cap ([[graft.ops.Winnow.overlapPairs]]). */
+  val wnOverlapPairs: Q = Q(
+    "wn_overlap_pairs",
+    Some(s"""
+      WITH $wnCte,
+      dfp AS (SELECT DISTINCT doc_id, h FROM wfp),
+      keep AS (SELECT h FROM dfp GROUP BY h HAVING count(*) <= 64),
+      posted AS (SELECT dfp.doc_id, dfp.h FROM dfp JOIN keep USING (h))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        count(*) AS shared
+      FROM posted a JOIN posted b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 8
+      ORDER BY id_a, id_b"""),
+    (s, dir) =>
+      Winnow.overlapPairs(
+          Winnow.fingerprints(Tables.load(s, dir, "documents"), "doc_id",
+            "text", k = 8, w = 8),
+          "doc_id", minShared = 8, maxPostings = 64)
+        .orderBy("id_a", "id_b"))
+
   override def queries: Seq[Q] = Seq(
-    txtScriptHistogram, txtReadability,
+    txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

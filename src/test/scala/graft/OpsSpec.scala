@@ -1996,6 +1996,55 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("winnowing: driver reference, shared-substring guarantee, density, boundary docs") {
+    import graft.ops.Winnow
+    val common = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"AAAA $common BBBB padding text here to extend"),
+      (2L, s"XXXX yyyy zzzz $common QQQQ totally different tail"),
+      (3L, "completely unrelated content with nothing shared at all"),
+      (4L, "short"), // < k: no grams
+      (5L, "exactly12ch")) // 12 chars -> 5 grams < w: single window
+    val df = docs.toDF("doc_id", "text")
+    val (k, w) = (8, 8)
+    val fps = Winnow.fingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"),
+        r.getAs[Int]("p")))
+    // driver reference: independent winnowing of doc 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(g: String): Long = java.lang.Long.parseLong(
+      md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+    def winnowRef(t: String): Set[(Long, Int)] = {
+      val grams = (0 to t.length - k).map(p => (h(t.substring(p, p + k)), p))
+      if (grams.isEmpty) Set.empty
+      else (0 to math.max(grams.length - w, 0)).map { s =>
+        grams.slice(s, s + w).minBy { case (hh, p) => (hh, -p) }
+      }.toSet
+    }
+    docs.foreach { case (id, t) =>
+      val got = fps.filter(_._1 == id).map(x => (x._2, x._3)).toSet
+      assert(got == winnowRef(t), s"doc $id fingerprint mismatch")
+    }
+    assert(!fps.exists(_._1 == 4L), "sub-k doc must emit nothing")
+    assert(fps.count(_._1 == 5L) == 1, "sub-w doc gets one window's min")
+    // the winnowing guarantee: a shared run of >= k+w-1 chars shares a print
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val h3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((h1 & h2).nonEmpty, "docs sharing a 49-char run must share a print")
+    assert((h1 & h3).isEmpty && (h2 & h3).isEmpty, "unrelated doc pairs clean")
+    // density ~ 2/(w+1): selected prints well below the gram count
+    val doc1Grams = docs.head._2.length - k + 1
+    assert(fps.count(_._1 == 1L) < doc1Grams / 2)
+    // pairs surface the overlapping pair only
+    val pairs = Winnow.overlapPairs(
+      Winnow.fingerprints(df, "doc_id", "text", k, w), "doc_id",
+      minShared = 1, maxPostings = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
   test("mmr rerank: diversifies duplicates, lambda=1 is cosine order, driver parity") {
     // q points at a; a2 is a's near-duplicate; b is a different direction
     val rows = Seq(
