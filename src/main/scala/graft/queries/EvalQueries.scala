@@ -265,7 +265,124 @@ object EvalQueries extends QueryModule {
         .orderBy("grp")
     })
 
+  /** Deterministic calibration workload CTEs: 25 score levels from
+    * o_totalprice, binary labels whose true positive rate rises with the
+    * level (drawn from the portable hash fraction), and the isotonic fit
+    * rebuilt INDEPENDENTLY via the minimax characterization
+    * fitted_i = max_{j≤i} min_{k≥i} avg(y over levels j..k) — a
+    * different algorithm (prefix-sum minimax) than the Spark side's PAV
+    * pooling, agreeing exactly because binary-label means are integer
+    * ratios. */
+  private val isoCte = s"""
+      b AS (
+        SELECT o_orderkey,
+          CAST(floor(o_totalprice / 20000) AS INT) AS s,
+          CASE WHEN ${hfSql("graft-cal", "o_orderkey")}
+            < (CAST(floor(o_totalprice / 20000) AS INT) + 1) / 27.0
+            THEN 1 ELSE 0 END AS y
+        FROM orders),
+      lev AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS sy,
+          row_number() OVER (ORDER BY s) AS i
+        FROM b GROUP BY s),
+      pre AS (
+        SELECT i, s, n, sy,
+          SUM(n) OVER (ORDER BY i) AS cn,
+          SUM(sy) OVER (ORDER BY i) AS cy
+        FROM lev),
+      triple AS (
+        SELECT m.i, j.i AS j, k.i AS k,
+          CAST(k.cy - (j.cy - j.sy) AS DOUBLE)
+            / (k.cn - (j.cn - j.n)) AS a
+        FROM pre m JOIN pre j ON j.i <= m.i JOIN pre k ON k.i >= m.i),
+      mm AS (
+        SELECT i, j, min(a) AS inner_min FROM triple GROUP BY i, j),
+      fit AS (
+        SELECT i, max(inner_min) AS fitted FROM mm GROUP BY i)
+      """
+
+  /** The fitted isotonic level table: PAV on the Spark side vs the
+    * minimax formula in DuckDB — two independent algorithms, one exact
+    * answer ([[graft.stats.Isotonic.fit]]). */
+  val isoFit: Q = Q(
+    "iso_fit_levels",
+    Some(s"""
+      WITH $isoCte
+      SELECT lev.s AS score, lev.n, lev.sy,
+        round(fit.fitted, 9) AS fitted
+      FROM lev JOIN fit ON lev.i = fit.i
+      ORDER BY score"""),
+    (s, dir) => {
+      import s.implicits._
+      val base = isoBase(s, dir)
+      val model = graft.stats.Isotonic.fit(base, col("s"), col("y"))
+      // the complete isotonic contract, asserted in-gate: monotone,
+      // and every maximal constant run's mean equals its fitted value
+      val f = model.fitted
+      require(f.zip(f.tail).forall { case (a, b) => a <= b },
+        "isotonic fit must be non-decreasing")
+      var i = 0
+      while (i < f.length) {
+        var j = i
+        var (nn, ss) = (0L, 0.0)
+        while (j < f.length && f(j) == f(i)) {
+          nn += model.n(j); ss += model.sumY(j); j += 1
+        }
+        require(math.abs(ss / nn - f(i)) < 1e-12,
+          s"block mean ${ss / nn} != fitted ${f(i)}")
+        i = j
+      }
+      model.scores.indices.map(ix => (model.scores(ix).toInt,
+          model.n(ix), model.sumY(ix).toLong,
+          // HALF_UP to mirror SQL round(), not rint's HALF_EVEN
+          java.math.BigDecimal.valueOf(model.fitted(ix))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()))
+        .toDF("score", "n", "sy", "fitted")
+        .orderBy("score")
+    })
+
+  /** Step-function calibration of a probe grid that includes UNSEEN
+    * scores (level midpoints and out-of-range points): the oracle walks
+    * the same largest-level-≤-x rule over its minimax fit
+    * ([[graft.stats.Isotonic.calibrateStep]]). */
+  val isoApply: Q = Q(
+    "iso_calibrate_apply",
+    Some(s"""
+      WITH $isoCte,
+      levfit AS (
+        SELECT lev.s, round(fit.fitted, 9) AS fitted
+        FROM lev JOIN fit ON lev.i = fit.i),
+      probe AS (
+        SELECT CAST(unnest(range(-2, 52)) AS DOUBLE) / 2.0 AS x),
+      bounds AS (SELECT min(s) AS lo FROM levfit)
+      SELECT probe.x,
+        COALESCE(
+          (SELECT lf.fitted FROM levfit lf WHERE lf.s <= probe.x
+           ORDER BY lf.s DESC LIMIT 1),
+          (SELECT lf.fitted FROM levfit lf ORDER BY lf.s LIMIT 1))
+          AS calibrated
+      FROM probe, bounds
+      ORDER BY x"""),
+    (s, dir) => {
+      import s.implicits._
+      val model = graft.stats.Isotonic.fit(isoBase(s, dir), col("s"),
+        col("y"))
+      val probes = (-2 to 51).map(_ / 2.0).toDF("x")
+      graft.stats.Isotonic.calibrateStep(probes, col("x"), model)
+        .withColumn("calibrated", round(col("calibrated"), 9))
+        .orderBy("x")
+    })
+
+  private def isoBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val lvl = floor(col("o_totalprice") / 20000).cast("int")
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), lvl.as("s"),
+        when(Sampling.hashFraction("graft-cal", Seq(col("o_orderkey")))
+          < (lvl + 1) / lit(27.0), 1).otherwise(0).as("y"))
+  }
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
-      aucByGroup)
+      aucByGroup, isoFit, isoApply)
 }

@@ -779,6 +779,66 @@ class StatsSpec extends SparkSpec {
     assert(effs.distinct.length > 1)
   }
 
+  test("isotonic PAV equals the independent minimax formula; edge shapes") {
+    import graft.stats.Isotonic
+    val rnd = new scala.util.Random(42)
+    // weighted random levels, labels in [0,1]
+    val rows = (0 until 60).flatMap { lvl =>
+      val reps = 1 + rnd.nextInt(4)
+      (0 until reps).map(_ => (lvl.toDouble, rnd.nextInt(2).toDouble))
+    }
+    val model = Isotonic.fit(rows.toDF("s", "y"), col("s"), col("y"))
+    // independent reference: fitted_i = max_{j<=i} min_{k>=i} avg(j..k)
+    val levels = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      (s, g.length.toLong, g.map(_._2).sum)
+    }
+    val l = levels.length
+    val ref = (0 until l).map { i =>
+      (0 to i).map { j =>
+        (i until l).map { k =>
+          val seg = levels.slice(j, k + 1)
+          seg.map(_._3).sum / seg.map(_._2).sum
+        }.min
+      }.max
+    }
+    model.fitted.zip(ref).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-12, s"level $i: $got != $want")
+    }
+    assert(model.fitted.zip(model.fitted.tail).forall(p => p._1 <= p._2))
+  }
+
+  test("isotonic calibration: monotone recovery, step lookup, anti-monotone pooling") {
+    import graft.stats.Isotonic
+    // perfectly monotone data: fitted == level means
+    val mono = (0 until 5).flatMap(lvl =>
+      Seq.fill(10)((lvl.toDouble, lvl / 4.0)))
+    val m1 = Isotonic.fit(mono.toDF("s", "y"), col("s"), col("y"))
+    assert(m1.fitted.toSeq == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // anti-monotone data pools to the global mean
+    val anti = (0 until 5).flatMap(lvl =>
+      Seq.fill(10)((lvl.toDouble, (4 - lvl) / 4.0)))
+    val m2 = Isotonic.fit(anti.toDF("s", "y"), col("s"), col("y"))
+    assert(m2.fitted.forall(_ == 0.5))
+    // step lookup: below range, between levels, above range, seen level
+    assert(m1.at(-3.0) == 0.0 && m1.at(1.5) == 0.25 &&
+      m1.at(99.0) == 1.0 && m1.at(2.0) == 0.5)
+    val probes = Seq(-3.0, 1.5, 2.0, 99.0).toDF("x")
+    val stepped = Isotonic.calibrateStep(probes, col("x"), m1)
+      .orderBy("x").select("calibrated").as[Double].collect().toSeq
+    assert(stepped == Seq(0.0, 0.25, 0.5, 1.0))
+    // exact-level broadcast join parity, with an unseen score -> null
+    val cal = Isotonic.calibrate(Seq(2.0, 7.0).toDF("x"), col("x"), m1)
+      .orderBy("x").collect()
+    assert(cal(0).getAs[Double]("calibrated") == 0.5)
+    assert(cal(1).isNullAt(cal(1).fieldIndex("calibrated")))
+    // loud level cap
+    val wide = (0 until 30).map(i => (i.toDouble, 1.0)).toDF("s", "y")
+    val e = intercept[IllegalArgumentException] {
+      Isotonic.fit(wide, col("s"), col("y"), maxLevels = 10)
+    }
+    assert(e.getMessage.contains("round the score"))
+  }
+
   test("bootstrap ci brackets the mean and narrows with sample size") {
     import graft.stats.Bootstrap
     def ciWidth(n: Int): Double = {
