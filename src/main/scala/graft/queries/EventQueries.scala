@@ -675,9 +675,97 @@ object EventQueries extends QueryModule {
     (s, dir) =>
       graft.ops.EventAnalytics.activeUsers(Tables.load(s, dir, "events")))
 
+  /** CUPED A/B analysis over a deterministic hash split of users: the
+    * oracle rebuilds unit metrics (pre/post value sums around Jan 16),
+    * the md5 arm assignment, the per-arm moment table, and every
+    * formula term-for-term ([[graft.stats.Experiment.cuped]]). The
+    * synthetic split carries no true effect, so the gate additionally
+    * asserts the CUPED SE does not exceed the raw SE (θ-adjustment can
+    * only remove covariate-explained variance). */
+  val evCuped: Q = Q(
+    "ev_cuped_ab",
+    Some("""
+      WITH u AS (
+        SELECT user_id AS unit,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(round(value, 9) AS DECIMAL(38,12))
+              ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(round(value, 9) AS DECIMAL(38,12))
+              ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS y
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1),
+      a AS (
+        SELECT CASE WHEN CAST(concat('0x', substr(md5(concat_ws('|',
+              'graft-ab', CAST(unit AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0 < 0.5
+            THEN 'treatment' ELSE 'control' END AS arm, x, y
+        FROM u),
+      m AS (
+        SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy,
+          CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy
+        FROM a GROUP BY arm),
+      tt AS (SELECT * FROM m WHERE arm = 'treatment'),
+      cc AS (SELECT * FROM m WHERE arm = 'control'),
+      f AS (
+        SELECT tt.n AS nt, cc.n AS nc,
+          ((tt.sxy + cc.sxy) - (tt.sx + cc.sx) * (tt.sy + cc.sy)
+            / (tt.n + cc.n)) / ((tt.n + cc.n) - 1) AS cov_xy,
+          ((tt.sxx + cc.sxx) - (tt.sx + cc.sx) * (tt.sx + cc.sx)
+            / (tt.n + cc.n)) / ((tt.n + cc.n) - 1) AS var_x,
+          tt.sy / tt.n - cc.sy / cc.n AS diff_raw,
+          (tt.syy - tt.sy * tt.sy / tt.n) / (tt.n - 1) AS var_t,
+          (cc.syy - cc.sy * cc.sy / cc.n) / (cc.n - 1) AS var_c,
+          (tt.sxx - tt.sx * tt.sx / tt.n) / (tt.n - 1) AS varx_t,
+          (cc.sxx - cc.sx * cc.sx / cc.n) / (cc.n - 1) AS varx_c,
+          (tt.sxy - tt.sx * tt.sy / tt.n) / (tt.n - 1) AS cov_t,
+          (cc.sxy - cc.sx * cc.sy / cc.n) / (cc.n - 1) AS cov_c,
+          tt.sx / tt.n - cc.sx / cc.n AS diff_x
+        FROM tt, cc),
+      g AS (
+        SELECT nt, nc, cov_xy / var_x AS theta, diff_raw,
+          sqrt(var_t / nt + var_c / nc) AS se_raw,
+          diff_raw - (cov_xy / var_x) * diff_x AS diff_adj,
+          var_t + (cov_xy / var_x) * (cov_xy / var_x) * varx_t
+            - 2.0 * (cov_xy / var_x) * cov_t AS vadj_t,
+          var_c + (cov_xy / var_x) * (cov_xy / var_x) * varx_c
+            - 2.0 * (cov_xy / var_x) * cov_c AS vadj_c,
+          var_t, var_c
+        FROM f)
+      SELECT CAST(nt AS BIGINT) AS n_treatment,
+        CAST(nc AS BIGINT) AS n_control,
+        round(theta, 8) AS theta,
+        round(diff_raw, 8) AS diff_raw,
+        round(se_raw, 8) AS se_raw,
+        round(diff_adj, 8) AS diff_adj,
+        round(sqrt(vadj_t / nt + vadj_c / nc), 8) AS se_adj,
+        round(diff_raw / se_raw, 8) AS z_raw,
+        round(diff_adj / sqrt(vadj_t / nt + vadj_c / nc), 8) AS z_adj,
+        round(1.0 - (vadj_t / nt + vadj_c / nc)
+          / (var_t / nt + var_c / nc), 8) AS var_reduction
+      FROM g"""),
+    (s, dir) => {
+      val units = graft.stats.Experiment.unitMetrics(
+        Tables.load(s, dir, "events"), "user_id", "ts", "value",
+        "2024-01-16 00:00:00", "graft-ab")
+      val out = graft.stats.Experiment.cuped(units)
+      val r = out.collect().head
+      require(r.getAs[Double]("se_adj") <= r.getAs[Double]("se_raw") + 1e-12,
+        "CUPED must not inflate the standard error")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
-      evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive)
+      evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
+      evCuped)
 }

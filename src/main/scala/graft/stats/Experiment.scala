@@ -1,0 +1,116 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** A/B experiment analysis: deterministic unit assignment, Welch
+  * difference-in-means, and CUPED variance reduction (Deng, Xu, Kohavi &
+  * Walker, WSDM 2013 — public): adjust each unit's metric by its
+  * PRE-experiment covariate, y′ = y − θ(x − x̄) with θ = cov(x,y)/var(x),
+  * shrinking the standard error by the covariate's explanatory power
+  * without biasing the treatment effect (assignment is independent of
+  * pre-period behavior).
+  *
+  * Scale shape: one hash aggregation events→units (map-side combined,
+  * decimal folds of rounded values so unit metrics are exact and
+  * order-invariant), then one ≤-two-row aggregation units→arms carrying
+  * ALL the moments CUPED needs (n, Σx, Σy, Σxy, Σx², Σy² per arm) — the
+  * adjusted variance is var(y) + θ²var(x) − 2θcov(x,y) per arm, so no
+  * second pass over units is ever taken. Driver traffic: two moment
+  * rows. Assignment hashes the unit id ([[Sampling.hashFraction]]), so
+  * arms are reproducible across engines and reruns, and the whole
+  * analysis is DuckDB-oracle-checkable.
+  */
+object Experiment {
+
+  /** Deterministic 50/50 arm from the unit id: 'treatment' when the
+    * portable hash fraction < 0.5. */
+  def arm(unitId: Column, seed: String): Column =
+    when(Sampling.hashFraction(seed, Seq(unitId)) < 0.5, lit("treatment"))
+      .otherwise(lit("control"))
+
+  /** Per-unit (arm, x, y) table from an event log: x = the unit's summed
+    * `valueCol` before `splitTs` (the pre-period covariate), y = the sum
+    * from `splitTs` on (the experiment metric). Units with activity in
+    * only one period keep 0 for the other (absence of events IS the
+    * value 0 for an activity metric). Values fold as round(·,9) decimals
+    * so both sums are exact. */
+  def unitMetrics(events: DataFrame, unitCol: String, tsCol: String,
+      valueCol: String, splitTs: String, seed: String): DataFrame = {
+    val v = round(col(valueCol), 9).cast("decimal(38,12)")
+    val pre = when(col(tsCol) < to_timestamp(lit(splitTs)), v)
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    val post = when(col(tsCol) >= to_timestamp(lit(splitTs)), v)
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    events.filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(unitCol).as("unit"))
+      .agg(sum(pre).cast("double").as("x"),
+        sum(post).cast("double").as("y"))
+      .withColumn("arm", arm(col("unit"), seed))
+  }
+
+  /** One-row CUPED analysis over a (arm, x, y) unit table: the raw Welch
+    * difference-in-means next to the CUPED-adjusted one, with θ pooled
+    * across arms (the standard estimator — assignment independence keeps
+    * it unbiased) and the variance-reduction ratio. Outputs are rounded
+    * to 8 decimals; moment products are rounded to 6 and folded in
+    * decimal(38,12), so every number is engine-portable. */
+  def cuped(units: DataFrame): DataFrame = {
+    def mom(c: Column): Column =
+      sum(round(c, 6).cast("decimal(38,12)")).cast("double")
+    val byArm = units.groupBy("arm").agg(
+      count(lit(1)).cast("double").as("n"),
+      mom(col("x")).as("sx"), mom(col("y")).as("sy"),
+      mom(col("x") * col("y")).as("sxy"),
+      mom(col("x") * col("x")).as("sxx"),
+      mom(col("y") * col("y")).as("syy"))
+    val t = byArm.filter(col("arm") === "treatment").as("t")
+    val c = byArm.filter(col("arm") === "control").as("c")
+    val joined = t.crossJoin(c)
+    // pooled moments for theta
+    val n = col("t.n") + col("c.n")
+    val sx = col("t.sx") + col("c.sx")
+    val sy = col("t.sy") + col("c.sy")
+    val sxy = col("t.sxy") + col("c.sxy")
+    val sxx = col("t.sxx") + col("c.sxx")
+    val covXy = (sxy - sx * sy / n) / (n - 1)
+    val varX = (sxx - sx * sx / n) / (n - 1)
+    val theta = covXy / varX
+    def armStats(p: String): (Column, Column, Column, Column, Column) = {
+      val an = col(s"$p.n")
+      val mean = col(s"$p.sy") / an
+      val varY = (col(s"$p.syy") - col(s"$p.sy") * col(s"$p.sy") / an) /
+        (an - 1)
+      val varXa = (col(s"$p.sxx") - col(s"$p.sx") * col(s"$p.sx") / an) /
+        (an - 1)
+      val covA = (col(s"$p.sxy") - col(s"$p.sx") * col(s"$p.sy") / an) /
+        (an - 1)
+      val meanX = col(s"$p.sx") / an
+      (an, mean, varY, varY + theta * theta * varXa -
+        lit(2.0) * theta * covA, meanX)
+    }
+    val (nT, meanT, varT, varAdjT, meanXT) = armStats("t")
+    val (nC, meanC, varC, varAdjC, meanXC) = armStats("c")
+    val diffRaw = meanT - meanC
+    // adjusted means subtract theta * (arm pre-period mean - pooled):
+    // the pooled x-mean cancels in the difference, leaving
+    // diff_adj = diff_raw - theta * (meanX_t - meanX_c)
+    val diffAdj = diffRaw - theta * (meanXT - meanXC)
+    val seRaw = sqrt(varT / nT + varC / nC)
+    val seAdj = sqrt(varAdjT / nT + varAdjC / nC)
+    joined.select(
+      nT.cast("long").as("n_treatment"),
+      nC.cast("long").as("n_control"),
+      round(theta, 8).as("theta"),
+      round(diffRaw, 8).as("diff_raw"),
+      round(seRaw, 8).as("se_raw"),
+      round(diffAdj, 8).as("diff_adj"),
+      round(seAdj, 8).as("se_adj"),
+      round(diffRaw / seRaw, 8).as("z_raw"),
+      round(diffAdj / seAdj, 8).as("z_adj"),
+      round(lit(1.0) - (varAdjT / nT + varAdjC / nC)
+        / (varT / nT + varC / nC), 8).as("var_reduction"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.commons.math3.random.Well19937c
 
 import graft.core.MergeKeys
 import graft.stats._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, to_timestamp}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -777,6 +777,70 @@ class StatsSpec extends SparkSpec {
     val effs = means.map(_.getAs[Long]("n_eff").toDouble)
     assert(math.abs(effs.sum / b - n) < 4 * math.sqrt(n.toDouble / b))
     assert(effs.distinct.length > 1)
+  }
+
+  test("cuped: recovers theta, cuts the SE on a correlated covariate, no-ops on noise") {
+    import graft.stats.Experiment
+    // y = 2x + unit noise; x varies across units -> theta ~ 2, big SE cut
+    def mkUnits(corr: Boolean) = (0 until 2000).map { i =>
+      val arm = if (i % 2 == 0) "treatment" else "control"
+      val x = (i % 50).toDouble
+      val noise = ((i * 2654435761L) % 97).toDouble / 97.0
+      val y = if (corr) 2.0 * x + noise else noise
+      (arm, x, y)
+    }.toDF("arm", "x", "y")
+    val r = Experiment.cuped(mkUnits(corr = true)).collect().head
+    assert(math.abs(r.getAs[Double]("theta") - 2.0) < 0.01,
+      s"theta=${r.getAs[Double]("theta")}")
+    assert(r.getAs[Double]("se_adj") < r.getAs[Double]("se_raw") * 0.1,
+      "a dominant covariate must slash the SE")
+    assert(r.getAs[Double]("var_reduction") > 0.9)
+    // driver reference for the adjusted diff
+    val rows = (0 until 2000).map { i =>
+      val x = (i % 50).toDouble
+      val noise = ((i * 2654435761L) % 97).toDouble / 97.0
+      (if (i % 2 == 0) "treatment" else "control", x, 2.0 * x + noise)
+    }
+    val n = rows.length.toDouble
+    val (sx, sy) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val sxy = rows.map(t => t._2 * t._3).sum
+    val sxx = rows.map(t => t._2 * t._2).sum
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val mt = rows.filter(_._1 == "treatment")
+    val mc = rows.filter(_._1 == "control")
+    val refAdj = (mt.map(_._3).sum / mt.length - mc.map(_._3).sum / mc.length) -
+      theta * (mt.map(_._2).sum / mt.length - mc.map(_._2).sum / mc.length)
+    assert(math.abs(r.getAs[Double]("diff_adj") - refAdj) < 1e-5)
+    // uncorrelated covariate: theta ~ 0, adjustment leaves SE ~ unchanged
+    val r2 = Experiment.cuped(mkUnits(corr = false)).collect().head
+    assert(math.abs(r2.getAs[Double]("theta")) < 0.01)
+    assert(r2.getAs[Double]("se_adj") <= r2.getAs[Double]("se_raw") + 1e-9)
+    assert(math.abs(r2.getAs[Double]("var_reduction")) < 0.05)
+  }
+
+  test("unitMetrics splits pre/post and assigns arms deterministically") {
+    import graft.stats.Experiment
+    val ev = Seq(
+      (1L, "2024-01-10 00:00:00", 5.0),
+      (1L, "2024-01-20 00:00:00", 7.0),
+      (2L, "2024-01-05 00:00:00", 3.0), // pre only -> y = 0
+      (3L, "2024-01-25 00:00:00", 9.0)) // post only -> x = 0
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val u = Experiment.unitMetrics(ev, "user_id", "ts", "value",
+      "2024-01-16 00:00:00", "s").collect()
+      .map(r => r.getAs[Long]("unit") ->
+        ((r.getAs[Double]("x"), r.getAs[Double]("y"),
+          r.getAs[String]("arm")))).toMap
+    assert(u(1L)._1 == 5.0 && u(1L)._2 == 7.0)
+    assert(u(2L) == ((3.0, 0.0, u(2L)._3)))
+    assert(u(3L) == ((0.0, 9.0, u(3L)._3)))
+    assert(u.values.map(_._3).forall(Set("treatment", "control")))
+    // repartitioned input assigns identically
+    val u2 = Experiment.unitMetrics(ev.repartition(7), "user_id", "ts",
+      "value", "2024-01-16 00:00:00", "s").collect()
+      .map(r => r.getAs[Long]("unit") -> r.getAs[String]("arm")).toMap
+    assert(u.view.mapValues(_._3).toMap == u2)
   }
 
   test("isotonic PAV equals the independent minimax formula; edge shapes") {
