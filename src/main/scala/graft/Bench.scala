@@ -50,7 +50,10 @@ object Bench {
     "j4_salted_skew_join",
     // round-12: iterative clustering (Lloyd fit + assignment) — the last
     // iterative family without a regression line
-    "km_lloyd_assign")
+    "km_lloyd_assign",
+    // round-12 session 2: winnowing (per-doc O(n·w) array expression —
+    // the heaviest narrow-map text shape in the engine)
+    "wn_fingerprints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -134,4 +134,53 @@ object CorpusOverlap {
     val j = if (union.isEmpty) 0.0 else inBoth.toDouble / union.length
     (j, estimateDistinct(a, k), estimateDistinct(b, k))
   }
+
+  /** Distributional divergence between the two corpora's unigram token
+    * distributions (Kullback & Leibler 1951; Jensen–Shannon per Lin
+    * 1991 — public): where [[exact]] asks "how much content is
+    * shared?", this asks "how differently do they WRITE?" — the domain
+    * shift signal behind mixture reweighting and drift alarms (the
+    * token-level sibling of [[graft.stats.Drift]]'s feature-level PSI).
+    *
+    * Laplace-smoothed over the union vocabulary: pₐ = (cₐ+1)/(Nₐ+V),
+    * so both KLs are finite even on disjoint vocabularies. One tagged
+    * wordcount aggregation (map-side combined, shuffle vocabulary-
+    * sized), scalars via windows, per-token ln terms rounded to 9 and
+    * folded in decimal — the established cross-engine recipe, so the
+    * DuckDB oracle rebuilds every number. Output one row: vocabulary
+    * and token totals, kl_ab, kl_ba, js (JS in nats, bounded by ln 2),
+    * all rounded to 8. */
+  def divergence(
+      a: DataFrame, aTextCol: String,
+      b: DataFrame, bTextCol: String): DataFrame = {
+    val ta = a.select(explode(TextOps.tokens(col(aTextCol))).as("tok"))
+      .select(col("tok"), lit(1L).as("ca"), lit(0L).as("cb"))
+    val tb = b.select(explode(TextOps.tokens(col(bTextCol))).as("tok"))
+      .select(col("tok"), lit(0L).as("ca"), lit(1L).as("cb"))
+    val counts = ta.union(tb).groupBy("tok")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withTotals = counts
+      .withColumn("v", count(lit(1)).over(w))
+      .withColumn("na", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + col("v"))
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + col("v"))
+    val pm = (pa + pb) / lit(2.0)
+    def fold(term: org.apache.spark.sql.Column) =
+      sum(round(term, 9).cast("decimal(38,12)")).cast("double")
+    withTotals
+      .agg(
+        max(col("v")).as("vocab"),
+        max(col("na")).as("tokens_a"),
+        max(col("nb")).as("tokens_b"),
+        fold(pa * log(pa / pb)).as("__klab"),
+        fold(pb * log(pb / pa)).as("__klba"),
+        fold(lit(0.5) * (pa * log(pa / pm) + pb * log(pb / pm)))
+          .as("__js"))
+      .select(col("vocab"), col("tokens_a"), col("tokens_b"),
+        round(col("__klab"), 8).as("kl_ab"),
+        round(col("__klba"), 8).as("kl_ba"),
+        round(col("__js"), 8).as("js"))
+  }
 }

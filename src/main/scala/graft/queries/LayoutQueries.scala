@@ -307,7 +307,63 @@ object LayoutQueries extends QueryModule {
           "n_b_est", "n_b_exact")
     })
 
+  /** Unigram-distribution divergence between the same two corpus slices
+    * ([[graft.ops.CorpusOverlap.divergence]]): Laplace-smoothed KL both
+    * ways plus Jensen–Shannon, every per-token ln term rounded to 9 and
+    * decimal-folded identically in both engines; the gate also asserts
+    * the analytic bounds (KL ≥ 0, 0 ≤ JS ≤ ln 2). */
+  val mntCorpusDivergence: Q = Q(
+    "mnt_corpus_divergence",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      u AS (
+        SELECT unnest(w) AS tok, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0
+            END AS ca,
+          CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS cb
+        FROM t),
+      c AS (
+        SELECT tok, CAST(SUM(ca) AS BIGINT) AS ca,
+          CAST(SUM(cb) AS BIGINT) AS cb
+        FROM u GROUP BY tok),
+      tot AS (
+        SELECT ca, cb, count(*) OVER () AS v,
+          SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM c),
+      p AS (
+        SELECT v, na, nb,
+          CAST(ca + 1 AS DOUBLE) / (na + v) AS pa,
+          CAST(cb + 1 AS DOUBLE) / (nb + v) AS pb
+        FROM tot)
+      SELECT CAST(max(v) AS BIGINT) AS vocab,
+        CAST(max(na) AS BIGINT) AS tokens_a,
+        CAST(max(nb) AS BIGINT) AS tokens_b,
+        round(CAST(SUM(CAST(round(pa * ln(pa / pb), 9)
+          AS DECIMAL(38,12))) AS DOUBLE), 8) AS kl_ab,
+        round(CAST(SUM(CAST(round(pb * ln(pb / pa), 9)
+          AS DECIMAL(38,12))) AS DOUBLE), 8) AS kl_ba,
+        round(CAST(SUM(CAST(round(0.5 * (pa * ln(pa / ((pa + pb) / 2.0))
+          + pb * ln(pb / ((pa + pb) / 2.0))), 9)
+          AS DECIMAL(38,12))) AS DOUBLE), 8) AS js
+      FROM p"""),
+    (s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      val out = graft.ops.CorpusOverlap.divergence(
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        docs.filter(col("doc_id") % 3 =!= 0), "text")
+      val r = out.collect().head
+      val (klAb, klBa, js) = (r.getAs[Double]("kl_ab"),
+        r.getAs[Double]("kl_ba"), r.getAs[Double]("js"))
+      require(klAb >= 0 && klBa >= 0, s"KL must be >= 0: $klAb / $klBa")
+      require(js >= 0 && js <= math.log(2.0) + 1e-9,
+        s"JS must sit in [0, ln 2]: $js")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact,
-      mntCorpusDiff, mntCorpusOverlap, mntCorpusOverlapKmv)
+      mntCorpusDiff, mntCorpusOverlap, mntCorpusOverlapKmv,
+      mntCorpusDivergence)
 }

@@ -1996,6 +1996,38 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("corpus divergence: driver reference, identity zero, JS symmetry and bound") {
+    import graft.ops.CorpusOverlap
+    val a = Seq("aaa bbb", "aaa").toDF("text")
+    val b = Seq("aaa ccc ccc").toDF("text")
+    val r = CorpusOverlap.divergence(a, "text", b, "text").collect().head
+    // union vocab {aaa,bbb,ccc}: Na=3, Nb=3, V=3
+    // pa = (2+1)/6, (1+1)/6, (0+1)/6 ; pb = (1+1)/6, (0+1)/6, (2+1)/6
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pa = Seq(3.0 / 6, 2.0 / 6, 1.0 / 6)
+    val pb = Seq(2.0 / 6, 1.0 / 6, 3.0 / 6)
+    val klAb = pa.zip(pb).map { case (x, y) => r9(x * math.log(x / y)) }.sum
+    assert(math.abs(r.getAs[Double]("kl_ab") - klAb) < 1e-7)
+    assert(r.getAs[Long]("vocab") == 3 && r.getAs[Long]("tokens_a") == 3)
+    val js = r.getAs[Double]("js")
+    assert(js > 0 && js <= math.log(2.0))
+    // JS is symmetric
+    val r2 = CorpusOverlap.divergence(b, "text", a, "text").collect().head
+    assert(math.abs(r2.getAs[Double]("js") - js) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("kl_ab") - r.getAs[Double]("kl_ba")) < 1e-9)
+    // identical corpora: every term is exactly 0
+    val same = CorpusOverlap.divergence(a, "text", a, "text").collect().head
+    assert(same.getAs[Double]("kl_ab") == 0.0 &&
+      same.getAs[Double]("js") == 0.0)
+    // disjoint vocabularies stay finite thanks to smoothing
+    val disj = CorpusOverlap.divergence(
+      Seq("xxx yyy").toDF("text"), "text",
+      Seq("zzz www").toDF("text"), "text").collect().head
+    assert(!disj.getAs[Double]("kl_ab").isNaN &&
+      !disj.getAs[Double]("kl_ab").isInfinite)
+  }
+
   test("winnowing: driver reference, shared-substring guarantee, density, boundary docs") {
     import graft.ops.Winnow
     val common = "the quick brown fox jumps over the lazy dog again"
