@@ -56,6 +56,43 @@ object Similarity {
       .select("qid", "rank", "nid", "cosine")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner, SIGIR 2009 —
+    * public): combine per-query ranked lists from heterogeneous
+    * retrievers (BM25, dense ANN, a recency prior, ...) by score
+    * Σ_lists 1/(kConst + rank) — rank-based, so no score normalization
+    * across retrievers is ever needed; kConst = 60 is the paper's
+    * robust default. The standard hybrid-search merge in front of a
+    * re-ranker ([[graft.functions.MmrSelect]] composes downstream).
+    *
+    * Inputs: each DataFrame carries (queryCol, idCol, rankCol) with
+    * 1-based ranks; a (query, id) absent from a list simply contributes
+    * nothing. One union + one hash aggregation (map-side combined,
+    * shuffle bounded by Σ list sizes) + one per-query window cut —
+    * candidate lists in, candidate lists out, never the corpus.
+    * Reciprocal terms are rounded to 12 and decimal-folded so the fused
+    * score is order-invariant and engine-portable; ties break on id.
+    * Returns (qid, rank, nid, rrf, n_lists). */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(kConst >= 1 && topK >= 1, s"bad kConst=$kConst topK=$topK")
+    val tagged = lists.map(_.select(col(queryCol).as("qid"),
+        col(idCol).as("nid"), col(rankCol).cast("int").as("__r")))
+      .reduce(_ unionByName _)
+    val scored = tagged
+      .groupBy("qid", "nid")
+      .agg(
+        sum(round(lit(1.0) / (col("__r") + lit(kConst)), 12)
+          .cast("decimal(38,14)")).cast("double").as("__s"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rrf", round(col("__s"), 9))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "rrf", "n_lists")
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query row, the `k` most-cosine-similar corpus rows with a DIFFERENT
     * label — the highest-loss negatives a triplet/InfoNCE batch builder

@@ -714,10 +714,72 @@ object SimQueries extends QueryModule {
         .orderBy("qid", "sel_rank")
     })
 
+  /** Hybrid-retrieval fusion ([[graft.ops.Similarity.rrfFuse]]): fuse a
+    * cosine top-20 list with a dot-product top-20 list (two genuinely
+    * different rankings on unnormalized vectors — dot rewards long
+    * vectors, cosine doesn't) into RRF top-10 per query. The oracle
+    * rebuilds both ranked lists AND the fusion: reciprocal terms
+    * rounded to 12 and decimal-folded identically. */
+  val simRrfHybrid: Q = Q(
+    "sim_rrf_hybrid",
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, v.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)),
+            i -> qe[i] * e[i])) AS dot,
+          list_sum(list_transform(generate_series(1, len(qe)),
+            i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      lc AS (SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, nid) AS r FROM scored),
+      ld AS (SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY dot DESC, nid) AS r FROM scored),
+      u AS (SELECT qid, nid, r FROM lc WHERE r <= 20
+            UNION ALL SELECT qid, nid, r FROM ld WHERE r <= 20),
+      fused AS (
+        SELECT qid, nid,
+          round(CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) / (r + 60), 12)
+            AS DECIMAL(38,14))) AS DOUBLE), 9) AS rrf,
+          CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY qid, nid),
+      rk AS (
+        SELECT qid, nid, rrf, n_lists, row_number() OVER (
+          PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+        FROM fused)
+      SELECT qid, CAST(rank AS INT) AS rank, nid, rrf, n_lists
+      FROM rk WHERE rank <= 10
+      ORDER BY qid, rank"""),
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cosList = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 20)
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val wDot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+      val dotList = corpus.crossJoin(broadcast(queries))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          Similarity.dot(col("qv"), col("nv")).as("dot"))
+        .withColumn("rank", row_number().over(wDot))
+        .filter(col("rank") <= 20)
+      Similarity.rrfFuse(Seq(cosList, dotList), "qid", "nid", "rank",
+          kConst = 60, topK = 10)
+        .orderBy("qid", "rank")
+    })
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
-      simMmrRerank, simMmrDeep)
+      simMmrRerank, simMmrDeep, simRrfHybrid)
 }

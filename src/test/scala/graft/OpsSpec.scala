@@ -1996,6 +1996,29 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("rrf fusion: hand-computed scores, single-list presence, consensus wins") {
+    import graft.ops.Similarity
+    val la = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "d", "r")
+    val lb = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3)).toDF("q", "d", "r")
+    val out = Similarity.rrfFuse(Seq(la, lb), "q", "d", "r", kConst = 60,
+      topK = 10).collect()
+      .map(r => r.getAs[Long]("nid") ->
+        ((r.getAs[Int]("rank"), r.getAs[Double]("rrf"),
+          r.getAs[Long]("n_lists")))).toMap
+    def r12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    // doc 11: ranks 2 and 1 -> strongest consensus
+    val s11 = r12(1.0 / 62) + r12(1.0 / 61)
+    assert(math.abs(out(11L)._2 - s11) < 1e-9)
+    assert(out(11L)._1 == 1 && out(11L)._3 == 2)
+    // doc 10: ranks 1 and 3
+    assert(out(10L)._1 == 2)
+    // docs present in only one list still score
+    assert(out(13L)._3 == 1 && out(12L)._3 == 1)
+    // rank-2-in-one-list beats rank-3-in-one-list
+    assert(out(13L)._2 > out(12L)._2)
+  }
+
   test("corpus divergence: driver reference, identity zero, JS symmetry and bound") {
     import graft.ops.CorpusOverlap
     val a = Seq("aaa bbb", "aaa").toDF("text")
