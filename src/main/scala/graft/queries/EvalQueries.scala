@@ -382,7 +382,81 @@ object EvalQueries extends QueryModule {
           < (lvl + 1) / lit(27.0), 1).otherwise(0).as("y"))
   }
 
+  /** Split conformal intervals around a train-slice group-mean
+    * predictor ([[graft.stats.Conformal]]): 40/30/30 hash split of
+    * orders into train/calibration/test, ŷ = the train slice's mean
+    * total price per priority, qhat = the ⌈(n+1)·0.9⌉-th smallest
+    * calibration residual — the rank via the INTEGER formula
+    * (9(n+1)+9)/10 in both engines, because ceil(0.9·(n+1)) through
+    * binary doubles drifts a whole rank whenever n+1 is a multiple of
+    * 10. Output: fit scalars + test coverage; the gate also asserts
+    * the ≥ 1−α−slack coverage guarantee. */
+  val conformalSplit: Q = Q(
+    "ml_conformal_split",
+    Some(s"""
+      WITH f AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+          ${hfSql("graft-cp", "o_orderkey")} AS u
+        FROM orders),
+      pred AS (
+        SELECT o_orderpriority,
+          round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*), 6) AS yhat
+        FROM f WHERE u < 0.4 GROUP BY 1),
+      calr AS (
+        SELECT round(abs(f.o_totalprice - pred.yhat), 9) AS r
+        FROM f JOIN pred USING (o_orderpriority)
+        WHERE u >= 0.4 AND u < 0.7),
+      ranked AS (
+        SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calr),
+      q AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+          (9 * (count(*) + 1) + 9) // 10 AS q_rank
+        FROM calr),
+      qh AS (
+        SELECT q.n_cal, q.q_rank,
+          (SELECT max(CASE WHEN rn = q.q_rank THEN r END) FROM ranked)
+            AS qhat
+        FROM q),
+      cov AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+          CAST(SUM(CASE WHEN abs(f.o_totalprice - pred.yhat)
+              <= (SELECT qhat FROM qh) THEN 1 ELSE 0 END) AS BIGINT)
+            AS covered
+        FROM f JOIN pred USING (o_orderpriority)
+        WHERE u >= 0.7)
+      SELECT qh.n_cal, qh.q_rank, qh.qhat, cov.n_test, cov.covered,
+        round(CAST(cov.covered AS DOUBLE) / cov.n_test, 6) AS coverage
+      FROM qh, cov"""),
+    (s, dir) => {
+      import graft.stats.Conformal
+      val f = Tables.load(s, dir, "orders")
+        .withColumn("u",
+          Sampling.hashFraction("graft-cp", Seq(col("o_orderkey"))))
+      val pred = f.filter(col("u") < 0.4)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double") / count(lit(1)), 6).as("yhat"))
+      val calP = f.filter(col("u") >= 0.4 && col("u") < 0.7)
+        .join(broadcast(pred), Seq("o_orderpriority"))
+      val fitRow = Conformal.fit(calP, col("o_totalprice"), col("yhat"),
+        alpha = 0.1).collect().head
+      val qhat = fitRow.getAs[Double]("qhat")
+      val testP = f.filter(col("u") >= 0.7)
+        .join(broadcast(pred), Seq("o_orderpriority"))
+      val cov = Conformal.coverage(testP, col("o_totalprice"),
+        col("yhat"), qhat).collect().head
+      val coverage = cov.getAs[Double]("coverage")
+      require(coverage >= 0.87,
+        s"conformal coverage $coverage below the 1-alpha-slack floor")
+      import s.implicits._
+      Seq((fitRow.getAs[Long]("n_cal"), fitRow.getAs[Long]("q_rank"),
+          qhat, cov.getAs[Long]("n_test"), cov.getAs[Long]("covered"),
+          coverage))
+        .toDF("n_cal", "q_rank", "qhat", "n_test", "covered", "coverage")
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
-      aucByGroup, isoFit, isoApply)
+      aucByGroup, isoFit, isoApply, conformalSplit)
 }

@@ -5,7 +5,7 @@ import org.apache.commons.math3.random.Well19937c
 
 import graft.core.MergeKeys
 import graft.stats._
-import org.apache.spark.sql.functions.{col, to_timestamp}
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -777,6 +777,47 @@ class StatsSpec extends SparkSpec {
     val effs = means.map(_.getAs[Long]("n_eff").toDouble)
     assert(math.abs(effs.sum / b - n) < 4 * math.sqrt(n.toDouble / b))
     assert(effs.distinct.length > 1)
+  }
+
+  test("conformal: rank formula, qhat order statistic, coverage guarantee") {
+    import graft.stats.Conformal
+    // rank: exact-decimal ceil, incl. the (n+1) % 10 == 0 drift cases
+    assert(Conformal.rank(9, 0.1) == 9)   // 0.9*10 = 9 exactly, NOT 10
+    assert(Conformal.rank(99, 0.1) == 90)
+    assert(Conformal.rank(100, 0.1) == 91)
+    assert(Conformal.rank(4, 0.05) == 5)  // 0.95*5 = 4.75 -> 5
+    // qhat = the rank-th smallest residual, by hand
+    val cal = Seq((0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (0.0, 4.0),
+      (0.0, 5.0), (0.0, 6.0), (0.0, 7.0), (0.0, 8.0), (0.0, 9.0))
+      .toDF("y", "yhat")
+    val fr = Conformal.fit(cal, col("y"), col("yhat"), alpha = 0.1)
+      .collect().head
+    assert(fr.getAs[Long]("n_cal") == 9 && fr.getAs[Long]("q_rank") == 9)
+    assert(fr.getAs[Double]("qhat") == 9.0)
+    // unattainable coverage: rank > n -> null qhat
+    val fr2 = Conformal.fit(cal.limit(3), col("y"), col("yhat"),
+      alpha = 0.1).collect().head
+    assert(fr2.getAs[Long]("q_rank") > 3 &&
+      fr2.isNullAt(fr2.fieldIndex("qhat")))
+    // coverage on exchangeable data honors 1 - alpha
+    val n = 4000
+    val data = (0 until n).map { i =>
+      val noise = (((i * 2654435761L) % 1000) - 500).toDouble / 100.0
+      (i.toLong, 50.0 + noise)
+    }.toDF("id", "y").withColumn("yhat", lit(50.0))
+    val calHalf = data.filter(col("id") % 2 === 0)
+    val testHalf = data.filter(col("id") % 2 =!= 0)
+    val q = Conformal.fit(calHalf, col("y"), col("yhat"), alpha = 0.2)
+      .collect().head.getAs[Double]("qhat")
+    val covRow = Conformal.coverage(testHalf, col("y"), col("yhat"), q)
+      .collect().head
+    val covg = covRow.getAs[Double]("coverage")
+    assert(covg >= 0.78 && covg <= 0.88,
+      s"coverage $covg should sit near 1-alpha = 0.8")
+    // intervals: y within [lo, hi] iff residual <= qhat
+    val iv = Conformal.intervals(testHalf, col("yhat"), Some(q))
+      .filter(col("y") >= col("lo") && col("y") <= col("hi")).count()
+    assert(iv == covRow.getAs[Long]("covered"))
   }
 
   test("cuped: recovers theta, cuts the SE on a correlated covariate, no-ops on noise") {
