@@ -994,6 +994,49 @@ object StatsQueries extends QueryModule {
       })
   }
 
+  /** Cross-group quantile normalization
+    * ([[graft.transform.Standardize.quantileNormalizeByGroup]]): each
+    * return-flag group's price lands on the pooled distribution's value
+    * at the same midrank quantile; the target position is pure integer
+    * arithmetic in both engines. Output collapsed to (group, value,
+    * normalized, n_rows) — duplicates of identical inputs normalize
+    * identically by the rank() tie rule, so the collapsed form is
+    * deterministic. */
+  val t29QuantileNormalize: Q = Q(
+    "t29_quantile_normalize",
+    Some("""
+      WITH base AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS val
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      rk AS (
+        SELECT g, val,
+          rank() OVER (PARTITION BY g ORDER BY val) AS r,
+          count(*) OVER (PARTITION BY g) AS n,
+          count(*) OVER () AS nt
+        FROM base),
+      kq AS (
+        SELECT g, val,
+          ((2 * r - 1) * nt + 2 * n - 1) // (2 * n) AS k
+        FROM rk),
+      pooled AS (
+        SELECT val AS pv, row_number() OVER (ORDER BY val) AS k
+        FROM base)
+      SELECT g AS l_returnflag, val AS value, pv AS normalized,
+        count(*) AS n_rows
+      FROM kq JOIN pooled USING (k)
+      GROUP BY 1, 2, 3
+      ORDER BY l_returnflag, value, normalized"""),
+    (s, dir) =>
+      graft.transform.Standardize.quantileNormalizeByGroup(
+          Tables.load(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice")
+        .groupBy(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("value"),
+          col("normalized"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "value", "normalized"))
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1001,5 +1044,6 @@ object StatsQueries extends QueryModule {
     incQuantileSketch, t17Percentiles, t18Contingency, t19Winsorize,
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
-    t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi)
+    t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
+    t29QuantileNormalize)
 }

@@ -107,4 +107,55 @@ object Standardize {
           round((col(valueCol).cast("double") - mean) / sqrt(varS), roundTo)))
       .drop("__n", "__sm", "__sq")
   }
+
+  /** Quantile normalization across groups (Bolstad et al. 2003's
+    * microarray recipe, the standard fix when per-domain scorers live on
+    * incomparable scales): replace each value with the POOLED
+    * distribution's value at the same within-group quantile, so every
+    * group's score distribution becomes the common reference and a
+    * global top-fraction cut ([[graft.ops.Sampling]]) stops favoring
+    * domains whose scorer runs hot.
+    *
+    * Semantics (engine-portable, tie-stable): within-group position is
+    * `rank()` — equal values share the MIN rank, so identical inputs
+    * always normalize identically — at midrank quantile
+    * (2r−1)/(2n_g); the reference value is the pooled sort's
+    * row_number position k = ⌈quantile·N⌉, computed by INTEGER
+    * arithmetic ⌊((2r−1)·N + 2n_g − 1)/(2n_g)⌋ in decimal(38,0) (the
+    * double form drifts a rank; the product overflows a long at
+    * corpus scale). Adds `normalized`.
+    *
+    * Scale shape: one rank window per group, one global sort for the
+    * pooled positions, one join on the target position — the exact
+    * path. At 100 TB replace the pooled sort with a merged
+    * [[graft.stats.QuantileSketch]] and interpolate; the exact path is
+    * for sample-sized score tables. */
+  def quantileNormalizeByGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+    val wg = Window.partitionBy(col(groupCol)).orderBy(v)
+    // ceil(num/den) exactly: subtract the remainder BEFORE dividing, so
+    // the decimal quotient is integral and immune to Spark's
+    // scale-capped division rounding (which drifts the floor when the
+    // fractional part sits within the capped scale of an integer)
+    val num = (col("__r").cast("decimal(20,0)") * 2 - 1) *
+      col("__nt").cast("decimal(20,0)")
+    val den = col("__n").cast("decimal(20,0)") * 2
+    val numAdj = num + den - 1
+    val ranked = base
+      .withColumn("__r", rank().over(wg))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__nt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__k",
+        ((numAdj - pmod(numAdj, den)) / den).cast("long"))
+    val pooled = base
+      .select(v.as("__pv"))
+      .withColumn("__k", row_number().over(Window.orderBy(col("__pv")))
+        .cast("long"))
+    ranked.join(pooled, Seq("__k"))
+      .withColumn("normalized", col("__pv"))
+      .drop("__r", "__n", "__nt", "__k", "__pv")
+  }
 }

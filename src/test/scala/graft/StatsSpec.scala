@@ -779,6 +779,37 @@ class StatsSpec extends SparkSpec {
     assert(effs.distinct.length > 1)
   }
 
+  test("quantile normalization: identical group distributions, tie stability, shift removal") {
+    import graft.transform.Standardize
+    // group a: scores in [0, 9]; group b: same SHAPE shifted +100 —
+    // after normalization both land on the pooled reference
+    val rows = (0 until 10).map(i => ("a", i.toDouble)) ++
+      (0 until 10).map(i => ("b", 100.0 + i))
+    val out = Standardize.quantileNormalizeByGroup(
+      rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("v"),
+        r.getAs[Double]("normalized")))
+    val byG = out.groupBy(_._1)
+    val na = byG("a").map(_._3).sorted.toSeq
+    val nb = byG("b").map(_._3).sorted.toSeq
+    assert(na == nb, "equal-shape groups must normalize identically")
+    // monotone within group
+    byG.values.foreach { g =>
+      val sortedByV = g.sortBy(_._2).map(_._3)
+      assert(sortedByV.zip(sortedByV.tail).forall(p => p._1 <= p._2))
+    }
+    // normalized values come from the pooled multiset
+    val pooledVals = rows.map(_._2).toSet
+    assert(out.forall(r => pooledVals.contains(r._3)))
+    // ties: identical inputs normalize identically (rank(), not row_number)
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 5.0))
+      .toDF("g", "v")
+    val tOut = Standardize.quantileNormalizeByGroup(tied, "g", "v")
+      .filter(col("g") === "a" && col("v") === 1.0)
+      .select("normalized").as[Double].collect()
+    assert(tOut.length == 2 && tOut.distinct.length == 1)
+  }
+
   test("conformal: rank formula, qhat order statistic, coverage guarantee") {
     import graft.stats.Conformal
     // rank: exact-decimal ceil, incl. the (n+1) % 10 == 0 drift cases
