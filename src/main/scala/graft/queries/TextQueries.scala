@@ -1525,8 +1525,81 @@ object TextQueries extends QueryModule {
           "doc_id", minShared = 8, maxPostings = 64)
         .orderBy("id_a", "id_b"))
 
+  /** ChatML rendering ([[graft.ops.SftPrep.renderChat]]): every-third
+    * document gets a system turn, the text becomes the user turn, the
+    * reversed-token text stands in as the assistant turn — pure string
+    * concatenation both engines rebuild byte-for-byte, including the
+    * null-system drop and null-assistant poisoning. */
+  val sftRenderChat: Q = Q(
+    "sft_render_chat",
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'Be concise.' END AS sys,
+          text AS usr,
+          CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE array_to_string(list_reverse($wSql), ' ') END AS asst
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN usr IS NULL OR asst IS NULL THEN NULL
+          ELSE concat(
+            CASE WHEN sys IS NULL THEN ''
+              ELSE concat('<|im_start|>system', chr(10), sys, '<|im_end|>',
+                chr(10)) END,
+            '<|im_start|>user', chr(10), usr, '<|im_end|>', chr(10),
+            '<|im_start|>assistant', chr(10), asst, '<|im_end|>', chr(10))
+        END AS rendered
+      FROM b ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("Be concise.")).as("sys"),
+          col("text").as("usr"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(array_join(reverse(TextOps.tokens(col("text"))), " "))
+            .as("asst"))
+      graft.ops.SftPrep.renderChat(d, col("sys"), col("usr"), col("asst"))
+        .select("doc_id", "rendered")
+        .orderBy("doc_id")
+    })
+
+  /** Preference pairs ([[graft.ops.SftPrep.preferencePairs]]): per
+    * (lang, source) group the longest document is chosen, the shortest
+    * rejected, margin-thresholded — the oracle mirrors both windows and
+    * tie rules. */
+  val sftPreferencePairs: Q = Q(
+    "sft_preference_pairs",
+    Some("""
+      WITH base AS (
+        SELECT lang || '|' || source AS g, doc_id AS id,
+          CAST(n_chars AS DOUBLE) AS s
+        FROM documents WHERE n_chars IS NOT NULL),
+      rk AS (
+        SELECT g, id, s,
+          row_number() OVER (PARTITION BY g ORDER BY s DESC, id) AS rt,
+          row_number() OVER (PARTITION BY g ORDER BY s ASC, id DESC) AS rb
+        FROM base),
+      best AS (SELECT g, id AS chosen_id, s AS chosen_score
+               FROM rk WHERE rt = 1),
+      worst AS (SELECT g, id AS rejected_id, s AS rejected_score
+                FROM rk WHERE rb = 1)
+      SELECT best.g, chosen_id, rejected_id, chosen_score, rejected_score,
+        chosen_score - rejected_score AS margin
+      FROM best JOIN worst USING (g)
+      WHERE chosen_id != rejected_id
+        AND chosen_score - rejected_score >= 25.0
+      ORDER BY g"""),
+    (s, dir) =>
+      graft.ops.SftPrep.preferencePairs(
+          Tables.load(s, dir, "documents")
+            .select(concat_ws("|", col("lang"), col("source")).as("g"),
+              col("doc_id"), col("n_chars")),
+          "g", "doc_id", "n_chars", minMargin = 25.0)
+        .orderBy("g"))
+
   override def queries: Seq[Q] = Seq(
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
+    sftRenderChat, sftPreferencePairs,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

@@ -1996,6 +1996,46 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("sft prep: chat rendering byte-exact, preference pair selection and margin") {
+    import graft.ops.SftPrep
+    val turns = Seq(
+      (1L, Some("sys"), Some("hi"), Some("hello")),
+      (2L, None, Some("hi"), Some("hello")),
+      (3L, Some("sys"), None, Some("hello")),
+      (4L, Some("sys"), Some("hi"), None))
+      .toDF("id", "sys", "usr", "asst")
+    val r = SftPrep.renderChat(turns, col("sys"), col("usr"), col("asst"))
+      .collect().map(x => x.getAs[Long]("id") ->
+        Option(x.getAs[String]("rendered"))).toMap
+    assert(r(1L).get ==
+      "<|im_start|>system\nsys<|im_end|>\n" +
+      "<|im_start|>user\nhi<|im_end|>\n" +
+      "<|im_start|>assistant\nhello<|im_end|>\n")
+    assert(r(2L).get.startsWith("<|im_start|>user"),
+      "null system drops the system turn")
+    assert(r(3L).isEmpty && r(4L).isEmpty,
+      "a missing side is not a trainable example")
+
+    val cands = Seq(
+      ("p1", 1L, 0.9), ("p1", 2L, 0.5), ("p1", 3L, 0.1),
+      ("p2", 4L, 0.6), ("p2", 5L, 0.55), // margin below threshold
+      ("p3", 6L, 0.7)) // single candidate: no pair
+      .toDF("g", "id", "s")
+    val pairs = SftPrep.preferencePairs(cands, "g", "id", "s",
+      minMargin = 0.2).collect()
+      .map(x => x.getAs[String]("g") ->
+        ((x.getAs[Long]("chosen_id"), x.getAs[Long]("rejected_id"),
+          x.getAs[Double]("margin")))).toMap
+    assert(pairs.keySet == Set("p1"))
+    assert(pairs("p1") == ((1L, 3L, 0.8)))
+    // all-tied group with zero margin allowed: min-id chosen, max-id rejected
+    val tied = Seq(("t", 7L, 1.0), ("t", 8L, 1.0)).toDF("g", "id", "s")
+    val tp = SftPrep.preferencePairs(tied, "g", "id", "s").collect().head
+    assert(tp.getAs[Long]("chosen_id") == 7L &&
+      tp.getAs[Long]("rejected_id") == 8L &&
+      tp.getAs[Double]("margin") == 0.0)
+  }
+
   test("rrf fusion: hand-computed scores, single-list presence, consensus wins") {
     import graft.ops.Similarity
     val la = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "d", "r")
