@@ -346,8 +346,55 @@ object SamplingQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Water-filling token budget over the 20 per-source character
+    * supplies ([[graft.ops.Mixture.waterFill]]): a 60k budget against a
+    * ~149k total, so small sources cap out and large ones share one
+    * level — the oracle rebuilds the sorted prefix scan, the first
+    * feasible level, and every allocation; the gate asserts exhaustion
+    * and per-domain feasibility. */
+  val smpWaterFill: Q = Q(
+    "smp_water_fill",
+    Some("""
+      WITH d AS (
+        SELECT source AS domain, CAST(SUM(n_chars) AS DOUBLE) AS available
+        FROM documents WHERE n_chars > 0 GROUP BY 1),
+      r AS (
+        SELECT domain, available,
+          row_number() OVER (ORDER BY available, domain) AS i,
+          SUM(available) OVER (ORDER BY available, domain
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+          count(*) OVER () AS n
+        FROM d),
+      lam AS (
+        SELECT (60000.0 - (pre - available)) / (n - i + 1) AS l
+        FROM r
+        WHERE (60000.0 - (pre - available)) / (n - i + 1) <= available
+        ORDER BY i LIMIT 1)
+      SELECT domain, available,
+        round(CASE WHEN (SELECT l FROM lam) IS NULL THEN available
+          ELSE least(available, (SELECT l FROM lam)) END, 6) AS allocated,
+        ((SELECT l FROM lam) IS NULL
+          OR available <= (SELECT l FROM lam)) AS capped
+      FROM r ORDER BY domain"""),
+    (s, dir) => {
+      val domains = graft.Tables.load(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .groupBy(col("source").as("domain"))
+        .agg(sum(col("n_chars")).cast("double").as("avail"))
+      val out = graft.ops.Mixture.waterFill(domains, "domain", "avail",
+        budget = 60000.0)
+      val rows = out.collect()
+      val total = rows.map(_.getAs[Double]("allocated")).sum
+      require(math.abs(total - 60000.0) < 1e-3,
+        s"water level must exhaust the budget, allocated $total")
+      require(rows.forall(r =>
+          r.getAs[Double]("allocated") <= r.getAs[Double]("available") + 1e-9),
+        "no domain may be allocated beyond its supply")
+      out.orderBy("domain")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
-      smpWeighted, smpLeakageSafe)
+      smpWeighted, smpLeakageSafe, smpWaterFill)
 }

@@ -1996,6 +1996,33 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("water-fill: hand case, surplus budget, tiny budget, exhaustion invariant") {
+    import graft.ops.Mixture
+    def fill(avail: Seq[(String, Double)], budget: Double) =
+      Mixture.waterFill(avail.toDF("d", "a"), "d", "a", budget)
+        .collect().map(r => r.getAs[String]("domain") ->
+          ((r.getAs[Double]("allocated"), r.getAs[Boolean]("capped"))))
+        .toMap
+    val avail = Seq(("a", 10.0), ("b", 20.0), ("c", 100.0))
+    // budget 60: a,b cap out, c takes the 30-token level
+    val f1 = fill(avail, 60.0)
+    assert(f1 == Map("a" -> ((10.0, true)), "b" -> ((20.0, true)),
+      "c" -> ((30.0, false))))
+    // surplus budget: everyone fully served
+    val f2 = fill(avail, 500.0)
+    assert(f2.values.forall(_._2) && f2("c")._1 == 100.0)
+    // tiny budget: one common level below every supply
+    val f3 = fill(avail, 15.0)
+    assert(f3.values.forall(v => v._1 == 5.0 && !v._2))
+    // zero budget allocates zero
+    assert(fill(avail, 0.0).values.forall(_._1 == 0.0))
+    // exhaustion: random-ish supplies, sum(allocated) == min(budget, total)
+    val many = (0 until 17).map(i => (s"d$i", ((i * 37) % 11 + 1) * 10.0))
+    val f4 = fill(many, 400.0)
+    // allocations are rounded to 6 decimals; drift is bounded by n*5e-7
+    assert(math.abs(f4.values.map(_._1).sum - 400.0) < many.size * 5e-7)
+  }
+
   test("sft prep: chat rendering byte-exact, preference pair selection and margin") {
     import graft.ops.SftPrep
     val turns = Seq(
