@@ -24,33 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** Portable 32-bit hash of the k-gram of `text` starting at 0-based
-    * code-point offset `p`. */
-  private def gramHash(text: Column, p: Column, k: Int): Column =
-    conv(substring(md5(text.substr(p + 1, lit(k)).cast("binary")), 1, 8),
-      16, 10).cast("long")
-
   /** Distinct winnowing fingerprints per document: (idCol, h, p) rows
-    * where h is the selected gram hash and p its 0-based offset.
-    * Documents shorter than k have no grams and emit nothing; documents
-    * with fewer than w grams get a single window over all their grams
-    * (the standard boundary rule). */
+    * where h is the selected gram hash and p its 0-based code-point
+    * offset. Documents shorter than k have no grams and emit nothing;
+    * documents with fewer than w grams get a single window over all
+    * their grams (the standard boundary rule). Selection runs through
+    * the native [[graft.functions.WinnowFingerprints]] expression — the
+    * compositional nested-transform form computed identical output
+    * interpreted at ~300 µs/gram (measured 14 s at sf0.1; the native
+    * pass is the same plan shape minus the HOF tax). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    val text = col(textCol)
-    val n = (length(text) - (k - 1)).cast("int") // gram count
-    // the filter(n >= 1) below keeps sequence() off descending ranges
-    val grams = transform(sequence(lit(0), n - 1), p =>
-      struct(gramHash(text, p, k).as("h"), (-p).as("np"), p.as("p")))
-    val mins = transform(
-      sequence(lit(0), greatest(size(col("__grams")) - w, lit(0))), s =>
-        array_min(slice(col("__grams"), s + 1, lit(w))))
-    df.filter(n >= 1)
-      .select(col(idCol), grams.as("__grams"))
+    val spark = df.sparkSession
+    val fname = s"graft_winnow_${k}_$w"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      exprs => graft.functions.WinnowFingerprints(exprs.head, k, w),
+      "built-in")
+    df.filter(length(col(textCol)) >= k)
       .select(col(idCol),
-        explode(array_distinct(transform(mins,
-          m => struct(m.getField("h").as("h"), m.getField("p").as("p")))))
+        explode(call_function(fname, col(textCol).cast("string")))
           .as("__fp"))
       .select(col(idCol), col("__fp.h").as("h"), col("__fp.p").as("p"))
   }

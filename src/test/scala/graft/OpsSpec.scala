@@ -2126,19 +2126,23 @@ class OpsSpec extends SparkSpec {
       (2L, s"XXXX yyyy zzzz $common QQQQ totally different tail"),
       (3L, "completely unrelated content with nothing shared at all"),
       (4L, "short"), // < k: no grams
-      (5L, "exactly12ch")) // 12 chars -> 5 grams < w: single window
+      (5L, "exactly12ch"), // 12 chars -> 5 grams < w: single window
+      (6L, "emoji 😀 inside the text keeps gram offsets in code points"))
     val df = docs.toDF("doc_id", "text")
     val (k, w) = (8, 8)
     val fps = Winnow.fingerprints(df, "doc_id", "text", k, w)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"),
         r.getAs[Int]("p")))
-    // driver reference: independent winnowing of doc 1
+    // driver reference: independent winnowing over CODE POINTS (an astral
+    // char is one gram position, not two UTF-16 units)
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(g: String): Long = java.lang.Long.parseLong(
       md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
       16)
     def winnowRef(t: String): Set[(Long, Int)] = {
-      val grams = (0 to t.length - k).map(p => (h(t.substring(p, p + k)), p))
+      val cps = t.codePoints().toArray
+      def gram(p: Int) = new String(cps, p, k)
+      val grams = (0 to cps.length - k).map(p => (h(gram(p)), p))
       if (grams.isEmpty) Set.empty
       else (0 to math.max(grams.length - w, 0)).map { s =>
         grams.slice(s, s + w).minBy { case (hh, p) => (hh, -p) }

@@ -434,6 +434,36 @@ class PropertySpec extends SparkSpec {
       s"expected exactly one exchange, found $exchanges:\n$plan")
   }
 
+  test("winnowing selection plans ZERO exchanges; HLL sketch exactly one") {
+    import spark.implicits._
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"document number $i with some shared text body"))
+      .toDF("doc_id", "text")
+    val wn = graft.ops.Winnow.fingerprints(docs, "doc_id", "text", 8, 8)
+      .queryExecution.executedPlan.toString
+    assert(!wn.contains("Exchange"),
+      s"fingerprint selection must stay doc-local (narrow):\n$wn")
+    val hll = graft.ops.Hll.sketchBy(docs, Seq.empty, "text", 256)
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(hll).size
+    assert(ex == 1, s"HLL sketch is ONE hash aggregation, found $ex:\n$hll")
+  }
+
+  test("rrf fusion: one aggregation exchange + one window cut, group-limit lowered") {
+    import spark.implicits._
+    val la = (0 until 200).map(i => (i % 10L, i.toLong, i % 20 + 1))
+      .toDF("q", "d", "r")
+    val lb = (0 until 200).map(i => (i % 10L, (i + 7).toLong, i % 20 + 1))
+      .toDF("q", "d", "r")
+    val plan = graft.ops.Similarity.rrfFuse(Seq(la, lb), "q", "d", "r")
+      .queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex <= 2,
+      s"fusion should need at most agg + window exchanges, found $ex:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank <= topK did not lower to WindowGroupLimit:\n$plan")
+  }
+
   test("projections plan ZERO exchanges; covariance exactly one") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val jl = graft.ops.Projection.signProject(embs, "embedding", 64, 8)

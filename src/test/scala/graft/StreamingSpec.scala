@@ -670,6 +670,39 @@ class StreamingSpec extends SparkSpec {
     assert(m.centroids.length == 4 && m.centroids.forall(_.length == 64))
   }
 
+  test("streaming HLL: accumulator over a real feed; max-fold eats redelivery with no batchId guard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Hll
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(
+        explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val whole = Hll.sketch(toks, "token", 256).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("r")).toMap
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (ref, sink) = Hll.runningSketchSink("token", 256)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .writeStream.outputMode("append").foreachBatch(sink).start()
+    try {
+      val parts = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      for (p <- parts) { ms.addData(p.toSeq); q.processAllAvailable() }
+      assert(ref.get() == whole,
+        "stream-folded HLL differs from the one-shot batch sketch")
+      // an at-least-once source re-delivers a whole slab of documents:
+      // unlike the additive CMS fold, register max is idempotent — the
+      // state cannot move, and no epoch bookkeeping was needed to get that
+      ms.addData(parts.head.toSeq); q.processAllAvailable()
+      assert(ref.get() == whole, "replayed feed slab moved HLL registers")
+    } finally q.stop()
+  }
+
   test("streaming CMS: foreachBatch accumulator over a real feed, redelivery-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ops.CountMin
