@@ -172,6 +172,19 @@ object ScaleBench {
         emit("dd_minhash_lsh", k, docs.count(), mhMed, mhS, s""","pairs":$pairs""")
       }
 
+      if (wanted("wn_fingerprints")) {
+        // linearity witness: the token-suffixed copies keep each copy's
+        // 1x winnowing structure, so the selected-fingerprint count must
+        // scale exactly with the corpus
+        var fps = 0L
+        val (wnMed, wnS) = timeMedian {
+          fps = graft.ops.Winnow.fingerprints(docs, "doc_id", "text", 8, 8)
+            .count()
+        }
+        emit("wn_fingerprints", k, docs.count(), wnMed, wnS,
+          s""","fingerprints":$fps""")
+      }
+
       if (wanted("t1_column_stats")) {
         val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
         val (t1Med, t1S) = timeMedian {
