@@ -66,6 +66,13 @@ object Experiment {
       mom(col("x") * col("y")).as("sxy"),
       mom(col("x") * col("x")).as("sxx"),
       mom(col("y") * col("y")).as("syy"))
+      .persist()
+    // a missing arm must fail LOUDLY, not evaporate through the cross
+    // join into an empty result the caller mistakes for "no effect"
+    val arms = byArm.select("arm").collect().map(_.getString(0)).toSet
+    require(arms == Set("treatment", "control"),
+      s"CUPED needs both arms; found ${arms.toSeq.sorted.mkString(", ")}" +
+        " — check the arm column or the assignment seed")
     val t = byArm.filter(col("arm") === "treatment").as("t")
     val c = byArm.filter(col("arm") === "control").as("c")
     val joined = t.crossJoin(c)

@@ -1996,6 +1996,39 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("degenerate inputs across the session's new ops: no throws, loud where it matters") {
+    import graft.ops.{CorpusOverlap, Hll, Mixture, SftPrep, Similarity, Winnow}
+    val emptyText = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    // winnowing / divergence / sft on empty corpora: empty or null, never a crash
+    assert(Winnow.fingerprints(emptyText, "doc_id", "text").count() == 0)
+    val dv = CorpusOverlap.divergence(emptyText, "text", emptyText, "text")
+      .collect().head
+    assert(dv.isNullAt(dv.fieldIndex("kl_ab")),
+      "empty-vs-empty divergence is undefined, not a number")
+    assert(SftPrep.preferencePairs(
+      spark.emptyDataset[(String, Long, Double)].toDF("g", "id", "s"),
+      "g", "id", "s").count() == 0)
+    // HLL of nothing estimates null, never throws
+    val est = Hll.estimate(Hll.sketch(emptyText, "text")).collect().head
+    assert(est.getAs[Long]("n_registers") == 0 &&
+      est.isNullAt(est.fieldIndex("hll_est")))
+    // water-fill with no positive supply: empty allocation table
+    assert(Mixture.waterFill(
+      Seq(("a", 0.0), ("b", -5.0)).toDF("d", "a"), "d", "a", 100.0)
+      .count() == 0)
+    // rrf over one empty list: empty fusion
+    assert(Similarity.rrfFuse(
+      Seq(spark.emptyDataset[(Long, Long, Int)].toDF("q", "d", "r")),
+      "q", "d", "r").count() == 0)
+    // cuped with a missing arm fails LOUDLY instead of returning empty
+    val oneArm = Seq(("treatment", 1.0, 2.0), ("treatment", 2.0, 3.0))
+      .toDF("arm", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.stats.Experiment.cuped(oneArm).collect()
+    }
+    assert(e.getMessage.contains("both arms"))
+  }
+
   test("water-fill: hand case, surplus budget, tiny budget, exhaustion invariant") {
     import graft.ops.Mixture
     def fill(avail: Seq[(String, Double)], budget: Double) =
