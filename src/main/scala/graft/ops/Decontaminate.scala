@@ -56,6 +56,42 @@ object Decontaminate {
           .otherwise(col("overlap").cast("double") / col("n_shingles")))
   }
 
+  /** The INVERSE report — per BENCHMARK document, how much of it the
+    * training corpus already contains (GPT-3 appendix-C-style overlap
+    * analysis; what decides whether an eval item is burned): for each
+    * benchmark row, its distinct n-gram count, how many of those appear
+    * anywhere in the corpus, and the fraction. Benchmark items shorter
+    * than n words report 0/0 with frac 0.0 rather than vanishing.
+    *
+    * Scale shape: the benchmark's distinct shingle set is SMALL and
+    * broadcasts; the corpus makes ONE pass whose join output is capped
+    * by the benchmark set size (matched shingles only — never a
+    * corpus-sized shuffle), then the tiny matched set joins back to the
+    * per-eval-item shingles. */
+  def evalContamination(
+      corpus: DataFrame, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3): DataFrame = {
+    val evalSh = benchmark
+      .select(col(benchIdCol).as("eval_id"),
+        explode_outer(TextOps.shingles(col(benchTextCol), n)).as("sg"))
+    val evalSet = evalSh.filter(col("sg").isNotNull)
+      .select("sg").distinct()
+    val matched = corpus
+      .select(explode(TextOps.shingles(col(textCol), n)).as("sg"))
+      .join(broadcast(evalSet), Seq("sg"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    evalSh.join(broadcast(matched), Seq("sg"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(col("sg")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double")
+            / col("n_shingles")))
+  }
+
   /** Corpus rows whose benchmark overlap stays below `maxOverlap` distinct
     * n-grams — the kept (clean) training set. */
   def cleanExact(

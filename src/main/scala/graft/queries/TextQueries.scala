@@ -1597,9 +1597,49 @@ object TextQueries extends QueryModule {
           "g", "doc_id", "n_chars", minMargin = 25.0)
         .orderBy("g"))
 
+  /** Per-eval-document contamination
+    * ([[graft.ops.Decontaminate.evalContamination]]): every 50th
+    * document plays the benchmark, the rest the training corpus; both
+    * engines rebuild each eval item's distinct-trigram count, the count
+    * found anywhere in the corpus, and the fraction. */
+  val txtEvalContamination: Q = Q(
+    "txt_eval_contamination",
+    Some(s"""
+      WITH t AS (SELECT doc_id, $wSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END) AS s
+        FROM t),
+      ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+      evsh AS (SELECT eval_id, unnest(s) AS sg FROM ev),
+      corp AS (SELECT DISTINCT unnest(s) AS sg FROM sh
+               WHERE doc_id % 50 <> 0),
+      hit AS (SELECT DISTINCT evsh.sg FROM evsh JOIN corp USING (sg)),
+      cnt AS (
+        SELECT eval_id, count(*) AS n,
+          SUM(CASE WHEN hit.sg IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM evsh LEFT JOIN hit ON evsh.sg = hit.sg
+        GROUP BY eval_id)
+      SELECT ev.eval_id,
+        CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(cnt.h, 0) AS BIGINT) AS n_contaminated,
+        CASE WHEN COALESCE(cnt.n, 0) = 0 THEN 0.0
+          ELSE CAST(cnt.h AS DOUBLE) / cnt.n END AS frac
+      FROM ev LEFT JOIN cnt USING (eval_id)
+      ORDER BY eval_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Decontaminate.evalContamination(
+          docs.filter(col("doc_id") % 50 =!= 0), "text",
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+        .withColumnRenamed("eval_id", "eval_id")
+        .orderBy("eval_id")
+    })
+
   override def queries: Seq[Q] = Seq(
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
-    sftRenderChat, sftPreferencePairs,
+    sftRenderChat, sftPreferencePairs, txtEvalContamination,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

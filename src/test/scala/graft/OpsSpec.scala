@@ -1996,6 +1996,26 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("eval contamination: hand case, short-eval zero row, full containment") {
+    import graft.ops.Decontaminate
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma epsilon"), // trigrams: abg (hit), bge (miss)
+      (2L, "zeta eta theta iota"),      // zet+eti: both hits
+      (3L, "so short")).toDF("doc_id", "text") // < 3 words: 0/0
+    val out = Decontaminate.evalContamination(corpus, "text", bench,
+      "doc_id", "text", n = 3).collect()
+      .map(r => r.getAs[Long]("eval_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("frac")))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)),
+      "a sub-n benchmark item reports 0/0, it does not vanish")
+  }
+
   test("degenerate inputs across the session's new ops: no throws, loud where it matters") {
     import graft.ops.{CorpusOverlap, Hll, Mixture, SftPrep, Similarity, Winnow}
     val emptyText = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
