@@ -762,10 +762,74 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Kaplan–Meier time-to-churn ([[graft.stats.Survival]]): per-user
+    * activity span in hours, observed ("churned") when the last event
+    * precedes the horizon by ≥ 1 day of silence, censored otherwise.
+    * The oracle rebuilds the duration table (epoch seconds FLOORED
+    * before subtracting — Spark's unix_timestamp truncates microseconds,
+    * DuckDB's epoch() keeps them), the at-risk countdown, and the
+    * cumulative product as the same decimal fold of rounded ln factors;
+    * the d = n_risk zero is handled outside the log on both sides
+    * (Spark ln(0) = null vs DuckDB −inf). The gate also asserts the
+    * curve is non-increasing from 1.0. */
+  val evKaplanMeier: Q = Q(
+    "ev_kaplan_meier",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
+            - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT)
+            AS t,
+          CASE WHEN CAST(floor(epoch(max(ts))) AS BIGINT)
+              <= CAST(floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
+                 AS BIGINT) - 86400
+            THEN 1 ELSE 0 END AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1),
+      byt AS (
+        SELECT CAST(t AS DOUBLE) AS t, CAST(SUM(e) AS BIGINT) AS d,
+          CAST(SUM(1 - e) AS BIGINT) AS c
+        FROM u GROUP BY 1),
+      r AS (
+        SELECT t, d, c,
+          SUM(d + c) OVER ()
+            - COALESCE(SUM(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+        FROM byt),
+      s AS (
+        SELECT t, n_risk, d, c,
+          CAST(SUM(CAST(CASE WHEN d < n_risk THEN
+              round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9) END
+            AS DECIMAL(38,12))) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS lns,
+          MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+        FROM r)
+      SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+        c AS n_censored,
+        CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+      FROM s WHERE d > 0 ORDER BY t"""),
+    (s, dir) => {
+      import graft.stats.Survival
+      val durations = Survival.durationsFromLog(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        "2024-01-31 00:00:00", gapSeconds = 86400L)
+      val out = Survival.kaplanMeier(durations, col("duration"),
+        col("observed")).orderBy("t")
+      val curve = out.select("survival").collect().map(_.getDouble(0))
+      require(curve.nonEmpty && curve.head <= 1.0 + 1e-9,
+        "survival starts at or below 1")
+      require(curve.zip(curve.tail).forall(p => p._1 >= p._2 - 1e-9),
+        "Kaplan-Meier curve must be non-increasing")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
-      evCuped)
+      evCuped, evKaplanMeier)
 }

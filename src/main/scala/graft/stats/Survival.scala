@@ -1,0 +1,83 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation (Kaplan & Meier 1958 — public): the
+  * nonparametric time-to-event curve under right censoring — retention /
+  * time-to-churn over an event log, where a user who is still active at
+  * the observation boundary contributes risk-set time without an event.
+  * Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over observed-event times tᵢ, with dᵢ
+  * events and nᵢ at-risk (duration ≥ tᵢ).
+  *
+  * Distributed shape: one hash aggregation to the distinct-duration
+  * table (map-side combined — the shuffle is duration-cardinality-
+  * sized, never row-sized), then windows over that small table for the
+  * at-risk countdown and the cumulative product. The product runs as a
+  * decimal fold of ln-factors rounded to 9 (the order-invariant
+  * cross-engine recipe; each factor 1 − d/n is an exact integer-ratio
+  * double, so both engines feed ln the same input). A time where every
+  * remaining subject dies (d = n) zeroes survival OUTSIDE the log —
+  * Spark's ln(0) is null while DuckDB's is −inf, the exact divergence
+  * the weightedSample op documented. */
+object Survival {
+
+  /** The survival curve: one row per OBSERVED-event time with
+    * (t, n_risk, d_events, n_censored, survival). Censoring-only times
+    * don't step the curve but do shrink later risk sets (handled by the
+    * countdown including their counts). Null durations are excluded;
+    * `eventCol` is 1/true for an observed event, 0/false for censored. */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("double").as("t"),
+        eventCol.cast("int").as("e"))
+      .filter(col("t").isNotNull && col("e").isNotNull)
+    val byT = base.groupBy("t").agg(
+      sum(col("e")).cast("long").as("d"),
+      sum(lit(1) - col("e")).cast("long").as("c"))
+    val ord = Window.orderBy(col("t"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = byT
+      .withColumn("__total", sum(col("d") + col("c"))
+        .over(Window.partitionBy()))
+      .withColumn("n_risk",
+        col("__total") - coalesce(sum(col("d") + col("c")).over(before),
+          lit(0L)))
+    val lnTerm = when(col("d") < col("n_risk"),
+      round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 9))
+    val zeroSeen = max(when(col("d") === col("n_risk"), 1).otherwise(0))
+      .over(upTo)
+    withRisk
+      .withColumn("__lnS",
+        sum(lnTerm.cast("decimal(38,12)")).over(upTo).cast("double"))
+      .withColumn("__zero", zeroSeen)
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("d_events"),
+        col("c").as("n_censored"),
+        when(col("__zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("__lnS")), 6)).as("survival"))
+  }
+
+  /** Per-subject durations from an event log: duration = last − first
+    * event (in `unitSeconds`), observed (=1, "churned") when the
+    * subject's LAST event precedes `horizon` by at least `gapSeconds`
+    * of silence, censored (=0) when the subject was still active near
+    * the horizon. One aggregation by subject. */
+  def durationsFromLog(events: DataFrame, subjectCol: String,
+      tsCol: String, horizon: String, gapSeconds: Long,
+      unitSeconds: Long = 3600L): DataFrame = {
+    val ts = col(tsCol)
+    events.filter(col(subjectCol).isNotNull && ts.isNotNull)
+      .groupBy(col(subjectCol).as("subject"))
+      .agg(min(ts).as("__first"), max(ts).as("__last"))
+      .select(col("subject"),
+        floor((unix_timestamp(col("__last")) -
+          unix_timestamp(col("__first"))) / unitSeconds).cast("long")
+          .as("duration"),
+        when(unix_timestamp(col("__last"))
+          <= unix_timestamp(to_timestamp(lit(horizon))) - gapSeconds, 1)
+          .otherwise(0).as("observed"))
+  }
+}

@@ -779,6 +779,31 @@ class StatsSpec extends SparkSpec {
     assert(effs.distinct.length > 1)
   }
 
+  test("kaplan-meier: the 6-MP textbook curve, zero-survival path, censor-only times") {
+    import graft.stats.Survival
+    // Freireich 1963 6-MP arm (public textbook data): * = censored
+    val obs = Seq(6, 6, 6, 7, 10, 13, 16, 22, 23).map((_, 1))
+    val cen = Seq(6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35).map((_, 0))
+    val df = (obs ++ cen).map { case (t, e) => (t.toDouble, e) }
+      .toDF("t", "e")
+    val curve = Survival.kaplanMeier(df, col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => r.getAs[Double]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Double]("survival")))).toMap
+    assert(curve(6.0) == ((21L, 0.857143)))
+    assert(curve(7.0)._2 == 0.806723 || curve(7.0)._2 == 0.806722)
+    assert(curve(10.0)._1 == 15L)
+    assert(curve(23.0)._2 == 0.448178 || curve(23.0)._2 == 0.448179)
+    // censoring-only times (9, 11, ...) never appear as curve steps
+    assert(!curve.contains(9.0) && !curve.contains(11.0))
+    // everyone dies at the last time: survival hits exactly 0, not ln(0)
+    val allDie = Seq((1.0, 1), (1.0, 1), (2.0, 1), (2.0, 1)).toDF("t", "e")
+    val z = Survival.kaplanMeier(allDie, col("t"), col("e"))
+      .orderBy("t").collect()
+    assert(z.last.getAs[Double]("survival") == 0.0)
+    assert(z.head.getAs[Double]("survival") == 0.5)
+  }
+
   test("quantile normalization: identical group distributions, tie stability, shift removal") {
     import graft.transform.Standardize
     // group a: scores in [0, 9]; group b: same SHAPE shifted +100 —
