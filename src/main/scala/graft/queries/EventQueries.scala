@@ -826,10 +826,90 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Two-sample log-rank test over the hash-split arms' churn durations
+    * ([[graft.stats.Survival.logRank]]): the null holds by construction
+    * (both arms draw from one population), so the gate asserts the χ²
+    * stays under the 0.1% critical value while the oracle rebuilds the
+    * risk sets, expectations, hypergeometric variances, and the
+    * statistic term-for-term. */
+  val evLogRank: Q = Q(
+    "ev_log_rank",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CASE WHEN CAST(concat('0x', substr(md5(concat_ws('|',
+              'graft-ab', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0 < 0.5
+            THEN 'treatment' ELSE 'control' END AS arm,
+          CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
+            - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT)
+            AS t,
+          CASE WHEN CAST(floor(epoch(max(ts))) AS BIGINT)
+              <= CAST(floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
+                 AS BIGINT) - 86400
+            THEN 1 ELSE 0 END AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1),
+      byt AS (
+        SELECT CAST(t AS DOUBLE) AS t, CAST(SUM(e) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS k,
+          CAST(SUM(CASE WHEN arm = 'control' THEN e ELSE 0 END)
+            AS BIGINT) AS da,
+          CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ka
+        FROM u GROUP BY 1),
+      r AS (
+        SELECT t, d, da,
+          SUM(k) OVER () - COALESCE(SUM(k) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+          SUM(ka) OVER () - COALESCE(SUM(ka) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na0
+        FROM byt),
+      f AS (
+        SELECT d, da, CAST(n0 AS DOUBLE) AS n, CAST(na0 AS DOUBLE) AS na
+        FROM r WHERE d > 0),
+      terms AS (
+        SELECT da, d * na / n AS ea,
+          CASE WHEN n > 1 THEN
+            d * (na / n) * ((n - na) / n) * (n - d) / (n - 1)
+          ELSE 0.0 END AS v
+        FROM f),
+      tot AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN arm <> 'control' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b
+        FROM u)
+      SELECT 'control' AS group_a, 'treatment' AS group_b,
+        tot.n_a, tot.n_b,
+        CAST(SUM(da) AS BIGINT) AS observed_a,
+        round(CAST(SUM(CAST(round(ea, 9) AS DECIMAL(38,12))) AS DOUBLE),
+          6) AS expected_a,
+        round(pow(CAST(SUM(CAST(round(da - ea, 9) AS DECIMAL(38,12)))
+            AS DOUBLE), 2)
+          / CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,12))) AS DOUBLE), 6)
+          AS chi2
+      FROM terms CROSS JOIN tot
+      GROUP BY tot.n_a, tot.n_b"""),
+    (s, dir) => {
+      import graft.stats.{Experiment, Survival}
+      val durations = Survival.durationsFromLog(
+          Tables.load(s, dir, "events"), "user_id", "ts",
+          "2024-01-31 00:00:00", gapSeconds = 86400L)
+        .withColumn("arm", Experiment.arm(col("subject"), "graft-ab"))
+      val out = Survival.logRank(durations, col("arm"), col("duration"),
+        col("observed"))
+      val chi2 = out.collect().head.getAs[Double]("chi2")
+      require(chi2 < 10.828,
+        s"null-by-construction arms produced chi2=$chi2 over the 0.1% " +
+          "critical value — the split or the statistic is broken")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
-      evCuped, evKaplanMeier)
+      evCuped, evKaplanMeier, evLogRank)
 }

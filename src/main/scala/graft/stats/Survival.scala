@@ -60,6 +60,67 @@ object Survival {
           .otherwise(round(exp(col("__lnS")), 6)).as("survival"))
   }
 
+  /** Two-sample log-rank test (Mantel 1966; Peto & Peto 1972 — public):
+    * does group A churn faster than group B? At every observed-event
+    * time, group A's observed events dₐ are compared with the
+    * expectation nₐ·d/n under the null of identical hazards; the
+    * statistic U = Σ(dₐ − eₐ) normalizes by the hypergeometric variance
+    * V = Σ d·(nₐ/n)·(n_b/n)·(n−d)/(n−1), and U²/V ~ χ²(1). One
+    * aggregation to the (time, group) table, windows over the distinct
+    * times (same scale shape as [[kaplanMeier]]). Groups must be
+    * exactly two — fails loudly otherwise. Returns one row
+    * (group_a, group_b, n_a, n_b, observed_a, expected_a, chi2). Times
+    * where n = 1 contribute no variance term (the n−1 denominator —
+    * only possible at the very last at-risk subject). */
+  def logRank(df: DataFrame, groupCol: Column, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val base = df.select(groupCol.cast("string").as("g"),
+        durationCol.cast("double").as("t"), eventCol.cast("int").as("e"))
+      .filter(col("g").isNotNull && col("t").isNotNull &&
+        col("e").isNotNull)
+    val counts = base.groupBy("g").agg(count(lit(1)).as("__n"))
+      .orderBy("g").collect()
+    require(counts.length == 2,
+      s"log-rank compares exactly two groups, found ${counts.length}: " +
+        counts.map(_.getString(0)).mkString(", "))
+    val (ga, gb) = (counts(0).getString(0), counts(1).getString(0))
+    val (nA, nB) = (counts(0).getAs[Long]("__n"), counts(1).getAs[Long]("__n"))
+    val byT = base.groupBy("t").agg(
+      sum(col("e")).cast("long").as("d"),
+      count(lit(1)).cast("long").as("k"),
+      sum(when(col("g") === ga, col("e")).otherwise(0)).cast("long")
+        .as("da"),
+      sum(when(col("g") === ga, 1).otherwise(0)).cast("long").as("ka"))
+    val before = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val withRisk = byT
+      .withColumn("n",
+        sum(col("k")).over(all) - coalesce(sum(col("k")).over(before),
+          lit(0L)))
+      .withColumn("na",
+        sum(col("ka")).over(all) - coalesce(sum(col("ka")).over(before),
+          lit(0L)))
+      .filter(col("d") > 0)
+    val nD = col("n").cast("double")
+    val naD = col("na").cast("double")
+    val ea = col("d") * naD / nD
+    val vTerm = when(col("n") > 1,
+      col("d") * (naD / nD) * ((nD - naD) / nD) *
+        (nD - col("d")) / (nD - 1)).otherwise(lit(0.0))
+    withRisk.agg(
+      lit(ga).as("group_a"), lit(gb).as("group_b"),
+      lit(nA).as("n_a"), lit(nB).as("n_b"),
+      sum(col("da")).as("observed_a"),
+      round(sum(round(ea, 9).cast("decimal(38,12)")).cast("double"), 6)
+        .as("expected_a"),
+      round(
+        pow(sum(round(col("da") - ea, 9).cast("decimal(38,12)"))
+          .cast("double"), 2)
+          / sum(round(vTerm, 9).cast("decimal(38,12)")).cast("double"), 6)
+        .as("chi2"))
+  }
+
   /** Per-subject durations from an event log: duration = last − first
     * event (in `unitSeconds`), observed (=1, "churned") when the
     * subject's LAST event precedes `horizon` by at least `gapSeconds`

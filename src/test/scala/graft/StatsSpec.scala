@@ -804,6 +804,55 @@ class StatsSpec extends SparkSpec {
     assert(z.head.getAs[Double]("survival") == 0.5)
   }
 
+  test("log-rank: driver reference, identical groups ~ 0, separated groups large") {
+    import graft.stats.Survival
+    // two clearly separated hazard groups
+    val fast = (1 to 20).map(i => ("a", (i % 5 + 1).toDouble, 1))
+    val slow = (1 to 20).map(i => ("b", (i % 5 + 10).toDouble, 1))
+    val df = (fast ++ slow).toDF("g", "t", "e")
+    val r = Survival.logRank(df, col("g"), col("t"), col("e"))
+      .collect().head
+    assert(r.getAs[String]("group_a") == "a" && r.getAs[Long]("n_a") == 20)
+    assert(r.getAs[Double]("chi2") > 20.0,
+      s"disjoint hazards must give a huge statistic, got ${r.getAs[Double]("chi2")}")
+    // driver reference on a small mixed case with censoring
+    val rows = Seq(("a", 1.0, 1), ("a", 2.0, 0), ("a", 3.0, 1),
+      ("b", 1.0, 1), ("b", 4.0, 1), ("b", 5.0, 0))
+    val got = Survival.logRank(rows.toDF("g", "t", "e"), col("g"),
+      col("t"), col("e")).collect().head
+    def ref: (Double, Double) = {
+      val times = rows.filter(_._3 == 1).map(_._2).distinct.sorted
+      var (u, v, ex) = (0.0, 0.0, 0.0)
+      times.foreach { t =>
+        val atRisk = rows.filter(_._2 >= t)
+        val n = atRisk.length.toDouble
+        val na = atRisk.count(_._1 == "a").toDouble
+        val d = rows.count(r => r._2 == t && r._3 == 1).toDouble
+        val da = rows.count(r => r._1 == "a" && r._2 == t && r._3 == 1)
+        val ea = d * na / n
+        ex += ea; u += da - ea
+        if (n > 1) v += d * (na / n) * ((n - na) / n) * (n - d) / (n - 1)
+      }
+      (ex, u * u / v)
+    }
+    val (refEx, refChi) = ref
+    assert(math.abs(got.getAs[Double]("expected_a") - refEx) < 1e-5)
+    assert(math.abs(got.getAs[Double]("chi2") - refChi) < 1e-4)
+    // identical groups: statistic collapses toward 0
+    val same = (1 to 30).map(i => ("a", (i % 6 + 1).toDouble, 1)) ++
+      (1 to 30).map(i => ("b", (i % 6 + 1).toDouble, 1))
+    val z = Survival.logRank(same.toDF("g", "t", "e"), col("g"),
+      col("t"), col("e")).collect().head
+    assert(z.getAs[Double]("chi2") < 1e-6)
+    // three groups fail loudly
+    val e3 = intercept[IllegalArgumentException] {
+      Survival.logRank(
+        Seq(("a", 1.0, 1), ("b", 1.0, 1), ("c", 1.0, 1)).toDF("g", "t", "e"),
+        col("g"), col("t"), col("e"))
+    }
+    assert(e3.getMessage.contains("exactly two groups"))
+  }
+
   test("quantile normalization: identical group distributions, tie stability, shift removal") {
     import graft.transform.Standardize
     // group a: scores in [0, 9]; group b: same SHAPE shifted +100 —
