@@ -154,6 +154,61 @@ object QualityQueries extends QueryModule {
       DataQuality.benfordSummary(Tables.load(s, dir, "lineitem"),
         col("l_extendedprice") * 100))
 
+  private val ProfCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+  /** Candidate-key screen over customer
+    * ([[graft.stats.DataQuality.keyCandidates]]): custkey and the
+    * synthetic unique names are keys, nationkey/mktsegment are not —
+    * the oracle rebuilds counts, uniqueness, and the verdict per
+    * column. */
+  val dqKeyCandidates: Q = Q(
+    "dq_key_candidates",
+    Some(ProfCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*), 6)
+          AS uniqueness,
+        (SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0
+          AND count(DISTINCT $c) = count(*)) AS is_key
+      FROM customer"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    (s, dir) =>
+      DataQuality.keyCandidates(Tables.load(s, dir, "customer"), ProfCols)
+        .orderBy("col_name"))
+
+  /** Single-column FD discovery over the same columns
+    * ([[graft.stats.DataQuality.functionalDependencies]]): keys
+    * determine everything; nationkey/mktsegment determine nothing. */
+  val dqFdDiscovery: Q = Q(
+    "dq_fd_discovery",
+    Some(ProfCols.flatMap { lhs =>
+      ProfCols.filterNot(_ == lhs).map { rhs =>
+        s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+          CAST(max(k) AS BIGINT) AS max_rhs_per_lhs,
+          (max(k) = 1) AS holds
+        FROM (
+          SELECT count(DISTINCT $rhs)
+            + max(CASE WHEN $rhs IS NULL THEN 1 ELSE 0 END) AS k
+          FROM customer WHERE $lhs IS NOT NULL GROUP BY $lhs)"""
+      }
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")),
+    (s, dir) => {
+      val out = DataQuality.functionalDependencies(
+        Tables.load(s, dir, "customer"), ProfCols)
+      val holds = out.collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+          r.getAs[Boolean]("holds")).toMap
+      require(holds(("c_custkey", "c_mktsegment")),
+        "a key must determine every column")
+      require(!holds(("c_nationkey", "c_mktsegment")),
+        "a 25-value column cannot determine an independent segment")
+      out.orderBy("lhs", "rhs")
+    })
+
   override def queries: Seq[Q] =
-    Seq(t3Quality, t5Summary, dqBenfordDigits, dqBenfordSummary)
+    Seq(t3Quality, t5Summary, dqBenfordDigits, dqBenfordSummary,
+      dqKeyCandidates, dqFdDiscovery)
 }

@@ -89,6 +89,69 @@ object DataQuality {
       .withColumn("conforms", col("mad") <= 0.015)
   }
 
+  /** Candidate-key screen: per column, distinct / null / total counts
+    * and the uniqueness ratio; `is_key` when every non-null value is
+    * unique AND nothing is null. ONE aggregation row (d count-distincts
+    * share the pass via Expand — d is column count, not data). At
+    * corpus scale swap exact distincts for [[graft.ops.Hll]] estimates
+    * per column; the exact path is the profiling default. */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to screen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"__d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = r.getAs[Long]("__n")
+    cols.map { c =>
+      val d = r.getAs[Long](s"__d_$c")
+      val z = r.getAs[Long](s"__z_$c")
+      val u: Double = if (n > 0)
+        java.math.BigDecimal.valueOf(d.toDouble / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      else 0.0
+      (c, n, d, z, u, z == 0 && d == n)
+    }.toDF("col_name", "n", "n_distinct", "n_null", "uniqueness",
+      "is_key")
+  }
+
+  /** Single-column functional dependencies lhs → rhs over `cols`: the
+    * FD holds iff every lhs value maps to exactly one rhs value —
+    * checked as max-over-groups of countDistinct(rhs) == 1 (TANE's
+    * level-1 check, Huhtala et al. 1999). One groupBy(lhs) aggregation
+    * PER lhs column (d passes, each map-side combined and shuffled on
+    * its own key — never a d²-way Expand of the data). NULL lhs rows
+    * are excluded (SQL grouping would pool them into a fake value);
+    * NULL rhs counts as a value via a distinct-count-plus-null-flag so
+    * a column mapping to {x, NULL} is NOT functionally determined.
+    * Returns (lhs, rhs, max_rhs_per_lhs, holds). */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = cols.flatMap { lhs =>
+      val others = cols.filterNot(_ == lhs)
+      // per-group rhs cardinality (+1 when the group also maps to NULL),
+      // then the max across groups — one groupBy + one global agg
+      val perGroup = others.map(rhs =>
+        (countDistinct(col(rhs)) +
+          max(when(col(rhs).isNull, 1L).otherwise(0L))).as(s"__k_$rhs"))
+      val outer = others.map(rhs => max(col(s"__k_$rhs")).as(s"__m_$rhs"))
+      val r = df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs))
+        .agg(perGroup.head, perGroup.tail: _*)
+        .agg(outer.head, outer.tail: _*)
+        .collect().headOption
+      others.map { rhs =>
+        val m = r.map(_.getAs[Long](s"__m_$rhs")).getOrElse(0L)
+        (lhs, rhs, m, m == 1L)
+      }
+    }
+    rows.toDF("lhs", "rhs", "max_rhs_per_lhs", "holds")
+  }
+
   def report(df: DataFrame, keys: MergeKeys): Report = {
     val cols = df.columns.toSeq
 

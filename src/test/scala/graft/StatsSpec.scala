@@ -804,6 +804,39 @@ class StatsSpec extends SparkSpec {
     assert(z.head.getAs[Double]("survival") == 0.5)
   }
 
+  test("key/FD discovery: keys, null disqualification, null-rhs FD break") {
+    import graft.stats.DataQuality
+    val df = Seq(
+      (1L, "a", Some("x"), 10),
+      (2L, "b", Some("x"), 10),
+      (3L, "c", None, 20),
+      (4L, "c", Some("y"), 20))
+      .toDF("id", "name", "opt", "grp")
+    val keys = DataQuality.keyCandidates(df,
+      Seq("id", "name", "opt", "grp")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("n_null"),
+          r.getAs[Boolean]("is_key")))).toMap
+    assert(keys("id") == ((4L, 0L, true)))
+    assert(keys("name")._3 == false, "duplicate 'c' disqualifies name")
+    assert(keys("opt") == ((2L, 1L, false)),
+      "a null disqualifies even a distinct column")
+    val fds = DataQuality.functionalDependencies(df,
+      Seq("id", "name", "grp")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        r.getAs[Boolean]("holds")).toMap
+    assert(fds(("id", "name")) && fds(("id", "grp")),
+      "the key determines everything")
+    assert(fds(("name", "grp")), "name -> grp holds (c maps only to 20)")
+    assert(!fds(("grp", "name")), "grp 20 maps to two names")
+    // null rhs breaks an FD: name 'c' maps grp... use opt as rhs
+    val fds2 = DataQuality.functionalDependencies(df, Seq("name", "opt"))
+      .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        r.getAs[Boolean]("holds")).toMap
+    assert(!fds2(("name", "opt")),
+      "'c' maps to {y, NULL} - two values, the FD must break")
+  }
+
   test("log-rank: driver reference, identical groups ~ 0, separated groups large") {
     import graft.stats.Survival
     // two clearly separated hazard groups
