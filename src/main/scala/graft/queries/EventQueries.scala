@@ -772,10 +772,9 @@ object EventQueries extends QueryModule {
     * the d = n_risk zero is handled outside the log on both sides
     * (Spark ln(0) = null vs DuckDB −inf). The gate also asserts the
     * curve is non-increasing from 1.0. */
-  val evKaplanMeier: Q = Q(
-    "ev_kaplan_meier",
-    Some("""
-      WITH u AS (
+  /** Shared KM-curve CTEs (ev_kaplan_meier + ev_survival_summary). */
+  private val kmCte = """
+      u AS (
         SELECT user_id,
           CAST(floor((CAST(floor(epoch(max(ts))) AS BIGINT)
             - CAST(floor(epoch(min(ts))) AS BIGINT)) / 3600) AS BIGINT)
@@ -806,11 +805,19 @@ object EventQueries extends QueryModule {
             AS DOUBLE) AS lns,
           MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
-        FROM r)
-      SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
-        c AS n_censored,
-        CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
-      FROM s WHERE d > 0 ORDER BY t"""),
+        FROM r),
+      curve AS (
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+          c AS n_censored,
+          CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+        FROM s WHERE d > 0)"""
+
+  val evKaplanMeier: Q = Q(
+    "ev_kaplan_meier",
+    Some(s"""
+      WITH $kmCte
+      SELECT t, n_risk, d_events, n_censored, survival
+      FROM curve ORDER BY t"""),
     (s, dir) => {
       import graft.stats.Survival
       val durations = Survival.durationsFromLog(
@@ -906,10 +913,51 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Median survival + RMST(680h) over the same KM curve
+    * ([[graft.stats.Survival.survivalSummary]]): the oracle extends the
+    * curve CTEs with the identical lag-window step integral. */
+  val evSurvivalSummary: Q = Q(
+    "ev_survival_summary",
+    Some(s"""
+      WITH $kmCte,
+      cut AS (
+        SELECT t, survival,
+          lag(survival, 1, 1.0) OVER (ORDER BY t) AS ps,
+          lag(t, 1, 0.0) OVER (ORDER BY t) AS pt,
+          row_number() OVER (ORDER BY t) AS rn,
+          count(*) OVER () AS m
+        FROM curve WHERE t <= 680),
+      terms AS (
+        SELECT round(ps * (t - pt), 9) AS a,
+          CASE WHEN rn = m THEN round(survival * (680.0 - t), 9)
+            ELSE 0.0 END AS tl
+        FROM cut),
+      med AS (
+        SELECT min(CASE WHEN survival <= 0.5 THEN t END)
+          AS median_survival
+        FROM curve)
+      SELECT (SELECT median_survival FROM med) AS median_survival,
+        COALESCE(round(CAST((SELECT SUM(CAST(a + tl AS DECIMAL(38,12)))
+          FROM terms) AS DOUBLE), 6), 680.0) AS rmst,
+        CAST(680.0 AS DOUBLE) AS tau"""),
+    (s, dir) => {
+      import graft.stats.Survival
+      val durations = Survival.durationsFromLog(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        "2024-01-31 00:00:00", gapSeconds = 86400L)
+      val curve = Survival.kaplanMeier(durations, col("duration"),
+        col("observed"))
+      val out = Survival.survivalSummary(curve, tau = 680.0)
+      val r = out.collect().head
+      require(r.getAs[Double]("rmst") <= 680.0 + 1e-9,
+        "RMST cannot exceed its own horizon")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
-      evCuped, evKaplanMeier, evLogRank)
+      evCuped, evKaplanMeier, evLogRank, evSurvivalSummary)
 }

@@ -60,6 +60,39 @@ object Survival {
           .otherwise(round(exp(col("__lnS")), 6)).as("survival"))
   }
 
+  /** One-row summary of a [[kaplanMeier]] curve: median survival time
+    * (the smallest event time with Ŝ ≤ 0.5; null when the curve never
+    * reaches it — common under heavy censoring) and the restricted mean
+    * survival time RMST(τ) = ∫₀^τ Ŝ(t)dt (Royston & Parmar 2013 —
+    * public), the step integral Σ Ŝ(tᵢ₋₁)·(tᵢ − tᵢ₋₁) with Ŝ = 1 before
+    * the first event and the last step held to τ. Curve-sized windows
+    * (tiny); terms fold as rounded decimals. */
+  def survivalSummary(curve: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val ord = Window.orderBy(col("t"))
+    // median over the FULL curve (restricting it to tau would misreport
+    // heavy-tailed churn); the integral restricts to tau by definition
+    val med = curve.agg(
+      min(when(col("survival") <= 0.5, col("t"))).as("median_survival"))
+    val stepped = curve
+      .filter(col("t") <= tau)
+      .withColumn("__prevS", lag(col("survival"), 1, 1.0).over(ord))
+      .withColumn("__prevT", lag(col("t"), 1, 0.0).over(ord))
+      .withColumn("__area",
+        round(col("__prevS") * (col("t") - col("__prevT")), 9))
+      .withColumn("__tail",
+        when(row_number().over(ord) === count(lit(1))
+          .over(Window.partitionBy()),
+          round(col("survival") * (lit(tau) - col("t")), 9))
+          .otherwise(lit(0.0)))
+    val rmst = stepped.agg(
+      // no events before tau means S = 1 throughout: RMST = tau
+      coalesce(
+        round(sum((col("__area") + col("__tail")).cast("decimal(38,12)"))
+          .cast("double"), 6), lit(tau)).as("rmst"))
+    med.crossJoin(rmst).withColumn("tau", lit(tau))
+  }
+
   /** Two-sample log-rank test (Mantel 1966; Peto & Peto 1972 — public):
     * does group A churn faster than group B? At every observed-event
     * time, group A's observed events dₐ are compared with the

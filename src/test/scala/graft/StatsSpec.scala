@@ -804,6 +804,25 @@ class StatsSpec extends SparkSpec {
     assert(z.head.getAs[Double]("survival") == 0.5)
   }
 
+  test("survival summary: hand RMST integral, median, no-events horizon") {
+    import graft.stats.Survival
+    // curve: S(2)=0.8, S(5)=0.4 -> tau=6: 1*2 + 0.8*3 + 0.4*1 = 4.8
+    val curve = Seq((2.0, 8L, 2L, 0L, 0.8), (5.0, 6L, 4L, 0L, 0.4))
+      .toDF("t", "n_risk", "d_events", "n_censored", "survival")
+    val r = Survival.survivalSummary(curve, tau = 6.0).collect().head
+    assert(r.getAs[Double]("rmst") == 4.8)
+    assert(r.getAs[Double]("median_survival") == 5.0)
+    // tau before the first event: S = 1 throughout, RMST = tau
+    val r2 = Survival.survivalSummary(curve, tau = 1.0).collect().head
+    assert(r2.getAs[Double]("rmst") == 1.0)
+    // curve never reaches 0.5: median is null, not a made-up number
+    val high = Seq((2.0, 8L, 1L, 0L, 0.9)).toDF(
+      "t", "n_risk", "d_events", "n_censored", "survival")
+    val r3 = Survival.survivalSummary(high, tau = 6.0).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("median_survival")))
+    assert(r3.getAs[Double]("rmst") == 2.0 + 0.9 * 4.0)
+  }
+
   test("key/FD discovery: keys, null disqualification, null-rhs FD break") {
     import graft.stats.DataQuality
     val df = Seq(
