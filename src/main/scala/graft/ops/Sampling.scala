@@ -373,4 +373,44 @@ object Sampling {
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023 "Data Selection
+    * for Language Models via Importance Resampling" — public; unigram
+    * variant): draw k documents from the corpus with probability
+    * ∝ p_target(doc)/p_proposal(doc), pulling the selection toward a
+    * target domain's distribution. The per-document log ratio is
+    * n_tokens · (mean target logprob − mean proposal logprob) from two
+    * add-one-smoothed unigram LMs ([[LanguageModel]]); sampling without
+    * replacement happens in the LOG domain via the Gumbel top-k
+    * identity (Vieira 2014, public): key = log w + Gumbel(0,1) with the
+    * Gumbel drawn as −ln(−ln u) from the strictly-positive identity-hash
+    * fraction — exp(log w) would overflow doubles on long documents, the
+    * log-domain key cannot. Deterministic, engine-portable,
+    * DuckDB-oracle-checkable end to end.
+    *
+    * Shape: two wordcount trains (vocabulary-sized shuffles), two
+    * scoring passes (token join against each vocab), one narrow key map,
+    * TakeOrderedAndProject. Documents with no tokens carry log ratio 0
+    * and compete on pure Gumbel noise (uniform among themselves). At
+    * extreme vocabulary sizes substitute [[Features]] hashed n-gram
+    * counts for the exact vocab join — the paper's own variant. */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      seed: String = "graft-dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tLm = LanguageModel.train(target, targetTextCol)
+    val pLm = LanguageModel.train(df, textCol)
+    val st = LanguageModel.scoreBy(tLm, df, idCol, textCol)
+      .withColumnRenamed("logprob", "lp_target")
+    val sp = LanguageModel.scoreBy(pLm, df, idCol, textCol)
+      .select(col("id"), col("logprob").as("lp_proposal"))
+    val u = hashFractionOpen(seed, Seq(col("id")))
+    st.join(sp, Seq("id"))
+      .withColumn("log_ratio",
+        round((col("lp_target") - col("lp_proposal")) * col("n_tokens"), 6))
+      .withColumn("gumbel_key",
+        round(col("log_ratio") - log(-log(u)), 9))
+      .orderBy(col("gumbel_key").desc, col("id"))
+      .limit(k)
+  }
 }

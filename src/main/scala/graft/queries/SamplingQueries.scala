@@ -393,8 +393,65 @@ object SamplingQueries extends QueryModule {
       out.orderBy("domain")
     })
 
+  /** DSIR-style importance resampling toward the doc_id % 5 slice's
+    * distribution ([[graft.ops.Sampling.importanceResample]]): the
+    * oracle retrains BOTH unigram LMs, rescores every document, and
+    * reproduces the Gumbel top-k selection — LM training, smoothing,
+    * the likelihood-ratio weights, the identity-hash Gumbel draws, and
+    * the cut must all agree at once. */
+  val smpImportanceResample: Q = Q(
+    "smp_importance_resample",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(
+          CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+          x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+      vt AS (SELECT t, count(*) AS c FROM tok WHERE doc_id % 5 = 0
+             GROUP BY t),
+      vp AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      st AS (SELECT (SELECT count(*) FROM tok WHERE doc_id % 5 = 0) AS tt,
+               (SELECT count(*) FROM vt) AS vs),
+      sp AS (SELECT (SELECT count(*) FROM tok) AS tt,
+               (SELECT count(*) FROM vp) AS vs),
+      lt AS (
+        SELECT tok.doc_id,
+          avg(ln((COALESCE(vt.c, 0) + 1.0) / (st.tt + st.vs))) AS lp
+        FROM tok LEFT JOIN vt USING (t), st GROUP BY tok.doc_id),
+      lpp AS (
+        SELECT tok.doc_id,
+          avg(ln((COALESCE(vp.c, 0) + 1.0) / (sp.tt + sp.vs))) AS lp
+        FROM tok LEFT JOIN vp USING (t), sp GROUP BY tok.doc_id),
+      sc AS (
+        SELECT d.doc_id AS id, len(d.w) AS n_tokens,
+          round(COALESCE(lt.lp, 0.0), 6) AS lp_target,
+          round(COALESCE(lpp.lp, 0.0), 6) AS lp_proposal
+        FROM d LEFT JOIN lt ON d.doc_id = lt.doc_id
+          LEFT JOIN lpp ON d.doc_id = lpp.doc_id),
+      kx AS (
+        SELECT id, n_tokens, lp_target, lp_proposal,
+          round((lp_target - lp_proposal) * n_tokens, 6) AS log_ratio,
+          round(round((lp_target - lp_proposal) * n_tokens, 6)
+            - ln(-ln((CAST(concat('0x', substr(md5(concat_ws('|',
+                'graft-dsir', CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
+                + 0.5) / 4294967296.0)), 9) AS gumbel_key
+        FROM sc)
+      SELECT id, n_tokens, lp_target, lp_proposal, log_ratio, gumbel_key
+      FROM kx ORDER BY gumbel_key DESC, id LIMIT 50"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val out = graft.ops.Sampling.importanceResample(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0), "text", k = 50)
+      val rows = out.collect()
+      require(rows.length == 50, s"expected 50 draws, got ${rows.length}")
+      out.orderBy(col("gumbel_key").desc, col("id"))
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
-      smpWeighted, smpLeakageSafe, smpWaterFill)
+      smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample)
 }

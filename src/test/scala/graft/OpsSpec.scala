@@ -1996,6 +1996,38 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("importance resampling: pulls toward the target distribution, deterministic") {
+    import graft.ops.Sampling
+    // corpus: 100 docs of "common" words, 100 docs of "rare" words;
+    // target speaks only "rare" -> resampling must prefer rare docs
+    val corpus = ((0 until 100).map(i =>
+      (i.toLong, "aaa bbb ccc ddd eee aaa bbb ccc")) ++
+      (100 until 200).map(i =>
+        (i.toLong, "xxx yyy zzz www vvv xxx yyy zzz")))
+      .toDF("doc_id", "text")
+    val target = (0 until 20).map(i => (i.toLong, "xxx yyy zzz www vvv"))
+      .toDF("doc_id", "text")
+    val picked = Sampling.importanceResample(corpus, "doc_id", "text",
+      target, "text", k = 40)
+      .select("id").as[Long].collect()
+    val rareShare = picked.count(_ >= 100).toDouble / picked.length
+    assert(rareShare > 0.9,
+      s"target-domain docs must dominate the draw, got $rareShare")
+    // deterministic: same inputs, same selection
+    val again = Sampling.importanceResample(corpus, "doc_id", "text",
+      target, "text", k = 40).select("id").as[Long].collect()
+    assert(picked.toSeq == again.toSeq)
+    // log-domain key: long documents with huge ratios cannot overflow
+    val long = Seq((1L, ("xxx " * 5000).trim), (2L, ("aaa " * 5000).trim))
+      .toDF("doc_id", "text")
+    val lr = Sampling.importanceResample(long, "doc_id", "text",
+      target, "text", k = 2).collect()
+    assert(lr.forall(r => !r.getAs[Double]("gumbel_key").isInfinite &&
+      !r.getAs[Double]("gumbel_key").isNaN))
+    assert(lr.head.getAs[Long]("id") == 1L,
+      "the target-language doc must out-rank under an extreme ratio")
+  }
+
   test("eval contamination: hand case, short-eval zero row, full containment") {
     import graft.ops.Decontaminate
     val corpus = Seq(
