@@ -53,7 +53,12 @@ object Bench {
     "km_lloyd_assign",
     // round-12 session 2: winnowing (per-doc O(n·w) array expression —
     // the heaviest narrow-map text shape in the engine)
-    "wn_fingerprints")
+    "wn_fingerprints",
+    // round-12 session 2: the mergeable-sketch family's regression line
+    // (one hash agg + windowed estimator) and the heaviest LM
+    // composition (two trains + two scoring joins + Gumbel top-k)
+    "hll_estimate_groups",
+    "smp_importance_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
