@@ -185,6 +185,27 @@ object ScaleBench {
           s""","fingerprints":$fps""")
       }
 
+      if (wanted("bootstrap")) {
+        // the explode-B map-side-combine claim: B resamples in one pass,
+        // shuffle bounded by partitions x B. Measured over EVENTS, whose
+        // scaled copies carry OFFSET event_ids — unique keys, honoring
+        // the identity-hash contract (lineitem copies are identical rows
+        // and would couple their draws). B = 20 bounds the 100x leg.
+        val evB = spark.read.parquet(s"$dir/events")
+        var neff = 0L
+        val (bMed, bS) = timeMedian {
+          neff = graft.stats.Bootstrap.resampleMeans(
+              evB, Seq("event_id"),
+              org.apache.spark.sql.functions.col("value"),
+              b = 20, seed = "graft-scale")
+            .agg(org.apache.spark.sql.functions.sum("n_eff"))
+            .head.getLong(0)
+        }
+        // linearity witness: total effective draws ~ B x N(K)
+        emit("bootstrap_b20", k, evB.count(), bMed, bS,
+          s""","n_eff_total":$neff""")
+      }
+
       if (wanted("t1_column_stats")) {
         val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
         val (t1Med, t1S) = timeMedian {
