@@ -146,6 +146,65 @@ object TextOps {
           - lit(84.6) * spw, 4)))
   }
 
+  /** Zipf rank-frequency fit over the corpus vocabulary (Zipf 1949 —
+    * public): OLS of ln(count) on ln(rank) over the token frequency
+    * table. Natural text sits near slope −1; synthetic, templated, or
+    * keyword-stuffed corpora flatten or steepen it, making the slope a
+    * one-number corpus-health screen next to the quality filters.
+    * Also reports the hapax share (frequency-1 tokens / vocabulary —
+    * the Heaps-law companion; collapsed hapax share flags boilerplate).
+    *
+    * One wordcount aggregation (vocabulary-sized shuffle), one rank
+    * window over the vocabulary table (count desc, token asc ties), OLS
+    * moments as rounded-ln decimal folds — fully oracle-checkable.
+    * Returns one row (vocab, n_tokens, slope, intercept, r2,
+    * hapax_share), nulls when fewer than 2 distinct ranks exist. */
+  def zipfFit(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("t"))))
+      .withColumn("x", round(log(col("r").cast("double")), 9))
+      .withColumn("y", round(log(col("c").cast("double")), 9))
+    def fold(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    ranked.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("c")).as("n_tokens"),
+      fold(col("x")).as("__sx"), fold(col("y")).as("__sy"),
+      fold(round(col("x") * col("y"), 9)).as("__sxy"),
+      fold(round(col("x") * col("x"), 9)).as("__sxx"),
+      fold(round(col("y") * col("y"), 9)).as("__syy"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"))
+      .withColumn("__cxy",
+        col("__sxy") - col("__sx") * col("__sy") / col("vocab"))
+      .withColumn("__cxx",
+        col("__sxx") - col("__sx") * col("__sx") / col("vocab"))
+      .withColumn("__cyy",
+        col("__syy") - col("__sy") * col("__sy") / col("vocab"))
+      .select(col("vocab"), col("n_tokens"),
+        when(col("__cxx") > 0,
+          round(col("__cxy") / col("__cxx"), 6)).as("slope"),
+        when(col("__cxx") > 0,
+          round(col("__sy") / col("vocab")
+            - (col("__cxy") / col("__cxx")) * col("__sx") / col("vocab"),
+            6)).as("intercept"),
+        // cyy carries a ~n·5e-10 residue from the rounded y² terms even
+        // when y is constant; the RELATIVE floor (identical in both
+        // engines, so portable) nulls the degenerate fit instead of
+        // emitting junk r²
+        when(col("__cxx") > 0 &&
+            col("__cyy") > lit(1e-9) * greatest(col("__syy"), lit(1.0)),
+          round(pow(col("__cxy"), 2) / (col("__cxx") * col("__cyy")), 6))
+          .as("r2"),
+        round(col("__hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_share"))
+  }
+
   /** Per-script character counts (array<int> in
     * [[graft.functions.ScriptCounts.names]] order) — one codegen'd pass
     * over code points; the script prefilter language ID needs before any

@@ -1637,9 +1637,59 @@ object TextQueries extends QueryModule {
         .orderBy("eval_id")
     })
 
+  /** Zipf rank-frequency fit + hapax share over the corpus vocabulary
+    * ([[TextOps.zipfFit]]): the oracle rebuilds the frequency table,
+    * the (count desc, token) rank, and the OLS moments term-for-term. */
+  val txtZipfFit: Q = Q(
+    "txt_zipf_fit",
+    Some(s"""
+      WITH t AS (SELECT $wSql AS w FROM documents),
+      tok AS (SELECT unnest(w) AS t FROM t),
+      cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      rk AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM cnt),
+      xy AS (
+        SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+          round(ln(CAST(c AS DOUBLE)), 9) AS y, c
+        FROM rk),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy,
+          CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hap
+        FROM xy),
+      d AS (
+        SELECT vocab, n_tokens, sx, sy, syy, hap,
+          sxy - sx * sy / vocab AS cxy,
+          sxx - sx * sx / vocab AS cxx,
+          syy - sy * sy / vocab AS cyy
+        FROM m)
+      SELECT vocab, n_tokens,
+        CASE WHEN cxx > 0 THEN round(cxy / cxx, 6) END AS slope,
+        CASE WHEN cxx > 0 THEN
+          round(sy / vocab - (cxy / cxx) * sx / vocab, 6) END AS intercept,
+        CASE WHEN cxx > 0 AND cyy > 1e-9 * greatest(syy, CAST(1.0 AS DOUBLE)) THEN
+          round(pow(cxy, 2) / (cxx * cyy), 6) END AS r2,
+        round(CAST(hap AS DOUBLE) / vocab, 6) AS hapax_share
+      FROM d"""),
+    (s, dir) => {
+      val out = TextOps.zipfFit(Tables.load(s, dir, "documents"), "text")
+      val r = out.collect().head
+      require(r.getAs[Double]("slope") < 0,
+        "rank-frequency slope must be negative on any real vocabulary")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
-    sftRenderChat, sftPreferencePairs, txtEvalContamination,
+    sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

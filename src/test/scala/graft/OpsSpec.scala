@@ -1996,6 +1996,35 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("zipf fit: planted exponent recovery, uniform corpus, hapax share, degenerate") {
+    import graft.ops.TextOps
+    // plant a perfect Zipf-1 corpus: token i appears floor(1000/i) times
+    val zipfText = (1 to 50).flatMap(i =>
+      Seq.fill(1000 / i)(s"tok$i")).mkString(" ")
+    val fit = TextOps.zipfFit(Seq(zipfText).toDF("text"), "text")
+      .collect().head
+    assert(math.abs(fit.getAs[Double]("slope") + 1.0) < 0.05,
+      s"planted Zipf-1 should recover slope ~ -1, got ${fit.getAs[Double]("slope")}")
+    assert(fit.getAs[Double]("r2") > 0.99)
+    assert(fit.getAs[Long]("vocab") == 50)
+    // uniform corpus: constant counts -> zero y-variance -> null r2, slope 0
+    val uni = Seq(((1 to 30).map(i => s"u$i u$i").mkString(" ")))
+      .toDF("text")
+    val uf = TextOps.zipfFit(uni, "text").collect().head
+    assert(uf.getAs[Double]("slope") == 0.0 &&
+      uf.isNullAt(uf.fieldIndex("r2")))
+    assert(uf.getAs[Double]("hapax_share") == 0.0)
+    // all-hapax corpus
+    val hap = TextOps.zipfFit(
+      Seq((1 to 20).map(i => s"h$i").mkString(" ")).toDF("text"), "text")
+      .collect().head
+    assert(hap.getAs[Double]("hapax_share") == 1.0)
+    // single-token vocabulary: no x-variance -> null slope, never Inf
+    val one = TextOps.zipfFit(Seq("same same same").toDF("text"), "text")
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("slope")))
+  }
+
   test("importance resampling: pulls toward the target distribution, deterministic") {
     import graft.ops.Sampling
     // corpus: 100 docs of "common" words, 100 docs of "rare" words;
