@@ -176,6 +176,84 @@ object ProjectionQueries extends QueryModule {
         .toDF("method", "recall_at_10").orderBy("method")
     })
 
+  /** The full 64×64 Procrustes cross-moment grid between each embedding
+    * and its reversed twin ([[graft.ops.Procrustes.crossMoments]]) —
+    * the only distributed work of the alignment, every cell rebuilt by
+    * DuckDB. */
+  val procrustesMoments: Q = Q(
+    "prj_procrustes_moments",
+    Some(s"""
+      WITH v AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS a,
+          list_reverse(CAST(embedding AS DOUBLE[])) AS b
+        FROM embeddings WHERE embedding IS NOT NULL),
+      ii AS (SELECT CAST(unnest(range($InDim)) AS INT) AS i),
+      jj AS (SELECT CAST(unnest(range($InDim)) AS INT) AS j)
+      SELECT ii.i, jj.j, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(round(a[ii.i + 1] * b[jj.j + 1], 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS m
+      FROM v, ii, jj
+      GROUP BY 1, 2
+      ORDER BY i, j"""),
+    (s, dir) =>
+      graft.ops.Procrustes.crossMoments(
+          Tables.load(s, dir, "embeddings")
+            .select(col("embedding").as("a"),
+              reverse(col("embedding")).as("b")),
+          "a", "b")
+        .orderBy("i", "j"))
+
+  /** Fit + apply on the reversed-twin pairing: the optimal rotation IS
+    * the reversal permutation, so the gate asserts RᵀR = I, R ≈ the
+    * permutation, and a ~zero distributed alignment residual; the
+    * deterministic rotation grid is the dumped artifact (rows-only —
+    * the SVD has no SQL mirror; the moment grid feeding it is the
+    * oracle-checked part). */
+  val procrustesAlign: Q = Q(
+    "prj_procrustes_align",
+    None,
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Procrustes
+      val pairs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("a"),
+          reverse(col("embedding")).as("b"))
+      val model = Procrustes.fit(pairs, "a", "b")
+      val r = model.rotation
+      val d = r.length
+      // orthogonality: R^T R = I
+      var p = 0
+      while (p < d) {
+        var q = 0
+        while (q < d) {
+          var dot = 0.0; var k = 0
+          while (k < d) { dot += r(k)(p) * r(k)(q); k += 1 }
+          val want = if (p == q) 1.0 else 0.0
+          require(math.abs(dot - want) < 1e-8,
+            s"R not orthogonal at ($p,$q): $dot")
+          q += 1
+        }
+        p += 1
+      }
+      // recovery: the reversal permutation
+      for (i <- 0 until d; j <- 0 until d) {
+        val want = if (j == d - 1 - i) 1.0 else 0.0
+        require(math.abs(r(i)(j) - want) < 1e-6,
+          s"rotation drifted from the reversal permutation at ($i,$j)")
+      }
+      // distributed residual: aligned == target
+      val res = Procrustes.align(pairs, "a", model)
+        .select(aggregate(zip_with(col("aligned"), col("b"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("e"))
+        .agg(max(col("e"))).head.getDouble(0)
+      require(res < 1e-12, s"alignment residual $res")
+      model.rotation.indices.flatMap(i => model.rotation(i).indices.map(
+          j => (i, j, math.rint(model.rotation(i)(j) * 1e6) / 1e6)))
+        .toDF("i", "j", "r")
+        .orderBy("i", "j")
+    })
+
   override def queries: Seq[Q] =
-    Seq(signProject, covariance, covMerge, pcaTopk, annRecall)
+    Seq(signProject, covariance, covMerge, pcaTopk, annRecall,
+      procrustesMoments, procrustesAlign)
 }

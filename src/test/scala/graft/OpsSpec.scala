@@ -1996,6 +1996,42 @@ class OpsSpec extends SparkSpec {
       "unterminated text floors at one sentence")
   }
 
+  test("procrustes: planted rotation recovered, orthogonality, rank-deficiency loud") {
+    import graft.ops.Procrustes
+    // planted 3-D rotation: angle in the (0,1) plane, axis 2 fixed
+    val th = 0.7
+    val r0 = Array(
+      Array(math.cos(th), math.sin(th), 0.0),
+      Array(-math.sin(th), math.cos(th), 0.0),
+      Array(0.0, 0.0, 1.0))
+    def rot(x: Array[Double]): Array[Double] =
+      Array.tabulate(3)(j => x.indices.map(i => x(i) * r0(i)(j)).sum)
+    val xs = (0 until 200).map { i =>
+      Array(((i * 37) % 19 - 9).toDouble, ((i * 53) % 23 - 11).toDouble,
+        ((i * 71) % 17 - 8).toDouble)
+    }
+    val pairs = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, x.toSeq, rot(x).toSeq) }
+      .toDF("id", "a", "b")
+    val m = Procrustes.fit(pairs, "a", "b")
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(m.rotation(i)(j) - r0(i)(j)) < 1e-9,
+        s"rotation off at ($i,$j)")
+    // aligned vectors land exactly on the target
+    val res = Procrustes.align(pairs, "a", m)
+      .select(zip_with(col("aligned"), col("b"), (x, y) => abs(x - y)))
+      .as[Seq[Double]].collect().flatten.max
+    assert(res < 1e-9)
+    // a constant coordinate cannot determine the rotation: loud failure
+    val degenerate = (0 until 50)
+      .map(i => (i.toLong, Seq(i.toDouble, 0.0), Seq(i.toDouble, 0.0)))
+      .toDF("id", "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Procrustes.fit(degenerate, "a", "b")
+    }
+    assert(e.getMessage.contains("rank-deficient"))
+  }
+
   test("zipf fit: planted exponent recovery, uniform corpus, hapax share, degenerate") {
     import graft.ops.TextOps
     // plant a perfect Zipf-1 corpus: token i appears floor(1000/i) times
