@@ -40,8 +40,10 @@ object Hll {
   /** Bias-correction constant α_m for m ≥ 128 (the 2007 paper's table). */
   def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
 
+  // the one engine-portable identity hash — shared, so a recipe change
+  // can never silently diverge HLL registers from the other operators
   private def hex(seed: String, key: Column): Column =
-    md5(concat_ws("|", lit(seed), key.cast("string")).cast("binary"))
+    Sampling.hashHex(seed, Seq(key))
 
   /** Register index of `key` in [0, m). */
   def bucket(key: Column, m: Int, seed: String): Column =

@@ -729,16 +729,18 @@ object EventQueries extends QueryModule {
           (cc.sxy - cc.sx * cc.sy / cc.n) / (cc.n - 1) AS cov_c,
           tt.sx / tt.n - cc.sx / cc.n AS diff_x
         FROM tt, cc),
+      f2 AS (
+        SELECT f.*, CASE WHEN var_x > 0 THEN cov_xy / var_x
+          ELSE 0.0 END AS th
+        FROM f),
       g AS (
-        SELECT nt, nc, cov_xy / var_x AS theta, diff_raw,
+        SELECT nt, nc, th AS theta, diff_raw,
           sqrt(var_t / nt + var_c / nc) AS se_raw,
-          diff_raw - (cov_xy / var_x) * diff_x AS diff_adj,
-          var_t + (cov_xy / var_x) * (cov_xy / var_x) * varx_t
-            - 2.0 * (cov_xy / var_x) * cov_t AS vadj_t,
-          var_c + (cov_xy / var_x) * (cov_xy / var_x) * varx_c
-            - 2.0 * (cov_xy / var_x) * cov_c AS vadj_c,
+          diff_raw - th * diff_x AS diff_adj,
+          var_t + th * th * varx_t - 2.0 * th * cov_t AS vadj_t,
+          var_c + th * th * varx_c - 2.0 * th * cov_c AS vadj_c,
           var_t, var_c
-        FROM f)
+        FROM f2)
       SELECT CAST(nt AS BIGINT) AS n_treatment,
         CAST(nc AS BIGINT) AS n_control,
         round(theta, 8) AS theta,
@@ -892,10 +894,12 @@ object EventQueries extends QueryModule {
         CAST(SUM(da) AS BIGINT) AS observed_a,
         round(CAST(SUM(CAST(round(ea, 9) AS DECIMAL(38,12))) AS DOUBLE),
           6) AS expected_a,
-        round(pow(CAST(SUM(CAST(round(da - ea, 9) AS DECIMAL(38,12)))
-            AS DOUBLE), 2)
-          / CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,12))) AS DOUBLE), 6)
-          AS chi2
+        CASE WHEN CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,12)))
+            AS DOUBLE) > 0 THEN
+          round(pow(CAST(SUM(CAST(round(da - ea, 9) AS DECIMAL(38,12)))
+              AS DOUBLE), 2)
+            / CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,12))) AS DOUBLE), 6)
+        END AS chi2
       FROM terms CROSS JOIN tot
       GROUP BY tot.n_a, tot.n_b"""),
     (s, dir) => {

@@ -58,7 +58,7 @@ object Bootstrap {
     * lands at 5.0000000000000004 → ceil 6, while 0.025·200 rounds to
     * exactly 5) — a divergence found by the cross-engine gate. Both the
     * operator and oracle authors must take ranks from here. */
-  def ranks(b: Int, level: Double): (Long, Long) = {
+  def ranks(b: Long, level: Double): (Long, Long) = {
     val a2 = (BigDecimal(1) - BigDecimal.valueOf(level)) / 2
     val lo = (a2 * b).setScale(0, BigDecimal.RoundingMode.CEILING)
       .toLong.max(1L)
@@ -106,10 +106,21 @@ object Bootstrap {
   def ci(df: DataFrame, keys: Seq[String], value: Column, b: Int,
       seed: String = "graft-boot", level: Double = 0.95): DataFrame = {
     require(level > 0 && level < 1, s"bad level $level")
-    val (loRank, hiRank) = ranks(b, level)
-    val means = resampleMeans(df, keys, value, b, seed)
+    // empty resamples (possible only for tiny inputs, P = e^-n each)
+    // carry null means: they must not count toward the rank positions
+    // or the SE moments, and a CI bound must never land on a null —
+    // filter them and take ranks against the OBSERVED resample count
+    val allMeans = resampleMeans(df, keys, value, b, seed)
+      .filter(col("boot_mean").isNotNull)
+      .persist()
+    val observed = allMeans.count()
+    require(observed >= 2,
+      s"only $observed non-empty resamples of $b — input too small to " +
+        "bootstrap")
+    val (loRank, hiRank) = ranks(observed, level)
+    val means = allMeans
       .withColumn("__rn", row_number().over(
-        Window.orderBy(col("boot_mean").asc_nulls_first, col("b"))))
+        Window.orderBy(col("boot_mean"), col("b"))))
     val full = df.select(value.cast("decimal(18,6)").as("__v"))
       .filter(col("__v").isNotNull)
       .agg(round(sum(col("__v")).cast("double") / count(lit(1)), 6)
@@ -129,6 +140,13 @@ object Bootstrap {
         round(sqrt((col("__s2") - col("__s") * col("__s") / col("b"))
           / (col("b") - 1)) / 1e6, 6))
       .select("b", "boot_se", "ci_lo", "ci_hi")
-    full.crossJoin(summary).select("mean", "b", "boot_se", "ci_lo", "ci_hi")
+    // evaluate eagerly so the persisted means table can be released
+    // before returning (the engine computes every number; the caller
+    // gets a 1-row local relation with identical values)
+    val row = full.crossJoin(summary)
+      .select("mean", "b", "boot_se", "ci_lo", "ci_hi").head()
+    allMeans.unpersist()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row), row.schema)
   }
 }

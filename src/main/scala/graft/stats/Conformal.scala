@@ -39,17 +39,24 @@ object Conformal {
     * rank-th smallest |y − ŷ| rounded to 9; null when rank > n). */
   def fit(cal: DataFrame, yCol: Column, yhatCol: Column,
       alpha: Double = 0.1): DataFrame = {
+    // persisted: the count and the rank selection would otherwise each
+    // re-run the upstream calibration pipeline (joins included); the
+    // result is evaluated eagerly so the cache releases before return
     val res = cal
       .select(round(abs(yCol.cast("double") - yhatCol.cast("double")), 9)
         .as("__r"))
       .filter(col("__r").isNotNull)
       .withColumn("__rn", row_number().over(Window.orderBy(col("__r"))))
+      .persist()
     val n = res.agg(count(lit(1))).head().getLong(0)
     val r = rank(n, alpha)
-    res.agg(
+    val row = res.agg(
       lit(n).as("n_cal"),
       lit(r).as("q_rank"),
-      max(when(col("__rn") === r, col("__r"))).as("qhat"))
+      max(when(col("__rn") === r, col("__r"))).as("qhat")).head()
+    res.unpersist()
+    cal.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row), row.schema)
   }
 
   /** Add [lo, hi] = ŷ ± qhat to every row — the corpus-sized step, a

@@ -121,8 +121,11 @@ object DataQuality {
     * FD holds iff every lhs value maps to exactly one rhs value —
     * checked as max-over-groups of countDistinct(rhs) == 1 (TANE's
     * level-1 check, Huhtala et al. 1999). One groupBy(lhs) aggregation
-    * PER lhs column (d passes, each map-side combined and shuffled on
-    * its own key — never a d²-way Expand of the data). NULL lhs rows
+    * PER lhs column; NB each pass carries d−1 distinct aggregates,
+    * which Catalyst plans through an Expand of ~d projections — total
+    * work is ~d²·N rows, inherent to checking all d² pairs exactly, so
+    * keep `cols` to the shortlist [[keyCandidates]] suggests rather
+    * than every column of a wide table. NULL lhs rows
     * are excluded (SQL grouping would pool them into a fake value);
     * NULL rhs counts as a value via a distinct-count-plus-null-flag so
     * a column mapping to {x, NULL} is NOT functionally determined.

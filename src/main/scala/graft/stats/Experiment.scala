@@ -60,19 +60,27 @@ object Experiment {
   def cuped(units: DataFrame): DataFrame = {
     def mom(c: Column): Column =
       sum(round(c, 6).cast("decimal(38,12)")).cast("double")
-    val byArm = units.groupBy("arm").agg(
+    // the 2-row moment table is collected ONCE and re-enters the plan as
+    // a local relation: no second pass over units, nothing persisted (a
+    // persist here leaked cache for the session), and the arms check is
+    // loud — a missing arm must not evaporate through the cross join
+    // into an empty result the caller mistakes for "no effect"
+    val byArmRows = units.groupBy("arm").agg(
       count(lit(1)).cast("double").as("n"),
       mom(col("x")).as("sx"), mom(col("y")).as("sy"),
       mom(col("x") * col("y")).as("sxy"),
       mom(col("x") * col("x")).as("sxx"),
       mom(col("y") * col("y")).as("syy"))
-      .persist()
-    // a missing arm must fail LOUDLY, not evaporate through the cross
-    // join into an empty result the caller mistakes for "no effect"
-    val arms = byArm.select("arm").collect().map(_.getString(0)).toSet
+      .collect()
+    val arms = byArmRows.map(_.getString(0)).toSet
     require(arms == Set("treatment", "control"),
       s"CUPED needs both arms; found ${arms.toSeq.sorted.mkString(", ")}" +
         " — check the arm column or the assignment seed")
+    val spark = units.sparkSession
+    val byArm = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(byArmRows: _*)),
+      byArmRows.head.schema)
     val t = byArm.filter(col("arm") === "treatment").as("t")
     val c = byArm.filter(col("arm") === "control").as("c")
     val joined = t.crossJoin(c)
@@ -84,7 +92,10 @@ object Experiment {
     val sxx = col("t.sxx") + col("c.sxx")
     val covXy = (sxy - sx * sy / n) / (n - 1)
     val varX = (sxx - sx * sx / n) / (n - 1)
-    val theta = covXy / varX
+    // a constant pre-period covariate (varX = 0 — e.g. the log starts at
+    // launch and every x is 0) determines no theta: fall back to 0 = NO
+    // adjustment, rather than letting 0/0 NaN-poison every output
+    val theta = when(varX > 0, covXy / varX).otherwise(lit(0.0))
     def armStats(p: String): (Column, Column, Column, Column, Column) = {
       val an = col(s"$p.n")
       val mean = col(s"$p.sy") / an

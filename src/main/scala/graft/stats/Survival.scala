@@ -147,11 +147,15 @@ object Survival {
       sum(col("da")).as("observed_a"),
       round(sum(round(ea, 9).cast("decimal(38,12)")).cast("double"), 6)
         .as("expected_a"),
-      round(
-        pow(sum(round(col("da") - ea, 9).cast("decimal(38,12)"))
-          .cast("double"), 2)
-          / sum(round(vTerm, 9).cast("decimal(38,12)")).cast("double"), 6)
-        .as("chi2"))
+      // zero total variance (e.g. the only event time has d = n_risk)
+      // determines no statistic: null, never a 0/0 NaN that comparisons
+      // silently swallow
+      when(sum(round(vTerm, 9).cast("decimal(38,12)")).cast("double") > 0,
+        round(
+          pow(sum(round(col("da") - ea, 9).cast("decimal(38,12)"))
+            .cast("double"), 2)
+            / sum(round(vTerm, 9).cast("decimal(38,12)")).cast("double"),
+          6)).as("chi2"))
   }
 
   /** Per-subject durations from an event log: duration = last − first

@@ -185,7 +185,7 @@ object ScaleBench {
           s""","fingerprints":$fps""")
       }
 
-      if (wanted("bootstrap")) {
+      if (wanted("bootstrap_b20")) {
         // the explode-B map-side-combine claim: B resamples in one pass,
         // shuffle bounded by partitions x B. Measured over EVENTS, whose
         // scaled copies carry OFFSET event_ids — unique keys, honoring

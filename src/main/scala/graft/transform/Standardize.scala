@@ -154,8 +154,14 @@ object Standardize {
       .select(v.as("__pv"))
       .withColumn("__k", row_number().over(Window.orderBy(col("__pv")))
         .cast("long"))
-    ranked.join(pooled, Seq("__k"))
+    val normalized = ranked.join(pooled, Seq("__k"))
       .withColumn("normalized", col("__pv"))
       .drop("__r", "__n", "__nt", "__k", "__pv")
+    // null values pass through with a null normalized score — dropping
+    // their rows would silently shrink the table (the sibling ops'
+    // convention: undefined maps to null, never to absence)
+    normalized.unionByName(
+      df.filter(v.isNull)
+        .withColumn("normalized", lit(null).cast("double")))
   }
 }

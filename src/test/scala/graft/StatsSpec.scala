@@ -903,6 +903,12 @@ class StatsSpec extends SparkSpec {
         col("g"), col("t"), col("e"))
     }
     assert(e3.getMessage.contains("exactly two groups"))
+    // zero total variance (everyone dies at one time): null chi2, not NaN
+    val onetime = Seq(("a", 3.0, 1), ("a", 3.0, 1), ("b", 3.0, 1))
+      .toDF("g", "t", "e")
+    val zv = Survival.logRank(onetime, col("g"), col("t"), col("e"))
+      .collect().head
+    assert(zv.isNullAt(zv.fieldIndex("chi2")))
   }
 
   test("quantile normalization: identical group distributions, tie stability, shift removal") {
@@ -934,6 +940,14 @@ class StatsSpec extends SparkSpec {
       .filter(col("g") === "a" && col("v") === 1.0)
       .select("normalized").as[Double].collect()
     assert(tOut.length == 2 && tOut.distinct.length == 1)
+    // null values pass through with null normalized — never dropped
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
+      .toDF("g", "v")
+    val nOut = Standardize.quantileNormalizeByGroup(withNull, "g", "v")
+    assert(nOut.count() == 3)
+    val nRow = nOut.filter(col("v").isNull).collect()
+    assert(nRow.length == 1 &&
+      nRow.head.isNullAt(nRow.head.fieldIndex("normalized")))
   }
 
   test("conformal: rank formula, qhat order statistic, coverage guarantee") {
@@ -1014,6 +1028,15 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("theta")) < 0.01)
     assert(r2.getAs[Double]("se_adj") <= r2.getAs[Double]("se_raw") + 1e-9)
     assert(math.abs(r2.getAs[Double]("var_reduction")) < 0.05)
+    // constant pre-period covariate (new metric): theta falls back to 0,
+    // never a NaN cascade
+    val flat = (0 until 100).map(i =>
+      (if (i % 2 == 0) "treatment" else "control", 0.0,
+        (i % 7).toDouble)).toDF("arm", "x", "y")
+    val r3 = Experiment.cuped(flat).collect().head
+    assert(r3.getAs[Double]("theta") == 0.0)
+    assert(!r3.getAs[Double]("se_adj").isNaN &&
+      r3.getAs[Double]("se_adj") == r3.getAs[Double]("se_raw"))
   }
 
   test("unitMetrics splits pre/post and assigns arms deterministically") {
