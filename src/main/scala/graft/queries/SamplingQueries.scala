@@ -450,8 +450,67 @@ object SamplingQueries extends QueryModule {
       out.orderBy(col("gumbel_key").desc, col("id"))
     })
 
+  /** Integration: quantile-normalize per-source scores, then ONE global
+    * top-30% cut over the now-comparable values — the reason
+    * [[graft.transform.Standardize.quantileNormalizeByGroup]] exists
+    * (a raw global cut favors domains whose scorer runs hot). The
+    * oracle splices the full normalization CTEs into the global rank
+    * cut, so one hash proves both subsystems compose identically; the
+    * gate additionally asserts every source survives the cut. */
+  val smpNormalizedTopFrac: Q = Q(
+    "smp_normalized_topfrac",
+    Some("""
+      WITH base AS (
+        SELECT source AS g, doc_id, CAST(n_chars AS DOUBLE) AS val
+        FROM documents WHERE n_chars IS NOT NULL),
+      rk AS (
+        SELECT g, doc_id, val,
+          rank() OVER (PARTITION BY g ORDER BY val) AS r,
+          count(*) OVER (PARTITION BY g) AS n,
+          count(*) OVER () AS nt
+        FROM base),
+      kq AS (
+        SELECT g, doc_id, val,
+          ((2 * r - 1) * nt + 2 * n - 1) // (2 * n) AS k
+        FROM rk),
+      pooled AS (
+        SELECT val AS pv, row_number() OVER (ORDER BY val) AS k
+        FROM base),
+      norm AS (
+        SELECT g, doc_id, val, pv AS normalized
+        FROM kq JOIN pooled USING (k)),
+      cut AS (
+        SELECT g, doc_id, val, normalized,
+          row_number() OVER (ORDER BY normalized DESC, doc_id) AS rn,
+          count(*) OVER () AS m
+        FROM norm)
+      SELECT g AS source, doc_id, val AS score, normalized
+      FROM cut
+      WHERE rn <= CAST(ceil(CAST(0.3 AS DOUBLE) * m) AS BIGINT)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = graft.transform.Standardize.quantileNormalizeByGroup(
+        graft.Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "n_chars")
+      val out = norm
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("normalized").desc, col("doc_id"))))
+        .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("__rn") <= ceil(lit(0.3) * col("__m")))
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("double").as("score"), col("normalized"))
+        .orderBy("doc_id")
+      val perSource = out.groupBy("source").count().count()
+      require(perSource == 20,
+        s"the normalized cut must keep every source in play, got $perSource")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
-      smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample)
+      smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
+      smpNormalizedTopFrac)
 }
