@@ -206,6 +206,22 @@ object ScaleBench {
           s""","n_eff_total":$neff""")
       }
 
+      if (wanted("hll_sketch")) {
+        // sketch-family scaling: ONE map-side-combined aggregation whose
+        // shuffle is partitions x m regardless of row count; the
+        // estimate must track the growing true cardinality (copies get
+        // offset user_ids, so distincts scale exactly K x)
+        var est = 0.0
+        val (hMed, hS) = timeMedian {
+          est = graft.ops.Hll.estimate(
+              graft.ops.Hll.sketch(spark.read.parquet(s"$dir/events"),
+                "user_id"))
+            .head.getAs[Double]("hll_est")
+        }
+        emit("hll_sketch", k, spark.read.parquet(s"$dir/events").count(),
+          hMed, hS, f""","hll_est":$est%.1f""")
+      }
+
       if (wanted("t1_column_stats")) {
         val t1Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
         val (t1Med, t1S) = timeMedian {
