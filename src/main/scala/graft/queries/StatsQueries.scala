@@ -1037,6 +1037,47 @@ object StatsQueries extends QueryModule {
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "value", "normalized"))
 
+  /** Theil–Sen robust trend over the daily event-count series
+    * ([[graft.stats.Regression.theilSen]]): the oracle rebuilds all
+    * n(n−1)/2 pairwise slopes, both nearest-rank medians, and the
+    * residual intercept — rank selection is deterministic under ties
+    * because the VALUE at a rank is. */
+  val t30TheilSen: Q = Q(
+    "t30_theil_sen",
+    Some("""
+      WITH pts AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) // 86400
+          AS DOUBLE) AS x, CAST(count(*) AS DOUBLE) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      idx AS (
+        SELECT x, y, row_number() OVER (ORDER BY x, y) AS i FROM pts),
+      pr AS (
+        SELECT round((b.y - a.y) / (b.x - a.x), 9) AS s
+        FROM idx a JOIN idx b ON a.i < b.i AND a.x <> b.x),
+      rs AS (
+        SELECT s, row_number() OVER (ORDER BY s) AS r,
+          count(*) OVER () AS np
+        FROM pr),
+      sl AS (SELECT s FROM rs WHERE r = (np + 1) // 2),
+      res AS (
+        SELECT round(y - (SELECT s FROM sl) * x, 9) AS e FROM idx),
+      rr AS (
+        SELECT e, row_number() OVER (ORDER BY e) AS r,
+          count(*) OVER () AS n
+        FROM res)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n,
+        (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs,
+        round((SELECT s FROM sl), 6) AS slope,
+        round((SELECT e FROM rr WHERE r = (n + 1) // 2), 6) AS intercept"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(floor(unix_timestamp(date_trunc("DAY", col("ts")))
+          / 86400).cast("double").as("x"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      Regression.theilSen(daily, "x", "y")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1045,5 +1086,5 @@ object StatsQueries extends QueryModule {
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
-    t29QuantileNormalize)
+    t29QuantileNormalize, t30TheilSen)
 }

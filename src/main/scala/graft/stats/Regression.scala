@@ -101,4 +101,72 @@ object Regression {
           .as("intercept_cents"))
       .orderBy(col(keyCol))
   }
+
+  /** Theil–Sen robust slope (Theil 1950; Sen 1968 — public): the MEDIAN
+    * of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), with intercept = median of
+    * y − slope·x. Breakdown point ~29% — a third of the points can be
+    * arbitrarily corrupted before the fit moves, where one bad point
+    * drags OLS ([[ols]]/[[trendByKey]]) anywhere; the robust trend line
+    * for metric series with logging glitches.
+    *
+    * Exact over all n(n−1)/2 pairs via a self-join on a ROW-NUMBERED
+    * copy (i < j; x-ties excluded — vertical pairs define no slope), so
+    * the input must be modest (trend series are: daily/hourly points).
+    * Enforced loudly at `maxRows`; beyond that, Theil–Sen on a
+    * deterministic hash sample is the standard scale path. Medians are
+    * nearest-rank (never interpolated) with the value at a rank
+    * deterministic under ties. Returns one row
+    * (n, n_pairs, slope, intercept) rounded to `roundTo`; fewer than 2
+    * distinct x values yield null slope/intercept. */
+  def theilSen(df: DataFrame, xCol: String, yCol: String,
+      maxRows: Int = 10000, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .limit(maxRows + 1)
+      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("y"))))
+      .persist()
+    val n = base.count()
+    require(n <= maxRows,
+      s"more than $maxRows points — Theil-Sen is all-pairs-exact; trend " +
+        "series are small by nature, or pre-sample with hashFraction")
+    val a = base.select(col("i").as("ia"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = base.select(col("i").as("ib"), col("x").as("xb"),
+      col("y").as("yb"))
+    val slopes = a.join(b, col("ia") < col("ib"))
+      .filter(col("xb") =!= col("xa"))
+      .select(round((col("yb") - col("ya")) / (col("xb") - col("xa")),
+        9).as("s"))
+      .withColumn("r", row_number().over(Window.orderBy(col("s"))))
+    val np = slopes.count()
+    val out =
+      if (np == 0)
+        base.sparkSession.sql(
+          s"SELECT CAST($n AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_pairs, " +
+            "CAST(NULL AS DOUBLE) AS slope, CAST(NULL AS DOUBLE) AS intercept")
+      else {
+        // nearest-rank median: ceil(np/2)
+        val mid = (np + 1) / 2
+        val slope = slopes.filter(col("r") === mid).head.getAs[Double]("s")
+        val resid = base
+          .select(round(col("y") - lit(slope) * col("x"), 9).as("e"))
+          .withColumn("r", row_number().over(Window.orderBy(col("e"))))
+        val midN = (n + 1) / 2
+        val intercept = resid.filter(col("r") === midN)
+          .head.getAs[Double]("e")
+        def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+        base.sparkSession.sql(
+          s"SELECT CAST($n AS BIGINT) AS n, CAST($np AS BIGINT) AS n_pairs, " +
+            s"CAST(${r6(slope)} AS DOUBLE) AS slope, " +
+            s"CAST(${r6(intercept)} AS DOUBLE) AS intercept")
+      }
+    val result = out.collect()
+    base.unpersist()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(result: _*), out.schema)
+  }
 }

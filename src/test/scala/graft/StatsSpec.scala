@@ -804,6 +804,39 @@ class StatsSpec extends SparkSpec {
     assert(z.head.getAs[Double]("survival") == 0.5)
   }
 
+  test("theil-sen: exact line recovery, 29% breakdown resistance, edge shapes") {
+    import graft.stats.Regression
+    // clean line y = 3x + 2: every pairwise slope is 3
+    val clean = (0 until 20).map(i => (i.toDouble, 3.0 * i + 2.0))
+      .toDF("x", "y")
+    val c = Regression.theilSen(clean, "x", "y").collect().head
+    assert(c.getAs[Double]("slope") == 3.0 &&
+      c.getAs[Double]("intercept") == 2.0)
+    assert(c.getAs[Long]("n_pairs") == 190)
+    // corrupt 25% of points with wild outliers: the median slope holds
+    val dirty = (0 until 20).map { i =>
+      val y = if (i % 4 == 0) 1e6 else 3.0 * i + 2.0
+      (i.toDouble, y)
+    }.toDF("x", "y")
+    val d = Regression.theilSen(dirty, "x", "y").collect().head
+    assert(math.abs(d.getAs[Double]("slope") - 3.0) < 0.5,
+      s"robust slope must survive 25% corruption, got ${d.getAs[Double]("slope")}")
+    // OLS, for contrast, is dragged far away by the same corruption
+    val o = Regression.ols(dirty, "x", "y").get
+    assert(math.abs(o.slope - 3.0) > 100)
+    // all x equal: no defined pairs -> null slope
+    val vert = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    val v = Regression.theilSen(vert, "x", "y").collect().head
+    assert(v.getAs[Long]("n_pairs") == 0 &&
+      v.isNullAt(v.fieldIndex("slope")))
+    // loud cap
+    val big = (0 until 50).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Regression.theilSen(big, "x", "y", maxRows = 10)
+    }
+    assert(e.getMessage.contains("all-pairs-exact"))
+  }
+
   test("survival summary: hand RMST integral, median, no-events horizon") {
     import graft.stats.Survival
     // curve: S(2)=0.8, S(5)=0.4 -> tau=6: 1*2 + 0.8*3 + 0.4*1 = 4.8
