@@ -83,8 +83,11 @@ object Projection {
   }
 
   /** Raw upper-triangle (i ≤ j) second-moment table of `vecCol` over
-    * non-null vectors: (i, j, n, si, sj, sij) with decimal(38,12) sums —
-    * exact, summation-order-invariant, and ADDITIVE, so shard/micro-batch
+    * non-null vectors: (i, j, n, si, sj, sij) with decimal(38,12) sums
+    * of round(term, 12) — round-before-cast (the [[Procrustes]] idiom)
+    * because engines truncate a full-mantissa double into a decimal
+    * differently at the 12th digit; the rounded term is the same number
+    * everywhere. Exact, summation-order-invariant, and ADDITIVE, so shard/micro-batch
     * sketches merge by cell-wise sum into exactly the whole-corpus table
     * (the mergeable-moment shape of [[graft.stats.IncrementalStats]],
     * here for the full d×d covariance). Shuffle = partitions × d(d+1)/2
@@ -105,9 +108,9 @@ object Projection {
         element_at(col("__v"), col("__p.j") + 1).as("xj"))
       .groupBy("i", "j").agg(
         count(lit(1)).as("n"),
-        sum(col("xi").cast("decimal(38,12)")).as("si"),
-        sum(col("xj").cast("decimal(38,12)")).as("sj"),
-        sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("sij"))
+        sum(round(col("xi"), 12).cast("decimal(38,12)")).as("si"),
+        sum(round(col("xj"), 12).cast("decimal(38,12)")).as("sj"),
+        sum(round(col("xi") * col("xj"), 12).cast("decimal(38,12)")).as("sij"))
   }
 
   /** Cell-wise sum: mergeMoments(momentsUpper(A), momentsUpper(B)) ==

@@ -56,11 +56,11 @@ object ProjectionQueries extends QueryModule {
       m AS (
         SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
           count(*) AS n,
-          round(CAST(SUM(CAST(e[p.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+          round(CAST(SUM(CAST(round(e[p.i + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
             / count(*), 6) AS mean_i,
-          round(CAST(SUM(CAST(e[p.j + 1] AS DECIMAL(38,12))) AS DOUBLE)
+          round(CAST(SUM(CAST(round(e[p.j + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
             / count(*), 6) AS mean_j,
-          CAST(SUM(CAST(e[p.i + 1] * e[p.j + 1] AS DECIMAL(38,12))) AS DOUBLE)
+          CAST(SUM(CAST(round(e[p.i + 1] * e[p.j + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
             / count(*) AS m2
         FROM v, p
         GROUP BY 1, 2)
