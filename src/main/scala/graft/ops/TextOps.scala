@@ -154,20 +154,29 @@ object TextOps {
     * Also reports the hapax share (frequency-1 tokens / vocabulary —
     * the Heaps-law companion; collapsed hapax share flags boilerplate).
     *
-    * One wordcount aggregation (vocabulary-sized shuffle), one rank
-    * window over the vocabulary table (count desc, token asc ties), OLS
-    * moments as rounded-ln decimal folds — fully oracle-checkable.
+    * One wordcount aggregation (vocabulary-sized shuffle), one
+    * DISTRIBUTED sort of the vocabulary table for ranks (count desc,
+    * token asc ties; partition-offset positions, never a global
+    * window), OLS moments as rounded-ln decimal folds — fully
+    * oracle-checkable.
     * Returns one row (vocab, n_tokens, slope, intercept, r2,
     * hapax_share), nulls when fewer than 2 distinct ranks exist. */
   def zipfFit(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = df
       .select(explode(tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val ranked = counts
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("c").desc, col("t"))))
+    // global frequency rank WITHOUT a global window (web-scale
+    // vocabularies run 1e8-1e9 rows — one task must never see them
+    // all): distributed range-partitioned sort on (count desc, token),
+    // then zipWithIndex's partition-size offset pass assigns positions
+    val ranked = counts.as[(String, Long)].rdd
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex()
+      .map { case ((t, c), i) => (t, c, i + 1L) }
+      .toDF("t", "c", "r")
       .withColumn("x", round(log(col("r").cast("double")), 9))
       .withColumn("y", round(log(col("c").cast("double")), 9))
     def fold(c: org.apache.spark.sql.Column) =

@@ -125,14 +125,20 @@ object Standardize {
     * double form drifts a rank; the product overflows a long at
     * corpus scale). Adds `normalized`.
     *
-    * Scale shape: one rank window per group, one global sort for the
-    * pooled positions, one join on the target position — the exact
-    * path. At 100 TB replace the pooled sort with a merged
-    * [[graft.stats.QuantileSketch]] and interpolate; the exact path is
-    * for sample-sized score tables. */
+    * Scale shape: one rank window per group (partitioned — safe), ONE
+    * distributed range-partitioned sort for the pooled positions
+    * (`sortBy` + `zipWithIndex`'s partition-size offset pass — the
+    * classic parallel scan; NO unpartitioned window anywhere, so no
+    * task ever sees more than its partition), one broadcast of the
+    * 1-row total, one shuffle join on the target position — the exact
+    * path at any scale. A sketch substitution (merged
+    * [[graft.stats.QuantileSketch]] + interpolation) remains the cheap
+    * approximation when exactness isn't required. */
   def quantileNormalizeByGroup(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = col(valueCol).cast("double")
     val base = df.filter(v.isNotNull)
     val wg = Window.partitionBy(col(groupCol)).orderBy(v)
@@ -147,13 +153,21 @@ object Standardize {
     val ranked = base
       .withColumn("__r", rank().over(wg))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-      .withColumn("__nt", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__nt"))))
       .withColumn("__k",
         ((numAdj - pmod(numAdj, den)) / den).cast("long"))
+    // pooled position table (k, value): distributed sort, then
+    // zipWithIndex assigns global positions from broadcast partition
+    // sizes (its extra counting job reuses the sort's shuffle output).
+    // Tie order within equal values is partition-arbitrary but the
+    // mapped VALUE is identical, so k -> value is well-defined — the
+    // same argument the old global row_number relied on.
     val pooled = base
-      .select(v.as("__pv"))
-      .withColumn("__k", row_number().over(Window.orderBy(col("__pv")))
-        .cast("long"))
+      .select(v.as("__pv")).as[Double].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (pv, i) => (pv, i + 1L) }
+      .toDF("__pv", "__k")
     val normalized = ranked.join(pooled, Seq("__k"))
       .withColumn("normalized", col("__pv"))
       .drop("__r", "__n", "__nt", "__k", "__pv")

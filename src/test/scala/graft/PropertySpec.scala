@@ -485,4 +485,43 @@ class PropertySpec extends SparkSpec {
     assert(exchanges == 1,
       s"covariance should shuffle exactly once, found $exchanges:\n$cov")
   }
+
+  test("quantile normalize + zipf fit: NO unpartitioned window in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qn = graft.transform.Standardize.quantileNormalizeByGroup(
+      docs.select($"doc_id", $"lang", length($"text").cast("double").as("score")),
+      "lang", "score")
+    val qnWins = qn.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w }
+    assert(qnWins.nonEmpty, "expected the per-group rank windows")
+    assert(qnWins.forall(_.partitionSpec.nonEmpty),
+      "quantile normalization must not plan a global (unpartitioned) window")
+    // semantic sanity on the rewritten path: normalized values are drawn
+    // from the pooled score set (quantile normalization substitutes real
+    // pooled values, never interpolations), and within a group the map
+    // is monotone in the raw score
+    val scoreSet = qn.select($"score").distinct().as[Double].collect().toSet
+    val rows = qn.select($"lang", $"score", $"normalized")
+      .as[(String, Double, Double)].collect()
+    assert(rows.forall { case (_, _, n) => scoreSet.contains(n) },
+      "normalized values must come from the pooled distribution")
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.sliding(2).forall {
+        case Array((_, s1, n1), (_, s2, n2)) => s1 > s2 || n1 <= n2
+        case _ => true
+      }, s"group $g: normalization must be monotone in the raw score")
+    }
+    val zf = graft.ops.TextOps.zipfFit(docs, "text")
+    assert(globalWindows(zf).isEmpty,
+      "zipf rank must come from the distributed sort, not a global window")
+    val row = zf.head()
+    assert(row.getAs[Long]("vocab") > 0 && row.getAs[Double]("slope") < 0,
+      "zipf fit should produce a negative slope on natural-ish text")
+  }
 }
