@@ -43,21 +43,15 @@ object SkewJoin {
   private val Allowed = Set("inner", "left", "leftouter", "leftsemi",
     "leftanti")
 
-  /** `fact ⋈ dim` on `keys`, fact-key skew neutralized over `salt`
-    * sub-keys. Result is row-identical to the plain join (spec-pinned). */
-  def saltedJoin(
-      fact: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int,
-      joinType: String = "inner"): DataFrame = {
-    require(salt >= 2, s"salt must be >= 2, got $salt")
-    require(keys.nonEmpty, "at least one join key required")
-    val jt = joinType.toLowerCase.replace("_", "")
-    require(Allowed.contains(jt),
-      s"saltedJoin supports fact-preserving join types only, got $joinType")
-    val saltCol = "__graft_salt"
-    // Spark's hash expressions reject MapType (no canonical element
-    // order); salt from the hashable columns only — still a pure function
-    // of row content, and a fact schema of ONLY maps has no usable
-    // identity to salt on, so refuse loudly rather than degenerate
+  private val saltCol = "__graft_salt"
+
+  /** Content-derived salt in [0, salt). Spark's hash expressions reject
+    * MapType (no canonical element order); salt from the hashable
+    * columns only — still a pure function of row content, and a fact
+    * schema of ONLY maps has no usable identity to salt on, so refuse
+    * loudly rather than degenerate. */
+  private def contentSalt(
+      fact: DataFrame, salt: Int): org.apache.spark.sql.Column = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
@@ -69,10 +63,57 @@ object SkewJoin {
       .filter(f => hashable(f.dataType)).map(f => col(f.name)).toIndexedSeq
     require(saltSource.nonEmpty,
       "fact has no hashable (non-MapType) column to derive the salt from")
-    val salted = fact.withColumn(saltCol,
-      pmod(xxhash64(saltSource: _*), lit(salt.toLong)))
+    pmod(xxhash64(saltSource: _*), lit(salt.toLong))
+  }
+
+  /** `fact ⋈ dim` on `keys`, fact-key skew neutralized over `salt`
+    * sub-keys. Result is row-identical to the plain join (spec-pinned). */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    require(keys.nonEmpty, "at least one join key required")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Allowed.contains(jt),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
+    val salted = fact.withColumn(saltCol, contentSalt(fact, salt))
     val replicated = dim.withColumn(saltCol,
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
+  }
+
+  /** Pre-flight diagnostic for duplicate-heavy facts: per (key, salt
+    * bucket) row counts for the `topKeys` largest keys, each bucket with
+    * its share of the key and a `degraded` flag when one bucket holds
+    * more than half the key's rows. Content-derived salting sends EXACT
+    * duplicate rows to one bucket, so a duplicate-heavy hot key silently
+    * reverts to the unsalted shape — this surfaces it. `degraded = true`
+    * on a hot key means: pre-aggregate the duplicates (carry a count
+    * column and weight downstream) before the join.
+    *
+    * Cost: one (keys, salt) aggregation over the fact table plus a
+    * broadcast of the topKeys key totals — run once when adopting a
+    * salt, not per query. */
+  def saltSkewProfile(fact: DataFrame, keys: Seq[String], salt: Int,
+      topKeys: Int = 20): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    require(keys.nonEmpty, "at least one join key required")
+    val byBucket = fact.withColumn(saltCol, contentSalt(fact, salt))
+      .groupBy((keys.map(col) :+ col(saltCol).as("salt")): _*)
+      .agg(count(lit(1)).as("bucket_rows"))
+    val hotKeys = byBucket.groupBy(keys.map(col): _*)
+      .agg(sum(col("bucket_rows")).as("key_rows"),
+        max(col("bucket_rows")).as("max_bucket_rows"))
+      .orderBy(col("key_rows").desc)
+      .limit(topKeys)
+    byBucket.join(broadcast(hotKeys), keys)
+      .withColumn("bucket_share",
+        round(col("bucket_rows") / col("key_rows"), 4))
+      .withColumn("degraded",
+        col("max_bucket_rows") * 2 > col("key_rows"))
+      .select((keys.map(col) ++ Seq(col("salt"), col("bucket_rows"),
+        col("key_rows"), col("bucket_share"), col("degraded"))): _*)
+      .orderBy(col("key_rows").desc +: col("bucket_rows").desc +:
+        keys.map(col) :+ col("salt"): _*)
   }
 }

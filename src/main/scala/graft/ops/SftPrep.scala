@@ -37,9 +37,11 @@ object SftPrep {
 
   /** Build (chosen, rejected) preference pairs from scored candidates:
     * per group (prompt), the highest-scoring candidate is `chosen` and
-    * the lowest is `rejected`, kept only when the score margin reaches
-    * `minMargin` (a pair the scorer can barely separate is label noise)
-    * and the two are distinct rows. Ties break on id — deterministic,
+    * the lowest is `rejected`, kept only when the score margin STRICTLY
+    * exceeds `minMargin` (a pair the scorer can barely separate is
+    * label noise; with the default 0.0, tied candidates never form a
+    * pair — a tie's orientation would be a pure id-order artifact) and
+    * the two are distinct rows. Ties break on id — deterministic,
     * engine-portable. One window over the candidate table. Null scores
     * never pair. Returns (groupCol, chosen_id, rejected_id,
     * chosen_score, rejected_score, margin). */
@@ -66,6 +68,6 @@ object SftPrep {
         col("__best.s").as("chosen_score"),
         col("s").as("rejected_score"),
         (col("__best.s") - col("s")).as("margin"))
-      .filter(col("margin") >= minMargin)
+      .filter(col("margin") > minMargin)
   }
 }

@@ -1587,7 +1587,7 @@ object TextQueries extends QueryModule {
         chosen_score - rejected_score AS margin
       FROM best JOIN worst USING (g)
       WHERE chosen_id != rejected_id
-        AND chosen_score - rejected_score >= 25.0
+        AND chosen_score - rejected_score > 25.0
       ORDER BY g"""),
     (s, dir) =>
       graft.ops.SftPrep.preferencePairs(

@@ -43,22 +43,36 @@ object TokenExport {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
     val index = prepared.mapPartitions { it =>
-      val task = org.apache.spark.TaskContext.getPartitionId()
+      // Task-commit discipline: raw fs.create of the FINAL path would let
+      // a speculative or zombie duplicate attempt interleave writes into
+      // the same file. Each attempt writes attempt-suffixed temp files and
+      // renames them into place only after its slice is fully written.
+      // Part content is a pure function of the partition (deterministic
+      // sort), so whichever attempt's rename lands, the bytes are
+      // identical and any committed index row seeks correctly; a rename
+      // that finds the final name already present just drops its temp.
+      val tc = org.apache.spark.TaskContext.get()
+      val task = tc.partitionId()
+      val attempt = tc.taskAttemptId()
       val conf = new org.apache.hadoop.conf.Configuration()
       var out: java.io.DataOutputStream = null
       var currentShard = -1
       var currentFile = ""
       var offset = 0L
+      val pending = scala.collection.mutable.ArrayBuffer
+        .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
       val rows = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Int, String, Long, Int)]
       def open(shard: Int): Unit = {
         if (out != null) out.close()
         currentShard = shard
         currentFile = f"shard-$shard%04d-part-$task%05d.bin"
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$currentFile")
-        val fs = p.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$dir/.$currentFile.attempt-$attempt.tmp")
+        pending += ((tmp, new org.apache.hadoop.fs.Path(s"$dir/$currentFile")))
+        val fs = tmp.getFileSystem(conf)
         out = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(fs.create(p, true)))
+          new java.io.BufferedOutputStream(fs.create(tmp, true)))
         offset = 0L
       }
       it.foreach { r =>
@@ -74,6 +88,14 @@ object TokenExport {
         offset += ids.length * 4L
       }
       if (out != null) out.close()
+      pending.foreach { case (tmp, fin) =>
+        val fs = tmp.getFileSystem(conf)
+        if (!fs.rename(tmp, fin)) {
+          require(fs.exists(fin),
+            s"shard commit failed: could not rename $tmp to absent $fin")
+          if (fs.exists(tmp)) fs.delete(tmp, false)
+        }
+      }
       rows.iterator
     }.toDF("doc_id", "shard", "file", "offset", "n_tokens")
     index.write.mode("overwrite").parquet(s"$dir/index")

@@ -78,12 +78,22 @@ object Bootstrap {
     * once cast to DECIMAL(18,6) — money/measure columns) in one pass:
     * (b, n_eff, boot_mean) per resample, boot_mean rounded to 6
     * decimals. Resamples with zero effective rows (possible only for
-    * tiny inputs) yield null means. */
+    * tiny inputs) yield null means. A NON-NULL value that the decimal
+    * can't represent (more than 12 integer digits, or a non-numeric
+    * string) raises a runtime error instead of silently vanishing from
+    * every resample (under non-ANSI mode the cast alone would null it
+    * and the null filter would eat it). */
   def resampleMeans(df: DataFrame, keys: Seq[String], value: Column,
       b: Int, seed: String = "graft-boot"): DataFrame = {
     require(b >= 2, s"need at least 2 resamples, got $b")
     val u = Sampling.hashFraction(seed, col("__b") +: keys.map(col))
-    df.select((keys.map(col) :+ value.cast("decimal(18,6)").as("__v")): _*)
+    val vv = value.cast("decimal(18,6)")
+    val checked = when(value.isNotNull && vv.isNull,
+        raise_error(concat(
+          lit("resampleMeans: value not representable as decimal(18,6): "),
+          value.cast("string"))).cast("decimal(18,6)"))
+      .otherwise(vv)
+    df.select((keys.map(col) :+ checked.as("__v")): _*)
       .filter(col("__v").isNotNull)
       .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__cnt", poissonCount(u))

@@ -166,17 +166,23 @@ object Drift {
     val joined = binned(ref, "ref")
       .join(binned(cur, "cur"), Seq("category"), "full")
       .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    val p = greatest(col("ref_cnt") / sum(col("ref_cnt")).over(all), lit(1e-6))
-    val q = greatest(col("cur_cnt") / sum(col("cur_cnt")).over(all), lit(1e-6))
-    joined
+    // totals as a broadcast 1-row aggregate, not an unpartitioned window
+    // (the category table is usually small, but the whole-table window
+    // shape is the one we ban everywhere else)
+    val totals = broadcast(joined.agg(
+      sum(col("ref_cnt")).as("__rt"), sum(col("cur_cnt")).as("__ct")))
+    val p = greatest(col("ref_cnt") / col("__rt"), lit(1e-6))
+    val q = greatest(col("cur_cnt") / col("__ct"), lit(1e-6))
+    joined.crossJoin(totals)
       .withColumn("term", (q - p) * log(q / p))
       .select("category", "ref_cnt", "cur_cnt", "term")
       .orderBy("category")
   }
 
-  /** The scalar categorical PSI (same <0.1 / 0.1–0.25 / >0.25 reading). */
+  /** The scalar categorical PSI (same <0.1 / 0.1–0.25 / >0.25 reading).
+    * Two empty inputs yield 0.0 (no categories, no shift), not the NPE a
+    * raw sum-over-zero-rows would throw. */
   def psiCategorical(ref: DataFrame, cur: DataFrame, catCol: String): Double =
     psiCategoricalTable(ref, cur, catCol)
-      .agg(sum(col("term"))).head().getDouble(0)
+      .agg(coalesce(sum(col("term")), lit(0.0))).head().getDouble(0)
 }

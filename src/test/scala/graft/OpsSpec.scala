@@ -2205,9 +2205,13 @@ class OpsSpec extends SparkSpec {
           x.getAs[Double]("margin")))).toMap
     assert(pairs.keySet == Set("p1"))
     assert(pairs("p1") == ((1L, 3L, 0.8)))
-    // all-tied group with zero margin allowed: min-id chosen, max-id rejected
+    // all-tied group: NO pair at the default margin (orientation of a tie
+    // would be a pure id-order artifact — the margin test is strict)
     val tied = Seq(("t", 7L, 1.0), ("t", 8L, 1.0)).toDF("g", "id", "s")
-    val tp = SftPrep.preferencePairs(tied, "g", "id", "s").collect().head
+    assert(SftPrep.preferencePairs(tied, "g", "id", "s").isEmpty)
+    // an explicitly negative margin opts ties back in, id-order tie-break
+    val tp = SftPrep.preferencePairs(tied, "g", "id", "s",
+      minMargin = -1.0).collect().head
     assert(tp.getAs[Long]("chosen_id") == 7L &&
       tp.getAs[Long]("rejected_id") == 8L &&
       tp.getAs[Double]("margin") == 0.0)

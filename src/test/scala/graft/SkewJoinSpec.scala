@@ -69,4 +69,30 @@ class SkewJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
     }
   }
+
+  test("saltSkewProfile flags duplicate-heavy hot keys as degraded") {
+    // hot key 1: 5000 EXACT duplicate rows (identical payload) -> the
+    // content salt maps them all to one bucket; hot key 2: 5000 rows with
+    // distinct payloads -> salt spreads them
+    val dupHot = spark.range(5000).select(lit(1L).as("k"), lit(42L).as("v"))
+    val spreadHot = spark.range(5000)
+      .select(lit(2L).as("k"), (col("id") * 13 % 997).as("v"))
+    val tail = spark.range(200).select((col("id") % 50 + 10).as("k"),
+      col("id").as("v"))
+    val prof = SkewJoin.saltSkewProfile(
+        dupHot.union(spreadHot).union(tail), Seq("k"), salt = 8)
+      .collect()
+    val byKey = prof.groupBy(_.getAs[Long]("k"))
+    // duplicate-heavy: one bucket holds everything, flagged
+    val k1 = byKey(1L)
+    assert(k1.length == 1 && k1.head.getAs[Double]("bucket_share") == 1.0)
+    assert(k1.forall(_.getAs[Boolean]("degraded")))
+    // distinct payloads: many buckets, none dominant, not flagged
+    val k2 = byKey(2L)
+    assert(k2.length > 4, s"expected spread over buckets, got ${k2.length}")
+    assert(k2.forall(!_.getAs[Boolean]("degraded")))
+    assert(k2.map(_.getAs[Double]("bucket_share")).max < 0.5)
+    // shares within a key sum to ~1
+    assert(math.abs(k2.map(_.getAs[Double]("bucket_share")).sum - 1.0) < 0.01)
+  }
 }

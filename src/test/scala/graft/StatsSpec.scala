@@ -688,6 +688,10 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("cur_cnt")).toMap
     assert(t2("<null>") == 20L, s"null category lost: $t2")
     assert(Drift.psiCategorical(ref, curNull, "lbl") > 0.1)
+    // degenerate: both sides empty -> 0.0 (no categories, no shift), not
+    // an NPE from summing zero rows
+    val empty = ref.filter(lit(false))
+    assert(Drift.psiCategorical(empty, empty, "lbl") == 0.0)
   }
 
   test("benford screen: multiplicative data conforms, uniform does not") {
@@ -777,6 +781,21 @@ class StatsSpec extends SparkSpec {
     val effs = means.map(_.getAs[Long]("n_eff").toDouble)
     assert(math.abs(effs.sum / b - n) < 4 * math.sqrt(n.toDouble / b))
     assert(effs.distinct.length > 1)
+    // a value the decimal(18,6) cannot hold must fail LOUDLY, not vanish
+    // from every resample through the non-ANSI cast-to-null + null filter
+    val overflow = Seq((1L, 1.0), (2L, 1e15)).toDF("id", "x")
+    val e = intercept[Exception] {
+      Bootstrap.resampleMeans(overflow, Seq("id"), col("x"), 2, "t").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // under ANSI (this session's default) the cast itself throws
+    // NUMERIC_VALUE_OUT_OF_RANGE before our guard; under non-ANSI the
+    // guard's raise_error fires — either way the failure is loud
+    assert(msgs(e).exists(m => m != null &&
+        (m.contains("not representable") ||
+          m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))),
+      s"expected the loud overflow error, got: $e")
   }
 
   test("kaplan-meier: the 6-MP textbook curve, zero-survival path, censor-only times") {
