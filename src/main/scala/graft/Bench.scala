@@ -58,7 +58,10 @@ object Bench {
     // (one hash agg + windowed estimator) and the heaviest LM
     // composition (two trains + two scoring joins + Gumbel top-k)
     "hll_estimate_groups",
-    "smp_importance_resample")
+    "smp_importance_resample",
+    // round-13: the projection/PCA family's regression line — the
+    // d²-bounded covariance shuffle is the family's dominant plan shape
+    "prj_covariance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -177,8 +177,10 @@ object SimQueries extends QueryModule {
 
   /** SemDeDup-style semantic dedup (rows-only: k-means cell assignment is
     * not SQL-expressible). Self-asserts the partition invariant (cluster
-    * sizes account for every vector exactly once); the within-cell
-    * no-kept-near-dups guarantee is pinned brute-force in OpsSpec. */
+    * sizes account for every vector exactly once) AND the within-cell
+    * no-kept-near-dups guarantee, brute-force over the rebuilt
+    * deterministic IVF cells (OpsSpec pins the same property on toy
+    * vectors with hand-checkable geometry). */
   val ddSemantic: Q = Q(
     "dd_semantic",
     None,
@@ -191,6 +193,25 @@ object SimQueries extends QueryModule {
       val total = embs.count()
       require(covered == total,
         s"semantic clusters cover $covered of $total vectors")
+      // the within-cell guarantee, asserted IN-GATE and distributed (not
+      // just on OpsSpec's toy vectors): rebuild the same deterministic
+      // IVF assignment and brute-force check that no two KEPT
+      // representatives sharing a cell sit above the dedup threshold —
+      // the end-to-end property the operator exists to provide
+      val cells = graft.ops.Ivf.build(embs, "vec_id", "embedding",
+          nLists = 8, seed = 42, maxIter = 8, initMode = "random",
+          fitSampleRows = 2048).assigned
+        .join(out.select(col("vec_id").as("id")), "id")
+      val aSide = cells.select(col("cell"), col("id").as("id1"),
+        col("v").as("v1"))
+      val bSide = cells.select(col("cell"), col("id").as("id2"),
+        col("v").as("v2"))
+      val violations = aSide.join(bSide, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .filter(graft.ops.Similarity.dot(col("v1"), col("v2")) >= 0.35)
+        .count()
+      require(violations == 0,
+        s"$violations kept near-dup pairs survive within a cell")
       out.orderBy("vec_id")
     })
 

@@ -1052,14 +1052,89 @@ object TextQueries extends QueryModule {
     })
 
   /** Vocabulary-utilization histogram over real BPE ids
-    * ([[graft.functions.Bpe.tokenFrequencies]]) — rows-only (no SQL
-    * engine can re-tokenize) with two self-asserts: CONSERVATION (the
-    * histogram total equals the summed encoded length of every document
-    * — no id dropped or double-counted) and full vocab coverage (every
-    * id 0..vocabSize-1 present exactly once, unused ids at n = 0). */
+    * ([[graft.functions.Bpe.tokenFrequencies]]) — ORACLE-checked since
+    * round 13: DuckDB re-tokenizes every distinct piece itself with a
+    * recursive CTE that replays the checked-in merges fixture (embedded
+    * as a map literal — model input, like the k-means centroid
+    * literals). Each step merges the LEFTMOST occurrence of the
+    * globally lowest-rank adjacent pair; equivalent to the canonical
+    * left-to-right `mergeAll` pass because a merge only creates pairs
+    * involving its output symbol, whose rules train strictly later (so
+    * never outrank the current best), and destroys only pairs at rank ≥
+    * best (a lower-ranked pair would have been chosen). The byte→
+    * printable-symbol alphabet rides along as a 256-entry hex map
+    * (deterministic spec constant). In-gate self-asserts stay:
+    * CONSERVATION (histogram total == summed encoded length) and full
+    * vocab coverage (every id exactly once, unused ids at n = 0). */
   val txtBpeTokenFreq: Q = Q(
     "txt_bpe_token_freq",
-    None,
+    Some {
+      val tok = graft.functions.Bpe.fromResource()
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      val pat = graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
+      val mergePairs = tok.merges.zipWithIndex
+        .map { case ((l, r), i) => (l + " " + r, i) }
+      require(mergePairs.map(_._1).distinct.length == mergePairs.length,
+        "duplicate merge pair in fixture — rank map would be ambiguous")
+      // last-wins symbol -> id, mirroring the tokenizer's symbolId map
+      val symToId = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      (0 until 256).foreach(b => symToId(tok.symbolOf(b)) = b)
+      tok.merges.zipWithIndex.foreach { case ((l, r), i) =>
+        symToId(l + r) = 256 + i }
+      val byteKeys = (0 until 256).map(b => q(f"$b%02X")).mkString(", ")
+      val byteVals = (0 until 256).map(b => q(tok.symbolOf(b))).mkString(", ")
+      val vocabRows = (0 until tok.vocabSize)
+        .map(i => s"($i, ${q(tok.symbolOf(i))})").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      mm AS (SELECT map(
+        [${mergePairs.map(p => q(p._1)).mkString(", ")}],
+        [${mergePairs.map(_._2).mkString(", ")}]) AS m),
+      sm AS (SELECT map(
+        [${symToId.keys.map(q).mkString(", ")}],
+        [${symToId.values.mkString(", ")}]) AS m),
+      bm AS (SELECT map([$byteKeys], [$byteVals]) AS m),
+      vocab(token_id, symbol) AS (VALUES $vocabRows),
+      pieces AS (
+        SELECT piece, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(text, '$pat')) AS piece
+          FROM documents)
+        GROUP BY piece),
+      hexed AS (SELECT piece, hex(encode(piece)) AS h FROM pieces),
+      init AS (
+        SELECT piece, list_transform(range(0, length(h) // 2),
+          i -> map_extract(bm.m, substr(h, CAST(2 * i + 1 AS INT), 2))[1])
+          AS syms
+        FROM hexed, bm),
+      rec AS (
+        SELECT piece, syms FROM init
+        UNION ALL
+        SELECT piece,
+          syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        FROM (
+          SELECT piece, syms,
+            list_position(rks, list_min(rks)) AS bi, list_min(rks) AS mn
+          FROM (
+            SELECT r.piece, r.syms,
+              list_transform(range(1, len(r.syms)),
+                i -> coalesce(map_extract(mm.m,
+                  r.syms[i] || ' ' || r.syms[i+1])[1], 999999)) AS rks
+            FROM rec r, mm))
+        WHERE mn < 999999),
+      final AS (
+        SELECT piece, arg_min(syms, len(syms)) AS syms
+        FROM rec GROUP BY piece),
+      toks AS (
+        SELECT map_extract(sm.m, u.sym)[1] AS token_id, p.cnt
+        FROM final f
+        JOIN pieces p USING (piece), unnest(f.syms) AS u(sym), sm),
+      counts AS (
+        SELECT token_id, CAST(sum(cnt) AS BIGINT) AS n
+        FROM toks GROUP BY token_id)
+      SELECT v.token_id, v.symbol, COALESCE(c.n, 0) AS n
+      FROM vocab v LEFT JOIN counts c USING (token_id)
+      ORDER BY v.token_id"""
+    },
     (s, dir) => {
       val tok = graft.functions.Bpe.fromResource()
       val docs = Tables.load(s, dir, "documents")
