@@ -456,7 +456,90 @@ object EvalQueries extends QueryModule {
         .toDF("n_cal", "q_rank", "qhat", "n_test", "covered", "coverage")
     })
 
+  /** Shared base + per-query ranking SQL ([[graft.stats.Ranking]]):
+    * queries = (lang, source) groups over documents, system score =
+    * n_chars (real ties + spread), graded relevance planted from doc_id
+    * residues (2 for %7, 1 for %3). Both engines rank with the same
+    * doc-id tie-break and fold rounded-12 DCG terms in decimal. */
+  private val rankingPerQuerySql: String = """
+      WITH base AS (
+        SELECT lang || '|' || source AS q, doc_id AS d,
+          CAST(n_chars AS DOUBLE) AS s,
+          CASE WHEN doc_id % 7 = 0 THEN 2
+               WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+        FROM documents WHERE n_chars IS NOT NULL),
+      rk AS (
+        SELECT q, d, rel,
+          row_number() OVER (PARTITION BY q ORDER BY s DESC, d) AS r,
+          row_number() OVER (PARTITION BY q ORDER BY rel DESC, d) AS ri
+        FROM base),
+      agg AS (
+        SELECT q,
+          count(*) AS n_docs,
+          CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+          SUM(CASE WHEN r <= 10 THEN
+              CAST(round((pow(2, rel) - 1) / (ln(r + 1) / ln(2)), 12)
+                AS DECIMAL(38,12))
+            ELSE CAST(0 AS DECIMAL(38,12)) END) AS dcg,
+          SUM(CASE WHEN ri <= 10 THEN
+              CAST(round((pow(2, rel) - 1) / (ln(ri + 1) / ln(2)), 12)
+                AS DECIMAL(38,12))
+            ELSE CAST(0 AS DECIMAL(38,12)) END) AS idcg,
+          MIN(CASE WHEN rel > 0 THEN r END) AS fr,
+          CAST(SUM(CASE WHEN r <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rel_at_k
+        FROM rk GROUP BY q)
+      SELECT q AS query, n_docs, n_rel,
+        CASE WHEN idcg > 0
+          THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+        END AS ndcg_at_k,
+        COALESCE(round(1.0 / fr, 6), 0.0) AS mrr,
+        round(rel_at_k / 10.0, 6) AS precision_at_k,
+        CASE WHEN n_rel > 0
+          THEN round(rel_at_k / CAST(n_rel AS DOUBLE), 6)
+        END AS recall_at_k
+      FROM agg"""
+
+  private def rankingPerQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.stats.Ranking.rankingMetrics(
+      Tables.load(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(concat_ws("|", col("lang"), col("source")).as("query"),
+          col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 7 === 0, 2)
+            .when(col("doc_id") % 3 === 0, 1).otherwise(0).as("rel")),
+      "query", "doc_id", col("n_chars"), col("rel"), k = 10)
+
+  /** Per-query nDCG@10 / MRR / precision@10 / recall@10 over the
+    * documents retrieval fixture — every query's metrics hash-checked. */
+  val rankingMetricsGate: Q = Q(
+    "ml_ranking_metrics",
+    Some(rankingPerQuerySql + "\n      ORDER BY query"),
+    (s, dir) => rankingPerQuery(s, dir).orderBy("query"))
+
+  /** Macro averages of the per-query table ([[graft.stats.Ranking
+    * .macroMetrics]]): defined-only means via decimal folds — one row
+    * both engines must agree on to 6 decimals. */
+  val rankingMacroGate: Q = Q(
+    "ml_ranking_macro",
+    Some(s"""
+      WITH pq AS ($rankingPerQuerySql)
+      SELECT count(*) AS n_queries,
+        round(CAST(SUM(CAST(ndcg_at_k AS DECIMAL(38,12))) AS DOUBLE)
+          / count(ndcg_at_k), 6) AS macro_ndcg,
+        round(CAST(SUM(CAST(mrr AS DECIMAL(38,12))) AS DOUBLE)
+          / count(mrr), 6) AS macro_mrr,
+        round(CAST(SUM(CAST(precision_at_k AS DECIMAL(38,12))) AS DOUBLE)
+          / count(precision_at_k), 6) AS macro_precision,
+        round(CAST(SUM(CAST(recall_at_k AS DECIMAL(38,12))) AS DOUBLE)
+          / count(recall_at_k), 6) AS macro_recall
+      FROM pq"""),
+    (s, dir) =>
+      graft.stats.Ranking.macroMetrics(rankingPerQuery(s, dir)))
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
-      aucByGroup, isoFit, isoApply, conformalSplit)
+      aucByGroup, isoFit, isoApply, conformalSplit,
+      rankingMetricsGate, rankingMacroGate)
 }
