@@ -538,8 +538,99 @@ object EvalQueries extends QueryModule {
     (s, dir) =>
       graft.stats.Ranking.macroMetrics(rankingPerQuery(s, dir)))
 
+  /** Cohen's kappa ([[graft.stats.Agreement.cohenKappa]]): two synthetic
+    * raters over documents — rater A labels doc_id%4, rater B agrees
+    * except every 3rd doc (off-by-one category). Integer-cleared kappa:
+    * both engines compute (n·Σagree − Σ r1·r2)/(n² − Σ r1·r2) with exact
+    * numerators and ONE double division. */
+  val cohenKappaGate: Q = Q(
+    "lbl_cohen_kappa",
+    Some("""
+      WITH b AS (
+        SELECT CAST(doc_id % 4 AS VARCHAR) AS a,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4 + 1) % 4
+               ELSE doc_id % 4 END AS VARCHAR) AS bb
+        FROM documents),
+      cells AS (SELECT a, bb, count(*) AS c FROM b GROUP BY a, bb),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a = bb THEN c ELSE 0 END) AS BIGINT) AS agree
+        FROM cells),
+      e AS (
+        SELECT COALESCE(SUM(CAST(ma.ca AS DECIMAL(38,0))
+            * CAST(mb.cb AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS ee
+        FROM (SELECT a, SUM(c) AS ca FROM cells GROUP BY a) ma
+        JOIN (SELECT bb, SUM(c) AS cb FROM cells GROUP BY bb) mb
+          ON ma.a = mb.bb)
+      SELECT n AS n_items,
+        round(agree / CAST(n AS DOUBLE), 6) AS p_observed,
+        round(CAST(ee AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+        CASE WHEN CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) <> ee
+          THEN round(
+            CAST(CAST(n AS DECIMAL(38,0)) * CAST(agree AS DECIMAL(38,0))
+              - ee AS DOUBLE)
+            / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+              - ee AS DOUBLE), 6)
+        END AS kappa
+      FROM tot, e"""),
+    (s, dir) =>
+      graft.stats.Agreement.cohenKappa(
+        Tables.load(s, dir, "documents"),
+        (col("doc_id") % 4).cast("string"),
+        when(col("doc_id") % 3 === 0, (col("doc_id") % 4 + 1) % 4)
+          .otherwise(col("doc_id") % 4).cast("string")))
+
+  /** Fleiss' kappa ([[graft.stats.Agreement.fleissKappa]]): three
+    * synthetic raters in long format — rater r deviates from the shared
+    * doc_id%4 label by +r on every (2+r)-th doc, so the panel carries a
+    * planted mixture of full and partial agreement. Cleared-fraction
+    * kappa over exact decimal S2/T2 folds. */
+  val fleissKappaGate: Q = Q(
+    "lbl_fleiss_kappa",
+    Some("""
+      WITH rt AS (SELECT unnest([1, 2, 3]) AS r),
+      b AS (
+        SELECT doc_id AS i,
+          CAST((doc_id % 4 + CASE WHEN doc_id % (2 + rt.r) = 0
+            THEN rt.r ELSE 0 END) % 4 AS VARCHAR) AS l
+        FROM documents, rt),
+      cells AS (SELECT i, l, count(*) AS c FROM b GROUP BY i, l),
+      s AS (
+        SELECT CAST(count(DISTINCT i) AS BIGINT) AS nitems,
+          SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS s2
+        FROM cells),
+      t AS (
+        SELECT SUM(CAST(tk AS DECIMAL(38,0)) * CAST(tk AS DECIMAL(38,0)))
+          AS t2
+        FROM (SELECT l, SUM(c) AS tk FROM cells GROUP BY l)),
+      f AS (
+        SELECT nitems, CAST(3 AS BIGINT) AS nraters,
+          s2, t2, CAST(nitems AS DECIMAL(38,0)) * 3 AS nn
+        FROM s, t)
+      SELECT nitems AS n_items, nraters AS n_raters,
+        round(CAST(s2 - nn AS DOUBLE)
+          / CAST(nn * 2 AS DOUBLE), 6) AS p_bar,
+        round(CAST(t2 AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6)
+          AS p_expected,
+        CASE WHEN nn * nn <> t2 THEN
+          round(CAST((s2 - nn) * nn - t2 * 2 AS DOUBLE)
+            / CAST((nn * nn - t2) * 2 AS DOUBLE), 6)
+        END AS kappa
+      FROM f"""),
+    (s, dir) =>
+      graft.stats.Agreement.fleissKappa(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array(lit(1), lit(2), lit(3))).as("r"))
+          .select(col("doc_id"),
+            ((col("doc_id") % 4 +
+              when(col("doc_id") % (col("r") + 2) === 0, col("r"))
+                .otherwise(0)) % 4).cast("string").as("l")),
+        col("doc_id"), col("l")))
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
-      rankingMetricsGate, rankingMacroGate)
+      rankingMetricsGate, rankingMacroGate, cohenKappaGate, fleissKappaGate)
 }

@@ -1,0 +1,118 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the acceptance gate of a labeling
+  * pipeline (SFT preference raters, quality-label vendors, weak-label
+  * ensembles): chance-corrected agreement coefficients, engineered the
+  * house way — integer/decimal numerators end-to-end, ONE double
+  * division at the finish, so DuckDB oracles hash-match without
+  * tolerance games.
+  *
+  *  - Cohen's kappa (two fixed raters, categorical labels):
+  *    κ = (n·Σ_k a_k − Σ_k r1_k·r2_k) / (n² − Σ_k r1_k·r2_k), the
+  *    integer-cleared form of (p_o − p_e)/(1 − p_e).
+  *  - Fleiss' kappa (N items each rated by the SAME number n of raters):
+  *    κ = [(S₂ − Nn)·Nn − ΣT_k²·(n−1)] / [((Nn)² − ΣT_k²)·(n−1)] with
+  *    S₂ = Σ_{i,k} n_ik², T_k the per-category totals — again the
+  *    cleared form, exact in decimal(38,0) far past any labeling
+  *    campaign's size.
+  *
+  * Scale shape: Cohen is one k²-bounded pair-count aggregation; Fleiss
+  * is one (item, label) count pass then one category-bounded fold — no
+  * window, no join, map-side combinable throughout. Perfect chance
+  * agreement (p_e = 1: both raters constant and equal, or one category
+  * overall) leaves κ undefined → null, never 0/0.
+  */
+object Agreement {
+
+  /** Cohen's kappa over paired labels (one row = one item labeled by
+    * both raters). Rows with either label null are excluded (an unrated
+    * item is not a disagreement). Returns one row (n_items, observed
+    * agreement, expected agreement, kappa), agreements rounded to 6. */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val base = df
+      .filter(labelA.isNotNull && labelB.isNotNull)
+      .select(labelA.cast("string").as("a"), labelB.cast("string").as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    cells.agg(
+        sum(col("c")).as("__n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("__agree"))
+      .crossJoin(
+        // Σ_k r1_k·r2_k from the same k²-bounded cell table: marginals
+        // join on the category key (≤ k rows each side)
+        cells.groupBy("a").agg(sum(col("c")).as("ca"))
+          .join(cells.groupBy("b").agg(sum(col("c")).as("cb")),
+            col("a") === col("b"))
+          .agg(coalesce(sum(d(col("ca")) * d(col("cb"))),
+            lit(0).cast("decimal(38,0)")).as("__e")))
+      .select(
+        col("__n").as("n_items"),
+        round(col("__agree") / col("__n"), 6).as("p_observed"),
+        round(col("__e").cast("double")
+          / (col("__n").cast("double") * col("__n").cast("double")), 6)
+          .as("p_expected"),
+        when(d(col("__n")) * d(col("__n")) =!= col("__e"),
+          round((d(col("__n")) * d(col("__agree")) - col("__e"))
+            .cast("double")
+            / (d(col("__n")) * d(col("__n")) - col("__e")).cast("double"),
+            6)).as("kappa"))
+  }
+
+  /** Fleiss' kappa over long-format ratings (item, label) — one row per
+    * individual rating; null labels are excluded. Every item must carry
+    * the SAME number of ratings after exclusion (the statistic's
+    * premise); ragged panels fail loudly rather than silently reweight.
+    * Returns one row (n_items, n_raters, p_bar, p_expected, kappa),
+    * probabilities rounded to 6. */
+  def fleissKappa(df: DataFrame, itemCol: Column, labelCol: Column): DataFrame = {
+    val perCell = df
+      .filter(itemCol.isNotNull && labelCol.isNotNull)
+      .select(itemCol.as("i"), labelCol.cast("string").as("l"))
+      .groupBy("i", "l").agg(count(lit(1)).as("c"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val byItem = perCell.groupBy("i").agg(sum(col("c")).as("ni"))
+    val raggedRow = byItem
+      .agg(min(col("ni")).as("mn"), max(col("ni")).as("mx"),
+        count(lit(1)).as("items")).head()
+    require(raggedRow.getAs[Long]("items") > 0L, "no ratings to agree on")
+    val (mn, mx) = (raggedRow.getAs[Long]("mn"), raggedRow.getAs[Long]("mx"))
+    require(mn == mx,
+      s"Fleiss' kappa needs a constant rater count per item; found $mn..$mx")
+    require(mn >= 2, s"need at least 2 raters per item, got $mn")
+    val bigN = raggedRow.getAs[Long]("items")
+    val n = mn
+    val nn = java.math.BigDecimal.valueOf(bigN).multiply(
+      java.math.BigDecimal.valueOf(n))
+    val catTotals = perCell.groupBy("l").agg(sum(col("c")).as("t"))
+    val s2Row = perCell.agg(
+      sum(d(col("c")) * d(col("c"))).as("s2")).head()
+    val s2 = s2Row.getAs[java.math.BigDecimal]("s2")
+    perCell.sparkSession.range(1).select(
+        lit(bigN).as("n_items"), lit(n).as("n_raters"))
+      .crossJoin(catTotals.agg(
+        sum(d(col("t")) * d(col("t"))).as("__t2")))
+      .select(
+        col("n_items"), col("n_raters"),
+        // P̄ = (S₂ − Nn) / (Nn(n−1)), exact numerator, one division
+        round(lit(s2.subtract(nn)).cast("decimal(38,0)").cast("double")
+          / (lit(nn).cast("decimal(38,0)")
+            * lit(n - 1).cast("decimal(38,0)")).cast("double"), 6)
+          .as("p_bar"),
+        round(col("__t2").cast("double")
+          / (lit(nn).cast("decimal(38,0)")
+            * lit(nn).cast("decimal(38,0)")).cast("double"), 6)
+          .as("p_expected"),
+        when(lit(nn).cast("decimal(38,0)") * lit(nn).cast("decimal(38,0)")
+            =!= col("__t2"),
+          round(((lit(s2.subtract(nn)).cast("decimal(38,0)")
+              * lit(nn).cast("decimal(38,0)"))
+            - col("__t2") * lit(n - 1).cast("decimal(38,0)")).cast("double")
+            / ((lit(nn).cast("decimal(38,0)")
+                * lit(nn).cast("decimal(38,0)") - col("__t2"))
+              * lit(n - 1).cast("decimal(38,0)")).cast("double"), 6))
+          .as("kappa"))
+  }
+}

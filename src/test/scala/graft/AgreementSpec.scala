@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.stats.Agreement
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohen's kappa: the textbook 2x2 table gives 0.4") {
+    // 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no:
+    // po = 35/50 = 0.7, pe = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Agreement.cohenKappa(rows.toDF("a", "b"), $"a", $"b").head()
+    assert(out.getAs[Long]("n_items") == 50L)
+    assert(out.getAs[Double]("p_observed") == 0.7)
+    assert(out.getAs[Double]("p_expected") == 0.5)
+    assert(out.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohen's kappa: perfect agreement is 1, constant raters are null") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+      .toDF("x", "y")
+    assert(Agreement.cohenKappa(perfect, $"x", $"y").head()
+      .getAs[Double]("kappa") == 1.0)
+    // pe = 1 (one category in both raters): undefined, not 0/0
+    val const = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    val r = Agreement.cohenKappa(const, $"x", $"y").head()
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+    // null labels excluded
+    val withNull = Seq((Some("a"), Some("a")), (None, Some("b")),
+      (Some("b"), None), (Some("b"), Some("a")))
+      .toDF("x", "y")
+    assert(Agreement.cohenKappa(withNull, $"x", $"y").head()
+      .getAs[Long]("n_items") == 2L)
+  }
+
+  test("fleiss' kappa: hand-solved 2-item 3-rater panel gives -0.2") {
+    // item 1: a,a,b (Pi = 1/3); item 2: a,a,a (Pi = 1)
+    // P-bar = 2/3, pe = (25+1)/36 = 13/18, kappa = -0.2
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("i", "l")
+    val out = Agreement.fleissKappa(df, $"i", $"l").head()
+    assert(out.getAs[Long]("n_items") == 2L)
+    assert(out.getAs[Long]("n_raters") == 3L)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.getAs[Double]("p_bar") == r6(2.0 / 3.0))
+    assert(out.getAs[Double]("p_expected") == r6(13.0 / 18.0))
+    assert(out.getAs[Double]("kappa") == -0.2)
+  }
+
+  test("fleiss' kappa: ragged panels and single raters fail loudly") {
+    val ragged = Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("i", "l")
+    val e = intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(ragged, $"i", $"l")
+    }
+    assert(e.getMessage.contains("constant rater count"))
+    val single = Seq((1L, "a"), (2L, "b")).toDF("i", "l")
+    assert(intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(single, $"i", $"l")
+    }.getMessage.contains("at least 2 raters"))
+  }
+
+  test("fleiss' kappa: unanimous panel with >1 category is exactly 1") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("i", "l")
+    assert(Agreement.fleissKappa(df, $"i", $"l").head()
+      .getAs[Double]("kappa") == 1.0)
+  }
+}
