@@ -797,10 +797,96 @@ object SimQueries extends QueryModule {
         .orderBy("qid", "rank")
     })
 
+  /** Shared margin-scoring SQL body ([[graft.ops.Bitext]]): even vec_ids
+    * play corpus X, odd play corpus Y; ratio margins per Artetxe &
+    * Schwenk with k=4 neighborhoods — cosines rounded-12 once on the
+    * symmetric pair table, penalties decimal-folded, margins rounded-6,
+    * every rank tie-breaking on the partner id. */
+  private val bitextScoredSql: String = """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      x AS (SELECT vec_id AS x_id, e AS xv FROM v WHERE vec_id % 2 = 0),
+      y AS (SELECT vec_id AS y_id, e AS yv FROM v WHERE vec_id % 2 = 1),
+      p AS (
+        SELECT x_id, y_id,
+          round(list_sum(list_transform(generate_series(1, len(xv)),
+              i -> xv[i] * yv[i]))
+            / (sqrt(list_sum(list_transform(xv, t -> t * t)))
+               * sqrt(list_sum(list_transform(yv, t -> t * t)))), 12) AS c
+        FROM x, y),
+      r AS (
+        SELECT x_id, y_id, c,
+          row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id) AS rf,
+          row_number() OVER (PARTITION BY y_id ORDER BY c DESC, x_id) AS rb
+        FROM p),
+      px AS (
+        SELECT x_id, round(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE)
+          / count(*), 12) AS px
+        FROM r WHERE rf <= 4 GROUP BY x_id),
+      py AS (
+        SELECT y_id, round(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE)
+          / count(*), 12) AS py
+        FROM r WHERE rb <= 4 GROUP BY y_id),
+      m AS (
+        SELECT r.x_id, r.y_id, c, rf, rb,
+          round(c / ((px.px + py.py) / 2), 6) AS margin
+        FROM r JOIN px USING (x_id) JOIN py USING (y_id))"""
+
+  private def bitextSides(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val embs = Tables.load(s, dir, "embeddings")
+    (embs.filter(col("vec_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 === 1))
+  }
+
+  /** Mutual-best mined pairs above margin 1.0 — the miner's output
+    * table, hash-checked row for row. */
+  val bitextMine: Q = Q(
+    "sim_bitext_mine",
+    Some(bitextScoredSql + """,
+      mb AS (
+        SELECT x_id, y_id, c, margin,
+          row_number() OVER (PARTITION BY x_id
+            ORDER BY margin DESC, y_id) AS bf,
+          row_number() OVER (PARTITION BY y_id
+            ORDER BY margin DESC, x_id) AS bb
+        FROM m)
+      SELECT x_id, y_id, c AS cosine, margin
+      FROM mb WHERE bf = 1 AND bb = 1 AND margin >= 1.0
+      ORDER BY x_id"""),
+    (s, dir) => {
+      val (xs, ys) = bitextSides(s, dir)
+      val mined = graft.ops.Bitext.marginMine(xs, ys, "vec_id", "embedding",
+        k = 4, minMargin = 1.0)
+      // mutual-best is one-to-one by construction — a duplicated endpoint
+      // means the best-rank windows broke
+      val n = mined.count()
+      require(n > 0, "margin mining found no pairs on the fixture")
+      require(mined.select("x_id").distinct().count() == n &&
+        mined.select("y_id").distinct().count() == n,
+        "mined pairs must be one-to-one on both sides")
+      mined.orderBy("x_id")
+    })
+
+  /** The top-k-neighborhood candidate table with both ranks — the
+    * threshold-tuning view, every margin hash-checked. */
+  val bitextScores: Q = Q(
+    "sim_bitext_scores",
+    Some(bitextScoredSql + """
+      SELECT x_id, y_id, c AS cosine, margin,
+        CAST(rf AS INT) AS fwd_rank, CAST(rb AS INT) AS bwd_rank
+      FROM m WHERE rf <= 4 OR rb <= 4
+      ORDER BY x_id, y_id"""),
+    (s, dir) => {
+      val (xs, ys) = bitextSides(s, dir)
+      graft.ops.Bitext.marginScores(xs, ys, "vec_id", "embedding", k = 4)
+        .orderBy("x_id", "y_id")
+    })
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
-      simMmrRerank, simMmrDeep, simRrfHybrid)
+      simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextScores)
 }
