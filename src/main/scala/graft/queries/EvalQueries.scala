@@ -629,8 +629,42 @@ object EvalQueries extends QueryModule {
                 .otherwise(0)) % 4).cast("string").as("l")),
         col("doc_id"), col("l")))
 
+  /** Filter yield curve ([[graft.stats.Eval.yieldCurve]]): hash-fraction
+    * score over documents, token-ish weight = n_chars — per threshold,
+    * rows kept, kept fraction, kept character mass and its fraction.
+    * One conditional-aggregate scan, decimal weight folds. */
+  val yieldCurveGate: Q = Q(
+    "ml_yield_curve",
+    Some(s"""
+      WITH b AS (
+        SELECT ${hfSql("graft-yield", "doc_id")} AS s,
+          CAST(n_chars AS DECIMAL(38,6)) AS w
+        FROM documents WHERE n_chars IS NOT NULL),
+      t AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS threshold),
+      tot AS (SELECT count(*) AS total, SUM(w) AS wt FROM b)
+      SELECT t.threshold,
+        CAST(SUM(CASE WHEN b.s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        round(SUM(CASE WHEN b.s >= t.threshold THEN 1 ELSE 0 END)
+          / CAST(tot.total AS DOUBLE), 6) AS frac_kept,
+        CAST(SUM(CASE WHEN b.s >= t.threshold THEN b.w
+          ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS weight_kept,
+        round(CAST(SUM(CASE WHEN b.s >= t.threshold THEN b.w
+            ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+          / CAST(tot.wt AS DOUBLE), 6) AS frac_weight
+      FROM b, t, tot
+      GROUP BY t.threshold, tot.total, tot.wt
+      ORDER BY t.threshold"""),
+    (s, dir) =>
+      Eval.yieldCurve(
+        Tables.load(s, dir, "documents").filter(col("n_chars").isNotNull),
+        Sampling.hashFraction("graft-yield", Seq(col("doc_id"))),
+        col("n_chars"),
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9)))
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
-      rankingMetricsGate, rankingMacroGate, cohenKappaGate, fleissKappaGate)
+      rankingMetricsGate, rankingMacroGate, cohenKappaGate, fleissKappaGate,
+      yieldCurveGate)
 }

@@ -203,4 +203,56 @@ object Eval {
         (col("pos").cast("double") / col("n")).as("frac_pos"),
         round(col("__ssum").cast("double") / col("n"), 6).as("mean_score"))
   }
+
+  /** Filter yield curve: what each candidate threshold on `scoreCol`
+    * costs in data volume — per threshold, rows kept (score ≥ t), kept
+    * fraction, kept weight (e.g. token counts — what a training-data
+    * budget is actually denominated in) and kept-weight fraction. The
+    * tuning table behind every quality/langid/contamination cut: pick
+    * the knee, not a folk threshold.
+    *
+    * Same shape as [[rocPoints]]: ONE scan, 2k conditional aggregates
+    * folded map-side (counts as longs, weights as exact decimal sums),
+    * then a driver-built k-row table — no shuffle beyond the scalar
+    * aggregate, no per-threshold rescans. Null scores are excluded; a
+    * null weight on a kept row fails loudly (a silently skipped weight
+    * would understate the kept mass). Fractions are single double
+    * divisions rounded to 6. */
+  def yieldCurve(df: DataFrame, scoreCol: Column, weightCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "no thresholds")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds")
+    val spark = df.sparkSession
+    val base = df
+      .filter(scoreCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        when(weightCol.isNull,
+          raise_error(lit("yieldCurve: null weight on a scored row")))
+          .otherwise(weightCol.cast("decimal(38,6)")).as("__w"))
+    val aggs =
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("__s") >= t, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(col("__s") >= t, col("__w"))
+          .otherwise(lit(0).cast("decimal(38,6)"))).as(s"w_$i"))
+      } ++ Seq(
+        count(lit(1)).as("total"),
+        sum(col("__w")).as("wtotal"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    val total = r.getAs[Long]("total")
+    val wtotal = Option(r.getAs[java.math.BigDecimal]("wtotal"))
+    import spark.implicits._
+    thresholds.zipWithIndex.map { case (t, i) =>
+      val n = r.getAs[Long](s"n_$i")
+      val w = Option(r.getAs[java.math.BigDecimal](s"w_$i"))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      (t, n,
+        if (total == 0) None else Some(r6(n.toDouble / total)),
+        w.doubleValue,
+        wtotal.filter(_.signum != 0)
+          .map(wt => r6(w.doubleValue / wt.doubleValue)))
+    }.toDF("threshold", "n_kept", "frac_kept", "weight_kept", "frac_weight")
+      .orderBy("threshold")
+  }
 }

@@ -110,4 +110,31 @@ class EvalSpec extends SparkSpec {
     assert(a == b)
     assert(a == pairwiseAuc(rows.map { case (s, y) => (s, y) }))
   }
+
+  test("yield curve: hand-computed kept counts and weight fractions") {
+    // scores 0.1..1.0, weight = 10*score index
+    val df = (1 to 10).map(i => (i / 10.0, i * 10L)).toDF("s", "w")
+    val out = Eval.yieldCurve(df, col("s"), col("w"), Seq(0.35, 0.75, 2.0))
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    val t1 = out(0.35) // keeps scores .4..1.0: 7 rows, weight 40+..+100=490
+    assert(t1.getAs[Long]("n_kept") == 7L)
+    assert(t1.getAs[Double]("frac_kept") == 0.7)
+    assert(t1.getAs[Double]("weight_kept") == 490.0)
+    assert(t1.getAs[Double]("frac_weight") ==
+      math.rint(490.0 / 550.0 * 1e6) / 1e6)
+    val t3 = out(2.0) // nothing survives
+    assert(t3.getAs[Long]("n_kept") == 0L &&
+      t3.getAs[Double]("weight_kept") == 0.0)
+    // kept mass is monotone non-increasing in the threshold
+    val sorted = Eval.yieldCurve(df, col("s"), col("w"),
+      Seq(0.1, 0.3, 0.5, 0.7, 0.9)).collect()
+    assert(sorted.map(_.getAs[Long]("n_kept")).sliding(2)
+      .forall { case Array(a2, b2) => a2 >= b2; case _ => true })
+    // a null weight on a scored row fails loudly, never silently skipped
+    val bad = Seq((0.5, Some(1L)), (0.6, None)).toDF("s", "w")
+    val e = intercept[Exception] {
+      Eval.yieldCurve(bad, col("s"), col("w"), Seq(0.1)).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
 }
