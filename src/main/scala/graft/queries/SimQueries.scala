@@ -883,10 +883,71 @@ object SimQueries extends QueryModule {
         .orderBy("x_id", "y_id")
     })
 
+  /** Shared silhouette SQL ([[graft.ops.ClusterEval]]): every 8th vector
+    * scored against the full corpus, clusters = the label column;
+    * distances rounded-12, per-cluster means decimal-folded. */
+  private val silhouetteSql: String = """
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE label IS NOT NULL),
+      p AS (SELECT vec_id AS pid, label AS pc, e AS pe
+            FROM v WHERE vec_id % 8 = 0),
+      d AS (
+        SELECT pid, pc, v.label AS nc,
+          round(sqrt(list_sum(list_transform(
+            generate_series(1, len(pe)),
+            i -> (pe[i] - e[i]) * (pe[i] - e[i])))), 12) AS dist
+        FROM p, v WHERE v.vec_id != pid),
+      g AS (
+        SELECT pid, pc, nc,
+          round(CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 12) AS md
+        FROM d GROUP BY pid, pc, nc),
+      sil AS (
+        SELECT pid, pc AS cluster,
+          MAX(CASE WHEN nc = pc THEN md END) AS a_mean,
+          MIN(CASE WHEN nc <> pc THEN md END) AS b_mean
+        FROM g GROUP BY pid, pc),
+      pt AS (
+        SELECT pid, cluster, a_mean, b_mean,
+          CASE WHEN a_mean IS NULL THEN 0.0
+            ELSE round((b_mean - a_mean) / greatest(a_mean, b_mean), 6)
+          END AS s
+        FROM sil)"""
+
+  private def silhouettePoints(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    graft.ops.ClusterEval.silhouetteSample(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      col("vec_id") % 8 === 0)
+
+  /** Per-point silhouette of the label clustering — a_mean/b_mean/s for
+    * every sampled vector, hash-checked. */
+  val kmSilhouette: Q = Q(
+    "km_silhouette",
+    Some(silhouetteSql + """
+      SELECT pid, cluster, a_mean, b_mean, s FROM pt ORDER BY pid"""),
+    (s, dir) => silhouettePoints(s, dir).orderBy("pid"))
+
+  /** Macro silhouette summary: mean/min/negative fraction — the one-row
+    * cluster-health screen. */
+  val kmSilhouetteSummary: Q = Q(
+    "km_silhouette_summary",
+    Some(silhouetteSql + """
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+        round(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+          AS mean_s,
+        MIN(s) AS min_s,
+        round(CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          / CAST(count(*) AS DOUBLE), 6) AS frac_negative
+      FROM pt"""),
+    (s, dir) =>
+      graft.ops.ClusterEval.silhouetteSummary(silhouettePoints(s, dir)))
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
-      simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextScores)
+      simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextScores,
+      kmSilhouette, kmSilhouetteSummary)
 }
