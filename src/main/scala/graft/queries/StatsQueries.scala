@@ -1078,6 +1078,56 @@ object StatsQueries extends QueryModule {
       Regression.theilSen(daily, "x", "y")
     })
 
+  /** Two-sample KS ([[graft.stats.Drift.ksTwoSample]]): returned vs
+    * never-returned lineitem quantities — 50 heavy-tie distinct values
+    * exercise the exact integer-numerator argmax; p through the
+    * Kolmogorov series with rounded-12 decimal-folded terms. */
+  val dqKsTwoSample: Q = Q(
+    "dq_ks_two_sample",
+    Some("""
+      WITH av AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                  WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+      bv AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             WHERE l_returnflag = 'N' AND l_quantity IS NOT NULL),
+      ac AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+      bc AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+      c AS (SELECT COALESCE(ac.v, bc.v) AS v, COALESCE(ca, 0) AS ca,
+              COALESCE(cb, 0) AS cb
+            FROM ac FULL JOIN bc ON ac.v = bc.v),
+      cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+                SUM(cb) OVER (ORDER BY v) AS cumb FROM c),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      mx AS (SELECT MAX(abs(CAST(cuma AS DECIMAL(38,0)) * nb
+               - CAST(cumb AS DECIMAL(38,0)) * na)) AS mnum
+             FROM cum, tot),
+      dd AS (SELECT na, nb,
+               CAST(mnum AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d
+             FROM mx, tot),
+      lam AS (SELECT na, nb, d,
+                (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS l
+              FROM (SELECT na, nb, d,
+                      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS ne
+                    FROM dd)),
+      ps AS (SELECT l, SUM(CAST(round(
+               2 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                 * exp(-2 * k * k * l * l), 12) AS DECIMAL(38,12))) AS s
+             FROM lam, generate_series(1, 100) t(k) GROUP BY l)
+      SELECT na AS n_a, nb AS n_b, round(d, 6) AS d_stat,
+        CASE WHEN lam.l < 0.1 THEN 1.0
+          ELSE round(least(1.0, greatest(0.0, CAST(s AS DOUBLE))), 6)
+        END AS p_value
+      FROM lam, ps"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.stats.Drift.ksTwoSample(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"),
+        col("l_quantity"))
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1086,5 +1136,5 @@ object StatsQueries extends QueryModule {
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
-    t29QuantileNormalize, t30TheilSen)
+    t29QuantileNormalize, t30TheilSen, dqKsTwoSample)
 }

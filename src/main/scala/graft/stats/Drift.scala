@@ -185,4 +185,92 @@ object Drift {
   def psiCategorical(ref: DataFrame, cur: DataFrame, catCol: String): Double =
     psiCategoricalTable(ref, cur, catCol)
       .agg(coalesce(sum(col("term")), lit(0.0))).head().getDouble(0)
+
+  /** Two-sample Kolmogorov–Smirnov test: D = max_x |F_a(x) − F_b(x)| —
+    * the nonparametric "did this numeric column's distribution move"
+    * companion to PSI's binned view (no bin edges to choose, sensitive
+    * to any shape change), with the asymptotic p-value via the standard
+    * Kolmogorov series (Press et al., Numerical Recipes §14.3, public):
+    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, p = 2 Σ_{k≥1} (−1)^{k−1}
+    * e^{−2k²λ²} (100 terms, clamped to [0,1]).
+    *
+    * Exactness: the max is taken over INTEGER numerators
+    * |cumA·n_b − cumB·n_a| in decimal(38,0) — both engines agree on the
+    * exact argmax before any division; D is then one double division.
+    * The p-series terms round to 12 and fold in decimal.
+    *
+    * Scale shape: one per-value count aggregation per side, ONE
+    * distributed range-partitioned sort of the distinct-value table,
+    * then per-partition running sums with broadcast partition offsets
+    * (the parallel-scan idiom shared with [[Correlation]]'s rank pass —
+    * NO unpartitioned window), one scan for the max. Driver traffic is
+    * per-partition scalars only.
+    *
+    * Returns one row (n_a, n_b, d_stat, p_value), rounded to 6. Fails
+    * loudly on an empty side (the statistic is undefined). */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tagA: Boolean) = df
+      .select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .select(col("v"),
+        (if (tagA) col("c") else lit(0L)).as("ca"),
+        (if (tagA) lit(0L) else col("c")).as("cb"))
+    val counts = side(a, tagA = true).unionByName(side(b, tagA = false))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .as[(Double, Long, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { t => sa += t._2; sb += t._3 }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val offA = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partTotals.map(_._3).scanLeft(0L)(_ + _)
+      val (nA, nB) = (offA.last, offB.last)
+      require(nA > 0 && nB > 0,
+        s"KS needs both samples non-empty, got nA=$nA nB=$nB")
+      val bigA = java.math.BigDecimal.valueOf(nA)
+      val bigB = java.math.BigDecimal.valueOf(nB)
+      val maxNum = counts.mapPartitionsWithIndex { (i, it) =>
+        var ca = offA(i); var cb = offB(i)
+        var best = java.math.BigDecimal.ZERO
+        it.foreach { case (_, da, db) =>
+          ca += da; cb += db
+          val num = java.math.BigDecimal.valueOf(ca).multiply(bigB)
+            .subtract(java.math.BigDecimal.valueOf(cb).multiply(bigA)).abs()
+          if (num.compareTo(best) > 0) best = num
+        }
+        Iterator(best)
+      }.collect().foldLeft(java.math.BigDecimal.ZERO) {
+        (x, y) => if (y.compareTo(x) > 0) y else x
+      }
+      val d = maxNum.doubleValue / (nA.toDouble * nB.toDouble)
+      val ne = nA.toDouble * nB.toDouble / (nA.toDouble + nB.toDouble)
+      val lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+      // the alternating series needs λ bounded away from 0 to converge in
+      // 100 terms (at λ = 0 it oscillates 2, 0, 2, ...); below 0.1 the
+      // true p exceeds 1 − 1e-8, so both engines branch to exactly 1
+      val p =
+        if (lam < 0.1) 1.0
+        else {
+          // rounded-12 terms, exact decimal fold — identical in any engine
+          var acc = java.math.BigDecimal.ZERO
+          for (k <- 1 to 100) {
+            val t = 2.0 * (if (k % 2 == 1) 1.0 else -1.0) *
+              math.exp(-2.0 * k * k * lam * lam)
+            acc = acc.add(java.math.BigDecimal.valueOf(t)
+              .setScale(12, java.math.RoundingMode.HALF_UP))
+          }
+          math.min(1.0, math.max(0.0, acc.doubleValue))
+        }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nA, nB, r6(d), r6(p))).toDF("n_a", "n_b", "d_stat", "p_value")
+    } finally counts.unpersist(blocking = false)
+  }
 }

@@ -694,6 +694,39 @@ class StatsSpec extends SparkSpec {
     assert(Drift.psiCategorical(empty, empty, "lbl") == 0.0)
   }
 
+  test("two-sample KS: hand-computed D, identical samples, shifted samples") {
+    import graft.stats.Drift
+    // A = {1,2,3,4}, B = {3,4,5,6}: max |F_a - F_b| = 0.5 (at v in 2..4)
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Drift.ksTwoSample(a, b, col("v")).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    // identical samples: D = 0, p = 1 (series sums to ~1, clamped)
+    val same = Drift.ksTwoSample(a, a, col("v")).head()
+    assert(same.getAs[Double]("d_stat") == 0.0)
+    assert(same.getAs[Double]("p_value") == 1.0)
+    // a big clean shift: D near 1, p tiny
+    val x = (0 until 300).map(_ / 300.0).toDF("v")
+    val y = (0 until 300).map(i => 10.0 + i / 300.0).toDF("v")
+    val far = Drift.ksTwoSample(x, y, col("v")).head()
+    assert(far.getAs[Double]("d_stat") == 1.0)
+    assert(far.getAs[Double]("p_value") < 1e-6)
+    // same distribution sampled twice: D small, p comfortably large
+    val x2 = (0 until 300).map(i => ((i * 37) % 300) / 300.0).toDF("v")
+    val close = Drift.ksTwoSample(x, x2, col("v")).head()
+    assert(close.getAs[Double]("p_value") > 0.9,
+      s"same-distribution p should be large: $close")
+    // empty side fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Drift.ksTwoSample(a.filter(lit(false)), b, col("v"))
+    }.getMessage.contains("non-empty"))
+    // partitioning invariance of the distributed scan
+    val rp = Drift.ksTwoSample(a.repartition(7), b.repartition(5),
+      col("v")).head()
+    assert(rp.getAs[Double]("d_stat") == 0.5)
+  }
+
   test("benford screen: multiplicative data conforms, uniform does not") {
     import graft.stats.DataQuality
     // geometric growth is the canonical Benford generator
