@@ -662,9 +662,98 @@ object EvalQueries extends QueryModule {
         col("n_chars"),
         Seq(0.1, 0.25, 0.5, 0.75, 0.9)))
 
+  /** Shared confident-learning fixture + SQL ([[graft.stats.LabelNoise]]):
+    * latent class = doc_id%4, every 11th doc mislabeled +1; the "model"
+    * is a peaked deterministic distribution p_latent = 0.55 + 0.3·hash
+    * with the remainder split evenly — so per-class thresholds are
+    * nontrivial and mislabeled docs suggest their latent class. */
+  private val clBaseSql: String = s"""
+      WITH b AS (
+        SELECT doc_id, CAST(doc_id % 4 AS INT) AS latent,
+          CAST(CASE WHEN doc_id % 11 = 0 THEN (doc_id % 4 + 1) % 4
+               ELSE doc_id % 4 END AS INT) AS given,
+          0.55 + 0.3 * ${hfSql("graft-cl-noise", "doc_id")} AS pl
+        FROM documents),
+      e AS (
+        SELECT doc_id, given, latent, t.j,
+          CASE WHEN t.j = latent THEN pl ELSE (1 - pl) / 3 END AS p
+        FROM b, (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS j) t),
+      th AS (
+        SELECT given AS j,
+          round(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 12) AS t
+        FROM e WHERE e.j = e.given GROUP BY given),
+      cand AS (
+        SELECT e.doc_id, e.given, e.j, e.p,
+          row_number() OVER (PARTITION BY e.doc_id
+            ORDER BY e.p DESC, e.j) AS r
+        FROM e JOIN th ON th.j = e.j AND e.p >= th.t),
+      s AS (
+        SELECT cand.doc_id, cand.given, cand.j AS suggested,
+          cand.p AS p_suggested, pg.p AS p_given
+        FROM cand
+        JOIN (SELECT doc_id, p FROM e WHERE j = given) pg
+          ON pg.doc_id = cand.doc_id
+        WHERE r = 1)"""
+
+  private def clInput(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val latent = (col("doc_id") % 4).cast("int")
+    val pl = lit(0.55) + lit(0.3) *
+      Sampling.hashFraction("graft-cl-noise", Seq(col("doc_id")))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 11 === 0, (col("doc_id") % 4 + 1) % 4)
+        .otherwise(col("doc_id") % 4).cast("int").as("given"),
+      transform(sequence(lit(0), lit(3)),
+        j => when(j === latent, pl).otherwise((lit(1.0) - pl) / 3))
+        .as("probs"))
+  }
+
+  /** Confident joint C[given][suggested] with cell shares. */
+  val confidentJointGate: Q = Q(
+    "lbl_confident_joint",
+    Some(clBaseSql + """
+      SELECT given, suggested, CAST(count(*) AS BIGINT) AS n,
+        round(count(*) / CAST((SELECT count(*) FROM s) AS DOUBLE), 6)
+          AS share
+      FROM s GROUP BY given, suggested
+      ORDER BY given, suggested"""),
+    (s, dir) => {
+      val joint = graft.stats.LabelNoise.confidentJoint(
+        clInput(s, dir), "doc_id", col("given"), col("probs"), k = 4)
+      // the planted noise must surface: off-diagonal mass exists and the
+      // diagonal dominates (the model is right far more often than not)
+      val offDiag = joint.filter(col("given") =!= col("suggested"))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      val diag = joint.filter(col("given") === col("suggested"))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      require(offDiag > 0, "planted label noise left no off-diagonal mass")
+      require(diag > offDiag * 3,
+        s"diagonal $diag should dominate off-diagonal $offDiag")
+      joint.orderBy("given", "suggested")
+    })
+
+  /** The relabel queue: examples whose confident suggestion differs from
+    * the given label — the mislabeled 11ths (when counted). */
+  val labelIssuesGate: Q = Q(
+    "lbl_label_issues",
+    Some(clBaseSql + """
+      SELECT doc_id, given, suggested, p_given, p_suggested
+      FROM s WHERE suggested <> given
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val issues = graft.stats.LabelNoise.labelIssues(
+        clInput(s, dir), "doc_id", col("given"), col("probs"), k = 4)
+      // every flagged doc should be one of the planted mislabels
+      val falseAlarms = issues.filter(col("doc_id") % 11 =!= 0).count()
+      require(falseAlarms == 0,
+        s"$falseAlarms correctly-labeled docs were flagged")
+      issues.orderBy("doc_id")
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, cohenKappaGate, fleissKappaGate,
-      yieldCurveGate)
+      yieldCurveGate, confidentJointGate, labelIssuesGate)
 }
