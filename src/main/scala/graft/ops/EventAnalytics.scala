@@ -167,4 +167,79 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_day", "week_offset")
   }
+
+  /** CUSUM changepoint detection (Page 1954, public) over per-period
+    * series — the sequential drift monitor that catches SLOW level
+    * shifts a per-point z-score (rolling anomaly flags) never
+    * accumulates: S⁺_t = max(0, S⁺_{t−1} + x_t − μ − kσ) flags when it
+    * exceeds hσ, and symmetrically downward. Computed in closed window
+    * form — S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    * (x − μ − kσ) — so the whole recurrence is two per-key windows, no
+    * recursion, no driver loop.
+    *
+    * `df` carries one row per (key, period) with the numeric `valueCol`
+    * (aggregate upstream; use exact counts or decimal sums so the series
+    * itself is engine-portable). Baseline μ/σ per key come from rows
+    * passing `baselineFilter` (sample std over exact decimal moments,
+    * rounded 12); keys with fewer than 2 baseline rows fail loudly.
+    * Zero-variance baselines yield null S (monitoring is undefined, not
+    * infinitely sensitive).
+    *
+    * Engine-parity: increments round to 12 and accumulate in
+    * decimal(38,12) window sums; S and the thresholds round to 6.
+    * Scale: one broadcast-joined baseline aggregate + two windows
+    * partitioned by key — series length per key is the only per-task
+    * width. Returns (keys..., periodCol, value, s_pos, s_neg, flag). */
+  def cusum(df: DataFrame, keyCols: Seq[String], periodCol: String,
+      valueCol: Column, baselineFilter: Column, kSigma: Double = 0.5,
+      hSigma: Double = 5.0): DataFrame = {
+    require(keyCols.nonEmpty, "at least one series key required")
+    val base = df.select(
+      (keyCols.map(col) :+ col(periodCol) :+
+        valueCol.cast("double").as("__x") :+
+        baselineFilter.as("__bl")): _*)
+    val stats = base.filter(col("__bl"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(round(col("__x"), 6).cast("decimal(38,12)")).as("__s1"),
+        sum(round(round(col("__x"), 6) * round(col("__x"), 6), 6)
+          .cast("decimal(38,12)")).as("__s2"))
+      .select(
+        (keyCols.map(col) :+
+          when(col("__n") < 2, raise_error(concat(
+            lit("cusum: key with fewer than 2 baseline rows: "),
+            concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))))
+            .otherwise(col("__n")).as("__n") :+
+          col("__s1") :+ col("__s2")): _*)
+      .select(
+        (keyCols.map(col) :+
+          round(col("__s1").cast("double") / col("__n"), 12).as("__mu") :+
+          round(sqrt(greatest(lit(0.0),
+            (col("__s2").cast("double")
+              - col("__s1").cast("double") * col("__s1").cast("double")
+                / col("__n")) / (col("__n") - 1))), 12).as("__sigma")): _*)
+    val joined = base.join(broadcast(stats), keyCols)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(periodCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slack = col("__sigma") * kSigma
+    def s(pCol: Column) = round(
+      (pCol - least(lit(0).cast("decimal(38,12)"), min(pCol).over(w)))
+        .cast("double"), 6)
+    joined
+      .withColumn("__ppos", sum(round(col("__x") - col("__mu") - slack, 12)
+        .cast("decimal(38,12)")).over(w))
+      .withColumn("__pneg", sum(round(col("__mu") - slack - col("__x"), 12)
+        .cast("decimal(38,12)")).over(w))
+      .withColumn("__spos0", s(col("__ppos")))
+      .withColumn("__sneg0", s(col("__pneg")))
+      .select(
+        (keyCols.map(col) :+ col(periodCol) :+ col("__x").as("value") :+
+          when(col("__sigma") > 0, col("__spos0")).as("s_pos") :+
+          when(col("__sigma") > 0, col("__sneg0")).as("s_neg") :+
+          when(col("__sigma") > 0,
+            greatest(col("__spos0"), col("__sneg0"))
+              > round(col("__sigma") * hSigma, 6)).as("flag")): _*)
+  }
 }

@@ -958,10 +958,83 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** CUSUM changepoints ([[graft.ops.EventAnalytics.cusum]]): daily event
+    * counts per type with a +40 level shift planted in 'error' from day
+    * 22 — the slow-drift monitor next to the per-point z-score flags
+    * (ev_anomaly_flags). Baseline = days 1–14; the closed window form
+    * P − min(0, running-min P) replaces the sequential recurrence, so
+    * both engines rebuild S⁺/S⁻ from decimal window folds. */
+  val evCusum: Q = Q(
+    "ev_cusum_changepoints",
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(day(ts) AS INT) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      x AS (
+        SELECT event_type, d,
+          CAST(c + CASE WHEN event_type = 'error' AND d >= 22 THEN 40
+            ELSE 0 END AS DOUBLE) AS x
+        FROM daily),
+      st AS (
+        SELECT event_type, count(*) AS n,
+          SUM(CAST(round(x, 6) AS DECIMAL(38,12))) AS s1,
+          SUM(CAST(round(round(x, 6) * round(x, 6), 6)
+            AS DECIMAL(38,12))) AS s2
+        FROM x WHERE d <= 14 GROUP BY 1),
+      ms AS (
+        SELECT event_type,
+          round(CAST(s1 AS DOUBLE) / n, 12) AS mu,
+          round(sqrt(greatest(0.0,
+            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / n) / (n - 1))), 12) AS sigma
+        FROM st),
+      j AS (SELECT x.event_type, d, x, mu, sigma
+            FROM x JOIN ms USING (event_type)),
+      p AS (
+        SELECT event_type, d, x, mu, sigma,
+          SUM(CAST(round(x - mu - sigma * 0.5, 12) AS DECIMAL(38,12)))
+            OVER (PARTITION BY event_type ORDER BY d) AS ppos,
+          SUM(CAST(round(mu - sigma * 0.5 - x, 12) AS DECIMAL(38,12)))
+            OVER (PARTITION BY event_type ORDER BY d) AS pneg
+        FROM j),
+      sfin AS (
+        SELECT event_type, d, x, sigma,
+          round(CAST(ppos - least(CAST(0 AS DECIMAL(38,12)),
+            MIN(ppos) OVER (PARTITION BY event_type ORDER BY d))
+            AS DOUBLE), 6) AS spos,
+          round(CAST(pneg - least(CAST(0 AS DECIMAL(38,12)),
+            MIN(pneg) OVER (PARTITION BY event_type ORDER BY d))
+            AS DOUBLE), 6) AS sneg
+        FROM p)
+      SELECT event_type, d, x AS value,
+        CASE WHEN sigma > 0 THEN spos END AS s_pos,
+        CASE WHEN sigma > 0 THEN sneg END AS s_neg,
+        CASE WHEN sigma > 0
+          THEN greatest(spos, sneg) > round(sigma * 5.0, 6) END AS flag
+      FROM sfin ORDER BY event_type, d"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .select(col("event_type"), dayofmonth(col("ts")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("d"),
+          (col("c") + when(col("event_type") === "error" &&
+            col("d") >= 22, 40).otherwise(0)).cast("double").as("x"))
+      val out = graft.ops.EventAnalytics.cusum(daily, Seq("event_type"),
+        "d", col("x"), col("d") <= 14)
+      // the planted shift must be caught, and not before it happened
+      val errFlags = out.filter(col("event_type") === "error" && col("flag"))
+        .agg(coalesce(min(col("d")), lit(99)).cast("int"),
+          count(lit(1))).head()
+      require(errFlags.getLong(1) > 0, "planted +40 shift never flagged")
+      require(errFlags.getInt(0) >= 22,
+        s"flag fired before the shift: day ${errFlags.getInt(0)}")
+      out.orderBy("event_type", "d")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
-      evCuped, evKaplanMeier, evLogRank, evSurvivalSummary)
+      evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum)
 }
