@@ -1066,26 +1066,29 @@ object TextQueries extends QueryModule {
     * (deterministic spec constant). In-gate self-asserts stay:
     * CONSERVATION (histogram total == summed encoded length) and full
     * vocab coverage (every id exactly once, unused ids at n = 0). */
-  val txtBpeTokenFreq: Q = Q(
-    "txt_bpe_token_freq",
-    Some {
-      val tok = graft.functions.Bpe.fromResource()
-      def q(s: String) = "'" + s.replace("'", "''") + "'"
-      val pat = graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
-      val mergePairs = tok.merges.zipWithIndex
-        .map { case ((l, r), i) => (l + " " + r, i) }
-      require(mergePairs.map(_._1).distinct.length == mergePairs.length,
-        "duplicate merge pair in fixture — rank map would be ambiguous")
-      // last-wins symbol -> id, mirroring the tokenizer's symbolId map
-      val symToId = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-      (0 until 256).foreach(b => symToId(tok.symbolOf(b)) = b)
-      tok.merges.zipWithIndex.foreach { case ((l, r), i) =>
-        symToId(l + r) = 256 + i }
-      val byteKeys = (0 until 256).map(b => q(f"$b%02X")).mkString(", ")
-      val byteVals = (0 until 256).map(b => q(tok.symbolOf(b))).mkString(", ")
-      val vocabRows = (0 until tok.vocabSize)
-        .map(i => s"($i, ${q(tok.symbolOf(i))})").mkString(", ")
-      s"""
+  /** The shared DuckDB BPE-replay prelude (WITH RECURSIVE ... final):
+    * merges fixture + symbol alphabet as map literals, distinct-piece
+    * extraction, and the leftmost-min-rank recursive encode (see
+    * [[txtBpeTokenFreq]]'s scaladoc for the equivalence argument).
+    * Gates append their own tails. */
+  private lazy val bpeReplayPrelude: String = {
+    val tok = graft.functions.Bpe.fromResource()
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val pat = graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
+    val mergePairs = tok.merges.zipWithIndex
+      .map { case ((l, r), i) => (l + " " + r, i) }
+    require(mergePairs.map(_._1).distinct.length == mergePairs.length,
+      "duplicate merge pair in fixture — rank map would be ambiguous")
+    // last-wins symbol -> id, mirroring the tokenizer's symbolId map
+    val symToId = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (0 until 256).foreach(b => symToId(tok.symbolOf(b)) = b)
+    tok.merges.zipWithIndex.foreach { case ((l, r), i) =>
+      symToId(l + r) = 256 + i }
+    val byteKeys = (0 until 256).map(b => q(f"$b%02X")).mkString(", ")
+    val byteVals = (0 until 256).map(b => q(tok.symbolOf(b))).mkString(", ")
+    val vocabRows = (0 until tok.vocabSize)
+      .map(i => s"($i, ${q(tok.symbolOf(i))})").mkString(", ")
+    s"""
       WITH RECURSIVE
       mm AS (SELECT map(
         [${mergePairs.map(p => q(p._1)).mkString(", ")}],
@@ -1095,10 +1098,11 @@ object TextQueries extends QueryModule {
         [${symToId.values.mkString(", ")}]) AS m),
       bm AS (SELECT map([$byteKeys], [$byteVals]) AS m),
       vocab(token_id, symbol) AS (VALUES $vocabRows),
+      rawpieces AS (
+        SELECT lang, unnest(regexp_extract_all(text, '$pat')) AS piece
+        FROM documents),
       pieces AS (
-        SELECT piece, count(*) AS cnt FROM (
-          SELECT unnest(regexp_extract_all(text, '$pat')) AS piece
-          FROM documents)
+        SELECT piece, count(*) AS cnt FROM rawpieces
         GROUP BY piece),
       hexed AS (SELECT piece, hex(encode(piece)) AS h FROM pieces),
       init AS (
@@ -1123,7 +1127,12 @@ object TextQueries extends QueryModule {
         WHERE mn < 999999),
       final AS (
         SELECT piece, arg_min(syms, len(syms)) AS syms
-        FROM rec GROUP BY piece),
+        FROM rec GROUP BY piece)"""
+  }
+
+  val txtBpeTokenFreq: Q = Q(
+    "txt_bpe_token_freq",
+    Some(bpeReplayPrelude + """,
       toks AS (
         SELECT map_extract(sm.m, u.sym)[1] AS token_id, p.cnt
         FROM final f
@@ -1133,8 +1142,7 @@ object TextQueries extends QueryModule {
         FROM toks GROUP BY token_id)
       SELECT v.token_id, v.symbol, COALESCE(c.n, 0) AS n
       FROM vocab v LEFT JOIN counts c USING (token_id)
-      ORDER BY v.token_id"""
-    },
+      ORDER BY v.token_id"""),
     (s, dir) => {
       val tok = graft.functions.Bpe.fromResource()
       val docs = Tables.load(s, dir, "documents")
@@ -1149,6 +1157,50 @@ object TextQueries extends QueryModule {
       require(freq.count() == tok.vocabSize,
         s"vocab coverage broken: ${freq.count()} rows vs ${tok.vocabSize}")
       freq.orderBy("token_id")
+    })
+
+  /** Per-language tokenizer fertility — BPE tokens per pre-split piece
+    * and bytes per token, the standard "how well does this tokenizer
+    * serve each language" table (a hot language with high fertility
+    * burns context window; public metric from the multilingual-tokenizer
+    * literature). Spark encodes with the real tokenizer; DuckDB
+    * re-derives every piece's token count through the same recursive
+    * replay as txt_bpe_token_freq and aggregates the per-document piece
+    * multiset by language. The lossless split means per-language byte
+    * mass equals the summed piece bytes. */
+  val txtBpeFertility: Q = Q(
+    "txt_bpe_fertility",
+    Some(bpeReplayPrelude + """,
+      plen AS (
+        SELECT piece, len(syms) AS ntok,
+          octet_length(encode(piece)) AS nbytes
+        FROM final)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_pieces,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(ntok) AS BIGINT)
+          / CAST(count(*) AS DOUBLE), 6) AS fertility,
+        round(CAST(SUM(nbytes) AS BIGINT)
+          / CAST(SUM(ntok) AS DOUBLE), 6) AS bytes_per_token
+      FROM rawpieces JOIN plen USING (piece)
+      GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val tok = graft.functions.Bpe.fromResource()
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("lang"),
+          graft.functions.Bpe.tokenCount(s, col("text"), tok)
+            .cast("long").as("ntok"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("npieces"),
+          octet_length(col("text")).cast("long").as("nbytes"))
+        .groupBy("lang")
+        .agg(
+          sum(col("npieces")).as("n_pieces"),
+          sum(col("ntok")).as("n_tokens"),
+          round(sum(col("ntok")) / sum(col("npieces")).cast("double"), 6)
+            .as("fertility"),
+          round(sum(col("nbytes")) / sum(col("ntok")).cast("double"), 6)
+            .as("bytes_per_token"))
+        .orderBy("lang")
     })
 
   /** Keyed upsert/delete corpus maintenance ([[graft.ops.Upsert]]): lay out
@@ -1773,7 +1825,7 @@ object TextQueries extends QueryModule {
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
     txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
-    txtBpeTrain, txtBpeTokenFreq, txtMgSummary, txtQualityClassifier,
+    txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtMgSummary, txtQualityClassifier,
     txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup, txtUnigramTokenize,
     mntTokenExport,
     txtHashClassifier, mntUpsert)
