@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, QueryModule}
+import graft.{Q, QueryModule, Tables}
 import graft.catalog.{BucketedLayout, TableCatalog}
 import graft.core.Filter._
 import graft.query.CohortQuery
@@ -362,8 +362,47 @@ object LayoutQueries extends QueryModule {
       out
     })
 
+  /** Corpus concentration ([[graft.ops.Concentration.report]]): source
+    * shares of the character mass — Gini via the exact rank-weight sum,
+    * HHI/entropy via rounded-12 decimal share folds, top-k by driver
+    * take. The curation screen before mixture math. */
+  val mntConcentration: Q = Q(
+    "mnt_concentration",
+    Some("""
+      WITH k AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY source HAVING SUM(n_chars) > 0),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                SUM(CAST(w AS DECIMAL(38,0))) AS wt FROM k),
+      r AS (SELECT w, row_number() OVER (ORDER BY w) AS rk FROM k),
+      gw AS (SELECT SUM(CAST(rk AS DECIMAL(38,0))
+               * CAST(w AS DECIMAL(38,0))) AS rw FROM r),
+      tk AS (SELECT SUM(CAST(w AS DECIMAL(38,0))) AS topw
+             FROM (SELECT w FROM k ORDER BY w DESC LIMIT 10)),
+      t1 AS (SELECT MAX(w) AS w1 FROM k),
+      terms AS (
+        SELECT SUM(CAST(round(s * s, 12) AS DECIMAL(38,12))) AS hhi,
+          SUM(CAST(round(-s * ln(s), 12) AS DECIMAL(38,12))) AS ent
+        FROM (SELECT w / CAST(wt AS DOUBLE) AS s FROM k, tot))
+      SELECT n AS n_keys, CAST(wt AS BIGINT) AS total_weight,
+        round(w1 / CAST(wt AS DOUBLE), 6) AS top1_share,
+        round(CAST(topw AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS topk_share,
+        round(CAST(hhi AS DOUBLE), 6) AS hhi,
+        round(CAST(ent AS DOUBLE), 6) AS entropy,
+        CASE WHEN n = 1 THEN 0.0
+          ELSE round(CAST(ent AS DOUBLE) / ln(n), 6) END AS entropy_norm,
+        round(2.0 * CAST(rw AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(wt AS DOUBLE))
+          - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+      FROM tot, gw, tk, t1, terms"""),
+    (s, dir) =>
+      graft.ops.Concentration.report(
+        Tables.load(s, dir, "documents"), Seq("source"), col("n_chars")))
+
   override def queries: Seq[Q] =
     Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact,
       mntCorpusDiff, mntCorpusOverlap, mntCorpusOverlapKmv,
-      mntCorpusDivergence)
+      mntCorpusDivergence, mntConcentration)
 }
