@@ -93,24 +93,60 @@ object Projection {
     * here for the full d×d covariance). Shuffle = partitions × d(d+1)/2
     * partial rows; null vectors are excluded (they vote in no moment). */
   def momentsUpper(df: DataFrame, vecCol: String, inDim: Int): DataFrame = {
-    // upper-triangle (i, j) pairs generated in-row (compact codegen — a
-    // 2k-literal array would blow the 64KB method limit at d=64)
-    val pairs = flatten(transform(sequence(lit(0), lit(inDim - 1)),
-      i => transform(sequence(i, lit(inDim - 1)),
-        j => struct(i.as("i"), j.as("j")))))
+    // Plan shape, each step measured at sf0.1 (16→~2 s):
+    //  1. upper-triangle pairs via TWO chained posexplodes (GenerateExec,
+    //     codegen) — the original in-row struct-array build went through
+    //     interpreted higher-order functions (transform/flatten never
+    //     enter whole-stage codegen). slice(v, i+1, d-i) yields
+    //     components i..d-1 (1-based slice), so j = i + offset.
+    //  2. terms as UNSCALED LONGS of round(x,12)::decimal(38,12)
+    //     ([[graft.functions.UnscaledRound12]] — bit-identical to the
+    //     declarative form, which spent its time on per-row BigDecimal
+    //     round/cast allocs and non-compact decimal adds).
+    //  3. heavy aggregation sums LONGS per (i, j, input partition) —
+    //     codegen'd long arithmetic, map-side combined; the partition key
+    //     bounds each long sum by partition row count (≤ ~10⁷ rows ×
+    //     |term| ≤ 10⁶ headroom under 2⁶³/10¹²·10⁷; ANSI makes any
+    //     overflow loud, never silent wraparound).
+    //  4. the partition-count-sized partials convert to EXACT decimals
+    //     (unscaled × 10⁻¹², precision algebra uncapped) and cell-sum —
+    //     identical values to the old pipeline because decimal addition
+    //     is associative.
+    val spark = df.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unscaled_round12",
+      exprs => graft.functions.UnscaledRound12(exprs.head), "built-in")
+    def u(c: Column) = call_function("graft_unscaled_round12", c)
+    // exact 10^-12 as decimal(1,12): unscaled 1, scale 12
+    val e12inv = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
+    def toDec(c: Column) =
+      sum((c.cast("decimal(20,0)") * e12inv).cast("decimal(38,12)"))
     val v = col(vecCol).cast("array<double>")
     df.filter(v.isNotNull && size(v) === inDim)
       .select(v.as("__v"))
-      .select(explode(pairs).as("__p"), col("__v"))
-      .select(
-        col("__p.i").as("i"), col("__p.j").as("j"),
-        element_at(col("__v"), col("__p.i") + 1).as("xi"),
-        element_at(col("__v"), col("__p.j") + 1).as("xj"))
+      // each input row fans out d(d+1)/2 terms, so parallelism must come
+      // from ROW count, not input file splits — a compact parquet file
+      // would otherwise funnel the whole d² explode through one task.
+      // The repartition shuffles only the skinny vectors (2/d of the
+      // exploded volume); results are placement-invariant (long partials
+      // per pid merge by associative decimal addition).
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("__v"), col("i") + 1, lit(inDim) - col("i")))
+          .as(Seq("__p", "xj")))
+      .select(col("i"), (col("i") + col("__p")).as("j"),
+        col("xi"), col("xj"), spark_partition_id().as("__pid"))
+      .groupBy("i", "j", "__pid").agg(
+        count(lit(1)).as("__n"),
+        sum(u(col("xi"))).as("__si_u"),
+        sum(u(col("xj"))).as("__sj_u"),
+        sum(u(col("xi") * col("xj"))).as("__sij_u"))
       .groupBy("i", "j").agg(
-        count(lit(1)).as("n"),
-        sum(round(col("xi"), 12).cast("decimal(38,12)")).as("si"),
-        sum(round(col("xj"), 12).cast("decimal(38,12)")).as("sj"),
-        sum(round(col("xi") * col("xj"), 12).cast("decimal(38,12)")).as("sij"))
+        sum(col("__n")).as("n"),
+        toDec(col("__si_u")).as("si"),
+        toDec(col("__sj_u")).as("sj"),
+        toDec(col("__sij_u")).as("sij"))
   }
 
   /** Cell-wise sum: mergeMoments(momentsUpper(A), momentsUpper(B)) ==

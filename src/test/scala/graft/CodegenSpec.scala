@@ -234,6 +234,39 @@ class CodegenSpec extends SparkSpec {
     assert(expr.eval(InternalRow(9999L)).asInstanceOf[Boolean])
   }
 
+  test("UnscaledRound12 codegen == eval == the declarative round/cast pipeline") {
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.UnscaledRound12
+    val expr = UnscaledRound12(BoundReference(0, DoubleType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    // adversarial values: exact scale-12 ties, near-ties from either side,
+    // negatives, zero, subnormal-ish, and hash-derived noise
+    val adversarial = Seq(0.0, 1.0, -1.0, 0.5e-12, 1.5e-12, -0.5e-12,
+      0.1234567890125, 0.12345678901249999, 0.12345678901250001,
+      -0.9999999999995, 1e-13, -1e-13, 0.1, 1.0 / 3.0, math.Pi, -math.E)
+    val noise = (0 until 100000).map { i =>
+      val h = ((i * 2654435761L) & 0xffffffffL).toDouble / 4294967296.0
+      (h - 0.5) * 2000.0 * ((i % 7 + 1) / 7.0)
+    }
+    (adversarial ++ noise).foreach { x =>
+      val fromCodegen = proj(InternalRow(x)).getLong(0)
+      val fromInterp = expr.eval(InternalRow(x)).asInstanceOf[Long]
+      // the declarative semantics it replaces, step for step
+      val y = java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      val declarative = org.apache.spark.sql.types.Decimal(y)
+      assert(declarative.changePrecision(38, 12),
+        s"reference cast overflowed for $x")
+      val want = declarative.toJavaBigDecimal.unscaledValue().longValueExact()
+      assert(fromCodegen == fromInterp && fromInterp == want,
+        s"x=$x codegen=$fromCodegen interp=$fromInterp declarative=$want")
+    }
+    // out-of-range input fails loudly instead of wrapping
+    intercept[ArithmeticException] {
+      expr.eval(InternalRow(1e7.toDouble))
+    }
+  }
+
   test("minhash pipeline runs end-to-end with codegen forced (no interpreter fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
