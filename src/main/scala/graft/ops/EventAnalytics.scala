@@ -190,15 +190,11 @@ object EventAnalytics {
     * Scale: one broadcast-joined baseline aggregate + two windows
     * partitioned by key — series length per key is the only per-task
     * width. Returns (keys..., periodCol, value, s_pos, s_neg, flag). */
-  def cusum(df: DataFrame, keyCols: Seq[String], periodCol: String,
-      valueCol: Column, baselineFilter: Column, kSigma: Double = 0.5,
-      hSigma: Double = 5.0): DataFrame = {
+  def cusumBaseline(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      baselineFilter: Column): DataFrame = {
     require(keyCols.nonEmpty, "at least one series key required")
-    val base = df.select(
-      (keyCols.map(col) :+ col(periodCol) :+
-        valueCol.cast("double").as("__x") :+
-        baselineFilter.as("__bl")): _*)
-    val stats = base.filter(col("__bl"))
+    df.filter(baselineFilter)
+      .select((keyCols.map(col) :+ valueCol.cast("double").as("__x")): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("__n"),
@@ -214,12 +210,28 @@ object EventAnalytics {
           col("__s1") :+ col("__s2")): _*)
       .select(
         (keyCols.map(col) :+
-          round(col("__s1").cast("double") / col("__n"), 12).as("__mu") :+
+          round(col("__s1").cast("double") / col("__n"), 12)
+            .as("cusum_mu") :+
           round(sqrt(greatest(lit(0.0),
             (col("__s2").cast("double")
               - col("__s1").cast("double") * col("__s1").cast("double")
-                / col("__n")) / (col("__n") - 1))), 12).as("__sigma")): _*)
-    val joined = base.join(broadcast(stats), keyCols)
+                / col("__n")) / (col("__n") - 1))), 12)
+            .as("cusum_sigma")): _*)
+  }
+
+  /** [[cusum]] against PRE-COMPUTED reference stats (keys…, cusum_mu,
+    * cusum_sigma) — the frozen-reference form the streaming monitor
+    * ([[graft.streaming.CusumMonitor]]) shares arithmetic with. */
+  def cusumWithStats(df: DataFrame, keyCols: Seq[String], periodCol: String,
+      valueCol: Column, stats: DataFrame, kSigma: Double = 0.5,
+      hSigma: Double = 5.0): DataFrame = {
+    require(keyCols.nonEmpty, "at least one series key required")
+    val base = df.select(
+      (keyCols.map(col) :+ col(periodCol) :+
+        valueCol.cast("double").as("__x")): _*)
+    val joined = base.join(broadcast(stats
+      .withColumnRenamed("cusum_mu", "__mu")
+      .withColumnRenamed("cusum_sigma", "__sigma")), keyCols)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(periodCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -242,4 +254,12 @@ object EventAnalytics {
             greatest(col("__spos0"), col("__sneg0"))
               > round(col("__sigma") * hSigma, 6)).as("flag")): _*)
   }
+
+  /** Self-contained form: baseline stats from rows passing
+    * `baselineFilter`, then [[cusumWithStats]]. */
+  def cusum(df: DataFrame, keyCols: Seq[String], periodCol: String,
+      valueCol: Column, baselineFilter: Column, kSigma: Double = 0.5,
+      hSigma: Double = 5.0): DataFrame =
+    cusumWithStats(df, keyCols, periodCol, valueCol,
+      cusumBaseline(df, keyCols, valueCol, baselineFilter), kSigma, hSigma)
 }

@@ -785,4 +785,51 @@ class StreamingSpec extends SparkSpec {
     assert(ref.get() == whole,
       "stream-folded moments differ from the one-shot batch table")
   }
+
+  test("streaming CUSUM monitor: unscaled-long fold == batch decimal windows") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.EventAnalytics
+    import graft.streaming.CusumMonitor
+    import spark.implicits._
+
+    // daily event counts per type with a planted +40 shift (the gate's
+    // fixture, key stringly for the stream)
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type".as("key"), F.dayofmonth($"ts").cast("long").as("period"))
+      .groupBy("key", "period").agg(F.count(F.lit(1)).as("c"))
+      .select($"key", $"period",
+        ($"c" + F.when($"key" === "error" && $"period" >= 22, 40)
+          .otherwise(0)).cast("double").as("value"))
+    val stats = EventAnalytics.cusumBaseline(daily, Seq("key"), $"value",
+      $"period" <= 14)
+    val batch = EventAnalytics.cusumWithStats(daily, Seq("key"), "period",
+      $"value", stats).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("period")) ->
+        ((r.getAs[Double]("s_pos"), r.getAs[Double]("s_neg"),
+          r.getAs[Boolean]("flag")))).toMap
+    val statsMap = stats.collect().map(r => r.getAs[String]("key") ->
+      ((r.getAs[Double]("cusum_mu"), r.getAs[Double]("cusum_sigma")))).toMap
+
+    val rows = daily.as[(String, Long, Double)].collect().sortBy(r => (r._2, r._1))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val feed = ms.toDF().toDF("key", "period", "value")
+    val q = CusumMonitor.monitorStream(feed, statsMap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("cusum_out").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("period")) ->
+          ((r.getAs[Double]("s_pos"), r.getAs[Double]("s_neg"),
+            r.getAs[Boolean]("flag")))).toMap
+      assert(got.size == batch.size, s"${got.size} vs ${batch.size} rows")
+      for ((k, want) <- batch)
+        assert(got(k) == want, s"$k: stream ${got(k)} vs batch $want")
+      assert(batch.exists(_._2._3), "fixture produced zero flags — vacuous")
+    } finally q.stop()
+  }
 }
