@@ -508,9 +508,66 @@ object SamplingQueries extends QueryModule {
       out
     })
 
+  /** Neyman allocation ([[graft.ops.Mixture.neymanAllocation]]): a
+    * 200-row sample budget split across (lang, source) strata of the
+    * documents table ∝ N_h·σ_h of n_chars, integerized by largest
+    * remainder — DuckDB rebuilds the moments, shares, floors and the
+    * remainder ranking; Σ alloc == budget required in-gate. */
+  val smpNeyman: Q = Q(
+    "smp_neyman_allocation",
+    Some("""
+      WITH m AS (
+        SELECT source, count(*) AS n_rows,
+          SUM(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(38,12)))
+            AS s1,
+          SUM(CAST(round(round(CAST(n_chars AS DOUBLE), 6)
+            * round(CAST(n_chars AS DOUBLE), 6), 6) AS DECIMAL(38,12)))
+            AS s2
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY source),
+      sg AS (
+        SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+          round(sqrt(greatest(0.0,
+            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / n_rows) / (n_rows - 1))), 12) AS sigma
+        FROM m),
+      tot AS (
+        SELECT CAST(SUM(CAST(round(n_rows * sigma, 6) AS DECIMAL(38,12)))
+          AS DOUBLE) AS wsum FROM sg),
+      sh AS (
+        SELECT source, n_rows, sigma,
+          round(n_rows * sigma, 6) AS weight,
+          200.0 * round(n_rows * sigma, 6) / wsum AS share
+        FROM sg, tot),
+      f AS (
+        SELECT source, n_rows, sigma, weight,
+          least(CAST(floor(share) AS BIGINT), n_rows) AS alloc0,
+          CASE WHEN least(CAST(floor(share) AS BIGINT), n_rows) < n_rows
+            THEN share - floor(share) ELSE -1.0 END AS rem2
+        FROM sh),
+      sp AS (SELECT CAST(SUM(alloc0) AS BIGINT) AS spent FROM f),
+      rk AS (
+        SELECT f.*, row_number() OVER (ORDER BY rem2 DESC, source)
+          AS r
+        FROM f)
+      SELECT source, n_rows, sigma, weight,
+        CAST(alloc0 + CASE WHEN r <= 200 - sp.spent THEN 1 ELSE 0 END
+          AS BIGINT) AS alloc
+      FROM rk, sp ORDER BY source"""),
+    (s, dir) => {
+      val out = graft.ops.Mixture.neymanAllocation(
+        Tables.load(s, dir, "documents").filter(col("n_chars").isNotNull),
+        Seq("source"), col("n_chars"), budget = 200L)
+      val spent = out.agg(sum(col("alloc"))).head().getLong(0)
+      require(spent == 200L, s"allocation spent $spent of 200")
+      val over = out.filter(col("alloc") > col("n_rows")).count()
+      require(over == 0, s"$over strata allocated beyond their rows")
+      out.orderBy("source")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
-      smpNormalizedTopFrac)
+      smpNormalizedTopFrac, smpNeyman)
 }

@@ -2173,6 +2173,40 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(f4.values.map(_._1).sum - 400.0) < many.size * 5e-7)
   }
 
+  test("neyman allocation: variance-weighted shares, caps, fallback, loud budget") {
+    import graft.ops.Mixture
+    // A: 2 rows, sigma = sqrt(50); B: 4 constant rows, sigma = 0 ->
+    // all weight on A, whose cap (2 rows) forces the remainder to B
+    val panel = Seq(("A", 0.0), ("A", 10.0),
+      ("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 5.0)).toDF("s", "x")
+    val out = Mixture.neymanAllocation(panel, Seq("s"), col("x"), 3L)
+      .collect().map(r => r.getAs[String]("s") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("alloc")))).toMap
+    assert(out("A") == ((2L, 2L)), s"A capped at its rows: $out")
+    assert(out("B") == ((4L, 1L)), s"B takes the residual: $out")
+    // all-constant strata: Neyman degenerates -> proportional to N_h
+    val const = Seq(("A", 1.0), ("A", 1.0),
+      ("B", 2.0), ("B", 2.0), ("B", 2.0), ("B", 2.0)).toDF("s", "x")
+    val prop = Mixture.neymanAllocation(const, Seq("s"), col("x"), 3L)
+      .collect().map(r => r.getAs[String]("s") -> r.getAs[Long]("alloc"))
+      .toMap
+    assert(prop("A") == 1L && prop("B") == 2L, s"proportional fallback: $prop")
+    // the budget always spends exactly
+    val varied = (0 until 120).map(i => (s"s${i % 8}", (i * 13 % 29).toDouble))
+      .toDF("s", "x")
+    val spent = Mixture.neymanAllocation(varied, Seq("s"), col("x"), 50L)
+      .agg(sum(col("alloc"))).head().getLong(0)
+    assert(spent == 50L)
+    // over-budget and thin strata fail loudly
+    assert(intercept[IllegalArgumentException] {
+      Mixture.neymanAllocation(panel, Seq("s"), col("x"), 100L)
+    }.getMessage.contains("exceeds"))
+    assert(intercept[Exception] {
+      Mixture.neymanAllocation(Seq(("A", 1.0)).toDF("s", "x"),
+        Seq("s"), col("x"), 1L).collect()
+    }.toString.contains("fewer than 2 rows"))
+  }
+
   test("sft prep: chat rendering byte-exact, preference pair selection and margin") {
     import graft.ops.SftPrep
     val turns = Seq(
