@@ -61,7 +61,11 @@ object Bench {
     "smp_importance_resample",
     // round-13: the projection/PCA family's regression line — the
     // d²-bounded covariance shuffle is the family's dominant plan shape
-    "prj_covariance")
+    "prj_covariance",
+    // round-13: margin-based bitext mining — the |X|·|Y| scored-pair
+    // shape (cross join + two window/aggregate passes) has no other
+    // headline representative
+    "sim_bitext_mine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

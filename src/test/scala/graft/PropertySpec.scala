@@ -481,9 +481,19 @@ class PropertySpec extends SparkSpec {
       s"PCA projection should be a narrow map:\n$pc")
     val cov = graft.ops.Projection.covarianceUpper(embs, "embedding", 64)
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(cov).size
-    assert(exchanges == 1,
-      s"covariance should shuffle exactly once, found $exchanges:\n$cov")
+    // designed round-13 shape: ONE round-robin repartition of the skinny
+    // vectors (parallelism must come from rows, not file splits) + ONE
+    // cell aggregation exchange; the heavy per-partition partial sums
+    // LONGS (unscaledround12), decimals appear only above the exchange
+    // (the planner may or may not insert a second cell-sized exchange for
+    // the (i, j, pid) partial level — both are cells-only, never terms)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(cov).size
+    val rrEx = "Exchange RoundRobinPartitioning".r.findAllIn(cov).size
+    assert(hashEx <= 2 && rrEx == 1,
+      s"covariance should repartition once + shuffle only cell rows, " +
+        s"found hash=$hashEx roundrobin=$rrEx:\n$cov")
+    assert(cov.contains("sum(unscaledround12"),
+      s"the heavy partials must sum unscaled longs:\n$cov")
   }
 
   test("quantile normalize + zipf fit: NO unpartitioned window in the plan") {
