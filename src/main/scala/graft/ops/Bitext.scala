@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,43 +35,66 @@ import org.apache.spark.sql.functions._
 object Bitext {
 
   /** All-pairs margin scoring: (x_id, y_id, c, margin, __rf, __rb) with
-    * endpoint penalties joined in. */
+    * endpoint penalties joined in. Each side is L2-normalized ONCE (a
+    * row-count-sized map) so the pair loop runs a single codegen'd dot
+    * instead of three (cosine = dot/(‖x‖·‖y‖) recomputes both norms per
+    * pair); the sides also repartition so parallelism comes from rows,
+    * not input file splits (the covariance lesson — one compact file
+    * would otherwise run the |X|·|Y| loop on one task). Zero-norm or
+    * null vectors drop (no direction to mine). */
   private def scoredPairs(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"neighborhood size k must be >= 1, got $k")
-    val x = xs.select(col(idCol).as("x_id"),
-      col(vecCol).cast("array<double>").as("xv"))
-    val y = ys.select(col(idCol).as("y_id"),
-      col(vecCol).cast("array<double>").as("yv"))
+    val parts = xs.sparkSession.sessionState.conf.numShufflePartitions
+    def side(df: DataFrame, idName: String, vecName: String) = df
+      .select(col(idCol).as(idName),
+        col(vecCol).cast("array<double>").as("__raw"))
+      .filter(col("__raw").isNotNull)
+      .repartition(parts)
+      .withColumn("__nrm", sqrt(Similarity.norm2(col("__raw"))))
+      .filter(col("__nrm") > 0)
+      .select(col(idName),
+        transform(col("__raw"), t => t / col("__nrm")).as(vecName))
+    val x = side(xs, "x_id", "xv")
+    val y = side(ys, "y_id", "yv")
     val pairs = x.crossJoin(y)
       .select(col("x_id"), col("y_id"),
-        round(Similarity.cosine(col("xv"), col("yv")), 12).as("c"))
+        round(Similarity.dot(col("xv"), col("yv")), 12).as("c"))
       .filter(col("c").isNotNull)
+    // each endpoint's rank AND its top-k neighborhood penalty ride the
+    // SAME partitioning — the penalty is a window aggregate over the
+    // rank, so the full pair table is shuffled exactly twice (once per
+    // endpoint), then immediately cut to the candidate union: every
+    // later pass (margins, mutual-best) is candidate-list-sized.
+    // Penalties: mean of the top-k rounded cosines per endpoint —
+    // decimal fold then ONE double division by the actual neighbor
+    // count (≤ k when the other side is small).
     val wf = Window.partitionBy(col("x_id"))
       .orderBy(col("c").desc, col("y_id"))
     val wb = Window.partitionBy(col("y_id"))
       .orderBy(col("c").desc, col("x_id"))
-    val ranked = pairs
+    def pen(part: String, rankCol: Column) = {
+      val w = Window.partitionBy(col(part))
+      round(sum(when(rankCol <= k, col("c").cast("decimal(38,12)")))
+        .over(w).cast("double")
+        / sum(when(rankCol <= k, 1L).otherwise(0L)).over(w), 12)
+    }
+    pairs
       .withColumn("__rf", row_number().over(wf))
+      .withColumn("px", pen("x_id", col("__rf")))
       .withColumn("__rb", row_number().over(wb))
-    // neighborhood penalties: mean of the top-k rounded cosines per
-    // endpoint — decimal fold then ONE double division by the actual
-    // neighbor count (≤ k when the other side is small)
-    def penalty(keyCol: String, rankCol: String, out: String) = ranked
-      .filter(col(rankCol) <= k)
-      .groupBy(keyCol)
-      .agg(round(sum(col("c").cast("decimal(38,12)")).cast("double")
-        / count(lit(1)), 12).as(out))
-    ranked
-      .join(penalty("x_id", "__rf", "px"), "x_id")
-      .join(penalty("y_id", "__rb", "py"), "y_id")
+      .withColumn("py", pen("y_id", col("__rb")))
+      .filter(col("__rf") <= k || col("__rb") <= k)
       .withColumn("margin",
         round(col("c") / ((col("px") + col("py")) / 2), 6))
   }
 
   /** Mine pairs between `xs` and `ys` (both carrying `idCol`, `vecCol`;
     * ids must be unique within each side). Returns mined rows
-    * (x_id, y_id, cosine, margin) — mutual-best pairs with margin ≥
+    * (x_id, y_id, cosine, margin) — pairs that are each other's best
+    * margin within the k-NN CANDIDATE UNION (the paper mines over the
+    * retrieved neighbor lists, which is also what keeps every pass after
+    * the two ranking shuffles candidate-list-sized), with margin ≥
     * `minMargin`. Null or zero-norm vectors never pair. */
   def marginMine(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
@@ -90,13 +113,12 @@ object Bitext {
   }
 
   /** The scored candidate table (x_id, y_id, cosine, margin, fwd_rank,
-    * bwd_rank) restricted to pairs inside either endpoint's top-k
-    * neighborhood — the inspection/threshold-tuning view behind
-    * [[marginMine]]'s mutual-best cut. */
+    * bwd_rank) — pairs inside either endpoint's top-k neighborhood, the
+    * inspection/threshold-tuning view behind [[marginMine]]'s
+    * mutual-best cut. */
   def marginScores(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int = 4): DataFrame =
     scoredPairs(xs, ys, idCol, vecCol, k)
-      .filter(col("__rf") <= k || col("__rb") <= k)
       .select(col("x_id"), col("y_id"), col("c").as("cosine"),
         col("margin"), col("__rf").as("fwd_rank"), col("__rb").as("bwd_rank"))
 }

@@ -805,14 +805,22 @@ object SimQueries extends QueryModule {
   private val bitextScoredSql: String = """
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
-      x AS (SELECT vec_id AS x_id, e AS xv FROM v WHERE vec_id % 2 = 0),
-      y AS (SELECT vec_id AS y_id, e AS yv FROM v WHERE vec_id % 2 = 1),
+      xr AS (SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, t -> t * t))) AS nrm
+             FROM v WHERE vec_id % 2 = 0),
+      x AS (SELECT vec_id AS x_id,
+              list_transform(e, t -> t / nrm) AS xv
+            FROM xr WHERE nrm > 0),
+      yr AS (SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, t -> t * t))) AS nrm
+             FROM v WHERE vec_id % 2 = 1),
+      y AS (SELECT vec_id AS y_id,
+              list_transform(e, t -> t / nrm) AS yv
+            FROM yr WHERE nrm > 0),
       p AS (
         SELECT x_id, y_id,
           round(list_sum(list_transform(generate_series(1, len(xv)),
-              i -> xv[i] * yv[i]))
-            / (sqrt(list_sum(list_transform(xv, t -> t * t)))
-               * sqrt(list_sum(list_transform(yv, t -> t * t)))), 12) AS c
+              i -> xv[i] * yv[i])), 12) AS c
         FROM x, y),
       r AS (
         SELECT x_id, y_id, c,
@@ -850,7 +858,7 @@ object SimQueries extends QueryModule {
             ORDER BY margin DESC, y_id) AS bf,
           row_number() OVER (PARTITION BY y_id
             ORDER BY margin DESC, x_id) AS bb
-        FROM m)
+        FROM m WHERE rf <= 4 OR rb <= 4)
       SELECT x_id, y_id, c AS cosine, margin
       FROM mb WHERE bf = 1 AND bb = 1 AND margin >= 1.0
       ORDER BY x_id"""),
