@@ -124,4 +124,126 @@ object LanguageModel {
   /** Bigram self-scoring convenience. */
   def selfScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreBigram(trainBigram(df, textCol), df, idCol, textCol)
+
+  /** Trained interpolated Kneser–Ney bigram model (Chen & Goodman 1998,
+    * the smoothing KenLM defaults to — the real CCNet filter's model
+    * family, where [[scoreBigram]]'s add-one is only the decision-shape
+    * stand-in). All four tables are vocab-/bigram-type-sized count
+    * tables, never row-count-sized:
+    *  - `bigrams` (bg, cb): raw bigram counts;
+    *  - `contexts` (ctx, cw, fanout): per-context total count and
+    *    distinct-continuation fanout N1+(ctx ·) — ONE groupBy over the
+    *    bigram table;
+    *  - `continuation` (nxt, nc): N1+(· w), how many distinct contexts
+    *    precede w — the KN insight that "Francisco" is frequent but
+    *    follows only "San";
+    *  - scalars: B bigram types, V unigram vocab size, and the
+    *    estimated discount D = n1/(n1 + 2·n2) from the count-of-counts
+    *    (0 when the corpus has no singleton/doubleton bigrams).
+    *
+    * The continuation probability is add-one smoothed over the vocab,
+    * pc(w) = (N1+(· w) + 1)/(B + V), which keeps it EXACTLY normalized
+    * (Σ_vocab (nc+1) = B + V) so the interpolated conditional sums to 1
+    * over the training vocab — the toy-spec invariant — while
+    * out-of-vocabulary words still score the small floor 1/(B + V)
+    * instead of −∞. */
+  final case class KneserNey(
+      bigrams: DataFrame, contexts: DataFrame, continuation: DataFrame,
+      bigramTypes: Long, vocabSize: Long, discount: Double)
+
+  /** Two groupBy passes over the bigram multiset plus one distinct-token
+    * count; the bigram type table persists across its three consumers so
+    * the corpus tokenizes exactly once. */
+  def trainKneserNey(corpus: DataFrame, textCol: String): KneserNey = {
+    val parts = corpus
+      .select(explode(bigramsOf(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      // tokens contain no whitespace, so bg is exactly "w1 w2"
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .withColumn("nxt", substring_index(col("bg"), " ", -1))
+      .persist()
+    val contexts = parts.groupBy("ctx")
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("fanout"))
+    val continuation = parts.groupBy("nxt").agg(count(lit(1)).as("nc"))
+    val sc = parts.agg(count(lit(1)).as("b"),
+      coalesce(sum(when(col("cb") === 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("cb") === 2, 1L)), lit(0L)).as("n2")).head()
+    val v = corpus
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t") =!= "")
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    val (b, n1, n2) = (sc.getLong(0), sc.getLong(1), sc.getLong(2))
+    val d = if (n1 + 2 * n2 == 0) 0.0 else n1.toDouble / (n1 + 2 * n2)
+    KneserNey(parts.select("bg", "cb"), contexts, continuation, b, v, d)
+  }
+
+  /** `(id, n_bigrams, logprob, perplexity)`: per-bigram interpolated KN
+    * probability
+    *   seen ctx:  max(c(w1 w2) − D, 0)/c(w1) + (D·N1+(w1 ·)/c(w1))·pc(w2)
+    *   OOV ctx:   pc(w2)
+    * with pc(w2) = (N1+(· w2) + 1)/(B + V); logprob is the 6-rounded
+    * mean ln p, perplexity = exp(−logprob) rounded to 6 (computed FROM
+    * the rounded mean so both engines exponentiate the same double).
+    * Docs with fewer than two tokens score logprob 0, perplexity 1 (no
+    * evidence). Scoring is three vocab-sized key joins (AQE broadcasts
+    * each when it fits) and one mean per document — the corpus shuffles
+    * only its exploded bigram keys, nothing driver-side but scalars. */
+  def scoreKneserNey(
+      lm: KneserNey, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val d = lit(lm.discount)
+    val bPlusV = lit(math.max(lm.bigramTypes + lm.vocabSize, 1L).toDouble)
+    val pc = (coalesce(col("nc"), lit(0L)) + lit(1.0)) / bPlusV
+    val p = when(col("cw").isNotNull,
+        greatest(coalesce(col("cb"), lit(0L)) - d, lit(0.0)) / col("cw") +
+          d * col("fanout") / col("cw") * pc)
+      .otherwise(pc)
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(bigramsOf(col(textCol))).as("bg"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .withColumn("nxt", substring_index(col("bg"), " ", -1))
+      .join(lm.bigrams, Seq("bg"), "left")
+      .join(lm.contexts, Seq("ctx"), "left")
+      .join(lm.continuation, Seq("nxt"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(log(p)).as("lp"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("lp"), lit(0.0)), 6).as("logprob"))
+      .withColumn("perplexity", round(exp(-col("logprob")), 6))
+  }
+
+  /** KN self-scoring convenience. */
+  def selfScoreKneserNey(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreKneserNey(trainKneserNey(df, textCol), df, idCol, textCol)
+
+  /** CCNet's head/middle/tail quality buckets: per-language perplexity
+    * terciles over the KN self-score, assigned by DETERMINISTIC rank
+    * (ORDER BY perplexity, id — engine-portable, unlike ntile on ties)
+    * — head is the lowest-perplexity third, the slice CCNet keeps by
+    * default. One partitioned window per language (bounded partitions —
+    * the per-group window shape, never a global one). Zero-evidence
+    * docs (< 2 tokens) rank by their perplexity-1 sentinel like any
+    * other row. Returns (id, lang, perplexity, bucket). */
+  def ccnetBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = selfScoreKneserNey(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("perplexity"), col("id"))
+    val n = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("bucket",
+        when(col("__r") * 3 <= col("__n"), "head")
+          .when(col("__r") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("id"), col("lang"), col("perplexity"), col("bucket"))
+  }
 }

@@ -780,6 +780,106 @@ object TextQueries extends QueryModule {
         .selfScoreBigram(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("id"))
 
+  /** Shared KN-replay prelude: DuckDB retrains the SAME interpolated
+    * Kneser–Ney bigram model (bigram counts, context totals + fanouts,
+    * continuation counts, count-of-counts discount, add-one continuation
+    * over B + V) and rescores every document — the oracle checks the
+    * smoothing algebra term-for-term, not just the plumbing. Expression
+    * shapes mirror graft.ops.LanguageModel.scoreKneserNey exactly
+    * (left-associative `dd * fanout / cw * pc`, greatest against 0.0,
+    * perplexity exponentiates the ROUNDED mean) so both engines walk the
+    * same IEEE ops. */
+  private val knReplayPrelude: String = """
+      WITH d AS (
+        SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        FROM documents),
+      uni AS (SELECT unnest(w) AS t FROM d),
+      vs AS (SELECT count(DISTINCT t) AS v FROM uni),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END AS s
+        FROM d),
+      bc AS (
+        SELECT bg, count(*) AS cb
+        FROM (SELECT unnest(s) AS bg FROM sh) GROUP BY 1),
+      parts AS (
+        SELECT bg, cb, split_part(bg, ' ', 1) AS ctx,
+          split_part(bg, ' ', 2) AS nxt
+        FROM bc),
+      ctxs AS (
+        SELECT ctx, CAST(sum(cb) AS BIGINT) AS cw, count(*) AS fanout
+        FROM parts GROUP BY 1),
+      cont AS (SELECT nxt, count(*) AS nc FROM parts GROUP BY 1),
+      sc AS (
+        SELECT count(*) AS b,
+          CAST(COALESCE(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n1,
+          CAST(COALESCE(sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n2
+        FROM parts),
+      kd AS (
+        SELECT b, CASE WHEN n1 + 2 * n2 = 0 THEN 0.0
+          ELSE CAST(n1 AS DOUBLE) / (n1 + 2 * n2) END AS dd
+        FROM sc),
+      bv AS (SELECT CAST(greatest(b + v, 1) AS DOUBLE) AS bv FROM kd, vs),
+      e AS (SELECT doc_id, unnest(s) AS bg FROM sh),
+      j AS (
+        SELECT e.doc_id,
+          ln(CASE WHEN ctxs.cw IS NOT NULL
+            THEN greatest(COALESCE(bc.cb, 0) - dd, 0.0) / ctxs.cw
+              + dd * ctxs.fanout / ctxs.cw
+                * ((COALESCE(cont.nc, 0) + 1.0) / bv)
+            ELSE (COALESCE(cont.nc, 0) + 1.0) / bv END) AS lp
+        FROM e
+        LEFT JOIN bc ON e.bg = bc.bg
+        LEFT JOIN ctxs ON split_part(e.bg, ' ', 1) = ctxs.ctx
+        LEFT JOIN cont ON split_part(e.bg, ' ', 2) = cont.nxt, kd, bv),
+      a AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS lp
+            FROM j GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id AS id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          ROUND(COALESCE(a.lp, 0.0), 6) AS logprob,
+          ROUND(exp(-ROUND(COALESCE(a.lp, 0.0), 6)), 6) AS perplexity
+        FROM d LEFT JOIN a ON d.doc_id = a.doc_id)"""
+
+  /** Interpolated Kneser–Ney self-score over the corpus — the real
+    * perplexity-filter model family (KenLM's default smoothing), scored
+    * distributed: three vocab-sized key joins + one mean per doc. */
+  val txtKneserNey: Q = Q(
+    "txt_kneser_ney",
+    Some(knReplayPrelude + """
+      SELECT id, n_bigrams, logprob, perplexity FROM scored ORDER BY id"""),
+    (s, dir) =>
+      graft.ops.LanguageModel
+        .selfScoreKneserNey(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"))
+
+  /** CCNet head/middle/tail buckets: per-language KN-perplexity
+    * terciles by deterministic rank (ORDER BY perplexity, id) — the
+    * public CCNet pipeline's quality split, with `head` the
+    * lowest-perplexity third it keeps by default. */
+  val txtCcnetBuckets: Q = Q(
+    "txt_ccnet_buckets",
+    Some(knReplayPrelude + """,
+      withlang AS (
+        SELECT s.id, d0.lang, s.perplexity,
+          row_number() OVER (PARTITION BY d0.lang
+            ORDER BY s.perplexity, s.id) AS r,
+          count(*) OVER (PARTITION BY d0.lang) AS n
+        FROM scored s JOIN documents d0 ON s.id = d0.doc_id)
+      SELECT id, lang, perplexity,
+        CASE WHEN r * 3 <= n THEN 'head'
+             WHEN r * 3 <= n * 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM withlang ORDER BY id"""),
+    (s, dir) =>
+      graft.ops.LanguageModel
+        .ccnetBuckets(Tables.load(s, dir, "documents"), "doc_id", "text",
+          "lang")
+        .orderBy("id"))
+
   /** Exact frequent tokens ≥ 3.4% of the token stream via Misra-Gries
     * candidates + an exact verify pass (graft.ops.HeavyHitters). The output
     * is EXACT by construction, so the oracle is the brute-force unnest +
@@ -1824,7 +1924,8 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
-    txtBigramLogprob, txtBpeTokens, txtBpeReal, txtBpePieceCounts,
+    txtBigramLogprob, txtKneserNey, txtCcnetBuckets,
+    txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtMgSummary, txtQualityClassifier,
     txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup, txtUnigramTokenize,
     mntTokenExport,
