@@ -74,7 +74,7 @@ object LanguageModel {
   /** ALL word bigrams in order, duplicates kept — the LM needs the
     * multiset, so this is NOT [[TextOps.shingles]] (which dedupes for
     * Jaccard). The size<2 guard matters: sequence(0, -1) would DESCEND. */
-  private def bigramsOf(textCol: org.apache.spark.sql.Column)
+  private[ops] def bigramsOf(textCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val w = TextOps.tokens(lower(textCol))
     when(size(w) < 2, array().cast("array<string>"))

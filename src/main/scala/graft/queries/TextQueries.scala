@@ -880,6 +880,65 @@ object TextQueries extends QueryModule {
           "lang")
         .orderBy("id"))
 
+  /** Top-50 collocations by Dunning LLR ([[graft.ops.Collocations]]) —
+    * the oracle rebuilds the bigram multiset, both marginals, and all
+    * three association statistics (PMI / t / LLR) with the exact
+    * double-expression shapes the Spark side uses (cast-first products,
+    * left-associative cell sum, O=0 cells contributing 0). */
+  val txtCollocations: Q = Q(
+    "txt_collocations",
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END AS s
+        FROM d),
+      bc AS (
+        SELECT bg AS bigram, count(*) AS cb
+        FROM (SELECT unnest(s) AS bg FROM sh) GROUP BY 1),
+      parts AS (
+        SELECT bigram, cb, split_part(bigram, ' ', 1) AS w1,
+          split_part(bigram, ' ', 2) AS w2
+        FROM bc),
+      lm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM parts GROUP BY 1),
+      rm AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS c2 FROM parts GROUP BY 1),
+      nt AS (SELECT CAST(COALESCE(sum(cb), 0) AS BIGINT) AS n FROM parts),
+      dv AS (
+        SELECT p.bigram, p.cb, lm.c1, rm.c2,
+          CAST(p.cb AS DOUBLE) AS cbd, CAST(lm.c1 AS DOUBLE) AS c1d,
+          CAST(rm.c2 AS DOUBLE) AS c2d, CAST(nt.n AS DOUBLE) AS nn
+        FROM parts p JOIN lm USING (w1) JOIN rm USING (w2), nt
+        WHERE p.cb >= 5),
+      assoc AS (
+        SELECT bigram, cb, c1, c2,
+          round(ln(cbd * nn / (c1d * c2d)), 6) AS pmi,
+          round((cbd - c1d * c2d / nn) / sqrt(cbd), 6) AS tscore,
+          round(2.0 * (
+            (CASE WHEN cbd > 0.0
+              THEN cbd * ln(cbd / (c1d * c2d / nn)) ELSE 0.0 END)
+            + (CASE WHEN c1d - cbd > 0.0
+              THEN (c1d - cbd) * ln((c1d - cbd) / (c1d * (nn - c2d) / nn))
+              ELSE 0.0 END)
+            + (CASE WHEN c2d - cbd > 0.0
+              THEN (c2d - cbd) * ln((c2d - cbd) / ((nn - c1d) * c2d / nn))
+              ELSE 0.0 END)
+            + (CASE WHEN nn - c1d - c2d + cbd > 0.0
+              THEN (nn - c1d - c2d + cbd)
+                * ln((nn - c1d - c2d + cbd) / ((nn - c1d) * (nn - c2d) / nn))
+              ELSE 0.0 END)), 6) AS llr
+        FROM dv)
+      SELECT bigram, cb, c1, c2, pmi, tscore, llr
+      FROM assoc ORDER BY llr DESC, bigram LIMIT 50"""),
+    (s, dir) =>
+      graft.ops.Collocations
+        .topCollocations(Tables.load(s, dir, "documents"), "text",
+          k = 50, minCount = 5)
+        .orderBy(col("llr").desc, col("bigram")))
+
   /** Exact frequent tokens ≥ 3.4% of the token stream via Misra-Gries
     * candidates + an exact verify pass (graft.ops.HeavyHitters). The output
     * is EXACT by construction, so the oracle is the brute-force unnest +
@@ -1924,7 +1983,7 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
-    txtBigramLogprob, txtKneserNey, txtCcnetBuckets,
+    txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
     txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtMgSummary, txtQualityClassifier,
     txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup, txtUnigramTokenize,
