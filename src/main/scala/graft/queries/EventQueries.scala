@@ -1031,10 +1031,82 @@ object EventQueries extends QueryModule {
       out.orderBy("event_type", "d")
     })
 
+  /** Shared transition-table prelude: per-user event sequences ordered
+    * by (ts, event_id), adjacent-pair counts, per-source totals. */
+  private val markovPrelude: String = """
+      WITH seq AS (
+        SELECT user_id, event_type AS src,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS dst
+        FROM events),
+      tr AS (SELECT src, dst, count(*) AS n FROM seq
+             WHERE dst IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1)"""
+
+  /** First-order Markov transition MLE over per-user event sequences
+    * ([[graft.ops.Markov.transitionMatrix]]) — one bounded per-entity
+    * lead() window, then state-vocabulary-sized tables only. */
+  val evMarkovTransitions: Q = Q(
+    "ev_markov_transitions",
+    Some(markovPrelude + """
+      SELECT tr.src, tr.dst, tr.n,
+        round(CAST(tr.n AS DOUBLE) / tot.tot, 8) AS p
+      FROM tr JOIN tot USING (src)
+      ORDER BY src, dst"""),
+    (s, dir) =>
+      graft.ops.Markov.transitionMatrix(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("src", "dst"))
+
+  /** Unrolled power-iteration recurrence for the stationary distribution
+    * — the same oracle discipline as the PageRank gates: each iteration
+    * is a CTE computing the absorbing-state leak, the contribution sum,
+    * and the uniform redistribution, term-for-term. */
+  private def markovStationarySql(iters: Int): String = {
+    val head = markovPrelude + """,
+      e AS (SELECT tr.src, tr.dst, CAST(tr.n AS DOUBLE) / tot.tot AS p
+            FROM tr JOIN tot USING (src)),
+      st AS (SELECT DISTINCT state FROM (
+               SELECT src AS state FROM tr
+               UNION SELECT dst AS state FROM tr)),
+      kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+      p0 AS (SELECT state, 1.0 / k AS pi FROM st, kk)"""
+    val its = (1 to iters).map { i =>
+      s""",
+      d$i AS (SELECT COALESCE(sum(pi), 0.0) AS dang FROM p${i - 1}
+              WHERE state NOT IN (SELECT src FROM tot)),
+      c$i AS (SELECT e.dst AS state, sum(q.pi * e.p) AS c
+              FROM p${i - 1} q JOIN e ON q.state = e.src GROUP BY 1),
+      p$i AS (SELECT st.state, COALESCE(c$i.c, 0.0) + d$i.dang / kk.k AS pi
+              FROM st LEFT JOIN c$i USING (state), d$i, kk)"""
+    }.mkString
+    head + its + s"""
+      SELECT state, round(pi, 8) AS pi FROM p$iters ORDER BY state"""
+  }
+
+  /** Stationary distribution of the user-journey Markov chain
+    * ([[graft.ops.Markov.stationary]], 6 power iterations from uniform,
+    * absorbing mass redistributed uniformly). Mass conservation asserted
+    * in-gate. */
+  val evMarkovStationary: Q = Q(
+    "ev_markov_stationary",
+    Some(markovStationarySql(6)),
+    (s, dir) => {
+      val tr = graft.ops.Markov.transitionMatrix(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")
+      val pi = graft.ops.Markov.stationary(tr, iters = 6)
+      val mass = pi.agg(sum(col("pi"))).head().getDouble(0)
+      require(math.abs(mass - 1.0) < 1e-6,
+        s"stationary mass not conserved: $mass")
+      pi.orderBy("state")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
-      evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum)
+      evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
+      evMarkovTransitions, evMarkovStationary)
 }
