@@ -136,4 +136,62 @@ object Privacy {
     require(width > 0, s"width must be positive, got $width")
     floor(c / lit(width)) * lit(width)
   }
+
+  /** Laplace noise with scale `b`, drawn by inverse CDF from the
+    * engine-portable identity hash of `keys` (strictly inside (0,1), so
+    * the log never sees 0): noise = −b·sign(u)·ln(1 − 2|u|) for
+    * u = hash − 0.5 ∈ (−½, ½). Seeding the mechanism on the release key
+    * makes the release REPRODUCIBLE and oracle-checkable — the standard
+    * auditable-pipeline trade: the draw is as good as random to anyone
+    * without the seed, but the formal DP guarantee degrades to
+    * protection against seed-blind adversaries, so treat the seed like
+    * the pseudonymization secret (rotate per release, never publish). */
+  private def laplaceNoise(b: Double, seed: String, keys: Seq[Column]): Column = {
+    val u = Sampling.hashFractionOpen(seed, keys) - lit(0.5)
+    lit(-b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+  }
+
+  /** ε-DP noisy group counts (Laplace mechanism, Dwork et al. 2006):
+    * (groupCols…, released) where released = count + Laplace(1/ε),
+    * rounded to 6. A count query has sensitivity 1 — one row moves one
+    * group's count by one — so scale is 1/ε per release; composing
+    * releases spends ε additively (the caller's budget ledger). The true
+    * count column is intentionally NOT returned: emitting it beside the
+    * noisy one would defeat the release. One hash aggregation, noise as
+    * a codegen'd map over the group-sized result. */
+  def dpCountRelease(
+      df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("released",
+        round(col("__n") + laplaceNoise(1.0 / epsilon, seed,
+          groupCols.map(col)), 6))
+      .drop("__n")
+  }
+
+  /** ε-DP noisy group sums: values clip to [−clip, clip] first (bounding
+    * the sensitivity at `clip` — the contribution bound every DP
+    * aggregate needs), the clipped values sum EXACTLY as 6-decimal
+    * decimals (summation-order-proof), and Laplace(clip/ε) noise is
+    * added per group. NULL values contribute nothing. Returns
+    * (groupCols…, released). */
+  def dpSumRelease(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, clip: Double,
+      epsilon: Double, seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(clip > 0, s"clip bound must be positive, got $clip")
+    val clamped = greatest(least(col(valueCol).cast("double"), lit(clip)),
+      lit(-clip))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(round(clamped, 6).cast("decimal(38,6)")),
+        lit(0).cast("decimal(38,6)")).as("__s"))
+      .withColumn("released",
+        round(col("__s").cast("double") + laplaceNoise(clip / epsilon, seed,
+          groupCols.map(col)), 6))
+      .drop("__s")
+  }
 }

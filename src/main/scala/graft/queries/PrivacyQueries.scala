@@ -161,7 +161,60 @@ object PrivacyQueries extends QueryModule {
           Seq("pseud_id"), secret = "graft-release-1")
         .orderBy("c_custkey"))
 
+  /** ε-DP noisy counts (Laplace 1/ε) per market segment — the oracle
+    * redraws the SAME inverse-CDF noise from the engine-portable md5
+    * identity hash of the group key, checking the mechanism algebra
+    * term-for-term. ε = 0.5 exactly (binary-exact literal both sides). */
+  val privDpCounts: Q = Q(
+    "priv_dp_counts",
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
+      u AS (
+        SELECT c_mktsegment, n,
+          (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-dp',
+              c_mktsegment)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 - 0.5
+            AS uu
+        FROM g)
+      SELECT c_mktsegment,
+        round(n + (-2.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6)
+          AS released
+      FROM u ORDER BY c_mktsegment"""),
+    (s, dir) =>
+      Privacy.dpCountRelease(Tables.load(s, dir, "customer"),
+          Seq("c_mktsegment"), epsilon = 0.5, seed = "graft-dp")
+        .orderBy("c_mktsegment"))
+
+  /** ε-DP noisy sums of account balances clipped to ±1000 per nation —
+    * sensitivity = clip, Laplace(clip/ε) with ε = 0.5 → scale 2000
+    * exactly; the clipped values sum as exact decimals so only the
+    * mechanism itself is floating-point. */
+  val privDpSum: Q = Q(
+    "priv_dp_sum",
+    Some("""
+      WITH g AS (
+        SELECT c_nationkey,
+          COALESCE(SUM(CAST(round(greatest(least(CAST(c_acctbal AS DOUBLE),
+              1000.0), -1000.0), 6) AS DECIMAL(38,6))),
+            CAST(0 AS DECIMAL(38,6))) AS s
+        FROM customer GROUP BY 1),
+      u AS (
+        SELECT c_nationkey, s,
+          (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-dp',
+              CAST(c_nationkey AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0 - 0.5 AS uu
+        FROM g)
+      SELECT c_nationkey,
+        round(CAST(s AS DOUBLE)
+          + (-2000.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6) AS released
+      FROM u ORDER BY c_nationkey"""),
+    (s, dir) =>
+      Privacy.dpSumRelease(Tables.load(s, dir, "customer"),
+          Seq("c_nationkey"), "c_acctbal", clip = 1000.0, epsilon = 0.5,
+          seed = "graft-dp")
+        .orderBy("c_nationkey"))
+
   override def queries: Seq[Q] =
     Seq(privKAnonymity, privLDiversity, privSuppress, privReleasePipeline,
-      privPseudonymize)
+      privPseudonymize, privDpCounts, privDpSum)
 }

@@ -19,6 +19,44 @@ class PrivacySpec extends SparkSpec {
     ("z2", 40, null), ("z2", 40, "flu")
   ).toDF("zip", "age_band", "diagnosis")
 
+  test("dp release: deterministic zero-mean noise, scale ∝ 1/ε, exact clip") {
+    import graft.ops.Privacy
+    val df = (1 to 400).map(i => (s"g${i % 4}", i.toDouble))
+      .toDF("g", "v")
+    def noiseOf(eps: Double) = Privacy
+      .dpCountRelease(df, Seq("g"), eps, "spec-dp").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) - 100.0)).toMap
+    val n1 = noiseOf(0.5)
+    // reproducible: the same seed redraws the same release
+    assert(noiseOf(0.5) == n1)
+    // scale is exactly b-proportional for a fixed hash draw: ε/4 → 4×
+    val n2 = noiseOf(0.125)
+    n1.foreach { case (g, x) =>
+      assert(math.abs(n2(g) - 4.0 * x) < 1e-4, s"$g: ${n2(g)} vs 4*$x") }
+    // noise is signed (both tails appear over distinct group keys)
+    val wide = (1 to 64).map(i => (s"k$i", 1.0)).toDF("g", "v")
+    val signs = Privacy.dpCountRelease(wide, Seq("g"), 1.0, "spec-dp")
+      .collect().map(_.getDouble(1) - 1.0)
+    assert(signs.exists(_ > 0) && signs.exists(_ < 0))
+    // clipped sum: one huge outlier moves the release by at most clip
+    val base = Privacy.dpSumRelease(df, Seq("g"), "v", clip = 50.0,
+      epsilon = 0.5, seed = "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val spiked = Privacy.dpSumRelease(
+      df.union(Seq(("g0", 1e9)).toDF("g", "v")), Seq("g"), "v",
+      clip = 50.0, epsilon = 0.5, seed = "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(spiked("g0") - base("g0") - 50.0) < 1e-6)
+    assert(spiked("g1") == base("g1"))
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountRelease(df, Seq("g"), 0.0, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpSumRelease(df, Seq("g"), "v", clip = -1.0, epsilon = 1.0,
+        seed = "s")
+    }
+  }
+
   test("k-anonymity report: class census, rows at risk, threshold flag") {
     val r2 = Privacy.kAnonymityReport(people, Seq("zip", "age_band"), k = 2).head()
     assert(r2.getAs[Long]("n_classes") == 4)
