@@ -751,9 +751,67 @@ object EvalQueries extends QueryModule {
       issues.orderBy("doc_id")
     })
 
+  /** Kendall's W ([[graft.stats.Agreement.kendallW]]): three synthetic
+    * raters score every document on a 10-point scale (doc_id%10 with a
+    * per-rater deterministic bump), so the panel carries heavy ties —
+    * exercising the tie-corrected denominator. Exact integer S4/ΣT
+    * algebra re-derived in DuckDB, one double division per statistic. */
+  val kendallWGate: Q = Q(
+    "lbl_kendall_w",
+    Some("""
+      WITH rt AS (SELECT unnest([1, 2, 3]) AS r),
+      b AS (
+        SELECT doc_id AS i, rt.r,
+          CAST(doc_id % 10 + CASE WHEN doc_id % (3 + rt.r) = 0
+            THEN rt.r ELSE 0 END AS DOUBLE) AS s
+        FROM documents, rt),
+      rk AS (
+        SELECT i, r,
+          2 * rank() OVER (PARTITION BY r ORDER BY s)
+            + count(*) OVER (PARTITION BY r, s) - 1 AS r2
+        FROM b),
+      nm AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n,
+                    CAST(count(DISTINCT r) AS BIGINT) AS m FROM b),
+      rs AS (SELECT i, CAST(sum(r2) AS BIGINT) AS r2sum FROM rk GROUP BY 1),
+      s4 AS (
+        SELECT COALESCE(SUM(
+            CAST(r2sum - m * (n + 1) AS DECIMAL(38,0))
+            * CAST(r2sum - m * (n + 1) AS DECIMAL(38,0))),
+          CAST(0 AS DECIMAL(38,0))) AS s4
+        FROM rs, nm),
+      tt AS (
+        SELECT COALESCE(SUM(CAST(t AS DECIMAL(38,0))
+            * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+            - CAST(t AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS st
+        FROM (SELECT r, s, count(*) AS t FROM b GROUP BY 1, 2)),
+      dn AS (
+        SELECT CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
+            * (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+               * CAST(n AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)))
+          - CAST(m AS DECIMAL(38,0)) * st AS den
+        FROM nm, tt)
+      SELECT n AS n_items, m AS n_raters,
+        CASE WHEN den <> 0 THEN
+          round(CAST(CAST(3 AS DECIMAL(38,0)) * s4 AS DOUBLE)
+            / CAST(den AS DOUBLE), 6) END AS w,
+        CASE WHEN den <> 0 THEN
+          round(CAST(m * (n - 1) AS DOUBLE)
+            * (CAST(CAST(3 AS DECIMAL(38,0)) * s4 AS DOUBLE)
+               / CAST(den AS DOUBLE)), 6) END AS chi2
+      FROM nm, s4, dn"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val panel = docs.select(col("doc_id").as("i"),
+          explode(array(lit(1), lit(2), lit(3))).as("r"))
+        .select(col("i"), col("r"),
+          (col("i") % 10 + when(col("i") % (lit(3) + col("r")) === 0,
+            col("r")).otherwise(lit(0))).cast("double").as("s"))
+      graft.stats.Agreement.kendallW(panel, col("i"), col("r"), col("s"))
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, cohenKappaGate, fleissKappaGate,
-      yieldCurveGate, confidentJointGate, labelIssuesGate)
+      kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate)
 }

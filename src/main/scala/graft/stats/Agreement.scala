@@ -115,4 +115,66 @@ object Agreement {
               * lit(n - 1).cast("decimal(38,0)")).cast("double"), 6))
           .as("kappa"))
   }
+
+  /** Kendall's coefficient of concordance W over long-format ordinal
+    * ratings (item, rater, score) with the standard tie correction —
+    * "do m raters RANK the items the same way", the ordinal-scale
+    * companion to Fleiss' categorical kappa. Every rater must score
+    * every item (complete panel; ragged panels fail loudly).
+    *
+    * Exactness: per-rater midranks are carried DOUBLED
+    * (2·rank + tie−1 — integer-valued, so rank sums fold exactly), and
+    * with S4 = Σ_i (R2_i − m(n+1))² the tie-corrected statistic clears
+    * to W = 3·S4 / (m²(n³−n) − m·ΣT), ΣT = Σ(t³−t) over tie groups —
+    * exact integer numerator and denominator, ONE double division
+    * (the [[cohenKappa]] discipline). Also returns Friedman's
+    * χ² = m(n−1)·W. All-tied panels (denominator 0) yield null W.
+    *
+    * Scale contract: the per-rater rank window holds ONE RATER'S
+    * complete ratings in a partition — right for annotation panels
+    * (items in the thousands-to-millions, raters few), not for ranking
+    * web-scale corpora; everything after the window is tie-group- or
+    * item-sized. */
+  def kendallW(
+      df: DataFrame, itemCol: Column, raterCol: Column,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(itemCol.isNotNull && raterCol.isNotNull && scoreCol.isNotNull)
+      .select(itemCol.as("i"), raterCol.cast("string").as("r"),
+        scoreCol.cast("double").as("s"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val shape = base.groupBy("i").agg(count(lit(1)).as("mi"))
+      .agg(min(col("mi")).as("mn"), max(col("mi")).as("mx"),
+        count(lit(1)).as("items")).head()
+    require(shape.getAs[Long]("items") > 0L, "no ratings to rank")
+    val n = shape.getAs[Long]("items")
+    val m = shape.getAs[Long]("mn")
+    require(m == shape.getAs[Long]("mx"),
+      s"Kendall's W needs a complete panel; items carry $m..${shape.getAs[Long]("mx")} ratings")
+    require(m >= 2, s"need at least 2 raters, got $m")
+    val perRater = base.groupBy("r").agg(count(lit(1)).as("ni"))
+      .agg(min(col("ni")).as("mn"), max(col("ni")).as("mx")).head()
+    require(perRater.getAs[Long]("mn") == n && perRater.getAs[Long]("mx") == n,
+      s"every rater must rate all $n items; found ${perRater.getAs[Long]("mn")}..${perRater.getAs[Long]("mx")}")
+    val wRank = Window.partitionBy(col("r")).orderBy(col("s"))
+    val wTie = Window.partitionBy(col("r"), col("s"))
+    val ranked = base.withColumn("r2",
+      lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - lit(1L))
+    val s4 = ranked.groupBy("i").agg(sum(col("r2")).as("r2sum"))
+      .agg(coalesce(sum((d(col("r2sum")) - d(lit(m * (n + 1))))
+          * (d(col("r2sum")) - d(lit(m * (n + 1))))),
+        lit(0).cast("decimal(38,0)")).as("s4"))
+    val ties = ranked.groupBy("r", "s").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(d(col("t")) * d(col("t")) * d(col("t"))
+          - d(col("t"))), lit(0).cast("decimal(38,0)")).as("st"))
+    val den = d(lit(m)) * d(lit(m)) * (d(lit(n)) * d(lit(n)) * d(lit(n))
+      - d(lit(n))) - d(lit(m)) * col("st")
+    val w = (d(lit(3)) * col("s4")).cast("double") / den.cast("double")
+    s4.crossJoin(ties)
+      .select(lit(n).as("n_items"), lit(m).as("n_raters"),
+        when(den =!= 0, round(w, 6)).as("w"),
+        when(den =!= 0,
+          round(lit(m * (n - 1)).cast("double") * w, 6)).as("chi2"))
+  }
 }

@@ -67,4 +67,44 @@ class AgreementSpec extends SparkSpec {
     assert(Agreement.fleissKappa(df, $"i", $"l").head()
       .getAs[Double]("kappa") == 1.0)
   }
+
+  test("kendall's W: perfect concordance is 1, perfect opposition is 0") {
+    val same = (1 to 5).flatMap(i =>
+      Seq((i.toLong, "a", i.toDouble), (i.toLong, "b", i.toDouble),
+        (i.toLong, "c", i.toDouble))).toDF("i", "r", "s")
+    val w1 = Agreement.kendallW(same, $"i", $"r", $"s").head()
+    assert(w1.getAs[Double]("w") == 1.0)
+    assert(w1.getAs[Long]("n_items") == 5L && w1.getAs[Long]("n_raters") == 3L)
+    // two exactly reversed rankings: every item's rank sum is equal → W = 0
+    val opposed = (1 to 4).flatMap(i =>
+      Seq((i.toLong, "a", i.toDouble), (i.toLong, "b", (5 - i).toDouble)))
+      .toDF("i", "r", "s")
+    assert(Agreement.kendallW(opposed, $"i", $"r", $"s").head()
+      .getAs[Double]("w") == 0.0)
+  }
+
+  test("kendall's W: hand-solved tied panel gives 78/84") {
+    // rater a: 1, 2, 2 (tie) ; rater b: 1, 2, 3 → S4 = 26, ΣT = 6,
+    // den = 4·24 − 12 = 84, W = 3·26/84, χ² = m(n−1)W
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0),
+      (1L, "b", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)).toDF("i", "r", "s")
+    val row = Agreement.kendallW(df, $"i", $"r", $"s").head()
+    assert(math.abs(row.getAs[Double]("w") - 78.0 / 84.0) < 1e-6)
+    assert(math.abs(row.getAs[Double]("chi2") - 4.0 * 78.0 / 84.0) < 1e-6)
+  }
+
+  test("kendall's W: all-tied panel yields null; ragged panels fail") {
+    val tied = Seq((1L, "a", 1.0), (2L, "a", 1.0),
+      (1L, "b", 1.0), (2L, "b", 1.0)).toDF("i", "r", "s")
+    assert(Agreement.kendallW(tied, $"i", $"r", $"s").head().isNullAt(2))
+    val ragged = Seq((1L, "a", 1.0), (2L, "a", 2.0), (1L, "b", 1.0))
+      .toDF("i", "r", "s")
+    intercept[IllegalArgumentException] {
+      Agreement.kendallW(ragged, $"i", $"r", $"s").head()
+    }
+    val solo = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("i", "r", "s")
+    intercept[IllegalArgumentException] {
+      Agreement.kendallW(solo, $"i", $"r", $"s").head()
+    }
+  }
 }
