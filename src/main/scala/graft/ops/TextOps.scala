@@ -146,6 +146,100 @@ object TextOps {
           - lit(84.6) * spw, 4)))
   }
 
+  /** Heaps-law vocabulary growth curve (Heaps 1978 — public): distinct
+    * vocabulary size after the first N tokens, at a GEOMETRIC grid
+    * (powers of 2 up to the total, plus the total itself — log-spaced,
+    * because the fit lives in ln-ln space and a linear grid lands every
+    * point past the saturation knee) — V(N) ≈ K·N^β on natural text, so
+    * a corpus whose curve bends early (vocabulary saturating) is
+    * template/boilerplate-heavy, and one that never bends is noise/IDs.
+    * The corpus order is the engine-portable identity hash of the doc
+    * id (reproducible and engine-replayable, unlike file order).
+    *
+    * Scale shape: ONE distributed range-partitioned sort of the docs by
+    * hash, then the classic two-pass parallel prefix scan (per-partition
+    * length totals to the driver — partition-count-sized — broadcast
+    * back as offsets) assigns every token its global 1-based position;
+    * first-occurrence positions are one wordcount-shaped groupBy; the
+    * curve is a broadcast join against the ≤10-row grid. No global
+    * window anywhere. Returns (n_prefix, vocab) ordered by n_prefix. */
+  def heapsCurve(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("w"),
+        Sampling.hashHex("graft-heaps", Seq(col(idCol))).as("h"))
+      .as[(Long, Seq[String], String)].rdd
+      .sortBy { case (id, _, h) => (h, id) }
+      .persist()
+    try {
+      val partLens = docs.mapPartitionsWithIndex { case (i, it) =>
+          Iterator((i, it.map(_._2.size.toLong).sum))
+        }.collect().sortBy(_._1).map(_._2)
+      val total = partLens.sum
+      val offsets = partLens.scanLeft(0L)(_ + _)
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val firstSeen = docs.mapPartitionsWithIndex { case (i, it) =>
+          var off = bOff.value(i)
+          it.flatMap { case (_, w, _) =>
+            val start = off
+            off += w.size
+            w.iterator.zipWithIndex.map { case (t, j) => (t, start + j + 1L) }
+          }
+        }.toDF("t", "pos")
+        .groupBy("t").agg(min(col("pos")).as("fp"))
+      val grid = (Iterator.iterate(2L)(_ * 2).takeWhile(p => p < total)
+        .toSeq ++ Seq(total)).distinct.filter(_ > 0)
+      firstSeen
+        .crossJoin(broadcast(grid.toDF("n_prefix")))
+        .filter(col("fp") <= col("n_prefix"))
+        .groupBy("n_prefix").agg(count(lit(1)).as("vocab"))
+        .orderBy("n_prefix")
+    } finally {
+      docs.unpersist()
+      ()
+    }
+  }
+
+  /** OLS fit of ln(vocab) on ln(n_prefix) over the [[heapsCurve]] geometric
+    * grid — one row (n_points, beta, ln_k, r2); β is Heaps' exponent
+    * (~0.4–0.6 on natural text), ln_k the intercept (emitted in log
+    * space — exponentiating is the caller's choice, keeping the gate to
+    * ln/arithmetic parity). Same rounded-ln decimal-fold moments as
+    * [[zipfFit]]; nulls when fewer than 2 distinct grid points. */
+  def heapsFit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val curve = heapsCurve(df, idCol, textCol)
+      .withColumn("x", round(log(col("n_prefix").cast("double")), 9))
+      .withColumn("y", round(log(col("vocab").cast("double")), 9))
+    def fold(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    curve.agg(
+        count(lit(1)).as("n_points"),
+        fold(col("x")).as("__sx"), fold(col("y")).as("__sy"),
+        fold(round(col("x") * col("y"), 9)).as("__sxy"),
+        fold(round(col("x") * col("x"), 9)).as("__sxx"),
+        fold(round(col("y") * col("y"), 9)).as("__syy"))
+      .withColumn("__cxy",
+        col("__sxy") - col("__sx") * col("__sy") / col("n_points"))
+      .withColumn("__cxx",
+        col("__sxx") - col("__sx") * col("__sx") / col("n_points"))
+      .withColumn("__cyy",
+        col("__syy") - col("__sy") * col("__sy") / col("n_points"))
+      .select(col("n_points"),
+        when(col("__cxx") > 0,
+          round(col("__cxy") / col("__cxx"), 6)).as("beta"),
+        when(col("__cxx") > 0,
+          round(col("__sy") / col("n_points")
+            - (col("__cxy") / col("__cxx")) * col("__sx") / col("n_points"),
+            6)).as("ln_k"),
+        when(col("__cxx") > 0 &&
+            col("__cyy") > lit(1e-9) * greatest(col("__syy"), lit(1.0)),
+          round(pow(col("__cxy"), 2) / (col("__cxx") * col("__cyy")), 6))
+          .as("r2"))
+  }
+
   /** Zipf rank-frequency fit over the corpus vocabulary (Zipf 1949 —
     * public): OLS of ln(count) on ln(rank) over the token frequency
     * table. Natural text sits near slope −1; synthetic, templated, or

@@ -1973,9 +1973,95 @@ object TextQueries extends QueryModule {
       out
     })
 
+  /** Shared Heaps-law prelude: tokens in engine-portable hash order of
+    * the doc id, global 1-based token positions via a running length
+    * sum (the oracle's window replays Spark's two-pass prefix scan),
+    * first-occurrence position per word, geometric power-of-2 grid. */
+  private val heapsPrelude: String = s"""
+      WITH tk AS (
+        SELECT doc_id, $wSql AS w,
+          md5(concat_ws('|', 'graft-heaps', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents),
+      o AS (
+        SELECT doc_id, w,
+          COALESCE(sum(len(w)) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM tk),
+      p AS (SELECT unnest(w) AS t,
+              off + unnest(generate_series(1, len(w))) AS pos FROM o),
+      f AS (SELECT t, min(pos) AS fp FROM p GROUP BY 1),
+      tot AS (SELECT CAST(COALESCE(sum(len(w)), 0) AS BIGINT) AS total
+              FROM tk),
+      grid AS (
+        SELECT DISTINCT n_prefix FROM (
+          SELECT CAST(pow(2.0, g) AS BIGINT) AS n_prefix
+          FROM (SELECT unnest(generate_series(1, 62)) AS g) gg, tot
+          WHERE pow(2.0, g) < total
+          UNION ALL SELECT total AS n_prefix FROM tot)
+        WHERE n_prefix > 0),
+      curve AS (
+        SELECT g.n_prefix, count(*) AS vocab
+        FROM f, grid g WHERE f.fp <= g.n_prefix GROUP BY 1)"""
+
+  /** Vocabulary growth at the geometric token-count grid
+    * ([[graft.ops.TextOps.heapsCurve]]) — first-occurrence positions
+    * from a distributed prefix scan, never a global window. */
+  val txtHeapsCurve: Q = Q(
+    "txt_heaps_curve",
+    Some(heapsPrelude + """
+      SELECT n_prefix, vocab FROM curve ORDER BY n_prefix"""),
+    (s, dir) =>
+      TextOps.heapsCurve(Tables.load(s, dir, "documents"), "doc_id", "text"))
+
+  /** Heaps' exponent fit over the growth curve
+    * ([[graft.ops.TextOps.heapsFit]]): ln-ln OLS with the zipfFit
+    * decimal-fold moments. Natural text lands β in (0, 1). */
+  val txtHeapsFit: Q = Q(
+    "txt_heaps_fit",
+    Some(heapsPrelude + """,
+      xy AS (
+        SELECT round(ln(CAST(n_prefix AS DOUBLE)), 9) AS x,
+          round(ln(CAST(vocab AS DOUBLE)), 9) AS y
+        FROM curve),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+          CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy,
+          CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy
+        FROM xy),
+      d AS (
+        SELECT n_points, sx, sy, syy,
+          sxy - sx * sy / n_points AS cxy,
+          sxx - sx * sx / n_points AS cxx,
+          syy - sy * sy / n_points AS cyy
+        FROM m)
+      SELECT n_points,
+        CASE WHEN cxx > 0 THEN round(cxy / cxx, 6) END AS beta,
+        CASE WHEN cxx > 0 THEN
+          round(sy / n_points - (cxy / cxx) * sx / n_points, 6) END AS ln_k,
+        CASE WHEN cxx > 0
+            AND cyy > 1e-9 * greatest(syy, CAST(1.0 AS DOUBLE)) THEN
+          round(pow(cxy, 2) / (cxx * cyy), 6) END AS r2
+      FROM d"""),
+    (s, dir) => {
+      val out = TextOps.heapsFit(Tables.load(s, dir, "documents"),
+        "doc_id", "text")
+      val r = out.collect().head
+      val beta = r.getAs[Double]("beta")
+      require(beta > 0 && beta < 1,
+        s"Heaps exponent must sit in (0,1) on natural-ish text, got $beta")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
     sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,
+    txtHeapsCurve, txtHeapsFit,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
