@@ -142,4 +142,32 @@ object Hll {
     }
     (ref, fn)
   }
+
+  /** Trailing-window distinct counts per day — "distinct users in the
+    * last `windowDays` days, for every day" (the W-DAU family) WITHOUT
+    * the W-fold rescan a naive per-window count-distinct costs: the
+    * event log reduces to per-day register tables in ONE aggregation,
+    * then each day-sketch fans out map-side (explode of a ≤W-date
+    * sequence — no range join, no nested loop) to every trailing target
+    * day it serves, and a register-max groupBy + [[estimateBy]] finish
+    * on days×m-sized tables. Emitted days run through the last observed
+    * event day; a day with no events of its own still reports the
+    * trailing distinct of its window (proper sliding semantics).
+    * Registers are mergeable, so the same day-sketches serve any W —
+    * recompute only the fanout to re-window. */
+  def slidingEstimateByDay(
+      df: DataFrame, tsCol: String, keyCol: String, windowDays: Int,
+      m: Int = 256, seed: String = "graft-hll"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daySk = sketchBy(df.withColumn("__day", to_date(col(tsCol))),
+      Seq("__day"), keyCol, m, seed)
+    val lastDay = daySk.agg(max(col("__day")).as("__last"))
+    val merged = daySk
+      .withColumn("day", explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))))
+      .crossJoin(broadcast(lastDay))
+      .filter(col("day") <= col("__last"))
+      .groupBy("day", "bucket").agg(max(col("r")).as("r"))
+    estimateBy(merged, Seq("day"), m)
+  }
 }

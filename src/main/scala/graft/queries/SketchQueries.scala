@@ -213,7 +213,77 @@ object SketchQueries extends QueryModule {
         .orderBy("o_orderpriority")
     })
 
+  /** Trailing-7-day distinct users per day from merged per-day HLL
+    * sketches ([[graft.ops.Hll.slidingEstimateByDay]]) — the oracle
+    * rebuilds the per-day register tables, replays the map-side date
+    * fanout, merges by register max, and runs the full estimator, all
+    * on epoch-day integers (the ev_dau_wau date discipline). The gate
+    * also pins the sliding estimate against the EXACT trailing
+    * count-distinct within the error contract. */
+  val hllSliding: Q = Q(
+    "hll_sliding_7d",
+    Some(s"""
+      WITH h AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d0,
+          md5(concat_ws('|', '$HllSeed', CAST(user_id AS VARCHAR))) AS hx
+        FROM events WHERE user_id IS NOT NULL),
+      rh AS (
+        SELECT d0,
+          CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % $M AS bucket,
+          CASE WHEN CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) = 0
+            THEN 33
+            ELSE 33 - length(bin(
+              CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT)))
+          END AS rho
+        FROM h),
+      reg AS (SELECT d0, bucket, CAST(max(rho) AS INT) AS r
+              FROM rh GROUP BY 1, 2),
+      lastd AS (SELECT max(d0) AS l FROM reg),
+      fan AS (
+        SELECT unnest(generate_series(d0, d0 + 6)) AS day, bucket, r
+        FROM reg),
+      mg AS (
+        SELECT day, bucket, CAST(max(r) AS INT) AS r
+        FROM fan, lastd WHERE day <= l GROUP BY 1, 2),
+      st AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_registers,
+          SUM(1.0 / power(2.0, r)) + ($M.0 - count(*)) AS s
+        FROM mg GROUP BY 1),
+      e AS (
+        SELECT day, n_registers,
+          CAST($M - n_registers AS BIGINT) AS v_zero,
+          CAST(${Hll.alpha(M)} AS DOUBLE) * ($M * $M) / s AS raw
+        FROM st)
+      SELECT CAST(day AS BIGINT) AS day, n_registers, v_zero,
+        round(CASE WHEN raw <= ${2.5 * M} AND v_zero > 0
+          THEN $M.0 * ln($M.0 / v_zero) ELSE raw END, 4) AS hll_est
+      FROM e ORDER BY day"""),
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val out = Hll.slidingEstimateByDay(events, "ts", "user_id",
+          windowDays = 7, m = M, seed = HllSeed)
+        .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+          col("n_registers"), col("v_zero"), col("hll_est"))
+      // error contract vs the exact trailing distinct (one bounded
+      // fanout of DISTINCT (user, day) pairs — small at sf, and only a
+      // gate-side check)
+      val exact = events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("d0"))
+        .distinct()
+        .withColumn("day", explode(sequence(col("d0"), col("d0") + 6)))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("n_exact"))
+      val sigma = 1.04 / math.sqrt(M.toDouble)
+      val off = out.join(exact, "day")
+        .filter(abs(col("hll_est") - col("n_exact")) >
+          lit(4.0 * sigma) * col("n_exact")).count()
+      require(off == 0L, s"sliding HLL off by >4 sigma on $off days")
+      out.orderBy("day")
+    })
+
   override def queries: Seq[Q] =
     Seq(cmsCounters, cmsEstimates, cmsJoinCardinality,
-      hllRegisters, hllEstimates)
+      hllRegisters, hllEstimates, hllSliding)
 }

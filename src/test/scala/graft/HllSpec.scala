@@ -79,4 +79,34 @@ class HllSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("r")).toMap
     assert(afterAll == whole, "folded stream must equal the batch sketch")
   }
+
+  test("sliding window: trailing semantics, quiet days, tail clipping") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // day 0: users 1..200; day 1: users 101..300; day 3: users 1..50
+    // (day 2 is quiet but inside day-1's trailing window)
+    val events = ((1 to 200).map(u => (ts(0), u.toLong)) ++
+      (101 to 300).map(u => (ts(1), u.toLong)) ++
+      (1 to 50).map(u => (ts(3), u.toLong))).toDF("ts", "user_id")
+    val out = Hll.slidingEstimateByDay(events, "ts", "user_id",
+        windowDays = 2).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        r.getAs[Double]("hll_est")).toMap
+    // windows: d0 {1..200}=200, d1 {1..300}=300, d2 {101..300}=200
+    // (quiet day, trailing from d1), d3 {1..50}=50; nothing past d3
+    val expect = Map(0L -> 200.0, 1L -> 300.0, 2L -> 200.0, 3L -> 50.0)
+    assert(out.keySet == expect.keySet, s"days = ${out.keySet}")
+    val sigma = 1.04 / math.sqrt(256.0)
+    expect.foreach { case (d, n) =>
+      assert(math.abs(out(d) - n) <= 4 * sigma * n,
+        s"day $d: est ${out(d)} vs exact $n") }
+    // W = 1 degenerates to the per-day estimates
+    val w1 = Hll.slidingEstimateByDay(events, "ts", "user_id", windowDays = 1)
+      .collect().map(_.getAs[Double]("hll_est")).sorted
+    val perDay = Hll.estimateBy(
+      Hll.sketchBy(events.withColumn("__day", to_date(col("ts"))),
+        Seq("__day"), "user_id"), Seq("__day"))
+      .collect().map(_.getAs[Double]("hll_est")).sorted
+    assert(w1.sameElements(perDay))
+  }
 }
