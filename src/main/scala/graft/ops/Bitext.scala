@@ -42,12 +42,17 @@ object Bitext {
     * not input file splits (the covariance lesson — one compact file
     * would otherwise run the |X|·|Y| loop on one task). Zero-norm or
     * null vectors drop (no direction to mine). */
-  private def scoredPairs(xs: DataFrame, ys: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"neighborhood size k must be >= 1, got $k")
-    val parts = xs.sparkSession.sessionState.conf.numShufflePartitions
-    def side(df: DataFrame, idName: String, vecName: String) = df
-      .select(col(idCol).as(idName),
+  /** L2-normalize one side once (a row-count-sized map) so the pair
+    * loop runs a single codegen'd dot instead of three (cosine =
+    * dot/(‖x‖·‖y‖) recomputes both norms per pair); the side also
+    * repartitions so parallelism comes from rows, not input file splits
+    * (the covariance lesson — one compact file would otherwise run the
+    * pair loop on one task). Zero-norm or null vectors drop (no
+    * direction to mine). */
+  private def side(df: DataFrame, idCol: String, vecCol: String,
+      idName: String, vecName: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).as(idName),
         col(vecCol).cast("array<double>").as("__raw"))
       .filter(col("__raw").isNotNull)
       .repartition(parts)
@@ -55,20 +60,19 @@ object Bitext {
       .filter(col("__nrm") > 0)
       .select(col(idName),
         transform(col("__raw"), t => t / col("__nrm")).as(vecName))
-    val x = side(xs, "x_id", "xv")
-    val y = side(ys, "y_id", "yv")
-    val pairs = x.crossJoin(y)
-      .select(col("x_id"), col("y_id"),
-        round(Similarity.dot(col("xv"), col("yv")), 12).as("c"))
-      .filter(col("c").isNotNull)
-    // each endpoint's rank AND its top-k neighborhood penalty ride the
-    // SAME partitioning — the penalty is a window aggregate over the
-    // rank, so the full pair table is shuffled exactly twice (once per
-    // endpoint), then immediately cut to the candidate union: every
-    // later pass (margins, mutual-best) is candidate-list-sized.
-    // Penalties: mean of the top-k rounded cosines per endpoint —
-    // decimal fold then ONE double division by the actual neighbor
-    // count (≤ k when the other side is small).
+  }
+
+  /** Margin scoring over an arbitrary candidate pair table
+    * (x_id, y_id, c) — exact when the caller feeds all pairs, blocked
+    * when it feeds IVF candidates. Each endpoint's rank AND its top-k
+    * neighborhood penalty ride the SAME partitioning — the penalty is a
+    * window aggregate over the rank, so the pair table is shuffled
+    * exactly twice (once per endpoint), then immediately cut to the
+    * candidate union: every later pass (margins, mutual-best) is
+    * candidate-list-sized. Penalties: mean of the top-k rounded cosines
+    * per endpoint — decimal fold then ONE double division by the actual
+    * neighbor count (≤ k when the other side is small). */
+  private def marginOverPairs(pairs: DataFrame, k: Int): DataFrame = {
     val wf = Window.partitionBy(col("x_id"))
       .orderBy(col("c").desc, col("y_id"))
     val wb = Window.partitionBy(col("y_id"))
@@ -89,16 +93,22 @@ object Bitext {
         round(col("c") / ((col("px") + col("py")) / 2), 6))
   }
 
-  /** Mine pairs between `xs` and `ys` (both carrying `idCol`, `vecCol`;
-    * ids must be unique within each side). Returns mined rows
-    * (x_id, y_id, cosine, margin) — pairs that are each other's best
-    * margin within the k-NN CANDIDATE UNION (the paper mines over the
-    * retrieved neighbor lists, which is also what keeps every pass after
-    * the two ranking shuffles candidate-list-sized), with margin ≥
-    * `minMargin`. Null or zero-norm vectors never pair. */
-  def marginMine(xs: DataFrame, ys: DataFrame, idCol: String,
-      vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
-    val scored = scoredPairs(xs, ys, idCol, vecCol, k)
+  /** All-pairs margin scoring: (x_id, y_id, c, margin, __rf, __rb) with
+    * endpoint penalties joined in. */
+  private def scoredPairs(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"neighborhood size k must be >= 1, got $k")
+    val x = side(xs, idCol, vecCol, "x_id", "xv")
+    val y = side(ys, idCol, vecCol, "y_id", "yv")
+    val pairs = x.crossJoin(y)
+      .select(col("x_id"), col("y_id"),
+        round(Similarity.dot(col("xv"), col("yv")), 12).as("c"))
+      .filter(col("c").isNotNull)
+    marginOverPairs(pairs, k)
+  }
+
+  /** Mutual-best cut shared by the exact and blocked miners. */
+  private def mutualBest(scored: DataFrame, minMargin: Double): DataFrame = {
     val bestF = Window.partitionBy(col("x_id"))
       .orderBy(col("margin").desc, col("y_id"))
     val bestB = Window.partitionBy(col("y_id"))
@@ -110,6 +120,66 @@ object Bitext {
         col("margin") >= minMargin)
       .select(col("x_id"), col("y_id"), col("c").as("cosine"),
         col("margin"))
+  }
+
+  /** Mine pairs between `xs` and `ys` (both carrying `idCol`, `vecCol`;
+    * ids must be unique within each side). Returns mined rows
+    * (x_id, y_id, cosine, margin) — pairs that are each other's best
+    * margin within the k-NN CANDIDATE UNION (the paper mines over the
+    * retrieved neighbor lists, which is also what keeps every pass after
+    * the two ranking shuffles candidate-list-sized), with margin ≥
+    * `minMargin`. Null or zero-norm vectors never pair. */
+  def marginMine(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame =
+    mutualBest(scoredPairs(xs, ys, idCol, vecCol, k), minMargin)
+
+  /** The 100 TB bitext path: identical margin/mutual-best semantics
+    * restricted to an IVF candidate graph instead of all pairs. The
+    * quantizer fits on ys (the index side, on a bounded hash sample),
+    * each x probes its `nProbe` nearest cells, and candidate pairs are
+    * Σ_x (probed cell sizes) — never |X|·|Y|. The pair table then runs
+    * the same two ranking shuffles as the exact miner. A y sits in ONE
+    * cell, so probing can't duplicate a pair. Approximation is
+    * one-sided: pairs outside the probed cells are unseen (recall is
+    * gate-pinned against the exact miner); everything retrieved scores
+    * exactly as [[marginMine]] would over the same candidates.
+    *
+    * Scale note: candidates shuffle on the cell key; cells are bounded
+    * by the k-means balance of the quantizer (the [[Dedup.semanticDedup]]
+    * trade) — raise `nLists` with corpus size (~√N) to keep them even. */
+  def marginMineIvf(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42,
+      maxIter: Int = 8, fitSampleRows: Long = 4096L): DataFrame = {
+    require(k >= 1, s"neighborhood size k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must sit in [1, nLists=$nLists], got $nProbe")
+    val spark = xs.sparkSession
+    import spark.implicits._
+    // zero-norm/null ys never pair in the exact miner; drop them before
+    // the build so they can't surface as c = 0 candidates here either
+    val ysClean = ys.filter(col(vecCol).isNotNull &&
+      Similarity.norm2(col(vecCol).cast("array<double>")) > 0)
+    val idx = Ivf.build(ysClean, idCol, vecCol, nLists, seed, maxIter,
+      initMode = "random", fitSampleRows = fitSampleRows)
+    val centroidDf = idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+    val x = side(xs, idCol, vecCol, "x_id", "xv")
+    val wProbe = Window.partitionBy(col("x_id"))
+      .orderBy(col("__sim").desc, col("cell"))
+    val probes = x.crossJoin(broadcast(centroidDf))
+      .select(col("x_id"), col("xv"), col("cell"),
+        Similarity.dot(col("xv"), col("cv")).as("__sim"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("x_id"), col("xv"), col("cell"))
+    val pairs = idx.assigned
+      .select(col("cell"), col("id").as("y_id"), col("v").as("yv"))
+      .join(probes, "cell")
+      .select(col("x_id"), col("y_id"),
+        round(Similarity.dot(col("xv"), col("yv")), 12).as("c"))
+      .filter(col("c").isNotNull)
+    mutualBest(marginOverPairs(pairs, k), minMargin)
   }
 
   /** The scored candidate table (x_id, y_id, cosine, margin, fwd_rank,

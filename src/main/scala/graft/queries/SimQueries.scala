@@ -876,6 +876,45 @@ object SimQueries extends QueryModule {
       mined.orderBy("x_id")
     })
 
+  /** IVF-blocked margin mining ([[graft.ops.Bitext.marginMineIvf]]) —
+    * the 100 TB path (candidates = probed cells, never |X|·|Y|).
+    * Rows-only: the quantizer's k-means fit is not SQL-expressible.
+    * In-gate pins: recall ≥ 0.6 against the exact miner (approximate
+    * retrieval, exact scoring), every retrieved pair's (cosine, margin)
+    * EQUAL to a pair the exact scorer would emit when it mined the same
+    * pair, and one-to-one mutual-best structure. */
+  val bitextMineIvf: Q = Q(
+    "sim_bitext_mine_ivf",
+    None,
+    (s, dir) => {
+      val (xs, ys) = bitextSides(s, dir)
+      val approx = graft.ops.Bitext.marginMineIvf(xs, ys, "vec_id",
+        "embedding", k = 4, minMargin = 1.0, nLists = 8, nProbe = 3)
+      val exact = graft.ops.Bitext.marginMine(xs, ys, "vec_id", "embedding",
+        k = 4, minMargin = 1.0)
+      val a = approx.collect().map(r =>
+        (r.getAs[Long]("x_id"), r.getAs[Long]("y_id")) ->
+          (r.getAs[Double]("cosine"), r.getAs[Double]("margin"))).toMap
+      val e = exact.collect().map(r =>
+        (r.getAs[Long]("x_id"), r.getAs[Long]("y_id")) ->
+          (r.getAs[Double]("cosine"), r.getAs[Double]("margin"))).toMap
+      require(e.nonEmpty, "exact miner found no pairs on the fixture")
+      val recall = e.keySet.count(a.contains).toDouble / e.size
+      require(recall >= 0.6,
+        s"IVF bitext recall $recall < 0.6 vs the exact miner (${e.size} pairs)")
+      // retrieved-and-exact pairs must agree on the cosine (the scorer is
+      // exact on whatever the blocking retrieves; margins may differ — the
+      // candidate neighborhoods do)
+      a.foreach { case (k2, (c, _)) =>
+        e.get(k2).foreach { case (ce, _) =>
+          require(c == ce, s"pair $k2 cosine $c != exact $ce") } }
+      val n = approx.count()
+      require(approx.select("x_id").distinct().count() == n &&
+        approx.select("y_id").distinct().count() == n,
+        "IVF-mined pairs must be one-to-one on both sides")
+      approx.orderBy("x_id")
+    })
+
   /** The top-k-neighborhood candidate table with both ranks — the
     * threshold-tuning view, every margin hash-checked. */
   val bitextScores: Q = Q(
@@ -956,6 +995,7 @@ object SimQueries extends QueryModule {
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
-      simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextScores,
+      simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextMineIvf,
+      bitextScores,
       kmSilhouette, kmSilhouetteSummary)
 }

@@ -54,6 +54,33 @@ class BitextSpec extends SparkSpec {
     }
   }
 
+  test("ivf miner with full probing equals the exact miner bit-for-bit") {
+    // nProbe == nLists retrieves every cell, so the candidate graph is
+    // all pairs and the blocked miner must reproduce marginMine exactly
+    val xs = vecs((0 until 24).map(i => (i.toLong,
+      Array(math.cos(i * 0.26), math.sin(i * 0.26), (i % 5) * 0.1))))
+    val ys = vecs((0 until 24).map(i => (100L + i,
+      Array(math.cos(i * 0.26 + 0.05), math.sin(i * 0.26 + 0.05), (i % 5) * 0.1))))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("x_id"), r.getAs[Long]("y_id"),
+        r.getAs[Double]("cosine"), r.getAs[Double]("margin"))).toSet
+    val exact = rows(Bitext.marginMine(xs, ys, "id", "v", k = 3))
+    val full = rows(Bitext.marginMineIvf(xs, ys, "id", "v", k = 3,
+      nLists = 4, nProbe = 4, fitSampleRows = 0L))
+    assert(exact.nonEmpty && full == exact,
+      s"full-probe IVF must equal exact:\n only exact: ${exact -- full}\n only ivf: ${full -- exact}")
+    // narrow probing stays a subset of the exact scorer's pair universe
+    // on the cosine column (exact scoring over retrieved candidates)
+    val narrow = Bitext.marginMineIvf(xs, ys, "id", "v", k = 3,
+      nLists = 4, nProbe = 1, fitSampleRows = 0L).collect()
+    val exactCos = exact.map(t => (t._1, t._2) -> t._3).toMap
+    narrow.foreach { r =>
+      val key = (r.getAs[Long]("x_id"), r.getAs[Long]("y_id"))
+      exactCos.get(key).foreach(c =>
+        assert(r.getAs[Double]("cosine") == c, s"cosine drift on $key"))
+    }
+  }
+
   test("mutual-best is one-to-one; null vectors never pair") {
     val xs = Seq((1L, Some(Array(1.0, 0.0))), (2L, None))
       .toDF("id", "v")
