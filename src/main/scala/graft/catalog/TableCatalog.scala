@@ -28,7 +28,7 @@ final case class TableMeta(
   * (reference: data_handling/metadata.py + merge_strategy.py).
   *
   * - Scans `config.dataDir` for `*.csv` / `*.parquet` / `*.jsonl` /
-  *   `*.orc`; table name = file stem (metadata.py:32–50; JSONL and ORC are
+  *   `*.orc` / `*.xml`; table name = file stem (metadata.py:32–50; the extra formats are
   *   our extensions — the corpus interchange format a training-data
   *   pipeline actually receives, and the columnar format half the
   *   warehouse world writes).
@@ -153,7 +153,8 @@ final class TableCatalog(
           else if (Files.isDirectory(p)) isTableDir(p)
           else
             n.endsWith(".csv") || n.endsWith(".parquet") ||
-              n.endsWith(".jsonl") || n.endsWith(".orc")
+              n.endsWith(".jsonl") || n.endsWith(".orc") ||
+              n.endsWith(".xml")
         }
         .toSeq.sortBy(_.getFileName.toString)
     }
@@ -188,6 +189,11 @@ final class TableCatalog(
       // parquet's; the shared ts normalizer keeps timestamp semantics
       // identical across all four source formats
       graft.Tables.normalizeTs(spark.read.orc(p.toString))
+    else if (name.endsWith(".xml"))
+      // Spark 4's built-in XML source; <rows><row>...</row></rows> by the
+      // Sinks.xmlExport convention (rowTag is mandatory for XML — there is
+      // no self-describing record delimiter). Schema inferred like JSON.
+      spark.read.format("xml").option("rowTag", "row").load(p.toString)
     else if (name.endsWith(".jsonl"))
       // JSON-Lines corpus format (inferred schema, one object per line);
       // PERMISSIVE keeps malformed lines as nulls instead of failing the

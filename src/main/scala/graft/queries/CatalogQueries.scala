@@ -140,6 +140,46 @@ object CatalogQueries extends QueryModule {
         .limit(500)
     })
 
+  /** XML source scan (catalog extension, Spark 4's built-in XML reader):
+    * an orders derivation landed as one `<rows><row>…</row></rows>` file,
+    * discovered by the catalog's `.xml` stem rule with inferred schema,
+    * value-identical to the parquet original per the oracle. */
+  private val xmlDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val s2XmlScan: Q = Q(
+    "s2_xml_scan",
+    Some("""
+      SELECT o_custkey AS ursi, o_orderkey % 3 + 1 AS session_num,
+             o_totalprice AS score
+      FROM orders
+      ORDER BY ursi, session_num, score
+      LIMIT 500"""),
+    (s, dir) => {
+      val tmp = xmlDirs.getOrElseUpdate(dir, {
+        val d = Files.createTempDirectory("graft-xml-").toString
+        Sinks.csvExport(
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").as("ursi"), col("c_acctbal").as("age")),
+          s"$d/demographics.csv")
+        Sinks.xmlExport(
+          Tables.load(s, dir, "orders").select(
+            col("o_custkey").as("ursi"),
+            (col("o_orderkey") % 3 + 1).as("session_num"),
+            col("o_totalprice").as("score")),
+          s"$d/scores.xml")
+        d
+      })
+      val cat = new TableCatalog(s, EngineConfig(
+        dataDir = tmp, demographicsTable = "demographics",
+        primaryIdColumn = "ursi"))
+      require(cat.tableNames == Seq("demographics", "scores"),
+        s"xml table not cataloged: ${cat.tableNames}")
+      cat.table("scores")
+        .select(col("ursi").cast("long"), col("session_num").cast("long"),
+          col("score"))
+        .orderBy("ursi", "session_num", "score")
+        .limit(500)
+    })
+
   /** ORC source scan (catalog extension): the same derivation landed as a
     * single ORC file — the Hive-lineage columnar format — read back
     * through the directory catalog (schema from the ORC footer),
@@ -563,7 +603,8 @@ object CatalogQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s2MergeSchemaScan,
+    s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s2XmlScan,
+    s2MergeSchemaScan,
     s2PartitionedScan, s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
     s9ZipReport, s10TomlRoundtrip, s11ProfileSink)

@@ -68,6 +68,26 @@ object Sinks {
     target
   }
 
+  /** Write a DataFrame as ONE XML file at `outFile` (Spark 4's built-in
+    * XML source; `<rows><row>…</row></rows>` by convention — the rowTag
+    * the catalog's `.xml` discovery reads back). Same single-file
+    * download semantic as [[csvExport]]. */
+  def xmlExport(df: DataFrame, outFile: String,
+      rowTag: String = "row"): Path = {
+    val target = Paths.get(outFile).toAbsolutePath
+    val tmp = Files.createTempDirectory("graft-xml-export")
+    try {
+      df.coalesce(1).write.mode("overwrite")
+        .format("xml").option("rowTag", rowTag).option("rootTag", "rows")
+        .save(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException("no xml part written"))
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp)
+    target
+  }
+
   /** Write a DataFrame as ONE ORC file at `outFile` (the columnar
     * interchange format for Hive-lineage warehouses). Same single-file
     * download semantic as [[csvExport]]; large exports should use
