@@ -1973,6 +1973,39 @@ object TextQueries extends QueryModule {
       out
     })
 
+  /** Cross-document duplicated-3-gram fraction
+    * ([[graft.ops.CrossDocNgrams.dupNgramFraction]]) — the corpus-level
+    * repetition signal txt_repetition's within-doc score can't see; the
+    * oracle rebuilds distinct per-doc 3-gram sets, the document-frequency
+    * table, and the per-doc mean. */
+  val txtDupNgramFraction: Q = Q(
+    "txt_dup_ngram_fraction",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END) AS s
+        FROM t),
+      e AS (SELECT doc_id, unnest(s) AS ngram FROM sh),
+      dfq AS (SELECT ngram, count(*) AS df FROM e GROUP BY 1),
+      pd AS (
+        SELECT e.doc_id, count(*) AS n_ngrams,
+          round(avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+        FROM e JOIN dfq USING (ngram) GROUP BY 1)
+      SELECT t.doc_id AS id, COALESCE(pd.n_ngrams, 0) AS n_ngrams,
+        pd.dup_frac
+      FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+      ORDER BY id"""),
+    (s, dir) =>
+      graft.ops.CrossDocNgrams
+        .dupNgramFraction(Tables.load(s, dir, "documents"), "doc_id",
+          "text", n = 3)
+        .orderBy("id"))
+
   /** Shared Heaps-law prelude: tokens in engine-portable hash order of
     * the doc id, global 1-based token positions via a running length
     * sum (the oracle's window replays Spark's two-pass prefix scan),
@@ -2061,7 +2094,7 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
     sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,
-    txtHeapsCurve, txtHeapsFit,
+    txtHeapsCurve, txtHeapsFit, txtDupNgramFraction,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

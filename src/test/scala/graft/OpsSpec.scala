@@ -2433,4 +2433,29 @@ class OpsSpec extends SparkSpec {
     assert(out(6L).isNullAt(out(6L).fieldIndex("dominant_script")))
     assert(out(6L).isNullAt(out(6L).fieldIndex("sc_latin")))
   }
+
+  test("cross-doc dup-ngram fraction: shared boilerplate scores, originals don't") {
+    import graft.ops.CrossDocNgrams
+    val docs = Seq(
+      (1L, "subscribe to our newsletter today and original one here"),
+      (2L, "subscribe to our newsletter today plus unrelated words entirely"),
+      (3L, "completely unique prose nothing shared anywhere at all"),
+      (4L, "too short"), // < 3 words: no 3-grams
+      (5L, "")).toDF("doc_id", "text")
+    val out = CrossDocNgrams.dupNgramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 share exactly the 3 shingles of the 5-word prefix
+    // "subscribe to our newsletter today"; doc 1 (9 words) has 7 3-grams
+    assert(out(1L).getAs[Long]("n_ngrams") == 7L)
+    assert(out(1L).getAs[Double]("dup_frac") == 0.428571)
+    assert(out(3L).getAs[Double]("dup_frac") == 0.0)
+    assert(out(4L).getAs[Long]("n_ngrams") == 0L &&
+      out(4L).isNullAt(out(4L).fieldIndex("dup_frac")))
+    assert(out(5L).getAs[Long]("n_ngrams") == 0L)
+    // the df table itself: the shared shingles carry df = 2
+    val dfs = CrossDocNgrams.documentFrequencies(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("subscribe to our") == 2L)
+    assert(dfs("completely unique prose") == 1L)
+  }
 }
