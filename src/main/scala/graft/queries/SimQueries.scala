@@ -930,6 +930,89 @@ object SimQueries extends QueryModule {
         .orderBy("x_id", "y_id")
     })
 
+  /** Deterministic "retrained encoder" second snapshot: every 7th vector
+    * dropped, every surviving vector offset by 0.01·(dim index + 1) —
+    * both engines rebuild it exactly. */
+  private val driftSnapshotsSql: String = """
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      nv AS (
+        SELECT vec_id, label,
+          list_transform(generate_series(1, len(e)), i -> e[i] + 0.01 * i)
+            AS e
+        FROM v WHERE vec_id % 7 <> 0)"""
+
+  private def driftNewSnapshot(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + lit(0.01) * (i + 1)).as("embedding"))
+
+  /** Per-label centroid drift between embedding snapshots
+    * ([[graft.ops.EmbeddingDrift.centroidDrift]]): 6-rounded centroids,
+    * 12-rounded decimal drift folds — every term re-derived in DuckDB. */
+  val embCentroidDrift: Q = Q(
+    "emb_centroid_drift",
+    Some(driftSnapshotsSql + """,
+      ca AS (
+        SELECT label, d - 1 AS dim, ROUND(avg(val), 6) AS c1
+        FROM (SELECT label, unnest(generate_series(1, len(e))) AS d,
+                unnest(e) AS val FROM v)
+        GROUP BY label, d),
+      cb AS (
+        SELECT label, d - 1 AS dim, ROUND(avg(val), 6) AS c2
+        FROM (SELECT label, unnest(generate_series(1, len(e))) AS d,
+                unnest(e) AS val FROM nv)
+        GROUP BY label, d),
+      j AS (SELECT ca.label, c1, c2
+            FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim),
+      g AS (
+        SELECT label,
+          CAST(SUM(CAST(round(c1 * c2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS dot,
+          CAST(SUM(CAST(round(c1 * c1, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS n1,
+          CAST(SUM(CAST(round(c2 * c2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS n2,
+          CAST(SUM(CAST(round((c1 - c2) * (c1 - c2), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS d2
+        FROM j GROUP BY 1)
+      SELECT label,
+        CASE WHEN n1 > 0 AND n2 > 0
+          THEN round(dot / (sqrt(n1) * sqrt(n2)), 6) END AS cosine,
+        round(sqrt(d2), 6) AS l2_shift
+      FROM g ORDER BY label"""),
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      graft.ops.EmbeddingDrift.centroidDrift(embs, driftNewSnapshot(embs),
+          "label", "embedding")
+        .orderBy("label")
+    })
+
+  /** Per-id displacement between the same snapshots
+    * ([[graft.ops.EmbeddingDrift.idDisplacement]]) — row-level
+    * forensics; dropped ids never report. */
+  val embIdDisplacement: Q = Q(
+    "emb_id_displacement",
+    Some(driftSnapshotsSql + """
+      SELECT v.vec_id AS id,
+        round(list_sum(list_transform(generate_series(1, len(v.e)),
+            i -> v.e[i] * nv.e[i]))
+          / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+             * sqrt(list_sum(list_transform(nv.e, x -> x * x)))), 6)
+          AS cosine,
+        round(sqrt(list_sum(list_transform(generate_series(1, len(v.e)),
+            i -> (v.e[i] - nv.e[i]) * (v.e[i] - nv.e[i])))), 6)
+          AS l2_shift
+      FROM v JOIN nv ON v.vec_id = nv.vec_id
+      ORDER BY id"""),
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      graft.ops.EmbeddingDrift.idDisplacement(embs, driftNewSnapshot(embs),
+          "vec_id", "embedding")
+        .orderBy("id")
+    })
+
   /** Shared silhouette SQL ([[graft.ops.ClusterEval]]): every 8th vector
     * scored against the full corpus, clusters = the label column;
     * distances rounded-12, per-cluster means decimal-folded. */
@@ -996,6 +1079,6 @@ object SimQueries extends QueryModule {
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
       simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextMineIvf,
-      bitextScores,
+      bitextScores, embCentroidDrift, embIdDisplacement,
       kmSilhouette, kmSilhouetteSummary)
 }

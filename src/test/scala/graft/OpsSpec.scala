@@ -2458,4 +2458,29 @@ class OpsSpec extends SparkSpec {
     assert(dfs("subscribe to our") == 2L)
     assert(dfs("completely unique prose") == 1L)
   }
+
+  test("embedding drift: identical snapshots are exact, known rotation lands") {
+    import graft.ops.EmbeddingDrift
+    val old = Seq((1L, "a", Array(1.0, 0.0)), (2L, "a", Array(1.0, 0.0)),
+      (3L, "b", Array(0.0, 2.0))).toDF("id", "label", "v")
+    val same = EmbeddingDrift.centroidDrift(old, old, "label", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(same("a").getAs[Double]("cosine") == 1.0 &&
+      same("a").getAs[Double]("l2_shift") == 0.0)
+    // rotate label a's centroid (1,0) -> (0,1): cosine 0, shift sqrt(2);
+    // label b only in old -> inner join drops it
+    val nw = Seq((1L, "a", Array(0.0, 1.0)), (2L, "a", Array(0.0, 1.0)))
+      .toDF("id", "label", "v")
+    val rot = EmbeddingDrift.centroidDrift(old, nw, "label", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rot.keySet == Set("a"))
+    assert(rot("a").getAs[Double]("cosine") == 0.0)
+    assert(math.abs(rot("a").getAs[Double]("l2_shift") - math.sqrt(2)) < 1e-6)
+    // per-id displacement: id 3 dropped; id 1 rotated 90 degrees
+    val disp = EmbeddingDrift.idDisplacement(old, nw, "id", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(disp.keySet == Set(1L, 2L))
+    assert(disp(1L).getAs[Double]("cosine") == 0.0)
+    assert(math.abs(disp(1L).getAs[Double]("l2_shift") - math.sqrt(2)) < 1e-6)
+  }
 }
