@@ -65,7 +65,13 @@ object Bench {
     // round-13: margin-based bitext mining — the |X|·|Y| scored-pair
     // shape (cross join + two window/aggregate passes) has no other
     // headline representative
-    "sim_bitext_mine")
+    "sim_bitext_mine",
+    // round-13 session 2: Kneser–Ney scoring (three vocab-keyed joins +
+    // per-doc mean — the heaviest smoothing-LM plan) and the cross-doc
+    // dup-ngram fraction (shingle explode → df groupBy → join-back —
+    // the corpus-linear pairwise-avoidance shape)
+    "txt_kneser_ney",
+    "txt_dup_ngram_fraction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

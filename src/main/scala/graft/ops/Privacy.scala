@@ -194,4 +194,64 @@ object Privacy {
           groupCols.map(col)), 6))
       .drop("__s")
   }
+
+  /** k-ary randomized response (Warner 1965; the RAPPOR family's core —
+    * LOCAL DP, where [[dpCountRelease]] is central DP): each row keeps
+    * its true category with probability `p` and otherwise reports a
+    * uniform draw over ALL k categories (the true one included — that
+    * variant keeps the debias algebra one line). Both coin flips come
+    * from the engine-portable identity hash of `idKeys` (which must
+    * uniquely identify rows — the [[Sampling.weightedSample]] contract),
+    * so the perturbed column is reproducible and oracle-checkable; the
+    * ε it buys against a seed-blind adversary is ln(p·k/(1−p) + 1).
+    * The category universe is the column's distinct values, collected
+    * sorted and broadcast (bounded by contract: categorical telemetry,
+    * not free text — a loud cap enforces it). NULL categories pass
+    * through null (absence is not a category). Adds `reported`. */
+  def randomizedResponse(
+      df: DataFrame, catCol: String, p: Double, seed: String,
+      idKeys: Seq[String], maxCategories: Int = 10000): DataFrame = {
+    require(p > 0 && p < 1, s"keep probability p must sit in (0,1), got $p")
+    require(idKeys.nonEmpty, "idKeys must uniquely identify rows")
+    val cats = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string")).distinct()
+      .orderBy(catCol).limit(maxCategories + 1)
+      .collect().map(_.getString(0))
+    require(cats.length <= maxCategories,
+      s"more than $maxCategories categories — randomized response is for " +
+        "bounded categorical telemetry")
+    require(cats.nonEmpty, "no non-null categories to perturb")
+    val k = cats.length
+    val keep = Sampling.hashFractionOpen(seed, idKeys.map(col)) < lit(p)
+    val pick = floor(Sampling.hashFractionOpen(s"$seed#pick",
+      idKeys.map(col)) * lit(k.toDouble)).cast("int")
+    df.withColumn("reported",
+      when(col(catCol).isNull, lit(null).cast("string"))
+        .when(keep, col(catCol).cast("string"))
+        .otherwise(element_at(array(cats.map(lit): _*), pick + 1)))
+  }
+
+  /** Debiased frequency estimates from a randomized-response release:
+    * E[obs_c] = n_c·p + n·(1−p)/k ⟹ n̂_c = (obs_c − n·(1−p)/k)/p.
+    * `k` is the MECHANISM's category-universe size (a randomization
+    * parameter, never derived from the release — a category that drew
+    * zero reports would silently shrink it). Returns (category,
+    * observed, estimate) for every reported category, estimate rounded
+    * to 6 (may be negative for rare categories — estimator variance,
+    * not a bug; clamp at the consumer if needed). Null reports are
+    * excluded. */
+  def rrFrequencyEstimate(
+      released: DataFrame, reportedCol: String, p: Double,
+      k: Int): DataFrame = {
+    require(p > 0 && p < 1, s"keep probability p must sit in (0,1), got $p")
+    require(k >= 2, s"mechanism universe must have >= 2 categories, got $k")
+    val base = released.filter(col(reportedCol).isNotNull)
+    val obs = base.groupBy(col(reportedCol).as("category"))
+      .agg(count(lit(1)).as("observed"))
+    val totals = obs.agg(coalesce(sum(col("observed")), lit(0L)).as("__n"))
+    obs.crossJoin(broadcast(totals))
+      .select(col("category"), col("observed"),
+        round((col("observed") - col("__n") * lit(1.0 - p) / lit(k.toDouble))
+          / lit(p), 6).as("estimate"))
+  }
 }

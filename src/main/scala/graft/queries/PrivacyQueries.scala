@@ -214,7 +214,81 @@ object PrivacyQueries extends QueryModule {
           seed = "graft-dp")
         .orderBy("c_nationkey"))
 
+  /** Shared randomized-response replay: the sorted category list, both
+    * portable-hash coin flips, and the perturbed column — the oracle
+    * re-derives every report. p = 0.75 (binary-exact both sides). */
+  private val rrReleaseSql: String = """
+      WITH cats AS (
+        SELECT (SELECT list(s ORDER BY s) FROM (
+          SELECT DISTINCT c_mktsegment AS s FROM customer
+          WHERE c_mktsegment IS NOT NULL)) AS cl),
+      r AS (
+        SELECT c_custkey, c_mktsegment,
+          (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-rr',
+              CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0 AS u1,
+          (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-rr#pick',
+              CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0 AS u2
+        FROM customer),
+      rel AS (
+        SELECT c_custkey,
+          CASE WHEN c_mktsegment IS NULL THEN NULL
+               WHEN u1 < 0.75 THEN c_mktsegment
+               ELSE cl[CAST(floor(u2 * len(cl)) AS INT) + 1] END AS reported
+        FROM r, cats)"""
+
+  /** Row-level k-ary randomized response over market segments
+    * ([[graft.ops.Privacy.randomizedResponse]], p = 0.75) — every
+    * perturbed report re-derived by the oracle. */
+  val privRrRelease: Q = Q(
+    "priv_rr_release",
+    Some(rrReleaseSql + """
+      SELECT c_custkey, reported FROM rel ORDER BY c_custkey"""),
+    (s, dir) =>
+      Privacy.randomizedResponse(Tables.load(s, dir, "customer"),
+          "c_mktsegment", p = 0.75, seed = "graft-rr", Seq("c_custkey"))
+        .select(col("c_custkey"), col("reported"))
+        .orderBy("c_custkey"))
+
+  /** Debiased frequency estimates from the same release
+    * ([[graft.ops.Privacy.rrFrequencyEstimate]]) — estimator algebra
+    * mirrored term-for-term; the gate additionally pins each estimate
+    * near its true count (the estimator works, not just computes). */
+  val privRrEstimate: Q = Q(
+    "priv_rr_estimate",
+    Some(rrReleaseSql + """,
+      obs AS (SELECT reported AS category, count(*) AS observed
+              FROM rel WHERE reported IS NOT NULL GROUP BY 1),
+      nn AS (SELECT CAST(COALESCE(sum(observed), 0) AS BIGINT) AS n
+             FROM obs)
+      SELECT category, observed,
+        round((observed - n * 0.25 / 5.0) / 0.75, 6) AS estimate
+      FROM obs, nn ORDER BY category"""),
+    (s, dir) => {
+      val customers = Tables.load(s, dir, "customer")
+      val k = customers.filter(col("c_mktsegment").isNotNull)
+        .select(col("c_mktsegment")).distinct().count().toInt
+      require(k == 5, s"fixture drift: expected 5 segments, got $k")
+      val released = Privacy.randomizedResponse(customers, "c_mktsegment",
+        p = 0.75, seed = "graft-rr", Seq("c_custkey"))
+      val est = Privacy.rrFrequencyEstimate(released, "reported",
+        p = 0.75, k = k)
+      // estimator sanity: every debiased estimate within 4·sqrt(n) of the
+      // true count (loose but real — catches sign/denominator bugs)
+      val truth = customers.filter(col("c_mktsegment").isNotNull)
+        .groupBy(col("c_mktsegment").as("category"))
+        .agg(count(lit(1)).as("true_n"))
+      val n = customers.filter(col("c_mktsegment").isNotNull).count()
+      val off = est.join(truth, "category")
+        .filter(abs(col("estimate") - col("true_n")) >
+          lit(4.0 * math.sqrt(n.toDouble))).count()
+      require(off == 0L, s"RR estimate off the 4*sqrt(n) band on $off categories")
+      est.orderBy("category")
+    })
+
   override def queries: Seq[Q] =
     Seq(privKAnonymity, privLDiversity, privSuppress, privReleasePipeline,
-      privPseudonymize, privDpCounts, privDpSum)
+      privPseudonymize, privDpCounts, privDpSum, privRrRelease,
+      privRrEstimate)
 }

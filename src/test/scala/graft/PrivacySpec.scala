@@ -57,6 +57,47 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("randomized response: universe-closed, deterministic, debiasable") {
+    import graft.ops.Privacy
+    val df = (1 to 900).map(i =>
+      (i.toLong, if (i <= 600) "a" else if (i <= 800) "b" else "c"))
+      .toDF("id", "cat")
+    val rel = Privacy.randomizedResponse(df, "cat", p = 0.75,
+      seed = "spec-rr", Seq("id")).persist()
+    val reported = rel.select("reported").collect().map(_.getString(0))
+    assert(reported.forall(Set("a", "b", "c")))
+    // deterministic
+    val again = Privacy.randomizedResponse(df, "cat", p = 0.75,
+      seed = "spec-rr", Seq("id")).select("id", "reported").collect().toSeq
+    assert(rel.select("id", "reported").collect().toSeq == again)
+    // kept fraction tracks p
+    val kept = rel.filter(col("reported") === col("cat")).count().toDouble / 900
+    assert(kept > 0.7 && kept < 0.95, s"kept fraction $kept")
+    // estimator algebra is exact: estimate == (obs - n*(1-p)/k)/p
+    val est = Privacy.rrFrequencyEstimate(rel, "reported", p = 0.75, k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val obsA = est("a").getAs[Long]("observed")
+    val expected = BigDecimal((obsA - 900 * 0.25 / 3.0) / 0.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(est("a").getAs[Double]("estimate") == expected)
+    // and it lands near the truth
+    assert(math.abs(est("a").getAs[Double]("estimate") - 600) <
+      4 * math.sqrt(900.0))
+    // nulls pass through as null reports and are excluded from estimates
+    val withNull = df.withColumn("cat",
+      when(col("id") <= 10, lit(null).cast("string")).otherwise(col("cat")))
+    val rel2 = Privacy.randomizedResponse(withNull, "cat", p = 0.75,
+      seed = "spec-rr", Seq("id"))
+    assert(rel2.filter(col("id") <= 10 && col("reported").isNotNull)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, "cat", p = 0.75, seed = "s",
+        Seq("id"), maxCategories = 2)
+    }
+    rel.unpersist()
+    ()
+  }
+
   test("k-anonymity report: class census, rows at risk, threshold flag") {
     val r2 = Privacy.kAnonymityReport(people, Seq("zip", "age_band"), k = 2).head()
     assert(r2.getAs[Long]("n_classes") == 4)
