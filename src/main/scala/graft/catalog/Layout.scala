@@ -230,4 +230,48 @@ object Layout {
       .toDF("files_before", "files_after", "bytes_before", "bytes_after",
         "n_rows")
   }
+
+  /** Clustering-effectiveness report for a parquet layout — the metric
+    * behind "did the sort/Z-order actually buy data skipping": per
+    * column, how many files a point lookup must open on average. For
+    * each file, depth = the number of files (itself included) whose
+    * [min, max] interval overlaps its own; a perfectly clustered column
+    * has depth 1 (disjoint file ranges → one file per point), a random
+    * layout has depth ≈ n_files (every file spans everything, min/max
+    * pruning skips nothing).
+    *
+    * Mechanics: ONE scan computes per-file min/max for every requested
+    * column (`input_file_name()` + groupBy — the stats parquet footers
+    * hold, re-derived engine-side so the report needs no footer reader),
+    * then the depth join runs on the FILE-COUNT-sized interval table.
+    * That join is pairwise in file count — a layout-report tool, not a
+    * row operator — so a loud cap guards it. Returns one row per column:
+    * (column, n_files, avg_depth, max_depth), avg rounded to 4. */
+  def clusteringReport(spark: SparkSession, path: String,
+      cols: Seq[String], maxFiles: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to report on")
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .persist()
+    val nFiles = perFile.count()
+    require(nFiles <= maxFiles,
+      s"$nFiles files exceeds the $maxFiles report cap — compact first")
+    val perCol = cols.map { c =>
+      val iv = perFile.select(col("__file"),
+        col(s"__mn_$c").as("mn"), col(s"__mx_$c").as("mx"))
+      val other = iv.select(col("mn").as("mn2"), col("mx").as("mx2"))
+      iv.join(other, col("mn") <= col("mx2") && col("mn2") <= col("mx"))
+        .groupBy("__file").agg(count(lit(1)).as("depth"))
+        .agg(lit(c).as("column"), count(lit(1)).as("n_files"),
+          round(avg(col("depth")), 4).as("avg_depth"),
+          max(col("depth")).as("max_depth"))
+    }
+    val out = perCol.reduce(_ unionByName _)
+    perFile.unpersist()
+    out
+  }
 }

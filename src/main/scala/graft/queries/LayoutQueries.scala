@@ -401,8 +401,52 @@ object LayoutQueries extends QueryModule {
       graft.ops.Concentration.report(
         Tables.load(s, dir, "documents"), Seq("source"), col("n_chars")))
 
+  /** Clustering-depth report ([[graft.catalog.Layout.clusteringReport]])
+    * — rows-only (the fixture files live in a gate-local temp dir the
+    * oracle can't see). In-gate pins carry the real contract: a layout
+    * SORTED on a column reports depth 1.0 on it (disjoint file ranges),
+    * and the Z-ORDER layout beats the shuffled baseline on BOTH curve
+    * columns while the baseline sits near n_files (no pruning). */
+  private val clusterDirs = scala.collection.concurrent.TrieMap[String, String]()
+  val layClusteringReport: Q = Q(
+    "lay_clustering_report",
+    None,
+    (s, dir) => {
+      val base = clusterDirs.getOrElseUpdate(dir, {
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-cluster-report").toString
+        orders.orderBy("o_custkey").coalesce(4)
+          .write.mode("overwrite").parquet(s"$d/sorted")
+        graft.catalog.Layout.writeZOrdered(orders,
+          Seq("o_custkey", "o_totalprice"), s"$d/zorder",
+          files = 8, bitsPerDim = 4)
+        orders.repartition(8).write.mode("overwrite")
+          .parquet(s"$d/shuffled")
+        d
+      })
+      def report(sub: String) = graft.catalog.Layout
+        .clusteringReport(s, s"$base/$sub",
+          Seq("o_custkey", "o_totalprice"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_files"), r.getAs[Double]("avg_depth"))).toMap
+      val sorted = report("sorted")
+      val z = report("zorder")
+      val sh = report("shuffled")
+      require(sorted("o_custkey")._2 == 1.0,
+        s"sorted layout must have depth 1 on its sort key: $sorted")
+      require(sh("o_custkey")._2 > 0.9 * sh("o_custkey")._1.toDouble,
+        s"shuffled baseline should skip nothing: $sh")
+      for (c <- Seq("o_custkey", "o_totalprice"))
+        require(z(c)._2 < sh(c)._2,
+          s"z-order must beat shuffled on $c: z=${z(c)} shuffled=${sh(c)}")
+      graft.catalog.Layout.clusteringReport(s, s"$base/zorder",
+        Seq("o_custkey", "o_totalprice")).orderBy("column")
+    })
+
   override def queries: Seq[Q] =
     Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact,
       mntCorpusDiff, mntCorpusOverlap, mntCorpusOverlapKmv,
-      mntCorpusDivergence, mntConcentration)
+      mntCorpusDivergence, mntConcentration, layClusteringReport)
 }

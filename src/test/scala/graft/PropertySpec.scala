@@ -198,6 +198,28 @@ class PropertySpec extends SparkSpec {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // clustering-depth report on hand-built intervals: files spanning
+    // [0,9], [10,19], [5,14] → depths 2, 2, 3 → avg 7/3, max 3
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-depth")
+      def writeOne(name: String, lo: Int, hi: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-depth-part")
+        (lo to hi).toDF("x").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, dir.resolve(name))
+      }
+      writeOne("f1.parquet", 0, 9)
+      writeOne("f2.parquet", 10, 19)
+      writeOne("f3.parquet", 5, 14)
+      val rep = graft.catalog.Layout
+        .clusteringReport(spark, dir.toString, Seq("x")).head()
+      assert(rep.getAs[Long]("n_files") == 3L)
+      assert(rep.getAs[Double]("avg_depth") == 2.3333)
+      assert(rep.getAs[Long]("max_depth") == 3L)
+    }
     // unsorted baseline: random partitioning, every file spans the full
     // value space, so min/max stats prune nothing
     orders.repartition(8).write.parquet(s"$base/plain")
