@@ -1973,6 +1973,117 @@ object TextQueries extends QueryModule {
       out
     })
 
+  /** Shared composite-curation prelude: quality scores, quality-gated
+    * fingerprint canonicality, and eval-set contamination over the
+    * non-eval corpus — the SEQUENTIAL funnel [[graft.ops.Curation]]
+    * runs, each stage reusing its individually-gated oracle fragment
+    * (txt_quality / dd_exact_dedup / txt_decontaminate). */
+  private def curationPrelude: String = {
+    val enList = TextOps.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH t AS (
+        SELECT doc_id, text, $wSql AS w FROM documents
+        WHERE doc_id % 17 <> 3),
+      q AS (
+        SELECT doc_id, text, w,
+          ROUND(0.3 * least(1.0, len(w) / 100.0)
+            + 0.4 * (CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END)
+            + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(w, t -> t IN ($enList)))
+                  AS DOUBLE) / len(w) END), 6) AS quality
+        FROM t),
+      f AS (SELECT *, quality >= 0.36 AS q_pass FROM q),
+      fp AS (
+        SELECT *, CASE WHEN q_pass THEN
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) END AS fpv
+        FROM f),
+      cn AS (
+        SELECT doc_id, quality, q_pass, w,
+          q_pass AND doc_id = min(CASE WHEN q_pass THEN doc_id END)
+            OVER (PARTITION BY fpv) AS canonical
+        FROM fp),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END) AS s
+        FROM t),
+      bench AS (
+        SELECT DISTINCT unnest(list_distinct(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END)) AS sg
+        FROM (SELECT $wSql AS w FROM documents WHERE doc_id % 17 = 3)),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      ov AS (SELECT e.doc_id, count(*) AS overlap
+             FROM e JOIN bench USING (sg) GROUP BY 1),
+      ct AS (
+        SELECT sh.doc_id,
+          ROUND(CASE WHEN len(s) = 0 THEN 0.0
+            ELSE CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / len(s) END, 6)
+            AS contam_frac
+        FROM sh LEFT JOIN ov USING (doc_id)),
+      flags AS (
+        SELECT cn.doc_id AS id, cn.quality, cn.q_pass, cn.canonical,
+          ct.contam_frac, ct.contam_frac <= 0.2 AS clean,
+          cn.q_pass AND cn.canonical AND ct.contam_frac <= 0.2 AS kept,
+          CAST(len(cn.w) AS BIGINT) AS n_tokens
+        FROM cn JOIN ct ON cn.doc_id = ct.doc_id)"""
+  }
+
+  /** Per-document curation stage flags ([[graft.ops.Curation.stageFlags]])
+    * — quality floor 0.36 (fixture-calibrated: scores span 0.27-0.47), exact-dedup canonicality among survivors,
+    * contamination cap 0.2 vs the doc_id%17=3 eval slice. */
+  val pipeCurationFlags: Q = Q(
+    "pipe_curation_flags",
+    Some(curationPrelude + """
+      SELECT id, quality, q_pass, canonical, contam_frac, clean, kept,
+        n_tokens
+      FROM flags ORDER BY id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.stageFlags(
+          docs.filter(col("doc_id") % 17 =!= 3), "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "text",
+          minQuality = 0.36, maxContamination = 0.2)
+        .orderBy("id")
+    })
+
+  /** The one-row curation funnel ([[graft.ops.Curation.funnelReport]]) —
+    * sequential survivor counts + kept token mass from one aggregation.
+    * The gate requires each stage to be DISCRIMINATIVE on the fixture
+    * (strictly shrinking funnel), so threshold drift is loud. */
+  val pipeCurationFunnel: Q = Q(
+    "pipe_curation_funnel",
+    Some(curationPrelude + """
+      SELECT CAST(count(*) AS BIGINT) AS n_input,
+        CAST(COALESCE(SUM(CASE WHEN q_pass THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_quality,
+        CAST(COALESCE(SUM(CASE WHEN q_pass AND canonical THEN 1 ELSE 0 END),
+          0) AS BIGINT) AS n_dedup,
+        CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_clean,
+        CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END), 0)
+          AS BIGINT) AS tokens_kept
+      FROM flags"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val out = graft.ops.Curation.funnelReport(
+        graft.ops.Curation.stageFlags(
+          docs.filter(col("doc_id") % 17 =!= 3), "doc_id", "text",
+          docs.filter(col("doc_id") % 17 === 3), "text",
+          minQuality = 0.36, maxContamination = 0.2))
+      val r = out.head()
+      val (ni, nq, nd, nc) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      // quality and contamination must both bite; dedup passes through
+      // monotonically (this fixture carries no exact whole-doc duplicates
+      // — verified — so nd == nq here; OpsSpec pins the dedup stage on a
+      // corpus that has them)
+      require(ni > nq && nq >= nd && nd > nc && nc > 0,
+        s"funnel not discriminative on the fixture: $ni -> $nq -> $nd -> $nc")
+      out
+    })
+
   /** Cross-document duplicated-3-gram fraction
     * ([[graft.ops.CrossDocNgrams.dupNgramFraction]]) — the corpus-level
     * repetition signal txt_repetition's within-doc score can't see; the
@@ -2095,6 +2206,7 @@ object TextQueries extends QueryModule {
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
     sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,
     txtHeapsCurve, txtHeapsFit, txtDupNgramFraction,
+    pipeCurationFlags, pipeCurationFunnel,
     txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,

@@ -402,6 +402,47 @@ object ScaleBench {
         emit("prj_sign_project", k, emCount, jlMed, jlS)
       }
 
+      if (wanted("txt_kneser_ney")) {
+        // smoothing-LM scaling: the suffixed-token copies grow the bigram
+        // type table ~K× (disjoint vocabularies), so training counts,
+        // the three scoring joins, AND the per-doc means all scale
+        // linearly — the honest cost shape for a corpus-relative model
+        // retrained per snapshot. Witness: every doc scores (row count
+        // preserved) and the discount stays in (0,1).
+        var scored = 0L
+        val (knMed, knS) = timeMedian {
+          val lm = graft.ops.LanguageModel.trainKneserNey(docs, "text")
+          require(lm.discount > 0 && lm.discount < 1,
+            s"degenerate discount ${lm.discount} at ${k}x")
+          scored = graft.ops.LanguageModel
+            .scoreKneserNey(lm, docs, "doc_id", "text").count()
+        }
+        require(scored == docs.count(), s"KN dropped docs: $scored")
+        emit("txt_kneser_ney", k, scored, knMed, knS)
+      }
+
+      if (wanted("ev_markov")) {
+        // journey-model scaling: K× users with constant per-user history,
+        // so the lead() window partitions stay fixed-size while their
+        // count grows K× — the shape that parallelizes. The transition
+        // matrix itself stays state-vocabulary-sized at every K.
+        // Witness: Σn == events − users (every non-final event is
+        // exactly one transition).
+        val evM = spark.read.parquet(s"$dir/events")
+        val nEvents = evM.count()
+        val nUsers = evM.select("user_id").distinct().count()
+        var trSum = 0L
+        val (mkMed, mkS) = timeMedian {
+          trSum = graft.ops.Markov.transitionMatrix(evM, "user_id", "ts",
+              "event_id", "event_type")
+            .agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+        }
+        require(trSum == nEvents - nUsers,
+          s"transition mass $trSum != ${nEvents - nUsers} at ${k}x")
+        emit("ev_markov_transitions", k, nEvents, mkMed, mkS,
+          s""","transitions":$trSum""")
+      }
+
       if (wanted("j4_salted_skew_join")) {
         // hot-key join at scale: ~80% of lineitem rows share one synthetic
         // key; K× copies grow the hot key's absolute row count K×. Both

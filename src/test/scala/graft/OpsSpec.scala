@@ -2483,4 +2483,58 @@ class OpsSpec extends SparkSpec {
     assert(disp(1L).getAs[Double]("cosine") == 0.0)
     assert(math.abs(disp(1L).getAs[Double]("l2_shift") - math.sqrt(2)) < 1e-6)
   }
+
+  test("curation funnel: every stage bites, canonicality is sequential") {
+    import graft.ops.Curation
+    val good = "the quick brown fox jumps over the lazy dog and runs far " * 3
+    val junk = "x x x x x"  // tiny + repetitive: fails any quality floor
+    val leaked = "this is the held out benchmark answer with many of " +
+      "the original tokens for quality checks and it runs long enough " +
+      "to pass every floor easily in practice"
+    val docs = Seq(
+      (1L, good + "alpha"),            // kept
+      (2L, good + "alpha"),            // exact dup of 1 -> dropped
+      (3L, junk),                      // quality-dropped
+      (4L, good + "beta"),             // kept
+      (5L, leaked),                    // contaminated -> dropped
+      (6L, junk),                      // quality-dropped; dup family w/ 7
+      (7L, junk)                       // both members fail: NO canonical
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val flags = Curation.stageFlags(docs, "doc_id", "text", eval, "text",
+        minQuality = 0.3, maxContamination = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getAs[Boolean]("kept"))
+    assert(flags(2L).getAs[Boolean]("q_pass") &&
+      !flags(2L).getAs[Boolean]("canonical"))
+    assert(!flags(3L).getAs[Boolean]("q_pass"))
+    assert(flags(4L).getAs[Boolean]("kept"))
+    assert(flags(5L).getAs[Boolean]("q_pass") &&
+      flags(5L).getAs[Boolean]("canonical") &&
+      !flags(5L).getAs[Boolean]("clean"))
+    // a duplicate family whose every member fails quality elects nobody
+    assert(!flags(6L).getAs[Boolean]("canonical") &&
+      !flags(7L).getAs[Boolean]("canonical"))
+    val f = Curation.funnelReport(Curation.stageFlags(docs, "doc_id",
+      "text", eval, "text", minQuality = 0.3, maxContamination = 0.2)).head()
+    assert(f.getAs[Long]("n_input") == 7L)
+    assert(f.getAs[Long]("n_quality") == 4L)  // 1,2,4,5
+    assert(f.getAs[Long]("n_dedup") == 3L)    // 1,4,5
+    assert(f.getAs[Long]("n_clean") == 2L)    // 1,4
+    assert(f.getAs[Long]("tokens_kept") > 0L)
+    // curate returns exactly the kept rows
+    val kept = Curation.curate(docs, "doc_id", "text", eval, "text",
+      minQuality = 0.3, maxContamination = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // sequential semantics: when the lowest-id family member fails
+    // quality, the next PASSING member is canonical
+    val docs2 = Seq((1L, junk + " padder"), (2L, good), (3L, good))
+      .toDF("doc_id", "text")
+    val fl2 = Curation.stageFlags(docs2, "doc_id", "text", eval, "text",
+        minQuality = 0.3, maxContamination = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fl2(2L).getAs[Boolean]("canonical") &&
+      !fl2(3L).getAs[Boolean]("canonical"))
+  }
 }
