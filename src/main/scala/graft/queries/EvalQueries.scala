@@ -538,6 +538,61 @@ object EvalQueries extends QueryModule {
     (s, dir) =>
       graft.stats.Ranking.macroMetrics(rankingPerQuery(s, dir)))
 
+  /** Rank-biased overlap between two real rankers over orders — per
+    * priority, customers ranked by revenue vs by order count
+    * ([[graft.stats.Ranking.rbo]], p = 0.9, depth 20). The oracle
+    * rebuilds both rankings, the k-row weight table (decimal folds of
+    * 12-rounded pow terms), and the co-rank join; (1−p) is written as
+    * the SUBTRACTION both sides (1.0 − 0.9 is not the double 0.1). */
+  val rboGate: Q = Q(
+    "ml_rbo",
+    Some("""
+      WITH agg AS (
+        SELECT o_orderpriority AS query, o_custkey AS doc,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v,
+          count(*) AS c
+        FROM orders GROUP BY 1, 2),
+      ra AS (SELECT query, doc, row_number() OVER (PARTITION BY query
+               ORDER BY v DESC, doc) AS r1 FROM agg),
+      rb AS (SELECT query, doc, row_number() OVER (PARTITION BY query
+               ORDER BY c DESC, doc) AS r2 FROM agg),
+      wt AS (
+        SELECT m, SUM(CAST(round(pow(0.9, d - 1) / d, 12)
+            AS DECIMAL(38,12))) AS w
+        FROM (SELECT unnest(generate_series(1, 20)) AS m) mm,
+             (SELECT unnest(generate_series(1, 20)) AS d) dd
+        WHERE d >= m GROUP BY m),
+      co AS (
+        SELECT ra.query, greatest(r1, r2) AS m
+        FROM ra JOIN rb USING (query, doc)
+        WHERE greatest(r1, r2) <= 20),
+      s AS (SELECT query, count(*) AS overlap_at_depth, SUM(w) AS ws
+            FROM co JOIN wt USING (m) GROUP BY 1)
+      SELECT q.query, COALESCE(s.overlap_at_depth, 0) AS overlap_at_depth,
+        round((1.0 - 0.9)
+          * CAST(COALESCE(s.ws, CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 6)
+          AS rbo
+      FROM (SELECT DISTINCT query FROM agg) q LEFT JOIN s USING (query)
+      ORDER BY query"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("query"),
+          col("o_custkey").as("doc"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("v"), count(lit(1)).as("c"))
+      val wa = Window.partitionBy(col("query"))
+        .orderBy(col("v").desc, col("doc"))
+      val wb = Window.partitionBy(col("query"))
+        .orderBy(col("c").desc, col("doc"))
+      val ra = agg.select(col("query"), col("doc"),
+        row_number().over(wa).as("rank"))
+      val rb = agg.select(col("query"), col("doc"),
+        row_number().over(wb).as("rank"))
+      graft.stats.Ranking.rbo(ra, rb, "query", "doc", "rank",
+        p = 0.9, depth = 20).orderBy("query")
+    })
+
   /** Cohen's kappa ([[graft.stats.Agreement.cohenKappa]]): two synthetic
     * raters over documents — rater A labels doc_id%4, rater B agrees
     * except every 3rd doc (off-by-one category). Integer-cleared kappa:
@@ -812,6 +867,6 @@ object EvalQueries extends QueryModule {
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
-      rankingMetricsGate, rankingMacroGate, cohenKappaGate, fleissKappaGate,
+      rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate)
 }

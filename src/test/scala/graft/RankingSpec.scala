@@ -81,4 +81,41 @@ class RankingSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"expected window + agg exchanges at most, found $exchanges:\n$plan")
   }
+
+  test("rbo: identical lists give 1 - p^k, disjoint give 0, singles weight W(1)") {
+    import graft.stats.Ranking
+    val p = 0.9; val k = 20
+    val a = (1 to k).map(r => ("q", s"d$r", r)).toDF("query", "doc", "rank")
+    val same = Ranking.rbo(a, a, "query", "doc", "rank", p, k).head()
+    // identical prefixes: A_d = 1 at every depth → (1−p)·Σ p^{d−1} = 1 − p^k
+    val expect = BigDecimal(
+      (1.0 - p) * (1 to k).map(d => BigDecimal(math.pow(p, d - 1) / d * d)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(same.getAs[Double]("rbo") - expect) < 2e-6,
+      s"got ${same.getAs[Double]("rbo")} want ~$expect")
+    assert(same.getAs[Long]("overlap_at_depth") == k.toLong)
+    // disjoint rankings: no co-ranked item → 0, query still reported
+    val b = (1 to k).map(r => ("q", s"x$r", r)).toDF("query", "doc", "rank")
+    val dis = Ranking.rbo(a, b, "query", "doc", "rank", p, k).head()
+    assert(dis.getAs[Double]("rbo") == 0.0 &&
+      dis.getAs[Long]("overlap_at_depth") == 0L)
+    // one shared item at rank 1 both sides contributes exactly W(1)
+    val a1 = Seq(("q", "s", 1)).toDF("query", "doc", "rank")
+    val b1 = Seq(("q", "s", 1), ("q", "t", 2)).toDF("query", "doc", "rank")
+    val w1 = (1 to k).map(d => BigDecimal(math.pow(p, d - 1) / d)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val single = Ranking.rbo(a1, b1, "query", "doc", "rank", p, k).head()
+    assert(math.abs(single.getAs[Double]("rbo") - (1.0 - p) * w1) < 2e-6)
+    // top-weighting: agreement at the top outranks agreement at the bottom
+    val topAgree = Ranking.rbo(a,
+      ((1 to 5).map(r => ("q", s"d$r", r)) ++
+        (6 to k).map(r => ("q", s"y$r", r))).toDF("query", "doc", "rank"),
+      "query", "doc", "rank", p, k).head().getAs[Double]("rbo")
+    val botAgree = Ranking.rbo(a,
+      ((1 to 15).map(r => ("q", s"z$r", r)) ++
+        (16 to k).map(r => ("q", s"d$r", r))).toDF("query", "doc", "rank"),
+      "query", "doc", "rank", p, k).head().getAs[Double]("rbo")
+    assert(topAgree > botAgree)
+  }
 }
