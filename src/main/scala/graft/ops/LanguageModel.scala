@@ -151,10 +151,16 @@ object LanguageModel {
       bigrams: DataFrame, contexts: DataFrame, continuation: DataFrame,
       bigramTypes: Long, vocabSize: Long, discount: Double)
 
+  // KN runs THREE corpus passes, so a compact input must widen first
+  // (graft.core.Parallelism — the shared covariance-lesson guard)
+  private def widen(df: DataFrame): DataFrame =
+    graft.core.Parallelism.widen(df)
+
   /** Two groupBy passes over the bigram multiset plus one distinct-token
     * count; the bigram type table persists across its three consumers so
     * the corpus tokenizes exactly once. */
-  def trainKneserNey(corpus: DataFrame, textCol: String): KneserNey = {
+  def trainKneserNey(corpus0: DataFrame, textCol: String): KneserNey = {
+    val corpus = widen(corpus0)
     val parts = corpus
       .select(explode(bigramsOf(col(textCol))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb"))
@@ -189,8 +195,9 @@ object LanguageModel {
     * each when it fits) and one mean per document — the corpus shuffles
     * only its exploded bigram keys, nothing driver-side but scalars. */
   def scoreKneserNey(
-      lm: KneserNey, docs: DataFrame, idCol: String,
+      lm: KneserNey, docs0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val docs = widen(docs0)
     val d = lit(lm.discount)
     val bPlusV = lit(math.max(lm.bigramTypes + lm.vocabSize, 1L).toDouble)
     val pc = (coalesce(col("nc"), lit(0L)) + lit(1.0)) / bPlusV

@@ -241,10 +241,15 @@ object ColumnStats {
   }
 
   def describe(
-      df: DataFrame,
+      df0: DataFrame,
       cols: Seq[String],
       approxQuantiles: Boolean = false): Seq[Stats] = {
     require(cols.nonEmpty, "describe needs at least one column")
+    // project to the profiled columns, then widen a compact input: the
+    // moment pass, histogram pass, and outlier pass are all map-heavy
+    // and would otherwise inherit a single file's one-task parallelism
+    val df = graft.core.Parallelism.widen(
+      df0.select(cols.map(org.apache.spark.sql.functions.col): _*))
 
     // Pass 1: plain aggregate — exact distinct comes from the histogram
     // (exact path) or approx_count_distinct (sketch path), so no
