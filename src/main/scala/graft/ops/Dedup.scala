@@ -313,8 +313,13 @@ object Dedup {
     * Catalyst inline the shingle pipeline k times with no codegen: 94 ms/row
     * vs sub-µs here.) */
   def minhashSignatures(
-      df: DataFrame, idCol: String, textCol: String,
+      df0: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 64, seed: Long = 42): DataFrame = {
+    // k hash passes per shingle are the heaviest narrow map in the dedup
+    // family — widen a compact input so they parallelize (no-op on real
+    // multi-split corpora; graft.core.Parallelism)
+    val df = graft.core.Parallelism.widen(
+      df0.select(col(idCol), col(textCol)))
     val spark = df.sparkSession
     val fname = s"graft_minhash64_${k}_$seed"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

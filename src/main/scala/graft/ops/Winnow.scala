@@ -33,9 +33,13 @@ object Winnow {
     * compositional nested-transform form computed identical output
     * interpreted at ~300 µs/gram (measured 14 s at sf0.1; the native
     * pass is the same plan shape minus the HOF tax). */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+  def fingerprints(df0: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    // the O(n·w) per-document expression is pure map work — widen a
+    // compact input so it parallelizes (graft.core.Parallelism)
+    val df = graft.core.Parallelism.widen(
+      df0.select(col(idCol), col(textCol)))
     val spark = df.sparkSession
     val fname = s"graft_winnow_${k}_$w"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
