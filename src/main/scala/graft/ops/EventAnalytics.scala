@@ -262,4 +262,52 @@ object EventAnalytics {
       hSigma: Double = 5.0): DataFrame =
     cusumWithStats(df, keyCols, periodCol, valueCol,
       cusumBaseline(df, keyCols, valueCol, baselineFilter), kSigma, hSigma)
+
+  /** Marketing-style revenue attribution: each `convType` event's value
+    * credits the user's qualifying touch (an event whose type is in
+    * `touchTypes`) inside the trailing `windowSeconds`; conversions with
+    * no in-window touch credit the `"direct"` channel. Two standard
+    * models:
+    *  - `"last"`: the latest touch strictly BEFORE the conversion (rows
+    *    frame up to the previous (ts, ord) row, `last(..., ignoreNulls)`);
+    *  - `"first"`: the earliest in-window touch (RANGE frame over epoch
+    *    seconds; struct-min orders by (ts, ord)).
+    * Both are one per-user ordered window — no conversions×touches
+    * self-join — and values credit in exact integer cents. Ties on ts
+    * break by `ordCol`. Returns (channel, n_conversions, revenue_cents),
+    * one shuffle on the user key + one channel-sized aggregation. */
+  def attributeRevenue(
+      events: DataFrame, touchTypes: Seq[String], convType: String,
+      windowSeconds: Long, model: String = "last",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valCol: String = "value",
+      ordCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(model == "last" || model == "first",
+      s"model must be 'last' or 'first', got $model")
+    require(windowSeconds > 0, s"windowSeconds must be positive")
+    val base = events.select(col(userCol).as("u"),
+      unix_seconds(col(tsCol)).as("__t"), col(ordCol).as("__o"),
+      col(typeCol).as("ty"), round(col(valCol) * 100).cast("long").as("__c"))
+    val isTouch = col("ty").isin(touchTypes: _*)
+    val touchStruct = when(isTouch, struct(col("__t"), col("__o"), col("ty")))
+    val touched = model match {
+      case "last" =>
+        val w = Window.partitionBy(col("u")).orderBy(col("__t"), col("__o"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.withColumn("__touch", last(touchStruct, ignoreNulls = true).over(w))
+      case "first" =>
+        val w = Window.partitionBy(col("u")).orderBy(col("__t"))
+          .rangeBetween(-windowSeconds, Window.currentRow)
+        base.withColumn("__touch", min(touchStruct).over(w))
+    }
+    touched.filter(col("ty") === convType)
+      .withColumn("channel",
+        when(col("__touch").isNotNull &&
+            col("__touch.__t") >= col("__t") - windowSeconds,
+          col("__touch.ty")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        coalesce(sum(col("__c")), lit(0L)).as("revenue_cents"))
+  }
 }

@@ -1031,6 +1031,66 @@ object EventQueries extends QueryModule {
       out.orderBy("event_type", "d")
     })
 
+  /** Last-touch revenue attribution
+    * ([[graft.ops.EventAnalytics.attributeRevenue]], model = "last"):
+    * each purchase credits the user's latest view/click strictly before
+    * it within 48 h, else 'direct'. One per-user ordered window — the
+    * oracle replays it with the same IGNORE NULLS last_value frame. */
+  val evAttributionLast: Q = Q(
+    "ev_attribution_last",
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u, epoch_us(ts) // 1000000 AS t,
+          event_id AS o, event_type AS ty,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      tch AS (
+        SELECT *, last_value(CASE WHEN ty IN ('view', 'click')
+            THEN {'t': t, 'o': o, 'ty': ty} END IGNORE NULLS)
+          OVER (PARTITION BY u ORDER BY t, o
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM b)
+      SELECT CASE WHEN touch IS NOT NULL AND touch.t >= t - 172800
+          THEN touch.ty ELSE 'direct' END AS channel,
+        count(*) AS n_conversions,
+        CAST(COALESCE(sum(c), 0) AS BIGINT) AS revenue_cents
+      FROM tch WHERE ty = 'purchase'
+      GROUP BY 1 ORDER BY channel"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.attributeRevenue(
+          Tables.load(s, dir, "events"), Seq("view", "click"), "purchase",
+          windowSeconds = 172800L, model = "last")
+        .orderBy("channel"))
+
+  /** First-touch attribution (model = "first"): the EARLIEST in-window
+    * touch credits — the struct-min over a trailing RANGE frame; the
+    * oracle mirrors with min() over the same epoch-second range. */
+  val evAttributionFirst: Q = Q(
+    "ev_attribution_first",
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u, epoch_us(ts) // 1000000 AS t,
+          event_id AS o, event_type AS ty,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      tch AS (
+        SELECT *, min(CASE WHEN ty IN ('view', 'click')
+            THEN {'t': t, 'o': o, 'ty': ty} END)
+          OVER (PARTITION BY u ORDER BY t
+                RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS touch
+        FROM b)
+      SELECT CASE WHEN touch IS NOT NULL AND touch.t >= t - 172800
+          THEN touch.ty ELSE 'direct' END AS channel,
+        count(*) AS n_conversions,
+        CAST(COALESCE(sum(c), 0) AS BIGINT) AS revenue_cents
+      FROM tch WHERE ty = 'purchase'
+      GROUP BY 1 ORDER BY channel"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.attributeRevenue(
+          Tables.load(s, dir, "events"), Seq("view", "click"), "purchase",
+          windowSeconds = 172800L, model = "first")
+        .orderBy("channel"))
+
   /** Shared transition-table prelude: per-user event sequences ordered
     * by (ts, event_id), adjacent-pair counts, per-source totals. */
   private val markovPrelude: String = """
@@ -1108,5 +1168,6 @@ object EventQueries extends QueryModule {
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
-      evMarkovTransitions, evMarkovStationary)
+      evMarkovTransitions, evMarkovStationary, evAttributionLast,
+      evAttributionFirst)
 }

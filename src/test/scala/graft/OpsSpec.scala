@@ -2537,4 +2537,38 @@ class OpsSpec extends SparkSpec {
     assert(fl2(2L).getAs[Boolean]("canonical") &&
       !fl2(3L).getAs[Boolean]("canonical"))
   }
+
+  test("revenue attribution: last vs first touch, window expiry, direct") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600 * 1000L)
+    // user 1: view@0, click@1, purchase@2 (10.00)
+    //   last -> click; first (48h window) -> view
+    // user 2: view@0, purchase@60h (5.00): touch outside 48h -> direct
+    //   (both models — the last-touch exists but is stale)
+    // user 3: purchase@1 (2.50) with no touches at all -> direct
+    val events = Seq(
+      (1L, ts(0), 10L, "view", 0.0), (1L, ts(1), 11L, "click", 0.0),
+      (1L, ts(2), 12L, "purchase", 10.0),
+      (2L, ts(0), 20L, "view", 0.0), (2L, ts(60), 21L, "purchase", 5.0),
+      (3L, ts(1), 30L, "purchase", 2.5)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(model: String) = EventAnalytics.attributeRevenue(events,
+        Seq("view", "click"), "purchase", windowSeconds = 48 * 3600L,
+        model = model)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Long]("revenue_cents")))
+      .toMap
+    val lastT = run("last")
+    assert(lastT("click") == ((1L, 1000L)), s"last=$lastT")
+    assert(lastT("direct") == ((2L, 750L)))
+    assert(!lastT.contains("view"))
+    val firstT = run("first")
+    assert(firstT("view") == ((1L, 1000L)), s"first=$firstT")
+    assert(firstT("direct") == ((2L, 750L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.attributeRevenue(events, Seq("view"), "purchase",
+        48 * 3600L, model = "linear")
+    }
+  }
 }
