@@ -263,6 +263,52 @@ object EventAnalytics {
     cusumWithStats(df, keyCols, periodCol, valueCol,
       cusumBaseline(df, keyCols, valueCol, baselineFilter), kSigma, hSigma)
 
+  /** Classical additive seasonal decomposition of hourly event counts
+    * (the moving-average textbook method — Kendall/Stuart; STL's simple
+    * ancestor): per series key, n = trend + seasonal + residual with
+    *  - trend: centered moving average over ±period/2 hours (a RANGE
+    *    frame on epoch hours — gaps simply contribute fewer neighbors);
+    *  - seasonal: the mean detrended value of each hour-of-day slot
+    *    ((epoch/3600) % 24 — integer, timezone-free), folded as
+    *    12-rounded decimals so slot means are summation-order-proof;
+    *  - residual: what's left — the anomaly-feed input.
+    * Everything runs on the BUCKET table (hours × keys — tiny next to
+    * the event log, which is touched exactly once by the bucketing
+    * groupBy); per-key windows partition on the series key. Rounded to
+    * 6 at every emitted stage so both engines and any partitioning
+    * agree. Returns (key, bucket_s, n, trend, seasonal, residual). */
+  def seasonalDecompose(
+      events: DataFrame, keyCol: String, tsCol: String,
+      periodHours: Int = 24): DataFrame = {
+    require(periodHours >= 2 && periodHours % 2 == 0,
+      s"periodHours must be even and >= 2, got $periodHours")
+    val half = periodHours / 2
+    val buckets = events
+      .select(col(keyCol).as("key"),
+        (unix_seconds(col(tsCol)) - pmod(unix_seconds(col(tsCol)),
+          lit(3600L))).as("bucket_s"))
+      .groupBy("key", "bucket_s").agg(count(lit(1)).as("n"))
+    val wTrend = Window.partitionBy(col("key"))
+      .orderBy(col("bucket_s"))
+      .rangeBetween(-half * 3600L, half * 3600L)
+    val trended = buckets
+      .withColumn("trend", round(avg(col("n")).over(wTrend), 6))
+      // slot by integer arithmetic: bucket_s % (period·3600) is an exact
+      // multiple of 3600, so the division is exact in any numeric type
+      .withColumn("slot",
+        (pmod(col("bucket_s"), lit(periodHours * 3600L)) / lit(3600L))
+          .cast("long"))
+      .withColumn("detr", round(col("n") - col("trend"), 6))
+    val wSlot = Window.partitionBy(col("key"), col("slot"))
+    trended
+      .withColumn("seasonal",
+        round(sum(col("detr").cast("decimal(38,12)")).over(wSlot)
+          .cast("double") / count(lit(1)).over(wSlot), 6))
+      .withColumn("residual",
+        round(col("n") - col("trend") - col("seasonal"), 6))
+      .select("key", "bucket_s", "n", "trend", "seasonal", "residual")
+  }
+
   /** Marketing-style revenue attribution: each `convType` event's value
     * credits the user's qualifying touch (an event whose type is in
     * `touchTypes`) inside the trailing `windowSeconds`; conversions with

@@ -1031,6 +1031,42 @@ object EventQueries extends QueryModule {
       out.orderBy("event_type", "d")
     })
 
+  /** Classical additive seasonal decomposition of hourly counts per
+    * event type ([[graft.ops.EventAnalytics.seasonalDecompose]]) — the
+    * oracle replays the centered moving average, the integer hour-slot,
+    * the decimal-folded slot means, and the residual identity. */
+  val evSeasonal: Q = Q(
+    "ev_seasonal_decompose",
+    Some("""
+      WITH b AS (
+        SELECT event_type AS key,
+          (epoch_us(ts) // 1000000)
+            - ((epoch_us(ts) // 1000000) % 3600) AS bucket_s,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      tr AS (
+        SELECT key, bucket_s, n,
+          round(avg(n) OVER (PARTITION BY key ORDER BY bucket_s
+            RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING), 6) AS trend
+        FROM b),
+      dt AS (SELECT *, (bucket_s % 86400) // 3600 AS slot,
+               round(n - trend, 6) AS detr FROM tr),
+      se AS (
+        SELECT *, round(CAST(SUM(CAST(detr AS DECIMAL(38,12)))
+            OVER (PARTITION BY key, slot) AS DOUBLE)
+          / COUNT(*) OVER (PARTITION BY key, slot), 6) AS seasonal
+        FROM dt)
+      SELECT key AS event_type, bucket_s, n, trend, seasonal,
+        round(n - trend - seasonal, 6) AS residual
+      FROM se ORDER BY event_type, bucket_s"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.seasonalDecompose(
+          Tables.load(s, dir, "events"), "event_type", "ts",
+          periodHours = 24)
+        .select(col("key").as("event_type"), col("bucket_s"), col("n"),
+          col("trend"), col("seasonal"), col("residual"))
+        .orderBy("event_type", "bucket_s"))
+
   /** Last-touch revenue attribution
     * ([[graft.ops.EventAnalytics.attributeRevenue]], model = "last"):
     * each purchase credits the user's latest view/click strictly before
@@ -1169,5 +1205,5 @@ object EventQueries extends QueryModule {
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
-      evAttributionFirst)
+      evAttributionFirst, evSeasonal)
 }

@@ -2571,4 +2571,41 @@ class OpsSpec extends SparkSpec {
         48 * 3600L, model = "linear")
     }
   }
+
+  test("seasonal decomposition: identity holds, planted pattern recovered") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    // 14 days of hourly events: hour-of-day h gets (1 + (h % 4)) events
+    // — a pure period-24 pattern with a flat trend
+    val events = (0 until 14 * 24).flatMap { h =>
+      (0 until 1 + (h % 24) % 4).map(i =>
+        (1L, new Timestamp((h * 3600L + i) * 1000L), "e"))
+    }.toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.seasonalDecompose(events, "event_type", "ts")
+      .collect()
+    // additive identity at every bucket (all parts rounded to 6)
+    out.foreach { r =>
+      val lhs = r.getAs[Long]("n").toDouble
+      val rhs = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(lhs - rhs) < 5e-6, s"identity broke: $r")
+    }
+    // away from the edges the trend is near-flat: the ±12h RANGE frame
+    // spans 25 buckets — one full period plus one phase-cycling extra
+    // (the classic reason the textbook refines to a 2×m MA), so the
+    // interior trend wobbles within (max slot − min slot)/25 ≈ 0.12
+    val interior = out.filter { r =>
+      val b = r.getAs[Long]("bucket_s")
+      b >= 86400L && b < 13L * 86400L
+    }
+    val trends = interior.map(_.getAs[Double]("trend"))
+    assert(trends.max - trends.min <= 0.2,
+      s"trend should be ~flat, spread ${trends.max - trends.min}")
+    // seasonal recovers the planted hour-of-day ordering: slot with
+    // 4 events/h beats slot with 1 event/h
+    val bySlot = interior.groupBy(r => (r.getAs[Long]("bucket_s") / 3600) % 24)
+      .map { case (s2, rs) => s2 -> rs.map(_.getAs[Double]("seasonal")).head }
+    assert(bySlot(3L) > bySlot(0L),
+      s"seasonal ordering lost: ${bySlot.toSeq.sortBy(_._1)}")
+  }
 }
