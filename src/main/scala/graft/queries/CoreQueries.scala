@@ -287,6 +287,32 @@ object CoreQueries extends QueryModule {
     * leaf groups, per-flag subtotals, and the grand total from a single
     * Expand+aggregate (no N separate scans union'd). `gid` (the grouping
     * bitmask) disambiguates rollup nulls from data nulls. */
+  /** CUBE twin of [[a14Rollup]]: all four grouping combinations — the
+    * rollup gate's missing (NULL, status) margins — with the same
+    * grouping-id disambiguation of cube nulls vs data nulls. */
+  val a16Cube: Q = Q(
+    "a16_cube_agg",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
+
   val a14Rollup: Q = Q(
     "a14_rollup_agg",
     Some("""
@@ -342,5 +368,5 @@ object CoreQueries extends QueryModule {
     q1PricingAgg, pFilterProject, pTokenMatch, j1StarLeftJoin,
     j1StarLeftJoinBucketed, j1StarLeftJoinMerge,
     a1CountDistinct, a2GroupedBreakdown, a4DistinctSorted, a5UniqueCapped,
-    a6TopK, a14Rollup, a15TopKPerGroup, t14CrossFilter)
+    a6TopK, a14Rollup, a16Cube, a15TopKPerGroup, t14CrossFilter)
 }
