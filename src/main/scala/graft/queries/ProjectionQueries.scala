@@ -43,7 +43,16 @@ object ProjectionQueries extends QueryModule {
         .orderBy("vec_id", "i"))
 
   /** Shared covariance oracle SQL — the direct pass and the merged-shard
-    * pass must both land on exactly this table. */
+    * pass must both land on exactly this table.
+    *
+    * The `+ 0.0` on each rounded double is a NEGATIVE-ZERO normalizer,
+    * not a no-op: DuckDB's round is binary (`nearbyint(x·10⁶)/10⁶`), so a
+    * tiny negative cell rounds to -0.0, while Spark's round goes through
+    * BigDecimal (signless zero) and yields +0.0. The driver's gate hashes
+    * raw value bytes, where -0.0 ≠ 0.0 — this cost r12 its only two red
+    * gates (one near-zero off-diagonal cell out of 2,080). IEEE 754
+    * guarantees (-0.0) + (+0.0) = +0.0 under round-to-nearest, so the
+    * addition canonicalizes the zero and perturbs nothing else. */
   private val covSql = s"""
       WITH v AS (
         SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -57,15 +66,15 @@ object ProjectionQueries extends QueryModule {
         SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
           count(*) AS n,
           round(CAST(SUM(CAST(round(e[p.i + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
-            / count(*), 6) AS mean_i,
+            / count(*), 6) + 0.0 AS mean_i,
           round(CAST(SUM(CAST(round(e[p.j + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
-            / count(*), 6) AS mean_j,
+            / count(*), 6) + 0.0 AS mean_j,
           CAST(SUM(CAST(round(e[p.i + 1] * e[p.j + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
             / count(*) AS m2
         FROM v, p
         GROUP BY 1, 2)
       SELECT i, j, n, mean_i, mean_j,
-        round(m2 - mean_i * mean_j, 6) AS cov
+        round(m2 - mean_i * mean_j, 6) + 0.0 AS cov
       FROM m
       ORDER BY i, j"""
 

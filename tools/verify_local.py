@@ -36,9 +36,16 @@ def cells_equal(a, b) -> bool:
         pass
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return float(a) == float(b)
+            fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False
+        # The driver hashes raw value bytes, where -0.0 != 0.0 — a plain
+        # float== comparison hid exactly that mismatch in round 12
+        # (DuckDB's binary round yields -0.0 where Spark's BigDecimal
+        # round yields +0.0). Be as strict as the driver.
+        if fa == 0.0 and fb == 0.0:
+            return np.signbit(fa) == np.signbit(fb)
+        return fa == fb
     if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
         a, b = np.asarray(a), np.asarray(b)
         return a.shape == b.shape and bool(np.all(a == b))
