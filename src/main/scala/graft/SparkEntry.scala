@@ -31,6 +31,7 @@ object SparkEntry {
     graft.queries.PrivacyQueries,
     graft.queries.SketchQueries,
     graft.queries.ProjectionQueries,
+    graft.queries.QuantizeQueries,
     graft.queries.EvalQueries)
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
