@@ -372,4 +372,140 @@ object Graph {
       .filter(col("rank") <= k)
       .select("dst", "rank", "term", "n")
   }
+
+  /** The undirected simple graph underlying a (possibly directed,
+    * multi-edge, self-looping) edge list: distinct canonical pairs
+    * (u < v), self-loops dropped. One distinct — the shared first step
+    * of [[triangles]] and [[kCore]]. */
+  def undirect(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Exact triangle enumeration over the undirected simple graph —
+    * the compact-forward algorithm (Latapy 2008; Cohen's MapReduce
+    * formulation 2009 — both public): orient every undirected edge from
+    * the smaller to the larger endpoint under the total order
+    * (degree, node), build wedges by joining oriented edges on their
+    * source, and close each wedge with a third oriented-edge join. Each
+    * triangle appears EXACTLY once (its vertices sorted by the order).
+    * Returns (a, b, c) node triples, a/b/c in orientation order.
+    *
+    * Why orientation matters at 100 TB: naive wedge counting does
+    * Σ deg(v)² work, which a single celebrity node turns into a
+    * quadratic hot key. Orienting by degree bounds every out-degree by
+    * O(√m), so wedge volume is O(m^1.5) worst-case and the three joins
+    * shuffle ids only — the textbook mitigation, not a heuristic. */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol)
+    // undirected degree per node, joined to both endpoints to compute the
+    // orientation (deg, id) locally per edge
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("d", "dv"), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      // the wedge join needs (deg, id) of both endpoints again to order
+      // the wedge arms; carry the target's order key on the edge
+      .join(deg.withColumnRenamed("node", "t")
+        .withColumnRenamed("d", "dt"), Seq("t"))
+    val a = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val b2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val wedges = a.join(b2, Seq("s"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    wedges
+      .join(oriented.select(col("s").as("b"), col("t").as("c")),
+        Seq("b", "c"))
+      .select(col("s").as("a"), col("b"), col("c"))
+  }
+
+  /** Per-node triangle count and local clustering coefficient
+    * 2·t / (d·(d−1)) over the undirected simple graph (d ≥ 2, else
+    * null), the page-quality companion to [[pageRank]] — link farms
+    * and spam clusters sit at coefficient extremes. Returns
+    * (node, degree, n_triangles, clustering) for every node with at
+    * least one edge; the coefficient rounds to 9 so both engines emit
+    * identical doubles. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangles(edges, srcCol, dstCol)
+    val perNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 9)).as("clustering"))
+  }
+
+  /** The k-core of the undirected simple graph (Seidman 1983 — public):
+    * the maximal subgraph where every node has degree ≥ k, computed by
+    * the standard peeling fixpoint — drop all nodes with degree < k,
+    * recompute degrees in the induced subgraph, repeat until stable.
+    * The web-quality workhorse: high-core pages sit in densely
+    * interlinked regions, low-core pages hang off the periphery
+    * (crawl-frontier and spam triage both key on it).
+    *
+    * Returns (node, degree) of the surviving subgraph (degree WITHIN
+    * the core). Each round is two id-only shuffles (a semi-join of
+    * edges against surviving nodes + a degree count); rounds needed =
+    * peel depth, which is small for web-like graphs (cores nest). The
+    * loop stops when the node count is stable; `maxIters` bounds a
+    * pathological chain (fails loudly rather than looping forever).
+    * Intermediate edge sets are persisted and released round-to-round
+    * (the [[pageRank]] iteration discipline). */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxIters: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = undirect(edges, srcCol, dstCol).persist()
+    var n = -1L
+    var iters = 0
+    try {
+      while (iters < maxIters) {
+        val deg = cur.select(col("u").as("node"))
+          .unionAll(cur.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val keep = deg.filter(col("degree") >= k).persist()
+        val kn = keep.count()
+        if (kn == n) {
+          cur.unpersist(blocking = false)
+          return keep
+        }
+        n = kn
+        iters += 1
+        if (kn == 0) { cur.unpersist(blocking = false); return keep }
+        val next = cur
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v").persist()
+        next.count() // materialize before releasing the parent
+        cur.unpersist(blocking = false)
+        keep.unpersist(blocking = false)
+        cur = next
+      }
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach a fixpoint in $maxIters peels")
+    } finally cur.unpersist(blocking = false)
+  }
 }

@@ -429,7 +429,141 @@ object GraphQueries extends QueryModule {
         .orderBy("dst", "rank")
     })
 
+  /** Spark side of the "social" edge list used by the triangle/k-core
+    * gates: the hash-derived links ([[linkEdges]]) plus two window edges
+    * per document (doc → doc+1, doc+2 mod n) — the pure hash graph is
+    * locally tree-like (zero triangles), so the window edges plant a
+    * triangle per consecutive triple while the hash edges keep degrees
+    * irregular enough to exercise the degree-ordered orientation. */
+  private[graft] def socialEdges(docs: DataFrame, nDocs: Long): DataFrame =
+    linkEdges(docs, nDocs).unionByName(
+      docs.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") + 1, lit(nDocs)),
+          pmod(col("doc_id") + 2, lit(nDocs)))).as("dst")))
+
+  /** DuckDB side of the same edge list. */
+  private val socialEdgesSql = s"""$edgesSql
+       UNION ALL
+       SELECT doc_id AS src,
+         (doc_id + s) % (SELECT count(*) FROM documents) AS dst
+       FROM documents, (VALUES (1), (2)) AS w(s)"""
+
+  /** Canonical undirected simple graph + exact triangle triples, shared
+    * by the triangle gates: each triangle once, vertices ascending. */
+  private val triSqlPrelude = s"""
+      WITH edges AS ($socialEdgesSql),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)"""
+
+  /** Exact triangle enumeration: Spark's degree-ordered compact-forward
+    * join ([[Graph.triangles]]) against DuckDB's naive canonical triple
+    * join — two INDEPENDENT algorithms that must enumerate the identical
+    * triangle set (here compared vertex-sorted, since orientation order
+    * is an implementation detail). */
+  val grTriangles: Q = Q(
+    "gr_triangles",
+    Some(triSqlPrelude + """
+      SELECT x, y, z FROM tri
+      ORDER BY x, y, z"""),
+    (s, dir) => {
+      val t = Graph.triangles(edgesSocial(s, dir))
+      val sorted = sort_array(array(col("a"), col("b"), col("c")))
+      t.select(sorted.getItem(0).as("x"), sorted.getItem(1).as("y"),
+          sorted.getItem(2).as("z"))
+        .orderBy("x", "y", "z")
+    })
+
+  /** Per-node triangle count + local clustering coefficient — the
+    * page-quality signal (link farms sit at coefficient extremes).
+    * Coefficients round to 9 on both sides; the oracle's `+ 0.0` is the
+    * negative-zero canonicalizer (see ProjectionQueries.covSql). */
+  val grClustering: Q = Q(
+    "gr_clustering",
+    Some(triSqlPrelude + """,
+      tn AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node)
+      SELECT d.node, d.degree,
+        COALESCE(t.n_triangles, 0) AS n_triangles,
+        CASE WHEN d.degree >= 2 THEN
+          round(2.0 * COALESCE(t.n_triangles, 0)
+            / (d.degree * (d.degree - 1)), 9) + 0.0 END AS clustering
+      FROM deg d LEFT JOIN tn t USING (node)
+      ORDER BY node"""),
+    (s, dir) =>
+      Graph.clusteringCoefficients(edgesSocial(s, dir)).orderBy("node"))
+
+  private val CoreK = 7
+  private val CorePeels = 12
+
+  /** DuckDB mirror of the k-core peeling fixpoint: `layers` unrolled
+    * peel rounds (degree filter + induced-subgraph restriction); rounds
+    * past the fixpoint are idempotent, so any unroll ≥ the true peel
+    * depth lands on the core — and an unroll that's too SHALLOW shows
+    * up as a hash mismatch, not a silent pass. */
+  private def kcoreSql(k: Int, layers: Int): String = {
+    // every peel layer references its parent three times — CTEs must be
+    // MATERIALIZED or the engine's inlining expands the chain 3^layers
+    // scans wide (observed as fd exhaustion at 12 layers)
+    val sb = new StringBuilder(
+      s"""WITH edges AS ($socialEdgesSql),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst)""")
+    for (i <- 1 to layers) {
+      sb.append(s""",
+      n$i AS MATERIALIZED (
+        SELECT node FROM (SELECT u AS node FROM e${i - 1}
+                          UNION ALL SELECT v FROM e${i - 1})
+        GROUP BY node HAVING count(*) >= $k),
+      e$i AS MATERIALIZED (
+        SELECT u, v FROM e${i - 1}
+        WHERE u IN (SELECT node FROM n$i)
+          AND v IN (SELECT node FROM n$i))""")
+    }
+    sb.append(s"""
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e$layers UNION ALL SELECT v FROM e$layers)
+      GROUP BY node
+      ORDER BY node""")
+    sb.toString
+  }
+
+  /** k-core membership: Spark's loop-until-stable peel
+    * ([[Graph.kCore]]) vs the unrolled SQL fixpoint — every surviving
+    * node with its within-core degree. The gate also asserts the core
+    * property itself (min internal degree ≥ k) so a convergence bug
+    * can't hide behind a matching-but-wrong oracle. */
+  val grKcore: Q = Q(
+    "gr_kcore",
+    Some(kcoreSql(CoreK, CorePeels)),
+    (s, dir) => {
+      val core = Graph.kCore(edgesSocial(s, dir), CoreK)
+      val bad = core.filter(col("degree") < CoreK).count()
+      require(bad == 0, s"$bad nodes below degree $CoreK inside the core")
+      core.orderBy("node")
+    })
+
+  private def edgesSocial(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    socialEdges(d, d.count())
+  }
+
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
-      grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms)
+      grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms,
+      grTriangles, grClustering, grKcore)
 }

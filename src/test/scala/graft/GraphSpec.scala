@@ -348,4 +348,52 @@ class GraphSpec extends SparkSpec {
     // target 12 had only blank anchors: absent entirely
     assert(!got.exists(_._1 == 12L))
   }
+
+  test("triangles: K4 yields all four triples, each exactly once") {
+    // complete graph on {1,2,3,4}, given as a messy directed multigraph
+    // with duplicates, reversals, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (2L, 2L)).toDF("src", "dst")
+    val tri = Graph.triangles(edges)
+      .select(sort_array(array(col("a"), col("b"), col("c"))).as("t"))
+      .collect().map(r => { val s = r.getSeq[Long](0); (s(0), s(1), s(2)) })
+      .sorted.toSeq
+    assert(tri == Seq((1L, 2L, 3L), (1L, 2L, 4L),
+      (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: a path has none; clustering coefficients check out") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(path).count() == 0)
+    // triangle + pendant: node 3 has degree 3 and one triangle ->
+    // coefficient 2*1/(3*2) = 1/3; pendant node 4 (degree 1) -> null
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val cc = Graph.clusteringCoefficients(g).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          Option(r.getAs[Any]("clustering"))))).toMap
+    assert(cc(1L) == ((2L, 1L, Some(1.0))))
+    assert(cc(3L) == ((3L, 1L, Some(0.333333333))))
+    assert(cc(4L) == ((1L, 0L, None)))
+  }
+
+  test("kCore peels a chain completely and keeps a clique intact") {
+    // 2-core of a pure path is empty (endpoints peel, exposing new
+    // endpoints -- the multi-round fixpoint a single pass would miss)
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kCore(path, 2).count() == 0)
+    // K4 with a pendant chain: 3-core = exactly the K4, degrees all 3
+    val g = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core = Graph.kCore(g, 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore(1) drops only isolated self-loop artifacts") {
+    val g = Seq((1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val core = Graph.kCore(g, 1).collect().map(_.getAs[Long]("node")).sorted
+    assert(core.toSeq == Seq(1L, 2L))
+  }
 }
