@@ -176,4 +176,68 @@ object Decontaminate {
       .select(col("id"))
     corpus.join(flagged, corpus(idCol) === flagged("id"), "left_anti")
   }
+
+  /** SEMANTIC contamination screen — the embedding-space companion to the
+    * n-gram paths above (the SemDeDup/Phi-style decontamination recipe
+    * from the public data-curation literature): a paraphrased eval item
+    * shares no 3-grams with its source but sits at high cosine, so
+    * n-gram decontamination alone leaves paraphrase leakage in the
+    * training set. Per corpus document: the max cosine against ANY
+    * benchmark embedding and the ≥ `threshold` verdict.
+    *
+    * Returns (id, max_cos, contaminated). Null corpus vectors report
+    * (null, null) — "can't judge" is distinct from "clean". An empty
+    * benchmark yields max_cos null / contaminated false for every doc
+    * (nothing to leak).
+    *
+    * Scale shape: eval suites are small by nature, so the benchmark
+    * broadcasts (capped loudly at `maxBenchRows`) and the corpus makes
+    * ONE narrow pass — per-partition max-aggregation means the shuffle
+    * carries corpus-id-sized partials, never the |corpus|×|bench| score
+    * grid. A benchmark too large for the cap belongs in [[Ivf]]: index
+    * the union and compare within probed cells ([[Dedup.semanticDedup]]'s
+    * shape). */
+  def semanticOverlap(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String,
+      threshold: Double, maxBenchRows: Long = 1000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold in (0,1]: $threshold")
+    val bench = benchmark
+      .select(col(benchVecCol).cast("array<double>").as("__bv"))
+      .filter(col("__bv").isNotNull)
+    val nb = bench.count()
+    require(nb <= maxBenchRows,
+      s"benchmark has $nb embeddings > maxBenchRows=$maxBenchRows — " +
+        "use the IVF-bucketed path for giant benchmarks")
+    val v = col(vecCol).cast("array<double>")
+    val scored = corpus
+      .select(col(idCol).as("id"), v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(bench))
+      .groupBy("id")
+      .agg(max(Similarity.cosine(col("__v"), col("__bv"))).as("max_cos"))
+    corpus
+      .select(col(idCol).as("id"), v.isNotNull.as("__has"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), col("max_cos"),
+        when(col("__has"),
+          coalesce(col("max_cos") >= threshold, lit(false)))
+          .as("contaminated"))
+  }
+
+  /** Corpus rows that pass the semantic screen: every doc whose max
+    * benchmark cosine reaches `threshold` is dropped; docs with null
+    * vectors are KEPT (route them through the n-gram paths instead —
+    * silently dropping unjudgeable rows would shrink the corpus). */
+  def semanticClean(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String,
+      threshold: Double, maxBenchRows: Long = 1000000L): DataFrame = {
+    val flagged = semanticOverlap(corpus, idCol, vecCol, benchmark,
+      benchVecCol, threshold, maxBenchRows)
+      .filter(col("contaminated") === true)
+      .select(col("id"))
+    corpus.join(flagged, corpus(idCol) === flagged("id"), "left_anti")
+  }
 }

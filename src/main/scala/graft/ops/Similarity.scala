@@ -93,6 +93,34 @@ object Similarity {
       .select("qid", "rank", "nid", "rrf", "n_lists")
   }
 
+  /** Borda-count fusion (de Borda 1781 — the positional twin of
+    * [[rrfFuse]]'s reciprocal weighting): an item at rank r in a list
+    * truncated at `listK` earns `listK − r + 1` points, absent earns 0;
+    * per-query totals rank the fused list. ALL-INTEGER arithmetic — no
+    * rounding contract to maintain at all, and the fused score is
+    * trivially summation-order-invariant, which makes Borda the
+    * default when the rankers' score scales are garbage but their
+    * ORDER is trusted. Same candidate-list-sized shuffles as RRF.
+    * Returns (qid, rank, nid, borda, n_lists); ties break on id. */
+  def bordaFuse(lists: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, listK: Int, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(listK >= 1 && topK >= 1, s"bad listK=$listK topK=$topK")
+    val tagged = lists.map(_.select(col(queryCol).as("qid"),
+        col(idCol).as("nid"), col(rankCol).cast("int").as("__r")))
+      .reduce(_ unionByName _)
+    val scored = tagged
+      .filter(col("__r") <= listK)
+      .groupBy("qid", "nid")
+      .agg(sum(lit(listK) - col("__r") + 1).cast("long").as("borda"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("borda").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "borda", "n_lists")
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query row, the `k` most-cosine-similar corpus rows with a DIFFERENT
     * label — the highest-loss negatives a triplet/InfoNCE batch builder

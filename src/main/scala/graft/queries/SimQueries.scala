@@ -797,6 +797,106 @@ object SimQueries extends QueryModule {
         .orderBy("qid", "rank")
     })
 
+  /** Borda-count fusion over the SAME two hybrid lists as
+    * `sim_rrf_hybrid` (cosine ⊕ dot top-20): all-integer positional
+    * scores, so the oracle is exact BIGINT arithmetic end to end — the
+    * rank-fusion twin with no rounding contract at all. */
+  val simBordaFusion: Q = Q(
+    "sim_borda_fusion",
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, v.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)),
+            i -> qe[i] * e[i])) AS dot,
+          list_sum(list_transform(generate_series(1, len(qe)),
+            i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      lc AS (SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, nid) AS r FROM scored),
+      ld AS (SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY dot DESC, nid) AS r FROM scored),
+      u AS (SELECT qid, nid, r FROM lc WHERE r <= 20
+            UNION ALL SELECT qid, nid, r FROM ld WHERE r <= 20),
+      fused AS (
+        SELECT qid, nid, CAST(SUM(20 - r + 1) AS BIGINT) AS borda,
+          CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY qid, nid),
+      rk AS (
+        SELECT qid, nid, borda, n_lists, row_number() OVER (
+          PARTITION BY qid ORDER BY borda DESC, nid) AS rank
+        FROM fused)
+      SELECT qid, CAST(rank AS INT) AS rank, nid, borda, n_lists
+      FROM rk WHERE rank <= 10
+      ORDER BY qid, rank"""),
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cosList = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 20)
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nv"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val wDot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+      val dotList = corpus.crossJoin(broadcast(queries))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          Similarity.dot(col("qv"), col("nv")).as("dot"))
+        .withColumn("rank", row_number().over(wDot))
+        .filter(col("rank") <= 20)
+      Similarity.bordaFuse(Seq(cosList, dotList), "qid", "nid", "rank",
+          listK = 20, topK = 10)
+        .orderBy("qid", "rank")
+    })
+
+  /** Semantic decontamination ([[graft.ops.Decontaminate.semanticOverlap]]):
+    * the embedding-space leakage screen n-gram decontamination can't
+    * provide (paraphrased eval items share no shingles but sit at high
+    * cosine). Benchmark = every 25th embedding; per corpus vector the max
+    * benchmark cosine and the ≥ 0.35 verdict — RAW doubles hash-compared
+    * (both engines fold the dot in index order; max of identical doubles
+    * is exact). The gate also cross-checks [[Decontaminate.semanticClean]]
+    * against the flagged count. */
+  val ddSemanticDecontaminate: Q = Q(
+    "dd_semantic_decontaminate",
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      b AS (SELECT e AS be FROM v WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id, e FROM v WHERE vec_id % 25 <> 0),
+      s AS (
+        SELECT c.vec_id,
+          list_sum(list_transform(generate_series(1, len(c.e)),
+            j -> c.e[j] * b.be[j]))
+          / (sqrt(list_sum(list_transform(c.e, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.be, x -> x * x)))) AS cos
+        FROM c, b)
+      SELECT vec_id, max(cos) AS max_cos,
+        max(cos) >= 0.35 AS contaminated
+      FROM s GROUP BY vec_id
+      ORDER BY vec_id"""),
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") % 25 === 0)
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+      val out = graft.ops.Decontaminate.semanticOverlap(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.35)
+      val nFlagged = out.filter(col("contaminated") === true).count()
+      val nClean = graft.ops.Decontaminate.semanticClean(
+        corpus, "vec_id", "embedding", bench, "embedding",
+        threshold = 0.35).count()
+      require(nClean == corpus.count() - nFlagged,
+        s"clean count $nClean inconsistent with $nFlagged flagged")
+      out.select(col("id").as("vec_id"), col("max_cos"), col("contaminated"))
+        .orderBy("vec_id")
+    })
+
   /** Shared margin-scoring SQL body ([[graft.ops.Bitext]]): even vec_ids
     * play corpus X, odd play corpus Y; ratio margins per Artetxe &
     * Schwenk with k=4 neighborhoods — cosines rounded-12 once on the
@@ -1078,7 +1178,8 @@ object SimQueries extends QueryModule {
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
-      simMmrRerank, simMmrDeep, simRrfHybrid, bitextMine, bitextMineIvf,
+      simMmrRerank, simMmrDeep, simRrfHybrid, simBordaFusion,
+      ddSemanticDecontaminate, bitextMine, bitextMineIvf,
       bitextScores, embCentroidDrift, embIdDisplacement,
       kmSilhouette, kmSilhouetteSummary)
 }

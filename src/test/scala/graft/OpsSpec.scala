@@ -2274,6 +2274,56 @@ class OpsSpec extends SparkSpec {
     assert(out(13L)._2 > out(12L)._2)
   }
 
+  test("borda fusion: positional points, truncation, id tie-break") {
+    import graft.ops.Similarity
+    val la = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 14L, 4))
+      .toDF("q", "d", "r")
+    val lb = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3)).toDF("q", "d", "r")
+    // listK = 3 truncates doc 14 (rank 4) out entirely
+    val out = Similarity.bordaFuse(Seq(la, lb), "q", "d", "r",
+      listK = 3, topK = 10).collect()
+      .map(r => r.getAs[Long]("nid") ->
+        ((r.getAs[Int]("rank"), r.getAs[Long]("borda"),
+          r.getAs[Long]("n_lists")))).toMap
+    assert(!out.contains(14L), "rank past listK must score nothing")
+    // doc 10: (3-1+1) + (3-3+1) = 4; doc 11: (3-2+1) + (3-1+1) = 5
+    assert(out(11L) == ((1, 5L, 2L)))
+    assert(out(10L) == ((2, 4L, 2L)))
+    // docs 12 and 13: 1 and 2 points respectively
+    assert(out(13L) == ((3, 2L, 1L)))
+    assert(out(12L) == ((4, 1L, 1L)))
+  }
+
+  test("semantic decontamination: threshold, null vectors, empty benchmark") {
+    import graft.ops.Decontaminate
+    val corpus = Seq(
+      (1L, Some(Seq(1.0, 0.0))),   // cos 1.0 vs bench -> contaminated
+      (2L, Some(Seq(0.0, 1.0))),   // cos 0.0 -> clean
+      (3L, None),                  // unjudgeable -> null verdict, KEPT
+      (4L, Some(Seq(0.9, 0.1)))    // high cos -> contaminated
+    ).toDF("id", "v")
+    val bench = Seq(Tuple1(Some(Seq(1.0, 0.0)))).toDF("bv")
+    val out = Decontaminate.semanticOverlap(corpus, "id", "v", bench, "bv",
+      threshold = 0.7).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("max_cos")),
+          Option(r.getAs[Any]("contaminated"))))).toMap
+    assert(out(1L)._2 == Some(true))
+    assert(out(2L)._2 == Some(false))
+    assert(out(3L) == ((None, None)), "null vector must report null verdict")
+    assert(out(4L)._2 == Some(true))
+    val kept = Decontaminate.semanticClean(corpus, "id", "v", bench, "bv",
+      threshold = 0.7).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(kept == Seq(2L, 3L), "clean set keeps low-cos AND unjudgeable")
+    // empty benchmark: nothing to leak, every judgeable doc is clean
+    val emptyBench = bench.filter(lit(false))
+    val out2 = Decontaminate.semanticOverlap(corpus, "id", "v",
+      emptyBench, "bv", threshold = 0.7).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("contaminated")))
+      .toMap
+    assert(out2(1L) == Some(false) && out2(3L).isEmpty)
+  }
+
   test("corpus divergence: driver reference, identity zero, JS symmetry and bound") {
     import graft.ops.CorpusOverlap
     val a = Seq("aaa bbb", "aaa").toDF("text")
