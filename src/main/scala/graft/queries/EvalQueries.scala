@@ -864,9 +864,71 @@ object EvalQueries extends QueryModule {
       graft.stats.Agreement.kendallW(panel, col("i"), col("r"), col("s"))
     })
 
+  /** Krippendorff's alpha ([[graft.stats.Agreement.krippendorffAlpha]])
+    * over a deliberately RAGGED panel — the shape Cohen/Fleiss reject:
+    * items get 2–4 raters by doc_id%3, every 11th doc is a singleton
+    * (excluded from pairable ratings), rater r deviates from the shared
+    * doc_id%4 label on every (2+r)-th doc. Per-item disagreement
+    * numerators are exact integers; the 1/(m_u−1) fractions are
+    * rounded-12 decimal folds; D_e stays an integer ratio until one
+    * double division. The oracle's `+ 0.0` is the negative-zero
+    * canonicalizer. */
+  val krippendorffGate: Q = Q(
+    "lbl_krippendorff_alpha",
+    Some("""
+      WITH rt AS (SELECT unnest([1, 2, 3, 4]) AS r),
+      b AS (
+        SELECT doc_id AS i,
+          CAST((doc_id % 4 + CASE WHEN doc_id % (2 + rt.r) = 0
+            THEN rt.r ELSE 0 END) % 4 AS VARCHAR) AS l
+        FROM documents, rt
+        WHERE rt.r <= CASE WHEN doc_id % 11 = 0 THEN 1
+                           ELSE 2 + doc_id % 3 END),
+      cells AS (SELECT i, l, count(*) AS c FROM b GROUP BY i, l),
+      items AS (
+        SELECT i, SUM(c) AS mu,
+          CAST(SUM(c) AS DECIMAL(38,0)) * CAST(SUM(c) AS DECIMAL(38,0))
+            - SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS au
+        FROM cells GROUP BY i HAVING SUM(c) >= 2),
+      dof AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(SUM(mu) AS BIGINT) AS n,
+          SUM(CAST(round(CAST(au AS DOUBLE) / (mu - 1), 12)
+            AS DECIMAL(38,14))) AS do_sum
+        FROM items),
+      nc AS (SELECT l, SUM(c) AS nc
+             FROM cells JOIN items USING (i) GROUP BY l),
+      def AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          SUM(CAST(nc AS DECIMAL(38,0)) *
+            (CAST((SELECT n FROM dof) AS DECIMAL(38,0))
+             - CAST(nc AS DECIMAL(38,0)))) AS de_num
+        FROM nc)
+      SELECT n_items, n AS n_ratings, n_categories,
+        round(CAST(do_sum AS DOUBLE) / n, 9) + 0.0 AS do_rate,
+        round(CAST(de_num AS DOUBLE)
+          / CAST(CAST(n AS DECIMAL(38,0))
+                 * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE), 9)
+          + 0.0 AS de_rate,
+        CASE WHEN de_num <> 0 THEN
+          round(1.0 - CAST(n - 1 AS DOUBLE) * CAST(do_sum AS DOUBLE)
+            / CAST(de_num AS DOUBLE), 9) + 0.0 END AS alpha
+      FROM dof, def"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ratings = docs.select(col("doc_id"),
+          explode(sequence(lit(1), when(col("doc_id") % 11 === 0, 1)
+            .otherwise((lit(2) + col("doc_id") % 3).cast("int")))).as("r"))
+        .select(col("doc_id").as("i"),
+          ((col("doc_id") % 4 + when(col("doc_id") % (lit(2) + col("r")) === 0,
+            col("r")).otherwise(lit(0))) % 4).cast("string").as("l"))
+      graft.stats.Agreement.krippendorffAlpha(ratings, col("i"), col("l"))
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
-      kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate)
+      kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
+      krippendorffGate)
 }

@@ -177,4 +177,64 @@ object Agreement {
         when(den =!= 0,
           round(lit(m * (n - 1)).cast("double") * w, 6)).as("chi2"))
   }
+
+  /** Krippendorff's alpha, nominal scale (Krippendorff 2004 — public):
+    * the agreement coefficient for RAGGED panels — any number of raters,
+    * items rated by different subsets, missing labels simply absent —
+    * which is the real shape of a labeling queue ([[cohenKappa]] needs
+    * exactly two raters, [[fleissKappa]] a complete panel).
+    *
+    * α = 1 − D_o/D_e over pairable ratings (items with m_u ≥ 2 labels;
+    * singleton items contribute nothing):
+    *   D_o = (1/n) Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1),
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n−1)),  n = Σ_{m_u ≥ 2} m_u.
+    * Per-item disagreement numerators A_u = Σ_c n_uc(m_u − n_uc) are
+    * exact integers; the only fractions are A_u/(m_u−1), rounded to 12
+    * and decimal-folded (summation-order-invariant, the established
+    * recipe), D_e stays an integer ratio in decimal(38,0) until ONE
+    * double division. A degenerate panel (every pairable rating the
+    * same category → D_e = 0) yields null alpha.
+    *
+    * Scale shape: one (item,label) count, one item-sized aggregation,
+    * one label-sized aggregation — shuffles bounded by items×labels,
+    * never ratings². Returns one row
+    * (n_items, n_ratings, n_categories, do_rate, de_rate, alpha). */
+  def krippendorffAlpha(
+      df: DataFrame, itemCol: Column, labelCol: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(itemCol.isNotNull && labelCol.isNotNull)
+      .select(itemCol.as("i"), labelCol.cast("string").as("l"))
+    val cells = base.groupBy("i", "l").agg(count(lit(1)).as("c"))
+    val items = cells.groupBy("i").agg(
+        sum(col("c")).as("mu"),
+        // A_u = Σ_c n_uc·(m_u − n_uc) = m_u² − Σ_c n_uc²
+        sum(d(col("c")) * d(col("c"))).as("sq"))
+      .filter(col("mu") >= 2)
+      .select(col("i"), col("mu"),
+        (d(col("mu")) * d(col("mu")) - col("sq")).as("au"))
+    val doFold = items.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("mu")), lit(0L)).as("n"),
+      coalesce(sum(round(col("au").cast("double") / (col("mu") - 1), 12)
+        .cast("decimal(38,14)")), lit(0).cast("decimal(38,14)")).as("do_sum"))
+    // category totals over the SAME pairable items only
+    val nc = cells.join(items.select("i"), Seq("i"))
+      .groupBy("l").agg(sum(col("c")).as("nc"))
+    val deFold = nc.crossJoin(broadcast(doFold.select(col("n").as("__n"))))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(d(col("nc")) * (d(col("__n")) - d(col("nc")))),
+          lit(0).cast("decimal(38,0)")).as("de_num"))
+    doFold.crossJoin(deFold)
+      .select(col("n_items"), col("n").as("n_ratings"), col("n_categories"),
+        when(col("n") >= 2,
+          round(col("do_sum").cast("double") / col("n"), 9)).as("do_rate"),
+        when(col("n") >= 2,
+          round(col("de_num").cast("double")
+            / (d(col("n")) * (d(col("n")) - 1)).cast("double"), 9))
+          .as("de_rate"),
+        when(col("de_num") =!= 0,
+          round(lit(1.0) - (col("n") - 1).cast("double")
+            * col("do_sum").cast("double") / col("de_num").cast("double"),
+            9)).as("alpha"))
+  }
 }

@@ -107,4 +107,58 @@ class AgreementSpec extends SparkSpec {
       Agreement.kendallW(solo, $"i", $"r", $"s").head()
     }
   }
+
+  test("krippendorff's alpha matches an independent driver reference") {
+    // deterministic ragged panel: item u gets 2 + u%3 ratings (every
+    // 7th item a singleton), rater r disagrees on every (2+r)-th item
+    val rows = for {
+      u <- 1L to 60L
+      m = if (u % 7 == 0) 1 else 2 + (u % 3).toInt
+      r <- 1 to m
+    } yield (u, ((u % 4 + (if (u % (2 + r) == 0) r else 0)) % 4).toString)
+    val out = Agreement.krippendorffAlpha(rows.toDF("i", "l"), $"i", $"l")
+      .head()
+    // independent reference: the coincidence-matrix formulation (pairs
+    // within items weighted 1/(m_u - 1)) — a different derivation than
+    // the operator's per-item disagreement numerators
+    val byItem = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size >= 2)
+    var coincDiag = 0.0; var n = 0.0
+    val catTotals = scala.collection.mutable.Map.empty[String, Double]
+    for ((_, ls) <- byItem) {
+      val m = ls.size
+      for (a <- ls.indices; b <- ls.indices if a != b) {
+        val w = 1.0 / (m - 1)
+        if (ls(a) == ls(b)) coincDiag += w
+        catTotals(ls(a)) = catTotals.getOrElse(ls(a), 0.0) + w
+        n += w
+      }
+    }
+    val doRef = (n - coincDiag) / n
+    val deRef = catTotals.values.map(nc => nc * (n - nc)).sum / (n * (n - 1))
+    val alphaRef = 1.0 - doRef / deRef
+    assert(out.getAs[Long]("n_ratings") == n.round)
+    assert(math.abs(out.getAs[Double]("alpha") - alphaRef) < 1e-6,
+      s"alpha ${out.getAs[Double]("alpha")} != reference $alphaRef")
+    assert(math.abs(out.getAs[Double]("do_rate") - doRef) < 1e-6)
+    assert(math.abs(out.getAs[Double]("de_rate") - deRef) < 1e-6)
+  }
+
+  test("krippendorff's alpha: perfect, degenerate, and singleton panels") {
+    // perfect agreement -> alpha 1
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("i", "l")
+    assert(Agreement.krippendorffAlpha(perfect, $"i", $"l")
+      .head().getAs[Double]("alpha") == 1.0)
+    // one category everywhere -> D_e = 0 -> null alpha
+    val flat = Seq((1L, "x"), (1L, "x"), (2L, "x")).toDF("i", "l")
+    val fr = Agreement.krippendorffAlpha(flat, $"i", $"l").head()
+    assert(fr.isNullAt(fr.fieldIndex("alpha")))
+    // singleton items contribute nothing: adding one changes no number
+    val withSolo = perfect.unionByName(Seq((3L, "z")).toDF("i", "l"))
+    val a = Agreement.krippendorffAlpha(perfect, $"i", $"l").head()
+    val b = Agreement.krippendorffAlpha(withSolo, $"i", $"l").head()
+    assert(a.getAs[Long]("n_ratings") == b.getAs[Long]("n_ratings"))
+    assert(a.getAs[Double]("alpha") == b.getAs[Double]("alpha"))
+  }
 }
