@@ -565,9 +565,81 @@ object SamplingQueries extends QueryModule {
       out.orderBy("source")
     })
 
+  private val CoverK = 5
+
+  /** DuckDB mirror of the greedy max-cover recurrence: `rounds` unrolled
+    * pick/cover layers (MATERIALIZED — each layer references its parent
+    * more than once). A selected doc's tokens are all covered, so it
+    * self-excludes from later gains; no explicit id blacklist needed. */
+  private def maxCoverSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      toks AS MATERIALIZED (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+            ELSE list_transform(generate_series(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1]) END) AS t
+          FROM w)
+        WHERE t <> ''),
+      p1 AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        FROM toks GROUP BY doc_id
+        ORDER BY gain DESC, doc_id LIMIT 1),
+      c1 AS MATERIALIZED (
+        SELECT DISTINCT t FROM toks JOIN p1 USING (doc_id))""")
+    for (i <- 2 to rounds) {
+      sb.append(s""",
+      p$i AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        FROM toks WHERE t NOT IN (SELECT t FROM c${i - 1})
+        GROUP BY doc_id
+        ORDER BY gain DESC, doc_id LIMIT 1),
+      c$i AS MATERIALIZED (
+        SELECT t FROM c${i - 1}
+        UNION
+        SELECT t FROM toks JOIN p$i USING (doc_id))""")
+    }
+    sb.append(s""",
+      sel AS (${(1 to rounds).map(i =>
+        s"SELECT ${i - 1} AS sel_rank, doc_id, gain FROM p$i")
+        .mkString("\n        UNION ALL ")})
+      SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id, gain,
+        CAST(SUM(gain) OVER (ORDER BY sel_rank) AS BIGINT) AS covered_total
+      FROM sel ORDER BY sel_rank""")
+    sb.toString
+  }
+
+  /** Greedy max-coverage selection ([[graft.ops.Coverage.greedyMaxCover]])
+    * over word-BIGRAM features (the 31-word synthetic vocabulary
+    * saturates in one pick on unigrams; bigrams give a real greedy
+    * trajectory): the k docs that jointly cover the most distinct
+    * shingles, with per-round gains and the cumulative covered count —
+    * all integers, so the unrolled oracle is exact end to end. */
+  val smpMaxCover: Q = Q(
+    "smp_max_cover",
+    Some(maxCoverSql(CoverK)),
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__sh", graft.ops.TextOps.shingles(col("text"), 2))
+      val picks = graft.ops.Coverage.greedyMaxCover(
+        docs, "doc_id", "__sh", CoverK)
+      require(picks.size == CoverK,
+        s"coverage exhausted after ${picks.size} picks at this corpus size")
+      require(picks.map(_.gain).sliding(2).forall(p =>
+        p.length < 2 || p.head >= p.last),
+        "greedy gains must be non-increasing (submodularity)")
+      picks.map(p => (p.rank, p.id, p.gain, p.coveredTotal))
+        .toDF("sel_rank", "doc_id", "gain", "covered_total")
+        .orderBy("sel_rank")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
-      smpNormalizedTopFrac, smpNeyman)
+      smpNormalizedTopFrac, smpNeyman, smpMaxCover)
 }

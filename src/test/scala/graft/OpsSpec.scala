@@ -2294,6 +2294,26 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("greedy max-cover: hand-computed picks, ties, early exhaustion") {
+    import graft.ops.Coverage
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")), // 4 distinct -> first pick
+      (2L, Seq("a", "b", "c")),      // subset of 1 -> gain 0 after pick 1
+      (3L, Seq("e", "f")),           // 2 new -> second pick
+      (4L, Seq("d", "e")),           // fully covered after picks 1+3
+      (5L, Seq("g")),                // 1 new -> third pick
+      (6L, Seq.empty[String])        // no features at all
+    ).toDF("doc_id", "f")
+    val picks = Coverage.greedyMaxCover(docs, "doc_id", "f", k = 10)
+    // greedy: doc1 (4), doc3 (2), doc5 (1), then EVERYTHING is covered ->
+    // early stop at 3 picks even though k=10
+    assert(picks.map(p => (p.rank, p.id, p.gain, p.coveredTotal)) == Seq(
+      (0, 1L, 4L, 4L), (1, 3L, 2L, 6L), (2, 5L, 1L, 7L)))
+    // tie on gain breaks to the smaller id
+    val tied = Seq((7L, Seq("x", "y")), (3L, Seq("p", "q"))).toDF("doc_id", "f")
+    assert(Coverage.greedyMaxCover(tied, "doc_id", "f", 1).head.id == 3L)
+  }
+
   test("semantic decontamination: threshold, null vectors, empty benchmark") {
     import graft.ops.Decontaminate
     val corpus = Seq(
