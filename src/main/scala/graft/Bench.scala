@@ -71,7 +71,11 @@ object Bench {
     // dup-ngram fraction (shingle explode → df groupBy → join-back —
     // the corpus-linear pairwise-avoidance shape)
     "txt_kneser_ney",
-    "txt_dup_ngram_fraction")
+    "txt_dup_ngram_fraction",
+    // round-13 session 3: exact triangle enumeration — the three-way
+    // self-join (degree-ordered wedge close) is a new plan shape with
+    // no prior regression line
+    "gr_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -476,36 +476,44 @@ object Graph {
     * Intermediate edge sets are persisted and released round-to-round
     * (the [[pageRank]] iteration discipline). */
   def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
-      dstCol: String = "dst", maxIters: Int = 64): DataFrame = {
+      dstCol: String = "dst", maxIters: Int = 256): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var cur = undirect(edges, srcCol, dstCol).persist()
+    // Each round's edge set is rebuilt FROM the previous round's five
+    // times over (the main input plus two semi-joins whose keep side
+    // unions the same edges twice), so carrying plain lineage grows the
+    // logical plan 5^rounds wide — the driver dies rendering the plan
+    // string long before any data moves (observed at 7 peels). Peel
+    // state is therefore LOCALLY CHECKPOINTED every round: lineage
+    // truncates to the materialized blocks, keeping every round's plan
+    // constant-size. (Local — not reliable — checkpointing trades
+    // executor-loss recovery for zero disk round-trips; peels are cheap
+    // to restart from scratch, which is the right trade for a
+    // maintenance-pass operator. The returned core holds the final
+    // round's blocks.)
+    var cur = undirect(edges, srcCol, dstCol).localCheckpoint()
     var n = -1L
     var iters = 0
-    try {
-      while (iters < maxIters) {
-        val deg = cur.select(col("u").as("node"))
-          .unionAll(cur.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("degree"))
-        val keep = deg.filter(col("degree") >= k).persist()
-        val kn = keep.count()
-        if (kn == n) {
-          cur.unpersist(blocking = false)
-          return keep
-        }
-        n = kn
-        iters += 1
-        if (kn == 0) { cur.unpersist(blocking = false); return keep }
-        val next = cur
-          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-          .select("u", "v").persist()
-        next.count() // materialize before releasing the parent
+    while (iters < maxIters) {
+      val deg = cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).localCheckpoint()
+      val kn = keep.count()
+      if (kn == n || kn == 0) {
         cur.unpersist(blocking = false)
-        keep.unpersist(blocking = false)
-        cur = next
+        return keep
       }
-      throw new IllegalStateException(
-        s"kCore(k=$k) did not reach a fixpoint in $maxIters peels")
-    } finally cur.unpersist(blocking = false)
+      n = kn
+      iters += 1
+      val next = cur
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+      cur.unpersist(blocking = false)
+      keep.unpersist(blocking = false)
+      cur = next
+    }
+    throw new IllegalStateException(
+      s"kCore(k=$k) did not reach a fixpoint in $maxIters peels")
   }
 }

@@ -525,6 +525,38 @@ object ScaleBench {
         emit("gr_label_propagation", k, nodeCount, lpMed, lpS)
       }
 
+      if (wanted("gr_triangles")) {
+        // social graph (hash + window edges) over the scaled corpus: K×
+        // nodes with identical local structure, so edges AND triangles
+        // scale ~K× — degree-ordered orientation must keep the wedge
+        // join linear in edges here (bounded degrees), not Σdeg².
+        // Witness: the triangle count itself.
+        var tri = 0L
+        val (tMed, tS) = timeMedian {
+          val edges =
+            graft.queries.GraphQueries.socialEdges(docs, docs.count())
+          tri = graft.ops.Graph.triangles(edges).count()
+        }
+        emit("gr_triangles", k, docs.count(), tMed, tS,
+          s""","triangles":$tri""")
+      }
+
+      if (wanted("gr_kcore")) {
+        // k-core peel on the same social graph: per round two id-only
+        // shuffles over the surviving edges, peel depth structure-
+        // (not size-)dependent — time must scale ~linearly in edges.
+        // Witness: surviving core size (~K× the 1× core).
+        var core = 0L
+        val (cMed, cS) = timeMedian {
+          val c = graft.ops.Graph.kCore(
+            graft.queries.GraphQueries.socialEdges(docs, docs.count()), 7)
+          core = c.count()
+          c.unpersist(blocking = false)
+        }
+        emit("gr_kcore", k, docs.count(), cMed, cS,
+          s""","core_nodes":$core""")
+      }
+
       if (wanted("a7_enwiden_pivot")) {
         // long→wide pivot (one classify + one pivot shuffle): K× groups,
         // fixed width. The measurement hashes EVERY output column into the
