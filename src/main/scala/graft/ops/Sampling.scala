@@ -253,6 +253,52 @@ object Sampling {
     df.withColumn("shuffle_key", hashHex(seed, keys.map(col)))
       .orderBy(col("shuffle_key") +: keys.map(col): _*)
 
+  /** Stride-scheduled domain interleaving (stride scheduling —
+    * Waldspurger & Weihl 1995, public; the weighted-fair-queueing
+    * virtual-time rule): a deterministic TRAINING ORDER in which domain
+    * d's documents appear at cadence ∝ weights(d), instead of the domain
+    * runs a plain hash [[shuffle]] leaves in the stream (run-length
+    * clumping measurably hurts early training on mixture corpora — the
+    * motivation for every data-order "mixing" knob in public recipes).
+    *
+    * Each domain's rows get a hash-ordered per-domain rank r and a
+    * virtual time vt = (r − 0.5)/w_d; ascending vt is the interleaved
+    * stream (ties break on domain then keys). Any prefix of the stream
+    * then holds ≈ proportional-to-weight counts per domain — the stride
+    * invariant. Rows whose domain is missing from `weights` FAIL LOUDLY
+    * (a silent default weight would quietly starve or flood a domain).
+    *
+    * Exactness: with dyadic weights (0.5, 0.25, ...) vt is an exact
+    * binary double; any positive weight still orders identically across
+    * engines (one IEEE division per row). Scale shape: one per-domain
+    * rank window (partitioned) + ONE range-partitioned global sort — no
+    * unpartitioned window, no driver state; the emitted vt column lets
+    * downstream stages (or the oracle) verify the order without
+    * recomputing it. */
+  def interleaveByWeight(df: DataFrame, keys: Seq[String],
+      domainCol: String, weights: Map[String, Double],
+      seed: String = "graft-interleave"): DataFrame = {
+    require(weights.nonEmpty, "no domain weights")
+    weights.foreach { case (d, w) =>
+      require(w > 0.0 && w <= 1.0, s"domain '$d': weight must be in (0,1]: $w")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val d = col(domainCol).cast("string")
+    val wKnown = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (dom, w)) =>
+        when(d === dom, lit(w)).otherwise(acc)
+      }
+    val wChecked = when(d.isNull || wKnown.isNull,
+        raise_error(concat(lit("interleaveByWeight: no weight for domain "),
+          coalesce(d, lit("<null>")))).cast("double"))
+      .otherwise(wKnown)
+    val wRank = Window.partitionBy(d)
+      .orderBy(hashHex(seed, keys.map(col)) +: keys.map(col): _*)
+    df.withColumn("domain_rank", row_number().over(wRank))
+      .withColumn("vt", (col("domain_rank") - lit(0.5)) / wChecked)
+      .orderBy(col("vt") +: d +: keys.map(col): _*)
+  }
+
   /** Temperature-based domain rebalancing (the multinomial mixture rule
     * of GPT-3 / XLM-R / LLaMA data recipes): target proportions
     * q_i ∝ n_i^alpha flatten the domain distribution as alpha → 0, and

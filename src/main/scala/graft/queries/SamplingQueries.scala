@@ -637,9 +637,57 @@ object SamplingQueries extends QueryModule {
         .orderBy("sel_rank")
     })
 
+  /** Stride-scheduled domain interleaving
+    * ([[graft.ops.Sampling.interleaveByWeight]]): sources get DYADIC
+    * weights (0.5/0.25/0.125 by source index mod 3), so every virtual
+    * time (r − 0.5)/w is an exact binary double — the full interleaved
+    * stream hash-compares raw. The gate also asserts the stride
+    * invariant the operator exists to provide: in the first 200
+    * positions, each weight class's share tracks its weight share. */
+  val smpInterleave: Q = Q(
+    "smp_interleave_stride",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+          CASE CAST(substr(source, 4) AS INT) % 3
+            WHEN 0 THEN 0.5 WHEN 1 THEN 0.25 ELSE 0.125 END AS w,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(concat_ws('|', 'graft-interleave',
+              CAST(doc_id AS VARCHAR))), doc_id) AS domain_rank
+        FROM documents)
+      SELECT doc_id, source, domain_rank,
+        (domain_rank - 0.5) / w AS vt
+      FROM b
+      ORDER BY vt, source, doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sources = docs.select("source").distinct()
+        .collect().map(_.getString(0))
+      val weights = sources.map(src =>
+        src -> (src.drop(3).toInt % 3 match {
+          case 0 => 0.5
+          case 1 => 0.25
+          case _ => 0.125
+        })).toMap
+      val out = Sampling.interleaveByWeight(docs.select("doc_id", "source"),
+        Seq("doc_id"), "source", weights)
+      // stride invariant: prefix shares track weight shares (loose band —
+      // integer rounding and per-domain exhaustion blur the exact ratio)
+      val wTotal = sources.map(weights).sum
+      val prefix = out.limit(200).collect()
+      val byClass = prefix.groupBy(r => weights(r.getAs[String]("source")))
+        .view.mapValues(_.length.toDouble / 200).toMap
+      for ((w, share) <- byClass) {
+        val expected = sources.count(weights(_) == w) * w / wTotal
+        require(math.abs(share - expected) < 0.08,
+          s"weight-$w class holds $share of the prefix, expected ~$expected")
+      }
+      out.select("doc_id", "source", "domain_rank", "vt")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
-      smpNormalizedTopFrac, smpNeyman, smpMaxCover)
+      smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave)
 }

@@ -2294,6 +2294,28 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("stride interleaving: exact virtual times, cadence, loud unknowns") {
+    import graft.ops.Sampling
+    val rows = (1L to 8L).map(i => (i, if (i <= 6) "a" else "b"))
+    val df = rows.toDF("id", "d")
+    val out = Sampling.interleaveByWeight(df, Seq("id"), "d",
+      Map("a" -> 0.5, "b" -> 0.25)).collect()
+    // vt for domain a: (r-0.5)/0.5 = 2r-1 = 1,3,5,7,9,11
+    // vt for domain b: (r-0.5)/0.25 = 4r-2 = 2,6
+    val vts = out.map(r => (r.getAs[String]("d"), r.getAs[Double]("vt")))
+    assert(vts.take(4).toSeq ==
+      Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("a", 5.0)))
+    // cadence: domain a appears twice per b in the steady stream
+    assert(vts.map(_._1).take(6).count(_ == "a") == 4)
+    // a domain with no weight fails loudly, never defaults
+    val bad = Seq((1L, "a"), (2L, "zzz")).toDF("id", "d")
+    val e = intercept[Exception] {
+      Sampling.interleaveByWeight(bad, Seq("id"), "d", Map("a" -> 0.5))
+        .collect()
+    }
+    assert(e.getMessage.contains("no weight for domain"))
+  }
+
   test("greedy max-cover: hand-computed picks, ties, early exhaustion") {
     import graft.ops.Coverage
     val docs = Seq(
