@@ -1024,6 +1024,45 @@ object TextQueries extends QueryModule {
     * smoothing) — the perplexity-style quality signal. The oracle retrains
     * the same model in SQL; ROUND(…,6) absorbs the cross-row double
     * aggregation's order noise (same-sign terms, machine-epsilon scale). */
+  /** Golden-record survivorship ([[graft.ops.Survivorship]]): customers
+    * clustered by custkey % 97 play matched entities; per-attribute
+    * rules merge each cluster to one record — longest name, max balance,
+    * majority segment, nation of the latest (max-custkey) record. Every
+    * rule is a struct-max total order, so ties resolve identically in
+    * both engines and the merge hash-matches exactly. */
+  val mntGoldenRecords: Q = Q(
+    "mnt_golden_records",
+    Some("""
+      WITH g AS (SELECT c_custkey % 97 AS cluster, * FROM customer),
+      base AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_records,
+          max(c_acctbal) AS c_acctbal,
+          max(CASE WHEN c_name IS NOT NULL THEN
+            {'k': length(c_name), 'v': c_name} END).v AS c_name,
+          max(CASE WHEN c_nationkey IS NOT NULL THEN
+            {'k': c_custkey, 'v': c_nationkey} END).v AS c_nationkey
+        FROM g GROUP BY cluster),
+      mj AS (
+        SELECT cluster, max({'k': n, 'v': v}).v AS c_mktsegment FROM (
+          SELECT cluster, c_mktsegment AS v, count(*) AS n
+          FROM g WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2)
+        GROUP BY cluster)
+      SELECT b.cluster, b.n_records, b.c_acctbal, b.c_name,
+        b.c_nationkey, m.c_mktsegment
+      FROM base b LEFT JOIN mj m USING (cluster)
+      ORDER BY cluster"""),
+    (s, dir) => {
+      import graft.ops.Survivorship._
+      goldenRecords(
+        Tables.load(s, dir, "customer")
+          .withColumn("cluster", col("c_custkey") % 97),
+        "cluster",
+        Map("c_name" -> LongestString, "c_acctbal" -> MaxValue,
+          "c_mktsegment" -> Majority,
+          "c_nationkey" -> Latest("c_custkey")))
+        .orderBy("cluster")
+    })
+
   val txtUnigramLogprob: Q = Q(
     "txt_unigram_logprob",
     Some("""
@@ -2213,7 +2252,8 @@ object TextQueries extends QueryModule {
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
-    txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, txtUnigramLogprob,
+    txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, mntGoldenRecords,
+    txtUnigramLogprob,
     txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
     txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtMgSummary, txtQualityClassifier,

@@ -2294,6 +2294,33 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("survivorship: rule semantics, ties, all-null attributes") {
+    import graft.ops.Survivorship._
+    val df = Seq(
+      // cluster 1: names tie on length -> lexicographically larger wins;
+      // majority ties 2-2 -> larger value; latest ts wins nation
+      (1L, "anna", 10.0, "A", 3L, Some(7)),
+      (1L, "annz", -5.0, "B", 1L, Some(9)),
+      (1L, "al", 2.0, "A", 2L, Some(8)),
+      (1L, "be", 99.0, "B", 4L, None), // null nation at the LATEST ts: skipped
+      // cluster 2: all-null majority column
+      (2L, "x", 1.0, null, 1L, Some(5))
+    ).toDF("cl", "name", "bal", "seg", "ts", "nat")
+    val out = goldenRecords(df, "cl", Map(
+      "name" -> LongestString, "bal" -> MaxValue, "seg" -> Majority,
+      "nat" -> Latest("ts"))).collect()
+      .map(r => r.getAs[Long]("cluster") -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_records") == 4)
+    assert(c1.getAs[String]("name") == "annz", "length tie -> larger value")
+    assert(c1.getAs[Double]("bal") == 99.0)
+    assert(c1.getAs[String]("seg") == "B", "majority tie -> larger value")
+    assert(c1.getAs[Int]("nat") == 7,
+      "latest NON-NULL value wins (ts=3); the null-at-ts-4 row never does")
+    val c2 = out(2L)
+    assert(c2.getAs[String]("seg") == null, "all-null majority stays null")
+  }
+
   test("stride interleaving: exact virtual times, cadence, loud unknowns") {
     import graft.ops.Sampling
     val rows = (1L to 8L).map(i => (i, if (i <= 6) "a" else "b"))
