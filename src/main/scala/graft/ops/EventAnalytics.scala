@@ -356,4 +356,58 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_conversions"),
         coalesce(sum(col("__c")), lit(0L)).as("revenue_cents"))
   }
+
+  /** Truncated ADJUSTED exponentially-weighted moving average of the
+    * daily event-count series (pandas `ewm(adjust=True)` semantics,
+    * horizon-truncated): per day t,
+    * ewma_t = Σ_{j<H, t−j present} w_j·x_{t−j} / Σ w_j, w_j = (1−α)^j —
+    * renormalizing over PRESENT lags handles both the series head and
+    * gap days exactly instead of smearing an arbitrary s₀ through them.
+    * The classic trend smoother / EWMA control-chart statistic next to
+    * the z-score and CUSUM monitors.
+    *
+    * Engine parity: the weights are computed ONCE here by repeated
+    * multiplication and inlined as literals into BOTH plans (IEEE pow
+    * is not correctly rounded and may differ between runtimes — literal
+    * weights sidestep it); weighted terms round to 12 and decimal-fold,
+    * the quotient rounds to 9. Returns (day, n_events, ewma).
+    *
+    * Scale shape: one day-count aggregation, one H-fold lag explode +
+    * hash join on the day key, one map-side-combined fold — shuffles
+    * bounded by days × H, independent of event volume. */
+  def ewmaDailyCounts(
+      events: DataFrame, tsCol: String = "ts", alpha: Double = 0.3,
+      horizon: Int = 16): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    require(horizon >= 1 && horizon <= 64, s"horizon in [1,64]: $horizon")
+    val w = ewmaWeights(alpha, horizon)
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+    val daily = events.groupBy(day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // (target day, weight) fan-out of each source day: day d contributes
+    // to targets d..d+H-1 with weight w_j — the join stays on day keys
+    val contrib = daily.select(
+        posexplode(array(w.map(lit).toIndexedSeq: _*)).as(Seq("__j", "__w")),
+        col("day"), col("n_events"))
+      .select((col("day") + col("__j")).as("day"), col("__w"),
+        col("n_events"))
+    daily.join(
+        contrib.groupBy("day").agg(
+          sum(round(col("__w") * col("n_events"), 12)
+            .cast("decimal(38,14)")).as("__num"),
+          sum(round(col("__w"), 12).cast("decimal(38,14)")).as("__den")),
+        Seq("day"))
+      .select(col("day"), col("n_events"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 9)
+          .as("ewma"))
+  }
+
+  /** w_j = (1−α)^j by repeated multiplication — deterministic doubles
+    * shared verbatim by the Spark plan and the SQL oracle. */
+  private[graft] def ewmaWeights(alpha: Double, horizon: Int): Array[Double] = {
+    val w = Array.ofDim[Double](horizon)
+    w(0) = 1.0
+    for (j <- 1 until horizon) w(j) = w(j - 1) * (1.0 - alpha)
+    w
+  }
 }

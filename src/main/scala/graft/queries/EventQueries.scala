@@ -1198,6 +1198,43 @@ object EventQueries extends QueryModule {
       pi.orderBy("state")
     })
 
+  /** Truncated adjusted EWMA of the daily event-count series
+    * ([[graft.ops.EventAnalytics.ewmaDailyCounts]], α = 0.3, H = 16):
+    * the weights are computed ONCE in Scala by repeated multiplication
+    * and the SAME doubles are inlined into the Spark plan and this SQL
+    * (IEEE pow is not correctly rounded across runtimes — literal
+    * weights sidestep the only non-portable term). */
+  val evEwma: Q = {
+    val alpha = 0.3
+    val horizon = 16
+    val w = graft.ops.EventAnalytics.ewmaWeights(alpha, horizon)
+    val wValues = w.zipWithIndex
+      .map { case (x, j) => s"($j, CAST($x AS DOUBLE))" }.mkString(", ")
+    Q(
+      "ev_ewma_daily",
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        w(j, w) AS (SELECT * FROM (VALUES $wValues)),
+        contrib AS (
+          SELECT daily.day + w.j AS day,
+            CAST(round(w.w * daily.n_events, 12) AS DECIMAL(38,14)) AS term,
+            CAST(round(w.w, 12) AS DECIMAL(38,14)) AS wterm
+          FROM daily, w),
+        f AS (SELECT day, SUM(term) AS num, SUM(wterm) AS den
+              FROM contrib GROUP BY day)
+        SELECT daily.day, daily.n_events,
+          round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS ewma
+        FROM daily JOIN f USING (day)
+        ORDER BY day"""),
+      (s, dir) =>
+        graft.ops.EventAnalytics.ewmaDailyCounts(
+            Tables.load(s, dir, "events"), alpha = alpha, horizon = horizon)
+          .orderBy("day"))
+  }
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
@@ -1205,5 +1242,5 @@ object EventQueries extends QueryModule {
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
-      evAttributionFirst, evSeasonal)
+      evAttributionFirst, evSeasonal, evEwma)
 }

@@ -2294,6 +2294,27 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("ewma daily counts: adjusted weights renormalize over gaps") {
+    import graft.ops.EventAnalytics
+    // day 0: 10 events, day 1: 20, day 3: 40 (day 2 is a GAP)
+    val rows =
+      (1 to 10).map(i => (f"1970-01-01 00:00:${i % 60}%02d", i)) ++
+        (1 to 20).map(i => (f"1970-01-02 03:00:${i % 60}%02d", i)) ++
+        (1 to 40).map(i => (f"1970-01-04 05:00:${i % 60}%02d", i))
+    val ev = rows.toDF("tss", "n")
+      .select(col("tss").cast("timestamp").as("ts"))
+    val out = EventAnalytics.ewmaDailyCounts(ev, alpha = 0.5, horizon = 4)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma")))).toMap
+    // adjusted EWMA with w = [1, .5, .25, .125], renormalized over the
+    // PRESENT lags only (day 2 contributes nothing, not a zero)
+    assert(out.keySet == Set(0L, 1L, 3L), "gap day emits no row")
+    assert(out(0L) == ((10L, 10.0)))
+    assert(out(1L)._2 == math.rint((20.0 + 10 * 0.5) / 1.5 * 1e9) / 1e9)
+    assert(out(3L)._2 ==
+      math.rint((40.0 + 20 * 0.25 + 10 * 0.125) / 1.375 * 1e9) / 1e9)
+  }
+
   test("survivorship: rule semantics, ties, all-null attributes") {
     import graft.ops.Survivorship._
     val df = Seq(
