@@ -208,7 +208,104 @@ object QualityQueries extends QueryModule {
       out.orderBy("lhs", "rhs")
     })
 
+  /** Declarative expectations suite ([[graft.stats.Expectations]]) over
+    * lineitem: two deliberately FAILING checks (linestatus 'O'-share
+    * above its tolerance, a non-unique orderkey) prove the verdict
+    * logic both ways; the fraction tolerances convert to integer
+    * comparisons so no float boundary flips a pass cross-engine. The
+    * oracle recomputes every violation count and verdict from scratch. */
+  val dqExpectations: Q = Q(
+    "dq_expectations",
+    Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      checks AS (
+        SELECT 'fk_order' AS check_id, 'ref_integrity' AS kind,
+          'l_orderkey' AS col_, 0.0 AS maxf,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS v
+        UNION ALL
+        SELECT 'nn_qty', 'not_null', 'l_quantity', 0.0,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_quantity IS NULL)
+        UNION ALL
+        SELECT 'rng_disc', 'in_range', 'l_discount', 0.5,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_discount IS NOT NULL
+             AND NOT (CAST(l_discount AS DOUBLE) BETWEEN 0.0 AND 0.05))
+        UNION ALL
+        SELECT 'rng_qty', 'in_range', 'l_quantity', 0.0,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND NOT (CAST(l_quantity AS DOUBLE) BETWEEN 1.0 AND 50.0))
+        UNION ALL
+        SELECT 're_shipdate', 'matches_regex', 'l_shipdate', 0.0,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND NOT regexp_full_match(
+             CAST(l_shipdate AS VARCHAR), '\d{4}-\d{2}-\d{2}'))
+        UNION ALL
+        SELECT 'set_flag', 'in_set', 'l_returnflag', 0.0,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_returnflag IS NOT NULL
+             AND CAST(l_returnflag AS VARCHAR) NOT IN ('A', 'N', 'R'))
+        UNION ALL
+        SELECT 'set_ls_open', 'in_set', 'l_linestatus', 0.3,
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_linestatus IS NOT NULL
+             AND CAST(l_linestatus AS VARCHAR) NOT IN ('O'))
+        UNION ALL
+        SELECT 'uq_line', 'unique', 'l_orderkey,l_linenumber', 0.0,
+          (SELECT n FROM n) - (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))),
+      li AS (
+        SELECT check_id, kind, col_, n.n AS n_rows, v, maxf
+        FROM checks, n),
+      ord AS (
+        SELECT 'uq_orderkey' AS check_id, 'unique' AS kind,
+          'o_orderkey' AS col_,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders)
+            - (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+               FROM orders) AS v,
+          0.0 AS maxf),
+      allc AS (SELECT * FROM li UNION ALL SELECT * FROM ord)
+      SELECT check_id, kind, col_ AS "column", n_rows,
+        v AS n_violations,
+        round(CASE WHEN n_rows = 0 THEN 0.0
+          ELSE CAST(v AS DOUBLE) / n_rows END, 9) + 0.0 AS violation_frac,
+        v * 1000000000 <=
+          CAST(round(maxf * 1000000000) AS BIGINT) * n_rows AS passed
+      FROM allc
+      ORDER BY check_id"""),
+    (s, dir) => {
+      import graft.stats.Expectations._
+      val li = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+      val out = run(li, Seq(
+        NotNull("nn_qty", "l_quantity"),
+        InRange("rng_qty", "l_quantity", 1.0, 50.0),
+        InRange("rng_disc", "l_discount", 0.0, 0.05, maxFrac = 0.5),
+        InSet("set_flag", "l_returnflag", Seq("A", "N", "R")),
+        InSet("set_ls_open", "l_linestatus", Seq("O"), maxFrac = 0.3),
+        MatchesRegex("re_shipdate", "l_shipdate", "\\d{4}-\\d{2}-\\d{2}"),
+        // the synthetic lineitem reuses (orderkey, linenumber) pairs —
+        // a PLANTED unique failure beside the passing orders key below
+        Unique("uq_line", Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("fk_order", "l_orderkey", orders, "o_orderkey")))
+        .unionByName(run(orders, Seq(Unique("uq_orderkey", Seq("o_orderkey")))))
+        .orderBy("check_id")
+      val verdicts = out.collect()
+        .map(r => r.getAs[String]("check_id") -> r.getAs[Boolean]("passed"))
+        .toMap
+      require(!verdicts("set_ls_open") && !verdicts("uq_line"),
+        "the two planted failing checks must fail")
+      require(verdicts("fk_order") && verdicts("uq_orderkey"),
+        "the clean checks must pass")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(t3Quality, t5Summary, dqBenfordDigits, dqBenfordSummary,
-      dqKeyCandidates, dqFdDiscovery)
+      dqKeyCandidates, dqFdDiscovery, dqExpectations)
 }

@@ -2294,6 +2294,34 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("expectations: tolerance boundary, empty table, loud dup ids") {
+    import graft.stats.Expectations
+    import graft.stats.Expectations._
+    val df = Seq(("a", 1), ("b", 2), (null, 3), (null, 4), ("e", 5))
+      .toDF("s", "x")
+    // 2/5 nulls: maxFrac 0.4 passes AT the boundary (<=), 0.39 fails
+    val out = Expectations.run(df, Seq(
+      NotNull("at", "s", maxFrac = 0.4),
+      NotNull("below", "s", maxFrac = 0.39),
+      InRange("rng", "x", 1, 4, maxFrac = 0.2)))
+      .collect().map(r => r.getAs[String]("check_id") ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed")))).toMap
+    assert(out("at") == ((2L, true)), "boundary is inclusive")
+    assert(out("below") == ((2L, false)))
+    assert(out("rng") == ((1L, true)))
+    // empty table: zero violations, every fraction check passes
+    val empty = df.filter(lit(false))
+    val eo = Expectations.run(empty,
+      Seq(NotNull("nn", "s"), Unique("uq", Seq("s"))))
+      .collect().map(r => r.getAs[String]("check_id") ->
+        r.getAs[Boolean]("passed")).toMap
+    assert(eo("nn") && eo("uq"), "empty table validates clean")
+    // duplicate check ids are a spec bug -> loud
+    intercept[IllegalArgumentException] {
+      Expectations.run(df, Seq(NotNull("x", "s"), NotNull("x", "s")))
+    }
+  }
+
   test("ewma daily counts: adjusted weights renormalize over gaps") {
     import graft.ops.EventAnalytics
     // day 0: 10 events, day 1: 20, day 3: 40 (day 2 is a GAP)
