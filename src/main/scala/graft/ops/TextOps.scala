@@ -58,6 +58,39 @@ object TextOps {
         "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
       "\\b\\d{7,}\\b", "<NUM>")
 
+  /** Luhn checksum verdict for a PURE-DIGIT string column (ISO/IEC 7812
+    * — public): true iff the mod-10 sum with every second digit from
+    * the right doubled (minus 9 past 9) clears. Null/empty/non-digit
+    * inputs are null. Compositional higher-order form — the DuckDB
+    * mirror is the identical list fold, which is what makes the
+    * validator oracle-checkable; the PRODUCTION redaction path is the
+    * native [[graft.functions.LuhnRedactCards]] (codegen'd single
+    * scan). */
+  def luhnValid(c: Column): Column = {
+    val s = c.cast("string")
+    val n = length(s)
+    val total = aggregate(
+      transform(sequence(lit(1), n), r => {
+        val d = substring(s, (n - r + 1).cast("int"), lit(1)).cast("int")
+        when(r % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    when(s.isNotNull && n > 0 && s.rlike("^[0-9]+$"), total % 10 === 0)
+  }
+
+  /** Payment-card redaction: maximal 13–19 digit runs that pass Luhn
+    * become `<CARD>`; everything else (order ids, timestamps) is
+    * untouched. Native single-scan expression — see
+    * [[graft.functions.LuhnRedactCards]]. */
+  def redactCards(c: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_luhn_redact",
+      exprs => graft.functions.LuhnRedactCards(exprs.head), "built-in")
+    call_function("graft_luhn_redact", c.cast(StringType))
+  }
+
   /** Duplicate-line fraction — the within-document repetition signal of
     * the Gopher/C4 quality filters: 1 − distinct/total over non-blank
     * trimmed lines; 0 for texts with no non-blank line. Pure array

@@ -1063,6 +1063,72 @@ object TextQueries extends QueryModule {
         .orderBy("cluster")
     })
 
+  /** Luhn card-number validation ([[graft.ops.TextOps.luhnValid]]): both
+    * engines build the same synthetic 16-digit candidates from doc_id
+    * and fold the identical mod-10 checksum — exact integers, so the
+    * verdict grid hash-matches. */
+  val txtLuhnValidate: Q = Q(
+    "txt_luhn_validate",
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+          CAST(4000000000000000 + doc_id * 137 AS VARCHAR) AS candidate
+        FROM documents)
+      SELECT doc_id, candidate,
+        list_sum(list_transform(generate_series(1, length(candidate)),
+          r -> CASE WHEN r % 2 = 0 THEN
+              CASE WHEN 2 * CAST(substr(candidate,
+                  length(candidate) - r + 1, 1) AS INT) > 9
+                THEN 2 * CAST(substr(candidate,
+                  length(candidate) - r + 1, 1) AS INT) - 9
+                ELSE 2 * CAST(substr(candidate,
+                  length(candidate) - r + 1, 1) AS INT) END
+            ELSE CAST(substr(candidate,
+              length(candidate) - r + 1, 1) AS INT) END))
+          % 10 = 0 AS valid
+      FROM c
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(4000000000000000L) + col("doc_id") * 137).cast("string")
+            .as("candidate"))
+        .withColumn("valid", graft.ops.TextOps.luhnValid(col("candidate")))
+        .orderBy("doc_id"))
+
+  /** Card redaction over planted candidates
+    * ([[graft.functions.LuhnRedactCards]], rows-only — a conditional
+    * replace has no SQL mirror): each doc's text gets a synthetic
+    * 16-digit run appended; the gate asserts the run is replaced by
+    * `<CARD>` exactly when the oracle-checked validator says it's
+    * valid, short runs survive, and redaction is idempotent. */
+  val txtLuhnRedact: Q = Q(
+    "txt_luhn_redact",
+    None,
+    (s, dir) => {
+      import graft.ops.TextOps
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(4000000000000000L) + col("doc_id") * 137).cast("string")
+            .as("candidate"))
+        .withColumn("text2",
+          concat(lit("order 123456 card "), col("candidate"), lit(" end")))
+        .withColumn("valid", TextOps.luhnValid(col("candidate")))
+        .withColumn("redacted", TextOps.redactCards(col("text2")))
+      val bad = planted.filter(
+        (col("valid") && !col("redacted").contains("<CARD>")) ||
+          (!col("valid") && col("redacted") =!= col("text2")) ||
+          (col("valid") &&
+            col("redacted") =!= concat(lit("order 123456 card <CARD> end")))
+      ).count()
+      require(bad == 0, s"$bad redaction mismatches against the validator")
+      val notIdempotent = planted.filter(
+        TextOps.redactCards(col("redacted")) =!= col("redacted")).count()
+      require(notIdempotent == 0, "redaction must be idempotent")
+      planted.select(col("doc_id"), col("valid"), col("redacted"))
+        .orderBy("doc_id")
+    })
+
   val txtUnigramLogprob: Q = Q(
     "txt_unigram_logprob",
     Some("""
@@ -2253,7 +2319,7 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, mntGoldenRecords,
-    txtUnigramLogprob,
+    txtLuhnValidate, txtLuhnRedact, txtUnigramLogprob,
     txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
     txtBpeTokens, txtBpeReal, txtBpePieceCounts,
     txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtMgSummary, txtQualityClassifier,

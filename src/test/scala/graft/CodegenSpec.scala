@@ -267,6 +267,38 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("LuhnRedactCards codegen matches interpreted eval on adversarial strings") {
+    import graft.functions.LuhnRedactCards
+    val expr = LuhnRedactCards(
+      BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val cases = Seq(
+      // valid 16-digit Visa test number -> redacted
+      "pay 4111111111111111 now",
+      // same digits, checksum broken -> untouched
+      "pay 4111111111111112 now",
+      // 12 digits (too short) and 20 digits (too long) -> untouched
+      "a 411111111111 b 41111111111111111111 c",
+      // run at string edges, adjacent runs, empty string
+      "4111111111111111", "", "x1y2z",
+      // valid run embedded between non-digits with no spaces
+      "id=4111111111111111;ok")
+    for (s <- cases) {
+      val in = InternalRow(UTF8String.fromString(s))
+      val fromCodegen = proj(in).getUTF8String(0).toString
+      val fromInterp = expr.eval(in).asInstanceOf[UTF8String].toString
+      assert(fromCodegen == fromInterp, s"codegen != eval for '$s'")
+    }
+    val redacted = expr.eval(
+      InternalRow(UTF8String.fromString("pay 4111111111111111 now")))
+      .asInstanceOf[UTF8String].toString
+    assert(redacted == "pay <CARD> now")
+    val untouched = expr.eval(
+      InternalRow(UTF8String.fromString("pay 4111111111111112 now")))
+      .asInstanceOf[UTF8String].toString
+    assert(untouched == "pay 4111111111111112 now")
+  }
+
   test("minhash pipeline runs end-to-end with codegen forced (no interpreter fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
