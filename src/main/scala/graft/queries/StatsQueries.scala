@@ -1128,6 +1128,89 @@ object StatsQueries extends QueryModule {
         col("l_quantity"))
     })
 
+  /** Arm-parameterized resample CTEs (suffix distinguishes the two
+    * blocks in one WITH): same inverse-CDF draw machinery as [[bootCte]]
+    * but over one hash-assigned experiment arm with a per-arm seed —
+    * independent resampling, exactly [[graft.stats.Bootstrap.upliftCi]]. */
+  private def bootArmCte(sfx: String, seed: String, armPred: String): String = {
+    val u = s"""CAST(concat('0x', substr(md5(concat_ws('|', '$seed',
+        CAST(bs.b AS VARCHAR), CAST(c_custkey AS VARCHAR))), 1, 8))
+        AS BIGINT) / 4294967296.0"""
+    s"""
+      rws$sfx AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS v
+        FROM customer WHERE c_acctbal IS NOT NULL AND ($armPred)),
+      drawn$sfx AS (
+        SELECT bs.b, rws$sfx.v, $u AS u
+        FROM rws$sfx, bs),
+      cnts$sfx AS (
+        SELECT b, v, ${graft.stats.Bootstrap.poissonCountSql("u")} AS cnt
+        FROM drawn$sfx),
+      bmeans$sfx AS (
+        SELECT b,
+          CASE WHEN SUM(cnt) > 0
+            THEN round(CAST(SUM(cnt * v) AS DOUBLE) / SUM(cnt), 6)
+          END AS boot_mean
+        FROM cnts$sfx GROUP BY b)"""
+  }
+
+  /** Two-arm bootstrap uplift CI ([[graft.stats.Bootstrap.upliftCi]]):
+    * customers hash-split into arms, each arm independently resampled,
+    * nearest-rank percentile interval on the per-draw mean difference —
+    * the oracle replays both arms' 200 draws, the pairing, the ranks,
+    * and the micro-unit SE. The gate asserts the interval brackets the
+    * observed uplift (it must, for a percentile CI at this B). */
+  val bsUpliftCi: Q = {
+    val (loRank, hiRank) = Bootstrap.ranks(BootB, 0.95)
+    val armPred = s"""CAST(concat('0x', substr(md5(concat_ws('|',
+        'graft-arm', CAST(c_custkey AS VARCHAR))), 1, 8))
+        AS BIGINT) / 4294967296.0 < 0.5"""
+    Q(
+      "bs_uplift_ci",
+      Some(s"""
+        WITH bs AS (SELECT CAST(unnest(range(0, $BootB)) AS INT) AS b),
+        ${bootArmCte("_t", s"$BootSeed/t", armPred)},
+        ${bootArmCte("_c", s"$BootSeed/c", s"NOT ($armPred)")},
+        diffs AS (
+          SELECT t.b, t.boot_mean - c.boot_mean AS u
+          FROM bmeans_t t JOIN bmeans_c c USING (b)
+          WHERE t.boot_mean IS NOT NULL AND c.boot_mean IS NOT NULL),
+        ranked AS (
+          SELECT b, u, row_number() OVER (ORDER BY u ASC, b) AS rn
+          FROM diffs),
+        summ AS (
+          SELECT CAST(count(*) AS BIGINT) AS b,
+            CAST(SUM(CAST(round(u * 1e6) AS HUGEINT)) AS DOUBLE) AS s,
+            CAST(SUM(CAST(round(u * 1e6) AS HUGEINT) *
+                CAST(round(u * 1e6) AS HUGEINT)) AS DOUBLE) AS s2,
+            max(CASE WHEN rn = $loRank THEN u END) AS ci_lo,
+            max(CASE WHEN rn = $hiRank THEN u END) AS ci_hi
+          FROM ranked),
+        mt AS (SELECT round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS mean_t
+               FROM rws_t),
+        mc AS (SELECT round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS mean_c
+               FROM rws_c)
+        SELECT mean_t, mean_c, mean_t - mean_c AS uplift, b,
+          round(sqrt((s2 - s * s / b) / (b - 1)) / 1e6, 6) AS boot_se,
+          ci_lo, ci_hi
+        FROM mt, mc, summ"""),
+      (s, dir) => {
+        val arm = graft.ops.Sampling.hashFraction("graft-arm",
+          Seq(col("c_custkey"))) < 0.5
+        val out = Bootstrap.upliftCi(Tables.load(s, dir, "customer"),
+          Seq("c_custkey"), arm, col("c_acctbal"), BootB, BootSeed)
+        val r = out.collect().head
+        require(r.getAs[Long]("b") == BootB,
+          s"expected $BootB paired draws, got ${r.getAs[Long]("b")} — " +
+            "the fixed-rank oracle assumption broke")
+        val (u, lo, hi) = (r.getAs[Double]("uplift"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+        require(lo <= u && u <= hi,
+          s"uplift CI [$lo, $hi] does not bracket the estimate $u")
+        out
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1136,5 +1219,5 @@ object StatsQueries extends QueryModule {
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
-    t29QuantileNormalize, t30TheilSen, dqKsTwoSample)
+    bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample)
 }

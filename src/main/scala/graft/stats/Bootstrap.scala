@@ -159,4 +159,59 @@ object Bootstrap {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(row), row.schema)
   }
+
+  /** Percentile-bootstrap CI for the DIFFERENCE in means between two
+    * arms (the A/B uplift interval — what a fixed-horizon experiment
+    * readout quotes next to [[graft.stats.Experiment.cuped]]'s variance
+    * reduction): each arm resamples INDEPENDENTLY (seed suffixed per
+    * arm), draw b's uplift is mt_b − mc_b over 6-decimal resample means
+    * (a difference of identical doubles — no further rounding needed or
+    * wanted), the CI is nearest-rank over the (uplift, b) order, and
+    * the SE comes from exact micro-unit moments (the [[ci]] recipe).
+    * Draws where either arm came up empty are excluded from ranks and
+    * moments. One row:
+    * (mean_t, mean_c, uplift, b, boot_se, ci_lo, ci_hi). */
+  def upliftCi(df: DataFrame, keys: Seq[String], armCol: Column,
+      value: Column, b: Int, seed: String = "graft-boot",
+      level: Double = 0.95): DataFrame = {
+    require(level > 0 && level < 1, s"bad level $level")
+    val t = resampleMeans(df.filter(armCol), keys, value, b, s"$seed/t")
+      .select(col("b"), col("boot_mean").as("__mt"))
+    val c = resampleMeans(df.filter(!armCol), keys, value, b, s"$seed/c")
+      .select(col("b"), col("boot_mean").as("__mc"))
+    val diffs = t.join(c, Seq("b"))
+      .filter(col("__mt").isNotNull && col("__mc").isNotNull)
+      .withColumn("__u", col("__mt") - col("__mc"))
+      .persist()
+    val observed = diffs.count()
+    require(observed >= 2,
+      s"only $observed paired non-empty resamples of $b — arms too small")
+    val (loRank, hiRank) = ranks(observed, level)
+    val ranked = diffs.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__u"), col("b"))))
+    def armMean(pred: Column) = df.filter(pred)
+      .select(value.cast("decimal(18,6)").as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(round(sum(col("__v")).cast("double") / count(lit(1)), 6))
+      .head().getDouble(0)
+    val meanT = armMean(armCol)
+    val meanC = armMean(!armCol)
+    val mi = round(col("__u") * 1e6, 0).cast("decimal(38,0)")
+    val summary = ranked.agg(
+        count(lit(1)).cast("long").as("b"),
+        sum(mi).cast("double").as("__s"),
+        sum(mi * mi).cast("double").as("__s2"),
+        max(when(col("__rn") === loRank, col("__u"))).as("ci_lo"),
+        max(when(col("__rn") === hiRank, col("__u"))).as("ci_hi"))
+      .withColumn("boot_se",
+        round(sqrt((col("__s2") - col("__s") * col("__s") / col("b"))
+          / (col("b") - 1)) / 1e6, 6))
+      .select(lit(meanT).as("mean_t"), lit(meanC).as("mean_c"),
+        lit(meanT - meanC).as("uplift"),
+        col("b"), col("boot_se"), col("ci_lo"), col("ci_hi"))
+    val row = summary.head()
+    diffs.unpersist()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row), row.schema)
+  }
 }
