@@ -602,10 +602,49 @@ object CatalogQueries extends QueryModule {
         .toDF("artifact", "written").orderBy("artifact")
     })
 
+  /** Order-invariant content digest ([[graft.catalog.Fingerprint]]):
+    * 32-bit md5 row hashes summed exactly in decimal(38,0) — the
+    * dataset-versioning primitive (repartition/compaction never moves
+    * it; any cell edit does). The gate asserts both properties in-dump
+    * and the oracle recomputes the digest from scratch. Digest columns
+    * are integers/strings/dates — double rendering is engine-specific,
+    * so doubles enter a digest pre-rounded or not at all (scaladoc). */
+  val mntTableDigest: Q = Q(
+    "mnt_table_digest",
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+          COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_returnflag AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_linestatus AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_shipdate AS VARCHAR), '<NULL>'))), 1, 8))
+          AS BIGINT) AS DECIMAL(38,0))) AS content_digest
+      FROM lineitem"""),
+    (s, dir) => {
+      import graft.catalog.Fingerprint
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      val out = Fingerprint.contentDigest(li, cols)
+      val d0 = out.head()
+      // partitioning invariance: the digest is a pure set+multiplicity
+      // function of the rows
+      val d1 = Fingerprint.contentDigest(li.repartition(13), cols).head()
+      require(d0 == d1, "digest must be partitioning-invariant")
+      // sensitivity: dropping rows must move it (the min orderkey is
+      // guaranteed to exist — a fixed (key, line) pair is not)
+      val minKey = li.agg(min("l_orderkey")).head().getLong(0)
+      val d2 = Fingerprint.contentDigest(
+        li.filter(col("l_orderkey") =!= minKey), cols).head()
+      require(d0 != d2, "digest must move when rows are dropped")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s2XmlScan,
     s2MergeSchemaScan,
     s2PartitionedScan, s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
-    s9ZipReport, s10TomlRoundtrip, s11ProfileSink)
+    s9ZipReport, s10TomlRoundtrip, s11ProfileSink, mntTableDigest)
 }

@@ -2294,6 +2294,39 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("fingerprint: invariance, sensitivity, multiplicity, schema digest") {
+    import graft.catalog.Fingerprint
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "s")
+    val cols = Seq("id", "s")
+    def dig(d: org.apache.spark.sql.DataFrame) =
+      Fingerprint.contentDigest(d, cols).head()
+        .getAs[java.math.BigDecimal]("content_digest")
+    val base = dig(df)
+    assert(dig(df.repartition(5)) == base, "partitioning-invariant")
+    assert(dig(df.orderBy(col("id").desc)) == base, "order-invariant")
+    assert(dig(df.filter(col("id") =!= 2)) != base, "row drop moves it")
+    // duplicate multiplicity counts (a sum fold, not xor)
+    assert(dig(df.unionAll(df.filter(col("id") === 1))) != base)
+    // null cell is distinct from the literal sentinel string? No —
+    // documented: null renders AS the sentinel, so a real "<NULL>"
+    // string collides by design (declare digests on typed columns).
+    val e = Seq((3L, "<NULL>")).toDF("id", "s")
+    assert(dig(df.filter(col("id") === 3)) == dig(e))
+    // changed(): digest pre-check in front of row-level diff
+    val ch = Fingerprint.changed(df, df.filter(col("id") =!= 2), cols)
+      .head()
+    assert(ch.getAs[Boolean]("changed"))
+    val same = Fingerprint.changed(df, df.repartition(3), cols).head()
+    assert(!same.getAs[Boolean]("changed"))
+    // schema digest moves on rename and type change, not on data
+    val (n1, s1) = Fingerprint.schemaDigest(df)
+    assert(n1 == 2)
+    assert(Fingerprint.schemaDigest(df.filter(col("id") === 1)) == ((n1, s1)))
+    assert(Fingerprint.schemaDigest(df.withColumnRenamed("s", "t"))._2 != s1)
+    assert(Fingerprint.schemaDigest(
+      df.withColumn("id", col("id").cast("int")))._2 != s1)
+  }
+
   test("expectations: tolerance boundary, empty table, loud dup ids") {
     import graft.stats.Expectations
     import graft.stats.Expectations._
