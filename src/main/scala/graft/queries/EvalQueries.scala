@@ -925,10 +925,58 @@ object EvalQueries extends QueryModule {
       graft.stats.Agreement.krippendorffAlpha(ratings, col("i"), col("l"))
     })
 
+  /** Operating-point selection ([[graft.stats.Eval.bestThreshold]]):
+    * max-F1 and max-Youden-J cuts over the full distinct-score sweep of
+    * the discount/returnflag classifier — argmaxes are struct-max total
+    * orders on doubles both engines derive from exact integer counts. */
+  val bestThresholdGate: Q = Q(
+    "ml_best_threshold",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_discount AS DOUBLE) AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      g AS (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+          CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM b GROUP BY s),
+      tot AS (SELECT SUM(pos) AS p, SUM(neg) AS n FROM g),
+      cum AS (
+        SELECT s,
+          SUM(pos) OVER (ORDER BY s DESC
+            ROWS UNBOUNDED PRECEDING) AS tp,
+          SUM(neg) OVER (ORDER BY s DESC
+            ROWS UNBOUNDED PRECEDING) AS fp
+        FROM g),
+      m AS (
+        SELECT s,
+          2.0 * tp / CAST(tp + fp + (SELECT p FROM tot) AS DOUBLE) AS f1,
+          tp / CAST(tp + fp AS DOUBLE) AS prec,
+          tp / CAST((SELECT p FROM tot) AS DOUBLE) AS tpr,
+          fp / CAST((SELECT n FROM tot) AS DOUBLE) AS fpr
+        FROM cum),
+      bf AS (SELECT max({'m': f1, 't': s, 'p': prec, 'r': tpr}) AS x FROM m),
+      bj AS (SELECT max({'m': tpr - fpr, 't': s, 'r': tpr, 'f': fpr}) AS x
+             FROM m)
+      SELECT bf.x.t AS threshold_f1, round(bf.x.m, 9) AS f1,
+        round(bf.x.p, 9) AS precision_at_f1,
+        round(bf.x.r, 9) AS recall_at_f1,
+        bj.x.t AS threshold_j, round(bj.x.m, 9) + 0.0 AS youden_j,
+        round(bj.x.r, 9) AS tpr_at_j, round(bj.x.f, 9) AS fpr_at_j
+      FROM bf, bj"""),
+    (s, dir) => {
+      val out = Eval.bestThreshold(Tables.load(s, dir, "lineitem"),
+        col("l_discount"), (col("l_returnflag") === "R").cast("int"))
+      val r = out.collect().head
+      require(r.getAs[Double]("f1") > 0 && r.getAs[Double]("youden_j") >= 0,
+        "degenerate operating points")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
-      krippendorffGate)
+      krippendorffGate, bestThresholdGate)
 }

@@ -255,4 +255,60 @@ object Eval {
     }.toDF("threshold", "n_kept", "frac_kept", "weight_kept", "frac_weight")
       .orderBy("threshold")
   }
+
+  /** Operating-point selection over the FULL distinct-score sweep: the
+    * classification threshold maximizing F1 and the one maximizing
+    * Youden's J = TPR − FPR (the two standard cut choices after a
+    * quality-classifier fit). Candidate thresholds are the distinct
+    * scores (a classifier's decision only changes there); cumulative
+    * TP/FP per candidate come from ONE window over the distinct-score
+    * table — the [[auc]] discipline: bounded by distinct scores, never
+    * row count. Argmaxes are struct-max total orders (metric DESC, then
+    * threshold DESC — ties take the more conservative cut), computed on
+    * doubles both engines derive identically from exact integer counts.
+    * One row: (threshold_f1, f1, precision_at_f1, recall_at_f1,
+    * threshold_j, youden_j, tpr_at_j, fpr_at_j), metrics rounded to 9.
+    * Fails loudly on labels outside {0,1} or single-class data. */
+  def bestThreshold(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+    val g = base.groupBy("__s").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__pos"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__neg"),
+      sum(when(col("__y").isin(0, 1), 0L).otherwise(1L)).as("__bad"))
+    val totals = g.agg(sum("__pos").as("__p"), sum("__neg").as("__n"),
+      sum("__bad").as("__b")).head()
+    require(totals.getAs[Long]("__b") == 0L,
+      s"labels outside {0,1}: ${totals.getAs[Long]("__b")}")
+    val p = totals.getAs[Long]("__p"); val n = totals.getAs[Long]("__n")
+    require(p > 0 && n > 0,
+      s"threshold selection needs both classes (P=$p, N=$n)")
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("__tp", sum(col("__pos")).over(w))
+      .withColumn("__fp", sum(col("__neg")).over(w))
+    val f1 = lit(2.0) * col("__tp") /
+      (col("__tp") + col("__fp") + lit(p)).cast("double")
+    val tpr = col("__tp") / lit(p.toDouble)
+    val fpr = col("__fp") / lit(n.toDouble)
+    val prec = col("__tp") / (col("__tp") + col("__fp")).cast("double")
+    cum.agg(
+        max(struct(f1.as("m"), col("__s").as("t"), prec.as("p"),
+          tpr.as("r"))).as("__bf"),
+        max(struct((tpr - fpr).as("m"), col("__s").as("t"),
+          tpr.as("r"), fpr.as("f"))).as("__bj"))
+      .select(
+        col("__bf.t").as("threshold_f1"),
+        round(col("__bf.m"), 9).as("f1"),
+        round(col("__bf.p"), 9).as("precision_at_f1"),
+        round(col("__bf.r"), 9).as("recall_at_f1"),
+        col("__bj.t").as("threshold_j"),
+        round(col("__bj.m"), 9).as("youden_j"),
+        round(col("__bj.r"), 9).as("tpr_at_j"),
+        round(col("__bj.f"), 9).as("fpr_at_j"))
+  }
 }

@@ -137,4 +137,24 @@ class EvalSpec extends SparkSpec {
     }
     assert(e.getMessage != null || e.getCause != null)
   }
+
+  test("bestThreshold: hand-computed F1 and Youden argmaxes, tie rule") {
+    // scores 0.9, 0.8, 0.7, 0.6 with labels 1, 1, 0, 1: P=3, N=1
+    // sweep t=0.9: tp=1 fp=0 -> f1=2/4=.5  | tpr=1/3 fpr=0 -> j=1/3
+    //       t=0.8: tp=2 fp=0 -> f1=4/5=.8  | tpr=2/3 fpr=0 -> j=2/3
+    //       t=0.7: tp=2 fp=1 -> f1=4/6=.667| tpr=2/3 fpr=1 -> j=-1/3
+    //       t=0.6: tp=3 fp=1 -> f1=6/7=.857| tpr=1   fpr=1 -> j=0
+    val df = Seq((0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1)).toDF("s", "y")
+    val r = Eval.bestThreshold(df, col("s"), col("y")).head()
+    assert(r.getAs[Double]("threshold_f1") == 0.6)
+    assert(r.getAs[Double]("f1") == math.rint(6.0 / 7 * 1e9) / 1e9)
+    assert(r.getAs[Double]("threshold_j") == 0.8)
+    assert(r.getAs[Double]("youden_j") == math.rint(2.0 / 3 * 1e9) / 1e9)
+    assert(r.getAs[Double]("fpr_at_j") == 0.0)
+    // single-class input fails loudly
+    val one = Seq((0.9, 1), (0.8, 1)).toDF("s", "y")
+    intercept[IllegalArgumentException] {
+      Eval.bestThreshold(one, col("s"), col("y")).head()
+    }
+  }
 }
