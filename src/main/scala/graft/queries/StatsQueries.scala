@@ -1211,6 +1211,51 @@ object StatsQueries extends QueryModule {
       })
   }
 
+  /** Equal-frequency discretization
+    * ([[graft.transform.Standardize.discretizeEqualFreq]], k = 8) of
+    * lineitem prices: bin(v) = ⌊below(v)·k/n⌋ over exact
+    * smaller-value counts — pure integers, ties share a bin. The gate
+    * emits the per-bin profile (count + value range) and asserts bins
+    * are contiguous from 0 and near-equal up to tie mass; Spark
+    * computes ranks with the partition-offset pass (no unpartitioned
+    * window), the oracle with a plain window. */
+  val t31EqualFreqBins: Q = Q(
+    "t31_equal_freq_bins",
+    Some("""
+      WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT x, count(*) AS cnt FROM v GROUP BY x),
+      r AS (SELECT x, cnt,
+              SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - cnt
+                AS below
+            FROM c),
+      t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+      b AS (SELECT x, cnt,
+              CAST((below * 8) // (SELECT n FROM t) AS BIGINT) AS bin
+            FROM r)
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        min(x) AS lo, max(x) AS hi
+      FROM b GROUP BY bin
+      ORDER BY bin"""),
+    (s, dir) => {
+      val k = 8
+      val binned = graft.transform.Standardize.discretizeEqualFreq(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice", k)
+      val out = binned.filter(col("bin").isNotNull)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice").cast("double")).as("lo"),
+          max(col("l_extendedprice").cast("double")).as("hi"))
+        .orderBy("bin")
+      val rows = out.collect()
+      require(rows.map(_.getAs[Long]("bin")).toSeq == (0L until k),
+        "bins must be contiguous 0..k-1 on this data")
+      val cnts = rows.map(_.getAs[Long]("n_rows"))
+      require(cnts.max - cnts.min <= cnts.sum / k,
+        s"bin counts ${cnts.mkString(",")} wildly unequal — binning broken")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1219,5 +1264,6 @@ object StatsQueries extends QueryModule {
     t20PsiDrift, t21Standardize, t22GroupZscore, t23CategoryIndex,
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
-    bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample)
+    bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample,
+    t31EqualFreqBins)
 }

@@ -178,4 +178,51 @@ object Standardize {
       df.filter(v.isNull)
         .withColumn("normalized", lit(null).cast("double")))
   }
+
+  /** Equal-frequency discretization (quantile binning, pandas `qcut`'s
+    * value-tie semantics): bin(v) = ⌊below(v)·k / n⌋ where below(v) is
+    * the EXACT count of rows with a smaller value — all ties share a
+    * bin (a row-level rank would split equal values across a bin edge
+    * by arbitrary order), counts per bin are near-equal up to tie mass,
+    * and every number is an integer, so two engines cannot disagree.
+    * Adds `outCol` (long); null values pass through with a null bin.
+    *
+    * Scale shape: one per-value count, one distributed range-
+    * partitioned sort with the partition-offset prefix pass (the
+    * [[graft.stats.Correlation]] rank recipe — NO unpartitioned
+    * window), one shuffle join back on the value. The value-count
+    * table is distinct-values-sized, not row-sized. */
+  def discretizeEqualFreq(
+      df: DataFrame, valueCol: String, k: Int,
+      outCol: String = "bin"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val counts = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__cnt"))
+      .as[(Double, Long)].rdd
+      .sortBy(_._1)
+      .persist()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(_._2).sum))
+      }.collect().sortBy(_._1).map(_._2)
+      val n = partTotals.sum
+      if (n == 0) return df.withColumn(outCol, lit(null).cast("long"))
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val bins = counts.mapPartitionsWithIndex { (i, it) =>
+        var below = bOff.value(i)
+        it.map { case (value, cnt) =>
+          // BigInt: below·k overflows a long past ~9·10^18/k rows
+          val bin = (BigInt(below) * k / BigInt(n)).toLong
+          below += cnt
+          (value, bin)
+        }
+      }.toDF("__v", outCol)
+      df.join(bins, v === col("__v"), "left")
+        .drop("__v")
+    } finally counts.unpersist(blocking = false)
+  }
 }

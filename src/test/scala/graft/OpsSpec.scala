@@ -2294,6 +2294,33 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("equal-frequency bins: tie cohesion, null pass-through, invariance") {
+    import graft.transform.Standardize
+    // 8 values, k=4 -> 2 per bin; the four 5.0 ties must SHARE a bin
+    // even though a row-rank split would put them in two
+    val df = Seq(1.0, 2.0, 5.0, 5.0, 5.0, 5.0, 9.0, 10.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, Some(v)) }
+      .toDF("id", "x")
+      .unionByName(Seq((99L, None: Option[Double])).toDF("id", "x"))
+    val out = Standardize.discretizeEqualFreq(df, "x", 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("bin")).map(_.asInstanceOf[Long])).toMap
+    assert(out(99L).isEmpty, "null value -> null bin, row kept")
+    // below counts: 1.0->0, 2.0->1, 5.0->2, 9.0->6, 10.0->7; k/n = 4/8
+    assert(out(0L) == Some(0L) && out(1L) == Some(0L))
+    assert((2L to 5L).forall(out(_) == Some(1L)), "ties share bin 1")
+    assert(out(6L) == Some(3L) && out(7L) == Some(3L))
+    // partitioning invariance of the offset pass
+    val rep = Standardize.discretizeEqualFreq(df.repartition(5), "x", 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("bin")).map(_.asInstanceOf[Long])).toMap
+    assert(rep == out)
+    // all-null input: null bins, no division by zero
+    val nn = Standardize.discretizeEqualFreq(
+      df.filter(col("x").isNull), "x", 4).collect()
+    assert(nn.length == 1 && nn.head.isNullAt(nn.head.fieldIndex("bin")))
+  }
+
   test("fingerprint: invariance, sensitivity, multiplicity, schema digest") {
     import graft.catalog.Fingerprint
     val df = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "s")
