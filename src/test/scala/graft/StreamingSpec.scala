@@ -832,4 +832,66 @@ class StreamingSpec extends SparkSpec {
       assert(batch.exists(_._2._3), "fixture produced zero flags — vacuous")
     } finally q.stop()
   }
+
+  test("streaming EWMA monitor: recursion matches a driver fold, shift flags") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EwmaMonitor
+    import spark.implicits._
+
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type".as("key"),
+        F.dayofmonth($"ts").cast("long").as("period"))
+      .groupBy("key", "period").agg(F.count(F.lit(1)).as("c"))
+      .select($"key", $"period",
+        ($"c" + F.when($"key" === "error" && $"period" >= 22, 500)
+          .otherwise(0)).cast("double").as("value"))
+    val rows = daily.as[(String, Long, Double)].collect()
+      .sortBy(r => (r._2, r._1))
+    val sigmas = rows.map(_._1).distinct.map(_ -> 10.0).toMap
+    // independent driver-side reference of the same micro-unit recursion
+    val ref = scala.collection.mutable.Map.empty[String, Long]
+    val want = rows.map { case (k, per, x) =>
+      ref.get(k) match {
+        case None =>
+          val s0 = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+          ref(k) = s0
+          (k, per) -> ((s0 / 1e6, 0.0, false))
+        case Some(s) =>
+          val dev = x - s / 1e6
+          val s2 = EwmaMonitor.fold(0.3, s, x)
+          ref(k) = s2
+          (k, per) -> ((s2 / 1e6, dev, math.abs(dev) > 40.0))
+      }
+    }.toMap
+
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val feed = ms.toDF().toDF("key", "period", "value")
+    val q = EwmaMonitor.monitorStream(feed, sigmas, alpha = 0.3,
+        hSigma = 4.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      val got = spark.table("ewma_out").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("period")) ->
+          ((r.getAs[Double]("level"), r.getAs[Double]("deviation"),
+            r.getAs[Boolean]("flag")))).toMap
+      assert(got.size == want.size, s"${got.size} vs ${want.size} rows")
+      for ((k, w) <- want)
+        assert(got(k) == w, s"$k: stream ${got(k)} vs reference $w")
+      assert(want.exists(_._2._3), "planted +500 shift produced no flag")
+      // the level ABSORBS the shift: post-shift deviations shrink, so
+      // the flag fires on arrival, then the chart re-settles
+      val errFlags = want.toSeq.collect {
+        case ((k, per), (_, _, f)) if k == "error" && per >= 22 => (per, f)
+      }.sortBy(_._1)
+      assert(errFlags.head._2, "shift day itself must flag")
+    } finally q.stop()
+  }
 }
