@@ -1235,6 +1235,100 @@ object EventQueries extends QueryModule {
           .orderBy("day"))
   }
 
+  /** Interrupted time-series regression
+    * ([[graft.stats.Regression.segmented]], break at day 15) over the
+    * daily count series with a PLANTED post-break trend (+5/day): both
+    * engines fold exact decimal moments per segment and derive
+    * slope/intercept/RSS/Chow-F through the same short double formulas.
+    * The Chow p-value is library-only (no SQL F CDF) — asserted
+    * significant in-gate, excluded from the hashed projection. */
+  val evSegmented: Q = Q(
+    "ev_segmented_trend",
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+      pts AS (
+        SELECT CAST(d - (SELECT min(d) FROM daily) AS DOUBLE) AS x,
+          CAST(c + CASE WHEN d - (SELECT min(d) FROM daily) >= 15
+            THEN 5 * (d - (SELECT min(d) FROM daily) - 15)
+            ELSE 0 END AS DOUBLE) AS y
+        FROM daily),
+      m AS (
+        SELECT
+          CAST(SUM(CASE WHEN x < 15 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          SUM(CASE WHEN x < 15 THEN CAST(round(x, 12) AS DECIMAL(38,12)) END) AS sxa,
+          SUM(CASE WHEN x < 15 THEN CAST(round(y, 12) AS DECIMAL(38,12)) END) AS sya,
+          SUM(CASE WHEN x < 15 THEN CAST(round(x * y, 12) AS DECIMAL(38,12)) END) AS sxya,
+          SUM(CASE WHEN x < 15 THEN CAST(round(x * x, 12) AS DECIMAL(38,12)) END) AS sxxa,
+          SUM(CASE WHEN x < 15 THEN CAST(round(y * y, 12) AS DECIMAL(38,12)) END) AS syya,
+          CAST(SUM(CASE WHEN x >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          SUM(CASE WHEN x >= 15 THEN CAST(round(x, 12) AS DECIMAL(38,12)) END) AS sxb,
+          SUM(CASE WHEN x >= 15 THEN CAST(round(y, 12) AS DECIMAL(38,12)) END) AS syb,
+          SUM(CASE WHEN x >= 15 THEN CAST(round(x * y, 12) AS DECIMAL(38,12)) END) AS sxyb,
+          SUM(CASE WHEN x >= 15 THEN CAST(round(x * x, 12) AS DECIMAL(38,12)) END) AS sxxb,
+          SUM(CASE WHEN x >= 15 THEN CAST(round(y * y, 12) AS DECIMAL(38,12)) END) AS syyb,
+          CAST(count(*) AS BIGINT) AS np,
+          SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS sxp,
+          SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS syp,
+          SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxyp,
+          SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxxp,
+          SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS syyp
+        FROM pts),
+      f AS (
+        SELECT *,
+          (na * CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE))
+            / (na * CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)) AS sla,
+          (nb * CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE))
+            / (nb * CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)) AS slb,
+          (np * CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE))
+            / (np * CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE)) AS slp
+        FROM m),
+      g AS (
+        SELECT *,
+          (CAST(sya AS DOUBLE) - sla * CAST(sxa AS DOUBLE)) / na AS ia,
+          (CAST(syb AS DOUBLE) - slb * CAST(sxb AS DOUBLE)) / nb AS ib,
+          (CAST(syp AS DOUBLE) - slp * CAST(sxp AS DOUBLE)) / np AS ip
+        FROM f),
+      h AS (
+        SELECT *,
+          CAST(syya AS DOUBLE) - ia * CAST(sya AS DOUBLE) - sla * CAST(sxya AS DOUBLE) AS rssa,
+          CAST(syyb AS DOUBLE) - ib * CAST(syb AS DOUBLE) - slb * CAST(sxyb AS DOUBLE) AS rssb,
+          CAST(syyp AS DOUBLE) - ip * CAST(syp AS DOUBLE) - slp * CAST(sxyp AS DOUBLE) AS rssp
+        FROM g)
+      SELECT * FROM (
+        SELECT 'pooled' AS segment, np AS n, round(slp, 6) AS slope,
+          round(ip, 6) AS intercept, round(rssp, 6) AS rss,
+          round(((rssp - rssa - rssb) / 2.0)
+            / ((rssa + rssb) / CAST(np - 4 AS DOUBLE)), 4) AS chow_f
+        FROM h
+        UNION ALL
+        SELECT 'post', nb, round(slb, 6), round(ib, 6), round(rssb, 6),
+          CAST(NULL AS DOUBLE) FROM h
+        UNION ALL
+        SELECT 'pre', na, round(sla, 6), round(ia, 6), round(rssa, 6),
+          CAST(NULL AS DOUBLE) FROM h)
+      ORDER BY segment"""),
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val daily = events
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val minD = daily.agg(min("d")).head().getLong(0)
+      val pts = daily.select(
+        (col("d") - minD).cast("double").as("x"),
+        (col("c") + when(col("d") - minD >= 15,
+          (col("d") - minD - 15) * 5).otherwise(0)).cast("double").as("y"))
+      val out = graft.stats.Regression.segmented(pts, "x", "y", breakX = 15)
+      val pooled = out.filter(col("segment") === "pooled").head()
+      require(pooled.getAs[Double]("chow_p") < 0.01,
+        s"planted trend break not significant: p=${pooled.getAs[Double]("chow_p")}")
+      out.select("segment", "n", "slope", "intercept", "rss", "chow_f")
+        .orderBy("segment")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
@@ -1242,5 +1336,5 @@ object EventQueries extends QueryModule {
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
-      evAttributionFirst, evSeasonal, evEwma)
+      evAttributionFirst, evSeasonal, evEwma, evSegmented)
 }

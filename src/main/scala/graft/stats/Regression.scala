@@ -169,4 +169,80 @@ object Regression {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(result: _*), out.schema)
   }
+
+  /** Interrupted time-series (segmented) regression with the Chow
+    * break test (Chow 1960 — public): fit OLS separately BEFORE and
+    * FROM `breakX`, plus pooled, and test whether the intervention
+    * changed the line — the standard "did the launch move the trend"
+    * readout over a metric series.
+    *
+    * Exactness (the t12 discipline): moments Σx, Σy, Σxy, Σx², Σy² fold
+    * per segment as round(·,12) decimals — for integer-valued series
+    * (day indexes, counts) every sum is EXACT — and each derived number
+    * is the same short double formula in both engines: slope from one
+    * division of exact cross-moments, RSS via the moment identity, Chow
+    * F = ((RSS_p − RSS_a − RSS_b)/2) / ((RSS_a + RSS_b)/(n−4)). The F
+    * p-value is library-only (no SQL F CDF), reported unrounded.
+    *
+    * Returns 3 rows (segment ∈ pre/post/pooled): (segment, n, slope,
+    * intercept, rss) rounded to 6, plus chow_f (rounded 4) and chow_p
+    * on the pooled row. One aggregation pass — segments are
+    * conditional sums, never separate scans. Requires ≥ 3 points per
+    * segment and non-degenerate x variance in each. */
+  def segmented(df: DataFrame, xCol: String, yCol: String,
+      breakX: Double): DataFrame = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"), (x < breakX).as("__pre"))
+    def fold(c: org.apache.spark.sql.Column, pred: org.apache.spark.sql.Column) =
+      sum(when(pred, round(c, 12).cast("decimal(38,12)")))
+    def moments(pred: org.apache.spark.sql.Column, sfx: String) = Seq(
+      count(when(pred, 1L)).as(s"n$sfx"),
+      fold(col("__x"), pred).as(s"sx$sfx"),
+      fold(col("__y"), pred).as(s"sy$sfx"),
+      fold(col("__x") * col("__y"), pred).as(s"sxy$sfx"),
+      fold(col("__x") * col("__x"), pred).as(s"sxx$sfx"),
+      fold(col("__y") * col("__y"), pred).as(s"syy$sfx"))
+    val aggs = moments(col("__pre"), "_a") ++
+      moments(!col("__pre"), "_b") ++ moments(lit(true), "_p")
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    case class Fit(n: Long, slope: Double, intercept: Double, rss: Double)
+    def fit(sfx: String): Fit = {
+      val n = r.getAs[Long](s"n$sfx")
+      require(n >= 3, s"segment '$sfx' has $n points (< 3)")
+      def d(c: String) = r.getAs[java.math.BigDecimal](s"$c$sfx").doubleValue
+      val (sx, sy, sxy, sxx, syy) =
+        (d("sx"), d("sy"), d("sxy"), d("sxx"), d("syy"))
+      val den = n * sxx - sx * sx
+      require(den != 0.0, s"segment '$sfx' has zero x variance")
+      val slope = (n * sxy - sx * sy) / den
+      val intercept = (sy - slope * sx) / n
+      val rss = syy - intercept * sy - slope * sxy
+      Fit(n, slope, intercept, rss)
+    }
+    val a = fit("_a"); val b = fit("_b"); val p = fit("_p")
+    val dfDen = (p.n - 4).toDouble
+    require(dfDen > 0, s"need > 4 points total, got ${p.n}")
+    val chowF = ((p.rss - a.rss - b.rss) / 2.0) /
+      ((a.rss + b.rss) / dfDen)
+    val chowP =
+      if (chowF.isInfinite || chowF.isNaN) null
+      else java.lang.Double.valueOf(1.0 -
+        new org.apache.commons.math3.distribution.FDistribution(2.0, dfDen)
+          .cumulativeProbability(math.max(chowF, 0.0)))
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r4(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(
+      ("pooled", p.n, r6(p.slope), r6(p.intercept), r6(p.rss),
+        Option(r4(chowF)), Option(chowP).map(_.doubleValue)),
+      ("post", b.n, r6(b.slope), r6(b.intercept), r6(b.rss), None, None),
+      ("pre", a.n, r6(a.slope), r6(a.intercept), r6(a.rss), None, None))
+      .toDF("segment", "n", "slope", "intercept", "rss", "chow_f", "chow_p")
+      .orderBy("segment")
+  }
 }
