@@ -170,4 +170,33 @@ object Hll {
       .groupBy("day", "bucket").agg(max(col("r")).as("r"))
     estimateBy(merged, Seq("day"), m)
   }
+
+  /** Audience-overlap estimate between two keyed populations via
+    * inclusion–exclusion over MERGEABLE register tables:
+    * |A∩B| ≈ |A| + |B| − |A∪B|, with the union sketched EXACTLY by
+    * register-wise max ([[merge]]) — never a rescan of either input.
+    * The classic sketch answer to "how many users do these two
+    * segments share" at any scale, with the caveat the scaladoc must
+    * carry: inclusion–exclusion VARIANCE grows as the true overlap
+    * shrinks relative to the union (three ±1.04/√m estimates subtract),
+    * so tiny overlaps of huge sets are noise — the estimate is clamped
+    * at 0 and both marginals ride along for the caller's own error
+    * budget. One row: (est_a, est_b, est_union, est_intersection,
+    * jaccard_est) — every number deterministic from the register
+    * grids (exact-dyadic harmonic sums), rounded to 4. */
+  def intersectEstimate(a: DataFrame, b: DataFrame,
+      m: Int = 256): DataFrame = {
+    def one(sk: DataFrame, name: String) =
+      estimate(sk, m).select(col("hll_est").as(name))
+    val ea = one(a, "est_a")
+    val eb = one(b, "est_b")
+    val eu = one(merge(a, b), "est_union")
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersection",
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 4))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0.0,
+          round(col("est_intersection") / col("est_union"), 6)))
+  }
 }

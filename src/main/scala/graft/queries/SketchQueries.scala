@@ -283,7 +283,80 @@ object SketchQueries extends QueryModule {
       out.orderBy("day")
     })
 
+  /** Per-population register CTEs over event users for the overlap
+    * gate: reg$sfx = the HLL register table of users matching `pred`. */
+  private def regCte(sfx: String, pred: String): String = s"""
+      h$sfx AS (
+        SELECT DISTINCT md5(concat_ws('|', '$HllSeed',
+          CAST(user_id AS VARCHAR))) AS hx
+        FROM events WHERE $pred),
+      rh$sfx AS (
+        SELECT CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % $M AS bucket,
+          CASE WHEN CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) = 0
+            THEN 33
+            ELSE 33 - length(bin(
+              CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT)))
+          END AS rho
+        FROM h$sfx),
+      reg$sfx AS (
+        SELECT bucket, CAST(max(rho) AS INT) AS r
+        FROM rh$sfx GROUP BY 1)"""
+
+  /** The estimator over a register CTE (the [[Hll.estimateBy]] formula,
+    * ungrouped). */
+  private def estSql(reg: String): String = s"""
+      SELECT round(CASE WHEN raw <= ${2.5 * M} AND v_zero > 0
+        THEN $M.0 * ln($M.0 / v_zero) ELSE raw END, 4) AS e
+      FROM (
+        SELECT CAST($M - count(*) AS BIGINT) AS v_zero,
+          CAST(${Hll.alpha(M)} AS DOUBLE) * ($M * $M)
+            / (SUM(1.0 / power(2.0, r)) + ($M.0 - count(*))) AS raw
+        FROM $reg)"""
+
+  /** Audience overlap via inclusion–exclusion over mergeable registers
+    * ([[Hll.intersectEstimate]]): users split into two overlapping
+    * populations (id%3≠0 vs id%2≠0, true overlap |id ∉ 6ℤ ∧ …| = 50 of
+    * 150); the union sketch is the register-wise max, never a rescan.
+    * The oracle rebuilds both register grids, the union, and every
+    * estimator term; the gate asserts the intersection estimate lands
+    * within the compounded 3σ error budget of the exact overlap. */
+  val hllOverlap: Q = Q(
+    "hll_overlap_estimate",
+    Some(s"""
+      WITH ${regCte("_a", "user_id % 3 <> 0")},
+      ${regCte("_b", "user_id % 2 <> 0")},
+      reg_u AS (
+        SELECT bucket, CAST(max(r) AS INT) AS r
+        FROM (SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b)
+        GROUP BY 1),
+      ea AS (${estSql("reg_a")}), eb AS (${estSql("reg_b")}),
+      eu AS (${estSql("reg_u")})
+      SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+        round(greatest(ea.e + eb.e - eu.e, 0.0), 4) AS est_intersection,
+        CASE WHEN eu.e > 0.0
+          THEN round(round(greatest(ea.e + eb.e - eu.e, 0.0), 4) / eu.e, 6)
+        END AS jaccard_est
+      FROM ea, eb, eu"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val a = Hll.sketch(ev.filter(col("user_id") % 3 =!= 0), "user_id", M)
+      val b = Hll.sketch(ev.filter(col("user_id") % 2 =!= 0), "user_id", M)
+      val out = Hll.intersectEstimate(a, b, M)
+      val r = out.collect().head
+      val exact = ev.filter(col("user_id") % 3 =!= 0)
+        .select("user_id").intersect(
+          ev.filter(col("user_id") % 2 =!= 0).select("user_id")).count()
+      // three ±1.04/√m marginals subtract: budget 3σ on each term
+      val sigma = 1.04 / math.sqrt(M.toDouble)
+      val budget = 3 * sigma * (r.getAs[Double]("est_a") +
+        r.getAs[Double]("est_b") + r.getAs[Double]("est_union"))
+      require(math.abs(r.getAs[Double]("est_intersection") - exact) <= budget,
+        s"intersection est ${r.getAs[Double]("est_intersection")} vs " +
+          s"exact $exact exceeds the $budget error budget")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(cmsCounters, cmsEstimates, cmsJoinCardinality,
-      hllRegisters, hllEstimates, hllSliding)
+      hllRegisters, hllEstimates, hllSliding, hllOverlap)
 }
