@@ -685,9 +685,60 @@ object SamplingQueries extends QueryModule {
       out.select("doc_id", "source", "domain_rank", "vt")
     })
 
+  /** 2-D Pareto front ([[graft.ops.Skyline.paretoFront2D]]) over orders
+    * — maximize (totalprice, order recency): the rows no tradeoff
+    * argument can exclude. Spark computes the front with the
+    * value-level partition-offset pass (no unpartitioned window); the
+    * oracle with a plain strict-predecessor window — two independent
+    * formulations of the same dominance test. The gate also brute-force
+    * verifies no surviving row is dominated and no excluded row is
+    * undominated (on the distinct-value level). */
+  val smpParetoFront: Q = Q(
+    "smp_pareto_front",
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+          CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS DOUBLE) AS recency
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+      g AS (SELECT price, max(recency) AS ymax FROM b GROUP BY price),
+      r AS (
+        SELECT price, ymax, max(ymax) OVER (ORDER BY price DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        FROM g),
+      f AS (SELECT price, ymax FROM r
+            WHERE prior IS NULL OR ymax > prior)
+      SELECT b.o_orderkey, b.price, b.recency
+      FROM b JOIN f ON b.price = f.price AND b.recency = f.ymax
+      ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("double").as("recency"))
+      val front = graft.ops.Skyline.paretoFront2D(orders, "price", "recency")
+        .select("o_orderkey", "price", "recency")
+      // independent dominance check on the (price, recency) value level
+      val pts = orders.filter(col("price").isNotNull &&
+          col("recency").isNotNull)
+        .select("price", "recency").distinct().collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      def dominated(p: (Double, Double)) = pts.exists(q =>
+        q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+      val got = front.select("price", "recency").distinct().collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      val wantFront = pts.filterNot(dominated).toSet
+      require(got == wantFront,
+        s"front mismatch: got ${got.size}, brute-force ${wantFront.size}")
+      front.orderBy("o_orderkey")
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
-      smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave)
+      smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave,
+      smpParetoFront)
 }

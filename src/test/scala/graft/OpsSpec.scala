@@ -2294,6 +2294,28 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("pareto front 2-D: dominance, ties, co-optimal duplicates, nulls") {
+    import graft.ops.Skyline
+    val df = Seq(
+      (1L, Some(10.0), 1.0), // front (highest x)
+      (2L, Some(8.0), 5.0),  // front
+      (3L, Some(8.0), 4.0),  // dominated by 2 (equal x, lower y)
+      (4L, Some(6.0), 5.0),  // dominated by 2 (lower x, equal y)
+      (5L, Some(5.0), 9.0),  // front
+      (6L, Some(5.0), 9.0),  // co-optimal duplicate of 5 -> also front
+      (7L, Some(4.0), 9.0),  // dominated by 5
+      (8L, Some(1.0), 10.0), // front
+      (9L, None, 99.0)       // null criterion: incomparable, excluded
+    ).toDF("id", "x", "y")
+    val got = Skyline.paretoFront2D(df, "x", "y")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(got == Seq(1L, 2L, 5L, 6L, 8L))
+    // partitioning invariance of the offset pass
+    val rep = Skyline.paretoFront2D(df.repartition(7), "x", "y")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(rep == got)
+  }
+
   test("equal-frequency bins: tie cohesion, null pass-through, invariance") {
     import graft.transform.Standardize
     // 8 values, k=4 -> 2 per bin; the four 5.0 ties must SHARE a bin
