@@ -1329,6 +1329,66 @@ object EventQueries extends QueryModule {
         .orderBy("segment")
     })
 
+  /** Two-proportion z-test ([[graft.stats.Experiment.proportionTest]]):
+    * users hash-split into arms, conversion = ≥ 14 purchase events —
+    * everything downstream of four integer counts through fixed double
+    * formulas, so the oracle rebuilds z and the Wald CI exactly; the
+    * normal p-value is library-only (asserted sane in-gate, excluded
+    * from the hashed projection). */
+  val evProportionTest: Q = Q(
+    "ev_proportion_ztest",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft-arm',
+            CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.5 AS arm,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+            AS conv
+        FROM events GROUP BY user_id),
+      c AS (
+        SELECT
+          CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN arm AND conv THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          CAST(SUM(CASE WHEN NOT arm AND conv THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM u),
+      f AS (
+        SELECT *,
+          ct / CAST(nt AS DOUBLE) AS pt, cc / CAST(nc AS DOUBLE) AS pc,
+          ct / CAST(nt AS DOUBLE) - cc / CAST(nc AS DOUBLE) AS d,
+          (ct + cc) / CAST(nt + nc AS DOUBLE) AS pp
+        FROM c),
+      g AS (
+        SELECT *,
+          sqrt(pp * (1.0 - pp) * (1.0 / nt + 1.0 / nc)) AS sp,
+          sqrt(pt * (1.0 - pt) / nt + pc * (1.0 - pc) / nc) AS sw
+        FROM f)
+      SELECT nt AS n_t, ct AS conv_t, round(pt, 9) AS rate_t,
+        nc AS n_c, cc AS conv_c, round(pc, 9) AS rate_c,
+        round(d, 9) + 0.0 AS diff,
+        round(CASE WHEN sp = 0 THEN 0.0 ELSE d / sp END, 9) + 0.0 AS z,
+        round(d - 1.959963984540054 * sw, 9) + 0.0 AS ci_lo,
+        round(d + 1.959963984540054 * sw, 9) + 0.0 AS ci_hi
+      FROM g"""),
+    (s, dir) => {
+      val units = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14).as("conv"))
+        .withColumn("arm", graft.ops.Sampling.hashFraction("graft-arm",
+          Seq(col("user_id"))) < 0.5)
+      val out = graft.stats.Experiment.proportionTest(units,
+        col("arm"), col("conv"))
+      val r = out.collect().head
+      require(r.getAs[Double]("p_value") >= 0 &&
+        r.getAs[Double]("p_value") <= 1, "p out of range")
+      require(r.getAs[Double]("ci_lo") <= r.getAs[Double]("diff") &&
+        r.getAs[Double]("diff") <= r.getAs[Double]("ci_hi"),
+        "Wald CI must bracket the difference")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
@@ -1336,5 +1396,5 @@ object EventQueries extends QueryModule {
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
-      evAttributionFirst, evSeasonal, evEwma, evSegmented)
+      evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest)
 }

@@ -131,4 +131,49 @@ object Experiment {
       round(lit(1.0) - (varAdjT / nT + varAdjC / nC)
         / (varT / nT + varC / nC), 8).as("var_reduction"))
   }
+
+  /** Two-proportion z-test — the conversion-rate readout beside
+    * [[cuped]]'s continuous metric and
+    * [[graft.stats.Bootstrap.upliftCi]]'s resampled interval: pooled-SE
+    * z statistic (the standard test) plus the unpooled-SE Wald 95% CI
+    * on the rate difference. Everything downstream of FOUR integer
+    * counts (n, conversions per arm) through fixed double formulas, so
+    * both engines derive identical numbers; the normal p-value is
+    * library-only. One aggregation pass over unit rows
+    * (unit, arm boolean, converted boolean); non-boolean-able
+    * conversion values fail loudly via the cast. Returns one row:
+    * (n_t, conv_t, rate_t, n_c, conv_c, rate_c, diff, z, ci_lo, ci_hi,
+    * p_value) with rates/diff/z/CI rounded to 9. */
+  def proportionTest(units: DataFrame, armCol: Column,
+      convCol: Column): DataFrame = {
+    val r = units.agg(
+      sum(when(armCol, 1L).otherwise(0L)).as("nt"),
+      sum(when(armCol && convCol, 1L).otherwise(0L)).as("ct"),
+      sum(when(!armCol, 1L).otherwise(0L)).as("nc"),
+      sum(when(!armCol && convCol, 1L).otherwise(0L)).as("cc")).head()
+    val nt = r.getAs[Long]("nt"); val ct = r.getAs[Long]("ct")
+    val nc = r.getAs[Long]("nc"); val cc = r.getAs[Long]("cc")
+    require(nt > 0 && nc > 0, s"empty arm: treatment=$nt control=$nc")
+    val pt = ct.toDouble / nt
+    val pc = cc.toDouble / nc
+    val diff = pt - pc
+    val pPool = (ct + cc).toDouble / (nt + nc)
+    val sePool = math.sqrt(pPool * (1.0 - pPool) * (1.0 / nt + 1.0 / nc))
+    val z = if (sePool == 0.0) 0.0 else diff / sePool
+    val seWald = math.sqrt(pt * (1.0 - pt) / nt + pc * (1.0 - pc) / nc)
+    val zCrit = 1.959963984540054 // Φ⁻¹(0.975), shared literal
+    val p =
+      if (sePool == 0.0) 1.0
+      else 2.0 * (1.0 -
+        new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+          .cumulativeProbability(math.abs(z)))
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark = units.sparkSession
+    import spark.implicits._
+    Seq((nt, ct, r9(pt), nc, cc, r9(pc), r9(diff), r9(z),
+        r9(diff - zCrit * seWald), r9(diff + zCrit * seWald), p))
+      .toDF("n_t", "conv_t", "rate_t", "n_c", "conv_c", "rate_c",
+        "diff", "z", "ci_lo", "ci_hi", "p_value")
+  }
 }
