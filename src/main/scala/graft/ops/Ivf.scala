@@ -110,4 +110,59 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
   }
+
+  /** Assign NEW vectors to an existing quantizer without refitting —
+    * the incremental-ingest path (a nightly batch or a stream's
+    * foreachBatch appends to the same cells the index was built with;
+    * refitting would move centroids and silently invalidate every
+    * stored assignment). One narrow map: L2-normalize, then argmin
+    * squared L2 to the centroid literals (ties to the lower cell id —
+    * KMeans' own rule), inlined like [[Similarity.dot]]'s literal
+    * folds — no shuffle, stream-safe. Null vectors are dropped (an
+    * unassignable vector must not land in cell 0 silently). */
+  def assign(centroids: Array[Array[Double]], df: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val v = l2normalize(col(vecCol).cast("array<double>"))
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), v.as("v"))
+    // squared L2 to centroid c: ||x||² − 2·x·c + ||c||²; ||x||² is
+    // shared by all cells so the argmin only needs −2·x·c + ||c||²
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(-2.0) * Similarity.dot(col("v"), cLit) + lit(cc))
+        .as("d"), lit(i).as("cell"))
+    }
+    base.withColumn("cell",
+      least(scores.toIndexedSeq: _*).getField("cell"))
+  }
+
+  /** Persist an [[Index]]: the assignment table as parquet PARTITIONED
+    * BY CELL (a reloaded search's per-cell probe join prunes to its
+    * cells' directories) and the centroid grid as a tiny parquet
+    * table — the bounded-artifact shape of
+    * [[graft.ops.Projection.savePcaModel]]. */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids at $path")
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      s"centroid cells not contiguous at $path")
+    Index(spark.read.parquet(s"$path/assigned")
+        .select("id", "v", "cell"),
+      cents.map(_._2))
+  }
 }

@@ -2294,6 +2294,46 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("ivf persistence and incremental assignment") {
+    import graft.ops.Ivf
+    def fakeVec(id: Long, dim: Int): Seq[Double] =
+      Seq.tabulate(dim) { j =>
+        val h = (id * 2654435761L + j * 40503L) & 0xffffL
+        h.toDouble / 0xffff.toDouble - 0.5
+      }
+    val dim = 16
+    val df = (0L until 300L).map(id => (id, fakeVec(id, dim)))
+      .toDF("id", "v")
+    val index = Ivf.build(df, "id", "v", nLists = 4, seed = 7)
+    // incremental assignment of the SAME vectors reproduces the index's
+    // own cells (same centroids, same argmin)
+    val re = Ivf.assign(index.centroids, df, "id", "v")
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = index.assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == orig, "re-assignment must match the fitted index")
+    // assignment plan is a narrow map
+    val plan = Ivf.assign(index.centroids, df, "id", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
+    // save/load round-trip: identical centroids and identical search
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf")
+    try {
+      val path = tmp.resolve("ix").toString
+      Ivf.save(index, path)
+      val loaded = Ivf.load(spark, path)
+      assert(loaded.centroids.map(_.toSeq).toSeq ==
+        index.centroids.map(_.toSeq).toSeq)
+      def run(ix: Ivf.Index) =
+        Ivf.search(ix, col("id") < 5, k = 10, nProbe = 2)
+          .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+            r.getAs[Long]("nid"))).sorted.toSeq
+      assert(run(loaded) == run(index),
+        "reloaded index must search identically")
+    } finally graft.core.Fs.deleteRecursively(tmp)
+  }
+
   test("pareto front 2-D: dominance, ties, co-optimal duplicates, nulls") {
     import graft.ops.Skyline
     val df = Seq(
