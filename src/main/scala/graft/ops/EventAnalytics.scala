@@ -410,4 +410,59 @@ object EventAnalytics {
     for (j <- 1 until horizon) w(j) = w(j - 1) * (1.0 - alpha)
     w
   }
+
+  /** Association rules over per-basket item sets (Agrawal & Srikant's
+    * market-basket pairs, 1994 — public): for each ORDERED item pair
+    * (a → b) co-occurring in ≥ `minBaskets` baskets, support,
+    * confidence, and lift — the event-co-occurrence miner ("users who
+    * hit `error` also hit `retry`") beside the sequence-based path
+    * trigrams. Items are DISTINCT per basket (multiplicity is a
+    * different question); every metric is a ratio of integer basket
+    * counts rounded to 9, so engines agree exactly.
+    *
+    * Scale shape: one distinct (basket, item) pass; the pair join is
+    * per-basket — shuffle volume Σ items_b², which is safe when baskets
+    * are small by nature (event TYPES per user, tags per doc). Baskets
+    * wider than `maxBasketItems` fail loudly rather than quietly
+    * going quadratic (pre-bucket items or mine top-k items only).
+    * Returns (item_a, item_b, n_a, n_b, n_ab, support, confidence,
+    * lift) ordered by (item_a, item_b). */
+  def itemsetPairs(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minBaskets: Long = 1L, maxBasketItems: Int = 1000): DataFrame = {
+    val bi = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"),
+        col(itemCol).cast("string").as("__i"))
+      .distinct()
+      .persist()
+    try {
+      val widest = bi.groupBy("__b").agg(count(lit(1)).as("w"))
+        .agg(max("w")).head().getLong(0)
+      require(widest <= maxBasketItems,
+        s"widest basket carries $widest items > maxBasketItems=" +
+          s"$maxBasketItems — the pair join would go quadratic; " +
+          "pre-bucket or mine top-k items")
+      val nBaskets = bi.select("__b").distinct().count()
+      val itemCounts = bi.groupBy(col("__i")).agg(count(lit(1)).as("n"))
+      val pairs = bi.join(
+          bi.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+        .filter(col("__i") =!= col("__j"))
+        .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minBaskets)
+      pairs
+        .join(itemCounts.select(col("__i").as("item_a"), col("n").as("n_a")),
+          Seq("item_a"))
+        .join(itemCounts.select(col("__i").as("item_b"), col("n").as("n_b")),
+          Seq("item_b"))
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"),
+          round(col("n_ab") / lit(nBaskets.toDouble), 9).as("support"),
+          round(col("n_ab") / col("n_a").cast("double"), 9)
+            .as("confidence"),
+          round(col("n_ab").cast("double") * nBaskets
+            / (col("n_a") * col("n_b")).cast("double"), 9).as("lift"))
+    } finally bi.unpersist(blocking = false)
+  }
 }

@@ -1389,6 +1389,48 @@ object EventQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Market-basket association pairs
+    * ([[graft.ops.EventAnalytics.itemsetPairs]]): baskets are
+    * (user, day), items the distinct event types that day — support,
+    * confidence, and lift from integer basket counts, every ratio
+    * identical cross-engine. minBaskets prunes the long tail the way a
+    * real miner would. */
+  val evItemsetPairs: Q = Q(
+    "ev_itemset_pairs",
+    Some("""
+      WITH bi AS (
+        SELECT DISTINCT
+          user_id * 100000 + date_diff('day', DATE '1970-01-01',
+            CAST(ts AS DATE)) AS b,
+          event_type AS i
+        FROM events),
+      n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM bi),
+      ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
+      p AS (
+        SELECT a.i AS item_a, c.i AS item_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM bi a JOIN bi c USING (b) WHERE a.i <> c.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 50)
+      SELECT item_a, item_b, na.n AS n_a, nbk.n AS n_b, n_ab,
+        round(n_ab / CAST((SELECT nb FROM n) AS DOUBLE), 9) AS support,
+        round(n_ab / CAST(na.n AS DOUBLE), 9) AS confidence,
+        round(CAST(n_ab AS DOUBLE) * (SELECT nb FROM n)
+          / CAST(na.n * nbk.n AS DOUBLE), 9) AS lift
+      FROM p
+      JOIN ic na ON p.item_a = na.i
+      JOIN ic nbk ON p.item_b = nbk.i
+      ORDER BY item_a, item_b"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("basket",
+          col("user_id") * 100000 +
+            datediff(to_date(col("ts")), lit("1970-01-01")))
+      graft.ops.EventAnalytics.itemsetPairs(ev, "basket", "event_type",
+          minBaskets = 50)
+        .orderBy("item_a", "item_b")
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
@@ -1396,5 +1438,6 @@ object EventQueries extends QueryModule {
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
-      evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest)
+      evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest,
+      evItemsetPairs)
 }

@@ -2294,6 +2294,35 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) == ((4, 1L, 1L)))
   }
 
+  test("itemset pairs: hand-computed support/confidence/lift, loud width") {
+    import graft.ops.EventAnalytics
+    // baskets: 1:{a,b}, 2:{a,b,c}, 3:{a}, 4:{b} -> nBaskets=4
+    // n_a=3, n_b=3, n_c=1; n_ab=2 (baskets 1,2), n_ac=1, n_bc=1
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), // duplicate collapses
+      (2L, "a"), (2L, "b"), (2L, "c"), (3L, "a"), (4L, "b"))
+      .toDF("bk", "it")
+    val out = EventAnalytics.itemsetPairs(df, "bk", "it")
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(out(("a", "b")) == ((2L, 0.5, math.rint(2.0 / 3 * 1e9) / 1e9,
+      math.rint(2.0 * 4 / 9 * 1e9) / 1e9)))
+    assert(out(("b", "a")) == out(("a", "b")),
+      "pair metrics symmetric when n_a == n_b")
+    assert(out(("c", "a"))._4 == math.rint(1.0 * 4 / 3 * 1e9) / 1e9)
+    // minBaskets prunes
+    val pruned = EventAnalytics.itemsetPairs(df, "bk", "it", minBaskets = 2)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b"))).toSet
+    assert(pruned == Set(("a", "b"), ("b", "a")))
+    // a basket wider than the cap fails loudly
+    val wide = (1 to 20).map(i => (9L, s"i$i")).toDF("bk", "it")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.itemsetPairs(wide, "bk", "it", maxBasketItems = 10)
+    }
+  }
+
   test("ivf persistence and incremental assignment") {
     import graft.ops.Ivf
     def fakeVec(id: Long, dim: Int): Seq[Double] =
