@@ -1335,8 +1335,15 @@ object TextQueries extends QueryModule {
     * extraction, and the leftmost-min-rank recursive encode (see
     * [[txtBpeTokenFreq]]'s scaladoc for the equivalence argument).
     * Gates append their own tails. */
-  private lazy val bpeReplayPrelude: String = {
-    val tok = graft.functions.Bpe.fromResource()
+  private lazy val bpeReplayPrelude: String =
+    bpeReplayPreludeFor(graft.functions.Bpe.fromResource())
+
+  /** The merge-replay WITH-RECURSIVE block for ANY tokenizer — the
+    * truncated-vocab gate replays a PREFIX of the merge list through
+    * the same machinery (BPE merges are rank-ordered, so a vocab-size
+    * cut is exactly a merge-list prefix). */
+  private def bpeReplayPreludeFor(
+      tok: graft.functions.BpeTokenizer): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val pat = graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
     val mergePairs = tok.merges.zipWithIndex
@@ -1392,6 +1399,63 @@ object TextQueries extends QueryModule {
       final AS (
         SELECT piece, arg_min(syms, len(syms)) AS syms
         FROM rec GROUP BY piece)"""
+  }
+
+  /** Tokenizer surgery: the same corpus re-encoded under a TRUNCATED
+    * vocab (merge-list prefix — BPE merges are rank-ordered, so a
+    * vocab cut is exactly a prefix) — the sweep a tokenizer-sizing
+    * decision reads. The oracle replays the 32-merge prefix through
+    * the same recursive machinery; the gate asserts the monotonicity
+    * contract (fewer merges can never produce fewer tokens) against
+    * the full tokenizer per language. */
+  val txtBpeTruncated: Q = {
+    val TruncMerges = 32
+    Q(
+      "txt_bpe_truncated_fertility",
+      Some(bpeReplayPreludeFor(new graft.functions.BpeTokenizer(
+        graft.functions.Bpe.fromResource().merges.take(TruncMerges))) + """,
+      plen AS (
+        SELECT piece, len(syms) AS ntok,
+          octet_length(encode(piece)) AS nbytes
+        FROM final)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_pieces,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(ntok) AS BIGINT)
+          / CAST(count(*) AS DOUBLE), 6) AS fertility,
+        round(CAST(SUM(nbytes) AS BIGINT)
+          / CAST(SUM(ntok) AS DOUBLE), 6) AS bytes_per_token
+      FROM rawpieces JOIN plen USING (piece)
+      GROUP BY lang ORDER BY lang"""),
+      (s, dir) => {
+        val full = graft.functions.Bpe.fromResource()
+        val trunc = new graft.functions.BpeTokenizer(
+          full.merges.take(TruncMerges))
+        val docs = Tables.load(s, dir, "documents")
+        def fert(tok: graft.functions.BpeTokenizer) =
+          docs.select(col("lang"),
+              graft.functions.Bpe.tokenCount(s, col("text"), tok)
+                .cast("long").as("ntok"),
+              TextOps.bpeTokenCount(col("text")).cast("long").as("npieces"),
+              octet_length(col("text")).cast("long").as("nbytes"))
+            .groupBy("lang")
+            .agg(
+              sum(col("npieces")).as("n_pieces"),
+              sum(col("ntok")).as("n_tokens"),
+              round(sum(col("ntok")) / sum(col("npieces")).cast("double"), 6)
+                .as("fertility"),
+              round(sum(col("nbytes")) / sum(col("ntok")).cast("double"), 6)
+                .as("bytes_per_token"))
+        val out = fert(trunc)
+        val fullTok = fert(full).select(col("lang"),
+          col("n_tokens").as("full_tokens"))
+        val bad = out.join(fullTok, Seq("lang"))
+          .filter(col("n_tokens") < col("full_tokens")).count()
+        require(bad == 0,
+          s"$bad languages got FEWER tokens from a truncated vocab — " +
+            "monotonicity broken")
+        out.orderBy("lang")
+      })
   }
 
   val txtBpeTokenFreq: Q = Q(
@@ -2322,7 +2386,8 @@ object TextQueries extends QueryModule {
     txtLuhnValidate, txtLuhnRedact, txtUnigramLogprob,
     txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
     txtBpeTokens, txtBpeReal, txtBpePieceCounts,
-    txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtMgSummary, txtQualityClassifier,
+    txtBpeTrain, txtBpeTokenFreq, txtBpeFertility, txtBpeTruncated,
+    txtMgSummary, txtQualityClassifier,
     txtSentenceChunks, txtSentenceChunksBpe, txtStripMarkup, txtUnigramTokenize,
     mntTokenExport,
     txtHashClassifier, mntUpsert)
