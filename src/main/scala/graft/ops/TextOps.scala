@@ -79,6 +79,19 @@ object TextOps {
     when(s.isNotNull && n > 0 && s.rlike("^[0-9]+$"), total % 10 === 0)
   }
 
+  /** Jaro–Winkler similarity of two string columns (the name-matching
+    * score for entity resolution beside the Levenshtein candidate
+    * filter) — native codegen expression, DuckDB-built-in semantics.
+    * See [[graft.functions.JaroWinkler]]. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => graft.functions.JaroWinkler(exprs(0), exprs(1)), "built-in")
+    call_function("graft_jaro_winkler",
+      a.cast(StringType), b.cast(StringType))
+  }
+
   /** Payment-card redaction: maximal 13–19 digit runs that pass Luhn
     * become `<CARD>`; everything else (order ids, timestamps) is
     * untouched. Native single-scan expression — see

@@ -1129,6 +1129,31 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Jaro–Winkler scoring over adjacent-key customer name pairs
+    * ([[graft.ops.TextOps.jaroWinkler]]): the oracle is DuckDB's OWN
+    * `jaro_winkler_similarity` — a genuinely independent implementation
+    * of the same published spec (match window, transposition halving,
+    * 0.7-thresholded prefix boost), so agreement on all 1,499 pairs is
+    * a real differential test, not a replay. */
+  val erJaroWinkler: Q = Q(
+    "er_jaro_winkler",
+    Some("""
+      SELECT c1.c_custkey AS k1, c2.c_custkey AS k2,
+        round(jaro_winkler_similarity(c1.c_name, c2.c_name), 9) AS jw
+      FROM customer c1 JOIN customer c2
+        ON c2.c_custkey = c1.c_custkey + 1
+      ORDER BY k1"""),
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val c1 = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+      val c2 = c.select((col("c_custkey") - 1).as("k1"),
+        col("c_custkey").as("k2"), col("c_name").as("n2"))
+      c1.join(c2, Seq("k1"))
+        .select(col("k1"), col("k2"),
+          round(TextOps.jaroWinkler(col("n1"), col("n2")), 9).as("jw"))
+        .orderBy("k1")
+    })
+
   val txtUnigramLogprob: Q = Q(
     "txt_unigram_logprob",
     Some("""
@@ -2382,7 +2407,8 @@ object TextQueries extends QueryModule {
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
-    txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, mntGoldenRecords,
+    txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, erJaroWinkler,
+    mntGoldenRecords,
     txtLuhnValidate, txtLuhnRedact, txtUnigramLogprob,
     txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
     txtBpeTokens, txtBpeReal, txtBpePieceCounts,

@@ -299,6 +299,31 @@ class CodegenSpec extends SparkSpec {
     assert(untouched == "pay 4111111111111112 now")
   }
 
+  test("JaroWinkler codegen matches eval and the textbook values") {
+    import graft.functions.JaroWinkler
+    // textbook pairs (Winkler 1990 examples + edge cases)
+    def jw(a: String, b: String) = JaroWinkler.similarity(a, b)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15)
+    // boost only above 0.7: CRATE/TRACE has prefix 0 -> jw == jaro
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-15)
+    // below threshold: no boost despite a common prefix
+    assert(jw("ABCDEFGHIJ", "ABZZZZZZZZ") == 0.4666666666666666)
+    assert(jw("", "abc") == 0.0 && jw("ab", "ba") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    val expr = JaroWinkler(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    for ((a, b) <- Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+        ("", "x"), ("same", "same"))) {
+      val in = InternalRow(UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(proj(in).getDouble(0) == expr.eval(in).asInstanceOf[Double],
+        s"codegen != eval for ($a, $b)")
+    }
+  }
+
   test("minhash pipeline runs end-to-end with codegen forced (no interpreter fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
