@@ -641,10 +641,53 @@ object CatalogQueries extends QueryModule {
       out
     })
 
+  /** Dataset-card markdown sink ([[Sinks.renderDatasetCard]], rows-only
+    * — a rendered document has no SQL mirror): the card is written to
+    * disk, read back, and reconciled against the oracle-checked
+    * per-source table it renders — every per-source doc count must
+    * appear in its row and the totals row must equal the table sum;
+    * a pipe-bearing title must not break the markdown table. */
+  val s12DatasetCard: Q = Q(
+    "s12_dataset_card",
+    None,
+    (s, dir) => {
+      val table = graft.ops.CorpusReport.bySource(
+        Tables.load(s, dir, "documents"))
+      val rows = table.collect()
+      val card = Sinks.renderDatasetCard(table,
+        title = "graft | synthetic corpus",
+        description = "Synthetic TPC-H-ish document corpus.",
+        provenance = Map("generator" -> "driver testdata",
+          "license" -> "synthetic"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-card")
+      try {
+        val p = tmp.resolve("DATASET_CARD.md")
+        java.nio.file.Files.writeString(p, card)
+        val back = java.nio.file.Files.readString(p)
+        require(back.startsWith("# graft \\| synthetic corpus"),
+          "title missing or pipe unescaped")
+        require(back.contains("## Provenance") && back.contains("## Sources"),
+          "sections missing")
+        rows.foreach { r =>
+          val src = r.getAs[String]("source")
+          val n = r.getAs[Long]("n_docs")
+          require(back.contains(s"| $src | $n |"),
+            s"per-source row for $src/$n missing from the card")
+        }
+        val total = rows.map(_.getAs[Long]("n_docs")).sum
+        require(back.contains(s"| **total** | $total |"),
+          s"totals row must carry $total")
+        import s.implicits._
+        Seq((rows.length.toLong, total, back.linesIterator.size.toLong))
+          .toDF("n_sources", "total_docs", "card_lines")
+      } finally graft.core.Fs.deleteRecursively(tmp)
+    })
+
   override def queries: Seq[Q] = Seq(
     s1DirectoryScan, s2CsvScan, s2JsonlScan, s2OrcScan, s2XmlScan,
     s2MergeSchemaScan,
     s2PartitionedScan, s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
-    s9ZipReport, s10TomlRoundtrip, s11ProfileSink, mntTableDigest)
+    s9ZipReport, s10TomlRoundtrip, s11ProfileSink, mntTableDigest,
+    s12DatasetCard)
 }

@@ -509,4 +509,54 @@ object Sinks {
       "filtering_report.csv" -> funnelCsv,
       "final_summary.csv" -> toCsvString(finalSummary)))
   }
+
+  /** Dataset-card markdown (the Datasheets-for-Datasets / HF
+    * dataset-card shape — public conventions): render the per-source
+    * corpus table ([[graft.ops.CorpusReport.bySource]]) plus free-form
+    * provenance fields into one markdown document — the artifact a
+    * curated training corpus ships with. The NUMBERS come from the
+    * oracle-checked table; this sink only formats. Totals row included;
+    * markdown cells pipe-escaped so a hostile source name can't break
+    * the table. Returns the rendered string (callers pick the file
+    * sink); every column of the input lands in the table in schema
+    * order. */
+  def renderDatasetCard(
+      bySource: DataFrame,
+      title: String,
+      description: String,
+      provenance: Map[String, String] = Map.empty): String = {
+    def esc(s: String) = s.replace("|", "\\|").replace("\n", " ")
+    val cols = bySource.schema.fieldNames.toSeq
+    val rows = bySource.collect()
+    val sb = new StringBuilder
+    sb.append(s"# ${esc(title)}\n\n${description.trim}\n\n")
+    if (provenance.nonEmpty) {
+      sb.append("## Provenance\n\n")
+      provenance.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb.append(s"- **${esc(k)}**: ${esc(v)}\n")
+      }
+      sb.append("\n")
+    }
+    sb.append("## Sources\n\n")
+    sb.append(cols.mkString("| ", " | ", " |\n"))
+    sb.append(cols.map(_ => "---").mkString("| ", " | ", " |\n"))
+    rows.foreach { r =>
+      sb.append(cols.indices.map(i =>
+        esc(Option(r.get(i)).map(_.toString).getOrElse("")))
+        .mkString("| ", " | ", " |\n"))
+    }
+    val numeric = bySource.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType] => i
+    }
+    sb.append(cols.indices.map { i =>
+      if (i == 0) "**total**"
+      else if (numeric.contains(i) && cols(i).startsWith("n_"))
+        rows.map(r => Option(r.get(i)).map(_.toString.toDouble)
+          .getOrElse(0.0)).sum.toLong.toString
+      else ""
+    }.mkString("| ", " | ", " |\n"))
+    sb.append(s"\n_${rows.length} sources._\n")
+    sb.toString
+  }
 }
