@@ -134,8 +134,11 @@ object Ivf {
       struct((lit(-2.0) * Similarity.dot(col("v"), cLit) + lit(cc))
         .as("d"), lit(i).as("cell"))
     }
-    base.withColumn("cell",
-      least(scores.toIndexedSeq: _*).getField("cell"))
+    // least() needs two args; a single-cell quantizer assigns trivially
+    val winner =
+      if (scores.length == 1) scores.head
+      else least(scores.toIndexedSeq: _*)
+    base.withColumn("cell", winner.getField("cell"))
   }
 
   /** Persist an [[Index]]: the assignment table as parquet PARTITIONED

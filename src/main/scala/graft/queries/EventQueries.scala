@@ -1323,6 +1323,10 @@ object EventQueries extends QueryModule {
           (col("d") - minD - 15) * 5).otherwise(0)).cast("double").as("y"))
       val out = graft.stats.Regression.segmented(pts, "x", "y", breakX = 15)
       val pooled = out.filter(col("segment") === "pooled").head()
+      // explicit null check first: getAs[Double] silently unboxes a null
+      // chow_p to 0.0, which would fake a significant break
+      require(!pooled.isNullAt(pooled.fieldIndex("chow_p")),
+        "degenerate Chow statistic on the planted-break fixture")
       require(pooled.getAs[Double]("chow_p") < 0.01,
         s"planted trend break not significant: p=${pooled.getAs[Double]("chow_p")}")
       out.select("segment", "n", "slope", "intercept", "rss", "chow_f")

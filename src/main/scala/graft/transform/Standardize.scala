@@ -191,7 +191,8 @@ object Standardize {
     * partitioned sort with the partition-offset prefix pass (the
     * [[graft.stats.Correlation]] rank recipe — NO unpartitioned
     * window), one shuffle join back on the value. The value-count
-    * table is distinct-values-sized, not row-sized. */
+    * table is distinct-values-sized, not row-sized. NaN values join to
+    * no bin (NaN ≠ NaN) and surface as null bins, like nulls. */
   def discretizeEqualFreq(
       df: DataFrame, valueCol: String, k: Int,
       outCol: String = "bin"): DataFrame = {
