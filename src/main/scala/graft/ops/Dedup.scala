@@ -306,6 +306,38 @@ object Dedup {
       .select("id1", "id2", "n1", "n2", "intersection", "jaccard")
   }
 
+  /** Asymmetric-containment pairs — the QUOTE/SUBSET duplicate detector
+    * a symmetric Jaccard threshold structurally misses: a tweet quoted
+    * inside an article shares nearly all of ITS shingles
+    * (containment ≈ 1) while the pair's Jaccard stays tiny (the
+    * article's size dominates the union). Keeps pairs where
+    * max(|A∩B|/|A|, |A∩B|/|B|) ≥ `threshold`; returns
+    * (id1, id2, n1, n2, intersection, containment_1in2,
+    * containment_2in1, jaccard) — both directions plus the Jaccard so
+    * the caller can tell mutual near-dups from one-way quotation.
+    *
+    * Same postings shape (and the same `maxPostings` scale contract /
+    * uncapped-df warning) as [[ngramJaccardPairs]] — shuffles ids, not
+    * text. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.8,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val all = ngramJaccardPairs(df, idCol, textCol, n,
+      threshold = Double.MinPositiveValue, maxPostings = maxPostings)
+    all
+      .withColumn("containment_1in2",
+        col("intersection").cast("double") / col("n1"))
+      .withColumn("containment_2in1",
+        col("intersection").cast("double") / col("n2"))
+      .filter(greatest(col("containment_1in2"),
+        col("containment_2in1")) >= threshold)
+      .select("id1", "id2", "n1", "n2", "intersection",
+        "containment_1in2", "containment_2in1", "jaccard")
+  }
+
   /** MinHash signatures: (id, sig array<long>[k]) from word-n-gram
     * shingles, via the native [[graft.functions.MinHash64]] expression —
     * one codegen'd pass over the shingle array computes all k minima.

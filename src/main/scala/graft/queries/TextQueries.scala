@@ -175,6 +175,69 @@ object TextQueries extends QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"))
 
+  /** Containment (asymmetric-Jaccard) pairs
+    * ([[Dedup.containmentPairs]]): the corpus gains planted EXCERPTS
+    * (first 150 chars of every 10th doc) — quote-style subset
+    * duplicates whose containment is near 1 while their Jaccard stays
+    * far below any symmetric threshold; the gate asserts at least one
+    * surviving pair has jaccard < 0.3 (the case the operator exists to
+    * catch) and the oracle rebuilds every pair's both-direction
+    * containments. */
+  val ddContainment: Q = Q(
+    "dd_containment_pairs",
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, substr(text, 1, 150)
+        FROM documents WHERE doc_id % 10 = 0),
+      t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM corpus),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END) AS s
+        FROM t),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS intersection
+        FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, sa.n AS n1, sb.n AS n2, intersection,
+        ROUND(CAST(intersection AS DOUBLE) / sa.n, 6) AS containment_1in2,
+        ROUND(CAST(intersection AS DOUBLE) / sb.n, 6) AS containment_2in1,
+        ROUND(CAST(intersection AS DOUBLE)
+          / (sa.n + sb.n - intersection), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON inter.id1 = sa.doc_id
+      JOIN sz sb ON inter.id2 = sb.doc_id
+      WHERE greatest(CAST(intersection AS DOUBLE) / sa.n,
+        CAST(intersection AS DOUBLE) / sb.n) >= 0.8
+      ORDER BY id1, id2"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            substring(col("text"), 1, 150).as("text")))
+      val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+          n = 2, threshold = 0.8)
+        .select(col("id1"), col("id2"), col("n1"), col("n2"),
+          col("intersection"),
+          round(col("containment_1in2"), 6).as("containment_1in2"),
+          round(col("containment_2in1"), 6).as("containment_2in1"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+      val oneWay = out.filter(col("jaccard") < 0.3).count()
+      require(oneWay > 0,
+        "no surviving pair below symmetric-Jaccard reach — the fixture " +
+          "no longer exercises the operator's reason to exist")
+      out
+    })
+
   /** Prefix-filtering EXACT Jaccard join ([[Dedup.prefixJaccardPairs]],
     * PPJoin shape): the SAME oracle as dd_jaccard_pairs — prefix
     * filtering is pruning, not approximation, so a different Spark
@@ -2408,6 +2471,7 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, erJaroWinkler,
+    ddContainment,
     mntGoldenRecords,
     txtLuhnValidate, txtLuhnRedact, txtUnigramLogprob,
     txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
