@@ -973,10 +973,78 @@ object EvalQueries extends QueryModule {
       out
     })
 
+  /** Per-group isotonic calibration
+    * ([[graft.stats.Isotonic.fitByGroup]]): the same score/label fixture
+    * split into two domains (orderkey parity), each fitted its own
+    * monotone map — one (group, score) aggregation, driver PAV per
+    * group. The oracle runs the INDEPENDENT minimax formula
+    * group-partitioned; per-group fits must also equal what
+    * single-group [[Isotonic.fit]] computes on each slice (asserted
+    * in-gate — the per-group path must be exactly the grouped
+    * composition of the single path). */
+  val isoFitByGroup: Q = Q(
+    "iso_fit_by_group",
+    Some(s"""
+      WITH b AS (
+        SELECT o_orderkey % 2 AS g,
+          CAST(floor(o_totalprice / 20000) AS INT) AS s,
+          CASE WHEN ${hfSql("graft-cal", "o_orderkey")}
+            < (CAST(floor(o_totalprice / 20000) AS INT) + 1) / 27.0
+            THEN 1 ELSE 0 END AS y
+        FROM orders),
+      lev AS (
+        SELECT g, s, CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS sy,
+          row_number() OVER (PARTITION BY g ORDER BY s) AS i
+        FROM b GROUP BY g, s),
+      pre AS (
+        SELECT g, i, s, n, sy,
+          SUM(n) OVER (PARTITION BY g ORDER BY i) AS cn,
+          SUM(sy) OVER (PARTITION BY g ORDER BY i) AS cy
+        FROM lev),
+      triple AS (
+        SELECT m.g, m.i, j.i AS j, k.i AS k,
+          CAST(k.cy - (j.cy - j.sy) AS DOUBLE)
+            / (k.cn - (j.cn - j.n)) AS a
+        FROM pre m
+        JOIN pre j ON j.g = m.g AND j.i <= m.i
+        JOIN pre k ON k.g = m.g AND k.i >= m.i),
+      mm AS (SELECT g, i, j, min(a) AS inner_min
+             FROM triple GROUP BY g, i, j),
+      fit AS (SELECT g, i, max(inner_min) AS fitted
+              FROM mm GROUP BY g, i)
+      SELECT lev.g AS g, lev.s AS score, lev.n, lev.sy,
+        round(fit.fitted, 9) AS fitted
+      FROM lev JOIN fit ON lev.g = fit.g AND lev.i = fit.i
+      ORDER BY lev.g, score"""),
+    (s, dir) => {
+      import s.implicits._
+      import graft.stats.Isotonic
+      val base = isoBase(s, dir)
+        .withColumn("g", col("o_orderkey") % 2)
+      val models = Isotonic.fitByGroup(base, col("g"), col("s"), col("y"))
+      require(models.keySet == Set("0", "1"), s"groups: ${models.keySet}")
+      // per-group == grouped composition of the single-group fit
+      for ((g, m) <- models) {
+        val single = Isotonic.fit(base.filter(col("g") === g.toLong),
+          col("s"), col("y"))
+        require(m.scores.sameElements(single.scores) &&
+          m.fitted.sameElements(single.fitted),
+          s"group $g: fitByGroup differs from fit() on the slice")
+      }
+      models.toSeq.flatMap { case (g, m) =>
+        m.scores.indices.map(ix => (g.toLong, m.scores(ix).toInt,
+          m.n(ix), m.sumY(ix).toLong,
+          java.math.BigDecimal.valueOf(m.fitted(ix))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()))
+      }.toDF("g", "score", "n", "sy", "fitted")
+        .orderBy("g", "score")
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
-      krippendorffGate, bestThresholdGate)
+      krippendorffGate, bestThresholdGate, isoFitByGroup)
 }

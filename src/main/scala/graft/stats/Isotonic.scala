@@ -66,32 +66,7 @@ object Isotonic {
     val s = levels.map(_.getAs[Double]("__s"))
     val n = levels.map(_.getAs[Long]("__n"))
     val sy = levels.map(_.getAs[java.math.BigDecimal]("__sy").doubleValue())
-    // PAV with a block stack: each block holds (weight, sum); merge while
-    // the new block's mean undercuts its left neighbor's
-    val bw = new Array[Double](s.length) // block weight
-    val bs = new Array[Double](s.length) // block label sum
-    val bEnd = new Array[Int](s.length) // block's last level index
-    var top = -1
-    var i = 0
-    while (i < s.length) {
-      top += 1; bw(top) = n(i).toDouble; bs(top) = sy(i); bEnd(top) = i
-      while (top > 0 &&
-          bs(top - 1) * bw(top) >= bs(top) * bw(top - 1)) {
-        // means compared cross-multiplied: no division until the end
-        bw(top - 1) += bw(top); bs(top - 1) += bs(top)
-        bEnd(top - 1) = bEnd(top); top -= 1
-      }
-      i += 1
-    }
-    val fitted = new Array[Double](s.length)
-    var b = 0; var from = 0
-    while (b <= top) {
-      val v = bs(b) / bw(b)
-      var j = from
-      while (j <= bEnd(b)) { fitted(j) = v; j += 1 }
-      from = bEnd(b) + 1; b += 1
-    }
-    Model(s, fitted, n, sy)
+    pav(s, n, sy)
   }
 
   /** The model as a tiny (score, fitted) DataFrame for broadcast. */
@@ -133,5 +108,71 @@ object Isotonic {
       .when(size(le) === 0, lit(blocks.head._2))
       .otherwise(element_at(le, -1).getField("f"))
     df.withColumn(outCol, fitted)
+  }
+
+  /** Per-group PAV — one monotone calibration map PER DOMAIN, the
+    * standard fix when a shared scorer runs hot on some sources (a
+    * single global map would let the hot domain's bias leak into every
+    * other domain's probabilities). ONE distributed aggregation to the
+    * (group, score) level table, then driver PAV per group over the
+    * collected levels — bounded by `maxTotalLevels` ACROSS groups (the
+    * loud contract names the fix: round scores, or calibrate the fat
+    * groups individually via [[fit]]). Returns group → [[Model]];
+    * groups with a null key are excluded (no domain, no map). */
+  def fitByGroup(df: DataFrame, groupCol: Column, scoreCol: Column,
+      labelCol: Column, maxTotalLevels: Int = 200000): Map[String, Model] = {
+    val levels = df
+      .select(groupCol.cast("string").as("__g"),
+        scoreCol.cast("double").as("__s"),
+        labelCol.cast("double").as("__y"))
+      .filter(col("__g").isNotNull && col("__s").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy("__g", "__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__y"), 9).cast("decimal(38,12)")).as("__sy"))
+      .limit(maxTotalLevels + 1)
+      .collect()
+    require(levels.nonEmpty, "no (group, score) levels to fit")
+    require(levels.length <= maxTotalLevels,
+      s"more than $maxTotalLevels (group, score) levels — round the " +
+        "score column, or fit fat groups individually via fit()")
+    levels.groupBy(_.getAs[String]("__g")).map { case (g, rows) =>
+      val sorted = rows.sortBy(_.getAs[Double]("__s"))
+      val s = sorted.map(_.getAs[Double]("__s"))
+      val n = sorted.map(_.getAs[Long]("__n"))
+      val sy = sorted.map(
+        _.getAs[java.math.BigDecimal]("__sy").doubleValue())
+      g -> pav(s, n, sy)
+    }
+  }
+
+  /** The PAV core shared by [[fit]] and [[fitByGroup]]: block-stack
+    * pooling with cross-multiplied mean comparisons (no division until
+    * the final block means). */
+  private def pav(s: Array[Double], n: Array[Long],
+      sy: Array[Double]): Model = {
+    val bw = new Array[Double](s.length)
+    val bs = new Array[Double](s.length)
+    val bEnd = new Array[Int](s.length)
+    var top = -1
+    var i = 0
+    while (i < s.length) {
+      top += 1; bw(top) = n(i).toDouble; bs(top) = sy(i); bEnd(top) = i
+      while (top > 0 &&
+          bs(top - 1) * bw(top) >= bs(top) * bw(top - 1)) {
+        bw(top - 1) += bw(top); bs(top - 1) += bs(top)
+        bEnd(top - 1) = bEnd(top); top -= 1
+      }
+      i += 1
+    }
+    val fitted = new Array[Double](s.length)
+    var b = 0; var from = 0
+    while (b <= top) {
+      val v = bs(b) / bw(b)
+      var j = from
+      while (j <= bEnd(b)) { fitted(j) = v; j += 1 }
+      from = bEnd(b) + 1; b += 1
+    }
+    Model(s, fitted, n, sy)
   }
 }
