@@ -34,6 +34,55 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-source duplicate attribution — WHICH sources feed the dedup
+    * stage its losses (the curation dashboard next to the dedup itself;
+    * a source with a high duplicate rate is a scraping or syndication
+    * problem upstream, not a corpus property): per source, total docs,
+    * docs surviving exact dedup under the global min-id canonical rule,
+    * dropped docs, and the drop rate. Note the attribution is
+    * CROSS-SOURCE honest: a doc duplicated from another source's
+    * canonical counts against the source that re-published it. Two
+    * hash aggregations (fp-level, then source-level) — fp-table-sized
+    * shuffles. Rate rounds to 9. */
+  def dupAttribution(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("__id"), col(sourceCol).as("source"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val canon = fp.groupBy("__fp").agg(min(col("__id")).as("__keep"))
+    fp.join(canon, Seq("__fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__id") === col("__keep"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        round((col("n_docs") - col("n_kept"))
+          / col("n_docs").cast("double"), 9).as("drop_rate"))
+  }
+
+  /** Daily novelty rate — what fraction of each day's documents the
+    * corpus had never seen before (by exact fingerprint): the
+    * growth-observability metric that separates a healthy expanding
+    * crawl (high novelty) from one re-fetching itself (collapsing
+    * novelty). A fingerprint is "new" on its FIRST day (min day over
+    * occurrences; re-publications later that same day still count as
+    * that day's novelty — first-day mass, the natural grain). Two hash
+    * aggregations; fp-table-sized shuffles. */
+  def noveltyByDay(df: DataFrame, textCol: String,
+      dayCol: Column): DataFrame = {
+    val fp = df.select(dayCol.cast("long").as("day"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val firstDay = fp.groupBy("__fp").agg(min(col("day")).as("__first"))
+    fp.join(firstDay, Seq("__fp"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("day"), col("n_docs"), col("n_novel"),
+        round(col("n_novel") / col("n_docs").cast("double"), 9)
+          .as("novelty_rate"))
+  }
+
   /** Cross-corpus PARAGRAPH dedup (the CCNet shape): each document's
     * paragraph array dedups against the WHOLE corpus — only the first
     * occurrence of a normalized paragraph survives (corpus order =

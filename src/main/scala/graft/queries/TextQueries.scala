@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule, Tables}
 import graft.ops.{Dedup, TextOps, Winnow}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over the `documents` table, with DuckDB
@@ -235,6 +236,91 @@ object TextQueries extends QueryModule {
       require(oneWay > 0,
         "no surviving pair below symmetric-Jaccard reach — the fixture " +
           "no longer exercises the operator's reason to exist")
+      out
+    })
+
+  /** Shared planted-republication corpus for the dedup-observability
+    * gates: every 5th doc is re-published two days later under the
+    * 'syndicator' source — exact duplicates with known provenance. */
+  private val repubSql = """
+      corpus AS (
+        SELECT doc_id, text, source, doc_id % 7 AS day FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, text, 'syndicator', doc_id % 7 + 2
+        FROM documents WHERE doc_id % 5 = 0)"""
+
+  private def repubCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("source"),
+        (col("doc_id") % 7).as("day"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+          lit("syndicator").as("source"), (col("doc_id") % 7 + 2).as("day")))
+  }
+
+  /** Per-source duplicate attribution ([[Dedup.dupAttribution]]): the
+    * planted syndicator re-publishes earlier docs, so it must show a
+    * 100% drop rate while original sources show 0 — the curation
+    * dashboard that points the dedup losses at the upstream culprit. */
+  val ddDupAttribution: Q = Q(
+    "dd_dup_attribution",
+    Some(s"""
+      WITH $repubSql,
+      fp AS (
+        SELECT doc_id, source,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM corpus),
+      canon AS (SELECT f, min(doc_id) AS keep FROM fp GROUP BY f)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(count(*) - SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dropped,
+        round((count(*) - SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END))
+          / CAST(count(*) AS DOUBLE), 9) AS drop_rate
+      FROM fp JOIN canon USING (f)
+      GROUP BY source
+      ORDER BY source"""),
+    (s, dir) => {
+      val out = Dedup.dupAttribution(repubCorpus(s, dir),
+        "doc_id", "text", "source").orderBy("source")
+      val rates = out.collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Double]("drop_rate")).toMap
+      require(rates("syndicator") == 1.0,
+        s"syndicator drop rate ${rates("syndicator")} != 1.0")
+      require(rates.filterKeys(_ != "syndicator").values.forall(_ == 0.0),
+        "original sources must drop nothing")
+      out
+    })
+
+  /** Daily novelty rate ([[Dedup.noveltyByDay]]): re-publications land
+    * two days after their originals with novelty false, so their days
+    * dip below 1.0 — the growth-observability curve that separates a
+    * healthy crawl from one re-fetching itself. */
+  val mntNoveltyByDay: Q = Q(
+    "mnt_novelty_by_day",
+    Some(s"""
+      WITH $repubSql,
+      fp AS (
+        SELECT CAST(day AS BIGINT) AS day,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM corpus),
+      fd AS (SELECT f, min(day) AS fst FROM fp GROUP BY f)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN day = fst THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        round(SUM(CASE WHEN day = fst THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 9) AS novelty_rate
+      FROM fp JOIN fd USING (f)
+      GROUP BY day
+      ORDER BY day"""),
+    (s, dir) => {
+      val out = Dedup.noveltyByDay(repubCorpus(s, dir), "text", col("day"))
+        .orderBy("day")
+      val rates = out.collect().map(r =>
+        r.getAs[Long]("day") -> r.getAs[Double]("novelty_rate")).toMap
+      require(rates.values.exists(_ < 1.0),
+        "planted re-publications produced no novelty dip")
       out
     })
 
@@ -2471,7 +2557,7 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, erJaroWinkler,
-    ddContainment,
+    ddContainment, ddDupAttribution, mntNoveltyByDay,
     mntGoldenRecords,
     txtLuhnValidate, txtLuhnRedact, txtUnigramLogprob,
     txtBigramLogprob, txtKneserNey, txtCcnetBuckets, txtCollocations,
