@@ -288,7 +288,7 @@ object TextQueries extends QueryModule {
         r.getAs[String]("source") -> r.getAs[Double]("drop_rate")).toMap
       require(rates("syndicator") == 1.0,
         s"syndicator drop rate ${rates("syndicator")} != 1.0")
-      require(rates.filterKeys(_ != "syndicator").values.forall(_ == 0.0),
+      require(rates.forall { case (src, r) => src == "syndicator" || r == 0.0 },
         "original sources must drop nothing")
       out
     })
