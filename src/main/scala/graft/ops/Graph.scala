@@ -401,7 +401,15 @@ object Graph {
     * shuffle ids only — the textbook mitigation, not a heuristic. */
   def triangles(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    val und = undirect(edges, srcCol, dstCol)
+    // the simple graph is consumed three times (degrees + both sides of
+    // the orientation) and the oriented table three more (both wedge
+    // arms + the closing join): LOCAL CHECKPOINTS materialize each once
+    // instead of re-deriving the whole upstream chain per reference —
+    // without them the plan re-expands the edge derivation ~9× (plan
+    // audit; the ContextCleaner frees the blocks when the result is
+    // GC'd). Eager like [[kCore]]: calling triangles() runs the two
+    // preparation jobs immediately.
+    val und = undirect(edges, srcCol, dstCol).localCheckpoint()
     // undirected degree per node, joined to both endpoints to compute the
     // orientation (deg, id) locally per edge
     val deg = und.select(col("u").as("node"))
@@ -422,6 +430,7 @@ object Graph {
       // the wedge arms; carry the target's order key on the edge
       .join(deg.withColumnRenamed("node", "t")
         .withColumnRenamed("d", "dt"), Seq("t"))
+      .localCheckpoint()
     val a = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
     val b2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
     val wedges = a.join(b2, Seq("s"))
