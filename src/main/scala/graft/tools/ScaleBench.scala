@@ -541,6 +541,21 @@ object ScaleBench {
           s""","triangles":$tri""")
       }
 
+      if (wanted("dd_containment")) {
+        // scaled docs carry per-copy token suffixes, so shingle sets are
+        // DISJOINT across copies: containment pairs (and the postings
+        // join behind them) must scale ~K×, never the K² a text-identical
+        // copy would plant. Witness: the pair count.
+        var pairs = 0L
+        val (cMed, cS) = timeMedian {
+          pairs = graft.ops.Dedup.containmentPairs(
+            docs, "doc_id", "text", n = 2, threshold = 0.8,
+            maxPostings = 1000).count()
+        }
+        emit("dd_containment", k, docs.count(), cMed, cS,
+          s""","pairs":$pairs""")
+      }
+
       if (wanted("gr_kcore")) {
         // k-core peel on the same social graph: per round two id-only
         // shuffles over the surviving edges, peel depth structure-

@@ -556,4 +556,32 @@ class PropertySpec extends SparkSpec {
     assert(row.getAs[Long]("vocab") > 0 && row.getAs[Double]("slope") < 0,
       "zipf fit should produce a negative slope on natural-ish text")
   }
+
+  test("round-13 rank/selection ops: NO unpartitioned window in any plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // stride interleaving: one PER-DOMAIN rank window + a global SORT
+    // (range-partitioned — allowed), never a global window
+    val il = graft.ops.Sampling.interleaveByWeight(
+      docs.select($"doc_id", $"source"), Seq("doc_id"), "source",
+      docs.select("source").distinct().collect()
+        .map(_.getString(0) -> 0.5).toMap)
+    assert(globalWindows(il).isEmpty,
+      s"interleave must not plan a global window")
+    // equal-frequency bins: ranks via the partition-offset RDD pass
+    val bins = graft.transform.Standardize.discretizeEqualFreq(
+      docs.select($"doc_id", $"n_chars".cast("double").as("x")), "x", 8)
+    assert(globalWindows(bins).isEmpty,
+      "equal-freq binning must not plan a global window")
+    // 2-D pareto front: value-level offset pass, no global window
+    val front = graft.ops.Skyline.paretoFront2D(
+      docs.select($"doc_id", $"n_chars".cast("double").as("x"),
+        ($"doc_id" % 97).cast("double").as("y")), "x", "y")
+    assert(globalWindows(front).isEmpty,
+      "pareto front must not plan a global window")
+  }
 }
