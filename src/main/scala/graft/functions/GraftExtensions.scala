@@ -35,5 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CompressionRatio].getName,
         "compression_ratio"),
       (exprs: Seq[Expression]) => CompressionRatio(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("luhn_redact_cards"),
+      new ExpressionInfo(classOf[LuhnRedactCards].getName,
+        "luhn_redact_cards"),
+      (exprs: Seq[Expression]) => LuhnRedactCards(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
   }
 }
