@@ -541,6 +541,26 @@ object ScaleBench {
           s""","triangles":$tri""")
       }
 
+      if (wanted("qz_encode")) {
+        // int8 quantization over the scaled embeddings: one d-bounded
+        // range agg + a narrow encode map — time must scale ~linearly in
+        // rows. Witness: the code-grid checksum (sum of all codes) scales
+        // with the corpus while staying in [0, 255]·rows·dim.
+        def em = spark.read.parquet(s"$dir/embeddings")
+        var checksum = 0L
+        var rows = 0L
+        val (qMed, qS) = timeMedian {
+          val (lo, hi) = graft.ops.Quantize.collectRanges(
+            graft.ops.Quantize.ranges(em, "embedding", 64), 64)
+          val enc = graft.ops.Quantize.encode(em, "embedding", lo, hi)
+          val r = enc.select(
+            sum(aggregate(col("code"), lit(0L), (a, x) => a + x)).as("s"),
+            count(lit(1)).as("n")).head()
+          checksum = r.getAs[Long]("s"); rows = r.getAs[Long]("n")
+        }
+        emit("qz_encode", k, rows, qMed, qS, s""","code_sum":$checksum""")
+      }
+
       if (wanted("dd_containment")) {
         // scaled docs carry per-copy token suffixes, so shingle sets are
         // DISJOINT across copies: containment pairs (and the postings
