@@ -36,13 +36,35 @@ object SparkEntry {
 
   private lazy val bank: Seq[Q] = modules.flatMap(_.queries)
 
+  /** Semantics-bearing runtime confs, pinned on whatever session the
+    * grading driver hands us before any plan is built. Every OTHER
+    * environment (GraftSession mains, build.sbt's forked test JVM)
+    * already pins these; the driver's session is the one we don't
+    * construct, and a drifted session timezone or reader flag there can
+    * silently flip timestamp rendering or cast semantics in gates that
+    * are value-correct locally. Values match what the whole suite is
+    * verified under: UTC session zone, Spark 4 ANSI defaults, NTZ
+    * inference on (Tables.tsNormalizer's contract), nanos-as-long
+    * escape hatch for the NANOS-encoded events generation. */
+  private def pinConfs(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  private def pinned(
+      run: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => { pinConfs(s); run(s, dir) }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.CoreQueries.q1PricingAgg.run(spark, "/root/testdata/sf0.001")
+    pinned(graft.queries.CoreQueries.q1PricingAgg.run)(
+      spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    bank.map(q => q.name -> q.run).toMap
+    bank.map(q => q.name -> pinned(q.run)).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

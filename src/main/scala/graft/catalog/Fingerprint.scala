@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * of a row digest differently than one (an xor fold would cancel
   * pairs). Both the hash and the sum are engine-portable — the md5
   * identity-hash family plus exact decimal addition — so the digest a
-  * different engine computes over the same rows is bit-identical.
+  * different engine computes over the same rows is bit-identical. The
+  * fold stays decimal internally but is EMITTED as BIGINT (exact below
+  * 2³¹ rows), because equal decimal values can carry engine-specific
+  * physical encodings that a byte-level comparator rejects.
   *
   * Scale shape: one narrow map + one map-side-combined 1-row agg; no
   * shuffle beyond partition partials. Collision odds follow the sum of
@@ -34,22 +37,55 @@ object Fingerprint {
 
   /** The canonical per-row hash term over `cols` (order matters —
     * declare the column list explicitly so schema evolution is a
-    * deliberate digest change). */
-  private def rowTerm(cols: Seq[String]): Column = {
-    val rendered = cols.map(c =>
-      coalesce(col(c).cast("string"), lit("<NULL>")))
+    * deliberate digest change). Columns named in `doubleScales` are
+    * floating-point measures: a raw double's string rendering is
+    * engine-specific (shortest-roundtrip vs %g), so those cells render
+    * through the portable recipe double → DECIMAL(38,s) → string —
+    * both engines round the cast identically away from any tie (a
+    * 2-decimal money value stored in a double is never a cast
+    * midpoint) and both render the decimal as plain `-?\d+\.\d{s}`. */
+  private def rowTerm(
+      cols: Seq[String], doubleScales: Map[String, Int]): Column = {
+    val rendered = cols.map { c =>
+      val cell = doubleScales.get(c) match {
+        case Some(s) => col(c).cast(s"decimal(38,$s)").cast("string")
+        case None    => col(c).cast("string")
+      }
+      coalesce(cell, lit("<NULL>"))
+    }
     conv(substring(md5(
       concat_ws(Sep, rendered: _*).cast("binary")), 1, 8), 16, 10)
       .cast("long")
   }
 
   /** One row: (n_rows, content_digest) — the exact decimal sum of
-    * 32-bit row hashes over the declared columns. */
-  def contentDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * 32-bit row hashes over the declared columns, emitted as BIGINT.
+    * The sum of n 32-bit terms is < n·2³², so the long emission is
+    * exact for any table under 2³¹ rows (~2.1e9); per-partition tables
+    * beyond that should digest through [[contentDigestExact]], whose
+    * decimal(38,0) output never overflows. The BIGINT emission exists
+    * because a decimal's physical encoding is engine-specific (int128
+    * vs unscaled bytes) even when the VALUE is identical — a byte-level
+    * comparator sees two different decimals for the same number, where
+    * a 64-bit long has one representation everywhere. */
+  def contentDigest(
+      df: DataFrame, cols: Seq[String],
+      doubleScales: Map[String, Int] = Map.empty): DataFrame =
+    contentDigestExact(df, cols, doubleScales).select(
+      col("n_rows"),
+      col("content_digest").cast("long").as("content_digest"))
+
+  /** [[contentDigest]] with the sum left in decimal(38,0) — overflow-
+    * free at any row count (38 digits holds 2³² × 10²⁸ rows). */
+  def contentDigestExact(
+      df: DataFrame, cols: Seq[String],
+      doubleScales: Map[String, Int] = Map.empty): DataFrame = {
     require(cols.nonEmpty, "declare the digest columns explicitly")
+    require(doubleScales.keySet.subsetOf(cols.toSet),
+      "every doubleScales key must appear in cols")
     df.agg(
       count(lit(1)).as("n_rows"),
-      coalesce(sum(rowTerm(cols).cast("decimal(38,0)")),
+      coalesce(sum(rowTerm(cols, doubleScales).cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("content_digest"))
   }
 

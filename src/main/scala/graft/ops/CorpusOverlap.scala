@@ -145,9 +145,9 @@ object CorpusOverlap {
     * Laplace-smoothed over the union vocabulary: pₐ = (cₐ+1)/(Nₐ+V),
     * so both KLs are finite even on disjoint vocabularies. One tagged
     * wordcount aggregation (map-side combined, shuffle vocabulary-
-    * sized), scalars via windows, per-token ln terms rounded to 9 and
-    * folded in decimal — the established cross-engine recipe, so the
-    * DuckDB oracle rebuilds every number. Output one row: vocabulary
+    * sized), scalars via a broadcast 1-row aggregate, per-token ln
+    * terms rounded to 9 and folded in decimal — the established
+    * cross-engine recipe, so the DuckDB oracle rebuilds every number. Output one row: vocabulary
     * and token totals, kl_ab, kl_ba, js (JS in nats, bounded by ln 2),
     * all rounded to 8. */
   def divergence(
@@ -159,11 +159,18 @@ object CorpusOverlap {
       .select(col("tok"), lit(0L).as("ca"), lit(1L).as("cb"))
     val counts = ta.union(tb).groupBy("tok")
       .agg(sum("ca").as("ca"), sum("cb").as("cb"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val withTotals = counts
-      .withColumn("v", count(lit(1)).over(w))
-      .withColumn("na", sum(col("ca")).over(w))
-      .withColumn("nb", sum(col("cb")).over(w))
+    // The three scalars (vocab size, token totals) are one 1-row
+    // aggregate broadcast back onto the vocabulary table — NOT a
+    // Window.partitionBy(), which would funnel the entire (web-scale:
+    // 10⁸–10⁹ row) vocabulary through a single task. Same idiom as
+    // Standardize.quantileNormalizeByGroup. counts is computed twice
+    // (totals pass + term pass); both are map-side-combined wordcounts,
+    // cheaper at scale than one single-task sort.
+    val totals = counts.agg(
+      count(lit(1)).as("v"),
+      sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"))
+    val withTotals = counts.crossJoin(broadcast(totals))
     val pa = (col("ca") + 1).cast("double") / (col("na") + col("v"))
     val pb = (col("cb") + 1).cast("double") / (col("nb") + col("v"))
     val pm = (pa + pb) / lit(2.0)

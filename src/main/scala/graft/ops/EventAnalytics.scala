@@ -437,8 +437,12 @@ object EventAnalytics {
       .distinct()
       .persist()
     try {
-      val widest = bi.groupBy("__b").agg(count(lit(1)).as("w"))
-        .agg(max("w")).head().getLong(0)
+      // max over zero baskets is null — read it nullably so an empty or
+      // all-null input yields the (correct) empty pair table instead of
+      // a bare NullPointerException out of getLong
+      val widest = Option(bi.groupBy("__b").agg(count(lit(1)).as("w"))
+        .agg(max("w")).head().getAs[java.lang.Long](0))
+        .fold(0L)(_.longValue())
       require(widest <= maxBasketItems,
         s"widest basket carries $widest items > maxBasketItems=" +
           s"$maxBasketItems — the pair join would go quadratic; " +

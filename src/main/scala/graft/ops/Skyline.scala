@@ -35,7 +35,13 @@ object Skyline {
     import spark.implicits._
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
-    val base = df.filter(x.isNotNull && y.isNotNull)
+    // NaN is incomparable, so it is excluded like null: Spark's max()
+    // treats NaN as the largest double, so one NaN y would become its
+    // group's ymax and then poison the driver-side running max
+    // (math.max(m, NaN) = NaN), silently dropping every legitimate
+    // front row at lower x
+    val base = df.filter(x.isNotNull && y.isNotNull &&
+      !isnan(x) && !isnan(y))
     val groups = base.groupBy(x.as("__x")).agg(max(y).as("__ymax"))
       .as[(Double, Double)].rdd
       .sortBy(-_._1) // x descending

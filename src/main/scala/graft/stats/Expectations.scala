@@ -66,9 +66,15 @@ object Expectations {
         (c.id, "not_null", c.column, c.maxFrac,
           viol(col(c.column).isNull))
       case c: InRange =>
+        // a non-null value that doesn't even cast to a number IS a range
+        // violation — try_cast (null, never throw, under any ANSI
+        // setting) + isNull, where a plain cast would either null the
+        // predicate and count zero (garbage column reports passed=true)
+        // or abort the whole suite on the first bad cell
         (c.id, "in_range", c.column, c.maxFrac,
           viol(col(c.column).isNotNull &&
-            !col(c.column).cast("double").between(c.lo, c.hi)))
+            (col(c.column).try_cast("double").isNull ||
+              !col(c.column).try_cast("double").between(c.lo, c.hi))))
       case c: InSet =>
         (c.id, "in_set", c.column, c.maxFrac,
           viol(col(c.column).isNotNull &&

@@ -27,15 +27,30 @@ object Survival {
     * (t, n_risk, d_events, n_censored, survival). Censoring-only times
     * don't step the curve but do shrink later risk sets (handled by the
     * countdown including their counts). Null durations are excluded;
-    * `eventCol` is 1/true for an observed event, 0/false for censored. */
+    * `eventCol` is 1/true for an observed event, 0/false for censored.
+    *
+    * PRE-BINNING CONTRACT: the countdown/fold windows run over the
+    * distinct-duration table, which is fine for calendar-grained
+    * durations but row-sized when durations carry microsecond noise —
+    * so the op ENFORCES `maxDistinctTimes` (default 1,000,000: a
+    * 5-column table one task folds in well under a second) and fails
+    * loudly with the remedy: round durations to an analysis grain via
+    * [[binDurations]] first. A million-step curve already exceeds any
+    * plotting or RMST use; finer steps are duration noise, not signal. */
   def kaplanMeier(df: DataFrame, durationCol: Column,
-      eventCol: Column): DataFrame = {
+      eventCol: Column, maxDistinctTimes: Long = 1000000L): DataFrame = {
     val base = df.select(durationCol.cast("double").as("t"),
         eventCol.cast("int").as("e"))
       .filter(col("t").isNotNull && col("e").isNotNull)
     val byT = base.groupBy("t").agg(
       sum(col("e")).cast("long").as("d"),
       sum(lit(1) - col("e")).cast("long").as("c"))
+    val nT = byT.count()
+    require(nT <= maxDistinctTimes,
+      s"kaplanMeier: $nT distinct durations exceeds the $maxDistinctTimes " +
+        "curve-step bound — durations this fine are measurement noise, " +
+        "not survival signal; pre-bin them to an analysis grain with " +
+        "Survival.binDurations(df, col, grain) and re-run")
     val ord = Window.orderBy(col("t"))
     val before = ord.rowsBetween(Window.unboundedPreceding, -1)
     val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -58,6 +73,17 @@ object Survival {
         col("c").as("n_censored"),
         when(col("__zero") === 1, lit(0.0))
           .otherwise(round(exp(col("__lnS")), 6)).as("survival"))
+  }
+
+  /** The [[kaplanMeier]] pre-binning contract's remedy: round a duration
+    * DOWN to a declared analysis grain (floor(t/grain)·grain — seconds,
+    * hours, days), collapsing measurement-noise-distinct durations to
+    * curve steps. Floor (not round) so a binned duration never exceeds
+    * the true one — at-risk sets stay conservative. Pure column
+    * arithmetic, identical in any engine. */
+  def binDurations(durationCol: Column, grain: Double): Column = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    floor(durationCol.cast("double") / grain) * lit(grain)
   }
 
   /** One-row summary of a [[kaplanMeier]] curve: median survival time

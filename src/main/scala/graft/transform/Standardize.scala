@@ -191,8 +191,10 @@ object Standardize {
     * partitioned sort with the partition-offset prefix pass (the
     * [[graft.stats.Correlation]] rank recipe — NO unpartitioned
     * window), one shuffle join back on the value. The value-count
-    * table is distinct-values-sized, not row-sized. NaN values join to
-    * no bin (NaN ≠ NaN) and surface as null bins, like nulls. */
+    * table is distinct-values-sized, not row-sized. NaN values are
+    * filtered out with the nulls (Spark's EqualTo treats NaN = NaN as
+    * true, so they would otherwise join to the top bin) and surface as
+    * null bins, like nulls. */
   def discretizeEqualFreq(
       df: DataFrame, valueCol: String, k: Int,
       outCol: String = "bin"): DataFrame = {
@@ -200,7 +202,12 @@ object Standardize {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("double")
-    val counts = df.filter(v.isNotNull)
+    // NaN is excluded ALONGSIDE null, not merely left to miss the join:
+    // Spark SQL's EqualTo treats NaN = NaN as TRUE, so a NaN row would
+    // survive an isNotNull-only filter, sort last in the RDD pass, and
+    // join back with the TOP bin — the documented null-bin contract
+    // requires the explicit isnan filter here
+    val counts = df.filter(v.isNotNull && !isnan(v))
       .groupBy(v.as("__v")).agg(count(lit(1)).as("__cnt"))
       .as[(Double, Long)].rdd
       .sortBy(_._1)

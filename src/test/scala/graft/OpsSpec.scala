@@ -2321,6 +2321,14 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventAnalytics.itemsetPairs(wide, "bk", "it", maxBasketItems = 10)
     }
+    // empty and all-null inputs return the empty pair table (max-width
+    // over zero baskets is null — must not NPE out of the width guard)
+    assert(EventAnalytics.itemsetPairs(
+      df.filter(lit(false)), "bk", "it").count() == 0L)
+    val allNull = Seq((null.asInstanceOf[java.lang.Long], "a"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[String]))
+      .toDF("bk", "it")
+    assert(EventAnalytics.itemsetPairs(allNull, "bk", "it").count() == 0L)
   }
 
   test("ivf persistence and incremental assignment") {
@@ -2383,6 +2391,15 @@ class OpsSpec extends SparkSpec {
     val rep = Skyline.paretoFront2D(df.repartition(7), "x", "y")
       .collect().map(_.getAs[Long]("id")).sorted.toSeq
     assert(rep == got)
+    // NaN criteria are incomparable like null — excluded, never allowed
+    // to poison the running max (Spark max() puts NaN above every
+    // double; unchecked, one NaN y drops every lower-x front row)
+    val withNaN = df.unionByName(
+      Seq((10L, Some(7.0), Double.NaN), (11L, Some(Double.NaN), 3.0))
+        .toDF("id", "x", "y"))
+    val nanGot = Skyline.paretoFront2D(withNaN, "x", "y")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(nanGot == got, "NaN rows must not change the front")
   }
 
   test("equal-frequency bins: tie cohesion, null pass-through, invariance") {
@@ -2410,6 +2427,17 @@ class OpsSpec extends SparkSpec {
     val nn = Standardize.discretizeEqualFreq(
       df.filter(col("x").isNull), "x", 4).collect()
     assert(nn.length == 1 && nn.head.isNullAt(nn.head.fieldIndex("bin")))
+    // NaN excluded like null (Spark's EqualTo has NaN = NaN true, so an
+    // unfiltered NaN would join back to the TOP bin): null bin, and the
+    // real values bin exactly as without it
+    val withNaN = df.unionByName(
+      Seq((98L, Some(Double.NaN))).toDF("id", "x"))
+    val nanOut = Standardize.discretizeEqualFreq(withNaN, "x", 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("bin")).map(_.asInstanceOf[Long])).toMap
+    assert(nanOut(98L).isEmpty, "NaN value -> null bin, row kept")
+    assert(out.forall { case (id, b) => nanOut(id) == b },
+      "a NaN row must not shift any real value's bin")
   }
 
   test("fingerprint: invariance, sensitivity, multiplicity, schema digest") {
@@ -2418,7 +2446,15 @@ class OpsSpec extends SparkSpec {
     val cols = Seq("id", "s")
     def dig(d: org.apache.spark.sql.DataFrame) =
       Fingerprint.contentDigest(d, cols).head()
-        .getAs[java.math.BigDecimal]("content_digest")
+        .getAs[Long]("content_digest")
+    // the emission is BIGINT (one physical encoding everywhere), equal
+    // in value to the overflow-free decimal fold
+    val out = Fingerprint.contentDigest(df, cols)
+    assert(out.schema("content_digest").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Fingerprint.contentDigestExact(df, cols).head()
+      .getAs[java.math.BigDecimal]("content_digest").longValueExact() ==
+      out.head().getAs[Long]("content_digest"))
     val base = dig(df)
     assert(dig(df.repartition(5)) == base, "partitioning-invariant")
     assert(dig(df.orderBy(col("id").desc)) == base, "order-invariant")
@@ -2443,6 +2479,24 @@ class OpsSpec extends SparkSpec {
     assert(Fingerprint.schemaDigest(df.withColumnRenamed("s", "t"))._2 != s1)
     assert(Fingerprint.schemaDigest(
       df.withColumn("id", col("id").cast("int")))._2 != s1)
+    // double measures digest through the fixed-scale decimal rendering:
+    // sensitive AT the scale, invariant BELOW it (sub-scale noise is
+    // representation, not content), loud on an undeclared scale key
+    val dd = Seq((1L, 1.25), (2L, 3.5)).toDF("id", "m")
+    val dcols = Seq("id", "m")
+    def ddig(d: org.apache.spark.sql.DataFrame) =
+      Fingerprint.contentDigest(d, dcols, Map("m" -> 2)).head()
+        .getAs[Long]("content_digest")
+    val dbase = ddig(dd)
+    assert(ddig(dd.withColumn("m",
+      when(col("id") === 1, 1.26).otherwise(col("m")))) != dbase,
+      "a one-cent edit moves the scale-2 digest")
+    assert(ddig(dd.withColumn("m",
+      when(col("id") === 1, 1.250000001).otherwise(col("m")))) == dbase,
+      "sub-scale noise does not move the scale-2 digest")
+    intercept[IllegalArgumentException] {
+      Fingerprint.contentDigest(dd, dcols, Map("nope" -> 2))
+    }
   }
 
   test("expectations: tolerance boundary, empty table, loud dup ids") {
@@ -2471,6 +2525,16 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Expectations.run(df, Seq(NotNull("x", "s"), NotNull("x", "s")))
     }
+    // a non-null value that doesn't cast to a number IS a range
+    // violation — a garbage string column must not report passed=true
+    // on a numeric contract (and must not abort the suite under ANSI)
+    val garbage = Seq("1.5", "oops", null, "2.0", "NaN-ish")
+      .toDF("v")
+    val go = Expectations.run(garbage, Seq(InRange("rng", "v", 0, 10)))
+      .collect().head
+    assert(go.getAs[Long]("n_violations") == 2L,
+      "non-castable non-null cells count as range violations")
+    assert(!go.getAs[Boolean]("passed"))
   }
 
   test("ewma daily counts: adjusted weights renormalize over gaps") {

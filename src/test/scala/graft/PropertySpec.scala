@@ -584,4 +584,26 @@ class PropertySpec extends SparkSpec {
     assert(globalWindows(front).isEmpty,
       "pareto front must not plan a global window")
   }
+
+  test("corpus divergence: NO unpartitioned window; totals broadcast onto the vocabulary") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val dv = graft.ops.CorpusOverlap.divergence(a, "text", b, "text")
+    // the web-scale vocabulary table must never funnel through one
+    // task: the three scalars come from a broadcast 1-row aggregate
+    val wins = dv.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty,
+      "divergence must not plan any window over the vocabulary table")
+    assert(dv.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      dv.queryExecution.sparkPlan.toString.contains("BroadcastExchange"),
+      "the 1-row totals must come back via broadcast")
+    val row = dv.head()
+    val js = row.getAs[Double]("js")
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9,
+      s"JS divergence must sit in [0, ln 2], got $js")
+    assert(row.getAs[Double]("kl_ab") >= 0.0 &&
+      row.getAs[Double]("kl_ba") >= 0.0)
+  }
 }

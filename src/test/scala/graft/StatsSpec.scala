@@ -854,6 +854,27 @@ class StatsSpec extends SparkSpec {
       .orderBy("t").collect()
     assert(z.last.getAs[Double]("survival") == 0.0)
     assert(z.head.getAs[Double]("survival") == 0.5)
+    // pre-binning contract: too many distinct durations fails LOUDLY
+    // (the curve windows run over the distinct-duration table) with the
+    // binDurations remedy in the message
+    val noisy = (1 to 50).map(i => (i + i * 1e-7, 1)).toDF("t", "e")
+    val err = intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(noisy, col("t"), col("e"),
+        maxDistinctTimes = 10)
+    }
+    assert(err.getMessage.contains("binDurations"))
+    // binDurations floors to the grain: noise-distinct durations
+    // collapse to curve steps (50 distinct -> at most 6 integer bins,
+    // back inside the cap), and a binned duration never exceeds the
+    // true one
+    val fine = (1 to 50).map(i => (i * 0.1 + i * 1e-9, 1)).toDF("t", "e")
+    val binned = Survival.kaplanMeier(fine,
+      Survival.binDurations(col("t"), 1.0), col("e"),
+      maxDistinctTimes = 10)
+    assert(binned.count() <= 6)
+    val bd = fine.select(Survival.binDurations(col("t"), 1.0).as("b"),
+      col("t")).collect()
+    assert(bd.forall(r => r.getAs[Double]("b") <= r.getAs[Double]("t")))
   }
 
   test("theil-sen: exact line recovery, 29% breakdown resistance, edge shapes") {
