@@ -63,9 +63,15 @@ object Bench {
     // d²-bounded covariance shuffle is the family's dominant plan shape
     "prj_covariance",
     // round-13: margin-based bitext mining — the |X|·|Y| scored-pair
-    // shape (cross join + two window/aggregate passes) has no other
-    // headline representative
+    // shape (cross join + two window/aggregate passes). Round 14: the
+    // gate pins its corpus to vec_id < 500, so this line is a FIXED-SIZE
+    // correctness anchor at every sf; the family's scale line is the
+    // corpus IVF miner below
     "sim_bitext_mine",
+    // round-14: corpus-scale bitext — IVF candidate graph over the FULL
+    // embeddings table; the line whose cost is Σ probed-cell sizes and
+    // therefore the one that must track data growth
+    "sim_bitext_corpus_ivf",
     // round-13 session 2: Kneser–Ney scoring (three vocab-keyed joins +
     // per-doc mean — the heaviest smoothing-LM plan) and the cross-doc
     // dup-ngram fraction (shingle explode → df groupBy → join-back —

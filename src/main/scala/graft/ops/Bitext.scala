@@ -152,6 +152,19 @@ object Bitext {
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42,
       maxIter: Int = 8, fitSampleRows: Long = 4096L): DataFrame = {
     require(k >= 1, s"neighborhood size k must be >= 1, got $k")
+    val pairs = ivfCandidatePairs(xs, ys, idCol, vecCol, nLists, nProbe,
+      seed, maxIter, fitSampleRows)
+    mutualBest(marginOverPairs(pairs, k), minMargin)
+  }
+
+  /** The scored IVF candidate table (x_id, y_id, c) behind
+    * [[marginMineIvf]] — public so the candidate VOLUME (the quantity
+    * that decides whether the blocked miner scales) is directly
+    * countable: its row count is Σ_x (probed cell sizes), growing with
+    * the corpus, never |X|·|Y|. ScaleBench measures exactly this. */
+  def ivfCandidatePairs(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42,
+      maxIter: Int = 8, fitSampleRows: Long = 4096L): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists,
       s"nProbe must sit in [1, nLists=$nLists], got $nProbe")
     val spark = xs.sparkSession
@@ -173,13 +186,12 @@ object Bitext {
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
       .select(col("x_id"), col("xv"), col("cell"))
-    val pairs = idx.assigned
+    idx.assigned
       .select(col("cell"), col("id").as("y_id"), col("v").as("yv"))
       .join(probes, "cell")
       .select(col("x_id"), col("y_id"),
         round(Similarity.dot(col("xv"), col("yv")), 12).as("c"))
       .filter(col("c").isNotNull)
-    mutualBest(marginOverPairs(pairs, k), minMargin)
   }
 
   /** The scored candidate table (x_id, y_id, cosine, margin, fwd_rank,

@@ -329,6 +329,35 @@ object ScaleBench {
           f""","result_rows":$ivfRows,"recall":$recall%.3f,"build_sec":$buildSec%.3f""")
       }
 
+      if (wanted("bitext_ivf")) {
+        // corpus-scale bitext: BOTH sides grow K×, so the scale knob is
+        // nLists ∝ K (constant expected cell size — the op's own "raise
+        // nLists with corpus size" contract). Witness: the candidate-pair
+        // count (Σ probed-cell sizes, counted directly off
+        // ivfCandidatePairs) must grow ~K×; the exact miner's |X|·|Y|
+        // grows K² and is exactly what this path exists to avoid.
+        def em = spark.read.parquet(s"$dir/embeddings")
+        val xs = em.filter(col("vec_id") % 2 === 0)
+        val ys = em.filter(col("vec_id") % 2 === 1)
+        val emCount = em.count()
+        val nLists = 16 * k
+        var candidates = 0L
+        val (cMed, cS) = timeMedian {
+          candidates = graft.ops.Bitext.ivfCandidatePairs(xs, ys,
+            "vec_id", "embedding", nLists = nLists, nProbe = 4).count()
+        }
+        emit("bitext_ivf_candidates", k, emCount, cMed, cS,
+          s""","candidates":$candidates,"n_lists":$nLists""")
+        var mined = 0L
+        val (mMed, mS) = timeMedian {
+          mined = graft.ops.Bitext.marginMineIvf(xs, ys, "vec_id",
+            "embedding", k = 4, minMargin = 1.0,
+            nLists = nLists, nProbe = 4).count()
+        }
+        emit("bitext_ivf_mine", k, emCount, mMed, mS,
+          s""","mined_pairs":$mined,"n_lists":$nLists""")
+      }
+
       // (No exact-Jaccard scaling series: the synthetic corpus draws every
       // document from ONE tiny vocabulary, so each doc genuinely shares
       // rarest shingles with hundreds of others and ANY exact join —
