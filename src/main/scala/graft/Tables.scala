@@ -32,6 +32,12 @@ object Tables {
   /** Enable the single-session shared table cache (gate/Verify mode). */
   def enableSharedCache(): Unit = cacheOn.set(true)
 
+  /** True in gate/Verify mode. Gates use it to run EXTRA verification
+    * work (differentials against an exact twin) that must not ride into
+    * Bench's timed window — the bench line times the production path,
+    * the gate proves it correct. */
+  def gateMode: Boolean = cacheOn.get
+
   /** The events table's `ts` column has shipped under three parquet
     * encodings across testdata generations, and the engine canonicalizes
     * every one of them to a microsecond-precision `TimestampType` column:

@@ -80,12 +80,42 @@ object StatsQueries extends QueryModule {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
       val stats = ColumnStats.describe(li, t1Cols, approxQuantiles = true)
+      // differential vs the EXACT path (r13 verdict item 8): the sketch
+      // outputs must land within pinned relative error of the exact
+      // quantiles/distincts, not merely be monotone-plausible —
+      // percentile_approx's rank error at the default accuracy is
+      // ~1/10000, HLL's standard error ~2%; both budgets below carry
+      // generous slack over those (value error vs rank error, small-SF
+      // granularity) while still failing a sketch that drifts. Gate
+      // (Verify) mode only: the exact twin must not ride into this
+      // entry's TIMED bench window — the headline line exists precisely
+      // to track the approx path on its own.
+      val exact =
+        if (Tables.gateMode)
+          ColumnStats.describe(li, t1Cols).map(e => e.column -> e).toMap
+        else Map.empty[String, ColumnStats.Stats]
+      def relErr(a: Double, b: Double): Double =
+        math.abs(a - b) / math.max(1e-12, math.abs(b))
       stats.foreach { st =>
         val (mn, q25, med, q75, mx) =
           (st.min.get, st.q25.get, st.median.get, st.q75.get, st.max.get)
         require(mn <= q25 && q25 <= med && med <= q75 && q75 <= mx,
           s"${st.column}: approx quantiles not monotone: $mn $q25 $med $q75 $mx")
         require(st.distinct > 0 && st.n > 0, s"${st.column}: degenerate sketch")
+        exact.get(st.column).foreach { e =>
+          require(st.n == e.n && st.nulls == e.nulls && mn == e.min.get &&
+            mx == e.max.get,
+            s"${st.column}: algebraic stats must be EXACT in the approx path")
+          Seq(("q25", q25, e.q25.get), ("median", med, e.median.get),
+            ("q75", q75, e.q75.get)).foreach { case (name, a, ex) =>
+            require(relErr(a, ex) <= 0.05,
+              s"${st.column}.$name: approx $a vs exact $ex — relative error " +
+                f"${relErr(a, ex)}%.4f exceeds the 5%% budget")
+          }
+          require(relErr(st.distinct.toDouble, e.distinct.toDouble) <= 0.10,
+            s"${st.column}: HLL distinct ${st.distinct} vs exact " +
+              s"${e.distinct} exceeds the 10% budget")
+        }
       }
       stats.map(st => (st.column, st.n, st.nulls, st.distinct,
           st.mean.get, st.std.get, st.min.get, st.max.get,

@@ -438,6 +438,16 @@ object TextQueries extends QueryModule {
         s"$plantedNovel planted history copies escaped as novel")
       val kept = novel.filter(col("doc_id") < 1000000).count()
       require(kept > 0, "every genuinely-new doc was (wrongly) matched")
+      // differential vs the exact anti-join twin (r13 verdict item 8):
+      // an exact duplicate has an identical shingle set, hence identical
+      // minhash signature, so minhash-novel ⊆ exact-novel MUST hold —
+      // near-dup matching may only drop MORE than exact, never keep a
+      // doc the exact twin calls duplicate
+      val exactNovel = Dedup.novelAgainstExact(
+        inc.filter(col("doc_id") < 1000000), hist, "text").select("doc_id")
+      require(novel.filter(col("doc_id") < 1000000).select("doc_id")
+          .join(exactNovel, Seq("doc_id"), "left_anti").isEmpty,
+        "minhash kept a doc the exact anti-join calls an exact duplicate")
       novel.select("doc_id").orderBy("doc_id")
     })
 
