@@ -77,4 +77,65 @@ object EntityResolution {
       .select((blockCols.map(col) :+ col("id1") :+ col("id2") :+
         col("edit")): _*)
   }
+
+  /** One comparison field for [[fellegiSunter]]: `agree` is a boolean
+    * Column over the candidate-pair frame (equality, a similarity
+    * threshold, a numeric tolerance…); `m` = P(agree | same entity) and
+    * `u` = P(agree | different entities) are the caller's match/unmatch
+    * rates — the "provided m/u" path (the EM fit that estimates them is
+    * a training concern, not a scoring one). */
+  final case class FieldSpec(
+      name: String, agree: org.apache.spark.sql.Column, m: Double, u: Double) {
+    require(name.nonEmpty, "field name required")
+    require(m > 0 && m < 1 && u > 0 && u < 1,
+      s"$name: m and u must sit strictly inside (0, 1), got m=$m u=$u")
+    require(m > u,
+      s"$name: m must exceed u (agreement must be EVIDENCE of a match), " +
+        s"got m=$m u=$u")
+    /** log₂ likelihood-ratio contributions — constants of the spec, so
+      * both engines fold the identical doubles. */
+    val agreeWeight: Double = math.log(m / u) / math.log(2.0)
+    val disagreeWeight: Double = math.log((1 - m) / (1 - u)) / math.log(2.0)
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage scoring (Fellegi &
+    * Sunter 1969 — public; the Splink scoring shape): each field
+    * contributes its log₂(m/u) on agreement, log₂((1−m)/(1−u)) on
+    * disagreement, and ZERO when the comparison is null (a missing value
+    * is no evidence either way); the summed match weight classifies the
+    * pair against `upper`/`lower` into match / possible / non_match
+    * (the "possible" band is the clerical-review queue).
+    *
+    * Takes CANDIDATE pairs (from [[candidatePairs]] or any blocking
+    * join) — scoring is one narrow codegen'd map over the pair table, so
+    * the scale story is entirely the blocker's. Adds one `agree_<name>`
+    * flag per field (null-safe int), `match_weight` (rounded 6) and
+    * `classification`. The per-field weights are driver-computed literal
+    * doubles, so a SQL oracle replays the exact fold. */
+  def fellegiSunter(
+      pairs: DataFrame, fields: Seq[FieldSpec],
+      upper: Double, lower: Double): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field required")
+    require(fields.map(_.name).distinct.size == fields.size,
+      "field names must be unique")
+    require(upper >= lower, s"upper $upper must be >= lower $lower")
+    val flagged = fields.foldLeft(pairs) { (df, f) =>
+      df.withColumn(s"agree_${f.name}",
+        when(f.agree, 1).when(!f.agree, 0))
+    }
+    // one fixed-order arithmetic expression, never a re-orderable
+    // aggregation: both engines sum the same literal doubles in the same
+    // order, so the weight is bit-identical before the final round
+    val weight = fields.map { f =>
+      when(col(s"agree_${f.name}") === 1, lit(f.agreeWeight))
+        .when(col(s"agree_${f.name}") === 0, lit(f.disagreeWeight))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    flagged
+      .withColumn("match_weight", round(weight, 6))
+      .withColumn("classification",
+        when(col("match_weight") >= upper, "match")
+          .when(col("match_weight") < lower, "non_match")
+          .otherwise("possible"))
+  }
 }

@@ -375,6 +375,51 @@ object EventAnalytics {
     * Scale shape: one day-count aggregation, one H-fold lag explode +
     * hash join on the day key, one map-side-combined fold — shuffles
     * bounded by days × H, independent of event volume. */
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..maxLag (Box & Jenkins 1970 — public): the seasonality/burstiness
+    * screen next to [[seasonalDecompose]] — a spike at lag 7 is weekly
+    * rhythm, a slow decay is trend the anomaly monitors should detrend
+    * first. acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with x̄ and the
+    * denominator over the FULL series (the standard estimator); pairs
+    * whose t+k day is unobserved are skipped (calendar gaps excluded,
+    * reported via n_pairs).
+    *
+    * Scale shape: one map-side-combined daily count (the only pass over
+    * the event log — the series itself is calendar-bounded), a broadcast
+    * 1-row mean/denominator, a lag-join of the tiny series against
+    * itself. Terms fold as rounded decimals; every number oracle-exact.
+    * Returns (lag, n_pairs, acf) for 1..maxLag, acf rounded to 6. */
+  def acfDaily(events: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = events.sparkSession
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    def fold(c: Column): Column =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    val tot = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val withMu = daily.crossJoin(broadcast(tot))
+      .withColumn("mu", col("sx").cast("double") / col("n"))
+      .select(col("day"), col("x"), col("mu"))
+    val den = withMu.agg(
+      fold(round((col("x") - col("mu")) * (col("x") - col("mu")), 6))
+        .as("den"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    val a = withMu.crossJoin(broadcast(lags))
+    val b = daily.select(col("day").as("__bday"), col("x").as("xb"))
+    a.join(b, col("__bday") === col("day") + col("lag"))
+      .groupBy("lag").agg(
+        count(lit(1)).as("n_pairs"),
+        fold(round((col("x") - col("mu")) * (col("xb") - col("mu")), 6))
+          .as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("__num") / col("den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
   def ewmaDailyCounts(
       events: DataFrame, tsCol: String = "ts", alpha: Double = 0.3,
       horizon: Int = 16): DataFrame = {

@@ -79,6 +79,26 @@ object TextOps {
     when(s.isNotNull && n > 0 && s.rlike("^[0-9]+$"), total % 10 === 0)
   }
 
+  /** Mojibake signature pattern — the classic UTF-8-misdecoded-as-
+    * Latin-1/Windows-1252 fingerprints: `Ã`+continuation (é→Ã©),
+    * `â€` (curly quotes/dashes), `Â`+non-breaking-space block, the
+    * replacement character U+FFFD (a decoder already gave up), and raw
+    * C1 control characters (valid in NO sane text). `\x{..}` escapes
+    * parse identically in Java regex and RE2, and no alternative shares
+    * a leading character with another, so leftmost-first (Java) and the
+    * RE2 scan count the same non-overlapping matches. */
+  val MojibakePattern: String =
+    "Ã[\\x{0080}-\\x{00BF}]|â€|" +
+      "Â[\\x{00A0}-\\x{00BF}]|\\x{FFFD}|[\\x{0080}-\\x{009F}]"
+
+  /** Encoding-damage signal count — how many mojibake fingerprints the
+    * text carries (0 = clean). The cheap pre-filter a web-scale corpus
+    * runs before any language ID or quality score: double-encoded
+    * documents poison token statistics and always need re-decoding, not
+    * scoring. Pure codegen regexp count; null text is null. */
+  def mojibakeCount(c: Column): Column =
+    regexp_count(c.cast(StringType), lit(MojibakePattern))
+
   /** Jaro–Winkler similarity of two string columns (the name-matching
     * score for entity resolution beside the Levenshtein candidate
     * filter) — native codegen expression, DuckDB-built-in semantics.

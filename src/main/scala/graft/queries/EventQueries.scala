@@ -1435,6 +1435,121 @@ object EventQueries extends QueryModule {
         .orderBy("item_a", "item_b")
     })
 
+  /** Daily-count autocorrelation at lags 1..7
+    * ([[graft.ops.EventAnalytics.acfDaily]]): the weekly-rhythm /
+    * burstiness screen. The oracle rebuilds the daily series, the
+    * broadcast mean, the rounded-product decimal folds and the lag join
+    * from scratch — every acf value hash-checked. */
+  val evAcf: Q = Q(
+    "ev_acf_daily",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx FROM d),
+      m AS (SELECT CAST(sx AS DOUBLE) / n AS mu FROM s),
+      den AS (
+        SELECT CAST(SUM(CAST(round((x - mu) * (x - mu), 6)
+          AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM d, m),
+      l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      p AS (
+        SELECT l.lag, a.x AS xa, b.x AS xb, m.mu
+        FROM l, d a, d b, m WHERE b.day = a.day + l.lag),
+      num AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CAST(round((xa - mu) * (xb - mu), 6)
+            AS DECIMAL(38,12))) AS DOUBLE) AS num
+        FROM p GROUP BY lag)
+      SELECT CAST(num.lag AS BIGINT) AS lag, n_pairs,
+        round(num.num / den.den, 6) AS acf
+      FROM num, den ORDER BY lag"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.acfDaily(
+        Tables.load(s, dir, "events"), "ts", maxLag = 7))
+
+  /** Difference-in-differences over unit-period outcomes
+    * ([[graft.stats.Experiment.differenceInDifferences]]): cohort =
+    * odd user ids, post = the 2024-01-16 split the CUPED gate uses;
+    * per-unit-period sums fold as round-9 decimals. The synthetic
+    * cohort carries no true effect, so the gate is the estimator's
+    * arithmetic, not a discovery; the oracle replays all four cells,
+    * the Welch SE and the t statistic term-for-term. */
+  val evDid: Q = Q(
+    "ev_did",
+    Some("""
+      WITH up AS (
+        SELECT user_id, (user_id % 2 = 1) AS treat,
+          (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+          round(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38,12)))
+            AS DOUBLE), 9) AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2, 3),
+      m AS (
+        SELECT
+          count(*) FILTER (NOT treat AND NOT post) AS n_c0,
+          count(*) FILTER (NOT treat AND post) AS n_c1,
+          count(*) FILTER (treat AND NOT post) AS n_t0,
+          count(*) FILTER (treat AND post) AS n_t1,
+          CAST(SUM(CAST(y AS DECIMAL(38,12)))
+            FILTER (NOT treat AND NOT post) AS DOUBLE) AS sy_c0,
+          CAST(SUM(CAST(y AS DECIMAL(38,12)))
+            FILTER (NOT treat AND post) AS DOUBLE) AS sy_c1,
+          CAST(SUM(CAST(y AS DECIMAL(38,12)))
+            FILTER (treat AND NOT post) AS DOUBLE) AS sy_t0,
+          CAST(SUM(CAST(y AS DECIMAL(38,12)))
+            FILTER (treat AND post) AS DOUBLE) AS sy_t1,
+          CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,12)))
+            FILTER (NOT treat AND NOT post) AS DOUBLE) AS syy_c0,
+          CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,12)))
+            FILTER (NOT treat AND post) AS DOUBLE) AS syy_c1,
+          CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,12)))
+            FILTER (treat AND NOT post) AS DOUBLE) AS syy_t0,
+          CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,12)))
+            FILTER (treat AND post) AS DOUBLE) AS syy_t1
+        FROM up),
+      f AS (
+        SELECT *,
+          sy_c0 / n_c0 AS m_c0, sy_c1 / n_c1 AS m_c1,
+          sy_t0 / n_t0 AS m_t0, sy_t1 / n_t1 AS m_t1,
+          (syy_c0 - sy_c0 * sy_c0 / n_c0) / (n_c0 - 1) AS v_c0,
+          (syy_c1 - sy_c1 * sy_c1 / n_c1) / (n_c1 - 1) AS v_c1,
+          (syy_t0 - sy_t0 * sy_t0 / n_t0) / (n_t0 - 1) AS v_t0,
+          (syy_t1 - sy_t1 * sy_t1 / n_t1) / (n_t1 - 1) AS v_t1
+        FROM m),
+      g AS (
+        SELECT *,
+          (m_t1 - m_t0) - (m_c1 - m_c0) AS eff,
+          sqrt(v_t1 / n_t1 + v_t0 / n_t0 + v_c1 / n_c1 + v_c0 / n_c0)
+            AS se
+        FROM f)
+      SELECT n_c0, n_c1, n_t0, n_t1,
+        round(m_c0, 8) AS mean_control_pre,
+        round(m_c1, 8) AS mean_control_post,
+        round(m_t0, 8) AS mean_treat_pre,
+        round(m_t1, 8) AS mean_treat_post,
+        round(eff, 8) AS did_effect,
+        round(se, 8) AS se,
+        round(eff / se, 8) AS t_stat
+      FROM g"""),
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+      val up = ev
+        .groupBy(col("user_id"),
+          (col("user_id") % 2 === 1).as("treat"),
+          (col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")))
+            .as("post"))
+        .agg(round(sum(round(col("value"), 9).cast("decimal(38,12)"))
+          .cast("double"), 9).as("y"))
+      graft.stats.Experiment.differenceInDifferences(up,
+        col("treat"), col("post"), col("y"))
+    })
+
   override def queries: Seq[Q] =
     Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
@@ -1443,5 +1558,5 @@ object EventQueries extends QueryModule {
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
       evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest,
-      evItemsetPairs)
+      evItemsetPairs, evAcf, evDid)
 }

@@ -506,6 +506,46 @@ object GraphQueries extends QueryModule {
     (s, dir) =>
       Graph.clusteringCoefficients(edgesSocial(s, dir)).orderBy("node"))
 
+  /** Link prediction ([[Graph.linkPrediction]]): common-neighbor /
+    * Adamic–Adar / neighborhood-Jaccard scores for every non-adjacent
+    * pair sharing a neighbor. The oracle rebuilds the wedge join, the
+    * per-term rounded-ln decimal AA fold, the NOT EXISTS non-adjacency
+    * cut and both degree joins from scratch — every score hash-checked.
+    * No middle-degree cap on this fixture (every node is far below the
+    * default), so the capped Spark path and the uncapped SQL agree. */
+  val grLinkPrediction: Q = Q(
+    "gr_link_prediction",
+    Some(s"""
+      WITH edges AS ($socialEdgesSql),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      adj AS (SELECT u AS w, v AS n FROM und
+              UNION ALL SELECT v AS w, u AS n FROM und),
+      deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY w),
+      wed AS (
+        SELECT a1.n AS u, a2.n AS v, d.d
+        FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+        JOIN deg d ON d.w = a1.w),
+      cn AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+          CAST(SUM(CAST(round(1.0 / ln(d), 9) AS DECIMAL(38,12)))
+            AS DOUBLE) AS aa
+        FROM wed GROUP BY u, v),
+      nw AS (
+        SELECT * FROM cn WHERE NOT EXISTS (
+          SELECT 1 FROM und WHERE und.u = cn.u AND und.v = cn.v))
+      SELECT nw.u, nw.v, nw.common_neighbors, du.d AS deg_u, dv.d AS deg_v,
+        round(nw.aa, 6) AS adamic_adar,
+        round(CAST(nw.common_neighbors AS DOUBLE)
+          / (du.d + dv.d - nw.common_neighbors), 6) AS jaccard
+      FROM nw JOIN deg du ON du.w = nw.u JOIN deg dv ON dv.w = nw.v
+      ORDER BY u, v"""),
+    (s, dir) => {
+      val out = Graph.linkPrediction(edgesSocial(s, dir))
+      out.orderBy("u", "v")
+    })
+
   private val CoreK = 7
   private val CorePeels = 12
 
@@ -565,5 +605,5 @@ object GraphQueries extends QueryModule {
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
       grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms,
-      grTriangles, grClustering, grKcore)
+      grTriangles, grClustering, grLinkPrediction, grKcore)
 }

@@ -1313,6 +1313,146 @@ object TextQueries extends QueryModule {
         .orderBy("k1")
     })
 
+  /** Fellegi–Sunter m/u rates shared by the Spark plan AND the oracle
+    * string below — the log₂(m/u) weights are driver-computed constants,
+    * so interpolating Double.toString (shortest round-trip) into the SQL
+    * hands DuckDB the bit-identical literals Spark folds. (The Column
+    * side of each FieldSpec is built inside the gate lambda: the
+    * Jaro–Winkler Column registers a function against the ACTIVE session,
+    * which does not exist at module-initialization time.) */
+  private val fsRates = Map(
+    "name" -> (0.9, 0.05), "nation" -> (0.95, 0.04),
+    "segment" -> (0.9, 0.2), "acctbal" -> (0.8, 0.1))
+  private def fsWeights(field: String): (String, String) = {
+    val (m, u) = fsRates(field)
+    ((math.log(m / u) / math.log(2.0)).toString,
+      (math.log((1 - m) / (1 - u)) / math.log(2.0)).toString)
+  }
+
+  /** Fellegi–Sunter probabilistic linkage scoring
+    * ([[graft.ops.EntityResolution.fellegiSunter]]) over adjacent-key
+    * customer pairs: four comparison fields (Jaro–Winkler name, nation
+    * equality, segment equality, balance tolerance) fold their literal
+    * log₂ likelihood ratios into a match weight classified against
+    * ±2 bits. Every flag, weight and class is recomputed by the oracle —
+    * DuckDB's own jaro_winkler_similarity makes the name flag a genuine
+    * cross-implementation differential. */
+  val erFellegiSunter: Q = Q(
+    "er_fellegi_sunter",
+    Some {
+      val (na, nd) = fsWeights("name"); val (ta, td) = fsWeights("nation")
+      val (sa, sd) = fsWeights("segment"); val (ba, bd) = fsWeights("acctbal")
+      s"""
+      WITH p AS (
+        SELECT c1.c_custkey AS id1, c2.c_custkey AS id2,
+          CASE WHEN round(jaro_winkler_similarity(c1.c_name, c2.c_name), 9)
+            >= 0.99 THEN 1 ELSE 0 END AS agree_name,
+          CASE WHEN c1.c_nationkey = c2.c_nationkey THEN 1 ELSE 0 END
+            AS agree_nation,
+          CASE WHEN c1.c_mktsegment = c2.c_mktsegment THEN 1 ELSE 0 END
+            AS agree_segment,
+          CASE WHEN abs(c1.c_acctbal - c2.c_acctbal) <= 1000.0
+            THEN 1 ELSE 0 END AS agree_acctbal
+        FROM customer c1 JOIN customer c2
+          ON c2.c_custkey = c1.c_custkey + 1),
+      sc AS (
+        SELECT *, round(
+            (CASE WHEN agree_name = 1 THEN $na ELSE $nd END)
+          + (CASE WHEN agree_nation = 1 THEN $ta ELSE $td END)
+          + (CASE WHEN agree_segment = 1 THEN $sa ELSE $sd END)
+          + (CASE WHEN agree_acctbal = 1 THEN $ba ELSE $bd END), 6)
+          AS match_weight
+        FROM p)
+      SELECT id1, id2, agree_name, agree_nation, agree_segment,
+        agree_acctbal, match_weight,
+        CASE WHEN match_weight >= 2.0 THEN 'match'
+          WHEN match_weight < -2.0 THEN 'non_match'
+          ELSE 'possible' END AS classification
+      FROM sc ORDER BY id1"""
+    },
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val c1 = c.select(col("c_custkey").as("id1"), col("c_name").as("n1"),
+        col("c_nationkey").as("nat1"), col("c_mktsegment").as("seg1"),
+        col("c_acctbal").as("bal1"))
+      val c2 = c.select((col("c_custkey") - 1).as("id1"),
+        col("c_custkey").as("id2"), col("c_name").as("n2"),
+        col("c_nationkey").as("nat2"), col("c_mktsegment").as("seg2"),
+        col("c_acctbal").as("bal2"))
+      val pairs = c1.join(c2, Seq("id1"))
+      import graft.ops.EntityResolution.FieldSpec
+      def spec(field: String, agree: org.apache.spark.sql.Column) = {
+        val (m, u) = fsRates(field); FieldSpec(field, agree, m, u)
+      }
+      val scored = graft.ops.EntityResolution.fellegiSunter(pairs,
+        Seq(
+          spec("name",
+            round(TextOps.jaroWinkler(col("n1"), col("n2")), 9) >= 0.99),
+          spec("nation", col("nat1") === col("nat2")),
+          spec("segment", col("seg1") === col("seg2")),
+          spec("acctbal", abs(col("bal1") - col("bal2")) <= 1000.0)),
+        upper = 2.0, lower = -2.0)
+      // the spec must separate: disagreement on everything must land
+      // below the evidence of agreement on everything, with both sides
+      // of the clerical band populated on this fixture
+      val byClass = scored.groupBy("classification").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byClass.getOrElse("non_match", 0L) > 0,
+        "fixture must produce non-matches")
+      require(byClass.values.sum == pairs.count(),
+        "every pair must classify")
+      scored.select(col("id1"), col("id2"), col("agree_name"),
+        col("agree_nation"), col("agree_segment"), col("agree_acctbal"),
+        col("match_weight"), col("classification"))
+        .orderBy("id1")
+    })
+
+  /** Encoding-damage detection ([[graft.ops.TextOps.mojibakeCount]]):
+    * the corpus is deterministically corrupted in three styles both
+    * engines replay — UTF-8-as-Latin-1 (every 'e' → 'Ã©' on the %7
+    * shard), a trailing replacement character (%11 shard), raw text
+    * otherwise — and the fingerprint count plus clean verdict are
+    * hash-checked. The pattern string is shared verbatim with the
+    * oracle; `\x{..}` escapes parse identically in Java regex and RE2,
+    * and no alternative shares a leading character, so both engines
+    * count the same non-overlapping matches. */
+  val txtMojibake: Q = Q(
+    "txt_mojibake",
+    Some {
+      val pat = graft.ops.TextOps.MojibakePattern
+      s"""
+      WITH c AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
+            WHEN doc_id % 11 = 0 THEN text || '�'
+            ELSE text END AS t
+        FROM documents)
+      SELECT doc_id, len(regexp_extract_all(t, '$pat')) AS n_mojibake,
+        len(regexp_extract_all(t, '$pat')) = 0 AS clean
+      FROM c ORDER BY doc_id"""
+    },
+    (s, dir) => {
+      import graft.ops.TextOps
+      val corrupted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            regexp_replace(col("text"), "e", "Ã©"))
+            .when(col("doc_id") % 11 === 0, concat(col("text"), lit("�")))
+            .otherwise(col("text")).as("t"))
+      val out = corrupted
+        .select(col("doc_id"),
+          TextOps.mojibakeCount(col("t")).cast("long").as("n_mojibake"))
+        .withColumn("clean", col("n_mojibake") === 0)
+      // the planted corruption must actually trip the detector (an
+      // always-zero regexp would hash-match a clean corpus): every %7
+      // doc whose text carries an 'e' gained at least one fingerprint
+      val missed = corrupted
+        .filter(col("doc_id") % 7 === 0 && col("t").contains("Ã©"))
+        .join(out.filter(col("clean")), Seq("doc_id"), "left_semi").count()
+      require(missed == 0, s"$missed Latin-1-corrupted docs read as clean")
+      out.orderBy("doc_id")
+    })
+
   val txtUnigramLogprob: Q = Q(
     "txt_unigram_logprob",
     Some("""
@@ -2567,6 +2707,7 @@ object TextQueries extends QueryModule {
     txtRedact, txtDecontaminate, txtDecontaminateBloom, txtBm25, txtBm25Indexed,
     txtTfidf,
     txtHeavyHitters, txtCorpusCard, erFuzzyCandidates, erJaroWinkler,
+    erFellegiSunter, txtMojibake,
     ddContainment, ddDupAttribution, mntNoveltyByDay,
     mntGoldenRecords,
     txtLuhnValidate, txtLuhnRedact, txtUnigramLogprob,

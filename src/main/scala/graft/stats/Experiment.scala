@@ -132,6 +132,68 @@ object Experiment {
         / (varT / nT + varC / nC), 8).as("var_reduction"))
   }
 
+  /** Difference-in-differences (Card & Krueger 1994 popularized the
+    * design — public): the 2×2 natural-experiment estimator over
+    * unit-period outcomes, effect = (ȳ_t,post − ȳ_t,pre) −
+    * (ȳ_c,post − ȳ_c,pre), with the Welch-style SE from the four cell
+    * variances — the observational sibling of [[cuped]]'s randomized
+    * readout (treatment here is a COHORT, not an assignment, so the
+    * parallel-trends assumption replaces randomization and the pre-period
+    * cell means ship in the output for exactly that inspection).
+    *
+    * Input: one row per unit×period with `treatCol`/`postCol` booleans
+    * and the outcome. One conditional-aggregation pass builds the four
+    * cells (moments as rounded decimal folds — engine-portable); any
+    * cell with fewer than 2 units fails loudly (no variance, no SE).
+    * Returns one row: per-cell ns and means, effect, se, t_stat,
+    * rounded to 8. */
+  def differenceInDifferences(rows: DataFrame, treatCol: Column,
+      postCol: Column, yCol: Column): DataFrame = {
+    def mom(c: Column): Column =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    def cell(t: Boolean, p: Boolean, c: Column): Column = {
+      val in = treatCol === lit(t) && postCol === lit(p)
+      when(in, c).otherwise(lit(null))
+    }
+    val y = round(yCol.cast("double"), 9)
+    val aggs = (for {
+      t <- Seq(false, true); p <- Seq(false, true)
+      tag = (if (t) "t" else "c") + (if (p) "1" else "0")
+      a <- Seq(
+        count(cell(t, p, y)).as(s"n_$tag"),
+        coalesce(mom(cell(t, p, y)), lit(0.0)).as(s"sy_$tag"),
+        coalesce(mom(cell(t, p, round(y * y, 6))), lit(0.0)).as(s"syy_$tag"))
+    } yield a)
+    val m = rows.filter(yCol.isNotNull && treatCol.isNotNull &&
+      postCol.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val row = m.head()
+    Seq("c0", "c1", "t0", "t1").foreach { tag =>
+      require(row.getAs[Long](s"n_$tag") >= 2,
+        s"DiD cell $tag has ${row.getAs[Long](s"n_$tag")} units — every " +
+          "2x2 cell needs >= 2 for a variance; check the cohort/period split")
+    }
+    val spark = rows.sparkSession
+    val local = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(row)), row.schema)
+    def mean(tag: String) = col(s"sy_$tag") / col(s"n_$tag")
+    def v(tag: String) =
+      (col(s"syy_$tag") - col(s"sy_$tag") * col(s"sy_$tag") / col(s"n_$tag")) /
+        (col(s"n_$tag") - 1)
+    val effect = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    val se = sqrt(v("t1") / col("n_t1") + v("t0") / col("n_t0") +
+      v("c1") / col("n_c1") + v("c0") / col("n_c0"))
+    local.select(
+      col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+      round(mean("c0"), 8).as("mean_control_pre"),
+      round(mean("c1"), 8).as("mean_control_post"),
+      round(mean("t0"), 8).as("mean_treat_pre"),
+      round(mean("t1"), 8).as("mean_treat_post"),
+      round(effect, 8).as("did_effect"),
+      round(se, 8).as("se"),
+      round(effect / se, 8).as("t_stat"))
+  }
+
   /** Two-proportion z-test — the conversion-rate readout beside
     * [[cuped]]'s continuous metric and
     * [[graft.stats.Bootstrap.upliftCi]]'s resampled interval: pooled-SE

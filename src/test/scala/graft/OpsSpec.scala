@@ -1499,6 +1499,95 @@ class OpsSpec extends SparkSpec {
       "block A (4 records) must be excluded by maxBlockSize=3")
   }
 
+  test("fellegi-sunter: hand-computed weights, null evidence, loud bad m/u") {
+    import graft.ops.EntityResolution
+    import graft.ops.EntityResolution.FieldSpec
+    // m=0.8 u=0.2 -> agree +2 bits, disagree -2 bits (log2(4), log2(1/4))
+    val f1 = FieldSpec("a", col("a1") === col("a2"), m = 0.8, u = 0.2)
+    val f2 = FieldSpec("b", col("b1") === col("b2"), m = 0.8, u = 0.2)
+    assert(math.abs(f1.agreeWeight - 2.0) < 1e-12 &&
+      math.abs(f1.disagreeWeight + 2.0) < 1e-12)
+    val pairs = Seq(
+      (1L, "x", "y", "x", "y"),                      // both agree -> +4
+      (2L, "x", "y", "x", "z"),                      // one each -> 0
+      (3L, "x", "y", "w", "z"),                      // both disagree -> -4
+      (4L, "x", null.asInstanceOf[String], "x", null.asInstanceOf[String])
+    ).toDF("id", "a1", "b1", "a2", "b2")
+    val out = EntityResolution
+      .fellegiSunter(pairs, Seq(f1, f2), upper = 3.0, lower = -3.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("match_weight"),
+          r.getAs[String]("classification")))).toMap
+    assert(out(1L) == ((4.0, "match")))
+    assert(out(2L) == ((0.0, "possible")))
+    assert(out(3L) == ((-4.0, "non_match")))
+    // null = null comparison is null -> that field contributes ZERO
+    assert(out(4L) == ((2.0, "possible")),
+      "a null comparison must be no evidence, not disagreement")
+    // agreement that is NOT evidence of a match is a spec bug -> loud
+    intercept[IllegalArgumentException] {
+      FieldSpec("bad", col("a1") === col("a2"), m = 0.2, u = 0.8)
+    }
+  }
+
+  test("link prediction: hand graph, adjacency excluded, hub cap") {
+    import graft.ops.Graph
+    // triangle 1-2-3 plus pendant 3-4: predictions are (1,4) and (2,4)
+    // through middle 3 (deg 3); AA = 1/ln(3), jaccard = 1/(deg_u+1-1)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.linkPrediction(edges).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        ((r.getAs[Long]("common_neighbors"), r.getAs[Double]("adamic_adar"),
+          r.getAs[Double]("jaccard")))).toMap
+    val aa = math.rint(math.rint(1.0 / math.log(3.0) * 1e9) / 1e9 * 1e6) / 1e6
+    assert(out.keySet == Set((1L, 4L), (2L, 4L)),
+      s"adjacent pairs must never be predicted: ${out.keySet}")
+    assert(out((1L, 4L)) == ((1L, aa, 0.5)))
+    assert(out((2L, 4L)) == ((1L, aa, 0.5)))
+    // capping middles at degree 2 removes node 3 = the only middle with
+    // two arms reaching a non-adjacent pair
+    assert(Graph.linkPrediction(edges, maxMiddleDegree = 2).count() == 0)
+  }
+
+  test("acf daily: exact hand series, lag pairs, gap skipping") {
+    import graft.ops.EventAnalytics
+    // day d carries d+1 events, d = 0..5: series 1,2,3,4,5,6, mean 3.5,
+    // denominator 17.5, lag-1 numerator 8.75 -> acf(1) = 0.5
+    val rows = for { d <- 0 to 5; i <- 0 to d }
+      yield (d.toLong * 86400L + i, 1)
+    val ev = rows.toDF("s", "one")
+      .select(timestamp_seconds(col("s")).as("ts"))
+    val acf = EventAnalytics.acfDaily(ev, "ts", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("acf")))).toMap
+    assert(acf(1L) == ((5L, 0.5)))
+    // lag 2: (-2.5)(-0.5)+(-1.5)(0.5)+(-0.5)(1.5)+(0.5)(2.5) = 1.0
+    assert(acf(2L) == ((4L, math.rint(1.0 / 17.5 * 1e6) / 1e6)))
+    // a calendar gap drops only the pairs that straddle it
+    val gapped = ev.filter(expr("unix_micros(ts) div 86400000000") =!= 3)
+    val g = EventAnalytics.acfDaily(gapped, "ts", maxLag = 1)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(g(1L) == 3L, "pairs into and out of the missing day must drop")
+  }
+
+  test("mojibake count: classic fingerprints flagged, clean text zero") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "caffÃ© latte"),      // 'é' as Ã©
+      (2L, "a�b"),                    // replacement char
+      (3L, "â€œquoteâ€"), // â€œ ... â€
+      (4L, "hello world"),                 // clean
+      (5L, "badbreak")               // raw C1 control
+    ).toDF("id", "t")
+    val got = docs.select(col("id"),
+        TextOps.mojibakeCount(col("t")).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L),
+      s"$got")
+  }
+
   test("interval overlap: exact pair set vs brute force, each pair exactly once") {
     import graft.operators.RangeJoin
     val left = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 400L, 410L))

@@ -1097,6 +1097,38 @@ class StatsSpec extends SparkSpec {
     assert(iv == covRow.getAs[Long]("covered"))
   }
 
+  test("did: hand-computed 2x2, null evidence excluded, loud thin cell") {
+    import graft.stats.Experiment
+    // control pre [1,2] post [2,3]; treat pre [1,3] post [5,7]:
+    // effect = (6-2) - (2.5-1.5) = 3; vars c0=c1=0.5, t0=t1=2;
+    // se = sqrt(2/2 + 2/2 + 0.5/2 + 0.5/2) = sqrt(2.5)
+    val rows = Seq(
+      (false, false, 1.0), (false, false, 2.0),
+      (false, true, 2.0), (false, true, 3.0),
+      (true, false, 1.0), (true, false, 3.0),
+      (true, true, 5.0), (true, true, 7.0)
+    ).toDF("treat", "post", "y")
+    val r = Experiment.differenceInDifferences(rows,
+      col("treat"), col("post"), col("y")).collect().head
+    assert(r.getAs[Double]("did_effect") == 3.0)
+    assert(r.getAs[Double]("mean_treat_post") == 6.0 &&
+      r.getAs[Double]("mean_control_pre") == 1.5)
+    val se = math.rint(math.sqrt(2.5) * 1e8) / 1e8
+    assert(r.getAs[Double]("se") == se)
+    assert(r.getAs[Double]("t_stat") ==
+      math.rint(3.0 / math.sqrt(2.5) * 1e8) / 1e8)
+    // a cell with fewer than 2 units has no variance -> loud
+    val thin = Seq((false, false, 1.0), (false, false, 2.0),
+      (false, true, 2.0), (false, true, 3.0),
+      (true, false, 1.0), (true, false, 3.0),
+      (true, true, 5.0)).toDF("treat", "post", "y")
+    val err = intercept[IllegalArgumentException] {
+      Experiment.differenceInDifferences(thin,
+        col("treat"), col("post"), col("y"))
+    }
+    assert(err.getMessage.contains("t1"))
+  }
+
   test("cuped: recovers theta, cuts the SE on a correlated covariate, no-ops on noise") {
     import graft.stats.Experiment
     // y = 2x + unit noise; x varies across units -> theta ~ 2, big SE cut
