@@ -145,6 +145,45 @@ object ProjectionQueries extends QueryModule {
         .orderBy("component")
     })
 
+  /** PCA whitening ([[Projection.pcaProject]] with whiten = true) — the
+    * embedding-preprocessing step before cosine retrieval or clustering
+    * when dominant directions drown the rest. Rows-only (the eigensolve
+    * has no SQL mirror) but SELF-CERTIFYING by the definition of
+    * whitening: the distributed covariance of the whitened output must
+    * be the IDENTITY — unit diagonal, zero off-diagonal — which the
+    * gate asserts via the same covarianceUpper pass the fit used (an
+    * independent second pass over the transformed data, not a replay of
+    * the model). Emits per-component mean/variance rows. */
+  val pcaWhiten: Q = Q(
+    "prj_whiten",
+    None,
+    (s, dir) => {
+      val K = 8
+      val embs = Tables.load(s, dir, "embeddings")
+      val model = Projection.pcaFit(embs, "embedding", InDim, k = K)
+      val w = Projection.pcaProject(embs, "embedding", model,
+        outCol = "wp", whiten = true)
+      val cov = Projection.covarianceUpper(w, "wp", K)
+        .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+          ((r.getAs[Double]("cov"), r.getAs[Double]("mean_i")))).toMap
+      for { i <- 0 until K; j <- i until K } {
+        val (c, mi) = cov((i, j))
+        val want = if (i == j) 1.0 else 0.0
+        // component roundings (6 dp on loadings and eigenvalues) bound
+        // the achievable identity; 1e-2 is ~100x that noise floor and
+        // ~100x below any real residual correlation
+        require(math.abs(c - want) < 1e-2,
+          s"whitened cov($i,$j) = $c, want $want — whitening failed")
+        require(math.abs(mi) < 1e-2,
+          s"whitened mean($i) = $mi, want 0 — centering failed")
+      }
+      import s.implicits._
+      (0 until K).map { i =>
+        val (v, m) = cov((i, i))
+        (i, math.rint(m * 1e6) / 1e6, math.rint(v * 1e6) / 1e6)
+      }.toDF("component", "mean", "variance").orderBy("component")
+    })
+
   /** Integration: ANN over reduced vectors. Exact cosine top-10 on the
     * raw 64-d corpus vs brute-force top-10 over 16-d PCA and 16-d JL
     * projections; the gate computes recall@10 per query and requires the
@@ -263,6 +302,6 @@ object ProjectionQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(signProject, covariance, covMerge, pcaTopk, annRecall,
+    Seq(signProject, covariance, covMerge, pcaTopk, pcaWhiten, annRecall,
       procrustesMoments, procrustesAlign)
 }

@@ -522,7 +522,10 @@ object StatsQueries extends QueryModule {
         .orderBy("l_returnflag"))
 
   /** Chi-square contingency cells ([[graft.stats.Contingency]]): observed
-    * vs expected counts and per-cell χ² contributions for flag × status.
+    * vs expected counts and per-cell χ² contributions for flag × status
+    * over the FULL observed-levels grid — a structurally-empty cell
+    * appears with observed = 0 and contrib = expected (dropping those
+    * terms understates χ² exactly when association is strongest).
     * Expected counts derive from exact integer margins, so the table
     * mirrors bit-for-bit before the shared ROUND; the χ² statistic/p-value
     * (their sum + commons-math3 CDF) is spec-pinned against an
@@ -531,16 +534,18 @@ object StatsQueries extends QueryModule {
     "t18_contingency_chi2",
     Some("""
       WITH cts AS (
-        SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS observed
+        SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS cnt
         FROM lineitem
         WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
         GROUP BY 1, 2),
+      ga AS (SELECT a, SUM(cnt) AS ra FROM cts GROUP BY a),
+      gb AS (SELECT b, SUM(cnt) AS cb FROM cts GROUP BY b),
+      nn AS (SELECT SUM(cnt) AS n FROM cts),
       w AS (
-        SELECT a, b, observed,
-          sum(observed) OVER () AS n,
-          sum(observed) OVER (PARTITION BY a) AS ra,
-          sum(observed) OVER (PARTITION BY b) AS cb
-        FROM cts)
+        SELECT ga.a, gb.b, CAST(COALESCE(cts.cnt, 0) AS BIGINT) AS observed,
+          ra, cb, n
+        FROM ga CROSS JOIN gb CROSS JOIN nn
+        LEFT JOIN cts ON ga.a = cts.a AND gb.b = cts.b)
       SELECT a, b, observed,
         ROUND(CAST(ra AS DOUBLE) * cb / n, 6) AS expected,
         ROUND((observed - CAST(ra AS DOUBLE) * cb / n)
@@ -1286,6 +1291,251 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Normalized categorical association
+    * ([[graft.stats.Contingency.association]]): Cramér's V + both
+    * Theil's U directions over the same correlated pair the MI gates
+    * use. The oracle rebuilds the contingency cells, the rounded χ² and
+    * MI decimal folds, both entropies, and every normalization. The
+    * b-side is built to DEPEND on a (discount-conditional copy), so the
+    * asymmetry is real: U(a|b) must exceed U(b|a). */
+  val t32Association: Q = Q(
+    "t32_association",
+    Some(s"""
+      WITH $miCte,
+      ga AS (SELECT a, SUM(observed) AS ra FROM c GROUP BY a),
+      gb AS (SELECT b, SUM(observed) AS cb FROM c GROUP BY b),
+      nn AS (SELECT SUM(observed) AS n FROM c),
+      g AS (
+        SELECT ga.a, gb.b, COALESCE(c2.observed, 0) AS observed,
+          ra, cb, n
+        FROM ga CROSS JOIN gb CROSS JOIN nn
+        LEFT JOIN c c2 ON ga.a = c2.a AND gb.b = c2.b),
+      chi AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_tot,
+          CAST(count(DISTINCT a) AS BIGINT) AS levels_a,
+          CAST(count(DISTINCT b) AS BIGINT) AS levels_b,
+          CAST(SUM(CAST(round(
+            (observed - CAST(ra AS DOUBLE) * cb / n)
+              * (observed - CAST(ra AS DOUBLE) * cb / n)
+              / (CAST(ra AS DOUBLE) * cb / n), 9) AS DECIMAL(38,12)))
+            AS DOUBLE) AS chi2r
+        FROM g),
+      s AS (
+        SELECT CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS mi
+        FROM t),
+      ea AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(ra AS DOUBLE) / n) *
+            ln(CAST(ra AS DOUBLE) / n), 9) AS DECIMAL(38,12))) AS DOUBLE)
+          AS h_a
+        FROM (SELECT DISTINCT a, ra, n FROM m)),
+      eb AS (
+        SELECT CAST(SUM(CAST(round(-(CAST(cb AS DOUBLE) / n) *
+            ln(CAST(cb AS DOUBLE) / n), 9) AS DECIMAL(38,12))) AS DOUBLE)
+          AS h_b
+        FROM (SELECT DISTINCT b, cb, n FROM m))
+      SELECT n_tot AS n, levels_a, levels_b,
+        round(chi2r, 6) AS chi2,
+        CASE WHEN n_tot > 0 AND LEAST(levels_a, levels_b) > 1
+          THEN round(sqrt(chi2r / (n_tot * (LEAST(levels_a, levels_b) - 1))), 6)
+          END AS cramers_v,
+        CASE WHEN h_a > 0 THEN round(mi / h_a, 6) END AS u_a_given_b,
+        CASE WHEN h_b > 0 THEN round(mi / h_b, 6) END AS u_b_given_a
+      FROM chi, s, ea, eb"""),
+    (s, dir) => {
+      val out = graft.stats.Contingency.association(miPair(s, dir), "a", "b")
+      val r = out.head()
+      require(r.getAs[Double]("u_a_given_b") > r.getAs[Double]("u_b_given_a"),
+        "b is a conditional copy of a, so b must explain more of a's " +
+          "entropy than the reverse")
+      out
+    })
+
+  /** Squared Mahalanobis distance, 2-D closed-form path
+    * ([[graft.stats.Mahalanobis.distances]]): quantity×price outlier
+    * scores for every complete lineitem row. The oracle recomputes the
+    * decimal moment folds, the round-6 means/covariances, the adjugate
+    * precision entries and the quadratic form — identical double
+    * arithmetic end to end, all 60k distances hash-checked. */
+  val t33Mahalanobis: Q = Q(
+    "t33_mahalanobis_2d",
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey, l_linenumber, l_quantity AS x,
+          l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      mm AS (
+        SELECT count(*) AS n,
+          round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) + 0.0 AS mx,
+          round(CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) + 0.0 AS my,
+          CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*) AS sxx,
+          CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*) AS sxy,
+          CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*) AS syy
+        FROM b),
+      c AS (
+        SELECT mx, my,
+          round(sxx - mx * mx, 6) + 0.0 AS vxx,
+          round(sxy - mx * my, 6) + 0.0 AS vxy,
+          round(syy - my * my, 6) + 0.0 AS vyy
+        FROM mm),
+      p AS (
+        SELECT mx, my,
+          vyy / (vxx * vyy - vxy * vxy) AS p11,
+          -vxy / (vxx * vyy - vxy * vxy) AS p12,
+          vxx / (vxx * vyy - vxy * vxy) AS p22
+        FROM c)
+      SELECT l_orderkey, l_linenumber,
+        round((x - mx) * (x - mx) * p11 + (x - mx) * (y - my) * p12
+          + (y - my) * (x - mx) * p12 + (y - my) * (y - my) * p22, 6) + 0.0
+          AS md2
+      FROM b, p
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val out = graft.stats.Mahalanobis.distances(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("md2"))
+      // distances are a squared form under a positive-definite precision:
+      // none may be negative (a planted-negative would mean the inverse
+      // or the fold broke)
+      require(out.filter(col("md2") < 0).isEmpty,
+        "squared Mahalanobis distances must be non-negative")
+      out.orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** Benjamini–Hochberg FDR adjustment
+    * ([[graft.stats.MultipleTesting.benjaminiHochberg]]): q-values for
+    * one hypothesis per customer — p from the shared md5 recipe (both
+    * engines draw bit-identical uniforms), every 97th planted 1000×
+    * smaller so the step-up rule has real discoveries to make. The
+    * oracle replays rank, raw term and suffix-min per row; the gate
+    * additionally asserts p ≤ q ≤ 1 everywhere and that discoveries at
+    * α = 0.05 are dominated by planted hypotheses. */
+  val t34BhFdr: Q = Q(
+    "t34_bh_fdr",
+    Some("""
+      WITH h AS (
+        SELECT c_custkey,
+          round(CASE WHEN c_custkey % 97 = 0
+            THEN CAST(concat('0x', substr(md5(concat_ws('|', 'graft-p',
+              CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0 / 1000.0
+            ELSE CAST(concat('0x', substr(md5(concat_ws('|', 'graft-p',
+              CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0 END, 9) AS p
+        FROM customer),
+      m AS (SELECT count(*) AS m FROM h),
+      r AS (
+        SELECT c_custkey, p, m,
+          ROW_NUMBER() OVER (ORDER BY p, c_custkey) AS rk
+        FROM h, m)
+      SELECT c_custkey, p AS p_value,
+        round(LEAST(MIN(p * m / rk) OVER
+          (ORDER BY rk DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 9)
+          AS q_value
+      FROM r
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val hyp = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(when(col("c_custkey") % 97 === 0,
+            graft.ops.Sampling.hashFraction("graft-p", Seq(col("c_custkey")))
+              / 1000.0)
+            .otherwise(graft.ops.Sampling.hashFraction("graft-p",
+              Seq(col("c_custkey")))), 9).as("p_value"))
+      val out = graft.stats.MultipleTesting
+        .benjaminiHochberg(hyp, "p_value", "c_custkey")
+      // q brackets p: q_i = min_{j>=i} p_j*m/j >= p_i*m/m = p_i
+      require(out.filter(col("q_value") < col("p_value") ||
+        col("q_value") > 1.0).isEmpty, "q must satisfy p <= q <= 1")
+      val rej = out.filter(col("q_value") <= 0.05)
+        .agg(sum(when(col("c_custkey") % 97 === 0, 1L).otherwise(0L)),
+          count(lit(1))).head()
+      require(rej.getLong(1) > 0 && rej.getLong(0) * 2 > rej.getLong(1),
+        s"planted hypotheses must dominate the alpha=.05 discoveries, " +
+          s"got ${rej.getLong(0)}/${rej.getLong(1)}")
+      out.select(col("c_custkey"), col("p_value"), col("q_value"))
+        .orderBy("c_custkey")
+    })
+
+  /** Mann–Whitney U ([[graft.stats.RankTests.mannWhitneyU]]):
+    * hash-split arms with a planted +3 location shift on integer
+    * quantities (the ev_segmented_trend planted-effect convention;
+    * the raw columns are independent by construction in the synthetic
+    * data) — 50-level integer values make the ties massive, exercising
+    * the tie-corrected variance for real. 2·U folds as exact integers;
+    * z is fixed double arithmetic the oracle replays; the normal p is
+    * library-only (asserted, excluded — the ev_proportion_ztest
+    * convention). */
+  val t35MannWhitney: Q = Q(
+    "t35_mann_whitney",
+    Some("""
+      WITH b0 AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'graft-mw',
+            CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+            1, 8)) AS BIGINT) / 4294967296.0 < 0.5 AS arm,
+          l_quantity
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL),
+      b AS (
+        SELECT arm, CAST(l_quantity +
+          CASE WHEN arm THEN 0 ELSE 3 END AS DOUBLE) AS v
+        FROM b0),
+      c AS (
+        SELECT v,
+          SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS cb
+        FROM b GROUP BY v),
+      w AS (
+        SELECT ca, cb,
+          COALESCE(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cb_below
+        FROM c),
+      s AS (
+        SELECT
+          CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb,
+          CAST(SUM(ca * (2 * cb_below + cb)) AS DOUBLE) / 2.0 AS ua,
+          CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+            AS DOUBLE) AS tie3
+        FROM w),
+      f AS (
+        SELECT na, nb, ua, tie3,
+          CAST(na AS DOUBLE) * nb AS prod, na + nb AS n
+        FROM s)
+      SELECT na AS n_a, nb AS n_b, ua AS u_a, prod - ua AS u_b,
+        round((ua - prod / 2.0 -
+            (CASE WHEN ua > prod / 2.0 THEN 0.5
+                  WHEN ua < prod / 2.0 THEN -0.5 ELSE 0.0 END))
+          / sqrt(prod / 12.0 *
+            ((n + 1) - tie3 / (CAST(n AS DOUBLE) * (n - 1)))), 6) + 0.0
+          AS z
+      FROM f"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "lineitem")
+        .withColumn("__arm", graft.ops.Sampling.hashFraction("graft-mw",
+          Seq(col("l_orderkey"), col("l_linenumber"))) < 0.5)
+        .withColumn("__v", col("l_quantity") +
+          when(col("__arm"), 0).otherwise(3))
+      val out = graft.stats.RankTests.mannWhitneyU(
+        base, col("__arm"), col("__v"))
+      val r = out.head()
+      require(r.getAs[Double]("z") < 0,
+        s"the unshifted arm must rank below, z=${r.getAs[Double]("z")}")
+      require(r.getAs[Double]("p_value") < 1e-6,
+        "the planted +3 shift must be overwhelming")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1295,5 +1545,6 @@ object StatsQueries extends QueryModule {
     t24TargetEncode, t25PsiByDomain, t26RobustZ, t27PsiCategorical,
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
     bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample,
-    t31EqualFreqBins)
+    t31EqualFreqBins, t32Association, t33Mahalanobis, t34BhFdr,
+    t35MannWhitney)
 }

@@ -9,39 +9,43 @@ import org.apache.spark.sql.functions._
   * standard "are these two labels related" screen (reference analog: the
   * categorical half of the profiling interactions report).
   *
-  * One groupBy builds the contingency cells; row/column/grand totals ride
-  * window sums over the tiny cell table (cells = |A|×|B|, bounded by the
-  * categorical premise — no data-sized state). Expected counts and cell
-  * contributions ((o−e)²/e) derive from EXACT integer counts, so the
-  * whole table is engine-portable; the χ² statistic is their sum and the
-  * p-value comes from commons-math3's χ² CDF driver-side (cells are
-  * already driver-small).
+  * One groupBy builds the observed counts; the cell table is the FULL
+  * cross product of the observed level domains (margins groupBy +
+  * broadcast crossJoin — |A|×|B| rows, bounded by the categorical
+  * premise, no data-sized state). Including the unobserved cells is not
+  * cosmetic: a structurally-empty cell contributes (0−e)²/e = e to χ²,
+  * and dropping those terms understates the statistic exactly when the
+  * association is strongest (a perfect copy would score V ≈ 0.72, not
+  * 1). Expected counts and cell contributions derive from EXACT integer
+  * counts, so the whole table is engine-portable; the χ² statistic is
+  * their sum and the p-value comes from commons-math3's χ² CDF
+  * driver-side (cells are already driver-small).
   *
-  * Zero-margin cells (a level absent from a row/column) cannot occur —
-  * cells exist only for observed pairs, and expected = rowTot·colTot/n is
-  * positive on every observed cell. Levels missing entirely from one
-  * margin reduce the dof accordingly (dof = (|A|−1)(|B|−1) over observed
-  * levels).
+  * Expected counts are positive on every grid cell — margins are taken
+  * over observed levels, so rowTot and colTot are ≥ 1. Levels missing
+  * entirely from one margin reduce the dof accordingly
+  * (dof = (|A|−1)(|B|−1) over observed levels).
   */
 object Contingency {
 
   final case class ChiSquareResult(
       chi2: Double, dof: Long, pValue: Double, n: Long)
 
-  /** Contingency cells with expected counts and χ² contributions:
-    * (a, b, observed, expected, contrib), ordered by (a, b). */
+  /** Contingency cells with expected counts and χ² contributions over the
+    * FULL observed-levels grid — unobserved (a, b) pairs appear with
+    * observed = 0 and contrib = expected: (a, b, observed, expected,
+    * contrib), ordered by (a, b). */
   def cells(df: DataFrame, colA: String, colB: String): DataFrame = {
     val counts = df
       .filter(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("a"), col(colB).as("b"))
-      .agg(count(lit(1)).as("observed"))
-    val all = Window.partitionBy()
-    val byA = Window.partitionBy(col("a"))
-    val byB = Window.partitionBy(col("b"))
-    counts
-      .withColumn("__n", sum(col("observed")).over(all))
-      .withColumn("__ra", sum(col("observed")).over(byA))
-      .withColumn("__cb", sum(col("observed")).over(byB))
+      .agg(count(lit(1)).as("__cnt"))
+    val ra = counts.groupBy("a").agg(sum(col("__cnt")).as("__ra"))
+    val cb = counts.groupBy("b").agg(sum(col("__cnt")).as("__cb"))
+    val n = counts.agg(sum(col("__cnt")).as("__n"))
+    ra.crossJoin(broadcast(cb)).crossJoin(broadcast(n))
+      .join(counts, Seq("a", "b"), "left")
+      .withColumn("observed", coalesce(col("__cnt"), lit(0L)))
       .withColumn("expected",
         col("__ra").cast("double") * col("__cb") / col("__n"))
       .withColumn("contrib",
@@ -104,6 +108,48 @@ object Contingency {
         when(least(col("h_a"), col("h_b")) > 0,
           col("mi") / least(col("h_a"), col("h_b"))).as("nmi"),
         col("n"))
+  }
+
+  /** Normalized categorical-association strengths — Cramér's V
+    * (Cramér 1946) and both Theil's U directions (Theil 1970), all
+    * public: where [[chiSquare]] answers "is there ANY association"
+    * (p-value, sample-size-inflated at corpus scale), these answer "how
+    * MUCH" on a fixed [0, 1] scale, which is what feature triage and
+    * leakage screens actually rank by. U is asymmetric by design —
+    * U(A|B) = I(A;B)/H(A) is the fraction of A's entropy B explains —
+    * so a label-leaking feature shows U(label|feature) ≈ 1 even when
+    * the feature has many more levels than the label (where symmetric V
+    * dilutes).
+    *
+    * One contingency aggregation feeding both statistics (χ²
+    * contributions fold over the full [[cells]] grid — zero cells
+    * included — and MI terms over the observed cells, both as rounded
+    * decimals); all intermediate state is level-bounded. Returns one
+    * row: (n, levels_a, levels_b, chi2, cramers_v, u_a_given_b,
+    * u_b_given_a), statistics rounded to 6, normalizations null when
+    * undefined (single level / zero entropy). */
+  def association(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = cells(df, colA, colB)
+    val chi = base.agg(
+      coalesce(sum(col("observed")), lit(0L)).as("n"),
+      countDistinct(col("a")).as("levels_a"),
+      countDistinct(col("b")).as("levels_b"),
+      coalesce(sum(round(col("contrib"), 9).cast("decimal(38,12)")),
+        lit(0)).cast("double").as("__chi2"))
+    val mi = mutualInformation(df, colA, colB)
+      .select(col("mi").as("__mi"), col("h_a").as("__ha"),
+        col("h_b").as("__hb"))
+    val minL = least(col("levels_a"), col("levels_b"))
+    chi.crossJoin(mi).select(
+      col("n"), col("levels_a"), col("levels_b"),
+      round(col("__chi2"), 6).as("chi2"),
+      when(col("n") > 0 && minL > 1,
+        round(sqrt(col("__chi2") / (col("n") * (minL - 1))), 6))
+        .as("cramers_v"),
+      when(col("__ha") > 0, round(col("__mi") / col("__ha"), 6))
+        .as("u_a_given_b"),
+      when(col("__hb") > 0, round(col("__mi") / col("__hb"), 6))
+        .as("u_b_given_a"))
   }
 
   /** χ² statistic, degrees of freedom, p-value. Returns None when the

@@ -554,6 +554,17 @@ class StatsSpec extends SparkSpec {
     // single-level side → None
     val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
     assert(Contingency.chiSquare(one, "a", "b").isEmpty)
+
+    // a structurally-empty cell must contribute (0-e)^2/e = e, not be
+    // dropped: counts ((3,0),(0,2)) — commons-math3 on the full matrix
+    val zc = Seq("x", "x", "x").map(v => (v, "p")) ++
+      Seq("y", "y").map(v => (v, "q"))
+    val rz = Contingency.chiSquare(zc.toDF("a", "b"), "a", "b").get
+    val mz = Array(Array(3L, 0L), Array(0L, 2L))
+    val tz = new org.apache.commons.math3.stat.inference.ChiSquareTest()
+    assert(math.abs(rz.chi2 - tz.chiSquare(mz)) < 1e-9,
+      s"zero-cell chi2 ${rz.chi2} vs ${tz.chiSquare(mz)}")
+    assert(rz.chi2 == 5.0, s"perfect 3/2 copy scores n = 5, got ${rz.chi2}")
   }
 
   test("psi drift: identical distributions score ~0; a shift scores large") {
@@ -1095,6 +1106,124 @@ class StatsSpec extends SparkSpec {
     val iv = Conformal.intervals(testHalf, col("yhat"), Some(q))
       .filter(col("y") >= col("lo") && col("y") <= col("hi")).count()
     assert(iv == covRow.getAs[Long]("covered"))
+  }
+
+  test("mahalanobis: exact hand geometries, null pass-through, loud collinear") {
+    import graft.stats.Mahalanobis
+    // 4 corners of an axis-aligned box: population cov diag(1, 4),
+    // precision diag(1, 0.25) -> every corner scores 1 + 1 = 2 exactly
+    val box = Seq((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 0.0, 4.0),
+      (4L, 2.0, 4.0)).toDF("id", "x", "y")
+    val d2 = Mahalanobis.distances(box, Seq("x", "y"))
+      .collect().map(_.getAs[Double]("md2")).toSeq
+    assert(d2 == Seq(2.0, 2.0, 2.0, 2.0), s"$d2")
+    // d = 3 exercises the Gauss-Jordan path: independent dims with
+    // variances 1/4/9 -> every corner of the box scores exactly 3
+    val cube = (for { x <- Seq(0.0, 2.0); y <- Seq(0.0, 4.0);
+      z <- Seq(0.0, 6.0) } yield (x, y, z)).toDF("x", "y", "z")
+    val d3 = Mahalanobis.distances(cube, Seq("x", "y", "z"))
+      .collect().map(_.getAs[Double]("md2")).toSeq
+    assert(d3.forall(_ == 3.0), s"$d3")
+    // a null cell scores null and is excluded from the fit
+    val withNull = box.unionByName(
+      Seq((5L, Some(1.0), None: Option[Double])).toDF("id", "x", "y"))
+    val dn = Mahalanobis.distances(withNull, Seq("x", "y")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("md2"))).toMap
+    assert(dn(5L).isEmpty && dn(1L).contains(2.0))
+    // collinear columns have no geometry -> loud, not NaN
+    val flat = Seq((0.0, 0.0), (1.0, 2.0), (2.0, 4.0), (3.0, 6.0))
+      .toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Mahalanobis.distances(flat, Seq("x", "y"))
+    }
+  }
+
+  test("association: exact copy gives V = U = 1; independence gives ~0") {
+    import graft.stats.Contingency
+    val copy = Seq("x", "x", "x", "y", "y").map(v => (v, v)).toDF("a", "b")
+    val r = Contingency.association(copy, "a", "b").collect().head
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+    assert(r.getAs[Double]("u_a_given_b") == 1.0 &&
+      r.getAs[Double]("u_b_given_a") == 1.0)
+    // perfectly independent 2x2 (every cell equal): V and U exactly 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q") }
+      yield (a, b)).toDF("a", "b")
+    val ri = Contingency.association(indep, "a", "b").collect().head
+    assert(ri.getAs[Double]("cramers_v") == 0.0)
+    assert(ri.getAs[Double]("u_a_given_b") == 0.0)
+    // single-level side: normalizations undefined -> null, not NaN
+    val flat = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val rf = Contingency.association(flat, "a", "b").collect().head
+    assert(rf.isNullAt(rf.fieldIndex("cramers_v")))
+    assert(rf.isNullAt(rf.fieldIndex("u_a_given_b")),
+      "zero entropy on a must null U(a|b)")
+  }
+
+  test("benjamini-hochberg: hand step-up, ties share q, distributed == driver") {
+    import graft.stats.MultipleTesting
+    // classic step-up: q1 is pulled DOWN to q2's level (0.0225 < raw1)
+    val q = MultipleTesting.qValues(Seq(0.005, 0.009, 0.05, 0.1, 0.5))
+    assert(q == Seq(0.0225, 0.0225, 0.083333333, 0.125, 0.5), s"$q")
+    // tied p's share one q regardless of internal rank order
+    assert(MultipleTesting.qValues(Seq(0.02, 0.02, 0.5)) ==
+      Seq(0.03, 0.03, 0.5))
+    // distributed path agrees with the driver fold on every row
+    val df = (1 to 500).map { i =>
+      (i.toLong, BigDecimal((i * 2654435761L % 1000) / 999.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("id", "p")
+    val got = MultipleTesting.benjaminiHochberg(df, "p", "id")
+      .orderBy("id").collect().map(_.getAs[Double]("q_value")).toSeq
+    val want = {
+      val rows = df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      MultipleTesting.qValues(rows.map(_._2).toSeq)
+    }
+    assert(got == want)
+    // null p passes through with null q; out-of-range p is loud
+    val withNull = Seq((1L, Some(0.5)), (2L, None)).toDF("id", "p")
+    val nr = MultipleTesting.benjaminiHochberg(withNull, "p", "id")
+      .orderBy("id").collect()
+    assert(!nr(0).isNullAt(2) && nr(1).isNullAt(2))
+    intercept[IllegalArgumentException] {
+      MultipleTesting.benjaminiHochberg(
+        Seq((1L, 1.5)).toDF("id", "p"), "p", "id")
+    }
+  }
+
+  test("mann-whitney: hand U with ties, independent pair count, loud edges") {
+    import graft.stats.RankTests
+    // A=[1,2,3] B=[2,3,4]: U_A = 2 (one win + two half-ties), U_B = 7
+    val ab = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 3.0), (false, 4.0)).toDF("arm", "v")
+    val r = RankTests.mannWhitneyU(ab, col("arm"), col("v")).head()
+    assert(r.getAs[Double]("u_a") == 2.0 && r.getAs[Double]("u_b") == 7.0)
+    // tie-corrected sigma^2 = 9/12 * (7 - 12/30) = 4.95; z = -2/sqrt
+    val zWant = BigDecimal(-2.0 / math.sqrt(4.95))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == zWant,
+      s"z=${r.getAs[Double]("z")} want $zWant")
+    // independent check on a random-ish sample: brute-force pair count
+    val xs = (1 to 60).map(i => (i % 3 != 0, ((i * 7) % 13).toDouble))
+    val big = xs.toDF("arm", "v")
+    val rb = RankTests.mannWhitneyU(big, col("arm"), col("v")).head()
+    val brute = (for {
+      (true, a) <- xs; (false, b) <- xs
+    } yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    assert(rb.getAs[Double]("u_a") == brute,
+      s"u_a=${rb.getAs[Double]("u_a")} brute=$brute")
+    // empty arm and all-tied inputs fail loudly
+    intercept[IllegalArgumentException] {
+      RankTests.mannWhitneyU(
+        Seq((true, 1.0), (true, 2.0)).toDF("arm", "v"),
+        col("arm"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      RankTests.mannWhitneyU(
+        Seq((true, 5.0), (false, 5.0)).toDF("arm", "v"),
+        col("arm"), col("v"))
+    }
   }
 
   test("did: hand-computed 2x2, null evidence excluded, loud thin cell") {
