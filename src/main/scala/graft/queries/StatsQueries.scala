@@ -1536,6 +1536,122 @@ object StatsQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Welch's unequal-variance pairwise t-tests
+    * ([[graft.stats.Anova.welchTTests]]) — the scipy-default companion
+    * to t13's pooled tests: t and the Welch–Satterthwaite dof are fixed
+    * double arithmetic over one groupBy's moments (ratio statistics, so
+    * ulp summation jitter sits ~1e-9 below the rounding line — the t13
+    * argument); the t-CDF p is library-only, asserted in-gate and
+    * excluded. */
+  val t36WelchTTests: Q = Q(
+    "t36_welch_ttests",
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment AS grp, count(*) AS n, avg(c_acctbal) AS m,
+          var_samp(c_acctbal) AS v
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        GROUP BY c_mktsegment)
+      SELECT a.grp AS group1, b.grp AS group2, a.n AS n1, b.n AS n2,
+        ROUND(a.m - b.m, 4) AS mean_diff,
+        ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+        ROUND((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+          / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+             + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 4) AS dof
+      FROM g a JOIN g b ON a.grp < b.grp
+      ORDER BY group1, group2"""),
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val ts = Anova.welchTTests(cust, "c_mktsegment", "c_acctbal")
+      require(ts.nonEmpty && ts.forall(t => t.pValue >= 0 && t.pValue <= 1),
+        "Welch p-values out of range")
+      ts.map(t => (t.group1, t.group2, t.n1, t.n2, t.meanDiff, t.tStat,
+          t.dof))
+        .toDF("group1", "group2", "n1", "n2", "mean_diff", "t_stat", "dof")
+        .select(col("group1"), col("group2"), col("n1"), col("n2"),
+          round(col("mean_diff"), 4).as("mean_diff"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("dof"), 4).as("dof"))
+        .orderBy("group1", "group2")
+    })
+
+  /** Brown–Forsythe homogeneity of variance
+    * ([[graft.stats.Anova.brownForsythe]]) — Levene's W with median
+    * centers, the precondition check for t12/t13's pooled variance.
+    * Gate arithmetic follows the t12 driver-proofing recipe: medians
+    * round to 6 so both engines center identically, the |y − med|
+    * deviations and their squares fold as round-12 decimals (the
+    * covariance round-before-cast recipe — a plain DECIMAL(18,6)
+    * product overflows DuckDB's multiply width), and W derives from
+    * those exact group sums; the library API (double moments) is
+    * asserted against the decimal fold in-gate at 1e-4. */
+  val t37BrownForsythe: Q = Q(
+    "t37_brown_forsythe",
+    Some("""
+      WITH med AS (
+        SELECT c_mktsegment AS grp,
+          ROUND(quantile_cont(c_acctbal, 0.5), 6) AS md
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        GROUP BY 1),
+      z AS (
+        SELECT m.grp, abs(CAST(c_acctbal AS DOUBLE) - md) AS z
+        FROM customer c JOIN med m ON c.c_mktsegment = m.grp
+        WHERE c.c_acctbal IS NOT NULL),
+      g AS (
+        SELECT grp, count(*) AS n,
+          CAST(SUM(CAST(round(z, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(round(z * z, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2
+        FROM z GROUP BY grp),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS k,
+          sum(s1) / sum(n) AS gm FROM g),
+      ss AS (
+        SELECT
+          (SELECT sum(n * (s1 / n - gm) * (s1 / n - gm)) FROM g, tot) AS ssb,
+          (SELECT sum(s2 - s1 * s1 / n) FROM g) AS ssw,
+          (SELECT k - 1 FROM tot) AS dfb,
+          (SELECT n_total - k FROM tot) AS dfw)
+      SELECT ROUND((ssb / dfb) / (ssw / dfw), 4) AS w_stat,
+        dfb AS df1, dfw AS df2
+      FROM ss"""),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cust = Tables.load(s, dir, "customer")
+      val base = cust.filter(col("c_mktsegment").isNotNull &&
+        col("c_acctbal").isNotNull)
+      val med = base.groupBy(col("c_mktsegment").as("grp"))
+        .agg(round(percentile(col("c_acctbal").cast("double"), lit(0.5)), 6)
+          .as("md"))
+      val z = base.join(med, col("c_mktsegment") === col("grp"))
+        .select(col("grp"),
+          abs(col("c_acctbal").cast("double") - col("md")).as("z"))
+      val g = z.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(round(col("z"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("s1"),
+        sum(round(col("z") * col("z"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("s2"))
+      val tot = g.agg(sum(col("n")).as("n_total"), count(lit(1)).as("k"),
+        (sum(col("s1")) / sum(col("n"))).as("gm"))
+      val m = col("s1") / col("n")
+      val ss = g.crossJoin(tot).agg(
+        sum(col("n") * (m - col("gm")) * (m - col("gm"))).as("ssb"),
+        sum(col("s2") - col("s1") * col("s1") / col("n")).as("ssw"),
+        first(col("k")).as("k"), first(col("n_total")).as("n_total"))
+      val out = ss.select(
+        round((col("ssb") / (col("k") - 1))
+          / (col("ssw") / (col("n_total") - col("k"))), 4).as("w_stat"),
+        (col("k") - 1).as("df1"),
+        (col("n_total") - col("k")).as("df2"))
+      val lib = Anova.brownForsythe(cust, "c_mktsegment", "c_acctbal").get
+      val w = out.head().getAs[Double]("w_stat")
+      require(math.abs(lib.fStat - w) < 1e-4,
+        s"library W ${lib.fStat} disagrees with the decimal fold $w")
+      require(lib.pValue >= 0 && lib.pValue <= 1, "p out of range")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1546,5 +1662,5 @@ object StatsQueries extends QueryModule {
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
     bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample,
     t31EqualFreqBins, t32Association, t33Mahalanobis, t34BhFdr,
-    t35MannWhitney)
+    t35MannWhitney, t36WelchTTests, t37BrownForsythe)
 }

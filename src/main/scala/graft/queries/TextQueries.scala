@@ -2695,7 +2695,75 @@ object TextQueries extends QueryModule {
       out
     })
 
+  /** TextRank keyword scores ([[graft.ops.TextRank.keywords]]):
+    * PageRank over the adjacent-word co-occurrence graph — vertices are
+    * the (vocabulary-bounded) tokens, undirected edges weighted by
+    * adjacency counts, scores the damped stationary mass. Pure
+    * composition of the bigram recipe and [[graft.ops.Graph.pageRank]],
+    * so the oracle is the gr_pagerank unrolled recurrence rebuilt on
+    * word vertices — same arithmetic form per iteration, both engines
+    * rounding to 8 at the very end. In-gate: Σ rank = 1. */
+  val txtTextrank: Q = {
+    val iterCtes = (1 to 5).map { i =>
+      val p = i - 1
+      s"""
+      d$i AS (SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+              FROM r$p r LEFT JOIN outd o ON r.node = o.src
+              WHERE o.src IS NULL),
+      c$i AS (SELECT e.dst AS node, SUM(r.rank * e.w / o.deg) AS c
+              FROM r$p r
+              JOIN outd o ON r.node = o.src
+              JOIN edges e ON e.src = r.node
+              GROUP BY e.dst),
+      r$i AS (SELECT tele.node,
+                (1.0 - 0.85) * tele.t
+                  + 0.85 * (COALESCE(c.c, 0.0)
+                    + (SELECT mass FROM d$i) * tele.t) AS rank
+              FROM tele LEFT JOIN c$i c ON tele.node = c.node)"""
+    }.mkString(",")
+    Q(
+      "txt_textrank",
+      Some(s"""
+      WITH d AS (
+        SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS wa
+        FROM documents),
+      sh AS (
+        SELECT CASE WHEN len(wa) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(wa) - 1),
+            i -> wa[i] || ' ' || wa[i + 1]) END AS s
+        FROM d),
+      pr AS (
+        SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b
+        FROM (SELECT unnest(s) AS bg FROM sh)
+        WHERE split_part(bg, ' ', 1) <> split_part(bg, ' ', 2)),
+      edges AS (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM (SELECT a AS src, b AS dst FROM pr
+              UNION ALL SELECT b AS src, a AS dst FROM pr)
+        GROUP BY src, dst),
+      nodes AS (SELECT DISTINCT unnest(wa) AS node FROM d),
+      tele AS (SELECT node,
+          1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes) AS t
+        FROM nodes),
+      outd AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT node, t AS rank FROM tele),$iterCtes
+      SELECT node AS word, ROUND(rank, 8) AS textrank
+      FROM r5
+      ORDER BY word"""),
+      (s, dir) => {
+        val out = graft.ops.TextRank.keywords(
+          Tables.load(s, dir, "documents"), "text")
+        val total = out.agg(sum("rank")).head().getDouble(0)
+        require(math.abs(total - 1.0) < 1e-9,
+          s"keyword mass not conserved: $total")
+        out.select(col("word"), round(col("rank"), 8).as("textrank"))
+          .orderBy("word")
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
+    txtTextrank,
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
     sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,
     txtHeapsCurve, txtHeapsFit, txtDupNgramFraction,

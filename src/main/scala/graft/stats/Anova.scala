@@ -67,6 +67,52 @@ object Anova {
       msB, msW, eta2, gs))
   }
 
+  final case class WelchResult(
+      group1: String, group2: String, n1: Long, n2: Long,
+      meanDiff: Double, tStat: Double, dof: Double, pValue: Double)
+
+  /** Welch's unequal-variance t-tests for every group pair — the scipy
+    * default (`equal_var=False`), and the safe choice when group
+    * spreads differ (pooled-variance t silently miscalibrates there).
+    * Same one-groupBy moment source as [[pairwiseTTests]]; t and the
+    * Welch–Satterthwaite dof are fixed double arithmetic over the group
+    * moments (oracle-replayable); only the t-CDF p is library-side. */
+  def welchTTests(df: DataFrame, catCol: String, yCol: String): Seq[WelchResult] = {
+    val gs = groupStats(df, catCol, yCol).filter(_.n >= 2)
+    val pairs = for { i <- gs.indices; j <- (i + 1) until gs.size } yield (gs(i), gs(j))
+    pairs.map { case (a, b) =>
+      val sa = a.std * a.std / a.n
+      val sb = b.std * b.std / b.n
+      val se2 = sa + sb
+      val t = if (se2 == 0.0) 0.0 else (a.mean - b.mean) / math.sqrt(se2)
+      val dof =
+        if (se2 == 0.0) (a.n + b.n - 2).toDouble
+        else se2 * se2 / (sa * sa / (a.n - 1) + sb * sb / (b.n - 1))
+      val p = 2.0 * (1.0 - new TDistribution(dof).cumulativeProbability(math.abs(t)))
+      WelchResult(a.group, b.group, a.n, b.n, a.mean - b.mean, t, dof, p)
+    }
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test (Levene's test with
+    * median centers — the robust default): one-way ANOVA F on the
+    * absolute deviations z = |y − median(group)|. The precondition
+    * check for [[oneWay]] itself — a significant W says the equal-
+    * variance assumption behind pooled F/t is broken and the Welch
+    * family above is the right tool. Group medians come from one exact
+    * percentile aggregate, rounded to 6 so both engines center on the
+    * same line (the t17/t19 portability recipe); the rest reuses
+    * [[oneWay]]'s moment fold verbatim. */
+  def brownForsythe(df: DataFrame, catCol: String, yCol: String): Option[AnovaResult] = {
+    val y = col(yCol).cast(DoubleType)
+    val meds = df.filter(col(catCol).isNotNull && y.isNotNull)
+      .groupBy(col(catCol).cast(StringType).as("__g"))
+      .agg(round(percentile(y, lit(0.5)), 6).as("__med"))
+    val z = df
+      .join(meds, col(catCol).cast(StringType) === col("__g"), "inner")
+      .withColumn("__z", abs(y - col("__med")))
+    oneWay(z, catCol, "__z")
+  }
+
   /** Independent two-sample t-tests for every group pair, Bonferroni-
     * corrected (×#comparisons, capped at 1.0), pooled-std Cohen's d. */
   def pairwiseTTests(df: DataFrame, catCol: String, yCol: String): Seq[TTestResult] = {

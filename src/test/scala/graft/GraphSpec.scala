@@ -396,4 +396,25 @@ class GraphSpec extends SparkSpec {
     val core = Graph.kCore(g, 1).collect().map(_.getAs[Long]("node")).sorted
     assert(core.toSeq == Seq(1L, 2L))
   }
+
+  test("textrank: hub outranks leaves, symmetry respected, mass conserved") {
+    import graft.ops.TextRank
+    // "hub a hub b hub c hub": every leaf sits between two hubs, so all
+    // three hub-leaf edges carry weight 2 -- hub must outrank, leaves
+    // tie exactly (the trailing hub matters: without it c's edge would
+    // be weight 1 and the tie breaks)
+    val docs = Seq((1L, "hub a hub b hub c hub")).toDF("doc_id", "text")
+    val r = TextRank.keywords(docs, "text").collect()
+      .map(x => x.getAs[String]("word") -> x.getAs[Double]("rank")).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("hub") > r("a") && r("a") == r("b") && r("b") == r("c"), s"$r")
+    // repeated-word self-loops are dropped: "y y y" has no edges, so
+    // a second doc's words split mass evenly with y staying dangling
+    val dangling = Seq((1L, "y y y"), (2L, "p q")).toDF("doc_id", "text")
+    val d = TextRank.keywords(dangling, "text").collect()
+      .map(x => x.getAs[String]("word") -> x.getAs[Double]("rank")).toMap
+    assert(math.abs(d.values.sum - 1.0) < 1e-9)
+    assert(d("p") == d("q") && d("y") < d("p"),
+      s"edgeless word must keep sub-uniform teleport mass: $d")
+  }
 }

@@ -1226,6 +1226,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("welch t-tests: match commons-math3 on unequal-variance groups") {
+    import graft.stats.Anova
+    val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    val b = Array(10.0, 30.0, 50.0, 20.0, 40.0, 60.0)
+    val df = (a.map(("g1", _)) ++ b.map(("g2", _))).toSeq.toDF("g", "y")
+    val r = Anova.welchTTests(df, "g", "y").head
+    val tester = new org.apache.commons.math3.stat.inference.TTest()
+    // commons-math3's two-sample t/tTest ARE the Welch statistics
+    assert(math.abs(r.tStat - tester.t(a, b)) < 1e-12,
+      s"t=${r.tStat} vs ${tester.t(a, b)}")
+    assert(math.abs(r.pValue - tester.tTest(a, b)) < 1e-12)
+    // Welch dof must sit strictly below the pooled n1+n2-2 here
+    assert(r.dof < 9.0 && r.dof > 5.0, s"dof=${r.dof}")
+  }
+
+  test("brown-forsythe: spread difference detected, equal spreads are not") {
+    import graft.stats.Anova
+    // same medians, wildly different spreads -> significant W
+    val uneq = ((1 to 40).map(i => ("tight", 100.0 + (i % 5))) ++
+      (1 to 40).map(i => ("wide", 100.0 + (i % 5) * 60))).toDF("g", "y")
+    val w = Anova.brownForsythe(uneq, "g", "y").get
+    assert(w.pValue < 1e-6, s"planted heteroscedasticity missed: $w")
+    // identical distributions -> W ~ 0
+    val eq = ((1 to 40).map(i => ("a", (i % 7).toDouble)) ++
+      (1 to 40).map(i => ("b", (i % 7).toDouble))).toDF("g", "y")
+    val we = Anova.brownForsythe(eq, "g", "y").get
+    assert(we.fStat < 1e-9 && we.pValue > 0.99, s"$we")
+  }
+
   test("did: hand-computed 2x2, null evidence excluded, loud thin cell") {
     import graft.stats.Experiment
     // control pre [1,2] post [2,3]; treat pre [1,3] post [5,7]:
