@@ -1041,10 +1041,66 @@ object EvalQueries extends QueryModule {
         .orderBy("g", "score")
     })
 
+  /** Cronbach's alpha ([[graft.stats.Agreement.cronbachAlpha]]): three
+    * constructed "rating" items sharing the quantity construct (r2/r3
+    * add independent per-row noise), so internal consistency is high by
+    * construction — the oracle replays the round-12 decimal moment
+    * folds, all four sample variances, and the α formula term-for-term.
+    * In-gate: α > 0.9 on the shared-construct fixture. */
+  val cronbachAlphaGate: Q = Q(
+    "lbl_cronbach_alpha",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS r1,
+          CAST(l_quantity + l_linenumber AS DOUBLE) AS r2,
+          CAST(l_quantity + l_orderkey % 5 AS DOUBLE) AS r3
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+          AND l_orderkey IS NOT NULL),
+      m AS (
+        SELECT count(*) AS n,
+          CAST(SUM(CAST(round(r1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s0,
+          CAST(SUM(CAST(round(r1 * r1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS q0,
+          CAST(SUM(CAST(round(r2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(round(r2 * r2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS q1,
+          CAST(SUM(CAST(round(r3, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(round(r3 * r3, 12) AS DECIMAL(38,12))) AS DOUBLE) AS q2,
+          CAST(SUM(CAST(round(r1 + r2 + r3, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS st,
+          CAST(SUM(CAST(round((r1 + r2 + r3) * (r1 + r2 + r3), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS qt
+        FROM b),
+      v AS (
+        SELECT n,
+          (q0 - s0 * s0 / n) / (n - 1) AS v0,
+          (q1 - s1 * s1 / n) / (n - 1) AS v1,
+          (q2 - s2 * s2 / n) / (n - 1) AS v2,
+          (qt - st * st / n) / (n - 1) AS vt
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n_rows, 3 AS k,
+        round(v0 + v1 + v2, 6) + 0.0 AS sum_item_var,
+        round(vt, 6) + 0.0 AS total_var,
+        CASE WHEN vt <> 0
+          THEN round(CAST(3 AS DOUBLE) / (3 - 1)
+            * (1.0 - (v0 + v1 + v2) / vt), 6) + 0.0 END AS alpha
+      FROM v"""),
+    (s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("r1"),
+          (col("l_quantity") + col("l_linenumber")).cast("double").as("r2"),
+          (col("l_quantity") + col("l_orderkey") % 5).cast("double").as("r3"))
+      val out = graft.stats.Agreement.cronbachAlpha(items,
+        Seq("r1", "r2", "r3"))
+      val a = out.head().getAs[Double]("alpha")
+      require(a > 0.9,
+        s"items share the quantity construct; alpha must be high, got $a")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
-      krippendorffGate, bestThresholdGate, isoFitByGroup)
+      krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate)
 }

@@ -1550,8 +1550,67 @@ object EventQueries extends QueryModule {
         col("treat"), col("post"), col("y"))
     })
 
+  /** Minimum detectable effect
+    * ([[graft.stats.Experiment.minimumDetectableEffect]]): the power
+    * line every A/B readout must ship beside — here for the exact
+    * experiment ev_proportion_ztest runs (same hash arms, same ≥ 14
+    * purchases conversion). The normal quantiles are library constants
+    * inlined as the SAME doubles into both engines (the
+    * Bootstrap-thresholds convention); everything else is fixed double
+    * arithmetic over three integer counts. */
+  val evPowerMde: Q = {
+    val za = graft.stats.Experiment.zQuantile(1.0 - 0.05 / 2.0)
+    val zb = graft.stats.Experiment.zQuantile(0.8)
+    Q(
+      "ev_power_mde",
+      Some(s"""
+      WITH u AS (
+        SELECT user_id,
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft-arm',
+            CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.5 AS arm,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+            AS conv
+        FROM events GROUP BY user_id),
+      c AS (
+        SELECT
+          CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS cv
+        FROM u),
+      f AS (SELECT nt, nc, cv / CAST(nt + nc AS DOUBLE) AS pb FROM c),
+      g AS (
+        SELECT nt, nc, pb,
+          ($za + $zb) * sqrt(pb * (1.0 - pb) * (1.0 / nt + 1.0 / nc))
+            AS mde
+        FROM f)
+      SELECT nt AS n_t, nc AS n_c, round(pb, 9) + 0.0 AS rate_pooled,
+        $za AS z_alpha, $zb AS z_power,
+        round(mde, 9) + 0.0 AS mde_abs,
+        CASE WHEN pb > 0 THEN round(mde / pb, 9) + 0.0 END AS mde_rel
+      FROM g"""),
+      (s, dir) => {
+        val units = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14).as("conv"))
+          .withColumn("arm", graft.ops.Sampling.hashFraction("graft-arm",
+            Seq(col("user_id"))) < 0.5)
+        val out = graft.stats.Experiment.minimumDetectableEffect(units,
+          col("arm"), col("conv"))
+        val r = out.head()
+        require(r.getAs[Double]("mde_abs") > 0 &&
+          r.getAs[Double]("mde_abs") < 1,
+          s"MDE out of band: ${r.getAs[Double]("mde_abs")}")
+        require(!r.isNullAt(r.fieldIndex("mde_rel")),
+          "non-zero baseline must yield a relative MDE")
+        out
+      })
+  }
+
   override def queries: Seq[Q] =
-    Seq(evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
+    Seq(evPowerMde,
+      evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,

@@ -237,4 +237,52 @@ object Agreement {
             * col("do_sum").cast("double") / col("de_num").cast("double"),
             9)).as("alpha"))
   }
+
+  /** Cronbach's alpha (Cronbach 1951) — internal consistency of k
+    * parallel numeric items (rating columns, rubric dimensions, ensemble
+    * scores): α = k/(k−1) · (1 − Σ itemVar / totalVar), the reliability
+    * screen run before averaging item scores into one label. High α
+    * says the items measure one construct; α near 0 says the composite
+    * is noise.
+    *
+    * ONE moment aggregation (2k + 2 cells, map-side combined) of
+    * round-12 decimal folds — the covariance recipe — then fixed double
+    * arithmetic, so a SQL oracle replays every value. Rows with any
+    * null item are excluded (an incomplete response has no total
+    * score). Sample (n−1) variances; α is null when the total variance
+    * is 0 (all respondents identical — reliability undefined), loud
+    * below 2 complete rows or 2 items.
+    *
+    * Returns one row: (n_rows, k, sum_item_var, total_var, alpha),
+    * variances and α rounded to 6. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = itemCols.size
+    require(k >= 2, s"Cronbach's alpha needs >= 2 items, got $k")
+    val items = itemCols.map(c => col(c).cast("double"))
+    val complete = itemCols.map(col(_).isNotNull).reduce(_ && _)
+    def fold(c: Column): Column =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val total = items.reduce(_ + _)
+    val aggs = count(lit(1)).as("n") +:
+      (items.zipWithIndex.flatMap { case (x, i) =>
+        Seq(fold(x).as(s"s_$i"), fold(x * x).as(s"q_$i"))
+      } ++ Seq(fold(total).as("st"), fold(total * total).as("qt")))
+    val m = df.filter(complete).agg(aggs.head, aggs.tail: _*).head()
+    val n = m.getAs[Long]("n")
+    require(n >= 2, s"need >= 2 complete rows, got $n")
+    def v(s: Double, q: Double): Double = (q - s * s / n) / (n - 1)
+    val itemVarSum = (0 until k)
+      .map(i => v(m.getAs[Double](s"s_$i"), m.getAs[Double](s"q_$i"))).sum
+    val totalVar = v(m.getAs[Double]("st"), m.getAs[Double]("qt"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    val alpha =
+      if (totalVar == 0.0) None
+      else Some(r6(k.toDouble / (k - 1) * (1.0 - itemVarSum / totalVar)))
+    Seq((n, k, r6(itemVarSum), r6(totalVar), alpha))
+      .toDF("n_rows", "k", "sum_item_var", "total_var", "alpha")
+  }
 }

@@ -238,4 +238,54 @@ object Experiment {
       .toDF("n_t", "conv_t", "rate_t", "n_c", "conv_c", "rate_c",
         "diff", "z", "ci_lo", "ci_hi", "p_value")
   }
+
+  /** Standard-normal quantile Φ⁻¹(p) — public so gates can inline the
+    * SAME double literal into both engines (the Bootstrap-thresholds
+    * convention for library constants). */
+  def zQuantile(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"quantile probability must be in (0,1): $p")
+    new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+      .inverseCumulativeProbability(p)
+  }
+
+  /** Minimum detectable effect of the experiment as RUN — the power
+    * analysis a readout like [[proportionTest]] must ship beside: a
+    * non-significant result is only evidence of absence down to the
+    * MDE, and teams that skip this line read "p > 0.05 on an
+    * underpowered test" as "no effect". Standard two-proportion
+    * approximation at the pooled baseline:
+    * MDE = (z₁₋α/2 + z_power) · √(p̄(1−p̄)(1/n_t + 1/n_c)).
+    *
+    * One aggregation pass (the proportionTest counts); everything after
+    * is fixed double arithmetic over four integers plus two normal
+    * quantiles ([[zQuantile]] literals — library-side, but CONSTANTS,
+    * so the oracle inlines the same doubles). Returns one row:
+    * (n_t, n_c, rate_pooled, z_alpha, z_power, mde_abs, mde_rel),
+    * rates/MDE rounded to 9; mde_rel null at a zero baseline. */
+  def minimumDetectableEffect(units: DataFrame, armCol: Column,
+      convCol: Column, alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(alpha > 0 && alpha < 1 && power > 0 && power < 1,
+      s"alpha=$alpha power=$power must sit in (0,1)")
+    val r = units.agg(
+      sum(when(armCol, 1L).otherwise(0L)).as("nt"),
+      sum(when(!armCol, 1L).otherwise(0L)).as("nc"),
+      sum(when(convCol, 1L).otherwise(0L)).as("c")).head()
+    val nt = r.getAs[Long]("nt"); val nc = r.getAs[Long]("nc")
+    val c = r.getAs[Long]("c")
+    require(nt > 0 && nc > 0, s"empty arm: treatment=$nt control=$nc")
+    val pBar = c.toDouble / (nt + nc)
+    val za = zQuantile(1.0 - alpha / 2.0)
+    val zb = zQuantile(power)
+    val mde = (za + zb) *
+      math.sqrt(pBar * (1.0 - pBar) * (1.0 / nt + 1.0 / nc))
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark = units.sparkSession
+    import spark.implicits._
+    Seq((nt, nc, r9(pBar), za, zb, r9(mde),
+        if (pBar == 0.0) None else Some(r9(mde / pBar))))
+      .toDF("n_t", "n_c", "rate_pooled", "z_alpha", "z_power",
+        "mde_abs", "mde_rel")
+  }
 }

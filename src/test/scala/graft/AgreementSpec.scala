@@ -161,4 +161,29 @@ class AgreementSpec extends SparkSpec {
     assert(a.getAs[Long]("n_ratings") == b.getAs[Long]("n_ratings"))
     assert(a.getAs[Double]("alpha") == b.getAs[Double]("alpha"))
   }
+
+  test("cronbach: duplicate items -> 1, orthogonal -> 0, degenerate -> null") {
+    // two identical items: total variance = 4v, item sum = 2v -> alpha 1
+    val dup = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("r1", "r2")
+    val rd = Agreement.cronbachAlpha(dup, Seq("r1", "r2")).head()
+    assert(rd.getAs[Double]("alpha") == 1.0)
+    // exactly zero sample covariance: total var = sum of item vars -> 0
+    val orth = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+      .toDF("r1", "r2")
+    val ro = Agreement.cronbachAlpha(orth, Seq("r1", "r2")).head()
+    assert(ro.getAs[Double]("alpha") == 0.0, s"$ro")
+    // null item row excluded from the fit, not zero-filled
+    val withNull = dup.unionByName(
+      Seq((Some(9.0), None: Option[Double])).toDF("r1", "r2"))
+    val rn = Agreement.cronbachAlpha(withNull, Seq("r1", "r2")).head()
+    assert(rn.getAs[Long]("n_rows") == 4 && rn.getAs[Double]("alpha") == 1.0)
+    // constant total score: reliability undefined -> null, never NaN
+    val const = Seq((1.0, 2.0), (2.0, 1.0), (1.5, 1.5)).toDF("r1", "r2")
+    val rc = Agreement.cronbachAlpha(const, Seq("r1", "r2")).head()
+    assert(rc.isNullAt(rc.fieldIndex("alpha")))
+    intercept[IllegalArgumentException] {
+      Agreement.cronbachAlpha(dup, Seq("r1"))
+    }
+  }
 }

@@ -1255,6 +1255,36 @@ class StatsSpec extends SparkSpec {
     assert(we.fStat < 1e-9 && we.pValue > 0.99, s"$we")
   }
 
+  test("mde: hand two-proportion power formula, loud degenerate inputs") {
+    import graft.stats.Experiment
+    // 100 vs 100 units at a pooled 50% baseline:
+    // mde = (z_.975 + z_.8) * sqrt(.25 * .02)
+    val units = (1 to 200).map(i => (i <= 100, i % 2 == 0)).toDF("arm", "conv")
+    val r = Experiment.minimumDetectableEffect(units,
+      col("arm"), col("conv")).head()
+    val want = (Experiment.zQuantile(0.975) + Experiment.zQuantile(0.8)) *
+      math.sqrt(0.25 * 0.02)
+    // emitted values are rounded to 9 dp, so allow the half-grid slack
+    assert(math.abs(r.getAs[Double]("mde_abs") - want) < 1e-8,
+      s"${r.getAs[Double]("mde_abs")} vs $want")
+    assert(math.abs(r.getAs[Double]("mde_rel") -
+      r.getAs[Double]("mde_abs") / 0.5) < 1e-8)
+    // zero baseline: absolute MDE still defined, relative is null
+    val cold = (1 to 200).map(i => (i <= 100, false)).toDF("arm", "conv")
+    val rc = Experiment.minimumDetectableEffect(cold,
+      col("arm"), col("conv")).head()
+    assert(rc.getAs[Double]("mde_abs") == 0.0 &&
+      rc.isNullAt(rc.fieldIndex("mde_rel")))
+    intercept[IllegalArgumentException] {
+      Experiment.minimumDetectableEffect(units, col("arm"), col("conv"),
+        alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.minimumDetectableEffect(
+        units.filter(col("arm")), col("arm"), col("conv"))
+    }
+  }
+
   test("did: hand-computed 2x2, null evidence excluded, loud thin cell") {
     import graft.stats.Experiment
     // control pre [1,2] post [2,3]; treat pre [1,3] post [5,7]:
