@@ -643,6 +643,65 @@ object ScaleBench {
         emit("a7_enwiden_pivot", k, liPivot.count(), a7Med, a7S,
           s""","wide_rows":$wideRows""")
       }
+
+      if (wanted("bh_fdr")) {
+        // K× hypotheses with DISTINCT keys (offset orderkeys): the BH
+        // pass is one distributed sort + two partition-offset scans —
+        // time must scale ~K× (sort-dominated), no unpartitioned window.
+        // Witness: discoveries at alpha = .05 (every 97th key planted
+        // 1000× smaller) — deterministic, and SUBLINEAR in K by BH's own
+        // step-up geometry: the threshold line 0.05·i/m tightens as m
+        // grows at fixed signal density, so only the deepening extreme
+        // tail clears it (measured 16 → 26 at 1× → 20×).
+        def hyp = spark.read.parquet(s"$dir/lineitem_pivot")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+          .withColumn("p", round(when(col("id") % 97 === 0,
+            graft.ops.Sampling.hashFraction("graft-sb-p", Seq(col("id")))
+              / 1000.0)
+            .otherwise(graft.ops.Sampling.hashFraction("graft-sb-p",
+              Seq(col("id")))), 9))
+        var disc = 0L; var m = 0L
+        val (bMed, bS) = timeMedian {
+          val q = graft.stats.MultipleTesting
+            .benjaminiHochberg(hyp, "p", "id")
+          val r = q.agg(
+            sum(when(col("q_value") <= 0.05, 1L).otherwise(0L)).as("d"),
+            count(lit(1)).as("n")).head()
+          disc = r.getAs[Long]("d"); m = r.getAs[Long]("n")
+        }
+        emit("bh_fdr", k, m, bMed, bS, s""","discoveries":$disc""")
+      }
+
+      if (wanted("mann_whitney")) {
+        // K× rows over a CONSTANT 53-value domain: the per-value count
+        // aggregation (map-side combined) is the whole cost; the sorted
+        // distinct-value table never grows. Witness: |z| grows ~√K under
+        // the fixed +3 shift (same effect, K× the evidence).
+        var z = 0.0
+        val (mMed, mS) = timeMedian {
+          val base = li.withColumn("__arm",
+            graft.ops.Sampling.hashFraction("graft-mw",
+              Seq(col("l_orderkey"), col("l_linenumber"))) < 0.5)
+            .withColumn("__v",
+              col("l_quantity") + when(col("__arm"), 0).otherwise(3))
+          z = graft.stats.RankTests
+            .mannWhitneyU(base, col("__arm"), col("__v"))
+            .head().getAs[Double]("z")
+        }
+        emit("mann_whitney", k, li.count(), mMed, mS, s""","z":$z""")
+      }
+
+      if (wanted("textrank")) {
+        // per-copy token suffixes make vocabulary AND edges scale K×
+        // (disjoint word graphs per copy): the propagation state is the
+        // K×-vocab rank table, so time must scale ~K× per iteration.
+        // Witness: vertex (word) count.
+        var words = 0L
+        val (tMed, tS) = timeMedian {
+          words = graft.ops.TextRank.keywords(docs, "text").count()
+        }
+        emit("textrank", k, docs.count(), tMed, tS, s""","words":$words""")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
