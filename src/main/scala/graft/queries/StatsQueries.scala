@@ -1652,6 +1652,122 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Kruskal–Wallis H ([[graft.stats.RankTests.kruskalWallis]]): the
+    * k-group rank test on quantities with a planted per-group location
+    * shift (A +0, N +2, R +5 — the t35 planted-effect convention over
+    * independent synthetic columns). 2·avgRank and 2·rankSum fold as
+    * exact integers both sides; H is fixed double arithmetic the oracle
+    * replays; the χ²(k−1) p is library-only (asserted in-gate,
+    * excluded — the t35 convention). */
+  val t38KruskalWallis: Q = Q(
+    "t38_kruskal_wallis",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS g,
+          CAST(l_quantity + CASE l_returnflag WHEN 'A' THEN 0
+            WHEN 'N' THEN 2 ELSE 5 END AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      c AS (SELECT v, g, COUNT(*) AS c FROM b GROUP BY v, g),
+      t AS (SELECT v, SUM(c) AS t FROM c GROUP BY v),
+      w AS (
+        SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM t),
+      r AS (SELECT v, 2 * below + t + 1 AS two_rank, t FROM w),
+      pg AS (
+        SELECT c.g, CAST(SUM(c.c) AS BIGINT) AS n_g,
+          CAST(SUM(CAST(c.c AS HUGEINT) * r.two_rank) AS DOUBLE) AS trs
+        FROM c JOIN r USING (v) GROUP BY c.g),
+      hs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+          SUM((trs / 2.0) * (trs / 2.0) / n_g) AS s
+        FROM pg),
+      ties AS (
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tie3
+        FROM t)
+      SELECT k AS k_groups, n AS n_total,
+        round(12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * s
+          - 3.0 * (n + 1.0), 6) AS h,
+        round((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * s - 3.0 * (n + 1.0))
+          / (1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tied
+      FROM hs, ties"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "lineitem")
+        .withColumn("__v", col("l_quantity") +
+          when(col("l_returnflag") === "A", 0)
+            .when(col("l_returnflag") === "N", 2).otherwise(5))
+      val out = graft.stats.RankTests.kruskalWallis(
+        base, col("l_returnflag"), col("__v"))
+      val r = out.head()
+      require(r.getAs[Double]("h") > 0 &&
+        r.getAs[Double]("h_tied") >= r.getAs[Double]("h"),
+        "tie correction must not shrink H")
+      require(r.getAs[Double]("p_value") < 1e-6,
+        "the planted per-group shifts must be overwhelming")
+      out.drop("p_value")
+    })
+
+  /** Fisher's exact test ([[graft.stats.Contingency.fisherExact]]) on
+    * the priority×status 2×2 of orders: one aggregation makes the four
+    * cells; the hypergeometric tail sum is exp(Σ lgamma) driver-side —
+    * the IDENTICAL formula the oracle replays with DuckDB's own lgamma
+    * over the same unnest-generated support, a genuine
+    * cross-implementation differential (commons-math3 logGamma vs
+    * DuckDB's C lgamma) that agrees far inside the round-6 line. */
+  val t39FisherExact: Q = Q(
+    "t39_fisher_exact",
+    Some("""
+      WITH flags AS (
+        SELECT o_orderpriority LIKE '1%' AS fa, o_orderstatus = 'F' AS fb
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+      par AS (
+        SELECT
+          CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+            AS d,
+          CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+          CAST(SUM(CASE WHEN NOT fa THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+          CAST(SUM(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM flags),
+      ks AS (
+        SELECT a, b, c, d, r1, r2, c1, n,
+          unnest(generate_series(GREATEST(0, c1 - r2), LEAST(r1, c1))) AS k
+        FROM par),
+      pm AS (
+        SELECT a, b, c, d, k,
+          exp(lgamma(r1 + 1.0) - lgamma(k + 1.0) - lgamma(r1 - k + 1.0)
+            + lgamma(r2 + 1.0) - lgamma(c1 - k + 1.0)
+            - lgamma(r2 - c1 + k + 1.0)
+            - (lgamma(n + 1.0) - lgamma(c1 + 1.0) - lgamma(n - c1 + 1.0)))
+            AS p
+        FROM ks)
+      SELECT a AS n_tt, b AS n_tf, c AS n_ft, d AS n_ff,
+        round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+          AS odds_ratio,
+        round(LEAST(SUM(CASE WHEN p <=
+            (SELECT p FROM pm WHERE k = a) * (1 + 1e-7)
+          THEN p ELSE 0 END), 1.0), 6) AS p_two_sided
+      FROM pm GROUP BY 1, 2, 3, 4, 5"""),
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val out = graft.stats.Contingency.fisherExact(orders,
+        col("o_orderpriority").startsWith("1"),
+        col("o_orderstatus") === "F")
+      val r = out.head()
+      require(r.getAs[Long]("n_tt") > 0 && r.getAs[Long]("n_ff") > 0,
+        "degenerate 2x2 — the gate columns moved under us")
+      val p = r.getAs[Double]("p_two_sided")
+      require(p > 0.0 && p <= 1.0, s"p out of range: $p")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
@@ -1662,5 +1778,6 @@ object StatsQueries extends QueryModule {
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
     bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample,
     t31EqualFreqBins, t32Association, t33Mahalanobis, t34BhFdr,
-    t35MannWhitney, t36WelchTTests, t37BrownForsythe)
+    t35MannWhitney, t36WelchTTests, t37BrownForsythe, t38KruskalWallis,
+    t39FisherExact)
 }

@@ -1,7 +1,7 @@
 package graft.stats
 
 import org.apache.commons.math3.distribution.ChiSquaredDistribution
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,6 +151,68 @@ object Contingency {
       when(col("__hb") > 0, round(col("__mi") / col("__hb"), 6))
         .as("u_b_given_a"))
   }
+
+  /** Fisher's exact test on the 2×2 table of two boolean flags
+    * (Fisher 1935, public) — the small-cell companion to [[chiSquare]],
+    * whose χ² approximation breaks exactly where rare-event audits live
+    * (expected cell < 5: a rare quality flag crossed with a rare
+    * provenance flag). Two-sided p by the standard "sum every table as
+    * extreme as observed" rule (pmf(k) ≤ pmf(obs)·(1+1e-7), the scipy
+    * boundary convention).
+    *
+    * Scale shape: ONE aggregation over the data produces the four
+    * cells; everything after is a driver loop over the hypergeometric
+    * support (bounded by min(rowTotal, colTotal), loudly capped — at
+    * that point χ² is the right test anyway). The pmf is
+    * exp(Σ lgamma) — the identical formula a SQL oracle replays with
+    * its own lgamma, so p is cross-engine comparable at 6 decimals.
+    * Rows with a null flag on either side are excluded. Returns one
+    * row: (n_tt, n_tf, n_ft, n_ff, odds_ratio, p_two_sided), odds
+    * ratio null when a denominator cell is zero, both rounded to 6. */
+  def fisherExact(df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.select(flagA.as("fa"), flagB.as("fb"))
+      .filter(col("fa").isNotNull && col("fb").isNotNull)
+      .agg(
+        sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("fa") && !col("fb"), 1L).otherwise(0L)).as("d"))
+      .head()
+    val (a, b, c, d) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+    val (r1, r2, c1) = (a + b, c + d, a + c)
+    val n = r1 + r2
+    require(n > 0, "Fisher's exact needs at least one non-null row")
+    val kMin = math.max(0L, c1 - r2)
+    val kMax = math.min(r1, c1)
+    require(kMax - kMin <= 5000000L,
+      s"hypergeometric support ${kMax - kMin} too large for an exact " +
+        "test - cells this big want Contingency.chiSquare")
+    import org.apache.commons.math3.special.Gamma.logGamma
+    def lgC(m: Long, k: Long): Double =
+      logGamma(m + 1.0) - logGamma(k + 1.0) - logGamma(m - k + 1.0)
+    val denom = lgC(n, c1)
+    def pmf(k: Long): Double = math.exp(lgC(r1, k) + lgC(r2, c1 - k) - denom)
+    val pObs = pmf(a)
+    var p = 0.0
+    var k = kMin
+    while (k <= kMax) {
+      val pk = pmf(k)
+      if (pk <= pObs * (1.0 + 1e-7)) p += pk
+      k += 1
+    }
+    val odds: Option[Double] =
+      if (b > 0 && c > 0) Some(rd6(a.toDouble * d / (b.toDouble * c)))
+      else None
+    Seq((a, b, c, d, odds, rd6(math.min(p, 1.0))))
+      .toDF("n_tt", "n_tf", "n_ft", "n_ff", "odds_ratio", "p_two_sided")
+  }
+
+  private def rd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble + 0.0
 
   /** χ² statistic, degrees of freedom, p-value. Returns None when the
     * table is degenerate (fewer than 2 observed levels on either side). */

@@ -95,6 +95,104 @@ object RankTests {
     } finally counts.unpersist()
   }
 
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952, public) — the k-group
+    * extension of [[mannWhitneyU]]: "do any of these groups differ in
+    * location", rank-based, so heavy tails and monotone transforms
+    * cannot distort it the way they distort [[Anova.oneWay]]'s F.
+    *
+    * Distributed shape: one per-(value, group) count aggregation, one
+    * distinct-value total aggregation, ONE range-partitioned sort of
+    * the distinct-value table with per-partition running sums +
+    * broadcast partition offsets (the [[mannWhitneyU]] parallel-scan
+    * idiom — NO unpartitioned window over the value domain, which is
+    * unbounded for continuous metrics), then a join of the ranked
+    * value table back to the (value, group) counts and a group-keyed
+    * rollup. Driver state is per-partition scalars plus the
+    * group-bounded rank-sum table.
+    *
+    * Exactness: 2·avgRank(v) = 2·countBelow + t + 1 is an exact
+    * integer, so per-group 2·rankSum folds as exact decimal integers;
+    * the per-group H terms (R_g²/n_g) are rounded to 6 and summed as
+    * decimals in BOTH engines, making H order-invariant and
+    * oracle-exact. The tie term Σ(t³−t) folds in decimal (t³ overflows
+    * a long once a value repeats ~2M times). Only the χ²(k−1) p-value
+    * is library-only (the established convention).
+    *
+    * Returns one row: (k_groups, n_total, h, h_tied, p_value), h
+    * statistics rounded to 6; h_tied = h / (1 − Σ(t³−t)/(n³−n)).
+    * Fails loudly with < 2 groups or when every value is tied. */
+  def kruskalWallis(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cellCounts = df
+      .select(grpCol.cast("string").as("g"), valueCol.cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+      .groupBy("v", "g").agg(count(lit(1)).as("c"))
+    cellCounts.cache()
+    try {
+      val totals = cellCounts.groupBy("v")
+        .agg(sum(col("c")).as("t"))
+        .as[(Double, Long)].rdd.sortBy(_._1)
+      totals.cache()
+      try {
+        val partTotals = totals.mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        }.collect().sortBy(_._1)
+        val off = partTotals.map(_._2).scanLeft(0L)(_ + _)
+        val n = off.last
+        require(n > 0, "Kruskal-Wallis needs at least one non-null value")
+        // (v, 2*avgRank as exact long, t) — 2*rank fits a long (≤ 2n+1)
+        val ranked = totals.mapPartitionsWithIndex { (i, it) =>
+          var below = off(i)
+          it.map { case (v, t) =>
+            val r = (v, 2L * below + t + 1L, t)
+            below += t
+            r
+          }
+        }
+        val rankDf = spark.createDataset(ranked).toDF("v", "two_rank", "t")
+        // group rollup: n_g and the exact 2·rankSum (decimal — the
+        // product c·two_rank is ~2n² and the sum ~2n² per group)
+        val perGroup = cellCounts.join(rankDf, "v")
+          .groupBy("g").agg(
+            sum(col("c")).as("n_g"),
+            sum(col("c").cast("decimal(38,0)") * col("two_rank"))
+              .as("two_rank_sum"))
+          .collect().sortBy(_.getAs[String]("g"))
+        require(perGroup.length >= 2,
+          s"Kruskal-Wallis needs >= 2 groups, got ${perGroup.length}")
+        val tieSum = rankDf.agg(
+          sum((col("t").cast("decimal(38,0)") * col("t") * col("t"))
+            - col("t")).as("tie3"))
+          .head().getDecimal(0)
+        // Σ (R_g)² / n_g as plain doubles in sorted-group order: the sum
+        // has only k terms, so reorder error is ≤ k·ulp — ~1e-11 after
+        // the 12/(n(n+1)) scale-down, far inside the round-6 line (a
+        // per-term decimal round would be WORSE here: the terms sit at
+        // ~n²·n_g magnitude where a 6-decimal round of a double is
+        // itself ill-defined)
+        val hSum = perGroup.map { r =>
+          val ng = r.getAs[Long]("n_g")
+          val trs = r.getAs[java.math.BigDecimal]("two_rank_sum").doubleValue
+          (trs / 2.0) * (trs / 2.0) / ng
+        }.sum
+        val h = 12.0 / (n.toDouble * (n + 1.0)) * hSum -
+          3.0 * (n + 1.0)
+        val nD = n.toDouble
+        val corr = 1.0 - tieSum.doubleValue / (nD * nD * nD - nD)
+        require(corr > 0.0,
+          "all values tied — rank geometry degenerate; nothing to test")
+        val hTied = h / corr
+        val k = perGroup.length
+        val p = 1.0 - new org.apache.commons.math3.distribution
+          .ChiSquaredDistribution((k - 1).toDouble)
+          .cumulativeProbability(math.max(hTied, 0.0))
+        Seq((k.toLong, n, round6(h), round6(hTied), round6(p)))
+          .toDF("k_groups", "n_total", "h", "h_tied", "p_value")
+      } finally totals.unpersist()
+    } finally cellCounts.unpersist()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0

@@ -1465,4 +1465,89 @@ class StatsSpec extends SparkSpec {
     assert(narrow < wide,
       s"CI width must shrink with n: $narrow !< $wide")
   }
+
+  test("kruskal-wallis: hand values, tie correction, degenerate guards") {
+    import graft.stats.RankTests
+    // no ties: groups {1,2,3},{4,5,6},{7,8,9} -> ranks 1..9,
+    // H = 12/90 * (36/3 + 225/3 + 576/3) - 30 = 7.2, correction = 1
+    val clean = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("y", 4.0),
+      ("y", 5.0), ("y", 6.0), ("z", 7.0), ("z", 8.0), ("z", 9.0))
+      .toDF("g", "v")
+    val rc = RankTests.kruskalWallis(clean, col("g"), col("v")).head()
+    assert(rc.getAs[Long]("k_groups") == 3 && rc.getAs[Long]("n_total") == 9)
+    assert(rc.getAs[Double]("h") == 7.2, s"h=${rc.getAs[Double]("h")}")
+    assert(rc.getAs[Double]("h_tied") == 7.2)
+    // ties: a={1,1,2}, b={2,3,3} -> avg ranks 1.5/3.5/5.5,
+    // Ra=6.5, Rb=14.5, H=12/42*(6.5^2/3+14.5^2/3)-21=3.047619,
+    // C = 1 - 18/210, H/C = 10/3
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 2.0),
+      ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val rt = RankTests.kruskalWallis(tied, col("g"), col("v")).head()
+    assert(rt.getAs[Double]("h") == 3.047619, s"h=${rt.getAs[Double]("h")}")
+    assert(rt.getAs[Double]("h_tied") == 3.333333,
+      s"h_tied=${rt.getAs[Double]("h_tied")}")
+    // two groups: H must equal the (uncorrected-z) Mann-Whitney z^2
+    // geometry — verify the rank sums via the known relation
+    // H = z_nocc^2 for k=2 (z without continuity correction)
+    val two = Seq(("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 2.0),
+      ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val h2 = RankTests.kruskalWallis(two, col("g"), col("v")).head()
+      .getAs[Double]("h")
+    // brute: ranks a={1,3,5} sum 9, b={2,4,6,7} sum 19; n=7
+    // H = 12/56*(81/3+361/4)-24
+    val want = BigDecimal(12.0 / 56.0 * (81.0 / 3 + 361.0 / 4) - 24.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h2 == want, s"h=$h2 want $want")
+    // null group/value rows are excluded, not crashed on
+    val withNulls = Seq((Some("a"), Some(1.0)), (Some("a"), None),
+      (None, Some(2.0)), (Some("b"), Some(3.0)), (Some("b"), Some(4.0)))
+      .toDF("g", "v")
+    val rn = RankTests.kruskalWallis(withNulls, col("g"), col("v")).head()
+    assert(rn.getAs[Long]("n_total") == 3)
+    intercept[IllegalArgumentException] { // one group
+      RankTests.kruskalWallis(
+        Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"), col("g"), col("v"))
+    }
+    intercept[IllegalArgumentException] { // all tied
+      RankTests.kruskalWallis(
+        Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v"), col("g"), col("v"))
+    }
+  }
+
+  test("fisher exact: textbook 2x2 values and symmetry") {
+    import graft.stats.Contingency
+    def table(a: Int, b: Int, c: Int, d: Int) = {
+      val rows = Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false))
+      rows.toDF("fa", "fb")
+    }
+    // scipy fisher_exact([[1,9],[11,3]]) two-sided = 0.002759...
+    val r1 = Contingency.fisherExact(table(1, 9, 11, 3),
+      col("fa"), col("fb")).head()
+    assert(r1.getAs[Double]("p_two_sided") == 0.002759,
+      s"p=${r1.getAs[Double]("p_two_sided")}")
+    assert(r1.getAs[Double]("odds_ratio") ==
+      BigDecimal(1.0 * 3 / (9.0 * 11)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // lady-tasting-tea-shaped 3/1/1/3: p = 0.485714
+    val r2 = Contingency.fisherExact(table(3, 1, 1, 3),
+      col("fa"), col("fb")).head()
+    assert(r2.getAs[Double]("p_two_sided") == 0.485714,
+      s"p=${r2.getAs[Double]("p_two_sided")}")
+    // transposing the table cannot change the hypergeometric p
+    val r2t = Contingency.fisherExact(table(3, 1, 1, 3),
+      col("fb"), col("fa")).head()
+    assert(r2t.getAs[Double]("p_two_sided") ==
+      r2.getAs[Double]("p_two_sided"))
+    // independence-shaped table: p = 1
+    val r3 = Contingency.fisherExact(table(5, 5, 5, 5),
+      col("fa"), col("fb")).head()
+    assert(r3.getAs[Double]("p_two_sided") == 1.0)
+    // zero cell: odds ratio null, p still defined
+    val r4 = Contingency.fisherExact(table(4, 0, 2, 6),
+      col("fa"), col("fb")).head()
+    assert(r4.isNullAt(r4.fieldIndex("odds_ratio")))
+    assert(r4.getAs[Double]("p_two_sided") > 0.0 &&
+      r4.getAs[Double]("p_two_sided") <= 1.0)
+  }
 }
