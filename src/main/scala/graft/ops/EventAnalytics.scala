@@ -514,4 +514,96 @@ object EventAnalytics {
             / (col("n_a") * col("n_b")).cast("double"), 9).as("lift"))
     } finally bi.unpersist(blocking = false)
   }
+
+  /** First-occurrence precedence mining — the ORDER-aware companion to
+    * [[itemsetPairs]]: for each ordered pair of event types (a, b),
+    * how many ids saw both, and in how many the FIRST a strictly
+    * preceded the FIRST b ("users hit `signup` before `purchase`" —
+    * the funnel-hypothesis generator that [[funnel]] then tests with a
+    * fixed step order). Ties on the first-occurrence timestamp count
+    * NEITHER direction (order unknowable at the stored grain), so
+    * n_a_first(a,b) + n_a_first(b,a) ≤ n_both.
+    *
+    * Scale shape: one (id, type) min-timestamp aggregation, then a
+    * per-id self-join whose fan-out is (types-per-id)² — bounded by
+    * the event-TYPE domain, the same contract as [[markovTransitions]];
+    * ids wider than `maxTypes` fail loudly. Output is type-pair-sized.
+    * Returns (type_a, type_b, n_both, n_a_first, precedence) ordered
+    * by (type_a, type_b); precedence = n_a_first/n_both rounded 9. */
+  def sequencePairs(
+      df: DataFrame, idCol: String, tsCol: String, typeCol: String,
+      maxTypes: Int = 1000): DataFrame = {
+    val firsts = df
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .groupBy(col(idCol).as("__id"), col(typeCol).cast("string").as("__t"))
+      .agg(min(col(tsCol)).as("__ts"))
+      .persist()
+    try {
+      val widest = Option(firsts.groupBy("__id")
+        .agg(count(lit(1)).as("w")).agg(max("w")).head()
+        .getAs[java.lang.Long](0)).fold(0L)(_.longValue())
+      require(widest <= maxTypes,
+        s"an id carries $widest distinct types > maxTypes=$maxTypes — " +
+          "the precedence join would go quadratic; mine top-k types")
+      firsts.join(
+          firsts.select(col("__id"), col("__t").as("__u"),
+            col("__ts").as("__ts2")), Seq("__id"))
+        .filter(col("__t") =!= col("__u"))
+        .groupBy(col("__t").as("type_a"), col("__u").as("type_b"))
+        .agg(
+          count(lit(1)).as("n_both"),
+          sum(when(col("__ts") < col("__ts2"), 1L).otherwise(0L))
+            .as("n_a_first"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a_first"),
+          round(col("n_a_first").cast("double")
+            / col("n_both").cast("double"), 9).as("precedence"))
+        .orderBy("type_a", "type_b")
+    } finally firsts.unpersist(blocking = false)
+  }
+
+  /** Brown's double exponential smoothing over the daily event-count
+    * series (Brown 1956, public) — the TREND-aware extension of
+    * [[ewmaDailyCounts]]: smooth the series once (S1), smooth the
+    * smoothed series again (S2), and read level = 2·S1 − S2,
+    * trend = α/(1−α)·(S1 − S2), one-step forecast = level + trend.
+    * Because both passes are the truncated-adjusted EWMA (finite
+    * weight fan-out, NOT the infinite recursion), the whole operator
+    * stays a pair of day-keyed joins over the calendar-bounded daily
+    * table — no sequential fold, no driver state, and a SQL oracle
+    * replays every term (the recursive form is not expressible without
+    * engine-specific recursion semantics; the truncated form is the
+    * documented contract, exact to (1−α)^H of the infinite memory).
+    *
+    * Returns (day, n_events, s1, s2, level, trend, forecast_1): s1/s2
+    * rounded 9; level/trend rounded 6; forecast_1 is the sum of the
+    * ROUNDED level and trend (exact in both engines). */
+  def brownLinearDaily(
+      events: DataFrame, tsCol: String = "ts", alpha: Double = 0.3,
+      horizon: Int = 16): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    val s1 = ewmaDailyCounts(events, tsCol, alpha, horizon)
+      .withColumnRenamed("ewma", "s1")
+    val w = ewmaWeights(alpha, horizon)
+    val contrib = s1.select(
+        posexplode(array(w.map(lit).toIndexedSeq: _*)).as(Seq("__j", "__w")),
+        col("day"), col("s1"))
+      .select((col("day") + col("__j")).as("day"), col("__w"), col("s1"))
+    val s2 = contrib.groupBy("day").agg(
+        sum(round(col("__w") * col("s1"), 12).cast("decimal(38,14)"))
+          .as("__num"),
+        sum(round(col("__w"), 12).cast("decimal(38,14)")).as("__den"))
+      .select(col("day"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 9)
+          .as("s2"))
+    val gain = alpha / (1.0 - alpha)
+    s1.join(s2, Seq("day"))
+      .withColumn("level", round(lit(2.0) * col("s1") - col("s2"), 6))
+      .withColumn("trend", round(lit(gain) * (col("s1") - col("s2")), 6))
+      .select(col("day"), col("n_events"), col("s1"), col("s2"),
+        col("level"), col("trend"),
+        (col("level") + col("trend")).as("forecast_1"))
+      .orderBy("day")
+  }
 }

@@ -1608,6 +1608,115 @@ object EventQueries extends QueryModule {
       })
   }
 
+  /** First-occurrence precedence pairs
+    * ([[graft.ops.EventAnalytics.sequencePairs]]): for every ordered
+    * event-type pair, ids seeing both and ids where the first a
+    * strictly preceded the first b — the order-aware companion to
+    * ev_itemset_pairs. Integer counts + a round-9 ratio; the in-gate
+    * asserts pin the pair-table geometry (n_both symmetric,
+    * directions sum to ≤ n_both with ties counting neither). */
+  val evSequencePairs: Q = Q(
+    "ev_sequence_pairs",
+    Some("""
+      WITH f AS (
+        SELECT user_id AS id, event_type AS t, min(ts) AS ts
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT a.t AS type_a, b.t AS type_b,
+        CAST(count(*) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN a.ts < b.ts THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a_first,
+        round(CAST(SUM(CASE WHEN a.ts < b.ts THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 9) AS precedence
+      FROM f a JOIN f b ON a.id = b.id AND a.t <> b.t
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.sequencePairs(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type")
+      val rows = out.collect()
+      require(rows.nonEmpty, "no event-type pairs mined")
+      val both = rows.map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+      val first = rows.map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(3)).toMap
+      both.foreach { case ((a, b), n) =>
+        require(both((b, a)) == n, s"n_both asymmetric for ($a,$b)")
+        require(first((a, b)) + first((b, a)) <= n,
+          s"directions overcount n_both for ($a,$b)")
+      }
+      out
+    })
+
+  /** Brown's double exponential smoothing
+    * ([[graft.ops.EventAnalytics.brownLinearDaily]], α = 0.3, H = 16):
+    * the truncated-adjusted EWMA applied twice (S1, then S2 over S1),
+    * with level/trend/one-step forecast derived by fixed double
+    * arithmetic — both passes and every derived term replayed by this
+    * SQL with the SAME literal weights (the ev_ewma_daily convention:
+    * IEEE pow is not portably rounded; repeated multiplication in
+    * Scala is, and the literals are shared verbatim). */
+  val evBrownLinear: Q = {
+    val alpha = 0.3
+    val horizon = 16
+    val w = graft.ops.EventAnalytics.ewmaWeights(alpha, horizon)
+    val gain = alpha / (1.0 - alpha)
+    val wValues = w.zipWithIndex
+      .map { case (x, j) => s"($j, CAST($x AS DOUBLE))" }.mkString(", ")
+    Q(
+      "ev_brown_linear",
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1),
+        w(j, w) AS (SELECT * FROM (VALUES $wValues)),
+        c1 AS (
+          SELECT daily.day + w.j AS day,
+            CAST(round(w.w * daily.n_events, 12) AS DECIMAL(38,14)) AS term,
+            CAST(round(w.w, 12) AS DECIMAL(38,14)) AS wt
+          FROM daily, w),
+        f1 AS (SELECT day, SUM(term) AS num, SUM(wt) AS den
+               FROM c1 GROUP BY day),
+        s1 AS (
+          SELECT daily.day, daily.n_events,
+            round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS s1
+          FROM daily JOIN f1 USING (day)),
+        c2 AS (
+          SELECT s1.day + w.j AS day,
+            CAST(round(w.w * s1.s1, 12) AS DECIMAL(38,14)) AS term,
+            CAST(round(w.w, 12) AS DECIMAL(38,14)) AS wt
+          FROM s1, w),
+        f2 AS (SELECT day, SUM(term) AS num, SUM(wt) AS den
+               FROM c2 GROUP BY day),
+        s2 AS (
+          SELECT day,
+            round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS s2
+          FROM f2)
+        SELECT s1.day, s1.n_events, s1.s1, s2.s2,
+          round(2.0 * s1.s1 - s2.s2, 6) AS level,
+          round(CAST($gain AS DOUBLE) * (s1.s1 - s2.s2), 6) AS trend,
+          round(2.0 * s1.s1 - s2.s2, 6)
+            + round(CAST($gain AS DOUBLE) * (s1.s1 - s2.s2), 6)
+            AS forecast_1
+        FROM s1 JOIN s2 USING (day)
+        ORDER BY s1.day"""),
+      (s, dir) => {
+        val out = graft.ops.EventAnalytics.brownLinearDaily(
+          Tables.load(s, dir, "events"), alpha = alpha, horizon = horizon)
+        // a flat series must give trend ≈ 0 geometry: |trend| stays a
+        // small fraction of the level on real (noisy but trendless)
+        // synthetic data — pins the sign conventions without pinning
+        // values the oracle already hashes
+        val bad = out.filter(abs(col("trend")) > col("level")).count()
+        require(bad == 0, s"$bad days with |trend| > level on a " +
+          "trendless daily series — gain arithmetic is off")
+        out
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(evPowerMde,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
@@ -1617,5 +1726,5 @@ object EventQueries extends QueryModule {
       evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
       evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest,
-      evItemsetPairs, evAcf, evDid)
+      evItemsetPairs, evAcf, evDid, evSequencePairs, evBrownLinear)
 }

@@ -2647,6 +2647,59 @@ class OpsSpec extends SparkSpec {
       math.rint((40.0 + 20 * 0.25 + 10 * 0.125) / 1.375 * 1e9) / 1e9)
   }
 
+  test("sequence pairs: precedence counts, ties count neither, width cap") {
+    import graft.ops.EventAnalytics
+    // user 1: a@1, b@3, c@5 ; user 2: b@1, a@2 ; user 3: a@4, b@4 (TIE)
+    val ev = Seq(
+      (1L, "1970-01-01 00:00:01", "a"), (1L, "1970-01-01 00:00:03", "b"),
+      (1L, "1970-01-01 00:00:05", "c"), (1L, "1970-01-01 00:00:09", "a"),
+      (2L, "1970-01-01 00:00:01", "b"), (2L, "1970-01-01 00:00:02", "a"),
+      (3L, "1970-01-01 00:00:04", "a"), (3L, "1970-01-01 00:00:04", "b"))
+      .toDF("id", "tss", "t")
+      .select(col("id"), col("tss").cast("timestamp").as("ts"), col("t"))
+    val out = EventAnalytics.sequencePairs(ev, "id", "ts", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (a,b): users 1,2,3 have both; a first only for user 1 (user 3 tied)
+    assert(out(("a", "b")) == ((3L, 1L)))
+    assert(out(("b", "a")) == ((3L, 1L))) // b first for user 2 only
+    assert(out(("a", "c")) == ((1L, 1L)))
+    assert(out(("c", "a")) == ((1L, 0L)))
+    // repeated a@9 for user 1 must not shift the FIRST occurrence
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sequencePairs(ev, "id", "ts", "t", maxTypes = 2)
+    }
+  }
+
+  test("brown linear: flat series has zero trend, planted ramp is tracked") {
+    import graft.ops.EventAnalytics
+    // flat: 10 events every day for 8 days -> s1 = s2 = 10, trend = 0
+    val flat = (0 until 8).flatMap(d =>
+      (1 to 10).map(i => f"1970-01-0${d + 1}%d 00:00:${i % 60}%02d"))
+      .toDF("tss").select(col("tss").cast("timestamp").as("ts"))
+    val rf = EventAnalytics.brownLinearDaily(flat, alpha = 0.5, horizon = 4)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(rf(7L).getAs[Double]("s1") == 10.0)
+    assert(rf(7L).getAs[Double]("s2") == 10.0)
+    assert(rf(7L).getAs[Double]("trend") == 0.0)
+    assert(rf(7L).getAs[Double]("level") == 10.0)
+    assert(rf(7L).getAs[Double]("forecast_1") == 10.0)
+    // ramp: day d has 10*(d+1) events -> trend positive, forecast above
+    // the current level, and level lags below the true current count
+    // less than s1 does (Brown's double smoothing un-lags the level)
+    val ramp = (0 until 8).flatMap(d =>
+      (1 to 10 * (d + 1)).map(i =>
+        f"1970-01-0${d + 1}%d 00:00:${i % 60}%02d"))
+      .toDF("tss").select(col("tss").cast("timestamp").as("ts"))
+    val rr = EventAnalytics.brownLinearDaily(ramp, alpha = 0.5, horizon = 4)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    val last = rr(7L)
+    assert(last.getAs[Double]("trend") > 0.0, "ramp trend must be positive")
+    assert(last.getAs[Double]("forecast_1") > last.getAs[Double]("level"))
+    assert(last.getAs[Double]("level") > last.getAs[Double]("s1"),
+      "double smoothing must un-lag the level on a ramp")
+  }
+
   test("survivorship: rule semantics, ties, all-null attributes") {
     import graft.ops.Survivorship._
     val df = Seq(
