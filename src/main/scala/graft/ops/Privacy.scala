@@ -254,4 +254,67 @@ object Privacy {
         round((col("observed") - col("__n") * lit(1.0 - p) / lit(k.toDouble))
           / lit(p), 6).as("estimate"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, public) for an
+    * ORDERED sensitive attribute: per quasi-identifier class, the earth
+    * mover's distance between the class's sensitive-value distribution
+    * and the global one, under the paper's ordered-distance ground
+    * metric — EMD = (1/(m−1))·Σᵢ |Σ_{j≤i}(p_j − q_j)| over the m sorted
+    * values. k-anonymity bounds who you might be; t-closeness bounds
+    * what a class MEMBERSHIP reveals about the sensitive value (a class
+    * whose salaries are all in the top decile leaks even at k = 50).
+    *
+    * Exactness: the cumulative term folds as the exact integer
+    * Σ(c·N − g·n) (class count × global total minus global count ×
+    * class total) in decimal, so shard order cannot perturb it; one
+    * division at the end, rounded to 9 — engine-exact.
+    *
+    * Scale shape: one (quasi, value) aggregation; the audit grid is
+    * classes × m via a broadcast of the m-row value domain (m loudly
+    * capped — bin a continuous attribute first, e.g.
+    * `floor(col / width)`); the cumulative window partitions BY CLASS
+    * over ≤ m rows. Nothing data-sized past the first aggregation.
+    * Returns (quasi..., n, t_emd, passed) ordered by the quasi columns;
+    * `passed` = t_emd ≤ t. */
+  def tCloseness(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: Column,
+      t: Double, maxDomain: Int = 10000): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t <= 1, s"t must sit in (0,1], got $t")
+    val qc = quasiCols.map(col)
+    val cells = df
+      .select(qc :+ sensitiveCol.cast("double").as("__s"): _*)
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
+      .groupBy(qc :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.cache()
+    try {
+      val domain = cells.groupBy("__s").agg(sum(col("__c")).as("__g"))
+      val m = domain.count()
+      require(m >= 2,
+        "sensitive attribute is constant — nothing to audit")
+      require(m <= maxDomain,
+        s"sensitive domain $m exceeds maxDomain=$maxDomain — bin the " +
+          "attribute first (EMD over a raw continuous column is " +
+          "noise anyway)")
+      val nTotal = domain.agg(sum(col("__g"))).head().getLong(0)
+      val classes = cells.groupBy(qc: _*).agg(sum(col("__c")).as("__n"))
+      val grid = classes.crossJoin(broadcast(domain))
+        .join(cells, quasiCols :+ "__s", "left")
+        .withColumn("__d",
+          coalesce(col("__c"), lit(0L)).cast("decimal(38,0)") * nTotal
+            - col("__g").cast("decimal(38,0)") * col("__n"))
+      val w = Window.partitionBy(qc: _*).orderBy(col("__s"))
+      grid
+        .withColumn("__cum", sum(col("__d")).over(w))
+        .groupBy(qc :+ col("__n").as("n"): _*)
+        .agg(sum(abs(col("__cum"))).as("__emd"))
+        .withColumn("t_emd",
+          round(col("__emd").cast("double")
+            / (lit(nTotal.toDouble) * col("n") * lit(m - 1.0)), 9))
+        .withColumn("passed", col("t_emd") <= t)
+        .select((qc :+ col("n") :+ col("t_emd") :+ col("passed")): _*)
+        .orderBy(qc: _*)
+    } finally cells.unpersist(blocking = false)
+  }
 }

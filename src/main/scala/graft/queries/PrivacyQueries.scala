@@ -287,8 +287,59 @@ object PrivacyQueries extends QueryModule {
       est.orderBy("category")
     })
 
+  /** t-closeness audit ([[graft.ops.Privacy.tCloseness]]) of the
+    * account-balance distribution (binned to 2000-wide buckets — the
+    * documented pre-binning contract) within each market-segment
+    * class: the EMD cumulative folds as the exact integer
+    * Σ(c·N − g·n) both sides, so every t is engine-exact after one
+    * round-9 division. */
+  val privTCloseness: Q = Q(
+    "priv_t_closeness",
+    Some("""
+      WITH base AS (
+        SELECT c_mktsegment AS seg,
+          CAST(floor(c_acctbal / 2000) AS DOUBLE) AS s
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+      cells AS (SELECT seg, s, count(*) AS c FROM base GROUP BY 1, 2),
+      dom AS (SELECT s, SUM(c) AS g FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(g) AS BIGINT) AS nn,
+        CAST(COUNT(*) AS BIGINT) AS m FROM dom),
+      cls AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS n
+              FROM cells GROUP BY 1),
+      grid AS (
+        SELECT cls.seg, cls.n, dom.s, dom.g, COALESCE(cells.c, 0) AS c
+        FROM cls CROSS JOIN dom
+        LEFT JOIN cells ON cells.seg = cls.seg AND cells.s = dom.s),
+      cum AS (
+        SELECT seg, n,
+          SUM(CAST(c AS HUGEINT) * (SELECT nn FROM tot)
+              - CAST(g AS HUGEINT) * n)
+            OVER (PARTITION BY seg ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+        FROM grid),
+      emd AS (SELECT seg, n, SUM(ABS(cu)) AS e FROM cum GROUP BY 1, 2)
+      SELECT seg AS c_mktsegment, n,
+        round(CAST(e AS DOUBLE) / (CAST((SELECT nn FROM tot) AS DOUBLE)
+          * n * ((SELECT m FROM tot) - 1.0)), 9) AS t_emd,
+        round(CAST(e AS DOUBLE) / (CAST((SELECT nn FROM tot) AS DOUBLE)
+          * n * ((SELECT m FROM tot) - 1.0)), 9) <= 0.05 AS passed
+      FROM emd
+      ORDER BY 1"""),
+    (s, dir) => {
+      val out = graft.ops.Privacy.tCloseness(
+        Tables.load(s, dir, "customer"), Seq("c_mktsegment"),
+        floor(col("c_acctbal") / 2000), t = 0.05)
+      val rows = out.collect()
+      require(rows.length >= 2, "expected multiple quasi classes")
+      require(rows.forall { r =>
+        val t = r.getAs[Double]("t_emd"); t >= 0.0 && t <= 1.0
+      }, "EMD must sit in [0,1] under the ordered ground metric")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(privKAnonymity, privLDiversity, privSuppress, privReleasePipeline,
       privPseudonymize, privDpCounts, privDpSum, privRrRelease,
-      privRrEstimate)
+      privRrEstimate, privTCloseness)
 }

@@ -1768,7 +1768,93 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** MI feature screen ([[graft.stats.FeatureScreen.screen]]): three
+    * categorical features — market segment, a nation hash-bucket, and
+    * a DELIBERATELY LEAKY balance bucket — ranked against a
+    * high-balance label in one melted pass. The oracle replays the
+    * per-cell MI/entropy terms per feature; the in-gate assert pins
+    * that the leaky feature tops U(label|feature) — the screen's whole
+    * point. */
+  val t40FeatureScreen: Q = Q(
+    "t40_feature_screen",
+    Some("""
+      WITH base AS (
+        SELECT CAST(c_acctbal >= 6000 AS VARCHAR) AS y,
+          CAST(c_mktsegment AS VARCHAR) AS mkt,
+          CAST(c_nationkey % 5 AS VARCHAR) AS nat5,
+          CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS VARCHAR) AS balb
+        FROM customer
+        WHERE c_acctbal IS NOT NULL),
+      m AS (
+        SELECT 'mkt' AS f, mkt AS v, y FROM base WHERE mkt IS NOT NULL
+        UNION ALL
+        SELECT 'nat5', nat5, y FROM base WHERE nat5 IS NOT NULL
+        UNION ALL
+        SELECT 'balb', balb, y FROM base WHERE balb IS NOT NULL),
+      c AS (SELECT f, v, y, count(*) AS c FROM m GROUP BY 1, 2, 3),
+      cells AS (
+        SELECT f, v, y, c,
+          SUM(c) OVER (PARTITION BY f) AS n,
+          SUM(c) OVER (PARTITION BY f, v) AS rv,
+          SUM(c) OVER (PARTITION BY f, y) AS ry
+        FROM c),
+      t AS (
+        SELECT f, v, y, c, n, rv, ry,
+          round((CAST(c AS DOUBLE) / n) *
+            ln((CAST(c AS DOUBLE) * n) /
+              (CAST(rv AS DOUBLE) * ry)), 9) AS term
+        FROM cells),
+      mi AS (
+        SELECT f, CAST(MAX(n) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT v) AS BIGINT) AS levels,
+          round(CAST(COALESCE(SUM(CAST(term AS DECIMAL(38,12))), 0)
+            AS DOUBLE), 9) AS mi
+        FROM t GROUP BY f),
+      hv AS (
+        SELECT f, CAST(COALESCE(SUM(CAST(tt AS DECIMAL(38,12))), 0)
+          AS DOUBLE) AS h
+        FROM (
+          SELECT f, v,
+            round(-(CAST(MAX(rv) AS DOUBLE) / MAX(n)) *
+              ln(CAST(MAX(rv) AS DOUBLE) / MAX(n)), 9) AS tt
+          FROM t GROUP BY f, v)
+        GROUP BY f),
+      hy AS (
+        SELECT f, CAST(COALESCE(SUM(CAST(tt AS DECIMAL(38,12))), 0)
+          AS DOUBLE) AS h
+        FROM (
+          SELECT f, y,
+            round(-(CAST(MAX(ry) AS DOUBLE) / MAX(n)) *
+              ln(CAST(MAX(ry) AS DOUBLE) / MAX(n)), 9) AS tt
+          FROM t GROUP BY f, y)
+        GROUP BY f)
+      SELECT mi.f AS feature, mi.n, mi.levels, mi.mi,
+        round(hv.h, 9) AS h_feature, round(hy.h, 9) AS h_label,
+        CASE WHEN hy.h > 0 THEN round(mi.mi / hy.h, 6) END AS u_label
+      FROM mi JOIN hv ON mi.f = hv.f JOIN hy ON mi.f = hy.f
+      ORDER BY feature"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull)
+        .withColumn("mkt", col("c_mktsegment"))
+        .withColumn("nat5", col("c_nationkey") % 5)
+        .withColumn("balb",
+          floor(col("c_acctbal") / 2000).cast("long"))
+        .withColumn("__label", col("c_acctbal") >= 6000)
+      val out = graft.stats.FeatureScreen.screen(
+        base, "__label", Seq("balb", "mkt", "nat5"))
+      val byU = out.collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("u_label")).toMap
+      require(byU("balb") > byU("mkt") && byU("balb") > byU("nat5"),
+        s"the leaky balance bucket must top the U ranking, got $byU")
+      require(byU("balb") > 0.9,
+        s"a label-determining feature must score U near 1, got " +
+          s"${byU("balb")}")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
+    t40FeatureScreen,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -238,4 +238,40 @@ class PrivacySpec extends SparkSpec {
       lit(true), k = 3)
     assert(nn.filter(col("qid") % 2 === 0 || col("nid") % 2 === 0).count() == 0)
   }
+
+  test("t-closeness: hand EMD, identical distributions, guards") {
+    import graft.ops.Privacy
+    // global s-domain {1,2,3} each ×2; class A skews low, B skews high:
+    // p_A=(2/3,1/3,0) vs q=(1/3,1/3,1/3) -> cums 1/3,1/3,0 -> EMD=1/3
+    val df = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0),
+      ("B", 2.0), ("B", 3.0), ("B", 3.0)).toDF("g", "s")
+    val out = Privacy.tCloseness(df, Seq("g"), col("s"), t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("t_emd"), r.getAs[Boolean]("passed")))).toMap
+    assert(out("A") == ((0.333333333, false)), s"A=${out("A")}")
+    assert(out("B") == ((0.333333333, false)), s"B=${out("B")}")
+    // identical per-class distributions: t = 0, passes any threshold
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "s")
+    val rs = Privacy.tCloseness(same, Seq("g"), col("s"), t = 0.01)
+      .collect()
+    assert(rs.forall(r => r.getAs[Double]("t_emd") == 0.0 &&
+      r.getAs[Boolean]("passed")))
+    // null sensitive values are excluded, not counted as a bucket
+    val withNull = Seq(("A", Some(1.0)), ("A", None), ("B", Some(2.0)))
+      .toDF("g", "s")
+    val rn = Privacy.tCloseness(withNull, Seq("g"), col("s"), t = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(rn == Map("A" -> 1L, "B" -> 1L))
+    // constant sensitive attribute and oversize domains fail loudly
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(Seq(("A", 5.0), ("B", 5.0)).toDF("g", "s"),
+        Seq("g"), col("s"), t = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(
+        (1 to 50).map(i => ("A", i.toDouble)).toDF("g", "s"),
+        Seq("g"), col("s"), t = 0.5, maxDomain = 10)
+    }
+  }
 }

@@ -1514,6 +1514,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("feature screen: leakage scores 1, independence scores 0, nulls") {
+    import graft.stats.FeatureScreen
+    val indep = (0 until 64).map { i =>
+      val label = i % 2 == 0
+      (label,
+        if (label) "yes" else "no", // copy of the label -> U = 1
+        s"k${(i / 2) % 2}", // every (label, ind) cell = 16 -> MI = 0
+        if (i < 32) Some(s"h${i % 2}") else None) // half nulls
+    }.toDF("y", "copy", "ind", "halfnull")
+    val out = FeatureScreen.screen(indep, "y",
+      Seq("copy", "ind", "halfnull"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("copy").getAs[Double]("u_label") == 1.0)
+    assert(out("copy").getAs[Double]("mi") ==
+      out("copy").getAs[Double]("h_label"))
+    assert(out("ind").getAs[Double]("mi") == 0.0,
+      s"balanced independent feature must carry zero MI, " +
+        s"got ${out("ind").getAs[Double]("mi")}")
+    // per-feature null exclusion: halfnull screens on its 32-row slice
+    assert(out("halfnull").getAs[Long]("n") == 32L)
+    assert(out("copy").getAs[Long]("n") == 64L)
+    // output is feature-ordered and label can't be screened against itself
+    val names = FeatureScreen.screen(indep, "y", Seq("ind", "copy"))
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("copy", "ind"))
+    intercept[IllegalArgumentException] {
+      FeatureScreen.screen(indep, "y", Seq("y", "copy"))
+    }
+  }
+
   test("fisher exact: textbook 2x2 values and symmetry") {
     import graft.stats.Contingency
     def table(a: Int, b: Int, c: Int, d: Int) = {
