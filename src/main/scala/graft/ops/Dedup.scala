@@ -903,4 +903,58 @@ object Dedup {
         concat_ws(" ", filter(col("__words"), (_, i) => !covered(i))))
       .drop("__words", "__grams", "__starts")
   }
+
+  /** Capture–recapture duplicate-coverage estimate (Chapman 1951,
+    * public — the Lincoln–Petersen mark-recapture estimator with the
+    * small-sample bias correction): run TWO independent duplicate
+    * detectors over the same corpus (e.g. MinHash and SimHash, or two
+    * band seeds), treat each detector's flagged-id set as a "capture",
+    * and estimate the TOTAL duplicate population from the overlap —
+    * N̂ = (n_a+1)(n_b+1)/(m+1) − 1. This is the observability answer to
+    * "how many near-dups did we MISS": each detector alone reports what
+    * it caught; their overlap calibrates the recall neither can measure
+    * about itself. Assumes detector independence (different sketch
+    * families / seeds — the documented contract; two band counts of the
+    * SAME MinHash are correlated and will overestimate coverage).
+    *
+    * Scale shape: two distinct-id aggregations + one ids-only join for
+    * the overlap; driver state is three scalars. The Wald 95% interval
+    * uses Chapman's variance with z = 1.959964 (the zQuantile literal
+    * convention); everything else is exact integer arithmetic the
+    * oracle replays. Fails loudly on an empty detector or zero overlap
+    * (the estimator is undefined — detectors that disjoint are either
+    * broken or not independent).
+    *
+    * Returns one row: (n_a, n_b, n_overlap, est_total, ci_lo, ci_hi),
+    * estimate and bounds rounded to 6. */
+  def captureRecapture(
+      detectorA: DataFrame, detectorB: DataFrame, idCol: String): DataFrame = {
+    val spark = detectorA.sparkSession
+    import spark.implicits._
+    val a = detectorA.select(col(idCol).as("__id"))
+      .filter(col("__id").isNotNull).distinct()
+    val b = detectorB.select(col(idCol).as("__id"))
+      .filter(col("__id").isNotNull).distinct()
+    val nA = a.count()
+    val nB = b.count()
+    val m = a.join(b, "__id").count()
+    require(nA > 0 && nB > 0,
+      s"both detectors must flag something, got nA=$nA nB=$nB")
+    require(m > 0,
+      "detectors share NO flagged ids — either one is broken or they " +
+        "are not independent captures of the same population")
+    val est = (nA + 1.0) * (nB + 1.0) / (m + 1.0) - 1.0
+    // Chapman variance: (nA+1)(nB+1)(nA−m)(nB−m) / ((m+1)²(m+2))
+    val varEst = (nA + 1.0) * (nB + 1.0) * (nA - m).toDouble * (nB - m) /
+      ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    val z = graft.stats.Experiment.zQuantile(0.975)
+    val se = math.sqrt(varEst)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    Seq((nA, nB, m, r6(est),
+        r6(math.max(est - z * se, math.max(nA, nB).toDouble)),
+        r6(est + z * se)))
+      .toDF("n_a", "n_b", "n_overlap", "est_total", "ci_lo", "ci_hi")
+  }
 }

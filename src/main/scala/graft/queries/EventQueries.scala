@@ -1717,8 +1717,63 @@ object EventQueries extends QueryModule {
       })
   }
 
+  /** Poisson rate ratio ([[graft.stats.Experiment.rateRatio]]) of
+    * error-vs-click daily rates: per-(arm, day) counts with
+    * one-day exposures, log-Wald interval with the zQuantile literal
+    * shared verbatim — every term replayed by the oracle; the normal p
+    * is library-only (asserted in-gate, excluded — the
+    * ev_proportion_ztest convention). */
+  val evRateRatio: Q = {
+    val z = graft.stats.Experiment.zQuantile(0.975)
+    Q(
+      "ev_rate_ratio",
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type = 'error' AS arm, CAST(ts AS DATE) AS day,
+            count(*) AS k
+          FROM events
+          WHERE event_type IN ('error', 'click') AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        s AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm THEN k ELSE 0 END) AS BIGINT) AS ka,
+            CAST(SUM(CASE WHEN arm THEN 1.0 ELSE 0 END) AS DOUBLE) AS ea,
+            CAST(SUM(CASE WHEN NOT arm THEN k ELSE 0 END) AS BIGINT) AS kb,
+            CAST(SUM(CASE WHEN NOT arm THEN 1.0 ELSE 0 END) AS DOUBLE)
+              AS eb
+          FROM daily),
+        e AS (
+          SELECT ka, ea, kb, eb, (ka / ea) / (kb / eb) AS ratio,
+            sqrt(1.0 / ka + 1.0 / kb) AS se
+          FROM s)
+        SELECT ka AS k_a, ea AS e_a, kb AS k_b, eb AS e_b,
+          round(ka / ea, 9) AS rate_a, round(kb / eb, 9) AS rate_b,
+          round(ratio, 9) AS ratio,
+          round(ratio * exp(-CAST($z AS DOUBLE) * se), 9) AS ci_lo,
+          round(ratio * exp(CAST($z AS DOUBLE) * se), 9) AS ci_hi,
+          round(ln(ratio) / se, 6) AS z
+        FROM e"""),
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("error", "click") &&
+            col("ts").isNotNull)
+          .groupBy((col("event_type") === "error").as("arm"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("k"))
+        val out = graft.stats.Experiment.rateRatio(
+          daily, col("arm"), col("k"), lit(1.0))
+        val r = out.head()
+        require(r.getAs[Double]("ci_lo") < r.getAs[Double]("ratio") &&
+          r.getAs[Double]("ratio") < r.getAs[Double]("ci_hi"),
+          "CI must bracket the point estimate")
+        val p = r.getAs[Double]("p_value")
+        require(p > 0.0 && p <= 1.0, s"p out of range: $p")
+        out.drop("p_value")
+      })
+  }
+
   override def queries: Seq[Q] =
-    Seq(evPowerMde,
+    Seq(evPowerMde, evRateRatio,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

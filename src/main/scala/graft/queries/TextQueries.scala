@@ -2762,7 +2762,68 @@ object TextQueries extends QueryModule {
       })
   }
 
+  /** Capture–recapture dedup-coverage estimate
+    * ([[graft.ops.Dedup.captureRecapture]]): two independent
+    * hash-seeded "detectors" over a planted duplicate population
+    * (orderkey % 7); Chapman's estimator must recover the true
+    * population inside its own 95% interval — asserted in-gate against
+    * the planted truth, which neither detector sees. Counts are exact
+    * integers; the estimate/CI are fixed double arithmetic with the
+    * zQuantile literal, all replayed by the oracle. */
+  val ddCoverageEstimate: Q = {
+    val z = graft.stats.Experiment.zQuantile(0.975)
+    Q(
+      "dd_coverage_estimate",
+      Some(s"""
+        WITH pop AS (
+          SELECT o_orderkey AS id
+          FROM orders
+          WHERE o_orderkey % 7 = 0),
+        a AS (SELECT DISTINCT id FROM pop
+          WHERE CAST(concat('0x', substr(md5(concat_ws('|', 'graft-cra',
+            CAST(id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.6),
+        b AS (SELECT DISTINCT id FROM pop
+          WHERE CAST(concat('0x', substr(md5(concat_ws('|', 'graft-crb',
+            CAST(id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5),
+        s AS (
+          SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS na,
+            CAST((SELECT count(*) FROM b) AS BIGINT) AS nb,
+            CAST((SELECT count(*) FROM a JOIN b USING (id)) AS BIGINT)
+              AS m),
+        e AS (
+          SELECT na, nb, m,
+            (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0 AS est,
+            sqrt((na + 1.0) * (nb + 1.0) * CAST(na - m AS DOUBLE)
+              * (nb - m) / ((m + 1.0) * (m + 1.0) * (m + 2.0))) AS se
+          FROM s)
+        SELECT na AS n_a, nb AS n_b, m AS n_overlap,
+          round(est, 6) AS est_total,
+          round(GREATEST(est - CAST($z AS DOUBLE) * se,
+            CAST(GREATEST(na, nb) AS DOUBLE)), 6) AS ci_lo,
+          round(est + CAST($z AS DOUBLE) * se, 6) AS ci_hi
+        FROM e"""),
+      (s, dir) => {
+        val pop = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("id"))
+        val detA = pop.filter(graft.ops.Sampling
+          .hashFraction("graft-cra", Seq(col("id"))) < 0.6)
+        val detB = pop.filter(graft.ops.Sampling
+          .hashFraction("graft-crb", Seq(col("id"))) < 0.5)
+        val out = graft.ops.Dedup.captureRecapture(detA, detB, "id")
+        val truth = pop.count()
+        val r = out.head()
+        require(r.getAs[Double]("ci_lo") <= truth &&
+          truth <= r.getAs[Double]("ci_hi"),
+          s"Chapman 95% CI [${r.getAs[Double]("ci_lo")}, " +
+            s"${r.getAs[Double]("ci_hi")}] misses the planted truth " +
+            s"$truth")
+        out
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
+    ddCoverageEstimate,
     txtTextrank,
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,
     sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,

@@ -288,4 +288,60 @@ object Experiment {
       .toDF("n_t", "n_c", "rate_pooled", "z_alpha", "z_power",
         "mde_abs", "mde_rel")
   }
+
+  /** Poisson rate-ratio comparison of two arms — the COUNT-metric
+    * companion to [[proportionTest]]'s binary one: events per unit of
+    * exposure (errors per machine-day, purchases per active-user-day),
+    * where the binomial model is wrong because one unit can contribute
+    * many events. Wald interval on the LOG scale (the standard
+    * epidemiology/SRE form): ratio = (k_a/e_a)/(k_b/e_b),
+    * CI = exp(ln ratio ± z·√(1/k_a + 1/k_b)), z from the same √ terms.
+    *
+    * One aggregation pass sums counts and exposures per arm; everything
+    * after is fixed double arithmetic over four numbers plus the
+    * [[zQuantile]] literal, so a SQL oracle replays every term; only
+    * the normal p is library-only (the proportionTest convention).
+    * Zero events in either arm fails loudly (the log-Wald SE is
+    * undefined — exact Poisson methods are a different tool). Returns
+    * one row: (k_a, e_a, k_b, e_b, rate_a, rate_b, ratio, ci_lo,
+    * ci_hi, z, p_value); rates/ratio/CI rounded 9, z rounded 6. */
+  def rateRatio(df: DataFrame, armCol: Column, countCol: Column,
+      exposureCol: Column, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must sit in (0,1): $alpha")
+    val r = df
+      .filter(armCol.isNotNull && countCol.isNotNull &&
+        exposureCol.isNotNull)
+      .agg(
+        sum(when(armCol, countCol.cast("long")).otherwise(0L)).as("ka"),
+        sum(when(armCol, exposureCol.cast("double")).otherwise(0.0))
+          .as("ea"),
+        sum(when(!armCol, countCol.cast("long")).otherwise(0L)).as("kb"),
+        sum(when(!armCol, exposureCol.cast("double")).otherwise(0.0))
+          .as("eb")).head()
+    val ka = r.getAs[Long]("ka"); val ea = r.getAs[Double]("ea")
+    val kb = r.getAs[Long]("kb"); val eb = r.getAs[Double]("eb")
+    require(ka > 0 && kb > 0,
+      s"log-Wald needs events in both arms, got ka=$ka kb=$kb — use an " +
+        "exact Poisson method for zero cells")
+    require(ea > 0 && eb > 0, s"exposures must be positive: ea=$ea eb=$eb")
+    val rateA = ka / ea
+    val rateB = kb / eb
+    val ratio = rateA / rateB
+    val se = math.sqrt(1.0 / ka + 1.0 / kb)
+    val z = math.log(ratio) / se
+    val zc = zQuantile(1.0 - alpha / 2.0)
+    val p = 2.0 * (1.0 - new org.apache.commons.math3.distribution
+      .NormalDistribution(0, 1).cumulativeProbability(math.abs(z)))
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ka, ea, kb, eb, r9(rateA), r9(rateB), r9(ratio),
+        r9(ratio * math.exp(-zc * se)), r9(ratio * math.exp(zc * se)),
+        r6(z), r6(math.min(p, 1.0))))
+      .toDF("k_a", "e_a", "k_b", "e_b", "rate_a", "rate_b", "ratio",
+        "ci_lo", "ci_hi", "z", "p_value")
+  }
 }

@@ -2700,6 +2700,37 @@ class OpsSpec extends SparkSpec {
       "double smoothing must un-lag the level on a ramp")
   }
 
+  test("capture-recapture: hand Chapman estimate, clamped CI, guards") {
+    import graft.ops.Dedup
+    def ids(xs: Seq[Int]) = xs.toDF("id")
+    // nA=10, nB=8, m=4: est = 11*9/5 - 1 = 18.8,
+    // var = 11*9*6*4/(25*6) = 15.84
+    val r = Dedup.captureRecapture(
+      ids(1 to 10), ids((7 to 14)), "id").head()
+    assert(r.getAs[Long]("n_a") == 10 && r.getAs[Long]("n_b") == 8 &&
+      r.getAs[Long]("n_overlap") == 4)
+    assert(r.getAs[Double]("est_total") == 18.8)
+    val se = math.sqrt(15.84)
+    val z = graft.stats.Experiment.zQuantile(0.975)
+    assert(r.getAs[Double]("ci_hi") ==
+      BigDecimal(18.8 + z * se).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the lower bound never dips below the larger capture (total >=
+    // every capture by construction)
+    assert(r.getAs[Double]("ci_lo") >= 10.0)
+    // duplicate detector rows collapse (captures are SETS of ids)
+    val dup = Dedup.captureRecapture(
+      ids(Seq(1, 1, 2, 2, 3)), ids(Seq(2, 3, 3, 4)), "id").head()
+    assert(dup.getAs[Long]("n_a") == 3 && dup.getAs[Long]("n_b") == 3 &&
+      dup.getAs[Long]("n_overlap") == 2)
+    intercept[IllegalArgumentException] { // disjoint detectors
+      Dedup.captureRecapture(ids(1 to 5), ids(6 to 9), "id")
+    }
+    intercept[IllegalArgumentException] { // empty detector
+      Dedup.captureRecapture(ids(Seq.empty[Int]), ids(1 to 3), "id")
+    }
+  }
+
   test("survivorship: rule semantics, ties, all-null attributes") {
     import graft.ops.Survivorship._
     val df = Seq(

@@ -1544,6 +1544,39 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("rate ratio: hand values, identical arms, zero-cell guard") {
+    import graft.stats.Experiment
+    // arm A: 20 events over 10 units; arm B: 10 over 10 -> ratio 2
+    val df = Seq((true, 20L, 10.0), (false, 10L, 10.0))
+      .toDF("arm", "k", "e")
+    val r = Experiment.rateRatio(df, col("arm"), col("k"), col("e")).head()
+    assert(r.getAs[Double]("rate_a") == 2.0 &&
+      r.getAs[Double]("rate_b") == 1.0 && r.getAs[Double]("ratio") == 2.0)
+    val se = math.sqrt(1.0 / 20 + 1.0 / 10)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(math.log(2.0) / se).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("ci_lo") < 2.0 && 2.0 < r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("p_value") < 0.1,
+      "a 2x rate gap at these counts is near-significant")
+    // split rows per arm must aggregate before the ratio
+    val split = Seq((true, 12L, 6.0), (true, 8L, 4.0), (false, 10L, 10.0))
+      .toDF("arm", "k", "e")
+    assert(Experiment.rateRatio(split, col("arm"), col("k"), col("e"))
+      .head().getAs[Double]("ratio") == 2.0)
+    // identical arms: ratio 1, z 0, p 1
+    val same = Seq((true, 10L, 5.0), (false, 10L, 5.0))
+      .toDF("arm", "k", "e")
+    val rs = Experiment.rateRatio(same, col("arm"), col("k"), col("e"))
+      .head()
+    assert(rs.getAs[Double]("ratio") == 1.0 && rs.getAs[Double]("z") == 0.0
+      && rs.getAs[Double]("p_value") == 1.0)
+    intercept[IllegalArgumentException] { // zero events in one arm
+      Experiment.rateRatio(Seq((true, 0L, 5.0), (false, 3L, 5.0))
+        .toDF("arm", "k", "e"), col("arm"), col("k"), col("e"))
+    }
+  }
+
   test("fisher exact: textbook 2x2 values and symmetry") {
     import graft.stats.Contingency
     def table(a: Int, b: Int, c: Int, d: Int) = {
