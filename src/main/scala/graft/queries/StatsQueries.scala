@@ -1853,8 +1853,116 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Welch's heteroscedastic one-way ANOVA
+    * ([[graft.stats.Anova.welchAnova]]): the k-group companion to
+    * t36's pairwise Welch tests — F* and the Welch df₂ are fixed
+    * double arithmetic over one groupBy's moments, replayed by the
+    * oracle; the F-CDF p is library-only (asserted in-gate,
+    * excluded). */
+  val t41WelchAnova: Q = Q(
+    "t41_welch_anova",
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
+          avg(c_acctbal) AS m, var_samp(c_acctbal) AS v
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2),
+      w AS (SELECT grp, n, m, n / (sqrt(v) * sqrt(v)) AS w FROM g),
+      sw AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(n) AS BIGINT) AS ntot, SUM(w) AS sw, SUM(w * m) AS swm
+        FROM w),
+      parts AS (
+        SELECT sw.k, sw.ntot,
+          SUM(w.w * (w.m - sw.swm / sw.sw) * (w.m - sw.swm / sw.sw))
+            / (sw.k - 1) AS num,
+          SUM((1.0 - w.w / sw.sw) * (1.0 - w.w / sw.sw) / (w.n - 1))
+            AS hsum
+        FROM w, sw GROUP BY sw.k, sw.ntot, sw.sw)
+      SELECT k AS k_groups, ntot AS n_total,
+        round(num / (1.0 + 2.0 * (k - 2)
+          / (CAST(k AS DOUBLE) * k - 1) * hsum), 6) AS f_stat,
+        CAST(k - 1 AS BIGINT) AS df1,
+        round((CAST(k AS DOUBLE) * k - 1) / (3.0 * hsum), 4) AS df2
+      FROM parts"""),
+    (s, dir) => {
+      import s.implicits._
+      val r = Anova.welchAnova(
+        Tables.load(s, dir, "customer"), "c_mktsegment", "c_acctbal").get
+      require(r.pValue >= 0 && r.pValue <= 1, s"p out of range: ${r.pValue}")
+      require(r.df2 > 0 && r.df2 < r.n,
+        s"Welch df2 ${r.df2} outside (0, n) — weight arithmetic is off")
+      Seq((r.k.toLong, r.n, r.fStat, r.df1, r.df2))
+        .toDF("k_groups", "n_total", "f_stat", "df1", "df2")
+        .select(col("k_groups"), col("n_total"),
+          round(col("f_stat"), 6).as("f_stat"), col("df1"),
+          round(col("df2"), 4).as("df2"))
+    })
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test
+    * ([[graft.stats.Contingency.cmh]]) of priority×status controlling
+    * for order YEAR: per-stratum terms fold as round-12 decimals both
+    * sides; χ²(1) p library-only (asserted, excluded). The in-gate
+    * assert pins the confounder-adjustment direction against the
+    * marginal (unstratified) χ² from the same cells. */
+  val t42Cmh: Q = Q(
+    "t42_cmh",
+    Some("""
+      WITH f AS (
+        SELECT CAST(year(o_orderdate) AS VARCHAR) AS s,
+          o_orderpriority LIKE '2%' AS fa, o_orderstatus = 'F' AS fb
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND o_orderstatus IS NOT NULL),
+      cells AS (
+        SELECT s,
+          CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+            AS a,
+          CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END)
+            AS BIGINT) AS d
+        FROM f GROUP BY s),
+      t AS (
+        SELECT a, b, c, d, a + b + c + d AS n,
+          CAST(a + b AS DOUBLE) AS r1, CAST(c + d AS DOUBLE) AS r2,
+          CAST(a + c AS DOUBLE) AS c1, CAST(b + d AS DOUBLE) AS c2
+        FROM cells WHERE a + b + c + d >= 2),
+      folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(n) AS BIGINT) AS n_total,
+          CAST(SUM(CAST(round(a - r1 * c1 / n, 12) AS DECIMAL(38,14)))
+            AS DOUBLE) AS num,
+          CAST(SUM(CAST(round(r1 * r2 * c1 * c2
+            / (CAST(n AS DOUBLE) * n * (n - 1)), 12) AS DECIMAL(38,14)))
+            AS DOUBLE) AS den,
+          CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d / n, 12)
+            AS DECIMAL(38,14))) AS DOUBLE) AS orn,
+          CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c / n, 12)
+            AS DECIMAL(38,14))) AS DOUBLE) AS ord
+        FROM t)
+      SELECT k AS k_strata, n_total,
+        round(num * num / den, 6) AS chi2_cmh,
+        CASE WHEN ord > 0 THEN round(orn / ord, 6) END AS or_mh
+      FROM folds"""),
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val out = graft.stats.Contingency.cmh(orders,
+        year(col("o_orderdate")),
+        col("o_orderpriority").startsWith("2"),
+        col("o_orderstatus") === "F")
+      val r = out.head()
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0 && p <= 1, s"p out of range: $p")
+      require(r.getAs[Long]("k_strata") >= 2,
+        "expected multiple year strata")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] = Seq(
-    t40FeatureScreen,
+    t40FeatureScreen, t41WelchAnova, t42Cmh,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

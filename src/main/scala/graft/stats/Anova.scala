@@ -93,6 +93,46 @@ object Anova {
     }
   }
 
+  final case class WelchAnovaResult(
+      fStat: Double, df1: Long, df2: Double, pValue: Double,
+      k: Int, n: Long)
+
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951, public) — the
+    * k-group generalization of [[welchTTests]] and the test to reach
+    * for when [[brownForsythe]] rejects equal variances: groups are
+    * weighted by n/s², so a high-variance group cannot drown the
+    * others the way it inflates [[oneWay]]'s pooled MSW.
+    * F* = [Σw(x̄−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Σh],
+    * h_j = (1−w_j/Σw)²/(n_j−1), df2 = (k²−1)/(3Σh).
+    *
+    * One groupBy-moments pass ([[groupStats]]); everything after is
+    * fixed double arithmetic over the group-bounded table, so a SQL
+    * oracle replays F and df2 (F-CDF p is library-only). Returns None
+    * when fewer than 2 eligible groups remain or any group has zero
+    * variance (w = n/s² undefined — that group IS its mean; compare
+    * it directly). */
+  def welchAnova(df: DataFrame, catCol: String, yCol: String): Option[WelchAnovaResult] = {
+    val gs = groupStats(df, catCol, yCol).filter(_.n >= 2)
+    if (gs.size < 2 || gs.exists(_.std == 0.0)) return None
+    val k = gs.size
+    val w = gs.map(g => g.n / (g.std * g.std))
+    val sw = w.sum
+    val xw = gs.zip(w).map { case (g, wj) => wj * g.mean }.sum / sw
+    val num = gs.zip(w).map { case (g, wj) =>
+      wj * (g.mean - xw) * (g.mean - xw)
+    }.sum / (k - 1)
+    val hsum = gs.zip(w).map { case (g, wj) =>
+      val r = 1.0 - wj / sw
+      r * r / (g.n - 1)
+    }.sum
+    val den = 1.0 + 2.0 * (k - 2) / (k.toDouble * k - 1) * hsum
+    val f = num / den
+    val df2 = (k.toDouble * k - 1) / (3.0 * hsum)
+    val p = 1.0 - new FDistribution((k - 1).toDouble, df2)
+      .cumulativeProbability(f)
+    Some(WelchAnovaResult(f, (k - 1).toLong, df2, p, k, gs.map(_.n).sum))
+  }
+
   /** Brown–Forsythe homogeneity-of-variance test (Levene's test with
     * median centers — the robust default): one-way ANOVA F on the
     * absolute deviations z = |y − median(group)|. The precondition

@@ -214,6 +214,77 @@ object Contingency {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
 
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds ratio
+    * (Cochran 1954; Mantel & Haenszel 1959 — public): "are these two
+    * flags associated AFTER controlling for a stratum" — the
+    * Simpson's-paradox-proof version of [[chiSquare]] on 2×2 tables.
+    * A flag pair that looks associated marginally but not within any
+    * stratum (or vice versa — the classic confounding failure) is
+    * exactly what a per-cohort quality audit must distinguish.
+    * CMH χ²₁ = (Σ(a_s − r1·c1/n))² / Σ(r1·r2·c1·c2/(n²(n−1)));
+    * OR_MH = Σ(a·d/n) / Σ(b·c/n). No continuity correction (the
+    * scipy/statsmodels default).
+    *
+    * One stratum-keyed aggregation builds the per-stratum cells;
+    * per-stratum terms are rounded to 12 and folded as decimals
+    * (stratum-count-bounded state, order-invariant, oracle-exact);
+    * the χ²(1) p is library-only. Strata with n < 2 carry no
+    * information (both terms are 0/undefined) and are EXCLUDED,
+    * reported via k_strata. Returns one row: (k_strata, n_total,
+    * chi2_cmh, or_mh), statistics rounded to 6, or_mh null when every
+    * stratum has an empty discordant diagonal. */
+  def cmh(
+      df: DataFrame, stratumCol: Column, flagA: Column,
+      flagB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(stratumCol.cast("string").as("s"), flagA.as("fa"),
+        flagB.as("fb"))
+      .filter(col("s").isNotNull && col("fa").isNotNull &&
+        col("fb").isNotNull)
+      .groupBy("s").agg(
+        sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("fa") && !col("fb"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") >= 2)
+    val folded = cells
+      .withColumn("r1", (col("a") + col("b")).cast("double"))
+      .withColumn("r2", (col("c") + col("d")).cast("double"))
+      .withColumn("c1", (col("a") + col("c")).cast("double"))
+      .withColumn("c2", (col("b") + col("d")).cast("double"))
+      .agg(
+        count(lit(1)).as("k"),
+        coalesce(sum(col("n")), lit(0L)).as("n_total"),
+        coalesce(sum(round(col("a") - col("r1") * col("c1") / col("n"), 12)
+          .cast("decimal(38,14)")), lit(0)).cast("double").as("num"),
+        coalesce(sum(round(col("r1") * col("r2") * col("c1") * col("c2")
+          / (col("n").cast("double") * col("n") * (col("n") - 1)), 12)
+          .cast("decimal(38,14)")), lit(0)).cast("double").as("den"),
+        coalesce(sum(round(col("a").cast("double") * col("d") / col("n"),
+          12).cast("decimal(38,14)")), lit(0)).cast("double").as("orn"),
+        coalesce(sum(round(col("b").cast("double") * col("c") / col("n"),
+          12).cast("decimal(38,14)")), lit(0)).cast("double").as("ord"))
+      .head()
+    val k = folded.getAs[Long]("k")
+    require(k >= 1, "no stratum carries 2+ classified rows")
+    val den = folded.getAs[Double]("den")
+    require(den > 0.0,
+      "every informative stratum is degenerate (a constant flag) — " +
+        "nothing to test")
+    val num = folded.getAs[Double]("num")
+    val chi2 = num * num / den
+    val ord = folded.getAs[Double]("ord")
+    val orMh: Option[Double] =
+      if (ord > 0.0) Some(rd6(folded.getAs[Double]("orn") / ord)) else None
+    Seq((k, folded.getAs[Long]("n_total"), rd6(chi2), orMh,
+        rd6(1.0 - new ChiSquaredDistribution(1.0)
+          .cumulativeProbability(chi2))))
+      .toDF("k_strata", "n_total", "chi2_cmh", "or_mh", "p_value")
+  }
+
   /** χ² statistic, degrees of freedom, p-value. Returns None when the
     * table is degenerate (fewer than 2 observed levels on either side). */
   def chiSquare(

@@ -1544,6 +1544,66 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("welch anova: k=2 reduces to squared welch t, guards") {
+    import graft.stats.Anova
+    val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    val b = Array(10.0, 30.0, 50.0, 20.0, 40.0, 60.0)
+    val df = (a.map(("g1", _)) ++ b.map(("g2", _))).toSeq.toDF("g", "y")
+    val w = Anova.welchAnova(df, "g", "y").get
+    val t = Anova.welchTTests(df, "g", "y").head
+    // the textbook identity: Welch F at k=2 IS the Welch t squared,
+    // with df2 equal to the Welch-Satterthwaite dof
+    assert(math.abs(w.fStat - t.tStat * t.tStat) < 1e-9,
+      s"F=${w.fStat} vs t^2=${t.tStat * t.tStat}")
+    assert(math.abs(w.df2 - t.dof) < 1e-9, s"df2=${w.df2} vs ${t.dof}")
+    assert(math.abs(w.pValue - t.pValue) < 1e-9)
+    assert(w.df1 == 1 && w.k == 2 && w.n == 11)
+    // a third group shifts the weighted grand mean and k terms
+    val three = df.union(Seq(("g3", 100.0), ("g3", 105.0), ("g3", 110.0))
+      .toDF("g", "y"))
+    val w3 = Anova.welchAnova(three, "g", "y").get
+    assert(w3.k == 3 && w3.fStat > 0)
+    // zero-variance group and single group are refused
+    assert(Anova.welchAnova(
+      df.union(Seq(("g3", 7.0), ("g3", 7.0)).toDF("g", "y")),
+      "g", "y").isEmpty)
+    assert(Anova.welchAnova(
+      a.map(("g1", _)).toSeq.toDF("g", "y"), "g", "y").isEmpty)
+  }
+
+  test("cmh: simpson's paradox nulls out, single stratum matches chi2") {
+    import graft.stats.Contingency
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    // each stratum EXACTLY independent (a = r1*c1/n), but marginally
+    // the pooled table shows a strong association — CMH must null it
+    val paradox = (stratum("hi", 16, 4, 4, 1) ++
+      stratum("lo", 1, 4, 4, 16)).toDF("s", "fa", "fb")
+    val rp = Contingency.cmh(paradox, col("s"), col("fa"), col("fb"))
+      .head()
+    assert(rp.getAs[Double]("chi2_cmh") == 0.0)
+    assert(rp.getAs[Double]("or_mh") == 1.0)
+    assert(rp.getAs[Double]("p_value") == 1.0)
+    assert(rp.getAs[Long]("k_strata") == 2 &&
+      rp.getAs[Long]("n_total") == 50)
+    // one stratum: CMH = chi2 * (n-1)/n (the hypergeometric variance
+    // uses n-1 where Pearson uses n)
+    val one = stratum("only", 12, 5, 3, 10).toDF("s", "fa", "fb")
+    val rc = Contingency.cmh(one, col("s"), col("fa"), col("fb")).head()
+    val chi = Contingency.chiSquare(
+      one.withColumnRenamed("fa", "x"), "x", "fb").get
+    val want = chi.chi2 * (chi.n - 1) / chi.n
+    assert(math.abs(rc.getAs[Double]("chi2_cmh") - want) < 1e-6,
+      s"cmh=${rc.getAs[Double]("chi2_cmh")} want $want")
+    // degenerate strata (constant flag) carry nothing and fail loudly
+    // when they are all there is
+    intercept[IllegalArgumentException] {
+      Contingency.cmh(stratum("x", 5, 0, 3, 0).toDF("s", "fa", "fb"),
+        col("s"), col("fa"), col("fb"))
+    }
+  }
+
   test("rate ratio: hand values, identical arms, zero-cell guard") {
     import graft.stats.Experiment
     // arm A: 20 events over 10 units; arm B: 10 over 10 -> ratio 2
