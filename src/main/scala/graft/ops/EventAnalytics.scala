@@ -606,4 +606,41 @@ object EventAnalytics {
         (col("level") + col("trend")).as("forecast_1"))
       .orderBy("day")
   }
+
+  /** Daily OHLC bars per series key — the candlestick/market-bar
+    * aggregation (open / high / low / close / volume / total), here over
+    * an event stream's numeric `value` keyed by `event_type`.
+    *
+    * Open and close are selected by lexicographic struct min/max over
+    * (ts, id, value): `idCol` must be unique, so the value never
+    * participates in the comparison and the picked row is fully
+    * deterministic — the same tie-break a SQL oracle replays with
+    * row_number ORDER BY (ts, id). High/low/open/close pass the RAW
+    * double through untouched (no arithmetic → bit-exact cross-engine);
+    * only the total folds, as a round-9 decimal.
+    *
+    * Scale shape: ONE groupBy on (day, key) with map-side combine —
+    * min/max/count/sum are all partial-aggregable, so shuffle volume is
+    * one row per (day, key) per map task regardless of event volume. No
+    * windows, no joins. */
+  def ohlcDaily(
+      events: DataFrame, tsCol: String = "ts", keyCol: String = "event_type",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val e = events
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(
+        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("day"),
+        col(keyCol).as("key"),
+        struct(col(tsCol), col(idCol), col(valCol).as("v")).as("__k"),
+        col(valCol).as("__v"))
+    e.groupBy("day", "key").agg(
+        min(col("__k")).getField("v").as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(col("__k")).getField("v").as("close"),
+        count(lit(1)).as("volume"),
+        round(sum(round(col("__v"), 9).cast("decimal(38,12)")).cast("double"),
+          9).as("total_value"))
+      .orderBy("day", "key")
+  }
 }

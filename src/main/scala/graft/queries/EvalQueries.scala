@@ -1097,10 +1097,61 @@ object EvalQueries extends QueryModule {
       out
     })
 
+  /** McNemar's paired test ([[graft.stats.Contingency.mcnemar]]) between
+    * two rule "classifiers" of the return flag on the SAME lineitem rows
+    * (discount-based vs tax-based). The synthetic columns are independent
+    * of the flag, so the gate exercises the estimator's arithmetic, not a
+    * discovery; the oracle replays all four paired cells and the
+    * continuity-corrected χ² as an exact integer ratio. The χ²(1) p is
+    * library-only (asserted in [0,1] in-gate, excluded from the compare
+    * per the ev_proportion_ztest convention). */
+  val mcnemarGate: Q = Q(
+    "ml_mcnemar",
+    Some("""
+      WITH b AS (
+        SELECT (l_returnflag = 'R') AS truth,
+          (l_discount > 0.05) AS pa, (l_tax >= 0.04) AS pb
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+          AND l_tax IS NOT NULL),
+      m AS (
+        SELECT
+          CAST(count(*) FILTER ((pa = truth) AND (pb = truth)) AS BIGINT)
+            AS n_both_right,
+          CAST(count(*) FILTER ((pa = truth) AND (pb <> truth)) AS BIGINT)
+            AS n_only_a,
+          CAST(count(*) FILTER ((pa <> truth) AND (pb = truth)) AS BIGINT)
+            AS n_only_b,
+          CAST(count(*) FILTER ((pa <> truth) AND (pb <> truth)) AS BIGINT)
+            AS n_both_wrong
+        FROM b)
+      SELECT n_both_right + n_only_a + n_only_b + n_both_wrong AS n,
+        n_both_right, n_only_a, n_only_b, n_both_wrong,
+        CASE WHEN n_only_a + n_only_b > 0
+          THEN round(CAST(GREATEST(abs(n_only_a - n_only_b) - 1, 0) AS DOUBLE)
+            * GREATEST(abs(n_only_a - n_only_b) - 1, 0)
+            / (n_only_a + n_only_b), 9) + 0.0 END AS chi2_cc
+      FROM m"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_discount").isNotNull
+          && col("l_tax").isNotNull)
+      val out = graft.stats.Contingency.mcnemar(li,
+        col("l_returnflag") === "R",
+        col("l_discount") > 0.05, col("l_tax") >= 0.04)
+      val r = out.head()
+      require(r.getAs[Long]("n_only_a") + r.getAs[Long]("n_only_b") > 0,
+        "gate construction must produce discordant pairs")
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"chi2(1) p must be a probability: $p")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
-      krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate)
+      krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate,
+      mcnemarGate)
 }

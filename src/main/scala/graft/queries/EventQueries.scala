@@ -1772,8 +1772,40 @@ object EventQueries extends QueryModule {
       })
   }
 
+  /** Daily OHLC bars per event type
+    * ([[graft.ops.EventAnalytics.ohlcDaily]]): open/close picked by the
+    * deterministic (ts, event_id) struct min/max — raw doubles pass
+    * through untouched, so the oracle's row_number replay is bit-exact;
+    * high/low/volume are plain min/max/count; only the total folds (as a
+    * round-9 decimal). One map-side-combined groupBy, no windows. */
+  val evOhlc: Q = Q(
+    "ev_ohlc_daily",
+    Some("""
+      WITH e AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type AS key,
+          ts, event_id, value
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY day, key
+            ORDER BY ts, event_id) AS ra,
+          row_number() OVER (PARTITION BY day, key
+            ORDER BY ts DESC, event_id DESC) AS rd
+        FROM e)
+      SELECT day, key,
+        max(CASE WHEN ra = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        max(CASE WHEN rd = 1 THEN value END) AS close,
+        CAST(count(*) AS BIGINT) AS volume,
+        round(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38,12)))
+          AS DOUBLE), 9) + 0.0 AS total_value
+      FROM r GROUP BY 1, 2
+      ORDER BY day, key NULLS FIRST"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.ohlcDaily(Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
-    Seq(evPowerMde, evRateRatio,
+    Seq(evPowerMde, evRateRatio, evOhlc,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -1961,8 +1961,107 @@ object StatsQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** First-order partial correlation
+    * ([[graft.stats.Correlation.partialPearson]]): revenue vs discount
+    * CONTROLLING for the gross price. Raw corr(revenue, discount) is
+    * diluted by price variation; holding extendedprice fixed, revenue =
+    * price·(1−d) is exactly linear in d, so the partial r collapses
+    * toward −1 — the confounder-revealed shape the operator exists for,
+    * asserted in-gate. The oracle replays the three round-6 corr() cells
+    * and the identical partial combine. */
+  val t43PartialCorr: Q = Q(
+    "t43_partial_correlation",
+    Some("""
+      WITH b AS (
+        SELECT round(l_extendedprice * (1 - l_discount), 2) AS x,
+          l_discount AS y, l_extendedprice AS z
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+      r AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          round(corr(x, y), 6) AS r_xy,
+          round(corr(x, z), 6) AS r_xz,
+          round(corr(y, z), 6) AS r_yz
+        FROM b)
+      SELECT n, r_xy + 0.0 AS r_xy, r_xz + 0.0 AS r_xz, r_yz + 0.0 AS r_yz,
+        CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+          THEN round((r_xy - r_xz * r_yz)
+            / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) + 0.0
+        END AS r_partial
+      FROM r"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("x"),
+          col("l_discount").as("y"), col("l_extendedprice").as("z"))
+      val out = Correlation.partialPearson(li, "x", "y", "z")
+      val r = out.head()
+      val raw = r.getAs[Double]("r_xy")
+      val part = r.getAs[Double]("r_partial")
+      require(part < -0.8 && part < raw - 0.5,
+        s"controlling for price must reveal the discount effect: " +
+          s"raw=$raw partial=$part")
+      out
+    })
+
+  /** Durbin–Watson serial-correlation diagnostic
+    * ([[graft.stats.Regression.durbinWatson]]) on the OLS trend of the
+    * daily lineitem shipment-count series — the calendar-bounded grain
+    * that keeps the op scale-safe (the oracle replays the moment folds,
+    * the double slope/intercept combine, the round-6 residuals and both
+    * squared folds term-for-term; consecutive-day pairs only, gaps
+    * reported via n_pairs). */
+  val t44DurbinWatson: Q = Q(
+    "t44_durbin_watson",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS t,
+          CAST(count(*) AS DOUBLE) AS y
+        FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(t) AS DOUBLE) AS st,
+          CAST(sum(t * t) AS DOUBLE) AS stt,
+          CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(t * y, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sty
+        FROM d),
+      co AS (
+        SELECT n, st, sy,
+          (n * sty - st * sy) / (n * stt - st * st) AS slope
+        FROM m),
+      co2 AS (SELECT n, slope, (sy - slope * st) / n AS intercept FROM co),
+      e AS (
+        SELECT d.t, round(d.y - (co2.intercept + co2.slope * d.t), 6) AS e
+        FROM d, co2),
+      ess AS (
+        SELECT CAST(SUM(CAST(round(e * e, 12) AS DECIMAL(38,12)))
+          AS DOUBLE) AS ess FROM e),
+      pr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CAST(round((a.e - b.e) * (a.e - b.e), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS num
+        FROM e a, e b WHERE a.t = b.t + 1)
+      SELECT co2.n AS n, pr.n_pairs,
+        round(co2.slope, 9) + 0.0 AS slope,
+        round(co2.intercept, 6) + 0.0 AS intercept,
+        CASE WHEN ess.ess > 0 THEN round(pr.num / ess.ess, 6) + 0.0 END AS dw
+      FROM co2, pr, ess"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").isNotNull)
+        .select(expr(
+          s"unix_micros(cast(l_shipdate as timestamp)) div ${86400L * 1000000L}")
+          .as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("double").as("y"))
+      val out = Regression.durbinWatson(daily, "t", "y")
+      val dw = out.head().getAs[Double]("dw")
+      require(dw > 0.0 && dw < 4.0, s"DW must land in (0, 4), got $dw")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
-    t40FeatureScreen, t41WelchAnova, t42Cmh,
+    t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -214,6 +214,60 @@ object Contingency {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
 
+  /** McNemar's test for PAIRED binary classifiers (McNemar 1947,
+    * public): did model A and model B err on the same rows, or is one
+    * systematically better? Only the discordant cells carry signal —
+    * b = A right & B wrong, c = A wrong & B right — and the statistic
+    * is the continuity-corrected χ²₁ = (|b−c|−1)²/(b+c) (Edwards 1948,
+    * the scipy default). This is the test [[fisherExact]] cannot do:
+    * Fisher treats the two flags as independent samples; McNemar uses
+    * the pairing, which is what you have when both classifiers scored
+    * the SAME corpus.
+    *
+    * Scale shape: ONE aggregation over the data (four conditional longs,
+    * map-side combined); everything after is driver arithmetic on the
+    * 2×2. Rows with a null truth or prediction are excluded. Returns one
+    * row (n, n_both_right, n_only_a, n_only_b, n_both_wrong, chi2_cc,
+    * p_value): χ² is an exact integer ratio rounded to 9; the χ²(1) p is
+    * library-only. χ² and p are null when b + c = 0 (the models never
+    * disagree — nothing to test). */
+  def mcnemar(
+      df: DataFrame, truth: Column, predA: Column,
+      predB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val okA = predA === truth
+    val okB = predB === truth
+    val row = df
+      .filter(truth.isNotNull && predA.isNotNull && predB.isNotNull)
+      .agg(
+        sum(when(okA && okB, 1L).otherwise(0L)).as("rr"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("b"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("c"),
+        sum(when(!okA && !okB, 1L).otherwise(0L)).as("ww"))
+      .head()
+    val (rr, b, c, ww) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+    val n = rr + b + c + ww
+    require(n > 0, "McNemar needs at least one fully-classified row")
+    val disc = b + c
+    val result: (Option[Double], Option[Double]) =
+      if (disc == 0L) (None, None)
+      else {
+        val dev = math.abs(b - c) - 1L
+        val chi2 =
+          if (dev <= 0L) 0.0
+          else dev.toDouble * dev / disc
+        (Some(BigDecimal(chi2).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble),
+          Some(rd6(1.0 - new ChiSquaredDistribution(1.0)
+            .cumulativeProbability(chi2))))
+      }
+    Seq((n, rr, b, c, ww, result._1, result._2))
+      .toDF("n", "n_both_right", "n_only_a", "n_only_b", "n_both_wrong",
+        "chi2_cc", "p_value")
+  }
+
   /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds ratio
     * (Cochran 1954; Mantel & Haenszel 1959 — public): "are these two
     * flags associated AFTER controlling for a stratum" — the

@@ -321,6 +321,57 @@ object Correlation {
   def highCorrelations(pairs: Seq[Pair], threshold: Double = 0.7): Seq[Pair] =
     pairs.filter(_.r.exists(r => math.abs(r) > threshold))
 
+  /** First-order partial correlation r_xy·z (Fisher 1924, public): the
+    * pearson correlation of x and y with the shared dependence on a
+    * control variable z regressed out —
+    * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The confounder screen
+    * beside the t2 matrix: a raw r_xy that collapses once z is held
+    * fixed was z's correlation all along.
+    *
+    * Deletion is LISTWISE (rows where any of the three is null are
+    * excluded) so all three r's describe the same sample — the standard
+    * contract for the partial formula; pairwise-deleted r's can produce
+    * |r_partial| > 1.
+    *
+    * Cross-engine exactness: the three r's are rounded to 6 first, the
+    * partial combine runs on the ROUNDED values, and the result rounds
+    * to 6 — a SQL oracle replaying corr() at round-6 folds the identical
+    * doubles. One aggregate pass (three safeCorr cells + a count), one
+    * row out. Returns (n, r_xy, r_xz, r_yz, r_partial); r_partial is
+    * null when either control correlation is ±1 at round-6 (the formula
+    * divides by zero: x or y is an affine function of z) or n <
+    * `minPeriods`. */
+  def partialPearson(
+      df: DataFrame, x: String, y: String, z: String,
+      minPeriods: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val complete = df
+      .filter(col(x).isNotNull && col(y).isNotNull && col(z).isNotNull)
+    val row = complete.agg(
+        count(lit(1)).as("n"),
+        safeCorr(col(x), col(y)).as("rxy"),
+        safeCorr(col(x), col(z)).as("rxz"),
+        safeCorr(col(y), col(z)).as("ryz"))
+      .head()
+    val n = row.getAs[Long]("n")
+    def hu6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(i: Int): Option[Double] =
+      Option(row.getAs[Any](i)).map(_.asInstanceOf[Double])
+        .filterNot(_.isNaN).map(hu6)
+    val (rxy, rxz, ryz) = (r6(1), r6(2), r6(3))
+    val partial: Option[Double] =
+      if (n < minPeriods) None
+      else for {
+        a <- rxy; b <- rxz; c <- ryz
+        den = (1.0 - b * b) * (1.0 - c * c)
+        if den > 0.0
+      } yield hu6((a - b * c) / math.sqrt(den))
+    Seq((n, rxy, rxz, ryz, partial))
+      .toDF("n", "r_xy", "r_xz", "r_yz", "r_partial")
+  }
+
   def toDF(spark: SparkSession, pairs: Seq[Pair]): DataFrame = {
     import spark.implicits._
     pairs.map(p => (p.col1, p.col2, p.r, p.n)).toDF("col1", "col2", "r", "n")

@@ -245,4 +245,71 @@ object Regression {
       .toDF("segment", "n", "slope", "intercept", "rss", "chow_f", "chow_p")
       .orderBy("segment")
   }
+
+  /** Durbin–Watson autocorrelation diagnostic (Durbin & Watson 1950,
+    * public) for an OLS trend over an integer-granular series:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t², ≈ 2 for independent residuals,
+    * → 0 under positive serial correlation (the classic "my daily KPI
+    * trend's CI is a lie" smell), → 4 under negative.
+    *
+    * `tCol` must be an integer grain (day index, hour bucket) — the
+    * caller aggregates raw events to a calendar-bounded series first,
+    * which is what keeps this scale-safe: the OLS is ONE moment
+    * aggregate, residuals are a broadcast-literal map, and the lag pair
+    * (t−1, t) is a self-join on t+1 — no unpartitioned window anywhere.
+    * Calendar gaps carry no consecutive pair and are skipped (reported
+    * via n_pairs, the standard gap treatment).
+    *
+    * Cross-engine exactness: moment sums fold as round-6/round-9
+    * decimals; slope and intercept are the same double combine of those
+    * exact sums in both engines; residuals round to 6 BEFORE the
+    * squared folds. Returns one row (n, n_pairs, slope, intercept, dw),
+    * slope round-9, intercept/dw round-6; dw is null when the residual
+    * sum of squares is zero (a perfectly linear series). */
+  def durbinWatson(
+      series: DataFrame, tCol: String, yCol: String): DataFrame = {
+    val t = col(tCol).cast("long")
+    val y = col(yCol).cast(DoubleType)
+    val nn = series.filter(t.isNotNull && y.isNotNull)
+      .select(t.as("t"), y.as("y"))
+    def fold(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    val m = nn.agg(
+        count(lit(1)).as("n"),
+        sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        fold(round(col("y"), 9)).as("sy"),
+        fold(round(col("t") * col("y"), 6)).as("sty"))
+      .head()
+    val n = m.getAs[Long]("n")
+    require(n >= 3, s"Durbin-Watson needs >= 3 points, got $n")
+    val st = m.getAs[Long]("st").toDouble
+    val stt = m.getAs[Long]("stt").toDouble
+    val sy = m.getAs[Double]("sy")
+    val sty = m.getAs[Double]("sty")
+    val den = n * stt - st * st
+    require(den != 0.0, "t has no variance - no trend to fit")
+    val slope = (n * sty - st * sy) / den
+    val intercept = (sy - slope * st) / n
+    val resid = nn.select(col("t"),
+      round(col("y") - (lit(intercept) + lit(slope) * col("t")), 6).as("e"))
+    val ess = resid.agg(fold(round(col("e") * col("e"), 12)).as("ess"))
+    val prev = resid.select((col("t") + 1L).as("t"), col("e").as("e_prev"))
+    val numDf = resid.join(prev, Seq("t"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        fold(round((col("e") - col("e_prev")) * (col("e") - col("e_prev")),
+          12)).as("num"))
+    numDf.crossJoin(broadcast(ess))
+      .select(
+        lit(n).as("n"), col("n_pairs"),
+        lit(java.math.BigDecimal.valueOf(slope)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+          .as("slope"),
+        lit(java.math.BigDecimal.valueOf(intercept)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          .as("intercept"),
+        when(col("ess") > 0.0, round(col("num") / col("ess"), 6))
+          .as("dw"))
+  }
 }

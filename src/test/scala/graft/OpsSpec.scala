@@ -3128,6 +3128,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ohlc bars: hand geometry, ts tie-break by id, single-event day") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(day: Int, h: Long) =
+      new Timestamp((day * 24L + h) * 3600 * 1000L)
+    val events = Seq(
+      // day 0, key a: values 5, 9, 1, 3 in time order
+      (10L, ts(0, 1), "a", 5.0), (11L, ts(0, 2), "a", 9.0),
+      (12L, ts(0, 3), "a", 1.0), (13L, ts(0, 4), "a", 3.0),
+      // day 0, key b: two events at the SAME ts — lower id wins open,
+      // higher id wins close
+      (21L, ts(0, 5), "b", 7.0), (20L, ts(0, 5), "b", 4.0),
+      // day 1, key a: single event — open=high=low=close
+      (30L, ts(1, 0), "a", 2.5)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventAnalytics.ohlcDaily(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val a0 = out((0L, "a"))
+    assert(a0.getAs[Double]("open") == 5.0 && a0.getAs[Double]("high") == 9.0
+      && a0.getAs[Double]("low") == 1.0 && a0.getAs[Double]("close") == 3.0
+      && a0.getAs[Long]("volume") == 4L
+      && a0.getAs[Double]("total_value") == 18.0, s"$a0")
+    val b0 = out((0L, "b"))
+    assert(b0.getAs[Double]("open") == 4.0 &&
+      b0.getAs[Double]("close") == 7.0, s"tie-break by id: $b0")
+    val a1 = out((1L, "a"))
+    assert(a1.getAs[Double]("open") == 2.5 && a1.getAs[Double]("high") == 2.5
+      && a1.getAs[Double]("low") == 2.5 && a1.getAs[Double]("close") == 2.5
+      && a1.getAs[Long]("volume") == 1L)
+  }
+
   test("seasonal decomposition: identity holds, planted pattern recovered") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

@@ -1673,4 +1673,99 @@ class StatsSpec extends SparkSpec {
     assert(r4.getAs[Double]("p_two_sided") > 0.0 &&
       r4.getAs[Double]("p_two_sided") <= 1.0)
   }
+
+  test("mcnemar: hand table, swap symmetry, never-disagree null") {
+    import graft.stats.Contingency
+    // truth always true; rr=20 both right, b=10 only A, c=2 only B, ww=5
+    def rows(rr: Int, b: Int, c: Int, ww: Int) =
+      (Seq.fill(rr)((true, true, true)) ++ Seq.fill(b)((true, true, false)) ++
+        Seq.fill(c)((true, false, true)) ++
+        Seq.fill(ww)((true, false, false)))
+        .toDF("t", "pa", "pb")
+    val r = Contingency.mcnemar(rows(20, 10, 2, 5),
+      col("t"), col("pa"), col("pb")).head()
+    assert(r.getAs[Long]("n") == 37L)
+    assert(r.getAs[Long]("n_only_a") == 10L &&
+      r.getAs[Long]("n_only_b") == 2L)
+    // (|10-2|-1)^2 / 12 = 49/12 = 4.083333333
+    assert(r.getAs[Double]("chi2_cc") == 4.083333333, s"chi2=$r")
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.04 && p < 0.05, s"p=$p") // scipy mcnemar(exact=False) 0.0433
+    // swapping the classifiers flips b/c but not the statistic
+    val sw = Contingency.mcnemar(rows(20, 10, 2, 5),
+      col("t"), col("pb"), col("pa")).head()
+    assert(sw.getAs[Long]("n_only_a") == 2L &&
+      sw.getAs[Double]("chi2_cc") == 4.083333333)
+    // |b-c| <= 1 under the continuity correction clamps to 0
+    val eq = Contingency.mcnemar(rows(5, 3, 3, 1),
+      col("t"), col("pa"), col("pb")).head()
+    assert(eq.getAs[Double]("chi2_cc") == 0.0 &&
+      eq.getAs[Double]("p_value") == 1.0)
+    // models never disagree: nothing to test
+    val nd = Contingency.mcnemar(rows(8, 0, 0, 4),
+      col("t"), col("pa"), col("pb")).head()
+    assert(nd.isNullAt(nd.fieldIndex("chi2_cc")) &&
+      nd.isNullAt(nd.fieldIndex("p_value")))
+  }
+
+  test("partial correlation: exact line stays 1, confounder nulls, indep ~ raw") {
+    val n = 200
+    // y is exactly 2x: r_xy = 1 and the partial stays 1 whatever z does
+    val lin = (1 to n).map { i =>
+      (i.toDouble, 2.0 * i, ((i * 37) % 101).toDouble)
+    }.toDF("x", "y", "z")
+    val r1 = Correlation.partialPearson(lin, "x", "y", "z").head()
+    assert(r1.getAs[Double]("r_xy") == 1.0 &&
+      r1.getAs[Double]("r_partial") == 1.0, s"$r1")
+    // y IS z: r_yz = 1, the formula divides by zero -> null
+    val conf = (1 to n).map { i =>
+      (i + ((i * 13) % 7).toDouble, i.toDouble, i.toDouble)
+    }.toDF("x", "y", "z")
+    val r2 = Correlation.partialPearson(conf, "x", "y", "z").head()
+    assert(r2.getAs[Double]("r_yz") == 1.0 &&
+      r2.isNullAt(r2.fieldIndex("r_partial")), s"$r2")
+    // z independent of both: partialling it out barely moves r_xy
+    val ind = (1 to n).map { i =>
+      (i.toDouble + ((i * 7) % 13), i.toDouble + ((i * 5) % 11),
+        ((i * 2654435761L) % 997).toDouble)
+    }.toDF("x", "y", "z")
+    val r3 = Correlation.partialPearson(ind, "x", "y", "z").head()
+    assert(math.abs(r3.getAs[Double]("r_partial") -
+      r3.getAs[Double]("r_xy")) < 0.02, s"$r3")
+    // fewer complete rows than minPeriods -> null
+    val r4 = Correlation.partialPearson(lin.limit(5), "x", "y", "z").head()
+    assert(r4.isNullAt(r4.fieldIndex("r_partial")))
+  }
+
+  test("durbin-watson: independent ~2, smooth ~0, alternating ~4, gaps, flat") {
+    def series(ys: Seq[(Long, Double)]) = ys.toDF("t", "y")
+    // scrambled deterministic noise around a trend: DW near 2
+    val indep = series((1 to 300).map(t =>
+      (t.toLong, 0.5 * t + ((t * 2654435761L) % 1000) / 1000.0)))
+    val d1 = Regression.durbinWatson(indep, "t", "y").head()
+    assert(d1.getAs[Long]("n_pairs") == 299L)
+    val dw1 = d1.getAs[Double]("dw")
+    assert(dw1 > 1.6 && dw1 < 2.4, s"dw=$dw1")
+    // slow sine: residuals glide -> strong positive serial correlation
+    val smooth = series((1 to 300).map(t =>
+      (t.toLong, math.sin(t / 30.0))))
+    val dw2 = Regression.durbinWatson(smooth, "t", "y")
+      .head().getAs[Double]("dw")
+    assert(dw2 < 0.5, s"dw=$dw2")
+    // alternating residuals -> negative serial correlation, DW toward 4
+    val alt = series((1 to 300).map(t =>
+      (t.toLong, if (t % 2 == 0) 1.0 else -1.0)))
+    val dw3 = Regression.durbinWatson(alt, "t", "y")
+      .head().getAs[Double]("dw")
+    assert(dw3 > 3.5, s"dw=$dw3")
+    // calendar gap: only consecutive-t pairs count
+    val gappy = series(Seq((1L, 1.2), (2L, 0.4), (5L, 1.9), (6L, 0.1),
+      (7L, 1.0)))
+    assert(Regression.durbinWatson(gappy, "t", "y")
+      .head().getAs[Long]("n_pairs") == 3L)
+    // perfect line: zero residual variance -> dw null
+    val flat = series((1 to 50).map(t => (t.toLong, 3.0 * t + 1.0)))
+    val d5 = Regression.durbinWatson(flat, "t", "y").head()
+    assert(d5.isNullAt(d5.fieldIndex("dw")))
+  }
 }
