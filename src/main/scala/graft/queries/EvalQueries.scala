@@ -1147,11 +1147,120 @@ object EvalQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Decile lift & cumulative-gains table
+    * ([[graft.stats.Eval.liftTable]]): extendedprice as the "score",
+    * return flag as the label. The columns are independent by
+    * construction, so every decile's lift ≈ 1 — the gate verifies the
+    * bucketing/cumulative arithmetic row-for-row (thresholds, merged-tie
+    * buckets, capture fractions), not a discovery; the oracle replays
+    * the round-6 quantile thresholds, the bucket assignment, and the
+    * window cumulative sweep. */
+  val liftGainsGate: Q = Q(
+    "ml_lift_gains",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      t AS (SELECT
+          round(quantile_cont(s, 0.1), 6) AS t1,
+          round(quantile_cont(s, 0.2), 6) AS t2,
+          round(quantile_cont(s, 0.3), 6) AS t3,
+          round(quantile_cont(s, 0.4), 6) AS t4,
+          round(quantile_cont(s, 0.5), 6) AS t5,
+          round(quantile_cont(s, 0.6), 6) AS t6,
+          round(quantile_cont(s, 0.7), 6) AS t7,
+          round(quantile_cont(s, 0.8), 6) AS t8,
+          round(quantile_cont(s, 0.9), 6) AS t9,
+          CAST(count(*) AS BIGINT) AS tn, CAST(sum(y) AS BIGINT) AS tp
+        FROM b),
+      bk AS (
+        SELECT 10 - ((b.s > t.t1)::INT + (b.s > t.t2)::INT
+          + (b.s > t.t3)::INT + (b.s > t.t4)::INT + (b.s > t.t5)::INT
+          + (b.s > t.t6)::INT + (b.s > t.t7)::INT + (b.s > t.t8)::INT
+          + (b.s > t.t9)::INT) AS bucket, b.y
+        FROM b, t),
+      pb AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos
+        FROM bk GROUP BY 1),
+      cum AS (
+        SELECT *, sum(n) OVER (ORDER BY bucket) AS cum_n,
+          sum(n_pos) OVER (ORDER BY bucket) AS cum_pos
+        FROM pb)
+      SELECT bucket, n, n_pos,
+        round(CAST(n_pos AS DOUBLE) / n, 9) AS pos_rate,
+        round((CAST(n_pos AS DOUBLE) / n)
+          / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 9) AS lift,
+        round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 9)
+          AS cum_capture,
+        round(CAST(cum_n AS DOUBLE) / CAST(tn AS DOUBLE), 9) AS cum_frac
+      FROM cum, t ORDER BY bucket"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_returnflag").isNotNull)
+      val out = graft.stats.Eval.liftTable(li, col("l_extendedprice"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      val rows = out.collect()
+      val last = rows.maxBy(_.getAs[Int]("bucket"))
+      require(last.getAs[Double]("cum_capture") == 1.0 &&
+        last.getAs[Double]("cum_frac") == 1.0,
+        s"the final bucket must capture everything: $last")
+      out
+    })
+
+  /** Cochran's Q across three paired rule "raters" of the same lineitem
+    * rows ([[graft.stats.Agreement.cochranQ]]): the k-treatment
+    * generalization of ml_mcnemar, exact-integer end-to-end. The oracle
+    * replays the per-rater totals and per-row success counts and the
+    * integer-cleared Q; the χ²(k−1) p is library-only (asserted
+    * in-gate, excluded). */
+  val cochranQGate: Q = Q(
+    "lbl_cochran_q",
+    Some("""
+      WITH b AS (
+        SELECT (l_discount > 0.05) AS f0, (l_tax >= 0.04) AS f1,
+          (l_quantity > 25) AS f2
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+          AND l_quantity IS NOT NULL),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(f0::INT) AS BIGINT) AS c0,
+          CAST(sum(f1::INT) AS BIGINT) AS c1,
+          CAST(sum(f2::INT) AS BIGINT) AS c2,
+          CAST(sum(f0::INT + f1::INT + f2::INT) AS BIGINT) AS sr,
+          CAST(sum((f0::INT + f1::INT + f2::INT)
+            * (f0::INT + f1::INT + f2::INT)) AS BIGINT) AS srr
+        FROM b)
+      SELECT n, 3 AS k,
+        CASE WHEN 3 * sr - srr > 0
+          THEN round(CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2)
+            - (c0 + c1 + c2) * (c0 + c1 + c2)) AS DOUBLE)
+            / CAST(3 * sr - srr AS DOUBLE), 9) + 0.0 END AS q_stat
+      FROM m"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount").isNotNull && col("l_tax").isNotNull &&
+          col("l_quantity").isNotNull)
+        .select((col("l_discount") > 0.05).as("f0"),
+          (col("l_tax") >= 0.04).as("f1"),
+          (col("l_quantity") > 25).as("f2"))
+      val out = graft.stats.Agreement.cochranQ(li, Seq("f0", "f1", "f2"))
+      val r = out.head()
+      require(r.getAs[Double]("q_stat") > 0.0, s"degenerate gate: $r")
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"chi2 p must be a probability: $p")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
       krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate,
-      mcnemarGate)
+      mcnemarGate, liftGainsGate, cochranQGate)
 }

@@ -1804,8 +1804,64 @@ object EventQueries extends QueryModule {
     (s, dir) =>
       graft.ops.EventAnalytics.ohlcDaily(Tables.load(s, dir, "events")))
 
+  /** RFM quintile segmentation over the order ledger
+    * ([[graft.ops.Segmentation.rfmScores]]): per-customer recency /
+    * frequency / monetary plus 1–5 quintile scores against the ledger's
+    * own round-6 percentile thresholds (recency reversed — recent = 5).
+    * Row-level oracle: every customer's metrics AND scores replayed,
+    * including the deterministic ties-fall-low bucket rule. */
+  val evRfm: Q = Q(
+    "seg_rfm_scores",
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS cust,
+          epoch_us(o_orderdate) // 86400000000 AS od,
+          o_totalprice AS amt
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL),
+      c AS (
+        SELECT cust, max(od) AS last_day,
+          CAST(count(*) AS BIGINT) AS frequency,
+          round(CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE), 2)
+            AS monetary
+        FROM o GROUP BY 1),
+      mx AS (SELECT max(last_day) AS mxd FROM c),
+      base AS (
+        SELECT cust, mxd - last_day AS recency_days, frequency, monetary
+        FROM c, mx),
+      t AS (SELECT
+          round(quantile_cont(CAST(recency_days AS DOUBLE), 0.2), 6) AS r20,
+          round(quantile_cont(CAST(recency_days AS DOUBLE), 0.4), 6) AS r40,
+          round(quantile_cont(CAST(recency_days AS DOUBLE), 0.6), 6) AS r60,
+          round(quantile_cont(CAST(recency_days AS DOUBLE), 0.8), 6) AS r80,
+          round(quantile_cont(CAST(frequency AS DOUBLE), 0.2), 6) AS f20,
+          round(quantile_cont(CAST(frequency AS DOUBLE), 0.4), 6) AS f40,
+          round(quantile_cont(CAST(frequency AS DOUBLE), 0.6), 6) AS f60,
+          round(quantile_cont(CAST(frequency AS DOUBLE), 0.8), 6) AS f80,
+          round(quantile_cont(monetary, 0.2), 6) AS m20,
+          round(quantile_cont(monetary, 0.4), 6) AS m40,
+          round(quantile_cont(monetary, 0.6), 6) AS m60,
+          round(quantile_cont(monetary, 0.8), 6) AS m80
+        FROM base)
+      SELECT cust, recency_days, frequency, monetary,
+        6 - (1 + (CAST(recency_days AS DOUBLE) > r20)::INT
+          + (CAST(recency_days AS DOUBLE) > r40)::INT
+          + (CAST(recency_days AS DOUBLE) > r60)::INT
+          + (CAST(recency_days AS DOUBLE) > r80)::INT) AS r_score,
+        1 + (CAST(frequency AS DOUBLE) > f20)::INT
+          + (CAST(frequency AS DOUBLE) > f40)::INT
+          + (CAST(frequency AS DOUBLE) > f60)::INT
+          + (CAST(frequency AS DOUBLE) > f80)::INT AS f_score,
+        1 + (monetary > m20)::INT + (monetary > m40)::INT
+          + (monetary > m60)::INT + (monetary > m80)::INT AS m_score
+      FROM base, t ORDER BY cust"""),
+    (s, dir) =>
+      graft.ops.Segmentation.rfmScores(Tables.load(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice"))
+
   override def queries: Seq[Q] =
-    Seq(evPowerMde, evRateRatio, evOhlc,
+    Seq(evPowerMde, evRateRatio, evOhlc, evRfm,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

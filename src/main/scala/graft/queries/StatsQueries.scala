@@ -2060,8 +2060,77 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Breusch–Pagan heteroscedasticity LM test
+    * ([[graft.stats.Regression.breuschPagan]]) on y = quantity·tax vs
+    * x = quantity: y = x·t with t an independent rate, so the residual
+    * is ≈ x·(t − t̄) and its variance grows as x² BY CONSTRUCTION — the
+    * gate asserts the test actually fires (LM ≫ χ²₁ critical; the raw
+    * extendedprice~quantity fit measured LM ≈ 0.2, the two columns are
+    * independent in this data — useless as a firing check). The oracle
+    * replays both moment passes, the double slope/intercept combine,
+    * the round-6 residuals, and the auxiliary R² term-for-term; the
+    * χ²(1) p is library-only ([[graft.stats.Regression.breuschPaganP]],
+    * asserted in-gate). */
+  val t45BreuschPagan: Q = Q(
+    "t45_breusch_pagan",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+          round(l_quantity * l_tax, 4) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_tax IS NOT NULL),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM b),
+      co AS (
+        SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m),
+      co2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM co),
+      e AS (
+        SELECT b.x, round(b.y - (co2.intercept + co2.slope * b.x), 6) AS e
+        FROM b, co2),
+      g AS (SELECT x, e * e AS g FROM e),
+      a AS (
+        SELECT
+          CAST(SUM(CAST(round(g, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sg,
+          CAST(SUM(CAST(round(g * g, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sgg,
+          CAST(SUM(CAST(round(x * g, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxg
+        FROM g)
+      SELECT co2.n AS n,
+        round(co2.slope, 9) + 0.0 AS slope,
+        round(co2.intercept, 6) + 0.0 AS intercept,
+        CASE WHEN co2.n * a.sgg - a.sg * a.sg > 0
+          THEN round((co2.n * a.sxg - co2.sx * a.sg)
+            * (co2.n * a.sxg - co2.sx * a.sg)
+            / ((co2.n * co2.sxx - co2.sx * co2.sx)
+              * (co2.n * a.sgg - a.sg * a.sg)), 9) + 0.0 END AS r2_aux,
+        CASE WHEN co2.n * a.sgg - a.sg * a.sg > 0
+          THEN round(co2.n * ((co2.n * a.sxg - co2.sx * a.sg)
+            * (co2.n * a.sxg - co2.sx * a.sg)
+            / ((co2.n * co2.sxx - co2.sx * co2.sx)
+              * (co2.n * a.sgg - a.sg * a.sg))), 6) + 0.0 END AS lm
+      FROM co2, a"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull && col("l_tax").isNotNull)
+        .select(col("l_quantity").cast("double").as("x"),
+          round(col("l_quantity") * col("l_tax"), 4).as("y"))
+      val out = Regression.breuschPagan(base, "x", "y")
+      val r = out.head()
+      val lm = r.getAs[Double]("lm")
+      require(lm > 100.0,
+        s"quantity*tax ~ quantity is heteroscedastic by construction; LM=$lm")
+      val p = Regression.breuschPaganP(lm)
+      require(p >= 0.0 && p < 0.001, s"LM that large must reject: p=$p")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
+    t45BreuschPagan,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

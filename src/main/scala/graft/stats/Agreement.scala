@@ -285,4 +285,62 @@ object Agreement {
     Seq((n, k, r6(itemVarSum), r6(totalVar), alpha))
       .toDF("n_rows", "k", "sum_item_var", "total_var", "alpha")
   }
+
+  /** Cochran's Q (Cochran 1950, public): do k PAIRED binary treatments
+    * — k labelers' pass/fail verdicts, k filter versions applied to the
+    * same corpus — succeed at the same rate? The k-treatment
+    * generalization of McNemar (k = 2 reduces to McNemar without the
+    * continuity correction). In the integer-cleared form
+    * Q = (k−1)·(k·Σ_j c_j² − (Σ_j c_j)²) / (k·Σ_i r_i − Σ_i r_i²)
+    * with c_j the per-treatment success totals and r_i the per-subject
+    * success counts — every term is an exact integer from ONE
+    * map-side-combined aggregation (k+2 cells), so a SQL oracle replays
+    * Q bit-for-bit before the shared round.
+    *
+    * Rows with any null flag are excluded (a verdict must exist from
+    * every rater for the pairing to mean anything); reported via n.
+    * Returns one row (n, k, q_stat, p_value): Q rounded to 9; the
+    * χ²(k−1) p is library-only. Q is null when every subject has
+    * all-same verdicts (r_i ∈ {0, k} for all i — the denominator is 0
+    * and there is no within-subject information). */
+  def cochranQ(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    val k = flagCols.size
+    require(k >= 2, s"Cochran's Q needs >= 2 treatments, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flags = flagCols.map(c => col(c))
+    val complete = df.filter(flags.map(_.isNotNull).reduce(_ && _))
+    val r = flags.map(f => when(f, 1L).otherwise(0L)).reduce(_ + _)
+    val aggs =
+      flags.zipWithIndex.map { case (f, i) =>
+        sum(when(f, 1L).otherwise(0L)).as(s"c$i")
+      } ++ Seq(
+        count(lit(1)).as("n"),
+        sum(r).as("sr"),
+        sum(r * r).as("srr"))
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    require(n > 0, "Cochran's Q needs at least one fully-rated row")
+    // BigInt driver arithmetic: c_j² reaches n² (overflows Long past
+    // ~3e9 rows) — the k+2 aggregate cells are exact Longs, the combine
+    // must stay exact too.
+    val cs = (0 until k).map(i => BigInt(row.getAs[Long](s"c$i")))
+    val sc = cs.sum
+    val scc = cs.map(c => c * c).sum
+    val den = BigInt(k) * row.getAs[Long]("sr") - row.getAs[Long]("srr")
+    // double division (not exact rational): the oracle's CAST/division
+    // is IEEE double too, so the bit pattern matches before the round
+    val q: Option[Double] =
+      if (den == 0) None
+      else Some(BigDecimal(
+          (BigInt(k - 1) * (BigInt(k) * scc - sc * sc)).toDouble
+            / den.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val p = q.map(v =>
+      BigDecimal(1.0 -
+        new org.apache.commons.math3.distribution.ChiSquaredDistribution(
+          (k - 1).toDouble).cumulativeProbability(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((n, k, q, p)).toDF("n", "k", "q_stat", "p_value")
+  }
 }

@@ -311,4 +311,67 @@ object Eval {
         round(col("__bj.r"), 9).as("tpr_at_j"),
         round(col("__bj.f"), 9).as("fpr_at_j"))
   }
+
+  /** Decile lift & cumulative-gains table — the marketing/model-triage
+    * view of a scored population: bucket rows by score quantile (bucket
+    * 1 = highest scores), and per bucket report the positive rate, the
+    * lift over the base rate, and the cumulative capture ("the top 20%
+    * of scores holds X% of all positives"). The business-facing
+    * companion to [[auc]]: AUC says *whether* the score ranks, the
+    * gains table says *how much of the tail you can skip*.
+    *
+    * Bucket boundaries are the (k/bins)-quantile thresholds (round-6,
+    * the t17 parity recipe) broadcast back — bucket =
+    * bins − Σ(score > t_k), so heavy score ties MERGE buckets (a bucket
+    * with no rows between two thresholds simply doesn't appear) rather
+    * than splitting a tied value across buckets nondeterministically.
+    *
+    * Scale shape: one quantile aggregate + one groupBy(bucket) with
+    * map-side combine; the cumulative sweep is a window over the
+    * ≤`bins`-row bucket table (bounded by contract). Labels must be
+    * 0/1 (loud otherwise, same contract as [[auc]]); null score or
+    * label rows are excluded. All ratios are single double divisions
+    * of exact longs, rounded to 9. */
+  def liftTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000]: $bins")
+    val rows = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("long").as("__y"))
+    val thAggs = (1 until bins).map(k =>
+      round(percentile(col("__s"), lit(k.toDouble / bins)), 6)
+        .as(s"__t$k")) ++ Seq(
+      min(col("__y")).as("__ymin"), max(col("__y")).as("__ymax"),
+      count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val th = rows.agg(thAggs.head, thAggs.tail: _*).head()
+    require(th.getAs[Long]("__n") > 0, "liftTable needs scored rows")
+    require(th.getAs[Long]("__ymin") >= 0L && th.getAs[Long]("__ymax") <= 1L,
+      "labels must be 0/1")
+    val totalN = th.getAs[Long]("__n")
+    val totalPos = th.getAs[Long]("__pos")
+    require(totalPos > 0L, "liftTable needs at least one positive label")
+    val bucket = (1 until bins)
+      .map(k => (col("__s") > lit(th.getAs[Double](s"__t$k"))).cast("int"))
+      .reduce(_ + _)
+    val perBucket = rows
+      .select((lit(bins) - bucket).as("bucket"), col("__y"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 9).as("pos_rate"),
+        round((col("n_pos").cast("double") / col("n")) /
+          (lit(totalPos.toDouble) / lit(totalN.toDouble)), 9).as("lift"),
+        round(col("cum_pos").cast("double") / lit(totalPos.toDouble), 9)
+          .as("cum_capture"),
+        round(col("cum_n").cast("double") / lit(totalN.toDouble), 9)
+          .as("cum_frac"))
+      .orderBy("bucket")
+  }
 }

@@ -266,6 +266,74 @@ object Regression {
     * squared folds. Returns one row (n, n_pairs, slope, intercept, dw),
     * slope round-9, intercept/dw round-6; dw is null when the residual
     * sum of squares is zero (a perfectly linear series). */
+  /** Breusch–Pagan heteroscedasticity test (Breusch & Pagan 1979;
+    * Koenker's studentized LM form, public) for the simple OLS fit of y
+    * on x: regress the squared residuals on x and report LM = n·R²_aux —
+    * large LM means the error variance moves with x, i.e. the OLS
+    * standard errors (t9, [[ols]]) are not trustworthy and the caller
+    * should switch to robust SEs or model the variance.
+    *
+    * Two full-data moment aggregations (main fit, then the auxiliary
+    * regression of e² on x) with driver-literal slope/intercept between
+    * them — the [[durbinWatson]] shape: no window, no join, scales to
+    * any row count. Cross-engine exactness: round-6/9 decimal folds,
+    * identical double combines, residuals rounded to 6 before squaring.
+    * Returns one row (n, slope, intercept, r2_aux, lm): r2_aux round-9,
+    * lm round-6; both null when e² has no variance (exact
+    * homoscedasticity). The χ²(1) p is library-only — callers needing it
+    * use [[breuschPaganP]]. */
+  def breuschPagan(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val nn = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("x"), y.as("y"))
+    def fold(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    val m = nn.agg(
+        count(lit(1)).as("n"),
+        fold(round(col("x"), 9)).as("sx"),
+        fold(round(col("x") * col("x"), 6)).as("sxx"),
+        fold(round(col("y"), 9)).as("sy"),
+        fold(round(col("x") * col("y"), 6)).as("sxy"))
+      .head()
+    val n = m.getAs[Long]("n")
+    require(n >= 3, s"Breusch-Pagan needs >= 3 points, got $n")
+    val (sx, sxx, sy, sxy) = (m.getAs[Double]("sx"), m.getAs[Double]("sxx"),
+      m.getAs[Double]("sy"), m.getAs[Double]("sxy"))
+    val denx = n * sxx - sx * sx
+    require(denx != 0.0, "x has no variance - no fit to diagnose")
+    val slope = (n * sxy - sx * sy) / denx
+    val intercept = (sy - slope * sx) / n
+    val e = round(col("y") - (lit(intercept) + lit(slope) * col("x")), 6)
+    val g = nn.select(col("x"), (e * e).as("g"))
+    val a = g.agg(
+        fold(round(col("g"), 6)).as("sg"),
+        fold(round(col("g") * col("g"), 6)).as("sgg"),
+        fold(round(col("x") * col("g"), 6)).as("sxg"))
+      .head()
+    val (sg, sgg, sxg) = (a.getAs[Double]("sg"), a.getAs[Double]("sgg"),
+      a.getAs[Double]("sxg"))
+    val deng = n * sgg - sg * sg
+    def hu(v: Double, s: Int) = java.math.BigDecimal.valueOf(v)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val r2: Option[Double] =
+      if (deng <= 0.0) None
+      else {
+        val num = n * sxg - sx * sg
+        Some(num * num / (denx * deng))
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, hu(slope, 9), hu(intercept, 6),
+        r2.map(hu(_, 9)), r2.map(v => hu(n * v, 6))))
+      .toDF("n", "slope", "intercept", "r2_aux", "lm")
+  }
+
+  /** χ²(1) upper-tail p for a [[breuschPagan]] LM statistic. */
+  def breuschPaganP(lm: Double): Double =
+    1.0 - new org.apache.commons.math3.distribution.ChiSquaredDistribution(
+      1.0).cumulativeProbability(lm)
+
   def durbinWatson(
       series: DataFrame, tCol: String, yCol: String): DataFrame = {
     val t = col(tCol).cast("long")

@@ -186,4 +186,39 @@ class AgreementSpec extends SparkSpec {
       Agreement.cronbachAlpha(dup, Seq("r1"))
     }
   }
+
+  test("cochran's q: hand table, k=2 equals uncorrected mcnemar, degenerate") {
+    // 6 subjects x 3 treatments: c = (5,4,2), r = (2,1,3,2,2,1)
+    // num = 2*(3*45 - 121) = 28, den = 3*11 - 23 = 10 -> Q = 2.8
+    val hand = Seq(
+      (true, true, false), (true, false, false), (true, true, true),
+      (true, true, false), (true, false, true), (false, true, false)
+    ).toDF("f0", "f1", "f2")
+    val r = Agreement.cochranQ(hand, Seq("f0", "f1", "f2")).head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Int]("k") == 3)
+    assert(r.getAs[Double]("q_stat") == 2.8, s"$r")
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.24 && p < 0.25, s"1 - chi2cdf(2.8, 2) = 0.2466: $p")
+    // k = 2 reduces to McNemar WITHOUT continuity correction:
+    // b = 10, c = 2 -> Q = (10-2)^2 / 12 = 5.333333333
+    val two = (Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(5)((false, false)))
+      .toDF("a", "b")
+    val q2 = Agreement.cochranQ(two, Seq("a", "b")).head()
+    assert(q2.getAs[Double]("q_stat") == 5.333333333, s"$q2")
+    // rows with any null verdict are excluded from the pairing
+    val withNull = hand.unionAll(
+      Seq((Some(true), Option.empty[Boolean], Some(true)))
+        .toDF("f0", "f1", "f2"))
+    assert(Agreement.cochranQ(withNull, Seq("f0", "f1", "f2"))
+      .head().getAs[Long]("n") == 6L)
+    // every subject unanimous -> zero within-subject information -> null
+    val unanimous = Seq((true, true, true), (false, false, false),
+      (true, true, true)).toDF("f0", "f1", "f2")
+    val u = Agreement.cochranQ(unanimous, Seq("f0", "f1", "f2")).head()
+    assert(u.isNullAt(u.fieldIndex("q_stat")))
+    intercept[IllegalArgumentException] {
+      Agreement.cochranQ(hand, Seq("f0"))
+    }
+  }
 }

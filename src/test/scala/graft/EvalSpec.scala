@@ -157,4 +157,33 @@ class EvalSpec extends SparkSpec {
       Eval.bestThreshold(one, col("s"), col("y")).head()
     }
   }
+
+  test("lift table: perfect ranker geometry, tie merge, label guard") {
+    // scores 1..100 distinct, positives = the top 20 scores
+    val perfect = (1 to 100).map(i => (i.toDouble, if (i > 80) 1 else 0))
+      .toDF("s", "y")
+    val rows = Eval.liftTable(perfect, col("s"), col("y"))
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(rows.size == 10)
+    val top = rows(1)
+    assert(top.getAs[Long]("n") == 10L && top.getAs[Long]("n_pos") == 10L)
+    assert(top.getAs[Double]("lift") == 5.0, s"top decile lift 1/0.2: $top")
+    assert(rows(2).getAs[Double]("cum_capture") == 1.0,
+      "top two deciles hold all 20 positives")
+    assert(rows(3).getAs[Long]("n_pos") == 0L &&
+      rows(3).getAs[Double]("lift") == 0.0)
+    assert(rows(10).getAs[Double]("cum_frac") == 1.0 &&
+      rows(10).getAs[Double]("cum_capture") == 1.0)
+    // all-tied scores: every threshold equal, one merged bucket
+    val tied = (1 to 40).map(i => (7.0, i % 4 / 3)).toDF("s", "y")
+    val t = Eval.liftTable(tied, col("s"), col("y")).collect()
+    assert(t.length == 1 && t.head.getAs[Int]("bucket") == 10)
+    assert(t.head.getAs[Double]("lift") == 1.0 &&
+      t.head.getAs[Double]("cum_capture") == 1.0)
+    // labels outside 0/1 fail loudly
+    intercept[IllegalArgumentException] {
+      Eval.liftTable(Seq((1.0, 2)).toDF("s", "y"), col("s"), col("y"))
+        .collect()
+    }
+  }
 }

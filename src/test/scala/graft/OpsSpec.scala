@@ -3159,6 +3159,39 @@ class OpsSpec extends SparkSpec {
       && a1.getAs[Long]("volume") == 1L)
   }
 
+  test("rfm scores: distinct quintiles land 1..5, recency reversed, nulls out") {
+    import graft.ops.Segmentation
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // five customers with strictly distinct R, F, M so each owns a
+    // quintile: recency 0/10/20/40/100 days, frequency 1..5, monetary
+    // 10/50/300/400/5000
+    val orders =
+      Seq((1L, ts(100), 10.0)) ++
+      Seq((2L, ts(90), 20.0), (2L, ts(85), 30.0)) ++
+      (1 to 3).map(i => (3L, ts(80 - i), 100.0)) ++
+      (1 to 4).map(i => (4L, ts(60 - i), 100.0)) ++
+      (1 to 5).map(i => (5L, ts(0), 1000.0))
+    val df = orders.toDF("cust", "odate", "amt")
+      .unionAll(Seq((Option.empty[Long], Option(ts(1)), Option(9.0)),
+        (Option(9L), Option.empty[Timestamp], Option(9.0)))
+        .toDF("cust", "odate", "amt"))
+    val out = Segmentation.rfmScores(df, "cust", "odate", "amt")
+      .collect().map(r => r.getAs[Long]("cust") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "null rows excluded")
+    def scores(c: Long) = {
+      val r = out(c)
+      (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+        r.getAs[Double]("monetary"), r.getAs[Int]("r_score"),
+        r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
+    }
+    assert(scores(1L) == ((0L, 1L, 10.0, 5, 1, 1)), s"${scores(1L)}")
+    assert(scores(2L) == ((10L, 2L, 50.0, 4, 2, 2)))
+    assert(scores(3L) == ((21L, 3L, 300.0, 3, 3, 3)))
+    assert(scores(4L) == ((41L, 4L, 400.0, 2, 4, 4)))
+    assert(scores(5L) == ((100L, 5L, 5000.0, 1, 5, 5)))
+  }
+
   test("seasonal decomposition: identity holds, planted pattern recovered") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

@@ -1768,4 +1768,30 @@ class StatsSpec extends SparkSpec {
     val d5 = Regression.durbinWatson(flat, "t", "y").head()
     assert(d5.isNullAt(d5.fieldIndex("dw")))
   }
+
+  test("breusch-pagan: planted fan-out fires, exact homoscedasticity nulls") {
+    def sgn(i: Int) = if (i % 2 == 0) 1.0 else -1.0
+    // residual magnitude grows with x: e ~ ±0.05x -> e² tracks x
+    val fan = (1 to 200).map(i =>
+      (i.toDouble, 3.0 * i + 5.0 + sgn(i) * 0.05 * i)).toDF("x", "y")
+    val hot = Regression.breuschPagan(fan, "x", "y").head()
+    val lm = hot.getAs[Double]("lm")
+    assert(lm > 50.0, s"fan-out must fire: $hot")
+    assert(Regression.breuschPaganP(lm) < 1e-6)
+    assert(math.abs(hot.getAs[Double]("slope") - 3.0) < 0.01)
+    // exactly constant |e|: the +,-,-,+ period-4 pattern is orthogonal
+    // to both the constant and x over 50 full periods, so the fit is
+    // EXACTLY y = 3x + 5 and e² = 0.25 has zero variance -> nulls
+    def p4(i: Int) = if (i % 4 == 1 || i % 4 == 0) 0.5 else -0.5
+    val const = (1 to 200).map(i =>
+      (i.toDouble, 3.0 * i + 5.0 + p4(i))).toDF("x", "y")
+    val cold = Regression.breuschPagan(const, "x", "y").head()
+    assert(cold.isNullAt(cold.fieldIndex("r2_aux")) &&
+      cold.isNullAt(cold.fieldIndex("lm")), s"$cold")
+    // constant x: nothing to fit, loud
+    intercept[IllegalArgumentException] {
+      Regression.breuschPagan(
+        (1 to 20).map(i => (2.0, i.toDouble)).toDF("x", "y"), "x", "y")
+    }
+  }
 }
