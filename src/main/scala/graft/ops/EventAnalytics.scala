@@ -643,4 +643,106 @@ object EventAnalytics {
           9).as("total_value"))
       .orderBy("day", "key")
   }
+
+  /** Maximum drawdown of a cumulative series (Magdon-Ismail & Atiya
+    * 2004 surveys it; the definition is folklore-public): the largest
+    * peak-to-trough fall of the running total of `yCol` over `tCol`
+    * order — THE risk lens on any wandering KPI (net revenue, token
+    * budget burn-down, error-credit balance).
+    *
+    * Distributed shape: NO unpartitioned window. One integer-grain
+    * aggregation is assumed done by the caller (daily sums — the
+    * calendar-bounded contract shared with [[acfDaily]]); here the
+    * series is range-sorted ONCE, pass 1 collects per-partition
+    * (sum, max-prefix, argmax-day) scalars, a driver scanLeft turns
+    * them into per-partition (offset, entering-running-max) — the
+    * classic parallel scan — and pass 2 finds each partition's best
+    * (drawdown, trough) under those offsets. Driver traffic is
+    * per-partition scalars.
+    *
+    * Exactness: the running sums accumulate round-9 values in exact
+    * BigDecimal (the same DECIMAL(38,12) fold a SQL oracle windows
+    * over), so peaks, troughs, and ties are bit-identical. Tie policy:
+    * the EARLIEST day achieving the running max is the peak; the
+    * EARLIEST day achieving the maximal drawdown is the trough.
+    * Returns one row (n_days, peak_day, trough_day, max_drawdown — the
+    * nearest double of the exact ≤9-decimal drawdown, no re-rounding);
+    * a never-falling series reports drawdown 0 with peak = trough =
+    * first day. */
+  def maxDrawdown(series: DataFrame, tCol: String, yCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val sorted = series
+      .filter(col(tCol).isNotNull && col(yCol).isNotNull)
+      .select(col(tCol).cast("long").as("t"),
+        round(col(yCol).cast("double"), 9).cast("decimal(38,12)").as("y"))
+      .as[(Long, java.math.BigDecimal)].rdd
+      .sortBy(_._1)
+    sorted.cache()
+    try {
+      // pass 1: per-partition total, max prefix, and the EARLIEST day
+      // achieving that max prefix (strictly-greater updates only)
+      val stats = sorted.mapPartitionsWithIndex { (i, it) =>
+        var sum = java.math.BigDecimal.ZERO
+        var maxPfx: java.math.BigDecimal = null
+        var maxDay = 0L; var n = 0L
+        it.foreach { case (t, y) =>
+          sum = sum.add(y); n += 1
+          if (maxPfx == null || sum.compareTo(maxPfx) > 0) {
+            maxPfx = sum; maxDay = t
+          }
+        }
+        Iterator((i, sum, maxPfx, maxDay, n))
+      }.collect().sortBy(_._1)
+      val nDays = stats.map(_._5).sum
+      require(nDays > 0, "max drawdown needs at least one point")
+      // driver scan: offsets and the running max (value, day) entering
+      // each partition
+      val offsets = Array.ofDim[java.math.BigDecimal](stats.length)
+      val enterMax = Array.ofDim[(java.math.BigDecimal, Long)](stats.length)
+      var off = java.math.BigDecimal.ZERO
+      var run: (java.math.BigDecimal, Long) = null
+      stats.zipWithIndex.foreach { case ((_, sum, maxPfx, maxDay, n), i) =>
+        offsets(i) = off
+        enterMax(i) = run
+        if (n > 0) {
+          val absMax = off.add(maxPfx)
+          if (run == null || absMax.compareTo(run._1) > 0) run = (absMax, maxDay)
+        }
+        off = off.add(sum)
+      }
+      // pass 2: best (drawdown, trough, peak) per partition under the scan
+      val offB = sorted.sparkContext.broadcast((offsets, enterMax))
+      val best = sorted.mapPartitionsWithIndex { (i, it) =>
+        val (offs, enters) = offB.value
+        var cum = offs(i)
+        var runMax: java.math.BigDecimal =
+          if (enters(i) == null) null else enters(i)._1
+        var peakDay: Long = if (enters(i) == null) 0L else enters(i)._2
+        var bestDd: java.math.BigDecimal = null
+        var bestTrough = 0L; var bestPeak = 0L
+        it.foreach { case (t, y) =>
+          cum = cum.add(y)
+          if (runMax == null || cum.compareTo(runMax) > 0) {
+            runMax = cum; peakDay = t
+          }
+          val dd = runMax.subtract(cum)
+          if (bestDd == null || dd.compareTo(bestDd) > 0) {
+            bestDd = dd; bestTrough = t; bestPeak = peakDay
+          }
+        }
+        if (bestDd == null) Iterator.empty
+        else Iterator((bestDd, bestTrough, bestPeak))
+      }.collect()
+      val (dd, trough, peak) = best.reduceLeft { (a, b) =>
+        val c = a._1.compareTo(b._1)
+        if (c > 0 || (c == 0 && a._2 <= b._2)) a else b
+      }
+      // dd is an exact ≤9-decimal value (round-9 inputs); emit the
+      // nearest double of that exact decimal — the same thing a SQL
+      // CAST(dd AS DOUBLE) produces, with no re-rounding in between
+      Seq((nDays, peak, trough, dd.doubleValue + 0.0))
+        .toDF("n_days", "peak_day", "trough_day", "max_drawdown")
+    } finally sorted.unpersist(blocking = false)
+  }
 }

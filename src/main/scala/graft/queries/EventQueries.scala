@@ -1860,8 +1860,54 @@ object EventQueries extends QueryModule {
       graft.ops.Segmentation.rfmScores(Tables.load(s, dir, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice"))
 
+  /** Maximum drawdown of the cumulative daily event-value series
+    * ([[graft.ops.EventAnalytics.maxDrawdown]]): the Spark side runs the
+    * two-pass partition-offset scan (NO window); the oracle replays the
+    * identical exact-decimal running sums with SQL windows and the same
+    * earliest-peak / earliest-trough tie policy, so peak day, trough
+    * day, and the drawdown double must all agree bit-for-bit. */
+  val evMaxDrawdown: Q = Q(
+    "ev_max_drawdown",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          round(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38,12)))
+            AS DOUBLE), 9) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      c AS (
+        SELECT day,
+          sum(CAST(round(y, 9) AS DECIMAL(38,12))) OVER (ORDER BY day)
+            AS cum
+        FROM d),
+      r AS (
+        SELECT day, cum, max(cum) OVER (ORDER BY day) AS runmax FROM c),
+      tr AS (
+        SELECT day AS trough_day, runmax, runmax - cum AS dd
+        FROM r ORDER BY dd DESC, day ASC LIMIT 1),
+      pk AS (
+        SELECT min(r.day) AS peak_day
+        FROM r, tr WHERE r.cum = tr.runmax AND r.day <= tr.trough_day),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+      SELECT n.n_days, pk.peak_day, tr.trough_day,
+        CAST(tr.dd AS DOUBLE) AS max_drawdown
+      FROM n, pk, tr"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(expr(s"unix_micros(ts) div ${86400L * 1000000L}").as("day"))
+        .agg(round(sum(round(col("value"), 9).cast("decimal(38,12)"))
+          .cast("double"), 9).as("y"))
+      val out = graft.ops.EventAnalytics.maxDrawdown(daily, "day", "y")
+      val r = out.head()
+      require(r.getAs[Long]("peak_day") <= r.getAs[Long]("trough_day"),
+        s"a peak cannot follow its trough: $r")
+      require(r.getAs[Double]("max_drawdown") >= 0.0)
+      out
+    })
+
   override def queries: Seq[Q] =
-    Seq(evPowerMde, evRateRatio, evOhlc, evRfm,
+    Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

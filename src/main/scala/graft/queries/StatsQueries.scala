@@ -2128,9 +2128,94 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Wald–Wolfowitz runs test ([[graft.stats.RankTests.runsTest]]) on
+    * the daily lineitem shipment-count series — the randomness screen
+    * beside t44's model-based Durbin–Watson. The oracle replays the
+    * round-6 median split, the lag-based run count over the sorted
+    * days, and the exact run-count moments; the normal p is
+    * library-only (asserted in-gate, excluded). */
+  val t46RunsTest: Q = Q(
+    "t46_runs_test",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS t,
+          CAST(count(*) AS DOUBLE) AS y
+        FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+      md AS (SELECT round(quantile_cont(y, 0.5), 6) AS med FROM d),
+      s AS (SELECT t, (y > med) AS up FROM d, md WHERE y <> med),
+      o AS (SELECT up, lag(up) OVER (ORDER BY t) AS pu FROM s),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN pu IS NOT NULL AND up <> pu THEN 1 ELSE 0 END)
+            AS BIGINT) + 1 AS r
+        FROM o)
+      SELECT n, n1 AS n_above, n - n1 AS n_below, r AS n_runs,
+        CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
+          THEN round(1 + 2.0 * n1 * (n - n1) / n, 6) + 0.0
+        END AS expected_runs,
+        CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
+          AND 2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n) > 0
+          THEN round((r - (1 + 2.0 * n1 * (n - n1) / n))
+            / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+              / (CAST(n AS DOUBLE) * n * (n - 1))), 6) + 0.0
+        END AS z
+      FROM agg"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").isNotNull)
+        .select(expr(
+          s"unix_micros(cast(l_shipdate as timestamp)) div ${86400L * 1000000L}")
+          .as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("double").as("y"))
+      val out = graft.stats.RankTests.runsTest(daily, col("t"), col("y"))
+      val r = out.head()
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"normal p must be a probability: $p")
+      require(r.getAs[Long]("n_runs") >= 1L)
+      out.drop("p_value")
+    })
+
+  /** Grubbs' single-outlier test ([[graft.stats.Distribution.grubbs]])
+    * on extendedprice: the oracle replays the decimal moment folds, the
+    * deterministic (round-6 deviation, value) struct argmax, and
+    * G = dev/s; the t-quantile critical value is library-only
+    * ([[graft.stats.Distribution.grubbsCritical]], compared in-gate). */
+  val t47Grubbs: Q = Q(
+    "t47_grubbs",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM b),
+      c AS (
+        SELECT n, sy / n AS mean,
+          sqrt((syy - sy * sy / n) / (n - 1)) AS sd
+        FROM m),
+      d AS (SELECT b.y, round(abs(b.y - c.mean), 6) AS dev FROM b, c),
+      top AS (SELECT y, dev FROM d ORDER BY dev DESC, y DESC LIMIT 1)
+      SELECT c.n, round(c.mean, 6) + 0.0 AS mean_v,
+        round(c.sd, 6) + 0.0 AS sd,
+        top.y AS outlier_value,
+        round(top.dev / c.sd, 6) + 0.0 AS g_stat
+      FROM c, top"""),
+    (s, dir) => {
+      val out = graft.stats.Distribution.grubbs(
+        Tables.load(s, dir, "lineitem"), col("l_extendedprice"))
+      val r = out.head()
+      val g = r.getAs[Double]("g_stat")
+      val crit = graft.stats.Distribution.grubbsCritical(r.getAs[Long]("n"))
+      require(g > 0.0 && crit > 0.0,
+        s"statistic and critical value must be positive: g=$g crit=$crit")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
-    t45BreuschPagan,
+    t45BreuschPagan, t46RunsTest, t47Grubbs,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

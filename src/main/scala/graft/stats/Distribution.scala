@@ -1,7 +1,7 @@
 package graft.stats
 
 import org.apache.commons.math3.distribution.NormalDistribution
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -72,6 +72,67 @@ object Distribution {
       q25 = stats.q25.get, q75 = stats.q75.get,
       iqr = stats.q75.get - stats.q25.get,
       shapiroWilk = sw, andersonDarling = ad))
+  }
+
+  /** Grubbs' single-outlier test statistic (Grubbs 1950, public):
+    * G = max|x − x̄| / s, with the offending value reported. The one
+    * formal "is my most extreme point an outlier" test to run before
+    * trusting a mean-based metric — the robust-z screen flags points,
+    * Grubbs attaches a significance level to the WORST one.
+    *
+    * Two aggregations: decimal moment folds (mean/sd via the exact
+    * recipe), then a struct-max of (round-6 deviation, value) — the
+    * deterministic argmax both engines replay (ties on the deviation
+    * break toward the larger value). No window, no join, no collect.
+    * Returns one row (n, mean_v, sd, outlier_value, g_stat): mean/sd/G
+    * round-6, the value raw; G is null when sd = 0 (a constant column
+    * has no outliers). Compare G against [[grubbsCritical]] — the
+    * t-quantile critical value is library-only. */
+  def grubbs(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.select(valueCol.cast(DoubleType).as("y"))
+      .filter(col("y").isNotNull)
+    def fold(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    val m = b.agg(
+        count(lit(1)).as("n"),
+        fold(round(col("y"), 9)).as("sy"),
+        fold(round(col("y") * col("y"), 6)).as("syy"))
+      .head()
+    val n = m.getAs[Long]("n")
+    require(n >= 3, s"Grubbs needs >= 3 values, got $n")
+    val sy = m.getAs[Double]("sy")
+    val syy = m.getAs[Double]("syy")
+    val mean = sy / n
+    val varS = (syy - sy * sy / n) / (n - 1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    if (varS <= 0.0) {
+      Seq((n, r6(mean), 0.0, Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "mean_v", "sd", "outlier_value", "g_stat")
+    } else {
+      val sd = math.sqrt(varS)
+      val top = b.agg(
+          max(struct(round(abs(col("y") - lit(mean)), 6).as("dev"),
+            col("y").as("v"))).as("__t"))
+        .select(col("__t.dev").as("dev"), col("__t.v").as("v"))
+        .head()
+      val g = top.getAs[Double]("dev") / sd
+      Seq((n, r6(mean), r6(sd), Some(top.getAs[Double]("v")), Some(r6(g))))
+        .toDF("n", "mean_v", "sd", "outlier_value", "g_stat")
+    }
+  }
+
+  /** Two-sided Grubbs critical value at level `alpha`:
+    * (n−1)/√n · √(t² / (n−2+t²)) with t = t_{α/(2n), n−2}. G above this
+    * rejects "no outlier". */
+  def grubbsCritical(n: Long, alpha: Double = 0.05): Double = {
+    require(n >= 3, s"Grubbs needs >= 3 values, got $n")
+    val t = new org.apache.commons.math3.distribution.TDistribution(
+      (n - 2).toDouble).inverseCumulativeProbability(1.0 - alpha / (2.0 * n))
+    (n - 1).toDouble / math.sqrt(n.toDouble) *
+      math.sqrt(t * t / (n - 2 + t * t))
   }
 }
 

@@ -196,4 +196,75 @@ object RankTests {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
+
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, public) for
+    * randomness of an ordered series: dichotomize on the round-6 median
+    * (values equal to it are excluded — the standard treatment), count
+    * the runs of consecutive same-sign values, and compare against the
+    * exact run-count moments. Too FEW runs = positive serial dependence
+    * (the Durbin–Watson story without a model); too MANY = alternation.
+    *
+    * Distributed shape: one median aggregate, then ONE distributed sort
+    * of the (t, sign) pairs with per-partition run counting — sign
+    * changes inside a partition count locally, partition boundaries
+    * contribute via the collected (first, last) sign scalars (the
+    * parallel-scan idiom of [[mannWhitneyU]]; NO unpartitioned window,
+    * driver traffic is per-partition scalars). Runs span calendar gaps:
+    * the sequence is the SORTED remaining values, matching the test's
+    * definition on an ordered sample.
+    *
+    * Exactness: run/above/below counts are exact integers; E[R] and
+    * Var[R] are the same double arithmetic in both engines; z rounds to
+    * 6. Returns one row (n, n_above, n_below, n_runs, expected_runs, z,
+    * p_value): z and p are null when either side is empty (every value
+    * on one side of the median); the normal p is library-only. */
+  def runsTest(series: DataFrame, tCol: Column, yCol: Column): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val vals = series.filter(tCol.isNotNull && yCol.isNotNull)
+      .select(tCol.cast("long").as("t"), yCol.cast("double").as("y"))
+    val med = vals.agg(round(percentile(col("y"), lit(0.5)), 6))
+      .head().getDouble(0)
+    val signed = vals.filter(col("y") =!= lit(med))
+      .select(col("t"), (col("y") > lit(med)).as("up"))
+      .as[(Long, Boolean)].rdd.sortBy(_._1)
+    val parts = signed.mapPartitionsWithIndex { (i, it) =>
+      var first: java.lang.Boolean = null
+      var prev: java.lang.Boolean = null
+      var changes = 0L; var n = 0L; var nUp = 0L
+      it.foreach { case (_, up) =>
+        if (first == null) first = up
+        else if (prev.booleanValue != up) changes += 1
+        prev = up; n += 1; if (up) nUp += 1
+      }
+      Iterator((i, first, prev, changes, n, nUp))
+    }.collect().sortBy(_._1).filter(_._5 > 0)
+    val n = parts.map(_._5).sum
+    require(n > 0, "runs test needs values off the median")
+    val n1 = parts.map(_._6).sum
+    val n2 = n - n1
+    val within = parts.map(_._4).sum
+    val boundary = parts.sliding(2).count {
+      case Array(a, b) => a._3.booleanValue != b._2.booleanValue
+      case _ => false
+    }
+    val r = within + boundary + 1
+    val result: (Option[Double], Option[Double], Option[Double]) =
+      if (n1 == 0L || n2 == 0L || n < 2) (None, None, None)
+      else {
+        val twoP = 2.0 * n1 * n2
+        val er = 1 + twoP / n
+        val varR = twoP * (twoP - n) / (n.toDouble * n * (n - 1))
+        if (varR <= 0.0) (Some(round6(er)), None, None)
+        else {
+          val z = (r - er) / math.sqrt(varR)
+          val p = 2.0 * (1.0 - new NormalDistribution(0.0, 1.0)
+            .cumulativeProbability(math.abs(z)))
+          (Some(round6(er)), Some(round6(z)), Some(round6(p)))
+        }
+      }
+    Seq((n, n1, n2, r, result._1, result._2, result._3))
+      .toDF("n", "n_above", "n_below", "n_runs", "expected_runs", "z",
+        "p_value")
+  }
 }

@@ -3192,6 +3192,34 @@ class OpsSpec extends SparkSpec {
     assert(scores(5L) == ((100L, 5L, 5000.0, 1, 5, 5)))
   }
 
+  test("max drawdown: hand path, earliest-tie policy, never-falling zero") {
+    import graft.ops.EventAnalytics
+    def dd(ys: Seq[Double]) = EventAnalytics.maxDrawdown(
+      ys.zipWithIndex.map { case (y, i) => (i.toLong + 1, y) }.toDF("t", "y"),
+      "t", "y").head()
+    // cum: 10, 15, 7, 12, 4, 9 -> peak 15@t2, trough 4@t5, dd 11
+    val r = dd(Seq(10.0, 5.0, -8.0, 5.0, -8.0, 5.0))
+    assert(r.getAs[Long]("peak_day") == 2L &&
+      r.getAs[Long]("trough_day") == 5L &&
+      r.getAs[Double]("max_drawdown") == 11.0, s"$r")
+    // tie: cum 10, 2, 10, 2 -> dd 8 hit at t2 first; peak is t1 (earliest)
+    val tie = dd(Seq(10.0, -8.0, 8.0, -8.0))
+    assert(tie.getAs[Long]("trough_day") == 2L &&
+      tie.getAs[Long]("peak_day") == 1L &&
+      tie.getAs[Double]("max_drawdown") == 8.0, s"$tie")
+    // never falls: zero drawdown at the first day
+    val up = dd(Seq(1.0, 2.0, 3.0))
+    assert(up.getAs[Double]("max_drawdown") == 0.0 &&
+      up.getAs[Long]("peak_day") == 1L && up.getAs[Long]("trough_day") == 1L)
+    // fractional cents accumulate exactly
+    val frac = dd(Seq(0.1, 0.2, -0.3))
+    assert(frac.getAs[Double]("max_drawdown") == 0.3, s"$frac")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.maxDrawdown(
+        Seq.empty[(Long, Double)].toDF("t", "y"), "t", "y")
+    }
+  }
+
   test("seasonal decomposition: identity holds, planted pattern recovered") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

@@ -1794,4 +1794,49 @@ class StatsSpec extends SparkSpec {
         (1 to 20).map(i => (2.0, i.toDouble)).toDF("x", "y"), "x", "y")
     }
   }
+
+  test("runs test: alternation, blocks, hand moments, one-sided null") {
+    import graft.stats.RankTests
+    def run(ys: Seq[Double]) = RankTests.runsTest(
+      ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("t", "y"),
+      col("t"), col("y")).head()
+    // perfect alternation around the median: every step is a run
+    val alt = run((1 to 40).map(i => if (i % 2 == 0) 2.0 else 1.0))
+    assert(alt.getAs[Long]("n_runs") == 40L &&
+      alt.getAs[Double]("z") > 5.0, s"$alt")
+    // two solid blocks: exactly 2 runs, strongly negative z
+    val blocks = run(Seq.fill(20)(1.0) ++ Seq.fill(20)(2.0))
+    assert(blocks.getAs[Long]("n_runs") == 2L &&
+      blocks.getAs[Double]("z") < -5.0, s"$blocks")
+    assert(blocks.getAs[Double]("expected_runs") == 21.0,
+      "E[R] = 1 + 2*20*20/40")
+    // median values drop: 1,2,3 with median 2 keeps one 1 and one 3
+    val drop = run(Seq(1.0, 2.0, 3.0))
+    assert(drop.getAs[Long]("n") == 2L && drop.getAs[Long]("n_runs") == 2L)
+    // everything on one side after exclusion: z and p null
+    val oneSide = run(Seq(1.0, 1.0, 1.0, 5.0))
+    assert(oneSide.isNullAt(oneSide.fieldIndex("z")), s"$oneSide")
+  }
+
+  test("grubbs: planted outlier found, constant column nulls, critical value") {
+    import graft.stats.Distribution
+    val df = ((1 to 99).map(i => 10.0 + (i % 5) * 0.5) ++ Seq(50.0))
+      .zipWithIndex.map { case (y, i) => (i, y) }.toDF("i", "y")
+    val r = Distribution.grubbs(df, col("y")).head()
+    assert(r.getAs[Double]("outlier_value") == 50.0, s"$r")
+    val g = r.getAs[Double]("g_stat")
+    val crit = Distribution.grubbsCritical(r.getAs[Long]("n"))
+    assert(g > crit, s"planted point must reject: g=$g crit=$crit")
+    // scipy-checked critical value shape: n=10, alpha=0.05 -> 2.2899...
+    val c10 = Distribution.grubbsCritical(10)
+    assert(math.abs(c10 - 2.29) < 0.01, s"c10=$c10")
+    // constant column: sd = 0, no outlier to test
+    val flat = (1 to 20).map(i => (i, 7.0)).toDF("i", "y")
+    val f = Distribution.grubbs(flat, col("y")).head()
+    assert(f.isNullAt(f.fieldIndex("g_stat")) &&
+      f.isNullAt(f.fieldIndex("outlier_value")))
+    intercept[IllegalArgumentException] {
+      Distribution.grubbs(flat.limit(2), col("y"))
+    }
+  }
 }
