@@ -357,6 +357,155 @@ object EventAnalytics {
         coalesce(sum(col("__c")), lit(0L)).as("revenue_cents"))
   }
 
+  /** Linear (equal-split) multi-touch attribution — the third standard
+    * model beside [[attributeRevenue]]'s last/first touch: every
+    * qualifying touch inside the trailing window shares the conversion
+    * equally (1/k of the count, value/k of the cents); conversions with
+    * no in-window touch credit `"direct"` in full. Touches must be
+    * strictly before the conversion in (ts, ord) order (the last-touch
+    * rule), and at most `windowSeconds` old.
+    *
+    * Scale shape: conversions join touches on the USER key (one
+    * shuffle); the in-window filter bounds the pair count by per-user
+    * activity inside the window, and k comes from a window partitioned
+    * BY CONVERSION — per-conversion frames, never a global sort.
+    *
+    * Exactness: shares and credits are round-6 doubles of exact
+    * integer-cent ratios, folded as decimals — the SQL oracle replays
+    * every division. Returns (channel, conversions, revenue_cents),
+    * both round-6 doubles (a conversion splits fractionally). */
+  def attributeRevenueLinear(
+      events: DataFrame, touchTypes: Seq[String], convType: String,
+      windowSeconds: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valCol: String = "value",
+      ordCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(windowSeconds > 0, s"windowSeconds must be positive")
+    // no null filtering: a conversion with a null user or ts simply
+    // matches no touch and credits "direct", same as the last/first
+    // models and their oracles
+    val base = events.select(col(userCol).as("u"),
+      unix_seconds(col(tsCol)).as("__t"), col(ordCol).as("__o"),
+      col(typeCol).as("ty"), round(col(valCol) * 100).cast("long").as("__c"))
+    val conv = base.filter(col("ty") === convType)
+      .select(col("u"), col("__t").as("ct"), col("__o").as("co"),
+        col("__c").as("cents"))
+    val tch = base.filter(col("ty").isin(touchTypes: _*))
+      .select(col("u").as("tu"), col("__t").as("tt"), col("__o").as("to"),
+        col("ty").as("channel_raw"))
+    val j = conv.join(tch,
+      conv("u") === tch("tu") &&
+        (col("tt") < col("ct") ||
+          (col("tt") === col("ct") && col("to") < col("co"))) &&
+        col("tt") >= col("ct") - windowSeconds,
+      "left")
+    val w = Window.partitionBy(col("u"), col("ct"), col("co"))
+    j.withColumn("k", count(col("channel_raw")).over(w))
+      .select(
+        when(col("k") === 0, lit("direct")).otherwise(col("channel_raw"))
+          .as("channel"),
+        when(col("k") === 0, lit(1.0))
+          .otherwise(round(lit(1.0) / col("k"), 6)).as("share"),
+        when(col("k") === 0, col("cents").cast("double"))
+          .otherwise(round(col("cents") / col("k"), 6)).as("credit"))
+      .groupBy("channel").agg(
+        round(sum(col("share").cast("decimal(38,12)")).cast("double"), 6)
+          .as("conversions"),
+        round(sum(col("credit").cast("decimal(38,12)")).cast("double"), 6)
+          .as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  /** Cohort LTV curve: cumulative revenue per signup-cohort user by
+    * account age — the "when does a cohort pay back" view that
+    * retention curves (ev_retention_cohorts) show only in counts.
+    * Cohort = the week (`grainDays`-bucket) of the user's FIRST event;
+    * age = whole buckets since that first event; ltv = cumulative
+    * cohort revenue ÷ cohort size (ALL cohort users, not just the ones
+    * still active — the standard definition).
+    *
+    * Scale shape: one groupBy(user) for first days, one join back on
+    * the user key, one groupBy(cohort, age) with map-side combine;
+    * the cumulative sweep windows WITHIN each cohort over the
+    * age-bounded frame. Revenue folds as round-9 decimals end-to-end
+    * (the cumulative sum stays decimal), ltv is one double division
+    * rounded 6. Returns (cohort_week, age_weeks, cohort_size,
+    * n_active_users, revenue, ltv_per_user) ordered by (cohort, age). */
+  def ltvCurve(
+      events: DataFrame, tsCol: String = "ts", userCol: String = "user_id",
+      valCol: String = "value", grainDays: Int = 7): DataFrame = {
+    require(grainDays >= 1, s"grainDays must be >= 1, got $grainDays")
+    val day = expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(userCol).as("u"), day.as("d"),
+        round(col(valCol), 9).cast("decimal(38,12)").as("v"))
+    val firsts = base.groupBy("u").agg(min(col("d")).as("f"))
+    val sizes = firsts
+      .groupBy((col("f") / grainDays).cast("long").as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = base.join(firsts, Seq("u"))
+      .groupBy(
+        (col("f") / grainDays).cast("long").as("cohort_week"),
+        ((col("d") - col("f")) / grainDays).cast("long").as("age_weeks"))
+      .agg(count_distinct(col("u")).as("n_active_users"),
+        sum(col("v")).as("__rev"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_size"),
+        col("n_active_users"),
+        round(col("__rev").cast("double"), 9).as("revenue"),
+        round(col("__cum").cast("double") / col("cohort_size"), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  /** Poisson dispersion screen for per-key daily counts (Fisher's
+    * dispersion index test, public): VMR = s²/x̄ and the dispersion
+    * statistic D = (n−1)·VMR ~ χ²(n−1) under a homogeneous Poisson.
+    * VMR ≫ 1 = bursty/clumped arrivals (the usual reality for traffic),
+    * VMR ≪ 1 = suspiciously regular (rate-limited or synthetic) — the
+    * one-line sanity check before any count-based anomaly threshold.
+    *
+    * Two map-side-combined aggregations ((key, day) counts, then per-key
+    * moments over exact integers); everything after is the same double
+    * arithmetic in both engines. Days with zero events are NOT imputed —
+    * the index describes observed-day counts (document the grain).
+    * Returns per key (key, n_days, mean_count, vmr, dispersion_chi2),
+    * round-6; vmr/χ² null when n_days < 2 or the mean is 0. */
+  def dispersionByKey(
+      events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), day.as("d"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("key").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("__sx"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("key"), col("n_days"),
+        round(col("__sx").cast("double") / col("n_days"), 6)
+          .as("mean_count"),
+        when(col("n_days") >= 2 && col("__sx") > 0,
+          round(((col("__sxx") - col("__sx").cast("double") * col("__sx")
+            / col("n_days")) / (col("n_days") - 1))
+            / (col("__sx").cast("double") / col("n_days")), 6))
+          .as("vmr"),
+        when(col("n_days") >= 2 && col("__sx") > 0,
+          round((col("n_days") - 1) * (((col("__sxx")
+            - col("__sx").cast("double") * col("__sx") / col("n_days"))
+            / (col("n_days") - 1))
+            / (col("__sx").cast("double") / col("n_days"))), 6))
+          .as("dispersion_chi2"))
+      .orderBy("key")
+  }
+
   /** Truncated ADJUSTED exponentially-weighted moving average of the
     * daily event-count series (pandas `ewm(adjust=True)` semantics,
     * horizon-truncated): per day t,

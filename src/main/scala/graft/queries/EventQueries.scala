@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryModule, Tables}
 import graft.operators.AsOfJoin
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators over the `events` table (batch plans that are
@@ -1906,8 +1907,143 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Linear (equal-split) multi-touch attribution
+    * ([[graft.ops.EventAnalytics.attributeRevenueLinear]]) — the third
+    * model beside ev_attribution_last/first: every in-window touch
+    * shares the conversion equally. The oracle replays the
+    * strictly-before join, the per-conversion k window, and every
+    * round-6 share/credit division. */
+  val evAttributionLinear: Q = Q(
+    "ev_attribution_linear",
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u, epoch_us(ts) // 1000000 AS t,
+          event_id AS o, event_type AS ty,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      conv AS (
+        SELECT u, t AS ct, o AS co, c AS cents FROM b WHERE ty = 'purchase'),
+      tch AS (
+        SELECT u AS tu, t AS tt, o AS tto, ty AS ch
+        FROM b WHERE ty IN ('view', 'click')),
+      j AS (
+        SELECT conv.u, conv.ct, conv.co, conv.cents, tch.ch
+        FROM conv LEFT JOIN tch ON conv.u = tch.tu
+          AND (tch.tt < conv.ct
+            OR (tch.tt = conv.ct AND tch.tto < conv.co))
+          AND tch.tt >= conv.ct - 172800),
+      k AS (SELECT *, count(ch) OVER (PARTITION BY u, ct, co) AS k FROM j),
+      cr AS (
+        SELECT CASE WHEN k = 0 THEN 'direct' ELSE ch END AS channel,
+          CASE WHEN k = 0 THEN 1.0 ELSE round(1.0 / k, 6) END AS share,
+          CASE WHEN k = 0 THEN CAST(cents AS DOUBLE)
+            ELSE round(cents / k, 6) END AS credit
+        FROM k)
+      SELECT channel,
+        round(CAST(SUM(CAST(share AS DECIMAL(38,12))) AS DOUBLE), 6)
+          AS conversions,
+        round(CAST(SUM(CAST(credit AS DECIMAL(38,12))) AS DOUBLE), 6)
+          AS revenue_cents
+      FROM cr GROUP BY 1 ORDER BY channel"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.attributeRevenueLinear(
+        Tables.load(s, dir, "events"), Seq("view", "click"), "purchase",
+        windowSeconds = 172800L)
+      val convTotal = out.agg(sum(col("conversions"))).head().getDouble(0)
+      val nConv = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase").count()
+      require(math.abs(convTotal - nConv) < 0.01 * nConv + 1,
+        s"linear shares must re-sum to the conversion count " +
+          s"(got $convTotal of $nConv)")
+      out
+    })
+
+  /** Cohort LTV curve ([[graft.ops.EventAnalytics.ltvCurve]]): weekly
+    * signup cohorts, cumulative revenue per cohort user by account age.
+    * The oracle replays first-event days, cohort sizes, the decimal
+    * revenue cells, and the within-cohort cumulative window. In-gate:
+    * ltv must be non-decreasing in age within every cohort (revenue is
+    * non-negative in this data). */
+  val evLtv: Q = Q(
+    "ev_ltv_curve",
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+          CAST(round(value, 9) AS DECIMAL(38,12)) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      f AS (SELECT u, min(d) AS f FROM b GROUP BY 1),
+      sizes AS (
+        SELECT f // 7 AS cohort_week, CAST(count(*) AS BIGINT)
+          AS cohort_size
+        FROM f GROUP BY 1),
+      cells AS (
+        SELECT f.f // 7 AS cohort_week, (b.d - f.f) // 7 AS age_weeks,
+          CAST(count(DISTINCT b.u) AS BIGINT) AS n_active_users,
+          SUM(b.v) AS rev
+        FROM b JOIN f ON b.u = f.u GROUP BY 1, 2),
+      cum AS (
+        SELECT *, sum(rev) OVER (PARTITION BY cohort_week
+          ORDER BY age_weeks) AS cumrev
+        FROM cells)
+      SELECT c.cohort_week, c.age_weeks, s.cohort_size, c.n_active_users,
+        round(CAST(c.rev AS DOUBLE), 9) AS revenue,
+        round(CAST(c.cumrev AS DOUBLE) / s.cohort_size, 6) AS ltv_per_user
+      FROM cum c JOIN sizes s USING (cohort_week)
+      ORDER BY cohort_week, age_weeks"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.ltvCurve(
+        Tables.load(s, dir, "events"))
+      if (Tables.gateMode) {
+        // monotone-in-age contract: value >= 0 in this data, so the
+        // cumulative per-user curve can never fall within a cohort
+        val bad = out.select(col("cohort_week"), col("age_weeks"),
+            col("ltv_per_user"))
+          .withColumn("__prev", lag(col("ltv_per_user"), 1).over(
+            Window.partitionBy(col("cohort_week"))
+              .orderBy(col("age_weeks"))))
+          .filter(col("__prev").isNotNull &&
+            col("ltv_per_user") < col("__prev"))
+          .count()
+        require(bad == 0L, s"$bad cohort-age cells fell - not cumulative")
+      }
+      out
+    })
+
+  /** Poisson dispersion screen on per-type daily counts
+    * ([[graft.ops.EventAnalytics.dispersionByKey]]): VMR and Fisher's
+    * dispersion χ², replayed from exact integer moments. */
+  val evDispersion: Q = Q(
+    "ev_dispersion",
+    Some("""
+      WITH d AS (
+        SELECT event_type AS key, epoch_us(ts) // 86400000000 AS dday,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      m AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(x) AS BIGINT) AS sx,
+          CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY 1)
+      SELECT key, n_days,
+        round(CAST(sx AS DOUBLE) / n_days, 6) AS mean_count,
+        CASE WHEN n_days >= 2 AND sx > 0
+          THEN round(((sxx - CAST(sx AS DOUBLE) * sx / n_days)
+            / (n_days - 1)) / (CAST(sx AS DOUBLE) / n_days), 6) + 0.0
+        END AS vmr,
+        CASE WHEN n_days >= 2 AND sx > 0
+          THEN round((n_days - 1) * (((sxx - CAST(sx AS DOUBLE) * sx
+            / n_days) / (n_days - 1))
+            / (CAST(sx AS DOUBLE) / n_days)), 6) + 0.0
+        END AS dispersion_chi2
+      FROM m ORDER BY key NULLS FIRST"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.dispersionByKey(
+        Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
+      evAttributionLinear, evLtv, evDispersion,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

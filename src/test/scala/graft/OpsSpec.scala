@@ -3192,6 +3192,89 @@ class OpsSpec extends SparkSpec {
     assert(scores(5L) == ((100L, 5L, 5000.0, 1, 5, 5)))
   }
 
+  test("linear attribution: equal split, window expiry, direct fallback") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600 * 1000L)
+    // user 1: view@0, click@1, purchase@2 (10.00) -> each touch gets
+    //   half a conversion and 500 cents
+    // user 2: view@0, purchase@60h (5.00): stale touch -> direct
+    // user 3: purchase@1 (2.50), no touches -> direct
+    val events = Seq(
+      (1L, ts(0), 10L, "view", 0.0), (1L, ts(1), 11L, "click", 0.0),
+      (1L, ts(2), 12L, "purchase", 10.0),
+      (2L, ts(0), 20L, "view", 0.0), (2L, ts(60), 21L, "purchase", 5.0),
+      (3L, ts(1), 30L, "purchase", 2.5)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = EventAnalytics.attributeRevenueLinear(events,
+        Seq("view", "click"), "purchase", windowSeconds = 48 * 3600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("conversions"), r.getAs[Double]("revenue_cents")))
+      .toMap
+    assert(out("view") == ((0.5, 500.0)), s"$out")
+    assert(out("click") == ((0.5, 500.0)))
+    assert(out("direct") == ((2.0, 750.0)))
+    // three-way split keeps exact thirds at round-6
+    val three = Seq(
+      (9L, ts(0), 90L, "view", 0.0), (9L, ts(1), 91L, "click", 0.0),
+      (9L, ts(2), 92L, "view", 0.0), (9L, ts(3), 93L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val t3 = EventAnalytics.attributeRevenueLinear(three,
+        Seq("view", "click"), "purchase", windowSeconds = 48 * 3600L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("conversions"))
+      .toMap
+    assert(t3("view") == 0.666666 && t3("click") == 0.333333, s"$t3")
+  }
+
+  test("ltv curve: cohorts, ages, cumulative per-user revenue") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // cohort week 0: users 1,2 first-seen day 0/1; user 1 returns in
+    // week 1. cohort week 2: user 3.
+    val events = Seq(
+      (1L, ts(0), 10.0), (2L, ts(1), 20.0), (1L, ts(8), 30.0),
+      (3L, ts(15), 40.0)
+    ).toDF("user_id", "ts", "value")
+    val rows = EventAnalytics.ltvCurve(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val c00 = rows((0L, 0L))
+    assert(c00.getAs[Long]("cohort_size") == 2L &&
+      c00.getAs[Long]("n_active_users") == 2L &&
+      c00.getAs[Double]("revenue") == 30.0 &&
+      c00.getAs[Double]("ltv_per_user") == 15.0, s"$c00")
+    val c01 = rows((0L, 1L))
+    assert(c01.getAs[Double]("revenue") == 30.0 &&
+      c01.getAs[Double]("ltv_per_user") == 30.0, "cumulative 60/2")
+    val c20 = rows((2L, 0L))
+    assert(c20.getAs[Long]("cohort_size") == 1L &&
+      c20.getAs[Double]("ltv_per_user") == 40.0)
+    assert(rows.size == 3)
+  }
+
+  test("dispersion: clumped counts overdisperse, constant underdisperses") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(day: Int, i: Int) = new Timestamp(day * 86400000L + i * 1000L)
+    // key a: 1,1,1,9 events/day -> VMR = 16/3 (mean 3, var 16)
+    // key b: 2,2,2,2 -> VMR = 0
+    val events =
+      ((0 to 2).map(d => Seq((ts(d, 0), "a"))) :+
+        (1 to 9).map(i => (ts(3, i), "a"))).flatten ++
+      (0 to 3).flatMap(d => (1 to 2).map(i => (ts(d, i), "b")))
+    val out = EventAnalytics.dispersionByKey(
+        events.toDF("ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_days") == 4L &&
+      a.getAs[Double]("mean_count") == 3.0 &&
+      a.getAs[Double]("vmr") == 5.333333, s"$a")
+    assert(a.getAs[Double]("dispersion_chi2") == 16.0)
+    val b = out("b")
+    assert(b.getAs[Double]("vmr") == 0.0 &&
+      b.getAs[Double]("dispersion_chi2") == 0.0)
+  }
+
   test("max drawdown: hand path, earliest-tie policy, never-falling zero") {
     import graft.ops.EventAnalytics
     def dd(ys: Seq[Double]) = EventAnalytics.maxDrawdown(
