@@ -478,6 +478,59 @@ object EventAnalytics {
     * the index describes observed-day counts (document the grain).
     * Returns per key (key, n_days, mean_count, vmr, dispersion_chi2),
     * round-6; vmr/χ² null when n_days < 2 or the mean is 0. */
+  /** Inter-event gap statistics + Goh–Barabási burstiness per event
+    * type (Goh & Barabási 2008, public): consecutive same-user gaps in
+    * seconds, summarized as mean / median / B = (σ−μ)/(σ+μ) with the
+    * POPULATION σ (the classic definition). B → −1 is a metronome
+    * (rate-limited, synthetic), B ≈ 0 is Poisson, B → 1 is bursty —
+    * the per-stream companion to [[dispersionByKey]]'s per-day view.
+    *
+    * Scale shape: one window partitioned by (type, user) — per-stream
+    * frames, never a global sort — then one map-side-combined groupBy
+    * with exact integer gap moments plus an exact percentile (the
+    * median is over the per-type gap multiset; swap approx_percentile
+    * past ~10⁹ gaps per type). Ties on ts break by `ordCol`. Returns
+    * (key, n_gaps, mean_gap, median_gap, burstiness), round-6;
+    * burstiness null when σ + μ = 0 (a single-gap or all-zero-gap
+    * stream). */
+  def interEventGaps(
+      events: DataFrame, keyCol: String = "event_type",
+      userCol: String = "user_id", tsCol: String = "ts",
+      ordCol: String = "event_id"): DataFrame = {
+    val base = events
+      .filter(col(keyCol).isNotNull && col(userCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(userCol).as("u"),
+        unix_seconds(col(tsCol)).as("t"), col(ordCol).as("o"))
+    val w = Window.partitionBy(col("key"), col("u"))
+      .orderBy(col("t"), col("o"))
+    val gaps = base
+      .withColumn("__prev", lag(col("t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("key"), (col("t") - col("__prev")).as("g"))
+    gaps.groupBy("key").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("__sg"),
+        sum(col("g") * col("g")).as("__sgg"),
+        round(percentile(col("g").cast("double"), lit(0.5)), 6)
+          .as("median_gap"))
+      .select(col("key"), col("n_gaps"),
+        round(col("__sg").cast("double") / col("n_gaps"), 6).as("mean_gap"),
+        col("median_gap"),
+        when(
+          sqrt((col("__sgg") - col("__sg").cast("double") * col("__sg")
+            / col("n_gaps")) / col("n_gaps"))
+            + col("__sg").cast("double") / col("n_gaps") > 0.0,
+          round((sqrt((col("__sgg") - col("__sg").cast("double")
+            * col("__sg") / col("n_gaps")) / col("n_gaps"))
+            - col("__sg").cast("double") / col("n_gaps"))
+            / (sqrt((col("__sgg") - col("__sg").cast("double") * col("__sg")
+              / col("n_gaps")) / col("n_gaps"))
+              + col("__sg").cast("double") / col("n_gaps")), 6))
+          .as("burstiness"))
+      .orderBy("key")
+  }
+
   def dispersionByKey(
       events: DataFrame, keyCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {

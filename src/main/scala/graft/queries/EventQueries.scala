@@ -2041,9 +2041,160 @@ object EventQueries extends QueryModule {
       graft.ops.EventAnalytics.dispersionByKey(
         Tables.load(s, dir, "events")))
 
+  /** Cohen's h effect size ([[graft.stats.Experiment.cohensH]]) on the
+    * same hash-split arms as ev_proportion_ztest — the scale-free "how
+    * big" beside that gate's "is it real". The oracle replays the four
+    * exact cells and the asin/sqrt tree; the magnitude band is computed
+    * from the ROUNDED h in both engines. */
+  val evCohensH: Q = Q(
+    "ev_cohens_h",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft-arm',
+            CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.5 AS arm,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+            AS conv
+        FROM events GROUP BY user_id),
+      c AS (
+        SELECT
+          CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          CAST(SUM(CASE WHEN arm AND conv THEN 1 ELSE 0 END) AS BIGINT)
+            AS ct,
+          CAST(SUM(CASE WHEN NOT arm AND conv THEN 1 ELSE 0 END) AS BIGINT)
+            AS cc
+        FROM u WHERE arm IS NOT NULL AND conv IS NOT NULL),
+      f AS (
+        SELECT *, ct / CAST(nt AS DOUBLE) AS pt,
+          cc / CAST(nc AS DOUBLE) AS pc
+        FROM c),
+      g AS (
+        SELECT *, round(2.0 * asin(sqrt(pt)) - 2.0 * asin(sqrt(pc)), 6)
+          AS h6
+        FROM f)
+      SELECT nt AS n_t, nc AS n_c,
+        round(pt, 9) AS rate_t, round(pc, 9) AS rate_c, h6 + 0.0 AS h,
+        CASE WHEN abs(h6) < 0.2 THEN 'negligible'
+          WHEN abs(h6) < 0.5 THEN 'small'
+          WHEN abs(h6) < 0.8 THEN 'medium' ELSE 'large' END AS magnitude
+      FROM g"""),
+    (s, dir) => {
+      val units = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14).as("conv"))
+        .withColumn("arm", graft.ops.Sampling.hashFraction("graft-arm",
+          Seq(col("user_id"))) < 0.5)
+      val out = graft.stats.Experiment.cohensH(units, col("arm"),
+        col("conv"))
+      val r = out.head()
+      require(r.getAs[String]("magnitude") == "negligible",
+        s"hash arms carry no true effect: $r")
+      out
+    })
+
+  /** Empirical-Bayes beta-binomial shrinkage of per-customer order
+    * failure rates ([[graft.stats.Shrinkage.betaBinomialRates]]): the
+    * oracle replays the per-key cells, the round-9 rate folds, the
+    * method-of-moments prior, and every posterior mean. In-gate: every
+    * shrunken rate must sit at least as close to the prior mean as the
+    * raw rate (shrinkage can't push outward), asserted distributed. */
+  val evEbShrinkage: Q = Q(
+    "seg_eb_shrinkage",
+    Some("""
+      WITH pk AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_trials,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_success
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY 1),
+      r AS (SELECT *, round(n_success / n_trials, 9) AS rate FROM pk),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(SUM(CAST(rate AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+          CAST(SUM(CAST(round(rate * rate, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS spp
+        FROM r),
+      pr AS (
+        SELECT k, sp / k AS mn, (spp - sp * sp / k) / (k - 1) AS v FROM m),
+      pr2 AS (
+        SELECT *,
+          CASE WHEN k >= 2 AND v > 0 AND v < mn * (1.0 - mn)
+            THEN mn * (mn * (1.0 - mn) / v - 1.0) END AS alpha,
+          CASE WHEN k >= 2 AND v > 0 AND v < mn * (1.0 - mn)
+            THEN (1.0 - mn) * (mn * (1.0 - mn) / v - 1.0) END AS beta
+        FROM pr)
+      SELECT r.key, r.n_trials, r.n_success, r.rate,
+        pr2.alpha, pr2.beta,
+        CASE WHEN pr2.alpha IS NOT NULL
+          THEN round((r.n_success + pr2.alpha)
+            / (r.n_trials + pr2.alpha + pr2.beta), 6)
+          ELSE round(r.rate, 6) END AS shrunk_rate
+      FROM r, pr2 ORDER BY key"""),
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val out = graft.stats.Shrinkage.betaBinomialRates(orders,
+        col("o_custkey"), col("o_orderstatus") === "F")
+      if (Tables.gateMode) {
+        val head = out.limit(1).head()
+        if (!head.isNullAt(head.fieldIndex("alpha"))) {
+          val a = head.getAs[Double]("alpha")
+          val b = head.getAs[Double]("beta")
+          val pm = a / (a + b)
+          val outward = out.filter(
+            abs(col("shrunk_rate") - pm) >
+              abs(round(col("rate"), 6) - pm) + 1e-9).count()
+          require(outward == 0L,
+            s"$outward keys shrank AWAY from the prior mean")
+        }
+      }
+      out
+    })
+
+  /** Inter-event gap statistics + Goh–Barabási burstiness per event
+    * type ([[graft.ops.EventAnalytics.interEventGaps]]): per-stream
+    * lag gaps, exact integer moments, quantile_cont median parity. */
+  val evInterEvent: Q = Q(
+    "ev_interevent_gaps",
+    Some("""
+      WITH b AS (
+        SELECT event_type AS key, user_id AS u,
+          epoch_us(ts) // 1000000 AS t, event_id AS o
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL),
+      g AS (
+        SELECT key, t - lag(t) OVER (PARTITION BY key, u ORDER BY t, o)
+          AS g
+        FROM b),
+      g2 AS (SELECT key, g FROM g WHERE g IS NOT NULL),
+      m AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(sum(g) AS BIGINT) AS sg,
+          CAST(sum(g * g) AS BIGINT) AS sgg,
+          round(quantile_cont(CAST(g AS DOUBLE), 0.5), 6) AS median_gap
+        FROM g2 GROUP BY 1)
+      SELECT key, n_gaps,
+        round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap, median_gap,
+        CASE WHEN sqrt((sgg - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps)
+            + CAST(sg AS DOUBLE) / n_gaps > 0.0
+          THEN round((sqrt((sgg - CAST(sg AS DOUBLE) * sg / n_gaps)
+            / n_gaps) - CAST(sg AS DOUBLE) / n_gaps)
+            / (sqrt((sgg - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps)
+              + CAST(sg AS DOUBLE) / n_gaps), 6) + 0.0
+        END AS burstiness
+      FROM m ORDER BY key"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.interEventGaps(
+        Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
-      evAttributionLinear, evLtv, evDispersion,
+      evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
+      evInterEvent,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -2213,9 +2213,41 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Hill power-law tail index
+    * ([[graft.stats.Distribution.hillTailIndex]]) over the top 1000
+    * extendedprice values: one distributed top-(k+1), per-term round-9
+    * ln folds, α = k/Σ. The synthetic price tail is bounded (not
+    * power-law), so the gate checks the estimator's arithmetic and
+    * expects a LARGE α — asserted in-gate. */
+  val t48HillTail: Q = Q(
+    "t48_hill_tail",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+      t AS (SELECT y FROM b ORDER BY y DESC LIMIT 1001),
+      xk AS (SELECT min(y) AS xk FROM t),
+      s AS (
+        SELECT CAST(SUM(CAST(round(ln(y / xk.xk), 9) AS DECIMAL(38,12)))
+          AS DOUBLE) AS sum_log
+        FROM t, xk)
+      SELECT CAST(1000 AS BIGINT) AS k_used, xk.xk AS threshold,
+        s.sum_log + 0.0 AS sum_log,
+        CASE WHEN s.sum_log > 0
+          THEN round(1000.0 / s.sum_log, 6) + 0.0 END AS alpha
+      FROM xk, s"""),
+    (s, dir) => {
+      val out = graft.stats.Distribution.hillTailIndex(
+        Tables.load(s, dir, "lineitem"), col("l_extendedprice"), 1000)
+      val a = out.head().getAs[Double]("alpha")
+      require(a > 3.0,
+        s"a bounded-support tail must read as thin (alpha large): $a")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
-    t45BreuschPagan, t46RunsTest, t47Grubbs,
+    t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -124,6 +124,46 @@ object Distribution {
     }
   }
 
+  /** Hill estimator of the power-law tail index (Hill 1975, public):
+    * α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest positive
+    * values — the heavy-tail QC number: α ≤ 2 means infinite variance
+    * (means wander, bootstrap CIs lie), α ≤ 1 means even the mean
+    * diverges. Run it on spend, token counts, degree — anything you
+    * are about to average.
+    *
+    * Scale shape: ONE distributed top-(k+1) (TakeOrderedAndProject —
+    * k-bounded state per partition, k ≤ 100 000 loud cap); the log fold
+    * runs driver-side over those k+1 values. Tie-safe: the top-(k+1)
+    * MULTISET is deterministic, and every value tied with the threshold
+    * contributes ln(1) = 0, so which tied instance is "the threshold"
+    * cannot matter. Exactness: per-term ln rounds to 9, the sum folds
+    * exactly, α rounds to 6. Returns one row (k_used, threshold,
+    * sum_log, alpha); alpha is null when all top values are equal (a
+    * degenerate tail). */
+  def hillTailIndex(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k in [2, 100000]: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = df.select(valueCol.cast(DoubleType).as("y"))
+      .filter(col("y").isNotNull && col("y") > 0.0)
+      .orderBy(col("y").desc)
+      .limit(k + 1)
+      .as[Double].collect()
+    require(top.length == k + 1,
+      s"Hill needs at least ${k + 1} positive values, got ${top.length}")
+    val xk = top.last
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val sumLog = top.take(k).map(x => r9(math.log(x / xk)))
+      .foldLeft(BigDecimal(0))(_ + _)
+    val alpha: Option[Double] =
+      if (sumLog <= 0) None
+      else Some(BigDecimal(k.toDouble / sumLog.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((k.toLong, xk, sumLog.toDouble + 0.0, alpha))
+      .toDF("k_used", "threshold", "sum_log", "alpha")
+  }
+
   /** Two-sided Grubbs critical value at level `alpha`:
     * (n−1)/√n · √(t² / (n−2+t²)) with t = t_{α/(2n), n−2}. G above this
     * rejects "no outlier". */

@@ -344,4 +344,47 @@ object Experiment {
       .toDF("k_a", "e_a", "k_b", "e_b", "rate_a", "rate_b", "ratio",
         "ci_lo", "ci_hi", "z", "p_value")
   }
+
+  /** Cohen's h effect size for two proportions (Cohen 1988, public):
+    * h = 2·arcsin√p_t − 2·arcsin√p_c — the SCALE-FREE companion to
+    * [[proportionTest]]'s z: z says whether the arms differ, h says by
+    * how much in units that mean the same thing at p = 0.01 and
+    * p = 0.5 (the arcsine transform is variance-stabilizing, which is
+    * exactly what a raw difference of proportions is not). Cohen's rule
+    * of thumb bands (|h| < 0.2 negligible, < 0.5 small, < 0.8 medium,
+    * else large) ship as a label computed from the ROUNDED h so both
+    * engines band identically.
+    *
+    * One aggregation (four exact longs); h is the same asin/sqrt double
+    * tree in both engines, rounded to 6. Empty arms fail loudly.
+    * Returns one row (n_t, n_c, rate_t, rate_c, h, magnitude). */
+  def cohensH(units: DataFrame, armCol: Column, convCol: Column): DataFrame = {
+    val r = units
+      .filter(armCol.isNotNull && convCol.isNotNull)
+      .agg(
+        sum(when(armCol, 1L).otherwise(0L)).as("nt"),
+        sum(when(!armCol, 1L).otherwise(0L)).as("nc"),
+        sum(when(armCol && convCol, 1L).otherwise(0L)).as("ct"),
+        sum(when(!armCol && convCol, 1L).otherwise(0L)).as("cc"))
+      .head()
+    val nt = r.getAs[Long]("nt"); val nc = r.getAs[Long]("nc")
+    require(nt > 0 && nc > 0, s"empty arm: treatment=$nt control=$nc")
+    val pt = r.getAs[Long]("ct").toDouble / nt
+    val pc = r.getAs[Long]("cc").toDouble / nc
+    val h = 2.0 * math.asin(math.sqrt(pt)) - 2.0 * math.asin(math.sqrt(pc))
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val h6 = r6(h)
+    val magnitude =
+      if (math.abs(h6) < 0.2) "negligible"
+      else if (math.abs(h6) < 0.5) "small"
+      else if (math.abs(h6) < 0.8) "medium"
+      else "large"
+    val spark = units.sparkSession
+    import spark.implicits._
+    Seq((nt, nc, r9(pt), r9(pc), h6, magnitude))
+      .toDF("n_t", "n_c", "rate_t", "rate_c", "h", "magnitude")
+  }
 }

@@ -3275,6 +3275,32 @@ class OpsSpec extends SparkSpec {
       b.getAs[Double]("dispersion_chi2") == 0.0)
   }
 
+  test("inter-event gaps: hand moments, metronome -1, per-stream isolation") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1 type a: t = 0,10,20,60 -> gaps 10,10,40
+    // user 2 type a: single event -> no gap (stream isolation)
+    // type b: constant 5s gaps -> burstiness exactly -1
+    val events = (Seq(0L, 10L, 20L, 60L).zipWithIndex.map {
+        case (t, i) => (1L, ts(t), (i + 10).toLong, "a")
+      } :+ ((2L, ts(7L), 99L, "a"))) ++
+      (0 to 4).map(i => (3L, ts(i * 5L), (50 + i).toLong, "b"))
+    val out = EventAnalytics.interEventGaps(
+        events.toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_gaps") == 3L &&
+      a.getAs[Double]("mean_gap") == 20.0 &&
+      a.getAs[Double]("median_gap") == 10.0, s"$a")
+    // sigma_pop = sqrt(200); B = (sqrt(200)-20)/(sqrt(200)+20)
+    val expB = (math.sqrt(200.0) - 20.0) / (math.sqrt(200.0) + 20.0)
+    assert(math.abs(a.getAs[Double]("burstiness") - expB) < 1e-6)
+    val b = out("b")
+    assert(b.getAs[Long]("n_gaps") == 4L &&
+      b.getAs[Double]("burstiness") == -1.0, "metronome")
+  }
+
   test("max drawdown: hand path, earliest-tie policy, never-falling zero") {
     import graft.ops.EventAnalytics
     def dd(ys: Seq[Double]) = EventAnalytics.maxDrawdown(

@@ -1839,4 +1839,81 @@ class StatsSpec extends SparkSpec {
       Distribution.grubbs(flat.limit(2), col("y"))
     }
   }
+
+  test("cohen's h: textbook asin geometry, bands, zero effect") {
+    import graft.stats.Experiment
+    def units(nt: Int, ct: Int, nc: Int, cc: Int) =
+      ((1 to nt).map(i => (true, i <= ct)) ++
+        (1 to nc).map(i => (false, i <= cc))).toDF("arm", "conv")
+    // h(0.5, 0.25) = pi/2 - pi/3 = 0.523599 -> "medium"
+    val r = Experiment.cohensH(units(50, 25, 40, 10),
+      col("arm"), col("conv")).head()
+    assert(r.getAs[Double]("h") == 0.523599, s"$r")
+    assert(r.getAs[String]("magnitude") == "medium")
+    // identical rates: exactly zero, negligible
+    val z = Experiment.cohensH(units(30, 15, 60, 30),
+      col("arm"), col("conv")).head()
+    assert(z.getAs[Double]("h") == 0.0 &&
+      z.getAs[String]("magnitude") == "negligible")
+    // extreme split: h(1, 0) = pi = "large"
+    val l = Experiment.cohensH(units(10, 10, 10, 0),
+      col("arm"), col("conv")).head()
+    assert(l.getAs[Double]("h") == 3.141593 &&
+      l.getAs[String]("magnitude") == "large")
+    intercept[IllegalArgumentException] {
+      Experiment.cohensH(units(10, 5, 0, 0), col("arm"), col("conv"))
+    }
+  }
+
+  test("eb shrinkage: toward the mean, small-n shrinks harder, degenerate") {
+    import graft.stats.Shrinkage
+    // 40 spread-rate keys + one tiny-n and one huge-n key at rate 1.0
+    val rows =
+      (1 to 40).flatMap { k =>
+        val n = 10; val s = k % 11
+        (1 to n).map(i => (k.toLong, i <= s))
+      } ++ (1 to 2).map(i => (100L, true)) ++
+        (1 to 200).map(i => (200L, true))
+    val out = Shrinkage.betaBinomialRates(rows.toDF("key", "ok"),
+      col("key"), col("ok"))
+      .collect().map(r => r.getAs[Long]("key") -> r).toMap
+    val a = out(100L); val b = out(200L)
+    assert(!a.isNullAt(a.fieldIndex("alpha")), "prior must be admissible")
+    val alpha = a.getAs[Double]("alpha"); val beta = a.getAs[Double]("beta")
+    val pm = alpha / (alpha + beta)
+    // both raw rates are 1.0; the n=2 key must land much closer to the
+    // prior mean than the n=200 key
+    assert(math.abs(a.getAs[Double]("shrunk_rate") - pm) <
+      math.abs(b.getAs[Double]("shrunk_rate") - pm), s"a=$a b=$b")
+    // every key shrinks TOWARD the mean, never past or away from it
+    out.values.foreach { r =>
+      val raw = r.getAs[Double]("rate"); val sh = r.getAs[Double]("shrunk_rate")
+      assert(math.abs(sh - pm) <= math.abs(raw - pm) + 1e-9, s"$r")
+    }
+    // all keys at the same rate: zero variance, no admissible prior
+    val flat = (1 to 5).flatMap(k => Seq((k.toLong, true), (k.toLong, false)))
+    val f = Shrinkage.betaBinomialRates(flat.toDF("key", "ok"),
+      col("key"), col("ok")).head()
+    assert(f.isNullAt(f.fieldIndex("alpha")) &&
+      f.getAs[Double]("shrunk_rate") == 0.5)
+  }
+
+  test("hill tail index: exact exponential-spacing hand value, guards") {
+    import graft.stats.Distribution
+    // top-3 of {e^2, e^1, 1}: terms ln(e^2)=2, ln(e)=1 -> alpha = 2/3
+    val vals = Seq(math.exp(2.0), math.exp(1.0), 1.0, -5.0, 0.0)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "y")
+    val r = Distribution.hillTailIndex(vals, col("y"), 2).head()
+    assert(r.getAs[Double]("threshold") == 1.0 &&
+      r.getAs[Double]("sum_log") == 3.0 &&
+      r.getAs[Double]("alpha") == 0.666667, s"$r")
+    // all top values equal: degenerate tail, alpha null
+    val flat = (1 to 10).map(i => (i, 4.0)).toDF("i", "y")
+    val f = Distribution.hillTailIndex(flat, col("y"), 3).head()
+    assert(f.isNullAt(f.fieldIndex("alpha")))
+    // not enough positive mass fails loudly
+    intercept[IllegalArgumentException] {
+      Distribution.hillTailIndex(vals, col("y"), 5)
+    }
+  }
 }
