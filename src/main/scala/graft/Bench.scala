@@ -81,7 +81,13 @@ object Bench {
     // round-13 session 3: exact triangle enumeration — the three-way
     // self-join (degree-ordered wedge close) is a new plan shape with
     // no prior regression line
-    "gr_triangles")
+    "gr_triangles",
+    // round-14 session 2: the multi-cell exact-percentile aggregate
+    // (RFM thresholds — a sort-based agg shape with no prior line) and
+    // the per-stream lag window over the full event table (inter-event
+    // gaps — the heaviest partitioned-window + percentile composition)
+    "seg_rfm_scores",
+    "ev_interevent_gaps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2245,9 +2245,148 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Dunn's post-hoc mean-rank comparisons
+    * ([[graft.stats.RankTests.dunnTest]]) on the t38 Kruskal–Wallis
+    * fixture (planted A +0 / N +2 / R +5 shifts): the oracle replays
+    * the shared average-rank scan, per-group exact 2·rankSums, the
+    * tie-corrected rank variance, and every pairwise z; the normal p's
+    * are library-only (asserted in-gate, excluded). In-gate: the
+    * planted ordering A < N < R must show as negative z for every
+    * (lower, higher) pair. */
+  val t49Dunn: Q = Q(
+    "t49_dunn_posthoc",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS g,
+          CAST(l_quantity + CASE l_returnflag WHEN 'A' THEN 0
+            WHEN 'N' THEN 2 ELSE 5 END AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      c AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      t AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+      w AS (
+        SELECT v, t, 2 * COALESCE(SUM(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+          AS two_rank
+        FROM t),
+      pg AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+          SUM(CAST(c AS DECIMAL(38,0)) * two_rank) AS trs
+        FROM c JOIN w USING (v) GROUP BY 1),
+      nn AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM t),
+      tie AS (
+        SELECT SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3 FROM t),
+      sg AS (
+        SELECT n * (n + 1.0) / 12.0
+          - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)) AS s2
+        FROM nn, tie),
+      pr AS (
+        SELECT a.g AS group_a, b.g AS group_b, a.n_g AS n_a, b.n_g AS n_b,
+          CAST(a.trs AS DOUBLE) / 2.0 / a.n_g AS ra,
+          CAST(b.trs AS DOUBLE) / 2.0 / b.n_g AS rb
+        FROM pg a, pg b WHERE a.g < b.g)
+      SELECT group_a, group_b, n_a, n_b,
+        round(ra, 6) + 0.0 AS mean_rank_a, round(rb, 6) + 0.0 AS mean_rank_b,
+        round((ra - rb) / sqrt(sg.s2 * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0
+          AS z
+      FROM pr, sg ORDER BY group_a, group_b"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .select(col("l_returnflag").as("g"),
+          (col("l_quantity") +
+            when(col("l_returnflag") === "A", 0)
+              .when(col("l_returnflag") === "N", 2).otherwise(5))
+            .cast("double").as("v"))
+      val out = graft.stats.RankTests.dunnTest(li, col("g"), col("v"))
+      val rows = out.collect()
+      rows.foreach { r =>
+        val p = r.getAs[Double]("p_value")
+        require(p >= 0.0 && p <= 1.0, s"normal p out of range: $r")
+        require(r.getAs[Double]("z") < 0.0,
+          s"planted shifts order A < N < R; z must be negative: $r")
+      }
+      out.drop("p_value")
+    })
+
+  /** Weight of Evidence / Information Value scorecard table
+    * ([[graft.stats.FeatureScreen.woeTable]]) for order priority vs
+    * failed status: the oracle replays the cells, the 0.5 zero-cell
+    * adjustment, and every ln term; in-gate, the IV ≥ 0 invariant is
+    * asserted on every term (distributed). */
+  val t50Woe: Q = Q(
+    "t50_woe_iv",
+    Some("""
+      WITH cells AS (
+        SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_event
+        FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(n_event) AS BIGINT) AS te,
+          CAST(SUM(n - n_event) AS BIGINT) AS tn
+        FROM cells)
+      SELECT category, n, n_event,
+        round(ln((CASE WHEN n - n_event = 0 THEN 0.5
+            ELSE CAST(n - n_event AS DOUBLE) END / tn)
+          / (CASE WHEN n_event = 0 THEN 0.5
+            ELSE CAST(n_event AS DOUBLE) END / te)), 6) + 0.0 AS woe,
+        round(((CASE WHEN n - n_event = 0 THEN 0.5
+            ELSE CAST(n - n_event AS DOUBLE) END / tn)
+          - (CASE WHEN n_event = 0 THEN 0.5
+            ELSE CAST(n_event AS DOUBLE) END / te))
+          * ln((CASE WHEN n - n_event = 0 THEN 0.5
+            ELSE CAST(n - n_event AS DOUBLE) END / tn)
+          / (CASE WHEN n_event = 0 THEN 0.5
+            ELSE CAST(n_event AS DOUBLE) END / te)), 9) + 0.0 AS iv_term
+      FROM cells, tot ORDER BY category NULLS FIRST"""),
+    (s, dir) => {
+      val out = graft.stats.FeatureScreen.woeTable(
+        Tables.load(s, dir, "orders"), "o_orderpriority",
+        col("o_orderstatus") === "F")
+      if (Tables.gateMode) {
+        val neg = out.filter(col("iv_term") < 0.0).count()
+        require(neg == 0L, s"IV terms are nonnegative by identity: $neg < 0")
+      }
+      out
+    })
+
+  /** Trimmed mean ([[graft.transform.Winsorize.trimmedMean]]) of
+    * extendedprice at 5/95: the oracle replays the round-6 bounds, the
+    * inclusive trim filter, and the round-9 decimal fold. */
+  val t51TrimmedMean: Q = Q(
+    "t51_trimmed_mean",
+    Some("""
+      WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+      bd AS (
+        SELECT CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+          AS n_total,
+          round(quantile_cont(v, 0.05), 6) AS lo,
+          round(quantile_cont(v, 0.95), 6) AS hi
+        FROM b)
+      SELECT n_total,
+        CAST(count(CASE WHEN v >= lo AND v <= hi THEN 1 END) AS BIGINT)
+          AS n_used,
+        lo, hi,
+        round(CAST(SUM(CASE WHEN v >= lo AND v <= hi
+            THEN CAST(round(v, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
+          / count(CASE WHEN v >= lo AND v <= hi THEN 1 END), 6)
+          AS trimmed_mean
+      FROM b, bd GROUP BY n_total, lo, hi"""),
+    (s, dir) => {
+      val out = graft.transform.Winsorize.trimmedMean(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice")
+      val r = out.head()
+      require(r.getAs[Long]("n_used") <= r.getAs[Long]("n_total") &&
+        r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
-    t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail,
+    t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
+    t51TrimmedMean,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -84,4 +84,51 @@ object FeatureScreen {
           .as("u_label"))
       .orderBy("feature")
   }
+
+  /** Weight of Evidence + Information Value for one categorical feature
+    * against a binary event flag (the credit-scorecard standard —
+    * Siddiqi 2006, the method itself is folklore-public):
+    * WoE_c = ln(distNonEvent_c / distEvent_c),
+    * IV = Σ_c (distNonEvent_c − distEvent_c)·WoE_c. IV rule of thumb:
+    * < 0.02 useless, < 0.1 weak, < 0.3 medium, else strong. The
+    * monotone-encoding companion to [[screen]]'s MI ranking — WoE is
+    * also directly usable as the feature's numeric encoding.
+    *
+    * Zero cells take the standard 0.5 adjustment on the NUMERATOR
+    * count only (totals stay raw) so WoE stays finite on categories
+    * pure in one class — 0.5 is exact in both decimal and double, so
+    * the adjustment is engine-portable. Every IV term is ≥ 0 by
+    * construction ((a−b) and ln(a/b) share sign — a property specs and
+    * gates assert distributed).
+    *
+    * One groupBy(category) with map-side combine + a broadcast 1-row
+    * total; per-category ln terms round to 9. Null categories form
+    * their own level (missingness is signal in scorecards); null flags
+    * are excluded. Returns (category, n, n_event, woe, iv_term)
+    * ordered by category, woe round-6, iv_term round-9; fails loudly
+    * when either class is globally empty. */
+  def woeTable(df: DataFrame, catCol: String,
+      flag: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.filter(flag.isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(flag, 1L).otherwise(0L)).as("n_event"))
+    val tot = cells.agg(
+        sum(col("n_event")).as("__te"),
+        sum(col("n") - col("n_event")).as("__tn"))
+      .head()
+    val te = tot.getAs[Long]("__te"); val tn = tot.getAs[Long]("__tn")
+    require(te > 0 && tn > 0,
+      s"WoE needs both classes present: events=$te non-events=$tn")
+    val eAdj = when(col("n_event") === 0L, lit(0.5))
+      .otherwise(col("n_event").cast("double"))
+    val nAdj = when(col("n") - col("n_event") === 0L, lit(0.5))
+      .otherwise((col("n") - col("n_event")).cast("double"))
+    val dE = eAdj / lit(te.toDouble)
+    val dN = nAdj / lit(tn.toDouble)
+    cells.select(col("category"), col("n"), col("n_event"),
+        round(log(dN / dE), 6).as("woe"),
+        round((dN - dE) * log(dN / dE), 9).as("iv_term"))
+      .orderBy("category")
+  }
 }

@@ -121,7 +121,15 @@ object RankTests {
     * Returns one row: (k_groups, n_total, h, h_tied, p_value), h
     * statistics rounded to 6; h_tied = h / (1 − Σ(t³−t)/(n³−n)).
     * Fails loudly with < 2 groups or when every value is tied. */
-  def kruskalWallis(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+  /** Shared rank machinery for [[kruskalWallis]] and [[dunnTest]]: the
+    * per-(value, group) cell counts → distributed average-rank scan →
+    * per-group (n_g, exact 2·rankSum) rollup + the Σ(t³−t) tie sum.
+    * One sort, partition-offset prefix scan, NO unpartitioned window;
+    * driver receives the group-bounded rollup only. */
+  private def groupRankSums(df: DataFrame, grpCol: Column,
+      valueCol: Column, what: String):
+      (Long, Array[(String, Long, java.math.BigDecimal)],
+        java.math.BigDecimal) = {
     val spark = df.sparkSession
     import spark.implicits._
     val cellCounts = df
@@ -140,7 +148,7 @@ object RankTests {
         }.collect().sortBy(_._1)
         val off = partTotals.map(_._2).scanLeft(0L)(_ + _)
         val n = off.last
-        require(n > 0, "Kruskal-Wallis needs at least one non-null value")
+        require(n > 0, s"$what needs at least one non-null value")
         // (v, 2*avgRank as exact long, t) — 2*rank fits a long (≤ 2n+1)
         val ranked = totals.mapPartitionsWithIndex { (i, it) =>
           var below = off(i)
@@ -160,37 +168,85 @@ object RankTests {
               .as("two_rank_sum"))
           .collect().sortBy(_.getAs[String]("g"))
         require(perGroup.length >= 2,
-          s"Kruskal-Wallis needs >= 2 groups, got ${perGroup.length}")
+          s"$what needs >= 2 groups, got ${perGroup.length}")
         val tieSum = rankDf.agg(
           sum((col("t").cast("decimal(38,0)") * col("t") * col("t"))
             - col("t")).as("tie3"))
           .head().getDecimal(0)
-        // Σ (R_g)² / n_g as plain doubles in sorted-group order: the sum
-        // has only k terms, so reorder error is ≤ k·ulp — ~1e-11 after
-        // the 12/(n(n+1)) scale-down, far inside the round-6 line (a
-        // per-term decimal round would be WORSE here: the terms sit at
-        // ~n²·n_g magnitude where a 6-decimal round of a double is
-        // itself ill-defined)
-        val hSum = perGroup.map { r =>
-          val ng = r.getAs[Long]("n_g")
-          val trs = r.getAs[java.math.BigDecimal]("two_rank_sum").doubleValue
-          (trs / 2.0) * (trs / 2.0) / ng
-        }.sum
-        val h = 12.0 / (n.toDouble * (n + 1.0)) * hSum -
-          3.0 * (n + 1.0)
-        val nD = n.toDouble
-        val corr = 1.0 - tieSum.doubleValue / (nD * nD * nD - nD)
-        require(corr > 0.0,
-          "all values tied — rank geometry degenerate; nothing to test")
-        val hTied = h / corr
-        val k = perGroup.length
-        val p = 1.0 - new org.apache.commons.math3.distribution
-          .ChiSquaredDistribution((k - 1).toDouble)
-          .cumulativeProbability(math.max(hTied, 0.0))
-        Seq((k.toLong, n, round6(h), round6(hTied), round6(p)))
-          .toDF("k_groups", "n_total", "h", "h_tied", "p_value")
+        (n,
+          perGroup.map(r => (r.getAs[String]("g"), r.getAs[Long]("n_g"),
+            r.getAs[java.math.BigDecimal]("two_rank_sum"))),
+          tieSum)
       } finally totals.unpersist()
     } finally cellCounts.unpersist()
+  }
+
+  def kruskalWallis(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, perGroup, tieSum) =
+      groupRankSums(df, grpCol, valueCol, "Kruskal-Wallis")
+    // Σ (R_g)² / n_g as plain doubles in sorted-group order: the sum
+    // has only k terms, so reorder error is ≤ k·ulp — ~1e-11 after
+    // the 12/(n(n+1)) scale-down, far inside the round-6 line (a
+    // per-term decimal round would be WORSE here: the terms sit at
+    // ~n²·n_g magnitude where a 6-decimal round of a double is
+    // itself ill-defined)
+    val hSum = perGroup.map { case (_, ng, trsDec) =>
+      val trs = trsDec.doubleValue
+      (trs / 2.0) * (trs / 2.0) / ng
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1.0)) * hSum -
+      3.0 * (n + 1.0)
+    val nD = n.toDouble
+    val corr = 1.0 - tieSum.doubleValue / (nD * nD * nD - nD)
+    require(corr > 0.0,
+      "all values tied — rank geometry degenerate; nothing to test")
+    val hTied = h / corr
+    val k = perGroup.length
+    val p = 1.0 - new org.apache.commons.math3.distribution
+      .ChiSquaredDistribution((k - 1).toDouble)
+      .cumulativeProbability(math.max(hTied, 0.0))
+    Seq((k.toLong, n, round6(h), round6(hTied), round6(p)))
+      .toDF("k_groups", "n_total", "h", "h_tied", "p_value")
+  }
+
+  /** Dunn's post-hoc test (Dunn 1964, public): WHICH groups differ,
+    * once [[kruskalWallis]] said that some do. For every group pair,
+    * z = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j)) with the tie-corrected
+    * rank variance σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1)) — the standard
+    * mean-rank comparison on the SAME average ranks the H statistic
+    * used (one [[groupRankSums]] pass; pairs are driver arithmetic over
+    * the k-bounded rollup). Callers correcting for multiplicity feed
+    * the p's to [[MultipleTesting]]'s BH — Dunn's own recommendation.
+    *
+    * Returns one row per pair (group_a < group_b): (group_a, group_b,
+    * n_a, n_b, mean_rank_a, mean_rank_b, z, p_value), ranks and z
+    * round-6; the two-sided normal p is library-only. */
+  def dunnTest(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, perGroup, tieSum) = groupRankSums(df, grpCol, valueCol, "Dunn")
+    require(n >= 2, s"Dunn needs >= 2 ranked values, got $n")
+    val sVar = n * (n + 1.0) / 12.0 -
+      tieSum.doubleValue / (12.0 * (n - 1))
+    require(sVar > 0.0,
+      "all values tied — rank geometry degenerate; nothing to test")
+    val norm = new NormalDistribution(0.0, 1.0)
+    val rows = for {
+      i <- perGroup.indices; j <- (i + 1) until perGroup.length
+    } yield {
+      val (ga, na, trsA) = perGroup(i)
+      val (gb, nb, trsB) = perGroup(j)
+      val ra = trsA.doubleValue / 2.0 / na
+      val rb = trsB.doubleValue / 2.0 / nb
+      val z = (ra - rb) / math.sqrt(sVar * (1.0 / na + 1.0 / nb))
+      val p = 2.0 * (1.0 - norm.cumulativeProbability(math.abs(z)))
+      (ga, gb, na, nb, round6(ra), round6(rb), round6(z), round6(p))
+    }
+    rows.toDF("group_a", "group_b", "n_a", "n_b", "mean_rank_a",
+        "mean_rank_b", "z", "p_value")
+      .orderBy("group_a", "group_b")
   }
 
   private def round6(x: Double): Double =

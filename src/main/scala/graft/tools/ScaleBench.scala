@@ -702,6 +702,32 @@ object ScaleBench {
         }
         emit("textrank", k, docs.count(), tMed, tS, s""","words":$words""")
       }
+
+      if (wanted("interevent")) {
+        // per-stream lag window: K× users at CONSTANT events/user —
+        // frame sizes fixed, key cardinality scales — plus the per-type
+        // exact median over a K×-row gap table. Witness: total gaps.
+        var gaps = 0L
+        val (gMed, gS) = timeMedian {
+          gaps = graft.ops.EventAnalytics.interEventGaps(ev)
+            .agg(sum(col("n_gaps"))).head().getLong(0)
+        }
+        emit("ev_interevent_gaps", k, ev.count(), gMed, gS,
+          s""","gaps":$gaps""")
+      }
+
+      if (wanted("rfm")) {
+        // customer-grain quintile scoring on the scaled event ledger:
+        // K× users, so the groupBy AND the 12-cell exact-percentile
+        // aggregate both see K× customer rows. Witness: customer count.
+        var custs = 0L
+        val (rMed, rS) = timeMedian {
+          custs = graft.ops.Segmentation
+            .rfmScores(ev, "user_id", "ts", "value").count()
+        }
+        emit("seg_rfm_scores", k, ev.count(), rMed, rS,
+          s""","customers":$custs""")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

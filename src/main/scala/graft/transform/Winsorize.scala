@@ -42,4 +42,45 @@ object Winsorize {
         least(greatest(col(c).cast("double"), lit(lo)), lit(hi)))
     }
   }
+
+  /** Trimmed mean — [[clip]]'s EXCLUDING cousin (Tukey's classic robust
+    * location): rows outside the round-6 [pLo, pHi] percentile bounds
+    * are DROPPED (inclusive bounds — values exactly on a clip line
+    * stay), then the survivors' mean folds as a round-9 decimal. Use
+    * winsorize when every row must keep a value (features), trim when
+    * estimating a location (metrics): clipping piles mass ON the fence
+    * and still biases the mean under asymmetric tails.
+    *
+    * Two aggregates (bounds, then one conditional fold) — no join, no
+    * window, no row explosion. Returns one row (n_total, n_used, lo,
+    * hi, trimmed_mean), mean round-6; null when nothing survives (can
+    * only happen on an all-null column). */
+  def trimmedMean(
+      df: DataFrame, colName: String, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
+    val v = col(colName).cast("double")
+    val b = df.agg(
+        count(when(v.isNotNull, 1)).as("n_total"),
+        round(percentile(v, lit(pLo)), 6).as("lo"),
+        round(percentile(v, lit(pHi)), 6).as("hi"))
+      .head()
+    val nTotal = b.getAs[Long]("n_total")
+    if (nTotal == 0) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double]))
+        .toDF("n_total", "n_used", "lo", "hi", "trimmed_mean")
+    }
+    val lo = b.getAs[Double]("lo"); val hi = b.getAs[Double]("hi")
+    val kept = v.isNotNull && v >= lit(lo) && v <= lit(hi)
+    df.agg(
+        lit(nTotal).as("n_total"),
+        count(when(kept, 1)).as("n_used"),
+        lit(lo).as("lo"), lit(hi).as("hi"),
+        round(sum(when(kept, round(v, 9)).cast("decimal(38,12)"))
+            .cast("double") / count(when(kept, 1)), 6)
+          .as("trimmed_mean"))
+  }
 }

@@ -1916,4 +1916,83 @@ class StatsSpec extends SparkSpec {
       Distribution.hillTailIndex(vals, col("y"), 5)
     }
   }
+
+  test("dunn post-hoc: separated groups, kw consistency, tie variance") {
+    import graft.stats.RankTests
+    // three cleanly separated groups: a={1..5} < b={11..15} < c={21..25}
+    val rows = (1 to 5).flatMap(i => Seq(
+      ("a", i.toDouble), ("b", 10.0 + i), ("c", 20.0 + i)))
+    val out = RankTests.dunnTest(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    // no ties: sigma^2 = N(N+1)/12 = 20; mean ranks 3, 8, 13
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Double]("mean_rank_a") == 3.0 &&
+      ab.getAs[Double]("mean_rank_b") == 8.0, s"$ab")
+    val expZ = (3.0 - 8.0) / math.sqrt(20.0 * (1.0 / 5 + 1.0 / 5))
+    assert(math.abs(ab.getAs[Double]("z") - expZ) < 1e-6)
+    // |z| grows with separation: a-c beats a-b
+    assert(math.abs(out(("a", "c")).getAs[Double]("z")) >
+      math.abs(ab.getAs[Double]("z")))
+    // identical groups: z = 0, p = 1
+    val same = (1 to 6).flatMap(i => Seq(("x", i.toDouble % 3),
+      ("y", i.toDouble % 3)))
+    val s = RankTests.dunnTest(same.toDF("g", "v"), col("g"), col("v"))
+      .head()
+    assert(s.getAs[Double]("z") == 0.0 && s.getAs[Double]("p_value") == 1.0)
+    // all-tied values: loud degenerate
+    intercept[IllegalArgumentException] {
+      RankTests.dunnTest(Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v"),
+        col("g"), col("v"))
+    }
+  }
+
+  test("woe/iv: pure cells adjusted, signs, iv nonneg, missing class loud") {
+    import graft.stats.FeatureScreen
+    // cat A: 8 events / 2 non; cat B: 2 / 8; cat C: 0 / 10 (pure)
+    val rows = Seq.fill(8)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(2)(("B", true)) ++ Seq.fill(8)(("B", false)) ++
+      Seq.fill(10)(("C", false))
+    val out = FeatureScreen.woeTable(rows.toDF("cat", "ev"), "cat",
+        col("ev"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // te = 10, tn = 20: woe_A = ln((2/20)/(8/10)) < 0 (event-heavy),
+    // woe_B = ln((8/20)/(2/10)) = ln 2 > 0, woe_C uses the 0.5 event adj
+    assert(out("A").getAs[Double]("woe") < 0 &&
+      out("B").getAs[Double]("woe") > 0)
+    assert(out("B").getAs[Double]("woe") == 0.693147, s"${out("B")}")
+    val c = out("C")
+    assert(c.getAs[Long]("n_event") == 0L &&
+      c.getAs[Double]("woe") ==
+        BigDecimal(math.log((10.0 / 20.0) / (0.5 / 10.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    out.values.foreach(r =>
+      assert(r.getAs[Double]("iv_term") >= 0.0, s"$r"))
+    intercept[IllegalArgumentException] {
+      FeatureScreen.woeTable(
+        Seq(("A", true), ("B", true)).toDF("cat", "ev"), "cat", col("ev"))
+    }
+  }
+
+  test("trimmed mean: outliers dropped, inclusive fences, empty column") {
+    import graft.transform.Winsorize
+    // 1..20 plus a wild 1000: trimming at 5/95 drops the tail point
+    val df = ((1 to 20).map(_.toDouble) :+ 1000.0)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    val r = Winsorize.trimmedMean(df, "v", 0.05, 0.95).head()
+    assert(r.getAs[Long]("n_total") == 21L)
+    assert(r.getAs[Long]("n_used") < 21L)
+    val m = r.getAs[Double]("trimmed_mean")
+    assert(m > 5.0 && m < 15.0, s"outlier must not drag the mean: $r")
+    // constant column: fences collapse, everything survives (inclusive)
+    val flat = (1 to 10).map(i => (i, 7.0)).toDF("i", "v")
+    val f = Winsorize.trimmedMean(flat, "v").head()
+    assert(f.getAs[Long]("n_used") == 10L &&
+      f.getAs[Double]("trimmed_mean") == 7.0)
+    // all-null column: defined empty result, no NPE
+    val nul = (1 to 5).map(i => (i, Option.empty[Double])).toDF("i", "v")
+    val e = Winsorize.trimmedMean(nul, "v").head()
+    assert(e.getAs[Long]("n_total") == 0L &&
+      e.isNullAt(e.fieldIndex("trimmed_mean")))
+  }
 }
