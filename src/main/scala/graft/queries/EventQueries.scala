@@ -2191,10 +2191,49 @@ object EventQueries extends QueryModule {
       graft.ops.EventAnalytics.interEventGaps(
         Tables.load(s, dir, "events")))
 
+  /** Sample-ratio-mismatch check ([[graft.stats.Experiment.srmTest]])
+    * on the hash-split arms every experiment gate shares: realized arm
+    * sizes vs the intended 50/50, χ²₁ goodness-of-fit. The oracle
+    * replays the two cells and the χ² tree; the χ²(1) p is library-only
+    * (asserted in-gate: a healthy deterministic hash split must NOT
+    * flag SRM). */
+  val evSrm: Q = Q(
+    "ev_srm_check",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft-arm',
+            CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.5 AS arm
+        FROM events GROUP BY user_id),
+      c AS (
+        SELECT CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        FROM u WHERE arm IS NOT NULL)
+      SELECT nt AS n_t, nc AS n_c,
+        round((nt + nc) * 0.5, 6) AS expected_t,
+        round((nt + nc) * 0.5, 6) AS expected_c,
+        round((nt - (nt + nc) * 0.5) * (nt - (nt + nc) * 0.5)
+            / ((nt + nc) * 0.5)
+          + (nc - (nt + nc) * 0.5) * (nc - (nt + nc) * 0.5)
+            / ((nt + nc) * 0.5), 6) + 0.0 AS chi2
+      FROM c"""),
+    (s, dir) => {
+      val units = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("__n"))
+        .withColumn("arm", graft.ops.Sampling.hashFraction("graft-arm",
+          Seq(col("user_id"))) < 0.5)
+      val out = graft.stats.Experiment.srmTest(units, col("arm"))
+      val r = out.head()
+      require(r.getAs[Double]("p_value") > 1e-4,
+        s"a healthy deterministic split must not flag SRM: $r")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
-      evInterEvent,
+      evInterEvent, evSrm,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

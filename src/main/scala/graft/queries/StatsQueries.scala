@@ -2383,10 +2383,211 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Jonckheere–Terpstra ordered-alternative test
+    * ([[graft.stats.RankTests.jonckheereTerpstra]]) on the t38 fixture
+    * with the PLANTED ascending order A < N < R: the oracle replays the
+    * per-value group vectors, the below-count accumulation of 2·JT, the
+    * exact mean, and the tie-corrected Hollander–Wolfe variance (HUGEINT
+    * products — the g₃·t₃ term overflows BIGINT at this n); the normal p
+    * is library-only. In-gate: the planted trend must fire (z ≫ 0). */
+  val t52Jonckheere: Q = Q(
+    "t52_jonckheere",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS g,
+          CAST(l_quantity + CASE l_returnflag WHEN 'A' THEN 0
+            WHEN 'N' THEN 2 ELSE 5 END AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY 1, 2),
+      p AS (
+        SELECT v,
+          CAST(SUM(CASE WHEN g = 'A' THEN c ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN g = 'N' THEN c ELSE 0 END) AS BIGINT) AS cn,
+          CAST(SUM(CASE WHEN g = 'R' THEN c ELSE 0 END) AS BIGINT) AS cr
+        FROM cells GROUP BY v),
+      w AS (
+        SELECT *,
+          COALESCE(SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ba,
+          COALESCE(SUM(cn) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bn
+        FROM p),
+      jt AS (
+        SELECT CAST(SUM(CAST(2 AS HUGEINT) * (ba * cn + ba * cr + bn * cr)
+          + (ca * cn + ca * cr + cn * cr)) AS BIGINT) AS jt2
+        FROM w),
+      gs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM cells GROUP BY g),
+      nn AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+          SUM(CAST(ng AS HUGEINT) * ng) AS sq,
+          SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS g25,
+          SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS g3,
+          SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS g2
+        FROM gs),
+      ties AS (
+        SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS t25,
+          SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS t3,
+          SUM(CAST(t AS HUGEINT) * (t - 1)) AS t2
+        FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY v)),
+      f AS (
+        SELECT n,
+          CAST((CAST(n AS HUGEINT) * n - sq) // 2 AS BIGINT) AS mean2,
+          CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - g25 - t25
+            AS DOUBLE) / 72.0
+          + CAST(g3 * t3 AS DOUBLE) / (36.0 * n * (n - 1) * (n - 2))
+          + CAST(g2 * t2 AS DOUBLE) / (8.0 * n * (n - 1)) AS var_jt
+        FROM nn, ties)
+      SELECT CAST(3 AS BIGINT) AS k_groups, f.n AS n_total, jt.jt2,
+        f.mean2,
+        CASE WHEN f.var_jt > 0
+          THEN round(CAST(jt.jt2 - f.mean2 AS DOUBLE) / 2.0
+            / sqrt(f.var_jt), 6) + 0.0 END AS z
+      FROM jt, f"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .select(col("l_returnflag").as("g"),
+          (col("l_quantity") +
+            when(col("l_returnflag") === "A", 0)
+              .when(col("l_returnflag") === "N", 2).otherwise(5))
+            .cast("double").as("v"))
+      val out = graft.stats.RankTests.jonckheereTerpstra(
+        li, col("g"), col("v"), Seq("A", "N", "R"))
+      val r = out.head()
+      require(r.getAs[Double]("z") > 5.0,
+        s"planted ascending shifts must fire the ordered test: $r")
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0)
+      out.drop("p_value")
+    })
+
+  /** Newey–West HAC slope SE ([[graft.stats.Regression.neweyWestSlope]])
+    * over the t44 daily series at L = 7 (eighth weights are exact binary
+    * fractions — both engines fold the identical literals): the oracle
+    * replays the fit, the round-6 residual scores, γ₀…γ₇, and the
+    * Bartlett sum left-to-right. */
+  val t53NeweyWest: Q = Q(
+    "t53_newey_west",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS t,
+          CAST(count(*) AS DOUBLE) AS y
+        FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(t) AS DOUBLE) AS st,
+          CAST(sum(t * t) AS DOUBLE) AS stt,
+          CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(t * y, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sty
+        FROM d),
+      co AS (
+        SELECT *, (n * sty - st * sy) / (n * stt - st * st) AS slope FROM m),
+      co2 AS (
+        SELECT *, (sy - slope * st) / n AS intercept, st / n AS tbar
+        FROM co),
+      sc AS (
+        SELECT d.t,
+          round(d.y - (co2.intercept + co2.slope * d.t), 6)
+            * (d.t - co2.tbar) AS u,
+          (d.t - co2.tbar) * (d.t - co2.tbar) AS d2,
+          round(d.y - (co2.intercept + co2.slope * d.t), 6) AS e
+        FROM d, co2),
+      base AS (
+        SELECT
+          CAST(SUM(round(u * u, 12)::DECIMAL(38,14)) AS DOUBLE) AS g0,
+          CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(round(e * e, 12)::DECIMAL(38,14)) AS DOUBLE) AS ess
+        FROM sc),
+      gam AS (
+        SELECT l.l,
+          CAST(SUM(round(a.u * b.u, 12)::DECIMAL(38,14)) AS DOUBLE) AS g
+        FROM (SELECT unnest(generate_series(1, 7)) AS l) l, sc a, sc b
+        WHERE b.t = a.t + l.l
+        GROUP BY l.l),
+      gp AS (
+        SELECT
+          COALESCE(MAX(CASE WHEN l = 1 THEN g END), 0) AS g1,
+          COALESCE(MAX(CASE WHEN l = 2 THEN g END), 0) AS g2,
+          COALESCE(MAX(CASE WHEN l = 3 THEN g END), 0) AS g3,
+          COALESCE(MAX(CASE WHEN l = 4 THEN g END), 0) AS g4,
+          COALESCE(MAX(CASE WHEN l = 5 THEN g END), 0) AS g5,
+          COALESCE(MAX(CASE WHEN l = 6 THEN g END), 0) AS g6,
+          COALESCE(MAX(CASE WHEN l = 7 THEN g END), 0) AS g7
+        FROM gam),
+      fin AS (
+        SELECT co2.n, co2.slope, base.sxx, base.ess,
+          base.g0 + 2.0 * (1 - 1.0 / 8.0) * gp.g1
+            + 2.0 * (1 - 2.0 / 8.0) * gp.g2
+            + 2.0 * (1 - 3.0 / 8.0) * gp.g3
+            + 2.0 * (1 - 4.0 / 8.0) * gp.g4
+            + 2.0 * (1 - 5.0 / 8.0) * gp.g5
+            + 2.0 * (1 - 6.0 / 8.0) * gp.g6
+            + 2.0 * (1 - 7.0 / 8.0) * gp.g7 AS s
+        FROM co2, base, gp)
+      SELECT n, round(slope, 9) + 0.0 AS slope,
+        round(sqrt((ess / (n - 2)) / sxx), 9) + 0.0 AS se_ols,
+        round(CASE WHEN s <= 0 THEN 0.0
+          ELSE sqrt(s / (sxx * sxx)) END, 9) + 0.0 AS se_nw,
+        round(CASE WHEN s <= 0 THEN 0.0
+          ELSE sqrt(s / (sxx * sxx)) END
+          / sqrt((ess / (n - 2)) / sxx), 6) + 0.0 AS ratio
+      FROM fin"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").isNotNull)
+        .select(expr(
+          s"unix_micros(cast(l_shipdate as timestamp)) div ${86400L * 1000000L}")
+          .as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("double").as("y"))
+      val out = Regression.neweyWestSlope(daily, "t", "y", maxLag = 7)
+      val r = out.head()
+      require(r.getAs[Double]("ratio") > 0.0, s"degenerate HAC: $r")
+      out
+    })
+
+  /** Pythagorean means per return flag
+    * ([[graft.stats.Distribution.pythagoreanMeans]]): AM/GM/HM of
+    * quantity with the AM ≥ GM ≥ HM inequality asserted distributed
+    * in-gate (free invariant of the estimator). */
+  val t54Means: Q = Q(
+    "t54_pythagorean_means",
+    Some("""
+      SELECT l_returnflag AS key,
+        CAST(count(CASE WHEN l_quantity > 0 THEN 1 END) AS BIGINT)
+          AS n_pos,
+        CAST(count(CASE WHEN l_quantity IS NOT NULL AND l_quantity <= 0
+          THEN 1 END) AS BIGINT) AS n_nonpos,
+        round(CAST(SUM(CASE WHEN l_quantity > 0
+            THEN CAST(round(l_quantity, 9) AS DECIMAL(38,12)) END)
+          AS DOUBLE) / count(CASE WHEN l_quantity > 0 THEN 1 END), 6)
+          AS am,
+        round(exp(CAST(SUM(CASE WHEN l_quantity > 0
+            THEN CAST(round(ln(l_quantity), 9) AS DECIMAL(38,12)) END)
+          AS DOUBLE) / count(CASE WHEN l_quantity > 0 THEN 1 END)), 6)
+          AS gm,
+        round(count(CASE WHEN l_quantity > 0 THEN 1 END)
+          / CAST(SUM(CASE WHEN l_quantity > 0
+            THEN CAST(round(1.0 / l_quantity, 12) AS DECIMAL(38,14)) END)
+          AS DOUBLE), 6) AS hm
+      FROM lineitem GROUP BY 1 ORDER BY key NULLS FIRST"""),
+    (s, dir) => {
+      val out = graft.stats.Distribution.pythagoreanMeans(
+        Tables.load(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_quantity"))
+      if (Tables.gateMode) {
+        val bad = out.filter(col("am") < col("gm") ||
+          col("gm") < col("hm")).count()
+        require(bad == 0L, s"AM >= GM >= HM violated on $bad groups")
+      }
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
-    t51TrimmedMean,
+    t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -124,6 +124,40 @@ object Distribution {
     }
   }
 
+  /** The three Pythagorean means per group — arithmetic, geometric,
+    * harmonic — over the POSITIVE values of a column (geometric and
+    * harmonic are undefined otherwise; non-positive rows are counted
+    * and excluded). GM is the right average for ratios/growth rates,
+    * HM for rates (docs/sec, tokens/byte); AM ≥ GM ≥ HM always — the
+    * classical inequality, asserted by gates as a free invariant.
+    *
+    * ONE map-side-combined groupBy: ln and reciprocal terms round to
+    * 9/12 and fold as decimals (the house recipe — ln parity at
+    * round-9 is established by the KL gates), one double division or
+    * exp at the finish, round-6. Returns (key, n_pos, n_nonpos, am,
+    * gm, hm) ordered by key. */
+  def pythagoreanMeans(
+      df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    val v = valueCol.cast(DoubleType)
+    val pos = v.isNotNull && v > 0.0
+    df.groupBy(grpCol.as("key")).agg(
+        count(when(pos, 1)).as("n_pos"),
+        count(when(v.isNotNull && v <= 0.0, 1)).as("n_nonpos"),
+        sum(when(pos, round(v, 9)).cast("decimal(38,12)")).as("__sv"),
+        sum(when(pos, round(log(v), 9)).cast("decimal(38,12)")).as("__sl"),
+        sum(when(pos, round(lit(1.0) / v, 12)).cast("decimal(38,14)"))
+          .as("__si"))
+      .select(col("key"), col("n_pos"), col("n_nonpos"),
+        when(col("n_pos") > 0,
+          round(col("__sv").cast("double") / col("n_pos"), 6)).as("am"),
+        when(col("n_pos") > 0,
+          round(exp(col("__sl").cast("double") / col("n_pos")), 6))
+          .as("gm"),
+        when(col("n_pos") > 0 && col("__si").cast("double") > 0.0,
+          round(col("n_pos") / col("__si").cast("double"), 6)).as("hm"))
+      .orderBy("key")
+  }
+
   /** Hill estimator of the power-law tail index (Hill 1975, public):
     * α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest positive
     * values — the heavy-tail QC number: α ≤ 2 means infinite variance

@@ -345,6 +345,42 @@ object Experiment {
         "ci_lo", "ci_hi", "z", "p_value")
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the experiment-hygiene test
+    * every A/B readout must pass FIRST (Fabijan et al. 2019 popularized
+    * it; the χ² goodness-of-fit itself is Pearson 1900, public): do the
+    * realized arm sizes match the intended split? A significant SRM
+    * means assignment/logging is broken and every downstream metric is
+    * untrustworthy — run it before [[proportionTest]], not after.
+    * χ²₁ = (n_t − E_t)²/E_t + (n_c − E_c)²/E_c with E_t = ratio·n.
+    *
+    * One two-cell aggregation; the χ² is the same double tree in both
+    * engines, rounded to 6. Returns one row (n_t, n_c, expected_t,
+    * expected_c, chi2, p_value); the χ²(1) p is library-only. */
+  def srmTest(units: DataFrame, armCol: Column,
+      expectedTreatmentRatio: Double = 0.5): DataFrame = {
+    require(expectedTreatmentRatio > 0 && expectedTreatmentRatio < 1,
+      s"ratio in (0,1): $expectedTreatmentRatio")
+    val r = units.filter(armCol.isNotNull).agg(
+        sum(when(armCol, 1L).otherwise(0L)).as("nt"),
+        sum(when(!armCol, 1L).otherwise(0L)).as("nc"))
+      .head()
+    val nt = r.getAs[Long]("nt"); val nc = r.getAs[Long]("nc")
+    val n = nt + nc
+    require(n > 0, "SRM needs assigned units")
+    val et = n * expectedTreatmentRatio
+    val ec = n * (1.0 - expectedTreatmentRatio)
+    val chi2 = (nt - et) * (nt - et) / et + (nc - ec) * (nc - ec) / ec
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val p = r6(1.0 -
+      new org.apache.commons.math3.distribution.ChiSquaredDistribution(1.0)
+        .cumulativeProbability(chi2))
+    val spark = units.sparkSession
+    import spark.implicits._
+    Seq((nt, nc, r6(et), r6(ec), r6(chi2), p))
+      .toDF("n_t", "n_c", "expected_t", "expected_c", "chi2", "p_value")
+  }
+
   /** Cohen's h effect size for two proportions (Cohen 1988, public):
     * h = 2·arcsin√p_t − 2·arcsin√p_c — the SCALE-FREE companion to
     * [[proportionTest]]'s z: z says whether the arms differ, h says by

@@ -253,6 +253,130 @@ object RankTests {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952,
+    * public): the ORDERED-alternative k-group test — where
+    * [[kruskalWallis]] asks "do the groups differ at all", JT asks "do
+    * they increase in THIS order" (dose–response, version sequences,
+    * quality tiers) and buys real power when the order is known.
+    * JT = Σ_{i<j} U_ij over group pairs in the GIVEN order, ties
+    * counted half (the Mann–Whitney convention); the z uses the
+    * tie-corrected null moments (Hollander & Wolfe eq. 6.19 — exact
+    * integer sums over group sizes and tie multiplicities).
+    *
+    * Distributed shape: the (value, group) cell table pivots to one
+    * k-vector row per distinct value (k groups — bounded), ONE
+    * distributed sort over values, pass 1 collects per-partition
+    * per-group subtotals (k scalars each), a driver scanLeft turns them
+    * into entering below-counts, pass 2 accumulates 2·JT per partition
+    * in exact BigInt — NO unpartitioned window, driver traffic is k
+    * scalars per partition.
+    *
+    * `groupOrder` fixes the alternative (ascending); groups absent from
+    * the data fail loudly. Returns one row (k_groups, n_total, jt2 —
+    * the exact integer 2·JT, mean2 = 2·E[JT], z, p_value): z round-6,
+    * the normal p library-only. */
+  def jonckheereTerpstra(df: DataFrame, grpCol: Column, valueCol: Column,
+      groupOrder: Seq[String]): DataFrame = {
+    require(groupOrder.size >= 2, "need >= 2 ordered groups")
+    require(groupOrder.distinct.size == groupOrder.size,
+      s"duplicate group in order: $groupOrder")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = groupOrder.size
+    val cells = df
+      .select(grpCol.cast("string").as("g"), valueCol.cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+      .filter(col("g").isin(groupOrder: _*))
+      .groupBy("v", "g").agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy("v")
+      .agg(map_from_entries(collect_list(struct(col("g"), col("c"))))
+        .as("m"))
+      .select(col("v"),
+        array(groupOrder.map(g =>
+          coalesce(col("m").getItem(g), lit(0L))).toIndexedSeq: _*)
+          .as("cs"))
+      .as[(Double, Array[Long])].rdd
+      .sortBy(_._1)
+    rows.cache()
+    try {
+      val partTotals = rows.mapPartitionsWithIndex { (i, it) =>
+        val s = Array.ofDim[Long](k)
+        it.foreach { case (_, cs) =>
+          var j = 0; while (j < k) { s(j) += cs(j); j += 1 }
+        }
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(Array.ofDim[Long](k)) { (acc, p) =>
+        acc.zip(p).map { case (a, b) => a + b }
+      }
+      val nG = offsets.last
+      groupOrder.zip(nG).foreach { case (g, n) =>
+        require(n > 0, s"ordered group '$g' has no ranked values")
+      }
+      val n = nG.sum
+      val offB = rows.sparkContext.broadcast(offsets)
+      // pass 2: 2·JT per partition — 2·(below_i·c_j) + c_i·c_j over
+      // ordered pairs i<j, exact in BigInt
+      val jt2 = rows.mapPartitionsWithIndex { (i, it) =>
+        val below = offB.value(i).clone()
+        var acc = BigInt(0)
+        it.foreach { case (_, cs) =>
+          var jj = 1
+          while (jj < k) {
+            if (cs(jj) != 0L) {
+              var ii = 0
+              while (ii < jj) {
+                acc += BigInt(2) * BigInt(below(ii)) * cs(jj) +
+                  BigInt(cs(ii)) * cs(jj)
+                ii += 1
+              }
+            }
+            jj += 1
+          }
+          var m = 0; while (m < k) { below(m) += cs(m); m += 1 }
+        }
+        Iterator(acc)
+      }.collect().sum
+      // tie multiplicities for the corrected variance
+      val tieRow = cells.groupBy("v").agg(sum(col("c")).as("t"))
+        .agg(
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1)
+            * (lit(2) * col("t") + 5)).as("t25"),
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1)
+            * (col("t") - 2)).as("t3"),
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("t2"))
+        .head()
+      def dec(i: Int) = BigInt(tieRow.getDecimal(i).toBigInteger)
+      val (t25, t3, t2) = (dec(0), dec(1), dec(2))
+      def over(f: BigInt => BigInt) = nG.map(x => f(BigInt(x))).sum
+      val nI = BigInt(n)
+      val g25 = over(x => x * (x - 1) * (2 * x + 5))
+      val g3 = over(x => x * (x - 1) * (x - 2))
+      val g2 = over(x => x * (x - 1))
+      // 2·E[JT] = Σ_{i<j} 2·n_i·n_j = N² − Σ n_g² (exact, always even /2)
+      val mean2 = (nI * nI - over(x => x * x)) / 2
+      // exact integer numerators, ONE double division each — the same
+      // trees a SQL oracle replays (BigDecimal rational division would
+      // round under a MathContext no SQL engine shares)
+      val a = (nI * (n - 1) * (2 * n + 5) - g25 - t25).toDouble / 72.0
+      val b = (g3 * t3).toDouble / (36.0 * n * (n - 1.0) * (n - 2.0))
+      val c = (g2 * t2).toDouble / (8.0 * n * (n - 1.0))
+      val varJt = a + b + c
+      val (z, p): (Option[Double], Option[Double]) =
+        if (varJt <= 0.0) (None, None)
+        else {
+          val zv = (jt2 - mean2).toDouble / 2.0 / math.sqrt(varJt)
+          (Some(round6(zv)),
+            Some(round6(2.0 * (1.0 - new NormalDistribution(0.0, 1.0)
+              .cumulativeProbability(math.abs(zv))))))
+        }
+      require(jt2.isValidLong && mean2.isValidLong,
+        s"2JT=$jt2 exceeds long range - emit as decimal past ~3e9 rows")
+      Seq((k.toLong, n, jt2.toLong, mean2.toLong, z, p))
+        .toDF("k_groups", "n_total", "jt2", "mean2", "z", "p_value")
+    } finally rows.unpersist(blocking = false)
+  }
+
   /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, public) for
     * randomness of an ordered series: dichotomize on the round-6 median
     * (values equal to it are excluded — the standard treatment), count

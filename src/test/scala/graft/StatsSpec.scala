@@ -1995,4 +1995,101 @@ class StatsSpec extends SparkSpec {
     assert(e.getAs[Long]("n_total") == 0L &&
       e.isNullAt(e.fieldIndex("trimmed_mean")))
   }
+
+  test("jonckheere-terpstra: hand 2JT, trend sign, reversal, ties") {
+    import graft.stats.RankTests
+    // a={1,3}, b={2,4}: pairs a<b: (1,2)+(1,4)+(3,4)=3 -> 2JT=6
+    // mean2 = (16 - 8)/2 = 4; no ties
+    val small = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = RankTests.jonckheereTerpstra(small, col("g"), col("v"),
+      Seq("a", "b")).head()
+    assert(r.getAs[Long]("jt2") == 6L && r.getAs[Long]("mean2") == 4L,
+      s"$r")
+    assert(r.getAs[Double]("z") > 0.0)
+    // reversing the claimed order flips the statistic around the mean
+    val rev = RankTests.jonckheereTerpstra(small, col("g"), col("v"),
+      Seq("b", "a")).head()
+    assert(rev.getAs[Long]("jt2") == 2L, "8 - 6 = 2 (no ties)")
+    assert(rev.getAs[Double]("z") == -r.getAs[Double]("z"))
+    // ties count half: a={1,2}, b={2,3}: strict 3 pairs + one tie -> 2JT=7
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val t = RankTests.jonckheereTerpstra(tied, col("g"), col("v"),
+      Seq("a", "b")).head()
+    assert(t.getAs[Long]("jt2") == 7L, s"$t")
+    // a strong planted trend across 3 ordered groups fires hard
+    val trend = (1 to 30).flatMap(i => Seq(
+      ("lo", i.toDouble), ("mid", 100.0 + i), ("hi", 200.0 + i)))
+    val big = RankTests.jonckheereTerpstra(trend.toDF("g", "v"),
+      col("g"), col("v"), Seq("lo", "mid", "hi")).head()
+    assert(big.getAs[Double]("z") > 5.0 &&
+      big.getAs[Double]("p_value") < 1e-6, s"$big")
+    // missing ordered group is loud
+    intercept[IllegalArgumentException] {
+      RankTests.jonckheereTerpstra(small, col("g"), col("v"),
+        Seq("a", "b", "zzz"))
+    }
+  }
+
+  test("newey-west: iid ~ ols, smooth residuals inflate, weights sane") {
+    // avalanche-scrambled noise around a trend (a Weyl sequence would
+    // carry strong lag-2/4 correlations and bias the HAC sum): ratio ~ 1
+    def scramble(t: Int): Double = {
+      var x = t * 0x9E3779B9
+      x ^= x >>> 16; x *= 0x85EBCA6B; x ^= x >>> 13
+      (x & 0x7fffffff) % 1000 / 1000.0
+    }
+    val iid = (1 to 400).map(t => (t.toLong, 2.0 * t + scramble(t)))
+      .toDF("t", "y")
+    val r1 = Regression.neweyWestSlope(iid, "t", "y", maxLag = 7).head()
+    val ratio1 = r1.getAs[Double]("ratio")
+    assert(ratio1 > 0.5 && ratio1 < 1.5, s"iid ratio near 1: $r1")
+    // slow sine residuals: strong positive autocorrelation, ratio >> 1
+    val smooth = (1 to 400).map(t =>
+      (t.toLong, 2.0 * t + 5.0 * math.sin(t / 40.0))).toDF("t", "y")
+    val r2 = Regression.neweyWestSlope(smooth, "t", "y", maxLag = 7)
+      .head()
+    assert(r2.getAs[Double]("ratio") > 1.5,
+      s"autocorrelated residuals must inflate the HAC SE: $r2")
+    // both SEs positive, slope recovered
+    assert(math.abs(r2.getAs[Double]("slope") - 2.0) < 0.05)
+    assert(r2.getAs[Double]("se_nw") > r2.getAs[Double]("se_ols"))
+    intercept[IllegalArgumentException] {
+      Regression.neweyWestSlope(iid.limit(5), "t", "y", maxLag = 7)
+    }
+  }
+
+  test("srm: clean split passes, broken split flags, ratio parameter") {
+    import graft.stats.Experiment
+    def arms(nt: Int, nc: Int) =
+      (Seq.fill(nt)(true) ++ Seq.fill(nc)(false)).toDF("arm")
+    val ok = Experiment.srmTest(arms(5000, 5010), col("arm")).head()
+    assert(ok.getAs[Double]("p_value") > 0.5, s"$ok")
+    // a 10% leak on one arm at n=10k is unmissable
+    val broken = Experiment.srmTest(arms(4500, 5500), col("arm")).head()
+    assert(broken.getAs[Double]("chi2") == 100.0 &&
+      broken.getAs[Double]("p_value") < 1e-6, s"$broken")
+    // 90/10 design: the same counts are fine under the right ratio
+    val ninety = Experiment.srmTest(arms(9000, 1000), col("arm"), 0.9)
+      .head()
+    assert(ninety.getAs[Double]("chi2") == 0.0 &&
+      ninety.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("pythagorean means: am >= gm >= hm, hand values, nonpositive out") {
+    import graft.stats.Distribution
+    // {1, 4}: am 2.5, gm 2, hm 1.6; {2,2}: all 2; one nonpositive dropped
+    val df = Seq(("a", 1.0), ("a", 4.0), ("b", 2.0), ("b", 2.0),
+      ("b", -7.0)).toDF("g", "v")
+    val out = Distribution.pythagoreanMeans(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("am") == 2.5 && a.getAs[Double]("gm") == 2.0 &&
+      a.getAs[Double]("hm") == 1.6, s"$a")
+    val b = out("b")
+    assert(b.getAs[Long]("n_nonpos") == 1L &&
+      b.getAs[Double]("am") == 2.0 && b.getAs[Double]("gm") == 2.0 &&
+      b.getAs[Double]("hm") == 2.0)
+  }
 }
