@@ -478,6 +478,40 @@ object EventAnalytics {
     * the index describes observed-day counts (document the grain).
     * Returns per key (key, n_days, mean_count, vmr, dispersion_chi2),
     * round-6; vmr/χ² null when n_days < 2 or the mean is 0. */
+  /** Local-maximum days of the daily event-count series — the
+    * spike-finder next to the z-score/CUSUM monitors: a peak is a day
+    * STRICTLY above both calendar neighbors (a missing neighbor counts
+    * as 0 events — an empty day is a real trough of an event count),
+    * at or above `minCount` so one-event blips don't report. The
+    * strict-both-sides rule means plateaus have NO peak (deterministic
+    * by construction; detect plateaus with [[EventAnalytics.cusumDaily]]
+    * instead).
+    *
+    * Scale shape: one day-count aggregation, two hash self-joins on
+    * day±1 — calendar-bounded, no window, no sort. Returns
+    * (day, n_events, prev_n, next_n) for peak days ordered by day. */
+  def dailyPeaks(
+      events: DataFrame, tsCol: String = "ts",
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val prev = daily.select((col("day") + 1L).as("day"),
+      col("n_events").as("prev_n"))
+    val next = daily.select((col("day") - 1L).as("day"),
+      col("n_events").as("next_n"))
+    daily.join(prev, Seq("day"), "left").join(next, Seq("day"), "left")
+      .select(col("day"), col("n_events"),
+        coalesce(col("prev_n"), lit(0L)).as("prev_n"),
+        coalesce(col("next_n"), lit(0L)).as("next_n"))
+      .filter(col("n_events") > col("prev_n") &&
+        col("n_events") > col("next_n") &&
+        col("n_events") >= minCount)
+      .orderBy("day")
+  }
+
   /** Inter-event gap statistics + Goh–Barabási burstiness per event
     * type (Goh & Barabási 2008, public): consecutive same-user gaps in
     * seconds, summarized as mean / median / B = (σ−μ)/(σ+μ) with the

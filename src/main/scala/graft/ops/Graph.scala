@@ -576,4 +576,49 @@ object Graph {
     throw new IllegalStateException(
       s"kCore(k=$k) did not reach a fixpoint in $maxIters peels")
   }
+
+  /** Multi-source BFS hop levels (SSSP on unit weights) from a seed
+    * set, bounded at `maxHops` — "what can this spam hub reach in ≤ k
+    * clicks", the reachability primitive under TrustRank-style seed
+    * analyses. Directed edges, level = fewest hops from ANY seed.
+    *
+    * Scale shape: classic frontier expansion — per hop ONE
+    * frontier⋈edges join (shuffle keyed on src) + one left_anti against
+    * the visited set; the frontier is node-sized, lineage truncates per
+    * hop (`localCheckpoint`), and the loop exits early on an empty
+    * frontier. A SQL oracle replays it as a bounded recursive CTE —
+    * iterative Spark joins vs WITH RECURSIVE is a genuine
+    * cross-paradigm differential.
+    *
+    * Returns (node, level) for every node reached within `maxHops`
+    * (seeds at level 0), ordered by node. */
+  def bfsLevels(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1,64]: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src")).persist()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .select(col("node"), lit(0).as("level"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    try {
+      while (hop <= maxHops && frontier.limit(1).count() > 0) {
+        val next = frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).as("level"))
+          .localCheckpoint(true) // truncate lineage per hop
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+        hop += 1
+      }
+      visited.orderBy("node")
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -1256,11 +1256,106 @@ object EvalQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Brier score + Murphy decomposition
+    * ([[graft.stats.Eval.brierDecomposition]]) with the discount level
+    * (×10, 11 distinct values) as the "forecast": the oracle replays the
+    * per-score cells, all three decimal term folds, and the base rate;
+    * in-gate the EXACT identity BS = REL − RES + UNC is asserted to the
+    * rounding floor. */
+  val brierGate: Q = Q(
+    "ml_brier_decomposition",
+    Some("""
+      WITH b AS (
+        SELECT round(l_discount * 10, 2) AS p,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+      g AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n_p,
+          CAST(sum(y) AS BIGINT) AS s_p
+        FROM b GROUP BY 1),
+      t AS (
+        SELECT CAST(SUM(n_p) AS BIGINT) AS n, CAST(SUM(s_p) AS BIGINT) AS s
+        FROM g),
+      yb AS (SELECT n, CAST(s AS DOUBLE) / n AS ybar FROM t),
+      f AS (
+        SELECT
+          CAST(SUM(round(p * p * n_p - 2.0 * p * s_p + s_p,
+            12)::DECIMAL(38,14)) AS DOUBLE) AS bs,
+          CAST(SUM(round((p - CAST(s_p AS DOUBLE) / n_p)
+            * (p - CAST(s_p AS DOUBLE) / n_p) * n_p,
+            12)::DECIMAL(38,14)) AS DOUBLE) AS rel,
+          CAST(SUM(round((CAST(s_p AS DOUBLE) / n_p - yb.ybar)
+            * (CAST(s_p AS DOUBLE) / n_p - yb.ybar) * n_p,
+            12)::DECIMAL(38,14)) AS DOUBLE) AS res
+        FROM g, yb)
+      SELECT yb.n, round(f.bs / yb.n, 9) AS brier,
+        round(f.rel / yb.n, 9) AS reliability,
+        round(f.res / yb.n, 9) AS resolution,
+        round(yb.ybar * (1 - yb.ybar), 9) AS uncertainty
+      FROM f, yb"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount").isNotNull && col("l_returnflag").isNotNull)
+      val out = graft.stats.Eval.brierDecomposition(li,
+        round(col("l_discount") * 10, 2),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      val r = out.head()
+      val identity = r.getAs[Double]("reliability") -
+        r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty")
+      require(math.abs(r.getAs[Double]("brier") - identity) < 3e-9,
+        s"Murphy identity must hold exactly at the rounding floor: $r")
+      out
+    })
+
+  /** Matthews correlation at a fixed price threshold
+    * ([[graft.stats.Eval.mccAt]]): independent columns, so the gate is
+    * the confusion/MCC arithmetic (|mcc| small asserted), not a
+    * discovery; the oracle replays the four cells and the double
+    * product tree. */
+  val mccGate: Q = Q(
+    "ml_mcc",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      c AS (
+        SELECT
+          CAST(SUM(CASE WHEN s > 30000.0 AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN s > 30000.0 AND y = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN s <= 30000.0 AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN s <= 30000.0 AND y = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn
+        FROM b)
+      SELECT tp, fp, fn, tn,
+        CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+            AND tn + fn > 0
+          THEN round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+            / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp)
+              * (tn + fn)), 6) + 0.0 END AS mcc
+      FROM c"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_returnflag").isNotNull)
+      val out = graft.stats.Eval.mccAt(li, col("l_extendedprice"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L), 30000.0)
+      val m = out.head().getAs[Double]("mcc")
+      require(math.abs(m) < 0.05,
+        s"price and flag are independent; MCC must be near 0: $m")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
       krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate,
-      mcnemarGate, liftGainsGate, cochranQGate)
+      mcnemarGate, liftGainsGate, cochranQGate, brierGate, mccGate)
 }

@@ -2230,10 +2230,33 @@ object EventQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Daily spike days ([[graft.ops.EventAnalytics.dailyPeaks]]):
+    * strict local maxima of the daily count series with missing
+    * calendar neighbors counted as zero; the oracle replays the two
+    * day±1 self-joins and the strict filter row for row. */
+  val evPeaks: Q = Q(
+    "ev_daily_peaks",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1)
+      SELECT d.day, d.n_events,
+        COALESCE(p.n_events, 0) AS prev_n,
+        COALESCE(nx.n_events, 0) AS next_n
+      FROM d
+      LEFT JOIN d p ON p.day = d.day - 1
+      LEFT JOIN d nx ON nx.day = d.day + 1
+      WHERE d.n_events > COALESCE(p.n_events, 0)
+        AND d.n_events > COALESCE(nx.n_events, 0)
+      ORDER BY d.day"""),
+    (s, dir) =>
+      graft.ops.EventAnalytics.dailyPeaks(Tables.load(s, dir, "events")))
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
-      evInterEvent, evSrm,
+      evInterEvent, evSrm, evPeaks,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

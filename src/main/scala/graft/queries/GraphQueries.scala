@@ -602,8 +602,40 @@ object GraphQueries extends QueryModule {
     socialEdges(d, d.count())
   }
 
+  /** Multi-source BFS hop levels ([[Graph.bfsLevels]]) from the
+    * doc_id % 97 seed set over the standard link graph, bounded at 4
+    * hops — Spark's iterative frontier joins against DuckDB's bounded
+    * WITH RECURSIVE: a genuine cross-paradigm differential (same
+    * reachable set, same minimum hop counts, row for row). */
+  val grBfs: Q = Q(
+    "gr_bfs_levels",
+    Some(s"""
+      WITH RECURSIVE edges AS ($edgesSql),
+      bfs(node, level) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT e.dst, b.level + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.level < 4)
+      SELECT node, CAST(min(level) AS BIGINT) AS level
+      FROM bfs GROUP BY node ORDER BY node"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val seeds = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("node"))
+      val out = Graph.bfsLevels(edgesDf(s, dir), seeds, maxHops = 4)
+        .select(col("node"), col("level").cast("long").as("level"))
+        .orderBy("node")
+      if (Tables.gateMode) {
+        val bad = out.agg(min(col("level")), max(col("level"))).head()
+        require(bad.getLong(0) == 0L && bad.getLong(1) <= 4L,
+          s"levels must span [0, 4]: $bad")
+      }
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
       grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms,
-      grTriangles, grClustering, grLinkPrediction, grKcore)
+      grTriangles, grClustering, grLinkPrediction, grKcore, grBfs)
 }

@@ -312,6 +312,93 @@ object Eval {
         round(col("__bj.f"), 9).as("fpr_at_j"))
   }
 
+  /** Brier score with the Murphy (1973, public) decomposition over
+    * distinct forecast values: BS = REL − RES + UNC, where
+    * REL = Σ n_p(p − ȳ_p)²/N punishes miscalibration,
+    * RES = Σ n_p(ȳ_p − ȳ)²/N rewards discrimination, and
+    * UNC = ȳ(1−ȳ) is the base-rate floor. The identity is EXACT when
+    * grouped by the forecast value itself (binary y ⇒
+    * Σ(p−y)² = Σ_p [n_p p² − 2p·s_p + s_p]) — gates assert it as a free
+    * invariant. The score-level companion to [[calibrationBins]]: one
+    * number for "how good", three for "why".
+    *
+    * Scale shape: one groupBy(score) with map-side combine (bounded by
+    * distinct forecast values — quantize first on continuous scores,
+    * the [[auc]] contract), one broadcast total, decimal term folds.
+    * Labels must be 0/1 (loud); null rows excluded. Returns one row
+    * (n, brier, reliability, resolution, uncertainty), round-9. */
+  def brierDecomposition(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val rows = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__p"),
+        labelCol.cast("long").as("__y"))
+    val g = rows.groupBy("__p").agg(
+      count(lit(1)).as("n_p"), sum(col("__y")).as("s_p"))
+    val tot = g.agg(sum(col("n_p")).as("n"), sum(col("s_p")).as("s"),
+        min(col("__p")).as("__pmin"), max(col("__p")).as("__pmax"))
+      .head()
+    val n = tot.getAs[Long]("n")
+    require(n > 0, "Brier needs scored rows")
+    require(tot.getAs[Double]("__pmin") >= 0.0 &&
+      tot.getAs[Double]("__pmax") <= 1.0, "forecasts must sit in [0,1]")
+    val yBar = tot.getAs[Long]("s").toDouble / n
+    def fold(c: Column) = sum(round(c, 12).cast("decimal(38,14)"))
+      .cast("double")
+    val ybp = col("s_p").cast("double") / col("n_p")
+    g.agg(
+        fold(col("__p") * col("__p") * col("n_p")
+          - lit(2.0) * col("__p") * col("s_p") + col("s_p")).as("__bs"),
+        fold((col("__p") - ybp) * (col("__p") - ybp) * col("n_p"))
+          .as("__rel"),
+        fold((ybp - lit(yBar)) * (ybp - lit(yBar)) * col("n_p"))
+          .as("__res"))
+      .select(lit(n).as("n"),
+        round(col("__bs") / n, 9).as("brier"),
+        round(col("__rel") / n, 9).as("reliability"),
+        round(col("__res") / n, 9).as("resolution"),
+        lit(java.math.BigDecimal.valueOf(yBar * (1.0 - yBar))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+          .as("uncertainty"))
+  }
+
+  /** Matthews correlation coefficient at a fixed threshold (Matthews
+    * 1975, public) — the single-number confusion summary that stays
+    * honest under class imbalance where accuracy and even F1 mislead:
+    * MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+    * Predicted positive ⇔ score > threshold.
+    *
+    * One four-cell aggregation; the products run in double (each cell ≤
+    * n, so tp·tn reaches n² — past any integer at corpus scale, and the
+    * oracle's CAST-then-multiply matches the same rounding). Returns one
+    * row (tp, fp, fn, tn, mcc) with mcc round-6, null when any marginal
+    * is zero (the statistic is undefined — a degenerate classifier). */
+  def mccAt(df: DataFrame, scoreCol: Column, labelCol: Column,
+      threshold: Double): DataFrame = {
+    val pred = scoreCol > lit(threshold)
+    val y = labelCol.cast("long")
+    val r = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .agg(
+        sum(when(pred && y === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && y === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && y === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pred && y === 0L, 1L).otherwise(0L)).as("tn"),
+        min(y).as("__ymin"), max(y).as("__ymax"))
+      .head()
+    require(r.getAs[Long]("__ymin") >= 0L && r.getAs[Long]("__ymax") <= 1L,
+      "labels must be 0/1")
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    val den = (tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn)
+    val mcc: Option[Double] =
+      if (den <= 0.0) None
+      else Some(java.math.BigDecimal.valueOf(
+          (tp.toDouble * tn - fp.toDouble * fn) / math.sqrt(den))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((tp, fp, fn, tn, mcc)).toDF("tp", "fp", "fn", "tn", "mcc")
+  }
+
   /** Decile lift & cumulative-gains table — the marketing/model-triage
     * view of a scored population: bucket rows by score quantile (bucket
     * 1 = highest scores), and per bucket report the positive rate, the

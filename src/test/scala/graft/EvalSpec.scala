@@ -158,6 +158,56 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("brier decomposition: murphy identity, perfect/base forecasts") {
+    // forecasts on a 3-value grid; identity BS = REL - RES + UNC exact
+    val rows = Seq.fill(10)((0.2, 0)) ++ Seq.fill(10)((0.2, 1)) ++
+      Seq.fill(20)((0.8, 1)) ++ Seq.fill(5)((0.8, 0)) ++
+      Seq.fill(5)((0.5, 1))
+    val r = Eval.brierDecomposition(rows.toDF("p", "y"),
+      col("p"), col("y")).head()
+    val id = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    assert(math.abs(r.getAs[Double]("brier") - id) < 3e-9, s"$r")
+    // a perfectly calibrated AND perfectly sharp forecaster: BS = 0
+    val perfect = (Seq.fill(10)((1.0, 1)) ++ Seq.fill(10)((0.0, 0)))
+      .toDF("p", "y")
+    val pf = Eval.brierDecomposition(perfect, col("p"), col("y")).head()
+    assert(pf.getAs[Double]("brier") == 0.0 &&
+      pf.getAs[Double]("reliability") == 0.0 &&
+      pf.getAs[Double]("resolution") == pf.getAs[Double]("uncertainty"))
+    // the constant base-rate forecast: RES = 0, BS = UNC
+    val base = (Seq.fill(6)((0.25, 0)) ++ Seq.fill(2)((0.25, 1)))
+      .toDF("p", "y")
+    val bf = Eval.brierDecomposition(base, col("p"), col("y")).head()
+    assert(bf.getAs[Double]("resolution") == 0.0 &&
+      bf.getAs[Double]("reliability") == 0.0 &&
+      bf.getAs[Double]("brier") == bf.getAs[Double]("uncertainty"))
+    intercept[IllegalArgumentException] {
+      Eval.brierDecomposition(Seq((1.5, 1)).toDF("p", "y"),
+        col("p"), col("y")).head()
+    }
+  }
+
+  test("mcc: perfect 1, inverted -1, random ~ 0, degenerate null") {
+    def df(rows: Seq[(Double, Int)]) = rows.toDF("s", "y")
+    // threshold 0.5 splits perfectly
+    val perfect = (1 to 10).map(i => (if (i <= 5) 0.9 else 0.1,
+      if (i <= 5) 1 else 0))
+    assert(Eval.mccAt(df(perfect), col("s"), col("y"), 0.5)
+      .head().getAs[Double]("mcc") == 1.0)
+    val inverted = perfect.map { case (s, y) => (s, 1 - y) }
+    assert(Eval.mccAt(df(inverted), col("s"), col("y"), 0.5)
+      .head().getAs[Double]("mcc") == -1.0)
+    // all predicted positive: a zero marginal, MCC undefined
+    val oneSided = Eval.mccAt(df(perfect), col("s"), col("y"), 0.0)
+      .head()
+    assert(oneSided.isNullAt(oneSided.fieldIndex("mcc")))
+    intercept[IllegalArgumentException] {
+      Eval.mccAt(Seq((1.0, 2)).toDF("s", "y"), col("s"), col("y"), 0.5)
+        .head()
+    }
+  }
+
   test("lift table: perfect ranker geometry, tie merge, label guard") {
     // scores 1..100 distinct, positives = the top 20 scores
     val perfect = (1 to 100).map(i => (i.toDouble, if (i > 80) 1 else 0))

@@ -417,4 +417,25 @@ class GraphSpec extends SparkSpec {
     assert(d("p") == d("q") && d("y") < d("p"),
       s"edgeless word must keep sub-uniform teleport mass: $d")
   }
+
+  test("bfs levels: chain distances, min over sources, hop cap, early exit") {
+    import graft.ops.Graph
+    // chain 1->2->3->4->5 plus a shortcut 1->4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    def levels(seeds: Seq[Long], hops: Int) =
+      Graph.bfsLevels(edges, seeds.toDF("node"), hops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fromOne = levels(Seq(1L), 10)
+    assert(fromOne == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2),
+      s"shortcut must win: $fromOne")
+    // two sources: min hop distance over both
+    val two = levels(Seq(1L, 3L), 10)
+    assert(two(3L) == 0 && two(4L) == 1 && two(5L) == 2 && two(2L) == 1)
+    // hop cap truncates the frontier
+    val capped = levels(Seq(1L), 1)
+    assert(capped.keySet == Set(1L, 2L, 4L))
+    // a seed with no outgoing edges terminates immediately
+    assert(levels(Seq(99L), 5) == Map(99L -> 0))
+  }
 }

@@ -3301,6 +3301,30 @@ class OpsSpec extends SparkSpec {
       b.getAs[Double]("burstiness") == -1.0, "metronome")
   }
 
+  test("daily peaks: strict maxima, gap neighbors are zero, plateaus skip") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    // counts/day: d1=2, d2=5, d3=1, d5=3 (d4 missing), d6=3 (plateau)
+    def rows(day: Int, n: Int) = (1 to n).map(i =>
+      Tuple1(new Timestamp((day * 86400L + i) * 1000L)))
+    val events = (rows(1, 2) ++ rows(2, 5) ++ rows(3, 1) ++ rows(5, 3) ++
+      rows(6, 3)).toDF("ts")
+    val peaks = EventAnalytics.dailyPeaks(events)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // d2 beats 2 and 1; d5 beats the MISSING d4 (0) but ties d6 -> no;
+    // d6 beats d5? equal -> no; strictness kills the plateau pair
+    assert(peaks.keySet == Set(2L), s"$peaks")
+    val p = peaks(2L)
+    assert(p.getAs[Long]("n_events") == 5L &&
+      p.getAs[Long]("prev_n") == 2L && p.getAs[Long]("next_n") == 1L)
+    // minCount filters low spikes: an isolated day IS a peak over zeros
+    val lone = EventAnalytics.dailyPeaks(rows(10, 2).toDF("ts"))
+      .collect()
+    assert(lone.length == 1 && lone.head.getLong(0) == 10L)
+    assert(EventAnalytics.dailyPeaks(rows(10, 2).toDF("ts"), minCount = 3)
+      .collect().isEmpty)
+  }
+
   test("max drawdown: hand path, earliest-tie policy, never-falling zero") {
     import graft.ops.EventAnalytics
     def dd(ys: Seq[Double]) = EventAnalytics.maxDrawdown(
