@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryModule, Tables}
 import graft.ops.Sampling
 import graft.stats.{Eval, Logistic}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation gates ([[graft.stats.Eval]]). The metrics stay
@@ -1351,11 +1352,112 @@ object EvalQueries extends QueryModule {
       out
     })
 
+  /** Two synthetic ordinal raters over lineitem: a = capped quantity
+    * decile (0..5), b = a pushed up one level on every fifth order key —
+    * mostly agreeing, with a deliberate UPWARD drift (the asymmetry
+    * Bowker exists to catch, invisible to kappa). */
+  private def ordinalRaters(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_orderkey").isNotNull)
+    val a = least(lit(5L), floor(col("l_quantity") / 10))
+    li.select(a.as("a"),
+      least(lit(5L), a + when(col("l_orderkey") % 5 === 0, 1L)
+        .otherwise(0L)).as("b"))
+  }
+
+  private val ordinalRatersSql = """
+    SELECT a, LEAST(5, a + CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+      AS b
+    FROM (SELECT LEAST(5, CAST(floor(l_quantity / 10) AS BIGINT)) AS a,
+        l_orderkey
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_orderkey IS NOT NULL)"""
+
+  /** Quadratic-weighted kappa ([[graft.stats.Agreement.weightedKappa]])
+    * on the ordinal-rater fixture: the oracle replays the integer-cleared
+    * κ_w = 1 − n·Σ(i−j)²o / Σ(i−j)²·r·c with HUGEINT products. In-gate:
+    * the near-agreeing raters must score high, and ABOVE unweighted
+    * kappa (the drift is all one-step — quadratic weights forgive it). */
+  val weightedKappaGate: Q = Q(
+    "lbl_weighted_kappa",
+    Some(s"""
+      WITH p AS ($ordinalRatersSql),
+      cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM p GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY a),
+      cm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      ob AS (
+        SELECT SUM(CAST((a - b) * (a - b) AS HUGEINT) * c) AS obs
+        FROM cells),
+      ex AS (
+        SELECT SUM(CAST((rm.a - cm.b) * (rm.a - cm.b) AS HUGEINT)
+          * rm.r * cm.cc) AS expd
+        FROM rm, cm),
+      lv AS (
+        SELECT CAST(count(*) AS INTEGER) AS levels
+        FROM (SELECT a AS l FROM rm UNION SELECT b FROM cm))
+      SELECT nn.n, lv.levels,
+        CASE WHEN ex.expd <> 0
+          THEN round(1.0 - CAST(nn.n * ob.obs AS DOUBLE)
+            / CAST(ex.expd AS DOUBLE), 6) + 0.0 END AS kappa_w
+      FROM nn, ob, ex, lv"""),
+    (s, dir) => {
+      val raters = ordinalRaters(s, dir)
+      val out = graft.stats.Agreement.weightedKappa(raters,
+        col("a"), col("b"))
+      val kw = out.head().getAs[Double]("kappa_w")
+      require(kw > 0.7, s"near-agreeing raters must score high: $kw")
+      if (Tables.gateMode) {
+        val plain = graft.stats.Agreement.cohenKappa(raters,
+          col("a"), col("b")).head().getAs[Double]("kappa")
+        require(kw > plain,
+          s"one-step drift: quadratic weights must forgive (kw=$kw k=$plain)")
+      }
+      out
+    })
+
+  /** Bowker's symmetry test ([[graft.stats.Agreement.bowker]]) on the
+    * same fixture: the planted one-direction drift must FIRE (χ² huge —
+    * every discordant pair moves up, never down); the oracle replays
+    * the pair rollup and the round-9 term fold; the χ²(df) p is
+    * library-only (asserted ≈ 0 in-gate, excluded). */
+  val bowkerGate: Q = Q(
+    "lbl_bowker",
+    Some(s"""
+      WITH p AS ($ordinalRatersSql),
+      cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM p GROUP BY 1, 2),
+      nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      pr AS (
+        SELECT LEAST(a, b) AS i, GREATEST(a, b) AS j,
+          CAST(SUM(CASE WHEN a < b THEN c ELSE 0 END) AS BIGINT) AS nij,
+          CAST(SUM(CASE WHEN a > b THEN c ELSE 0 END) AS BIGINT) AS nji
+        FROM cells WHERE a <> b GROUP BY 1, 2),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS dof,
+          CAST(SUM(CAST(round(CAST(nij - nji AS DOUBLE) * (nij - nji)
+            / (nij + nji), 9) AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+        FROM pr)
+      SELECT nn.n, agg.dof AS n_pairs_tested,
+        round(agg.chi2, 6) + 0.0 AS chi2
+      FROM nn, agg"""),
+    (s, dir) => {
+      val out = graft.stats.Agreement.bowker(ordinalRaters(s, dir),
+        col("a"), col("b"))
+      val r = out.head()
+      require(r.getAs[Double]("chi2") > 100.0,
+        s"one-direction drift must fire the symmetry test: $r")
+      require(r.getAs[Double]("p_value") < 1e-9)
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
     Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
       krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate,
-      mcnemarGate, liftGainsGate, cochranQGate, brierGate, mccGate)
+      mcnemarGate, liftGainsGate, cochranQGate, brierGate, mccGate,
+      weightedKappaGate, bowkerGate)
 }

@@ -2584,10 +2584,44 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Distribution-free median CI ([[graft.stats.Distribution.medianCI]])
+    * on extendedprice: the oracle replays the normal-approximation rank
+    * formula (floor of the identical double) and reads the order
+    * statistics via row_number (Spark reads them via degenerate-index
+    * exact percentile — the two selections agree at round-6 by
+    * construction). In-gate: the interval must bracket the median. */
+  val t55MedianCi: Q = Q(
+    "t55_median_ci",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      r AS (
+        SELECT n, GREATEST(1, CAST(floor((n - 1.959963984540054
+          * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS lo_rank
+        FROM c),
+      r2 AS (SELECT *, n + 1 - lo_rank AS hi_rank FROM r),
+      rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b)
+      SELECT r2.n, r2.lo_rank, r2.hi_rank,
+        (SELECT round(quantile_cont(v, 0.5), 6) FROM b) AS median,
+        (SELECT round(v, 6) FROM rk, r2 WHERE rk.rn = r2.lo_rank) AS ci_lo,
+        (SELECT round(v, 6) FROM rk, r2 WHERE rk.rn = r2.hi_rank) AS ci_hi
+      FROM r2"""),
+    (s, dir) => {
+      val out = graft.stats.Distribution.medianCI(
+        Tables.load(s, dir, "lineitem"), col("l_extendedprice"))
+      val r = out.head()
+      require(r.getAs[Double]("ci_lo") <= r.getAs[Double]("median") &&
+        r.getAs[Double]("median") <= r.getAs[Double]("ci_hi"),
+        s"the interval must bracket the median: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
-    t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means,
+    t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -286,6 +286,105 @@ object Agreement {
       .toDF("n_rows", "k", "sum_item_var", "total_var", "alpha")
   }
 
+  /** Quadratic-weighted Cohen's kappa (Cohen 1968, public) for ORDINAL
+    * integer labels — plain kappa treats "4 vs 5" and "1 vs 5" as
+    * equally wrong; the quadratic weights charge disagreement by
+    * (i−j)², which is what rating scales need. The (k−1)² weight
+    * denominators cancel, leaving the integer-cleared form
+    * κ_w = 1 − n·Σ(i−j)²·o_ij / Σ(i−j)²·r_i·c_j — exact integers up to
+    * one double division (BigInt driver combine: the denominator
+    * reaches n²·range²).
+    *
+    * One (a, b) cell aggregation; the cell table is level²-bounded (a
+    * rating scale, loudly capped at 10 000 cells) and collects to the
+    * driver. Null labels excluded. Returns one row (n, levels,
+    * kappa_w round-6); null when the expected-disagreement denominator
+    * is zero (either rater is constant — chance agreement undefined). */
+  def weightedKappa(
+      df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .filter(labelA.isNotNull && labelB.isNotNull)
+      .select(labelA.cast("long").as("a"), labelB.cast("long").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .collect()
+    require(cells.nonEmpty, "weighted kappa needs labeled rows")
+    require(cells.length <= 10000,
+      s"${cells.length} label cells - not a rating scale; cap is 10000")
+    val triples = cells.map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")))
+    val n = triples.map(_._3).sum
+    val rowM: Map[Long, Long] = triples.groupBy(_._1)
+      .map { case (i, ts) => i -> ts.map(_._3).sum }
+    val colM: Map[Long, Long] = triples.groupBy(_._2)
+      .map { case (j, ts) => j -> ts.map(_._3).sum }
+    val levels = (rowM.keySet ++ colM.keySet).toSeq.sorted
+    val obs = triples.map { case (i, j, c) =>
+      BigInt(i - j) * BigInt(i - j) * BigInt(c) }.sum
+    val exp = (for { i <- levels; j <- levels } yield
+      BigInt(i - j) * BigInt(i - j) *
+        BigInt(rowM.getOrElse(i, 0L)) * BigInt(colM.getOrElse(j, 0L))).sum
+    val kappa: Option[Double] =
+      if (exp == 0) None
+      else Some(BigDecimal(1.0 - (BigInt(n) * obs).toDouble / exp.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((n, levels.size, kappa)).toDF("n", "levels", "kappa_w")
+  }
+
+  /** Bowker's test of symmetry (Bowker 1948, public) — the k×k
+    * generalization of McNemar: did the label DISTRIBUTION drift
+    * between two paired annotations (model v1 vs v2 on the same rows,
+    * yesterday's rubric vs today's)? Systematic off-diagonal asymmetry
+    * (rows migrating 3→4 more than 4→3) is invisible to agreement
+    * coefficients, which only price the diagonal.
+    * χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji), df = #pairs with any
+    * discordance.
+    *
+    * One (a, b) cell aggregation → a least/greatest pair rollup →
+    * round-9 decimal term fold: level-bounded shuffles end-to-end, no
+    * driver state. Returns one row (n, n_pairs_tested, chi2, p_value):
+    * χ² round-6; the χ²(df) p is library-only. Null when the raters
+    * never disagree. */
+  def bowker(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .filter(labelA.isNotNull && labelB.isNotNull)
+      .select(labelA.cast("string").as("a"), labelB.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val nRow = cells.agg(coalesce(sum(col("c")), lit(0L))).head()
+    val n = nRow.getLong(0)
+    require(n > 0, "Bowker needs labeled rows")
+    val pairs = cells.filter(col("a") =!= col("b"))
+      .groupBy(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .agg(
+        sum(when(col("a") < col("b"), col("c")).otherwise(0L)).as("nij"),
+        sum(when(col("a") > col("b"), col("c")).otherwise(0L)).as("nji"))
+    val agg = pairs.agg(
+        count(lit(1)).as("df"),
+        sum(round((col("nij") - col("nji")).cast("double")
+            * (col("nij") - col("nji"))
+            / (col("nij") + col("nji")), 9).cast("decimal(38,12)"))
+          .cast("double").as("chi2"))
+      .head()
+    val dof = agg.getAs[Long]("df")
+    if (dof == 0L) {
+      Seq((n, 0L, Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "n_pairs_tested", "chi2", "p_value")
+    } else {
+      val chi2 = agg.getAs[Double]("chi2")
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val p = r6(1.0 -
+        new org.apache.commons.math3.distribution.ChiSquaredDistribution(
+          dof.toDouble).cumulativeProbability(chi2))
+      Seq((n, dof, Some(r6(chi2)), Some(p)))
+        .toDF("n", "n_pairs_tested", "chi2", "p_value")
+    }
+  }
+
   /** Cochran's Q (Cochran 1950, public): do k PAIRED binary treatments
     * — k labelers' pass/fail verdicts, k filter versions applied to the
     * same corpus — succeed at the same rate? The k-treatment

@@ -124,6 +124,39 @@ object Distribution {
     }
   }
 
+  /** Distribution-free confidence interval for the MEDIAN via order
+    * statistics (the binomial/sign-test interval, textbook-public;
+    * normal-approximation ranks — the large-sample form): ranks
+    * lo = ⌊(n − z·√n)/2⌋ (clamped to ≥ 1), hi = n + 1 − lo, and the CI
+    * endpoints are the lo-th and hi-th order statistics. No symmetry or
+    * moment assumptions — the honest interval for skewed metrics where
+    * a mean ± z·SE is fiction.
+    *
+    * The rank formula is the engine-portable contract (⌊⌋ of the same
+    * double in both engines); the order statistics come from exact
+    * `percentile` at p = (rank−1)/(n−1) — an integer index, so the
+    * (n−1)·p interpolation is degenerate and the t17 round-6 parity
+    * recipe applies. Two aggregates (count, then the three
+    * percentiles). Returns one row (n, lo_rank, hi_rank, median, ci_lo,
+    * ci_hi), values round-6; fails loudly when n < 8 (the normal
+    * approximation and the clamp both stop meaning anything). */
+  def medianCI(df: DataFrame, valueCol: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val v = valueCol.cast(DoubleType)
+    val n = df.filter(v.isNotNull).count()
+    require(n >= 8, s"median CI needs >= 8 values, got $n")
+    val loRank = math.max(1L, math.floor((n - z * math.sqrt(n.toDouble))
+      / 2.0).toLong)
+    val hiRank = n + 1 - loRank
+    def at(rank: Long) =
+      round(percentile(v, lit((rank - 1).toDouble / (n - 1))), 6)
+    df.filter(v.isNotNull).agg(
+      lit(n).as("n"), lit(loRank).as("lo_rank"), lit(hiRank).as("hi_rank"),
+      round(percentile(v, lit(0.5)), 6).as("median"),
+      at(loRank).as("ci_lo"), at(hiRank).as("ci_hi"))
+  }
+
   /** The three Pythagorean means per group — arithmetic, geometric,
     * harmonic — over the POSITIVE values of a column (geometric and
     * harmonic are undefined otherwise; non-positive rows are counted

@@ -187,6 +187,54 @@ class AgreementSpec extends SparkSpec {
     }
   }
 
+  test("weighted kappa: perfect 1, near-miss forgiven, constant rater null") {
+    // perfect agreement on an ordinal scale
+    val perfect = (0 to 4).flatMap(i => Seq.fill(5)((i.toLong, i.toLong)))
+      .toDF("a", "b")
+    val p = Agreement.weightedKappa(perfect, col("a"), col("b")).head()
+    assert(p.getAs[Double]("kappa_w") == 1.0 && p.getAs[Int]("levels") == 5)
+    // textbook check: 2x2 with obs ONLY one-step misses scores higher
+    // weighted than unweighted when the scale has long-range mass
+    val near = ((0 to 4).flatMap(i => Seq.fill(8)((i.toLong, i.toLong))) ++
+      (0 to 3).map(i => (i.toLong, i.toLong + 1))).toDF("a", "b")
+    val kw = Agreement.weightedKappa(near, col("a"), col("b"))
+      .head().getAs[Double]("kappa_w")
+    val plain = Agreement.cohenKappa(near, col("a"), col("b"))
+      .head().getAs[Double]("kappa")
+    assert(kw > plain && kw > 0.8, s"kw=$kw plain=$plain")
+    // ONE constant rater: chance weighted agreement exactly cancels the
+    // observed disagreement -> kappa_w = 0 (no skill beyond chance)
+    val oneConst = (1 to 10).map(i => (2L, (i % 5).toLong)).toDF("a", "b")
+    val oc = Agreement.weightedKappa(oneConst, col("a"), col("b")).head()
+    assert(oc.getAs[Double]("kappa_w") == 0.0, s"$oc")
+    // BOTH raters constant at the same level: zero expected
+    // disagreement, kappa undefined
+    val const = (1 to 10).map(_ => (2L, 2L)).toDF("a", "b")
+    val c = Agreement.weightedKappa(const, col("a"), col("b")).head()
+    assert(c.isNullAt(c.fieldIndex("kappa_w")))
+  }
+
+  test("bowker: hand 2x2 equals mcnemar-uncorrected, symmetry nulls, drift") {
+    // two labels: only discordant pair (x,y)/(y,x): chi2 = (b-c)^2/(b+c)
+    val two = (Seq.fill(20)(("x", "x")) ++ Seq.fill(10)(("x", "y")) ++
+      Seq.fill(2)(("y", "x")) ++ Seq.fill(5)(("y", "y"))).toDF("a", "b")
+    val r = Agreement.bowker(two, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n_pairs_tested") == 1L &&
+      r.getAs[Double]("chi2") == 5.333333, s"$r")
+    // perfectly symmetric discordance: chi2 exactly 0, p = 1
+    val sym = (Seq.fill(7)(("x", "y")) ++ Seq.fill(7)(("y", "x")) ++
+      Seq.fill(3)(("z", "x")) ++ Seq.fill(3)(("x", "z"))).toDF("a", "b")
+    val s = Agreement.bowker(sym, col("a"), col("b")).head()
+    assert(s.getAs[Double]("chi2") == 0.0 &&
+      s.getAs[Double]("p_value") == 1.0 &&
+      s.getAs[Long]("n_pairs_tested") == 2L)
+    // raters never disagree: nothing to test
+    val agree = (1 to 6).map(i => (s"l$i", s"l$i")).toDF("a", "b")
+    val a = Agreement.bowker(agree, col("a"), col("b")).head()
+    assert(a.isNullAt(a.fieldIndex("chi2")) &&
+      a.getAs[Long]("n_pairs_tested") == 0L)
+  }
+
   test("cochran's q: hand table, k=2 equals uncorrected mcnemar, degenerate") {
     // 6 subjects x 3 treatments: c = (5,4,2), r = (2,1,3,2,2,1)
     // num = 2*(3*45 - 121) = 28, den = 3*11 - 23 = 10 -> Q = 2.8

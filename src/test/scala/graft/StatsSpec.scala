@@ -1996,6 +1996,28 @@ class StatsSpec extends SparkSpec {
       e.isNullAt(e.fieldIndex("trimmed_mean")))
   }
 
+  test("median ci: brackets, widens with z, narrows with n, short guard") {
+    import graft.stats.Distribution
+    val df = (1 to 101).map(i => (i, i.toDouble)).toDF("i", "v")
+    val r = Distribution.medianCI(df, col("v")).head()
+    assert(r.getAs[Double]("median") == 51.0)
+    // ranks: lo = floor((101 - 1.96*sqrt(101))/2) = 40, hi = 62
+    assert(r.getAs[Long]("lo_rank") == 40L && r.getAs[Long]("hi_rank") == 62L)
+    assert(r.getAs[Double]("ci_lo") == 40.0 &&
+      r.getAs[Double]("ci_hi") == 62.0, s"$r")
+    // a wider z widens the interval
+    val wide = Distribution.medianCI(df, col("v"), z = 2.575829303549).head()
+    assert(wide.getAs[Long]("lo_rank") < 40L)
+    // 4x the data narrows the RELATIVE interval (sqrt-n shrinkage)
+    val big = (1 to 404).map(i => (i, (i % 101 + 1).toDouble)).toDF("i", "v")
+    val b = Distribution.medianCI(big, col("v")).head()
+    assert((b.getAs[Double]("ci_hi") - b.getAs[Double]("ci_lo")) / 404.0 <
+      (r.getAs[Double]("ci_hi") - r.getAs[Double]("ci_lo")) / 101.0)
+    intercept[IllegalArgumentException] {
+      Distribution.medianCI(df.limit(5), col("v"))
+    }
+  }
+
   test("jonckheere-terpstra: hand 2JT, trend sign, reversal, ties") {
     import graft.stats.RankTests
     // a={1,3}, b={2,4}: pairs a<b: (1,2)+(1,4)+(3,4)=3 -> 2JT=6
