@@ -30,10 +30,12 @@ object EventAnalytics {
     * `steps` are matched against `typeCol` in order; a non-empty `window`
     * (interval literal, e.g. "48 hours") additionally requires every later
     * step to land within that span of the user's step-1 time. */
-  def funnel(
-      events: DataFrame, steps: Seq[String], keyCol: String = "user_id",
-      tsCol: String = "ts", typeCol: String = "event_type",
-      window: String = ""): DataFrame = {
+  /** Per-user chained step times t1..tk (first step-k ts strictly after
+    * t_{k-1}, inside the window of t1; null propagates) — the shared
+    * core of [[funnel]] and [[funnelStepTimes]]. */
+  private def funnelChain(
+      events: DataFrame, steps: Seq[String], keyCol: String,
+      tsCol: String, typeCol: String, window: String): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     val aggs = min(when(col(typeCol) === steps.head, col(tsCol))).as("t1") +:
       steps.tail.zipWithIndex.map { case (s, i) =>
@@ -46,13 +48,20 @@ object EventAnalytics {
     val inWindow: Column => Column =
       if (window == null || window.isEmpty) _ => lit(true)
       else x => x <= col("t1") + expr(s"interval $window")
-    val chained = steps.indices.tail.foldLeft(perUser) { (df, i) =>
+    steps.indices.tail.foldLeft(perUser) { (df, i) =>
       val k = i + 1
       // try_element_at: empty filter result → null (ANSI element_at throws)
       df.withColumn(s"t$k",
         try_element_at(
           filter(col(s"l$k"), x => x > col(s"t${k - 1}") && inWindow(x)), lit(1)))
     }
+  }
+
+  def funnel(
+      events: DataFrame, steps: Seq[String], keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      window: String = ""): DataFrame = {
+    val chained = funnelChain(events, steps, keyCol, tsCol, typeCol, window)
     val counts: Seq[Column] = steps.indices.map(i =>
       count(col(s"t${i + 1}")).as(s"n${i + 1}"))
     val row = chained.agg(counts.head, counts.tail: _*)
@@ -65,6 +74,43 @@ object EventAnalytics {
     row.select(stack((lit(steps.size) +: cells): _*)
         .as(Seq("step", "step_idx", "n_users")))
       .orderBy("step_idx")
+  }
+
+  /** Time-to-convert between adjacent funnel steps — the "WHERE do
+    * users stall" companion to [[funnel]]'s "where do they drop":
+    * for every user who reached step k, the seconds from their step
+    * k−1 time to their step k time (the same chained first-occurrence
+    * semantics, same window), summarized per step pair as n / mean /
+    * median / p90.
+    *
+    * One groupBy(user) pass builds the chain (shared [[funnelChain]]),
+    * one aggregation summarizes — deltas are exact microsecond integers
+    * divided by 1e6 (the identical double both engines), the mean folds
+    * as a round-9 decimal, the quantiles are exact percentiles (round-6,
+    * the t17 parity recipe). Returns (from_step, to_step, step_idx, n,
+    * mean_s, median_s, p90_s) ordered by step_idx. */
+  def funnelStepTimes(
+      events: DataFrame, steps: Seq[String], keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      window: String = ""): DataFrame = {
+    val chained = funnelChain(events, steps, keyCol, tsCol, typeCol, window)
+    val pairs = steps.indices.tail.map { i =>
+      val k = i + 1
+      val d = (expr(s"unix_micros(t$k)") - expr(s"unix_micros(t${k - 1})"))
+        .cast("double") / lit(1000000.0)
+      chained.filter(col(s"t$k").isNotNull)
+        .select(d.as("d"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("d"), 9).cast("decimal(38,12)"))
+            .cast("double") / count(lit(1)), 6).as("mean_s"),
+          round(percentile(col("d"), lit(0.5)), 6).as("median_s"),
+          round(percentile(col("d"), lit(0.9)), 6).as("p90_s"))
+        .select(lit(steps(i - 1)).as("from_step"), lit(steps(i)).as("to_step"),
+          lit(k).as("step_idx"), col("n"), col("mean_s"), col("median_s"),
+          col("p90_s"))
+    }
+    pairs.reduce(_ unionByName _).orderBy("step_idx")
   }
 
   /** Per-event trailing-window statistics: for every event, the count and

@@ -2253,10 +2253,69 @@ object EventQueries extends QueryModule {
     (s, dir) =>
       graft.ops.EventAnalytics.dailyPeaks(Tables.load(s, dir, "events")))
 
+  /** Time-to-convert between funnel steps
+    * ([[graft.ops.EventAnalytics.funnelStepTimes]]) on the ev_funnel
+    * fixture: the oracle rebuilds the identical chained
+    * first-occurrence times, then replays the microsecond deltas, the
+    * round-9 decimal mean fold, and the exact quantiles per step pair. */
+  val evFunnelTiming: Q = Q(
+    "ev_funnel_timing",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          min(ts) FILTER (event_type = 'view') AS t1,
+          list_sort(list(ts) FILTER (event_type = 'click')) AS l2,
+          list_sort(list(ts) FILTER (event_type = 'purchase')) AS l3
+        FROM events GROUP BY 1),
+      c AS (
+        SELECT user_id, t1, l3,
+          list_filter(l2, x -> x > t1
+            AND x <= t1 + INTERVAL 48 HOUR)[1] AS t2
+        FROM u),
+      c2 AS (
+        SELECT user_id, t1, t2,
+          list_filter(l3, x -> x > t2
+            AND x <= t1 + INTERVAL 48 HOUR)[1] AS t3
+        FROM c),
+      d2 AS (SELECT CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE)
+          / 1000000.0 AS d FROM c2 WHERE t2 IS NOT NULL),
+      d3 AS (SELECT CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE)
+          / 1000000.0 AS d FROM c2 WHERE t3 IS NOT NULL),
+      s2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          round(CAST(SUM(CAST(round(d, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) AS mean_s,
+          round(quantile_cont(d, 0.5), 6) AS median_s,
+          round(quantile_cont(d, 0.9), 6) AS p90_s
+        FROM d2),
+      s3 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          round(CAST(SUM(CAST(round(d, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) AS mean_s,
+          round(quantile_cont(d, 0.5), 6) AS median_s,
+          round(quantile_cont(d, 0.9), 6) AS p90_s
+        FROM d3)
+      SELECT 'view' AS from_step, 'click' AS to_step, 2 AS step_idx,
+        n, mean_s, median_s, p90_s FROM s2
+      UNION ALL
+      SELECT 'click', 'purchase', 3, n, mean_s, median_s, p90_s FROM s3
+      ORDER BY step_idx"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.funnelStepTimes(
+        Tables.load(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"), window = "48 hours")
+      val rows = out.collect()
+      rows.foreach { r =>
+        require(r.getAs[Double]("median_s") >= 0.0 &&
+          r.getAs[Double]("p90_s") >= r.getAs[Double]("median_s"), s"$r")
+      }
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
-      evInterEvent, evSrm, evPeaks,
+      evInterEvent, evSrm, evPeaks, evFunnelTiming,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -2618,10 +2618,86 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Two-sample Cramér–von Mises ([[graft.stats.Drift.cramerVonMises]])
+    * on the dq_ks arms: KS's max becomes an exact-BigInteger SUM of
+    * squared CDF-difference numerators, divided once — the oracle
+    * replays the same cumulative table with HUGEINT products (num²
+    * passes BIGINT at these n) and the identical denominator tree. */
+  val dqCvm: Q = Q(
+    "dq_cvm_two_sample",
+    Some("""
+      WITH av AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                  WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+      bv AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             WHERE l_returnflag = 'N' AND l_quantity IS NOT NULL),
+      ac AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+      bc AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+      c AS (SELECT COALESCE(ac.v, bc.v) AS v, COALESCE(ca, 0) AS ca,
+              COALESCE(cb, 0) AS cb
+            FROM ac FULL JOIN bc ON ac.v = bc.v),
+      cum AS (SELECT v, ca, cb, SUM(ca) OVER (ORDER BY v) AS cuma,
+                SUM(cb) OVER (ORDER BY v) AS cumb FROM c),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      sm AS (SELECT SUM(
+               (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+               * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+               * (ca + cb)) AS s
+             FROM cum, tot)
+      SELECT na AS n_a, nb AS n_b,
+        round(CAST(s AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (na + nb)
+          * na * nb), 6) + 0.0 AS cvm_t,
+        round(CAST(s AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (na + nb)
+          * na * nb), 6) > 0.461 AS reject_5pct
+      FROM sm, tot"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val out = graft.stats.Drift.cramerVonMises(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"),
+        col("l_quantity"))
+      val r = out.head()
+      require(r.getAs[Double]("cvm_t") >= 0.0)
+      out
+    })
+
+  /** Log₂-spaced histogram ([[graft.stats.Distribution.log2Histogram]])
+    * of extendedprice: exact-integer buckets via the bit length of ⌊v⌋
+    * (never floor(log2) — IEEE boundary rounding is engine-specific);
+    * the oracle replays the same bit-length trick with printf('%b'). */
+  val t56Log2Hist: Q = Q(
+    "t56_log2_histogram",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0)
+      SELECT bucket,
+        CASE WHEN bucket >= 0 THEN pow(2.0, bucket) ELSE 0.0 END AS lo_edge,
+        pow(2.0, bucket + 1) AS hi_edge,
+        CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT CASE WHEN v >= 1.0
+          THEN CAST(length(printf('%b', CAST(floor(v) AS BIGINT))) - 1
+            AS BIGINT)
+          ELSE CAST(-1 AS BIGINT) END AS bucket
+        FROM b)
+      GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      val out = graft.stats.Distribution.log2Histogram(
+        Tables.load(s, dir, "lineitem"), col("l_extendedprice"))
+      if (Tables.gateMode) {
+        val bad = out.filter(col("bucket") >= 0L &&
+          col("lo_edge") * 2.0 =!= col("hi_edge")).count()
+        require(bad == 0L, s"doubling edges must double: $bad bad buckets")
+      }
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,
+    dqCvm, t56Log2Hist,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

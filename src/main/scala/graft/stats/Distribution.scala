@@ -124,6 +124,33 @@ object Distribution {
     }
   }
 
+  /** Log₂-spaced histogram of a positive column — the heavy-tail
+    * profiler beside [[hillTailIndex]]: linear bins hide a power law,
+    * doubling bins draw it (a straight line of log-counts = Zipf/Pareto
+    * territory). Buckets are EXACT-INTEGER: bucket = bitlength(⌊v⌋) − 1
+    * for v ≥ 1 (never `floor(log2(v))` — IEEE log2 of 2^k − ε rounds
+    * across the boundary in engine-specific ways), values in (0, 1)
+    * pool into bucket −1, non-positive/null values are counted and
+    * excluded. Bucket edges are exact powers of two.
+    *
+    * One map-side-combined groupBy; no window, no sort. Returns
+    * (bucket, lo_edge, hi_edge, n) ordered by bucket. */
+  def log2Histogram(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast(DoubleType)
+    val bucket = when(v >= 1.0,
+        length(bin(floor(v).cast("long"))).cast("long") - 1L)
+      .otherwise(lit(-1L))
+    df.filter(v.isNotNull && v > 0.0)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        when(col("bucket") >= 0, pow(lit(2.0), col("bucket")))
+          .otherwise(lit(0.0)).as("lo_edge"),
+        pow(lit(2.0), col("bucket") + 1).as("hi_edge"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
   /** Distribution-free confidence interval for the MEDIAN via order
     * statistics (the binomial/sign-test interval, textbook-public;
     * normal-approximation ranks — the large-sample form): ranks

@@ -273,4 +273,67 @@ object Drift {
       Seq((nA, nB, r6(d), r6(p))).toDF("n_a", "n_b", "d_stat", "p_value")
     } finally counts.unpersist(blocking = false)
   }
+
+  /** Two-sample Cramér–von Mises statistic (Anderson 1962, public):
+    * T = n·m/(n+m)² · Σ_pooled (F_n(z) − G_m(z))², summed over every
+    * pooled observation — the WHOLE-distribution companion to
+    * [[ksTwoSample]]'s single max: KS sees only the worst point, CvM
+    * integrates every discrepancy, so it catches broad low-amplitude
+    * drift (a slight variance change) KS shrugs at.
+    *
+    * Same distributed shape as KS: per-value counts, ONE
+    * range-partitioned sort, per-partition running sums with broadcast
+    * offsets; the accumulator is the exact BigInteger Σ t·(cumA·n_b −
+    * cumB·n_a)² (the squared numerator passes 2⁶³ long before the data
+    * is big), divided ONCE at the end by (n+m)²·n·m as the identical
+    * double tree. Asymptotic 5%/1% critical values (0.461 / 0.743,
+    * Anderson's table — the statistic's limiting distribution is
+    * parameter-free) ship as literal columns with the comparison made
+    * on the ROUNDED statistic. Returns one row (n_a, n_b, cvm_t,
+    * reject_5pct); fails loudly on an empty side. */
+  def cramerVonMises(a: DataFrame, b: DataFrame,
+      valueCol: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tagA: Boolean) = df
+      .select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .select(col("v"),
+        (if (tagA) col("c") else lit(0L)).as("ca"),
+        (if (tagA) lit(0L) else col("c")).as("cb"))
+    val counts = side(a, tagA = true).unionByName(side(b, tagA = false))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .as[(Double, Long, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { t => sa += t._2; sb += t._3 }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val offA = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partTotals.map(_._3).scanLeft(0L)(_ + _)
+      val (nA, nB) = (offA.last, offB.last)
+      require(nA > 0 && nB > 0,
+        s"CvM needs both samples non-empty, got nA=$nA nB=$nB")
+      val sumT = counts.mapPartitionsWithIndex { (i, it) =>
+        var ca = offA(i); var cb = offB(i)
+        var acc = BigInt(0)
+        it.foreach { case (_, da, db) =>
+          ca += da; cb += db
+          val num = BigInt(ca) * nB - BigInt(cb) * nA
+          acc += num * num * (da + db)
+        }
+        Iterator(acc)
+      }.collect().sum
+      val nT = nA + nB
+      val t = sumT.toDouble / (nT.toDouble * nT * nA * nB)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nA, nB, r6(t), r6(t) > 0.461))
+        .toDF("n_a", "n_b", "cvm_t", "reject_5pct")
+    } finally counts.unpersist(blocking = false)
+  }
 }

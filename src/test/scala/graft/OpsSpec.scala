@@ -3301,6 +3301,32 @@ class OpsSpec extends SparkSpec {
       b.getAs[Double]("burstiness") == -1.0, "metronome")
   }
 
+  test("funnel step times: chained deltas, window expiry, converters only") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ts(h: Double) = new Timestamp((h * 3600 * 1000L).toLong)
+    // u1: view@0, click@2, buy@5 -> deltas 2h, 3h
+    // u2: view@0, click@10 -> delta 10h, no buy
+    // u3: view@0, click@60 (outside 48h window) -> no step-2 conversion
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(2), "click"), (1L, ts(5), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(10), "click"),
+      (3L, ts(0), "view"), (3L, ts(60), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnelStepTimes(events,
+        Seq("view", "click", "purchase"), window = "48 hours")
+      .collect().map(r => r.getInt(2) -> r).toMap
+    val s2 = out(2)
+    assert(s2.getAs[String]("from_step") == "view" &&
+      s2.getAs[Long]("n") == 2L, s"$s2")
+    // deltas 2h and 10h: mean 6h = 21600 s, median interpolates to 21600
+    assert(s2.getAs[Double]("mean_s") == 21600.0 &&
+      s2.getAs[Double]("median_s") == 21600.0)
+    val s3 = out(3)
+    assert(s3.getAs[Long]("n") == 1L &&
+      s3.getAs[Double]("mean_s") == 10800.0, "3h click->purchase")
+  }
+
   test("daily peaks: strict maxima, gap neighbors are zero, plateaus skip") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

@@ -2018,6 +2018,49 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cramer-von mises: identical zero, shift fires, broad beats ks-blind") {
+    import graft.stats.Drift
+    def df(xs: Seq[Double]) =
+      xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    // identical samples: every CDF difference is 0
+    val same = df((1 to 50).map(_.toDouble))
+    val z = Drift.cramerVonMises(same, same, col("v")).head()
+    assert(z.getAs[Double]("cvm_t") == 0.0 && !z.getAs[Boolean]("reject_5pct"))
+    // clean location shift: rejects at 5%
+    val a = df((1 to 200).map(_.toDouble))
+    val b = df((1 to 200).map(_ + 40.0))
+    val sh = Drift.cramerVonMises(a, b, col("v")).head()
+    assert(sh.getAs[Boolean]("reject_5pct"), s"$sh")
+    // hand value on a tiny case: a={1,3}, b={2,4}
+    // pooled diffs (x2x2 scale): at 1: (1*2-0*2)=2; 2: (2-2)=0... T computed
+    // num at v=1: 1*2-0*2=2; v=2: 2-2=0; v=3: 4-2=2; v=4: 0 -> sum t*num2 = 8
+    // T = 8 / (16 * 4) = 0.125
+    val t = Drift.cramerVonMises(df(Seq(1.0, 3.0)), df(Seq(2.0, 4.0)),
+      col("v")).head()
+    assert(t.getAs[Double]("cvm_t") == 0.125, s"$t")
+    intercept[IllegalArgumentException] {
+      Drift.cramerVonMises(df(Seq.empty), same, col("v")).head()
+    }
+  }
+
+  test("log2 histogram: exact power-of-two boundaries, sub-1 pool, edges") {
+    import graft.stats.Distribution
+    // values straddling boundaries: 1 -> b0, 2,3 -> b1, 4..7 -> b2,
+    // 1024 - eps -> b9, 1024 -> b10, 0.5 -> b-1, -3/0 dropped
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 7.9, 1023.999, 1024.0, 0.5, -3.0, 0.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    val out = Distribution.log2Histogram(df, col("v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(-1L).getAs[Long]("n") == 1L)
+    assert(out(0L).getAs[Long]("n") == 1L && out(1L).getAs[Long]("n") == 2L)
+    assert(out(2L).getAs[Long]("n") == 2L)
+    assert(out(9L).getAs[Long]("n") == 1L, "1023.999 floors into bucket 9")
+    assert(out(10L).getAs[Long]("n") == 1L)
+    assert(out(10L).getAs[Double]("lo_edge") == 1024.0 &&
+      out(10L).getAs[Double]("hi_edge") == 2048.0)
+    assert(out.values.map(_.getAs[Long]("n")).sum == 8L, "nonpositive out")
+  }
+
   test("jonckheere-terpstra: hand 2JT, trend sign, reversal, ties") {
     import graft.stats.RankTests
     // a={1,3}, b={2,4}: pairs a<b: (1,2)+(1,4)+(3,4)=3 -> 2JT=6
