@@ -1211,6 +1211,92 @@ object SimQueries extends QueryModule {
     (s, dir) =>
       graft.ops.ClusterEval.silhouetteSummary(silhouettePoints(s, dir)))
 
+  /** Calinski–Harabasz + Davies–Bouldin validity indices
+    * ([[graft.ops.ClusterEval.validityIndices]]) of the label
+    * clustering: the O(n·d) health checks beside the silhouette pair.
+    * Every arithmetic tree lives in the plan (no driver math), so the
+    * oracle replays the per-dim centroid folds, both scatter folds, the
+    * per-point distance folds, the k² centroid-pair distances, and the
+    * max-ratio fold term for term. */
+  val kmValidity: Q = Q(
+    "km_validity_indices",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(label AS VARCHAR) AS label,
+          CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      dims0 AS (
+        SELECT vec_id, label, e,
+          unnest(generate_series(1, len(e))) AS i
+        FROM v),
+      dims AS (SELECT vec_id, label, i, e[i] AS x FROM dims0),
+      cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_k
+        FROM v GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS k FROM cnt),
+      cent AS (
+        SELECT label, i,
+          round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 12) AS m
+        FROM dims GROUP BY 1, 2),
+      gcent AS (
+        SELECT i,
+          round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 12) AS g
+        FROM dims GROUP BY 1),
+      j AS (
+        SELECT d.vec_id, d.label, d.x, c.m
+        FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i),
+      w AS (
+        SELECT CAST(SUM(CAST(round((x - m) * (x - m), 12)
+          AS DECIMAL(38,14))) AS DOUBLE) AS wss
+        FROM j),
+      bx AS (
+        SELECT CAST(SUM(CAST(round(cnt.n_k * (c.m - g.g) * (c.m - g.g),
+          12) AS DECIMAL(38,14))) AS DOUBLE) AS bss
+        FROM cent c JOIN gcent g ON c.i = g.i
+          JOIN cnt ON c.label = cnt.label),
+      pd AS (
+        SELECT vec_id, label,
+          round(sqrt(CAST(SUM(CAST(round((x - m) * (x - m), 12)
+            AS DECIMAL(38,14))) AS DOUBLE)), 12) AS dist
+        FROM j GROUP BY 1, 2),
+      sI AS (
+        SELECT label,
+          round(CAST(SUM(CAST(dist AS DECIMAL(38,14))) AS DOUBLE)
+            / count(*), 12) AS s
+        FROM pd GROUP BY 1),
+      cd AS (
+        SELECT a.label AS la, b.label AS lb,
+          round(sqrt(CAST(SUM(CAST(round((a.m - b.m) * (a.m - b.m), 12)
+            AS DECIMAL(38,14))) AS DOUBLE)), 12) AS d
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2),
+      ws AS (
+        SELECT la, lb, (sa.s + sb.s) / cd.d AS r
+        FROM cd JOIN sI sa ON sa.label = cd.la
+          JOIN sI sb ON sb.label = cd.lb),
+      rat AS (SELECT la AS l, r FROM ws UNION ALL SELECT lb, r FROM ws),
+      dbv AS (
+        SELECT CAST(SUM(CAST(round(mx, 12) AS DECIMAL(38,14))) AS DOUBLE)
+          / count(*) AS db
+        FROM (SELECT l, MAX(r) AS mx FROM rat GROUP BY l)),
+      fin AS (
+        SELECT tot.n, tot.k, w.wss, bx.bss,
+          (bx.bss / (tot.k - 1)) / (w.wss / (tot.n - tot.k)) AS ch, dbv.db
+        FROM tot, w, bx, dbv)
+      SELECT n, k, round(wss, 6) + 0.0 AS wss, round(bss, 6) + 0.0 AS bss,
+        round(ch, 6) + 0.0 AS ch_index, round(db, 6) + 0.0 AS db_index
+      FROM fin"""),
+    (s, dir) => {
+      val out = graft.ops.ClusterEval.validityIndices(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      val r = out.head()
+      require(r.getAs[Double]("ch_index") > 0.0 &&
+        r.getAs[Double]("db_index") > 0.0, s"degenerate clustering: $r")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
@@ -1219,5 +1305,5 @@ object SimQueries extends QueryModule {
       simMmrRerank, simMmrDeep, simRrfHybrid, simBordaFusion,
       ddSemanticDecontaminate, bitextMine, bitextMineIvf,
       bitextCorpusIvf, bitextScores, embCentroidDrift, embIdDisplacement,
-      kmSilhouette, kmSilhouetteSummary)
+      kmSilhouette, kmSilhouetteSummary, kmValidity)
 }

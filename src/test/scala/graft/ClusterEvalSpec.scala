@@ -53,4 +53,35 @@ class ClusterEvalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("at least 2 clusters"))
   }
+
+  test("validity indices: hand geometry, separation moves both, guards") {
+    // two tight clusters 10 apart: wss = 4, bss = 100, CH = 50, DB = 0.2
+    val tight = df(Seq(
+      (0L, Array(0.0, 0.0), "a"), (1L, Array(0.0, 2.0), "a"),
+      (2L, Array(10.0, 0.0), "b"), (3L, Array(10.0, 2.0), "b")))
+    val r = ClusterEval.validityIndices(tight, "id", "v", "c").head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("wss") == 4.0 && r.getAs[Double]("bss") == 100.0,
+      s"$r")
+    assert(r.getAs[Double]("ch_index") == 50.0 &&
+      r.getAs[Double]("db_index") == 0.2)
+    // the same shape squeezed together: CH collapses, DB explodes
+    val close = df(Seq(
+      (0L, Array(0.0, 0.0), "a"), (1L, Array(0.0, 2.0), "a"),
+      (2L, Array(1.0, 0.0), "b"), (3L, Array(1.0, 2.0), "b")))
+    val c = ClusterEval.validityIndices(close, "id", "v", "c").head()
+    assert(c.getAs[Double]("ch_index") < r.getAs[Double]("ch_index"))
+    assert(c.getAs[Double]("db_index") > r.getAs[Double]("db_index"))
+    // guards: one cluster, and as many clusters as points
+    intercept[IllegalArgumentException] {
+      ClusterEval.validityIndices(
+        df(Seq((0L, Array(0.0), "A"), (1L, Array(1.0), "A"))),
+        "id", "v", "c")
+    }
+    intercept[IllegalArgumentException] {
+      ClusterEval.validityIndices(
+        df(Seq((0L, Array(0.0), "A"), (1L, Array(1.0), "B"))),
+        "id", "v", "c")
+    }
+  }
 }
