@@ -71,4 +71,48 @@ object EmbeddingDrift {
             / (sqrt(n1) * sqrt(n2)), 6)).as("cosine"),
         round(sqrt(Similarity.norm2(diff)), 6).as("l2_shift"))
   }
+
+  /** Anisotropy / embedding-collapse screen (Ethayarajh 2019 observed
+    * the phenomenon; this ratio form is the standard one-number check,
+    * public): ratio = ‖μ‖² / E‖x‖², where μ is the corpus mean vector.
+    * ≈ 0 means the cloud is centered (healthy); → 1 means every vector
+    * points the same way — cosine similarity stops discriminating and
+    * every ANN/dedup threshold silently degrades. Run it on every new
+    * encoder BEFORE trusting sim_* thresholds tuned on the old one.
+    *
+    * One posexplode pass: per-dim round-12 means (round-9 decimal
+    * folds), one global second-moment fold, a d-bounded fold of μ²
+    * terms. Returns one row (n, dim, mean_norm2, mean_sq_norm,
+    * anisotropy), round-6; fails loudly on an empty or zero corpus. */
+  def isotropy(df: DataFrame, vecCol: String): DataFrame = {
+    def fold9(c: Column) =
+      sum(round(c, 9).cast("decimal(38,12)")).cast("double")
+    val dims = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+    val m = dims.groupBy("i")
+      .agg(round(fold9(col("x")) / count(lit(1)), 12).as("m"),
+        count(lit(1)).as("n"))
+    val mu2 = m.agg(
+        sum(round(col("m") * col("m"), 12).cast("decimal(38,14)"))
+          .cast("double").as("mu2"),
+        count(lit(1)).as("dim"), max(col("n")).as("n"))
+      .head()
+    val n = mu2.getAs[Long]("n")
+    require(n > 0, "isotropy needs vectors")
+    val sq = dims.agg(
+        sum(round(col("x") * col("x"), 12).cast("decimal(38,14)"))
+          .cast("double").as("sq"))
+      .head().getAs[Double]("sq")
+    val meanSq = sq / n
+    require(meanSq > 0.0, "all-zero vectors - no geometry to measure")
+    val muNorm2 = mu2.getAs[Double]("mu2")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, mu2.getAs[Long]("dim"), r6(muNorm2), r6(meanSq),
+        r6(muNorm2 / meanSq)))
+      .toDF("n", "dim", "mean_norm2", "mean_sq_norm", "anisotropy")
+  }
 }

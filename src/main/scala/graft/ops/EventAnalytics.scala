@@ -889,6 +889,47 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Rolling-origin backtest of [[brownLinearDaily]]'s one-step
+    * forecast against the realized next day — the "is the forecaster
+    * actually better than doing nothing" gate every smoother needs:
+    * MAE of the model vs MAE of the NAIVE forecast (tomorrow = today),
+    * their ratio (MASE-style, < 1 = the model earns its keep), and
+    * sMAPE. Pairs skip calendar gaps (a forecast for an unobserved day
+    * is unverifiable, not zero-error).
+    *
+    * Pure composition: the forecast table joins itself shifted one day
+    * — day-keyed, calendar-bounded, no window. Errors round to 6 and
+    * fold as decimals; each summary is one double division. Returns one
+    * row (n_pairs, mae_model, mae_naive, mase, smape), round-6. */
+  def forecastBacktestDaily(
+      events: DataFrame, tsCol: String = "ts", alpha: Double = 0.3,
+      horizon: Int = 16): DataFrame = {
+    val b = brownLinearDaily(events, tsCol, alpha, horizon)
+    val nxt = b.select((col("day") - 1L).as("day"),
+      col("n_events").as("a_next"))
+    val pairs = b.join(nxt, Seq("day"))
+      .select(
+        round(abs(col("forecast_1") - col("a_next")), 6).as("e_m"),
+        abs(col("a_next") - col("n_events")).as("e_n"),
+        round(lit(2.0) * abs(col("forecast_1") - col("a_next"))
+          / (col("forecast_1") + col("a_next")), 9).as("sm"))
+    def fold(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        fold(col("e_m")).as("__sm_m"),
+        sum(col("e_n")).as("__s_n"),
+        fold(col("sm")).as("__s_smape"))
+      .select(col("n_pairs"),
+        round(col("__sm_m") / col("n_pairs"), 6).as("mae_model"),
+        round(col("__s_n").cast("double") / col("n_pairs"), 6)
+          .as("mae_naive"),
+        when(col("__s_n") > 0L,
+          round((col("__sm_m") / col("n_pairs"))
+            / (col("__s_n").cast("double") / col("n_pairs")), 6))
+          .as("mase"),
+        round(col("__s_smape") / col("n_pairs"), 6).as("smape"))
+  }
+
   /** Daily OHLC bars per series key — the candlestick/market-bar
     * aggregation (open / high / low / close / volume / total), here over
     * an event stream's numeric `value` keyed by `event_type`.

@@ -1659,17 +1659,12 @@ object EventQueries extends QueryModule {
     * SQL with the SAME literal weights (the ev_ewma_daily convention:
     * IEEE pow is not portably rounded; repeated multiplication in
     * Scala is, and the literals are shared verbatim). */
-  val evBrownLinear: Q = {
-    val alpha = 0.3
-    val horizon = 16
-    val w = graft.ops.EventAnalytics.ewmaWeights(alpha, horizon)
-    val gain = alpha / (1.0 - alpha)
-    val wValues = w.zipWithIndex
-      .map { case (x, j) => s"($j, CAST($x AS DOUBLE))" }.mkString(", ")
-    Q(
-      "ev_brown_linear",
-      Some(s"""
-        WITH daily AS (
+  /** Shared WITH-body of the Brown double-exponential oracle: the two
+    * truncated-adjusted EWMA passes with literal weights, ending in a
+    * `bro` relation (day, n_events, s1, s2, level, trend, forecast_1) —
+    * reused verbatim by ev_brown_linear and the backtest gate. */
+  private def brownCtes(wValues: String, gain: Double): String = s"""
+        daily AS (
           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
             AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_events
           FROM events GROUP BY 1),
@@ -1695,15 +1690,32 @@ object EventQueries extends QueryModule {
         s2 AS (
           SELECT day,
             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS s2
-          FROM f2)
-        SELECT s1.day, s1.n_events, s1.s1, s2.s2,
-          round(2.0 * s1.s1 - s2.s2, 6) AS level,
-          round(CAST($gain AS DOUBLE) * (s1.s1 - s2.s2), 6) AS trend,
-          round(2.0 * s1.s1 - s2.s2, 6)
-            + round(CAST($gain AS DOUBLE) * (s1.s1 - s2.s2), 6)
-            AS forecast_1
-        FROM s1 JOIN s2 USING (day)
-        ORDER BY s1.day"""),
+          FROM f2),
+        bro AS (
+          SELECT s1.day, s1.n_events, s1.s1, s2.s2,
+            round(2.0 * s1.s1 - s2.s2, 6) AS level,
+            round(CAST($gain AS DOUBLE) * (s1.s1 - s2.s2), 6) AS trend,
+            round(2.0 * s1.s1 - s2.s2, 6)
+              + round(CAST($gain AS DOUBLE) * (s1.s1 - s2.s2), 6)
+              AS forecast_1
+          FROM s1 JOIN s2 USING (day))"""
+
+  private val brownAlpha = 0.3
+  private val brownHorizon = 16
+  private def brownWValues: String = graft.ops.EventAnalytics
+    .ewmaWeights(brownAlpha, brownHorizon).zipWithIndex
+    .map { case (x, j) => s"($j, CAST($x AS DOUBLE))" }.mkString(", ")
+
+  val evBrownLinear: Q = {
+    val alpha = brownAlpha
+    val horizon = brownHorizon
+    val gain = alpha / (1.0 - alpha)
+    Q(
+      "ev_brown_linear",
+      Some(s"""
+        WITH ${brownCtes(brownWValues, gain)}
+        SELECT day, n_events, s1, s2, level, trend, forecast_1
+        FROM bro ORDER BY day"""),
       (s, dir) => {
         val out = graft.ops.EventAnalytics.brownLinearDaily(
           Tables.load(s, dir, "events"), alpha = alpha, horizon = horizon)
@@ -2312,10 +2324,56 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Rolling-origin backtest of the Brown one-step forecast
+    * ([[graft.ops.EventAnalytics.forecastBacktestDaily]]): the oracle
+    * re-derives the full forecast table (shared [[brownCtes]]) and
+    * replays the next-day join, the round-6 error folds, the naive
+    * benchmark, MASE, and sMAPE. In-gate: MASE must be finite-positive
+    * and sMAPE in [0, 2] (its algebraic range). */
+  val evForecastBacktest: Q = {
+    val gain = brownAlpha / (1.0 - brownAlpha)
+    Q(
+      "ev_forecast_backtest",
+      Some(s"""
+        WITH ${brownCtes(brownWValues, gain)},
+        nxt AS (SELECT day - 1 AS day, n_events AS a_next FROM bro),
+        p AS (
+          SELECT round(abs(b.forecast_1 - n.a_next), 6) AS e_m,
+            abs(n.a_next - b.n_events) AS e_n,
+            round(2.0 * abs(b.forecast_1 - n.a_next)
+              / (b.forecast_1 + n.a_next), 9) AS sm
+          FROM bro b JOIN nxt n USING (day)),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CAST(e_m AS DECIMAL(38,12))) AS DOUBLE) AS sm_m,
+            CAST(SUM(e_n) AS BIGINT) AS s_n,
+            CAST(SUM(CAST(sm AS DECIMAL(38,12))) AS DOUBLE) AS s_smape
+          FROM p)
+        SELECT n_pairs,
+          round(sm_m / n_pairs, 6) AS mae_model,
+          round(CAST(s_n AS DOUBLE) / n_pairs, 6) AS mae_naive,
+          CASE WHEN s_n > 0
+            THEN round((sm_m / n_pairs)
+              / (CAST(s_n AS DOUBLE) / n_pairs), 6) + 0.0 END AS mase,
+          round(s_smape / n_pairs, 6) AS smape
+        FROM agg"""),
+      (s, dir) => {
+        val out = graft.ops.EventAnalytics.forecastBacktestDaily(
+          Tables.load(s, dir, "events"), alpha = brownAlpha,
+          horizon = brownHorizon)
+        val r = out.head()
+        val mase = r.getAs[Double]("mase")
+        val smape = r.getAs[Double]("smape")
+        require(mase > 0.0 && smape >= 0.0 && smape <= 2.0,
+          s"degenerate backtest: $r")
+        out
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
-      evInterEvent, evSrm, evPeaks, evFunnelTiming,
+      evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -1297,8 +1297,50 @@ object SimQueries extends QueryModule {
       out
     })
 
+  /** Anisotropy / embedding-collapse screen
+    * ([[graft.ops.EmbeddingDrift.isotropy]]): ‖μ‖²/E‖x‖² over the full
+    * embedding table — the one-number health check before trusting any
+    * cosine threshold. The oracle replays the per-dim round-12 means,
+    * the μ² fold, and the second-moment fold. */
+  val embIsotropy: Q = Q(
+    "emb_isotropy",
+    Some("""
+      WITH v AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL),
+      d0 AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM v),
+      dims AS (SELECT i, e[i] AS x FROM d0),
+      m AS (
+        SELECT i,
+          round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 12) AS m,
+          CAST(count(*) AS BIGINT) AS n
+        FROM dims GROUP BY i),
+      mu AS (
+        SELECT CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(38,14)))
+          AS DOUBLE) AS mu2,
+          CAST(count(*) AS BIGINT) AS dim, CAST(MAX(n) AS BIGINT) AS n
+        FROM m),
+      sq AS (
+        SELECT CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,14)))
+          AS DOUBLE) AS sq
+        FROM dims)
+      SELECT mu.n, mu.dim, round(mu.mu2, 6) + 0.0 AS mean_norm2,
+        round(sq.sq / mu.n, 6) + 0.0 AS mean_sq_norm,
+        round(mu.mu2 / (sq.sq / mu.n), 6) + 0.0 AS anisotropy
+      FROM mu, sq"""),
+    (s, dir) => {
+      val out = graft.ops.EmbeddingDrift.isotropy(
+        Tables.load(s, dir, "embeddings"), "embedding")
+      val a = out.head().getAs[Double]("anisotropy")
+      require(a >= 0.0 && a <= 1.0 + 1e-9,
+        s"anisotropy is a ratio of norms in [0,1]: $a")
+      out
+    })
+
   override def queries: Seq[Q] =
-    Seq(simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
+    Seq(embIsotropy,
+      simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,

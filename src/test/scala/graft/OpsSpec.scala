@@ -3015,6 +3015,49 @@ class OpsSpec extends SparkSpec {
     assert(dfs("completely unique prose") == 1L)
   }
 
+  test("isotropy: centered cloud ~ 0, collapsed cloud ~ 1, hand ratio") {
+    import graft.ops.EmbeddingDrift
+    // symmetric pairs around the origin: mu = 0 exactly
+    val centered = Seq(Array(1.0, 0.0), Array(-1.0, 0.0),
+      Array(0.0, 2.0), Array(0.0, -2.0)).map(Tuple1(_)).toDF("e")
+    val c = EmbeddingDrift.isotropy(centered, "e").head()
+    assert(c.getAs[Double]("anisotropy") == 0.0 &&
+      c.getAs[Long]("dim") == 2L, s"$c")
+    // every vector identical: mu = x, ratio exactly 1
+    val collapsed = (1 to 5).map(_ => Tuple1(Array(3.0, 4.0))).toDF("e")
+    val k = EmbeddingDrift.isotropy(collapsed, "e").head()
+    assert(k.getAs[Double]("anisotropy") == 1.0 &&
+      k.getAs[Double]("mean_sq_norm") == 25.0)
+    // hand ratio: {(2,0), (0,0)}: mu=(1,0) -> 1 / (4/2) = 0.5
+    val hand = Seq(Array(2.0, 0.0), Array(0.0, 0.0)).map(Tuple1(_))
+      .toDF("e")
+    assert(EmbeddingDrift.isotropy(hand, "e").head()
+      .getAs[Double]("anisotropy") == 0.5)
+    intercept[IllegalArgumentException] {
+      EmbeddingDrift.isotropy(
+        Seq(Tuple1(Array(0.0, 0.0))).toDF("e"), "e")
+    }
+  }
+
+  test("forecast backtest: perfect trend beats naive, metrics bounded") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    // a clean linear ramp: n(day d) = 10 + 2d events — Brown's trend
+    // term locks on, so the model MAE beats the naive (always-2-off)
+    // benchmark once warmed up
+    val events = (0 until 60).flatMap { d =>
+      (1 to (10 + 2 * d)).map(i =>
+        Tuple1(new Timestamp((d * 86400L + i) * 1000L)))
+    }.toDF("ts")
+    val r = EventAnalytics.forecastBacktestDaily(events).head()
+    assert(r.getAs[Long]("n_pairs") == 59L)
+    val mase = r.getAs[Double]("mase")
+    assert(mase > 0.0 && mase < 1.0,
+      s"a trend-aware model must beat naive on a ramp: $r")
+    val smape = r.getAs[Double]("smape")
+    assert(smape >= 0.0 && smape <= 2.0)
+  }
+
   test("embedding drift: identical snapshots are exact, known rotation lands") {
     import graft.ops.EmbeddingDrift
     val old = Seq((1L, "a", Array(1.0, 0.0)), (2L, "a", Array(1.0, 0.0)),
