@@ -524,6 +524,53 @@ object EventAnalytics {
     * the index describes observed-day counts (document the grain).
     * Returns per key (key, n_days, mean_count, vmr, dispersion_chi2),
     * round-6; vmr/χ² null when n_days < 2 or the mean is 0. */
+  /** Day-of-week effect strength on the daily count series — one-way
+    * ANOVA of daily counts across the seven weekday phases (weekday =
+    * epoch-day mod 7, a pure 7-phase grouping — deterministic and
+    * calendar-library-free): F says whether the weekly rhythm is real,
+    * η² says how much of the daily variance it explains — the number
+    * that decides whether anomaly thresholds must be
+    * weekday-conditioned (compose with [[seasonalDecompose]]).
+    *
+    * Per-weekday moments are EXACT integer sums (counts); the
+    * scatter decomposition runs in the plan over the 7-row group table
+    * (the t12 recipe — reorder error ≤ 7 ulp, far inside the rounds).
+    * Returns one row (n_days, f_stat, df_between, df_within,
+    * eta_squared), F round-4, η² round-6. */
+  def weekdayEffect(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val g = daily.groupBy(pmod(col("day"), lit(7)).as("wd"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+    val tot = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      (sum(col("s1")).cast("double") / sum(col("n_g"))).as("gm"))
+    val ss = g.crossJoin(broadcast(tot)).agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("n_g") * (col("s1").cast("double") / col("n_g") - col("gm"))
+          * (col("s1").cast("double") / col("n_g") - col("gm"))).as("ssb"),
+        sum(col("s2").cast("double")
+          - col("s1").cast("double") * col("s1") / col("n_g")).as("ssw"))
+      .head()
+    val n = ss.getAs[Long]("n"); val k = ss.getAs[Long]("k")
+    require(k >= 2 && n > k, s"degenerate weekday table: n=$n k=$k")
+    val ssb = ss.getAs[Double]("ssb"); val ssw = ss.getAs[Double]("ssw")
+    require(ssb + ssw > 0.0, "constant daily series - nothing to decompose")
+    val dfb = k - 1; val dfw = n - k
+    def hu(x: Double, s: Int) = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    // ssw = 0 means the rhythm explains EVERYTHING: F is infinite — a
+    // null F with eta² = 1 is the honest report, not an exception
+    val f: Option[Double] =
+      if (ssw > 0.0) Some(hu((ssb / dfb) / (ssw / dfw), 4)) else None
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((n, f, dfb, dfw, hu(ssb / (ssb + ssw), 6)))
+      .toDF("n_days", "f_stat", "df_between", "df_within", "eta_squared")
+  }
+
   /** Local-maximum days of the daily event-count series — the
     * spike-finder next to the z-score/CUSUM monitors: a peak is a day
     * STRICTLY above both calendar neighbors (a missing neighbor counts

@@ -1452,8 +1452,46 @@ object EvalQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Spiegelhalter's calibration z ([[graft.stats.Eval.spiegelhalterZ]])
+    * on the perfectly-calibrated synthetic probability (the
+    * ml_calibration fixture): a well-calibrated forecaster must NOT
+    * reject — |z| small asserted in-gate; the oracle replays both
+    * round-12 term folds and the division; the normal p is library-only
+    * (asserted, excluded). */
+  val spiegelhalterGate: Q = Q(
+    "ml_spiegelhalter",
+    Some(s"""
+      WITH b AS (
+        SELECT ${hfSql("graft-cal", "o_orderkey")} AS p,
+          CASE WHEN ${hfSql("graft-cal2", "o_orderkey")}
+            < ${hfSql("graft-cal", "o_orderkey")} THEN 1.0 ELSE 0.0 END AS y
+        FROM orders),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round((y - p) * (1.0 - 2.0 * p), 12)
+            AS DECIMAL(38,14))) AS DOUBLE) AS num,
+          CAST(SUM(CAST(round((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p
+            * (1.0 - p), 12) AS DECIMAL(38,14))) AS DOUBLE) AS den2
+        FROM b)
+      SELECT n, CASE WHEN den2 > 0
+        THEN round(num / sqrt(den2), 6) + 0.0 END AS z
+      FROM a"""),
+    (s, dir) => {
+      val h1 = Sampling.hashFraction("graft-cal", Seq(col("o_orderkey")))
+      val h2 = Sampling.hashFraction("graft-cal2", Seq(col("o_orderkey")))
+      val out = Eval.spiegelhalterZ(Tables.load(s, dir, "orders"),
+        h1, when(h2 < h1, 1.0).otherwise(0.0))
+      val r = out.head()
+      require(math.abs(r.getAs[Double]("z")) < 4.0,
+        s"a calibrated forecaster must not reject: $r")
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0)
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
-    Seq(aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
+    Seq(spiegelhalterGate,
+      aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,

@@ -2370,10 +2370,112 @@ object EventQueries extends QueryModule {
       })
   }
 
+  /** Quantile treatment effects
+    * ([[graft.stats.Experiment.quantileEffects]]) of per-user total
+    * value across the standard hash arms: the distributional readout
+    * beside ev_proportion_ztest's single rate. The oracle replays every
+    * per-arm round-6 quantile and the re-rounded differences. In-gate:
+    * each arm's quantiles must be nondecreasing in p (a free
+    * order-statistic invariant). */
+  val evQte: Q = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val qCols = ps.zipWithIndex.map { case (p, i) =>
+      s"""round(quantile_cont(y, $p) FILTER (arm), 6) AS qt_$i,
+          round(quantile_cont(y, $p) FILTER (NOT arm), 6) AS qc_$i"""
+    }.mkString(",\n          ")
+    val outRows = ps.zipWithIndex.map { case (p, i) =>
+      s"SELECT CAST($p AS DOUBLE) AS p, qt_$i AS q_treatment, " +
+        s"qc_$i AS q_control, round(qt_$i - qc_$i, 6) + 0.0 AS effect FROM q"
+    }.mkString("\n      UNION ALL ")
+    Q(
+      "ev_quantile_effects",
+      Some(s"""
+      WITH u AS (
+        SELECT user_id,
+          CAST(concat('0x', substr(md5(concat_ws('|', 'graft-arm',
+            CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.5 AS arm,
+          round(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38,12)))
+            AS DOUBLE), 9) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      b AS (SELECT arm, y FROM u
+        WHERE arm IS NOT NULL AND y IS NOT NULL),
+      q AS (SELECT
+          $qCols
+        FROM b)
+      $outRows
+      ORDER BY p"""),
+      (s, dir) => {
+        val units = Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(round(sum(round(col("value"), 9).cast("decimal(38,12)"))
+            .cast("double"), 9).as("y"))
+          .withColumn("arm", graft.ops.Sampling.hashFraction("graft-arm",
+            Seq(col("user_id"))) < 0.5)
+        val out = graft.stats.Experiment.quantileEffects(units,
+          col("arm"), col("y"))
+        val rows = out.collect()
+        rows.sliding(2).foreach {
+          case Array(a, b) =>
+            require(a.getAs[Double]("q_treatment") <=
+              b.getAs[Double]("q_treatment") &&
+              a.getAs[Double]("q_control") <= b.getAs[Double]("q_control"),
+              s"quantiles must be nondecreasing in p: $a -> $b")
+          case _ =>
+        }
+        out
+      })
+  }
+
+  /** Day-of-week effect strength
+    * ([[graft.ops.EventAnalytics.weekdayEffect]]): one-way ANOVA of
+    * daily counts across the 7 weekday phases — the oracle replays the
+    * exact integer moments and the t12 scatter decomposition. */
+  val evWeekday: Q = Q(
+    "ev_weekday_anova",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      g AS (
+        SELECT day % 7 AS wd, CAST(count(*) AS BIGINT) AS n_g,
+          CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2
+        FROM d GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(s1) AS DOUBLE) / sum(n_g) AS gm
+        FROM g),
+      ss AS (
+        SELECT tot.n, tot.k,
+          SUM(n_g * (CAST(s1 AS DOUBLE) / n_g - gm)
+            * (CAST(s1 AS DOUBLE) / n_g - gm)) AS ssb,
+          SUM(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_g) AS ssw
+        FROM g, tot GROUP BY tot.n, tot.k)
+      SELECT n AS n_days,
+        CASE WHEN ssw > 0
+          THEN round((ssb / (k - 1)) / (ssw / (n - k)), 4) + 0.0
+        END AS f_stat,
+        k - 1 AS df_between, n - k AS df_within,
+        round(ssb / (ssb + ssw), 6) + 0.0 AS eta_squared
+      FROM ss"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.weekdayEffect(
+        Tables.load(s, dir, "events"))
+      val r = out.head()
+      require(r.getAs[Long]("df_between") == 6L &&
+        r.getAs[Double]("eta_squared") >= 0.0 &&
+        r.getAs[Double]("eta_squared") <= 1.0, s"$r")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,
+      evQte, evWeekday,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -361,6 +361,60 @@ object Eval {
           .as("uncertainty"))
   }
 
+  /** Spiegelhalter's calibration z-test (Spiegelhalter 1986, public):
+    * the SIGNIFICANCE companion to [[expectedCalibrationError]]'s
+    * magnitude — under perfect calibration Σ(y−p)(1−2p) has mean 0 and
+    * variance Σ(1−2p)²p(1−p), so z = num/√var is a proper test, no
+    * binning choices to argue about. ECE says how big the gap is,
+    * Spiegelhalter says whether it's distinguishable from sampling
+    * noise.
+    *
+    * ONE aggregation (two round-12 decimal term folds + bounds checks);
+    * z is one double division, round-6. Forecasts must sit in [0,1] and
+    * labels in {0,1} (loud). Returns (n, z, p_value); z is null when
+    * every forecast is 0 or 1 exactly (zero variance — nothing to
+    * test); the two-sided normal p is library-only. */
+  def spiegelhalterZ(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val rows = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("p"),
+        labelCol.cast("double").as("y"))
+    def fold12(c: Column) =
+      sum(round(c, 12).cast("decimal(38,14)")).cast("double")
+    val r = rows.agg(
+        count(lit(1)).as("n"),
+        min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+        fold12((col("y") - col("p")) * (lit(1.0) - lit(2.0) * col("p")))
+          .as("num"),
+        fold12((lit(1.0) - lit(2.0) * col("p"))
+          * (lit(1.0) - lit(2.0) * col("p")) * col("p")
+          * (lit(1.0) - col("p"))).as("den2"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n > 0, "Spiegelhalter needs scored rows")
+    require(r.getAs[Double]("pmin") >= 0.0 && r.getAs[Double]("pmax") <= 1.0,
+      "forecasts must sit in [0,1]")
+    require(r.getAs[Double]("ymin") >= 0.0 && r.getAs[Double]("ymax") <= 1.0
+      && r.getAs[Double]("ymin") % 1.0 == 0.0
+      && r.getAs[Double]("ymax") % 1.0 == 0.0, "labels must be 0/1")
+    val den2 = r.getAs[Double]("den2")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (den2 <= 0.0) {
+      Seq((n, Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "z", "p_value")
+    } else {
+      val z = r.getAs[Double]("num") / math.sqrt(den2)
+      val p = 2.0 * (1.0 -
+        new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+          .cumulativeProbability(math.abs(z)))
+      Seq((n, Some(r6(z)), Some(r6(p)))).toDF("n", "z", "p_value")
+    }
+  }
+
   /** Matthews correlation coefficient at a fixed threshold (Matthews
     * 1975, public) — the single-number confusion summary that stays
     * honest under class imbalance where accuracy and even F1 mislead:

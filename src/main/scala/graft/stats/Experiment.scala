@@ -345,6 +345,44 @@ object Experiment {
         "ci_lo", "ci_hi", "z", "p_value")
   }
 
+  /** Quantile treatment effects — the DISTRIBUTIONAL readout beside the
+    * mean-effect tests: per probability p, the treatment-arm quantile
+    * minus the control-arm quantile. A zero mean effect with a positive
+    * p90 effect and a negative p10 effect is a variance intervention —
+    * exactly what averaging hides (Bitler–Gelbach–Hoynes 2006
+    * popularized QTEs; the order-statistic arithmetic is textbook).
+    *
+    * ONE aggregation computes every per-arm exact percentile
+    * (conditional percentile cells — the t17 round-6 parity recipe);
+    * effects subtract the ROUNDED quantiles and re-round. Swap
+    * approx_percentile in past ~10⁹ rows per arm. Returns one row per p
+    * (p, q_treatment, q_control, effect) ordered by p; empty arms fail
+    * loudly. */
+  def quantileEffects(units: DataFrame, armCol: Column, yCol: Column,
+      ps: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"probabilities must sit in (0,1): $ps")
+    val y = yCol.cast("double")
+    val base = units.filter(armCol.isNotNull && y.isNotNull)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(round(percentile(when(armCol, y), lit(p)), 6).as(s"qt_$i"),
+        round(percentile(when(!armCol, y), lit(p)), 6).as(s"qc_$i"))
+    } ++ Seq(sum(when(armCol, 1L).otherwise(0L)).as("nt"),
+      sum(when(!armCol, 1L).otherwise(0L)).as("nc"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    require(r.getAs[Long]("nt") > 0 && r.getAs[Long]("nc") > 0,
+      s"empty arm: t=${r.getAs[Long]("nt")} c=${r.getAs[Long]("nc")}")
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark = units.sparkSession
+    import spark.implicits._
+    ps.zipWithIndex.map { case (p, i) =>
+      val qt = r.getAs[Double](s"qt_$i")
+      val qc = r.getAs[Double](s"qc_$i")
+      (p, qt, qc, r6(qt - qc))
+    }.toDF("p", "q_treatment", "q_control", "effect").orderBy("p")
+  }
+
   /** Sample-ratio-mismatch (SRM) check — the experiment-hygiene test
     * every A/B readout must pass FIRST (Fabijan et al. 2019 popularized
     * it; the χ² goodness-of-fit itself is Pearson 1900, public): do the

@@ -208,6 +208,30 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("spiegelhalter z: calibrated passes, systematic bias rejects") {
+    // calibrated by construction: p in {0.2, 0.8}, y matches the rate
+    val cal = (Seq.fill(8)((0.2, 0)) ++ Seq.fill(2)((0.2, 1)) ++
+      Seq.fill(2)((0.8, 0)) ++ Seq.fill(8)((0.8, 1))).toDF("p", "y")
+    val c = Eval.spiegelhalterZ(cal, col("p"), col("y")).head()
+    assert(math.abs(c.getAs[Double]("z")) < 1e-9,
+      s"exact calibration must give z = 0: $c")
+    // overconfident low forecasts that keep coming true
+    val bias = (Seq.fill(50)((0.1, 1)) ++ Seq.fill(5)((0.1, 0)))
+      .toDF("p", "y")
+    val b = Eval.spiegelhalterZ(bias, col("p"), col("y")).head()
+    assert(b.getAs[Double]("z") > 5.0 && b.getAs[Double]("p_value") < 1e-6,
+      s"$b")
+    // all-certain forecasts: zero variance, z undefined
+    val hard = (Seq.fill(5)((1.0, 1)) ++ Seq.fill(5)((0.0, 0)))
+      .toDF("p", "y")
+    val h = Eval.spiegelhalterZ(hard, col("p"), col("y")).head()
+    assert(h.isNullAt(h.fieldIndex("z")))
+    intercept[IllegalArgumentException] {
+      Eval.spiegelhalterZ(Seq((1.5, 1)).toDF("p", "y"),
+        col("p"), col("y"))
+    }
+  }
+
   test("lift table: perfect ranker geometry, tie merge, label guard") {
     // scores 1..100 distinct, positives = the top 20 scores
     val perfect = (1 to 100).map(i => (i.toDouble, if (i > 80) 1 else 0))

@@ -3370,6 +3370,29 @@ class OpsSpec extends SparkSpec {
       s3.getAs[Double]("mean_s") == 10800.0, "3h click->purchase")
   }
 
+  test("weekday effect: planted rhythm fires, flat series reads ~ zero") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      Tuple1(new Timestamp((day * 86400L + i) * 1000L)))
+    // 8 weeks where phase-0 days get 30 events, others 10
+    val rhythmic = (0 until 56).flatMap(d =>
+      burst(d, if (d % 7 == 0) 30 else 10)).toDF("ts")
+    val r = EventAnalytics.weekdayEffect(rhythmic).head()
+    assert(r.getAs[Long]("n_days") == 56L &&
+      r.getAs[Long]("df_between") == 6L)
+    assert(r.getAs[Double]("eta_squared") == 1.0 &&
+      r.isNullAt(r.fieldIndex("f_stat")),
+      s"a pure rhythm explains everything (ssw = 0, F infinite): $r")
+    // rhythm-free series (within-week parity noise balances across the
+    // 8 weeks, so every phase mean is exactly 10.5): zero between-group
+    // variance, F and eta exactly 0
+    val flat = (0 until 56).flatMap(d => burst(d, 10 + d % 2)).toDF("ts")
+    val f = EventAnalytics.weekdayEffect(flat).head()
+    assert(f.getAs[Double]("eta_squared") == 0.0 &&
+      f.getAs[Double]("f_stat") == 0.0, s"$f")
+  }
+
   test("daily peaks: strict maxima, gap neighbors are zero, plateaus skip") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

@@ -2125,6 +2125,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("quantile effects: pure variance intervention, shift, empty arm") {
+    import graft.stats.Experiment
+    // control 41..60 (tight), treatment 26..75 (spread, same median):
+    // low-p effects negative, high-p positive, median ~ 0
+    val spread = ((26 to 75).map(v => (true, v.toDouble)) ++
+      (41 to 60).map(v => (false, v.toDouble))).toDF("arm", "y")
+    val qte = Experiment.quantileEffects(spread, col("arm"), col("y"))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("effect"))
+      .toMap
+    assert(qte(0.1) < -5.0 && qte(0.9) > 5.0, s"$qte")
+    assert(math.abs(qte(0.5)) < 1.0)
+    // a pure +7 shift moves EVERY quantile by exactly 7
+    val shift = ((1 to 50).map(v => (true, v + 7.0)) ++
+      (1 to 50).map(v => (false, v.toDouble))).toDF("arm", "y")
+    Experiment.quantileEffects(shift, col("arm"), col("y"))
+      .collect().foreach(r =>
+        assert(r.getAs[Double]("effect") == 7.0, s"$r"))
+    intercept[IllegalArgumentException] {
+      Experiment.quantileEffects(
+        (1 to 5).map(v => (true, v.toDouble)).toDF("arm", "y"),
+        col("arm"), col("y"))
+    }
+  }
+
   test("srm: clean split passes, broken split flags, ratio parameter") {
     import graft.stats.Experiment
     def arms(nt: Int, nc: Int) =
