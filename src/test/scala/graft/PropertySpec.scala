@@ -606,4 +606,49 @@ class PropertySpec extends SparkSpec {
     assert(row.getAs[Double]("kl_ab") >= 0.0 &&
       row.getAs[Double]("kl_ba") >= 0.0)
   }
+
+  test("round-14 session-2 ops: windows partitioned or bounded, never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // RFM: groupBy + one percentile agg + broadcast thresholds — no
+    // window anywhere (the quintile is comparison arithmetic)
+    val rfm = graft.ops.Segmentation.rfmScores(
+      ev.select($"user_id".as("cust"), $"ts".as("odate"),
+        $"value".as("amt")), "cust", "odate", "amt")
+    assert(rfm.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.isEmpty,
+      "rfm must not plan any window")
+    // inter-event gaps: the lag window is per-(type, user) — partitioned
+    val gaps = graft.ops.EventAnalytics.interEventGaps(ev)
+    assert(globalWindows(gaps).isEmpty,
+      "inter-event gaps must not plan a global window")
+    // LTV: the cumulative sweep is partitioned BY COHORT
+    val ltv = graft.ops.EventAnalytics.ltvCurve(ev)
+    assert(globalWindows(ltv).isEmpty,
+      "ltv must not plan a global window")
+    // linear attribution: k comes from a per-CONVERSION window
+    val att = graft.ops.EventAnalytics.attributeRevenueLinear(
+      ev, Seq("view", "click"), "purchase", windowSeconds = 172800L)
+    assert(globalWindows(att).isEmpty,
+      "linear attribution must not plan a global window")
+    // funnel step timing and weekday ANOVA: pure groupBy shapes
+    val fst = graft.ops.EventAnalytics.funnelStepTimes(
+      ev, Seq("view", "click", "purchase"), window = "48 hours")
+    assert(fst.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.isEmpty,
+      "funnel timing must not plan any window")
+    // lift table: EXACTLY one global window, and only over the
+    // bins-bounded bucket table (the documented exception) — more than
+    // one would mean a data-sized frame crept in
+    val lift = graft.stats.Eval.liftTable(
+      ev.select(($"value").as("s"),
+        ($"event_id" % 2).cast("int").as("y")), $"s", $"y")
+    assert(globalWindows(lift).size == 1,
+      "lift table plans exactly one (bins-bounded) cumulative window")
+  }
 }
