@@ -459,4 +459,40 @@ object Sampling {
       .orderBy(col("gumbel_key").desc, col("id"))
       .limit(k)
   }
+
+  /** Effective sample size of an importance-weighted dataset (Kong
+    * 1992, public): ESS = (Σw)²/Σw² — the diagnostic every weighted
+    * estimate (DSIR resampling, temperature mixing, IPW) must report
+    * beside its mean: n weighted rows with ESS ≈ 30 carry thirty rows'
+    * worth of evidence, and a CI pretending otherwise lies. ess_frac =
+    * ESS/n is the one-glance health number (→ 1 uniform weights, → 0 a
+    * handful of rows dominating).
+    *
+    * ONE aggregation: weights fold as round-9/round-12 decimals, the
+    * ratio is fixed double arithmetic. Negative weights fail loudly
+    * (ESS assumes a proper weighting); zero total weight fails loudly.
+    * Returns one row (n, sum_w, ess, ess_frac), round-6. */
+  def effectiveSampleSize(df: DataFrame, wCol: Column): DataFrame = {
+    val w = wCol.cast("double")
+    val r = df.filter(w.isNotNull).agg(
+        count(lit(1)).as("n"),
+        min(w).as("wmin"),
+        sum(round(w, 9).cast("decimal(38,12)")).cast("double").as("sw"),
+        sum(round(w * w, 12).cast("decimal(38,14)")).cast("double")
+          .as("sww"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n > 0, "ESS needs weighted rows")
+    require(r.getAs[Double]("wmin") >= 0.0,
+      s"negative weight: ${r.getAs[Double]("wmin")}")
+    val sw = r.getAs[Double]("sw"); val sww = r.getAs[Double]("sww")
+    require(sww > 0.0, "all weights are zero - nothing is sampled")
+    val ess = sw * sw / sww
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, r6(sw), r6(ess), r6(ess / n)))
+      .toDF("n", "sum_w", "ess", "ess_frac")
+  }
 }

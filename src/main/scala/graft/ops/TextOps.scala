@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -18,6 +18,40 @@ object TextOps {
   /** Whitespace tokens of trimmed text; empty/blank → empty array (the
     * split-of-empty-string quirk returns [""] in both engines, guarded
     * identically here and in the oracle). */
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass
+    * (Chao 1984; Good 1953 — public): "how many types does this corpus
+    * REALLY have" and "what probability mass belongs to words we have
+    * not seen yet" — both read off the frequency-of-frequencies table:
+    * Chao1 = D + f₁²/(2f₂) (bias-corrected (f₁(f₁−1))/(2(f₂+1)) when
+    * f₂ = 0), p_unseen = f₁/N. The corpus-coverage companions to the
+    * Heaps/Zipf fits: a crawl whose Chao1 keeps running away from its
+    * observed vocabulary is nowhere near lexical saturation.
+    *
+    * Two map-side-combined aggregations (wordcount, then
+    * counts-of-counts) — every input to both estimators is an exact
+    * integer, so the oracle replays them bit-for-bit before the shared
+    * rounds. Returns one row (n_tokens, vocab, f1, f2, chao1,
+    * p_unseen), estimates round-6. */
+  def lexicalRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    counts.agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        when(col("f2") > 0L,
+          round(col("vocab") + col("f1").cast("double") * col("f1")
+            / (lit(2.0) * col("f2")), 6))
+          .otherwise(round(col("vocab")
+            + col("f1").cast("double") * (col("f1") - 1)
+            / (lit(2.0) * (col("f2") + 1)), 6)).as("chao1"),
+        round(col("f1").cast("double") / col("n_tokens"), 6)
+          .as("p_unseen"))
+  }
+
   def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))

@@ -735,10 +735,42 @@ object SamplingQueries extends QueryModule {
       front.orderBy("o_orderkey")
     })
 
+  /** Effective sample size of a weighted dataset
+    * ([[graft.ops.Sampling.effectiveSampleSize]]) with document length
+    * as the weight — the diagnostic the importance/temperature samplers
+    * must report beside their estimates. The oracle replays the weight
+    * folds and the Kong ratio; in-gate, ESS must sit in (0, n] (Jensen)
+    * and strictly below n (lengths are not uniform). */
+  val smpEss: Q = Q(
+    "smp_effective_sample_size",
+    Some("""
+      WITH b AS (
+        SELECT CAST(n_chars AS DOUBLE) AS w FROM documents
+        WHERE n_chars IS NOT NULL),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(w, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+          CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,14))) AS DOUBLE)
+            AS sww
+        FROM b)
+      SELECT n, round(sw, 6) AS sum_w,
+        round(sw * sw / sww, 6) + 0.0 AS ess,
+        round(sw * sw / sww / n, 6) + 0.0 AS ess_frac
+      FROM a"""),
+    (s, dir) => {
+      val out = graft.ops.Sampling.effectiveSampleSize(
+        Tables.load(s, dir, "documents"), col("n_chars"))
+      val r = out.head()
+      val frac = r.getAs[Double]("ess_frac")
+      require(frac > 0.0 && frac < 1.0,
+        s"non-uniform lengths must give 0 < ESS < n: $r")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
       smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave,
-      smpParetoFront)
+      smpParetoFront, smpEss)
 }

@@ -2822,7 +2822,45 @@ object TextQueries extends QueryModule {
       })
   }
 
+  /** Chao1 richness + Good–Turing unseen mass
+    * ([[graft.ops.TextOps.lexicalRichness]]): both estimators read off
+    * exact integer frequency-of-frequencies, so the oracle replays them
+    * bit-for-bit. In-gate: Chao1 ≥ observed vocabulary (the estimator
+    * only ever adds undiscovered types). */
+  val txtChao1: Q = Q(
+    "txt_chao1_richness",
+    Some("""
+      WITH t AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+        WHERE length(trim(text)) > 0),
+      c AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM t WHERE token <> '' GROUP BY token),
+      f AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS vocab,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM c)
+      SELECT n_tokens, vocab, f1, f2,
+        CASE WHEN f2 > 0
+          THEN round(vocab + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2), 6)
+          ELSE round(vocab + CAST(f1 AS DOUBLE) * (f1 - 1)
+            / (2.0 * (f2 + 1)), 6) END AS chao1,
+        round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS p_unseen
+      FROM f"""),
+    (s, dir) => {
+      val out = graft.ops.TextOps.lexicalRichness(
+        Tables.load(s, dir, "documents"), "text")
+      val r = out.head()
+      require(r.getAs[Double]("chao1") >= r.getAs[Long]("vocab"),
+        s"Chao1 only ever adds undiscovered types: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
+    txtChao1,
     ddCoverageEstimate,
     txtTextrank,
     txtScriptHistogram, txtReadability, wnFingerprints, wnOverlapPairs,

@@ -3370,6 +3370,49 @@ class OpsSpec extends SparkSpec {
       s3.getAs[Double]("mean_s") == 10800.0, "3h click->purchase")
   }
 
+  test("lexical richness: hand chao1, zero-doubleton correction, saturation") {
+    import graft.ops.TextOps
+    // vocab: a(x3), b(x2), c, d, e -> D=5, f1=3, f2=1, N=8
+    // chao1 = 5 + 9/2 = 9.5; p_unseen = 3/8
+    val corpus = Seq("a a b c", "a b d e").zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("id", "text")
+    val r = TextOps.lexicalRichness(corpus, "text").head()
+    assert(r.getAs[Long]("vocab") == 5L && r.getAs[Long]("f1") == 3L &&
+      r.getAs[Long]("f2") == 1L, s"$r")
+    assert(r.getAs[Double]("chao1") == 9.5 &&
+      r.getAs[Double]("p_unseen") == 0.375)
+    // no doubletons: the bias-corrected form f1(f1-1)/(2(f2+1))
+    val nodup = Seq((0, "x y z")).toDF("id", "text")
+    val n = TextOps.lexicalRichness(nodup, "text").head()
+    assert(n.getAs[Double]("chao1") == 3.0 + 3.0 * 2 / 2.0, s"$n")
+    // fully saturated corpus (no singletons): chao1 = vocab, unseen 0
+    val sat = Seq((0, "p q p q")).toDF("id", "text")
+    val s = TextOps.lexicalRichness(sat, "text").head()
+    assert(s.getAs[Double]("chao1") == 2.0 &&
+      s.getAs[Double]("p_unseen") == 0.0)
+  }
+
+  test("effective sample size: uniform = n, one-heavy ~ 1, hand value") {
+    import graft.ops.Sampling
+    val uni = (1 to 40).map(i => (i, 2.5)).toDF("id", "w")
+    val u = Sampling.effectiveSampleSize(uni, col("w")).head()
+    assert(u.getAs[Double]("ess") == 40.0 &&
+      u.getAs[Double]("ess_frac") == 1.0, s"$u")
+    // one dominant weight: ESS collapses toward 1
+    val heavy = ((1 to 99).map(i => (i, 0.001)) :+ ((100, 1000.0)))
+      .toDF("id", "w")
+    val h = Sampling.effectiveSampleSize(heavy, col("w")).head()
+    assert(h.getAs[Double]("ess") < 1.01, s"$h")
+    // hand: w = {1, 3}: (4)^2 / 10 = 1.6
+    val hand = Seq((1, 1.0), (2, 3.0)).toDF("id", "w")
+    assert(Sampling.effectiveSampleSize(hand, col("w")).head()
+      .getAs[Double]("ess") == 1.6)
+    intercept[IllegalArgumentException] {
+      Sampling.effectiveSampleSize(Seq((1, -0.5)).toDF("id", "w"),
+        col("w"))
+    }
+  }
+
   test("weekday effect: planted rhythm fires, flat series reads ~ zero") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp
