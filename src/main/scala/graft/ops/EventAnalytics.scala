@@ -524,6 +524,84 @@ object EventAnalytics {
     * the index describes observed-day counts (document the grain).
     * Returns per key (key, n_days, mean_count, vmr, dispersion_chi2),
     * round-6; vmr/χ² null when n_days < 2 or the mean is 0. */
+  /** Mann–Kendall monotonic-trend test on the daily count series (Mann
+    * 1945; Kendall 1975 — public): S = Σ_{i<j} sgn(x_j − x_i) over time
+    * pairs, tie-corrected variance, continuity-corrected z — the
+    * NONPARAMETRIC companion to the OLS slope: it sees any monotone
+    * drift, outliers can't drag it, and with [[graft.stats.Regression]]
+    * Theil–Sen it's the standard robust trend pair.
+    *
+    * The daily series is calendar-bounded BY CONTRACT (the acfDaily
+    * grain), so S comes from one driver-side Fenwick pass over the
+    * collected series — O(m log m) on m days, loudly capped at
+    * `maxDays`; at a finer grain, pre-bin first. Every input to S, the
+    * variance, and τ_a is an exact integer, so a SQL oracle replays
+    * them from the (m²)-pair join. Returns one row (n_days, s, tau_a,
+    * z, p_value): τ/z round-6, z null when the variance is 0 (constant
+    * series); the normal p is library-only. */
+  def mannKendallDaily(
+      events: DataFrame, tsCol: String = "ts",
+      maxDays: Int = 200000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day")
+      .as[(Long, Long)].collect()
+    val n = daily.length
+    require(n >= 3, s"Mann-Kendall needs >= 3 days, got $n")
+    require(n <= maxDays,
+      s"$n days exceeds the $maxDays calendar-bounded cap - pre-bin first")
+    // Fenwick tree over rank-compressed values: S = concordant − discordant
+    val sortedVals = daily.map(_._2).distinct.sorted
+    val rank = sortedVals.zipWithIndex.toMap
+    val m = sortedVals.length
+    val tree = Array.ofDim[Long](m + 1)
+    def update(i0: Int): Unit = {
+      var i = i0 + 1
+      while (i <= m) { tree(i) += 1; i += i & (-i) }
+    }
+    def queryBelow(i0: Int): Long = { // count of ranks < i0
+      var i = i0; var s = 0L
+      while (i > 0) { s += tree(i); i -= i & (-i) }
+      s
+    }
+    var s = 0L
+    var seen = 0L
+    daily.foreach { case (_, x) =>
+      val r = rank(x)
+      val below = queryBelow(r)
+      val atOrBelow = queryBelow(r + 1)
+      val above = seen - atOrBelow
+      s += below - above
+      update(r); seen += 1
+    }
+    val ties = daily.groupBy(_._2).map(_._2.length.toLong)
+      .filter(_ > 1).toSeq
+    val nI = BigInt(n)
+    val varNum = nI * (n - 1) * (2 * n + 5) -
+      ties.map(t => BigInt(t) * (t - 1) * (2 * t + 5)).sum
+    val varS = varNum.toDouble / 18.0
+    val tau = s.toDouble / (n * (n - 1L) / 2.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val (z, p): (Option[Double], Option[Double]) =
+      if (varS <= 0.0) (None, None)
+      else {
+        val zv =
+          if (s > 0) (s - 1) / math.sqrt(varS)
+          else if (s < 0) (s + 1) / math.sqrt(varS)
+          else 0.0
+        (Some(r6(zv)), Some(r6(2.0 * (1.0 -
+          new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+            .cumulativeProbability(math.abs(zv))))))
+      }
+    Seq((n.toLong, s, r6(tau), z, p))
+      .toDF("n_days", "s", "tau_a", "z", "p_value")
+  }
+
   /** Day-of-week effect strength on the daily count series — one-way
     * ANOVA of daily counts across the seven weekday phases (weekday =
     * epoch-day mod 7, a pure 7-phase grouping — deterministic and

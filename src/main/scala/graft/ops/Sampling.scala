@@ -460,6 +460,53 @@ object Sampling {
       .limit(k)
   }
 
+  /** χ² goodness-of-fit of a realized dataset mix against its TARGET
+    * weights (Pearson 1900, public) — the acceptance check after
+    * [[mix]]/temperature sampling: did the assembled dataset actually
+    * hit the recipe? χ² = Σ_k (o_k − n·w_k)²/(n·w_k) over the target
+    * keys, df = k − 1. Keys in the data but NOT in the target fail
+    * loudly (the recipe must cover the data); target keys absent from
+    * the data contribute their full expected count.
+    *
+    * One groupBy(key) with map-side combine; the k-bounded χ² terms
+    * round to 9 and fold in decimal. Returns one row (n, k, chi2,
+    * p_value): χ² round-6; the χ²(k−1) p is library-only. */
+  def mixFitTest(df: DataFrame, keyCol: Column,
+      targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.size >= 2, "need >= 2 target components")
+    require(targetWeights.values.forall(_ > 0), "weights must be positive")
+    val wSum = targetWeights.values.sum
+    require(math.abs(wSum - 1.0) < 1e-9, s"weights must sum to 1: $wSum")
+    val counts = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("o"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("o")).toMap
+    val stray = counts.keySet -- targetWeights.keySet
+    require(stray.isEmpty, s"keys outside the target recipe: $stray")
+    val n = counts.values.sum
+    require(n > 0, "mix fit needs rows")
+    // k-bounded driver fold in SORTED key order with round-9 terms —
+    // the exact decimal fold a SQL oracle replays
+    var acc = java.math.BigDecimal.ZERO
+    targetWeights.keys.toSeq.sorted.foreach { k =>
+      val e = n * targetWeights(k)
+      val o = counts.getOrElse(k, 0L)
+      val term = (o - e) * (o - e) / e
+      acc = acc.add(java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+    }
+    val chi2 = acc.doubleValue
+    val k = targetWeights.size
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val p = r6(1.0 -
+      new org.apache.commons.math3.distribution.ChiSquaredDistribution(
+        (k - 1).toDouble).cumulativeProbability(chi2))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, r6(chi2), p)).toDF("n", "k", "chi2", "p_value")
+  }
+
   /** Effective sample size of an importance-weighted dataset (Kong
     * 1992, public): ESS = (Σw)²/Σw² — the diagnostic every weighted
     * estimate (DSIR resampling, temperature mixing, IPW) must report

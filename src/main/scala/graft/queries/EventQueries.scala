@@ -2471,11 +2471,57 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Mann–Kendall monotonic trend
+    * ([[graft.ops.EventAnalytics.mannKendallDaily]]) on the daily count
+    * series: the Spark side runs the driver Fenwick pass over the
+    * calendar-bounded series; the oracle replays S from the full pair
+    * join, the tie-corrected variance (HUGEINT), τ_a, and the
+    * continuity-corrected z; the normal p is library-only. */
+  val evMannKendall: Q = Q(
+    "ev_mann_kendall",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      p AS (SELECT a.x AS xa, b.x AS xb FROM d a, d b WHERE b.day > a.day),
+      sagg AS (
+        SELECT CAST(SUM(CASE WHEN xb > xa THEN 1 WHEN xb < xa THEN -1
+          ELSE 0 END) AS BIGINT) AS s
+        FROM p),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      ties AS (
+        SELECT SUM(CASE WHEN t > 1
+          THEN CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)
+          ELSE 0 END) AS tsum
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY x)),
+      v AS (
+        SELECT CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+          - COALESCE(tsum, 0) AS DOUBLE) / 18.0 AS var
+        FROM nn, ties)
+      SELECT nn.n AS n_days, sagg.s,
+        round(CAST(sagg.s AS DOUBLE) / (nn.n * (nn.n - 1) / 2.0), 6) + 0.0
+          AS tau_a,
+        CASE WHEN v.var > 0 THEN round(
+          CASE WHEN sagg.s > 0 THEN (sagg.s - 1) / sqrt(v.var)
+            WHEN sagg.s < 0 THEN (sagg.s + 1) / sqrt(v.var)
+            ELSE 0.0 END, 6) + 0.0 END AS z
+      FROM nn, sagg, v"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.mannKendallDaily(
+        Tables.load(s, dir, "events"))
+      val r = out.head()
+      require(math.abs(r.getAs[Double]("tau_a")) <= 1.0)
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0)
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,
-      evQte, evWeekday,
+      evQte, evWeekday, evMannKendall,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -767,10 +767,46 @@ object SamplingQueries extends QueryModule {
       out
     })
 
+  /** Mix goodness-of-fit ([[graft.ops.Sampling.mixFitTest]]) of the
+    * document corpus against its own uniform 20-source recipe: the
+    * synthetic corpus IS exactly uniform, so χ² must read 0 — asserted
+    * in-gate; the oracle replays every round-9 term from the same
+    * target literals; the χ²(k−1) p is library-only. */
+  val smpMixFit: Q = {
+    val srcs = (0 until 20).map(i => s"src$i")
+    val tw = srcs.map(s => s"('$s', 0.05)").mkString(", ")
+    Q(
+      "smp_mix_fit",
+      Some(s"""
+        WITH tw(key, w) AS (SELECT * FROM (VALUES $tw)),
+        c AS (
+          SELECT CAST(source AS VARCHAR) AS key,
+            CAST(count(*) AS BIGINT) AS o
+          FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+        terms AS (
+          SELECT round((COALESCE(c.o, 0) - nn.n * tw.w)
+            * (COALESCE(c.o, 0) - nn.n * tw.w) / (nn.n * tw.w), 9) AS term
+          FROM tw LEFT JOIN c ON tw.key = c.key, nn)
+        SELECT nn.n, 20 AS k,
+          round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0
+            AS chi2
+        FROM terms, nn GROUP BY nn.n"""),
+      (s, dir) => {
+        val out = graft.ops.Sampling.mixFitTest(
+          Tables.load(s, dir, "documents"), col("source"),
+          srcs.map(_ -> 0.05).toMap)
+        val r = out.head()
+        require(r.getAs[Double]("chi2") == 0.0,
+          s"the synthetic corpus is exactly uniform: $r")
+        out.drop("p_value")
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
       smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave,
-      smpParetoFront, smpEss)
+      smpParetoFront, smpEss, smpMixFit)
 }

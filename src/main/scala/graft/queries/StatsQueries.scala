@@ -2693,11 +2693,39 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Lower-tail VaR + expected shortfall
+    * ([[graft.stats.Distribution.expectedShortfall]]) of extendedprice
+    * at α = 0.05: the oracle replays the round-6 fence and the
+    * inclusive-tail round-9 decimal fold. In-gate: ES ≤ VaR (the tail
+    * mean cannot exceed its own fence). */
+  val t58ExpectedShortfall: Q = Q(
+    "t58_expected_shortfall",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      q AS (SELECT round(quantile_cont(v, 0.05), 6) AS fence FROM b)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN v <= fence THEN 1 END) AS BIGINT) AS tail_n,
+        fence AS var_q,
+        round(CAST(SUM(CASE WHEN v <= fence
+            THEN CAST(round(v, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
+          / count(CASE WHEN v <= fence THEN 1 END), 6) AS es
+      FROM b, q GROUP BY fence"""),
+    (s, dir) => {
+      val out = graft.stats.Distribution.expectedShortfall(
+        Tables.load(s, dir, "lineitem"), col("l_extendedprice"))
+      val r = out.head()
+      require(r.getAs[Double]("es") <= r.getAs[Double]("var_q"),
+        s"the tail mean cannot exceed its own fence: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,
-    dqCvm, t56Log2Hist,
+    dqCvm, t56Log2Hist, t58ExpectedShortfall,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

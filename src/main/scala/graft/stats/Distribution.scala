@@ -151,6 +151,36 @@ object Distribution {
       .orderBy("bucket")
   }
 
+  /** Value-at-Risk and Expected Shortfall of the LOWER tail
+    * (Rockafellar & Uryasev 2000 formalized ES; both are
+    * textbook-public): VaR_α = the α-quantile, ES_α = the mean of
+    * everything at or below it — the "how bad is bad" pair for any
+    * bounded-downside metric (margin, net credits, score floors). ES is
+    * coherent where VaR alone is not: it sees how HEAVY the tail is,
+    * not just where it starts.
+    *
+    * Two aggregates: a round-6 exact-percentile fence (the t17 parity
+    * recipe), then one conditional round-9 decimal fold over the
+    * INCLUSIVE tail (values exactly on the fence belong to it —
+    * deterministic in both engines). Returns one row (n, tail_n, var_q,
+    * es), es round-6; fails loudly on an empty column. */
+  def expectedShortfall(df: DataFrame, valueCol: Column,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"tail alpha in (0, 0.5): $alpha")
+    val v = valueCol.cast(DoubleType)
+    val b = df.filter(v.isNotNull)
+    val q = b.agg(round(percentile(v, lit(alpha)), 6).as("q")).head()
+    require(!q.isNullAt(0), "expected shortfall needs values")
+    val fence = q.getDouble(0)
+    val inTail = v <= lit(fence)
+    b.agg(
+        count(lit(1)).as("n"),
+        count(when(inTail, 1)).as("tail_n"),
+        lit(fence).as("var_q"),
+        round(sum(when(inTail, round(v, 9)).cast("decimal(38,12)"))
+          .cast("double") / count(when(inTail, 1)), 6).as("es"))
+  }
+
   /** Distribution-free confidence interval for the MEDIAN via order
     * statistics (the binomial/sign-test interval, textbook-public;
     * normal-approximation ranks — the large-sample form): ranks

@@ -3413,6 +3413,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mann-kendall: monotone fires, hand S with ties, constant null") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def series(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (n, d) => (1 to n).map(i =>
+        Tuple1(new Timestamp((d * 86400L + i) * 1000L)))
+    }.toDF("ts")
+    // strictly increasing counts: S = n(n-1)/2, tau_a = 1
+    val up = EventAnalytics.mannKendallDaily(series((1 to 12))).head()
+    assert(up.getAs[Long]("s") == 66L &&
+      up.getAs[Double]("tau_a") == 1.0 && up.getAs[Double]("z") > 4.0,
+      s"$up")
+    // hand ties: counts 1,2,2,3 -> pairs: +5, ties 1 -> S = 5
+    val tied = EventAnalytics.mannKendallDaily(series(Seq(1, 2, 2, 3)))
+      .head()
+    assert(tied.getAs[Long]("s") == 5L, s"$tied")
+    // constant series: zero variance, z undefined
+    val const = EventAnalytics.mannKendallDaily(series(Seq.fill(6)(4)))
+      .head()
+    assert(const.getAs[Long]("s") == 0L &&
+      const.isNullAt(const.fieldIndex("z")))
+  }
+
+  test("mix fit: exact recipe zero, drifted mix fires, stray key loud") {
+    import graft.ops.Sampling
+    val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val exact = (Seq.fill(40)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(20)("c")).zipWithIndex.map { case (k, i) => (i, k) }
+      .toDF("id", "key")
+    val e = Sampling.mixFitTest(exact, col("key"), w).head()
+    assert(e.getAs[Double]("chi2") == 0.0 &&
+      e.getAs[Double]("p_value") == 1.0, s"$e")
+    // hand drift: o = (60, 10, 10), e = (40, 20, 20):
+    // chi2 = 400/40 + 100/20 + 100/20 = 20
+    val drift = (Seq.fill(60)("a") ++ Seq.fill(10)("b") ++
+      Seq.fill(10)("c")).zipWithIndex.map { case (k, i) => (i, k) }
+      .toDF("id", "key")
+    val d = Sampling.mixFitTest(drift, col("key"), w).head()
+    assert(d.getAs[Double]("chi2") == 20.0 &&
+      d.getAs[Double]("p_value") < 1e-4, s"$d")
+    // a target key missing from the data still charges its expectation
+    val partial = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).zipWithIndex
+      .map { case (k, i) => (i, k) }.toDF("id", "key")
+    assert(Sampling.mixFitTest(partial, col("key"), w).head()
+      .getAs[Double]("chi2") > 0.0)
+    intercept[IllegalArgumentException] {
+      Sampling.mixFitTest(Seq((1, "zzz")).toDF("id", "key"),
+        col("key"), w)
+    }
+  }
+
   test("weekday effect: planted rhythm fires, flat series reads ~ zero") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

@@ -1996,6 +1996,24 @@ class StatsSpec extends SparkSpec {
       e.isNullAt(e.fieldIndex("trimmed_mean")))
   }
 
+  test("expected shortfall: hand tail, inclusive fence, heavier tail deepens") {
+    import graft.stats.Distribution
+    // 1..100: q05 = 5.95 -> tail {1..5}, es = 3
+    val df = (1 to 100).map(i => (i, i.toDouble)).toDF("i", "v")
+    val r = Distribution.expectedShortfall(df, col("v")).head()
+    assert(r.getAs[Long]("tail_n") == 5L && r.getAs[Double]("es") == 3.0,
+      s"$r")
+    assert(r.getAs[Double]("es") <= r.getAs[Double]("var_q"))
+    // a heavier lower tail drags ES down at the same VaR-ish fence
+    val heavy = ((1 to 100).map(i => (i, i.toDouble)) ++
+      Seq((101, -1000.0))).toDF("i", "v")
+    val h = Distribution.expectedShortfall(heavy, col("v")).head()
+    assert(h.getAs[Double]("es") < r.getAs[Double]("es"))
+    intercept[IllegalArgumentException] {
+      Distribution.expectedShortfall(df, col("v"), alpha = 0.7)
+    }
+  }
+
   test("median ci: brackets, widens with z, narrows with n, short guard") {
     import graft.stats.Distribution
     val df = (1 to 101).map(i => (i, i.toDouble)).toDF("i", "v")
