@@ -524,6 +524,63 @@ object EventAnalytics {
     * the index describes observed-day counts (document the grain).
     * Returns per key (key, n_days, mean_count, vmr, dispersion_chi2),
     * round-6; vmr/χ² null when n_days < 2 or the mean is 0. */
+  /** Gumbel block-maxima fit + return level (Gumbel 1958; the
+    * method-of-moments fit is textbook extreme-value theory, public):
+    * split the daily series into fixed `blockDays` blocks, take each
+    * block's max, fit Gumbel(μ, β) by moments (β = s·√6/π,
+    * μ = m − γ·β), and report the T-block return level
+    * μ − β·ln(−ln(1 − 1/T)) — "the busiest day we should expect once
+    * per T months", the capacity-planning number a mean+3σ rule gets
+    * badly wrong on extreme-value tails.
+    *
+    * Block maxima are EXACT integer counts from two map-side-combined
+    * aggregations; the fit is fixed double arithmetic over exact
+    * moments with the three irrational constants (√6/π, Euler γ,
+    * ln(−ln(1−1/T))) inlined as literal doubles into BOTH engines (the
+    * zQuantile convention). Returns one row (k_blocks, mean_max,
+    * sd_max, beta, mu, return_level), round-6; needs ≥ 3 blocks with
+    * variance (loud). */
+  def gumbelBlockMaxima(
+      events: DataFrame, tsCol: String = "ts", blockDays: Int = 30,
+      returnPeriod: Int = 100): DataFrame = {
+    require(blockDays >= 7, s"blocks under a week are noise: $blockDays")
+    require(returnPeriod >= 2, s"returnPeriod >= 2: $returnPeriod")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = daily
+      .groupBy((col("day") / blockDays).cast("long").as("blk"))
+      .agg(max(col("x")).as("mx"))
+      .agg(count(lit(1)).as("k"), sum(col("mx")).as("sm"),
+        sum(col("mx") * col("mx")).as("smm"))
+      .head()
+    val k = m.getAs[Long]("k")
+    require(k >= 3, s"Gumbel fit needs >= 3 blocks, got $k")
+    val sm = m.getAs[Long]("sm"); val smm = m.getAs[Long]("smm")
+    val mean = sm.toDouble / k
+    val v = (smm - sm.toDouble * sm / k) / (k - 1)
+    require(v > 0.0, "constant block maxima - no tail to fit")
+    val s = math.sqrt(v)
+    val beta = s * Sqrt6OverPi
+    val mu = mean - EulerGamma * beta
+    val g = math.log(-math.log(1.0 - 1.0 / returnPeriod))
+    val rl = mu - beta * g
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((k, r6(mean), r6(s), r6(beta), r6(mu), r6(rl)))
+      .toDF("k_blocks", "mean_max", "sd_max", "beta", "mu",
+        "return_level")
+  }
+
+  /** √6/π and Euler–Mascheroni γ — shared as the SAME literal doubles
+    * by the Spark op and the SQL oracle (cross-engine irrational
+    * constants follow the zQuantile inline convention). */
+  val Sqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+  val EulerGamma: Double = 0.5772156649015329
+
   /** Mann–Kendall monotonic-trend test on the daily count series (Mann
     * 1945; Kendall 1975 — public): S = Σ_{i<j} sgn(x_j − x_i) over time
     * pairs, tie-corrected variance, continuity-corrected z — the

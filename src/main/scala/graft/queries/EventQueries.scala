@@ -2517,11 +2517,61 @@ object EventQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Gumbel block-maxima fit
+    * ([[graft.ops.EventAnalytics.gumbelBlockMaxima]]): WEEKLY block
+    * maxima of the daily count series (the synthetic log spans ~2
+    * months — 30-day blocks would leave 2 points), method-of-moments Gumbel
+    * parameters, 100-block return level — the irrational constants
+    * inlined as identical literal doubles into both engines. In-gate:
+    * the return level must exceed every moment-scale summary (it is an
+    * extreme, not an average). */
+  val evGumbel: Q = {
+    import graft.ops.EventAnalytics.{EulerGamma, Sqrt6OverPi}
+    val g = math.log(-math.log(1.0 - 1.0 / 100))
+    Q(
+      "ev_gumbel_maxima",
+      Some(s"""
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        b AS (
+          SELECT day // 7 AS blk, CAST(max(x) AS BIGINT) AS mx
+          FROM d GROUP BY 1),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(mx) AS BIGINT) AS sm,
+            CAST(sum(mx * mx) AS BIGINT) AS smm
+          FROM b),
+        f AS (
+          SELECT k, CAST(sm AS DOUBLE) / k AS mean,
+            (smm - CAST(sm AS DOUBLE) * sm / k) / (k - 1) AS v
+          FROM m),
+        f2 AS (SELECT *, sqrt(v) * CAST($Sqrt6OverPi AS DOUBLE) AS beta
+          FROM f),
+        f3 AS (SELECT *, mean - CAST($EulerGamma AS DOUBLE) * beta AS mu
+          FROM f2)
+        SELECT k AS k_blocks, round(mean, 6) + 0.0 AS mean_max,
+          round(sqrt(v), 6) + 0.0 AS sd_max,
+          round(beta, 6) + 0.0 AS beta, round(mu, 6) + 0.0 AS mu,
+          round(mu - beta * CAST($g AS DOUBLE), 6) + 0.0 AS return_level
+        FROM f3"""),
+      (s, dir) => {
+        val out = graft.ops.EventAnalytics.gumbelBlockMaxima(
+          Tables.load(s, dir, "events"), blockDays = 7)
+        val r = out.head()
+        require(r.getAs[Double]("return_level") >
+          r.getAs[Double]("mean_max"),
+          s"a 100-block return level must exceed the mean maximum: $r")
+        out
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,
-      evQte, evWeekday, evMannKendall,
+      evQte, evWeekday, evMannKendall, evGumbel,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

@@ -2721,11 +2721,61 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** One-sample KS against U(0,1) ([[graft.stats.Drift.ksUniform]]) on
+    * the engine's own hash-fraction splitter — the uniformity QC every
+    * deterministic randomizer must pass (and here must NOT reject,
+    * asserted in-gate). The oracle replays both one-sided gaps at every
+    * jump via windows and the same Kolmogorov p series. */
+  val dqKsUniform: Q = Q(
+    "dq_ks_uniform",
+    Some("""
+      WITH b AS (
+        SELECT (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-arm',
+          CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)
+          / 4294967296.0) AS v
+        FROM orders),
+      c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+      nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+      w AS (
+        SELECT v, c,
+          COALESCE(SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          SUM(c) OVER (ORDER BY v) AS ca
+        FROM c),
+      dd AS (
+        SELECT MAX(GREATEST(abs(cb / CAST(nn.n AS DOUBLE) - v),
+          abs(ca / CAST(nn.n AS DOUBLE) - v))) AS d
+        FROM w, nn),
+      lam AS (
+        SELECT d, (sqrt(CAST(nn.n AS DOUBLE)) + 0.12
+          + 0.11 / sqrt(CAST(nn.n AS DOUBLE))) * d AS l
+        FROM dd, nn),
+      ps AS (
+        SELECT l, SUM(CAST(round(
+          2 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+            * exp(-2 * k * k * l * l), 12) AS DECIMAL(38,12))) AS s
+        FROM lam, generate_series(1, 100) t(k) GROUP BY l)
+      SELECT nn.n, round(lam.d, 6) + 0.0 AS d_stat,
+        CASE WHEN lam.l < 0.1 THEN 1.0
+          ELSE round(least(1.0, greatest(0.0, CAST(s AS DOUBLE))), 6)
+        END AS p_value
+      FROM nn, lam, ps"""),
+    (s, dir) => {
+      val hf = graft.ops.Sampling.hashFraction("graft-arm",
+        Seq(col("o_orderkey")))
+      val out = graft.stats.Drift.ksUniform(
+        Tables.load(s, dir, "orders").select(hf.as("v")), col("v"))
+      val r = out.head()
+      require(r.getAs[Double]("p_value") > 1e-4,
+        s"the hash splitter must pass its own uniformity QC: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,
-    dqCvm, t56Log2Hist, t58ExpectedShortfall,
+    dqCvm, t56Log2Hist, t58ExpectedShortfall, dqKsUniform,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

@@ -274,6 +274,67 @@ object Drift {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** One-sample Kolmogorov–Smirnov against U(0,1) (Kolmogorov 1933,
+    * public): D = max over the sample of max(|F̂⁻(v) − v|, |F̂(v) − v|)
+    * with both one-sided gaps at every jump — the QC test for anything
+    * CLAIMING uniformity: hash-fraction splitters, pseudonymization
+    * avalanche, p-value distributions under a true null. Values must
+    * sit in [0,1] (loud).
+    *
+    * Distributed shape: per-value counts, ONE range-partitioned sort,
+    * per-partition running counts with broadcast offsets (the
+    * ksTwoSample idiom) — the max folds over per-partition maxima, and
+    * each gap term is one double division of exact integers. The
+    * asymptotic p uses the same Kolmogorov series as [[ksTwoSample]]
+    * with √n. Returns one row (n, d_stat, p_value), round-6. */
+  def ksUniform(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .as[(Double, Long)].rdd.sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }.collect().sortBy(_._1)
+      val off = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val n = off.last
+      require(n > 0, "KS-uniform needs values")
+      val nD = n.toDouble
+      val d = counts.mapPartitionsWithIndex { (i, it) =>
+        var cum = off(i)
+        var best = 0.0
+        it.foreach { case (v, c) =>
+          require(v >= 0.0 && v <= 1.0, s"value outside [0,1]: $v")
+          val lo = math.abs(cum / nD - v)
+          cum += c
+          val hi = math.abs(cum / nD - v)
+          val m = math.max(lo, hi)
+          if (m > best) best = m
+        }
+        Iterator(best)
+      }.collect().foldLeft(0.0)(math.max)
+      val lam = (math.sqrt(nD) + 0.12 + 0.11 / math.sqrt(nD)) * d
+      val p =
+        if (lam < 0.1) 1.0
+        else {
+          var acc = java.math.BigDecimal.ZERO
+          for (k <- 1 to 100) {
+            val t = 2.0 * (if (k % 2 == 1) 1.0 else -1.0) *
+              math.exp(-2.0 * k * k * lam * lam)
+            acc = acc.add(java.math.BigDecimal.valueOf(t)
+              .setScale(12, java.math.RoundingMode.HALF_UP))
+          }
+          math.min(1.0, math.max(0.0, acc.doubleValue))
+        }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      Seq((n, r6(d), r6(p))).toDF("n", "d_stat", "p_value")
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Two-sample Cramér–von Mises statistic (Anderson 1962, public):
     * T = n·m/(n+m)² · Σ_pooled (F_n(z) − G_m(z))², summed over every
     * pooled observation — the WHOLE-distribution companion to

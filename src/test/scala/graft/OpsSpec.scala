@@ -3413,6 +3413,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("gumbel maxima: hand moments, spread widens the return level, guards") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def series(blockMax: Seq[Int]) = blockMax.zipWithIndex.flatMap {
+      case (mx, blk) =>
+        // one spike day per 30-day block carrying the max, others 1
+        (0 until 30).flatMap { d =>
+          val n = if (d == 5) mx else 1
+          (1 to n).map(i =>
+            Tuple1(new Timestamp(((blk * 30 + d) * 86400L + i) * 1000L)))
+        }
+    }.toDF("ts")
+    val tight = EventAnalytics.gumbelBlockMaxima(series(Seq(10, 12, 11,
+      13, 10, 12))).head()
+    assert(tight.getAs[Long]("k_blocks") == 6L)
+    assert(tight.getAs[Double]("mean_max") == 11.333333, s"$tight")
+    assert(tight.getAs[Double]("return_level") >
+      tight.getAs[Double]("mean_max"))
+    // a wider maxima distribution at the same mean → bigger tail number
+    val wide = EventAnalytics.gumbelBlockMaxima(series(Seq(4, 18, 5,
+      17, 6, 18))).head()
+    assert(wide.getAs[Double]("return_level") >
+      tight.getAs[Double]("return_level"), s"$wide vs $tight")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.gumbelBlockMaxima(series(Seq(5, 5, 5)))
+    }
+  }
+
   test("mann-kendall: monotone fires, hand S with ties, constant null") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp

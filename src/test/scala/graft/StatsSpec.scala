@@ -2036,6 +2036,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ks uniform: grid gap 1/n, point mass rejects, range guard") {
+    import graft.stats.Drift
+    // the regular grid i/n has one-sided gaps of exactly 1/n
+    val grid = (1 to 100).map(i => (i, i / 100.0)).toDF("i", "v")
+    val g = Drift.ksUniform(grid, col("v")).head()
+    assert(g.getAs[Double]("d_stat") == 0.01, s"$g")
+    assert(g.getAs[Double]("p_value") == 1.0)
+    // all mass on one point: D = 0.5, decisively rejected
+    val point = (1 to 200).map(i => (i, 0.5)).toDF("i", "v")
+    val p = Drift.ksUniform(point, col("v")).head()
+    assert(p.getAs[Double]("d_stat") == 0.5 &&
+      p.getAs[Double]("p_value") < 1e-6, s"$p")
+    intercept[Exception] {
+      Drift.ksUniform(Seq((1, 1.5)).toDF("i", "v"), col("v")).head()
+    }
+  }
+
   test("cramer-von mises: identical zero, shift fires, broad beats ks-blind") {
     import graft.stats.Drift
     def df(xs: Seq[Double]) =
