@@ -106,4 +106,55 @@ object Concentration {
           "hhi", "entropy", "entropy_norm", "gini")
     } finally keyed.unpersist(blocking = false)
   }
+
+  /** Lorenz curve at quantile buckets (Lorenz 1905, public) — the
+    * CURVE behind [[report]]'s scalar Gini: per ascending value decile,
+    * the cumulative population share vs the cumulative value share
+    * ("the bottom 50 % of line items carry X % of the revenue"). The
+    * shape tells you WHERE the inequality lives — a scalar can't.
+    *
+    * Same mechanics as the lift table: round-6 quantile fences
+    * broadcast, bucket = 1 + Σ(v > t) (ties merge into the lower
+    * bucket), one map-side-combined groupBy, a cumulative window over
+    * the ≤`bins`-row bucket table (bounded by contract). Values must be
+    * non-negative (a Lorenz share of negative mass is undefined —
+    * loud). Returns (bucket, n, cum_pop_frac, cum_value_frac),
+    * fractions round-9. */
+  def lorenzDeciles(df: DataFrame, valueCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000]: $bins")
+    val v = valueCol.cast("double")
+    val rows = df.filter(v.isNotNull).select(v.as("__v"))
+    val aggs = (1 until bins).map(k =>
+      round(percentile(col("__v"), lit(k.toDouble / bins)), 6)
+        .as(s"__t$k")) ++ Seq(
+      count(lit(1)).as("__n"), min(col("__v")).as("__vmin"),
+      sum(round(col("__v"), 9).cast("decimal(38,12)")).cast("double")
+        .as("__sv"))
+    val t = rows.agg(aggs.head, aggs.tail: _*).head()
+    val n = t.getAs[Long]("__n")
+    require(n > 0, "Lorenz needs values")
+    require(t.getAs[Double]("__vmin") >= 0.0,
+      s"negative mass breaks Lorenz shares: ${t.getAs[Double]("__vmin")}")
+    val total = t.getAs[Double]("__sv")
+    require(total > 0.0, "all-zero mass - no shares to draw")
+    val bucket = (1 until bins)
+      .map(k => (col("__v") > lit(t.getAs[Double](s"__t$k"))).cast("int"))
+      .reduce(_ + _) + 1
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    rows.select(bucket.as("bucket"), col("__v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__v"), 9).cast("decimal(38,12)")).as("__bv"))
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cv", sum(col("__bv")).over(w))
+      .select(col("bucket"), col("n"),
+        round(col("__cn").cast("double") / lit(n.toDouble), 9)
+          .as("cum_pop_frac"),
+        round(col("__cv").cast("double") / lit(total), 9)
+          .as("cum_value_frac"))
+      .orderBy("bucket")
+  }
 }

@@ -78,4 +78,43 @@ object Markov {
     }
     pi.select(col("state"), round(col("pi"), roundTo).as("pi"))
   }
+
+  /** Entropy rate of the fitted chain (Shannon 1948, public):
+    * H = −Σ_s π(s) Σ_d p(s,d)·ln p(s,d) — how unpredictable the NEXT
+    * event is given the current one, in nats. The one-number journey
+    * summary beside the transition table: ≈ 0 means deterministic
+    * funnels, ≈ ln k means the states carry no signal. Absorbing states
+    * (no outgoing transitions) contribute zero, the standard
+    * convention.
+    *
+    * Pure composition of [[transitionMatrix]]'s counts and
+    * [[stationary]]: per-state conditional entropies fold round-9 from
+    * the UNROUNDED MLE, the π-weighted rate folds round-12 against the
+    * round-8 stationary vector — state-vocabulary-sized tables
+    * end-to-end. Returns one row (k_states, entropy_rate, normalized =
+    * rate/ln k), round-6. */
+  def entropyRate(
+      events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      stateCol: String, iters: Int = 6): DataFrame = {
+    val tr = transitionMatrix(events, entityCol, tsCol, tieCol, stateCol)
+    val pi = stationary(tr, iters)
+    val k = pi.count()
+    require(k >= 2, s"entropy rate needs >= 2 states, got $k")
+    val p = col("n").cast("double") / col("tot")
+    val hs = tr
+      .join(tr.groupBy("src").agg(sum(col("n")).as("tot")), "src")
+      .groupBy("src")
+      .agg(round(-sum(round(p * log(p), 9).cast("decimal(38,12)"))
+        .cast("double"), 9).as("h"))
+    val rate = pi.join(hs, pi("state") === hs("src"))
+      .agg(coalesce(sum(round(col("pi") * col("h"), 12)
+        .cast("decimal(38,14)")), lit(0)).cast("double").as("rate"))
+      .head().getAs[Double]("rate")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((k, r6(rate), r6(rate / math.log(k.toDouble))))
+      .toDF("k_states", "entropy_rate", "normalized")
+  }
 }

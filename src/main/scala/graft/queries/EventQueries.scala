@@ -1159,7 +1159,9 @@ object EventQueries extends QueryModule {
     * — the same oracle discipline as the PageRank gates: each iteration
     * is a CTE computing the absorbing-state leak, the contribution sum,
     * and the uniform redistribution, term-for-term. */
-  private def markovStationarySql(iters: Int): String = {
+  /** WITH-body of the stationary recurrence ending at `p<iters>` —
+    * shared by the stationary gate and the entropy-rate gate. */
+  private def markovStationaryCtes(iters: Int): String = {
     val head = markovPrelude + """,
       e AS (SELECT tr.src, tr.dst, CAST(tr.n AS DOUBLE) / tot.tot AS p
             FROM tr JOIN tot USING (src)),
@@ -1177,9 +1179,12 @@ object EventQueries extends QueryModule {
       p$i AS (SELECT st.state, COALESCE(c$i.c, 0.0) + d$i.dang / kk.k AS pi
               FROM st LEFT JOIN c$i USING (state), d$i, kk)"""
     }.mkString
-    head + its + s"""
-      SELECT state, round(pi, 8) AS pi FROM p$iters ORDER BY state"""
+    head + its
   }
+
+  private def markovStationarySql(iters: Int): String =
+    markovStationaryCtes(iters) + s"""
+      SELECT state, round(pi, 8) AS pi FROM p$iters ORDER BY state"""
 
   /** Stationary distribution of the user-journey Markov chain
     * ([[graft.ops.Markov.stationary]], 6 power iterations from uniform,
@@ -2567,11 +2572,47 @@ object EventQueries extends QueryModule {
       })
   }
 
+  /** Entropy rate of the user-journey chain
+    * ([[graft.ops.Markov.entropyRate]]): π-weighted conditional
+    * entropies of the transition MLE — the oracle re-derives the full
+    * 6-iteration stationary recurrence (shared CTEs), the per-state
+    * round-9 entropy folds, and the round-12 weighted rate. In-gate:
+    * 0 ≤ rate ≤ ln k (Shannon bounds). */
+  val evMarkovEntropy: Q = Q(
+    "ev_markov_entropy",
+    Some(markovStationaryCtes(6) + """,
+      hs AS (
+        SELECT tr.src,
+          round(-CAST(SUM(CAST(round((CAST(tr.n AS DOUBLE) / tot.tot)
+            * ln(CAST(tr.n AS DOUBLE) / tot.tot), 9) AS DECIMAL(38,12)))
+            AS DOUBLE), 9) AS h
+        FROM tr JOIN tot USING (src) GROUP BY tr.src),
+      pr AS (SELECT state, round(pi, 8) AS pi FROM p6),
+      rt AS (
+        SELECT CAST(COALESCE(SUM(CAST(round(pr.pi * hs.h, 12)
+          AS DECIMAL(38,14))), 0) AS DOUBLE) AS rate
+        FROM pr JOIN hs ON pr.state = hs.src),
+      ks AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st)
+      SELECT ks.k AS k_states, round(rt.rate, 6) + 0.0 AS entropy_rate,
+        round(rt.rate / ln(CAST(ks.k AS DOUBLE)), 6) + 0.0 AS normalized
+      FROM rt, ks"""),
+    (s, dir) => {
+      val out = graft.ops.Markov.entropyRate(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type")
+      val r = out.head()
+      val rate = r.getAs[Double]("entropy_rate")
+      val norm = r.getAs[Double]("normalized")
+      require(rate >= 0.0 && norm <= 1.0 + 1e-9,
+        s"Shannon bounds violated: $r")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,
-      evQte, evWeekday, evMannKendall, evGumbel,
+      evQte, evWeekday, evMannKendall, evGumbel, evMarkovEntropy,
       evWindowed, evSessionize, evAsOf, evAsOfForward, evAsOfTolerance,
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,

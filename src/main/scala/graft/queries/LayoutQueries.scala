@@ -445,8 +445,57 @@ object LayoutQueries extends QueryModule {
         Seq("o_custkey", "o_totalprice")).orderBy("column")
     })
 
+  /** Lorenz decile curve ([[graft.ops.Concentration.lorenzDeciles]]) of
+    * line-item revenue — the curve behind mnt_concentration's scalar
+    * Gini. The oracle replays the round-6 fences, the
+    * ties-merge-downward bucketing, and the cumulative shares. In-gate:
+    * the curve must be convex-ish (value share never exceeds population
+    * share — Lorenz lies under the diagonal for non-negative mass). */
+  val mntLorenz: Q = {
+    val qCols = (1 until 10).map(k =>
+      s"round(quantile_cont(v, 0.$k), 6) AS t$k").mkString(", ")
+    val bucketExpr = (1 until 10).map(k => s"(b.v > t.t$k)::INT")
+      .mkString(" + ")
+    Q(
+      "mnt_lorenz_deciles",
+      Some(s"""
+        WITH b AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
+        t AS (SELECT $qCols,
+            CAST(count(*) AS BIGINT) AS nt,
+            CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sv
+          FROM b),
+        bk AS (
+          SELECT $bucketExpr + 1 AS bucket, b.v FROM b, t),
+        g AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            SUM(CAST(round(v, 9) AS DECIMAL(38,12))) AS bv
+          FROM bk GROUP BY 1),
+        c AS (
+          SELECT *, SUM(n) OVER (ORDER BY bucket) AS cn,
+            SUM(bv) OVER (ORDER BY bucket) AS cv
+          FROM g)
+        SELECT bucket, c.n,
+          round(CAST(cn AS DOUBLE) / t.nt, 9) AS cum_pop_frac,
+          round(CAST(cv AS DOUBLE) / t.sv, 9) AS cum_value_frac
+        FROM c, t ORDER BY bucket"""),
+      (s, dir) => {
+        val out = graft.ops.Concentration.lorenzDeciles(
+          Tables.load(s, dir, "lineitem"), col("l_extendedprice"))
+        if (Tables.gateMode) {
+          val above = out.filter(
+            col("cum_value_frac") > col("cum_pop_frac") + 1e-9).count()
+          require(above == 0L,
+            s"Lorenz must sit under the diagonal: $above buckets above")
+        }
+        out
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(layCohortCount, layCohortData, layFilterFunnel, mntCompact,
       mntCorpusDiff, mntCorpusOverlap, mntCorpusOverlapKmv,
-      mntCorpusDivergence, mntConcentration, layClusteringReport)
+      mntCorpusDivergence, mntConcentration, layClusteringReport,
+      mntLorenz)
 }

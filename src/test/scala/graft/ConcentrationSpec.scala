@@ -44,4 +44,29 @@ class ConcentrationSpec extends SparkSpec {
       Concentration.report(df.filter(lit(false)), Seq("k"), $"w")
     }.getMessage.contains("empty key set"))
   }
+
+  test("lorenz deciles: uniform diagonal, concentrated sags, negative loud") {
+    // equal values: the curve IS the diagonal
+    val flat = (1 to 100).map(i => (i, 5.0)).toDF("i", "v")
+    Concentration.lorenzDeciles(flat, $"v").collect().foreach { r =>
+      assert(r.getAs[Double]("cum_pop_frac") ==
+        r.getAs[Double]("cum_value_frac"), s"$r")
+    }
+    // one whale: the bottom buckets carry almost nothing
+    val whale = ((1 to 99).map(i => (i, 1.0)) :+ ((100, 9901.0)))
+      .toDF("i", "v")
+    val rows = Concentration.lorenzDeciles(whale, $"v")
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    val bottom = rows(1)
+    assert(bottom.getAs[Double]("cum_pop_frac") == 0.99 &&
+      bottom.getAs[Double]("cum_value_frac") < 0.02,
+      s"99% of rows carry <1% of mass: $bottom")
+    val last = rows(rows.keys.max)
+    assert(last.getAs[Double]("cum_pop_frac") == 1.0 &&
+      last.getAs[Double]("cum_value_frac") == 1.0)
+    intercept[IllegalArgumentException] {
+      Concentration.lorenzDeciles(
+        Seq((1, -2.0), (2, 5.0)).toDF("i", "v"), $"v")
+    }
+  }
 }

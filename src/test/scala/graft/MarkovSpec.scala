@@ -57,4 +57,29 @@ class MarkovSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(tr == Set(("A", "B"), ("B", "C")))
   }
+
+  test("entropy rate: deterministic cycle 0, fair coin chain ln2-weighted") {
+    import java.sql.Timestamp
+    def ts(i: Int) = new Timestamp(i * 1000L)
+    // a deterministic A->B->A->B... cycle: every row is certain
+    val cycle = (0 until 20).map(i =>
+      (1L, ts(i), i.toLong, if (i % 2 == 0) "A" else "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val c = Markov.entropyRate(cycle, "user_id", "ts", "event_id",
+      "event_type").head()
+    assert(c.getAs[Double]("entropy_rate") == 0.0, s"$c")
+    // from A the chain flips fairly (A->A, A->B equally); B always
+    // returns to A: H(A) = ln 2, H(B) = 0; rate = pi_A * ln 2
+    val seq = "AABAABAAB" * 6 // A: ->A,->B alternating; B: ->A always
+    val coin = seq.zipWithIndex.map { case (ch, i) =>
+      (1L, ts(i), i.toLong, ch.toString) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Markov.entropyRate(coin, "user_id", "ts", "event_id",
+      "event_type").head()
+    val rate = r.getAs[Double]("entropy_rate")
+    assert(rate > 0.3 && rate < math.log(2.0),
+      s"mixed chain sits between 0 and ln2: $r")
+    assert(math.abs(r.getAs[Double]("normalized")
+      - rate / math.log(2.0)) < 1e-5)
+  }
 }
