@@ -2721,6 +2721,47 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Per-group trimmed means
+    * ([[graft.transform.Winsorize.trimmedMeanByGroup]]) of
+    * extendedprice by return flag at 5/95 — the grouped robust-location
+    * table beside t51's global one. The oracle replays the per-group
+    * round-6 fences, the inclusive trim, and the round-9 decimal
+    * folds. */
+  val t59TrimmedByGroup: Q = Q(
+    "t59_trimmed_mean_by_group",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS key,
+          CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem),
+      f AS (
+        SELECT key, round(quantile_cont(v, 0.05), 6) AS lo,
+          round(quantile_cont(v, 0.95), 6) AS hi
+        FROM b GROUP BY key)
+      SELECT b.key,
+        CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+          AS n_total,
+        CAST(count(CASE WHEN v >= lo AND v <= hi THEN 1 END) AS BIGINT)
+          AS n_used,
+        MAX(lo) AS lo, MAX(hi) AS hi,
+        round(CAST(SUM(CASE WHEN v >= lo AND v <= hi
+            THEN CAST(round(v, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
+          / count(CASE WHEN v >= lo AND v <= hi THEN 1 END), 6)
+          AS trimmed_mean
+      FROM b JOIN f USING (key)
+      GROUP BY b.key ORDER BY b.key"""),
+    (s, dir) => {
+      val out = graft.transform.Winsorize.trimmedMeanByGroup(
+        Tables.load(s, dir, "lineitem"), col("l_returnflag"),
+        "l_extendedprice")
+      if (Tables.gateMode) {
+        val bad = out.filter(col("trimmed_mean") < col("lo") ||
+          col("trimmed_mean") > col("hi")).count()
+        require(bad == 0L, s"a trimmed mean escaped its fences: $bad")
+      }
+      out
+    })
+
   /** One-sample KS against U(0,1) ([[graft.stats.Drift.ksUniform]]) on
     * the engine's own hash-fraction splitter — the uniformity QC every
     * deterministic randomizer must pass (and here must NOT reject,
@@ -2776,6 +2817,7 @@ object StatsQueries extends QueryModule {
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,
     dqCvm, t56Log2Hist, t58ExpectedShortfall, dqKsUniform,
+    t59TrimmedByGroup,
     t1ColumnStats, t1ColumnStatsApprox, t2Pearson, t2Spearman, t6Breakdown,
     t7Funnel, t8Impact,
     t9Ols, t12Anova, t13TTests, t15Sites, incStatsMerge, skwSaltedDistinct,

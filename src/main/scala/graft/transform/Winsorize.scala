@@ -1,6 +1,6 @@
 package graft.transform
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Percentile clipping (winsorization) — the standard tail-taming step
@@ -55,6 +55,35 @@ object Winsorize {
     * window, no row explosion. Returns one row (n_total, n_used, lo,
     * hi, trimmed_mean), mean round-6; null when nothing survives (can
     * only happen on an all-null column). */
+  /** Per-group [[trimmedMean]] — the robust-location TABLE (one row per
+    * group) that a mean-by-group report should ship beside when tails
+    * are heavy: per-group round-6 percentile fences from ONE grouped
+    * aggregation, joined back for the inclusive-trim conditional fold.
+    * Two grouped aggregations + one group-keyed join — no window, scales
+    * with group count. Returns (key, n_total, n_used, lo, hi,
+    * trimmed_mean) ordered by key; groups whose values are all null
+    * report null fences and mean. */
+  def trimmedMeanByGroup(
+      df: DataFrame, keyCol: Column, colName: String, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
+    val v = col(colName).cast("double")
+    val base = df.select(keyCol.cast("string").as("key"), v.as("__v"))
+    val fences = base.groupBy("key").agg(
+      round(percentile(col("__v"), lit(pLo)), 6).as("lo"),
+      round(percentile(col("__v"), lit(pHi)), 6).as("hi"))
+    val kept = col("__v").isNotNull &&
+      col("__v") >= col("lo") && col("__v") <= col("hi")
+    base.join(fences, Seq("key"))
+      .groupBy("key").agg(
+        count(when(col("__v").isNotNull, 1)).as("n_total"),
+        count(when(kept, 1)).as("n_used"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        round(sum(when(kept, round(col("__v"), 9)).cast("decimal(38,12)"))
+          .cast("double") / count(when(kept, 1)), 6).as("trimmed_mean"))
+      .orderBy("key")
+  }
+
   def trimmedMean(
       df: DataFrame, colName: String, pLo: Double = 0.05,
       pHi: Double = 0.95): DataFrame = {

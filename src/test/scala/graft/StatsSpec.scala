@@ -2014,6 +2014,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("trimmed mean by group: per-group fences, outlier isolated to its group") {
+    import graft.transform.Winsorize
+    // group a is clean 1..20; group b carries a 1000 outlier
+    val df = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", i.toDouble)) :+ (("b", 1000.0)))
+      .toDF("g", "v")
+    val out = Winsorize.trimmedMeanByGroup(df, col("g"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a"); val b = out("b")
+    assert(a.getAs[Long]("n_total") == 20L)
+    // each group keeps its own fences; b's sits at least as high
+    assert(a.getAs[Double]("hi") < 25.0 &&
+      b.getAs[Double]("hi") >= a.getAs[Double]("hi"), s"a=$a b=$b")
+    assert(b.getAs[Long]("n_used") < b.getAs[Long]("n_total"),
+      "b must trim something")
+    val m = b.getAs[Double]("trimmed_mean")
+    assert(m > 5.0 && m < 60.0, s"the outlier must not dominate b: $b")
+  }
+
   test("median ci: brackets, widens with z, narrows with n, short guard") {
     import graft.stats.Distribution
     val df = (1 to 101).map(i => (i, i.toDouble)).toDF("i", "v")
