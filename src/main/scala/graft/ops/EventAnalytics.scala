@@ -94,23 +94,31 @@ object EventAnalytics {
       tsCol: String = "ts", typeCol: String = "event_type",
       window: String = ""): DataFrame = {
     val chained = funnelChain(events, steps, keyCol, tsCol, typeCol, window)
-    val pairs = steps.indices.tail.map { i =>
+    // ONE aggregation over the chain for ALL step pairs (conditional
+    // aggregates — a null delta is skipped by count/sum/percentile), so
+    // the per-user groupBy pass runs once, not k−1 times
+    val aggs: Seq[Column] = steps.indices.tail.flatMap { i =>
       val k = i + 1
-      val d = (expr(s"unix_micros(t$k)") - expr(s"unix_micros(t${k - 1})"))
-        .cast("double") / lit(1000000.0)
-      chained.filter(col(s"t$k").isNotNull)
-        .select(d.as("d"))
-        .agg(
-          count(lit(1)).as("n"),
-          round(sum(round(col("d"), 9).cast("decimal(38,12)"))
-            .cast("double") / count(lit(1)), 6).as("mean_s"),
-          round(percentile(col("d"), lit(0.5)), 6).as("median_s"),
-          round(percentile(col("d"), lit(0.9)), 6).as("p90_s"))
-        .select(lit(steps(i - 1)).as("from_step"), lit(steps(i)).as("to_step"),
-          lit(k).as("step_idx"), col("n"), col("mean_s"), col("median_s"),
-          col("p90_s"))
+      val d = when(col(s"t$k").isNotNull,
+        (expr(s"unix_micros(t$k)") - expr(s"unix_micros(t${k - 1})"))
+          .cast("double") / lit(1000000.0))
+      Seq(
+        count(d).as(s"n$k"),
+        round(sum(round(d, 9).cast("decimal(38,12)"))
+          .cast("double") / count(d), 6).as(s"mean$k"),
+        round(percentile(d, lit(0.5)), 6).as(s"median$k"),
+        round(percentile(d, lit(0.9)), 6).as(s"p90$k"))
     }
-    pairs.reduce(_ unionByName _).orderBy("step_idx")
+    val row = chained.agg(aggs.head, aggs.tail: _*)
+    val cells: Seq[Column] = steps.indices.tail.flatMap { i =>
+      val k = i + 1
+      Seq(lit(steps(i - 1)), lit(steps(i)), lit(k), col(s"n$k"),
+        col(s"mean$k"), col(s"median$k"), col(s"p90$k"))
+    }
+    row.select(stack((lit(steps.size - 1) +: cells): _*)
+        .as(Seq("from_step", "to_step", "step_idx", "n", "mean_s",
+          "median_s", "p90_s")))
+      .orderBy("step_idx")
   }
 
   /** Per-event trailing-window statistics: for every event, the count and
@@ -488,14 +496,17 @@ object EventAnalytics {
         col(valCol).isNotNull)
       .select(col(userCol).as("u"), day.as("d"),
         round(col(valCol), 9).cast("decimal(38,12)").as("v"))
+    // floor division (matches DuckDB's `//` and week semantics for
+    // negative epoch days) — a bare (x / k).cast("long") truncates
+    // toward zero and mis-buckets pre-1970 timestamps
     val firsts = base.groupBy("u").agg(min(col("d")).as("f"))
     val sizes = firsts
-      .groupBy((col("f") / grainDays).cast("long").as("cohort_week"))
+      .groupBy(floor(col("f") / grainDays).cast("long").as("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))
     val cells = base.join(firsts, Seq("u"))
       .groupBy(
-        (col("f") / grainDays).cast("long").as("cohort_week"),
-        ((col("d") - col("f")) / grainDays).cast("long").as("age_weeks"))
+        floor(col("f") / grainDays).cast("long").as("cohort_week"),
+        floor((col("d") - col("f")) / grainDays).cast("long").as("age_weeks"))
       .agg(count_distinct(col("u")).as("n_active_users"),
         sum(col("v")).as("__rev"))
     val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
@@ -549,8 +560,8 @@ object EventAnalytics {
       .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
         .as("day"))
       .agg(count(lit(1)).as("x"))
-    val m = daily
-      .groupBy((col("day") / blockDays).cast("long").as("blk"))
+    val m = daily // floor division: pre-1970 days land in the right block
+      .groupBy(floor(col("day") / blockDays).cast("long").as("blk"))
       .agg(max(col("x")).as("mx"))
       .agg(count(lit(1)).as("k"), sum(col("mx")).as("sm"),
         sum(col("mx") * col("mx")).as("smm"))

@@ -2445,7 +2445,9 @@ object EventQueries extends QueryModule {
           CAST(count(*) AS BIGINT) AS x
         FROM events WHERE ts IS NOT NULL GROUP BY 1),
       g AS (
-        SELECT day % 7 AS wd, CAST(count(*) AS BIGINT) AS n_g,
+        -- non-negative modulus: matches Spark's pmod for pre-1970
+        -- (negative epoch-day) timestamps; a bare % is sign-following
+        SELECT ((day % 7) + 7) % 7 AS wd, CAST(count(*) AS BIGINT) AS n_g,
           CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2
         FROM d GROUP BY 1),
       tot AS (

@@ -218,8 +218,13 @@ object Contingency {
     * public): did model A and model B err on the same rows, or is one
     * systematically better? Only the discordant cells carry signal —
     * b = A right & B wrong, c = A wrong & B right — and the statistic
-    * is the continuity-corrected χ²₁ = (|b−c|−1)²/(b+c) (Edwards 1948,
-    * the scipy default). This is the test [[fisherExact]] cannot do:
+    * is the continuity-corrected χ²₁ = max(|b−c|−1, 0)²/(b+c): Edwards
+    * 1948 WITH the correction clamped at zero, so b = c reports χ² = 0
+    * exactly (the unclamped Edwards form would give 1/(b+c) there —
+    * statsmodels' `mcnemar(exact=False, correction=True)` follows the
+    * unclamped form; this implementation deliberately does not
+    * overshoot past "no difference"). This is the test [[fisherExact]]
+    * cannot do:
     * Fisher treats the two flags as independent samples; McNemar uses
     * the pairing, which is what you have when both classifiers scored
     * the SAME corpus.

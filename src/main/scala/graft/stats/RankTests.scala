@@ -403,8 +403,10 @@ object RankTests {
     import spark.implicits._
     val vals = series.filter(tCol.isNotNull && yCol.isNotNull)
       .select(tCol.cast("long").as("t"), yCol.cast("double").as("y"))
-    val med = vals.agg(round(percentile(col("y"), lit(0.5)), 6))
-      .head().getDouble(0)
+    val medRow = vals.agg(round(percentile(col("y"), lit(0.5)), 6)).head()
+    require(!medRow.isNullAt(0),
+      "runs test needs at least one non-null (t, y) pair")
+    val med = medRow.getDouble(0)
     val signed = vals.filter(col("y") =!= lit(med))
       .select(col("t"), (col("y") > lit(med)).as("up"))
       .as[(Long, Boolean)].rdd.sortBy(_._1)
