@@ -2812,7 +2812,178 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Wilcoxon signed-rank ([[graft.stats.RankTests.wilcoxonSignedRank]])
+    * on the PAIRED (l_discount, l_tax) measurements per lineitem row —
+    * "is the median discount−tax difference zero". The oracle replays
+    * the distinct-|d| average-rank scan as a window over the bounded
+    * grid (≤ ~19 distinct |d| on the synthetic 0.01-step columns) and
+    * the tie-corrected z from the same exact integers. The normal p is
+    * library-only (asserted in [0,1] in-gate, dropped from the hash). */
+  val t60Wilcoxon: Q = Q(
+    "t60_wilcoxon_signed",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_discount AS DOUBLE) - CAST(l_tax AS DOUBLE) AS d
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      nz AS (SELECT d, abs(d) AS ad FROM b WHERE d <> 0),
+      c AS (
+        SELECT ad,
+          SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos,
+          COUNT(*) AS t
+        FROM nz GROUP BY ad),
+      w AS (
+        SELECT cpos, t,
+          COALESCE(SUM(t) OVER (ORDER BY ad
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM c),
+      s AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+          CAST(SUM(cpos * (2 * below + t + 1)) AS DOUBLE) / 2.0 AS wp,
+          CAST(SUM(t * t * t - t) AS DOUBLE) AS tie3
+        FROM w)
+      SELECT n AS n_nonzero, wp AS w_plus,
+        CAST(n AS DOUBLE) * (n + 1) / 2.0 - wp AS w_minus,
+        round((wp - CAST(n AS DOUBLE) * (n + 1) / 2.0 / 2.0 -
+            (CASE WHEN wp > CAST(n AS DOUBLE) * (n + 1) / 2.0 / 2.0 THEN 0.5
+                  WHEN wp < CAST(n AS DOUBLE) * (n + 1) / 2.0 / 2.0 THEN -0.5
+                  ELSE 0.0 END))
+          / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+            - tie3 / 48.0), 6) + 0.0 AS z
+      FROM s"""),
+    (s, dir) => {
+      val out = RankTests.wilcoxonSignedRank(
+        Tables.load(s, dir, "lineitem"), col("l_discount"), col("l_tax"))
+      val r = out.head()
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"normal p must be a probability: $p")
+      require(r.getAs[Double]("w_plus") + r.getAs[Double]("w_minus") ==
+        r.getAs[Long]("n_nonzero").toDouble *
+          (r.getAs[Long]("n_nonzero") + 1) / 2.0,
+        "rank mass must partition: W+ + W- = n(n+1)/2")
+      out.drop("p_value")
+    })
+
+  /** Cliff's delta ([[graft.stats.RankTests.cliffsDelta]]) between a
+    * hash-split arm and the same arm shifted +10 — the effect-size
+    * companion of t35's U test; the oracle derives δ and the Romano
+    * magnitude label from the identical pair count. */
+  val t61CliffsDelta: Q = Q(
+    "t61_cliffs_delta",
+    Some("""
+      WITH b0 AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'graft-cd',
+            CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+            1, 8)) AS BIGINT) / 4294967296.0 < 0.5 AS arm,
+          l_quantity
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL),
+      b AS (
+        SELECT arm, CAST(l_quantity +
+          CASE WHEN arm THEN 0 ELSE 10 END AS DOUBLE) AS v
+        FROM b0),
+      c AS (
+        SELECT v,
+          SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS cb
+        FROM b GROUP BY v),
+      w AS (
+        SELECT ca, cb,
+          COALESCE(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cb_below
+        FROM c),
+      s AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb,
+          CAST(SUM(ca * (2 * cb_below + cb)) AS DOUBLE) / 2.0 AS ua
+        FROM w),
+      d AS (
+        SELECT na, nb,
+          round(2.0 * ua / (CAST(na AS DOUBLE) * nb) - 1.0, 6) + 0.0
+            AS delta
+        FROM s)
+      SELECT na AS n_a, nb AS n_b, delta,
+        CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+             WHEN abs(delta) < 0.33 THEN 'small'
+             WHEN abs(delta) < 0.474 THEN 'medium'
+             ELSE 'large' END AS magnitude
+      FROM d"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull)
+        .withColumn("__arm", graft.ops.Sampling.hashFraction("graft-cd",
+          Seq(col("l_orderkey"), col("l_linenumber"))) < 0.5)
+        .withColumn("__v", col("l_quantity") +
+          when(col("__arm"), 0).otherwise(10))
+      val out = RankTests.cliffsDelta(base, col("__arm"), col("__v"))
+      val r = out.head()
+      require(r.getAs[Double]("delta") < -0.2,
+        s"the planted +10 shift must push delta well negative: $r")
+      out
+    })
+
+  /** Hodges–Lehmann shift ([[graft.stats.RankTests.hodgesLehmannShift]])
+    * between a hash-split arm and the same arm shifted +3 — the robust
+    * location-shift estimate should land at the planted −3. The oracle
+    * replays the distinct-value cross, the exact HUGEINT pair weights,
+    * and the weighted-median sweep. */
+  val t62HodgesLehmann: Q = Q(
+    "t62_hodges_lehmann",
+    Some("""
+      WITH b0 AS (
+        SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'graft-hl',
+            CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+            1, 8)) AS BIGINT) / 4294967296.0 < 0.5 AS arm,
+          l_quantity
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL),
+      b AS (
+        SELECT arm, CAST(l_quantity +
+          CASE WHEN arm THEN 0 ELSE 3 END AS DOUBLE) AS v
+        FROM b0),
+      da AS (SELECT v AS va, COUNT(*) AS ca FROM b WHERE arm GROUP BY v),
+      db AS (SELECT v AS vb, COUNT(*) AS cb FROM b WHERE NOT arm GROUP BY v),
+      cells AS (
+        SELECT va - vb AS diff,
+          CAST(SUM(CAST(ca AS HUGEINT) * cb) AS HUGEINT) AS w
+        FROM da, db GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(w) AS HUGEINT) AS t,
+          CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells),
+      sw AS (
+        SELECT diff, SUM(w) OVER (ORDER BY diff
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cells),
+      sel AS (
+        SELECT
+          MIN(CASE WHEN cum >= (t + 1) // 2 THEN diff END) AS lo,
+          MIN(CASE WHEN cum >= t // 2 + 1 THEN diff END) AS hi,
+          MAX(n_cells) AS n_diff_cells
+        FROM sw, tot),
+      na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a FROM da),
+      nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b FROM db)
+      SELECT n_a, n_b, n_diff_cells,
+        round((lo + hi) / 2.0, 6) + 0.0 AS hl_shift
+      FROM sel, na, nb"""),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull)
+        .withColumn("__arm", graft.ops.Sampling.hashFraction("graft-hl",
+          Seq(col("l_orderkey"), col("l_linenumber"))) < 0.5)
+        .withColumn("__v", col("l_quantity") +
+          when(col("__arm"), 0).otherwise(3))
+      val out = RankTests.hodgesLehmannShift(base, col("__arm"), col("__v"))
+      val r = out.head()
+      val hl = r.getAs[Double]("hl_shift")
+      require(hl >= -4.0 && hl <= -2.0,
+        s"the planted +3 shift must surface as HL about -3, got $hl")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
+    t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,

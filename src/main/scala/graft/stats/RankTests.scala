@@ -2,6 +2,7 @@ package graft.stats
 
 import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
@@ -448,5 +449,175 @@ object RankTests {
     Seq((n, n1, n2, r, result._1, result._2, result._3))
       .toDF("n", "n_above", "n_below", "n_runs", "expected_runs", "z",
         "p_value")
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945, public) — the PAIRED
+    * companion to [[mannWhitneyU]]: same rows, two measurements
+    * (before/after, metric A/metric B), "is the median difference
+    * zero". Zero differences are discarded (the Wilcoxon zero-method),
+    * |d| is ranked with average ranks, and W⁺ sums the ranks of the
+    * positive differences.
+    *
+    * Distributed shape: one per-|d| count aggregation (map-side
+    * combined), ONE range-partitioned sort of the distinct-|d| table,
+    * per-partition running sums with broadcast partition offsets — the
+    * [[mannWhitneyU]] parallel-scan idiom; NO unpartitioned window,
+    * driver traffic is per-partition scalars.
+    *
+    * Exactness: 2·avgRank(|d|) = 2·below + t + 1 is an exact integer,
+    * so 2·W⁺ folds exactly in BigDecimal (rank sums reach ~n² — past a
+    * long at corpus scale). z uses the tie-corrected variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48 with a 0.5 continuity correction
+    * toward the mean (the [[mannWhitneyU]] convention); fixed double
+    * arithmetic over exact integers, so a SQL oracle replays it. Only
+    * the normal p is library-only. Returns one row (n_nonzero, w_plus,
+    * w_minus, z, p_value); z round-6. */
+  def wilcoxonSignedRank(
+      df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+      .select((col("x") - col("y")).as("d"))
+      .filter(col("d") =!= 0.0)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("cpos"),
+        count(lit(1)).as("t"))
+      .as[(Double, Long, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+      }.collect().sortBy(_._1)
+      val off = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val n = off.last
+      require(n > 0,
+        "signed-rank needs at least one non-zero paired difference")
+      val partSums = counts.mapPartitionsWithIndex { (i, it) =>
+        var below = java.math.BigDecimal.valueOf(off(i))
+        var twoW = java.math.BigDecimal.ZERO
+        var tie = java.math.BigDecimal.ZERO
+        it.foreach { case (_, cpos, t) =>
+          val bt = java.math.BigDecimal.valueOf(t)
+          twoW = twoW.add(java.math.BigDecimal.valueOf(cpos)
+            .multiply(below.add(below).add(bt)
+              .add(java.math.BigDecimal.ONE)))
+          tie = tie.add(bt.multiply(bt).multiply(bt).subtract(bt))
+          below = below.add(bt)
+        }
+        Iterator((twoW, tie))
+      }.collect()
+      val twoW = partSums.map(_._1)
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      val tieSum = partSums.map(_._2)
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      val wPlus = twoW.doubleValue / 2.0
+      val total = n.toDouble * (n + 1) / 2.0
+      val wMinus = total - wPlus
+      val mu = total / 2.0
+      val sigma2 = n.toDouble * (n + 1) * (2.0 * n + 1) / 24.0 -
+        tieSum.doubleValue / 48.0
+      require(sigma2 > 0.0,
+        "all |d| tied into one group — signed-rank geometry degenerate")
+      val diff = wPlus - mu
+      val cc = math.signum(diff) * 0.5
+      val z = (diff - cc) / math.sqrt(sigma2)
+      val p = 2.0 * (1.0 -
+        new NormalDistribution(0.0, 1.0)
+          .cumulativeProbability(math.abs(z)))
+      Seq((n, wPlus, wMinus, round6(z), round6(math.min(p, 1.0))))
+        .toDF("n_nonzero", "w_plus", "w_minus", "z", "p_value")
+    } finally counts.unpersist()
+  }
+
+  /** Cliff's delta (Cliff 1993, public) — the EFFECT SIZE companion to
+    * [[mannWhitneyU]]'s significance: δ = P(X>Y) − P(X<Y) ∈ [−1, 1],
+    * the probability a random A-arm value beats a random B-arm value
+    * minus the reverse. A z-test on 60M rows flags a 0.1% shift as
+    * "significant"; δ says whether anyone should care. Derived exactly
+    * from the same pair count the U statistic holds: δ = 2U_A/(n_A·n_B)
+    * − 1 (ties count half in U, i.e. zero in δ) — ONE [[mannWhitneyU]]
+    * pass, no extra shuffle. Magnitude labels use the Romano et al.
+    * 2006 thresholds (0.147 / 0.33 / 0.474) applied to the ROUNDED δ so
+    * both engines label identically. Returns one row (n_a, n_b, delta,
+    * magnitude); δ round-6. */
+  def cliffsDelta(
+      df: DataFrame, armCol: Column, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = mannWhitneyU(df, armCol, valueCol).head()
+    val nA = u.getAs[Long]("n_a"); val nB = u.getAs[Long]("n_b")
+    val delta = round6(2.0 * u.getAs[Double]("u_a") /
+      (nA.toDouble * nB) - 1.0)
+    val a = math.abs(delta)
+    val mag =
+      if (a < 0.147) "negligible"
+      else if (a < 0.33) "small"
+      else if (a < 0.474) "medium"
+      else "large"
+    Seq((nA, nB, delta, mag)).toDF("n_a", "n_b", "delta", "magnitude")
+  }
+
+  /** Hodges–Lehmann two-sample shift estimate (Hodges & Lehmann 1963,
+    * public): the median of ALL n_A·n_B pairwise differences x_i − y_j
+    * — the robust "how big is the shift" point estimate that pairs with
+    * [[mannWhitneyU]]'s "is there one" (it estimates the Δ the rank-sum
+    * test inverts). Immune to outliers that drag a difference-of-means.
+    *
+    * Distributed shape: the pair multiset is NEVER materialized
+    * row-wise — each arm collapses to its distinct-value count table
+    * (one map-side-combined aggregation each), the difference
+    * distribution is the k_A×k_B cross of those tables with weight
+    * c_a·c_b (broadcast cross, loudly capped at `maxCells`), and the
+    * weighted median comes from one cumulative sweep over the bounded
+    * distinct-difference table (the bins-bounded-window convention).
+    * Weights and the total n_A·n_B fold as exact decimals (the product
+    * overflows a long at corpus scale).
+    *
+    * Weighted median: positions 1..T over ascending differences; T odd
+    * → the value at (T+1)/2, T even → the mean of positions T/2 and
+    * T/2+1. Returns one row (n_a, n_b, n_diff_cells, hl_shift);
+    * hl_shift round-6. */
+  def hodgesLehmannShift(
+      df: DataFrame, armCol: Column, valueCol: Column,
+      maxCells: Long = 4000000L): DataFrame = {
+    val base = df
+      .select(armCol.as("arm"), valueCol.cast("double").as("v"))
+      .filter(col("arm").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val da = base.filter(col("arm")).groupBy(col("v").as("va"))
+      .agg(count(lit(1)).as("ca"))
+    val db = base.filter(!col("arm")).groupBy(col("v").as("vb"))
+      .agg(count(lit(1)).as("cb"))
+    val ka = da.count(); val kb = db.count()
+    require(ka > 0 && kb > 0,
+      s"Hodges-Lehmann needs both arms non-empty, got ka=$ka kb=$kb")
+    require(ka * kb <= maxCells,
+      s"distinct-value cross $ka x $kb exceeds maxCells=$maxCells - " +
+        "quantize the metric first (equalFreqBins) or raise the cap")
+    val cells = da.crossJoin(broadcast(db))
+      .groupBy((col("va") - col("vb")).as("diff"))
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("w"))
+    val tot = cells.agg(sum(col("w")).as("t"),
+      count(lit(1)).as("n_cells"))
+    // bounded sweep: the window runs over ≤ maxCells distinct diffs
+    val w = Window.orderBy(col("diff"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = cells.withColumn("cum", sum(col("w")).over(w))
+      .crossJoin(broadcast(tot))
+    val k1 = floor((col("t") + lit(1)) / lit(2))
+    val k2 = floor(col("t") / lit(2)) + lit(1)
+    val res = swept.agg(
+      min(when(col("cum") >= k1, col("diff"))).as("lo"),
+      min(when(col("cum") >= k2, col("diff"))).as("hi"),
+      max(col("n_cells")).as("n_diff_cells"))
+      .select(col("n_diff_cells"),
+        round((col("lo") + col("hi")) / 2.0, 6).as("hl_shift"))
+    val nA = da.agg(sum(col("ca"))).head().getLong(0)
+    val nB = db.agg(sum(col("cb"))).head().getLong(0)
+    res.select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+      col("n_diff_cells"), col("hl_shift"))
   }
 }

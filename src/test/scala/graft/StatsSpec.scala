@@ -1226,6 +1226,61 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("wilcoxon signed-rank: hand ranks with ties, zero drop, loud edges") {
+    import graft.stats.RankTests
+    // d = [1,-2,3,-4,5], no ties: W+ = 1+3+5 = 9, sigma^2 = 5*6*11/24
+    val a = Seq((1.0, 0.0), (0.0, 2.0), (3.0, 0.0), (0.0, 4.0), (5.0, 0.0))
+      .toDF("x", "y")
+    val r = RankTests.wilcoxonSignedRank(a, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n_nonzero") == 5L &&
+      r.getAs[Double]("w_plus") == 9.0 && r.getAs[Double]("w_minus") == 6.0)
+    val zWant = BigDecimal(1.0 / math.sqrt(13.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == zWant,
+      s"z=${r.getAs[Double]("z")} want $zWant")
+    // ties: d = [1,-1,2,2,-3] -> avg ranks 1.5/3.5/5, W+ = 8.5;
+    // tie3 = 6+6, sigma^2 = 13.75 - 12/48 = 13.5; zeros are dropped
+    val t = Seq((1.0, 0.0), (0.0, 1.0), (2.0, 0.0), (2.0, 0.0),
+      (0.0, 3.0), (7.0, 7.0)).toDF("x", "y")
+    val rt = RankTests.wilcoxonSignedRank(t, col("x"), col("y")).head()
+    assert(rt.getAs[Long]("n_nonzero") == 5L &&
+      rt.getAs[Double]("w_plus") == 8.5 &&
+      rt.getAs[Double]("w_minus") == 6.5)
+    val zTie = BigDecimal(0.5 / math.sqrt(13.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rt.getAs[Double]("z") == zTie)
+    // all differences zero -> loud
+    intercept[IllegalArgumentException] {
+      RankTests.wilcoxonSignedRank(
+        Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y"), col("x"), col("y"))
+    }
+  }
+
+  test("cliff's delta and hodges-lehmann: hand pair geometry, loud cap") {
+    import graft.stats.RankTests
+    // A=[1,2,3] B=[2,3,4]: U_A = 2 -> delta = 4/9 - 1 = -0.555556, large
+    val ab = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 3.0), (false, 4.0)).toDF("arm", "v")
+    val d = RankTests.cliffsDelta(ab, col("arm"), col("v")).head()
+    assert(d.getAs[Double]("delta") == -0.555556 &&
+      d.getAs[String]("magnitude") == "large", s"$d")
+    // HL on the same arms: 9 diffs sorted [-3,-2,-2,-1,-1,-1,0,0,1],
+    // T=9 odd -> median -1; 5 distinct difference cells
+    val h = RankTests.hodgesLehmannShift(ab, col("arm"), col("v")).head()
+    assert(h.getAs[Long]("n_a") == 3L && h.getAs[Long]("n_b") == 3L &&
+      h.getAs[Long]("n_diff_cells") == 5L &&
+      h.getAs[Double]("hl_shift") == -1.0, s"$h")
+    // even pair total: A=[1,3] B=[2] -> diffs [-1,1], median (lo+hi)/2 = 0
+    val ev = Seq((true, 1.0), (true, 3.0), (false, 2.0)).toDF("arm", "v")
+    val he = RankTests.hodgesLehmannShift(ev, col("arm"), col("v")).head()
+    assert(he.getAs[Double]("hl_shift") == 0.0, s"$he")
+    // distinct-value cross above the cap fails loudly with the remedy
+    val ex = intercept[IllegalArgumentException] {
+      RankTests.hodgesLehmannShift(ab, col("arm"), col("v"), maxCells = 4L)
+    }
+    assert(ex.getMessage.contains("quantize"), ex.getMessage)
+  }
+
   test("welch t-tests: match commons-math3 on unequal-variance groups") {
     import graft.stats.Anova
     val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
