@@ -2982,8 +2982,150 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Cochran–Armitage trend ([[graft.stats.Contingency.cochranArmitage]]):
+    * does the return-flag rate trend across line numbers 1..7? The
+    * synthetic columns are independent, so the gate exercises the
+    * estimator's exact sums (z should hover near 0), not a discovery;
+    * the oracle replays the five integer sums and the z arithmetic. */
+  val t63CochranArmitage: Q = Q(
+    "t63_cochran_armitage",
+    Some("""
+      WITH b AS (
+        SELECT (l_returnflag = 'R') AS f, CAST(l_linenumber AS BIGINT) AS s
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linenumber IS NOT NULL),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(COUNT(DISTINCT s) AS BIGINT) AS k,
+          CAST(SUM(s) AS DOUBLE) AS sn,
+          CAST(SUM(CASE WHEN f THEN s ELSE 0 END) AS DOUBLE) AS sa,
+          CAST(SUM(s * s) AS DOUBLE) AS s2n
+        FROM b)
+      SELECT k AS k_levels, n, a AS n_pos,
+        round((sa - (CAST(a AS DOUBLE) / n) * sn)
+          / sqrt((CAST(a AS DOUBLE) / n) * (1.0 - CAST(a AS DOUBLE) / n)
+            * (s2n - sn * sn / n)), 6) + 0.0 AS z
+      FROM m"""),
+    (s, dir) => {
+      val out = Contingency.cochranArmitage(
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_linenumber").isNotNull),
+        col("l_returnflag") === "R", col("l_linenumber"))
+      val r = out.head()
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"normal p must be a probability: $p")
+      require(math.abs(r.getAs[Double]("z")) < 6.0,
+        s"independent columns must not show a huge trend: $r")
+      out.drop("p_value")
+    })
+
+  /** G-test of independence ([[graft.stats.Contingency.gTest]]) on
+    * returnflag × linestatus — the likelihood-ratio twin of t18's χ²
+    * with the Williams correction; the oracle replays the per-cell
+    * O·ln(O/E) terms (round-9 decimal fold) and the margin-reciprocal
+    * q factor. */
+  val t64GTest: Q = Q(
+    "t64_g_test",
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS a, l_linestatus AS bb FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+      cnt AS (
+        SELECT a, bb, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY a, bb),
+      ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cnt GROUP BY a),
+      cb AS (SELECT bb, CAST(SUM(o) AS BIGINT) AS cb FROM cnt GROUP BY bb),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cnt),
+      terms AS (
+        SELECT round(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)
+          / (CAST(ra.ra AS DOUBLE) * cb.cb / nn.n)), 9) AS term
+        FROM cnt JOIN ra USING (a) JOIN cb USING (bb), nn
+        WHERE o > 0),
+      gsum AS (
+        SELECT CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS ghalf
+        FROM terms),
+      mr AS (
+        SELECT CAST(SUM(CAST(round(1.0 / ra, 12) AS DECIMAL(38,12)))
+          AS DOUBLE) AS rs, CAST(COUNT(*) AS BIGINT) AS nr FROM ra),
+      mc AS (
+        SELECT CAST(SUM(CAST(round(1.0 / cb, 12) AS DECIMAL(38,12)))
+          AS DOUBLE) AS cs, CAST(COUNT(*) AS BIGINT) AS nc FROM cb),
+      f AS (
+        SELECT n, nr, nc, 2.0 * ghalf AS g,
+          1.0 + (CAST(n AS DOUBLE) * rs - 1.0)
+            * (CAST(n AS DOUBLE) * cs - 1.0)
+            / (6.0 * n * (nr - 1) * (nc - 1)) AS q
+        FROM gsum, mr, mc, nn)
+      SELECT n, nr AS levels_a, nc AS levels_b,
+        CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        round(g, 6) + 0.0 AS g, round(g / q, 6) + 0.0 AS g_williams
+      FROM f"""),
+    (s, dir) => {
+      val out = Contingency.gTest(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+      val r = out.head()
+      require(r.getAs[Double]("g") > 0.0 &&
+        r.getAs[Double]("g_williams") <= r.getAs[Double]("g"),
+        s"Williams correction must shrink G: $r")
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"chi2 p must be a probability: $p")
+      out.drop("p_value")
+    })
+
+  /** Bartlett's equal-variance test ([[graft.stats.Anova.bartlett]]) on
+    * customer account balance across market segments — the likelihood-
+    * ratio companion of t37's Brown–Forsythe; the oracle replays the
+    * per-group exact moments and the round-12 decimal folds of the
+    * ln-variance and reciprocal sums. */
+  val t65Bartlett: Q = Q(
+    "t65_bartlett",
+    Some("""
+      WITH b AS (
+        SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS y
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+      gm AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s2
+        FROM b GROUP BY g),
+      t AS (
+        SELECT
+          CAST(SUM(n) AS BIGINT) AS n_total,
+          CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(CAST(round((n - 1) * ((s2 - s1 * s1 / n) / (n - 1)), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS ssw,
+          CAST(SUM(CAST(round((n - 1) * ln((s2 - s1 * s1 / n) / (n - 1)),
+            12) AS DECIMAL(38,12))) AS DOUBLE) AS lnsum,
+          CAST(SUM(CAST(round(1.0 / (n - 1), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS recip
+        FROM gm),
+      f AS (
+        SELECT k, n_total, n_total - k AS dfw,
+          ssw / (n_total - k) AS sp2, lnsum, recip
+        FROM t)
+      SELECT k AS k_groups, n_total,
+        round((dfw * ln(sp2) - lnsum)
+          / (1.0 + (recip - 1.0 / dfw) / (3.0 * (k - 1))), 6) + 0.0
+          AS t_stat,
+        round(1.0 + (recip - 1.0 / dfw) / (3.0 * (k - 1)), 6) + 0.0
+          AS c_factor
+      FROM f"""),
+    (s, dir) => {
+      val out = Anova.bartlett(
+        Tables.load(s, dir, "customer"), "c_mktsegment", "c_acctbal")
+      val r = out.head()
+      require(r.getAs[Double]("c_factor") > 1.0,
+        s"the Bartlett correction factor is > 1 by construction: $r")
+      val p = r.getAs[Double]("p_value")
+      require(p >= 0.0 && p <= 1.0, s"chi2 p must be a probability: $p")
+      out.drop("p_value")
+    })
+
   override def queries: Seq[Q] = Seq(
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
+    t63CochranArmitage, t64GTest, t65Bartlett,
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,

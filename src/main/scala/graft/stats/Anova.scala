@@ -171,4 +171,69 @@ object Anova {
         math.min(1.0, p * nComparisons), d)
     }
   }
+
+  /** Bartlett's test of equal variances (Bartlett 1937, public) — the
+    * high-power homogeneity screen to run BEFORE trusting [[oneWay]]'s
+    * pooled error term, complementing [[brownForsythe]]: Bartlett is
+    * the likelihood-ratio test (most powerful under normality, fragile
+    * under heavy tails), Brown–Forsythe the robust one; report both and
+    * disagreement itself flags non-normal groups.
+    *
+    * T = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C with
+    * C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)) ~ χ²(k−1).
+    *
+    * ONE map-side-combined groupBy builds per-group exact moments
+    * (n, Σy, Σy² as round-12 decimal folds — the t37 recipe); the k-
+    * bounded rollup is driver arithmetic, with the Σln sᵢ² and
+    * Σ1/(nᵢ−1) folds rounded per-term to 12 and summed as decimals so
+    * a SQL oracle's unordered SUM replays them exactly. Returns one row
+    * (k_groups, n_total, t_stat, c_factor, p_value): T and C round-6;
+    * the χ²(k−1) p is library-only. Groups need nᵢ ≥ 2 and positive
+    * variance (loud otherwise — a zero-variance group makes ln s²
+    * undefined and the test meaningless). */
+  def bartlett(df: DataFrame, catCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = col(yCol).cast(DoubleType)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val g = df.filter(col(catCol).isNotNull && y.isNotNull && !isnan(y))
+      .groupBy(col(catCol).cast(StringType).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(y, 12).cast(dec)).cast("double").as("s1"),
+        sum(round(y * y, 12).cast(dec)).cast("double").as("s2"))
+      .orderBy("g")
+      .collect()
+    val k = g.length
+    require(k >= 2, s"Bartlett needs >= 2 groups, got $k")
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var nTot = 0L
+    var ssw = BigDecimal(0)
+    var lnSum = BigDecimal(0)
+    var recipSum = BigDecimal(0)
+    g.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val s1 = r.getAs[Double]("s1"); val s2 = r.getAs[Double]("s2")
+      require(n >= 2, s"group '${r.getAs[String]("g")}' has n=$n < 2")
+      val v = (s2 - s1 * s1 / n) / (n - 1)
+      require(v > 0.0,
+        s"group '${r.getAs[String]("g")}' has zero variance - ln s2 undefined")
+      nTot += n
+      ssw += r12((n - 1) * v)
+      lnSum += r12((n - 1) * math.log(v))
+      recipSum += r12(1.0 / (n - 1))
+    }
+    val dfw = nTot - k
+    val sp2 = ssw.toDouble / dfw
+    val t = (dfw * math.log(sp2) - lnSum.toDouble)
+    val cf = 1.0 + (recipSum.toDouble - 1.0 / dfw) / (3.0 * (k - 1))
+    val tStat = t / cf
+    val p = 1.0 - new org.apache.commons.math3.distribution
+      .ChiSquaredDistribution((k - 1).toDouble)
+      .cumulativeProbability(math.max(tStat, 0.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((k.toLong, nTot, r6(tStat), r6(cf), r6(p)))
+      .toDF("k_groups", "n_total", "t_stat", "c_factor", "p_value")
+  }
 }

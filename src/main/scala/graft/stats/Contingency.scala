@@ -346,6 +346,114 @@ object Contingency {
 
   /** χ² statistic, degrees of freedom, p-value. Returns None when the
     * table is degenerate (fewer than 2 observed levels on either side). */
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955, public):
+    * does a binary rate TREND across ordered, integer-scored levels
+    * (dose, severity grade, version number)? [[chiSquare]] on the 2×k
+    * table answers "differs anywhere" and wastes its k−1 degrees of
+    * freedom doing it; CA spends ONE df on the ordered alternative —
+    * the standard monotone-dose–response screen.
+    *
+    * Z = Σsᵢ(aᵢ − nᵢp̄) / √(p̄(1−p̄)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N)) over the
+    * level-bounded score table. ONE map-side-combined aggregation
+    * produces the five exact sums (N, A, Σs·n, Σs·a, Σs²·n — folded in
+    * decimal, the score products pass a long at corpus scale);
+    * everything after is fixed double arithmetic a SQL oracle replays.
+    * Returns one row (k_levels, n, n_pos, z, p_value): z round-6; the
+    * two-sided normal p is library-only. `scoreCol` must cast to long
+    * (the scores ARE the trend weights); null score or flag rows are
+    * excluded. */
+  def cochranArmitage(
+      df: DataFrame, flagCol: Column, scoreCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val r = df
+      .select(flagCol.as("f"), scoreCol.cast("long").as("s"))
+      .filter(col("f").isNotNull && col("s").isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("f"), 1L).otherwise(0L)).as("a"),
+        count_distinct(col("s")).as("k"),
+        sum(col("s").cast(dec)).as("sn"),
+        sum(when(col("f"), col("s")).otherwise(0L).cast(dec)).as("sa"),
+        sum((col("s").cast(dec) * col("s"))).as("s2n"))
+      .head()
+    val n = r.getAs[Long]("n"); val a = r.getAs[Long]("a")
+    val k = r.getAs[Long]("k")
+    require(n > 0, "Cochran-Armitage needs classified rows")
+    require(k >= 2, s"trend needs >= 2 score levels, got $k")
+    require(a > 0 && a < n,
+      s"all-positive or all-negative outcome - no rate to trend (a=$a n=$n)")
+    val sn = r.getAs[java.math.BigDecimal]("sn").doubleValue
+    val sa = r.getAs[java.math.BigDecimal]("sa").doubleValue
+    val s2n = r.getAs[java.math.BigDecimal]("s2n").doubleValue
+    val pBar = a.toDouble / n
+    val num = sa - pBar * sn
+    val den2 = pBar * (1.0 - pBar) * (s2n - sn * sn / n)
+    require(den2 > 0.0, "constant score - trend geometry degenerate")
+    val z = num / math.sqrt(den2)
+    val p = 2.0 * (1.0 - new org.apache.commons.math3.distribution
+      .NormalDistribution(0.0, 1.0).cumulativeProbability(math.abs(z)))
+    Seq((k, n, a, rd6(z), rd6(math.min(p, 1.0))))
+      .toDF("k_levels", "n", "n_pos", "z", "p_value")
+  }
+
+  /** G-test of independence (likelihood-ratio χ², Woolf 1957 — public):
+    * G = 2·Σ O·ln(O/E) over the observed contingency cells — the
+    * information-theoretic twin of [[chiSquare]] (G = 2N·MI in nats),
+    * preferred when any cell is far from its expectation because the
+    * log-likelihood form doesn't explode the way (O−E)²/E does.
+    * Reports the Williams-corrected G_adj = G/q alongside
+    * (q = 1 + (N·Σ1/rᵢ − 1)(N·Σ1/cⱼ − 1)/(6N(R−1)(C−1)), Williams
+    * 1976 — the small-expected-count fix).
+    *
+    * Rides the [[cells]] table (one groupBy + broadcast margins);
+    * empty cells contribute 0 to G (lim x·ln x = 0 — unlike χ², no
+    * empty-cell term). Per-cell terms round to 9 and fold as decimals
+    * (the [[miTerms]] order-invariance recipe, ln parity established);
+    * the margins for q are level-bounded driver arithmetic. Returns one
+    * row (n, levels_a, levels_b, dof, g, g_williams, p_value): G round-
+    * 6; the χ²(dof) p (on the corrected G) is library-only. */
+  def gTest(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = cells(df, colA, colB)
+    val termed = c.filter(col("observed") > 0)
+      .select(col("a"), col("b"), col("observed"),
+        round(col("observed").cast("double") *
+          log(col("observed").cast("double") / col("expected")), 9)
+          .as("term"))
+    val gRow = termed.agg(
+      sum(col("term").cast("decimal(38,12)")).cast("double").as("gHalf"),
+      sum(col("observed")).as("n")).head()
+    val g = 2.0 * gRow.getAs[Double]("gHalf")
+    val n = gRow.getAs[Long]("n")
+    require(n > 0, "G-test needs classified rows")
+    val rows = c.groupBy("a").agg(sum(col("observed")).as("m"))
+      .select(col("m")).as[Long].collect().sorted
+    val cols = c.groupBy("b").agg(sum(col("observed")).as("m"))
+      .select(col("m")).as[Long].collect().sorted
+    val (nr, nc) = (rows.length, cols.length)
+    require(nr >= 2 && nc >= 2,
+      s"G-test needs >= 2 levels per margin, got $nr x $nc")
+    val dof = (nr - 1).toLong * (nc - 1)
+    // reciprocal-margin sums fold as round-12 decimals so the oracle's
+    // SUM is order-invariant against this sorted driver fold
+    def recipSum(ms: Array[Long]): Double =
+      ms.map(m => BigDecimal(1.0 / m)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val q = 1.0 +
+      (n.toDouble * recipSum(rows) - 1.0) *
+        (n.toDouble * recipSum(cols) - 1.0) /
+        (6.0 * n * (nr - 1) * (nc - 1))
+    val gw = g / q
+    val p = 1.0 - new ChiSquaredDistribution(dof.toDouble)
+      .cumulativeProbability(math.max(gw, 0.0))
+    Seq((n, nr.toLong, nc.toLong, dof, rd6(g), rd6(gw), rd6(p)))
+      .toDF("n", "levels_a", "levels_b", "dof", "g", "g_williams",
+        "p_value")
+  }
+
   def chiSquare(
       df: DataFrame, colA: String, colB: String): Option[ChiSquareResult] = {
     val c = cells(df, colA, colB).collect() // |A|×|B| rows — driver-small

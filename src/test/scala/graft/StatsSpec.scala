@@ -1281,6 +1281,53 @@ class StatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quantize"), ex.getMessage)
   }
 
+  test("cochran-armitage, g-test, bartlett: hand tables and loud guards") {
+    import graft.stats.{Anova, Contingency}
+    // CA on a perfect dose-response: (n,a) = (10,1)/(10,5)/(10,9) at
+    // scores 0/1/2: num = 23 - 15 = 8, den^2 = 0.25*(50-30) = 5
+    val ca = ((1 to 10).map(i => (i <= 1, 0L)) ++
+      (1 to 10).map(i => (i <= 5, 1L)) ++
+      (1 to 10).map(i => (i <= 9, 2L))).toDF("f", "s")
+    val r = Contingency.cochranArmitage(ca, col("f"), col("s")).head()
+    val zWant = BigDecimal(8.0 / math.sqrt(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("k_levels") == 3L && r.getAs[Long]("n_pos") == 15L
+      && r.getAs[Double]("z") == zWant, s"$r")
+    assert(r.getAs[Double]("p_value") < 0.001)
+    intercept[IllegalArgumentException] { // constant score -> loud
+      Contingency.cochranArmitage(
+        Seq((true, 1L), (false, 1L)).toDF("f", "s"), col("f"), col("s"))
+    }
+    // G-test on [[10,20],[30,40]]: terms replayed with the round-9 fold
+    val g2 = (Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))).toDF("a", "b")
+    val gr = Contingency.gTest(g2, "a", "b").head()
+    def t9(o: Double, e: Double) = BigDecimal(o * math.log(o / e))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val gWant = BigDecimal(2.0 * (t9(10, 30.0 * 40 / 100) +
+      t9(20, 30.0 * 60 / 100) + t9(30, 70.0 * 40 / 100) +
+      t9(40, 70.0 * 60 / 100)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gr.getAs[Double]("g") == gWant, s"g=${gr.getAs[Double]("g")}")
+    assert(gr.getAs[Double]("g_williams") < gr.getAs[Double]("g") &&
+      gr.getAs[Long]("dof") == 1L)
+    // Bartlett on [1..4] vs 2*[1..4]: ssw = 25, dfw = 6, C = 1 + 1/6
+    val ba = ((1 to 4).map(i => ("a", i.toDouble)) ++
+      (1 to 4).map(i => ("b", 2.0 * i))).toDF("g", "y")
+    val br = Anova.bartlett(ba, "g", "y").head()
+    val tWant = (6.0 * math.log(25.0 / 6) -
+      3.0 * (math.log(5.0 / 3) + math.log(20.0 / 3))) / (1.0 + 0.5 / 3)
+    assert(math.abs(br.getAs[Double]("t_stat") - tWant) < 1e-5, s"$br")
+    assert(br.getAs[Double]("c_factor") ==
+      BigDecimal(1.0 + 0.5 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    intercept[IllegalArgumentException] { // zero-variance group -> loud
+      Anova.bartlett(
+        Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "y"),
+        "g", "y")
+    }
+  }
+
   test("welch t-tests: match commons-math3 on unequal-variance groups") {
     import graft.stats.Anova
     val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
