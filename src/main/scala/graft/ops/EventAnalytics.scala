@@ -1261,4 +1261,253 @@ object EventAnalytics {
         .toDF("n_days", "peak_day", "trough_day", "max_drawdown")
     } finally sorted.unpersist(blocking = false)
   }
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978, public) on the daily
+    * count series: Q_L = n(n+2)·Σ_{k≤L} r_k²/(n−k) ~ χ²(L) under white
+    * noise — "is there ANY autocorrelation structure up to lag L", the
+    * one-number gate before trusting i.i.d.-assuming monitors (EWMA
+    * limits, dispersion screens) on a series [[acfDaily]] shows lag by
+    * lag.
+    *
+    * Composes [[acfDaily]]'s round-6 autocorrelations (exact-moment
+    * recipe) with one L-bounded cumulative sweep: per-lag terms
+    * r_k²/(n−k) round to 9 and fold as decimals, so the cumulative Q is
+    * order-invariant and a SQL oracle replays it from the same acf
+    * table. Returns one row per lag (lag, acf, q_stat, p_value), Q
+    * round-6, χ²(lag) p library-only. */
+  def ljungBox(
+      events: DataFrame, tsCol: String = "ts", maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val n = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("day"))
+      .distinct().count()
+    require(n > maxLag + 1,
+      s"Ljung-Box needs more days than lags: n=$n maxLag=$maxLag")
+    val acf = acfDaily(events, tsCol, maxLag)
+    // L-bounded sweep (lags ≤ maxLag rows — the bins-bounded-window
+    // convention); terms fold as round-9 decimals
+    val w = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = round(col("acf") * col("acf") / (lit(n) - col("lag")), 9)
+    val out = acf
+      .withColumn("__cum",
+        sum(term.cast("decimal(38,12)")).over(w).cast("double"))
+      .select(col("lag"), col("acf"),
+        round(lit(n.toDouble) * (n + 2) * col("__cum"), 6).as("q_stat"))
+    val spark = events.sparkSession
+    val chi = out.collect().map { r =>
+      val lag = r.getAs[Long]("lag")
+      val q = r.getAs[Double]("q_stat")
+      val p = 1.0 - new org.apache.commons.math3.distribution
+        .ChiSquaredDistribution(lag.toDouble)
+        .cumulativeProbability(math.max(q, 0.0))
+      (lag, r.getAs[Double]("acf"), q,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0)
+    }
+    import spark.implicits._
+    chi.toSeq.toDF("lag", "acf", "q_stat", "p_value").orderBy("lag")
+  }
+
+  /** Dickey–Fuller unit-root screen (Dickey & Fuller 1979, public) on
+    * the daily count series: regress Δx_t on x_{t−1} with intercept and
+    * report the τ_μ statistic — "is this metric mean-reverting
+    * (stationary) or a drifting random walk", the question that decides
+    * whether fixed thresholds ([[ewmaDailyCounts]] limits) make sense
+    * at all. τ has the non-standard DF distribution, so instead of a p
+    * the row carries the verdict against the inlined large-n 5%
+    * critical value τ_μ = −2.86 (Fuller 1976 Table 8.5.2 — the
+    * cross-engine inline-constant convention).
+    *
+    * Pairs are CONSECUTIVE days only (join on day+1 — a calendar gap
+    * contributes no Δ); u = x_{t−1} and v = Δx_t are exact integers, so
+    * one map-side-combined aggregation yields the five exact moment
+    * sums (decimal folds) and the OLS t-statistic is fixed double
+    * arithmetic a SQL oracle replays. Returns one row (n_pairs, beta,
+    * t_stat, stationary_5pct), β and τ round-6. */
+  def dickeyFuller(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val b = daily.select(col("day").as("__bday"), col("x").as("xb"))
+    val dec = "decimal(38,0)"
+    val m = daily.join(b, col("__bday") === col("day") + 1)
+      .select(col("x").as("u"), (col("xb") - col("x")).as("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("u").cast(dec)).as("su"),
+        sum(col("v").cast(dec)).as("sv"),
+        sum(col("u").cast(dec) * col("v")).as("suv"),
+        sum(col("u").cast(dec) * col("u")).as("suu"),
+        sum(col("v").cast(dec) * col("v")).as("svv"))
+      .head()
+    val mN = m.getAs[Long]("m")
+    require(mN >= 4, s"Dickey-Fuller needs >= 4 consecutive-day pairs: $mN")
+    def d(i: String) = m.getAs[java.math.BigDecimal](i).doubleValue
+    val (su, sv, suv, suu, svv) = (d("su"), d("sv"), d("suv"), d("suu"),
+      d("svv"))
+    val sxx = suu - su * su / mN
+    val sxy = suv - su * sv / mN
+    val syy = svv - sv * sv / mN
+    require(sxx > 0.0, "constant daily level - unit-root geometry degenerate")
+    val beta = sxy / sxx
+    val sse = syy - beta * sxy
+    require(sse >= 0.0 && mN > 2, s"degenerate residuals: sse=$sse")
+    val s2 = sse / (mN - 2)
+    require(s2 > 0.0, "perfect AR fit - nothing stochastic to test")
+    val t = beta / math.sqrt(s2 / sxx)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((mN, r6(beta), r6(t), r6(t) < -2.86))
+      .toDF("n_pairs", "beta", "t_stat", "stationary_5pct")
+  }
+
+  /** Sample entropy (Richman & Moorman 2000, public) of the daily count
+    * series at template length m=2: SampEn = −ln(A/B) where B counts
+    * ordered template pairs matching at length 2 and A those still
+    * matching at length 3 (Chebyshev distance ≤ r = 0.2·sd, the
+    * canonical tolerance) — LOW SampEn = regular/predictable traffic,
+    * HIGH = irregular; the complexity companion to [[weekdayEffect]]'s
+    * rhythm strength.
+    *
+    * Templates are CONSECUTIVE day triples (two day+1 self-joins —
+    * calendar gaps break templates by contract); the pair comparison is
+    * a bounded self-join of the template table (days loudly capped at
+    * `maxDays`, i<j pairs only). Counts are exact integers (integer
+    * Chebyshev distances against the round-9-pinned r), so the oracle
+    * replays A, B, and −ln(A/B) exactly. Returns one row (n_days,
+    * n_templates, r_tol, b_pairs, a_pairs, sampen), round-6. */
+  def sampleEntropy(
+      events: DataFrame, tsCol: String = "ts",
+      maxDays: Int = 20000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val mom = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("s2")).head()
+    val n = mom.getAs[Long]("n")
+    require(n >= 5, s"sample entropy needs >= 5 days, got $n")
+    require(n <= maxDays,
+      s"$n days exceeds the $maxDays cap - pre-bin to a coarser grain")
+    val s1 = mom.getAs[Long]("s1").toDouble
+    val s2 = mom.getAs[java.math.BigDecimal]("s2").doubleValue
+    val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    require(sd > 0.0, "constant daily series - no variability to measure")
+    val r = BigDecimal(0.2 * sd)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t1 = daily.select(col("day").as("d1"), col("x").as("x1"))
+    val t2 = daily.select(col("day").as("d2"), col("x").as("x2"))
+    val tmpl = daily
+      .join(t1, col("d1") === col("day") + 1)
+      .join(t2, col("d2") === col("day") + 2)
+      .select(col("day"), col("x").as("x0"), col("x1"), col("x2"))
+    val a0 = tmpl.select(col("day").as("i"), col("x0").as("a0"),
+      col("x1").as("a1"), col("x2").as("a2"))
+    val b0 = tmpl.select(col("day").as("j"), col("x0").as("b0"),
+      col("x1").as("b1"), col("x2").as("b2"))
+    val pairs = a0.join(b0, col("i") < col("j"))
+      .select(
+        greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1")))
+          .as("d2m"),
+        greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1")),
+          abs(col("a2") - col("b2"))).as("d3m"))
+      .agg(
+        sum(when(col("d2m") <= r, 1L).otherwise(0L)).as("b"),
+        sum(when(col("d3m") <= r, 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("nt"))
+      .head()
+    val bC = pairs.getAs[Long]("b"); val aC = pairs.getAs[Long]("a")
+    require(bC > 0 && aC > 0,
+      s"no matching templates at tolerance r=$r (A=$aC B=$bC) - " +
+        "raise rFrac via a coarser grain or accept SampEn undefined")
+    val nTemplates = tmpl.count()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, nTemplates, r, bC, aC, r6(-math.log(aC.toDouble / bC))))
+      .toDF("n_days", "n_templates", "r_tol", "b_pairs", "a_pairs",
+        "sampen")
+  }
+
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; the R/S
+    * method is textbook, public) on the daily count series: chunk the
+    * calendar into fixed blocks of b days, compute each block's
+    * rescaled range R/S (range of mean-adjusted cumulative sums over
+    * population sd), average per b, and fit H as the log-log slope
+    * across block sizes. H ≈ 0.5 = memoryless, H > 0.5 = persistent
+    * (trends compound — capacity planning must widen), H < 0.5 =
+    * anti-persistent. The long-memory companion to [[acfDaily]]'s
+    * short-lag view.
+    *
+    * Blocks are CALENDAR blocks (floor((day − d_min)/b)); only complete
+    * blocks (exactly b observed days) with positive variance enter.
+    * The within-block cumulative sweep is a block-PARTITIONED ordered
+    * window; per-block R/S rounds to 9 and per-b means fold as
+    * decimals, so a SQL oracle replays the whole table. H is OLS over
+    * the ≤|blockSizes| (ln b, ln mean R/S) points with ln b shared as
+    * the same double by both engines. Returns per-b rows (block_days,
+    * n_blocks, mean_rs, h_exponent) ordered by block_days, round-6;
+    * needs ≥ 2 usable block sizes (loud). */
+  def hurstRS(
+      events: DataFrame, tsCol: String = "ts",
+      blockSizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 4),
+      s"block sizes must be >= 4 days: $blockSizes")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dmin = daily.agg(min(col("day"))).head().getLong(0)
+    val perB = blockSizes.distinct.sorted.map { b =>
+      val blk = daily
+        .withColumn("blk", floor((col("day") - dmin) / b).cast("long"))
+      val moms = blk.groupBy("blk").agg(count(lit(1)).as("nb"),
+        sum(col("x")).as("bs1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("bs2"))
+        .filter(col("nb") === b)
+        .withColumn("mu", col("bs1").cast("double") / b)
+        .withColumn("s",
+          sqrt((col("bs2").cast("double") - col("bs1").cast("double")
+            * col("bs1") / b) / b))
+        .filter(col("s") > 0.0)
+        .select(col("blk"), col("mu"), col("s"))
+      val w = Window.partitionBy(col("blk")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rs = blk.join(moms, "blk")
+        .withColumn("z", sum(col("x").cast("double") - col("mu")).over(w))
+        .groupBy("blk").agg(
+          ((max(col("z")) - min(col("z"))) / max(col("s"))).as("rs"))
+        .agg(count(lit(1)).as("k"),
+          sum(round(col("rs"), 9).cast("decimal(38,12)")).cast("double")
+            .as("srs"))
+        .head()
+      val k = rs.getAs[Long]("k")
+      (b, k, if (k > 0) rs.getAs[Double]("srs") / k else 0.0)
+    }.filter(_._2 > 0)
+    require(perB.length >= 2,
+      s"Hurst fit needs >= 2 block sizes with complete blocks, " +
+        s"got ${perB.length} of $blockSizes - series too short")
+    val pts = perB.map { case (b, _, mrs) => (math.log(b), math.log(mrs)) }
+    val kP = pts.length
+    // every cross-point sum folds as round-12 decimals so the oracle's
+    // unordered SUM over the ≤|blockSizes| fit points replays exactly
+    def r12sum(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val mx = r12sum(pts.map(_._1)) / kP
+    val my = r12sum(pts.map(_._2)) / kP
+    val h = r12sum(pts.map(p => (p._1 - mx) * (p._2 - my))) /
+      r12sum(pts.map(p => (p._1 - mx) * (p._1 - mx)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    perB.map { case (b, k, mrs) => (b.toLong, k, r6(mrs), r6(h)) }
+      .toDF("block_days", "n_blocks", "mean_rs", "h_exponent")
+      .orderBy("block_days")
+  }
 }

@@ -2610,8 +2610,235 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Ljung–Box portmanteau ([[graft.ops.EventAnalytics.ljungBox]]) over
+    * the daily counts at lags 1..7 — the oracle replays the ev_acf_daily
+    * recipe and the round-9 decimal cumulative Q sweep. χ² p is
+    * library-only (asserted monotone-df-sane in-gate, dropped). */
+  val evLjungBox: Q = Q(
+    "ev_ljung_box",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx FROM d),
+      m AS (SELECT CAST(sx AS DOUBLE) / n AS mu FROM s),
+      den AS (
+        SELECT CAST(SUM(CAST(round((x - mu) * (x - mu), 6)
+          AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM d, m),
+      l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      p AS (
+        SELECT l.lag, a.x AS xa, b.x AS xb, m.mu
+        FROM l, d a, d b, m WHERE b.day = a.day + l.lag),
+      num AS (
+        SELECT lag,
+          CAST(SUM(CAST(round((xa - mu) * (xb - mu), 6)
+            AS DECIMAL(38,12))) AS DOUBLE) AS num
+        FROM p GROUP BY lag),
+      acf AS (
+        SELECT CAST(num.lag AS BIGINT) AS lag,
+          round(num.num / den.den, 6) AS acf
+        FROM num, den),
+      t AS (
+        SELECT lag, acf,
+          CAST(round(acf * acf / ((SELECT n FROM s) - lag), 9)
+            AS DECIMAL(38,12)) AS term
+        FROM acf),
+      c AS (
+        SELECT lag, acf,
+          CAST(SUM(term) OVER (ORDER BY lag
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS cum
+        FROM t)
+      SELECT lag, acf,
+        round(CAST((SELECT n FROM s) AS DOUBLE)
+          * ((SELECT n FROM s) + 2) * cum, 6) AS q_stat
+      FROM c ORDER BY lag"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.ljungBox(
+        Tables.load(s, dir, "events"), "ts", maxLag = 7)
+      val rows = out.orderBy("lag").collect()
+      require(rows.length == 7, s"expected 7 lags, got ${rows.length}")
+      rows.sliding(2).foreach { case Array(a, b) =>
+        require(b.getAs[Double]("q_stat") >= a.getAs[Double]("q_stat"),
+          "Q is a cumulative sum of squares - must be non-decreasing")
+        val p = b.getAs[Double]("p_value")
+        require(p >= 0.0 && p <= 1.0, s"chi2 p must be a probability: $p")
+      }
+      out.drop("p_value")
+    })
+
+  /** Dickey–Fuller unit-root screen
+    * ([[graft.ops.EventAnalytics.dickeyFuller]]) on the daily counts —
+    * the oracle replays the consecutive-day pair moments and the τ_μ
+    * OLS arithmetic; the verdict compares the rounded τ against the
+    * inlined −2.86 large-n 5% critical value on both sides. */
+  val evUnitRoot: Q = Q(
+    "ev_unit_root",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      pr AS (
+        SELECT a.x AS u, b.x - a.x AS v
+        FROM d a, d b WHERE b.day = a.day + 1),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(u) AS DOUBLE) AS su, CAST(SUM(v) AS DOUBLE) AS sv,
+          CAST(SUM(u * v) AS DOUBLE) AS suv,
+          CAST(SUM(u * u) AS DOUBLE) AS suu,
+          CAST(SUM(v * v) AS DOUBLE) AS svv
+        FROM pr),
+      f AS (
+        SELECT m, suu - su * su / m AS sxx, suv - su * sv / m AS sxy,
+          svv - sv * sv / m AS syy
+        FROM m),
+      g AS (
+        SELECT m, sxy / sxx AS beta, sxx,
+          syy - (sxy / sxx) * sxy AS sse
+        FROM f)
+      SELECT m AS n_pairs, round(beta, 6) + 0.0 AS beta,
+        round(beta / sqrt((sse / (m - 2)) / sxx), 6) + 0.0 AS t_stat,
+        round(beta / sqrt((sse / (m - 2)) / sxx), 6) + 0.0 < -2.86
+          AS stationary_5pct
+      FROM g"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.dickeyFuller(
+        Tables.load(s, dir, "events"), "ts")
+      val r = out.head()
+      require(r.getAs[Double]("beta") <= 0.0,
+        s"mean reversion pulls beta non-positive on a level series: $r")
+      out
+    })
+
+  /** Sample entropy ([[graft.ops.EventAnalytics.sampleEntropy]]) of the
+    * daily counts at m=2, r=0.2·sd — the oracle replays the consecutive
+    * triple templates, the integer Chebyshev pair counts against the
+    * round-9-pinned tolerance, and −ln(A/B). */
+  val evSampleEntropy: Q = Q(
+    "ev_sample_entropy",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS s1,
+        CAST(SUM(x * x) AS DOUBLE) AS s2 FROM d),
+      r AS (SELECT n, round(0.2 * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n)
+          / (n - 1)), 9) AS r
+        FROM mom),
+      t AS (
+        SELECT a.day AS day, a.x AS x0, b.x AS x1, c.x AS x2
+        FROM d a, d b, d c
+        WHERE b.day = a.day + 1 AND c.day = a.day + 2),
+      p AS (
+        SELECT GREATEST(abs(i.x0 - j.x0), abs(i.x1 - j.x1)) AS d2m,
+          GREATEST(abs(i.x0 - j.x0), abs(i.x1 - j.x1),
+            abs(i.x2 - j.x2)) AS d3m
+        FROM t i, t j WHERE i.day < j.day),
+      cnt AS (
+        SELECT
+          CAST(SUM(CASE WHEN d2m <= r.r THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(SUM(CASE WHEN d3m <= r.r THEN 1 ELSE 0 END) AS BIGINT)
+            AS a
+        FROM p, r),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_templates FROM t)
+      SELECT r.n AS n_days, nt.n_templates, r.r AS r_tol,
+        cnt.b AS b_pairs, cnt.a AS a_pairs,
+        round(-ln(CAST(cnt.a AS DOUBLE) / cnt.b), 6) + 0.0 AS sampen
+      FROM r, cnt, nt"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.sampleEntropy(
+        Tables.load(s, dir, "events"), "ts")
+      val r = out.head()
+      require(r.getAs[Long]("a_pairs") <= r.getAs[Long]("b_pairs") &&
+        r.getAs[Double]("sampen") >= 0.0,
+        s"length-3 matches are a subset of length-2 matches: $r")
+      out
+    })
+
+  /** Hurst exponent by R/S ([[graft.ops.EventAnalytics.hurstRS]]) over
+    * calendar blocks of 8/16/32 days — the oracle replays the complete-
+    * block moments, the block-partitioned cumulative-deviation window,
+    * the round-9 per-block R/S fold, and the round-12 log-log OLS. */
+  val evHurst: Q = Q(
+    "ev_hurst_rs",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      dm AS (SELECT MIN(day) AS dmin FROM d),
+      bs AS (SELECT unnest([8, 16, 32]) AS b),
+      blk AS (
+        SELECT bs.b, CAST(floor((d.day - dm.dmin) / bs.b) AS BIGINT)
+          AS blk, d.day, d.x
+        FROM d, dm, bs),
+      mom AS (
+        SELECT b, blk, COUNT(*) AS nb, CAST(SUM(x) AS BIGINT) AS bs1,
+          CAST(SUM(x * x) AS DOUBLE) AS bs2
+        FROM blk GROUP BY b, blk),
+      ok AS (
+        SELECT b, blk, CAST(bs1 AS DOUBLE) / b AS mu,
+          sqrt((bs2 - CAST(bs1 AS DOUBLE) * bs1 / b) / b) AS s
+        FROM mom
+        WHERE nb = b AND sqrt((bs2 - CAST(bs1 AS DOUBLE) * bs1 / b) / b) > 0),
+      z AS (
+        SELECT blk.b, blk.blk, ok.s,
+          SUM(CAST(blk.x AS DOUBLE) - ok.mu) OVER (
+            PARTITION BY blk.b, blk.blk ORDER BY blk.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+        FROM blk JOIN ok ON blk.b = ok.b AND blk.blk = ok.blk),
+      rs AS (
+        SELECT b, blk, (MAX(z) - MIN(z)) / MAX(s) AS rs
+        FROM z GROUP BY b, blk),
+      perb AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          CAST(SUM(CAST(round(rs, 9) AS DECIMAL(38,12))) AS DOUBLE)
+            AS srs
+        FROM rs GROUP BY b),
+      pts AS (
+        SELECT b, n_blocks, srs / n_blocks AS mrs,
+          ln(CAST(b AS DOUBLE)) AS lx, ln(srs / n_blocks) AS ly
+        FROM perb WHERE n_blocks > 0),
+      fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(CAST(round(lx, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sx,
+          CAST(SUM(CAST(round(ly, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sy
+        FROM pts),
+      fit2 AS (SELECT k, sx / k AS mx, sy / k AS my FROM fit),
+      h AS (
+        SELECT
+          CAST(SUM(CAST(round((lx - mx) * (ly - my), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS num,
+          CAST(SUM(CAST(round((lx - mx) * (lx - mx), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM pts, fit2)
+      SELECT CAST(b AS BIGINT) AS block_days, n_blocks,
+        round(mrs, 6) + 0.0 AS mean_rs,
+        round(num / den, 6) + 0.0 AS h_exponent
+      FROM pts, h ORDER BY block_days"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.hurstRS(
+        Tables.load(s, dir, "events"), "ts")
+      val rows = out.collect()
+      require(rows.nonEmpty && rows.forall(_.getAs[Double]("mean_rs") > 0),
+        "rescaled ranges are positive by construction")
+      val h = rows.head.getAs[Double]("h_exponent")
+      require(h > 0.0 && h < 1.5, s"H outside any plausible range: $h")
+      out
+    })
+
   override def queries: Seq[Q] =
-    Seq(evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
+    Seq(evLjungBox, evUnitRoot, evSampleEntropy, evHurst,
+      evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,
       evQte, evWeekday, evMannKendall, evGumbel, evMarkovEntropy,

@@ -3464,6 +3464,56 @@ class OpsSpec extends SparkSpec {
       const.isNullAt(const.fieldIndex("z")))
   }
 
+  test("ljung-box, dickey-fuller, sample entropy, hurst: hand series") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def series(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (n, d) => (1 to n).map(i =>
+        Tuple1(new Timestamp((d * 86400L + i) * 1000L)))
+    }.toDF("ts")
+    // Ljung-Box recomposes from acfDaily: Q_L = n(n+2) sum r_k^2/(n-k)
+    val s12 = series((1 to 12).map(i => 3 + (i * 7) % 5))
+    val lb = EventAnalytics.ljungBox(s12, "ts", maxLag = 3)
+      .orderBy("lag").collect()
+    val acf = EventAnalytics.acfDaily(s12, "ts", 3).orderBy("lag").collect()
+    var cum = BigDecimal(0)
+    acf.zip(lb).foreach { case (a, q) =>
+      val r = a.getAs[Double]("acf")
+      cum += BigDecimal(r * r / (12 - a.getAs[Long]("lag")))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val want = BigDecimal(12.0 * 14 * cum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(q.getAs[Double]("q_stat") == want, s"$q want $want")
+    }
+    // Dickey-Fuller: near-perfect mean reversion -> beta near -2,
+    // overwhelmingly stationary
+    val alt = EventAnalytics.dickeyFuller(
+      series(Seq(10, 1, 10, 2, 9, 1, 10, 1, 9, 2))).head()
+    assert(alt.getAs[Double]("beta") < -1.5 &&
+      alt.getAs[Boolean]("stationary_5pct"), s"$alt")
+    intercept[IllegalArgumentException] { // deterministic AR -> loud
+      EventAnalytics.dickeyFuller(series(Seq(10, 1, 10, 1, 10, 1)))
+    }
+    // SampEn: a perfectly periodic series matches at 2 wherever it
+    // matches at 3 -> A = B, SampEn = 0 exactly
+    val per = EventAnalytics.sampleEntropy(
+      series(Seq(1, 5, 1, 5, 1, 5))).head()
+    assert(per.getAs[Long]("b_pairs") == 2L &&
+      per.getAs[Long]("a_pairs") == 2L &&
+      per.getAs[Double]("sampen") == 0.0, s"$per")
+    // Hurst: a monotone ramp is persistent (H near 1), an alternating
+    // series anti-persistent - the ordering is the invariant
+    val ramp = EventAnalytics.hurstRS(series((1 to 40).map(10 + _)),
+      "ts", Seq(4, 8)).head().getAs[Double]("h_exponent")
+    val anti = EventAnalytics.hurstRS(
+      series((1 to 40).map(i => if (i % 2 == 0) 20 else 2)),
+      "ts", Seq(4, 8)).head().getAs[Double]("h_exponent")
+    assert(ramp > 0.8 && anti < 0.3 && ramp > anti, s"ramp=$ramp anti=$anti")
+    intercept[IllegalArgumentException] { // series shorter than blocks
+      EventAnalytics.hurstRS(series(Seq(1, 2, 3)), "ts", Seq(8, 16))
+    }
+  }
+
   test("mix fit: exact recipe zero, drifted mix fires, stray key loud") {
     import graft.ops.Sampling
     val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
