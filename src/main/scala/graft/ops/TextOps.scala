@@ -52,6 +52,76 @@ object TextOps {
           .as("p_unseen"))
   }
 
+  /** Vocabulary-concentration indices (all textbook, public): Yule's K
+    * = 10⁴·(Σc² − N)/N² (Yule 1944 — repeat-rate characteristic,
+    * famously stable under corpus truncation), Simpson's D =
+    * Σc(c−1)/(N(N−1)) (the probability two random tokens are the same
+    * type), and Herdan's C = lnV/lnN (log type–token ratio). The
+    * "too-repetitive corpus" screens that complement
+    * [[lexicalRichness]]'s "how much vocabulary is left" view: K and D
+    * spike on template/boilerplate floods long before dedup sees exact
+    * copies.
+    *
+    * Same shape as [[lexicalRichness]]: one wordcount groupBy + one
+    * counts rollup; Σc² folds in decimal (a 10¹¹-count type squares
+    * past a long). All three indices are fixed double arithmetic over
+    * exact integers — oracle-replayable. Returns one row (n_tokens,
+    * vocab, yules_k, simpson_d, herdan_c), round-6; needs N ≥ 2 and
+    * V ≥ 2 (loud). */
+  def vocabConcentration(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val r = counts.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("v"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("s2")).head()
+    val n = r.getAs[Long]("n"); val v = r.getAs[Long]("v")
+    require(n >= 2 && v >= 2,
+      s"concentration needs >= 2 tokens of >= 2 types, got n=$n v=$v")
+    val s2 = r.getAs[java.math.BigDecimal]("s2").doubleValue
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val k = 10000.0 * (s2 - n) / (n.toDouble * n)
+    val d = (s2 - n) / (n.toDouble * (n - 1))
+    val c = math.log(v.toDouble) / math.log(n.toDouble)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, v, r6(k), r6(d), r6(c)))
+      .toDF("n_tokens", "vocab", "yules_k", "simpson_d", "herdan_c")
+  }
+
+  /** Term burstiness (Church & Gale 1995's cf/df contrast, public): a
+    * term appearing 1000 times in 10 documents behaves NOTHING like one
+    * appearing 100 times in 100 — bursty terms are topical/entity-like
+    * (and template artifacts at the extreme), spread terms are function
+    * words. Reported as the top-k most bursty terms above a document-
+    * frequency floor — the screen that surfaces boilerplate signatures
+    * [[vocabConcentration]] only hints at corpus-wide.
+    *
+    * One groupBy(token) with count + count_distinct(doc) — both exact
+    * integers riding the same shuffle; burstiness = cf/df is the
+    * identical double in both engines, and the top-k cut orders by
+    * (burstiness DESC, token ASC) so the boundary is deterministic.
+    * Returns ≤ k rows (token, cf, df, burstiness round-6). */
+  def termBurstiness(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 5, topK: Int = 20): DataFrame = {
+    require(minDf >= 1 && topK >= 1, s"minDf/topK must be >= 1")
+    docs.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cf"),
+        count_distinct(col("__id")).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness",
+        round(col("cf").cast("double") / col("df"), 6))
+      .orderBy(col("burstiness").desc, col("tok").asc)
+      .limit(topK)
+      .select(col("tok").as("token"), col("cf"), col("df"),
+        col("burstiness"))
+  }
+
   def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))

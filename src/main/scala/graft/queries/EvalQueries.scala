@@ -87,6 +87,58 @@ object EvalQueries extends QueryModule {
         y)
     })
 
+  /** Average precision ([[graft.stats.Eval.averagePrecision]]) on the
+    * separable hash-score construction — the PR-curve companion of
+    * ml_auc_separable; the oracle replays the descending distinct-score
+    * sweep with the round-9 decimal term fold. The planted +0.2 shift
+    * must push AP well above the positive base rate. */
+  val averagePrecisionGate: Q = Q(
+    "ml_average_precision",
+    Some(s"""
+      WITH b AS (
+        SELECT
+          0.8 * ${hfSql("graft-eval", "o_orderkey")}
+            + 0.2 * (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      g AS (
+        SELECT s,
+          SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+          SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+        FROM b GROUP BY s),
+      c AS (
+        SELECT pos, neg,
+          SUM(pos) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          SUM(neg) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fpc
+        FROM g),
+      f AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST(SUM(neg) AS BIGINT) AS n_neg,
+          CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+          CAST(SUM(CAST(CASE WHEN pos > 0
+            THEN round(CAST(pos AS DOUBLE)
+              * (CAST(tp AS DOUBLE) / (tp + fpc)), 9)
+            ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS terms
+        FROM c)
+      SELECT n_pos, n_neg, n_thresholds,
+        round(terms / n_pos, 6) + 0.0 AS average_precision
+      FROM f"""),
+    (s, dir) => {
+      val y = when(col("o_orderstatus") === "F", 1).otherwise(0)
+      val out = Eval.averagePrecision(Tables.load(s, dir, "orders"),
+        lit(0.8) * Sampling.hashFraction("graft-eval", Seq(col("o_orderkey")))
+          + lit(0.2) * y,
+        y)
+      val r = out.head()
+      val base = r.getAs[Long]("n_pos").toDouble /
+        (r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg"))
+      require(r.getAs[Double]("average_precision") > base + 0.1,
+        s"the planted shift must lift AP over the base rate $base: $r")
+      out
+    })
+
   /** ROC confusion table over the 11 discount levels predicting returns —
     * every count is an exact conditional sum, every rate an identical
     * division, nulls where undefined (threshold above every score). */
@@ -1496,6 +1548,7 @@ object EvalQueries extends QueryModule {
       rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
       krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate,
+      averagePrecisionGate,
       mcnemarGate, liftGainsGate, cochranQGate, brierGate, mccGate,
       weightedKappaGate, bowkerGate)
 }

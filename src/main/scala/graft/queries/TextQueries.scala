@@ -2827,6 +2827,74 @@ object TextQueries extends QueryModule {
     * exact integer frequency-of-frequencies, so the oracle replays them
     * bit-for-bit. In-gate: Chao1 ≥ observed vocabulary (the estimator
     * only ever adds undiscovered types). */
+  /** Vocabulary concentration ([[graft.ops.TextOps.vocabConcentration]]):
+    * Yule's K, Simpson's D, and Herdan's C from the same exact
+    * wordcount table as txt_chao1_richness — the oracle replays the
+    * decimal Σc² fold and the three index formulas. */
+  val txtYulesK: Q = Q(
+    "txt_yules_k",
+    Some("""
+      WITH t AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+        WHERE length(trim(text)) > 0),
+      c AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM t WHERE token <> '' GROUP BY token),
+      f AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS v,
+          CAST(SUM(c * c) AS DOUBLE) AS s2
+        FROM c)
+      SELECT n AS n_tokens, v AS vocab,
+        round(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n), 6) + 0.0
+          AS yules_k,
+        round((s2 - n) / (CAST(n AS DOUBLE) * (n - 1)), 6) + 0.0
+          AS simpson_d,
+        round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 6) + 0.0
+          AS herdan_c
+      FROM f"""),
+    (s, dir) => {
+      val out = graft.ops.TextOps.vocabConcentration(
+        Tables.load(s, dir, "documents"), "text")
+      val r = out.head()
+      require(r.getAs[Double]("yules_k") > 0.0 &&
+        r.getAs[Double]("herdan_c") > 0.0 &&
+        r.getAs[Double]("herdan_c") < 1.0,
+        s"repeated types give K > 0 and lnV < lnN: $r")
+      out
+    })
+
+  /** Term burstiness ([[graft.ops.TextOps.termBurstiness]]): top-20
+    * cf/df-bursty terms with df ≥ 5 — the oracle replays the exact
+    * (cf, df) pairs and the (burstiness DESC, token ASC) deterministic
+    * cut. */
+  val txtBurstiness: Q = Q(
+    "txt_burstiness",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+          AS token
+        FROM documents
+        WHERE length(trim(text)) > 0),
+      c AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cf,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM t WHERE token <> '' GROUP BY token)
+      SELECT token, cf, df,
+        round(CAST(cf AS DOUBLE) / df, 6) + 0.0 AS burstiness
+      FROM c WHERE df >= 5
+      ORDER BY burstiness DESC, token ASC LIMIT 20"""),
+    (s, dir) => {
+      val out = graft.ops.TextOps.termBurstiness(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val rows = out.collect()
+      require(rows.length == 20 &&
+        rows.forall(r => r.getAs[Double]("burstiness") >= 1.0),
+        s"cf >= df always, and the corpus has >= 20 df-5 terms")
+      out
+    })
+
   val txtChao1: Q = Q(
     "txt_chao1_richness",
     Some("""
@@ -2860,6 +2928,7 @@ object TextQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
+    txtYulesK, txtBurstiness,
     txtChao1,
     ddCoverageEstimate,
     txtTextrank,

@@ -117,6 +117,60 @@ object Eval {
     * null when nothing is predicted positive; F1 is null when precision
     * is null or precision+recall is 0. Returns one row per threshold in
     * input order. */
+  /** Average precision (the area under the precision–recall curve by
+    * the step interpolation, i.e. the ranking metric sklearn calls
+    * `average_precision_score` — public): AP = Σ_k (R_k − R_{k−1})·P_k
+    * over distinct score thresholds DESCENDING. The PR companion of
+    * [[auc]] for the imbalanced case (rare positives — near-dup hits,
+    * contamination, policy violations) where ROC-AUC saturates: AP is
+    * dominated by how early the positives rank.
+    *
+    * Same scale contract as [[auc]]: one groupBy(score) shuffle, then a
+    * window over the DISTINCT-score frame (pre-quantize genuinely
+    * unique scores to bound it). Ties collapse into one threshold (the
+    * sklearn semantics). Cumulative TP/FP are exact longs; per-
+    * threshold terms pos·(TP/(TP+FP)) round to 9 and fold as decimals
+    * (order-invariant), and AP is one final division rounded to 6 — a
+    * SQL oracle replays everything. Returns one row (n_pos, n_neg,
+    * n_thresholds, average_precision); AP null when no positives. */
+  def averagePrecision(
+      df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val base = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").as("__y"))
+    val grouped = base.groupBy("__s").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("pos"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("neg"),
+      sum(when(col("__y").isin(0, 1), 0L).otherwise(1L)).as("bad"))
+    // window over DISTINCT scores only (the auc contract), descending:
+    // tp/fp accumulate from the highest threshold down
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grouped
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fpc", sum(col("neg")).over(w))
+    val out = cum.agg(
+      sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"),
+      sum(col("bad")).as("n_bad"),
+      count(lit(1)).as("n_thresholds"),
+      sum(when(col("pos") > 0,
+        round(col("pos").cast("double") *
+          (col("tp").cast("double") / (col("tp") + col("fpc"))), 9))
+        .otherwise(0.0).cast("decimal(38,12)")).as("terms"))
+    out.select(
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      col("n_thresholds"),
+      when(col("n_bad") > 0,
+        raise_error(concat(lit("labels outside {0,1}: "),
+          col("n_bad").cast("string"))))
+        .otherwise(when(col("n_pos") > 0,
+          round(col("terms").cast("double") / col("n_pos"), 6)))
+        .as("average_precision"))
+  }
+
   def rocPoints(df: DataFrame, scoreCol: Column, labelCol: Column,
       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "no thresholds")

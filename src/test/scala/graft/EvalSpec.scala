@@ -28,6 +28,57 @@ class EvalSpec extends SparkSpec {
     assert(got.getAs[Long]("n_pos") == 5 && got.getAs[Long]("n_neg") == 5)
   }
 
+  test("average precision: hand sklearn values, ties, edges") {
+    // ranked desc: +, -, +, -  ->  AP = (1/2)(1/1) + (1/2)(2/3)
+    val r = Eval.averagePrecision(
+      Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)).toDF("s", "y"),
+      col("s"), col("y")).head()
+    assert(r.getAs[Double]("average_precision") == 0.833333 &&
+      r.getAs[Long]("n_thresholds") == 4L, s"$r")
+    // tied scores collapse into one threshold: AP = precision there
+    val t = Eval.averagePrecision(
+      Seq((1.0, 1), (1.0, 0)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(t.getAs[Double]("average_precision") == 0.5 &&
+      t.getAs[Long]("n_thresholds") == 1L)
+    // perfect ranking: AP = 1; no positives: AP null
+    val p = Eval.averagePrecision(
+      Seq((0.9, 1), (0.8, 1), (0.1, 0)).toDF("s", "y"),
+      col("s"), col("y")).head()
+    assert(p.getAs[Double]("average_precision") == 1.0)
+    val np = Eval.averagePrecision(
+      Seq((0.9, 0), (0.8, 0)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(np.isNullAt(np.fieldIndex("average_precision")))
+    intercept[Exception] {
+      Eval.averagePrecision(
+        Seq((0.1, 0), (0.2, 2)).toDF("s", "y"), col("s"), col("y"))
+        .collect()
+    }
+  }
+
+  test("vocab concentration and burstiness: hand counts") {
+    import graft.ops.TextOps
+    // "a a a b b c": counts 3/2/1 -> N=6 V=3 sum c^2 = 14
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val vc = TextOps.vocabConcentration(docs, "text").head()
+    assert(vc.getAs[Long]("n_tokens") == 6L && vc.getAs[Long]("vocab") == 3L)
+    assert(vc.getAs[Double]("yules_k") == 2222.222222 &&
+      vc.getAs[Double]("simpson_d") == 0.266667, s"$vc")
+    val cWant = BigDecimal(math.log(3.0) / math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(vc.getAs[Double]("herdan_c") == cWant)
+    intercept[IllegalArgumentException] { // single type -> loud
+      TextOps.vocabConcentration(Seq(Tuple1("x x x")).toDF("text"), "text")
+    }
+    // burstiness: x cf=4 df=2 -> 2.0; y and z tie at 1.0, token asc wins
+    val b = TextOps.termBurstiness(
+      Seq((1L, "x x x"), (2L, "x y"), (3L, "y z")).toDF("doc_id", "text"),
+      "doc_id", "text", minDf = 1, topK = 2).collect()
+    assert(b.length == 2 &&
+      b(0).getAs[String]("token") == "x" && b(0).getAs[Long]("cf") == 4L &&
+      b(0).getAs[Double]("burstiness") == 2.0 &&
+      b(1).getAs[String]("token") == "y", b.mkString("; "))
+  }
+
   test("auc is null with a single class and skips null rows") {
     val oneClass = Seq((0.1, 1), (0.9, 1)).toDF("s", "y")
     assert(Eval.auc(oneClass, col("s"), col("y")).collect().head.isNullAt(0))
