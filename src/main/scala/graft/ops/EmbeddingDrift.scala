@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space drift between two snapshots of the same corpus — the
@@ -114,5 +115,64 @@ object EmbeddingDrift {
     Seq((n, mu2.getAs[Long]("dim"), r6(muNorm2), r6(meanSq),
         r6(muNorm2 / meanSq)))
       .toDF("n", "dim", "mean_norm2", "mean_sq_norm", "anisotropy")
+  }
+
+  /** TwoNN intrinsic dimension (Facco, d'Errico, Rodriguez & Laio 2017,
+    * public): d̂ = n / Σᵢ ln(r₂ᵢ/r₁ᵢ) from only each point's first and
+    * second neighbor distances — "how many dimensions does this
+    * embedding cloud ACTUALLY use". A 768-dim encoder whose corpus
+    * lives on a ~10-dim manifold is normal; intrinsic dim ≈ 1–2 means
+    * collapse ([[isotropy]]'s pathology seen geometrically), and a
+    * large gap between corpora flags a domain shift no mean-vector
+    * test sees.
+    *
+    * Brute-force n² neighbor search, loudly capped at `maxVectors`
+    * (past the cap, estimate on a hash sample or an IVF candidate
+    * graph). Squared distances round to 9 (absorbing cross-engine
+    * fold jitter), the 2-NN pick is a (d², id)-ordered partitioned
+    * window — deterministic under ties — and the ln-ratio terms fold
+    * round-9 as decimals, so a SQL oracle replays the estimate.
+    * Duplicate points (r₁ = 0 — ln undefined) are excluded and
+    * surface in n_vectors − n_used. Returns one row (n_vectors,
+    * n_used, sum_log_mu, intrinsic_dim), round-6. */
+  def intrinsicDimension(
+      df: DataFrame, idCol: String, vecCol: String,
+      maxVectors: Long = 5000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
+    val n = v.count()
+    require(n >= 3, s"TwoNN needs >= 3 vectors, got $n")
+    require(n <= maxVectors,
+      s"$n vectors exceed the brute-force cap $maxVectors - " +
+        "hash-sample the corpus or rank 2-NN through an IVF candidate graph")
+    val a = v.select(col("id").as("i"), col("e").as("ea"))
+    val b = v.select(col("id").as("j"), col("e").as("eb"))
+    val d2 = round(aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 9)
+    val w = Window.partitionBy(col("i")).orderBy(col("d2"), col("j"))
+    val nn = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), col("j"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("i").agg(
+        min(when(col("rn") === 1, col("d2"))).as("r1"),
+        min(when(col("rn") === 2, col("d2"))).as("r2"))
+    val s = nn.filter(col("r1") > 0.0)
+      .agg(count(lit(1)).as("n_used"),
+        sum(round(log(col("r2") / col("r1")) * 0.5, 9)
+          .cast("decimal(38,12)")).cast("double").as("slnmu"))
+      .head()
+    val nUsed = s.getAs[Long]("n_used")
+    require(nUsed > 0, "every point duplicated - no neighbor geometry")
+    val slnmu = s.getAs[Double]("slnmu")
+    require(slnmu > 0.0,
+      "first and second neighbors tied everywhere - dimension undefined")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, nUsed, r6(slnmu), r6(nUsed / slnmu)))
+      .toDF("n_vectors", "n_used", "sum_log_mu", "intrinsic_dim")
   }
 }

@@ -1302,6 +1302,48 @@ object SimQueries extends QueryModule {
     * embedding table — the one-number health check before trusting any
     * cosine threshold. The oracle replays the per-dim round-12 means,
     * the μ² fold, and the second-moment fold. */
+  /** TwoNN intrinsic dimension
+    * ([[graft.ops.EmbeddingDrift.intrinsicDimension]]) of the embedding
+    * corpus — the oracle replays the round-9 squared distances, the
+    * (d², id)-ordered 2-NN window, and the ln-ratio decimal fold. */
+  val embIntrinsicDim: Q = Q(
+    "emb_intrinsic_dim",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      p AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+          round(list_sum(list_transform(generate_series(1, len(a.e)),
+            k -> (a.e[k] - b.e[k]) * (a.e[k] - b.e[k]))), 9) AS d2
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      r AS (
+        SELECT i, d2,
+          row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        FROM p),
+      nn AS (
+        SELECT i, MIN(CASE WHEN rn = 1 THEN d2 END) AS r1,
+          MIN(CASE WHEN rn = 2 THEN d2 END) AS r2
+        FROM r WHERE rn <= 2 GROUP BY i),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+          CAST(SUM(CAST(round(ln(r2 / r1) * 0.5, 9) AS DECIMAL(38,12)))
+            AS DOUBLE) AS slnmu
+        FROM nn WHERE r1 > 0),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM v)
+      SELECT n_vectors, n_used, round(slnmu, 6) + 0.0 AS sum_log_mu,
+        round(n_used / slnmu, 6) + 0.0 AS intrinsic_dim
+      FROM s, t"""),
+    (s, dir) => {
+      val out = graft.ops.EmbeddingDrift.intrinsicDimension(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      val r = out.head()
+      val d = r.getAs[Double]("intrinsic_dim")
+      require(d > 1.0 && d < 200.0,
+        s"TwoNN on a 64-dim synthetic cloud must land in (1, 200): $d")
+      out
+    })
+
   val embIsotropy: Q = Q(
     "emb_isotropy",
     Some("""
@@ -1339,7 +1381,7 @@ object SimQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(embIsotropy,
+    Seq(embIntrinsicDim, embIsotropy,
       simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,

@@ -3039,6 +3039,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("twoNN intrinsic dimension: hand geometric line, duplicates, caps") {
+    import graft.ops.EmbeddingDrift
+    // 1-d points at 1,2,4,8,16,32 (as 2-d vectors): hand (r1,r2) pairs
+    // are (1,3),(1,2),(2,3),(4,6),(8,12),(16,24) -> squared ratios
+    // 9, 4, 2.25, 2.25, 2.25, 2.25
+    val line = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0).zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x, 0.0)) }.toDF("id", "e")
+    val r = EmbeddingDrift.intrinsicDimension(line, "id", "e").head()
+    def t9(ratio: Double) = BigDecimal(math.log(ratio) * 0.5)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val slnmu = (t9(9.0) + t9(4.0) + t9(2.25) * 4).toDouble
+    val dWant = BigDecimal(6.0 / slnmu)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_used") == 6L &&
+      r.getAs[Double]("intrinsic_dim") == dWant, s"$r want $dWant")
+    // exact duplicates have r1 = 0 and are excluded from the estimate
+    val dup = Seq((1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.0)),
+      (3L, Array(5.0, 0.0)), (4L, Array(6.0, 0.0))).toDF("id", "e")
+    val d = EmbeddingDrift.intrinsicDimension(dup, "id", "e").head()
+    assert(d.getAs[Long]("n_vectors") == 4L && d.getAs[Long]("n_used") == 2L,
+      s"$d")
+    // over the brute-force cap -> loud with the IVF remedy
+    val ex = intercept[IllegalArgumentException] {
+      EmbeddingDrift.intrinsicDimension(line, "id", "e", maxVectors = 3L)
+    }
+    assert(ex.getMessage.contains("IVF"), ex.getMessage)
+  }
+
   test("forecast backtest: perfect trend beats naive, metrics bounded") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp
