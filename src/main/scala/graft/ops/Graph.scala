@@ -621,4 +621,144 @@ object Graph {
       visited.orderBy("node")
     } finally e.unpersist(blocking = false)
   }
+
+  /** Edge reciprocity of the DIRECTED graph (Garlaschelli & Loffredo
+    * 2004 popularized the corrected form; the raw ratio here is the
+    * classic definition, public): the fraction of directed edges whose
+    * reverse edge also exists. Crawl-graph intuition: mutual links are
+    * navigation/template structure, one-way links are endorsements —
+    * a reciprocity spike inside a host flags link farms and boilerplate
+    * that PageRank-family scores then overvalue.
+    *
+    * One distinct edge pass + one self-join on the reversed key (both
+    * sides shuffle on the same (src, dst)-swapped hash — no driver
+    * state). Self-loops are excluded. Returns one row (n_edges,
+    * n_reciprocal, reciprocity round-6). */
+  def reciprocity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+      .distinct()
+    val rev = e.select(col("d").as("s"), col("s").as("d"))
+    val n = e.count()
+    require(n > 0, "reciprocity needs at least one non-loop edge")
+    val recip = e.intersect(rev).count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((n, recip,
+        BigDecimal(recip.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+      .toDF("n_edges", "n_reciprocal", "reciprocity")
+  }
+
+  /** Degree assortativity of the undirected simple graph (Newman 2002,
+    * public): the Pearson correlation of endpoint degrees over every
+    * edge counted in both orientations. Positive = hubs link hubs
+    * (social-like), negative = hubs link leaves (web/crawl-like) —
+    * the one-number structure check that tells you whether hub-removal
+    * sampling will shatter the graph.
+    *
+    * Degrees come from one groupBy over the undirected edge set; the
+    * ordered-pair moment sums (Σj, Σjk, Σj²) are exact integers folded
+    * in decimal (degree products overflow a long on celebrity nodes),
+    * and r is fixed double arithmetic — oracle-replayable. By the
+    * both-orientations symmetry Σj = Σk, so three sums suffice.
+    * Returns one row (n_edges_undirected, assortativity round-6);
+    * loud when degrees are constant (r undefined). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol).persist()
+    try {
+      val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val m = und.count()
+      require(m > 0, "assortativity needs at least one edge")
+      val dec = "decimal(38,0)"
+      // both orientations: (j,k) and (k,j) for every undirected edge
+      val pairs = und
+        .join(deg.select(col("node").as("u"), col("deg").as("ju")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("jv")), "v")
+        .select(explode(array(
+          struct(col("ju").as("j"), col("jv").as("k")),
+          struct(col("jv").as("j"), col("ju").as("k")))).as("p"))
+        .select(col("p.j").as("j"), col("p.k").as("k"))
+      val s = pairs.agg(
+        count(lit(1)).as("m2"),
+        sum(col("j").cast(dec)).as("sj"),
+        sum(col("j").cast(dec) * col("k")).as("sjk"),
+        sum(col("j").cast(dec) * col("j")).as("sjj"))
+        .head()
+      val m2 = s.getAs[Long]("m2").toDouble
+      def d(i: String) = s.getAs[java.math.BigDecimal](i).doubleValue
+      val mj = d("sj") / m2
+      val num = d("sjk") / m2 - mj * mj
+      val den = d("sjj") / m2 - mj * mj
+      require(den > 0.0,
+        "regular graph (constant degree) - assortativity undefined")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq((m, BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+        .toDF("n_edges_undirected", "assortativity")
+    } finally und.unpersist(blocking = false)
+  }
+
+  /** Newman–Girvan modularity (Newman & Girvan 2004, public) of a given
+    * node partition over the undirected simple graph: Q = Σ_c (e_c/m −
+    * (d_c/2m)²), where e_c counts intra-community edges, d_c sums
+    * community degrees, m the undirected edge count. THE acceptance
+    * number for any clustering of the link graph ([[labelPropagation]],
+    * [[connectedComponents]], host-level groupings): Q ≈ 0 means the
+    * partition explains nothing beyond chance.
+    *
+    * Shape: degrees and intra-edge counts ride two groupBys keyed by
+    * node/community; nodes missing from the partition fail loudly
+    * (a silently-dropped node deflates d_c and inflates Q). Per-
+    * community terms round to 9 and fold as decimals — oracle-
+    * replayable. Returns one row (n_communities, m_edges, modularity
+    * round-6). */
+  def modularity(edges: DataFrame, communities: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", commCol: String = "community"): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol).persist()
+    try {
+      val comm = communities
+        .select(col(nodeCol).as("node"), col(commCol).as("comm"))
+        .filter(col("node").isNotNull && col("comm").isNotNull)
+      val m = und.count()
+      require(m > 0, "modularity needs at least one edge")
+      val tagged = und
+        .join(comm.select(col("node").as("u"), col("comm").as("cu")),
+          Seq("u"), "left")
+        .join(comm.select(col("node").as("v"), col("comm").as("cv")),
+          Seq("v"), "left")
+      val missing = tagged
+        .filter(col("cu").isNull || col("cv").isNull).count()
+      require(missing == 0L,
+        s"$missing edges touch nodes absent from the partition - " +
+          "assign every node a community first")
+      val intra = tagged.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_c"))
+      val degC = und
+        .select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .join(comm, "node")
+        .groupBy("comm").agg(sum(col("deg")).as("d_c"))
+      val terms = degC.join(intra, Seq("comm"), "left")
+        .select(round(
+          coalesce(col("e_c"), lit(0L)).cast("double") / m -
+            (col("d_c").cast("double") / (2.0 * m)) *
+            (col("d_c").cast("double") / (2.0 * m)), 9).as("t"))
+      val q = terms.agg(count(lit(1)).as("k"),
+        sum(col("t").cast("decimal(38,12)")).cast("double").as("q"))
+        .head()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq((q.getAs[Long]("k"), m,
+          BigDecimal(q.getAs[Double]("q"))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+        .toDF("n_communities", "m_edges", "modularity")
+    } finally und.unpersist(blocking = false)
+  }
 }

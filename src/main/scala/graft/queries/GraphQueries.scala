@@ -634,8 +634,113 @@ object GraphQueries extends QueryModule {
       out
     })
 
+  /** Edge reciprocity ([[graft.ops.Graph.reciprocity]]) of the directed
+    * link graph — the oracle replays the distinct non-loop edge set and
+    * the reversed-key self-join count. */
+  val grReciprocity: Q = Q(
+    "gr_reciprocity",
+    Some(s"""
+      WITH edges AS ($edgesSql),
+      e AS (SELECT DISTINCT src AS s, dst AS d FROM edges
+            WHERE src <> dst),
+      r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+      rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr
+              FROM e a JOIN e b ON a.s = b.d AND a.d = b.s)
+      SELECT r.n AS n_edges, rec.nr AS n_reciprocal,
+        round(CAST(rec.nr AS DOUBLE) / r.n, 6) + 0.0 AS reciprocity
+      FROM r, rec"""),
+    (s, dir) => {
+      val out = Graph.reciprocity(edgesDf(s, dir))
+      val r = out.head()
+      require(r.getAs[Double]("reciprocity") >= 0.0 &&
+        r.getAs[Double]("reciprocity") <= 1.0, s"$r")
+      out
+    })
+
+  /** Degree assortativity ([[graft.ops.Graph.degreeAssortativity]]) of
+    * the undirected link graph — the oracle replays the degree table
+    * and the both-orientations Pearson moments. */
+  val grAssortativity: Q = Q(
+    "gr_assortativity",
+    Some(s"""
+      WITH edges AS ($edgesSql),
+      und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+          GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und) GROUP BY node),
+      pr AS (
+        SELECT du.deg AS j, dv.deg AS k FROM und
+          JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node
+        UNION ALL
+        SELECT dv.deg AS j, du.deg AS k FROM und
+          JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        CAST(SUM(j) AS DOUBLE) AS sj,
+        CAST(SUM(j * k) AS DOUBLE) AS sjk,
+        CAST(SUM(j * j) AS DOUBLE) AS sjj FROM pr),
+      um AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und)
+      SELECT um.m AS n_edges_undirected,
+        round((sjk / m2 - (sj / m2) * (sj / m2))
+          / (sjj / m2 - (sj / m2) * (sj / m2)), 6) + 0.0 AS assortativity
+      FROM st, um"""),
+    (s, dir) => {
+      val out = Graph.degreeAssortativity(edgesDf(s, dir))
+      val r = out.head()
+      val a = r.getAs[Double]("assortativity")
+      require(a >= -1.0 && a <= 1.0, s"a correlation must be in [-1,1]: $a")
+      out
+    })
+
+  /** Newman–Girvan modularity ([[graft.ops.Graph.modularity]]) of the
+    * deterministic doc_id%10 partition over the link graph — the gate
+    * pins the estimator's arithmetic on a trivially-replayable
+    * partition (the library API composes with labelPropagation /
+    * connectedComponents for discovered communities). */
+  val grModularity: Q = Q(
+    "gr_modularity",
+    Some(s"""
+      WITH edges AS ($edgesSql),
+      und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+          GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+      comm AS (SELECT doc_id AS node, doc_id % 10 AS comm FROM documents),
+      tag AS (SELECT cu.comm AS cu, cv.comm AS cv FROM und
+        JOIN comm cu ON und.u = cu.node JOIN comm cv ON und.v = cv.node),
+      intra AS (SELECT cu AS comm, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM tag WHERE cu = cv GROUP BY cu),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und) GROUP BY node),
+      degc AS (SELECT c.comm, CAST(SUM(d.deg) AS BIGINT) AS d_c
+        FROM deg d JOIN comm c ON d.node = c.node GROUP BY c.comm),
+      terms AS (
+        SELECT round(CAST(COALESCE(e_c, 0) AS DOUBLE) / m.m
+          - (CAST(d_c AS DOUBLE) / (2.0 * m.m))
+            * (CAST(d_c AS DOUBLE) / (2.0 * m.m)), 9) AS t
+        FROM degc LEFT JOIN intra USING (comm), m)
+      SELECT CAST((SELECT COUNT(*) FROM terms) AS BIGINT)
+          AS n_communities,
+        (SELECT m FROM m) AS m_edges,
+        round((SELECT CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE)
+          FROM terms), 6) + 0.0 AS modularity
+      """),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val comm = d.select(col("doc_id").as("node"),
+        pmod(col("doc_id"), lit(10L)).as("community"))
+      val out = Graph.modularity(edgesDf(s, dir), comm)
+      val r = out.head()
+      val q = r.getAs[Double]("modularity")
+      require(q >= -1.0 && q <= 1.0, s"Q is bounded: $q")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
       grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms,
-      grTriangles, grClustering, grLinkPrediction, grKcore, grBfs)
+      grTriangles, grClustering, grLinkPrediction, grKcore, grBfs,
+      grReciprocity, grAssortativity, grModularity)
 }

@@ -438,4 +438,40 @@ class GraphSpec extends SparkSpec {
     // a seed with no outgoing edges terminates immediately
     assert(levels(Seq(99L), 5) == Map(99L -> 0))
   }
+
+  test("reciprocity, assortativity, modularity: hand graphs") {
+    // directed: 1->2, 2->1, 1->3: two of three edges reciprocated
+    val dir = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.reciprocity(dir).head()
+    assert(r.getAs[Long]("n_edges") == 3L &&
+      r.getAs[Long]("n_reciprocal") == 2L &&
+      r.getAs[Double]("reciprocity") == 0.666667, s"$r")
+    // a star is maximally disassortative: r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(star).head()
+      .getAs[Double]("assortativity") == -1.0)
+    // constant-degree graph (a 3-cycle) -> undefined, loud
+    intercept[IllegalArgumentException] {
+      Graph.degreeAssortativity(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+    }
+    // two triangles joined by a bridge, split at the bridge:
+    // m = 7, e_c = 3 each, d_c = 7 each -> Q = 2*(3/7 - 0.25)
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "community")
+    val q = Graph.modularity(twoTri, comm).head()
+    val qWant = BigDecimal(
+      BigDecimal(3.0 / 7 - 0.25).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q.getAs[Long]("n_communities") == 2L &&
+      q.getAs[Long]("m_edges") == 7L &&
+      q.getAs[Double]("modularity") == qWant, s"$q want $qWant")
+    // a node missing from the partition must fail loudly
+    intercept[IllegalArgumentException] {
+      Graph.modularity(twoTri, comm.filter(col("node") =!= 6L))
+    }
+  }
 }
