@@ -3123,9 +3123,219 @@ object StatsQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** Box–Cox λ scan ([[graft.transform.Standardize.boxCoxScan]]) on
+    * extended price over the pow()-free canonical grid — the oracle
+    * replays all fifteen round-12 moment folds and the seven profile
+    * log-likelihoods. */
+  val t66BoxCox: Q = Q(
+    "t66_boxcox_lambda",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(ln(x), 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS slnx,
+          CAST(SUM(CAST(round(1.0 / (x * x), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS a1,
+          CAST(SUM(CAST(round((1.0 / (x * x)) * (1.0 / (x * x)), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS a2,
+          CAST(SUM(CAST(round(1.0 / x, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS b1,
+          CAST(SUM(CAST(round((1.0 / x) * (1.0 / x), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS b2,
+          CAST(SUM(CAST(round(1.0 / sqrt(x), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS c1,
+          CAST(SUM(CAST(round((1.0 / sqrt(x)) * (1.0 / sqrt(x)), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS c2,
+          CAST(SUM(CAST(round(ln(x), 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS d1,
+          CAST(SUM(CAST(round(ln(x) * ln(x), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS d2,
+          CAST(SUM(CAST(round(sqrt(x), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS e1,
+          CAST(SUM(CAST(round(sqrt(x) * sqrt(x), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS e2,
+          CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS f1,
+          CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS f2,
+          CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS g1,
+          CAST(SUM(CAST(round((x * x) * (x * x), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS g2
+        FROM b),
+      lls AS (
+        SELECT -2.0 AS lambda, round((-n / 2.0)
+          * ln(a2 / n - (a1 / n) * (a1 / n)) + n * ln(2.0)
+          + (-3.0) * slnx, 6) + 0.0
+          AS loglik FROM m
+        UNION ALL SELECT -1.0, round((-n / 2.0)
+          * ln(b2 / n - (b1 / n) * (b1 / n)) + n * ln(1.0)
+          + (-2.0) * slnx, 6) + 0.0
+          FROM m
+        UNION ALL SELECT -0.5, round((-n / 2.0)
+          * ln(c2 / n - (c1 / n) * (c1 / n)) + n * ln(0.5)
+          + (-1.5) * slnx, 6) + 0.0
+          FROM m
+        UNION ALL SELECT 0.0, round((-n / 2.0)
+          * ln(d2 / n - (d1 / n) * (d1 / n)) + (-1.0) * slnx, 6) + 0.0
+          FROM m
+        UNION ALL SELECT 0.5, round((-n / 2.0)
+          * ln(e2 / n - (e1 / n) * (e1 / n)) + n * ln(0.5)
+          + (-0.5) * slnx, 6) + 0.0
+          FROM m
+        UNION ALL SELECT 1.0, round((-n / 2.0)
+          * ln(f2 / n - (f1 / n) * (f1 / n)) + n * ln(1.0)
+          + 0.0 * slnx, 6) + 0.0
+          FROM m
+        UNION ALL SELECT 2.0, round((-n / 2.0)
+          * ln(g2 / n - (g1 / n) * (g1 / n)) + n * ln(2.0)
+          + 1.0 * slnx, 6) + 0.0
+          FROM m),
+      bst AS (
+        SELECT MIN(lambda) AS bl FROM lls
+        WHERE loglik = (SELECT MAX(loglik) FROM lls))
+      SELECT lambda, loglik, lambda = bl AS is_best
+      FROM lls, bst ORDER BY lambda"""),
+    (s, dir) => {
+      val out = graft.transform.Standardize.boxCoxScan(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice")
+      val rows = out.collect()
+      require(rows.length == 7 && rows.count(_.getAs[Boolean]("is_best")) == 1,
+        s"one winner over the 7-point grid: ${rows.mkString(";")}")
+      out
+    })
+
+  /** Variance inflation factors ([[graft.stats.Regression.vif3]]) for
+    * the (quantity, price, discount) design — the oracle replays the
+    * nine moment folds, the round-9 correlations, and the closed-form
+    * 3×3 inverse. */
+  val t67Vif: Q = Q(
+    "t67_vif",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x1,
+          CAST(l_extendedprice AS DOUBLE) AS x2,
+          CAST(l_discount AS DOUBLE) AS x3
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(x1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(round(x2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(round(x3, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+          CAST(SUM(CAST(round(x1 * x1, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s11,
+          CAST(SUM(CAST(round(x2 * x2, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s22,
+          CAST(SUM(CAST(round(x3 * x3, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s33,
+          CAST(SUM(CAST(round(x1 * x2, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s12,
+          CAST(SUM(CAST(round(x1 * x3, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s13,
+          CAST(SUM(CAST(round(x2 * x3, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s23
+        FROM b),
+      c AS (
+        SELECT
+          round((s12 - s1 * s2 / n)
+            / sqrt((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)), 9) AS r12,
+          round((s13 - s1 * s3 / n)
+            / sqrt((s11 - s1 * s1 / n) * (s33 - s3 * s3 / n)), 9) AS r13,
+          round((s23 - s2 * s3 / n)
+            / sqrt((s22 - s2 * s2 / n) * (s33 - s3 * s3 / n)), 9) AS r23
+        FROM m),
+      d AS (
+        SELECT r12, r13, r23,
+          1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23
+            AS det
+        FROM c),
+      v AS (
+        SELECT 'l_quantity' AS feature, (1.0 - r23 * r23) / det AS vf
+          FROM d
+        UNION ALL SELECT 'l_extendedprice', (1.0 - r13 * r13) / det
+          FROM d
+        UNION ALL SELECT 'l_discount', (1.0 - r12 * r12) / det FROM d)
+      SELECT feature, round(1.0 - 1.0 / vf, 6) + 0.0 AS r_squared,
+        round(vf, 6) + 0.0 AS vif
+      FROM v ORDER BY feature"""),
+    (s, dir) => {
+      val out = Regression.vif3(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      val rows = out.collect()
+      require(rows.forall(_.getAs[Double]("vif") >= 1.0),
+        s"VIF is bounded below by 1: ${rows.mkString(";")}")
+      out
+    })
+
+  /** OLS influence top-10 ([[graft.stats.Regression.influenceTopK]])
+    * for price ~ quantity — the oracle replays the moment-sum fit, the
+    * per-row leverage/residual algebra, and the (Cook's D, id) cut. */
+  val t68Influence: Q = Q(
+    "t68_influence",
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+          CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+          AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy,
+          CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy
+        FROM b),
+      f1 AS (
+        SELECT n, sx / n AS mx, sxx - sx * sx / n AS ssx,
+          (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+          sy, sxy, sx, syy
+        FROM m),
+      f2 AS (
+        SELECT n, mx, ssx, slope,
+          sy / n - slope * mx AS icept,
+          (syy - sy * sy / n - slope * (sxy - sx * sy / n)) / (n - 2)
+            AS s2
+        FROM f1),
+      r AS (
+        SELECT id, x, y,
+          1.0 / n + (x - mx) * (x - mx) / ssx AS h,
+          y - (icept + slope * x) AS e
+        FROM b, f2),
+      d AS (
+        SELECT id, x, y, h,
+          round(e * e / (2.0 * (SELECT s2 FROM f2)) * h
+            / ((1.0 - h) * (1.0 - h)), 9) AS cd
+        FROM r)
+      SELECT id, x, y, round(h, 6) + 0.0 AS leverage,
+        round(cd, 6) + 0.0 AS cooks_d
+      FROM d ORDER BY cd DESC, id LIMIT 10"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("__id", col("l_orderkey") * 10 + col("l_linenumber"))
+      val out = Regression.influenceTopK(li, "__id", "l_quantity",
+        "l_extendedprice")
+      val rows = out.collect()
+      require(rows.length == 10 &&
+        rows.forall(_.getAs[Double]("leverage") > 0.0),
+        s"ten diagnosable rows with positive leverage")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
+    t66BoxCox, t67Vif, t68Influence,
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,

@@ -474,4 +474,123 @@ object Regression {
         when(col("ess") > 0.0, round(col("num") / col("ess"), 6))
           .as("dw"))
   }
+
+  /** Variance inflation factors for a THREE-feature design (the
+    * closed-form case; VIF itself is textbook regression diagnostics,
+    * public): VIF_i = 1/(1 − R²_i) where R²_i is feature i regressed on
+    * the other two — computed from the pairwise correlations via the
+    * 3×3 inverse: VIF_i = (1 − r_jk²)/det, det = 1 + 2·r₁₂r₁₃r₂₃ −
+    * r₁₂² − r₁₃² − r₂₃². VIF > 5–10 = the coefficient on that feature
+    * is noise; run it BEFORE trusting any multi-feature fit's
+    * per-feature story. For k > 3 invert the correlation matrix —
+    * the input here is deliberately the replayable closed form.
+    *
+    * ONE aggregation builds all nine moment sums (round-12 decimal
+    * folds, rows pairwise-complete across ALL three columns so every r
+    * shares one n); correlations round to 9, the rest is driver
+    * arithmetic. Returns one row per feature (feature, r_squared, vif)
+    * ordered by feature, round-6. */
+  def vif3(df: DataFrame, cols3: Seq[String]): DataFrame = {
+    require(cols3.length == 3 && cols3.distinct.length == 3,
+      s"vif3 takes exactly 3 distinct features, got $cols3")
+    val Seq(c1, c2, c3) = cols3.map(c => col(c).cast(DoubleType))
+    val base = df.filter(c1.isNotNull && c2.isNotNull && c3.isNotNull &&
+      !isnan(c1) && !isnan(c2) && !isnan(c3))
+      .select(c1.as("x1"), c2.as("x2"), c3.as("x3"))
+    def fold12(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast(DoubleType)
+    val r = base.agg(
+      count(lit(1)).as("n"),
+      fold12(col("x1")).as("s1"), fold12(col("x2")).as("s2"),
+      fold12(col("x3")).as("s3"),
+      fold12(col("x1") * col("x1")).as("s11"),
+      fold12(col("x2") * col("x2")).as("s22"),
+      fold12(col("x3") * col("x3")).as("s33"),
+      fold12(col("x1") * col("x2")).as("s12"),
+      fold12(col("x1") * col("x3")).as("s13"),
+      fold12(col("x2") * col("x3")).as("s23")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 4, s"VIF needs >= 4 complete rows, got $n")
+    def g(i: String) = r.getAs[Double](i)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def corr(si: Double, sj: Double, sij: Double, sii: Double,
+        sjj: Double): Double = {
+      val num = sij - si * sj / n
+      val di = sii - si * si / n
+      val dj = sjj - sj * sj / n
+      require(di > 0.0 && dj > 0.0,
+        "a constant feature has no VIF - drop it first")
+      r9(num / math.sqrt(di * dj))
+    }
+    val r12 = corr(g("s1"), g("s2"), g("s12"), g("s11"), g("s22"))
+    val r13 = corr(g("s1"), g("s3"), g("s13"), g("s11"), g("s33"))
+    val r23 = corr(g("s2"), g("s3"), g("s23"), g("s22"), g("s33"))
+    val det = 1.0 + 2.0 * r12 * r13 * r23 -
+      r12 * r12 - r13 * r13 - r23 * r23
+    require(det > 1e-12,
+      s"singular correlation matrix (det=$det) - features are collinear")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    // VIF_i = (1 − r_jk²)/det; R²_i = 1 − 1/VIF_i
+    Seq((cols3(0), r23), (cols3(1), r13), (cols3(2), r12)).map {
+      case (name, rjk) =>
+        val v = (1.0 - rjk * rjk) / det
+        (name, r6(1.0 - 1.0 / v), r6(v))
+    }.toDF("feature", "r_squared", "vif").orderBy("feature")
+  }
+
+  /** OLS influence diagnostics for the simple fit y ~ x (leverage +
+    * Cook's distance — Cook 1977, public): h_i = 1/n + (x_i−x̄)²/Sxx,
+    * D_i = e_i²/(p·s²) · h_i/(1−h_i)² with p = 2. The top-k most
+    * influential rows are THE audit list after any [[ols]] fit: a
+    * handful of rows with D ≫ 4/n means the slope is those rows'
+    * opinion, not the data's.
+    *
+    * ONE moment aggregation (round-12 decimal folds) fixes the fit;
+    * leverage/residual/D are then per-row expressions in the plan
+    * (no second shuffle), D rounds to 9 and the top-k cut orders by
+    * (D DESC, id) — deterministic. Returns ≤ k rows (id, x, y,
+    * leverage, cooks_d), leverage and D round-6. */
+  def influenceTopK(
+      df: DataFrame, idCol: String, xCol: String, yCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val base = df.select(col(idCol).as("id"),
+      col(xCol).cast(DoubleType).as("x"),
+      col(yCol).cast(DoubleType).as("y"))
+      .filter(col("id").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull && !isnan(col("x")) && !isnan(col("y")))
+    def fold12(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast(DoubleType)
+    val m = base.agg(count(lit(1)).as("n"),
+      fold12(col("x")).as("sx"), fold12(col("y")).as("sy"),
+      fold12(col("x") * col("x")).as("sxx"),
+      fold12(col("y") * col("y")).as("syy"),
+      fold12(col("x") * col("y")).as("sxy")).head()
+    val n = m.getAs[Long]("n")
+    require(n >= 4, s"influence needs >= 4 rows, got $n")
+    def g(i: String) = m.getAs[Double](i)
+    val mx = g("sx") / n
+    val ssx = g("sxx") - g("sx") * g("sx") / n
+    require(ssx > 0.0, "constant x - no fit to diagnose")
+    val slope = (g("sxy") - g("sx") * g("sy") / n) / ssx
+    val icept = g("sy") / n - slope * mx
+    val sse = g("syy") - g("sy") * g("sy") / n -
+      slope * (g("sxy") - g("sx") * g("sy") / n)
+    val s2 = math.max(sse, 0.0) / (n - 2)
+    require(s2 > 0.0, "perfect fit - influence undefined (D divides by s2)")
+    val h = lit(1.0 / n) +
+      (col("x") - mx) * (col("x") - mx) / ssx
+    val e = col("y") - (lit(icept) + lit(slope) * col("x"))
+    val dRaw = e * e / lit(2.0 * s2) * h / ((lit(1.0) - h) * (lit(1.0) - h))
+    base
+      .withColumn("cooks_d", round(dRaw, 9))
+      .orderBy(col("cooks_d").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id"), col("x"), col("y"),
+        round(h, 6).as("leverage"), round(col("cooks_d"), 6).as("cooks_d"))
+  }
 }

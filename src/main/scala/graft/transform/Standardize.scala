@@ -233,4 +233,63 @@ object Standardize {
         .drop("__v")
     } finally counts.unpersist(blocking = false)
   }
+
+  /** Box–Cox λ selection by profile log-likelihood (Box & Cox 1964,
+    * public) over the CANONICAL grid λ ∈ {−2, −1, −½, 0, ½, 1, 2}:
+    * LL(λ) = −n/2·ln σ̂²_mle(y(λ)) + (λ−1)·Σln x, picking the λ that
+    * best Gaussianizes a positive skewed metric before z-scoring or
+    * OLS. The grid is deliberately the seven closed-form powers —
+    * 1/x², 1/x, 1/√x, ln x, √x, x, x² — expressible with *, sqrt and
+    * ln only (sqrt is IEEE-exact, ln parity established), so the scan
+    * is engine-replayable with NO pow() (whose last-ulp behavior
+    * differs across libms); finer λ tuning composes downstream of the
+    * winning bracket.
+    *
+    * ONE aggregation computes all fifteen moment folds (round-12
+    * decimals, map-side combined); the seven LLs are driver arithmetic.
+    * Requires strictly positive x (loud otherwise — Box–Cox is
+    * undefined at 0). Returns 7 rows (lambda, loglik, is_best) ordered
+    * by λ, LL round-6; best = max rounded LL, ties to the smaller λ. */
+  def boxCoxScan(df: DataFrame, xCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val base = df.filter(x.isNotNull && !isnan(x)).select(x.as("x"))
+    val nonPos = base.filter(col("x") <= 0.0).count()
+    require(nonPos == 0L,
+      s"Box-Cox needs strictly positive values; $nonPos rows are <= 0 " +
+        "- shift the metric or drop zeros first")
+    def fold12(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val lnx = log(col("x"))
+    val sq = col("x") * col("x")
+    val rt = sqrt(col("x"))
+    val ys: Seq[(Double, org.apache.spark.sql.Column)] = Seq(
+      -2.0 -> (lit(1.0) / sq), -1.0 -> (lit(1.0) / col("x")),
+      -0.5 -> (lit(1.0) / rt), 0.0 -> lnx, 0.5 -> rt,
+      1.0 -> col("x"), 2.0 -> sq)
+    val aggs = ys.zipWithIndex.flatMap { case ((_, y), i) =>
+      Seq(fold12(y).as(s"s1_$i"), fold12(y * y).as(s"s2_$i"))
+    } ++ Seq(count(lit(1)).as("n"), fold12(lnx).as("slnx"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 3, s"Box-Cox scan needs >= 3 values, got $n")
+    val slnx = r.getAs[Double]("slnx")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    // σ²((x^λ−1)/λ) = σ²(x^λ)/λ², so the profile LL carries the
+    // n·ln|λ| scale term for λ ≠ 0 (dropping it mis-ranks every λ)
+    val lls = ys.zipWithIndex.map { case ((lam, _), i) =>
+      val s1 = r.getAs[Double](s"s1_$i")
+      val s2 = r.getAs[Double](s"s2_$i")
+      val v = s2 / n - (s1 / n) * (s1 / n)
+      require(v > 0.0, s"constant transform at lambda=$lam - degenerate")
+      val scale = if (lam == 0.0) 0.0 else n * math.log(math.abs(lam))
+      (lam, r6(-n / 2.0 * math.log(v) + scale + (lam - 1.0) * slnx))
+    }
+    val best = lls.maxBy(_._2)._2
+    val bestLam = lls.filter(_._2 == best).map(_._1).min
+    val spark = df.sparkSession
+    import spark.implicits._
+    lls.map { case (lam, ll) => (lam, ll, lam == bestLam) }
+      .toDF("lambda", "loglik", "is_best").orderBy("lambda")
+  }
 }

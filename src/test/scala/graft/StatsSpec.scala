@@ -1328,6 +1328,47 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("box-cox scan, vif3, influence: hand geometry and loud guards") {
+    import graft.stats.Regression
+    import graft.transform.Standardize
+    // geometric data is exactly log-normal-shaped: lambda = 0 must win
+    val geo = (Seq.fill(5)(1.0) ++ Seq.fill(5)(math.exp(1)) ++
+      Seq.fill(5)(math.exp(2))).map(Tuple1(_)).toDF("x")
+    val bc = Standardize.boxCoxScan(geo, "x").collect()
+    assert(bc.length == 7 &&
+      bc.filter(_.getAs[Boolean]("is_best"))
+        .head.getAs[Double]("lambda") == 0.0, bc.mkString(";"))
+    intercept[IllegalArgumentException] { // zero input -> loud
+      Standardize.boxCoxScan(Seq(Tuple1(0.0), Tuple1(1.0)).toDF("x"), "x")
+    }
+    // hand correlations: r12 = r23 = 0, r13 = -0.4472 -> det = 0.8,
+    // VIF = (1.25, 1.0, 1.25)
+    val vd = Seq((1.0, 1.0, 1.0), (2.0, -1.0, -1.0), (3.0, -1.0, 1.0),
+      (4.0, 1.0, -1.0)).toDF("a", "b", "c")
+    val v = Regression.vif3(vd, Seq("a", "b", "c")).collect()
+      .map(r => r.getAs[String]("feature") -> r.getAs[Double]("vif")).toMap
+    assert(v("a") == 1.25 && v("b") == 1.0 && v("c") == 1.25, s"$v")
+    intercept[IllegalArgumentException] { // collinear -> singular, loud
+      Regression.vif3(
+        Seq((1.0, 1.0, 2.0), (2.0, -1.0, 4.0), (3.0, -1.0, 6.0),
+          (4.0, 1.0, 8.0)).toDF("a", "b", "c"), Seq("a", "b", "c"))
+    }
+    // influence: a clean line plus one gross outlier - the outlier must
+    // rank first and extreme x carries the highest leverage
+    val pts = (1 to 9).map(i => (i.toLong, i.toDouble, 2.0 * i)) :+
+      (99L, 5.0, 60.0)
+    val inf = Regression.influenceTopK(pts.toDF("id", "x", "y"),
+      "id", "x", "y", topK = 3).collect()
+    assert(inf.head.getAs[Long]("id") == 99L, inf.mkString(";"))
+    assert(inf.head.getAs[Double]("cooks_d") >
+      inf(1).getAs[Double]("cooks_d"))
+    intercept[IllegalArgumentException] { // perfect fit -> loud
+      Regression.influenceTopK(
+        (1 to 5).map(i => (i.toLong, i.toDouble, 2.0 * i))
+          .toDF("id", "x", "y"), "id", "x", "y")
+    }
+  }
+
   test("welch t-tests: match commons-math3 on unequal-variance groups") {
     import graft.stats.Anova
     val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
