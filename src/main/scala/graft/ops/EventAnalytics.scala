@@ -1262,6 +1262,110 @@ object EventAnalytics {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Period-over-period user turnover: per observed period (grainDays
+    * buckets of epoch days), how many users were active, NEW (not
+    * active the previous period), RETAINED (active in both), and
+    * CHURNED (active the previous period but not this one). The
+    * accounting identity behind every growth dashboard:
+    * active_t = retained_t + new_t and active_{t−1} = retained_t +
+    * churned_t — [[retentionCohorts]] answers "how long do users live",
+    * turnover answers "what changed this week".
+    *
+    * One distinct (user, period) pass, one full-outer self-join on the
+    * period-shifted key (both sides shuffle on (user, period) — no
+    * window, no driver state), one period rollup of exact counts.
+    * Periods with zero total activity are skipped (nothing observed to
+    * report). Returns (period, n_active, n_new, n_retained, n_churned)
+    * ordered by period. */
+  def userTurnover(
+      events: DataFrame, tsCol: String = "ts", keyCol: String = "user_id",
+      grainDays: Int = 7): DataFrame = {
+    require(grainDays >= 1, s"grainDays must be >= 1: $grainDays")
+    val day = expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+    val uw = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("u"),
+        floor(day / grainDays).cast("long").as("w"))
+      .distinct()
+    val cur = uw.select(col("u"), col("w"), lit(1).as("c"))
+    val prev = uw.select(col("u"), (col("w") + 1).as("w"), lit(1).as("p"))
+    val maxWRow = uw.agg(max(col("w"))).head()
+    require(!maxWRow.isNullAt(0), "turnover needs at least one event")
+    val maxW = maxWRow.getLong(0)
+    cur.join(prev, Seq("u", "w"), "full_outer")
+      .filter(col("w") <= maxW)
+      .groupBy("w").agg(
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("c").isNotNull && col("p").isNull, 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("c").isNotNull && col("p").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("c").isNull && col("p").isNotNull, 1L).otherwise(0L))
+          .as("n_churned"))
+      .filter(col("n_active") > 0)
+      .select(col("w").as("period"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_churned"))
+      .orderBy("period")
+  }
+
+  /** Peak concurrency by sweep line: the maximum number of
+    * simultaneously-open intervals and the earliest instant attaining
+    * it. Intervals are per-(key, day) activity spans [first event ts,
+    * last event ts] — closed on both ends, a +1 endpoint sorting before
+    * any −1 at the same instant — so the number answers "how many users
+    * were on at once", the capacity question a daily-active count hides.
+    *
+    * The sweep is the [[maxDrawdown]] parallel prefix scan: endpoints
+    * sort ONCE by the total order (t, +1-before-−1, key, day), each
+    * partition reports its local prefix extremum, the driver combines
+    * |partitions| scalars — NO unpartitioned window, no data-sized
+    * driver state. All arithmetic is exact longs. Returns one row
+    * (n_intervals, peak_concurrency, peak_at_us). */
+  def peakConcurrency(
+      events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "user_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val day = expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
+    val iv = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("u"), day.as("d"))
+      .agg(min(expr(s"unix_micros($tsCol)")).as("s"),
+        max(expr(s"unix_micros($tsCol)")).as("e"))
+    val nIv = iv.count()
+    require(nIv > 0, "peak concurrency needs at least one interval")
+    val ends = iv.select(col("s").as("t"), lit(1).as("delta"), col("u"),
+        col("d"))
+      .unionByName(iv.select(col("e").as("t"), lit(-1).as("delta"),
+        col("u"), col("d")))
+      .as[(Long, Int, Long, Long)].rdd
+      .sortBy(r => (r._1, -r._2, r._3, r._4))
+    ends.cache()
+    try {
+      val stats = ends.mapPartitionsWithIndex { (i, it) =>
+        var sum = 0L
+        var maxPfx = Long.MinValue
+        var maxT = 0L
+        it.foreach { case (t, d, _, _) =>
+          sum += d
+          if (sum > maxPfx) { maxPfx = sum; maxT = t }
+        }
+        Iterator((i, sum, maxPfx, maxT))
+      }.collect().sortBy(_._1)
+      var off = 0L
+      var peak = Long.MinValue
+      var peakT = 0L
+      stats.foreach { case (_, sum, maxPfx, maxT) =>
+        if (maxPfx != Long.MinValue && off + maxPfx > peak) {
+          peak = off + maxPfx; peakT = maxT
+        }
+        off += sum
+      }
+      Seq((nIv, peak, peakT))
+        .toDF("n_intervals", "peak_concurrency", "peak_at_us")
+    } finally ends.unpersist(blocking = false)
+  }
+
   /** Ljung–Box portmanteau test (Ljung & Box 1978, public) on the daily
     * count series: Q_L = n(n+2)·Σ_{k≤L} r_k²/(n−k) ~ χ²(L) under white
     * noise — "is there ANY autocorrelation structure up to lag L", the

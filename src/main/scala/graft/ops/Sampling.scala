@@ -542,4 +542,38 @@ object Sampling {
     Seq((n, r6(sw), r6(ess), r6(ess / n)))
       .toDF("n", "sum_w", "ess", "ess_frac")
   }
+
+  /** Deterministic class-balanced downsample: every label keeps exactly
+    * min-class-count rows, selected by identity-hash order — the
+    * majority-class fix before training any classifier on skewed labels
+    * (a 99:1 corpus teaches the model to say "no"). Hash selection
+    * makes the subset reproducible, seed-switchable, and oracle-able —
+    * the [[hashFraction]] family's contract.
+    *
+    * One groupBy counts classes (loud when any class is empty-ish
+    * input); the cut is a rank over a window PARTITIONED by label and
+    * ordered by (full 32-hex identity hash, id) — collision-free, so
+    * the boundary row is deterministic. Scale: the window partitions on
+    * the label key; skew rides the label distribution itself (the
+    * majority class IS the hot partition — pre-salt the rank via
+    * a composite label when one label dominates a 10¹¹-row corpus).
+    * Returns the selected (id, label) rows ordered by (label, id). */
+  def classBalance(
+      df: DataFrame, idCol: String, labelCol: String,
+      seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("label"))
+    val counts = base.groupBy("label").agg(count(lit(1)).as("n"))
+    val minRow = counts.agg(min(col("n")), count(lit(1))).head()
+    require(!minRow.isNullAt(0) && minRow.getLong(1) >= 2,
+      s"class balance needs >= 2 non-empty classes")
+    val m = minRow.getLong(0)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(hashHex(seed, Seq(col("id"))), col("id"))
+    base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select(col("id"), col("label"))
+      .orderBy("label", "id")
+  }
 }

@@ -2610,6 +2610,81 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Weekly user turnover ([[graft.ops.EventAnalytics.userTurnover]]) —
+    * the oracle replays the distinct (user, week) set and the shifted
+    * full-outer accounting; the in-gate assert pins the identity
+    * active = new + retained. */
+  val evTurnover: Q = Q(
+    "ev_user_turnover",
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id AS u,
+          (epoch_us(ts) // 86400000000) // 7 AS w
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      mx AS (SELECT MAX(w) AS mw FROM uw),
+      j AS (
+        SELECT COALESCE(c.w, p.w + 1) AS w,
+          (c.u IS NOT NULL) AS cur, (p.u IS NOT NULL) AS prv
+        FROM uw c FULL OUTER JOIN uw p
+          ON c.u = p.u AND c.w = p.w + 1)
+      SELECT CAST(w AS BIGINT) AS period,
+        CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        CAST(SUM(CASE WHEN cur AND NOT prv THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(SUM(CASE WHEN cur AND prv THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(SUM(CASE WHEN NOT cur AND prv THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_churned
+      FROM j, mx WHERE w <= mw
+      GROUP BY w HAVING SUM(CASE WHEN cur THEN 1 ELSE 0 END) > 0
+      ORDER BY period"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.userTurnover(
+        Tables.load(s, dir, "events"))
+      val rows = out.collect()
+      require(rows.nonEmpty && rows.forall(r =>
+        r.getAs[Long]("n_active") ==
+          r.getAs[Long]("n_new") + r.getAs[Long]("n_retained")),
+        "active = new + retained must hold every period")
+      out
+    })
+
+  /** Peak concurrency ([[graft.ops.EventAnalytics.peakConcurrency]])
+    * over per-(user, day) activity spans — the oracle replays the
+    * sweep with an ordered window over the endpoint list (the Spark
+    * side uses the partition-prefix scan instead of a global window). */
+  val evPeakConcurrency: Q = Q(
+    "ev_peak_concurrency",
+    Some("""
+      WITH iv AS (
+        SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+          MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY u, d),
+      ends AS (
+        SELECT s AS t, 1 AS delta, u, d FROM iv
+        UNION ALL SELECT e, -1, u, d FROM iv),
+      sw AS (
+        SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC, u, d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM ends),
+      mx AS (SELECT MAX(cum) AS peak FROM sw),
+      frst AS (
+        SELECT t FROM sw, mx WHERE cum = peak ORDER BY t LIMIT 1)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS n_intervals,
+        CAST(mx.peak AS BIGINT) AS peak_concurrency,
+        CAST(frst.t AS BIGINT) AS peak_at_us
+      FROM mx, frst"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.peakConcurrency(
+        Tables.load(s, dir, "events"))
+      val r = out.head()
+      require(r.getAs[Long]("peak_concurrency") >= 1L &&
+        r.getAs[Long]("peak_concurrency") <= r.getAs[Long]("n_intervals"),
+        s"peak bounded by interval count: $r")
+      out
+    })
+
   /** Ljung–Box portmanteau ([[graft.ops.EventAnalytics.ljungBox]]) over
     * the daily counts at lags 1..7 — the oracle replays the ev_acf_daily
     * recipe and the round-9 decimal cumulative Q sweep. χ² p is
@@ -2838,6 +2913,7 @@ object EventQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(evLjungBox, evUnitRoot, evSampleEntropy, evHurst,
+      evTurnover, evPeakConcurrency,
       evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,

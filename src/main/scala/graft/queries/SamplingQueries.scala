@@ -803,8 +803,36 @@ object SamplingQueries extends QueryModule {
       })
   }
 
+  /** Class-balanced downsample ([[graft.ops.Sampling.classBalance]]) of
+    * the labeled embedding corpus — the oracle replays the min-class
+    * count and the per-label (md5 identity hash, id) rank cut. */
+  val smpClassBalance: Q = Q(
+    "smp_class_balance",
+    Some("""
+      WITH b AS (
+        SELECT vec_id AS id, label FROM embeddings
+        WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      m AS (SELECT CAST(MIN(n) AS BIGINT) AS m
+        FROM (SELECT COUNT(*) AS n FROM b GROUP BY label)),
+      r AS (
+        SELECT id, label, row_number() OVER (PARTITION BY label
+          ORDER BY md5(concat_ws('|', 'graft-bal', CAST(id AS VARCHAR))),
+            id) AS rn
+        FROM b)
+      SELECT id, label FROM r, m WHERE rn <= m.m ORDER BY label, id"""),
+    (s, dir) => {
+      val out = graft.ops.Sampling.classBalance(
+        Tables.load(s, dir, "embeddings"), "vec_id", "label", "graft-bal")
+      val counts = out.groupBy("label").count()
+        .select(col("count")).distinct().collect()
+      require(counts.length == 1,
+        s"every class must end at the same size, got ${counts.length}")
+      out
+    })
+
   override def queries: Seq[Q] =
-    Seq(smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
+    Seq(smpClassBalance,
+      smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
       smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave,

@@ -3542,6 +3542,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("user turnover and peak concurrency: hand weeks and sweep ties") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    def ev(u: Long, day: Long, sec: Long) =
+      (u, new Timestamp((day * 86400L + sec) * 1000L))
+    // u1 in weeks 0+1, u2 week 0 only, u3 week 1 only
+    val t = Seq(ev(1, 0, 10), ev(1, 7, 10), ev(2, 0, 20), ev(3, 8, 30))
+      .toDF("user_id", "ts")
+    val rows = EventAnalytics.userTurnover(t).orderBy("period").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_active") == 2 &&
+      rows(0).getAs[Long]("n_new") == 2 &&
+      rows(0).getAs[Long]("n_churned") == 0)
+    assert(rows(1).getAs[Long]("n_active") == 2 &&
+      rows(1).getAs[Long]("n_new") == 1 &&
+      rows(1).getAs[Long]("n_retained") == 1 &&
+      rows(1).getAs[Long]("n_churned") == 1, rows.mkString(";"))
+    // sweep with a closed-end tie: u4 starts exactly when u1 ends ->
+    // +1 sorts before -1, peak 3 at that instant
+    val c = Seq(ev(1, 0, 100), ev(1, 0, 500), ev(2, 0, 300),
+      ev(2, 0, 800), ev(4, 0, 500), ev(4, 0, 550)).toDF("user_id", "ts")
+    val p = EventAnalytics.peakConcurrency(c).head()
+    assert(p.getAs[Long]("n_intervals") == 3L &&
+      p.getAs[Long]("peak_concurrency") == 3L &&
+      p.getAs[Long]("peak_at_us") == 500L * 1000000L, s"$p")
+  }
+
+  test("class balance: equal class sizes, deterministic, loud edges") {
+    import graft.ops.Sampling
+    val df = (Seq.fill(5)(0) ++ Seq.fill(2)(1) ++ Seq.fill(3)(2))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lab")
+    val out = Sampling.classBalance(df, "id", "lab", "s1")
+    val sizes = out.groupBy("label").count().collect()
+      .map(_.getAs[Long]("count")).toSet
+    assert(sizes == Set(2L), sizes.toString) // min class has 2 rows
+    // deterministic: same seed, same subset
+    val again = Sampling.classBalance(df, "id", "lab", "s1")
+    assert(out.collect().toSeq == again.collect().toSeq)
+    intercept[IllegalArgumentException] { // one class -> loud
+      Sampling.classBalance(df.filter(col("lab") === 0), "id", "lab", "s")
+    }
+  }
+
   test("mix fit: exact recipe zero, drifted mix fires, stray key loud") {
     import graft.ops.Sampling
     val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
