@@ -117,6 +117,61 @@ object EmbeddingDrift {
       .toDF("n", "dim", "mean_norm2", "mean_sq_norm", "anisotropy")
   }
 
+  /** k-NN label purity: for every labeled vector, the fraction of its k
+    * nearest neighbors (round-9 squared L2, deterministic (d², id)
+    * order) sharing its label — the embedding-space label-noise screen
+    * (Northcutt-style confident learning seen GEOMETRICALLY): a point
+    * whose neighborhood votes against its label is either mislabeled or
+    * sits on a class boundary, and mean purity is the one-number
+    * "are these labels learnable from this encoder" check.
+    *
+    * Brute-force n² neighbor ranking, loudly capped at `maxVectors`
+    * (the [[intrinsicDimension]] contract — sample or go through an IVF
+    * candidate graph past it). Per-point purity is an exact k-rational;
+    * the mean folds round-9 as decimals. Returns one row (n_vectors, k,
+    * mean_purity, n_low_purity) with low = purity < 0.5, round-6. */
+  def knnLabelPurity(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int = 5, maxVectors: Long = 5000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"),
+        col(labelCol).as("lab"))
+    val n = v.count()
+    require(n > k, s"purity@$k needs > $k vectors, got $n")
+    require(n <= maxVectors,
+      s"$n vectors exceed the brute-force cap $maxVectors - " +
+        "hash-sample or rank through an IVF candidate graph")
+    val a = v.select(col("id").as("i"), col("e").as("ea"),
+      col("lab").as("la"))
+    val b = v.select(col("id").as("j"), col("e").as("eb"),
+      col("lab").as("lb"))
+    val d2 = round(aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 9)
+    val w = Window.partitionBy(col("i")).orderBy(col("d2"), col("j"))
+    val purity = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), col("j"), d2.as("d2"),
+        (col("la") === col("lb")).as("same"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("i").agg(
+        (sum(when(col("same"), 1L).otherwise(0L)).cast("double") / k)
+          .as("p"))
+    val s = purity.agg(count(lit(1)).as("m"),
+      sum(round(col("p"), 9).cast("decimal(38,12)")).cast("double")
+        .as("sp"),
+      sum(when(col("p") < 0.5, 1L).otherwise(0L)).as("low")).head()
+    val m = s.getAs[Long]("m")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((m, k.toLong, r6(s.getAs[Double]("sp") / m), s.getAs[Long]("low")))
+      .toDF("n_vectors", "k", "mean_purity", "n_low_purity")
+  }
+
   /** TwoNN intrinsic dimension (Facco, d'Errico, Rodriguez & Laio 2017,
     * public): d̂ = n / Σᵢ ln(r₂ᵢ/r₁ᵢ) from only each point's first and
     * second neighbor distances — "how many dimensions does this

@@ -122,6 +122,41 @@ object TextOps {
         col("burstiness"))
   }
 
+  /** Per-document character-bigram Shannon entropy (in nats) — the
+    * gibberish/repetition screen below the token level: keyboard mash
+    * and template floods both collapse bigram entropy long before any
+    * word-level statistic moves, and it needs no language model. H =
+    * ln m − (Σ c·ln c)/m from exact bigram counts, so a low-H doc is
+    * provably repetitive, not "model said so". Composes with
+    * [[vocabConcentration]] (corpus level) as the per-doc filter
+    * column.
+    *
+    * Bigrams extract in-plan via transform/substring (codegen, no UDF);
+    * one (doc, gram) groupBy rides a single shuffle, the per-doc
+    * Σc·ln c folds round-9 as decimals. Docs with < 2 characters have
+    * no bigrams and are excluded (document the floor). Returns (id,
+    * n_bigrams, n_distinct, entropy) ordered by id, entropy round-6. */
+  def charBigramEntropy(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= 2)
+      .select(col(idCol).as("id"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - 1), " +
+            s"i -> substring($textCol, i, 2))")).as("g"))
+    grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")),
+          9).cast("decimal(38,12)")).cast("double").as("__sclc"))
+      .select(col("id"), col("n_bigrams"), col("n_distinct"),
+        round(log(col("n_bigrams").cast("double")) -
+          col("__sclc") / col("n_bigrams"), 6).as("entropy"))
+      .orderBy("id")
+  }
+
   def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))

@@ -2610,6 +2610,41 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Wald SPRT ([[graft.stats.Experiment.sprt]]) on the finished-order
+    * rate (~0.33 in the synthetic data), H₀ 0.25 vs H₁ 0.33 — the oracle replays the count pass, the
+    * ln-parity LLR (operand-for-operand, since 1−0.4 and the literal
+    * 0.6 are DIFFERENT doubles), the Wald bounds, and the decision
+    * CASE on the rounded values. */
+  val evSprt: Q = Q(
+    "ev_sprt",
+    Some("""
+      WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS a
+        FROM orders WHERE o_orderstatus IS NOT NULL),
+      f AS (
+        SELECT n, a,
+          round(a * ln(0.33 / 0.25)
+            + (n - a) * ln((1.0 - 0.33) / (1.0 - 0.25)), 6) + 0.0 AS llr,
+          round(ln(0.2 / (1.0 - 0.05)), 6) + 0.0 AS lo,
+          round(ln((1.0 - 0.2) / 0.05), 6) + 0.0 AS up
+        FROM m)
+      SELECT n, a AS n_pos, llr, lo AS lower_bound, up AS upper_bound,
+        CASE WHEN llr >= up THEN 'accept_h1'
+             WHEN llr <= lo THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+      FROM f"""),
+    (s, dir) => {
+      val out = graft.stats.Experiment.sprt(
+        Tables.load(s, dir, "orders").filter(col("o_orderstatus").isNotNull),
+        col("o_orderstatus") === "F", p0 = 0.25, p1 = 0.33)
+      val r = out.head()
+      require(r.getAs[String]("decision") == "accept_h1",
+        s"the ~0.33 finished rate at n~15k must decide for H1: $r")
+      out
+    })
+
   /** Weekly user turnover ([[graft.ops.EventAnalytics.userTurnover]]) —
     * the oracle replays the distinct (user, week) set and the shifted
     * full-outer accounting; the in-gate assert pins the identity
@@ -2913,7 +2948,7 @@ object EventQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(evLjungBox, evUnitRoot, evSampleEntropy, evHurst,
-      evTurnover, evPeakConcurrency,
+      evTurnover, evPeakConcurrency, evSprt,
       evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,

@@ -305,7 +305,63 @@ object QualityQueries extends QueryModule {
       out
     })
 
+  /** Referential-integrity orphan audit
+    * ([[graft.stats.DataQuality.orphanKeys]]) over two relations: the
+    * intact lineitem→orders FK (zero orphans) and a DELIBERATELY
+    * broken orders→even-customers leg that plants ~half the rows as
+    * orphans — the oracle replays both anti-join counts and rates. */
+  val dqOrphanKeys: Q = Q(
+    "dq_orphan_keys",
+    Some("""
+      WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+          CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null
+        FROM lineitem),
+      ao AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+      b AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+          CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null
+        FROM orders),
+      bo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan FROM orders
+        WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+          (SELECT c_custkey FROM customer
+           WHERE c_custkey IS NOT NULL AND c_custkey % 2 = 0))
+      SELECT 'lineitem.orders' AS relation, a.n_child,
+        a.n_null AS n_null_key, ao.n_orphan,
+        round(CAST(ao.n_orphan AS DOUBLE) / (a.n_child - a.n_null), 6)
+          + 0.0 AS orphan_rate
+      FROM a, ao
+      UNION ALL
+      SELECT 'orders.customer_even', b.n_child, b.n_null, bo.n_orphan,
+        round(CAST(bo.n_orphan AS DOUBLE) / (b.n_child - b.n_null), 6)
+          + 0.0
+      FROM b, bo
+      ORDER BY relation"""),
+    (s, dir) => {
+      val intact = DataQuality.orphanKeys(
+        Tables.load(s, dir, "lineitem"), "l_orderkey",
+        Tables.load(s, dir, "orders"), "o_orderkey", "lineitem.orders")
+      val broken = DataQuality.orphanKeys(
+        Tables.load(s, dir, "orders"), "o_custkey",
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 2 === 0),
+        "c_custkey", "orders.customer_even")
+      val out = intact.unionByName(broken).orderBy("relation")
+      val rows = out.collect()
+      require(rows(0).getAs[Long]("n_orphan") == 0L,
+        s"the intact FK must have zero orphans: ${rows(0)}")
+      require(rows(1).getAs[Long]("n_orphan") > 0L,
+        s"the planted break must surface orphans: ${rows(1)}")
+      out
+    })
+
   override def queries: Seq[Q] =
     Seq(t3Quality, t5Summary, dqBenfordDigits, dqBenfordSummary,
-      dqKeyCandidates, dqFdDiscovery, dqExpectations)
+      dqKeyCandidates, dqFdDiscovery, dqExpectations, dqOrphanKeys)
 }

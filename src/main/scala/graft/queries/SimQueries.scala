@@ -1302,6 +1302,52 @@ object SimQueries extends QueryModule {
     * embedding table — the one-number health check before trusting any
     * cosine threshold. The oracle replays the per-dim round-12 means,
     * the μ² fold, and the second-moment fold. */
+  /** k-NN label purity ([[graft.ops.EmbeddingDrift.knnLabelPurity]]) of
+    * the labeled embedding corpus at k=5 — the oracle replays the
+    * round-9 distances, the per-point 5-NN rank, the exact purity
+    * rationals, and the round-9 mean fold. */
+  val embKnnPurity: Q = Q(
+    "emb_knn_purity",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND label IS NOT NULL),
+      p AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+          round(list_sum(list_transform(generate_series(1, len(a.e)),
+            k -> (a.e[k] - b.e[k]) * (a.e[k] - b.e[k]))), 9) AS d2,
+          (a.label = b.label) AS same
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      r AS (
+        SELECT i, same,
+          row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        FROM p),
+      pu AS (
+        SELECT i,
+          CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS p
+        FROM r WHERE rn <= 5 GROUP BY i),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(CAST(round(p, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+          CAST(SUM(CASE WHEN p < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS low
+        FROM pu)
+      SELECT m AS n_vectors, CAST(5 AS BIGINT) AS k,
+        round(sp / m, 6) + 0.0 AS mean_purity, low AS n_low_purity
+      FROM s"""),
+    (s, dir) => {
+      val out = graft.ops.EmbeddingDrift.knnLabelPurity(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      val r = out.head()
+      val p = r.getAs[Double]("mean_purity")
+      require(p >= 0.0 && p <= 1.0 &&
+        r.getAs[Long]("n_low_purity") <= r.getAs[Long]("n_vectors"),
+        s"purity is a bounded fraction: $r")
+      out
+    })
+
   /** TwoNN intrinsic dimension
     * ([[graft.ops.EmbeddingDrift.intrinsicDimension]]) of the embedding
     * corpus — the oracle replays the round-9 squared distances, the
@@ -1381,7 +1427,7 @@ object SimQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] =
-    Seq(embIntrinsicDim, embIsotropy,
+    Seq(embIntrinsicDim, embKnnPurity, embIsotropy,
       simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
       mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,

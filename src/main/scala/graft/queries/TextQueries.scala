@@ -2827,6 +2827,45 @@ object TextQueries extends QueryModule {
     * exact integer frequency-of-frequencies, so the oracle replays them
     * bit-for-bit. In-gate: Chao1 ≥ observed vocabulary (the estimator
     * only ever adds undiscovered types). */
+  /** Per-doc character-bigram entropy
+    * ([[graft.ops.TextOps.charBigramEntropy]]) — the oracle replays the
+    * in-plan substring bigram extraction, the exact (doc, gram) counts,
+    * and the round-9 Σc·ln c fold. */
+  val txtCharEntropy: Q = Q(
+    "txt_char_entropy",
+    Some("""
+      WITH g AS (
+        SELECT doc_id AS id,
+          unnest(list_transform(generate_series(1, length(text) - 1),
+            i -> substr(text, i, 2))) AS g
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND length(text) >= 2),
+      c AS (
+        SELECT id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY id, g),
+      e AS (
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)),
+            9) AS DECIMAL(38,12))) AS DOUBLE) AS sclc
+        FROM c GROUP BY id)
+      SELECT id, n_bigrams, n_distinct,
+        round(ln(CAST(n_bigrams AS DOUBLE)) - sclc / n_bigrams, 6) + 0.0
+          AS entropy
+      FROM e ORDER BY id"""),
+    (s, dir) => {
+      val out = graft.ops.TextOps.charBigramEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val rows = out.collect()
+      require(rows.nonEmpty && rows.forall { r =>
+        val h = r.getAs[Double]("entropy")
+        h >= -1e-9 && h <= math.log(r.getAs[Long]("n_distinct")
+          .toDouble) + 1e-9
+      }, "entropy bounded by 0 and ln(distinct bigrams)")
+      out
+    })
+
   /** Vocabulary concentration ([[graft.ops.TextOps.vocabConcentration]]):
     * Yule's K, Simpson's D, and Herdan's C from the same exact
     * wordcount table as txt_chao1_richness — the oracle replays the
@@ -2928,7 +2967,7 @@ object TextQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    txtYulesK, txtBurstiness,
+    txtYulesK, txtBurstiness, txtCharEntropy,
     txtChao1,
     ddCoverageEstimate,
     txtTextrank,

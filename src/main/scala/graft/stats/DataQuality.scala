@@ -216,4 +216,34 @@ object DataQuality {
 
     Report(missing, dupIds, dupRows, outliers, mixed)
   }
+
+  /** Referential-integrity orphan audit: child rows whose foreign key
+    * has no match in the parent — THE join-health number to check
+    * before any star-schema rollup (an orphan silently vanishes from
+    * every inner join and null-pads every left join). Null child keys
+    * are reported separately (they are missing, not orphaned).
+    *
+    * One left-anti join keyed on the FK (the parent side deduplicates
+    * to its key set first — the anti join then shuffles ids only).
+    * Returns one row (relation, n_child, n_null_key, n_orphan,
+    * orphan_rate round-6); rate over the non-null child keys. */
+  def orphanKeys(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, relation: String): DataFrame = {
+    val keyed = child.select(col(childKey).as("__k"))
+    val nChild = keyed.count()
+    val nNull = keyed.filter(col("__k").isNull).count()
+    val pk = parent.select(col(parentKey).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val nOrphan = keyed.filter(col("__k").isNotNull)
+      .join(pk, Seq("__k"), "left_anti").count()
+    val nonNull = nChild - nNull
+    val rate =
+      if (nonNull == 0) 0.0
+      else BigDecimal(nOrphan.toDouble / nonNull)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val spark = child.sparkSession
+    import spark.implicits._
+    Seq((relation, nChild, nNull, nOrphan, rate))
+      .toDF("relation", "n_child", "n_null_key", "n_orphan", "orphan_rate")
+  }
 }

@@ -461,4 +461,45 @@ object Experiment {
     Seq((nt, nc, r9(pt), r9(pc), h6, magnitude))
       .toDF("n_t", "n_c", "rate_t", "rate_c", "h", "magnitude")
   }
+
+  /** Wald's sequential probability ratio test (Wald 1945, public) on a
+    * Bernoulli rate: H₀ p = p₀ vs H₁ p = p₁, LLR = a·ln(p₁/p₀) +
+    * (n−a)·ln((1−p₁)/(1−p₀)), decided against the Wald boundaries
+    * ln((1−β)/α) and ln(β/(1−α)). THE always-valid monitor for a
+    * rate-shaped rollout metric: unlike the fixed-horizon z test
+    * (ev_proportion_ztest), peeking at every batch is the DESIGN, not
+    * a p-hacking bug.
+    *
+    * ONE aggregation (n, a); everything after is fixed double
+    * arithmetic over exact integers with ln parity — oracle-replayable
+    * including the decision CASE on the rounded LLR. Returns one row
+    * (n, n_pos, llr, lower_bound, upper_bound, decision ∈ {accept_h0,
+    * continue, accept_h1}); bounds and LLR round-6. */
+  def sprt(df: DataFrame, flagCol: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct rates in (0,1): p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"error rates in (0,1): alpha=$alpha beta=$beta")
+    val r = df.filter(flagCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(flagCol, 1L).otherwise(0L)).as("a")).head()
+    val n = r.getAs[Long]("n"); val a = r.getAs[Long]("a")
+    require(n > 0, "SPRT needs at least one observation")
+    val llr = a * math.log(p1 / p0) +
+      (n - a) * math.log((1.0 - p1) / (1.0 - p0))
+    val up = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val l6 = r6(llr)
+    val decision =
+      if (l6 >= r6(up)) "accept_h1"
+      else if (l6 <= r6(lo)) "accept_h0"
+      else "continue"
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, a, l6, r6(lo), r6(up), decision))
+      .toDF("n", "n_pos", "llr", "lower_bound", "upper_bound", "decision")
+  }
 }

@@ -3585,6 +3585,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sprt, orphan keys, knn purity, char entropy: hand cases") {
+    import graft.ops.{EmbeddingDrift, TextOps}
+    import graft.stats.{DataQuality, Experiment}
+    // SPRT: 8/10 at H0=0.5 vs H1=0.9 -> LLR = 8 ln1.8 + 2 ln0.2, continue;
+    // 20/20 -> decide H1; 0/20 -> decide H0
+    val mixed = (Seq.fill(8)(true) ++ Seq.fill(2)(false)).toDF("f")
+    val c = Experiment.sprt(mixed, col("f"), 0.5, 0.9).head()
+    val llrWant = BigDecimal(8 * math.log(0.9 / 0.5) +
+      2 * math.log((1.0 - 0.9) / (1.0 - 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(c.getAs[Double]("llr") == llrWant &&
+      c.getAs[String]("decision") == "continue", s"$c")
+    assert(Experiment.sprt(Seq.fill(20)(Tuple1(true)).toDF("f"),
+      col("f"), 0.5, 0.9).head().getAs[String]("decision") == "accept_h1")
+    assert(Experiment.sprt(Seq.fill(20)(Tuple1(false)).toDF("f"),
+      col("f"), 0.5, 0.9).head().getAs[String]("decision") == "accept_h0")
+    intercept[IllegalArgumentException] {
+      Experiment.sprt(mixed, col("f"), 0.5, 0.5)
+    }
+    // orphan keys: [1,2,3,null] vs parent [1,2]: 1 orphan over 3 non-null
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val o = DataQuality.orphanKeys(child, "k", parent, "pk", "rel").head()
+    assert(o.getAs[Long]("n_child") == 4L &&
+      o.getAs[Long]("n_null_key") == 1L &&
+      o.getAs[Long]("n_orphan") == 1L &&
+      o.getAs[Double]("orphan_rate") == 0.333333, s"$o")
+    // knn purity: two clean clusters -> 1.0; one flipped label ->
+    // mean (0 + 0.5 + 0.5 + 3)/6, exactly one low-purity point
+    def cloud(flip: Boolean) = Seq(
+      (1L, Array(0.0, 0.0), if (flip) "b" else "a"),
+      (2L, Array(0.0, 1.0), "a"), (3L, Array(1.0, 0.0), "a"),
+      (4L, Array(10.0, 10.0), "b"), (5L, Array(10.0, 11.0), "b"),
+      (6L, Array(11.0, 10.0), "b")).toDF("id", "e", "lab")
+    val clean = EmbeddingDrift.knnLabelPurity(cloud(false), "id", "e",
+      "lab", k = 2).head()
+    assert(clean.getAs[Double]("mean_purity") == 1.0 &&
+      clean.getAs[Long]("n_low_purity") == 0L)
+    val noisy = EmbeddingDrift.knnLabelPurity(cloud(true), "id", "e",
+      "lab", k = 2).head()
+    assert(noisy.getAs[Double]("mean_purity") == 0.666667 &&
+      noisy.getAs[Long]("n_low_purity") == 1L, s"$noisy")
+    // char entropy: constant run -> 0; "abab" -> ln3 - (2 ln2)/3;
+    // 1-char docs excluded
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "x")).toDF("id", "t")
+    val e = TextOps.charBigramEntropy(docs, "id", "t").collect()
+    assert(e.length == 2 && e(0).getAs[Double]("entropy") == 0.0)
+    val hWant = BigDecimal(math.log(3.0) -
+      BigDecimal(2 * math.log(2.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(e(1).getAs[Double]("entropy") == hWant, s"${e(1)} want $hWant")
+  }
+
   test("mix fit: exact recipe zero, drifted mix fires, stray key loud") {
     import graft.ops.Sampling
     val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
