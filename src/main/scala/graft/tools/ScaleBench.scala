@@ -728,6 +728,34 @@ object ScaleBench {
         emit("seg_rfm_scores", k, ev.count(), rMed, rS,
           s""","customers":$custs""")
       }
+
+      if (wanted("peak_concurrency")) {
+        // the sweep-line partition-prefix scan: K× users → K× (user,
+        // day) intervals → 2K× endpoints through ONE range-partitioned
+        // sort; driver traffic stays |partitions| scalars regardless of
+        // K. Witness: the peak itself scales ~K (all copies share the
+        // same calendar, so peaks stack).
+        var peak = 0L
+        val (pMed, pS) = timeMedian {
+          peak = graft.ops.EventAnalytics.peakConcurrency(ev)
+            .head().getAs[Long]("peak_concurrency")
+        }
+        emit("ev_peak_concurrency", k, ev.count(), pMed, pS,
+          s""","peak":$peak""")
+      }
+
+      if (wanted("turnover")) {
+        // distinct (user, week) + the week-shifted full-outer join:
+        // both sides shuffle on the scaled user key; the rollup output
+        // stays calendar-bounded. Witness: Σ active (scales ~K).
+        var active = 0L
+        val (tMed, tS) = timeMedian {
+          active = graft.ops.EventAnalytics.userTurnover(ev)
+            .agg(sum(col("n_active"))).head().getLong(0)
+        }
+        emit("ev_user_turnover", k, ev.count(), tMed, tS,
+          s""","sum_active":$active""")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
