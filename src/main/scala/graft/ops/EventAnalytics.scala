@@ -1413,6 +1413,40 @@ object EventAnalytics {
     chi.toSeq.toDF("lag", "acf", "q_stat", "p_value").orderBy("lag")
   }
 
+  /** Partial autocorrelations of the daily count series at lags 1–3
+    * (Durbin–Levinson unrolled; Box–Jenkins, public): the ACF says the
+    * series remembers, the PACF says HOW — an AR(p) process cuts off
+    * after lag p in the PACF, so this is the 3-line AR-order
+    * identification next to [[acfDaily]]'s decay view and
+    * [[ljungBox]]'s "any memory at all".
+    *
+    * Composes [[acfDaily]]'s round-6 autocorrelations; the three-step
+    * recursion (φ₁₁ = r₁; φ₂₂ = (r₂−φ₁₁r₁)/(1−r₁²); φ₃₃ with the
+    * stage-2 coefficients) is fixed scalar double arithmetic a SQL
+    * oracle replays as chained CTEs. Returns 3 rows (lag, acf, pacf),
+    * pacf round-6; loud when an innovation variance hits 0 (perfectly
+    * predictable series). */
+  def pacfDaily(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val acf = acfDaily(events, tsCol, maxLag = 3).orderBy("lag")
+      .select("lag", "acf").as[(Long, Double)].collect()
+    require(acf.length == 3, s"PACF(3) needs lags 1..3, got ${acf.length}")
+    val r1 = acf(0)._2; val r2 = acf(1)._2; val r3 = acf(2)._2
+    val phi11 = r1
+    val v1 = 1.0 - r1 * r1
+    require(v1 > 0.0, "lag-1 autocorrelation is +/-1 - series is AR(1)-exact")
+    val phi22 = (r2 - phi11 * r1) / v1
+    val phi21 = phi11 - phi22 * phi11
+    val v2 = v1 * (1.0 - phi22 * phi22)
+    require(v2 > 0.0, "lag-2 recursion degenerate - series is AR(2)-exact")
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) / v2
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((1L, r1, r6(phi11)), (2L, r2, r6(phi22)), (3L, r3, r6(phi33)))
+      .toDF("lag", "acf", "pacf")
+  }
+
   /** Dickey–Fuller unit-root screen (Dickey & Fuller 1979, public) on
     * the daily count series: regress Δx_t on x_{t−1} with intercept and
     * report the τ_μ statistic — "is this metric mean-reverting

@@ -704,6 +704,44 @@ object Graph {
     } finally und.unpersist(blocking = false)
   }
 
+  /** Average-neighbor-degree curve knn(k) (Pastor-Satorras, Vázquez &
+    * Vespignani 2001, public): for each degree class k, the mean over
+    * degree-k nodes of their neighbors' average degree — the FULL curve
+    * behind [[degreeAssortativity]]'s single correlation (a flat curve
+    * = no degree mixing, decreasing = hub-to-leaf crawl structure,
+    * and a bump isolates WHICH degree class mixes unusually — the link-
+    * farm signature).
+    *
+    * Degrees ride one groupBy over the undirected edge set; neighbor
+    * sums are one join of the both-orientations pair table against the
+    * degree table (exact integers); per-node means are exact rationals
+    * rounded to 9, folded as decimals per degree class. Returns
+    * (degree, n_nodes, avg_neighbor_degree) ordered by degree,
+    * round-6. */
+  def avgNeighborDegree(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol).persist()
+    try {
+      require(und.limit(1).count() > 0, "needs at least one edge")
+      val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val pairs = und
+        .select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      val perNode = pairs
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .groupBy("a").agg(sum(col("db")).as("nsum"), count(lit(1)).as("nd"))
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .select(col("da").as("degree"),
+          round(col("nsum").cast("double") / col("nd"), 9).as("knn"))
+      perNode.groupBy("degree").agg(
+          count(lit(1)).as("n_nodes"),
+          round(sum(col("knn").cast("decimal(38,12)")).cast("double")
+            / count(lit(1)), 6).as("avg_neighbor_degree"))
+        .orderBy("degree")
+    } finally und.unpersist(blocking = false)
+  }
+
   /** Newman–Girvan modularity (Newman & Girvan 2004, public) of a given
     * node partition over the undirected simple graph: Q = Σ_c (e_c/m −
     * (d_c/2m)²), where e_c counts intra-community edges, d_c sums

@@ -2780,6 +2780,67 @@ object EventQueries extends QueryModule {
       out.drop("p_value")
     })
 
+  /** PACF lags 1–3 ([[graft.ops.EventAnalytics.pacfDaily]]) — the
+    * oracle replays the acf recipe then the unrolled Durbin–Levinson
+    * scalar chain as CTEs. */
+  val evPacf: Q = Q(
+    "ev_pacf",
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx FROM d),
+      m AS (SELECT CAST(sx AS DOUBLE) / n AS mu FROM s),
+      den AS (
+        SELECT CAST(SUM(CAST(round((x - mu) * (x - mu), 6)
+          AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM d, m),
+      l AS (SELECT unnest(generate_series(1, 3)) AS lag),
+      p AS (
+        SELECT l.lag, a.x AS xa, b.x AS xb, m.mu
+        FROM l, d a, d b, m WHERE b.day = a.day + l.lag),
+      num AS (
+        SELECT lag,
+          CAST(SUM(CAST(round((xa - mu) * (xb - mu), 6)
+            AS DECIMAL(38,12))) AS DOUBLE) AS num
+        FROM p GROUP BY lag),
+      acf AS (
+        SELECT CAST(num.lag AS BIGINT) AS lag,
+          round(num.num / den.den, 6) AS acf
+        FROM num, den),
+      rr AS (SELECT
+          MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+          MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+          MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+        FROM acf),
+      p1 AS (SELECT r1, r2, r3, r1 AS phi11, 1.0 - r1 * r1 AS v1
+        FROM rr),
+      p2 AS (SELECT r1, r2, r3, phi11, v1,
+          (r2 - phi11 * r1) / v1 AS phi22 FROM p1),
+      p3 AS (SELECT r1, r2, r3, phi11, v1, phi22,
+          phi11 - phi22 * phi11 AS phi21,
+          v1 * (1.0 - phi22 * phi22) AS v2 FROM p2),
+      p4 AS (SELECT r1, r2, r3, phi11, phi22,
+          (r3 - phi21 * r2 - phi22 * r1) / v2 AS phi33 FROM p3)
+      SELECT CAST(1 AS BIGINT) AS lag, r1 AS acf,
+        round(phi11, 6) + 0.0 AS pacf FROM p4
+      UNION ALL SELECT CAST(2 AS BIGINT), r2, round(phi22, 6) + 0.0
+        FROM p4
+      UNION ALL SELECT CAST(3 AS BIGINT), r3, round(phi33, 6) + 0.0
+        FROM p4
+      ORDER BY lag"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.pacfDaily(
+        Tables.load(s, dir, "events"), "ts")
+      val rows = out.orderBy("lag").collect()
+      require(rows.length == 3 &&
+        rows(0).getAs[Double]("pacf") == rows(0).getAs[Double]("acf"),
+        "PACF at lag 1 IS the lag-1 autocorrelation")
+      out
+    })
+
   /** Dickey–Fuller unit-root screen
     * ([[graft.ops.EventAnalytics.dickeyFuller]]) on the daily counts —
     * the oracle replays the consecutive-day pair moments and the τ_μ
@@ -2948,7 +3009,7 @@ object EventQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(evLjungBox, evUnitRoot, evSampleEntropy, evHurst,
-      evTurnover, evPeakConcurrency, evSprt,
+      evTurnover, evPeakConcurrency, evSprt, evPacf,
       evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,

@@ -693,6 +693,40 @@ object GraphQueries extends QueryModule {
       out
     })
 
+  /** Average-neighbor-degree curve ([[graft.ops.Graph.avgNeighborDegree]])
+    * — the oracle replays the degree table, the both-orientations
+    * neighbor sums, and the per-degree-class decimal folds. */
+  val grKnnDegree: Q = Q(
+    "gr_knn_degree",
+    Some(s"""
+      WITH edges AS ($edgesSql),
+      und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+          GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und) GROUP BY node),
+      pairs AS (SELECT u AS a, v AS b FROM und
+                UNION ALL SELECT v AS a, u AS b FROM und),
+      pn AS (
+        SELECT pairs.a,
+          round(CAST(SUM(d.deg) AS DOUBLE) / COUNT(*), 9) AS knn
+        FROM pairs JOIN deg d ON pairs.b = d.node GROUP BY pairs.a),
+      j AS (SELECT da.deg AS degree, pn.knn
+        FROM pn JOIN deg da ON pn.a = da.node)
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        round(CAST(SUM(CAST(knn AS DECIMAL(38,12))) AS DOUBLE)
+          / COUNT(*), 6) + 0.0 AS avg_neighbor_degree
+      FROM j GROUP BY degree ORDER BY degree"""),
+    (s, dir) => {
+      val out = Graph.avgNeighborDegree(edgesDf(s, dir))
+      val rows = out.collect()
+      require(rows.nonEmpty &&
+        rows.forall(_.getAs[Double]("avg_neighbor_degree") >= 1.0),
+        "every neighbor has degree >= 1")
+      out
+    })
+
   /** Newman–Girvan modularity ([[graft.ops.Graph.modularity]]) of the
     * deterministic doc_id%10 partition over the link graph — the gate
     * pins the estimator's arithmetic on a trivially-replayable
@@ -742,5 +776,5 @@ object GraphQueries extends QueryModule {
     Seq(grDegrees, grPagerank, grPagerankWeighted, grTrustrank,
       grComponents, grDomainTrust, grHits, grLabelProp, grAnchorTerms,
       grTriangles, grClustering, grLinkPrediction, grKcore, grBfs,
-      grReciprocity, grAssortativity, grModularity)
+      grReciprocity, grAssortativity, grModularity, grKnnDegree)
 }

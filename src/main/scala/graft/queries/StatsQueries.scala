@@ -3332,10 +3332,82 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Levene's mean-centered variance test ([[graft.stats.Anova.levene]]
+    * is the API; the gate inlines the deterministic t37 recipe with
+    * round-6 decimal-fold mean centers) — completing the
+    * Bartlett / Brown–Forsythe / Levene variance-homogeneity family. */
+  val t69Levene: Q = Q(
+    "t69_levene",
+    Some("""
+      WITH mu AS (
+        SELECT c_mktsegment AS grp,
+          round(CAST(SUM(CAST(round(CAST(c_acctbal AS DOUBLE), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mu
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        GROUP BY 1),
+      z AS (
+        SELECT m.grp, abs(CAST(c_acctbal AS DOUBLE) - mu) AS z
+        FROM customer c JOIN mu m ON c.c_mktsegment = m.grp
+        WHERE c.c_acctbal IS NOT NULL),
+      g AS (
+        SELECT grp, count(*) AS n,
+          CAST(SUM(CAST(round(z, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(round(z * z, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS s2
+        FROM z GROUP BY grp),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS k,
+          sum(s1) / sum(n) AS gm FROM g),
+      ss AS (
+        SELECT
+          (SELECT sum(n * (s1 / n - gm) * (s1 / n - gm)) FROM g, tot)
+            AS ssb,
+          (SELECT sum(s2 - s1 * s1 / n) FROM g) AS ssw,
+          (SELECT k - 1 FROM tot) AS dfb,
+          (SELECT n_total - k FROM tot) AS dfw)
+      SELECT ROUND((ssb / dfb) / (ssw / dfw), 4) AS w_stat,
+        dfb AS df1, dfw AS df2
+      FROM ss"""),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cust = Tables.load(s, dir, "customer")
+      val base = cust.filter(col("c_mktsegment").isNotNull &&
+        col("c_acctbal").isNotNull)
+      val mu = base.groupBy(col("c_mktsegment").as("grp"))
+        .agg(round(
+          sum(round(col("c_acctbal").cast("double"), 12)
+            .cast(DecimalType(38, 12))).cast("double") / count(lit(1)), 6)
+          .as("mu"))
+      val z = base.join(mu, col("c_mktsegment") === col("grp"))
+        .select(col("grp"),
+          abs(col("c_acctbal").cast("double") - col("mu")).as("z"))
+      val g = z.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(round(col("z"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("s1"),
+        sum(round(col("z") * col("z"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("s2"))
+      val tot = g.agg(sum(col("n")).as("n_total"), count(lit(1)).as("k"),
+        (sum(col("s1")) / sum(col("n"))).as("gm"))
+      val m = col("s1") / col("n")
+      val ss = g.crossJoin(tot).agg(
+        sum(col("n") * (m - col("gm")) * (m - col("gm"))).as("ssb"),
+        sum(col("s2") - col("s1") * col("s1") / col("n")).as("ssw"),
+        max(col("k") - 1).as("dfb"),
+        max(col("n_total") - col("k")).as("dfw"))
+      val out = ss.select(
+        round((col("ssb") / col("dfb")) / (col("ssw") / col("dfw")), 4)
+          .as("w_stat"),
+        col("dfb").as("df1"), col("dfw").as("df2"))
+      val r = out.head()
+      require(r.getAs[Double]("w_stat") >= 0.0, s"F is non-negative: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
-    t66BoxCox, t67Vif, t68Influence,
+    t66BoxCox, t67Vif, t68Influence, t69Levene,
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,

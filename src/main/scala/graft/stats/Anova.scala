@@ -153,6 +153,29 @@ object Anova {
     oneWay(z, catCol, "__z")
   }
 
+  /** Levene's original test (Levene 1960, public): [[brownForsythe]]
+    * with MEAN centers — |x − x̄_g| through the one-way F. More
+    * powerful than the median variant under near-normal groups, less
+    * robust under heavy tails; with [[bartlett]] the three-way
+    * disagreement pattern diagnoses WHY variances look unequal
+    * (outliers vs genuine heteroscedasticity). Mean centers round to 6
+    * (the med-center convention) so the absolute deviations are
+    * engine-identical. */
+  def levene(df: DataFrame, catCol: String, yCol: String): Option[AnovaResult] = {
+    val y = col(yCol).cast(DoubleType)
+    // mean via the round-12 decimal fold (a bare avg() is summation-
+    // order-dependent across engines), then the med-center round-6
+    val means = df.filter(col(catCol).isNotNull && y.isNotNull)
+      .groupBy(col(catCol).cast(StringType).as("__g"))
+      .agg(round(
+        sum(round(y, 12).cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1)), 6).as("__mu"))
+    val z = df
+      .join(means, col(catCol).cast(StringType) === col("__g"), "inner")
+      .withColumn("__z", abs(y - col("__mu")))
+    oneWay(z, catCol, "__z")
+  }
+
   /** Independent two-sample t-tests for every group pair, Bonferroni-
     * corrected (×#comparisons, capped at 1.0), pooled-std Cohen's d. */
   def pairwiseTTests(df: DataFrame, catCol: String, yCol: String): Seq[TTestResult] = {

@@ -3639,6 +3639,32 @@ class OpsSpec extends SparkSpec {
     assert(e(1).getAs[Double]("entropy") == hWant, s"${e(1)} want $hWant")
   }
 
+  test("pacf recomposes durbin-levinson from acf; knn-degree star") {
+    import graft.ops.{EventAnalytics, Graph}
+    import java.sql.Timestamp
+    def series(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (n, d) => (1 to n).map(i =>
+        Tuple1(new Timestamp((d * 86400L + i) * 1000L)))
+    }.toDF("ts")
+    val s = series((1 to 12).map(i => 3 + (i * 5) % 7))
+    val acf = EventAnalytics.acfDaily(s, "ts", 3).orderBy("lag")
+      .collect().map(_.getAs[Double]("acf"))
+    val p = EventAnalytics.pacfDaily(s, "ts").orderBy("lag").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(p(0).getAs[Double]("pacf") == r6(acf(0)))
+    val phi22 = (acf(1) - acf(0) * acf(0)) / (1.0 - acf(0) * acf(0))
+    assert(p(1).getAs[Double]("pacf") == r6(phi22), s"${p(1)}")
+    // star 0-1,0-2,0-3: leaves (deg 1) see the hub (knn 3), the hub
+    // (deg 3) sees leaves (knn 1)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val knn = Graph.avgNeighborDegree(star).collect()
+      .map(r => r.getAs[Long]("degree") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Double]("avg_neighbor_degree"))))
+      .toMap
+    assert(knn(1L) == ((3L, 3.0)) && knn(3L) == ((1L, 1.0)), s"$knn")
+  }
+
   test("mix fit: exact recipe zero, drifted mix fires, stray key loud") {
     import graft.ops.Sampling
     val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)

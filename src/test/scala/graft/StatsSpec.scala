@@ -1369,6 +1369,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("levene: hand mean-centered F, agrees with one-way on |z|") {
+    import graft.stats.Anova
+    // groups [1..4] and 2*[1..4]: |z| means 1 and 2 -> F = 2 / (5/6)
+    val df = ((1 to 4).map(i => ("a", i.toDouble)) ++
+      (1 to 4).map(i => ("b", 2.0 * i))).toDF("g", "y")
+    val r = Anova.levene(df, "g", "y").get
+    assert(math.abs(r.fStat - 2.4) < 1e-9, s"F=${r.fStat}")
+    assert(r.dfBetween == 1L && r.dfWithin == 6L)
+    // ordering invariant vs Brown-Forsythe on a symmetric fixture:
+    // same centers (mean == median) -> identical statistic
+    val bf = Anova.brownForsythe(df, "g", "y").get
+    assert(math.abs(r.fStat - bf.fStat) < 1e-9)
+  }
+
   test("welch t-tests: match commons-math3 on unequal-variance groups") {
     import graft.stats.Anova
     val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
