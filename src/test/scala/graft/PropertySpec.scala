@@ -651,4 +651,46 @@ class PropertySpec extends SparkSpec {
     assert(globalWindows(lift).size == 1,
       "lift table plans exactly one (bins-bounded) cumulative window")
   }
+
+  test("round-15 ops: windows partitioned or bounded, never data-global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def wins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    def globalWins(df: org.apache.spark.sql.DataFrame) =
+      wins(df).filter(_.partitionSpec.isEmpty)
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // rank scans (signed-rank, wilcoxon's distinct-|d| pass) ride the
+    // RDD partition-offset idiom — those ops never build a plan window,
+    // so nothing to pin there. The ones below DO plan windows:
+    // hodges-lehmann sweeps the bounded distinct-difference table only
+    val hl = graft.stats.RankTests.hodgesLehmannShift(
+      ev.select(($"user_id" % 2 === 0).as("arm"),
+        ($"event_id" % 13).cast("double").as("v")), $"arm", $"v")
+    assert(globalWins(hl).size == 1,
+      "HL plans exactly one window, over the capped diff table")
+    // average precision: one window over DISTINCT scores (the auc
+    // contract) — global by design but score-domain-bounded
+    val ap = graft.stats.Eval.averagePrecision(
+      ev.select(($"event_id" % 7).cast("double").as("s"),
+        ($"event_id" % 2).cast("int").as("y")), $"s", $"y")
+    assert(globalWins(ap).size == 1,
+      "AP plans exactly one distinct-score window")
+    // hurst: cumulative deviations are block-PARTITIONED
+    val hr = graft.ops.EventAnalytics.hurstRS(ev, "ts", Seq(4, 8))
+    assert(globalWins(hr).isEmpty,
+      "hurst cumulative sweeps must partition by block")
+    // class balance: rank windows partition on the label
+    val cb = graft.ops.Sampling.classBalance(emb, "vec_id", "label", "s")
+    assert(wins(cb).nonEmpty && globalWins(cb).isEmpty,
+      "class balance ranks within label partitions only")
+    // kNN purity / TwoNN: neighbor ranks partition on the query point
+    val pu = graft.ops.EmbeddingDrift.knnLabelPurity(
+      emb, "vec_id", "embedding", "label", k = 2, maxVectors = 100000L)
+    assert(globalWins(pu).isEmpty,
+      "kNN ranks must partition by query point")
+    // turnover: no window at all — a shifted full-outer join
+    val to = graft.ops.EventAnalytics.userTurnover(ev)
+    assert(wins(to).isEmpty, "turnover is join-shaped, never a window")
+  }
 }
