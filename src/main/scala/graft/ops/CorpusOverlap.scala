@@ -190,4 +190,53 @@ object CorpusOverlap {
         round(col("__klba"), 8).as("kl_ba"),
         round(col("__js"), 8).as("js"))
   }
+
+  /** Corpus keyness (Dunning 1993 log-likelihood keywords, public): per
+    * term, the 2-cell G² of its rate in corpus A vs corpus B, signed by
+    * direction — "WHICH words changed", the term-level drill-down
+    * behind [[divergence]]'s one-number drift. The standard snapshot
+    * diff for a training corpus: a new boilerplate flood or topic shift
+    * surfaces as its vocabulary, ranked.
+    *
+    * Shape: two map-side-combined wordcounts union into one vocabulary
+    * rollup (the [[divergence]] idiom — totals broadcast, no window);
+    * per-term G = 2·[a·ln(a/E_a) + b·ln(b/E_b)] from exact integers
+    * (zero cells contribute 0 — lim x·ln x), rounded to 9 with a
+    * deterministic (G DESC, term ASC) top-k cut. Terms below `minCount`
+    * total occurrences are dropped (rare-word G is noise). Returns ≤ k
+    * rows (term, count_a, count_b, g_score, direction ∈ {a, b}). */
+  def keynessTopK(
+      a: DataFrame, aTextCol: String, b: DataFrame, bTextCol: String,
+      topK: Int = 25, minCount: Long = 10L): DataFrame = {
+    require(topK >= 1 && minCount >= 1, s"topK/minCount must be >= 1")
+    val ta = a.select(explode(TextOps.tokens(col(aTextCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"), lit(1L).as("ca"), lit(0L).as("cb"))
+    val tb = b.select(explode(TextOps.tokens(col(bTextCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"), lit(0L).as("ca"), lit(1L).as("cb"))
+    val counts = ta.union(tb).groupBy("tok")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"))
+    val t = counts.filter(col("ca") + col("cb") >= minCount)
+      .crossJoin(broadcast(totals))
+    val ea = (col("ca") + col("cb")).cast("double") * col("na") /
+      (col("na") + col("nb"))
+    val eb = (col("ca") + col("cb")).cast("double") * col("nb") /
+      (col("na") + col("nb"))
+    val term = (c: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column) =>
+      when(c > 0, c.cast("double") * log(c.cast("double") / e))
+        .otherwise(0.0)
+    t.select(col("tok").as("term"), col("ca").as("count_a"),
+        col("cb").as("count_b"),
+        round(lit(2.0) * (term(col("ca"), ea) + term(col("cb"), eb)), 9)
+          .as("g_score"),
+        when(col("ca").cast("double") * col("nb") >
+          col("cb").cast("double") * col("na"), "a").otherwise("b")
+          .as("direction"))
+      .orderBy(col("g_score").desc, col("term").asc)
+      .limit(topK)
+  }
 }

@@ -3404,10 +3404,59 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Lin's concordance ([[graft.stats.Correlation.linsCCC]]) between
+    * the gross and discounted price — a perfectly-correlated pair
+    * (r ≈ 1) that does NOT agree on the 45° line, exactly the gap CCC
+    * exists to expose. The oracle replays the five moment folds and
+    * both coefficients. */
+  val t70LinsCcc: Q = Q(
+    "t70_lins_ccc",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) * (1.0 - l_discount) AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy,
+          CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy
+        FROM b),
+      f AS (
+        SELECT n, sx / n AS mx, sy / n AS my,
+          sxx / n - (sx / n) * (sx / n) AS vx,
+          syy / n - (sy / n) * (sy / n) AS vy,
+          sxy / n - (sx / n) * (sy / n) AS cxy
+        FROM m)
+      SELECT n, round(mx, 6) + 0.0 AS mean_x, round(my, 6) + 0.0
+          AS mean_y,
+        round(cxy / sqrt(vx * vy), 6) + 0.0 AS pearson_r,
+        round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) + 0.0
+          AS ccc
+      FROM f"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val out = Correlation.linsCCC(li,
+        col("l_extendedprice").cast("double"),
+        col("l_extendedprice").cast("double") *
+          (lit(1.0) - col("l_discount")))
+      val r = out.head()
+      require(r.getAs[Double]("pearson_r") > 0.99 &&
+        r.getAs[Double]("ccc") < r.getAs[Double]("pearson_r"),
+        s"high r with a scale drift must pull CCC below r: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
-    t66BoxCox, t67Vif, t68Influence, t69Levene,
+    t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,

@@ -2827,6 +2827,62 @@ object TextQueries extends QueryModule {
     * exact integer frequency-of-frequencies, so the oracle replays them
     * bit-for-bit. In-gate: Chao1 ≥ observed vocabulary (the estimator
     * only ever adds undiscovered types). */
+  /** Corpus keyness ([[graft.ops.CorpusOverlap.keynessTopK]]) between
+    * the even- and odd-doc_id halves — the oracle replays the union
+    * wordcount, the per-term 2-cell G², and the deterministic
+    * (G DESC, term) cut. */
+  val txtKeyness: Q = Q(
+    "txt_keyness",
+    Some("""
+      WITH ta AS (
+        SELECT token, 1 AS ca, 0 AS cb FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents
+          WHERE doc_id % 2 = 0 AND length(trim(text)) > 0)
+        WHERE token <> ''),
+      tb AS (
+        SELECT token, 0 AS ca, 1 AS cb FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents
+          WHERE doc_id % 2 = 1 AND length(trim(text)) > 0)
+        WHERE token <> ''),
+      c AS (
+        SELECT token, CAST(SUM(ca) AS BIGINT) AS ca,
+          CAST(SUM(cb) AS BIGINT) AS cb
+        FROM (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+        GROUP BY token),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      t AS (SELECT c.token, c.ca, c.cb, tot.na, tot.nb
+        FROM c, tot WHERE ca + cb >= 10),
+      g AS (
+        SELECT token AS term, ca AS count_a, cb AS count_b,
+          round(2.0 * (
+            CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE)
+              * ln(CAST(ca AS DOUBLE)
+                / (CAST(ca + cb AS DOUBLE) * na / (na + nb)))
+              ELSE 0.0 END +
+            CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE)
+              * ln(CAST(cb AS DOUBLE)
+                / (CAST(ca + cb AS DOUBLE) * nb / (na + nb)))
+              ELSE 0.0 END), 9) AS g_score,
+          CASE WHEN CAST(ca AS DOUBLE) * nb > CAST(cb AS DOUBLE) * na
+            THEN 'a' ELSE 'b' END AS direction
+        FROM t)
+      SELECT term, count_a, count_b, g_score, direction
+      FROM g ORDER BY g_score DESC, term ASC LIMIT 25"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val out = graft.ops.CorpusOverlap.keynessTopK(
+        d.filter(col("doc_id") % 2 === 0), "text",
+        d.filter(col("doc_id") % 2 === 1), "text")
+      val rows = out.collect()
+      require(rows.nonEmpty &&
+        rows.forall(_.getAs[Double]("g_score") >= 0.0),
+        "G-squared is non-negative")
+      out
+    })
+
   /** Per-doc character-bigram entropy
     * ([[graft.ops.TextOps.charBigramEntropy]]) — the oracle replays the
     * in-plan substring bigram extraction, the exact (doc, gram) counts,
@@ -2967,7 +3023,7 @@ object TextQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    txtYulesK, txtBurstiness, txtCharEntropy,
+    txtYulesK, txtBurstiness, txtCharEntropy, txtKeyness,
     txtChao1,
     ddCoverageEstimate,
     txtTextrank,

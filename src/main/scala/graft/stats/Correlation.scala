@@ -376,4 +376,45 @@ object Correlation {
     import spark.implicits._
     pairs.map(p => (p.col1, p.col2, p.r, p.n)).toDF("col1", "col2", "r", "n")
   }
+
+  /** Lin's concordance correlation coefficient (Lin 1989, public):
+    * CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²) with population (1/n)
+    * moments — agreement with the 45° line, not just linearity. THE
+    * replica-check statistic: Pearson r answers "do the two pipelines
+    * covary", CCC answers "do they produce the SAME numbers" (a
+    * constant offset or scale drift crushes CCC while r stays 1).
+    *
+    * ONE aggregation of five round-12 decimal moment folds; CCC and r
+    * are fixed double arithmetic — oracle-replayable. Returns one row
+    * (n, mean_x, mean_y, pearson_r, ccc), round-6; loud when either
+    * variance is 0. */
+  def linsCCC(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def fold12(c: Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast(DoubleType)
+    val x = xCol.cast(DoubleType); val y = yCol.cast(DoubleType)
+    val r = df.filter(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y))
+      .select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n"),
+        fold12(col("x")).as("sx"), fold12(col("y")).as("sy"),
+        fold12(col("x") * col("x")).as("sxx"),
+        fold12(col("y") * col("y")).as("syy"),
+        fold12(col("x") * col("y")).as("sxy")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 2, s"CCC needs >= 2 pairs, got $n")
+    def g(i: String) = r.getAs[Double](i)
+    val mx = g("sx") / n; val my = g("sy") / n
+    val vx = g("sxx") / n - mx * mx
+    val vy = g("syy") / n - my * my
+    val cxy = g("sxy") / n - mx * my
+    require(vx > 0.0 && vy > 0.0,
+      "a constant series cannot concord - variance is zero")
+    val ccc = 2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+    val pr = cxy / math.sqrt(vx * vy)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, r6(mx), r6(my), r6(pr), r6(ccc)))
+      .toDF("n", "mean_x", "mean_y", "pearson_r", "ccc")
+  }
 }

@@ -1383,6 +1383,38 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.fStat - bf.fStat) < 1e-9)
   }
 
+  test("lin's ccc: shift penalized, identity perfect, keyness hand G") {
+    import graft.stats.Correlation
+    // y = x + 1: r = 1 but CCC = 2*(2/3) / (2/3 + 2/3 + 1) = 4/7
+    val sh = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val r = Correlation.linsCCC(sh, col("x"), col("y")).head()
+    assert(r.getAs[Double]("pearson_r") == 1.0 &&
+      r.getAs[Double]("ccc") == BigDecimal(4.0 / 7)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r")
+    // identity agrees perfectly
+    val id = Seq((1.0, 1.0), (2.0, 2.0), (5.0, 5.0)).toDF("x", "y")
+    assert(Correlation.linsCCC(id, col("x"), col("y")).head()
+      .getAs[Double]("ccc") == 1.0)
+    intercept[IllegalArgumentException] { // constant series -> loud
+      Correlation.linsCCC(
+        Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y"), col("x"), col("y"))
+    }
+    // keyness: A = "x x x y", B = "y y y x" -> symmetric G, x keyed to
+    // a and y to b; tie broken by term asc
+    val a = Seq(Tuple1("x x x y")).toDF("text")
+    val b = Seq(Tuple1("y y y x")).toDF("text")
+    val k = graft.ops.CorpusOverlap.keynessTopK(a, "text", b, "text",
+      topK = 2, minCount = 2L).collect()
+    val gWant = BigDecimal(2.0 * (3.0 * math.log(3.0 / 2) +
+      1.0 * math.log(1.0 / 2)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k.length == 2 && k(0).getAs[String]("term") == "x" &&
+      k(0).getAs[String]("direction") == "a" &&
+      k(0).getAs[Double]("g_score") == gWant &&
+      k(1).getAs[String]("term") == "y" &&
+      k(1).getAs[String]("direction") == "b", k.mkString(";"))
+  }
+
   test("welch t-tests: match commons-math3 on unequal-variance groups") {
     import graft.stats.Anova
     val a = Array(1.0, 2.0, 3.0, 4.0, 5.0)
