@@ -1366,6 +1366,29 @@ object EventAnalytics {
     } finally ends.unpersist(blocking = false)
   }
 
+  /** Hour-of-day activity profile: events per UTC hour with each hour's
+    * share and the peak flag — the load-shape table behind capacity
+    * planning and the weekday/hour conditioning [[weekdayEffect]]
+    * justifies statistically. One map-side-combined groupBy on the
+    * 24-bounded hour key (non-negative mod — pre-1970 safe); shares are
+    * exact-count ratios round-6, the peak flag compares exact counts
+    * (ties all flag). Returns ≤ 24 rows (hour, n_events, share,
+    * is_peak) ordered by hour. */
+  def hourlyProfile(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val hour = pmod(expr(s"unix_micros($tsCol) div ${3600L * 1000000L}"),
+      lit(24L))
+    val byHour = events.filter(col(tsCol).isNotNull)
+      .groupBy(hour.as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = byHour.agg(sum(col("n_events")).as("t"),
+      max(col("n_events")).as("mx"))
+    byHour.crossJoin(broadcast(tot))
+      .select(col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("t"), 6).as("share"),
+        (col("n_events") === col("mx")).as("is_peak"))
+      .orderBy("hour")
+  }
+
   /** Ljung–Box portmanteau test (Ljung & Box 1978, public) on the daily
     * count series: Q_L = n(n+2)·Σ_{k≤L} r_k²/(n−k) ~ χ²(L) under white
     * noise — "is there ANY autocorrelation structure up to lag L", the

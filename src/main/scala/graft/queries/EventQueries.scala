@@ -2610,6 +2610,31 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Hour-of-day profile ([[graft.ops.EventAnalytics.hourlyProfile]]) —
+    * the oracle replays the non-negative hour bucket, the exact counts,
+    * shares, and the peak flag. */
+  val evHourly: Q = Q(
+    "ev_hourly_profile",
+    Some("""
+      WITH h AS (
+        SELECT ((epoch_us(ts) // 3600000000) % 24 + 24) % 24 AS hour,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+        CAST(MAX(n_events) AS BIGINT) AS mx FROM h)
+      SELECT hour, n_events,
+        round(CAST(n_events AS DOUBLE) / t.t, 6) + 0.0 AS share,
+        n_events = t.mx AS is_peak
+      FROM h, t ORDER BY hour"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.hourlyProfile(
+        Tables.load(s, dir, "events"))
+      val rows = out.collect()
+      require(rows.nonEmpty && rows.count(_.getAs[Boolean]("is_peak")) >= 1,
+        "at least one peak hour")
+      out
+    })
+
   /** Wald SPRT ([[graft.stats.Experiment.sprt]]) on the finished-order
     * rate (~0.33 in the synthetic data), H₀ 0.25 vs H₁ 0.33 — the oracle replays the count pass, the
     * ln-parity LLR (operand-for-operand, since 1−0.4 and the literal
@@ -3009,7 +3034,7 @@ object EventQueries extends QueryModule {
 
   override def queries: Seq[Q] =
     Seq(evLjungBox, evUnitRoot, evSampleEntropy, evHurst,
-      evTurnover, evPeakConcurrency, evSprt, evPacf,
+      evTurnover, evPeakConcurrency, evSprt, evPacf, evHourly,
       evPowerMde, evRateRatio, evOhlc, evRfm, evMaxDrawdown,
       evAttributionLinear, evLtv, evDispersion, evCohensH, evEbShrinkage,
       evInterEvent, evSrm, evPeaks, evFunnelTiming, evForecastBacktest,

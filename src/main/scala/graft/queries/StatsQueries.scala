@@ -3453,10 +3453,59 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Odds ratio + Woolf CI ([[graft.stats.Contingency.oddsRatioCI]])
+    * for return-flag vs deep-discount — the oracle replays the four
+    * cells, the Haldane branch, and the logit CI with the shared z
+    * literal. */
+  val t71OddsRatio: Q = Q(
+    "t71_odds_ratio_ci",
+    Some("""
+      WITH m AS (
+        SELECT
+          CAST(SUM(CASE WHEN (l_returnflag = 'R') AND (l_discount > 0.05)
+            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(SUM(CASE WHEN (l_returnflag = 'R')
+            AND NOT (l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(SUM(CASE WHEN NOT (l_returnflag = 'R')
+            AND (l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(SUM(CASE WHEN NOT (l_returnflag = 'R')
+            AND NOT (l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT)
+            AS d
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL),
+      f AS (
+        SELECT a, b, c, d,
+          (a = 0 OR b = 0 OR c = 0 OR d = 0) AS haldane,
+          CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+            THEN 0.5 ELSE 0.0 END AS h
+        FROM m),
+      g AS (
+        SELECT a, b, c, d, haldane,
+          (a + h) * (d + h) / ((b + h) * (c + h)) AS orr,
+          sqrt(1.0 / (a + h) + 1.0 / (b + h) + 1.0 / (c + h)
+            + 1.0 / (d + h)) AS se
+        FROM f)
+      SELECT a AS n_tt, b AS n_tf, c AS n_ft, d AS n_ff, haldane,
+        round(orr, 6) + 0.0 AS odds_ratio,
+        round(exp(ln(orr) - 1.959963984540054 * se), 6) + 0.0 AS ci_low,
+        round(exp(ln(orr) + 1.959963984540054 * se), 6) + 0.0 AS ci_high
+      FROM g"""),
+    (s, dir) => {
+      val out = Contingency.oddsRatioCI(Tables.load(s, dir, "lineitem"),
+        col("l_returnflag") === "R", col("l_discount") > 0.05)
+      val r = out.head()
+      require(r.getAs[Double]("ci_low") <= r.getAs[Double]("odds_ratio")
+        && r.getAs[Double]("odds_ratio") <= r.getAs[Double]("ci_high"),
+        s"the CI must bracket the point estimate: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,
+    t71OddsRatio,
     t40FeatureScreen, t41WelchAnova, t42Cmh, t43PartialCorr, t44DurbinWatson,
     t45BreuschPagan, t46RunsTest, t47Grubbs, t48HillTail, t49Dunn, t50Woe,
     t51TrimmedMean, t52Jonckheere, t53NeweyWest, t54Means, t55MedianCi,

@@ -454,6 +454,47 @@ object Contingency {
         "p_value")
   }
 
+  /** Odds ratio with the Woolf logit CI (Woolf 1955, public) for a 2×2
+    * flag pair: OR = ad/bc, ln OR ± z·√(1/a+1/b+1/c+1/d) — the EFFECT
+    * SIZE with uncertainty that [[fisherExact]]'s p alone doesn't give
+    * (at corpus n everything is "significant"; the CI says whether the
+    * association could still be trivially small). A zero cell applies
+    * the Haldane–Anscombe +0.5 to ALL cells (flagged in the output) —
+    * the standard finite correction, not a silent null.
+    *
+    * ONE aggregation (four exact longs); the z quantile is the shared
+    * literal 1.959963984540054 (the zQuantile inline convention) and
+    * ln/exp ride established parity. Returns one row (n_tt, n_tf,
+    * n_ft, n_ff, haldane, odds_ratio, ci_low, ci_high), round-6. */
+  def oddsRatioCI(
+      df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.filter(flagA.isNotNull && flagB.isNotNull)
+      .agg(
+        sum(when(flagA && flagB, 1L).otherwise(0L)).as("a"),
+        sum(when(flagA && !flagB, 1L).otherwise(0L)).as("b"),
+        sum(when(!flagA && flagB, 1L).otherwise(0L)).as("c"),
+        sum(when(!flagA && !flagB, 1L).otherwise(0L)).as("d"))
+      .head()
+    val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    require(a + b + c + d > 0, "odds ratio needs classified rows")
+    val haldane = a == 0L || b == 0L || c == 0L || d == 0L
+    val h = if (haldane) 0.5 else 0.0
+    val (ah, bh, ch, dh) = (a + h, b + h, c + h, d + h)
+    val or = ah * dh / (bh * ch)
+    val se = math.sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+    val z = 1.959963984540054
+    val lo = math.exp(math.log(or) - z * se)
+    val hi = math.exp(math.log(or) + z * se)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((a, b, c, d, haldane, r6(or), r6(lo), r6(hi)))
+      .toDF("n_tt", "n_tf", "n_ft", "n_ff", "haldane", "odds_ratio",
+        "ci_low", "ci_high")
+  }
+
   def chiSquare(
       df: DataFrame, colA: String, colB: String): Option[ChiSquareResult] = {
     val c = cells(df, colA, colB).collect() // |A|×|B| rows — driver-small

@@ -3665,6 +3665,35 @@ class OpsSpec extends SparkSpec {
     assert(knn(1L) == ((3L, 3.0)) && knn(3L) == ((1L, 1.0)), s"$knn")
   }
 
+  test("odds ratio CI and hourly profile: hand cells and buckets") {
+    import graft.stats.Contingency
+    import graft.ops.EventAnalytics
+    // hand 2x2 [[10,20],[5,40]]: OR = 400/100 = 4, CI brackets it
+    val t = (Seq.fill(10)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false)))
+      .toDF("a", "b")
+    val r = Contingency.oddsRatioCI(t, col("a"), col("b")).head()
+    assert(r.getAs[Double]("odds_ratio") == 4.0 &&
+      !r.getAs[Boolean]("haldane") &&
+      r.getAs[Double]("ci_low") < 4.0 && r.getAs[Double]("ci_high") > 4.0,
+      s"$r")
+    // a zero cell flips the Haldane flag and still yields a finite CI
+    val z = (Seq.fill(10)((true, true)) ++ Seq.fill(5)((false, false)) ++
+      Seq.fill(3)((true, false))).toDF("a", "b")
+    val h = Contingency.oddsRatioCI(z, col("a"), col("b")).head()
+    assert(h.getAs[Boolean]("haldane") &&
+      h.getAs[Double]("ci_high") > h.getAs[Double]("ci_low"))
+    // hourly: 3 events in hour 0, 1 in hour 1 -> shares 0.75/0.25,
+    // hour 0 is the peak
+    import java.sql.Timestamp
+    val ev = Seq(10L, 20L, 30L, 3700L).map(sec =>
+      Tuple1(new Timestamp(sec * 1000L))).toDF("ts")
+    val hp = EventAnalytics.hourlyProfile(ev).orderBy("hour").collect()
+    assert(hp.length == 2 && hp(0).getAs[Double]("share") == 0.75 &&
+      hp(0).getAs[Boolean]("is_peak") &&
+      !hp(1).getAs[Boolean]("is_peak"), hp.mkString(";"))
+  }
+
   test("mix fit: exact recipe zero, drifted mix fires, stray key loud") {
     import graft.ops.Sampling
     val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
