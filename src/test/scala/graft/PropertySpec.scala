@@ -585,6 +585,37 @@ class PropertySpec extends SparkSpec {
       "pareto front must not plan a global window")
   }
 
+  test("global top-fraction cut: threshold filter plan, NO window; exact boundary") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars".cast("double").as("score"))
+    val cut = graft.ops.Sampling.topFractionExact(
+      docs, $"score", $"doc_id", frac = 0.3)
+    // the returned frame is the original scan under a broadcast-threshold
+    // filter — no WindowExec of ANY kind may appear (the r14/r15 weak
+    // item was precisely a global row_number window here)
+    val wins = cut.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty,
+      s"top-fraction cut must be a pure threshold filter, found windows:\n" +
+        cut.queryExecution.sparkPlan)
+    // exact-boundary semantics vs a local reference sort, ties included
+    val all = docs.as[(Long, String, Double)].collect()
+    val k = math.ceil(0.3 * all.length).toLong
+    val expect = all.sortBy { case (id, _, s) => (-s, id) }.take(k.toInt)
+      .map(_._1).toSet
+    val got = cut.select($"doc_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"kept set diverges from the reference order statistic: " +
+        s"${(got -- expect).take(5)} vs ${(expect -- got).take(5)}")
+    // a null score is never kept
+    val withNull = docs.withColumn("score",
+      when($"doc_id" % 7 === 0, lit(null)).otherwise($"score"))
+    val cutN = graft.ops.Sampling.topFractionExact(
+      withNull, $"score", $"doc_id", frac = 0.5)
+    assert(cutN.filter($"score".isNull).count() == 0L,
+      "null scores must never survive the cut")
+  }
+
   test("corpus divergence: NO unpartitioned window; totals broadcast onto the vocabulary") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
