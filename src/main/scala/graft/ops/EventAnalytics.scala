@@ -496,9 +496,11 @@ object EventAnalytics {
         col(valCol).isNotNull)
       .select(col(userCol).as("u"), day.as("d"),
         round(col(valCol), 9).cast("decimal(38,12)").as("v"))
-    // floor division (matches DuckDB's `//` and week semantics for
-    // negative epoch days) — a bare (x / k).cast("long") truncates
-    // toward zero and mis-buckets pre-1970 timestamps
+    // floor division — the right week semantics for negative epoch days
+    // (a bare (x / k).cast("long") truncates toward zero and mis-buckets
+    // pre-1970 timestamps). NOTE DuckDB's `//` also TRUNCATES toward
+    // zero, so the paired oracle must spell the bucket as
+    // CAST(floor(x / 7.0) AS BIGINT), never `// 7`
     val firsts = base.groupBy("u").agg(min(col("d")).as("f"))
     val sizes = firsts
       .groupBy(floor(col("f") / grainDays).cast("long").as("cohort_week"))
@@ -560,7 +562,9 @@ object EventAnalytics {
       .groupBy(expr(s"unix_micros($tsCol) div ${86400L * 1000000L}")
         .as("day"))
       .agg(count(lit(1)).as("x"))
-    val m = daily // floor division: pre-1970 days land in the right block
+    // floor division: pre-1970 days land in the right block (oracle
+    // mirrors with CAST(floor(day / b) AS BIGINT) — DuckDB `//` truncates)
+    val m = daily
       .groupBy(floor(col("day") / blockDays).cast("long").as("blk"))
       .agg(max(col("x")).as("mx"))
       .agg(count(lit(1)).as("k"), sum(col("mx")).as("sm"),
@@ -1274,9 +1278,12 @@ object EventAnalytics {
     * One distinct (user, period) pass, one full-outer self-join on the
     * period-shifted key (both sides shuffle on (user, period) — no
     * window, no driver state), one period rollup of exact counts.
-    * Periods with zero total activity are skipped (nothing observed to
-    * report). Returns (period, n_active, n_new, n_retained, n_churned)
-    * ordered by period. */
+    * A period appears when it has current activity OR observed churn
+    * (n_churned counts the PRIOR period's users, so a week in which
+    * every previous user vanished still reports — dropping it would
+    * break active_{t−1} = retained_t + churned_t across the gap);
+    * periods with neither are skipped. Returns (period, n_active,
+    * n_new, n_retained, n_churned) ordered by period. */
   def userTurnover(
       events: DataFrame, tsCol: String = "ts", keyCol: String = "user_id",
       grainDays: Int = 7): DataFrame = {
@@ -1302,7 +1309,7 @@ object EventAnalytics {
           .otherwise(0L)).as("n_retained"),
         sum(when(col("c").isNull && col("p").isNotNull, 1L).otherwise(0L))
           .as("n_churned"))
-      .filter(col("n_active") > 0)
+      .filter(col("n_active") > 0 || col("n_churned") > 0)
       .select(col("w").as("period"), col("n_active"), col("n_new"),
         col("n_retained"), col("n_churned"))
       .orderBy("period")
@@ -1316,7 +1323,7 @@ object EventAnalytics {
     * were on at once", the capacity question a daily-active count hides.
     *
     * The sweep is the [[maxDrawdown]] parallel prefix scan: endpoints
-    * sort ONCE by the total order (t, +1-before-−1, key, day), each
+    * sort ONCE by the total order (t, +1-before-−1, key-hash, day), each
     * partition reports its local prefix extremum, the driver combines
     * |partitions| scalars — NO unpartitioned window, no data-sized
     * driver state. All arithmetic is exact longs. Returns one row
@@ -1334,10 +1341,15 @@ object EventAnalytics {
         max(expr(s"unix_micros($tsCol)")).as("e"))
     val nIv = iv.count()
     require(nIv > 0, "peak concurrency needs at least one interval")
-    val ends = iv.select(col("s").as("t"), lit(1).as("delta"), col("u"),
-        col("d"))
+    // the key participates ONLY in the sort's tie order (all deltas in a
+    // (t, delta) tie group are equal, so the prefix trajectory — and
+    // therefore the peak and its instant — is invariant to that order);
+    // hashing it to a long keeps the Dataset encoding independent of the
+    // caller's key type (a string keyCol used to throw here)
+    val ends = iv.select(col("s").as("t"), lit(1).as("delta"),
+        xxhash64(col("u")).as("uh"), col("d"))
       .unionByName(iv.select(col("e").as("t"), lit(-1).as("delta"),
-        col("u"), col("d")))
+        xxhash64(col("u")).as("uh"), col("d")))
       .as[(Long, Int, Long, Long)].rdd
       .sortBy(r => (r._1, -r._2, r._3, r._4))
     ends.cache()

@@ -1991,11 +1991,12 @@ object EventQueries extends QueryModule {
         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
       f AS (SELECT u, min(d) AS f FROM b GROUP BY 1),
       sizes AS (
-        SELECT f // 7 AS cohort_week, CAST(count(*) AS BIGINT)
-          AS cohort_size
+        SELECT CAST(floor(f / 7.0) AS BIGINT) AS cohort_week,
+          CAST(count(*) AS BIGINT) AS cohort_size
         FROM f GROUP BY 1),
       cells AS (
-        SELECT f.f // 7 AS cohort_week, (b.d - f.f) // 7 AS age_weeks,
+        SELECT CAST(floor(f.f / 7.0) AS BIGINT) AS cohort_week,
+          CAST(floor((b.d - f.f) / 7.0) AS BIGINT) AS age_weeks,
           CAST(count(DISTINCT b.u) AS BIGINT) AS n_active_users,
           SUM(b.v) AS rev
         FROM b JOIN f ON b.u = f.u GROUP BY 1, 2),
@@ -2543,7 +2544,8 @@ object EventQueries extends QueryModule {
             CAST(count(*) AS BIGINT) AS x
           FROM events WHERE ts IS NOT NULL GROUP BY 1),
         b AS (
-          SELECT day // 7 AS blk, CAST(max(x) AS BIGINT) AS mx
+          SELECT CAST(floor(day / 7.0) AS BIGINT) AS blk,
+            CAST(max(x) AS BIGINT) AS mx
           FROM d GROUP BY 1),
         m AS (
           SELECT CAST(count(*) AS BIGINT) AS k,
@@ -2679,7 +2681,7 @@ object EventQueries extends QueryModule {
     Some("""
       WITH uw AS (
         SELECT DISTINCT user_id AS u,
-          (epoch_us(ts) // 86400000000) // 7 AS w
+          CAST(floor((epoch_us(ts) // 86400000000) / 7.0) AS BIGINT) AS w
         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       mx AS (SELECT MAX(w) AS mw FROM uw),
       j AS (
@@ -2696,7 +2698,9 @@ object EventQueries extends QueryModule {
         CAST(SUM(CASE WHEN NOT cur AND prv THEN 1 ELSE 0 END) AS BIGINT)
           AS n_churned
       FROM j, mx WHERE w <= mw
-      GROUP BY w HAVING SUM(CASE WHEN cur THEN 1 ELSE 0 END) > 0
+      GROUP BY w
+      HAVING SUM(CASE WHEN cur THEN 1 ELSE 0 END) > 0
+          OR SUM(CASE WHEN NOT cur AND prv THEN 1 ELSE 0 END) > 0
       ORDER BY period"""),
     (s, dir) => {
       val out = graft.ops.EventAnalytics.userTurnover(

@@ -584,6 +584,15 @@ object Regression {
     require(s2 > 0.0, "perfect fit - influence undefined (D divides by s2)")
     val h = lit(1.0 / n) +
       (col("x") - mx) * (col("x") - mx) / ssx
+    // leverage can be EXACTLY 1 (e.g. x = [0,0,0,1] clears n>=4 and
+    // s2>0): D would divide by (1-h)^2 = 0 and an Infinity/NaN would
+    // silently top the descending cut — fail as loudly as the
+    // constant-x and perfect-fit degeneracies above
+    val atLimit = base.filter(h >= 1.0 - 1e-12).count()
+    require(atLimit == 0L,
+      s"influence undefined: $atLimit row(s) carry leverage 1 (a lone " +
+        "off-cluster x determines the fit by itself) - Cook's D divides " +
+        "by (1-h)^2; drop or bin the isolated x values first")
     val e = col("y") - (lit(icept) + lit(slope) * col("x"))
     val dRaw = e * e / lit(2.0 * s2) * h / ((lit(1.0) - h) * (lit(1.0) - h))
     base

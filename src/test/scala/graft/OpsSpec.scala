@@ -3559,6 +3559,28 @@ class OpsSpec extends SparkSpec {
       rows(1).getAs[Long]("n_new") == 1 &&
       rows(1).getAs[Long]("n_retained") == 1 &&
       rows(1).getAs[Long]("n_churned") == 1, rows.mkString(";"))
+    // a week in which EVERY previous user churned still reports (its
+    // churn is observed activity of the prior period): u5+u6 week 0,
+    // u5 again week 2 -> week 1 is active-empty but carries 2 churns,
+    // and the identity active_{t-1} = retained_t + churned_t holds
+    // across the gap
+    val gap = Seq(ev(5, 0, 10), ev(6, 0, 20), ev(5, 14, 30))
+      .toDF("user_id", "ts")
+    val g = EventAnalytics.userTurnover(gap).orderBy("period").collect()
+    assert(g.map(_.getAs[Long]("period")).toSeq == Seq(0L, 1L, 2L),
+      g.mkString(";"))
+    assert(g(1).getAs[Long]("n_active") == 0 &&
+      g(1).getAs[Long]("n_churned") == 2, g.mkString(";"))
+    assert(g.sliding(2).forall { case Array(prev, cur) =>
+      prev.getAs[Long]("n_active") ==
+        cur.getAs[Long]("n_retained") + cur.getAs[Long]("n_churned")
+    }, g.mkString(";"))
+    // string user keys must not throw in the sweep (the endpoint
+    // encoding hashes the key; it participates only in tie order)
+    val sEv = Seq(("u-a", new java.sql.Timestamp(1000L)),
+      ("u-b", new java.sql.Timestamp(2000L))).toDF("user_id", "ts")
+    val sp = EventAnalytics.peakConcurrency(sEv).head()
+    assert(sp.getAs[Long]("n_intervals") == 2L, s"$sp")
     // sweep with a closed-end tie: u4 starts exactly when u1 ends ->
     // +1 sorts before -1, peak 3 at that instant
     val c = Seq(ev(1, 0, 100), ev(1, 0, 500), ev(2, 0, 300),

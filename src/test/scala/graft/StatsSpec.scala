@@ -888,6 +888,37 @@ class StatsSpec extends SparkSpec {
     assert(bd.forall(r => r.getAs[Double]("b") <= r.getAs[Double]("t")))
   }
 
+  test("log-rank shares the capped distinct-times contract (r15 weak item)") {
+    import graft.stats.Survival
+    // microsecond-noise durations: logRank's windows run over the SAME
+    // distinct-duration table as kaplanMeier's, so the loud cap +
+    // binDurations remedy must fire identically (r14/r15 carried the
+    // asymmetry where only kaplanMeier enforced it)
+    val noisy = (1 to 50).map(i =>
+      (if (i % 2 == 0) "a" else "b", i + i * 1e-7, 1)).toDF("g", "t", "e")
+    val err = intercept[IllegalArgumentException] {
+      Survival.logRank(noisy, col("g"), col("t"), col("e"),
+        maxDistinctTimes = 10)
+    }
+    assert(err.getMessage.contains("logRank") &&
+      err.getMessage.contains("binDurations"), err.getMessage)
+    // the remedy path: binned durations drop back inside the cap and
+    // the statistic computes (identical groups -> chi2 near 0)
+    val ok = Survival.logRank(noisy,
+      col("g"), Survival.binDurations(col("t"), 10.0), col("e"),
+      maxDistinctTimes = 10).collect().head
+    assert(ok.getAs[Long]("n_a") == 25L && ok.getAs[Long]("n_b") == 25L)
+    // an externally-built curve rides survivalSummary's windows: the
+    // same cap guards it
+    val curve = (1 to 50).map(i => (i + i * 1e-7, 50L - i, 1L, 0L, 1.0 - i / 51.0))
+      .toDF("t", "n_risk", "d_events", "n_censored", "survival")
+    val err2 = intercept[IllegalArgumentException] {
+      Survival.survivalSummary(curve, tau = 100.0, maxDistinctTimes = 10)
+    }
+    assert(err2.getMessage.contains("survivalSummary") &&
+      err2.getMessage.contains("binDurations"), err2.getMessage)
+  }
+
   test("theil-sen: exact line recovery, 29% breakdown resistance, edge shapes") {
     import graft.stats.Regression
     // clean line y = 3x + 2: every pairwise slope is 3
@@ -1367,6 +1398,15 @@ class StatsSpec extends SparkSpec {
         (1 to 5).map(i => (i.toLong, i.toDouble, 2.0 * i))
           .toDF("id", "x", "y"), "id", "x", "y")
     }
+    // leverage exactly 1 (x = [0,0,0,1] passes n>=4 and s2>0): Cook's D
+    // divides by (1-h)^2 — must fail loudly, not float an Infinity to
+    // the top of the cut
+    val lev1 = intercept[IllegalArgumentException] {
+      Regression.influenceTopK(
+        Seq((1L, 0.0, 1.0), (2L, 0.0, 2.0), (3L, 0.0, 3.0),
+          (4L, 1.0, 9.0)).toDF("id", "x", "y"), "id", "x", "y")
+    }
+    assert(lev1.getMessage.contains("leverage 1"), lev1.getMessage)
   }
 
   test("levene: hand mean-centered F, agrees with one-way on |z|") {
