@@ -688,15 +688,17 @@ object CatalogQueries extends QueryModule {
       out
     })
 
-  /** Dataset-card markdown sink ([[Sinks.renderDatasetCard]], rows-only
-    * — a rendered document has no SQL mirror): the card is written to
-    * disk, read back, and reconciled against the oracle-checked
-    * per-source table it renders — every per-source doc count must
-    * appear in its row and the totals row must equal the table sum;
-    * a pipe-bearing title must not break the markdown table. */
+  /** Dataset-card markdown sink ([[Sinks.renderDatasetCard]]) — PROMOTED
+    * to oracle-checked (r15 verdict item 3): the card is written to
+    * disk, read back, and its Sources table PARSED back into typed rows
+    * that the driver hashes against the same DuckDB SQL txt_corpus_card
+    * verifies — so a rendering bug (dropped row, swapped column,
+    * mangled number) breaks the hash, not just the in-gate asserts. The
+    * structural asserts stay: title pipe-escaping, section presence,
+    * and the totals row equal to the table sum. */
   val s12DatasetCard: Q = Q(
     "s12_dataset_card",
-    None,
+    Some(TextQueries.corpusCardSql),
     (s, dir) => {
       val table = graft.ops.CorpusReport.bySource(
         Tables.load(s, dir, "documents"))
@@ -724,9 +726,25 @@ object CatalogQueries extends QueryModule {
         val total = rows.map(_.getAs[Long]("n_docs")).sum
         require(back.contains(s"| **total** | $total |"),
           s"totals row must carry $total")
+        // parse the Sources table BACK out of the rendered markdown:
+        // the gate's output is what the card says, so the oracle hash
+        // checks the rendering end-to-end, not just the source table
+        val lines = back.linesIterator.toSeq
+        val hdr = lines.indexWhere(_.startsWith("| source |"))
+        require(hdr >= 0, "sources table header missing")
+        val body = lines.drop(hdr + 2)
+          .takeWhile(l => l.startsWith("| ") && !l.startsWith("| **total**"))
+        def cells(l: String): Array[String] = l
+          .stripPrefix("| ").stripSuffix(" |").split(" \\| ", -1)
+          .map(_.replace("\\|", "|"))
         import s.implicits._
-        Seq((rows.length.toLong, total, back.linesIterator.size.toLong))
-          .toDF("n_sources", "total_docs", "card_lines")
+        body.map(cells).map { c =>
+          require(c.length == 6, s"expected 6 cells, got ${c.mkString("|")}")
+          (c(0), c(1).toLong, c(2).toLong, c(3).toLong, c(4).toLong,
+            c(5).toDouble)
+        }.toDF("source", "n_docs", "n_tokens", "n_unique_fp", "n_en",
+          "mean_quality")
+          .orderBy("source")
       } finally graft.core.Fs.deleteRecursively(tmp)
     })
 

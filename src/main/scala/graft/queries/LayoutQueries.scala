@@ -406,7 +406,13 @@ object LayoutQueries extends QueryModule {
     * oracle can't see). In-gate pins carry the real contract: a layout
     * SORTED on a column reports depth 1.0 on it (disjoint file ranges),
     * and the Z-ORDER layout beats the shuffled baseline on BOTH curve
-    * columns while the baseline sits near n_files (no pruning). */
+    * columns while the baseline sits near n_files (no pruning). Since
+    * r16 the gate ALSO replays every reported number independently (the
+    * r15 verdict's differential-twin ask): each file is scanned on its
+    * own for (min, max) — a per-file read path, not the op's
+    * input_file_name groupBy — and the interval-stabbing average depth
+    * is recomputed in local Scala; all six (layout, column) cells must
+    * match the op exactly. */
   private val clusterDirs = scala.collection.concurrent.TrieMap[String, String]()
   val layClusteringReport: Q = Q(
     "lay_clustering_report",
@@ -434,6 +440,34 @@ object LayoutQueries extends QueryModule {
       val sorted = report("sorted")
       val z = report("zorder")
       val sh = report("shuffled")
+      // independent differential replay: per-file scans + local
+      // interval-stabbing, compared EXACTLY to the op's numbers
+      def replay(sub: String, c: String): (Long, Double) = {
+        val files = new java.io.File(s"$base/$sub").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_"))
+          .map(_.getAbsolutePath).sorted
+        val ivs = files.map { f =>
+          val r = s.read.parquet(f)
+            .agg(min(col(c).cast("double")), max(col(c).cast("double")))
+            .head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+        val depths = ivs.map { case (mn, mx) =>
+          ivs.count { case (mn2, mx2) => mn <= mx2 && mn2 <= mx }
+        }
+        (ivs.length.toLong,
+          BigDecimal(depths.sum.toDouble / depths.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }
+      for (sub <- Seq("sorted", "zorder", "shuffled");
+           c <- Seq("o_custkey", "o_totalprice")) {
+        val opSays = Map("sorted" -> sorted, "zorder" -> z,
+          "shuffled" -> sh)(sub)(c)
+        val independent = replay(sub, c)
+        require(opSays == independent,
+          s"$sub/$c: op reports $opSays, independent replay $independent")
+      }
       require(sorted("o_custkey")._2 == 1.0,
         s"sorted layout must have depth 1 on its sort key: $sorted")
       require(sh("o_custkey")._2 > 0.9 * sh("o_custkey")._1.toDouble,

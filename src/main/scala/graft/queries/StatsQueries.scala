@@ -473,27 +473,48 @@ object StatsQueries extends QueryModule {
           Seq("k"), "l_partkey", buckets = 64)
         .orderBy("k"))
 
-  /** Mergeable log-bucket quantile sketch ([[QuantileSketch]]): rows-only
-    * (a DuckDB oracle can't replicate JVM `log` bucket boundaries
-    * bit-for-bit), self-asserting the relative-error contract against
-    * Spark's exact quantiles at gate scale. */
+  /** Mergeable log-bucket quantile sketch ([[QuantileSketch]]) — PROMOTED
+    * to oracle-checked (r15 verdict item 3, the t1-approx template): the
+    * sketch estimates themselves have no SQL mirror (JVM `log` bucket
+    * boundaries), so the gate emits per q the EXACT interpolated
+    * percentile (Spark `percentile` ≡ DuckDB `quantile_cont`, the t17
+    * parity) plus the COMPUTED rel-err verdict of the sketch against it
+    * at the pinned 2.1% budget — DuckDB rebuilds the exact values and
+    * pins the verdict TRUE, so a drifting sketch flips a hashed cell,
+    * not just an in-gate assert. */
   val incQuantileSketch: Q = Q(
     "inc_quantile_sketch",
-    None,
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      e AS (SELECT round(quantile_cont(v, 0.25), 6) AS e25,
+                   round(quantile_cont(v, 0.50), 6) AS e50,
+                   round(quantile_cont(v, 0.75), 6) AS e75 FROM b)
+      SELECT 0.25 AS q, e25 + 0.0 AS exact_v, TRUE AS within_budget FROM e
+      UNION ALL SELECT 0.50, e50 + 0.0, TRUE FROM e
+      UNION ALL SELECT 0.75, e75 + 0.0, TRUE FROM e
+      ORDER BY q"""),
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val merged = QuantileSketch.merge(
         QuantileSketch.sketch(li, Seq("l_extendedprice"), col("l_returnflag")))
       val qs = Seq(0.25, 0.5, 0.75)
       val est = QuantileSketch.quantiles(merged, "l_extendedprice", qs)
-      val exact = li.stat.approxQuantile("l_extendedprice", qs.toArray, 0.0)
-      qs.zip(exact).foreach { case (q, ex) =>
-        val rel = math.abs(est(q) - ex) / math.max(math.abs(ex), 1e-12)
-        require(rel <= 0.021,
-          s"quantile sketch q=$q drifted: est ${est(q)} vs exact $ex")
-      }
+      val exactRow = li.agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("e25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("e75")).head()
       import s.implicits._
-      qs.map(q => (q, est(q))).toDF("q", "estimate").orderBy("q")
+      qs.zipWithIndex.map { case (q, i) =>
+        val ex = exactRow.getDouble(i)
+        val rel = math.abs(est(q) - ex) / math.max(math.abs(ex), 1e-12)
+        require(rel <= 0.021, // loud message first; the hash still
+          // carries the verdict if this require is ever loosened
+          s"quantile sketch q=$q drifted: est ${est(q)} vs exact $ex")
+        (q, BigDecimal(ex).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0, rel <= 0.021)
+      }.toDF("q", "exact_v", "within_budget").orderBy("q")
     })
 
   /** Exact grouped percentiles (p50/p95/p99): Spark's `percentile` and

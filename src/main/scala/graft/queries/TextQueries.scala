@@ -1120,12 +1120,11 @@ object TextQueries extends QueryModule {
       graft.ops.HeavyHitters.frequentTokens(
         Tables.load(s, dir, "documents"), "text", minFraction = 0.034))
 
-  /** Per-source corpus datasheet ([[graft.ops.CorpusReport]]): volume,
-    * exact-dup census, language mix, mean quality — one groupBy scan.
-    * Quality is micro-quantized before summing so the mean is exact. */
-  val txtCorpusCard: Q = Q(
-    "txt_corpus_card",
-    Some {
+  /** The [[graft.ops.CorpusReport.bySource]] oracle — shared with
+    * s12_dataset_card, whose rendered markdown parses back to exactly
+    * this table (one SQL string, two gates: the numbers and their
+    * rendering can't drift apart). */
+  private[queries] val corpusCardSql: String = {
       val enList = TextOps.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
       s"""
       WITH d AS (
@@ -1150,7 +1149,14 @@ object TextQueries extends QueryModule {
       FROM q
       GROUP BY source
       ORDER BY source"""
-    },
+  }
+
+  /** Per-source corpus datasheet ([[graft.ops.CorpusReport]]): volume,
+    * exact-dup census, language mix, mean quality — one groupBy scan.
+    * Quality is micro-quantized before summing so the mean is exact. */
+  val txtCorpusCard: Q = Q(
+    "txt_corpus_card",
+    Some(corpusCardSql),
     (s, dir) =>
       graft.ops.CorpusReport.bySource(Tables.load(s, dir, "documents")))
 
