@@ -688,6 +688,48 @@ object CatalogQueries extends QueryModule {
       out
     })
 
+  /** The >2³¹-row digest path ([[graft.catalog.Fingerprint
+    * .contentDigestExact]], r15 verdict item 6 — compiled since r14 but
+    * never gated): the row-hash sum stays in DECIMAL(38,0), which never
+    * overflows at any row count, and EMITS AS VARCHAR — a decimal's
+    * physical encoding is engine-specific (the r13 lesson behind the
+    * BIGINT twin), but its plain-digit string render is not. In-dump:
+    * the exact digest must equal the BIGINT twin's value on this
+    * (<2³¹-row) table — the two paths are one sum read out two ways —
+    * and partitioning invariance holds on the exact path too. */
+  val mntTableDigestExact: Q = Q(
+    "mnt_table_digest_exact",
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+          COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_returnflag AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_linestatus AS VARCHAR), '<NULL>'),
+          COALESCE(CAST(l_shipdate AS VARCHAR), '<NULL>'))), 1, 8))
+          AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+          AS content_digest_exact
+      FROM lineitem"""),
+    (s, dir) => {
+      import graft.catalog.Fingerprint
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      val exact = Fingerprint.contentDigestExact(li, cols)
+      val e0 = exact.head()
+      // cross-path identity: the BIGINT twin is this sum cast down, so
+      // on a <2^31-row table the values must agree digit-for-digit
+      val long0 = Fingerprint.contentDigest(li, cols).head()
+      require(e0.getDecimal(1).toBigInteger.toString ==
+        long0.getAs[Long]("content_digest").toString,
+        s"exact and long digest paths diverged: $e0 vs $long0")
+      val e1 = Fingerprint.contentDigestExact(li.repartition(13), cols)
+        .head()
+      require(e0 == e1, "exact digest must be partitioning-invariant")
+      exact.select(col("n_rows"),
+        col("content_digest").cast("string").as("content_digest_exact"))
+    })
+
   /** Dataset-card markdown sink ([[Sinks.renderDatasetCard]]) — PROMOTED
     * to oracle-checked (r15 verdict item 3): the card is written to
     * disk, read back, and its Sources table PARSED back into typed rows
@@ -754,5 +796,5 @@ object CatalogQueries extends QueryModule {
     s2PartitionedScan, s3MetadataScan, s4NumericRanges,
     s5HeaderScan, s6UploadIngest, s6JsonlIngest, s7DatasetPrep, s8CsvExport,
     s9ZipReport, s10TomlRoundtrip, s11ProfileSink, mntTableDigest,
-    mntTableDigestDouble, s12DatasetCard)
+    mntTableDigestDouble, mntTableDigestExact, s12DatasetCard)
 }
