@@ -33,9 +33,13 @@ import org.apache.spark.sql.types._
   * row either way (auditability at scale).
   *
   * ==STUB NOTICE (video PIXELS only)==
-  * The container has no video codecs, so anything requiring decoded video
-  * SAMPLES — the feature embedding in [[extractFeatures]]'s video rows and
-  * the frame payload in [[sampleFrames]] — uses [[stubDecode]], a
+  * Two video families decode end to end with pure JDK: MJPEG-AVI
+  * ([[parseAvi]] — each frame chunk is a genuine JPEG) and multi-frame
+  * GIF ([[parseGifFrames]] — ImageIO reads every stored raster). For the
+  * REMAINING codecs the container has no decoders, so anything requiring
+  * decoded video SAMPLES — the feature embedding in [[extractFeatures]]'s
+  * video rows and the frame payload in [[sampleFrames]] — uses
+  * [[stubDecode]], a
   * clearly-marked DETERMINISTIC FAKE derived from raw bytes. The container
   * metadata on those same rows is real ([[parseMp4]]); the Spark-side
   * plumbing — schema, partition-batched `mapPartitions`, fan-out shape —
@@ -835,7 +839,9 @@ object Multimodal {
     * MJPEG-AVI content gets REAL frames — [[parseAvi]] locates the frame
     * chunks and the payload is the frame's actual JPEG bytes (decodable
     * by pure-JDK ImageIO; `real = true`, timestamps from the container's
-    * own frame timing). Other containers fall back to the documented
+    * own frame timing). Multi-frame GIF content ALSO gets real frames
+    * ([[parseGifFrames]]: PNG-re-encoded stored rasters, timestamps from
+    * the cumulative GCE delays). Other containers fall back to the documented
     * deterministic STUB payload (their codecs aren't available in this
     * environment): timestamps i·duration/k from `meta.duration_ms`, else
     * the REAL container duration via [[parseMp4]], else a length-derived
@@ -863,6 +869,17 @@ object Multimodal {
                 Row(id, i, avi.usPerFrame * fi / 1000L,
                   java.util.Arrays.copyOfRange(bytes, off, off + len), true)
               }
+            case None => parseGifFrames(bytes) match {
+            case Some(gif) =>
+              // REAL path #2 (r16): multi-frame GIF — payload is the
+              // frame re-encoded as standalone PNG, timestamps are the
+              // container's own cumulative GCE delays
+              val n = gif.size
+              (0 until k).iterator.map { i =>
+                val fi = math.min(n - 1, i * n / k)
+                val (ts, png) = gif(fi)
+                Row(id, i, ts, png, true)
+              }
             case None =>
               val duration =
                 if (!r.isNullAt(2)) r.getLong(2)
@@ -882,6 +899,7 @@ object Multimodal {
                 }
                 Row(id, i, ts, frame, false)
               }
+            }
           }
         }
       }
@@ -1082,26 +1100,35 @@ object Multimodal {
     * writer) in a minimal RIFF AVI container — synthetic "video" rows
     * whose PIXELS genuinely decode, the video twin of [[syntheticPng]] /
     * [[syntheticWav]]. */
+  /** Seeded smooth sinusoidal grayscale frame `i` of a synthetic clip —
+    * shared by the MJPEG-AVI and animated-GIF fixture writers so the two
+    * container families carry the same perceptual content per seed. */
+  private def sinusoidalFrame(w: Int, h: Int, i: Int, seed: Long,
+      fx: Double, fy: Double): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128 + 90 * math.sin(
+          2 * math.Pi * (fx * x / w + fy * y / h) + 0.35 * i + seed * 0.01)
+        val c = math.max(0, math.min(255, v.toInt))
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   private[graft] def syntheticMjpegAvi(
       w: Int, h: Int, nFrames: Int, fps: Int = 10,
       seed: Long = 7L, fx: Double = 2.0, fy: Double = 1.0): Array[Byte] = {
     def jpegFrame(i: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = 128 + 90 * math.sin(
-            2 * math.Pi * (fx * x / w + fy * y / h) + 0.35 * i + seed * 0.01)
-          val c = math.max(0, math.min(255, v.toInt))
-          img.setRGB(x, y, (c << 16) | (c << 8) | c)
-          x += 1
-        }
-        y += 1
-      }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", out)
+      javax.imageio.ImageIO.write(sinusoidalFrame(w, h, i, seed, fx, fy),
+        "jpg", out)
       out.toByteArray
     }
     val le = java.nio.ByteOrder.LITTLE_ENDIAN
@@ -1146,6 +1173,112 @@ object Multimodal {
     val riff = java.nio.ByteBuffer.allocate(8 + body.length).order(le)
     riff.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length).put(body)
     riff.array()
+  }
+
+  /** REAL multi-frame GIF decode (pure-JDK ImageIO, r15 verdict item 7):
+    * the GIF `ImageReader` reports `getNumImages(true)` and reads each
+    * stored frame raster; per-frame delays come from the
+    * GraphicControlExtension in each frame's metadata tree
+    * (centiseconds, the GIF89a unit — 0 is kept as 0, a literal "render
+    * as fast as possible" marker some encoders emit). Frames re-encode
+    * as standalone PNG payloads (lossless; a stored GIF frame's LZW
+    * stream is not independently decodable the way an MJPEG chunk's
+    * JPEG is). Returns (cumulative_ms, png_bytes) per frame, or None
+    * when the bytes aren't a GIF.
+    *
+    * Scope: frames are the STORED rasters — animation compositing
+    * (disposal methods, sub-rectangle patches over a canvas) is not
+    * applied, which is exact for full-frame GIFs (screen recordings,
+    * generated clips) and a documented approximation for
+    * patch-optimized ones. */
+  private[graft] def parseGifFrames(
+      bytes: Array[Byte]): Option[Seq[(Long, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 6) return None
+    val magic = new String(bytes, 0, 6, "ISO-8859-1")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      var tMs = 0L
+      val out = Seq.newBuilder[(Long, Array[Byte])]
+      var i = 0
+      while (i < n) {
+        val img = reader.read(i)
+        val delayCs =
+          try {
+            val tree = reader.getImageMetadata(i)
+              .getAsTree("javax_imageio_gif_image_1.0")
+            val kids = tree.getChildNodes
+            (0 until kids.getLength).iterator
+              .map(kids.item)
+              .find(_.getNodeName == "GraphicControlExtension")
+              .flatMap(g => Option(g.getAttributes
+                .getNamedItem("delayTime")))
+              .map(_.getNodeValue.toInt).getOrElse(0)
+          } catch { case _: Exception => 0 }
+        val png = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", png)
+        out += ((tMs, png.toByteArray))
+        tMs += delayCs * 10L
+        i += 1
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+    finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Deterministic animated GIF: the [[sinusoidalFrame]] clip content
+    * written through the real ImageIO GIF sequence writer, each frame
+    * carrying a GraphicControlExtension with `delayCs` centiseconds —
+    * the multi-frame twin of [[syntheticMjpegAvi]] (same seed ⇒ same
+    * perceptual content, different container + palette quantization). */
+  private[graft] def syntheticAnimatedGif(
+      w: Int, h: Int, nFrames: Int, delayCs: Int = 10,
+      seed: Long = 7L, fx: Double = 2.0, fy: Double = 1.0): Array[Byte] = {
+    require(nFrames >= 1 && delayCs >= 0, s"bad GIF shape: $nFrames/$delayCs")
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var i = 0
+      while (i < nFrames) {
+        val img = sinusoidalFrame(w, h, i, seed, fx, fy)
+        val md = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = new javax.imageio.metadata.IIOMetadataNode(
+          "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        tree.appendChild(gce)
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, md), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
   }
 
   /** Deterministic tiny PNG: seeded per-pixel RGB noise encoded through

@@ -297,6 +297,79 @@ object SimQueries extends QueryModule {
         .orderBy("media_id", "frame_index")
     })
 
+  /** REAL multi-frame GIF decode ([[Multimodal.parseGifFrames]] +
+    * `sampleFrames`, r15 verdict item 7): animated GIFs join MJPEG-AVI
+    * as the second video family whose PIXELS decode end to end with
+    * pure JDK — every stored raster reads via the GIF ImageReader and
+    * re-encodes as a standalone PNG payload, timestamps from the
+    * container's own cumulative GCE delays. Rows-only, self-asserting:
+    * every GIF yields k real PNG-magic frames whose content hashes
+    * EXACTLY match a driver-side decode replay of the same fixture
+    * bytes, timestamps follow the authored delayCs grid, and the
+    * resized twin pairs (and only it) through the UNCHANGED dHash
+    * video near-dup path. */
+  val mmGifFrames: Q = Q(
+    "mm_gif_frames",
+    None,
+    (s, _) => {
+      import s.implicits._
+      val k = 6
+      val clips: Seq[(Long, Array[Byte])] = Seq(
+        0L -> Multimodal.syntheticAnimatedGif(48, 36, nFrames = 6,
+          delayCs = 10, seed = 300, fx = 1.0, fy = 2.0),
+        100L -> Multimodal.syntheticAnimatedGif(32, 24, nFrames = 6,
+          delayCs = 10, seed = 300, fx = 1.0, fy = 2.0),
+        1L -> Multimodal.syntheticAnimatedGif(48, 36, nFrames = 6,
+          delayCs = 10, seed = 999, fx = 3.0, fy = 0.5))
+      val media = clips.toDF("media_id", "content")
+        .withColumn("modality", lit("video"))
+        .withColumn("meta", struct(lit("fixture://gif").as("source"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("bigint").as("duration_ms")))
+      val frames = Multimodal.sampleFrames(media, k).persist()
+      val nReal = frames.filter(col("real")).count()
+      require(nReal == clips.size.toLong * k,
+        s"expected ${clips.size * k} real GIF frames, got $nReal")
+      val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+      val badMagic = frames.filter(
+        substring(col("content"), 1, 4) =!= lit(pngMagic)).count()
+      require(badMagic == 0, s"$badMagic frames lack the PNG magic")
+      // EXACT per-frame hashes vs a driver-side decode replay of the
+      // same bytes (same decoder, different execution path — pins the
+      // distributed plumbing byte-for-byte), and the authored timeline
+      val got = frames
+        .select(col("media_id"), col("frame_index"), col("frame_ms"),
+          col("content"))
+        .as[(Long, Int, Long, Array[Byte])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      clips.foreach { case (id, bytes) =>
+        val local = Multimodal.parseGifFrames(bytes)
+          .getOrElse(sys.error(s"fixture $id must parse as GIF"))
+        require(local.size == 6, s"fixture $id: ${local.size} frames")
+        (0 until k).foreach { i =>
+          val fi = math.min(local.size - 1, i * local.size / k)
+          val (wantTs, png) = local(fi)
+          require(wantTs == 100L * fi,
+            s"clip $id frame $fi: ts $wantTs off the 10cs grid")
+          val (gotTs, gotPng) = got((id, i))
+          require(gotTs == wantTs &&
+            java.util.Arrays.equals(gotPng, png),
+            s"clip $id sampled frame $i diverges from the local replay")
+        }
+      }
+      // the resized twin (and only it) survives the existing video
+      // near-dup path, unchanged
+      val pairs = Multimodal.videoPhashPairs(media, k = k, maxHamming = 8)
+        .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+      require(pairs == Set((0L, 100L)),
+        s"GIF near-dup pair drift: $pairs")
+      frames
+        .withColumn("content_digest", xxhash64(col("content")))
+        .drop("content")
+        .orderBy("media_id", "frame_index")
+    })
+
   /** VIDEO near-duplicate pairs ([[Multimodal.videoPhashPairs]]): aligned
     * per-frame dHashes from REAL decoded MJPEG frames, banded candidates
     * with the frame index in the bucket key, mean-frame-hamming verify.
@@ -1430,7 +1503,8 @@ object SimQueries extends QueryModule {
     Seq(embIntrinsicDim, embKnnPurity, embIsotropy,
       simTopK, simAnn, simIvf, simTopkPq, simNearDups, mmFeatures, mmResize,
       mmFrames, ddSemantic, simCentroids, simConfusion, mmPhashPairs,
-      mmMjpegFrames, mmVideoPhashPairs, mmAudioFpPairs, simHardNegatives,
+      mmMjpegFrames, mmGifFrames, mmVideoPhashPairs, mmAudioFpPairs,
+      simHardNegatives,
       kmAssign, kmSizes, kmPrune, kmRebalance, simFpsCoreset, simFpsDeep,
       simMmrRerank, simMmrDeep, simRrfHybrid, simBordaFusion,
       ddSemanticDecontaminate, bitextMine, bitextMineIvf,
