@@ -64,7 +64,7 @@ object ScaleBench {
 
     val fp = fingerprint(sfDir,
       Seq("documents.parquet", "lineitem.parquet", "events.parquet",
-        "embeddings.parquet"))
+        "embeddings.parquet", "customer.parquet", "orders.parquet"))
     val base =
       s"${System.getProperty("java.io.tmpdir")}/graft_scale_bench/$fp"
 
@@ -84,10 +84,10 @@ object ScaleBench {
 
     for (k <- scales) {
       val dir = s"$base/x$k"
-      // v4: fixed embedding copy transform (shift+flip) — version the
-      // marker so older scratch dirs
+      // v5: adds customer/orders for the §3.2 cohort hot path — version
+      // the marker so older scratch dirs
       // (same testdata fingerprint) regenerate instead of missing tables
-      val done = new java.io.File(s"$dir/_done_v4")
+      val done = new java.io.File(s"$dir/_done_v5")
       if (!done.exists()) {
         val docs = Tables.load(spark, sfDir, "documents")
         val stride = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -156,6 +156,24 @@ object ScaleBench {
           signed.withColumn("vec_id", col("vec_id") + lit(i * vStride))
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/embeddings")
+        // customer/orders: K copies with offset custkey (orders keep
+        // their per-customer fan-out and follow the offset) — MORE
+        // customers at constant orders-per-customer, the realistic
+        // growth shape for the reference's §3.2 cohort hot path (hub
+        // cardinality scales, per-hub behavioral fan-out fixed)
+        val cu = Tables.load(spark, sfDir, "customer")
+        val cStride = cu.agg(max("c_custkey")).head.getLong(0) + 1
+        (0 until k).map(i =>
+            cu.withColumn("c_custkey", col("c_custkey") + lit(i * cStride)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/customer")
+        val or = Tables.load(spark, sfDir, "orders")
+        val orStride = or.agg(max("o_orderkey")).head.getLong(0) + 1
+        (0 until k).map(i => or
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * orStride))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * cStride)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/orders")
         done.getParentFile.mkdirs()
         done.createNewFile()
       }
@@ -228,6 +246,42 @@ object ScaleBench {
           ColumnStats.describe(li, t1Cols)
         }
         emit("t1_column_stats", k, li.count(), t1Med, t1S)
+      }
+
+      if (wanted("j1_a1_cohort")) {
+        // the reference's §3.2 interactive hot path (r15 verdict item 4):
+        // filtered hub star left-join (j1 gate shape, unhinted — the
+        // plan regime is allowed to flip from broadcast to SMJ as the
+        // fact side outgrows the threshold, which is exactly what a
+        // 100 TB deployment would see) followed by the a1 live count.
+        // Linearity witnesses: joined rows and live participants both
+        // scale exactly K× (offset custkeys, fixed per-hub fan-out).
+        val cu2 = spark.read.parquet(s"$dir/customer")
+        val or2 = spark.read.parquet(s"$dir/orders")
+        val na = Tables.load(spark, sfDir, "nation")
+        var joined = 0L
+        val (jMed, jS) = timeMedian {
+          val c = cu2.filter(col("c_acctbal") < 0)
+          joined = c
+            .join(broadcast(na), c("c_nationkey") === na("n_nationkey"),
+              "left")
+            .join(or2, c("c_custkey") === or2("o_custkey"), "left")
+            .select(c("c_custkey"), na("n_name"), or2("o_orderkey"),
+              or2("o_totalprice"))
+            .agg(count(col("o_orderkey"))).head.getLong(0)
+        }
+        emit("j1_star_join", k, cu2.count(), jMed, jS,
+          s""","joined_rows":$joined""")
+        var live = 0L
+        val (aMed, aS) = timeMedian {
+          live = cu2
+            .join(or2, cu2("c_custkey") === or2("o_custkey"), "left")
+            .filter(col("o_totalprice") > 200000.0 &&
+              col("c_mktsegment") === "BUILDING")
+            .agg(countDistinct(cu2("c_custkey"))).head.getLong(0)
+        }
+        emit("a1_live_count", k, or2.count(), aMed, aS,
+          s""","n_participants":$live""")
       }
 
       def ev = spark.read.parquet(s"$dir/events")
