@@ -390,14 +390,33 @@ object TextQueries extends QueryModule {
         .select("doc_id").orderBy("doc_id")
     })
 
-  /** Incremental dedup, Bloom scale path (rows-only: the filter's bit
-    * layout is not SQL-expressible). Self-asserts the error contract the
-    * scaladoc promises: no false negatives (every historical duplicate
-    * dropped — bloom-novel ⊆ exact-novel) and false-drop rate within
-    * slack of the configured fpp. */
+  /** Incremental dedup, Bloom scale path — PROMOTED to oracle-checked
+    * (r16, the inc_quantile_sketch template): the filter's bit layout is
+    * not SQL-expressible, so the gate emits the DIFFERENTIAL against the
+    * exact anti-join twin — incoming volume, the exact novel count
+    * (DuckDB rebuilds both from the shared fingerprint normalization),
+    * and the two COMPUTED Bloom-contract verdicts the oracle pins TRUE:
+    * no false negatives (bloom-novel ⊆ exact-novel) and false-drop rate
+    * within slack of the configured fpp. A broken filter now flips a
+    * hashed cell, not just an in-gate assert. */
   val ddNoveltyBloom: Q = Q(
     "dd_novelty_bloom",
-    None,
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        FROM documents),
+      hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8),
+      inc AS (
+        SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 8
+        UNION ALL
+        SELECT doc_id, f FROM fp WHERE doc_id % 10 = 0)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_incoming,
+        CAST(count(*) AS BIGINT) AS n_exact_novel,
+        TRUE AS no_false_negatives,
+        TRUE AS within_drop_budget
+      FROM inc WHERE f NOT IN (SELECT f FROM hist)"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val hist = docs.filter(col("doc_id") % 10 < 8)
@@ -406,14 +425,21 @@ object TextQueries extends QueryModule {
       val exact = Dedup.novelAgainstExact(inc, hist, "text").select("doc_id")
       val novel = Dedup.novelAgainstBloom(inc, hist, "text", fpp = 0.01)
         .select("doc_id")
-      require(novel.join(exact, Seq("doc_id"), "left_anti").isEmpty,
+      val noFalseNeg = novel.join(exact, Seq("doc_id"), "left_anti").isEmpty
+      require(noFalseNeg,
         "bloom novelty returned a row the exact anti-join calls duplicate " +
           "(false negative — violates the Bloom contract)")
+      val nIncoming = inc.count()
       val nExact = exact.count()
       val nNovel = novel.count()
-      require(nNovel >= nExact - math.max(5L, (0.05 * nExact).toLong),
+      val withinBudget =
+        nNovel >= nExact - math.max(5L, (0.05 * nExact).toLong)
+      require(withinBudget,
         s"bloom false-drop rate out of contract: $nNovel of $nExact novel kept")
-      novel.orderBy("doc_id")
+      import s.implicits._
+      Seq((nIncoming, nExact, noFalseNeg, withinBudget))
+        .toDF("n_incoming", "n_exact_novel", "no_false_negatives",
+          "within_drop_budget")
     })
 
   /** Near-dup novelty vs a historical corpus (rows-only: MinHash is not
