@@ -836,6 +836,67 @@ object EventQueries extends QueryModule {
       out
     })
 
+  /** Greenwood band + Nelson–Aalen hazard over the churn curve
+    * ([[graft.stats.Survival.survivalBand]]): the oracle splices the
+    * shared KM CTEs and replays both round-9 cumulative folds, the
+    * inline-z linear band with its [0,1] clamps, and the null se at an
+    * absorbing d = n time. In-gate: the band brackets the curve and the
+    * hazard is non-decreasing. */
+  val evKmGreenwood: Q = Q(
+    "ev_km_greenwood",
+    Some(s"""
+      WITH $kmCte,
+      gw AS (
+        SELECT t, n_risk, d_events, survival,
+          CAST(SUM(CAST(round(CAST(d_events AS DOUBLE) / n_risk, 9)
+            AS DECIMAL(38,12))) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS h,
+          CAST(SUM(CAST(CASE WHEN d_events < n_risk THEN
+              round(CAST(d_events AS DOUBLE)
+                / (CAST(n_risk AS DOUBLE)
+                   * (CAST(n_risk AS DOUBLE) - CAST(d_events AS DOUBLE))),
+                9) END
+            AS DECIMAL(38,12))) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS g
+        FROM curve)
+      SELECT t, n_risk, d_events, survival,
+        round(h, 6) + 0.0 AS cumhaz,
+        CASE WHEN d_events < n_risk
+          THEN round(survival * sqrt(g), 6) + 0.0 END AS se,
+        CASE WHEN d_events < n_risk
+          THEN round(greatest(0.0, survival
+            - 1.959963984540054 * (survival * sqrt(g))), 6) + 0.0 END
+          AS ci_lo,
+        CASE WHEN d_events < n_risk
+          THEN round(least(1.0, survival
+            + 1.959963984540054 * (survival * sqrt(g))), 6) + 0.0 END
+          AS ci_hi
+      FROM gw ORDER BY t"""),
+    (s, dir) => {
+      import graft.stats.Survival
+      val durations = Survival.durationsFromLog(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        "2024-01-31 00:00:00", gapSeconds = 86400L)
+      val out = Survival.survivalBand(
+        Survival.kaplanMeier(durations, col("duration"), col("observed")))
+      if (Tables.gateMode) {
+        val rows = out.collect()
+        require(rows.nonEmpty, "empty band")
+        rows.filter(!_.isNullAt(5)).foreach { r =>
+          require(r.getAs[Double]("ci_lo") <= r.getAs[Double]("survival") &&
+            r.getAs[Double]("survival") <= r.getAs[Double]("ci_hi") &&
+            r.getAs[Double]("se") > 0.0,
+            s"band must bracket the curve: $r")
+        }
+        val hz = rows.map(_.getAs[Double]("cumhaz"))
+        require(hz.zip(hz.tail).forall(p => p._1 <= p._2 + 1e-9),
+          "cumulative hazard must be non-decreasing")
+      }
+      out
+    })
+
   /** Two-sample log-rank test over the hash-split arms' churn durations
     * ([[graft.stats.Survival.logRank]]): the null holds by construction
     * (both arms draw from one population), so the gate asserts the χ²
@@ -3047,7 +3108,8 @@ object EventQueries extends QueryModule {
       evJson, evPartitionedPrune, evLiveCount, evProfile, evAnomaly,
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
-      evCuped, evKaplanMeier, evLogRank, evSurvivalSummary, evCusum,
+      evCuped, evKaplanMeier, evKmGreenwood, evLogRank, evSurvivalSummary,
+      evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
       evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest,
       evItemsetPairs, evAcf, evDid, evSequencePairs, evBrownLinear)

@@ -3522,7 +3522,96 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** D'Agostino K² + Jarque–Bera
+    * ([[graft.stats.Normality.dagostinoK2]]): the distributed normality
+    * pair over line-item prices — the oracle replays the round-6
+    * centering mean, the three round-12 central-moment folds, the
+    * D'Agostino/Anscombe–Glynn transforms (sqrt/ln/cbrt only — no pow),
+    * K², JB, and both χ²(2) p-values via exp(−x/2). In-gate: prices are
+    * decisively non-normal (flat-tailed: z_kurt < 0, both p < 0.05). */
+  val t72DagostinoK2: Q = Q(
+    "t72_dagostino_k2",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      m0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            / count(*), 6) AS mu
+        FROM b),
+      mm AS (
+        SELECT n,
+          CAST(SUM(CAST(round((x - mu) * (x - mu), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) / n AS m2,
+          CAST(SUM(CAST(round((x - mu) * (x - mu) * (x - mu), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) / n AS m3,
+          CAST(SUM(CAST(round((x - mu) * (x - mu) * (x - mu) * (x - mu),
+            12) AS DECIMAL(38,12))) AS DOUBLE) / n AS m4
+        FROM b, m0 GROUP BY n),
+      g AS (
+        SELECT n, CAST(n AS DOUBLE) AS nd,
+          m3 / (m2 * sqrt(m2)) AS g1,
+          m4 / (m2 * m2) AS b2,
+          m4 / (m2 * m2) - 3.0 AS g2
+        FROM mm),
+      sk AS (
+        SELECT *,
+          g1 * sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2))) AS y,
+          -1.0 + sqrt(2 * (3.0 * (nd * nd + 27 * nd - 70) * (nd + 1)
+            * (nd + 3) / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+            - 1)) AS w2
+        FROM g),
+      sk2 AS (
+        SELECT *,
+          (1.0 / sqrt(ln(sqrt(w2)))) * ln(y / sqrt(2.0 / (w2 - 1))
+            + sqrt((y / sqrt(2.0 / (w2 - 1)))
+                   * (y / sqrt(2.0 / (w2 - 1))) + 1)) AS z_skew
+        FROM sk),
+      ku AS (
+        SELECT *,
+          (b2 - 3.0 * (nd - 1) / (nd + 1))
+            / sqrt(24.0 * nd * (nd - 2) * (nd - 3)
+              / ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))) AS xs,
+          6.0 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9))
+            * sqrt(6.0 * (nd + 3) * (nd + 5)
+              / (nd * (nd - 2) * (nd - 3))) AS sb1
+        FROM sk2),
+      ku2 AS (
+        SELECT *, 6.0 + 8.0 / sb1
+          * (2.0 / sb1 + sqrt(1 + 4.0 / (sb1 * sb1))) AS a
+        FROM ku),
+      ku3 AS (
+        SELECT *,
+          ((1 - 2.0 / (9 * a)) - cbrt((1 - 2.0 / a)
+            / (1 + xs * sqrt(2.0 / (a - 4))))) / sqrt(2.0 / (9 * a))
+            AS z_kurt
+        FROM ku2),
+      f AS (
+        SELECT n, g1, g2, z_skew, z_kurt,
+          z_skew * z_skew + z_kurt * z_kurt AS k2,
+          nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS jb
+        FROM ku3)
+      SELECT n, round(g1, 6) + 0.0 AS g1, round(g2, 6) + 0.0 AS g2,
+        round(z_skew, 6) + 0.0 AS z_skew,
+        round(z_kurt, 6) + 0.0 AS z_kurt,
+        round(k2, 6) + 0.0 AS k2,
+        round(exp(-k2 / 2), 6) + 0.0 AS k2_p,
+        round(jb, 6) + 0.0 AS jb,
+        round(exp(-jb / 2), 6) + 0.0 AS jb_p
+      FROM f"""),
+    (s, dir) => {
+      val out = graft.stats.Normality.dagostinoK2(
+        Tables.load(s, dir, "lineitem"), col("l_extendedprice"))
+      val r = out.head()
+      require(r.getAs[Double]("z_kurt") < 0.0 &&
+        r.getAs[Double]("k2_p") < 0.05 && r.getAs[Double]("jb_p") < 0.05,
+        s"flat-tailed prices must reject normality decisively: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
+    t72DagostinoK2,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

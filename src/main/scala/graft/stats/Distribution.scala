@@ -404,6 +404,87 @@ object Normality {
       isNormal = a2 < critical5pct)
   }
 
+  /** D'Agostino's K² omnibus normality test (D'Agostino 1970 skewness
+    * transform; Anscombe & Glynn 1983 kurtosis transform; D'Agostino,
+    * Belanger & D'Agostino 1990 K² — all public, the `scipy.stats
+    * .normaltest` recipe) PLUS Jarque–Bera (Jarque & Bera 1980) from the
+    * same moments — the DISTRIBUTED, oracle-checkable normality pair
+    * beside the driver-side Shapiro–Wilk/Anderson–Darling (whose order
+    * statistics have no SQL mirror; K²'s inputs are four moment folds).
+    *
+    * Two map-side-combined aggregations: the mean (round-6 — the
+    * centering CONSTANT both engines share; a fixed shift at the 6th
+    * decimal moves g1/g2 below the emitted rounding), then central
+    * moment folds Σd², Σd³, Σd⁴ as round-12 decimals — centered folds
+    * keep the d⁴ sum ~10 digits smaller than raw x⁴ would be, inside
+    * decimal(38,12) headroom at any realistic n. Every transform after
+    * is elementary (sqrt/ln/cbrt — cross-engine parity per the Box–Cox
+    * ln convention), so the ORACLE replays z_skew, z_kurt, K² and both
+    * χ²(2) p-values (survival of χ²₂ is exactly exp(−x/2)) end to end.
+    * Normal-z p-values for the individual transforms are library-only
+    * and deliberately not emitted (the t52 convention). Requires
+    * n ≥ 20 (the Anscombe–Glynn kurtosis approximation's floor — loud)
+    * and non-degenerate variance. Returns one row (n, g1, g2, z_skew,
+    * z_kurt, k2, k2_p, jb, jb_p), statistics round-6. */
+  def dagostinoK2(df: DataFrame, xCol: Column): DataFrame = {
+    val x = xCol.cast(DoubleType)
+    val base = df.filter(x.isNotNull && !isnan(x)).select(x.as("x"))
+    def fold12(c: Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast(DoubleType)
+    val m0 = base.agg(count(lit(1)).as("n"), fold12(col("x")).as("s1"))
+      .head()
+    val n = m0.getAs[Long]("n")
+    require(n >= 20,
+      s"D'Agostino K2 needs n >= 20 (Anscombe-Glynn kurtosis floor), " +
+        s"got $n - use Shapiro-Wilk for small samples")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val mean = r6(m0.getAs[Double]("s1") / n)
+    val d = col("x") - lit(mean)
+    val m = base.agg(
+      fold12(d * d).as("s2"), fold12(d * d * d).as("s3"),
+      fold12(d * d * d * d).as("s4")).head()
+    val m2 = m.getAs[Double]("s2") / n
+    require(m2 > 0.0, "constant column - normality undefined")
+    val m3 = m.getAs[Double]("s3") / n
+    val m4 = m.getAs[Double]("s4") / n
+    // m2·√m2, not pow(m2, 1.5): sqrt is IEEE-exact, pow's last ulp is
+    // libm-specific (the Box–Cox no-pow convention)
+    val g1 = m3 / (m2 * math.sqrt(m2))
+    val b2 = m4 / (m2 * m2)
+    val g2 = b2 - 3.0
+    val nd = n.toDouble
+    // skewness transform (D'Agostino 1970)
+    val y = g1 * math.sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2)))
+    val beta2 = 3.0 * (nd * nd + 27 * nd - 70) * (nd + 1) * (nd + 3) /
+      ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+    val w2 = -1.0 + math.sqrt(2 * (beta2 - 1))
+    val delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    val alpha = math.sqrt(2.0 / (w2 - 1))
+    val zSkew = delta * math.log(y / alpha +
+      math.sqrt((y / alpha) * (y / alpha) + 1))
+    // kurtosis transform (Anscombe & Glynn 1983)
+    val eB2 = 3.0 * (nd - 1) / (nd + 1)
+    val varB2 = 24.0 * nd * (nd - 2) * (nd - 3) /
+      ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))
+    val xStd = (b2 - eB2) / math.sqrt(varB2)
+    val sqrtB1 = 6.0 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9)) *
+      math.sqrt(6.0 * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3)))
+    val a = 6.0 + 8.0 / sqrtB1 *
+      (2.0 / sqrtB1 + math.sqrt(1 + 4.0 / (sqrtB1 * sqrtB1)))
+    val zKurt = ((1 - 2.0 / (9 * a)) -
+      math.cbrt((1 - 2.0 / a) / (1 + xStd * math.sqrt(2.0 / (a - 4))))) /
+      math.sqrt(2.0 / (9 * a))
+    val k2 = zSkew * zSkew + zKurt * zKurt
+    val jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, r6(g1), r6(g2), r6(zSkew), r6(zKurt), r6(k2),
+      r6(math.exp(-k2 / 2)), r6(jb), r6(math.exp(-jb / 2))))
+      .toDF("n", "g1", "g2", "z_skew", "z_kurt", "k2", "k2_p", "jb",
+        "jb_p")
+  }
+
   /** Horner evaluation with coefficients ordered c0 + c1·x + c2·x² + …
     * except that `coefs.last` may carry an additive base term (Royston's
     * convention for the weight polynomials, where the base is c(n-1)). */

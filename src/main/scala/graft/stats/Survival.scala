@@ -134,6 +134,49 @@ object Survival {
     med.crossJoin(rmst).withColumn("tau", lit(tau))
   }
 
+  /** Uncertainty band + cumulative hazard for a [[kaplanMeier]] curve:
+    * the Nelson–Aalen cumulative hazard Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ (Nelson
+    * 1972; Aalen 1978 — public) and the Greenwood standard error
+    * se(t) = Ŝ(t)·√(Σ dᵢ/(nᵢ(nᵢ−dᵢ))) (Greenwood 1926 — public) with
+    * the plain linear 95% band clamped to [0, 1] — the honest "how sure
+    * is this retention curve" companion every KM plot needs. The z
+    * multiplier is an inline literal double shared with the oracle (the
+    * zQuantile convention).
+    *
+    * Composes the CURVE (already distinct-times-capped at source, and
+    * re-capped here for externally-built curves): curve-sized windows,
+    * round-9 decimal folds for both cumulative sums. At an absorbing
+    * time (d = n, Ŝ = 0) the Greenwood term divides by zero — that row
+    * reports null se/ci (its hazard increment still lands in Ĥ).
+    * Returns (t, n_risk, d_events, survival, cumhaz, se, ci_lo, ci_hi)
+    * ordered by t, round-6. */
+  def survivalBand(curve: DataFrame, z: Double = 1.959963984540054,
+      maxDistinctTimes: Long = 1000000L): DataFrame = {
+    requireBoundedTimes(curve.count(), maxDistinctTimes, "survivalBand")
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dD = col("d_events").cast("double")
+    val nD = col("n_risk").cast("double")
+    val hTerm = round(dD / nD, 9)
+    val gTerm = when(col("d_events") < col("n_risk"),
+      round(dD / (nD * (nD - dD)), 9))
+    val live = col("d_events") < col("n_risk")
+    val se = col("survival") * sqrt(col("__g"))
+    curve
+      .withColumn("__h",
+        sum(hTerm.cast("decimal(38,12)")).over(upTo).cast("double"))
+      .withColumn("__g",
+        sum(gTerm.cast("decimal(38,12)")).over(upTo).cast("double"))
+      .select(col("t"), col("n_risk"), col("d_events"), col("survival"),
+        round(col("__h"), 6).as("cumhaz"),
+        when(live, round(se, 6)).as("se"),
+        when(live, round(greatest(lit(0.0),
+          col("survival") - lit(z) * se), 6)).as("ci_lo"),
+        when(live, round(least(lit(1.0),
+          col("survival") + lit(z) * se), 6)).as("ci_hi"))
+      .orderBy("t")
+  }
+
   /** Two-sample log-rank test (Mantel 1966; Peto & Peto 1972 — public):
     * does group A churn faster than group B? At every observed-event
     * time, group A's observed events dₐ are compared with the

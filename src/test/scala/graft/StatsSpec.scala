@@ -859,6 +859,19 @@ class StatsSpec extends SparkSpec {
     assert(curve(23.0)._2 == 0.448178 || curve(23.0)._2 == 0.448179)
     // censoring-only times (9, 11, ...) never appear as curve steps
     assert(!curve.contains(9.0) && !curve.contains(11.0))
+    // Greenwood band + Nelson-Aalen on the same textbook curve: at t=6
+    // H = 3/21 = 0.142857 and se = S*sqrt(3/(21*18)) = 0.07636 (the
+    // published 6-MP value ~0.0764)
+    val band = Survival.survivalBand(Survival.kaplanMeier(df, col("t"),
+        col("e"))).orderBy("t").collect()
+    val b6 = band.head
+    assert(b6.getAs[Double]("t") == 6.0 &&
+      b6.getAs[Double]("cumhaz") == 0.142857 &&
+      b6.getAs[Double]("se") == 0.07636, s"$b6")
+    assert(b6.getAs[Double]("ci_lo") <= 0.857143 &&
+      0.857143 <= b6.getAs[Double]("ci_hi"))
+    val hz = band.map(_.getAs[Double]("cumhaz"))
+    assert(hz.zip(hz.tail).forall(p => p._1 <= p._2), "H non-decreasing")
     // everyone dies at the last time: survival hits exactly 0, not ln(0)
     val allDie = Seq((1.0, 1), (1.0, 1), (2.0, 1), (2.0, 1)).toDF("t", "e")
     val z = Survival.kaplanMeier(allDie, col("t"), col("e"))
@@ -886,6 +899,53 @@ class StatsSpec extends SparkSpec {
     val bd = fine.select(Survival.binDurations(col("t"), 1.0).as("b"),
       col("t")).collect()
     assert(bd.forall(r => r.getAs[Double]("b") <= r.getAs[Double]("t")))
+  }
+
+  test("dagostino k2: hand case, normal calibration, directional behavior") {
+    import graft.stats.Normality
+    // hand case replayed independently (decimal folds + transforms in
+    // pure Python, tools-free): n=20 mixed sample
+    val xs = Seq(1.2, 3.4, 2.2, 5.6, 4.1, 0.5, 2.9, 3.3, 1.8, 7.7,
+      2.4, 3.1, 4.8, 2.0, 3.6, 1.1, 2.7, 5.2, 3.9, 2.5)
+    val r = Normality.dagostinoK2(xs.toDF("x"), col("x")).head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("g1") == 0.805201 &&
+      r.getAs[Double]("g2") == 0.634206, s"$r")
+    assert(r.getAs[Double]("z_skew") == 1.708713 &&
+      r.getAs[Double]("z_kurt") == 1.253846, s"$r")
+    assert(r.getAs[Double]("k2") == 4.491829 &&
+      r.getAs[Double]("k2_p") == 0.105831, s"$r")
+    assert(r.getAs[Double]("jb") == 2.496344 &&
+      r.getAs[Double]("jb_p") == 0.287029, s"$r")
+    // calibration: near-normal data (Irwin–Hall sum of 12 uniforms from
+    // the deterministic hash stream) must NOT reject; z's stay small
+    val n1 = (1 to 3000).map { i =>
+      val rng = new java.util.Random(i.toLong * 2654435761L)
+      (1 to 12).map(_ => rng.nextDouble()).sum - 6.0
+    }
+    val rn = Normality.dagostinoK2(n1.toDF("x"), col("x")).head()
+    assert(rn.getAs[Double]("k2_p") > 0.05 &&
+      math.abs(rn.getAs[Double]("z_skew")) < 3 &&
+      math.abs(rn.getAs[Double]("z_kurt")) < 3, s"$rn")
+    // directional: exponential-ish -> strong right skew z; uniform ->
+    // strongly negative kurtosis z
+    val ex = (1 to 2000).map { i =>
+      val u = (new java.util.Random(i.toLong * 40503L)).nextDouble()
+      -math.log(1.0 - u)
+    }
+    val re = Normality.dagostinoK2(ex.toDF("x"), col("x")).head()
+    assert(re.getAs[Double]("z_skew") > 5, s"$re")
+    val un = (1 to 2000).map(i =>
+      (new java.util.Random(i.toLong * 69069L)).nextDouble())
+    val ru = Normality.dagostinoK2(un.toDF("x"), col("x")).head()
+    assert(ru.getAs[Double]("z_kurt") < -5, s"$ru")
+    // loud floors
+    intercept[IllegalArgumentException] {
+      Normality.dagostinoK2((1 to 19).map(_.toDouble).toDF("x"), col("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Normality.dagostinoK2(Seq.fill(25)(2.0).toDF("x"), col("x"))
+    }
   }
 
   test("log-rank shares the capped distinct-times contract (r15 weak item)") {
