@@ -3610,8 +3610,126 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Friedman repeated-measures test ([[graft.stats.RankTests
+    * .friedman]]): orders with line numbers 1–3 as complete blocks, a
+    * planted +2·linenumber treatment effect on quantity. Ranks travel
+    * DOUBLED (exact integers end to end), so the oracle replays the
+    * within-block rank windows, the per-treatment sums, Conover's
+    * tie-exact Q, and the k=3 closed-form χ²(2) p = exp(−Q/2). In-gate:
+    * the planted order fires (mean ranks increase with the line number,
+    * p ≪ 0.01). */
+  val t73Friedman: Q = Q(
+    "t73_friedman",
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey AS blk, CAST(l_linenumber AS VARCHAR) AS g,
+          CAST(l_quantity + 2 * l_linenumber AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_linenumber <= 3 AND l_quantity IS NOT NULL),
+      ok AS (SELECT blk FROM b GROUP BY blk
+             HAVING count(*) = 3 AND count(DISTINCT g) = 3),
+      c AS (SELECT b.* FROM b JOIN ok USING (blk)),
+      r AS (
+        SELECT g,
+          CAST(2 * rank() OVER (PARTITION BY blk ORDER BY v)
+            + count(*) OVER (PARTITION BY blk, v) - 1 AS BIGINT) AS r2
+        FROM c),
+      agg AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2sum
+              FROM r GROUP BY g),
+      tot AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a2 FROM r),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM ok),
+      st AS (
+        SELECT CAST(SUM((r2sum / 2.0 - nb * 2.0)
+          * (r2sum / 2.0 - nb * 2.0)) AS DOUBLE) AS ssq
+        FROM agg, nn),
+      qq AS (
+        SELECT 2 * ssq / (a2 / 4.0 - nb * 3.0 * 16.0 / 4.0) AS q
+        FROM st, tot, nn)
+      SELECT g AS treatment, nb AS n_blocks,
+        round(r2sum / 2.0 / nb, 6) + 0.0 AS mean_rank,
+        round(q, 6) + 0.0 AS q_stat,
+        round(exp(-q / 2), 6) + 0.0 AS p_value
+      FROM agg, nn, qq ORDER BY treatment"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3 && col("l_quantity").isNotNull)
+        .select(col("l_orderkey").as("blk"),
+          col("l_linenumber").cast("string").as("g"),
+          (col("l_quantity") + lit(2) * col("l_linenumber"))
+            .cast("double").as("v"))
+      // the synthetic lineitem REUSES line numbers within an order, so a
+      // complete block needs both three rows AND three distinct labels
+      val ok = li.groupBy("blk")
+        .agg(count(lit(1)).as("c"), count_distinct(col("g")).as("kg"))
+        .filter(col("c") === 3 && col("kg") === 3).select("blk")
+      val out = graft.stats.RankTests.friedman(
+        li.join(ok, "blk"), col("blk"), col("g"), col("v"))
+      val rows = out.collect()
+      require(rows.length == 3 && rows.head.getAs[Double]("p_value") < 0.01,
+        s"planted treatment effect must fire: ${rows.mkString(";")}")
+      val ranks = rows.map(r =>
+        r.getString(0) -> r.getAs[Double]("mean_rank")).toMap
+      require(ranks("1") < ranks("2") && ranks("2") < ranks("3"),
+        s"mean ranks must follow the planted +2/linenumber order: $ranks")
+      out
+    })
+
+  /** Mood's median test ([[graft.stats.RankTests.moodMedian]]) on the
+    * t52 planted-shift fixture (A +0, N +2, R +5): the oracle replays
+    * the round-6 interpolated grand median (the shared classification
+    * constant), the exact above/below cells, χ² term-for-term, and the
+    * k=3 closed-form p. In-gate: the planted shifts fire (R sits above
+    * its expectation, p ≪ 0.01). */
+  val t74MoodMedian: Q = Q(
+    "t74_mood_median",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS g,
+          CAST(l_quantity + CASE l_returnflag WHEN 'A' THEN 0
+            WHEN 'N' THEN 2 ELSE 5 END AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      m AS (SELECT round(quantile_cont(v, 0.5), 6) AS med FROM b),
+      cells AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS na
+        FROM b, m GROUP BY g),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                CAST(SUM(na) AS BIGINT) AS ab FROM cells),
+      ch AS (
+        SELECT CAST(SUM(
+          (na - CAST(n AS DOUBLE) * ab / nt)
+            * (na - CAST(n AS DOUBLE) * ab / nt)
+            / (CAST(n AS DOUBLE) * ab / nt)
+          + ((n - na) - CAST(n AS DOUBLE) * (nt - ab) / nt)
+            * ((n - na) - CAST(n AS DOUBLE) * (nt - ab) / nt)
+            / (CAST(n AS DOUBLE) * (nt - ab) / nt)) AS DOUBLE) AS chi2
+        FROM cells, tot)
+      SELECT g AS grp, n, na AS n_above,
+        round(CAST(n AS DOUBLE) * ab / nt, 6) + 0.0 AS expected_above,
+        round(chi2, 6) + 0.0 AS chi2,
+        round(exp(-chi2 / 2), 6) + 0.0 AS p_value
+      FROM cells, tot, ch ORDER BY grp"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+      val v = (col("l_quantity") +
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 2).otherwise(5))
+        .cast("double")
+      val out = graft.stats.RankTests.moodMedian(li, col("l_returnflag"), v)
+      val rows = out.collect()
+      require(rows.head.getAs[Double]("p_value") < 0.01,
+        s"planted median shifts must fire: ${rows.mkString(";")}")
+      val r = rows.find(_.getString(0) == "R").get
+      require(r.getAs[Long]("n_above").toDouble >
+        r.getAs[Double]("expected_above"),
+        s"the +5 group must sit above its expectation: $r")
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
-    t72DagostinoK2,
+    t72DagostinoK2, t73Friedman, t74MoodMedian,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

@@ -620,4 +620,135 @@ object RankTests {
     res.select(lit(nA).as("n_a"), lit(nB).as("n_b"),
       col("n_diff_cells"), col("hl_shift"))
   }
+
+  /** Friedman test (Friedman 1937 — public; Conover's tie-handling
+    * formulation): the repeated-measures companion to
+    * [[kruskalWallis]] — k treatments measured once per block, ranks
+    * taken WITHIN each block, so between-block level differences cancel
+    * by construction. Q = (k−1)·Σ_j(R_j − n(k+1)/2)²/(A − C) with
+    * A = Σ r̄²_ij over all average ranks and C = nk(k+1)²/4 — the form
+    * that is exact under ties; Q ~ χ²(k−1).
+    *
+    * Distributed shape: within-block rank windows partition on the
+    * block key (k-sized frames — never a global window), one groupBy
+    * rollup to k rows. Ranks are carried DOUBLED (2·r̄ = 2·rank +
+    * ties − 1 is always an integer), so every accumulated quantity is
+    * an exact integer and an oracle replays the statistic with no
+    * rounding conventions at all. Blocks must be complete (every block
+    * carries each of the k treatments exactly once — loud otherwise;
+    * filter to a complete design first). The χ²(k−1) p closes in
+    * exp(−Q/2) when k = 3 (shared with the oracle); other k use the
+    * library CDF (library-only by the t52 convention — identical
+    * column either way). Returns one row per treatment (treatment,
+    * n_blocks, mean_rank, q_stat, p_value), round-6. */
+  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(blockCol.as("b"), treatCol.cast("string").as("g"),
+        valueCol.cast("double").as("v"))
+      .filter(col("b").isNotNull && col("g").isNotNull &&
+        col("v").isNotNull && !isnan(col("v")))
+    val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+    val tie = Window.partitionBy(col("b"), col("v"))
+    val ranked = base.withColumn("__r2",
+      (rank().over(wb) * 2 + count(lit(1)).over(tie) - 1).cast("long"))
+      .persist()
+    try {
+      val k = ranked.select(count_distinct(col("g"))).head().getLong(0)
+      require(k >= 2, s"Friedman needs >= 2 treatments, got $k")
+      val badBlocks = ranked.groupBy("b")
+        .agg(count(lit(1)).as("c"), count_distinct(col("g")).as("kg"))
+        .filter(col("c") =!= k || col("kg") =!= k).count()
+      require(badBlocks == 0L,
+        s"$badBlocks incomplete blocks - Friedman needs every block to " +
+          "carry each treatment exactly once; filter to a complete " +
+          "design first")
+      val tot = ranked.agg(count(lit(1)).as("nk"),
+        sum(col("__r2") * col("__r2")).as("a2")).head()
+      val nk = tot.getAs[Long]("nk")
+      require(nk > 0, "no complete blocks")
+      val nb = nk / k
+      val a2 = tot.getAs[Long]("a2")
+      val perTreat = ranked.groupBy("g")
+        .agg(sum(col("__r2")).as("r2sum")).orderBy("g").collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("r2sum"))
+      val a = a2 / 4.0
+      val c = nb.toDouble * k * (k + 1) * (k + 1) / 4.0
+      require(a > c,
+        "every block fully tied - rank geometry degenerate; nothing to test")
+      val center = nb.toDouble * (k + 1) / 2.0
+      val ssq = perTreat.map { case (_, r2s) =>
+        val d = r2s / 2.0 - center
+        d * d
+      }.sum
+      val q = (k - 1) * ssq / (a - c)
+      // χ²(2) survival is EXACTLY exp(−x/2) — computed directly at
+      // k = 3 so the oracle's exp matches bit-for-bit; the library CDF
+      // would agree only to ~1 ulp
+      val p =
+        if (k == 3) math.exp(-q / 2)
+        else 1.0 - new org.apache.commons.math3.distribution
+          .ChiSquaredDistribution((k - 1).toDouble)
+          .cumulativeProbability(math.max(q, 0.0))
+      perTreat.toSeq.map { case (g, r2s) =>
+        (g, nb, round6(r2s / 2.0 / nb), round6(q), round6(p))
+      }.toDF("treatment", "n_blocks", "mean_rank", "q_stat", "p_value")
+        .orderBy("treatment")
+    } finally ranked.unpersist(blocking = false)
+  }
+
+  /** Mood's median test (Mood 1950 — public): do k groups share a
+    * common median? Every value classifies as above / at-or-below the
+    * GRAND median, and the resulting 2×k contingency tests independence
+    * by χ²(k−1) — cruder than [[kruskalWallis]] but assumption-free
+    * about shape (it only reads the sign relative to one quantile), the
+    * standard robustness cross-check when distributions differ wildly
+    * in spread.
+    *
+    * The grand median is the exact interpolated percentile ROUNDED TO 6
+    * (the classification CONSTANT both engines share — t17 establishes
+    * percentile ≡ quantile_cont parity at that rounding); counts are
+    * exact integers, expectations exact-integer ratios, so the oracle
+    * replays χ² term-for-term. p closes in exp(−χ²/2) at k = 3 (else
+    * library). Returns one row per group (grp, n, n_above, expected_
+    * above, chi2, p_value) ordered by group, round-6. */
+  def moodMedian(df: DataFrame, grpCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(grpCol.cast("string").as("g"),
+        valueCol.cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val mRow = base.agg(round(percentile(col("v"), lit(0.5)), 6)).head()
+    require(!mRow.isNullAt(0), "no values - median undefined")
+    val med = mRow.getDouble(0)
+    val cells = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("v") > med, 1L).otherwise(0L)).as("na"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("na")))
+    val k = cells.length
+    require(k >= 2, s"Mood's median test needs >= 2 groups, got $k")
+    val nTot = cells.map(_._2).sum
+    val aTot = cells.map(_._3).sum
+    require(aTot > 0 && aTot < nTot,
+      "all values on one side of the median - degenerate split " +
+        "(massive ties at the median); use kruskalWallis instead")
+    val chi2 = cells.map { case (_, n, na) =>
+      val ea = n.toDouble * aTot / nTot
+      val eb = n.toDouble * (nTot - aTot) / nTot
+      val nb = n - na
+      (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+    }.sum
+    val p =
+      if (k == 3) math.exp(-chi2 / 2)
+      else 1.0 - new org.apache.commons.math3.distribution
+        .ChiSquaredDistribution((k - 1).toDouble)
+        .cumulativeProbability(math.max(chi2, 0.0))
+    cells.toSeq.map { case (g, n, na) =>
+      (g, n, na, round6(n.toDouble * aTot / nTot), round6(chi2), round6(p))
+    }.toDF("grp", "n", "n_above", "expected_above", "chi2", "p_value")
+      .orderBy("grp")
+  }
 }

@@ -901,6 +901,58 @@ class StatsSpec extends SparkSpec {
     assert(bd.forall(r => r.getAs[Double]("b") <= r.getAs[Double]("t")))
   }
 
+  test("friedman: textbook Q=0.5, ties, incomplete-block loudness") {
+    import graft.stats.RankTests
+    // 4 complete blocks x 3 treatments, no ties: R = (8,7,9) ->
+    // Q = 2*2/(56-48) = 0.5, p = exp(-0.25) = 0.778801 (chi2(2) closed form)
+    val rows = Seq(
+      (1, "t1", 7.0), (1, "t2", 9.0), (1, "t3", 8.0),
+      (2, "t1", 6.0), (2, "t2", 5.0), (2, "t3", 8.0),
+      (3, "t1", 9.0), (3, "t2", 7.0), (3, "t3", 6.0),
+      (4, "t1", 6.0), (4, "t2", 5.0), (4, "t3", 9.0))
+    val out = RankTests.friedman(rows.toDF("b", "g", "v"),
+      col("b"), col("g"), col("v")).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getAs[Double]("q_stat") == 0.5 &&
+      r.getAs[Double]("p_value") == 0.778801), out.mkString(";"))
+    val mr = out.map(r => r.getString(0) -> r.getAs[Double]("mean_rank")).toMap
+    assert(mr == Map("t1" -> 2.0, "t2" -> 1.75, "t3" -> 2.25), mr.toString)
+    // a within-block tie takes the average rank (doubled-rank integers):
+    // block 2 becomes (6,6,8) -> ranks (1.5,1.5,3)
+    val tied = rows.map { case (b, g, v) =>
+      if (b == 2 && g == "t2") (b, g, 6.0) else (b, g, v) }
+    val to = RankTests.friedman(tied.toDF("b", "g", "v"),
+      col("b"), col("g"), col("v")).collect()
+    // R = (8.5, 7.5, 9), A = 55.5, C = 48: Q = 2*1.5/7.5 = 0.4
+    assert(to.forall(r => r.getAs[Double]("q_stat") == 0.4),
+      to.mkString(";"))
+    // incomplete block -> loud
+    val err = intercept[IllegalArgumentException] {
+      RankTests.friedman(rows.drop(1).toDF("b", "g", "v"),
+        col("b"), col("g"), col("v"))
+    }
+    assert(err.getMessage.contains("incomplete"), err.getMessage)
+  }
+
+  test("mood median: hand 2x2 chi2=8, degenerate split loudness") {
+    import graft.stats.RankTests
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(5.0, 6.0, 7.0, 8.0).map(("b", _))).toDF("g", "v")
+    val out = RankTests.moodMedian(df, col("g"), col("v")).collect()
+    // grand median 4.5: a has 0 above, b has 4; chi2 = 4 + 4 = 8
+    assert(out.length == 2)
+    val byG = out.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_above"), r.getAs[Double]("expected_above")))).toMap
+    assert(byG("a") == ((0L, 2.0)) && byG("b") == ((4L, 2.0)), byG.toString)
+    assert(out.forall(_.getAs[Double]("chi2") == 8.0), out.mkString(";"))
+    // everything tied at one value -> degenerate split, loud
+    val err = intercept[IllegalArgumentException] {
+      RankTests.moodMedian(Seq(("a", 2.0), ("a", 2.0), ("b", 2.0))
+        .toDF("g", "v"), col("g"), col("v"))
+    }
+    assert(err.getMessage.contains("degenerate"), err.getMessage)
+  }
+
   test("dagostino k2: hand case, normal calibration, directional behavior") {
     import graft.stats.Normality
     // hand case replayed independently (decimal folds + transforms in
