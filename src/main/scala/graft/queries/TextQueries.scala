@@ -3054,7 +3054,189 @@ object TextQueries extends QueryModule {
       out
     })
 
+  /** Gopher document-quality rules ([[graft.ops.QualityRules
+    * .gopherFlags]]): every per-document signal the paper thresholds
+    * (word bounds, mean word length, symbol ratio, bullet/ellipsis line
+    * fractions, alphabetic-word fraction, stop-list hits) plus the
+    * composite keep — all replayed by DuckDB list functions. In-gate:
+    * the corpus splits (both verdicts occur), and every verdict is
+    * re-derivable from its own row's emitted signals. */
+  val txtGopherRules: Q = Q(
+    "txt_gopher_rules",
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, text, $wSql AS w FROM documents),
+      ln AS (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\\n'),
+            l -> length(trim(l)) > 0) AS lines
+        FROM d),
+      f AS (
+        SELECT d.doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          CASE WHEN len(w) > 0 THEN
+            round(CAST(list_sum(list_transform(w, t -> length(t)))
+              AS DOUBLE) / len(w), 6) END AS mean_word_len,
+          CASE WHEN len(w) > 0 THEN
+            round(CAST((length(text) - length(replace(text, '#', '')))
+              + (len(regexp_split_to_array(text, '\\.\\.\\.')) - 1)
+              + (length(text) - length(replace(text, '…', '')))
+              AS DOUBLE) / len(w), 6) END AS symbol_ratio,
+          CASE WHEN len(lines) > 0 THEN
+            round(CAST(len(list_filter(lines,
+              l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                OR starts_with(trim(l), '•'))) AS DOUBLE)
+              / len(lines), 6) END AS bullet_frac,
+          CASE WHEN len(lines) > 0 THEN
+            round(CAST(len(list_filter(lines,
+              l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+              AS DOUBLE) / len(lines), 6) END AS ellipsis_frac,
+          CASE WHEN len(w) > 0 THEN
+            round(CAST(len(list_filter(w,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+              / len(w), 6) END AS alpha_word_frac,
+          CAST(len(list_filter(list_distinct(w), t -> t IN ('the', 'a',
+            'and', 'of', 'to', 'in', 'is'))) AS BIGINT)
+            AS stopword_hits
+        FROM d JOIN ln ON d.doc_id = ln.doc_id)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        ellipsis_frac, alpha_word_frac, stopword_hits,
+        COALESCE(n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1
+          AND COALESCE(bullet_frac <= 0.9, TRUE)
+          AND COALESCE(ellipsis_frac <= 0.3, TRUE)
+          AND alpha_word_frac >= 0.8 AND stopword_hits >= 2, FALSE)
+          AS keep
+      FROM f ORDER BY doc_id"""),
+    (s, dir) => {
+      // the synthetic corpus's function-word inventory is the en marker
+      // list (only 'the' from the paper's own stop list occurs), so the
+      // gate exercises the stop-word rule through the parameter
+      val out = graft.ops.QualityRules.gopherFlags(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        stopwords = TextOps.LangMarkers.head._2)
+        .orderBy("doc_id")
+      if (Tables.gateMode) {
+        val rows = out.collect()
+        val kept = rows.count(_.getAs[Boolean]("keep"))
+        require(kept > 0 && kept < rows.length,
+          s"fixture must split on the rules: $kept of ${rows.length}")
+        rows.foreach { r =>
+          val want = r.getAs[Long]("n_words") >= 50 &&
+            r.getAs[Long]("n_words") <= 100000 &&
+            r.getAs[Double]("mean_word_len") >= 3.0 &&
+            r.getAs[Double]("mean_word_len") <= 10.0 &&
+            r.getAs[Double]("symbol_ratio") <= 0.1 &&
+            r.getAs[Double]("bullet_frac") <= 0.9 &&
+            r.getAs[Double]("ellipsis_frac") <= 0.3 &&
+            r.getAs[Double]("alpha_word_frac") >= 0.8 &&
+            r.getAs[Long]("stopword_hits") >= 2
+          require(r.getAs[Boolean]("keep") == want,
+            s"verdict must follow its own signals: $r")
+        }
+      }
+      out
+    })
+
+  /** C4 line-and-document cleaning ([[graft.ops.QualityRules.c4Clean]])
+    * over a PLANTED multi-line composition (the raw corpus is
+    * single-line): line 1 = the doc text with terminal punctuation
+    * (kept), a too-short line and an unterminated line (dropped), and a
+    * closing sentence that is lorem-ipsum boilerplate on doc_id%5=0 and
+    * a brace-bearing code line on doc_id%7=0. The oracle rebuilds the
+    * composition, the line retention, the md5 of the cleaned text, and
+    * the verdicts. In-gate: verdicts match the planted pattern exactly. */
+  val txtC4Rules: Q = Q(
+    "txt_c4_rules",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          concat_ws(chr(10),
+            text || '.',
+            'too short.',
+            'this line has no terminal punctuation for doc '
+              || CAST(doc_id AS VARCHAR),
+            CASE WHEN doc_id % 5 = 0
+              THEN 'this document contains lorem ipsum boilerplate text here.'
+              WHEN doc_id % 7 = 0 THEN 'function() { return 1; }'
+              ELSE 'a perfectly fine closing sentence appears right here.'
+            END) AS text
+        FROM documents),
+      ln AS (
+        SELECT doc_id, text,
+          list_filter(regexp_split_to_array(text, '\n'),
+            l -> length(trim(l)) > 0) AS lines
+        FROM d),
+      kp AS (
+        SELECT doc_id, text, lines,
+          list_filter(lines, l ->
+            (ends_with(trim(l), '.') OR ends_with(trim(l), '?')
+              OR ends_with(trim(l), '!') OR ends_with(trim(l), '"'))
+            AND len(regexp_split_to_array(trim(l), '\s+')) >= 5) AS kept
+        FROM ln),
+      cl AS (
+        SELECT doc_id, text, lines, kept,
+          list_aggregate(list_transform(kept, l -> trim(l)),
+            'string_agg', chr(10)) AS cleaned0
+        FROM kp),
+      cl2 AS (
+        SELECT doc_id, text, lines, kept,
+          COALESCE(cleaned0, '') AS cleaned
+        FROM cl),
+      f AS (
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_lines_kept,
+          CASE WHEN length(cleaned) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(regexp_split_to_array(cleaned, '\s+'))
+              AS BIGINT) END AS n_words_kept,
+          CAST(len(list_filter(regexp_split_to_array(cleaned, '[.!?]'),
+            x -> length(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+          contains(lower(text), 'lorem ipsum') AS has_lorem,
+          contains(text, '{') AS has_brace,
+          md5(cleaned) AS cleaned_md5
+        FROM cl2)
+      SELECT doc_id, n_lines, n_lines_kept, n_words_kept, n_sentences,
+        has_lorem, has_brace,
+        (NOT has_lorem) AND (NOT has_brace) AND n_sentences >= 2 AS keep,
+        cleaned_md5
+      FROM f ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val composed = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("too short."),
+          concat(lit("this line has no terminal punctuation for doc "),
+            col("doc_id")),
+          when(col("doc_id") % 5 === 0,
+            lit("this document contains lorem ipsum boilerplate text here."))
+            .when(col("doc_id") % 7 === 0,
+              lit("function() { return 1; }"))
+            .otherwise(
+              lit("a perfectly fine closing sentence appears right here.")))
+          .as("text"))
+      val out = graft.ops.QualityRules.c4Clean(composed, "doc_id", "text",
+        minSentences = 2).orderBy("doc_id")
+      if (Tables.gateMode) {
+        val rows = out.collect()
+        rows.foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          val want = id % 5 != 0 && id % 7 != 0
+          require(r.getAs[Boolean]("keep") == want,
+            s"verdict must match the planted %5/%7 pattern: $r")
+          val wantKept = if (id % 7 == 0 && id % 5 != 0) 1L else 2L
+          require(r.getAs[Long]("n_lines_kept") == wantKept &&
+            r.getAs[Long]("n_lines") == 4L,
+            s"line retention off the planted shape: $r")
+        }
+      }
+      out
+    })
+
   override def queries: Seq[Q] = Seq(
+    txtGopherRules, txtC4Rules,
     txtYulesK, txtBurstiness, txtCharEntropy, txtKeyness,
     txtChao1,
     ddCoverageEstimate,

@@ -3855,4 +3855,60 @@ class OpsSpec extends SparkSpec {
     assert(bySlot(3L) > bySlot(0L),
       s"seasonal ordering lost: ${bySlot.toSeq.sortBy(_._1)}")
   }
+
+  test("gopher + c4 rules: hand docs exercise every rule branch") {
+    import graft.ops.QualityRules
+    val good = ("the of and " + ("wordsword " * 50)).trim
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "the of " * 5),                          // too few words
+      (3L, ("# " * 30) + good),                     // symbol ratio > 0.1
+      (4L, (1 to 60).map(_ => "zz...").mkString("\n")), // ellipsis lines + no stopwords
+      (5L, ("- the bullet\n" * 10) + "- of and line"),  // >90% bullet lines
+      (6L, ""),                                     // empty
+      (7L, ("999 888 " * 30) + "the of")            // <80% alphabetic words
+    ).toDF("doc_id", "text")
+    val g = QualityRules.gopherFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g(1L).getAs[Boolean]("keep"), g(1L).toString)
+    assert(!g(2L).getAs[Boolean]("keep") &&
+      g(2L).getAs[Long]("n_words") == 10L)
+    assert(!g(3L).getAs[Boolean]("keep") &&
+      g(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!g(4L).getAs[Boolean]("keep") &&
+      g(4L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(!g(5L).getAs[Boolean]("keep") &&
+      g(5L).getAs[Double]("bullet_frac") > 0.9)
+    assert(!g(6L).getAs[Boolean]("keep") &&
+      g(6L).getAs[Long]("n_words") == 0L)
+    assert(!g(7L).getAs[Boolean]("keep") &&
+      g(7L).getAs[Double]("alpha_word_frac") < 0.8)
+    // c4: line retention, sentence count, lorem/brace verdicts
+    val c4docs = Seq(
+      (1L, "a good long sentence sits right here.\nshort one.\n" +
+        "another good long sentence sits here too!"),
+      (2L, "this one mentions lorem ipsum proudly in its text here.\n" +
+        "another good long sentence sits here too."),
+      (3L, "a good long sentence sits right here.\nvar x = { y: 1 }")
+    ).toDF("doc_id", "text")
+    val c = QualityRules.c4Clean(c4docs, "doc_id", "text",
+      minSentences = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: line 1 kept (ends '.', 7 words), 'short one.' dropped
+    // (<5 words), line 3 kept (ends '!') -> 2 sentences, keep
+    assert(c(1L).getAs[Boolean]("keep") &&
+      c(1L).getAs[Long]("n_lines_kept") == 2L &&
+      c(1L).getAs[Long]("n_sentences") == 2L, c(1L).toString)
+    assert(!c(2L).getAs[Boolean]("keep") &&
+      c(2L).getAs[Boolean]("has_lorem"))
+    assert(!c(3L).getAs[Boolean]("keep") &&
+      c(3L).getAs[Boolean]("has_brace") &&
+      c(3L).getAs[Long]("n_lines_kept") == 1L)
+    // cleaned_md5 pins the exact retained text
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(("a good long sentence sits right here.\n" +
+        "another good long sentence sits here too!").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(c(1L).getAs[String]("cleaned_md5") == want)
+  }
 }
