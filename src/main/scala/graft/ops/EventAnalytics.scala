@@ -363,6 +363,51 @@ object EventAnalytics {
       .select("key", "bucket_s", "n", "trend", "seasonal", "residual")
   }
 
+  /** Seasonal and trend STRENGTH of the decomposition (Hyndman &
+    * Athanasopoulos, "Forecasting: Principles and Practice" §12 —
+    * public): F_s = max(0, 1 − Var(R)/Var(n − T)) and
+    * F_t = max(0, 1 − Var(R)/Var(n − S)) per key — the one-number
+    * answers to "is this series actually seasonal / trending, or is the
+    * decomposition fitting noise", the gate before any
+    * seasonality-aware monitor is trusted.
+    *
+    * Composes [[seasonalDecompose]]: ONE per-key aggregation of
+    * round-12 decimal moment folds over the decomposition columns
+    * (population variances — the m-divisor; ratios are scale-free so
+    * the df convention cancels), then pure column arithmetic. Strength
+    * is null when the denominator variance is 0 (constant series).
+    * Returns per key (key, n_buckets, var_remainder, seasonal_strength,
+    * trend_strength) ordered by key, round-6. */
+  def seasonalStrength(
+      events: DataFrame, keyCol: String, tsCol: String,
+      periodHours: Int = 24): DataFrame = {
+    val dec = seasonalDecompose(events, keyCol, tsCol, periodHours)
+    def fold(c: Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val sPlusR = col("n") - col("trend")
+    val tPlusR = col("n") - col("seasonal")
+    val agg = dec.groupBy("key").agg(
+      count(lit(1)).as("m"),
+      fold(col("residual")).as("sr"),
+      fold(col("residual") * col("residual")).as("srr"),
+      fold(sPlusR).as("sd"), fold(sPlusR * sPlusR).as("sdd"),
+      fold(tPlusR).as("st"), fold(tPlusR * tPlusR).as("stt"))
+    val m = col("m").cast("double")
+    def varOf(s: Column, ss: Column) = ss / m - (s / m) * (s / m)
+    val varR = varOf(col("sr"), col("srr"))
+    val varSR = varOf(col("sd"), col("sdd"))
+    val varTR = varOf(col("st"), col("stt"))
+    agg.select(col("key"), col("m").as("n_buckets"),
+        round(varR, 6).as("var_remainder"),
+        when(varSR > 0,
+          round(greatest(lit(0.0), lit(1.0) - varR / varSR), 6))
+          .as("seasonal_strength"),
+        when(varTR > 0,
+          round(greatest(lit(0.0), lit(1.0) - varR / varTR), 6))
+          .as("trend_strength"))
+      .orderBy("key")
+  }
+
   /** Marketing-style revenue attribution: each `convType` event's value
     * credits the user's qualifying touch (an event whose type is in
     * `touchTypes`) inside the trailing `windowSeconds`; conversions with

@@ -1129,6 +1129,88 @@ object EventQueries extends QueryModule {
           col("trend"), col("seasonal"), col("residual"))
         .orderBy("event_type", "bucket_s"))
 
+  /** Seasonal/trend strength of the hourly decomposition
+    * ([[graft.ops.EventAnalytics.seasonalStrength]]): Hyndman's F_s/F_t
+    * per event type — the oracle splices the full decompose CTEs and
+    * replays the per-key round-12 moment folds, the population
+    * variances, and the clamped ratios. In-gate: strengths live in
+    * [0, 1] and the synthetic log's planted hour-of-day load shape
+    * registers as nonzero seasonal strength on every key. */
+  val evSeasonalStrength: Q = Q(
+    "ev_seasonal_strength",
+    Some("""
+      WITH b AS (
+        SELECT event_type AS key,
+          (epoch_us(ts) // 1000000)
+            - ((epoch_us(ts) // 1000000) % 3600) AS bucket_s,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      tr AS (
+        SELECT key, bucket_s, n,
+          round(avg(n) OVER (PARTITION BY key ORDER BY bucket_s
+            RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING), 6) AS trend
+        FROM b),
+      dt AS (SELECT *, (bucket_s % 86400) // 3600 AS slot,
+               round(n - trend, 6) AS detr FROM tr),
+      se AS (
+        SELECT *, round(CAST(SUM(CAST(detr AS DECIMAL(38,12)))
+            OVER (PARTITION BY key, slot) AS DOUBLE)
+          / COUNT(*) OVER (PARTITION BY key, slot), 6) AS seasonal
+        FROM dt),
+      dc AS (
+        SELECT key, n, trend, seasonal,
+          round(n - trend - seasonal, 6) AS residual
+        FROM se),
+      agg AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS m,
+          CAST(SUM(CAST(round(residual, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sr,
+          CAST(SUM(CAST(round(residual * residual, 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS srr,
+          CAST(SUM(CAST(round(n - trend, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sd,
+          CAST(SUM(CAST(round((n - trend) * (n - trend), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+          CAST(SUM(CAST(round(n - seasonal, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS st,
+          CAST(SUM(CAST(round((n - seasonal) * (n - seasonal), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS stt
+        FROM dc GROUP BY key),
+      v AS (
+        SELECT key, m,
+          srr / m - (sr / m) * (sr / m) AS vr,
+          sdd / m - (sd / m) * (sd / m) AS vsr,
+          stt / m - (st / m) * (st / m) AS vtr
+        FROM agg)
+      SELECT key AS event_type, m AS n_buckets,
+        round(vr, 6) + 0.0 AS var_remainder,
+        CASE WHEN vsr > 0
+          THEN round(greatest(0.0, 1.0 - vr / vsr), 6) + 0.0 END
+          AS seasonal_strength,
+        CASE WHEN vtr > 0
+          THEN round(greatest(0.0, 1.0 - vr / vtr), 6) + 0.0 END
+          AS trend_strength
+      FROM v ORDER BY event_type"""),
+    (s, dir) => {
+      val out = graft.ops.EventAnalytics.seasonalStrength(
+          Tables.load(s, dir, "events"), "event_type", "ts",
+          periodHours = 24)
+        .select(col("key").as("event_type"), col("n_buckets"),
+          col("var_remainder"), col("seasonal_strength"),
+          col("trend_strength"))
+        .orderBy("event_type")
+      if (Tables.gateMode) {
+        val rows = out.collect()
+        require(rows.nonEmpty)
+        rows.foreach { r =>
+          val fs = r.getAs[Double]("seasonal_strength")
+          require(fs >= 0.0 && fs <= 1.0 && fs > 0.0,
+            s"planted hour-of-day shape must register: $r")
+        }
+      }
+      out
+    })
+
   /** Last-touch revenue attribution
     * ([[graft.ops.EventAnalytics.attributeRevenue]], model = "last"):
     * each purchase credits the user's latest view/click strictly before
@@ -3111,6 +3193,7 @@ object EventQueries extends QueryModule {
       evCuped, evKaplanMeier, evKmGreenwood, evLogRank, evSurvivalSummary,
       evCusum,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
-      evAttributionFirst, evSeasonal, evEwma, evSegmented, evProportionTest,
+      evAttributionFirst, evSeasonal, evSeasonalStrength, evEwma,
+      evSegmented, evProportionTest,
       evItemsetPairs, evAcf, evDid, evSequencePairs, evBrownLinear)
 }

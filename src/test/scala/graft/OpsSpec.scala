@@ -3856,6 +3856,26 @@ class OpsSpec extends SparkSpec {
       s"seasonal ordering lost: ${bySlot.toSeq.sortBy(_._1)}")
   }
 
+  test("seasonal strength: planted hourly pattern ~1, constant series null") {
+    import graft.ops.EventAnalytics
+    import java.sql.Timestamp
+    // key "s": hour-of-day pattern 1..4 events repeating; key "f":
+    // exactly 1 event every hour (constant -> variances degenerate)
+    val rows = for {
+      day <- 0 until 14
+      h <- 0 until 24
+      (key, reps) <- Seq(("s", h % 4 + 1), ("f", 1))
+      r <- 0 until reps
+    } yield (key, new Timestamp((day * 86400L + h * 3600L + r) * 1000L))
+    val out = EventAnalytics.seasonalStrength(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val fs = out("s").getAs[Double]("seasonal_strength")
+    assert(fs > 0.8 && fs <= 1.0, s"planted pattern should dominate: $fs")
+    assert(out("f").isNullAt(out("f").fieldIndex("seasonal_strength")),
+      s"constant series has no defined strength: ${out("f")}")
+  }
+
   test("gopher + c4 rules: hand docs exercise every rule branch") {
     import graft.ops.QualityRules
     val good = ("the of and " + ("wordsword " * 50)).trim
