@@ -736,6 +736,59 @@ object EvalQueries extends QueryModule {
     * doc_id%4 label by +r on every (2+r)-th doc, so the panel carries a
     * planted mixture of full and partial agreement. Cleared-fraction
     * kappa over exact decimal S2/T2 folds. */
+  /** ICC(1,1) one-way intraclass correlation ([[graft.stats.Agreement
+    * .icc]]): numeric-rating reliability over a planted 3-rater design
+    * (item effect doc_id%50 ≫ rater noise (doc_id·r)%7, so the score is
+    * the item's, not the rater's). The oracle replays both fold layers,
+    * the ANOVA decomposition, F, and the ICC. In-gate: the planted
+    * separation registers (icc1 > 0.9). */
+  val iccGate: Q = Q(
+    "lbl_icc",
+    Some("""
+      WITH rt AS (SELECT unnest([1, 2, 3]) AS r),
+      b AS (
+        SELECT doc_id AS i,
+          CAST(doc_id % 50 + (doc_id * rt.r) % 7 AS DOUBLE) AS y
+        FROM documents, rt),
+      pi AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS k,
+          CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS ss
+        FROM b GROUP BY i),
+      g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS gs,
+          CAST(SUM(CAST(round(ss, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS gss,
+          CAST(SUM(CAST(round(s * s / 3, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sbk
+        FROM pi),
+      f AS (
+        SELECT n,
+          (sbk - gs * gs / (n * 3.0)) / (n - 1) AS msb,
+          (gss - sbk) / (n * 2.0) AS msw
+        FROM g)
+      SELECT n AS n_items, CAST(3 AS BIGINT) AS k_raters,
+        round(msb, 6) + 0.0 AS msb, round(msw, 6) + 0.0 AS msw,
+        CASE WHEN msw > 0 THEN round(msb / msw, 6) + 0.0 END AS f_stat,
+        CASE WHEN msw > 0
+          THEN round((msb - msw) / (msb + 2 * msw), 6) + 0.0 END AS icc1
+      FROM f"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rated = (1 to 3).map { r =>
+        docs.select(col("doc_id").as("i"),
+          (col("doc_id") % 50 + (col("doc_id") * r) % 7)
+            .cast("double").as("y"))
+      }.reduce(_ unionByName _)
+      val out = graft.stats.Agreement.icc(rated, col("i"), col("y"))
+      val r = out.head()
+      require(r.getAs[Double]("icc1") > 0.9,
+        s"planted item separation must register: $r")
+      out
+    })
+
   val fleissKappaGate: Q = Q(
     "lbl_fleiss_kappa",
     Some("""
@@ -1587,7 +1640,8 @@ object EvalQueries extends QueryModule {
     Seq(spiegelhalterGate,
       aucTies, aucSeparable, rocPoints, calibration, ece, classifierEval,
       aucByGroup, isoFit, isoApply, conformalSplit,
-      rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate, fleissKappaGate,
+      rankingMetricsGate, rankingMacroGate, rboGate, cohenKappaGate,
+      fleissKappaGate, iccGate,
       kendallWGate, yieldCurveGate, confidentJointGate, labelIssuesGate,
       krippendorffGate, bestThresholdGate, isoFitByGroup, cronbachAlphaGate,
       averagePrecisionGate,

@@ -442,4 +442,62 @@ object Agreement {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     Seq((n, k, q, p)).toDF("n", "k", "q_stat", "p_value")
   }
+
+  /** One-way random-effects intraclass correlation ICC(1,1) (Shrout &
+    * Fleiss 1979 — public): the NUMERIC-rating reliability companion to
+    * the κ family — how much of a score's variance is the item rather
+    * than the rater draw. From the one-way ANOVA decomposition:
+    * ICC = (MSB − MSW)/(MSB + (k−1)·MSW), with F = MSB/MSW the
+    * associated test statistic (its p is library-territory and not
+    * emitted — the t52 convention).
+    *
+    * Distributed shape: one groupBy(item) for per-item (count, sum,
+    * sum-of-squares) with round-12 decimal folds, then one fold over
+    * the per-item terms — two map-side-combined aggregations, no
+    * window. The design must be BALANCED (every item rated exactly k
+    * times — loud otherwise; subsample or impute upstream). Returns one
+    * row (n_items, k_raters, msb, msw, f_stat, icc1), round-6; icc1 and
+    * f null when MSW = 0 with MSB = 0 (all ratings identical). */
+  def icc(df: DataFrame, itemCol: Column, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(itemCol.as("i"), valueCol.cast("double").as("y"))
+      .filter(col("i").isNotNull && col("y").isNotNull && !isnan(col("y")))
+    def fold(c: Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val perItem = base.groupBy("i").agg(
+      count(lit(1)).as("k"), fold(col("y")).as("s"),
+      fold(col("y") * col("y")).as("ss"))
+    val kDistinct = perItem.select(countDistinct(col("k"))).head().getLong(0)
+    require(kDistinct == 1L,
+      "ICC(1,1) needs a balanced design - every item rated the same " +
+        "number of times; subsample raters per item upstream")
+    val kRow = perItem.select(max(col("k"))).head()
+    val k = kRow.getLong(0)
+    require(k >= 2, s"ICC needs >= 2 ratings per item, got $k")
+    val tot = perItem.agg(
+      count(lit(1)).as("n"),
+      fold(col("s")).as("gs"),
+      fold(col("ss")).as("gss"),
+      fold(col("s") * col("s") / k).as("sbk")).head()
+    val n = tot.getAs[Long]("n")
+    require(n >= 2, s"ICC needs >= 2 items, got $n")
+    val gs = tot.getAs[Double]("gs")
+    val gss = tot.getAs[Double]("gss")
+    val sbk = tot.getAs[Double]("sbk")
+    val nk = (n * k).toDouble
+    val ssb = sbk - gs * gs / nk
+    val ssw = gss - sbk
+    val msb = ssb / (n - 1)
+    val msw = ssw / (n.toDouble * (k - 1))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val (iccV, fV) =
+      if (msw > 0) (Some(r6((msb - msw) / (msb + (k - 1) * msw))),
+        Some(r6(msb / msw)))
+      else if (msb > 0) (Some(1.0), None) // perfect item separation
+      else (None, None)
+    Seq((n, k, r6(msb), r6(msw), fV, iccV))
+      .toDF("n_items", "k_raters", "msb", "msw", "f_stat", "icc1")
+  }
 }

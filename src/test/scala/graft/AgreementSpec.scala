@@ -269,4 +269,34 @@ class AgreementSpec extends SparkSpec {
       Agreement.cochranQ(hand, Seq("f0"))
     }
   }
+
+  test("icc(1,1): hand ANOVA decomposition, degenerate and unbalanced edges") {
+    import graft.stats.Agreement
+    // 3 items x 2 ratings: within-pair diff 1 everywhere -> MSW = 0.5,
+    // MSB = 24.666667, ICC = 24.1667/25.1667 = 0.960265, F = 49.333333
+    val hand = Seq((1L, 8.0), (1L, 9.0), (2L, 4.0), (2L, 5.0),
+      (3L, 1.0), (3L, 2.0)).toDF("i", "y")
+    val r = Agreement.icc(hand, col("i"), col("y")).head()
+    assert(r.getAs[Long]("n_items") == 3L && r.getAs[Long]("k_raters") == 2L)
+    assert(r.getAs[Double]("msb") == 24.666667 &&
+      r.getAs[Double]("msw") == 0.5, s"$r")
+    assert(r.getAs[Double]("icc1") == 0.960265 &&
+      r.getAs[Double]("f_stat") == 49.333333, s"$r")
+    // identical ratings everywhere: MSW = MSB = 0 -> null icc, null F
+    val flat = Seq((1L, 2.0), (1L, 2.0), (2L, 2.0), (2L, 2.0))
+      .toDF("i", "y")
+    val fr = Agreement.icc(flat, col("i"), col("y")).head()
+    assert(fr.isNullAt(fr.fieldIndex("icc1")) &&
+      fr.isNullAt(fr.fieldIndex("f_stat")), s"$fr")
+    // perfect separation with zero within-item noise: icc = 1 exactly
+    val sep = Seq((1L, 1.0), (1L, 1.0), (2L, 9.0), (2L, 9.0)).toDF("i", "y")
+    val sr = Agreement.icc(sep, col("i"), col("y")).head()
+    assert(sr.getAs[Double]("icc1") == 1.0 &&
+      sr.isNullAt(sr.fieldIndex("f_stat")), s"$sr")
+    // unbalanced design -> loud
+    val err = intercept[IllegalArgumentException] {
+      Agreement.icc(hand.limit(5), col("i"), col("y"))
+    }
+    assert(err.getMessage.contains("balanced"), err.getMessage)
+  }
 }
