@@ -1134,6 +1134,53 @@ object StatsQueries extends QueryModule {
       Regression.theilSen(daily, "x", "y")
     })
 
+  /** Two-sample 1-Wasserstein distance ([[graft.stats.Drift
+    * .wasserstein1]]): a planted +2 location shift between the A and N
+    * quantity distributions must report a drift MAGNITUDE near 2 (the
+    * units-of-the-metric number a drift alarm thresholds on, where KS
+    * only detects). The oracle replays the merged distinct-value CDF
+    * walk, the exact integer numerators, and the round-12 width-term
+    * folds. */
+  val dqWasserstein: Q = Q(
+    "dq_wasserstein1",
+    Some("""
+      WITH av AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                  WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+      bv AS (SELECT CAST(l_quantity + 2 AS DOUBLE) AS v FROM lineitem
+             WHERE l_returnflag = 'N' AND l_quantity IS NOT NULL),
+      ac AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+      bc AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+      c AS (SELECT COALESCE(ac.v, bc.v) AS v, COALESCE(ca, 0) AS ca,
+              COALESCE(cb, 0) AS cb
+            FROM ac FULL JOIN bc ON ac.v = bc.v),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb,
+                CAST(count(*) AS BIGINT) AS nvals FROM c),
+      cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+                SUM(cb) OVER (ORDER BY v) AS cumb,
+                lead(v) OVER (ORDER BY v) AS nv FROM c),
+      s AS (SELECT CAST(SUM(CAST(round(
+              CAST(abs(cuma * nb - cumb * na) AS DOUBLE) * (nv - v), 12)
+              AS DECIMAL(38,12))) AS DOUBLE) AS acc
+            FROM cum, tot WHERE nv IS NOT NULL)
+      SELECT na AS n_a, nb AS n_b, nvals AS n_values,
+        round(acc / (CAST(na AS DOUBLE) * nb), 6) + 0.0 AS w1
+      FROM s, tot"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull)
+      val out = graft.stats.Drift.wasserstein1(
+        li.filter(col("l_returnflag") === "A")
+          .select(col("l_quantity").as("v")),
+        li.filter(col("l_returnflag") === "N")
+          .select((col("l_quantity") + 2).as("v")),
+        col("v"))
+      val r = out.head()
+      require(r.getAs[Double]("w1") > 1.5 && r.getAs[Double]("w1") < 2.5,
+        s"a planted +2 shift must report ~2 units of drift: $r")
+      out
+    })
+
   /** Two-sample KS ([[graft.stats.Drift.ksTwoSample]]): returned vs
     * never-returned lineitem quantities — 50 heavy-tie distinct values
     * exercise the exact integer-numerator argmax; p through the
@@ -3748,6 +3795,7 @@ object StatsQueries extends QueryModule {
     t28MiTerms, t28MutualInformation, bsResampleMeans, bsBootstrapCi,
     bsUpliftCi, t29QuantileNormalize, t30TheilSen, dqKsTwoSample,
     t31EqualFreqBins, t32Association, t33Mahalanobis, t34BhFdr,
+    dqWasserstein,
     t35MannWhitney, t36WelchTTests, t37BrownForsythe, t38KruskalWallis,
     t39FisherExact)
 }

@@ -274,6 +274,94 @@ object Drift {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Two-sample 1-Wasserstein (earth-mover) distance (Monge 1781 /
+    * Kantorovich 1942; the 1-D closed form ∫|F_a − F_b| dv is textbook —
+    * public): the DRIFT MAGNITUDE companion to [[ksTwoSample]]'s
+    * detection — KS says "the distributions differ", W₁ says "by this
+    * many units of the metric" (a 2-unit location shift reports ≈ 2),
+    * which is what a score- or latency-drift alarm should threshold on.
+    *
+    * Exact, not binned: over the merged DISTINCT-value table,
+    * W₁ = Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ). Same distributed shape as
+    * [[ksTwoSample]]: per-value counts, ONE range-partitioned sort,
+    * per-partition running counts with broadcast offsets — the only
+    * extra state is each partition's FIRST value (broadcast, one per
+    * partition) so boundary widths close without a window. CDF
+    * numerators |ca·n_b − cb·n_a| are exact integers (< 2⁵³ by the
+    * loud pair cap); terms fold as round-12 decimals per partition and
+    * the partition sums add in index order — deterministic and
+    * oracle-replayable. Returns one row (n_a, n_b, n_values, w1),
+    * round-6. */
+  def wasserstein1(a: DataFrame, b: DataFrame,
+      valueCol: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tagA: Boolean) = df
+      .select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .select(col("v"),
+        (if (tagA) col("c") else lit(0L)).as("ca"),
+        (if (tagA) lit(0L) else col("c")).as("cb"))
+    val counts = side(a, tagA = true).unionByName(side(b, tagA = false))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .as[(Double, Long, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partStats = counts.mapPartitionsWithIndex { (i, it) =>
+        var sa = 0L; var sb = 0L; var n = 0L
+        var first: Option[Double] = None
+        it.foreach { t =>
+          if (first.isEmpty) first = Some(t._1)
+          sa += t._2; sb += t._3; n += 1
+        }
+        Iterator((i, sa, sb, n, first))
+      }.collect().sortBy(_._1)
+      val offA = partStats.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partStats.map(_._3).scanLeft(0L)(_ + _)
+      val (nA, nB) = (offA.last, offB.last)
+      require(nA > 0 && nB > 0,
+        s"W1 needs both samples non-empty, got nA=$nA nB=$nB")
+      require(nA.toDouble * nB < 9.0e15, // 2^53: the exact-integer bound
+        s"nA*nB = ${nA.toDouble * nB} exceeds the exact CDF-numerator " +
+          "range - pre-aggregate or sample one side")
+      val nValues = partStats.map(_._4).sum
+      // each partition's successor value: the first value of the next
+      // NON-EMPTY partition (None past the last — that term is 0 anyway:
+      // both CDFs are 1 at the final value)
+      val nextFirst: Array[Option[Double]] = partStats.indices.map { i =>
+        partStats.drop(i + 1).flatMap(_._5).headOption
+      }.toArray
+      val bNext = spark.sparkContext.broadcast(nextFirst)
+      val partSums = counts.mapPartitionsWithIndex { (i, it) =>
+        var ca = offA(i); var cb = offB(i)
+        var acc = java.math.BigDecimal.ZERO
+        var prev: Option[(Double, Long, Long)] = None
+        def add(v: Double, nv: Double): Unit = {
+          val num = math.abs(ca * nB - cb * nA).toDouble
+          acc = acc.add(java.math.BigDecimal.valueOf(num * (nv - v))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+        }
+        it.foreach { case (v, da, db) =>
+          prev.foreach { case (pv, _, _) => add(pv, v) }
+          ca += da; cb += db
+          prev = Some((v, da, db))
+        }
+        prev.foreach { case (pv, _, _) =>
+          bNext.value(i).foreach(nv => add(pv, nv))
+        }
+        Iterator((i, acc))
+      }.collect().sortBy(_._1)
+        .foldLeft(java.math.BigDecimal.ZERO)((x, y) => x.add(y._2))
+      val w1 = partSums.doubleValue / (nA.toDouble * nB)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      Seq((nA, nB, nValues, r6(w1)))
+        .toDF("n_a", "n_b", "n_values", "w1")
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** One-sample Kolmogorov–Smirnov against U(0,1) (Kolmogorov 1933,
     * public): D = max over the sample of max(|F̂⁻(v) − v|, |F̂(v) − v|)
     * with both one-sided gaps at every jump — the QC test for anything

@@ -901,6 +901,27 @@ class StatsSpec extends SparkSpec {
     assert(bd.forall(r => r.getAs[Double]("b") <= r.getAs[Double]("t")))
   }
 
+  test("wasserstein-1: hand shifts, identity zero, empty-side loudness") {
+    import graft.stats.Drift
+    // unit shift: a = {0,1}, b = {1,2} -> W1 = 1 exactly
+    val w1 = Drift.wasserstein1(Seq(0.0, 1.0).toDF("v"),
+      Seq(1.0, 2.0).toDF("v"), col("v")).head()
+    assert(w1.getAs[Double]("w1") == 1.0 &&
+      w1.getAs[Long]("n_values") == 3L, s"$w1")
+    // mass transport: a = {0,10}, b = {5,5} -> move each unit 5 -> W1 = 5
+    val w2 = Drift.wasserstein1(Seq(0.0, 10.0).toDF("v"),
+      Seq(5.0, 5.0).toDF("v"), col("v")).head()
+    assert(w2.getAs[Double]("w1") == 5.0, s"$w2")
+    // identical samples -> 0, regardless of sizes (CDF equality)
+    val w3 = Drift.wasserstein1(Seq(1.0, 2.0, 3.0).toDF("v"),
+      Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0).toDF("v"), col("v")).head()
+    assert(w3.getAs[Double]("w1") == 0.0, s"$w3")
+    intercept[IllegalArgumentException] {
+      Drift.wasserstein1(Seq(1.0).toDF("v"),
+        Seq.empty[Double].toDF("v"), col("v"))
+    }
+  }
+
   test("friedman: textbook Q=0.5, ties, incomplete-block loudness") {
     import graft.stats.RankTests
     // 4 complete blocks x 3 treatments, no ties: R = (8,7,9) ->
