@@ -273,6 +273,45 @@ object EventAnalytics {
             .as("cusum_sigma")): _*)
   }
 
+  /** Page–Hinkley upward-drift detector (Page 1954; Hinkley 1971 —
+    * public): the BASELINE-FREE companion to [[cusumWithStats]] — no
+    * reference window to choose, the running mean IS the reference:
+    * m_t = Σᵢ(xᵢ − x̄ᵢ − δ) with x̄ᵢ the running mean through i, and
+    * PH_t = m_t − min_{s≤t} m_s alarms when it exceeds λ. Detects
+    * upward mean shifts; feed `-valueCol` for the downward side.
+    *
+    * Engine-parity: values round 6, the running-mean numerator folds in
+    * decimal(38,12), x̄ rounds 12, increments round 12 and fold in
+    * decimal, PH rounds 6 — the cusum recipe. Windows partition on the
+    * series key (series length per key is the only per-task width).
+    * Returns (keys..., periodCol, value, running_mean, ph, alarm)
+    * ordered within key by period. */
+  def pageHinkley(df: DataFrame, keyCols: Seq[String], periodCol: String,
+      valueCol: Column, delta: Double, lambda: Double): DataFrame = {
+    require(keyCols.nonEmpty, "at least one series key required")
+    require(lambda > 0, s"lambda must be positive: $lambda")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(periodCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = round(valueCol.cast("double"), 6)
+    val base = df.select(
+      (keyCols.map(col) :+ col(periodCol) :+ x.as("__x")): _*)
+    val xbar = round(
+      sum(col("__x").cast("decimal(38,12)")).over(w).cast("double")
+        / count(lit(1)).over(w), 12)
+    base
+      .withColumn("__xbar", xbar)
+      .withColumn("__m",
+        sum(round(col("__x") - col("__xbar") - lit(delta), 12)
+          .cast("decimal(38,12)")).over(w))
+      .withColumn("ph",
+        round((col("__m") - min(col("__m")).over(w)).cast("double"), 6))
+      .select(
+        (keyCols.map(col) :+ col(periodCol) :+ col("__x").as("value") :+
+          col("__xbar").as("running_mean") :+ col("ph") :+
+          (col("ph") > lambda).as("alarm")): _*)
+  }
+
   /** [[cusum]] against PRE-COMPUTED reference stats (keys…, cusum_mu,
     * cusum_sigma) — the frozen-reference form the streaming monitor
     * ([[graft.streaming.CusumMonitor]]) shares arithmetic with. */

@@ -1093,6 +1093,72 @@ object EventQueries extends QueryModule {
       out.orderBy("event_type", "d")
     })
 
+  /** Page–Hinkley drift detector
+    * ([[graft.ops.EventAnalytics.pageHinkley]]) on the ev_cusum fixture
+    * (+40 planted in 'error' from day 22): the BASELINE-FREE monitor —
+    * the running mean is the reference, so there is no window to
+    * choose. δ = 4 (≈ σ/2 of the fixture's daily counts), λ = 60. The
+    * oracle replays the running-mean fold, the round-12 increment fold,
+    * and the prefix-min PH. In-gate: the planted shift alarms on/after
+    * day 22 and NO stable series ever alarms. */
+  val evPageHinkley: Q = Q(
+    "ev_page_hinkley",
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(day(ts) AS INT) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      x AS (
+        SELECT event_type, d,
+          round(CAST(c + CASE WHEN event_type = 'error' AND d >= 22
+            THEN 40 ELSE 0 END AS DOUBLE), 6) AS x
+        FROM daily),
+      r AS (
+        SELECT event_type, d, x,
+          round(CAST(SUM(CAST(x AS DECIMAL(38,12))) OVER pw AS DOUBLE)
+            / COUNT(*) OVER pw, 12) AS xbar
+        FROM x
+        WINDOW pw AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      m AS (
+        SELECT event_type, d, x, xbar,
+          SUM(CAST(round(x - xbar - 4.0, 12) AS DECIMAL(38,12)))
+            OVER pw AS mm
+        FROM r
+        WINDOW pw AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      f AS (
+        SELECT event_type, d, x, xbar,
+          round(CAST(mm - MIN(mm) OVER pw AS DOUBLE), 6) AS ph
+        FROM m
+        WINDOW pw AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, d, x AS value, xbar AS running_mean, ph,
+        ph > 60.0 AS alarm
+      FROM f ORDER BY event_type, d"""),
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .select(col("event_type"), dayofmonth(col("ts")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("d"),
+          (col("c") + when(col("event_type") === "error" &&
+            col("d") >= 22, 40).otherwise(0)).cast("double").as("x"))
+      val out = graft.ops.EventAnalytics.pageHinkley(daily,
+        Seq("event_type"), "d", col("x"), delta = 4.0, lambda = 60.0)
+      if (Tables.gateMode) {
+        val err = out.filter(col("event_type") === "error" && col("alarm"))
+          .agg(coalesce(min(col("d")), lit(99)).cast("int"),
+            count(lit(1))).head()
+        require(err.getLong(1) > 0, "planted +40 shift never alarmed")
+        require(err.getInt(0) >= 22,
+          s"alarm fired before the shift: day ${err.getInt(0)}")
+        val falseAlarms = out.filter(col("event_type") =!= "error" &&
+          col("alarm")).count()
+        require(falseAlarms == 0L,
+          s"$falseAlarms false alarms on stable series")
+      }
+      out.orderBy("event_type", "d")
+    })
+
   /** Classical additive seasonal decomposition of hourly counts per
     * event type ([[graft.ops.EventAnalytics.seasonalDecompose]]) — the
     * oracle replays the centered moving average, the integer hour-slot,
@@ -3191,7 +3257,7 @@ object EventQueries extends QueryModule {
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evKmGreenwood, evLogRank, evSurvivalSummary,
-      evCusum,
+      evCusum, evPageHinkley,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
       evAttributionFirst, evSeasonal, evSeasonalStrength, evEwma,
       evSegmented, evProportionTest,

@@ -3856,6 +3856,20 @@ class OpsSpec extends SparkSpec {
       s"seasonal ordering lost: ${bySlot.toSeq.sortBy(_._1)}")
   }
 
+  test("page-hinkley: hand running-mean walk, alarm at the shift") {
+    import graft.ops.EventAnalytics
+    // 10,10,10 then 20,20 with delta=1, lambda=5: ph = 0,0,0,6.5,11.5
+    val df = Seq(("k", 1, 10.0), ("k", 2, 10.0), ("k", 3, 10.0),
+      ("k", 4, 20.0), ("k", 5, 20.0)).toDF("g", "d", "x")
+    val out = EventAnalytics.pageHinkley(df, Seq("g"), "d", col("x"),
+      delta = 1.0, lambda = 5.0).orderBy("d").collect()
+    assert(out.map(_.getAs[Double]("ph")).toSeq ==
+      Seq(0.0, 0.0, 0.0, 6.5, 11.5), out.mkString(";"))
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq ==
+      Seq(false, false, false, true, true))
+    assert(out(3).getAs[Double]("running_mean") == 12.5)
+  }
+
   test("seasonal strength: planted hourly pattern ~1, constant series null") {
     import graft.ops.EventAnalytics
     import java.sql.Timestamp
