@@ -355,6 +355,49 @@ object Sampling {
       floor(hashFraction(seed, keys.map(col)) * k).cast("int"))
   }
 
+  /** Horvitz–Thompson estimation from a deterministic Bernoulli sample
+    * (Horvitz & Thompson 1952 — public): every row enters the sample
+    * independently with probability π = `rate` via the identity hash, and
+    * population totals are estimated as T̂ = Σ_sampled y/π with the
+    * Bernoulli-design variance estimator V̂(T̂) = Σ_sampled y²(1−π)/π² —
+    * the math that makes "profile 1% of the corpus, report corpus-level
+    * numbers WITH error bars" an estimate instead of a guess. The z
+    * multiplier is the shared inline literal (zQuantile convention).
+    *
+    * Because the sample is the hash-deterministic set (not `sample()`),
+    * the estimate is reproducible on any engine — the gate emits the
+    * TRUE total beside the interval and the computed coverage verdict.
+    * One filtered aggregation with round-9 decimal folds + one exact
+    * total pass. Returns one row (n, n_sampled, total_hat, se_total,
+    * ci_lo, ci_hi, true_total, covered), round-6. */
+  def horvitzThompson(df: DataFrame, keys: Seq[String], valueCol: Column,
+      rate: Double, seed: String = "graft-ht",
+      z: Double = 1.959963984540054): DataFrame = {
+    require(rate > 0.0 && rate < 1.0, s"rate must be in (0,1): $rate")
+    val y = valueCol.cast("double")
+    val base = df.filter(y.isNotNull)
+    def fold9(c: Column) =
+      sum(round(c, 9).cast("decimal(38,12)")).cast("double")
+    val inSample = hashFraction(seed, keys.map(col)) < rate
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      fold9(y).as("true_total"),
+      sum(when(inSample, 1L).otherwise(0L)).as("n_sampled"),
+      fold9(when(inSample, y / rate)).as("total_hat"),
+      fold9(when(inSample, y * y * ((1.0 - rate) / (rate * rate))))
+        .as("var_hat"))
+    agg.select(col("n"), col("n_sampled"),
+        round(col("total_hat"), 6).as("total_hat"),
+        round(sqrt(greatest(col("var_hat"), lit(0.0))), 6).as("se_total"),
+        round(col("total_hat") - lit(z) *
+          sqrt(greatest(col("var_hat"), lit(0.0))), 6).as("ci_lo"),
+        round(col("total_hat") + lit(z) *
+          sqrt(greatest(col("var_hat"), lit(0.0))), 6).as("ci_hi"),
+        round(col("true_total"), 6).as("true_total"))
+      .withColumn("covered",
+        col("ci_lo") <= col("true_total") && col("true_total") <= col("ci_hi"))
+  }
+
   /** GLOBAL exact top-fraction cut — keep the best ⌈frac·N⌉ rows of the
     * whole corpus by (score desc, tie asc), with NO unpartitioned window
     * anywhere in the plan. The selection rank k = ⌈frac·N⌉ (the same

@@ -450,6 +450,59 @@ object SamplingQueries extends QueryModule {
       out.orderBy(col("gumbel_key").desc, col("id"))
     })
 
+  /** Horvitz–Thompson corpus-total estimation
+    * ([[graft.ops.Sampling.horvitzThompson]]): a 20% deterministic
+    * Bernoulli sample of documents estimates the corpus character
+    * total with the design variance and a 95% band — the oracle
+    * replays the hash inclusion, both round-9 folds, the interval, and
+    * the coverage verdict against the exact total. In-gate: the true
+    * total is covered and the point estimate lands within 4 relative
+    * SEs. */
+  val smpHorvitzThompson: Q = Q(
+    "smp_horvitz_thompson",
+    Some("""
+      WITH b AS (
+        SELECT CAST(n_chars AS DOUBLE) AS y,
+          (CAST(concat('0x', substr(md5(concat_ws('|', 'graft-ht',
+            CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            / 4294967296.0 < 0.2) AS ins
+        FROM documents WHERE n_chars IS NOT NULL),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS tt,
+          CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+          CAST(SUM(CASE WHEN ins THEN
+            CAST(round(y / 0.2, 9) AS DECIMAL(38,12)) END) AS DOUBLE)
+            AS th,
+          CAST(SUM(CASE WHEN ins THEN
+            CAST(round(y * y * ((1.0 - 0.2) / (0.2 * 0.2)), 9)
+              AS DECIMAL(38,12)) END) AS DOUBLE) AS vh0
+        FROM b),
+      f AS (SELECT n, ns, th, greatest(vh0, 0.0) AS vh, tt FROM a)
+      SELECT n, ns AS n_sampled, round(th, 6) + 0.0 AS total_hat,
+        round(sqrt(vh), 6) + 0.0 AS se_total,
+        round(th - 1.959963984540054 * sqrt(vh), 6) + 0.0 AS ci_lo,
+        round(th + 1.959963984540054 * sqrt(vh), 6) + 0.0 AS ci_hi,
+        round(tt, 6) + 0.0 AS true_total,
+        round(th - 1.959963984540054 * sqrt(vh), 6) <= round(tt, 6)
+          AND round(tt, 6)
+            <= round(th + 1.959963984540054 * sqrt(vh), 6) AS covered
+      FROM f"""),
+    (s, dir) => {
+      val out = graft.ops.Sampling.horvitzThompson(
+        graft.Tables.load(s, dir, "documents")
+          .filter(col("n_chars").isNotNull),
+        Seq("doc_id"), col("n_chars"), rate = 0.2)
+      val r = out.head()
+      require(r.getAs[Boolean]("covered"),
+        s"the 95% band must cover the exact total on this fixture: $r")
+      require(math.abs(r.getAs[Double]("total_hat")
+          - r.getAs[Double]("true_total"))
+        <= 4.0 * r.getAs[Double]("se_total"),
+        s"point estimate implausibly far from the truth: $r")
+      out
+    })
+
   /** Integration: quantile-normalize per-source scores, then ONE global
     * top-30% cut over the now-comparable values — the reason
     * [[graft.transform.Standardize.quantileNormalizeByGroup]] exists
@@ -834,6 +887,7 @@ object SamplingQueries extends QueryModule {
       smpHashSplit, smpStratified, smpPack, smpMix, smpTemperature,
       smpShuffle, smpQualityTopFrac, smpKfold, smpPackSequences,
       smpWeighted, smpLeakageSafe, smpWaterFill, smpImportanceResample,
-      smpNormalizedTopFrac, smpNeyman, smpMaxCover, smpInterleave,
+      smpNormalizedTopFrac, smpHorvitzThompson, smpNeyman, smpMaxCover,
+      smpInterleave,
       smpParetoFront, smpEss, smpMixFit)
 }
