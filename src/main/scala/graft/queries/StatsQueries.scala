@@ -1181,6 +1181,90 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Brunner–Munzel test ([[graft.stats.RankTests.brunnerMunzel]]) on
+    * the planted +5 shift (A vs R+5 quantities): the oracle rebuilds
+    * the merged distinct-value table, the DOUBLED-midrank placement
+    * sums (exact integers in DECIMAL(38,0)), and the studentized
+    * statistic with its Welch-type df. In-gate: the planted shift fires
+    * (p̂ well above ½, W ≫ 2). */
+  val t75BrunnerMunzel: Q = Q(
+    "t75_brunner_munzel",
+    Some("""
+      WITH av AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                  WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+      bv AS (SELECT CAST(l_quantity + 5 AS DOUBLE) AS v FROM lineitem
+             WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+      ac AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+      bc AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+      c AS (SELECT COALESCE(ac.v, bc.v) AS v, COALESCE(ca, 0) AS ca,
+              COALESCE(cb, 0) AS cb
+            FROM ac FULL JOIN bc ON ac.v = bc.v),
+      t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+              CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      cum AS (
+        SELECT v, ca, cb,
+          COALESCE(SUM(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bt,
+          COALESCE(SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ba,
+          COALESCE(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+        FROM c),
+      pl AS (
+        SELECT
+          CAST(SUM(CASE WHEN ca > 0 THEN CAST(ca AS DECIMAL(38,0))
+            * CAST((2 * bt + ca + cb + 1) - (2 * ba + ca + 1)
+              AS DECIMAL(38,0)) END) AS DOUBLE) AS s2pa,
+          CAST(SUM(CASE WHEN ca > 0 THEN CAST(ca AS DECIMAL(38,0))
+            * CAST((2 * bt + ca + cb + 1) - (2 * ba + ca + 1)
+              AS DECIMAL(38,0))
+            * CAST((2 * bt + ca + cb + 1) - (2 * ba + ca + 1)
+              AS DECIMAL(38,0)) END) AS DOUBLE) AS s4pa,
+          CAST(SUM(CASE WHEN cb > 0 THEN CAST(cb AS DECIMAL(38,0))
+            * CAST((2 * bt + ca + cb + 1) - (2 * bb + cb + 1)
+              AS DECIMAL(38,0)) END) AS DOUBLE) AS s2pb,
+          CAST(SUM(CASE WHEN cb > 0 THEN CAST(cb AS DECIMAL(38,0))
+            * CAST((2 * bt + ca + cb + 1) - (2 * bb + cb + 1)
+              AS DECIMAL(38,0))
+            * CAST((2 * bt + ca + cb + 1) - (2 * bb + cb + 1)
+              AS DECIMAL(38,0)) END) AS DOUBLE) AS s4pb
+        FROM cum),
+      m AS (
+        SELECT na, nb,
+          s2pa / (2.0 * na) AS pbara, s2pb / (2.0 * nb) AS pbarb,
+          s4pa, s4pb
+        FROM pl, t),
+      st AS (
+        SELECT na, nb, pbarb / na AS phat,
+          (s4pa / 4.0 - na * pbara * pbara) / (na - 1)
+            / (CAST(na AS DOUBLE) * nb * nb) AS u1,
+          (s4pb / 4.0 - nb * pbarb * pbarb) / (nb - 1)
+            / (CAST(nb AS DOUBLE) * na * na) AS u2
+        FROM m)
+      SELECT na AS n_a, nb AS n_b, round(phat, 6) + 0.0 AS p_hat,
+        CASE WHEN u1 + u2 > 0 THEN
+          round((phat - 0.5) / sqrt(u1 + u2), 6) + 0.0 END AS w_stat,
+        CASE WHEN u1 + u2 > 0 THEN
+          round((u1 + u2) * (u1 + u2)
+            / (u1 * u1 / (na - 1) + u2 * u2 / (nb - 1)), 6) + 0.0 END
+          AS df
+      FROM st"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull)
+      val out = graft.stats.RankTests.brunnerMunzel(
+        li.filter(col("l_returnflag") === "A")
+          .select(col("l_quantity").as("v")),
+        li.filter(col("l_returnflag") === "R")
+          .select((col("l_quantity") + 5).as("v")),
+        col("v"))
+      val r = out.head()
+      require(r.getAs[Double]("p_hat") > 0.55 &&
+        r.getAs[Double]("w_stat") > 2.0,
+        s"the planted +5 shift must fire: $r")
+      out
+    })
+
   /** Two-sample KS ([[graft.stats.Drift.ksTwoSample]]): returned vs
     * never-returned lineitem quantities — 50 heavy-tie distinct values
     * exercise the exact integer-numerator argmax; p through the
@@ -3776,7 +3860,7 @@ object StatsQueries extends QueryModule {
     })
 
   override def queries: Seq[Q] = Seq(
-    t72DagostinoK2, t73Friedman, t74MoodMedian,
+    t72DagostinoK2, t73Friedman, t74MoodMedian, t75BrunnerMunzel,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

@@ -621,6 +621,107 @@ object RankTests {
       col("n_diff_cells"), col("hl_shift"))
   }
 
+  /** Brunner–Munzel test (Brunner & Munzel 2000 — public): the modern
+    * replacement for Mann–Whitney when the two samples may differ in
+    * SHAPE as well as location (the Behrens–Fisher situation ranks
+    * can't wish away): estimates the relative effect
+    * p̂ = P(X < Y) + ½P(X = Y) and studentizes it with per-sample
+    * placement variances, so unequal spreads don't inflate the test.
+    * W is t-distributed with the Welch-type df̂ under H₀: p = ½ (the
+    * t/normal p is library-only — t52 convention; |W| > 2 is the
+    * practical alarm line).
+    *
+    * Distributed shape: per-value counts per side, ONE range-partitioned
+    * sort of the merged distinct-value table, per-partition running
+    * counts with broadcast offsets (the ksTwoSample idiom). Placements
+    * are constant within a (value, side) cell, so every accumulated
+    * quantity is Σ c·(2P) and Σ c·(2P)² over DOUBLED midranks — exact
+    * integers added in BigDecimal, partition sums combined in index
+    * order; the statistic is fixed double arithmetic over those
+    * integers, fully oracle-replayable. Returns one row
+    * (n_a, n_b, p_hat, w_stat, df), round-6; W null when both placement
+    * variances are 0 (complete separation — p̂ still reports 0 or 1). */
+  def brunnerMunzel(a: DataFrame, b: DataFrame,
+      valueCol: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tagA: Boolean) = df
+      .select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .select(col("v"),
+        (if (tagA) col("c") else lit(0L)).as("ca"),
+        (if (tagA) lit(0L) else col("c")).as("cb"))
+    val counts = side(a, tagA = true).unionByName(side(b, tagA = false))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .as[(Double, Long, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { t => sa += t._2; sb += t._3 }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val offA = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partTotals.map(_._3).scanLeft(0L)(_ + _)
+      val (n1, n2) = (offA.last, offB.last)
+      require(n1 >= 2 && n2 >= 2,
+        s"Brunner-Munzel needs >= 2 per side, got $n1/$n2")
+      val partSums = counts.mapPartitionsWithIndex { (i, it) =>
+        var ca0 = offA(i); var cb0 = offB(i)
+        def bd(x: Long) = java.math.BigDecimal.valueOf(x)
+        var s2pA = java.math.BigDecimal.ZERO // Σ ca·(2P_a)
+        var s4pA = java.math.BigDecimal.ZERO // Σ ca·(2P_a)²
+        var s2pB = java.math.BigDecimal.ZERO
+        var s4pB = java.math.BigDecimal.ZERO
+        it.foreach { case (_, ca, cb) =>
+          // doubled midranks: 2M = 2·before_total + (ca+cb) + 1,
+          // 2m_side = 2·before_side + c_side + 1 — all exact integers
+          val m2 = 2 * (ca0 + cb0) + ca + cb + 1
+          if (ca > 0) {
+            val p2 = m2 - (2 * ca0 + ca + 1) // 2·P_a at this value
+            s2pA = s2pA.add(bd(ca).multiply(bd(p2)))
+            s4pA = s4pA.add(bd(ca).multiply(bd(p2).multiply(bd(p2))))
+          }
+          if (cb > 0) {
+            val p2 = m2 - (2 * cb0 + cb + 1)
+            s2pB = s2pB.add(bd(cb).multiply(bd(p2)))
+            s4pB = s4pB.add(bd(cb).multiply(bd(p2).multiply(bd(p2))))
+          }
+          ca0 += ca; cb0 += cb
+        }
+        Iterator((i, s2pA, s4pA, s2pB, s4pB))
+      }.collect().sortBy(_._1)
+      def tot(f: ((Int, java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal, java.math.BigDecimal)) =>
+          java.math.BigDecimal) =
+        partSums.foldLeft(java.math.BigDecimal.ZERO)((x, y) => x.add(f(y)))
+      val (s2pA, s4pA) = (tot(_._2).doubleValue, tot(_._3).doubleValue)
+      val (s2pB, s4pB) = (tot(_._4).doubleValue, tot(_._5).doubleValue)
+      // mean placements (P̄ = Σc·2P / (2n)); p̂ = P̄_b / n1
+      val pBarA = s2pA / (2.0 * n1)
+      val pBarB = s2pB / (2.0 * n2)
+      val pHat = pBarB / n1
+      // placement variances: S² = (Σc·(2P)²/4 − n·P̄²)/(n−1)
+      val s1 = (s4pA / 4.0 - n1 * pBarA * pBarA) / (n1 - 1)
+      val s2 = (s4pB / 4.0 - n2 * pBarB * pBarB) / (n2 - 1)
+      val u1 = s1 / (n1.toDouble * n2 * n2)
+      val u2 = s2 / (n2.toDouble * n1 * n1)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val (w, df) =
+        if (u1 + u2 > 0) {
+          val wV = (pHat - 0.5) / math.sqrt(u1 + u2)
+          val dfV = (u1 + u2) * (u1 + u2) /
+            (u1 * u1 / (n1 - 1) + u2 * u2 / (n2 - 1))
+          (Some(r6(wV)), Some(r6(dfV)))
+        } else (None, None)
+      Seq((n1, n2, r6(pHat), w, df))
+        .toDF("n_a", "n_b", "p_hat", "w_stat", "df")
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Friedman test (Friedman 1937 — public; Conover's tie-handling
     * formulation): the repeated-measures companion to
     * [[kruskalWallis]] — k treatments measured once per block, ranks

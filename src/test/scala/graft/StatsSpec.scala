@@ -901,6 +901,36 @@ class StatsSpec extends SparkSpec {
     assert(bd.forall(r => r.getAs[Double]("b") <= r.getAs[Double]("t")))
   }
 
+  test("brunner-munzel: hand placements, relative effect, separation edge") {
+    import graft.stats.RankTests
+    // x=[1,2,2,5], y=[2,3,6]: p_hat = P(X<Y)+0.5P(X=Y) = 0.75 (matches
+    // the brute-force pair count), W = 1.224745, Welch df = 4.8 —
+    // replayed independently in pure Python from the doubled-midrank
+    // placement sums
+    val r = RankTests.brunnerMunzel(
+      Seq(1.0, 2.0, 2.0, 5.0).toDF("v"), Seq(2.0, 3.0, 6.0).toDF("v"),
+      col("v")).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("p_hat") == 0.75 &&
+      r.getAs[Double]("w_stat") == 1.224745 &&
+      r.getAs[Double]("df") == 4.8, s"$r")
+    // complete separation: p_hat = 1, placement variances 0 -> null W
+    val sep = RankTests.brunnerMunzel(
+      Seq(1.0, 1.0, 2.0).toDF("v"), Seq(5.0, 6.0).toDF("v"),
+      col("v")).head()
+    assert(sep.getAs[Double]("p_hat") == 1.0 &&
+      sep.isNullAt(sep.fieldIndex("w_stat")), s"$sep")
+    // symmetry: swapping sides reflects p_hat around 1/2
+    val sw = RankTests.brunnerMunzel(
+      Seq(2.0, 3.0, 6.0).toDF("v"), Seq(1.0, 2.0, 2.0, 5.0).toDF("v"),
+      col("v")).head()
+    assert(sw.getAs[Double]("p_hat") == 0.25, s"$sw")
+    intercept[IllegalArgumentException] {
+      RankTests.brunnerMunzel(Seq(1.0).toDF("v"),
+        Seq(2.0, 3.0).toDF("v"), col("v"))
+    }
+  }
+
   test("wasserstein-1: hand shifts, identity zero, empty-side loudness") {
     import graft.stats.Drift
     // unit shift: a = {0,1}, b = {1,2} -> W1 = 1 exactly
