@@ -1265,6 +1265,83 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Ansari–Bradley scale test ([[graft.stats.RankTests
+    * .ansariBradley]]): A quantities vs R quantities stretched 3×
+    * around their center (a pure planted SCALE difference) — the
+    * oracle rebuilds the both-ends block-score closed form (arithmetic
+    * series with the (N+1)/2 kink, exact integers), the round-9
+    * AB/S₂ folds, and the tie-robust moments. In-gate: the planted
+    * stretch fires with z ≫ 0 (first sample less dispersed). */
+  val t76AnsariBradley: Q = Q(
+    "t76_ansari_bradley",
+    Some("""
+      WITH av AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                  WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+      bv AS (SELECT CAST(25.5 + 3.0 * (l_quantity - 25.5) AS DOUBLE) AS v
+             FROM lineitem
+             WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+      ac AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+      bc AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+      c AS (SELECT COALESCE(ac.v, bc.v) AS v, COALESCE(ca, 0) AS ca,
+              COALESCE(cb, 0) AS cb
+            FROM ac FULL JOIN bc ON ac.v = bc.v),
+      t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+              CAST(SUM(cb) AS BIGINT) AS nb,
+              CAST(SUM(ca + cb) AS BIGINT) AS nn,
+              (CAST(SUM(ca + cb) AS BIGINT) + 1) // 2 AS k
+            FROM c),
+      cum AS (
+        SELECT v, ca, cb, ca + cb AS c,
+          COALESCE(SUM(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bt
+        FROM c),
+      bs AS (
+        SELECT ca, cb, c,
+          (CASE WHEN bt + 1 <= k THEN
+            ((bt + 1) + least(bt + c, k))
+              * (least(bt + c, k) - (bt + 1) + 1) // 2 ELSE 0 END)
+          + (CASE WHEN bt + c > k THEN
+            ((nn + 1 - (bt + c)) + (nn + 1 - greatest(bt + 1, k + 1)))
+              * ((nn + 1 - greatest(bt + 1, k + 1))
+                 - (nn + 1 - (bt + c)) + 1) // 2 ELSE 0 END) AS bsum
+        FROM cum, t),
+      agg AS (
+        SELECT
+          CAST(SUM(CASE WHEN ca > 0 THEN
+            CAST(round(CAST(ca AS DOUBLE) * (CAST(bsum AS DOUBLE) / c), 9)
+              AS DECIMAL(38,12)) END) AS DOUBLE) AS ab,
+          CAST(SUM(bsum) AS BIGINT) AS s,
+          CAST(SUM(CAST(round(CAST(bsum AS DOUBLE)
+            * (CAST(bsum AS DOUBLE) / c), 9) AS DECIMAL(38,12)))
+            AS DOUBLE) AS s2
+        FROM bs)
+      SELECT na AS n_a, nb AS n_b,
+        round(ab, 6) + 0.0 AS ab_stat,
+        round(CAST(na AS DOUBLE) * s / nn, 6) + 0.0 AS expected,
+        CASE WHEN CAST(na AS DOUBLE) * nb * (nn * s2
+            - CAST(s AS DOUBLE) * s)
+            / (CAST(nn AS DOUBLE) * nn * (nn - 1)) > 0 THEN
+          round((ab - CAST(na AS DOUBLE) * s / nn)
+            / sqrt(CAST(na AS DOUBLE) * nb * (nn * s2
+              - CAST(s AS DOUBLE) * s)
+              / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6) + 0.0 END AS z
+      FROM agg, t"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull)
+      val out = graft.stats.RankTests.ansariBradley(
+        li.filter(col("l_returnflag") === "A")
+          .select(col("l_quantity").cast("double").as("v")),
+        li.filter(col("l_returnflag") === "R")
+          .select((lit(25.5) + lit(3.0) * (col("l_quantity") - 25.5))
+            .cast("double").as("v")),
+        col("v"))
+      val r = out.head()
+      require(r.getAs[Double]("z") > 3.0,
+        s"the planted 3x stretch must fire (first sample tighter): $r")
+      out
+    })
+
   /** Two-sample KS ([[graft.stats.Drift.ksTwoSample]]): returned vs
     * never-returned lineitem quantities — 50 heavy-tie distinct values
     * exercise the exact integer-numerator argmax; p through the
@@ -3861,6 +3938,7 @@ object StatsQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     t72DagostinoK2, t73Friedman, t74MoodMedian, t75BrunnerMunzel,
+    t76AnsariBradley,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

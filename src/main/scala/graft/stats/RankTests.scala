@@ -722,6 +722,96 @@ object RankTests {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Ansari–Bradley scale test (Ansari & Bradley 1960 — public): the
+    * nonparametric DISPERSION companion to the location tests — scores
+    * count inward from both ends (rank 1 and rank N both score 1, the
+    * middle scores highest), so a sample concentrated at the center
+    * collects HIGH scores: z > 0 means the FIRST sample is less
+    * dispersed. Assumes equal medians/locations (center first when they
+    * differ). The tie-robust moments come from the exact score sums
+    * (the scipy convention): E = n₁·S/N and
+    * Var = n₁n₂(N·S₂ − S²)/(N²(N−1)) with S = Σs, S₂ = Σs² over the
+    * midrank-averaged scores; the normal p is library-only.
+    *
+    * Distributed shape: the ksTwoSample partition-offset scan over the
+    * merged distinct-value table. Each tie block's score SUM has a
+    * closed form (arithmetic series with a kink at (N+1)/2 — exact
+    * integers), the block average spreads it over the block, and AB/S₂
+    * fold as round-9 decimals with S an exact integer. Returns one row
+    * (n_a, n_b, ab_stat, expected, z), round-6; z null when the score
+    * variance is 0 (a single distinct value). */
+  def ansariBradley(a: DataFrame, b: DataFrame,
+      valueCol: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tagA: Boolean) = df
+      .select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .select(col("v"),
+        (if (tagA) col("c") else lit(0L)).as("ca"),
+        (if (tagA) lit(0L) else col("c")).as("cb"))
+    val counts = side(a, tagA = true).unionByName(side(b, tagA = false))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .as[(Double, Long, Long)].rdd
+      .sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { t => sa += t._2; sb += t._3 }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val offA = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partTotals.map(_._3).scanLeft(0L)(_ + _)
+      val (n1, n2) = (offA.last, offB.last)
+      require(n1 >= 2 && n2 >= 2,
+        s"Ansari-Bradley needs >= 2 per side, got $n1/$n2")
+      val nTot = n1 + n2
+      val kMid = (nTot + 1) / 2
+      val partSums = counts.mapPartitionsWithIndex { (i, it) =>
+        var bt = offA(i) + offB(i)
+        var ab = java.math.BigDecimal.ZERO
+        var s = 0L
+        var s2 = java.math.BigDecimal.ZERO
+        def r9(x: Double) = java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+        def sumUp(lo: Long, hi: Long): Long =
+          if (hi < lo) 0L else (lo + hi) * (hi - lo + 1) / 2
+        it.foreach { case (_, ca, cb) =>
+          val c = ca + cb
+          val lo = bt + 1; val hi = bt + c
+          val bs = (if (lo <= kMid) sumUp(lo, math.min(hi, kMid)) else 0L) +
+            (if (hi > kMid)
+              sumUp(nTot + 1 - hi, nTot + 1 - math.max(lo, kMid + 1))
+            else 0L)
+          val sbar = bs.toDouble / c
+          if (ca > 0) ab = ab.add(r9(ca * sbar))
+          s += bs
+          s2 = s2.add(r9(bs * sbar))
+          bt += c
+        }
+        Iterator((i, ab, s, s2))
+      }.collect().sortBy(_._1)
+      val abStat = partSums
+        .foldLeft(java.math.BigDecimal.ZERO)((x, y) => x.add(y._2))
+        .doubleValue
+      val s = partSums.map(_._3).sum
+      val s2 = partSums
+        .foldLeft(java.math.BigDecimal.ZERO)((x, y) => x.add(y._4))
+        .doubleValue
+      val e = n1.toDouble * s / nTot
+      val varAb = n1.toDouble * n2 * (nTot * s2 - s.toDouble * s) /
+        (nTot.toDouble * nTot * (nTot - 1))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val z = if (varAb > 0) Some(r6((abStat - e) / math.sqrt(varAb)))
+        else None
+      Seq((n1, n2, r6(abStat), r6(e), z))
+        .toDF("n_a", "n_b", "ab_stat", "expected", "z")
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Friedman test (Friedman 1937 — public; Conover's tie-handling
     * formulation): the repeated-measures companion to
     * [[kruskalWallis]] — k treatments measured once per block, ranks

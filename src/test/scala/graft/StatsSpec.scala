@@ -931,6 +931,27 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ansari-bradley: hand scores, scale direction, degenerate edge") {
+    import graft.stats.RankTests
+    // x=[1,4], y=[2,3]: both-end scores 1,2,2,1 -> AB=2, E=3,
+    // Var = 4*(4*10-36)/(16*3) = 1/3, z = -1.732051 (x MORE dispersed)
+    val r = RankTests.ansariBradley(Seq(1.0, 4.0).toDF("v"),
+      Seq(2.0, 3.0).toDF("v"), col("v")).head()
+    assert(r.getAs[Double]("ab_stat") == 2.0 &&
+      r.getAs[Double]("expected") == 3.0 &&
+      r.getAs[Double]("z") == -1.732051, s"$r")
+    // direction: a concentrated sample scores HIGH -> z > 0
+    val conc = RankTests.ansariBradley(
+      (1 to 20).map(i => 10.0 + (i % 3)).toDF("v"),
+      (1 to 20).map(i => 10.0 + 5.0 * (i % 5) - 10.0).toDF("v"),
+      col("v")).head()
+    assert(conc.getAs[Double]("z") > 2.0, s"$conc")
+    // one distinct value everywhere: zero score variance -> null z
+    val d = RankTests.ansariBradley(Seq(2.0, 2.0).toDF("v"),
+      Seq(2.0, 2.0).toDF("v"), col("v")).head()
+    assert(d.isNullAt(d.fieldIndex("z")), s"$d")
+  }
+
   test("wasserstein-1: hand shifts, identity zero, empty-side loudness") {
     import graft.stats.Drift
     // unit shift: a = {0,1}, b = {1,2} -> W1 = 1 exactly
