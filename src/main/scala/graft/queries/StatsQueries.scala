@@ -1265,6 +1265,64 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Chatterjee's ξ rank correlation ([[graft.stats.Correlation
+    * .xicor]]): is price a FUNCTION of quantity? Rows aggregate to one
+    * per (orderkey, linenumber) so the tie-break id is genuinely unique
+    * (the deterministic-order contract). The oracle replays the
+    * cumulative y-rank table, the (x, tie)-ordered adjacent-difference
+    * sum, and the exact integer denominator. In-gate: ξ(x, x²) — a
+    * planted deterministic function — must dominate ξ(x, price), and
+    * both stay in the coefficient's range. */
+  val t77Xicor: Q = Q(
+    "t77_xicor",
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey * 10 + l_linenumber AS t,
+          CAST(max(l_quantity) AS DOUBLE) AS x,
+          CAST(max(l_extendedprice) AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      yr AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY y),
+      yc AS (SELECT y, SUM(c) OVER (ORDER BY y) AS cumle, c FROM yr),
+      j AS (SELECT b.x, b.t, yc.cumle AS r,
+              (tt.n - yc.cumle + yc.c) AS ge
+            FROM b JOIN yc USING (y), tt),
+      o AS (SELECT r, lead(r) OVER (ORDER BY x, t) AS nr FROM j),
+      nm AS (SELECT CAST(SUM(abs(nr - r)) AS BIGINT) AS num
+             FROM o WHERE nr IS NOT NULL),
+      dn AS (SELECT SUM(CAST(ge AS DECIMAL(38,0))
+               * CAST(tt.n - ge AS DECIMAL(38,0))) AS den
+             FROM j, tt)
+      SELECT tt.n,
+        (SELECT CAST(count(*) AS BIGINT) FROM yr) AS n_distinct_y,
+        round(1.0 - CAST(tt.n AS DOUBLE) * num
+          / (2.0 * CAST(den AS DOUBLE)), 6) + 0.0 AS xi
+      FROM tt, nm, dn"""),
+    (s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull &&
+          col("l_extendedprice").isNotNull)
+        .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("t"))
+        .agg(max(col("l_quantity")).cast("double").as("x"),
+          max(col("l_extendedprice")).cast("double").as("y"))
+      val out = graft.stats.Correlation.xicor(b, col("x"), col("y"),
+        col("t"))
+      if (Tables.gateMode) {
+        val xiPrice = out.head().getAs[Double]("xi")
+        require(xiPrice > -0.5 && xiPrice <= 1.0,
+          s"xi out of range: $xiPrice")
+        // a planted deterministic function must dominate the noisy pair
+        val xiFn = graft.stats.Correlation.xicor(
+          b.withColumn("y2", col("x") * col("x")),
+          col("x"), col("y2"), col("t")).head().getAs[Double]("xi")
+        require(xiFn > xiPrice && xiFn > 0.5,
+          s"planted y=x^2 must dominate: fn=$xiFn price=$xiPrice")
+      }
+      out
+    })
+
   /** Ansari–Bradley scale test ([[graft.stats.RankTests
     * .ansariBradley]]): A quantities vs R quantities stretched 3×
     * around their center (a pure planted SCALE difference) — the
@@ -3938,7 +3996,7 @@ object StatsQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     t72DagostinoK2, t73Friedman, t74MoodMedian, t75BrunnerMunzel,
-    t76AnsariBradley,
+    t76AnsariBradley, t77Xicor,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

@@ -931,6 +931,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("chatterjee xi: hand ties case, finite-n monotone value, edges") {
+    import graft.stats.Correlation
+    // x=[1,1,2,3], y=[5,5,7,5]: r=[3,3,4,3], num=2, den=3 ->
+    // xi = 1 - 4*2/6 = -1/3 (replayed by hand; negative values happen
+    // at tiny n)
+    val r = Correlation.xicor(
+      Seq((1.0, 5.0, 0L), (1.0, 5.0, 1L), (2.0, 7.0, 2L), (3.0, 5.0, 3L))
+        .toDF("x", "y", "t"), col("x"), col("y"), col("t")).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_distinct_y") == 2L)
+    assert(r.getAs[Double]("xi") == -0.333333, s"$r")
+    // perfect monotone at n=5: xi = 1 - 5*4/(2*20) = 0.5 exactly (the
+    // coefficient's known finite-n ceiling; -> 1 as n grows)
+    val m = Correlation.xicor(
+      (1 to 5).map(i => (i.toDouble, i.toDouble, i.toLong)).toDF("x", "y", "t"),
+      col("x"), col("y"), col("t")).head()
+    assert(m.getAs[Double]("xi") == 0.5, s"$m")
+    // larger monotone approaches 1; a non-monotone FUNCTION also scores
+    // high (the property Pearson/Spearman lack)
+    val big = (1 to 2000).map(i => (i.toDouble, (i - 1000.0) * (i - 1000.0),
+      i.toLong)).toDF("x", "y", "t")
+    val pb = Correlation.xicor(big, col("x"), col("y"), col("t")).head()
+    assert(pb.getAs[Double]("xi") > 0.99, s"$pb")
+    intercept[IllegalArgumentException] { // constant y -> loud
+      Correlation.xicor(Seq((1.0, 2.0, 1L), (2.0, 2.0, 2L)).toDF("x", "y", "t"),
+        col("x"), col("y"), col("t"))
+    }
+  }
+
   test("ansari-bradley: hand scores, scale direction, degenerate edge") {
     import graft.stats.RankTests
     // x=[1,4], y=[2,3]: both-end scores 1,2,2,1 -> AB=2, E=3,
