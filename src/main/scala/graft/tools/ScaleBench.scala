@@ -284,6 +284,50 @@ object ScaleBench {
           s""","n_participants":$live""")
       }
 
+      if (wanted("rank_scan_family")) {
+        // r16 distinct-value-scan ops: W1 and Brunner-Munzel run over
+        // the MERGED DISTINCT-VALUE table (quantity's domain is
+        // bounded, so their scan is constant-size at any K — time
+        // should be scan-dominated and near-flat); Chatterjee's xi adds
+        // a row-sized range-partitioned (x, tie) sort, the honest
+        // ~linear leg. Witnesses: distinct-value counts constant for
+        // W1/BM, xi's value stable in K (same distribution per copy).
+        val liR = spark.read.parquet(s"$dir/lineitem")
+          .filter(col("l_quantity").isNotNull)
+        val aSide = liR.filter(col("l_returnflag") === "A")
+          .select(col("l_quantity").cast("double").as("v"))
+        val bSide = liR.filter(col("l_returnflag") === "N")
+          .select((col("l_quantity") + 2).cast("double").as("v"))
+        var w1V = 0.0; var nVals = 0L
+        val (w1Med, w1S) = timeMedian {
+          val r = graft.stats.Drift.wasserstein1(aSide, bSide, col("v"))
+            .head()
+          w1V = r.getAs[Double]("w1"); nVals = r.getAs[Long]("n_values")
+        }
+        emit("dq_wasserstein1", k, liR.count(), w1Med, w1S,
+          f""","w1":$w1V%.4f,"n_values":$nVals""")
+        var bmW = 0.0
+        val (bmMed, bmS) = timeMedian {
+          bmW = graft.stats.RankTests.brunnerMunzel(aSide, bSide, col("v"))
+            .head().getAs[Double]("w_stat")
+        }
+        emit("t75_brunner_munzel", k, liR.count(), bmMed, bmS,
+          f""","w_stat":$bmW%.2f""")
+        // xi over the pivot copies (offset orderkeys keep ties unique)
+        val bx = spark.read.parquet(s"$dir/lineitem_pivot")
+          .filter(col("l_quantity").isNotNull &&
+            col("l_extendedprice").isNotNull)
+          .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("t"))
+          .agg(max(col("l_quantity")).cast("double").as("x"),
+            max(col("l_extendedprice")).cast("double").as("y"))
+        var xiV = 0.0
+        val (xiMed, xiS) = timeMedian {
+          xiV = graft.stats.Correlation.xicor(bx, col("x"), col("y"),
+            col("t")).head().getAs[Double]("xi")
+        }
+        emit("t77_xicor", k, bx.count(), xiMed, xiS, f""","xi":$xiV%.5f""")
+      }
+
       def ev = spark.read.parquet(s"$dir/events")
 
       if (wanted("ev_anomaly_flags")) {
