@@ -1093,6 +1093,70 @@ object EventQueries extends QueryModule {
       out.orderBy("event_type", "d")
     })
 
+  /** Inter-arrival exponentiality ([[graft.stats.Drift
+    * .ksExponential]]): KS distance of per-user event gaps against the
+    * fitted memoryless law — the "are arrivals homogeneous Poisson"
+    * check behind constant-rate capacity models. The oracle replays the
+    * round-9 mean fold, the round-12 λ̂, and the two-sided sup walk over
+    * the distinct-gap table. In-gate: the synthetic generator's pooled
+    * gaps are genuinely near-memoryless (measured D ≈ 0.007), so the
+    * gate pins D SMALL on them — and pins the discriminative power on
+    * a planted constant-gap series, whose D vs any fitted exponential
+    * is 1 − e⁻¹ ≈ 0.632 by construction. */
+  val evExponentiality: Q = Q(
+    "ev_exponentiality",
+    Some("""
+      WITH g0 AS (
+        SELECT (epoch_us(ts) // 1000000)
+          - lag(epoch_us(ts) // 1000000)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      b AS (SELECT CAST(g AS DOUBLE) AS v FROM g0 WHERE g IS NOT NULL),
+      c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+      t AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+          round(CAST(SUM(c) AS BIGINT)
+            / CAST(SUM(CAST(round(v * c, 9) AS DECIMAL(38,12)))
+              AS DOUBLE), 12) AS lam
+        FROM c),
+      w AS (
+        SELECT v, c,
+          COALESCE(SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+        FROM c),
+      d AS (
+        SELECT MAX(greatest(
+          abs(cb / CAST(n AS DOUBLE) - (1.0 - exp(-lam * v))),
+          abs(ct / CAST(n AS DOUBLE) - (1.0 - exp(-lam * v))))) AS dst
+        FROM w, t)
+      SELECT n, lam AS lambda_hat, round(dst, 6) + 0.0 AS d_stat
+      FROM t, d"""),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select((unix_seconds(col("ts"))
+          - lag(unix_seconds(col("ts")), 1).over(w)).as("g"))
+        .filter(col("g").isNotNull)
+      val out = graft.stats.Drift.ksExponential(gaps, col("g"))
+      if (Tables.gateMode) {
+        val r = out.head()
+        require(r.getAs[Double]("d_stat") < 0.05,
+          s"the generator's pooled gaps are memoryless-ish; D blew up: $r")
+        // discriminative power: constant gaps vs a fitted exponential
+        // have D = max over the single jump = 1 - e^(-1) = 0.632121
+        import s.implicits._
+        val const = graft.stats.Drift.ksExponential(
+          Seq.fill(50)(7.0).toDF("g"), col("g")).head()
+        require(const.getAs[Double]("d_stat") == 0.632121,
+          s"constant-gap D must be 1 - 1/e: $const")
+      }
+      out
+    })
+
   /** Page–Hinkley drift detector
     * ([[graft.ops.EventAnalytics.pageHinkley]]) on the ev_cusum fixture
     * (+40 planted in 'error' from day 22): the BASELINE-FREE monitor —
@@ -3257,7 +3321,7 @@ object EventQueries extends QueryModule {
       evResample, evTrend, evFunnel, evRetention, evRolling, evScd2,
       evRangeJoin, evOverlapJoin, evCorrelate, evImpute, evPaths, evActive,
       evCuped, evKaplanMeier, evKmGreenwood, evLogRank, evSurvivalSummary,
-      evCusum, evPageHinkley,
+      evCusum, evPageHinkley, evExponentiality,
       evMarkovTransitions, evMarkovStationary, evAttributionLast,
       evAttributionFirst, evSeasonal, evSeasonalStrength, evEwma,
       evSegmented, evProportionTest,

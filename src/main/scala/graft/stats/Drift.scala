@@ -423,6 +423,72 @@ object Drift {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** One-sample Kolmogorov–Smirnov against a FITTED exponential
+    * (Lilliefors 1969 variant — public): are inter-arrival gaps
+    * memoryless? The homogeneous-Poisson hypothesis behind every
+    * constant-rate capacity model — reject it and rate limits tuned on
+    * the mean are wrong at the bursts. λ̂ = n/Σv (rounded 12 — the
+    * shared cross-engine constant), D = the usual two-sided sup gap vs
+    * F(v) = 1 − e^{−λ̂v}. NOTE the Kolmogorov p is INVALID when λ is
+    * estimated from the same data (Lilliefors' point), so only D is
+    * emitted — compare against Lilliefors critical values offline or
+    * bootstrap; at pipeline scale any real daily cycle pushes D far
+    * above every table anyway.
+    *
+    * Distributed shape: the [[ksUniform]] recipe — per-value counts,
+    * ONE range-partitioned sort, per-partition running counts with
+    * broadcast offsets; the mean fold is round-9 decimal. Values must
+    * be ≥ 0 (loud). Returns one row (n, lambda_hat, d_stat), λ̂
+    * round-12, D round-6. */
+  def ksExponential(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .as[(Double, Long)].rdd.sortBy(_._1)
+    counts.cache()
+    try {
+      val partTotals = counts.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        var sv = java.math.BigDecimal.ZERO
+        it.foreach { case (v, c) =>
+          require(v >= 0.0, s"negative duration: $v")
+          s += c
+          sv = sv.add(java.math.BigDecimal.valueOf(v * c)
+            .setScale(9, java.math.RoundingMode.HALF_UP))
+        }
+        Iterator((i, s, sv))
+      }.collect().sortBy(_._1)
+      val off = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val n = off.last
+      require(n >= 2, s"KS-exponential needs >= 2 values, got $n")
+      val sumV = partTotals
+        .foldLeft(java.math.BigDecimal.ZERO)((x, y) => x.add(y._3))
+        .doubleValue
+      require(sumV > 0.0, "all durations zero - no rate to fit")
+      val lam = BigDecimal(n.toDouble / sumV)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nD = n.toDouble
+      val d = counts.mapPartitionsWithIndex { (i, it) =>
+        var cum = off(i)
+        var best = 0.0
+        it.foreach { case (v, c) =>
+          val f = 1.0 - math.exp(-lam * v)
+          val lo = math.abs(cum / nD - f)
+          cum += c
+          val hi = math.abs(cum / nD - f)
+          val m = math.max(lo, hi)
+          if (m > best) best = m
+        }
+        Iterator(best)
+      }.collect().foldLeft(0.0)(math.max)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      Seq((n, lam + 0.0, r6(d))).toDF("n", "lambda_hat", "d_stat")
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Two-sample Cramér–von Mises statistic (Anderson 1962, public):
     * T = n·m/(n+m)² · Σ_pooled (F_n(z) − G_m(z))², summed over every
     * pooled observation — the WHOLE-distribution companion to
