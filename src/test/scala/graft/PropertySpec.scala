@@ -585,6 +585,24 @@ class PropertySpec extends SparkSpec {
       "pareto front must not plan a global window")
   }
 
+  test("gopher/c4 rule filters: narrow codegen maps, zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (plan <- Seq(
+      graft.ops.QualityRules.gopherFlags(docs, "doc_id", "text")
+        .queryExecution.executedPlan,
+      graft.ops.QualityRules.c4Clean(docs, "doc_id", "text")
+        .queryExecution.executedPlan)) {
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"a per-document rule filter must not shuffle:\n$plan")
+      val codegen = plan.collect { case w: WholeStageCodegenExec => w }
+      assert(codegen.nonEmpty,
+        s"rule columns should ride whole-stage codegen:\n$plan")
+    }
+  }
+
   test("global top-fraction cut: threshold filter plan, NO window; exact boundary") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
