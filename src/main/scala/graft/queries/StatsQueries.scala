@@ -3940,6 +3940,79 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Quade test ([[graft.stats.RankTests.quade]]) on the t73 fixture:
+    * range-weighted within-block ranks, so wide blocks vote loudest.
+    * The oracle replays BOTH doubled-midrank layers (within-block and
+    * across block ranges), the exact-integer 4·S scores, and T₃ from
+    * the exact decimal A/B sums. In-gate: the planted +2·linenumber
+    * order shows in the treatment sums and T₃ fires. */
+  val t78Quade: Q = Q(
+    "t78_quade",
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey AS blk, CAST(l_linenumber AS VARCHAR) AS g,
+          CAST(l_quantity + 2 * l_linenumber AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_linenumber <= 3 AND l_quantity IS NOT NULL),
+      ok AS (SELECT blk FROM b GROUP BY blk
+             HAVING count(*) = 3 AND count(DISTINCT g) = 3),
+      c AS (SELECT b.* FROM b JOIN ok USING (blk)),
+      r AS (
+        SELECT blk, g,
+          CAST(2 * rank() OVER (PARTITION BY blk ORDER BY v)
+            + count(*) OVER (PARTITION BY blk, v) - 1 AS BIGINT) AS r2
+        FROM c),
+      rg AS (SELECT blk, max(v) - min(v) AS rng FROM c GROUP BY blk),
+      rc AS (SELECT rng, CAST(count(*) AS BIGINT) AS cnt
+             FROM rg GROUP BY rng),
+      rq AS (
+        SELECT rng,
+          2 * COALESCE(SUM(cnt) OVER (ORDER BY rng
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS q2
+        FROM rc),
+      bq AS (SELECT blk, q2 FROM rg JOIN rq USING (rng)),
+      s AS (SELECT g, CAST(q2 * (r2 - 4) AS BIGINT) AS s4
+            FROM r JOIN bq USING (blk)),
+      agg AS (SELECT g, SUM(CAST(s4 AS DECIMAL(38,0))) AS s4sum
+              FROM s GROUP BY g),
+      aa AS (SELECT SUM(CAST(s4 AS DECIMAL(38,0))
+               * CAST(s4 AS DECIMAL(38,0))) AS a16 FROM s),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM ok),
+      bb AS (SELECT SUM(s4sum * s4sum) AS b16num FROM agg),
+      f AS (SELECT nb, CAST(a16 AS DOUBLE) AS a16d,
+              CAST(b16num AS DOUBLE) / nb AS b16d
+            FROM aa, bb, nn)
+      SELECT g AS treatment, nb AS n_blocks,
+        round(CAST(s4sum AS DOUBLE) / 4.0, 6) + 0.0 AS s_sum,
+        CASE WHEN a16d > b16d THEN
+          round((nb - 1) * b16d / (a16d - b16d), 6) + 0.0 END AS t3_stat
+      FROM agg, f ORDER BY treatment"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3 && col("l_quantity").isNotNull)
+        .select(col("l_orderkey").as("blk"),
+          col("l_linenumber").cast("string").as("g"),
+          (col("l_quantity") + lit(2) * col("l_linenumber"))
+            .cast("double").as("v"))
+      val ok = li.groupBy("blk")
+        .agg(count(lit(1)).as("c"), count_distinct(col("g")).as("kg"))
+        .filter(col("c") === 3 && col("kg") === 3).select("blk")
+      val out = graft.stats.RankTests.quade(
+        li.join(ok, "blk"), col("blk"), col("g"), col("v"))
+      val rows = out.collect()
+      val sums = rows.map(r =>
+        r.getString(0) -> r.getAs[Double]("s_sum")).toMap
+      require(sums("1") < sums("2") && sums("2") < sums("3"),
+        s"treatment sums must follow the planted order: $sums")
+      // F(2, ~1000) at alpha 0.001 is ~7; the planted effect measures
+      // T3 ~ 8.6 on this fixture (range-weighting discounts many of
+      // the +2-shift blocks, unlike Friedman's raw Q)
+      require(rows.head.getAs[Double]("t3_stat") > 7.0,
+        s"planted effect must fire: ${rows.mkString(";")}")
+      out
+    })
+
   /** Mood's median test ([[graft.stats.RankTests.moodMedian]]) on the
     * t52 planted-shift fixture (A +0, N +2, R +5): the oracle replays
     * the round-6 interpolated grand median (the shared classification
@@ -3996,7 +4069,7 @@ object StatsQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     t72DagostinoK2, t73Friedman, t74MoodMedian, t75BrunnerMunzel,
-    t76AnsariBradley, t77Xicor,
+    t76AnsariBradley, t77Xicor, t78Quade,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

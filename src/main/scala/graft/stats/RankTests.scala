@@ -889,6 +889,100 @@ object RankTests {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** Quade test (Quade 1979 — public): [[friedman]] weighted by how
+    * much each block DISCRIMINATES — blocks are ranked by their range
+    * and a block's within-ranks count proportionally to that rank, so a
+    * flat block (pure noise) barely votes while a wide one votes
+    * loudest. More powerful than Friedman at small k; the statistic
+    * T₃ = (n−1)·B/(A−B) is F(k−1, (n−1)(k−1)) under H₀ (the F p is
+    * library-only — t52 convention).
+    *
+    * Exactness: with DOUBLED midranks both within blocks (2r) and
+    * across block ranges (2Q), every score 4·S_ij = 2Q_j·(2r_ij−(k+1))
+    * is an exact integer; A, B and the treatment sums accumulate in
+    * exact decimals, and T₃ is one double expression over them.
+    * Distributed shape: within-block rank windows partition on the
+    * block key; block-range midranks come from the distinct-range
+    * count-table scan (domain-bounded) joined back — no unpartitioned
+    * window. Complete blocks required (loud). Returns one row per
+    * treatment (treatment, n_blocks, s_sum, t3_stat), round-6; T₃ null
+    * when A = B (all blocks perfectly consistent — the F explodes;
+    * treat as "significant at any level" and read the s_sum order). */
+  def quade(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(blockCol.as("b"), treatCol.cast("string").as("g"),
+        valueCol.cast("double").as("v"))
+      .filter(col("b").isNotNull && col("g").isNotNull &&
+        col("v").isNotNull && !isnan(col("v")))
+    val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+    val tie = Window.partitionBy(col("b"), col("v"))
+    val ranked = base.withColumn("__r2",
+      (rank().over(wb) * 2 + count(lit(1)).over(tie) - 1).cast("long"))
+      .persist()
+    try {
+      val k = ranked.select(count_distinct(col("g"))).head().getLong(0)
+      require(k >= 2, s"Quade needs >= 2 treatments, got $k")
+      val badBlocks = ranked.groupBy("b")
+        .agg(count(lit(1)).as("c"), count_distinct(col("g")).as("kg"))
+        .filter(col("c") =!= k || col("kg") =!= k).count()
+      require(badBlocks == 0L,
+        s"$badBlocks incomplete blocks - Quade needs every block to " +
+          "carry each treatment exactly once")
+      // block ranges -> doubled midranks via the distinct-value scan
+      val ranges = ranked.groupBy("b")
+        .agg((max(col("v")) - min(col("v"))).as("rng"))
+      val rngCounts = ranges.groupBy("rng").agg(count(lit(1)).as("c"))
+        .as[(Double, Long)].rdd.sortBy(_._1)
+      rngCounts.cache()
+      val q2 =
+        try {
+          val sizes = rngCounts.mapPartitionsWithIndex { (i, it) =>
+            var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+          }.collect().sortBy(_._1)
+          val offs = sizes.map(_._2).scanLeft(0L)(_ + _)
+          rngCounts.mapPartitionsWithIndex { (i, it) =>
+            var before = offs(i)
+            it.map { case (r, c) =>
+              val mid2 = 2 * before + c + 1 // doubled midrank
+              before += c
+              (r, mid2)
+            }
+          }.toDF("rng", "q2")
+        } finally rngCounts.unpersist(blocking = false)
+      val nBlocks = ranges.count()
+      require(nBlocks >= 2, s"Quade needs >= 2 blocks, got $nBlocks")
+      // 4S = q2 * (2r - (k+1)): exact integers per cell
+      val cells = ranked
+        .join(ranges.join(q2, "rng").select(col("b"), col("q2")), "b")
+        .select(col("g"),
+          (col("q2") * (col("__r2") - lit(k + 1))).as("s4"))
+      val perTreat = cells.groupBy("g").agg(
+        sum(col("s4").cast("decimal(38,0)")).as("s4sum")).orderBy("g")
+        .collect()
+        .map(r => r.getString(0) -> r.getDecimal(1).toBigInteger)
+      val a16 = cells.agg(
+        sum((col("s4") * col("s4")).cast("decimal(38,0)")))
+        .head().getDecimal(0).toBigInteger
+      val b16num = perTreat
+        .map { case (_, s) => s.multiply(s) }
+        .foldLeft(java.math.BigInteger.ZERO)(_.add(_))
+      val a16d = new java.math.BigDecimal(a16).doubleValue
+      val b16d = new java.math.BigDecimal(b16num).doubleValue / nBlocks
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val t3 =
+        if (a16d > b16d) Some(r6((nBlocks - 1) * b16d / (a16d - b16d)))
+        else None
+      perTreat.toSeq.map { case (g, s4) =>
+        (g, nBlocks, r6(new java.math.BigDecimal(s4).doubleValue / 4.0),
+          t3)
+      }.toDF("treatment", "n_blocks", "s_sum", "t3_stat")
+        .orderBy("treatment")
+    } finally ranked.unpersist(blocking = false)
+  }
+
   /** Mood's median test (Mood 1950 — public): do k groups share a
     * common median? Every value classifies as above / at-or-below the
     * GRAND median, and the resulting 2×k contingency tests independence

@@ -1034,6 +1034,33 @@ class StatsSpec extends SparkSpec {
     assert(err.getMessage.contains("incomplete"), err.getMessage)
   }
 
+  test("quade: hand range-weighted case T3=9.5, incomplete loudness") {
+    import graft.stats.RankTests
+    // blocks [[1,2,3],[2,4,6],[3,3,5]]: ranges 2,4,2 -> range midranks
+    // 1.5,3,1.5; S_i = (-5.25, -0.75, 6.0); A=25.875, B=21.375 ->
+    // T3 = 2*21.375/4.5 = 9.5 (replayed by hand)
+    val rows = Seq(
+      (1, "t1", 1.0), (1, "t2", 2.0), (1, "t3", 3.0),
+      (2, "t1", 2.0), (2, "t2", 4.0), (2, "t3", 6.0),
+      (3, "t1", 3.0), (3, "t2", 3.0), (3, "t3", 5.0))
+    val out = RankTests.quade(rows.toDF("b", "g", "v"),
+      col("b"), col("g"), col("v")).collect()
+    val sums = out.map(r => r.getString(0) -> r.getAs[Double]("s_sum")).toMap
+    assert(sums == Map("t1" -> -5.25, "t2" -> -0.75, "t3" -> 6.0), sums)
+    assert(out.forall(_.getAs[Double]("t3_stat") == 9.5), out.mkString(";"))
+    // perfectly consistent blocks: A = B -> null T3 (read the sums)
+    val perfect = Seq(
+      (1, "t1", 1.0), (1, "t2", 2.0),
+      (2, "t1", 3.0), (2, "t2", 4.0))
+    val p = RankTests.quade(perfect.toDF("b", "g", "v"),
+      col("b"), col("g"), col("v")).collect()
+    assert(p.forall(_.isNullAt(3)), p.mkString(";"))
+    intercept[IllegalArgumentException] {
+      RankTests.quade(rows.drop(1).toDF("b", "g", "v"),
+        col("b"), col("g"), col("v"))
+    }
+  }
+
   test("mood median: hand 2x2 chi2=8, degenerate split loudness") {
     import graft.stats.RankTests
     val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
