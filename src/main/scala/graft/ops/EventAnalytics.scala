@@ -1181,7 +1181,10 @@ object EventAnalytics {
     * Pure composition: the forecast table joins itself shifted one day
     * — day-keyed, calendar-bounded, no window. Errors round to 6 and
     * fold as decimals; each summary is one double division. Returns one
-    * row (n_pairs, mae_model, mae_naive, mase, smape), round-6. */
+    * row (n_pairs, mae_model, mae_naive, mase, smape, theils_u2),
+    * round-6 — Theil's U₂ (Theil 1966, public) is the RMSE-based twin
+    * of the MAE-based MASE (squared errors punish the occasional big
+    * miss MAE forgives); both < 1 = the model earns its keep. */
   def forecastBacktestDaily(
       events: DataFrame, tsCol: String = "ts", alpha: Double = 0.3,
       horizon: Int = 16): DataFrame = {
@@ -1193,13 +1196,19 @@ object EventAnalytics {
         round(abs(col("forecast_1") - col("a_next")), 6).as("e_m"),
         abs(col("a_next") - col("n_events")).as("e_n"),
         round(lit(2.0) * abs(col("forecast_1") - col("a_next"))
-          / (col("forecast_1") + col("a_next")), 9).as("sm"))
+          / (col("forecast_1") + col("a_next")), 9).as("sm"),
+        round((col("forecast_1") - col("a_next"))
+          * (col("forecast_1") - col("a_next")), 9).as("e_m2"),
+        ((col("a_next") - col("n_events"))
+          * (col("a_next") - col("n_events"))).as("e_n2"))
     def fold(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
     pairs.agg(
         count(lit(1)).as("n_pairs"),
         fold(col("e_m")).as("__sm_m"),
         sum(col("e_n")).as("__s_n"),
-        fold(col("sm")).as("__s_smape"))
+        fold(col("sm")).as("__s_smape"),
+        fold(col("e_m2")).as("__s_m2"),
+        sum(col("e_n2")).as("__s_n2"))
       .select(col("n_pairs"),
         round(col("__sm_m") / col("n_pairs"), 6).as("mae_model"),
         round(col("__s_n").cast("double") / col("n_pairs"), 6)
@@ -1208,7 +1217,10 @@ object EventAnalytics {
           round((col("__sm_m") / col("n_pairs"))
             / (col("__s_n").cast("double") / col("n_pairs")), 6))
           .as("mase"),
-        round(col("__s_smape") / col("n_pairs"), 6).as("smape"))
+        round(col("__s_smape") / col("n_pairs"), 6).as("smape"),
+        when(col("__s_n2") > 0L,
+          round(sqrt(col("__s_m2") / col("__s_n2").cast("double")), 6))
+          .as("theils_u2"))
   }
 
   /** Daily OHLC bars per series key — the candlestick/market-bar

@@ -2620,13 +2620,18 @@ object EventQueries extends QueryModule {
           SELECT round(abs(b.forecast_1 - n.a_next), 6) AS e_m,
             abs(n.a_next - b.n_events) AS e_n,
             round(2.0 * abs(b.forecast_1 - n.a_next)
-              / (b.forecast_1 + n.a_next), 9) AS sm
+              / (b.forecast_1 + n.a_next), 9) AS sm,
+            round((b.forecast_1 - n.a_next)
+              * (b.forecast_1 - n.a_next), 9) AS e_m2,
+            (n.a_next - b.n_events) * (n.a_next - b.n_events) AS e_n2
           FROM bro b JOIN nxt n USING (day)),
         agg AS (
           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
             CAST(SUM(CAST(e_m AS DECIMAL(38,12))) AS DOUBLE) AS sm_m,
             CAST(SUM(e_n) AS BIGINT) AS s_n,
-            CAST(SUM(CAST(sm AS DECIMAL(38,12))) AS DOUBLE) AS s_smape
+            CAST(SUM(CAST(sm AS DECIMAL(38,12))) AS DOUBLE) AS s_smape,
+            CAST(SUM(CAST(e_m2 AS DECIMAL(38,12))) AS DOUBLE) AS s_m2,
+            CAST(SUM(e_n2) AS BIGINT) AS s_n2
           FROM p)
         SELECT n_pairs,
           round(sm_m / n_pairs, 6) AS mae_model,
@@ -2634,7 +2639,10 @@ object EventQueries extends QueryModule {
           CASE WHEN s_n > 0
             THEN round((sm_m / n_pairs)
               / (CAST(s_n AS DOUBLE) / n_pairs), 6) + 0.0 END AS mase,
-          round(s_smape / n_pairs, 6) AS smape
+          round(s_smape / n_pairs, 6) AS smape,
+          CASE WHEN s_n2 > 0
+            THEN round(sqrt(s_m2 / CAST(s_n2 AS DOUBLE)), 6) + 0.0 END
+            AS theils_u2
         FROM agg"""),
       (s, dir) => {
         val out = graft.ops.EventAnalytics.forecastBacktestDaily(
@@ -2645,6 +2653,8 @@ object EventQueries extends QueryModule {
         val smape = r.getAs[Double]("smape")
         require(mase > 0.0 && smape >= 0.0 && smape <= 2.0,
           s"degenerate backtest: $r")
+        require(r.getAs[Double]("theils_u2") > 0.0,
+          s"U2 must be positive on a non-degenerate backtest: $r")
         out
       })
   }
