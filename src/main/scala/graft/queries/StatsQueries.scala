@@ -1400,6 +1400,86 @@ object StatsQueries extends QueryModule {
       out
     })
 
+  /** Conover's squared-ranks variance test ([[graft.stats.RankTests
+    * .squaredRanks]]): a 2× stretch planted in the N group's quantities
+    * — the oracle replays the round-12 group means, the combined
+    * doubled-midrank table over the deviations, the exact-decimal
+    * Σc(2R)²/Σc(2R)⁴ folds, and T with its k=3 closed-form p. In-gate:
+    * the stretched group carries the largest squared-rank sum and the
+    * test fires. */
+  val t79SquaredRanks: Q = Q(
+    "t79_squared_ranks",
+    Some("""
+      WITH b AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS g,
+          CAST(CASE WHEN l_returnflag = 'N'
+            THEN 25.5 + 2.0 * (l_quantity - 25.5)
+            ELSE l_quantity END AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      m AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+          round(CAST(SUM(CAST(round(v, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) / count(*), 12) AS mu
+        FROM b GROUP BY g),
+      d AS (SELECT b.g, abs(b.v - m.mu) AS u FROM b JOIN m USING (g)),
+      uc AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY u),
+      r AS (
+        SELECT u,
+          2 * COALESCE(SUM(c) OVER (ORDER BY u
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + c + 1 AS r2
+        FROM uc),
+      cells AS (SELECT g, u, CAST(count(*) AS BIGINT) AS c
+                FROM d GROUP BY g, u),
+      jc AS (SELECT g, c, r2 FROM cells JOIN r USING (u)),
+      pg AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+          SUM(CAST(c * r2 * r2 AS DECIMAL(38,0))) AS s4
+        FROM jc GROUP BY g),
+      tt AS (
+        SELECT SUM(CAST(c * r2 * r2 AS DECIMAL(38,0))) AS t2,
+          SUM(CAST(c AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))
+            * r2 * r2 * r2) AS t4,
+          CAST(SUM(c) AS BIGINT) AS n
+        FROM jc),
+      st AS (
+        SELECT n, CAST(t2 AS DOUBLE) / 4.0 AS sumr2,
+          CAST(t4 AS DOUBLE) / 16.0 AS sumr4
+        FROM tt),
+      st2 AS (
+        SELECT n, sumr2 / n AS sbar,
+          (sumr4 - n * (sumr2 / n) * (sumr2 / n)) / (n - 1) AS d2
+        FROM st),
+      sg AS (
+        SELECT CAST(SUM((CAST(s4 AS DOUBLE) / 4.0)
+          * (CAST(s4 AS DOUBLE) / 4.0) / n) AS DOUBLE) AS sgsum
+        FROM pg),
+      f AS (
+        SELECT (sgsum - st2.n * sbar * sbar) / d2 AS t
+        FROM st2, sg WHERE d2 > 0)
+      SELECT g AS grp, pg.n,
+        round(CAST(s4 AS DOUBLE) / 4.0, 6) + 0.0 AS s_sum,
+        round(t, 6) + 0.0 AS t_stat,
+        round(exp(-t / 2), 6) + 0.0 AS p_value
+      FROM pg, f ORDER BY grp"""),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+      val v = when(col("l_returnflag") === "N",
+        lit(25.5) + lit(2.0) * (col("l_quantity") - 25.5))
+        .otherwise(col("l_quantity")).cast("double")
+      val out = graft.stats.RankTests.squaredRanks(li,
+        col("l_returnflag"), v)
+      val rows = out.collect()
+      require(rows.head.getAs[Double]("p_value") < 0.01,
+        s"the planted 2x stretch must fire: ${rows.mkString(";")}")
+      val sMax = rows.maxBy(_.getAs[Double]("s_sum"))
+      require(sMax.getString(0) == "N",
+        s"the stretched group must carry the largest rank mass: $sMax")
+      out
+    })
+
   /** Two-sample KS ([[graft.stats.Drift.ksTwoSample]]): returned vs
     * never-returned lineitem quantities — 50 heavy-tie distinct values
     * exercise the exact integer-numerator argmax; p through the
@@ -4069,7 +4149,7 @@ object StatsQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     t72DagostinoK2, t73Friedman, t74MoodMedian, t75BrunnerMunzel,
-    t76AnsariBradley, t77Xicor, t78Quade,
+    t76AnsariBradley, t77Xicor, t78Quade, t79SquaredRanks,
     t60Wilcoxon, t61CliffsDelta, t62HodgesLehmann,
     t63CochranArmitage, t64GTest, t65Bartlett,
     t66BoxCox, t67Vif, t68Influence, t69Levene, t70LinsCcc,

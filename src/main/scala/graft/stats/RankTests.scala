@@ -889,6 +889,106 @@ object RankTests {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** Conover's squared-ranks test for equal variances (Conover & Iman
+    * 1978; Conover 1999 §5.3 — public): the NONPARAMETRIC k-group scale
+    * test beside the parametric Levene/Bartlett pair and the two-group
+    * [[ansariBradley]] — deviations from each group's mean are ranked
+    * in the combined sample and the SQUARED ranks feed a χ²(k−1)
+    * statistic T = (Σ S_g²/n_g − N·S̄²)/D², immune to the non-normality
+    * that wrecks Bartlett. χ²(2) p closes in exp(−T/2) at k = 3 (else
+    * library — t52 convention).
+    *
+    * Exactness: group means round to 12 (shared constants), deviations
+    * are then identical doubles in both engines, and with DOUBLED
+    * midranks every accumulated quantity — Σc·(2R)², Σc·(2R)⁴, per-group
+    * sums — is an exact integer in DECIMAL(38,0); the statistic is one
+    * mirrored double expression over them. Distributed shape: one
+    * per-group moment fold (broadcast means), per-value counts, the
+    * distinct-value scan for midranks, one (value, group) rollup — no
+    * unpartitioned window. Returns one row per group (grp, n, s_sum,
+    * t_stat, p_value), round-6; T null when D² = 0 (all deviations
+    * tied). */
+  def squaredRanks(df: DataFrame, grpCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(grpCol.cast("string").as("g"),
+        valueCol.cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    def fold12(c: Column) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    val means = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), fold12(col("v")).as("s1"))
+      .select(col("g"), col("n"),
+        round(col("s1") / col("n"), 12).as("mu"))
+    val k = means.count()
+    require(k >= 2, s"squared-ranks needs >= 2 groups, got $k")
+    val devs = base.join(broadcast(means), "g")
+      .select(col("g"), abs(col("v") - col("mu")).as("u"))
+    // doubled midranks of u over the combined sample (distinct-u scan)
+    val uCounts = devs.groupBy("u").agg(count(lit(1)).as("c"))
+      .as[(Double, Long)].rdd.sortBy(_._1)
+    uCounts.cache()
+    val r2 =
+      try {
+        val sizes = uCounts.mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        }.collect().sortBy(_._1)
+        val offs = sizes.map(_._2).scanLeft(0L)(_ + _)
+        uCounts.mapPartitionsWithIndex { (i, it) =>
+          var before = offs(i)
+          it.map { case (u, c) =>
+            val mid2 = 2 * before + c + 1
+            before += c
+            (u, mid2)
+          }
+        }.toDF("u", "r2")
+      } finally uCounts.unpersist(blocking = false)
+    val cells = devs.groupBy("g", "u").agg(count(lit(1)).as("c"))
+      .join(r2, "u")
+    val perG = cells.groupBy("g").agg(
+        sum(col("c")).as("n"),
+        sum((col("c") * col("r2") * col("r2")).cast("decimal(38,0)"))
+          .as("s4"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getDecimal(2).toBigInteger))
+    val tot = cells.agg(
+      sum((col("c") * col("r2") * col("r2")).cast("decimal(38,0)"))
+        .as("t2"),
+      sum((col("c").cast("decimal(38,0)")
+        * col("r2").cast("decimal(38,0)") * col("r2")
+        * col("r2") * col("r2"))).as("t4")).head()
+    val n = perG.map(_._2).sum
+    require(n >= 3, s"squared-ranks needs >= 3 rows, got $n")
+    val sumR2 = new java.math.BigDecimal(
+      tot.getDecimal(0).toBigInteger).doubleValue / 4.0
+    val sumR4 = new java.math.BigDecimal(
+      tot.getDecimal(1).toBigInteger).doubleValue / 16.0
+    val sbar = sumR2 / n
+    val d2 = (sumR4 - n * sbar * sbar) / (n - 1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val (tStat, p) =
+      if (d2 > 0) {
+        val sg = perG.map { case (_, ng, s4) =>
+          val s = new java.math.BigDecimal(s4).doubleValue / 4.0
+          s * s / ng
+        }.sum
+        val t = (sg - n * sbar * sbar) / d2
+        val pv =
+          if (k == 3) math.exp(-t / 2)
+          else 1.0 - new org.apache.commons.math3.distribution
+            .ChiSquaredDistribution((k - 1).toDouble)
+            .cumulativeProbability(math.max(t, 0.0))
+        (Some(r6(t)), Some(r6(pv)))
+      } else (None, None)
+    perG.toSeq.map { case (g, ng, s4) =>
+      (g, ng, r6(new java.math.BigDecimal(s4).doubleValue / 4.0),
+        tStat, p)
+    }.toDF("grp", "n", "s_sum", "t_stat", "p_value").orderBy("grp")
+  }
+
   /** Quade test (Quade 1979 — public): [[friedman]] weighted by how
     * much each block DISCRIMINATES — blocks are ranked by their range
     * and a block's within-ranks count proportionally to that rank, so a

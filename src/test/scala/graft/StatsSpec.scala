@@ -959,6 +959,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("squared-ranks: hand T=3, chi2(2) calibration shape, tied edge") {
+    import graft.stats.RankTests
+    // a=[1,3], b=[0,4]: deviations (1,1) and (2,2) -> midranks 1.5, 3.5
+    // -> S_a = 4.5, S_b = 24.5, T = 3.0 (replayed by hand)
+    val r = RankTests.squaredRanks(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 0.0), ("b", 4.0)).toDF("g", "v"),
+      col("g"), col("v")).collect()
+    val byG = r.map(x => x.getString(0) -> x.getAs[Double]("s_sum")).toMap
+    assert(byG == Map("a" -> 4.5, "b" -> 24.5), byG.toString)
+    assert(r.forall(_.getAs[Double]("t_stat") == 3.0), r.mkString(";"))
+    // all deviations tied (symmetric pairs around each mean with equal
+    // spread): D2 = 0 -> null T
+    val tied = RankTests.squaredRanks(
+      Seq(("a", 0.0), ("a", 2.0), ("b", 5.0), ("b", 7.0)).toDF("g", "v"),
+      col("g"), col("v")).collect()
+    assert(tied.forall(_.isNullAt(3)), tied.mkString(";"))
+  }
+
   test("ansari-bradley: hand scores, scale direction, degenerate edge") {
     import graft.stats.RankTests
     // x=[1,4], y=[2,3]: both-end scores 1,2,2,1 -> AB=2, E=3,
