@@ -111,9 +111,14 @@ object QualityRules {
       .otherwise(size(split(cleaned, "\\s+")).cast("long"))
     val nSentences = size(filter(split(cleaned, "[.!?]"),
       s => length(trim(s)) > 0)).cast("long")
-    val hasLorem = lower(t).contains("lorem ipsum")
-    val hasBrace = t.contains("{")
-    val keep = !hasLorem && !hasBrace && nSentences >= minSentences
+    // Null text yields null line/sentence columns (size-of-null) and a
+    // null md5 — those stay null as the "no text" marker — but the
+    // VERDICT coalesces to false so every input row carries one, the
+    // same null-text semantics gopherFlags uses.
+    val hasLorem = coalesce(lower(t).contains("lorem ipsum"), lit(false))
+    val hasBrace = coalesce(t.contains("{"), lit(false))
+    val keep = coalesce(
+      !hasLorem && !hasBrace && nSentences >= minSentences, lit(false))
     docs.select(col(idCol), size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_lines_kept"),
       nWordsKept.as("n_words_kept"), nSentences.as("n_sentences"),

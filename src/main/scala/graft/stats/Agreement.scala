@@ -487,7 +487,21 @@ object Agreement {
     val sbk = tot.getAs[Double]("sbk")
     val nk = (n * k).toDouble
     val ssb = sbk - gs * gs / nk
-    val ssw = gss - sbk
+    // ssw = gss − sbk can round a hair negative from the round-12
+    // decimal folds on near-tied data; clamping EVERY negative to 0
+    // would misreport a not-quite-perfect design as exactly ICC = 1, so
+    // only fold-tolerance-sized negatives clamp and anything larger
+    // fails loudly (it means the inputs broke the fold contract).
+    val sswRaw = gss - sbk
+    val ssw =
+      if (sswRaw < 0 && -sswRaw < 1e-9 * nk) 0.0
+      else {
+        require(sswRaw >= 0,
+          s"ICC: within-item sum of squares is $sswRaw < 0 beyond fold " +
+            "tolerance - ratings exceed the round-12 fold contract; " +
+            "rescale or round the rating column upstream")
+        sswRaw
+      }
     val msb = ssb / (n - 1)
     val msw = ssw / (n.toDouble * (k - 1))
     def r6(v: Double) = BigDecimal(v)

@@ -953,14 +953,22 @@ object RankTests {
       .orderBy("g").collect()
       .map(r => (r.getString(0), r.getAs[Long]("n"),
         r.getDecimal(2).toBigInteger))
+    val n = perG.map(_._2).sum
+    require(n >= 3, s"squared-ranks needs >= 3 rows, got $n")
+    // Σc·(2R)⁴ ≤ n·(2n+1)⁴ must fit DECIMAL(38,0): Spark's non-ANSI
+    // decimal sum overflows to NULL, which would surface below as an
+    // opaque NPE at toBigInteger instead of this remedy (the same cap
+    // discipline wasserstein1 applies at 2^53).
+    require(BigInt(n) * (2 * BigInt(n) + 1).pow(4) < BigInt(10).pow(38),
+      s"squared-ranks: n = $n rows overflow the DECIMAL(38,0) " +
+        "Σc·(2R)^4 accumulator (worst case n·(2n+1)^4 ≥ 10^38) - " +
+        "subsample groups upstream and re-run")
     val tot = cells.agg(
       sum((col("c") * col("r2") * col("r2")).cast("decimal(38,0)"))
         .as("t2"),
       sum((col("c").cast("decimal(38,0)")
         * col("r2").cast("decimal(38,0)") * col("r2")
         * col("r2") * col("r2"))).as("t4")).head()
-    val n = perG.map(_._2).sum
-    require(n >= 3, s"squared-ranks needs >= 3 rows, got $n")
     val sumR2 = new java.math.BigDecimal(
       tot.getDecimal(0).toBigInteger).doubleValue / 4.0
     val sumR4 = new java.math.BigDecimal(

@@ -742,4 +742,51 @@ class PropertySpec extends SparkSpec {
     val to = graft.ops.EventAnalytics.userTurnover(ev)
     assert(wins(to).isEmpty, "turnover is join-shaped, never a window")
   }
+
+  test("survival family: NO window in any plan (r16 item #2)") {
+    // the curve cumulative sums/products now run as partition-offset
+    // scans (the RankTests idiom) — the former single-task
+    // Window.orderBy over the distinct-times table must be gone from
+    // every Survival entry point, while the capped contract stays
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.stats.Survival
+    def wins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val durs = (1 to 40).map(i => (i.toDouble, i % 3 min 1)) ++
+      Seq((41.0, 0), (42.0, 0))
+    val df = durs.toDF("t", "e")
+    val km = Survival.kaplanMeier(df, col("t"), col("e"))
+    assert(wins(km).isEmpty,
+      "kaplanMeier must not plan any window (scan idiom)")
+    val band = Survival.survivalBand(km)
+    assert(wins(band).isEmpty,
+      "survivalBand must not plan any window (scan idiom)")
+    val summ = Survival.survivalSummary(km, tau = 30.0)
+    assert(wins(summ).isEmpty,
+      "survivalSummary must not plan any window (driver-literal row)")
+    val two = durs.zipWithIndex.map { case ((t, e), i) =>
+      (if (i % 2 == 0) "a" else "b", t, e) }.toDF("g", "t", "e")
+    val lr = Survival.logRank(two, col("g"), col("t"), col("e"))
+    assert(wins(lr).isEmpty,
+      "logRank must not plan any window (scan countdown + hash agg)")
+    // the scans preserve values: the curve equals a local reference fold
+    val rows = km.orderBy("t").collect()
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, xs) => (t, xs.count(_._2 == 1).toLong,
+        xs.count(_._2 == 0).toLong) }
+    var atRisk = byT.map(x => x._2 + x._3).sum
+    var s = 1.0
+    val ref = byT.flatMap { case (t, d, c) =>
+      val n = atRisk
+      atRisk -= d + c
+      if (d > 0) { s *= 1.0 - d.toDouble / n; Some((t, n, d, c, s)) }
+      else None
+    }
+    assert(rows.length == ref.length, "curve step count")
+    rows.zip(ref).foreach { case (r, (t, n, d, c, sv)) =>
+      assert(r.getDouble(0) == t && r.getLong(1) == n &&
+        r.getLong(2) == d && r.getLong(3) == c &&
+        math.abs(r.getDouble(4) - sv) < 1e-6, s"$r vs ($t,$n,$d,$c,$sv)")
+    }
+  }
 }
