@@ -477,25 +477,136 @@ object TextQueries extends QueryModule {
       novel.select("doc_id").orderBy("doc_id")
     })
 
-  /** MinHash-LSH near-dup candidates — xxhash64-based, not SQL-expressible
-    * in DuckDB; driver records a rows-only check, the ScalaTest spec holds
-    * the recall assertion against exact Jaccard. */
+  /** MinHash-LSH near-dup candidates — PROMOTED to oracle-checked (r17,
+    * the distributed-differential template): the xxhash64 signatures and
+    * banding are not SQL-expressible, so the gate emits the EXACT
+    * pairwise-Jaccard twin's pair table at j ≥ 0.5 (id1, id2, n1, n2,
+    * intersection, jaccard — DuckDB rebuilds every cell from the naive
+    * shingle join, the dd_jaccard_pairs oracle at a higher floor) with a
+    * per-pair `lsh_found` verdict the oracle pins TRUE: the banded LSH
+    * path must RECALL every exact pair (r=3/b=48 collision probability
+    * ≥ 0.998 at j = 0.5, ≥ 1 − 1e−6 at the fixture's j ≥ 0.8 band, and
+    * the 144-hash estimate is deterministic under the fixed seed). A
+    * recall miss now flips a hashed cell, not just an in-gate assert;
+    * the precision guard (every LSH pair is a true pair at the 0.3
+    * posting floor) stays in-gate. Bench mode times the production LSH
+    * path alone — the exact twin never rides into the timed window. */
   val ddMinhash: Q = Q(
     "dd_minhash_lsh",
-    None,
-    (s, dir) =>
-      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", threshold = 0.45)
-        .orderBy("id1", "id2"))
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END) AS s
+        FROM t),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS intersection
+        FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, sa.n AS n1, sb.n AS n2, intersection,
+        ROUND(CAST(intersection AS DOUBLE)
+          / (sa.n + sb.n - intersection), 6) AS jaccard,
+        TRUE AS lsh_found
+      FROM inter
+      JOIN sz sa ON inter.id1 = sa.doc_id
+      JOIN sz sb ON inter.id2 = sb.doc_id
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.5
+      ORDER BY id1, id2"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.45)
+      if (!Tables.gateMode) lsh.orderBy("id1", "id2")
+      else {
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 2, threshold = 0.5, maxPostings = Int.MaxValue)
+        val found = lsh.select(col("id1"), col("id2"),
+          lit(true).as("__f"))
+        val out = exact.join(found, Seq("id1", "id2"), "left")
+          .select(col("id1"), col("id2"), col("n1"), col("n2"),
+            col("intersection"), round(col("jaccard"), 6).as("jaccard"),
+            coalesce(col("__f"), lit(false)).as("lsh_found"))
+        require(out.filter(!col("lsh_found")).isEmpty,
+          "LSH missed an exact pair at j >= 0.5 (recall contract)")
+        // precision: LSH may only surface pairs the exact join knows at
+        // its 0.3 floor (est >= 0.45 on a true j < 0.3 pair would mean
+        // a broken estimator, not sampling noise)
+        val exactLow = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 2, threshold = 0.3, maxPostings = Int.MaxValue)
+        require(lsh.select("id1", "id2")
+            .join(exactLow.select("id1", "id2"),
+              Seq("id1", "id2"), "left_anti").isEmpty,
+          "LSH surfaced a pair below the exact join's 0.3 floor " +
+            "(precision contract)")
+        out.orderBy("id1", "id2")
+      }
+    })
 
-  /** SimHash near-dups via the custom Catalyst expression (rows-only). */
+  /** SimHash near-dups via the custom Catalyst expression — PROMOTED to
+    * oracle-checked (r17): the 64-bit signature is xxhash64-based and
+    * not SQL-expressible, so the gate plants EXACT COPIES (every 3rd
+    * doc re-published under doc_id + 50000 — a corpus both engines
+    * rebuild) and emits the planted pair table with the hamming distance
+    * the simhash join reported: identical text ⇒ identical tokens ⇒
+    * identical signature, so the oracle pins hamming = 0 and found =
+    * TRUE for every planted pair. In-gate, the stronger invariance
+    * holds distributed: a copy must pair with EXACTLY the same partners
+    * as its original (signature equality makes every hamming distance,
+    * bucket, and cap decision identical), so the full result's edge set
+    * is exercised, not just the planted diagonal. Bench mode times the
+    * production pair join alone. */
   val ddSimhash: Q = Q(
     "dd_simhash",
-    None,
-    (s, dir) =>
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", maxHamming = 8)
-        .orderBy("id1", "id2"))
+    Some("""
+      SELECT doc_id AS id1, doc_id + 50000 AS id2,
+        CAST(0 AS INT) AS hamming, TRUE AS found
+      FROM documents WHERE doc_id % 3 = 0
+      ORDER BY id1"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      if (!Tables.gateMode)
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+          .orderBy("id1", "id2")
+      else {
+        val planted = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted.select(
+            (col("doc_id") + 50000).as("doc_id"), col("text")))
+        val pairs = Dedup.simhashPairs(corpus, "doc_id", "text",
+          maxHamming = 8)
+        // copies pair exactly like their originals (minus the mutual
+        // planted edge): identical signatures leave no room for drift
+        val und = pairs.select(col("id1").as("a"), col("id2").as("b"))
+          .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        val origP = und.filter(col("a") < 50000 &&
+            col("a") % 3 === 0 && col("b") =!= col("a") + 50000)
+          .select(col("a").as("o"), col("b").as("p"))
+        val copyP = und.filter(col("a") >= 50000 &&
+            col("b") =!= col("a") - 50000)
+          .select((col("a") - 50000).as("o"), col("b").as("p"))
+        require(origP.join(copyP, Seq("o", "p"), "left_anti").isEmpty &&
+            copyP.join(origP, Seq("o", "p"), "left_anti").isEmpty,
+          "a planted copy's partner set diverged from its original's " +
+            "(signature or banding nondeterminism)")
+        val out = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("id1"),
+            (col("doc_id") + 50000).as("id2"))
+          .join(pairs, Seq("id1", "id2"), "left")
+          .select(col("id1"), col("id2"),
+            coalesce(col("hamming"), lit(-1)).cast("int").as("hamming"),
+            col("hamming").isNotNull.as("found"))
+        require(out.filter(!col("found") || col("hamming") =!= 0).isEmpty,
+          "a planted exact copy was missed or scored hamming > 0")
+        out.orderBy("id1")
+      }
+    })
 
   /** Duplicate-cluster resolution ([[graft.ops.Clusters]]): generic
     * connected components over pairwise edges, oracle-checked by building
@@ -767,14 +878,40 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
-  /** Decontamination, Bloom scale path (rows-only: the filter bit layout is
-    * not SQL-expressible). Self-asserts the error contract: no false
-    * negatives (every doc the exact path flags is flagged here — the bloom
-    * clean set is a SUBSET of the exact clean set) and over-flagging within
-    * slack of the configured fpp. */
+  /** Decontamination, Bloom scale path — PROMOTED to oracle-checked
+    * (r17, the dd_novelty_bloom template): the filter bit layout is not
+    * SQL-expressible, so the gate emits the DIFFERENTIAL against the
+    * exact twin — corpus volume and the exact clean count (DuckDB
+    * rebuilds both from the 3-gram overlap SQL the txt_decontaminate
+    * oracle already pins) plus the two COMPUTED Bloom-contract verdicts
+    * the oracle pins TRUE: no false negatives (the bloom clean set ⊆
+    * exact clean set) and over-flagging within slack of the configured
+    * fpp. A broken filter now flips a hashed cell, not just an in-gate
+    * assert. */
   val txtDecontaminateBloom: Q = Q(
     "txt_decontaminate_bloom",
-    None,
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END) AS s
+        FROM t),
+      bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 17 = 3),
+      corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 3),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM corp),
+      ov AS (SELECT e.doc_id, count(*) AS overlap
+             FROM e JOIN bench USING (sg) GROUP BY 1)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM corp) AS n_corpus,
+        CAST(count(*) AS BIGINT) AS n_exact_clean,
+        TRUE AS no_false_negatives,
+        TRUE AS within_flag_budget
+      FROM corp c LEFT JOIN ov USING (doc_id)
+      WHERE COALESCE(ov.overlap, 0) < 3"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 17 === 3)
@@ -783,15 +920,22 @@ object TextQueries extends QueryModule {
         corpus, "doc_id", "text", bench, "text", n = 3, maxOverlap = 3L)
       val bloom = graft.ops.Decontaminate.cleanBloom(
         corpus, "doc_id", "text", bench, "text", n = 3, maxOverlap = 3L, fpp = 0.001)
-      require(bloom.select("doc_id")
-          .join(exact.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty,
+      val noFalseNeg = bloom.select("doc_id")
+        .join(exact.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
+      require(noFalseNeg,
         "bloom decontamination kept a doc the exact path flags " +
           "(false negative — violates the Bloom contract)")
+      val nCorpus = corpus.count()
       val nExact = exact.count()
       val nBloom = bloom.count()
-      require(nBloom >= nExact - math.max(5L, (0.05 * nExact).toLong),
+      val withinBudget =
+        nBloom >= nExact - math.max(5L, (0.05 * nExact).toLong)
+      require(withinBudget,
         s"bloom over-flagging out of contract: kept $nBloom of $nExact clean docs")
-      bloom.select("doc_id").orderBy("doc_id")
+      import s.implicits._
+      Seq((nCorpus, nExact, noFalseNeg, withinBudget))
+        .toDF("n_corpus", "n_exact_clean", "no_false_negatives",
+          "within_flag_budget")
     })
 
   /** BM25 top-10 for the query "spark hash join" — the oracle recomputes
@@ -2021,8 +2165,10 @@ object TextQueries extends QueryModule {
     * tightly as a SQL oracle would (the fold itself has no SQL mirror). */
   private def sentenceChunkGate(
       s: org.apache.spark.sql.SparkSession, dir: String, maxUnits: Int,
-      unitCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      unitCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      corpus: Option[DataFrame] = None) = {
+    val docs = corpus.getOrElse(
+      Tables.load(s, dir, "documents").select("doc_id", "text"))
     val packed = docs.withColumn("chunks",
       TextOps.packSentencesBy(col("text"), maxUnits, unitCount))
     val drift = packed.filter(
@@ -2049,12 +2195,69 @@ object TextQueries extends QueryModule {
   }
 
   /** Retrieval chunking priced in whitespace tokens
-    * ([[graft.ops.TextOps.packSentences]]). */
+    * ([[graft.ops.TextOps.packSentences]]) — PROMOTED to oracle-checked
+    * (r17): the greedy fold is sequential per document, which is exactly
+    * what a DuckDB RECURSIVE CTE replays — both engines compose the same
+    * multi-sentence corpus (the fixture has no sentence delimiters, so
+    * substring pieces are joined with '. '/'! '/'? ' — r16 bench-hygiene
+    * note), split it with the same delimiter regex, and the oracle walks
+    * the sentence list one step per recursion level, reproducing every
+    * chunk boundary, unit count, and the space-joined chunk text. The
+    * three in-gate clauses (conservation, budget, greedy maximality)
+    * stay. */
   val txtSentenceChunks: Q = Q(
     "txt_sentence_chunks",
-    None,
-    (s, dir) => sentenceChunkGate(s, dir, maxUnits = 48,
-      c => TextOps.tokenCount(c)))
+    Some("""
+      WITH RECURSIVE
+      d AS (
+        SELECT doc_id,
+          substr(text, 1, 80) || '. ' || substr(text, 81, 80) || '! '
+            || substr(text, 161, 80) || '? ' || substr(text, 241, 80)
+            || '. ' || substr(text, 321, 80) || '! '
+            || substr(text, 401, 80) || '? ' || substr(text, 481, 100000)
+            AS text
+        FROM documents),
+      sx AS (
+        SELECT doc_id,
+          list_filter(
+            list_transform(
+              string_split(regexp_replace(text, '([.!?]+)\s+',
+                '\1' || chr(2), 'g'), chr(2)),
+              p -> regexp_replace(p, '^\s+|\s+$', '', 'g')),
+            p -> length(p) > 0) AS ss
+        FROM d),
+      r AS (
+        SELECT doc_id, ss, 1 AS i, 1 AS cix,
+          len(regexp_split_to_array(ss[1], '\s+')) AS run
+        FROM sx WHERE len(ss) >= 1
+        UNION ALL
+        SELECT doc_id, ss, i + 1,
+          CASE WHEN run + len(regexp_split_to_array(ss[i + 1], '\s+')) > 48
+            THEN cix + 1 ELSE cix END,
+          CASE WHEN run + len(regexp_split_to_array(ss[i + 1], '\s+')) > 48
+            THEN len(regexp_split_to_array(ss[i + 1], '\s+'))
+            ELSE run + len(regexp_split_to_array(ss[i + 1], '\s+')) END
+        FROM r WHERE i < len(ss))
+      SELECT doc_id, CAST(cix - 1 AS INT) AS chunk_ix,
+        CAST(max(run) AS INT) AS n_units,
+        CAST(count(*) AS INT) AS n_sents,
+        string_agg(ss[i], ' ' ORDER BY i) AS chunk
+      FROM r GROUP BY doc_id, cix
+      ORDER BY doc_id, chunk_ix"""),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val composed = docs.select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 80), lit(". "),
+          substring(col("text"), 81, 80), lit("! "),
+          substring(col("text"), 161, 80), lit("? "),
+          substring(col("text"), 241, 80), lit(". "),
+          substring(col("text"), 321, 80), lit("! "),
+          substring(col("text"), 401, 80), lit("? "),
+          substring(col("text"), 481, 100000)).as("text"))
+      sentenceChunkGate(s, dir, maxUnits = 48,
+        c => TextOps.tokenCount(c), corpus = Some(composed))
+    })
 
   /** Retrieval chunking priced in REAL BPE tokens (the checked-in
     * tokenizer fixture) — budget-faithful windows for an embedding model
