@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.stats.Logistic
+
+/** Language identification v2 — the fastText-shaped hashed linear
+  * classifier (Joulin et al. 2016 "Bag of Tricks for Efficient Text
+  * Classification", public design): hashed character n-gram features
+  * (the hashing trick, [[Features]]) feeding one-vs-rest ridge-IRLS
+  * logistic models ([[graft.stats.Logistic]]), trained entirely
+  * in-engine. Replaces the 4-language stopword scorer
+  * ([[TextOps.langId]]) as the first-class language-ID signal; the
+  * stopword scorer stays as the zero-training fallback and the
+  * agreement baseline.
+  *
+  * Scale shape: training is `iterations` scans of a (dim+2)-double
+  * projection of the TRAINING fixture (tiny by design); scoring is a
+  * pure codegen'd Column over each row's own characters — O(dim·chars)
+  * comparisons, stateless, shuffle-free, streaming-safe. No vocabulary
+  * pass, no dictionary broadcast: the model is dim+1 doubles per
+  * language. */
+object LangId {
+
+  /** ASCII-only common-word pools (standard public frequency lists,
+    * accents folded to ASCII so the fixture is encoding-portable). The
+    * es/fr overlap (le/la/de/des/que/...) is deliberate — it keeps the
+    * task from being solvable by any single marker word. */
+  val Pools: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it",
+      "was", "for", "with", "as", "they", "at", "be", "this", "have",
+      "from", "which", "not", "are", "but", "had", "his"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den",
+      "von", "nicht", "mit", "sich", "auf", "fuer", "als", "auch", "es",
+      "an", "werden", "aus", "er", "hat", "dass", "sie", "nach"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "en", "un",
+      "por", "con", "no", "una", "su", "para", "como", "esta", "le",
+      "lo", "todo", "pero", "mas", "hacer", "o", "este"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un",
+      "une", "du", "en", "que", "qui", "dans", "pour", "ce", "il",
+      "ne", "sur", "se", "pas", "plus", "par", "je", "avec"))
+
+  /** Deterministic synthetic multilingual corpus, SQL-mirrorable on
+    * purpose (the oracle rebuilds it with list literals and the same
+    * index arithmetic): doc i of language ℓ is `wordsPerDoc` words drawn
+    * from ℓ's pool at positions 1 + (i·7 + j·3) mod |pool| — no RNG, no
+    * seed, identical in any engine. Every 5th doc (i % 5 = 0) is the
+    * held-out test split. Columns: (doc_id, lang, text, is_test). */
+  def syntheticCorpus(spark: SparkSession, docsPerLang: Int = 150,
+      wordsPerDoc: Int = 40): DataFrame = {
+    require(docsPerLang >= 5 && wordsPerDoc >= 1,
+      s"need docsPerLang >= 5 and wordsPerDoc >= 1")
+    import spark.implicits._
+    val base = Pools.zipWithIndex.map { case ((lang, pool), li) =>
+      (lang, pool, li)
+    }.toDF("lang", "pool", "li")
+    base
+      .select(col("lang"), col("pool"), col("li"),
+        explode(sequence(lit(1), lit(docsPerLang))).as("i"))
+      .select(
+        (col("li") * docsPerLang + col("i")).cast("long").as("doc_id"),
+        col("lang"),
+        array_join(transform(sequence(lit(1), lit(wordsPerDoc)),
+          j => element_at(col("pool"),
+            (lit(1) + pmod(col("i") * 7 + j * 3, size(col("pool"))))
+              .cast("int"))), " ").as("text"),
+        (pmod(col("i"), lit(5)) === 0).as("is_test"))
+  }
+
+  /** Per-character-n-gram bucket in [0, dim) over the lowercased text
+    * (spaces kept — boundary grams like " th" carry the signal word
+    * hashing loses). O(chars) substr+hash expressions per row. */
+  def charGramBuckets(text: Column, n: Int, dim: Int): Column = {
+    require(n >= 1 && dim >= 2, s"need n >= 1, dim >= 2; got n=$n dim=$dim")
+    val t = lower(text)
+    when(t.isNull || length(t) < n, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => pmod(xxhash64(t.substr(i, lit(n))), lit(dim.toLong))
+          .cast("int")))
+  }
+
+  /** Hashed char-(2,3)-gram bag features: one shared `dim`-bucket space
+    * (fastText's single hash space), log1p-damped counts in the
+    * (name, expression) shape [[graft.stats.Logistic.fit]] consumes. */
+  def charGramFeatures(df: DataFrame, textCol: String, dim: Int,
+      ns: Seq[Int] = Seq(2, 3), prefix: String = "cg")
+      : (DataFrame, Seq[(String, Column)]) = {
+    require(ns.nonEmpty, "need at least one gram length")
+    val buckets = concat(ns.map(n =>
+      charGramBuckets(col(textCol), n, dim)): _*)
+    val out = df.withColumn("__graft_cbow",
+      Features.bucketCounts(buckets, dim))
+    val feats = (0 until dim).map(j =>
+      s"$prefix$j" -> Features.logCount(col("__graft_cbow"), j))
+    (out, feats)
+  }
+
+  /** A trained one-vs-rest model: dim+1 doubles per language. */
+  final case class LangIdModel(dim: Int, ns: Seq[Int],
+      fits: Seq[(String, Logistic.LogisticFit)]) {
+    def langs: Seq[String] = fits.map(_._1)
+  }
+
+  /** Train one ridge-IRLS logistic per language (one-vs-rest) on the
+    * labeled corpus. Fails loudly when any language's fit degenerates or
+    * does not converge — a language-ID model that silently half-trained
+    * would mislabel a corpus downstream. */
+  def train(corpus: DataFrame, textCol: String, langCol: String,
+      dim: Int = 24, ns: Seq[Int] = Seq(2, 3),
+      lambda: Double = 1e-3, maxIter: Int = 25,
+      tol: Double = 1e-5): LangIdModel = {
+    val (df, feats) = charGramFeatures(corpus, textCol, dim, ns)
+    df.cache()
+    try {
+      import corpus.sparkSession.implicits._
+      val langs = corpus.select(col(langCol).cast("string"))
+        .filter(col(langCol).isNotNull)
+        .distinct().as[String].collect().sorted.toSeq
+      require(langs.size >= 2,
+        s"language-ID needs >= 2 labeled languages, got ${langs.size}")
+      val fits = langs.map { l =>
+        val fit = Logistic.fit(df, feats,
+            (col(langCol) === l).cast("int"), lambda = lambda,
+            maxIter = maxIter, tol = tol)
+          .getOrElse(sys.error(
+            s"langIdV2: one-vs-rest fit for '$l' degenerated (constant " +
+              "label or singular Hessian) - check the training corpus"))
+        require(fit.converged,
+          s"langIdV2: IRLS for '$l' did not converge in " +
+            s"${fit.iterations} iterations - raise maxIter or lambda")
+        l -> fit
+      }
+      LangIdModel(dim, ns, fits)
+    } finally df.unpersist(blocking = false)
+  }
+
+  /** Per-language scores + argmax prediction for `textCol` (ties break
+    * to the alphabetically-first language — deterministic). Appends
+    * `lang_pred` plus one `score_<lang>` column per language; the
+    * feature column is computed once and dropped. */
+  def predict(df: DataFrame, textCol: String,
+      model: LangIdModel): DataFrame = {
+    val (withBow, feats) = charGramFeatures(df, textCol, model.dim,
+      model.ns)
+    val fexprs = feats.map(_._2)
+    val scored = model.fits.foldLeft(withBow) { case (d, (l, fit)) =>
+      d.withColumn(s"score_$l", fit.score(fexprs))
+    }
+    val best = greatest(model.langs.map(l => col(s"score_$l")): _*)
+    val pred = model.langs.foldLeft(lit(null).cast("string")) {
+      (acc, l) => coalesce(acc,
+        when(col(s"score_$l") === best, lit(l)))
+    }
+    scored.withColumn("lang_pred", pred).drop("__graft_cbow")
+  }
+}

@@ -2701,17 +2701,80 @@ object TextQueries extends QueryModule {
       out
     })
 
-  /** Shared composite-curation prelude: quality scores, quality-gated
-    * fingerprint canonicality, and eval-set contamination over the
-    * non-eval corpus — the SEQUENTIAL funnel [[graft.ops.Curation]]
-    * runs, each stage reusing its individually-gated oracle fragment
-    * (txt_quality / dd_exact_dedup / txt_decontaminate). */
+  /** Shared composite-curation prelude: Gopher+C4 rule verdicts (stage
+    * 1 — each fragment cribbed from its own oracle-green gate,
+    * txt_gopher_rules / txt_c4_rules, C4 over the same planted
+    * multi-line composition because the raw fixture is single-line),
+    * quality scores, rule+quality-gated fingerprint canonicality, and
+    * eval-set contamination over the non-eval corpus — the SEQUENTIAL
+    * funnel [[graft.ops.Curation]] runs, each stage reusing its
+    * individually-gated oracle fragment. */
   private def curationPrelude: String = {
     val enList = TextOps.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
     s"""
       WITH t AS (
         SELECT doc_id, text, $wSql AS w FROM documents
         WHERE doc_id % 17 <> 3),
+      gf AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          CASE WHEN len(w) > 0 THEN
+            round(CAST(list_sum(list_transform(w, t -> length(t)))
+              AS DOUBLE) / len(w), 6) END AS mean_word_len,
+          CASE WHEN len(w) > 0 THEN
+            round(CAST((length(text) - length(replace(text, '#', '')))
+              + (len(regexp_split_to_array(text, '\\.\\.\\.')) - 1)
+              + (length(text) - length(replace(text, '…', '')))
+              AS DOUBLE) / len(w), 6) END AS symbol_ratio,
+          CASE WHEN len(w) > 0 THEN
+            round(CAST(len(list_filter(w,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+              / len(w), 6) END AS alpha_word_frac,
+          CAST(len(list_filter(list_distinct(w), t -> t IN ($enList)))
+            AS BIGINT) AS stopword_hits
+        FROM t),
+      gk AS (
+        SELECT doc_id,
+          COALESCE(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND alpha_word_frac >= 0.8 AND stopword_hits >= 2, FALSE)
+            AS gkeep
+        FROM gf),
+      cd AS (
+        SELECT doc_id,
+          concat_ws(chr(10),
+            text || '.',
+            'too short.',
+            'this line has no terminal punctuation for doc '
+              || CAST(doc_id AS VARCHAR),
+            CASE WHEN doc_id % 5 = 0
+              THEN 'this document contains lorem ipsum boilerplate text here.'
+              WHEN doc_id % 7 = 0 THEN 'function() { return 1; }'
+              ELSE 'a perfectly fine closing sentence appears right here.'
+            END) AS ctext
+        FROM t),
+      ckp AS (
+        SELECT doc_id, ctext,
+          COALESCE(list_aggregate(list_transform(
+            list_filter(
+              list_filter(regexp_split_to_array(ctext, '\\n'),
+                l -> length(trim(l)) > 0),
+              l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '?')
+                OR ends_with(trim(l), '!') OR ends_with(trim(l), '"'))
+                AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5),
+            l -> trim(l)), 'string_agg', chr(10)), '') AS cleaned
+        FROM cd),
+      ck AS (
+        SELECT doc_id,
+          (NOT contains(lower(ctext), 'lorem ipsum'))
+            AND (NOT contains(ctext, '{'))
+            AND len(list_filter(regexp_split_to_array(cleaned, '[.!?]'),
+              x -> length(trim(x)) > 0)) >= 2 AS ckeep
+        FROM ckp),
+      rl AS (
+        SELECT gk.doc_id, gk.gkeep AND ck.ckeep AS rules_pass
+        FROM gk JOIN ck USING (doc_id)),
       q AS (
         SELECT doc_id, text, w,
           ROUND(0.3 * least(1.0, len(w) / 100.0)
@@ -2721,14 +2784,17 @@ object TextQueries extends QueryModule {
                 ELSE CAST(len(list_filter(w, t -> t IN ($enList)))
                   AS DOUBLE) / len(w) END), 6) AS quality
         FROM t),
-      f AS (SELECT *, quality >= 0.36 AS q_pass FROM q),
+      f AS (
+        SELECT q.*, rl.rules_pass, quality >= 0.36 AS q_pass
+        FROM q JOIN rl USING (doc_id)),
       fp AS (
-        SELECT *, CASE WHEN q_pass THEN
+        SELECT *, CASE WHEN rules_pass AND q_pass THEN
           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) END AS fpv
         FROM f),
       cn AS (
-        SELECT doc_id, quality, q_pass, w,
-          q_pass AND doc_id = min(CASE WHEN q_pass THEN doc_id END)
+        SELECT doc_id, quality, rules_pass, q_pass, w,
+          rules_pass AND q_pass AND doc_id
+            = min(CASE WHEN rules_pass AND q_pass THEN doc_id END)
             OVER (PARTITION BY fpv) AS canonical
         FROM fp),
       sh AS (
@@ -2751,9 +2817,11 @@ object TextQueries extends QueryModule {
             AS contam_frac
         FROM sh LEFT JOIN ov USING (doc_id)),
       flags AS (
-        SELECT cn.doc_id AS id, cn.quality, cn.q_pass, cn.canonical,
+        SELECT cn.doc_id AS id, cn.rules_pass, cn.quality, cn.q_pass,
+          cn.canonical,
           ct.contam_frac, ct.contam_frac <= 0.2 AS clean,
-          cn.q_pass AND cn.canonical AND ct.contam_frac <= 0.2 AS kept,
+          cn.rules_pass AND cn.q_pass AND cn.canonical
+            AND ct.contam_frac <= 0.2 AS kept,
           CAST(len(cn.w) AS BIGINT) AS n_tokens
         FROM cn JOIN ct ON cn.doc_id = ct.doc_id)"""
   }
@@ -2764,17 +2832,48 @@ object TextQueries extends QueryModule {
   val pipeCurationFlags: Q = Q(
     "pipe_curation_flags",
     Some(curationPrelude + """
-      SELECT id, quality, q_pass, canonical, contam_frac, clean, kept,
-        n_tokens
+      SELECT id, rules_pass, quality, q_pass, canonical, contam_frac,
+        clean, kept, n_tokens
       FROM flags ORDER BY id"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 17 =!= 3)
       graft.ops.Curation.stageFlags(
-          docs.filter(col("doc_id") % 17 =!= 3), "doc_id", "text",
+          corpus, "doc_id", "text",
           docs.filter(col("doc_id") % 17 === 3), "text",
-          minQuality = 0.36, maxContamination = 0.2)
+          minQuality = 0.36, maxContamination = 0.2,
+          ruleVerdicts = Some(curationRules(corpus)))
         .orderBy("id")
     })
+
+  /** The stage-1 rule table the pipe gates feed
+    * [[graft.ops.Curation.stageFlags]]: Gopher keep (en-marker stop
+    * list — the fixture's function-word inventory) AND C4 keep over the
+    * planted multi-line composition (the raw fixture is single-line, so
+    * C4's line rules need the txt_c4_rules fixture shape). */
+  private def curationRules(corpus: DataFrame): DataFrame = {
+    val gop = graft.ops.QualityRules.gopherFlags(corpus, "doc_id", "text",
+        stopwords = TextOps.LangMarkers.head._2)
+      .select(col("doc_id").as("id"), col("keep").as("__g"))
+    val composed = corpus.select(col("doc_id"),
+      concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("too short."),
+        concat(lit("this line has no terminal punctuation for doc "),
+          col("doc_id")),
+        when(col("doc_id") % 5 === 0,
+          lit("this document contains lorem ipsum boilerplate text here."))
+          .when(col("doc_id") % 7 === 0,
+            lit("function() { return 1; }"))
+          .otherwise(
+            lit("a perfectly fine closing sentence appears right here.")))
+        .as("text"))
+    val c4 = graft.ops.QualityRules.c4Clean(composed, "doc_id", "text",
+        minSentences = 2)
+      .select(col("doc_id").as("id"), col("keep").as("__c"))
+    gop.join(c4, Seq("id"))
+      .select(col("id"), (col("__g") && col("__c")).as("rules_pass"))
+  }
 
   /** The one-row curation funnel ([[graft.ops.Curation.funnelReport]]) —
     * sequential survivor counts + kept token mass from one aggregation.
@@ -2784,10 +2883,12 @@ object TextQueries extends QueryModule {
     "pipe_curation_funnel",
     Some(curationPrelude + """
       SELECT CAST(count(*) AS BIGINT) AS n_input,
-        CAST(COALESCE(SUM(CASE WHEN q_pass THEN 1 ELSE 0 END), 0)
-          AS BIGINT) AS n_quality,
-        CAST(COALESCE(SUM(CASE WHEN q_pass AND canonical THEN 1 ELSE 0 END),
-          0) AS BIGINT) AS n_dedup,
+        CAST(COALESCE(SUM(CASE WHEN rules_pass THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_rules,
+        CAST(COALESCE(SUM(CASE WHEN rules_pass AND q_pass THEN 1 ELSE 0
+          END), 0) AS BIGINT) AS n_quality,
+        CAST(COALESCE(SUM(CASE WHEN rules_pass AND q_pass AND canonical
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dedup,
         CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0)
           AS BIGINT) AS n_clean,
         CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END), 0)
@@ -2795,20 +2896,23 @@ object TextQueries extends QueryModule {
       FROM flags"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 17 =!= 3)
       val out = graft.ops.Curation.funnelReport(
         graft.ops.Curation.stageFlags(
-          docs.filter(col("doc_id") % 17 =!= 3), "doc_id", "text",
+          corpus, "doc_id", "text",
           docs.filter(col("doc_id") % 17 === 3), "text",
-          minQuality = 0.36, maxContamination = 0.2))
+          minQuality = 0.36, maxContamination = 0.2,
+          ruleVerdicts = Some(curationRules(corpus))))
       val r = out.head()
-      val (ni, nq, nd, nc) = (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))
-      // quality and contamination must both bite; dedup passes through
-      // monotonically (this fixture carries no exact whole-doc duplicates
-      // — verified — so nd == nq here; OpsSpec pins the dedup stage on a
-      // corpus that has them)
-      require(ni > nq && nq >= nd && nd > nc && nc > 0,
-        s"funnel not discriminative on the fixture: $ni -> $nq -> $nd -> $nc")
+      val (ni, nr, nq, nd, nc) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      // the rule stage (planted %5 lorem / %7 brace + Gopher's word
+      // floor), quality, and contamination must all bite; dedup passes
+      // through monotonically (this fixture carries no exact whole-doc
+      // duplicates — verified — so nd == nq here; OpsSpec pins the
+      // dedup stage on a corpus that has them)
+      require(ni > nr && nr > nq && nq >= nd && nd > nc && nc > 0,
+        s"funnel not discriminative: $ni -> $nr -> $nq -> $nd -> $nc")
       out
     })
 

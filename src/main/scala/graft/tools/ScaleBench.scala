@@ -190,6 +190,22 @@ object ScaleBench {
         emit("dd_minhash_lsh", k, docs.count(), mhMed, mhS, s""","pairs":$pairs""")
       }
 
+      if (wanted("dd_dedup_corpus")) {
+        // the COMPOSED flagship (r16 verdict item 5): LSH pairs → cluster
+        // resolve → canonical keep, end to end. Linearity witness: the
+        // token-suffixed copies keep each copy's 1× near-dup structure,
+        // so kept rows and merged duplicates must both scale exactly K×.
+        var kept = 0L
+        var rows = 0L
+        val (ddMed, ddS) = timeMedian {
+          rows = docs.count()
+          kept = Dedup.deduplicateCorpus(docs, "doc_id", "text",
+            threshold = 0.45).count()
+        }
+        emit("dd_dedup_corpus", k, rows, ddMed, ddS,
+          s""","kept":$kept,"merged":${rows - kept}""")
+      }
+
       if (wanted("wn_fingerprints")) {
         // linearity witness: the token-suffixed copies keep each copy's
         // 1x winnowing structure, so the selected-fingerprint count must

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LangId
+
+/** Language-ID v2 (hashed char-n-gram one-vs-rest logistic — the
+  * fastText-shaped public design) against the synthetic multilingual
+  * fixture and the v1 stopword scorer. */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langid v2: held-out accuracy >= 0.95, beats-or-ties v1 overall") {
+    val corpus = LangId.syntheticCorpus(spark)
+    // fixture shape: 4 languages x 150 docs, every 5th held out
+    assert(corpus.count() == 600)
+    assert(corpus.filter($"is_test").count() == 120)
+    val model = LangId.train(corpus.filter(!$"is_test"), "text", "lang")
+    assert(model.langs == Seq("de", "en", "es", "fr"))
+    val test = LangId.predict(corpus.filter($"is_test"), "text", model)
+      .withColumn("v1", graft.ops.TextOps.langId($"text"))
+    val agg = test.agg(
+      avg(($"lang_pred" === $"lang").cast("double")).as("acc2"),
+      avg(($"v1" === $"lang").cast("double")).as("acc1")).head()
+    val (acc2, acc1) = (agg.getDouble(0), agg.getDouble(1))
+    assert(acc2 >= 0.95, s"v2 held-out accuracy $acc2 below the floor")
+    assert(acc2 >= acc1 - 1e-9,
+      s"v2 ($acc2) must not lose to the v1 stopword scorer ($acc1)")
+  }
+
+  test("langid v2: gram machinery, determinism, degenerate inputs") {
+    // bucket counts conserve the gram count: sum(counts) == n_grams
+    val df = Seq(("the quick brown fox", 1L), ("", 2L),
+      (null.asInstanceOf[String], 3L)).toDF("text", "id")
+    val g = df.select($"id",
+      size(LangId.charGramBuckets($"text", 3, 16)).as("n"),
+      aggregate(graft.ops.Features.bucketCounts(
+        LangId.charGramBuckets($"text", 3, 16), 16),
+        lit(0), (a, b) => a + b).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(g(1L) == ((17, 17))) // 19 chars -> 17 trigrams
+    assert(g(2L) == ((0, 0)) && g(3L) == ((0, 0)))
+    // prediction is deterministic on featureless text (alphabetical tie
+    // break over equal sigmoid(intercept) scores -- never a crash)
+    val corpus = LangId.syntheticCorpus(spark, docsPerLang = 25)
+    val model = LangId.train(corpus, "text", "lang")
+    val p = LangId.predict(
+      Seq(Tuple1(""), Tuple1(null.asInstanceOf[String])).toDF("text"),
+      "text", model)
+      .select($"lang_pred").collect().map(_.getString(0))
+    assert(p.length == 2 && p.distinct.length == 1 && p.head != null)
+    // fewer than two languages fails loudly
+    val e = intercept[IllegalArgumentException] {
+      LangId.train(corpus.filter($"lang" === "en"), "text", "lang")
+    }
+    assert(e.getMessage.contains(">= 2"))
+  }
+}

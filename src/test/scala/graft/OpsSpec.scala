@@ -3163,6 +3163,27 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(fl2(2L).getAs[Boolean]("canonical") &&
       !fl2(3L).getAs[Boolean]("canonical"))
+    // stage-1 rule verdicts (r16 item 6): a rule-failed doc is cut
+    // FIRST (never canonical, never kept), a doc MISSING from the
+    // verdict frame fails closed, and with no frame the stage passes
+    // everything (rules_pass all true, funnel unchanged)
+    val rules = Seq((1L, true), (2L, true), (3L, true), (4L, false),
+      (5L, true), (6L, true)).toDF("id", "rules_pass") // 7 absent
+    val fr = Curation.stageFlags(docs, "doc_id", "text", eval, "text",
+        minQuality = 0.3, maxContamination = 0.2,
+        ruleVerdicts = Some(rules))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!fr(4L).getAs[Boolean]("rules_pass") &&
+      !fr(4L).getAs[Boolean]("canonical") && !fr(4L).getAs[Boolean]("kept"))
+    assert(!fr(7L).getAs[Boolean]("rules_pass"), "absent id fails closed")
+    assert(fr(1L).getAs[Boolean]("kept") && !fr(4L).getAs[Boolean]("kept"))
+    val f2 = Curation.funnelReport(Curation.stageFlags(docs, "doc_id",
+        "text", eval, "text", minQuality = 0.3, maxContamination = 0.2,
+        ruleVerdicts = Some(rules))).head()
+    assert(f2.getAs[Long]("n_rules") == 5L)   // 4 rule-cut, 7 absent
+    assert(f2.getAs[Long]("n_quality") == 3L) // 1,2,5
+    assert(f2.getAs[Long]("n_clean") == 1L)   // just 1
+    assert(f.getAs[Long]("n_rules") == 7L)    // no frame: all pass
   }
 
   test("revenue attribution: last vs first touch, window expiry, direct") {
