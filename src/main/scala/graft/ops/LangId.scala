@@ -103,26 +103,37 @@ object LangId {
   }
 
   /** Train one ridge-IRLS logistic per language (one-vs-rest) on the
-    * labeled corpus. Fails loudly when any language's fit degenerates or
-    * does not converge — a language-ID model that silently half-trained
-    * would mislabel a corpus downstream. */
+    * labeled corpus. Feature extraction (the char-gram hashing) runs as
+    * ONE distributed codegen pass; the projected (label, dim+1 doubles)
+    * matrix then fits driver-side ([[Logistic.fitLocal]], loudly capped
+    * at `maxRows`) — a labeled language fixture is small by nature, and
+    * the distributed IRLS would pay dim² Catalyst analyses per
+    * iteration for rows that fit in one page. Fails loudly when any
+    * language's fit degenerates or does not converge — a language-ID
+    * model that silently half-trained would mislabel a corpus
+    * downstream. */
   def train(corpus: DataFrame, textCol: String, langCol: String,
       dim: Int = 24, ns: Seq[Int] = Seq(2, 3),
       lambda: Double = 1e-3, maxIter: Int = 25,
-      tol: Double = 1e-5): LangIdModel = {
+      tol: Double = 1e-5, maxRows: Long = 100000L): LangIdModel = {
     val (df, feats) = charGramFeatures(corpus, textCol, dim, ns)
-    df.cache()
+    // one distributed pass materializes text -> damped bucket counts for
+    // every one-vs-rest fit (the text never rides to the driver)
+    val proj = df.select((col(langCol).cast("string").as("__lang") +:
+      feats.map { case (n, c) => c.as(n) }): _*)
+    proj.cache()
     try {
       import corpus.sparkSession.implicits._
-      val langs = corpus.select(col(langCol).cast("string"))
-        .filter(col(langCol).isNotNull)
+      val langs = proj.select(col("__lang"))
+        .filter(col("__lang").isNotNull)
         .distinct().as[String].collect().sorted.toSeq
       require(langs.size >= 2,
         s"language-ID needs >= 2 labeled languages, got ${langs.size}")
+      val featRefs = feats.map { case (n, _) => n -> col(n) }
       val fits = langs.map { l =>
-        val fit = Logistic.fit(df, feats,
-            (col(langCol) === l).cast("int"), lambda = lambda,
-            maxIter = maxIter, tol = tol)
+        val fit = Logistic.fitLocal(proj, featRefs,
+            (col("__lang") === l).cast("int"), lambda = lambda,
+            maxIter = maxIter, tol = tol, maxRows = maxRows)
           .getOrElse(sys.error(
             s"langIdV2: one-vs-rest fit for '$l' degenerated (constant " +
               "label or singular Hessian) - check the training corpus"))
@@ -132,7 +143,7 @@ object LangId {
         l -> fit
       }
       LangIdModel(dim, ns, fits)
-    } finally df.unpersist(blocking = false)
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Per-language scores + argmax prediction for `textCol` (ties break

@@ -62,6 +62,86 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     })
 
+  /** Language-ID v2 ([[graft.ops.LangId]], the fastText-shaped hashed
+    * char-n-gram one-vs-rest logistic — r16 verdict item 3): trained on
+    * the deterministic synthetic multilingual fixture (no RNG — both
+    * engines rebuild it from the same word pools and index arithmetic)
+    * and evaluated on the held-out i%5=0 split. The oracle rebuilds the
+    * corpus, the split, and the v1 STOPWORD scorer's per-language
+    * correct counts (the agreement baseline), and pins the two v2
+    * verdicts TRUE: per-language held-out accuracy ≥ 0.95 and
+    * beats-or-ties v1. The model's xxhash features are not
+    * SQL-expressible — its quality enters the hash through the pinned
+    * verdicts, the loud in-gate floor, and LangIdSpec. */
+  val txtLangIdV2: Q = Q(
+    "txt_langid_v2",
+    Some {
+      val pools = graft.ops.LangId.Pools.zipWithIndex.map {
+        case ((lang, pool), li) =>
+          s"('$lang', $li, [${pool.map(w => s"'$w'").mkString(", ")}])"
+      }.mkString(",\n          ")
+      val scoreSql = TextOps.LangMarkers.map { case (lang, set) =>
+        val inList = set.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(w, t -> t IN ($inList))) AS s_$lang"
+      }.mkString(",\n          ")
+      s"""
+      WITH p AS (
+        SELECT * FROM (VALUES
+          $pools) AS t(lang, li, pool)),
+      d AS (
+        SELECT CAST(li * 150 + i AS BIGINT) AS doc_id, lang,
+          array_to_string(list_transform(generate_series(1, 40),
+            j -> pool[1 + (i * 7 + j * 3) % len(pool)]), ' ') AS text
+        FROM p, generate_series(1, 150) AS g(i)
+        WHERE i % 5 = 0),
+      m AS (
+        SELECT lang, $scoreSql
+        FROM (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM d)),
+      v1 AS (
+        SELECT lang,
+          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                 THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred
+        FROM m)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+          AS v1_correct,
+        TRUE AS v2_floor_met, TRUE AS v2_beats_or_ties_v1
+      FROM v1 GROUP BY lang ORDER BY lang"""
+    },
+    (s, dir) => {
+      import graft.ops.LangId
+      val corpus = LangId.syntheticCorpus(s)
+      val model = LangId.train(corpus.filter(!col("is_test")),
+        "text", "lang")
+      val test = LangId.predict(corpus.filter(col("is_test")),
+          "text", model)
+        .withColumn("v1", TextOps.langId(col("text")))
+      val per = test.groupBy("lang").agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("v1") === col("lang"), 1L).otherwise(0L))
+          .as("v1_correct"),
+        avg((col("lang_pred") === col("lang")).cast("double"))
+          .as("__acc2"),
+        avg((col("v1") === col("lang")).cast("double")).as("__acc1"))
+      val rows = per.collect()
+      val overall = test.agg(
+        avg((col("lang_pred") === col("lang")).cast("double")))
+        .head().getDouble(0)
+      require(overall >= 0.95,
+        s"langid v2 held-out accuracy $overall below the 0.95 floor")
+      val out = per.select(col("lang"), col("n_test"), col("v1_correct"),
+        (col("__acc2") >= 0.95).as("v2_floor_met"),
+        (col("__acc2") >= col("__acc1")).as("v2_beats_or_ties_v1"))
+        .orderBy("lang")
+      require(rows.forall(_.getAs[Double]("__acc2") >= 0.95),
+        "a language fell below the per-language 0.95 floor")
+      out
+    })
+
   val txtQuality: Q = Q(
     "txt_quality",
     Some {
@@ -3552,7 +3632,7 @@ object TextQueries extends QueryModule {
     sftRenderChat, sftPreferencePairs, txtEvalContamination, txtZipfFit,
     txtHeapsCurve, txtHeapsFit, txtDupNgramFraction,
     pipeCurationFlags, pipeCurationFunnel,
-    txtTokenStats, txtLangId, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
+    txtTokenStats, txtLangId, txtLangIdV2, txtQuality, txtCompressionRatio, txtNormalize, ddExact,
     ddParagraphDedup,
     ddJaccard, ddPrefixJaccard, ddMinhash, ddSimhash, ddClusterResolve, ddDedupCorpus, ddSpanRemoval,
     ddNoveltyExact, ddNoveltyBloom, ddNoveltyMinhash, txtChunks, txtRepetition, txtVocab,

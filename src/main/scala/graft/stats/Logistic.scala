@@ -129,4 +129,89 @@ object Logistic {
         beta(d - 1), iter, deviance, converged, n))
     } finally prepared.unpersist(blocking = false)
   }
+
+  /** [[fit]] for a BOUNDED labeled fixture: collects the (label,
+    * features) matrix once — feature EXTRACTION stays a distributed
+    * codegen pass; only the already-projected doubles come back — and
+    * runs the identical IRLS driver-side, so a d-feature model costs
+    * zero Catalyst analysis per iteration (the distributed path pays
+    * d(d+3)/2 expression analyses per step, the right trade when the
+    * LABELED ROWS are the big thing; a labeled training fixture is
+    * small by nature — labels are expensive). Loudly capped at
+    * `maxRows`: past it, use [[fit]]. Same clamps, same ridge, same
+    * convergence rule; results differ from [[fit]] only by float-sum
+    * ordering (~1e-12). */
+  def fitLocal(df: DataFrame, features: Seq[(String, Column)],
+      label: Column, lambda: Double = 1e-6, maxIter: Int = 25,
+      tol: Double = 1e-8, maxRows: Long = 100000L): Option[LogisticFit] = {
+    require(features.nonEmpty, "no features")
+    require(lambda >= 0.0 && maxIter >= 1 && tol > 0.0,
+      "lambda >= 0, maxIter >= 1, tol > 0")
+    val d = features.length + 1 // intercept last
+    val projected = features.map(_._2.cast(DoubleType)) :+ lit(1.0)
+    val prepared = df.select(
+      (label.cast(DoubleType).as("__y") +: projected.zipWithIndex.map {
+        case (c, i) => c.as(s"__x$i") }): _*)
+      .filter(col("__y").isNotNull &&
+        (0 until d).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+    val total = prepared.count()
+    require(total <= maxRows,
+      s"fitLocal: $total labeled rows exceed the $maxRows driver bound " +
+        "- this solver is for bounded training fixtures; use " +
+        "Logistic.fit (distributed IRLS) for corpus-scale labels")
+    if (total == 0L) return None
+    val rows = prepared.collect().map { r =>
+      (r.getDouble(0), Array.tabulate(d)(i => r.getDouble(i + 1)))
+    }
+    val n = rows.length.toLong
+    val ys = rows.map(_._1)
+    require(ys.forall(y => y >= 0.0 && y <= 1.0),
+      s"label must be in {0,1}, saw [${ys.min}, ${ys.max}]")
+    if (ys.min == ys.max) return None // constant label
+    val beta = Array.fill(d)(0.0)
+    var iter = 0
+    var converged = false
+    var deviance = Double.NaN
+    while (iter < maxIter && !converged) {
+      val h = Array.ofDim[Double](d, d)
+      val g = Array.fill(d)(0.0)
+      var dev = 0.0
+      rows.foreach { case (y, x) =>
+        var eta = 0.0
+        var i = 0
+        while (i < d) { eta += x(i) * beta(i); i += 1 }
+        val p0 = 1.0 / (1.0 + math.exp(-eta))
+        val p = math.min(math.max(p0, 1e-12), 1.0 - 1e-12)
+        val w = p * (1.0 - p)
+        val r = y - p
+        dev += -2.0 * (y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+        i = 0
+        while (i < d) {
+          g(i) += r * x(i)
+          var j = i
+          while (j < d) { h(i)(j) += w * x(i) * x(j); j += 1 }
+          i += 1
+        }
+      }
+      for (i <- 0 until d; j <- i + 1 until d) h(j)(i) = h(i)(j)
+      deviance = dev
+      for (i <- 0 until d - 1) {
+        h(i)(i) += lambda
+        g(i) -= lambda * beta(i)
+      }
+      val step =
+        try new LUDecomposition(new Array2DRowRealMatrix(h, false))
+          .getSolver.solve(new ArrayRealVector(g, false)).toArray
+        catch { case _: SingularMatrixException => return None }
+      var maxStep = 0.0
+      for (i <- 0 until d) {
+        beta(i) += step(i)
+        maxStep = math.max(maxStep, math.abs(step(i)))
+      }
+      iter += 1
+      converged = maxStep < tol
+    }
+    Some(LogisticFit(features.map(_._1), beta.take(d - 1),
+      beta(d - 1), iter, deviance, converged, n))
+  }
 }
