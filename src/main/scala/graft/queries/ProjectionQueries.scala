@@ -107,42 +107,68 @@ object ProjectionQueries extends QueryModule {
         .orderBy("i", "j")
     })
 
-  /** PCA spectral contracts, self-asserted distributed-to-driver (no SQL
-    * eigensolver exists): components pairwise orthonormal, eigenvalues
-    * descending and non-negative beyond noise, and the FULL spectrum's
-    * mass equals the covariance trace (the eigensolve conserved variance).
-    * Emits the top-8 eigenvalues with explained-variance ratios. */
+  /** PCA spectral contracts — PROMOTED to oracle-checked (r17): the
+    * eigensolve itself has no SQL mirror, but its CONSERVATION LAWS are
+    * functions of the covariance table DuckDB already rebuilds
+    * cell-for-cell (prj_covariance): Σλ over the full spectrum must
+    * equal tr(C), and Σλ² must equal ‖C‖²_F (both summed as exact
+    * decimals over the round-6 cells). The gate emits trace and
+    * Frobenius mass — rebuilt independently by the oracle from raw
+    * embeddings — plus the four COMPUTED spectral verdicts pinned TRUE
+    * (trace conserved, Frobenius conserved, eigenvalues descending,
+    * components orthonormal). The eigenvalues themselves are
+    * library-only values (t52 convention) and stay in-gate asserted. */
   val pcaTopk: Q = Q(
     "prj_pca_spectrum",
-    None,
+    Some(s"""
+      SELECT CAST($InDim AS INT) AS in_dim,
+        CAST(max(n) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN i = j THEN CAST(cov AS DECIMAL(38,12)) END)
+          AS DOUBLE) AS trace,
+        CAST(SUM(CAST((CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+          * cov * cov AS DECIMAL(38,12))) AS DOUBLE) AS frob2,
+        TRUE AS trace_conserved, TRUE AS frobenius_conserved,
+        TRUE AS eigen_descending, TRUE AS components_orthonormal
+      FROM ($covSql)"""),
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val model = Projection.pcaFit(embs, "embedding", InDim, k = 8)
       // orthonormality of the returned components
+      var orthonormal = true
       for (a <- model.components.indices; b <- a until model.components.length) {
         val d = model.components(a).zip(model.components(b))
           .map { case (x, y) => x * y }.sum
         val want = if (a == b) 1.0 else 0.0
-        require(math.abs(d - want) < 1e-4,
-          s"components $a,$b not orthonormal: dot=$d")
+        orthonormal &&= math.abs(d - want) < 1e-4
+        require(orthonormal, s"components $a,$b not orthonormal: dot=$d")
       }
       val ev = model.eigenvalues
-      require(ev.zip(ev.tail).forall { case (a, b) => a >= b },
-        "eigenvalues not descending")
+      val descending = ev.zip(ev.tail).forall { case (a, b) => a >= b }
+      require(descending, "eigenvalues not descending")
       require(ev.forall(_ > -1e-9), "negative eigenvalue beyond noise")
-      // variance conservation: sum of all-d eigenvalues == trace(cov)
-      val trace = Projection.covarianceUpper(embs, "embedding", InDim)
-        .filter(col("i") === col("j"))
-        .agg(sum("cov")).collect().head.getDouble(0)
-      require(math.abs(ev.sum - trace) < 1e-6 * math.max(1.0, trace),
-        s"spectrum mass ${ev.sum} != trace $trace")
-      val total = ev.sum
+      // conservation vs the SAME round-6 cell table the oracle rebuilds
+      val cells = Projection.covarianceUpper(embs, "embedding", InDim)
+      val agg = cells.agg(
+        max(col("n")).as("n"),
+        sum(when(col("i") === col("j"),
+          col("cov").cast("decimal(38,12)"))).cast("double").as("trace"),
+        sum((when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
+          * col("cov") * col("cov")).cast("decimal(38,12)"))
+          .cast("double").as("frob2")).head()
+      val (nVec, trace, frob2) = (agg.getAs[Long]("n"),
+        agg.getAs[Double]("trace"), agg.getAs[Double]("frob2"))
+      val traceOk = math.abs(ev.sum - trace) < 1e-6 * math.max(1.0, trace)
+      require(traceOk, s"spectrum mass ${ev.sum} != trace $trace")
+      val frobOk = math.abs(ev.map(v => v * v).sum - frob2) <
+        1e-6 * math.max(1.0, frob2)
+      require(frobOk,
+        s"spectrum energy ${ev.map(v => v * v).sum} != frobenius $frob2")
       import s.implicits._
-      ev.take(8).zipWithIndex
-        .map { case (v, i) =>
-          (i, math.rint(v * 1e6) / 1e6, math.rint(v / total * 1e6) / 1e6)
-        }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
-        .orderBy("component")
+      Seq((InDim, nVec, trace, frob2, traceOk, frobOk, descending,
+          orthonormal))
+        .toDF("in_dim", "n", "trace", "frob2", "trace_conserved",
+          "frobenius_conserved", "eigen_descending",
+          "components_orthonormal")
     })
 
   /** PCA whitening ([[Projection.pcaProject]] with whiten = true) — the

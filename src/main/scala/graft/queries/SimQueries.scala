@@ -37,27 +37,99 @@ object SimQueries extends QueryModule {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("qid", "rank"))
 
-  /** ANN via random-hyperplane LSH buckets (rows-only; recall asserted in
-    * the spec against brute force). */
+  /** The exact-top-k differential shared by the two ANN promotions:
+    * per query, the EXACT top-1 neighbor (DuckDB rebuilds it from the
+    * brute-force cosine SQL) plus the overall recall@k verdict vs the
+    * full exact top-k set, pinned TRUE by the oracle at the named
+    * floor. In-gate, every query must return exactly k ANN rows. */
+  private def annDifferential(
+      s: org.apache.spark.sql.SparkSession,
+      exact: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame,
+      k: Int, floor: Double, what: String) = {
+    val annPairs = ann.select(col("qid"), col("nid"))
+    val perQ = ann.groupBy("qid").count().collect()
+    require(perQ.forall(_.getLong(1) == k),
+      s"$what: a query returned != $k rows")
+    val nExact = exact.count()
+    val hit = exact.select("qid", "nid")
+      .join(annPairs, Seq("qid", "nid"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    require(recall >= floor,
+      s"$what recall $recall below the $floor floor")
+    exact.filter(col("rank") === 1)
+      .select(col("qid"), col("nid").as("exact_top1"),
+        round(col("cosine"), 6).as("exact_top1_cos"),
+        lit(recall >= floor).as("recall_floor_met"))
+      .orderBy("qid")
+  }
+
+  /** Shared oracle SQL for the ANN differentials: the brute-force
+    * cosine top-1 per query (the sim_topk_bruteforce arithmetic
+    * verbatim) + the pinned recall verdict. */
+  private val annOracleSql = """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, v.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      r AS (SELECT qid, nid, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, nid AS exact_top1, ROUND(cos, 6) AS exact_top1_cos,
+        TRUE AS recall_floor_met
+      FROM r WHERE rank = 1
+      ORDER BY qid"""
+
+  /** ANN via random-hyperplane LSH buckets — PROMOTED to oracle-checked
+    * (r17, the differential template): the hyperplane hashes have no SQL
+    * mirror, so the gate emits the EXACT side — per query the
+    * brute-force top-1 neighbor (rebuilt by DuckDB from the
+    * sim_topk_bruteforce arithmetic) — plus the COMPUTED recall@3
+    * verdict vs the full exact top-3 set, pinned TRUE at the spec's 0.7
+    * floor (4 hyperplanes + hamming-1 multiprobe). Bench/raw mode still
+    * returns the production ANN rows. */
   val simAnn: Q = Q(
     "sim_ann_lsh",
-    None,
-    (s, dir) =>
-      Similarity.annTopK(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", col("vec_id") < 10, k = 3, bits = 4)
-        .orderBy("qid", "rank"))
+    Some(annOracleSql),
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val ann = Similarity.annTopK(embs, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3, bits = 4)
+      if (!Tables.gateMode) ann.orderBy("qid", "rank")
+      else annDifferential(s,
+        Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          col("vec_id") < 10, k = 3),
+        ann, k = 3, floor = 0.7, what = "sim_ann_lsh")
+    })
 
-  /** ANN via IVF (k-means coarse quantizer, rows-only; recall in spec).
-    * The gate pins the deterministic sampled fit (the 100 TB path): the
-    * quantizer trains on ~2048 hash-sampled rows, then assigns everything. */
+  /** ANN via IVF — PROMOTED to oracle-checked (r17): same differential
+    * as sim_ann_lsh (k-means coarse quantizer has no SQL mirror; the
+    * exact top-1 table + pinned recall@3 verdict carry the oracle). The
+    * deterministic sampled fit stays the pinned configuration (the
+    * 100 TB path): the quantizer trains on ~2048 hash-sampled rows,
+    * then assigns everything. Floor 0.5 at nProbe/nLists = 6/16 of the
+    * cells probed (the r17 measurement: 4/16 probes land recall 0.47 on
+    * this fixture — the embeddings are near-isotropic, so coarse cells
+    * carry weak locality and the probe budget is the recall dial,
+    * exactly the IVF contract). */
   val simIvf: Q = Q(
     "sim_ann_ivf",
-    None,
+    Some(annOracleSql),
     (s, dir) => {
-      val index = graft.ops.Ivf.build(Tables.load(s, dir, "embeddings"),
+      val embs = Tables.load(s, dir, "embeddings")
+      val index = graft.ops.Ivf.build(embs,
         "vec_id", "embedding", nLists = 16, fitSampleRows = 2048)
-      graft.ops.Ivf.search(index, col("id") < 10, k = 3, nProbe = 4)
-        .orderBy("qid", "rank")
+      val ann = graft.ops.Ivf.search(index, col("id") < 10, k = 3,
+        nProbe = 6)
+      if (!Tables.gateMode) ann.orderBy("qid", "rank")
+      else annDifferential(s,
+        Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          col("vec_id") < 10, k = 3),
+        ann, k = 3, floor = 0.5, what = "sim_ann_ivf")
     })
 
   /** PQ-compressed ANN with exact re-rank (rows-only: k-means codebooks

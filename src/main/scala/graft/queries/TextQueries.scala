@@ -727,13 +727,56 @@ object TextQueries extends QueryModule {
         .orderBy("id")
     })
 
-  /** End-to-end corpus dedup (rows-only: MinHash-LSH has no SQL oracle;
-    * cluster math is oracle-checked via dd_cluster_resolve and the LSH leg
-    * via its recall spec). Self-asserts the partition invariant: cluster
-    * sizes must account for every document exactly once. */
+  /** End-to-end corpus dedup — PROMOTED to oracle-checked (r17): the
+    * gate first requires (distributed anti-joins, both directions) that
+    * the LSH pair set EQUALS the exact pairwise-Jaccard pair set at the
+    * same threshold on this fixture — the dd_minhash_lsh differential
+    * already pins recall and precision separately, and on equality the
+    * op's clusters are exactly the connected components of the EXACT
+    * pair graph, which DuckDB rebuilds independently with a RECURSIVE
+    * transitive-closure CTE (min-reachable-id labels). Every kept row's
+    * (doc_id, cluster_id, n_cluster) is then hash-pinned. The r14
+    * in-gate invariants stay: cluster sizes account for every document
+    * exactly once, and re-mining the kept set finds zero residual
+    * pairs. */
   val ddDedupCorpus: Q = Q(
     "dd_dedup_corpus",
-    None,
+    Some("""
+      WITH RECURSIVE
+      t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END) AS s
+        FROM t),
+      e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz sa ON inter.id1 = sa.doc_id
+        JOIN sz sb ON inter.id2 = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      und AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a),
+      lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cluster
+              FROM lbl GROUP BY cluster_id)
+      SELECT lbl.id AS doc_id, lbl.cluster_id, csz.n_cluster
+      FROM lbl JOIN csz USING (cluster_id)
+      WHERE lbl.id = lbl.cluster_id
+      ORDER BY doc_id"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val dedup = Dedup.deduplicateCorpus(docs, "doc_id", "text", threshold = 0.5)
@@ -754,6 +797,22 @@ object TextQueries extends QueryModule {
         threshold = 0.5).count()
       require(residual == 0,
         s"$residual LSH-confirmed near-dup pairs survived corpus dedup")
+      if (Tables.gateMode) {
+        // the oracle's premise: on this fixture the LSH pair set equals
+        // the exact >= 0.5 pair set (recall AND precision at once), so
+        // the exact graph's components ARE the op's clusters
+        val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5).select("id1", "id2")
+        val exactPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 2, threshold = 0.5, maxPostings = Int.MaxValue)
+          .select("id1", "id2")
+        require(lshPairs.join(exactPairs, Seq("id1", "id2"), "left_anti")
+            .isEmpty &&
+          exactPairs.join(lshPairs, Seq("id1", "id2"), "left_anti")
+            .isEmpty,
+          "LSH and exact pair sets diverge — the component oracle's " +
+            "premise does not hold on this corpus")
+      }
       out.orderBy("doc_id")
     })
 
@@ -1866,18 +1925,50 @@ object TextQueries extends QueryModule {
 
   /** Mergeable Misra-Gries summary ([[graft.ops.HeavyHitters.summarize]]
     * / `merge` — the streaming-capable twin of the exact two-pass
-    * txt_heavy_hitters): rows-only, with the sketch's whole CONTRACT
-    * self-asserted distributed against exact counts — estimates never
-    * exceed truth, undershoot by at most n/(capacity+1), and every token
-    * above the bound is present. Output = the guaranteed-superset
-    * hitters list. */
+    * txt_heavy_hitters) — PROMOTED to oracle-checked (r17, the
+    * differential template): the sketch's counters are merge-order facts
+    * with no SQL mirror, so the gate emits the EXACT side of the
+    * contract — per guaranteed-hitter token (true count > n/(capacity+1),
+    * both rebuilt by DuckDB from the corpus) the exact count and the two
+    * COMPUTED sketch verdicts the oracle pins TRUE: the token is PRESENT
+    * in the summary and its estimate sits inside [cnt − n/(cap+1), cnt].
+    * Capacity drops 128 → 16 (below the vocabulary) so the eviction
+    * path actually runs — at 128 the sketch was exact and the bound
+    * clauses were vacuous — and the corpus gains two PLANTED heavy
+    * hitters (the fixture's natural 31-token distribution is near
+    * uniform at ~900±30, all under the bound): 'spark' ×3000 and
+    * 'hadoop' ×2000 over uniform noise is exactly the skew MG exists to
+    * find. The full-table bound asserts stay in-gate. */
   val txtMgSummary: Q = Q(
     "txt_mg_summary",
-    None,
+    Some("""
+      WITH corpus AS (
+        SELECT text FROM documents
+        UNION ALL SELECT trim(repeat('spark ', 60)) FROM documents
+          WHERE doc_id % 10 = 0
+        UNION ALL SELECT trim(repeat('hadoop ', 40)) FROM documents
+          WHERE doc_id % 10 = 5),
+      tok AS (
+        SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        FROM corpus),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY token),
+      n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+      SELECT token, cnt,
+        TRUE AS present, TRUE AS within_bound
+      FROM c, n
+      WHERE cnt > n.n // 17
+      ORDER BY cnt DESC, token"""),
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val sm = graft.ops.HeavyHitters.summarize(docs, "text", capacity = 128)
+      val base = Tables.load(s, dir, "documents")
+      val docs = base.select(col("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select(trim(repeat(lit("spark "), 60)).as("text")))
+        .unionByName(base.filter(col("doc_id") % 10 === 5)
+          .select(trim(repeat(lit("hadoop "), 40)).as("text")))
+      val sm = graft.ops.HeavyHitters.summarize(docs, "text", capacity = 16)
       val exact = docs
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -1891,8 +1982,22 @@ object TextQueries extends QueryModule {
       val missed = joined.filter(col("cnt") > lit(sm.maxError) &&
         col("estimate") === 0).count()
       require(missed == 0, s"$missed guaranteed hitters absent")
-      sm.hitters(0.005).toDF("token", "estimate")
-        .orderBy(col("estimate").desc, col("token"))
+      // the bound in n/(capacity+1) form (sm.maxError is the tighter
+      // merge-time residual; the oracle can only rebuild the loose bound,
+      // and the guarantee holds a fortiori under the tighter one)
+      val n = exact.agg(sum(col("cnt"))).head().getLong(0)
+      val bound = n / 17
+      val out = joined.filter(col("cnt") > bound)
+        .select(col("token"), col("cnt"),
+          (col("estimate") > 0).as("present"),
+          (col("estimate") <= col("cnt") &&
+            col("cnt") - col("estimate") <= bound).as("within_bound"))
+        .orderBy(col("cnt").desc, col("token"))
+      require(out.filter(!col("present") || !col("within_bound")).isEmpty,
+        "a guaranteed hitter is missing or outside the MG bound")
+      require(out.count() >= 2,
+        "the planted heavy hitters vanished — the gate went vacuous")
+      out
     })
 
   /** Vocabulary-utilization histogram over real BPE ids

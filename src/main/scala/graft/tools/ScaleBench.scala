@@ -300,6 +300,30 @@ object ScaleBench {
           s""","n_participants":$live""")
       }
 
+      if (wanted("survival_scan")) {
+        // r17 rewrite witness: the Kaplan-Meier family now runs
+        // partition-offset scans instead of a single-task window. The
+        // scaled events keep K× USERS at constant events/user, so the
+        // duration table is K× subjects over a CONSTANT hour-grained
+        // distinct-duration domain — time should be dominated by the
+        // per-subject aggregation (row-linear, parallel), with the scan
+        // itself constant-size. Witness: curve step count constant,
+        // initial at-risk mass exactly K×.
+        val ev2 = spark.read.parquet(s"$dir/events")
+        var steps = 0L; var atRisk = 0L
+        val (kmMed, kmS) = timeMedian {
+          val durs = graft.stats.Survival.durationsFromLog(ev2,
+            "user_id", "ts", "2024-01-31 00:00:00", gapSeconds = 86400L)
+          val curve = graft.stats.Survival.kaplanMeier(durs,
+            graft.stats.Survival.binDurations(col("duration"), 1.0),
+            col("observed"))
+          val r = curve.agg(count(lit(1)), max(col("n_risk"))).head()
+          steps = r.getLong(0); atRisk = r.getLong(1)
+        }
+        emit("survival_scan", k, ev2.count(), kmMed, kmS,
+          s""","curve_steps":$steps,"at_risk_max":$atRisk""")
+      }
+
       if (wanted("rank_scan_family")) {
         // r16 distinct-value-scan ops: W1 and Brunner-Munzel run over
         // the MERGED DISTINCT-VALUE table (quantity's domain is
