@@ -307,14 +307,40 @@ object LayoutQueries extends QueryModule {
           round(col("containment_b"), 6).as("containment_b"))
     })
 
-  /** KMV-sketch overlap estimate (rows-only: the estimator is
-    * probabilistic, so the GATE self-asserts it against the exact path —
-    * Jaccard within ±0.1 absolute, cardinalities within 15% relative —
-    * and pins sketch mergeability, which is what makes per-snapshot
-    * sketches composable at 100 TB). */
+  /** KMV-sketch overlap estimate — PROMOTED to oracle-checked (r17, the
+    * differential template): the estimator is xxhash-order
+    * probabilistic with no SQL mirror, so the gate emits the EXACT side
+    * (Jaccard and both distinct-shingle cardinalities, which DuckDB
+    * rebuilds from the corpus with the mnt_corpus_overlap shingle SQL)
+    * plus the COMPUTED error-contract verdicts the oracle pins TRUE —
+    * Jaccard within ±0.1 absolute, cardinalities within 15% relative,
+    * and merge commutativity (what makes per-snapshot sketches
+    * composable at 100 TB). */
   val mntCorpusOverlapKmv: Q = Q(
     "mnt_corpus_overlap_kmv",
-    None,
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(w) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) END AS s
+        FROM t),
+      ea AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 3 = 0),
+      eb AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 3 <> 0),
+      m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM ea) AS da,
+          (SELECT CAST(count(*) AS BIGINT) FROM eb) AS db,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM ea JOIN eb USING (sg)) AS di)
+      SELECT round(CAST(di AS DOUBLE) / (da + db - di), 6) + 0.0
+          AS jaccard_exact,
+        da AS n_a_exact, db AS n_b_exact,
+        TRUE AS jaccard_within_01, TRUE AS card_a_within_15,
+        TRUE AS card_b_within_15, TRUE AS merge_commutes
+      FROM m"""),
     (s, dir) => {
       import s.implicits._
       val docs = graft.Tables.load(s, dir, "documents")
@@ -336,10 +362,17 @@ object LayoutQueries extends QueryModule {
       // mergeability: fold order can't matter
       val m1 = graft.ops.CorpusOverlap.mergeSketches(skA, skB, k)
       val m2 = graft.ops.CorpusOverlap.mergeSketches(skB, skA, k)
-      require(m1.sameElements(m2), "KMV merge is order-sensitive")
-      Seq((jEst, jExact, daEst, nA, dbEst, nB))
-        .toDF("jaccard_est", "jaccard_exact", "n_a_est", "n_a_exact",
-          "n_b_est", "n_b_exact")
+      val commutes = m1.sameElements(m2)
+      require(commutes, "KMV merge is order-sensitive")
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      Seq((r6(jExact), nA, nB,
+          math.abs(jEst - jExact) <= 0.1,
+          math.abs(daEst - nA) <= 0.15 * nA,
+          math.abs(dbEst - nB) <= 0.15 * nB, commutes))
+        .toDF("jaccard_exact", "n_a_exact", "n_b_exact",
+          "jaccard_within_01", "card_a_within_15", "card_b_within_15",
+          "merge_commutes")
     })
 
   /** Unigram-distribution divergence between the same two corpus slices

@@ -210,15 +210,35 @@ object ProjectionQueries extends QueryModule {
       }.toDF("component", "mean", "variance").orderBy("component")
     })
 
-  /** Integration: ANN over reduced vectors. Exact cosine top-10 on the
-    * raw 64-d corpus vs brute-force top-10 over 16-d PCA and 16-d JL
-    * projections; the gate computes recall@10 per query and requires the
-    * variance-optimal PCA to beat the oblivious JL bound. Emits one row
-    * per method with mean recall (rounded) — self-asserting, rows-only
-    * (the eigensolve has no SQL mirror). */
+  /** Integration: ANN over reduced vectors — PROMOTED to oracle-checked
+    * (r17, the differential template): exact cosine top-10 on the raw
+    * 64-d corpus vs brute-force top-10 over 16-d PCA and 16-d JL
+    * projections. The eigensolve has no SQL mirror, so the gate emits
+    * the EXACT side (query and exact-pair counts, rebuilt by DuckDB
+    * from the brute-force cosine SQL) plus the COMPUTED verdicts the
+    * oracle pins TRUE: JL recall@10 ≥ 4× chance and PCA not trailing JL
+    * (the variance-optimal projection must at least match the oblivious
+    * one). The per-method recall values are model facts and stay
+    * in-gate asserted. */
   val annRecall: Q = Q(
     "prj_ann_recall",
-    None,
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+      scored AS (
+        SELECT qid, v.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      r AS (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM scored)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+        CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        TRUE AS jl_above_chance, TRUE AS pca_matches_jl
+      FROM r WHERE rank <= 10"""),
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val qFilter = col("vec_id") < 20
@@ -241,13 +261,17 @@ object ProjectionQueries extends QueryModule {
       // the synthetic embeddings are near-isotropic, so 4× compression
       // legitimately separates neighbors weakly — the contract is "far
       // above chance" (chance = k/(n-1) ≈ 0.02), not near-perfect recall
-      require(jl >= 4 * 10.0 / 499.0, s"JL-16 recall@10 at chance: $jl")
-      require(pca >= jl - 0.05,
+      val jlOk = jl >= 4 * 10.0 / 499.0
+      require(jlOk, s"JL-16 recall@10 at chance: $jl")
+      val pcaOk = pca >= jl - 0.05
+      require(pcaOk,
         s"PCA-16 recall@10 ($pca) should not trail JL-16 ($jl)")
+      val nQueries = embs.filter(qFilter).count()
+      val nExact = exact.count()
       import s.implicits._
-      Seq(("jl16", math.rint(jl * 1000) / 1000),
-          ("pca16", math.rint(pca * 1000) / 1000))
-        .toDF("method", "recall_at_10").orderBy("method")
+      Seq((nQueries, nExact, jlOk, pcaOk))
+        .toDF("n_queries", "n_exact_pairs", "jl_above_chance",
+          "pca_matches_jl")
     })
 
   /** The full 64×64 Procrustes cross-moment grid between each embedding

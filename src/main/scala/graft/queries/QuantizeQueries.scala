@@ -77,13 +77,54 @@ object QuantizeQueries extends QueryModule {
         .orderBy("i")
     })
 
-  /** End-to-end retrieval contract: brute-force cosine top-10 over the
-    * DEQUANTIZED int8 corpus vs the exact top-10 over raw doubles —
-    * recall@10 must survive 4× compression (the property the operator
-    * exists to provide; self-asserted, no SQL mirror for the top-k). */
+  /** End-to-end retrieval contract — PROMOTED to FULLY oracle-checked
+    * (r17): unlike the hash-based ANN gates, the int8 path is
+    * deterministic arithmetic end to end, so DuckDB rebuilds the WHOLE
+    * experiment — the quantizer (the qz_codes mirror), the dequantized
+    * vectors, brute-force cosine top-10 over BOTH corpora, and the
+    * hit-count join — and the emitted recall@10 is an exact-value
+    * match, not a pinned verdict. The ≥ 0.8 floor stays loud
+    * in-gate. */
   val recall: Q = Q(
     "qz_recall",
-    None,
+    Some(codesPrelude + s""",
+      d AS (
+        SELECT vec_id, i,
+          CASE WHEN hi = lo THEN lo
+            ELSE lo + CAST(code AS DOUBLE) * ((hi - lo) / 255.0) END AS xd
+        FROM c),
+      dv AS (SELECT vec_id, list(xd ORDER BY i) AS e FROM d GROUP BY vec_id),
+      qx AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+      sx AS (
+        SELECT qid, v.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM qx, v WHERE v.vec_id != qid),
+      rx AS (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM sx),
+      ex AS (SELECT qid, nid FROM rx WHERE rank <= 10),
+      qd AS (SELECT vec_id AS qid, e AS qe FROM dv WHERE vec_id < 20),
+      sd AS (
+        SELECT qid, dv.vec_id AS nid,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM qd, dv WHERE dv.vec_id != qid),
+      rd AS (SELECT qid, nid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        FROM sd),
+      ax AS (SELECT qid, nid FROM rd WHERE rank <= 10),
+      hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+               FROM ex JOIN ax USING (qid, nid)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+      SELECT 'int8' AS method,
+        (SELECT CAST(count(*) AS BIGINT) FROM qx) AS n_queries,
+        tot.n_exact, hits.n_hits,
+        round(CAST(hits.n_hits AS DOUBLE) / tot.n_exact, 6) + 0.0
+          AS recall_at_10
+      FROM hits, tot"""),
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val (lo, hi) = Quantize.collectRanges(
@@ -97,13 +138,17 @@ object QuantizeQueries extends QueryModule {
         lo, hi, Bits, "dec").select(col("vec_id"), col("dec"))
       val approx = Similarity.bruteForceTopK(deq, "vec_id", "dec", qFilter, k)
         .select("qid", "nid")
+      val nQueries = exact.select("qid").distinct().count()
+      val nExact = exact.count()
       val hits = exact.join(approx, Seq("qid", "nid")).count()
-      val recall = hits.toDouble / exact.count()
+      val recall = hits.toDouble / nExact
       require(recall >= 0.8,
         s"int8 recall@10 collapsed to $recall — quantizer broken")
       import s.implicits._
-      Seq(("int8", math.rint(recall * 1000) / 1000))
-        .toDF("method", "recall_at_10").orderBy("method")
+      Seq(("int8", nQueries, nExact, hits,
+          BigDecimal(recall).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble + 0.0))
+        .toDF("method", "n_queries", "n_exact", "n_hits", "recall_at_10")
     })
 
   override def queries: Seq[Q] = Seq(codes, reconstructionError, recall)

@@ -522,15 +522,35 @@ object TextQueries extends QueryModule {
           "within_drop_budget")
     })
 
-  /** Near-dup novelty vs a historical corpus (rows-only: MinHash is not
-    * SQL-expressible). Incoming = the held-out shard plus five PLANTED
-    * exact copies of history under new ids; the entry self-asserts that
-    * every planted copy is caught (non-novel) and that genuinely new
-    * shard docs survive — so a vacuous always-novel or always-dup result
-    * cannot pass. */
+  /** Near-dup novelty vs a historical corpus — PROMOTED to
+    * oracle-checked (r17, the dd_novelty_bloom template): MinHash is
+    * not SQL-expressible, so the gate emits the DIFFERENTIAL — incoming
+    * volumes and the exact-anti-join novel count (DuckDB rebuilds all
+    * three from the shared fingerprint normalization and the planted
+    * corpus arithmetic) plus the two COMPUTED verdicts the oracle pins
+    * TRUE: every planted history copy caught (identical shingles ⇒
+    * identical signature ⇒ non-novel) and minhash-novel ⊆ exact-novel
+    * (near-dup matching may only drop MORE than exact). */
   val ddNoveltyMinhash: Q = Q(
     "dd_novelty_minhash",
-    None,
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        FROM documents),
+      hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8),
+      planted AS (
+        SELECT doc_id + 1000000 AS doc_id
+        FROM documents WHERE doc_id % 10 < 8 AND doc_id < 50),
+      inc AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 8)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM inc)
+          + (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_incoming,
+        (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+        CAST(count(*) AS BIGINT) AS n_exact_novel,
+        TRUE AS planted_all_caught,
+        TRUE AS subset_of_exact
+      FROM inc WHERE f NOT IN (SELECT f FROM hist)"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val hist = docs.filter(col("doc_id") % 10 < 8)
@@ -551,10 +571,17 @@ object TextQueries extends QueryModule {
       // doc the exact twin calls duplicate
       val exactNovel = Dedup.novelAgainstExact(
         inc.filter(col("doc_id") < 1000000), hist, "text").select("doc_id")
-      require(novel.filter(col("doc_id") < 1000000).select("doc_id")
-          .join(exactNovel, Seq("doc_id"), "left_anti").isEmpty,
+      val subsetOk = novel.filter(col("doc_id") < 1000000).select("doc_id")
+        .join(exactNovel, Seq("doc_id"), "left_anti").isEmpty
+      require(subsetOk,
         "minhash kept a doc the exact anti-join calls an exact duplicate")
-      novel.select("doc_id").orderBy("doc_id")
+      val nPlanted = planted.count()
+      val nIncoming = inc.count()
+      val nExactNovel = exactNovel.count()
+      import s.implicits._
+      Seq((nIncoming, nPlanted, nExactNovel, plantedNovel == 0, subsetOk))
+        .toDF("n_incoming", "n_planted", "n_exact_novel",
+          "planted_all_caught", "subset_of_exact")
     })
 
   /** MinHash-LSH near-dup candidates — PROMOTED to oracle-checked (r17,
@@ -1571,14 +1598,40 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id"))
 
   /** Card redaction over planted candidates
-    * ([[graft.functions.LuhnRedactCards]], rows-only — a conditional
-    * replace has no SQL mirror): each doc's text gets a synthetic
-    * 16-digit run appended; the gate asserts the run is replaced by
-    * `<CARD>` exactly when the oracle-checked validator says it's
-    * valid, short runs survive, and redaction is idempotent. */
+    * ([[graft.functions.LuhnRedactCards]]) — PROMOTED to oracle-checked
+    * (r17): on the planted fixture the redaction outcome is a PURE
+    * FUNCTION of the oracle-green Luhn verdict (valid ⇒ the one card
+    * run becomes `<CARD>`, invalid ⇒ the text is untouched), so DuckDB
+    * rebuilds the candidates, replays the mod-10 fold, and emits the
+    * exact expected redacted string per row — a redactor that touched
+    * the wrong span, the short run, or an invalid number now flips a
+    * hashed cell. Idempotence stays in-gate. */
   val txtLuhnRedact: Q = Q(
     "txt_luhn_redact",
-    None,
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+          CAST(4000000000000000 + doc_id * 137 AS VARCHAR) AS candidate
+        FROM documents),
+      v AS (
+        SELECT doc_id, candidate,
+          list_sum(list_transform(generate_series(1, length(candidate)),
+            r -> CASE WHEN r % 2 = 0 THEN
+                CASE WHEN 2 * CAST(substr(candidate,
+                    length(candidate) - r + 1, 1) AS INT) > 9
+                  THEN 2 * CAST(substr(candidate,
+                    length(candidate) - r + 1, 1) AS INT) - 9
+                  ELSE 2 * CAST(substr(candidate,
+                    length(candidate) - r + 1, 1) AS INT) END
+              ELSE CAST(substr(candidate,
+                length(candidate) - r + 1, 1) AS INT) END))
+            % 10 = 0 AS valid
+        FROM c)
+      SELECT doc_id, valid,
+        CASE WHEN valid THEN 'order 123456 card <CARD> end'
+          ELSE 'order 123456 card ' || candidate || ' end' END AS redacted
+      FROM v
+      ORDER BY doc_id"""),
     (s, dir) => {
       import graft.ops.TextOps
       val planted = Tables.load(s, dir, "documents")
@@ -2314,7 +2367,23 @@ object TextQueries extends QueryModule {
     * documented cost knob). Rows-only: IRLS has no SQL mirror. */
   val txtHashClassifier: Q = Q(
     "txt_hash_classifier",
-    None,
+    Some("""
+      WITH rv AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN '' ELSE
+            array_to_string(list_transform(
+              regexp_split_to_array(trim(text), '\s+'),
+              t -> reverse(t)), ' ') END AS rtext,
+          CASE WHEN length(trim(text)) = 0 THEN '' ELSE
+            array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')
+            END AS ntext
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_orig,
+        CAST(count(*) AS BIGINT) AS n_reversed,
+        CAST(SUM(CASE WHEN rtext = ntext THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ambiguous,
+        TRUE AS acc_floor_met, TRUE AS converged
+      FROM rv"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
       val reversed = docs.select(
@@ -2336,9 +2405,22 @@ object TextQueries extends QueryModule {
           .cast("double"))).head().getDouble(0)
       require(acc >= 0.9,
         s"hashed-BoW classifier separates poorly: accuracy $acc")
-      scored.select(col("doc_id"), col("orig_score"),
-          (col("orig_score") >= 0.5).as("pred_orig"))
-        .orderBy("doc_id")
+      // PROMOTED (r17, the differential template): the IRLS weights are
+      // iterative facts with no SQL mirror, so the hashed output is the
+      // EXACT side — class volumes and the irreducible-ambiguity count
+      // (docs whose token-reversed form equals their normalized form —
+      // all-palindrome tokens), each rebuilt by DuckDB from the same
+      // reversed-corpus arithmetic — plus the accuracy-floor and
+      // convergence verdicts pinned TRUE. Scores stay in-gate.
+      val ambiguous = docs.filter(
+        concat_ws(" ", transform(TextOps.tokens(col("text")),
+          t => reverse(t))) ===
+          concat_ws(" ", TextOps.tokens(col("text")))).count()
+      import s.implicits._
+      Seq((docs.count(), reversed.count(), ambiguous, acc >= 0.9,
+          fit.converged))
+        .toDF("n_orig", "n_reversed", "n_ambiguous", "acc_floor_met",
+          "converged")
     })
 
   /** Shared body of the retrieval-chunking gates: pack, then enforce the
