@@ -783,12 +783,60 @@ object SimQueries extends QueryModule {
         .orderBy("sel_rank")
     })
 
-  /** Deeper FPS run (rows-only): the selection-distance sequence must be
-    * non-increasing (the k-center invariant) with all picks distinct —
-    * the structural self-check at a k the unrolled oracle can't reach. */
+  /** The k=8 FPS greedy recurrence unrolled MECHANICALLY (the
+    * sim_fps_coreset discipline at depth): a Scala loop generates the
+    * dᵢ = LEAST(dᵢ₋₁, ‖x−sᵢ₋₁‖²) / sᵢ = argmax CTE chain, so the oracle
+    * replays every one of the 8 picks and raw min-distances
+    * bit-for-bit. */
+  private val fpsDeepSql: String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE embedding IS NOT NULL),
+      s0 AS (
+        SELECT vec_id, e FROM v
+        ORDER BY md5(concat_ws('|', 'graft-fps', CAST(vec_id AS VARCHAR))),
+          vec_id
+        LIMIT 1),
+      d1 AS (
+        SELECT v.vec_id, v.e,
+          list_sum(list_transform(v.e, x -> x * x))
+          - 2.0 * list_sum(list_transform(generate_series(1, 64),
+              i -> v.e[i] * s0.e[i]))
+          + list_sum(list_transform(s0.e, x -> x * x)) AS d
+        FROM v, s0),
+      s1 AS (SELECT vec_id, e, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1)""")
+    for (n <- 2 until 8) {
+      sb.append(s""",
+      d$n AS (
+        SELECT d${n - 1}.vec_id, d${n - 1}.e,
+          LEAST(d${n - 1}.d,
+            list_sum(list_transform(d${n - 1}.e, x -> x * x))
+            - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                i -> d${n - 1}.e[i] * s${n - 1}.e[i]))
+            + list_sum(list_transform(s${n - 1}.e, x -> x * x))) AS d
+        FROM d${n - 1}, s${n - 1}),
+      s$n AS (SELECT vec_id, e, d FROM d$n ORDER BY d DESC, vec_id LIMIT 1)""")
+    }
+    sb.append("""
+      SELECT 0 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS dist FROM s0""")
+    for (n <- 1 until 8) sb.append(s"""
+      UNION ALL SELECT $n AS sel_rank, vec_id, d AS dist FROM s$n""")
+    sb.append("""
+      ORDER BY sel_rank""")
+    sb.toString
+  }
+
+  /** Deeper FPS run — PROMOTED to FULLY oracle-checked (r17): the
+    * formerly "too deep to unroll" greedy is unrolled by GENERATING the
+    * CTE chain (see [[fpsDeepSql]]), so all 8 picks and their raw
+    * min-distances are exact-value matches, not pinned verdicts. The
+    * k-center structural self-checks (non-increasing distances,
+    * distinct picks) stay in-gate. */
   val simFpsDeep: Q = Q(
     "sim_fps_deep",
-    None,
+    Some(fpsDeepSql),
     (s, dir) => {
       import s.implicits._
       val picks = Similarity.farthestPointSample(
@@ -798,8 +846,7 @@ object SimQueries extends QueryModule {
       val ds = picks.flatMap(_.dist)
       require(ds.zip(ds.tail).forall { case (a, b) => a >= b },
         s"selection distances must be non-increasing: $ds")
-      picks.map(p => (p.rank, p.id,
-          p.dist.map(d => math.rint(d * 1e6) / 1e6)))
+      picks.map(p => (p.rank, p.id, p.dist))
         .toDF("sel_rank", "vec_id", "dist")
         .orderBy("sel_rank")
     })
@@ -855,12 +902,80 @@ object SimQueries extends QueryModule {
           k = 2, lambda = 0.5, shortlist = 20)
         .orderBy("qid", "sel_rank"))
 
-  /** Deeper MMR (rows-only): structural self-checks at k=5 — the first
-    * pick must be the plain cosine top-1, picks distinct and drawn from
-    * the shortlist, exactly k per query. */
+  /** The k=5 MMR greedy unrolled MECHANICALLY per query (λ = 0.7,
+    * shortlist 25): a Scala loop generates the mᵢ (GREATEST-accumulated
+    * max-similarity-to-picked, picked rows excluded) / sᵢ (argmax of
+    * λ·cos − (1−λ)·penalty, ties to the smallest id) CTE chain, so the
+    * oracle replays all five picks and raw scores bit-for-bit. Every λ
+    * literal is CAST(… AS DOUBLE) in the SQL: DuckDB parses bare 0.7 as
+    * DECIMAL, making (1.0 − 0.7) an exact 0.3 — one ulp away from the
+    * JVM's 1.0 − 0.7 double (= 0.30000000000000004), which flipped 12
+    * score cells before the cast (r17 measurement; λ = 0.5 in the k=2
+    * twin dodged this because 0.5 is exact in both systems). */
+  private val mmrDeepSql: String = {
+    def cosSql(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a.ne)),
+              i -> $a.ne[i] * $b.ne[i]))
+            / (sqrt(list_sum(list_transform($a.ne, x -> x * x)))
+               * sqrt(list_sum(list_transform($b.ne, x -> x * x))))"""
+    val sb = new StringBuilder
+    sb.append("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, v.vec_id AS nid, v.e AS ne,
+          list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+               * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+        FROM q, v WHERE v.vec_id != qid),
+      m0 AS (
+        SELECT qid, nid, ne, cos, 0.0 AS msim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nid) AS rnk
+          FROM scored)
+        WHERE rnk <= 25),
+      s1 AS (
+        SELECT qid, nid, ne, CAST(0.7 AS DOUBLE) * cos - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0.0 AS DOUBLE) AS score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(0.7 AS DOUBLE) * cos - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0.0 AS DOUBLE) DESC, nid) AS r
+          FROM m0)
+        WHERE r = 1)""")
+    for (n <- 2 to 5) {
+      val (mp, sp) = (s"m${n - 1}", s"s${n - 1}")
+      val acc =
+        if (n == 2) cosSql("m0", sp)
+        else s"GREATEST($mp.msim, ${cosSql(mp, sp)})"
+      val src = if (n == 2) "m0" else mp
+      sb.append(s""",
+      m$n AS (
+        SELECT $src.qid, $src.nid, $src.ne, $src.cos,
+          $acc AS msim
+        FROM $src JOIN $sp USING (qid) WHERE $src.nid != $sp.nid),
+      s$n AS (
+        SELECT qid, nid, ne,
+          CAST(0.7 AS DOUBLE) * cos - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim AS score FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(0.7 AS DOUBLE) * cos - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * msim DESC, nid) AS r
+          FROM m$n)
+        WHERE r = 1)""")
+    }
+    sb.append("""
+      SELECT qid, 0 AS sel_rank, nid, score FROM s1""")
+    for (n <- 2 to 5) sb.append(s"""
+      UNION ALL SELECT qid, ${n - 1} AS sel_rank, nid, score FROM s$n""")
+    sb.append("""
+      ORDER BY qid, sel_rank""")
+    sb.toString
+  }
+
+  /** Deeper MMR — PROMOTED to FULLY oracle-checked (r17): the generated
+    * CTE chain ([[mmrDeepSql]]) replays the whole k=5 greedy, so picks
+    * AND raw scores are exact-value matches. The structural self-checks
+    * (first pick = cosine top-1, exactly 5 distinct picks per query)
+    * stay in-gate. */
   val simMmrDeep: Q = Q(
     "sim_mmr_deep",
-    None,
+    Some(mmrDeepSql),
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val out = Similarity.mmrRerank(embs, "vec_id", "embedding",
@@ -878,8 +993,7 @@ object SimQueries extends QueryModule {
         counts.forall(r => r.getAs[Long]("n") == 5 &&
           r.getAs[Long]("d") == 5),
         "every query needs exactly 5 distinct picks")
-      out.select(col("qid"), col("sel_rank"), col("nid"),
-          round(col("score"), 6).as("score"))
+      out.select(col("qid"), col("sel_rank"), col("nid"), col("score"))
         .orderBy("qid", "sel_rank")
     })
 
