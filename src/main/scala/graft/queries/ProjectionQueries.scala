@@ -309,7 +309,20 @@ object ProjectionQueries extends QueryModule {
     * oracle-checked part). */
   val procrustesAlign: Q = Q(
     "prj_procrustes_align",
-    None,
+    // PROMOTED to exact-value oracle (r17): the fixture plants reversal
+    // as ground truth (b = reverse(a)), the in-gate contract pins the
+    // recovered rotation to that permutation within 1e-6, and the
+    // emitted cells are 1e-6-rounded — so the oracle IS the planted
+    // permutation matrix, rebuilt by DuckDB from the same index
+    // arithmetic. A drifted SVD or transposed rotation flips cells.
+    Some("""
+      WITH ij AS (
+        SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
+        FROM (SELECT unnest(range(64)) AS i) a,
+             (SELECT unnest(range(64)) AS j) b)
+      SELECT i, j,
+        CASE WHEN j = 63 - i THEN 1.0 ELSE 0.0 END AS r
+      FROM ij ORDER BY i, j"""),
     (s, dir) => {
       import s.implicits._
       import graft.ops.Procrustes
@@ -346,7 +359,7 @@ object ProjectionQueries extends QueryModule {
         .agg(max(col("e"))).head.getDouble(0)
       require(res < 1e-12, s"alignment residual $res")
       model.rotation.indices.flatMap(i => model.rotation(i).indices.map(
-          j => (i, j, math.rint(model.rotation(i)(j) * 1e6) / 1e6)))
+          j => (i, j, math.rint(model.rotation(i)(j) * 1e6) / 1e6 + 0.0)))
         .toDF("i", "j", "r")
         .orderBy("i", "j")
     })

@@ -250,15 +250,20 @@ object SimQueries extends QueryModule {
         .orderBy("media_id", "frame_index")
     })
 
-  /** SemDeDup-style semantic dedup (rows-only: k-means cell assignment is
-    * not SQL-expressible). Self-asserts the partition invariant (cluster
-    * sizes account for every vector exactly once) AND the within-cell
-    * no-kept-near-dups guarantee, brute-force over the rebuilt
-    * deterministic IVF cells (OpsSpec pins the same property on toy
-    * vectors with hand-checkable geometry). */
+  /** SemDeDup-style semantic dedup — PROMOTED to oracle-checked (r17,
+    * the differential template): the k-means cell assignment is not
+    * SQL-expressible, so the gate emits the EXACT side (vector volume,
+    * rebuilt by DuckDB) plus the two COMPUTED contract verdicts the
+    * oracle pins TRUE — cluster sizes account for every vector exactly
+    * once, and no two KEPT representatives sharing a rebuilt IVF cell
+    * sit above the dedup threshold (the end-to-end property the
+    * operator exists to provide, asserted distributed in-gate). */
   val ddSemantic: Q = Q(
     "dd_semantic",
-    None,
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        TRUE AS partition_exact, TRUE AS no_kept_near_dups
+      FROM embeddings"""),
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val out = graft.ops.Dedup.semanticDedup(embs, "vec_id", "embedding",
@@ -287,7 +292,9 @@ object SimQueries extends QueryModule {
         .count()
       require(violations == 0,
         s"$violations kept near-dup pairs survive within a cell")
-      out.orderBy("vec_id")
+      import s.implicits._
+      Seq((total, covered == total, violations == 0L))
+        .toDF("n_vectors", "partition_exact", "no_kept_near_dups")
     })
 
   /** Per-label centroids ([[graft.ops.Similarity.labelCentroids]]):
@@ -1246,15 +1253,28 @@ object SimQueries extends QueryModule {
     })
 
   /** IVF-blocked margin mining ([[graft.ops.Bitext.marginMineIvf]]) —
-    * the 100 TB path (candidates = probed cells, never |X|·|Y|).
-    * Rows-only: the quantizer's k-means fit is not SQL-expressible.
-    * In-gate pins: recall ≥ 0.6 against the exact miner (approximate
-    * retrieval, exact scoring), every retrieved pair's (cosine, margin)
-    * EQUAL to a pair the exact scorer would emit when it mined the same
-    * pair, and one-to-one mutual-best structure. */
+    * the 100 TB path (candidates = probed cells, never |X|·|Y|) —
+    * PROMOTED to oracle-checked (r17, the differential template): the
+    * quantizer's k-means fit is not SQL-expressible, so the gate emits
+    * the EXACT miner's pair count (DuckDB rebuilds the whole margin
+    * pipeline — the sim_bitext_mine oracle's own CTEs) plus the three
+    * COMPUTED verdicts pinned TRUE: recall ≥ 0.6 vs the exact miner,
+    * cosine agreement on every co-mined pair (approximate retrieval,
+    * EXACT scoring), and one-to-one mutual-best structure. */
   val bitextMineIvf: Q = Q(
     "sim_bitext_mine_ivf",
-    None,
+    Some(bitextScoredSql + """,
+      mb AS (
+        SELECT x_id, y_id, c, margin,
+          row_number() OVER (PARTITION BY x_id
+            ORDER BY margin DESC, y_id) AS bf,
+          row_number() OVER (PARTITION BY y_id
+            ORDER BY margin DESC, x_id) AS bb
+        FROM m WHERE rf <= 4 OR rb <= 4)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        TRUE AS recall_floor_met, TRUE AS cosines_exact,
+        TRUE AS one_to_one
+      FROM mb WHERE bf = 1 AND bb = 1 AND margin >= 1.0"""),
     (s, dir) => {
       val (xs, ys) = bitextSides(s, dir)
       val approx = graft.ops.Bitext.marginMineIvf(xs, ys, "vec_id",
@@ -1269,19 +1289,23 @@ object SimQueries extends QueryModule {
           (r.getAs[Double]("cosine"), r.getAs[Double]("margin"))).toMap
       require(e.nonEmpty, "exact miner found no pairs on the fixture")
       val recall = e.keySet.count(a.contains).toDouble / e.size
-      require(recall >= 0.6,
+      val recallOk = recall >= 0.6
+      require(recallOk,
         s"IVF bitext recall $recall < 0.6 vs the exact miner (${e.size} pairs)")
       // retrieved-and-exact pairs must agree on the cosine (the scorer is
       // exact on whatever the blocking retrieves; margins may differ — the
       // candidate neighborhoods do)
-      a.foreach { case (k2, (c, _)) =>
-        e.get(k2).foreach { case (ce, _) =>
-          require(c == ce, s"pair $k2 cosine $c != exact $ce") } }
+      val cosOk = a.forall { case (k2, (c, _)) =>
+        e.get(k2).forall { case (ce, _) => c == ce } }
+      require(cosOk, "an IVF-mined pair's cosine diverged from the exact scorer")
       val n = approx.count()
-      require(approx.select("x_id").distinct().count() == n &&
-        approx.select("y_id").distinct().count() == n,
-        "IVF-mined pairs must be one-to-one on both sides")
-      approx.orderBy("x_id")
+      val oneToOne = approx.select("x_id").distinct().count() == n &&
+        approx.select("y_id").distinct().count() == n
+      require(oneToOne, "IVF-mined pairs must be one-to-one on both sides")
+      import s.implicits._
+      Seq((e.size.toLong, recallOk, cosOk, oneToOne))
+        .toDF("n_exact_pairs", "recall_floor_met", "cosines_exact",
+          "one_to_one")
     })
 
   /** The top-k-neighborhood candidate table with both ranks — the
@@ -1310,7 +1334,25 @@ object SimQueries extends QueryModule {
     * structural one (nonempty, one-to-one, margins above the cut). */
   val bitextCorpusIvf: Q = Q(
     "sim_bitext_corpus_ivf",
-    None,
+    // PROMOTED to oracle-checked (r17): at the grading sf the full
+    // corpus IS the exact anchor's vec_id < 500 slice, so the oracle
+    // rebuilds the exact miner's pair count from the same CTEs and pins
+    // the recall/one-to-one/margin verdicts TRUE; the differential runs
+    // ONLY in gate mode — the bench headline still times the pure IVF
+    // path at every sf (where the |X|·|Y| exact side would be the very
+    // cost this operator exists to avoid).
+    Some(bitextScoredSql + """,
+      mb AS (
+        SELECT x_id, y_id, c, margin,
+          row_number() OVER (PARTITION BY x_id
+            ORDER BY margin DESC, y_id) AS bf,
+          row_number() OVER (PARTITION BY y_id
+            ORDER BY margin DESC, x_id) AS bb
+        FROM m WHERE rf <= 4 OR rb <= 4)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        TRUE AS recall_floor_met, TRUE AS one_to_one,
+        TRUE AS margins_clear_cut
+      FROM mb WHERE bf = 1 AND bb = 1 AND margin >= 1.0"""),
     (s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val xs = embs.filter(col("vec_id") % 2 === 0)
@@ -1321,12 +1363,29 @@ object SimQueries extends QueryModule {
       try {
         val n = mined.count()
         require(n > 0, "corpus IVF mining found no pairs")
-        require(mined.select("x_id").distinct().count() == n &&
-          mined.select("y_id").distinct().count() == n,
-          "mined pairs must be one-to-one on both sides")
-        require(mined.filter(col("margin") < 1.0).isEmpty,
-          "every mined pair must clear the margin cut")
-        mined.orderBy("x_id").localCheckpoint()
+        val oneToOne = mined.select("x_id").distinct().count() == n &&
+          mined.select("y_id").distinct().count() == n
+        require(oneToOne, "mined pairs must be one-to-one on both sides")
+        val marginsOk = mined.filter(col("margin") < 1.0).isEmpty
+        require(marginsOk, "every mined pair must clear the margin cut")
+        if (!Tables.gateMode) mined.orderBy("x_id").localCheckpoint()
+        else {
+          val exact = graft.ops.Bitext.marginMine(xs, ys, "vec_id",
+            "embedding", k = 4, minMargin = 1.0)
+          val e = exact.select("x_id", "y_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val a = mined.select("x_id", "y_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          require(e.nonEmpty, "exact miner found no pairs on the fixture")
+          val recall = e.count(a.contains).toDouble / e.size
+          val recallOk = recall >= 0.5
+          require(recallOk,
+            s"corpus IVF recall $recall < 0.5 vs exact (${e.size} pairs)")
+          import s.implicits._
+          Seq((e.size.toLong, recallOk, oneToOne, marginsOk))
+            .toDF("n_exact_pairs", "recall_floor_met", "one_to_one",
+              "margins_clear_cut")
+        }
       } finally { mined.unpersist(blocking = false); () }
     })
 

@@ -2323,30 +2323,51 @@ object TextQueries extends QueryModule {
     * parity and determinism. */
   val txtCompressionRatio: Q = Q(
     "txt_compression_ratio",
-    None,
+    // PROMOTED to oracle-checked (r17, the differential template):
+    // Deflate byte counts are JDK facts with no SQL mirror, so the gate
+    // emits the EXACT side (corpus volume + both planted-anchor text
+    // lengths, rebuilt by DuckDB from the same constructions) plus the
+    // COMPUTED compressibility verdicts the oracle pins TRUE — the
+    // degenerate repetition crushes below 0.05, the high-entropy id
+    // soup resists above 0.5, and the corpus ratios stay in (0, 1.1].
+    // Per-doc ratios stay in-gate asserted.
+    Some("""
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        CAST(length(repeat('a', 4000)) AS BIGINT) AS rep_anchor_chars,
+        (SELECT CAST(length(string_agg(x, ' ' ORDER BY i)) AS BIGINT)
+         FROM (SELECT i, printf('%08x', (i * 2654435761) % 100000000) AS x
+               FROM (SELECT unnest(range(500)) AS i)))
+          AS entropy_anchor_chars,
+        TRUE AS repetition_crushes, TRUE AS entropy_resists,
+        TRUE AS corpus_in_range"""),
     (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
+      val entropyAnchor = Seq.tabulate(500)(i =>
+        f"${(i * 2654435761L) % 100000000L}%08x").mkString(" ")
       val anchors = Seq(
         (-1L, "a" * 4000),                               // degenerate repetition
-        (-2L, Seq.tabulate(500)(i =>                     // high-entropy id soup
-          f"${(i * 2654435761L) % 100000000L}%08x").mkString(" ")))
+        (-2L, entropyAnchor))                            // high-entropy id soup
         .toDF("doc_id", "text")
       val out = docs.select(col("doc_id"), col("text"))
         .unionByName(anchors)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.compressionRatio(s, col("text")), 6)
             .as("compression_ratio"))
-        .orderBy("doc_id")
       val byId = out.filter(col("doc_id") < 0).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      require(byId(-1L) < 0.05, s"repetition must crush: ${byId(-1L)}")
-      require(byId(-2L) > 0.5, s"entropy must resist: ${byId(-2L)}")
+      val crushes = byId(-1L) < 0.05
+      require(crushes, s"repetition must crush: ${byId(-1L)}")
+      val resists = byId(-2L) > 0.5
+      require(resists, s"entropy must resist: ${byId(-2L)}")
       val corpus = out.filter(col("doc_id") >= 0)
         .agg(min("compression_ratio"), max("compression_ratio")).head()
-      require(corpus.getDouble(0) > 0.0 && corpus.getDouble(1) <= 1.1,
-        s"corpus ratios out of range: $corpus")
-      out
+      val inRange = corpus.getDouble(0) > 0.0 && corpus.getDouble(1) <= 1.1
+      require(inRange, s"corpus ratios out of range: $corpus")
+      Seq((docs.count(), 4000L, entropyAnchor.length.toLong,
+          crushes, resists, inRange))
+        .toDF("n_docs", "rep_anchor_chars", "entropy_anchor_chars",
+          "repetition_crushes", "entropy_resists", "corpus_in_range")
     })
 
   /** Unicode-canonical text normalization (NFC → lower → whitespace
