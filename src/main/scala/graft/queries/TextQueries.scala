@@ -2616,11 +2616,24 @@ object TextQueries extends QueryModule {
     * document's REAL BPE ids land in int32-LE binary shards + a parquet
     * index, then the gate seeks every document back out of its shard
     * file and requires byte-exact ids — the full encode → shard →
-    * mmap-read loop a trainer depends on. Rows-only (a binary sink has
-    * no SQL mirror); output is the per-shard manifest. */
+    * mmap-read loop a trainer depends on. PROMOTED to oracle-checked
+    * (r17, the differential template): the binary sink and the xxhash
+    * shard routing have no SQL mirror, so the gate emits the EXACT side
+    * — document volume and the corpus-total TOKEN MASS, which DuckDB
+    * rebuilds by re-tokenizing every distinct piece itself through the
+    * recursive BPE-merge replay (the txt_bpe_fertility machinery) —
+    * plus the byte-roundtrip and index-completeness verdicts pinned
+    * TRUE. Per-shard rows are xxhash facts and stay in-gate. */
   val mntTokenExport: Q = Q(
     "mnt_token_export",
-    None,
+    Some(bpeReplayPrelude + """,
+      plen AS (SELECT piece, len(syms) AS ntok FROM final)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens_total,
+        CAST(4 AS INT) AS n_shards,
+        TRUE AS roundtrip_exact, TRUE AS index_complete
+      FROM rawpieces JOIN plen USING (piece)"""),
     (s, dir) => {
       val tok = graft.functions.Bpe.fromResource()
       val docs = Tables.load(s, dir, "documents")
@@ -2645,16 +2658,16 @@ object TextQueries extends QueryModule {
         }
         // materialize BEFORE the finally deletes the index files the
         // summary plan reads from
-        val summary = index.groupBy("shard")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens").cast("long")).as("n_tokens"),
-            count_distinct(col("file")).as("n_files"))
-          .orderBy("shard")
-          .collect()
+        val summary = index.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"))
+          .head()
+        val indexComplete = summary.getAs[Long]("n_docs") == expected.size
+        require(indexComplete, "index row count drifted")
         import s.implicits._
-        summary.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
-            r.getAs[Long]("n_tokens"), r.getAs[Long]("n_files"))).toSeq
-          .toDF("shard", "n_docs", "n_tokens", "n_files")
+        Seq((summary.getAs[Long]("n_docs"), summary.getAs[Long]("n_tokens"),
+            4, true, indexComplete))
+          .toDF("n_docs", "n_tokens_total", "n_shards",
+            "roundtrip_exact", "index_complete")
       } finally graft.core.Fs.deleteRecursively(out)
     })
 

@@ -300,6 +300,23 @@ object ScaleBench {
           s""","n_participants":$live""")
       }
 
+      if (wanted("langid_score")) {
+        // r17 language-ID v2: the model is dim+1 doubles per language
+        // and the scorer is a pure codegen column, so scoring must run
+        // at scan speed — train ONCE on the tiny deterministic fixture
+        // (driver-local IRLS, outside the timed window), then score the
+        // K× corpus. Witness: every row classified (non-null pred).
+        val model = graft.ops.LangId.train(
+          graft.ops.LangId.syntheticCorpus(spark), "text", "lang")
+        var scoredRows = 0L
+        val (liMed, liS) = timeMedian {
+          scoredRows = graft.ops.LangId.predict(docs, "text", model)
+            .filter(col("lang_pred").isNotNull).count()
+        }
+        emit("langid_score", k, docs.count(), liMed, liS,
+          s""","classified":$scoredRows""")
+      }
+
       if (wanted("survival_scan")) {
         // r17 rewrite witness: the Kaplan-Meier family now runs
         // partition-offset scans instead of a single-task window. The
