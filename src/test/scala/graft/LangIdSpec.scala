@@ -28,6 +28,27 @@ class LangIdSpec extends SparkSpec {
       s"v2 ($acc2) must not lose to the v1 stopword scorer ($acc1)")
   }
 
+  test("langid v2: native CharGramBow == compositional buckets, all rows") {
+    // the one-pass native expression must bucket BIT-IDENTICALLY to the
+    // pmod(xxhash64(substr)) compositional form it replaced (r17 perf
+    // fix: the interpreted HOF form measured ~35 ms/row)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((-1L, ""), (-2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val dim = 24
+    val native = graft.functions.CharGramBow(spark, lower($"text"),
+      Seq(2, 3), dim)
+    val compositional = graft.ops.Features.bucketCounts(
+      concat(graft.ops.LangId.charGramBuckets($"text", 2, dim),
+        graft.ops.LangId.charGramBuckets($"text", 3, dim)), dim)
+    val drift = docs.select(
+      coalesce(native, array_repeat(lit(0), dim)).as("a"),
+      compositional.as("b")).filter($"a" =!= $"b").count()
+    assert(drift == 0, s"$drift rows bucket differently")
+  }
+
   test("langid v2: gram machinery, determinism, degenerate inputs") {
     // bucket counts conserve the gram count: sum(counts) == n_grams
     val df = Seq(("the quick brown fox", 1L), ("", 2L),
