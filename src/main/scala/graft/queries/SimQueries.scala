@@ -41,7 +41,10 @@ object SimQueries extends QueryModule {
     * per query, the EXACT top-1 neighbor (DuckDB rebuilds it from the
     * brute-force cosine SQL) plus the overall recall@k verdict vs the
     * full exact top-k set, pinned TRUE by the oracle at the named
-    * floor. In-gate, every query must return exactly k ANN rows. */
+    * floor. In-gate, every ANSWERED query must return exactly k ANN
+    * rows AND the answered-query count must equal the exact side's —
+    * without the second check a wholly-dropped query is simply absent
+    * from the per-query groupBy and only dents recall (r17 advice). */
   private def annDifferential(
       s: org.apache.spark.sql.SparkSession,
       exact: org.apache.spark.sql.DataFrame,
@@ -51,6 +54,14 @@ object SimQueries extends QueryModule {
     val perQ = ann.groupBy("qid").count().collect()
     require(perQ.forall(_.getLong(1) == k),
       s"$what: a query returned != $k rows")
+    // a WHOLLY-dropped query is absent from the groupBy, so the
+    // per-query k check alone can't see it (and recall floors of
+    // 0.5-0.8 could absorb the miss): pin the answered-query set's
+    // SIZE to the exact side's
+    val exactQids = exact.select("qid").distinct().count()
+    require(perQ.length.toLong == exactQids,
+      s"$what: ANN answered ${perQ.length} queries but the exact " +
+        s"side has $exactQids - a query was dropped entirely")
     val nExact = exact.count()
     val hit = exact.select("qid", "nid")
       .join(annPairs, Seq("qid", "nid"), "left_semi").count()

@@ -154,13 +154,18 @@ object Logistic {
         case (c, i) => c.as(s"__x$i") }): _*)
       .filter(col("__y").isNotNull &&
         (0 until d).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
-    val total = prepared.count()
-    require(total <= maxRows,
-      s"fitLocal: $total labeled rows exceed the $maxRows driver bound " +
-        "- this solver is for bounded training fixtures; use " +
+    // ONE action: collect through limit(maxRows + 1) so the guard and
+    // the data share a single feature-extraction pass (count + collect
+    // ran the projection twice for any caller that did not pre-cache —
+    // r17 advice); one extra row past the cap is proof enough to fail
+    val lim = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
+    val collected = prepared.limit(lim).collect()
+    require(collected.length < lim,
+      s"fitLocal: more than $maxRows labeled rows exceed the driver " +
+        "bound - this solver is for bounded training fixtures; use " +
         "Logistic.fit (distributed IRLS) for corpus-scale labels")
-    if (total == 0L) return None
-    val rows = prepared.collect().map { r =>
+    if (collected.isEmpty) return None
+    val rows = collected.map { r =>
       (r.getDouble(0), Array.tabulate(d)(i => r.getDouble(i + 1)))
     }
     val n = rows.length.toLong

@@ -74,8 +74,16 @@ object Survival {
     val byT = base.groupBy("t").agg(
       sum(col("e")).cast("long").as("d"),
       sum(lit(1) - col("e")).cast("long").as("c"))
+    // localCheckpoint (not persist): the driver-collected partition
+    // offsets below are only valid for THIS materialization of the
+    // sort — a plain cache released before the returned frame is
+    // evaluated would recompute the sort (twice the cost, and wrong
+    // under nondeterministic upstreams like sample()). Checkpointing
+    // truncates the lineage so the evaluation reads the exact
+    // partitions the offsets were taken from; the blocks are released
+    // by the ContextCleaner when the RDD is GC'd (r17 advice).
     val sorted = byT.as[(Double, Long, Long)].rdd.sortBy(_._1)
-    sorted.persist()
+      .localCheckpoint()
     // scan 1: per-partition (rows, at-risk mass) → countdown offsets.
     // The row counts double as the cap check — no separate count pass.
     val stats = sorted.mapPartitionsWithIndex { (i, it) =>
@@ -146,9 +154,6 @@ object Survival {
         when(col("__zero") === 1, lit(0.0))
           .otherwise(round(exp(col("__lnS").cast("double")), 6))
           .as("survival"))
-    // the returned frame recomputes from (deterministic) lineage when
-    // evaluated after this point — the cache only pays for the scans
-    sorted.unpersist(blocking = false)
     out
   }
 
@@ -289,8 +294,14 @@ object Survival {
       when(col("d_events") < col("n_risk"),
         round(dD / (nD * (nD - dD)), 9)).cast("decimal(38,12)")
         .as("__gt"))
-    val sorted = terms.rdd.sortBy(_.getDouble(0))
-    sorted.persist()
+      // an externally-built curve may carry null rows; a null t would
+      // NPE inside sortBy's key extractor — exclude curve rows with no
+      // information, matching survivalSummary (r17 advice)
+      .filter(col("t").isNotNull && col("n_risk").isNotNull &&
+        col("d_events").isNotNull && col("survival").isNotNull)
+    // localCheckpoint, not persist: see kaplanMeier — the partition
+    // offsets must see the same materialization the output reads
+    val sorted = terms.rdd.sortBy(_.getDouble(0)).localCheckpoint()
     val stats = sorted.mapPartitionsWithIndex { (i, it) =>
       var rows = 0L
       var h: JBigDecimal = null
@@ -341,7 +352,6 @@ object Survival {
         when(live, round(least(lit(1.0),
           col("survival") + lit(z) * se), 6)).as("ci_hi"))
       .orderBy("t")
-    sorted.unpersist(blocking = false)
     out
   }
 
@@ -383,8 +393,10 @@ object Survival {
       sum(when(col("g") === ga, col("e")).otherwise(0)).cast("long")
         .as("da"),
       sum(when(col("g") === ga, 1).otherwise(0)).cast("long").as("ka"))
+    // localCheckpoint, not persist: see kaplanMeier — the partition
+    // offsets must see the same materialization the output reads
     val sorted = byT.as[(Double, Long, Long, Long, Long)].rdd.sortBy(_._1)
-    sorted.persist()
+      .localCheckpoint()
     val stats = sorted.mapPartitionsWithIndex { (i, it) =>
       var rows = 0L; var k = 0L; var ka = 0L
       it.foreach { case (_, _, kk, _, kka) => rows += 1; k += kk; ka += kka }
@@ -425,7 +437,6 @@ object Survival {
             .cast("double"), 2)
             / sum(round(vTerm, 9).cast("decimal(38,12)")).cast("double"),
           6)).as("chi2"))
-    sorted.unpersist(blocking = false)
     out
   }
 

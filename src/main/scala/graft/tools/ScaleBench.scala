@@ -196,9 +196,8 @@ object ScaleBench {
         // token-suffixed copies keep each copy's 1× near-dup structure,
         // so kept rows and merged duplicates must both scale exactly K×.
         var kept = 0L
-        var rows = 0L
+        val rows = docs.count() // outside the timed window, like the neighbors
         val (ddMed, ddS) = timeMedian {
-          rows = docs.count()
           kept = Dedup.deduplicateCorpus(docs, "doc_id", "text",
             threshold = 0.45).count()
         }
