@@ -1887,9 +1887,16 @@ object TextQueries extends QueryModule {
 
   /** REAL byte-level BPE over the checked-in merges fixture
     * ([[graft.functions.Bpe]]) — actual pair merges, not the pre-split
-    * estimate of `txt_bpe_tokens`. No SQL engine can express the merge
-    * loop, so the entry is rows-only with two self-asserts that are
-    * stronger than a hash compare:
+    * estimate of `txt_bpe_tokens`. PROMOTED to oracle-checked (r18, the
+    * mnt_token_export replay ridden to PER-DOCUMENT resolution): DuckDB
+    * re-derives every document's FULL id sequence itself — the
+    * recursive merge replay tokenizes each distinct piece, then each
+    * document's ordered piece list maps through the replayed
+    * symbol→id table and flattens (BPE's lossless pre-split means
+    * encode(doc) is exactly the concatenation of encode(piece) over
+    * the doc's pieces) — so n_bpe_tokens and the head-8 id string are
+    * both independently rebuilt, not just hashed back. The in-gate
+    * self-asserts stay:
     *  - PINNED literals: encodings of fixed strings (incl. multi-byte
     *    UTF-8) must byte-match the values recorded when the fixture was
     *    trained (tools/BpeTrain prints them) — fixture drift dies loudly;
@@ -1898,7 +1905,31 @@ object TextQueries extends QueryModule {
     *    construction; one extra count() verifies it end to end). */
   val txtBpeReal: Q = Q(
     "txt_bpe_real",
-    None,
+    Some {
+      val bpePat = TextOps.BpePiecePattern.replace("'", "''")
+      val losslessPat =
+        graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
+      bpeReplayPrelude + s""",
+      docp AS (
+        SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+        FROM (SELECT doc_id, regexp_extract_all(text, '$losslessPat') AS ps
+              FROM documents)),
+      docids AS (
+        SELECT d.doc_id, d.i,
+          list_transform(f.syms, s -> map_extract(sm.m, s)[1]) AS ids
+        FROM (SELECT doc_id, i, ps[i] AS piece FROM docp) d
+        JOIN final f USING (piece), sm),
+      flat AS (
+        SELECT doc_id, flatten(list(ids ORDER BY i)) AS allids
+        FROM docids GROUP BY doc_id)
+      SELECT dd.doc_id,
+        CAST(COALESCE(len(f.allids), 0) AS INT) AS n_bpe_tokens,
+        len(regexp_extract_all(dd.text, '$bpePat')) AS n_presplit_pieces,
+        COALESCE(array_to_string(list_transform(f.allids[1:8],
+          x -> CAST(x AS VARCHAR)), ','), '') AS head_ids
+      FROM documents dd LEFT JOIN flat f ON dd.doc_id = f.doc_id
+      ORDER BY dd.doc_id"""
+    },
     (s, dir) => {
       val tok = graft.functions.Bpe.fromResource()
       val pins: Seq[(String, Array[Int])] = Seq(
@@ -2087,15 +2118,20 @@ object TextQueries extends QueryModule {
     * extraction, and the leftmost-min-rank recursive encode (see
     * [[txtBpeTokenFreq]]'s scaladoc for the equivalence argument).
     * Gates append their own tails. */
-  private lazy val bpeReplayPrelude: String =
+  private[queries] lazy val bpeReplayPrelude: String =
     bpeReplayPreludeFor(graft.functions.Bpe.fromResource())
 
   /** The merge-replay WITH-RECURSIVE block for ANY tokenizer — the
     * truncated-vocab gate replays a PREFIX of the merge list through
     * the same machinery (BPE merges are rank-ordered, so a vocab-size
-    * cut is exactly a merge-list prefix). */
-  private def bpeReplayPreludeFor(
-      tok: graft.functions.BpeTokenizer): String = {
+    * cut is exactly a merge-list prefix). `textSource` overrides the
+    * corpus the distinct-piece table is extracted from (default: the
+    * documents table) — the sentence-priced chunk gate replays over
+    * SENTENCE substrings, whose boundary pieces differ from the parent
+    * document's. */
+  private[queries] def bpeReplayPreludeFor(
+      tok: graft.functions.BpeTokenizer,
+      textSource: String = "SELECT lang, text FROM documents"): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val pat = graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
     val mergePairs = tok.merges.zipWithIndex
@@ -2123,7 +2159,7 @@ object TextQueries extends QueryModule {
       vocab(token_id, symbol) AS (VALUES $vocabRows),
       rawpieces AS (
         SELECT lang, unnest(regexp_extract_all(text, '$pat')) AS piece
-        FROM documents),
+        FROM ($textSource)),
       pieces AS (
         SELECT piece, count(*) AS cnt FROM rawpieces
         GROUP BY piece),
@@ -2563,15 +2599,105 @@ object TextQueries extends QueryModule {
 
   /** Retrieval chunking priced in REAL BPE tokens (the checked-in
     * tokenizer fixture) — budget-faithful windows for an embedding model
-    * with a hard context limit; same three-clause contract. */
-  val txtSentenceChunksBpe: Q = Q(
-    "txt_sentence_chunks_bpe",
-    None,
-    (s, dir) => {
-      val tok = graft.functions.Bpe.fromResource()
-      sentenceChunkGate(s, dir, maxUnits = 64,
-        c => graft.functions.Bpe.tokenCount(s, c, tok))
-    })
+    * with a hard context limit; same three-clause contract as
+    * txt_sentence_chunks. PROMOTED to oracle-checked (r18): the greedy
+    * fold replays as the same RECURSIVE CTE as the whitespace-priced
+    * twin, but each sentence's unit count is its REAL BPE token count,
+    * which DuckDB re-derives itself — the merge replay runs over the
+    * SENTENCE corpus (boundary pieces differ from the parent document's,
+    * so the distinct-piece table is extracted from the split sentences,
+    * the `textSource` override) and a sentence's count is the summed
+    * replayed piece lengths (the lossless pre-split makes encode(sent)
+    * exactly the concat of encode(piece)). Same composed multi-sentence
+    * corpus as the twin (the fixture has no delimiters); budget 160 BPE
+    * tokens ≈ 2–3 of the ~80-char sentences, so multi-sentence packing
+    * and boundary decisions are genuinely exercised. Every chunk
+    * boundary, BPE unit count, and chunk text is hash-pinned; the three
+    * in-gate clauses stay. */
+  val txtSentenceChunksBpe: Q = {
+    val sentSource = """
+      SELECT lang, sent AS text FROM (
+        SELECT lang, unnest(list_filter(list_transform(
+          string_split(regexp_replace(ctext, '([.!?]+)\s+',
+            '\1' || chr(2), 'g'), chr(2)),
+          p -> regexp_replace(p, '^\s+|\s+$', '', 'g')),
+          p -> length(p) > 0)) AS sent
+        FROM (SELECT lang,
+          substr(text, 1, 80) || '. ' || substr(text, 81, 80) || '! '
+            || substr(text, 161, 80) || '? ' || substr(text, 241, 80)
+            || '. ' || substr(text, 321, 80) || '! '
+            || substr(text, 401, 80) || '? ' || substr(text, 481, 100000)
+            AS ctext
+          FROM documents))"""
+    val losslessPat =
+      graft.functions.Bpe.LosslessSplitPattern.replace("'", "''")
+    Q(
+      "txt_sentence_chunks_bpe",
+      Some(bpeReplayPreludeFor(graft.functions.Bpe.fromResource(),
+        sentSource) + raw""",
+      plen AS (SELECT piece, len(syms) AS ntok FROM final),
+      dd AS (
+        SELECT doc_id,
+          substr(text, 1, 80) || '. ' || substr(text, 81, 80) || '! '
+            || substr(text, 161, 80) || '? ' || substr(text, 241, 80)
+            || '. ' || substr(text, 321, 80) || '! '
+            || substr(text, 401, 80) || '? ' || substr(text, 481, 100000)
+            AS text
+        FROM documents),
+      sx AS (
+        SELECT doc_id,
+          list_filter(
+            list_transform(
+              string_split(regexp_replace(text, '([.!?]+)\s+',
+                '\1' || chr(2), 'g'), chr(2)),
+              p -> regexp_replace(p, '^\s+|\s+$$', '', 'g')),
+            p -> length(p) > 0) AS ss
+        FROM dd),
+      sent AS (
+        SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sx),
+      sentc AS (
+        SELECT doc_id, i, CAST(COALESCE(SUM(p.ntok), 0) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, i,
+                unnest(regexp_extract_all(ss[i], '$losslessPat')) AS piece
+              FROM sent) sp
+        JOIN plen p USING (piece)
+        GROUP BY doc_id, i),
+      sxc AS (
+        SELECT sx.doc_id, sx.ss, l.cnts
+        FROM sx JOIN (SELECT doc_id, list(cnt ORDER BY i) AS cnts
+                      FROM sentc GROUP BY doc_id) l USING (doc_id)),
+      r AS (
+        SELECT doc_id, ss, cnts, 1 AS i, 1 AS cix, cnts[1] AS run
+        FROM sxc WHERE len(ss) >= 1
+        UNION ALL
+        SELECT doc_id, ss, cnts, i + 1,
+          CASE WHEN run + cnts[i + 1] > 160 THEN cix + 1 ELSE cix END,
+          CASE WHEN run + cnts[i + 1] > 160 THEN cnts[i + 1]
+            ELSE run + cnts[i + 1] END
+        FROM r WHERE i < len(ss))
+      SELECT doc_id, CAST(cix - 1 AS INT) AS chunk_ix,
+        CAST(max(run) AS INT) AS n_units,
+        CAST(count(*) AS INT) AS n_sents,
+        string_agg(ss[i], ' ' ORDER BY i) AS chunk
+      FROM r GROUP BY doc_id, cix
+      ORDER BY doc_id, chunk_ix"""),
+      (s, dir) => {
+        val tok = graft.functions.Bpe.fromResource()
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val composed = docs.select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 80), lit(". "),
+            substring(col("text"), 81, 80), lit("! "),
+            substring(col("text"), 161, 80), lit("? "),
+            substring(col("text"), 241, 80), lit(". "),
+            substring(col("text"), 321, 80), lit("! "),
+            substring(col("text"), 401, 80), lit("? "),
+            substring(col("text"), 481, 100000)).as("text"))
+        sentenceChunkGate(s, dir, maxUnits = 160,
+          c => graft.functions.Bpe.tokenCount(s, c, tok),
+          corpus = Some(composed))
+      })
+  }
 
   /** Unigram-LM tokenizer end to end ([[graft.ops.UnigramLm]], Kudo 2018
     * shape): ONE distributed word-count pass → driver EM → native
