@@ -29,7 +29,10 @@ object Features {
 
   /** Length-`dim` array of exact bucket counts (the raw hashed
     * bag-of-words; Σ counts == token count, spec-pinned). O(dim · tokens)
-    * comparisons per row over the precomputed bucket array. */
+    * comparisons per row over the precomputed bucket array — the
+    * interpreted-HOF hazard: this form stays as the SPEC MIRROR of the
+    * native one-pass [[graft.functions.TokenBow]] (bit-identical,
+    * FeaturesSpec-pinned), which [[hashedBow]] actually uses. */
   def bucketCounts(buckets: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       j => size(filter(buckets, b => b === j)))
@@ -41,11 +44,18 @@ object Features {
 
   /** Attach hashed bag-of-words features to `df`: returns the frame with
     * a `__graft_bow` counts column plus the (name, expression) pairs in
-    * the shape [[graft.stats.Logistic.fit]] consumes. */
+    * the shape [[graft.stats.Logistic.fit]] consumes. The counts come
+    * from the NATIVE one-pass [[graft.functions.TokenBow]] expression
+    * (bit-identical buckets to the compositional
+    * `bucketCounts(tokenBuckets(...))` form, which stays as the spec
+    * mirror): the interpreted form re-traverses the bucket array once
+    * per output bucket — O(dim · tokens) with per-element closures, the
+    * exact hazard [[graft.functions.CharGramBow]] killed for char grams
+    * — while the native pass is O(token bytes). */
   def hashedBow(df: DataFrame, textCol: String, dim: Int,
       prefix: String = "h"): (DataFrame, Seq[(String, Column)]) = {
     val out = df.withColumn("__graft_bow",
-      bucketCounts(tokenBuckets(col(textCol), dim), dim))
+      graft.functions.TokenBow(df.sparkSession, col(textCol), dim))
     val feats = (0 until dim).map(j =>
       s"$prefix$j" -> logCount(col("__graft_bow"), j))
     (out, feats)

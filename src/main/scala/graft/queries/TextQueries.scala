@@ -63,16 +63,22 @@ object TextQueries extends QueryModule {
     })
 
   /** Language-ID v2 ([[graft.ops.LangId]], the fastText-shaped hashed
-    * char-n-gram one-vs-rest logistic — r16 verdict item 3): trained on
-    * the deterministic synthetic multilingual fixture (no RNG — both
-    * engines rebuild it from the same word pools and index arithmetic)
-    * and evaluated on the held-out i%5=0 split. The oracle rebuilds the
-    * corpus, the split, and the v1 STOPWORD scorer's per-language
-    * correct counts (the agreement baseline), and pins the two v2
-    * verdicts TRUE: per-language held-out accuracy ≥ 0.95 and
-    * beats-or-ties v1. The model's xxhash features are not
-    * SQL-expressible — its quality enters the hash through the pinned
-    * verdicts, the loud in-gate floor, and LangIdSpec. */
+    * char-n-gram one-vs-rest logistic — r16 verdict item 3; TEN
+    * languages since r18): trained on the deterministic synthetic
+    * multilingual fixture (no RNG — both engines rebuild it from the
+    * same word pools and index arithmetic) and evaluated on the
+    * held-out i%5=0 split. The oracle rebuilds the corpus, the split,
+    * and the v1 STOPWORD scorer's per-language correct counts (the
+    * agreement baseline — v1 only knows en/de/es/fr, so the six new
+    * languages measure it near zero, both engines agreeing), and pins
+    * the two v2 verdicts TRUE: per-language held-out accuracy ≥ 0.95
+    * and beats-or-ties v1. In-gate, the FULL true×predicted confusion
+    * table is computed and every off-diagonal cell must stay inside
+    * the 5% per-language budget — an aggregate accuracy cannot hide
+    * one Romance language collapsing into a neighbor. The model's
+    * xxhash features are not SQL-expressible — its quality enters the
+    * hash through the pinned verdicts, the loud in-gate floors, and
+    * LangIdSpec. */
   val txtLangIdV2: Q = Q(
     "txt_langid_v2",
     Some {
@@ -133,12 +139,31 @@ object TextQueries extends QueryModule {
         .head().getDouble(0)
       require(overall >= 0.95,
         s"langid v2 held-out accuracy $overall below the 0.95 floor")
+      // per-language CONFUSION (r18): the full true×predicted table —
+      // at 10 languages with deliberate Romance/Germanic pool overlap,
+      // an aggregate accuracy can hide one language collapsing into a
+      // neighbor, which is exactly what the per-language floor + the
+      // bounded off-diagonal cells rule out. ≤ langs² cells collect.
+      val confusion = test.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val confusionTable = confusion.sortBy(c => (c._1, c._2))
+        .map { case (t, p, n) => s"$t->$p:$n" }.mkString(", ")
+      val nTestByLang = rows.map(r =>
+        r.getString(0) -> r.getAs[Long]("n_test")).toMap
+      confusion.filter { case (t, p, _) => t != p }.foreach {
+        case (t, p, n) =>
+          require(n <= math.floor(0.05 * nTestByLang(t)).toLong,
+            s"confusion cell $t->$p has $n misses — over the 5% " +
+              s"per-language budget; full table: $confusionTable")
+      }
       val out = per.select(col("lang"), col("n_test"), col("v1_correct"),
         (col("__acc2") >= 0.95).as("v2_floor_met"),
         (col("__acc2") >= col("__acc1")).as("v2_beats_or_ties_v1"))
         .orderBy("lang")
       require(rows.forall(_.getAs[Double]("__acc2") >= 0.95),
-        "a language fell below the per-language 0.95 floor")
+        s"a language fell below the per-language 0.95 floor; " +
+          s"confusion: $confusionTable")
       out
     })
 

@@ -12,14 +12,21 @@ import org.apache.spark.sql.types.DoubleType
   * e.g. [[graft.ops.TextOps]] quality signals).
   *
   * Solver: IRLS / Newton-Raphson. Each iteration is ONE distributed
-  * aggregate computing the gradient Xᵀ(y−p) and Hessian XᵀWX as moment
-  * sums — d(d+3)/2 codegen'd builtin expressions, no UDFs, no MLlib, no
-  * per-row driver traffic. The d×d normal system (d = features + 1,
-  * intercept last, intercept unpenalized) is solved driver-side with
-  * commons-math3 LU — d is small by design (surface features), so the
-  * driver work is microscopic while the data pass is embarrassingly
-  * parallel: the 100 TB cost is `iterations` scans of a (d+1)-double
-  * projection, which is cached once.
+  * array-typed aggregate: [[graft.functions.LogisticMomentAgg]]
+  * accumulates every row's d(d+3)/2 + 1 moment terms (Hessian XᵀWX
+  * cells, gradient Xᵀ(y−p), deviance) straight into one double[]
+  * buffer per partition — the ApproximatePercentile execution shape
+  * (ObjectHashAggregate, no grouping keys), so the per-row cost is the
+  * unavoidable O(d²) flops and the shuffle is #partitions × one
+  * buffer. β rides into the plan as an opaque operator parameter, so
+  * per-iteration Catalyst planning is O(1) in d (the previous form
+  * built d(d+3)/2 separate aggregate expressions per step and paid a d²
+  * ANALYSIS cost — measured 67–550 s on a fixture-sized corpus, r17).
+  * No UDFs, no MLlib, no per-row driver traffic. The d×d normal system
+  * (d = features + 1, intercept last, intercept unpenalized) is solved
+  * driver-side with commons-math3 LU — the driver work is d²-sized
+  * while the data pass is embarrassingly parallel: the 100 TB cost is
+  * `iterations` scans of a (d+1)-double projection, cached once.
   *
   * Determinism: every iteration consumes exact distributed sums; the fit
   * is reproducible up to float-sum ordering (~1e-12 relative), so round
@@ -60,54 +67,53 @@ object Logistic {
     require(lambda >= 0.0 && maxIter >= 1 && tol > 0.0,
       "lambda >= 0, maxIter >= 1, tol > 0")
     val d = features.length + 1 // intercept last
-    val xNames = (0 until d).map(i => s"__x$i")
     val projected = features.map(_._2.cast(DoubleType)) :+ lit(1.0)
     val y = label.cast(DoubleType)
+    val spark = df.sparkSession
+    // NO null pre-filter: a Filter over the projected features gets
+    // pushed below the projection and re-embeds the whole feature tree
+    // into every null check (measured 27× the bare feature pass at
+    // d = 25 — see LogisticMomentAgg's scaladoc). Pairwise-complete
+    // dropping happens inside the aggregate; its buffer's n/min/max
+    // cells feed the degenerate-input checks from the same pass.
     val prepared = df
-      .select((y.as("__y") +: projected.zip(xNames).map {
-        case (c, n) => c.as(n) }): _*)
-      .filter(col("__y").isNotNull &&
-        xNames.map(col(_).isNotNull).reduce(_ && _))
+      .select(y.as("__y"), array(projected: _*).as("__xs"))
       .cache()
     try {
-      val head = prepared.agg(count(lit(1)).as("n"),
-        min(col("__y")).as("lo"), max(col("__y")).as("hi")).head()
-      val n = head.getAs[Long]("n")
-      if (n == 0L) return None
-      val (lo, hi) = (head.getAs[Double]("lo"), head.getAs[Double]("hi"))
-      require(lo >= 0.0 && hi <= 1.0,
-        s"label must be in {0,1}, saw [$lo, $hi]")
-      if (lo == hi) return None // constant label: no boundary to fit
-
+      var n = 0L
       val beta = Array.fill(d)(0.0)
       var iter = 0
       var converged = false
       var deviance = Double.NaN
+      val nPairs = d * (d + 1) / 2
       while (iter < maxIter && !converged) {
-        val eta = xNames.zip(beta)
-          .map { case (xn, b) => col(xn) * lit(b) }.reduce(_ + _)
-        // clamp p away from 0/1: keeps the deviance logs finite and the
-        // Hessian weights positive under (near-)perfect separation
-        val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-eta)),
-          lit(1e-12)), lit(1.0 - 1e-12))
-        val w = p * (lit(1.0) - p)
-        val r = col("__y") - p
-        val hessTerms = for {
-          i <- 0 until d; j <- i until d
-        } yield sum(w * col(xNames(i)) * col(xNames(j))).as(s"__h${i}_$j")
-        val gradTerms = (0 until d).map(i =>
-          sum(r * col(xNames(i))).as(s"__g$i"))
-        val devTerm = sum(lit(-2.0) * (col("__y") * log(p) +
-          (lit(1.0) - col("__y")) * log(lit(1.0) - p))).as("__dev")
-        val row = prepared.agg(hessTerms.head,
-          (hessTerms.tail ++ gradTerms :+ devTerm): _*).head()
-        deviance = row.getAs[Double]("__dev")
+        // ONE array-typed aggregate: every row's moment terms (p-clamp,
+        // weights, deviance all inside) accumulate straight into one
+        // double[] buffer per partition — no per-row array
+        // materialization, one merge of #partitions partials
+        val sums = prepared
+          .select(graft.functions.LogisticMomentAgg(
+            spark, col("__y"), col("__xs"), beta).as("m"))
+          .head().getSeq[Double](0)
+        require(sums.length == nPairs + d + 4,
+          s"moment pass returned ${sums.length} positions, " +
+            s"expected ${nPairs + d + 4}")
+        if (iter == 0) {
+          n = sums(nPairs + d + 1).toLong
+          if (n == 0L) return None
+          val (lo, hi) = (sums(nPairs + d + 2), sums(nPairs + d + 3))
+          require(lo >= 0.0 && hi <= 1.0,
+            s"label must be in {0,1}, saw [$lo, $hi]")
+          if (lo == hi) return None // constant label: no boundary to fit
+        }
         val h = Array.ofDim[Double](d, d)
+        var k = 0
         for (i <- 0 until d; j <- i until d) {
-          val v = row.getAs[Double](s"__h${i}_$j")
+          val v = sums(k); k += 1
           h(i)(j) = v; h(j)(i) = v
         }
-        val g = Array.tabulate(d)(i => row.getAs[Double](s"__g$i"))
+        val g = Array.tabulate(d)(i => sums(nPairs + i))
+        deviance = sums(nPairs + d)
         // ridge on feature weights only; intercept unpenalized
         for (i <- 0 until d - 1) {
           h(i)(i) += lambda
@@ -133,14 +139,15 @@ object Logistic {
   /** [[fit]] for a BOUNDED labeled fixture: collects the (label,
     * features) matrix once — feature EXTRACTION stays a distributed
     * codegen pass; only the already-projected doubles come back — and
-    * runs the identical IRLS driver-side, so a d-feature model costs
-    * zero Catalyst analysis per iteration (the distributed path pays
-    * d(d+3)/2 expression analyses per step, the right trade when the
-    * LABELED ROWS are the big thing; a labeled training fixture is
-    * small by nature — labels are expensive). Loudly capped at
-    * `maxRows`: past it, use [[fit]]. Same clamps, same ridge, same
-    * convergence rule; results differ from [[fit]] only by float-sum
-    * ordering (~1e-12). */
+    * runs the identical IRLS driver-side, dodging even the O(1)
+    * per-iteration job overhead. Loudly capped at `maxRows`: past it,
+    * use [[fit]], which since the array-moment rewrite IS a credible
+    * corpus path — each step is one codegen scan + a d²-bounded
+    * hash-agg (ScaleBench `logistic_fit`: K×-linear at 1/20/100×), so
+    * corpus-scale labels (distillation labels, weak supervision) train
+    * in-engine. Same clamps, same ridge, same convergence rule;
+    * results differ from [[fit]] only by float-sum ordering (~1e-12;
+    * parity spec-pinned at 1e-9). */
   def fitLocal(df: DataFrame, features: Seq[(String, Column)],
       label: Column, lambda: Double = 1e-6, maxIter: Int = 25,
       tol: Double = 1e-8, maxRows: Long = 100000L): Option[LogisticFit] = {

@@ -36,6 +36,38 @@ class FeaturesSpec extends SparkSpec {
     assert(r2 == Seq(r1(1), r1(0)), "bucket not a pure function of the token")
   }
 
+  test("native TokenBow == compositional bucketCounts, bit-identical") {
+    // adversarial edge set: blank, spaces-only, interior runs, leading /
+    // trailing spaces (trimmed), a leading TAB that trim (0x20-only)
+    // keeps so Java's \s+ split yields a leading EMPTY token, Unicode
+    // NBSP (NOT a \s separator), multi-byte tokens
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one", "", "   ", "  padded  both  ends  ",
+      " \tfoo bar", "\ttab lead", "a b", "naïve café 🚀 日本語",
+      "x\ty\nz\rwv\fu", "a  b\t\tc \t d")
+    val df = texts.toDF("text")
+    for (dim <- Seq(2, 8, 24)) {
+      val both = df.select(
+          Features.bucketCounts(Features.tokenBuckets(col("text"), dim), dim)
+            .as("spec"),
+          graft.functions.TokenBow(spark, col("text"), dim).as("native"))
+        .as[(Seq[Int], Seq[Int])].collect()
+      both.zip(texts).foreach { case ((spec, native), t) =>
+        assert(spec == native, s"dim=$dim text='$t': $spec vs $native")
+      }
+    }
+    // corpus-wide over the real fixture
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dim = 16
+    val drift = docs.select(
+        Features.bucketCounts(Features.tokenBuckets(col("text"), dim), dim)
+          .as("spec"),
+        graft.functions.TokenBow(spark, col("text"), dim).as("native"))
+      .filter(col("spec") =!= col("native")).count()
+    assert(drift == 0, s"$drift fixture docs drifted")
+  }
+
   test("hashed BoW + logistic separates disjoint vocabularies end to end") {
     val vocabA = Seq("aardvark", "burrow", "termite", "snout", "nocturnal")
     val vocabB = Seq("glacier", "crevasse", "moraine", "icefall", "serac")

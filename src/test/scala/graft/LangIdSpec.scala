@@ -10,13 +10,14 @@ import graft.ops.LangId
 class LangIdSpec extends SparkSpec {
   import spark.implicits._
 
-  test("langid v2: held-out accuracy >= 0.95, beats-or-ties v1 overall") {
+  test("langid v2: per-language held-out accuracy >= 0.95 over 10 langs") {
     val corpus = LangId.syntheticCorpus(spark)
-    // fixture shape: 4 languages x 150 docs, every 5th held out
-    assert(corpus.count() == 600)
-    assert(corpus.filter($"is_test").count() == 120)
+    // fixture shape: 10 languages x 150 docs, every 5th held out (r18)
+    assert(corpus.count() == 1500)
+    assert(corpus.filter($"is_test").count() == 300)
     val model = LangId.train(corpus.filter(!$"is_test"), "text", "lang")
-    assert(model.langs == Seq("de", "en", "es", "fr"))
+    assert(model.langs ==
+      Seq("de", "en", "es", "fr", "it", "nl", "pl", "pt", "ro", "sv"))
     val test = LangId.predict(corpus.filter($"is_test"), "text", model)
       .withColumn("v1", graft.ops.TextOps.langId($"text"))
     val agg = test.agg(
@@ -26,6 +27,21 @@ class LangIdSpec extends SparkSpec {
     assert(acc2 >= 0.95, s"v2 held-out accuracy $acc2 below the floor")
     assert(acc2 >= acc1 - 1e-9,
       s"v2 ($acc2) must not lose to the v1 stopword scorer ($acc1)")
+    // per-language floor + confusion diagonal dominance: with the
+    // deliberate Romance/Germanic pool overlaps an aggregate accuracy
+    // could hide one language collapsing into a neighbor
+    val conf = test.groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val perLang = conf.groupBy(_._1)
+    model.langs.foreach { l =>
+      val cells = perLang(l)
+      val total = cells.map(_._3).sum
+      val diag = cells.filter(c => c._2 == l).map(_._3).sum
+      assert(diag.toDouble / total >= 0.95,
+        s"$l held-out accuracy ${diag.toDouble / total}; " +
+          s"cells: ${cells.mkString(", ")}")
+    }
   }
 
   test("langid v2: native CharGramBow == compositional buckets, all rows") {

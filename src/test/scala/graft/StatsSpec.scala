@@ -516,6 +516,65 @@ class StatsSpec extends SparkSpec {
     assert(aucPairs.sum / aucPairs.length > 0.85, "fit must rank pos over neg")
   }
 
+  test("logistic distributed IRLS == fitLocal to 1e-9 (array moment pass)") {
+    import graft.stats.Logistic
+    // deterministic multi-feature fixture, large enough that the
+    // distributed path actually spans partitions
+    val rows = (0 until 2000).map { i =>
+      val x1 = (i % 17) / 17.0
+      val x2 = (i % 29) / 29.0 - 0.5
+      val x3 = ((i * 7) % 13) / 13.0
+      val z = 2.0 * x1 - 3.0 * x2 + 0.5 * x3 - 0.4
+      // deterministic "noisy" label: threshold against a hash-ish phase
+      val y = if (z + 0.3 * math.sin(i * 2.39996) > 0) 1.0 else 0.0
+      (x1, x2, x3, y)
+    }
+    val df = rows.toDF("x1", "x2", "x3", "y").repartition(8)
+    val feats = Seq("x1" -> col("x1"), "x2" -> col("x2"), "x3" -> col("x3"))
+    val dist = Logistic.fit(df, feats, col("y"), lambda = 1e-3).get
+    val local = Logistic.fitLocal(df, feats, col("y"), lambda = 1e-3).get
+    assert(dist.converged && local.converged)
+    assert(dist.n == local.n && dist.n == 2000)
+    dist.weights.zip(local.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weight drift: $a vs $b") }
+    assert(math.abs(dist.intercept - local.intercept) < 1e-9)
+    assert(math.abs(dist.deviance - local.deviance) < 1e-6 * local.deviance)
+  }
+
+  test("LogisticMomentAgg accumulates exactly the fitLocal arithmetic") {
+    val beta = Array(0.7, -1.2, 0.3)
+    val rows = Seq((1.0, Seq(0.4, 1.1, 1.0)), (0.0, Seq(-0.2, 0.6, 1.0)))
+    // single partition: the aggregate's buffer order == sequential order,
+    // so the comparison is bit-identical (same double ops, same order)
+    val df = rows.toDF("y", "xs").coalesce(1)
+    val got = df.select(graft.functions.LogisticMomentAgg(
+        spark, col("y"), col("xs").cast("array<double>"), beta).as("m"))
+      .head().getSeq[Double](0).toArray
+    val d = 3
+    // moments + the [n, min y, max y] bookkeeping cells
+    val expect = new Array[Double](d * (d + 1) / 2 + d + 4)
+    expect(expect.length - 3) = rows.length.toDouble
+    expect(expect.length - 2) = rows.map(_._1).min
+    expect(expect.length - 1) = rows.map(_._1).max
+    rows.foreach { case (y, xsSeq) =>
+      val xs = xsSeq.toArray
+      var eta = 0.0
+      for (i <- 0 until d) eta += xs(i) * beta(i)
+      val p = math.min(math.max(1.0 / (1.0 + math.exp(-eta)), 1e-12),
+        1.0 - 1e-12)
+      val w = p * (1.0 - p)
+      val r = y - p
+      var k = 0
+      for (i <- 0 until d; j <- i until d) {
+        expect(k) += w * xs(i) * xs(j); k += 1
+      }
+      for (i <- 0 until d) { expect(k) += r * xs(i); k += 1 }
+      expect(k) += -2.0 * (y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+    }
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("logistic degenerate inputs return None, never throw") {
     import graft.stats.Logistic
     val empty = Seq.empty[(Double, Double)].toDF("x", "y")
