@@ -337,6 +337,51 @@ object ScaleBench {
           s""","tokens":$bowTokens""")
       }
 
+      if (wanted("curation")) {
+        // r18 end-to-end curation (rules → quality → exact dedup →
+        // decontamination composed, the pipe_curation pipeline). The
+        // scaled corpus here is K IDENTICAL copies at OFFSET doc_ids of
+        // the 1× corpus (NOT the token-suffixed scratch copies — the
+        // Gopher stop-list rules must see the same words in every
+        // copy), against the CONSTANT 1× eval split: the realistic
+        // duplicates-at-scale shape. Two-sided witness: input/rules/
+        // quality counts run exactly K×-linear while the dedup stage
+        // collapses every K-family to its lowest-id canonical — kept
+        // docs and kept tokens stay EXACTLY the 1× constants at every
+        // K.
+        val d0 = Tables.load(spark, sfDir, "documents")
+        val cuStride = d0.agg(max("doc_id")).head.getLong(0) + 1
+        val corpus1 = d0.filter(col("doc_id") % 17 =!= 3)
+        // small constant eval split (~10 docs): the fixture's 31-token
+        // vocabulary means a large eval's 3-gram set covers the whole
+        // corpus and the contamination stage would zero the funnel; a
+        // bounded benchmark suite is also the realistic shape. A few
+        // eval ids also sit in the corpus (%499 vs %17) - genuine
+        // leakage the stage must catch (frac ~= 1).
+        val evalDocs = d0.filter(col("doc_id") % 499 === 3)
+        val corpusK = (0 until k).map(i =>
+            corpus1.withColumn("doc_id", col("doc_id") + lit(i * cuStride)))
+          .reduce(_ unionAll _)
+        var f: org.apache.spark.sql.Row = null
+        val (cuMed, cuS) = timeMedian {
+          val rules = graft.ops.QualityRules.gopherFlags(
+              corpusK, "doc_id", "text",
+              stopwords = graft.ops.TextOps.LangMarkers.head._2)
+            .select(col("doc_id").as("id"), col("keep").as("rules_pass"))
+          f = graft.ops.Curation.funnelReport(
+            graft.ops.Curation.stageFlags(corpusK, "doc_id", "text",
+              evalDocs, "text", minQuality = 0.36,
+              maxContamination = 0.2, ruleVerdicts = Some(rules))).head()
+        }
+        val (ni, nr, nq, nd, nc, tk) = (f.getLong(0), f.getLong(1),
+          f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5))
+        require(ni > nr && nr > nq && nq >= nd && nd > nc && nc > 0,
+          s"funnel not discriminative: $ni -> $nr -> $nq -> $nd -> $nc")
+        emit("curation", k, ni, cuMed, cuS,
+          s""","n_rules":$nr,"n_quality":$nq,"n_dedup":$nd""" +
+            s""","n_clean":$nc,"tokens_kept":$tk""")
+      }
+
       if (wanted("logistic_fit")) {
         // r18 distributed IRLS rewrite: one array-typed moment
         // AGGREGATE per step (LogisticMomentAgg buffers, no per-row
