@@ -539,18 +539,30 @@ object SimQueries extends QueryModule {
     })
 
   /** Image perceptual-hash near-dup join ([[Multimodal.phashPairs]]):
-    * real-pixel dHash through the banded hamming join. Rows-only (pixel
-    * pooling is not SQL-expressible) with an EXACT-set self-assert, which
-    * is stronger than a hash compare: over 8 smooth-field families (base +
-    * resized twin + brightness-shifted twin) plus 8 unrelated noise
-    * images, the pair set must be precisely the 24 intra-family pairs —
-    * full recall (every twin found) AND full precision (no cross-family or
-    * noise pair). Separations measured by tools/PhashProbe: twins ≤ 8
-    * bits, cross-family ≥ 28, noise ≥ 26 — maxHamming 10 sits in the
-    * gap. */
+    * real-pixel dHash through the banded hamming join. PROMOTED to
+    * oracle-checked (r18, the dd_simhash planted-twin template): the
+    * pixel pooling has no SQL mirror, but the PLANTED pair table is
+    * pure index arithmetic both engines rebuild — over 8 smooth-field
+    * families (base + resized twin + brightness-shifted twin) plus 8
+    * unrelated noise images, the expected set is exactly the 24
+    * intra-family pairs. The gate emits that table with the COMPUTED
+    * per-pair `found` verdict and the stray-pair count, which the
+    * oracle pins TRUE / 0 — full recall AND full precision hash-pinned.
+    * The exact-set require stays in-gate (loud drift message);
+    * bench/raw mode returns the production pair rows. Separations
+    * measured by tools/PhashProbe: twins ≤ 8 bits, cross-family ≥ 28,
+    * noise ≥ 26 — maxHamming 10 sits in the gap. */
   val mmPhashPairs: Q = Q(
     "mm_phash_pairs",
-    None,
+    Some("""
+      WITH fams AS (SELECT unnest(range(0, 8)) AS k),
+      p AS (
+        SELECT k, k AS id1, 100 + k AS id2 FROM fams
+        UNION ALL SELECT k, k, 110 + k FROM fams
+        UNION ALL SELECT k, 100 + k, 110 + k FROM fams)
+      SELECT id1, id2, TRUE AS found, CAST(0 AS BIGINT) AS stray_pairs
+      FROM p
+      ORDER BY id1, id2"""),
     (s, _) => {
       import s.implicits._
       val fams = (0 until 8).map { k =>
@@ -565,14 +577,20 @@ object SimQueries extends QueryModule {
         (200L + i, Multimodal.syntheticPng(24, 18, 977L + i)))
       val media = rows.toDF("media_id", "content").repartition(4)
       val pairs = Multimodal.phashPairs(media, maxHamming = 10).persist()
-      val got = pairs.select(col("id1"), col("id2"))
-        .as[(Long, Long)].collect().toSet
-      val expected = fams.map(_._1).flatMap(k =>
-        Seq((k, 100 + k), (k, 110 + k), (100 + k, 110 + k))).toSet
-      require(got == expected,
-        s"phash pair set drift: unexpected=${(got -- expected).toSeq.sorted} " +
-          s"missing=${(expected -- got).toSeq.sorted}")
-      pairs.orderBy("id1", "id2")
+      if (!Tables.gateMode) pairs.orderBy("id1", "id2")
+      else {
+        val got = pairs.select(col("id1"), col("id2"))
+          .as[(Long, Long)].collect().toSet
+        val expected = fams.map(_._1).flatMap(k =>
+          Seq((k, 100 + k), (k, 110 + k), (100 + k, 110 + k))).toSet
+        require(got == expected,
+          s"phash pair set drift: unexpected=${(got -- expected).toSeq.sorted} " +
+            s"missing=${(expected -- got).toSeq.sorted}")
+        val stray = (got -- expected).size.toLong
+        expected.toSeq.sorted
+          .map { case (a, b) => (a, b, got.contains((a, b)), stray) }
+          .toDF("id1", "id2", "found", "stray_pairs")
+      }
     })
 
   /** Hard-negative mining: top-5 most-similar vectors with a DIFFERENT
