@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Profiling passthrough (dev-only): extra -D flags for the forked run JVM,
+  // e.g. SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true
+  // -Dspark.eventLog.dir=file:///tmp/spark-events" to capture per-job/stage
+  // timings for a bench query without touching the harness.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -56,10 +56,14 @@ object Bitext {
         col(vecCol).cast("array<double>").as("__raw"))
       .filter(col("__raw").isNotNull)
       .repartition(parts)
-      .withColumn("__nrm", sqrt(Similarity.norm2(col("__raw"))))
-      .filter(col("__nrm") > 0)
+      // norm² > 0 ⟺ sqrt(norm²) > 0 (also under NaN) — same kept rows as
+      // the old sqrt-column form, one sqrt cheaper; the normalize itself
+      // is the native one-pass expression (the HOF transform-by-alias
+      // form re-ran the norm fold per element after optimizer inlining —
+      // see graft.functions.L2Normalize)
+      .filter(Similarity.norm2(col("__raw")) > 0)
       .select(col(idName),
-        transform(col("__raw"), t => t / col("__nrm")).as(vecName))
+        Similarity.l2normalize(col("__raw")).as(vecName))
   }
 
   /** Margin scoring over an arbitrary candidate pair table
@@ -83,6 +87,8 @@ object Bitext {
         .over(w).cast("double")
         / sum(when(rankCol <= k, 1L).otherwise(0L)).over(w), 12)
     }
+    val bestB = Window.partitionBy(col("y_id"))
+      .orderBy(col("margin").desc, col("x_id"))
     pairs
       .withColumn("__rf", row_number().over(wf))
       .withColumn("px", pen("x_id", col("__rf")))
@@ -91,6 +97,13 @@ object Bitext {
       .filter(col("__rf") <= k || col("__rb") <= k)
       .withColumn("margin",
         round(col("c") / ((col("px") + col("py")) / 2), 6))
+      // backward mutual-best rank computed HERE, while the candidate rows
+      // are still hash-partitioned on y_id from the __rb/py windows: the
+      // filter above preserves that distribution, so this window costs a
+      // local sort only. Computing it inside mutualBest instead (after
+      // the forward window re-keys on x_id) costs one extra full exchange
+      // of the candidate table (r18 plan audit: 5 exchanges → 4).
+      .withColumn("__bb", row_number().over(bestB))
   }
 
   /** All-pairs margin scoring: (x_id, y_id, c, margin, __rf, __rb) with
@@ -107,15 +120,15 @@ object Bitext {
     marginOverPairs(pairs, k)
   }
 
-  /** Mutual-best cut shared by the exact and blocked miners. */
+  /** Mutual-best cut shared by the exact and blocked miners: the backward
+    * rank (`__bb`) already rides on the scored table from
+    * [[marginOverPairs]]'s y-partitioned pass, so only the forward window
+    * is added here. */
   private def mutualBest(scored: DataFrame, minMargin: Double): DataFrame = {
     val bestF = Window.partitionBy(col("x_id"))
       .orderBy(col("margin").desc, col("y_id"))
-    val bestB = Window.partitionBy(col("y_id"))
-      .orderBy(col("margin").desc, col("x_id"))
     scored
       .withColumn("__bf", row_number().over(bestF))
-      .withColumn("__bb", row_number().over(bestB))
       .filter(col("__bf") === 1 && col("__bb") === 1 &&
         col("margin") >= minMargin)
       .select(col("x_id"), col("y_id"), col("c").as("cosine"),
@@ -167,25 +180,16 @@ object Bitext {
       maxIter: Int = 8, fitSampleRows: Long = 4096L): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists,
       s"nProbe must sit in [1, nLists=$nLists], got $nProbe")
-    val spark = xs.sparkSession
-    import spark.implicits._
     // zero-norm/null ys never pair in the exact miner; drop them before
     // the build so they can't surface as c = 0 candidates here either
     val ysClean = ys.filter(col(vecCol).isNotNull &&
       Similarity.norm2(col(vecCol).cast("array<double>")) > 0)
     val idx = Ivf.build(ysClean, idCol, vecCol, nLists, seed, maxIter,
       initMode = "random", fitSampleRows = fitSampleRows)
-    val centroidDf = idx.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
     val x = side(xs, idCol, vecCol, "x_id", "xv")
-    val wProbe = Window.partitionBy(col("x_id"))
-      .orderBy(col("__sim").desc, col("cell"))
-    val probes = x.crossJoin(broadcast(centroidDf))
-      .select(col("x_id"), col("xv"), col("cell"),
-        Similarity.dot(col("xv"), col("cv")).as("__sim"))
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nProbe)
-      .select(col("x_id"), col("xv"), col("cell"))
+    // nearest-nProbe cells per x as one narrow literal-centroid map
+    // ([[Ivf.probeCells]]) — no centroid cross join, no ranking shuffle
+    val probes = Ivf.probeCells(idx.centroids, x, "x_id", "xv", nProbe)
     idx.assigned
       .select(col("cell"), col("id").as("y_id"), col("v").as("yv"))
       .join(probes, "cell")

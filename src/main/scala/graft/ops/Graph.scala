@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * each iteration's sort-merge join reuses that exchange instead of
   * re-shuffling the edges), so one iteration costs one shuffle of the
   * rank table plus one `groupBy(dst)` of the contributions. The dangling
-  * mass is a scalar aggregate per iteration (one double to the driver —
-  * the only driver traffic). Lineage is truncated per iteration
+  * mass is a one-row aggregate per iteration, broadcast back into the
+  * update plan (no driver collect on the iteration path). Lineage is
+  * truncated per iteration
   * (`localCheckpoint`): iterative DataFrame plans otherwise grow Catalyst
   * analysis superlinearly with the iteration count (on a cluster, point
   * `spark.sparkContext.setCheckpointDir` at durable storage and swap in
@@ -315,18 +316,24 @@ object Graph {
     var converged = false
     while (i < iters && !converged) {
       // rank trapped in dangling nodes this iteration: anti-join against
-      // the out-degree table, scalar agg — one double crosses to the driver
+      // the out-degree table, one-row aggregate. Shipped into the update
+      // plan as a broadcast scalar instead of a driver collect — the same
+      // double, but the iteration then runs as ONE action (the eager
+      // checkpoint below) instead of two driver barriers per iteration
+      // (r18: the barrier split showed up as ~half of gr_pagerank's wall
+      // time being driver gaps between jobs).
       val dangling = ranks
         .join(degOnly, ranks("node") === degOnly("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dangling"))
       val contribs = ranks.join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
       val next = nodeDf.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"), col("t"),
           (lit(1.0 - damping) * col("t") + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dangling) * col("t")))
+            (coalesce(col("c"), lit(0.0)) + col("__dangling") * col("t")))
             .as("rank"))
         .localCheckpoint(true) // truncate lineage per iteration
       tol.foreach { eps =>

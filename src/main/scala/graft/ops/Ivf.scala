@@ -24,10 +24,12 @@ object Ivf {
       assigned: DataFrame, // id, v (normalized array<double>), cell
       centroids: Array[Array[Double]])
 
-  private def l2normalize(v: Column): Column = {
-    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, b) => a + b))
-    when(n === 0.0, v).otherwise(transform(v, x => x / n))
-  }
+  // native one-pass normalize — the compositional HOF form it replaces
+  // (`when(sqrt(aggregate(transform(v, x*x), 0, +)) === 0, v)
+  //   .otherwise(transform(v, x / n))`) re-ran the whole norm fold per
+  // element once the optimizer inlined the alias into the division lambda
+  // (O(dim²) interpreted per row, measured ~ms/row at dim 64 — r18)
+  private def l2normalize(v: Column): Column = Similarity.l2normalize(v)
 
   /** `fitSampleRows > 0` fits the quantizer on a deterministic hash-based
     * sample of ~that many rows and then assigns the FULL corpus — the
@@ -77,29 +79,43 @@ object Ivf {
     Index(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** The `nProbe` nearest cells for each vector row, as ONE narrow map:
+    * centroids are inlined as literal arrays (the [[assign]] idiom), each
+    * row computes its nLists dot products, and the top-nProbe cells by
+    * (similarity desc, cell asc) come from an `array_sort` over
+    * (negated-sim, cell) structs — exactly `row_number() <= nProbe` under
+    * the same ordering, with zero shuffle. The previous form (cross join
+    * against a broadcast centroid table + a row_number window keyed on the
+    * query id) shuffled the nLists-fold exploded query table once per
+    * probe pass (r18: one full exchange + sort removed from every IVF
+    * search/mine plan). Negated sims canonicalize -0.0 → 0.0 so a zero
+    * dot product sorts identically in both forms. Appends `cell` (one row
+    * per probed cell) to the input's `idName`/`vecName` columns. */
+  private[ops] def probeCells(
+      centroids: Array[Array[Double]], df: DataFrame,
+      idName: String, vecName: String, nProbe: Int): DataFrame = {
+    val probes = math.min(nProbe, centroids.length)
+    val ranked = centroids.zipWithIndex.map { case (cv, i) =>
+      val d = Similarity.dot(col(vecName),
+        array(cv.map(lit).toIndexedSeq: _*))
+      // 0.0 - d IS IEEE negation except at d = ±0.0, where it canonicalizes
+      // to +0.0 — one dot per centroid (a when/otherwise negation would
+      // embed the dot twice)
+      struct((lit(0.0) - d).as("ns"), lit(i).as("cell"))
+    }
+    df.select(col(idName), col(vecName),
+        slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, probes)
+          .getField("cell").as("__cells"))
+      .select(col(idName), col(vecName), explode(col("__cells")).as("cell"))
+  }
+
   /** Top-k cosine neighbors for each query id, probing `nProbe` cells. */
   def search(
       index: Index, queryFilter: Column,
       k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val nLists = index.centroids.length
-    val probes = math.min(nProbe, nLists)
-
-    // Which cells each query probes: nearest centroids to the query vector,
-    // computed via a small cross join against the broadcast centroid table.
-    val spark = index.assigned.sparkSession
-    import spark.implicits._
-    val centroidDF = index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
-
     val queries = index.assigned.filter(queryFilter)
       .select(col("id").as("qid"), col("v").as("qv"))
-    val probeSets = queries.crossJoin(broadcast(centroidDF))
-      .select(col("qid"), col("qv"), col("cell"),
-        Similarity.dot(col("qv"), col("cv")).as("__sim"))
-      .withColumn("__pr", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("__sim").desc, col("cell"))))
-      .filter(col("__pr") <= probes)
-      .select(col("qid"), col("qv"), col("cell"))
+    val probeSets = probeCells(index.centroids, queries, "qid", "qv", nProbe)
 
     val scored = index.assigned.join(broadcast(probeSets), Seq("cell"))
       .filter(col("id") =!= col("qid"))

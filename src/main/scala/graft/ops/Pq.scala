@@ -38,10 +38,9 @@ object Pq {
         * vectors, so ADC dot sums approximate cosine. */
       centroids: Array[Array[Array[Double]]])
 
-  private def l2normalize(v: Column): Column = {
-    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, b) => a + b))
-    when(n === 0.0, v).otherwise(transform(v, x => x / n))
-  }
+  // native one-pass normalize (graft.functions.L2Normalize) — the HOF
+  // form re-ran the norm fold per element after optimizer inlining (r18)
+  private def l2normalize(v: Column): Column = Similarity.l2normalize(v)
 
   private def subvector(v: Column, j: Int, dSub: Int): Column =
     slice(v, j * dSub + 1, dSub)

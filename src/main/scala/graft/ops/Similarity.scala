@@ -30,6 +30,16 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Native one-pass L2 normalization (see [[graft.functions.L2Normalize]]
+    * for the exact compositional-form parity contract). */
+  def l2normalize(a: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2norm", exprs => graft.functions.L2Normalize(exprs(0)),
+      "built-in")
+    call_function("graft_l2norm", a)
+  }
+
   /** cosine = dot / (sqrt(||a||²) * sqrt(||b||²)); null-safe on zero norms. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)

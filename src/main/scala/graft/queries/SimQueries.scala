@@ -1302,15 +1302,24 @@ object SimQueries extends QueryModule {
     (s, dir) => {
       val (xs, ys) = bitextSides(s, dir)
       val mined = graft.ops.Bitext.marginMine(xs, ys, "vec_id", "embedding",
-        k = 4, minMargin = 1.0)
-      // mutual-best is one-to-one by construction — a duplicated endpoint
-      // means the best-rank windows broke
-      val n = mined.count()
-      require(n > 0, "margin mining found no pairs on the fixture")
-      require(mined.select("x_id").distinct().count() == n &&
-        mined.select("y_id").distinct().count() == n,
-        "mined pairs must be one-to-one on both sides")
-      mined.orderBy("x_id")
+        k = 4, minMargin = 1.0).persist()
+      try {
+        // mutual-best is one-to-one by construction — a duplicated endpoint
+        // means the best-rank windows broke. One aggregate over the
+        // persisted result instead of three separate actions (count + two
+        // distinct counts), each of which re-ran the full |X|·|Y| pipeline
+        // (r18: the unpersisted form computed the miner 4× per bench
+        // iteration — the noop sink being the 4th).
+        val st = mined.agg(count(lit(1)).as("n"),
+          countDistinct(col("x_id")).as("nx"),
+          countDistinct(col("y_id")).as("ny")).head()
+        val n = st.getAs[Long]("n")
+        require(n > 0, "margin mining found no pairs on the fixture")
+        require(st.getAs[Long]("nx") == n && st.getAs[Long]("ny") == n,
+          "mined pairs must be one-to-one on both sides")
+        if (Tables.gateMode) mined.orderBy("x_id")
+        else mined.orderBy("x_id").localCheckpoint()
+      } finally { mined.unpersist(blocking = false); () }
     })
 
   /** IVF-blocked margin mining ([[graft.ops.Bitext.marginMineIvf]]) —
@@ -1422,12 +1431,18 @@ object SimQueries extends QueryModule {
         "embedding", k = 4, minMargin = 1.0, nLists = 16, nProbe = 4)
         .persist()
       try {
-        val n = mined.count()
+        // one aggregate for all four structural checks (was four separate
+        // actions: count, two distinct counts, a filter-isEmpty — each its
+        // own job round-trip over the persisted result)
+        val st = mined.agg(count(lit(1)).as("n"),
+          countDistinct(col("x_id")).as("nx"),
+          countDistinct(col("y_id")).as("ny"),
+          min(col("margin")).as("mmin")).head()
+        val n = st.getAs[Long]("n")
         require(n > 0, "corpus IVF mining found no pairs")
-        val oneToOne = mined.select("x_id").distinct().count() == n &&
-          mined.select("y_id").distinct().count() == n
+        val oneToOne = st.getAs[Long]("nx") == n && st.getAs[Long]("ny") == n
         require(oneToOne, "mined pairs must be one-to-one on both sides")
-        val marginsOk = mined.filter(col("margin") < 1.0).isEmpty
+        val marginsOk = st.getAs[Double]("mmin") >= 1.0
         require(marginsOk, "every mined pair must clear the margin cut")
         if (!Tables.gateMode) mined.orderBy("x_id").localCheckpoint()
         else {

@@ -75,6 +75,15 @@ object ColumnStats {
     * histogram ≈ the data, i.e. the sort they fundamentally need. */
   val SmallHistEntries: Long = 65536
 
+  /** Upper bound for driver-finishing a ROUTED-OUT (high-cardinality)
+    * column's own histogram: ≤ this many (value, count) entries (~32 MB at
+    * 2M) still collect and finish locally — the distributed prefix-scan
+    * (a range-partitioned sort plus three follow-up jobs) only pays for
+    * itself beyond that. Routing uses pass 1's HLL estimate (±~2.5% rsd),
+    * so the bound is approximate by design: a mis-estimate lands on the
+    * other path, which computes the identical answer (r18). */
+  val DriverHistEntries: Long = 2000000
+
   /** ONE histogram pass for all columns: explode to (col, value) pairs,
     * `groupBy(col, value).count()` (map-side combined), then per-column
     * finishing — driver-side for small histograms, distributed prefix-scan
@@ -103,7 +112,8 @@ object ColumnStats {
     * into one distinct value, as pandas `nunique` does. */
   private def histogramStats(
       df: DataFrame, cols: Seq[String], ps: Seq[Double],
-      highCard: Set[String] = Set.empty): Map[String, HistStats] = {
+      highCard: Set[String] = Set.empty,
+      cardEstimates: Map[String, Long] = Map.empty): Map[String, HistStats] = {
     def exactKey(c: String): Column = df.schema(c).dataType match {
       case FloatType | DoubleType => lit(null).cast(StringType)
       case _ => col(c).cast(StringType)
@@ -113,15 +123,24 @@ object ColumnStats {
     import scala.concurrent.ExecutionContext.Implicits.global
     val (big, small) = cols.partition(highCard)
 
-    // Near-unique columns: per-column narrow histogram straight to the
-    // distributed prefix-scan (no shared explode, no cache).
+    // Routed-out (high-cardinality) columns: per-column narrow histogram
+    // (no shared explode, no cache), finished on the driver while the
+    // entry count stays collectable ([[DriverHistEntries]], by pass 1's
+    // HLL estimate) and by the distributed prefix-scan beyond that —
+    // identical interpolation/outlier arithmetic on both paths.
     val bigFutures = big.map { c =>
-      Future(c -> colFromHist(
-        df.select(col(c).cast(DoubleType).as("v"), exactKey(c).as("vs"))
+      Future {
+        val hist = df
+          .select(col(c).cast(DoubleType).as("v"), exactKey(c).as("vs"))
           .filter(col("v").isNotNull && !isnan(col("v")))
           .groupBy("v", "vs").agg(count(lit(1)).as("n"))
           .select("v", "n")
-          .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps))
+        c -> (if (cardEstimates.getOrElse(c, Long.MaxValue) <= DriverHistEntries)
+          colFromLocalHist(
+            hist.collect().map(r => (r.getDouble(0), r.getLong(1))), ps)
+        else
+          colFromHist(hist.rdd.map(r => (r.getDouble(0), r.getLong(1))), ps))
+      }
     }
 
     val smallResults: Seq[(String, HistStats)] = if (small.isEmpty) Seq.empty else {
@@ -247,9 +266,16 @@ object ColumnStats {
     require(cols.nonEmpty, "describe needs at least one column")
     // project to the profiled columns, then widen a compact input: the
     // moment pass, histogram pass, and outlier pass are all map-heavy
-    // and would otherwise inherit a single file's one-task parallelism
+    // and would otherwise inherit a single file's one-task parallelism.
+    // PERSISTED for the duration of the call (released in the finally):
+    // describe runs two to three full passes over this projection (the
+    // moment aggregate, the value histogram, and — approx path — the
+    // outlier fence count), and without the persist each pass re-decoded
+    // the source and re-ran the widening shuffle (r18: three parquet
+    // decodes per T1 call, each single-task on a compact input).
     val df = graft.core.Parallelism.widen(
-      df0.select(cols.map(org.apache.spark.sql.functions.col): _*))
+      df0.select(cols.map(org.apache.spark.sql.functions.col): _*)).persist()
+    try {
 
     // Pass 1: plain aggregate — exact distinct comes from the histogram
     // (exact path) or approx_count_distinct (sketch path), so no
@@ -290,7 +316,8 @@ object ColumnStats {
       else cols.filter(c => row.getAs[Long](s"d__$c") > SmallHistEntries).toSet
     val exactH: Map[String, HistStats] =
       if (approxQuantiles) Map.empty
-      else histogramStats(df, cols, Seq(0.25, 0.5, 0.75), highCard)
+      else histogramStats(df, cols, Seq(0.25, 0.5, 0.75), highCard,
+        cols.map(c => c -> row.getAs[Long](s"d__$c")).toMap)
 
     val base = cols.map { c =>
       val n = row.getAs[Long](s"n__$c")
@@ -335,6 +362,7 @@ object ColumnStats {
           Some(Option(orow.getAs[Any](s"o__${s.column}")).fold(0L)(_.asInstanceOf[Long])))
       }
     }
+    } finally df.unpersist(blocking = false)
   }
 
   /** describe() as a DataFrame (one row per column), for report sinks. */

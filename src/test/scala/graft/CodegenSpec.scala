@@ -324,6 +324,59 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("L2Normalize codegen compiles, matches interpreted eval AND the compositional HOF form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val expr = graft.functions.L2Normalize(
+      BoundReference(0, ArrayType(DoubleType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val cases: Seq[Array[Any]] = Seq(
+      Array[Any](3.0, 4.0),
+      Array[Any](0.0, 0.0, 0.0),              // zero norm: input unchanged
+      Array[Any](),                            // empty: norm 0 → unchanged
+      Array[Any](1e-8, -2.5, 7.25, 0.125),
+      Array[Any](Double.NaN, 1.0),             // NaN propagates per element
+      Array[Any](null, 2.0))                   // null element → all-null
+    for (c <- cases) {
+      val in = InternalRow(new GenericArrayData(c))
+      val fromInterp = expr.eval(in)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val fromCodegen = proj(in).getArray(0)
+      val n = fromInterp.numElements()
+      assert(fromCodegen.numElements() == n)
+      for (i <- 0 until n) {
+        assert(fromCodegen.isNullAt(i) == fromInterp.isNullAt(i),
+          s"null drift at $i for ${c.toSeq}")
+        if (!fromInterp.isNullAt(i))
+          assert(java.lang.Double.doubleToLongBits(fromCodegen.getDouble(i)) ==
+            java.lang.Double.doubleToLongBits(fromInterp.getDouble(i)),
+            s"value drift at $i for ${c.toSeq}")
+      }
+    }
+    // bit-parity against the compositional form it replaced, through the
+    // full DataFrame path (same fold order ⇒ same doubles)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(64)(Seq.fill(16)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq.fill(16)(0.0))
+    val df = vecs.toDF("v")
+    def hof(v: org.apache.spark.sql.Column) = {
+      val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, b) => a + b))
+      when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
+    }
+    val rows = df.select(
+      graft.ops.Similarity.l2normalize(col("v")).as("native"),
+      hof(col("v")).as("compositional")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.size == b.size)
+      a.indices.foreach(i => assert(
+        java.lang.Double.doubleToLongBits(a(i)) ==
+          java.lang.Double.doubleToLongBits(b(i)),
+        s"native/compositional drift at $i"))
+    }
+  }
+
   test("minhash pipeline runs end-to-end with codegen forced (no interpreter fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
