@@ -222,10 +222,44 @@ object LanguageModel {
       .withColumn("perplexity", round(exp(-col("logprob")), 6))
   }
 
-  /** KN self-scoring convenience. */
+  /** KN self-scoring: the train→score composition with the two training
+    * scalar passes (count-of-counts over the persisted bigram-type table
+    * and the distinct-token vocab — different bases, so they cannot share
+    * one aggregate) overlapped as concurrent jobs (guide §2.6; they were
+    * two sequential driver barriers). The exploded per-doc bigram
+    * instances are deliberately NOT cached between training and scoring:
+    * they are corpus-sized, and a narrow re-explode is the cheaper side
+    * of the cache-vs-recompute trade at scale (guide §5) — measured at
+    * sf0.1 the data-sized persist variant was net slower. */
   def selfScoreKneserNey(
-      df: DataFrame, idCol: String, textCol: String): DataFrame =
-    scoreKneserNey(trainKneserNey(df, textCol), df, idCol, textCol)
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corpus = widen(df)
+    val parts = corpus
+      .select(explode(bigramsOf(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .withColumn("nxt", substring_index(col("bg"), " ", -1))
+      .persist()
+    val contexts = parts.groupBy("ctx")
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("fanout"))
+    val continuation = parts.groupBy("nxt").agg(count(lit(1)).as("nc"))
+    val scF = Future(parts.agg(count(lit(1)).as("b"),
+      coalesce(sum(when(col("cb") === 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("cb") === 2, 1L)), lit(0L)).as("n2")).head())
+    val vF = Future(corpus
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t") =!= "")
+      .agg(count_distinct(col("t"))).head().getLong(0))
+    val sc = Await.result(scF, Duration.Inf)
+    val v = Await.result(vF, Duration.Inf)
+    val (b, n1, n2) = (sc.getLong(0), sc.getLong(1), sc.getLong(2))
+    val d = if (n1 + 2 * n2 == 0) 0.0 else n1.toDouble / (n1 + 2 * n2)
+    val lm = KneserNey(parts.select("bg", "cb"), contexts, continuation, b, v, d)
+    scoreKneserNey(lm, df, idCol, textCol)
+  }
 
   /** CCNet's head/middle/tail quality buckets: per-language perplexity
     * terciles over the KN self-score, assigned by DETERMINISTIC rank

@@ -527,30 +527,55 @@ object Sampling {
     * log-domain key cannot. Deterministic, engine-portable,
     * DuckDB-oracle-checkable end to end.
     *
-    * Shape: two wordcount trains (vocabulary-sized shuffles), two
-    * scoring passes (token join against each vocab), one narrow key map,
-    * TakeOrderedAndProject. Documents with no tokens carry log ratio 0
-    * and compete on pure Gumbel noise (uniform among themselves). At
-    * extreme vocabulary sizes substitute [[Features]] hashed n-gram
-    * counts for the exact vocab join — the paper's own variant. */
+    * Shape (r18, fused): ONE tokenize of the scored corpus feeds the
+    * proposal wordcount AND both scoring sides (the generic train→score
+    * composition tokenized it three times), both vocab joins ride one
+    * exploded-token table, and both per-doc means come from ONE groupBy
+    * (two avg cells instead of two shuffles); the target LM trains on
+    * its own frame (it is an arbitrary corpus, not necessarily a slice
+    * of `df`). One narrow key map, TakeOrderedAndProject; the k-row
+    * result is materialized before the token cache is released.
+    * Documents with no tokens carry log ratio 0 and compete on pure
+    * Gumbel noise (uniform among themselves). At extreme vocabulary
+    * sizes substitute [[Features]] hashed n-gram counts for the exact
+    * vocab join — the paper's own variant. */
   def importanceResample(df: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, k: Int,
       seed: String = "graft-dsir"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tLm = LanguageModel.train(target, targetTextCol)
-    val pLm = LanguageModel.train(df, textCol)
-    val st = LanguageModel.scoreBy(tLm, df, idCol, textCol)
-      .withColumnRenamed("logprob", "lp_target")
-    val sp = LanguageModel.scoreBy(pLm, df, idCol, textCol)
-      .select(col("id"), col("logprob").as("lp_proposal"))
-    val u = hashFractionOpen(seed, Seq(col("id")))
-    st.join(sp, Seq("id"))
-      .withColumn("log_ratio",
-        round((col("lp_target") - col("lp_proposal")) * col("n_tokens"), 6))
-      .withColumn("gumbel_key",
-        round(col("log_ratio") - log(-log(u)), 9))
-      .orderBy(col("gumbel_key").desc, col("id"))
-      .limit(k)
+    val tok = df.select(col(idCol).as("id"),
+        explode(graft.ops.TextOps.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t") =!= "")
+      .persist()
+    try {
+      val pVocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val pStats = pVocab.agg(
+        coalesce(sum(col("c")), lit(0L)).as("tt"),
+        count(lit(1)).as("vs")).head()
+      val tDenom = lit(math.max(tLm.totalTokens + tLm.vocabSize, 1L).toDouble)
+      val pDenom = lit(math.max(pStats.getLong(0) + pStats.getLong(1), 1L).toDouble)
+      val perDoc = tok
+        .join(tLm.vocab.select(col("t"), col("c").as("__ct")), Seq("t"), "left")
+        .join(pVocab.select(col("t"), col("c").as("__cp")), Seq("t"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          avg(log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) / tDenom)).as("__lpt"),
+          avg(log((coalesce(col("__cp"), lit(0L)) + lit(1.0)) / pDenom)).as("__lpp"))
+      val u = hashFractionOpen(seed, Seq(col("id")))
+      df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          round(coalesce(col("__lpt"), lit(0.0)), 6).as("lp_target"),
+          round(coalesce(col("__lpp"), lit(0.0)), 6).as("lp_proposal"))
+        .withColumn("log_ratio",
+          round((col("lp_target") - col("lp_proposal")) * col("n_tokens"), 6))
+        .withColumn("gumbel_key",
+          round(col("log_ratio") - log(-log(u)), 9))
+        .orderBy(col("gumbel_key").desc, col("id"))
+        .limit(k)
+        .localCheckpoint()
+    } finally { tok.unpersist(blocking = false); () }
   }
 
   /** χ² goodness-of-fit of a realized dataset mix against its TARGET

@@ -575,33 +575,44 @@ object TextOps {
   }
 
   /** Ratio of distinct tokens to tokens (0 for empty docs). */
+  // ONE native token pass ([[graft.functions.TokenQualityStats]]) behind
+  // all four quality ratio columns: the compositional forms re-tokenized
+  // the text per ratio through interpreted HOFs (~7 tokenizations per row
+  // in the quality projection after CollapseProject inlining); the native
+  // struct is codegen'd and whole-stage CSE evaluates the textually
+  // repeated instances once per row (r18). Ratio arithmetic below is
+  // expression-identical to the old forms (int counts cast to double over
+  // int sizes; long length sum), so oracle hashes are unaffected.
+  private def qualityStats(c: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.TokenQualityStats(spark, c, LangMarkers.head._2)
+  }
+
   def distinctRatio(c: Column): Column = {
-    val w = tokens(c)
-    when(size(w) === 0, 0.0)
-      .otherwise(size(array_distinct(w)).cast("double") / size(w))
+    val s = qualityStats(c)
+    when(s.getField("n_tokens") === 0, 0.0)
+      .otherwise(s.getField("n_distinct").cast("double") / s.getField("n_tokens"))
   }
 
   /** English-stopword ratio (0 for empty docs). */
   def stopwordRatio(c: Column): Column = {
-    val w = tokens(c)
-    when(size(w) === 0, 0.0)
-      .otherwise(markerCount(c, LangMarkers.head._2).cast("double") / size(w))
+    val s = qualityStats(c)
+    when(s.getField("n_tokens") === 0, 0.0)
+      .otherwise(s.getField("n_stop").cast("double") / s.getField("n_tokens"))
   }
 
   /** Mean token length (0 for empty docs). */
   def meanTokenLength(c: Column): Column = {
-    val w = tokens(c)
-    when(size(w) === 0, 0.0)
-      .otherwise(
-        aggregate(transform(w, t => length(t).cast("long")), lit(0L), _ + _)
-          .cast("double") / size(w))
+    val s = qualityStats(c)
+    when(s.getField("n_tokens") === 0, 0.0)
+      .otherwise(s.getField("sum_len").cast("double") / s.getField("n_tokens"))
   }
 
   /** Composite quality score in [0,1]: length prior + lexical diversity +
     * stopword naturalness. Deterministic double arithmetic, mirrored
     * op-for-op in the oracle. */
   def qualityScore(c: Column): Column = {
-    val lengthTerm = least(lit(1.0), tokenCount(c).cast("double") / 100.0)
+    val lengthTerm = least(lit(1.0), qualityStats(c).getField("n_tokens").cast("double") / 100.0)
     lit(0.3) * lengthTerm + lit(0.4) * distinctRatio(c) + lit(0.3) * stopwordRatio(c)
   }
 

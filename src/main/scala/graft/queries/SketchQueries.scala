@@ -194,23 +194,38 @@ object SketchQueries extends QueryModule {
       FROM e JOIN ex USING (grp)
       ORDER BY o_orderpriority"""),
     (s, dir) => {
-      val orders = Tables.load(s, dir, "orders")
-      val sk = Hll.sketchBy(orders, Seq("o_orderpriority"), "o_custkey",
-        M, HllSeed)
-      val est = Hll.estimateBy(sk, Seq("o_orderpriority"), M)
-      val exact = orders.filter(col("o_custkey").isNotNull)
-        .groupBy("o_orderpriority")
-        .agg(countDistinct(col("o_custkey")).as("n_exact"))
-      val out = est.join(exact, Seq("o_orderpriority"))
-      val sigma = 1.04 / math.sqrt(M.toDouble)
-      val offContract = out.filter(
-        abs(col("hll_est") - col("n_exact")) >
-          lit(4.0 * sigma) * col("n_exact")).count()
-      require(offContract == 0L,
-        s"HLL estimate off by >4 sigma on $offContract groups")
-      out.select("o_orderpriority", "n_registers", "v_zero", "hll_est",
-          "n_exact")
-        .orderBy("o_orderpriority")
+      // ONE projected+widened+persisted scan feeds both the sketch and the
+      // exact-distinct sides (r18: the two aggregations each re-decoded the
+      // single-file orders table serially; md5 hashing now parallelizes
+      // over the widened partitions). Released after materializing.
+      val orders = graft.core.Parallelism.widen(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_custkey"))).persist()
+      try {
+        val sk = Hll.sketchBy(orders, Seq("o_orderpriority"), "o_custkey",
+          M, HllSeed)
+        val est = Hll.estimateBy(sk, Seq("o_orderpriority"), M)
+        val exact = orders.filter(col("o_custkey").isNotNull)
+          .groupBy("o_orderpriority")
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        val out = est.join(exact, Seq("o_orderpriority"))
+        // error-contract differential: GATE (Verify) MODE ONLY — the
+        // extra action re-ran the whole pipeline inside the bench window
+        // (the headline line times the production sketch+estimate path;
+        // the gate proves it honest — the t1_approx discipline)
+        if (Tables.gateMode) {
+          val sigma = 1.04 / math.sqrt(M.toDouble)
+          val offContract = out.filter(
+            abs(col("hll_est") - col("n_exact")) >
+              lit(4.0 * sigma) * col("n_exact")).count()
+          require(offContract == 0L,
+            s"HLL estimate off by >4 sigma on $offContract groups")
+        }
+        out.select("o_orderpriority", "n_registers", "v_zero", "hll_est",
+            "n_exact")
+          .orderBy("o_orderpriority")
+          .localCheckpoint()
+      } finally { orders.unpersist(blocking = false); () }
     })
 
   /** Trailing-7-day distinct users per day from merged per-day HLL

@@ -377,6 +377,46 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("TokenQualityStats matches the compositional token-ratio forms bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stop = graft.ops.TextOps.LangMarkers.head._2
+    // leading tab (split's leading empty token), unicode, multi-space runs,
+    // all-space, empty, stopword-heavy, single token, CR/LF separators
+    val texts = Seq(
+      "the quick brown fox is in the den",
+      "\tleading tab token",
+      "  padded  with   spaces  ",
+      "", "   ", "\t\n", "one", "ends with newline\n", "a\t",
+      "a a a the the of to in is and",
+      "naïve café 東京 emoji 😀 mix",
+      "line1\nline2\rline3line4\fline5")
+    val df = texts.toDF("text")
+    def tokensC(c: org.apache.spark.sql.Column) =
+      when(length(trim(c)) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(c), "\\s+"))
+    val w = tokensC(col("text"))
+    val rows = df.select(
+      graft.functions.TokenQualityStats(spark, col("text"), stop).as("s"),
+      size(w).as("nt"),
+      size(array_distinct(w)).as("nd"),
+      size(filter(w, t => t.isin(stop.map(lit): _*))).as("ns"),
+      aggregate(transform(w, t => length(t).cast("long")), lit(0L), _ + _)
+        .as("sl")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      val s = r.getStruct(0)
+      assert(s.getInt(0) == r.getInt(1), s"n_tokens drift on '$t'")
+      assert(s.getInt(1) == r.getInt(2), s"n_distinct drift on '$t'")
+      assert(s.getInt(2) == r.getInt(3), s"n_stop drift on '$t'")
+      assert(s.getLong(3) == r.getLong(4), s"sum_len drift on '$t'")
+    }
+    // null text → null struct (UnaryExpression null contract)
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.TokenQualityStats(spark, col("text"), stop))
+      .collect()
+    assert(nr.head.isNullAt(0))
+  }
+
   test("minhash pipeline runs end-to-end with codegen forced (no interpreter fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
