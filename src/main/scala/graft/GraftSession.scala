@@ -29,6 +29,22 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE size post-shuffle partitions by BYTES (the advisory
+      // target), not by core count: with the default
+      // parallelismFirst=true every tiny exchange still fans out to one
+      // partition per core, so a KB-sized shuffle pays `cores` tasks of
+      // pure scheduling per stage (guide §2.2; Spark's own conf doc
+      // recommends false). Scale-adaptive by construction — a 100 TB
+      // shuffle still gets bytes/advisory partitions — and overridable
+      // per environment via SPARK_GRAFT_ADVISORY_MB (the local default
+      // keeps Spark's 64 MB advisory). Explicit repartition(n) calls
+      // (e.g. Parallelism.widen's CPU-parallelism guard) are
+      // REPARTITION_BY_NUM exchanges, which AQE never coalesces, so
+      // compute-bound narrow maps keep their full fan-out.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64") + "m")
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     // getOrCreate may have handed back a pre-existing session whose builder

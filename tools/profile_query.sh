@@ -12,6 +12,6 @@ SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_BENCH_ONLY=$Q \
 SPARK_GRAFT_BENCH_ITERS=$ITERS \
 SPARK_GRAFT_BENCH_OUT=/tmp/bench_profile_$Q.json \
-SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true -Dspark.eventLog.dir=file://$EVDIR" \
+SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true -Dspark.eventLog.compress=false -Dspark.eventLog.rolling.enabled=false -Dspark.eventLog.dir=file://$EVDIR" \
   sbt -batch "runMain graft.Bench" > /tmp/profile_$Q.log 2>&1
 python3 tools/parse_eventlog.py "$EVDIR" "$Q"
