@@ -23,28 +23,46 @@ object GraftSession {
       appName: String,
       extra: Map[String, String] = Map.empty,
       logLevel: String = "WARN"): SparkSession = {
+    // Validate rather than concatenate blindly: "64m" or "" would yield
+    // "64mm"/"m" and throw at session construction (r18 ADVICE).
+    val advisoryMb: Int = sys.env.get("SPARK_GRAFT_ADVISORY_MB") match {
+      case Some(s) => s.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[graft] WARNING: SPARK_GRAFT_ADVISORY_MB='$s' is not a positive integer; using 64")
+        64
+      }
+      case None => 64
+    }
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Let AQE size post-shuffle partitions by BYTES (the advisory
-      // target), not by core count: with the default
-      // parallelismFirst=true every tiny exchange still fans out to one
-      // partition per core, so a KB-sized shuffle pays `cores` tasks of
-      // pure scheduling per stage (guide §2.2; Spark's own conf doc
-      // recommends false). Scale-adaptive by construction — a 100 TB
-      // shuffle still gets bytes/advisory partitions — and overridable
-      // per environment via SPARK_GRAFT_ADVISORY_MB (the local default
-      // keeps Spark's 64 MB advisory). Explicit repartition(n) calls
-      // (e.g. Parallelism.widen's CPU-parallelism guard) are
-      // REPARTITION_BY_NUM exchanges, which AQE never coalesces, so
-      // compute-bound narrow maps keep their full fan-out.
+      // AQE partition coalescing: keep Spark's default
+      // parallelismFirst=TRUE. The r18 flip to false was reasoned from
+      // "a KB-sized shuffle fans out to one partition per core under
+      // true" — which is not what ShufflePartitionsUtil does: under true
+      // the target is min(advisory, max(totalBytes/defaultParallelism,
+      // minPartitionSize=1m)), so a KB-sized exchange coalesces to ONE
+      // partition either way, while a mid-size CPU-heavy exchange
+      // (windows, k-means assign, winnowing: a few MB of shuffle bytes
+      // feeding expensive per-row work) keeps per-core parallelism under
+      // true but serializes onto ceil(bytes/64m)=1 task under false —
+      // exactly the r18 ADVICE warning. Measured r19 A/B (32 cores,
+      // 9 iters, back-to-back, per-query minima vs best-of-two false
+      // runs): true is geomean 0.93× (km_lloyd 0.78, wn_fingerprints
+      // 0.78, ev_interevent 0.86, prj_covariance 0.91, others flat).
+      // At 100 TB the two settings agree (bytes/cores >> advisory ⇒
+      // target = advisory), so true is also the scale-neutral choice.
+      // Env-overridable for future A/B.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      // Post-shuffle advisory size, env-overridable per environment
+      // (SPARK_GRAFT_ADVISORY_MB, validated above; local default keeps
+      // Spark's 64 MB).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64") + "m")
+        advisoryMb + "m")
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     // getOrCreate may have handed back a pre-existing session whose builder

@@ -230,7 +230,22 @@ object LanguageModel {
     * instances are deliberately NOT cached between training and scoring:
     * they are corpus-sized, and a narrow re-explode is the cheaper side
     * of the cache-vs-recompute trade at scale (guide §5) — measured at
-    * sf0.1 the data-sized persist variant was net slower. */
+    * sf0.1 the data-sized persist variant was net slower.
+    *
+    * Self-score coverage is TOTAL: every scored bigram instance is, by
+    * construction, a bigram TYPE of the same corpus. So instead of
+    * [[scoreKneserNey]]'s three instance-side joins (bg, ctx, nxt — each
+    * a full pass over the corpus-sized exploded instance table, a full
+    * instance shuffle each when the vocab outgrows broadcast), the
+    * per-type log-probability ln p(bg) is computed ONCE on the
+    * vocabulary-sized type table (two type-sized joins fold contexts and
+    * continuation back onto `parts`) and the instance table joins that
+    * single (bg, lp) table (guide §2.3/§2.4: 3 instance joins → 1, and
+    * the per-instance divisions/log collapse to one lookup). The p
+    * arithmetic is the identical expression over identical
+    * (cb, cw, fanout, nc, D, B+V) values, so every per-instance double is
+    * bit-identical to the unfused form; the per-doc mean's 6-decimal
+    * rounding absorbs aggregation-order noise exactly as before. */
   def selfScoreKneserNey(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import scala.concurrent.{Await, Future}
@@ -257,8 +272,36 @@ object LanguageModel {
     val v = Await.result(vF, Duration.Inf)
     val (b, n1, n2) = (sc.getLong(0), sc.getLong(1), sc.getLong(2))
     val d = if (n1 + 2 * n2 == 0) 0.0 else n1.toDouble / (n1 + 2 * n2)
-    val lm = KneserNey(parts.select("bg", "cb"), contexts, continuation, b, v, d)
-    scoreKneserNey(lm, df, idCol, textCol)
+    val dL = lit(d)
+    val bPlusV = lit(math.max(b + v, 1L).toDouble)
+    // per-TYPE ln p — [[scoreKneserNey]]'s exact p expression (every ctx
+    // and nxt of a type row is present in contexts/continuation by
+    // construction, so cw/fanout/nc are never null here and the
+    // when(cw.isNotNull, ...) branch always takes the seen-context arm,
+    // exactly as it does per instance in the unfused form)
+    val pc = (coalesce(col("nc"), lit(0L)) + lit(1.0)) / bPlusV
+    val p = when(col("cw").isNotNull,
+        greatest(coalesce(col("cb"), lit(0L)) - dL, lit(0.0)) / col("cw") +
+          dL * col("fanout") / col("cw") * pc)
+      .otherwise(pc)
+    val typeLp = parts
+      .join(contexts, Seq("ctx"))
+      .join(continuation, Seq("nxt"))
+      .select(col("bg"), log(p).as("__lp"))
+    val docs = widen(df)
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(bigramsOf(col(textCol))).as("bg"))
+      // left join: coverage is total in self-score (see scaladoc), and a
+      // left join keeps n_bigrams = instance count under all circumstances
+      .join(typeLp, Seq("bg"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("lp"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("lp"), lit(0.0)), 6).as("logprob"))
+      .withColumn("perplexity", round(exp(-col("logprob")), 6))
   }
 
   /** CCNet's head/middle/tail quality buckets: per-language perplexity
