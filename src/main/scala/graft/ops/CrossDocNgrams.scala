@@ -39,8 +39,18 @@ object CrossDocNgrams {
     require(n >= 1, s"n must be >= 1, got $n")
     val exploded = docs.select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), n)).as("ngram"))
-    val dfTable = exploded.groupBy("ngram").agg(count(lit(1)).as("df"))
-    val perDoc = exploded.join(dfTable, "ngram")
+    // df as a COUNT WINDOW over the ngram key instead of
+    // groupBy(ngram) + join-back: the join form evaluated the
+    // scan+shingle explode twice (no exchange reuse across the
+    // differently-pruned subtrees — r19 plan audit: 3 parquet scans) and
+    // paid the type-table exchange on top of the instance exchange; the
+    // window form shingles once and shuffles the instances once
+    // (guide §2.4 — two operations keyed the same way share one
+    // exchange). df per instance is the identical count, so n_ngrams and
+    // the [df ≥ 2] mean are unchanged row for row.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))
+    val perDoc = exploded
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("n_ngrams"),
         round(avg(when(col("df") >= 2, 1.0).otherwise(0.0)), 6)

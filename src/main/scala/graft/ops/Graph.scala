@@ -300,7 +300,6 @@ object Graph {
       tol: Option[Double],
       init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val nodeDf = nodeT.persist()
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edges.select(col(srcCol).as("src"),
       col(dstCol).as("dst"), w.as("w"))
@@ -308,30 +307,46 @@ object Graph {
     // (src, dst, w, deg) — the degree join happens here, not in the loop
     val deg = e.groupBy("src").agg(sum("w").as("deg"))
     val eDeg = e.join(deg, "src").repartition(col("src")).persist()
-    val degOnly = deg.persist()
+    // DANGLING membership is STATIC (a node's out-degree never changes
+    // across iterations), so it is computed ONCE here as a boolean on the
+    // node table instead of re-running a ranks×degree anti-join inside
+    // every iteration (r19: the per-iteration anti-join added a broadcast
+    // build + join pass per iteration whose inputs never changed —
+    // guide §1.2 "don't compute things you throw away"). The dangling
+    // MASS each iteration is then a one-row aggregate over the
+    // checkpointed rank vector itself.
+    val nodeDf = nodeT
+      .join(deg.select(col("src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left")
+      .select(col("node"), col("t"),
+        coalesce(col("__out"), lit(false)).as("__out"))
+      .persist()
     // rank0: the teleport vector, unless a warm start supplies
-    // (node, t, rank) directly
-    var ranks = init.getOrElse(nodeDf.withColumn("rank", col("t"))).persist()
+    // (node, t, rank) directly (the flag joins on once at setup)
+    var ranks = init
+      .map(_.join(nodeDf.select("node", "__out"), Seq("node")))
+      .getOrElse(nodeDf.withColumn("rank", col("t")))
+      .persist()
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      // rank trapped in dangling nodes this iteration: anti-join against
-      // the out-degree table, one-row aggregate. Shipped into the update
-      // plan as a broadcast scalar instead of a driver collect — the same
-      // double, but the iteration then runs as ONE action (the eager
-      // checkpoint below) instead of two driver barriers per iteration
-      // (r18: the barrier split showed up as ~half of gr_pagerank's wall
-      // time being driver gaps between jobs).
+      // rank trapped in dangling nodes this iteration: one-row aggregate
+      // over the rank vector (no join — membership is the static flag).
+      // Shipped into the update plan as a broadcast scalar instead of a
+      // driver collect — the same double, but the iteration then runs as
+      // ONE action (the eager checkpoint below) instead of two driver
+      // barriers per iteration (r18: the barrier split showed up as ~half
+      // of gr_pagerank's wall time being driver gaps between jobs).
       val dangling = ranks
-        .join(degOnly, ranks("node") === degOnly("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("__dangling"))
+        .agg(coalesce(sum(when(!col("__out"), col("rank"))), lit(0.0))
+          .as("__dangling"))
       val contribs = ranks.join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
       val next = nodeDf.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"), col("t"),
+        .select(col("node"), col("t"), col("__out"),
           (lit(1.0 - damping) * col("t") + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + col("__dangling") * col("t")))
             .as("rank"))
@@ -347,9 +362,8 @@ object Graph {
       i += 1
     }
     eDeg.unpersist()
-    degOnly.unpersist()
     nodeDf.unpersist()
-    (ranks.drop("t"), i)
+    (ranks.drop("t").drop("__out"), i)
   }
 
   /** Inbound anchor-term profile per target page: the top-`k` terms (by

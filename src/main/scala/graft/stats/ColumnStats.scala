@@ -151,25 +151,46 @@ object ColumnStats {
         // NaN must be excluded like null (pandas/DuckDB quantile semantics) —
         // a NaN entering the histogram sorts last and poisons quantiles
         .filter(col("v").isNotNull && !isnan(col("v")))
-      val hist = pairs.groupBy("c", "v", "vs").agg(count(lit(1)).as("n")).cache()
-      try {
-        // Materializes the cache AND sizes each column's histogram (one job).
-        val sizes: Map[String, Long] = hist.groupBy("c").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val futures = small.map { c =>
-          Future(c ->
-            (if (sizes.getOrElse(c, 0L) <= SmallHistEntries)
-              colFromLocalHist(
-                hist.filter(col("c") === c).select("v", "n")
-                  .collect().map(r => (r.getDouble(0), r.getLong(1))), ps)
-            else
-              colFromHist(
-                hist.filter(col("c") === c).select("v", "n")
-                  .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps)))
+      val hist = pairs.groupBy("c", "v", "vs").agg(count(lit(1)).as("n"))
+      // Pass 1's HLL estimates bound the combined entry count of every
+      // small column: when the sum fits the driver-finish budget, collect
+      // the WHOLE combined histogram in ONE job and split it locally —
+      // no cache, no sizes job, no per-column filter+collect job each
+      // (was 2 + |small| jobs over a cached histogram; identical
+      // colFromLocalHist arithmetic either way). The estimate is ±~2.5%
+      // rsd, so the budget is approximate by design — an over-run still
+      // lands on a correct path, just a bigger single collect.
+      val estSum = small.iterator
+        .map(c => cardEstimates.getOrElse(c, Long.MaxValue))
+        .foldLeft(0L)((a, x) => if (a < 0 || x == Long.MaxValue) -1L else a + x)
+      if (estSum >= 0 && estSum <= DriverHistEntries) {
+        val rows = hist.collect()
+        small.map { c =>
+          val entries = rows.iterator.filter(_.getString(0) == c)
+            .map(r => (r.getDouble(1), r.getLong(3))).toArray
+          c -> colFromLocalHist(entries, ps)
         }
-        // Await inside the try: the cache must outlive the small-column jobs
-        Await.result(Future.sequence(futures), Duration.Inf)
-      } finally hist.unpersist(blocking = false)
+      } else {
+        val cached = hist.cache()
+        try {
+          // Materializes the cache AND sizes each column's histogram (one job).
+          val sizes: Map[String, Long] = cached.groupBy("c").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val futures = small.map { c =>
+            Future(c ->
+              (if (sizes.getOrElse(c, 0L) <= SmallHistEntries)
+                colFromLocalHist(
+                  cached.filter(col("c") === c).select("v", "n")
+                    .collect().map(r => (r.getDouble(0), r.getLong(1))), ps)
+              else
+                colFromHist(
+                  cached.filter(col("c") === c).select("v", "n")
+                    .rdd.map(r => (r.getDouble(0), r.getLong(1))), ps)))
+          }
+          // Await inside the try: the cache must outlive the small-column jobs
+          Await.result(Future.sequence(futures), Duration.Inf)
+        } finally cached.unpersist(blocking = false)
+      }
     }
     (Await.result(Future.sequence(bigFutures), Duration.Inf) ++ smallResults).toMap
   }

@@ -6,13 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for suites (one per suite, lazily created). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // INFO logging wrote ~18 MB per suite run through sbt's logger — real
+    // wall time and a driver-capture window full of noise. WARN matches
+    // every GraftSession main.
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   override def afterAll(): Unit = {
     // Shared across suites in one JVM; don't stop, just clear cache state.
