@@ -97,4 +97,31 @@ class KneserNeySpec extends SparkSpec {
       assert(head <= tail)
     }
   }
+
+  test("fused self-score equals the unfused train->score composition") {
+    // selfScoreKneserNey (r19) precomputes ln p per bigram TYPE and joins
+    // instances once; this pins it row-for-row against the general
+    // scoreKneserNey over the same trained model — the unfused form whose
+    // per-instance arithmetic it claims to replicate bit-identically
+    // (coverage is total in self-score: every instance is a type).
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "b a c a"),
+      (3L, "single"),
+      (4L, ""),
+      (5L, "c c c b")).toDF("doc_id", "text")
+    val fused = LanguageModel.selfScoreKneserNey(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val lm = LanguageModel.trainKneserNey(docs, "text")
+    val unfused = LanguageModel.scoreKneserNey(lm, docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(fused.length == unfused.length)
+    fused.zip(unfused).foreach { case (f, u) =>
+      assert(f.getAs[Long]("id") == u.getAs[Long]("id"))
+      assert(f.getAs[Long]("n_bigrams") == u.getAs[Long]("n_bigrams"))
+      assert(f.getAs[Double]("logprob") == u.getAs[Double]("logprob"),
+        s"logprob diverged for id ${f.getAs[Long]("id")}")
+      assert(f.getAs[Double]("perplexity") == u.getAs[Double]("perplexity"))
+    }
+  }
 }
